@@ -1,0 +1,131 @@
+"""Engine: the public API facade (reference geist.go surface).
+
+    eng = Engine(spark)
+    sid = eng.register_stream(spec_json)   # geist.RegisterStream
+    rid = eng.publish(sid, event)          # geist.Publish
+    eng.metrics(sid)                       # geist.Metrics
+    eng.shutdown()                         # geist.Shutdown
+
+Native entities registered out of the box (reference config.go:137-176
+preProcessConfig): sources `geistapi`, `eventsim`, `kafka`, `file`;
+sinks `void`, `keyedTable` (+ aliases bigtable/bigquery/firestore which
+the reference keeps in external connector repos — emulated here by the
+keyed parquet table, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geist_spark.compiler.transform import compile_transform
+from geist_spark.engine.hooks import PostTransformHook, PreTransformHook
+from geist_spark.engine.metrics import Metrics, Notifier
+from geist_spark.engine.registry import RegistryError, SpecRegistry
+from geist_spark.engine.stream import Stream
+from geist_spark.sinks.base import Loader, LoaderFactory
+from geist_spark.sinks.keyed_table import KeyedTableLoader
+from geist_spark.sinks.void import VoidLoader
+from geist_spark.spec.model import Spec
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        env: str = "",
+        registry_path: str | None = None,
+        pre_transform_hook: PreTransformHook | None = None,
+        post_transform_hook: PostTransformHook | None = None,
+    ):
+        self.spark = spark
+        self.registry = SpecRegistry(env=env, storage_path=registry_path)
+        self.notifier = Notifier()
+        self.pre_hook = pre_transform_hook
+        self.post_hook = post_transform_hook
+        self._streams: dict[str, Stream] = {}
+        self._loader_factories: dict[str, LoaderFactory] = {}
+        self._source_factories: dict[str, Callable] = {}
+
+        # native sinks (void natively; GCP sinks emulated as keyed tables)
+        self.register_loader_factory(LoaderFactory("void", VoidLoader))
+        for sink_id in ("keyedTable", "bigtable", "bigquery", "firestore"):
+            self.register_loader_factory(
+                LoaderFactory(
+                    sink_id,
+                    KeyedTableLoader,
+                    new_sink_extractor=lambda spark, spec: None,
+                )
+            )
+        self.registry.on_modified(self._on_registry_modified)
+
+    # -- plugin API (reference entity/loader.go:12-42, extractor.go:14-62)
+
+    def register_loader_factory(self, factory: LoaderFactory) -> None:
+        self._loader_factories[factory.sink_id] = factory
+
+    def register_source_factory(self, source_id: str, factory: Callable) -> None:
+        self._source_factories[source_id] = factory
+
+    # -- geist.go surface -------------------------------------------
+
+    def register_stream(self, spec_json: str | bytes | dict) -> str:
+        """Validate + version-gate + store + (re)deploy (geist.go:83-108)."""
+        return self.registry.put(spec_json)
+
+    def publish(self, stream_id: str, event: str | bytes) -> str:
+        """Single-event synchronous ingestion (geist.go:123-145)."""
+        stream = self._streams.get(stream_id)
+        if stream is None:
+            raise KeyError(f"no such stream: {stream_id}")
+        if stream.spec.disabled:
+            raise RegistryError(f"stream {stream_id} is disabled")
+        return stream.publish(event)
+
+    def process_batch(self, stream_id: str, df: DataFrame, value_col: str = "value") -> str:
+        return self._streams[stream_id].process_batch(df, value_col=value_col)
+
+    def stream(self, stream_id: str) -> Stream:
+        return self._streams[stream_id]
+
+    def metrics(self, stream_id: str) -> Metrics:
+        return self._streams[stream_id].metrics
+
+    def validate_spec(self, spec_json: str | bytes | dict) -> Spec:
+        from geist_spark.spec.model import parse_spec
+
+        return parse_spec(spec_json)
+
+    def shutdown(self) -> None:
+        for s in self._streams.values():
+            s.loader.shutdown()
+        self._streams.clear()
+
+    # -- supervisor behavior (supervisor.go:154-250, simplified to the
+    #    single-driver batch path; streaming queries in streaming/) ---
+
+    def _on_registry_modified(self, stream_id: str) -> None:
+        spec = self.registry.get(stream_id)
+        if spec is None or spec.disabled:
+            old = self._streams.pop(stream_id, None)
+            if old is not None:
+                old.loader.shutdown()
+            return
+        self._streams[stream_id] = self._build_stream(spec)
+
+    def _build_stream(self, spec: Spec) -> Stream:
+        factory = self._loader_factories.get(spec.sink.type)
+        if factory is None:
+            raise RegistryError(f"unknown sink type: {spec.sink.type}")
+        loader = factory.create(self.spark, spec)
+        return Stream(
+            spark=self.spark,
+            spec=spec,
+            transform=compile_transform(spec),
+            loader=loader,
+            sink_extractor=loader if hasattr(loader, "extract_all") else None,
+            pre_hook=self.pre_hook,
+            post_hook=self.post_hook,
+            notifier=self.notifier,
+        )

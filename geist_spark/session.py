@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile runs on local[N]; the same conf names are what we
+would set on a 1000-executor cluster (AQE, skew-join handling, shuffle
+partitions sized to data, Arrow for the Python boundary). Keep every
+knob here so tests/bench/driver share one profile.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. Essential at 100 TB where static planning is always wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # gjson/Go semantics are permissive (bad cast -> zero value, not an
+    # error); ANSI mode (Spark 4 default) would throw instead.
+    "spark.sql.ansi.enabled": "false",
+    # Go map semantics: duplicate keys overwrite (extractItemsFromArray).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # Arrow for pandas_udf / toPandas — the only sane Python boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local mode: one JVM; shuffle partitions ~ cores (AQE coalesces down).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.ui.enabled": "false",
+    # Broadcast threshold: dims (region/nation/part/supplier at test SF)
+    # should broadcast; 64 MB is a sane cluster default too.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scans: split files into ~128 MB tasks (cluster default).
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "geist_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the session. overrides win over profile defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    ).appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf.update(overrides)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

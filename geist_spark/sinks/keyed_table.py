@@ -1,0 +1,85 @@
+"""Keyed-table sink: one emulation covering the reference's BigTable /
+BigQuery / Firestore sink semantics on plain parquet.
+
+Covered semantics (reference citations):
+- row key = delimiter-joined field values
+  (test/specs/kafkasrc-bigtablesink-multitable-session.json:96-179)
+- `@GeistIngestionTime` pseudo-column (entity/spec.go:29)
+- `insertIdFromId` per-batch dedup
+  (test/specs/kafkasrc-bigquerysink-fooevents.json:124)
+- `maxVersions` GC policy -> keep-last-N per key on readback
+  (kafkasrc-bigtablesink-multitable-session.json:117-121)
+
+Scale notes: appends are partitioned parquet writes (no shuffle);
+readback keep-last-N is a window per key — at 100 TB the table should
+be partitioned by key range/date and the window runs partition-local
+after AQE; the hot path (stream_load) never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from geist_spark.sinks.base import Loader, SinkError, SinkExtractor
+from geist_spark.spec.model import GEIST_INGESTION_TIME, Spec
+
+ROW_KEY_COL = "__row_key"
+INGESTION_TS_COL = "__geist_ingestion_time"
+
+
+class KeyedTableLoader(Loader, SinkExtractor):
+    def __init__(self, spark: SparkSession, spec: Spec):
+        self.spark = spark
+        self.spec = spec
+        cfg = spec.sink.custom_config or {}
+        self.path = cfg.get("path") or spec.sink.prop("path")
+        if not self.path:
+            raise SinkError(f"keyed_table sink for {spec.id} needs a 'path'")
+        self.key_fields: list[str] = cfg.get("rowKeyFields") or []
+        self.delimiter: str = cfg.get("rowKeyDelimiter", "#")
+        self.insert_id_field: str | None = cfg.get("insertIdFromId")
+        self.max_versions: int | None = cfg.get("maxVersions")
+
+    def stream_load(self, df: DataFrame, epoch_id: int = 0) -> str:
+        out = df
+        if self.key_fields:
+            out = out.withColumn(
+                ROW_KEY_COL,
+                F.concat_ws(self.delimiter, *[F.col(k).cast("string") for k in self.key_fields]),
+            )
+        if self.insert_id_field and self.insert_id_field in out.columns:
+            out = out.dropDuplicates([self.insert_id_field])
+        if GEIST_INGESTION_TIME in [f for f in out.columns]:
+            out = out.withColumnRenamed(GEIST_INGESTION_TIME, INGESTION_TS_COL)
+        if INGESTION_TS_COL not in out.columns:
+            out = out.withColumn(INGESTION_TS_COL, F.current_timestamp())
+        out.write.mode("append").parquet(self.path)
+        return os.path.basename(self.path.rstrip("/"))
+
+    # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----
+
+    def _read(self) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if self.max_versions:
+            w = Window.partitionBy(ROW_KEY_COL).orderBy(F.col(INGESTION_TS_COL).desc())
+            df = (
+                df.withColumn("__v", F.row_number().over(w))
+                .filter(F.col("__v") <= self.max_versions)
+                .drop("__v")
+            )
+        return df
+
+    def extract_all(self) -> DataFrame:
+        return self._read()
+
+    def extract_key_value(self, key: str) -> DataFrame:
+        # partition-prunable equality filter on the key column
+        return self._read().filter(F.col(ROW_KEY_COL) == key)
+
+
+def new_temp_path(base: str = "/tmp/geist_spark_tables") -> str:
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, uuid.uuid4().hex)

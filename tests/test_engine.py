@@ -1,0 +1,222 @@
+"""Engine e2e: register -> publish -> sink, semantics from
+geist_test.go:140-563 (in-mem registry + void sink + keyed table +
+hooks + resilience)."""
+
+import json
+
+import pytest
+
+from geist_spark.engine.api import Engine
+from geist_spark.engine.hooks import HookAction
+from geist_spark.engine.registry import RegistryError
+from geist_spark.sinks.keyed_table import new_temp_path
+from geist_spark.spec.model import SpecError
+
+
+def make_spec(suffix="s1", version=1, sink_type="void", sink_cfg=None, ops=None, transform=None):
+    d = {
+        "namespace": "enginetest",
+        "streamIdSuffix": suffix,
+        "description": "engine test stream",
+        "version": version,
+        "source": {"type": "geistapi"},
+        "transform": transform
+        or {
+            "extractFields": [
+                {
+                    "fields": [
+                        {"id": "name", "jsonPath": "name"},
+                        {"id": "amount", "jsonPath": "amount", "type": "integer"},
+                    ]
+                }
+            ]
+        },
+        "sink": {"type": sink_type},
+    }
+    if sink_cfg:
+        d["sink"]["config"] = {"customConfig": sink_cfg}
+    if ops:
+        d["ops"] = ops
+    return d
+
+
+@pytest.fixture
+def engine(spark):
+    return Engine(spark)
+
+
+def test_register_and_publish_void(engine):
+    sid = engine.register_stream(make_spec())
+    assert sid == "enginetest-s1"
+    rid = engine.publish(sid, '{"name": "a", "amount": 5}')
+    assert rid == ""
+    m = engine.metrics(sid)
+    assert m.events_processed == 1
+    assert m.events_stored_in_sink == 1
+
+
+def test_version_gating(engine):
+    engine.register_stream(make_spec(version=2))
+    with pytest.raises(RegistryError):
+        engine.register_stream(make_spec(version=2))
+    with pytest.raises(RegistryError):
+        engine.register_stream(make_spec(version=1))
+    engine.register_stream(make_spec(version=3))  # upgrade ok
+
+
+def test_invalid_spec_rejected(engine):
+    with pytest.raises(SpecError):
+        engine.register_stream({"namespace": "x"})
+
+
+def test_disabled_stream(engine):
+    sid = engine.register_stream(make_spec(suffix="dis", version=1))
+    spec2 = make_spec(suffix="dis", version=2)
+    spec2["disabled"] = True
+    engine.register_stream(spec2)
+    with pytest.raises((RegistryError, KeyError)):
+        engine.publish(sid, '{"name": "a"}')
+
+
+def test_keyed_table_sink_and_readback(engine, spark):
+    path = new_temp_path()
+    sid = engine.register_stream(
+        make_spec(
+            suffix="kt",
+            sink_type="bigtable",
+            sink_cfg={"path": path, "rowKeyFields": ["name", "amount"], "rowKeyDelimiter": "#"},
+        )
+    )
+    engine.publish(sid, '{"name": "a", "amount": 5}')
+    engine.publish(sid, '{"name": "b", "amount": 7}')
+    ext = engine.stream(sid).sink_extractor
+    rows = {r["__row_key"]: r for r in ext.extract_all().collect()}
+    assert set(rows) == {"a#5", "b#7"}
+    kv = ext.extract_key_value("a#5").collect()
+    assert len(kv) == 1 and kv[0]["amount"] == 5
+
+
+def test_max_versions_readback(engine, spark):
+    path = new_temp_path()
+    sid = engine.register_stream(
+        make_spec(
+            suffix="mv",
+            sink_type="bigtable",
+            sink_cfg={"path": path, "rowKeyFields": ["name"], "maxVersions": 2},
+        )
+    )
+    for amount in (1, 2, 3):
+        engine.publish(sid, json.dumps({"name": "k", "amount": amount}))
+    ext = engine.stream(sid).sink_extractor
+    vals = sorted(r["amount"] for r in ext.extract_all().collect())
+    assert len(vals) == 2  # keep-last-2 per key (BigTable GC emulation)
+
+
+def test_filtered_event_returns_empty(engine):
+    sid = engine.register_stream(
+        make_spec(
+            suffix="flt",
+            transform={
+                "excludeEventsWith": [{"key": "name", "values": ["drop"]}],
+                "extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}],
+            },
+        )
+    )
+    assert engine.publish(sid, '{"name": "drop"}') == ""
+    assert engine.metrics(sid).events_excluded == 1
+
+
+def test_hooks_enrich_and_skip(spark):
+    def pre(ctx, holder):
+        doc = json.loads(holder.data)
+        if doc.get("name") == "skipme":
+            return HookAction.SKIP
+        holder.enrich(injectedField="hi there")
+        return HookAction.PROCEED
+
+    eng = Engine(spark, pre_transform_hook=pre)
+    path = new_temp_path()
+    sid = eng.register_stream(
+        make_spec(
+            suffix="hk",
+            sink_type="keyedTable",
+            sink_cfg={"path": path, "rowKeyFields": ["name"]},
+            transform={
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "name", "jsonPath": "name"},
+                            {"id": "injected", "jsonPath": "injectedField"},
+                        ]
+                    }
+                ]
+            },
+        )
+    )
+    eng.publish(sid, '{"name": "a"}')
+    eng.publish(sid, '{"name": "skipme"}')
+    rows = eng.stream(sid).sink_extractor.extract_all().collect()
+    assert len(rows) == 1
+    assert rows[0]["injected"] == "hi there"
+
+
+def test_unretryable_sink_error_discard_and_fail(spark):
+    eng = Engine(spark)
+    spec = make_spec(suffix="err")
+    spec["sink"]["config"] = {
+        "properties": [{"key": "simulateError", "value": "alwaysUnretryable"}]
+    }
+    sid = eng.register_stream(spec)
+    assert eng.publish(sid, '{"name": "a"}') == ""  # discarded (default HOUE)
+    assert eng.metrics(sid).events_failed == 1
+
+    spec_fail = make_spec(suffix="errf", ops={"handlingOfUnretryableEvents": "fail"})
+    spec_fail["sink"]["config"] = {
+        "properties": [{"key": "simulateError", "value": "alwaysUnretryable"}]
+    }
+    sid2 = eng.register_stream(spec_fail)
+    from geist_spark.engine.stream import UnretryableStreamError
+
+    with pytest.raises(UnretryableStreamError):
+        eng.publish(sid2, '{"name": "a"}')
+
+
+def test_retryable_error_then_success(spark):
+    eng = Engine(spark)
+    spec = make_spec(suffix="retry", ops={"customProperties": {"retryBackoffMs": "1"}})
+    spec["sink"]["config"] = {
+        "properties": [
+            {"key": "simulateError", "value": "alwaysRetryable"},
+            {"key": "maxErrors", "value": "2"},
+        ]
+    }
+    sid = eng.register_stream(spec)
+    assert eng.publish(sid, '{"name": "a"}') == ""
+    assert eng.metrics(sid).sink_operations == 1  # succeeded on 3rd attempt
+
+
+def test_dlq_routing(spark):
+    eng = Engine(spark)
+    spec = make_spec(suffix="dlq", ops={"handlingOfUnretryableEvents": "dlq"})
+    spec["sink"]["config"] = {
+        "properties": [{"key": "simulateError", "value": "alwaysUnretryable"}]
+    }
+    sid = eng.register_stream(spec)
+    ev = '{"name": "a"}'
+    eng.publish(sid, ev)
+    assert eng.stream(sid).dlq == [ev]
+
+
+def test_in_mem_registry_sink_mode(spark):
+    # void sink 'inMemRegistrySink': event IS a spec; resource id = its
+    # stream id (void/loader.go:133-156)
+    eng = Engine(spark)
+    spec = make_spec(
+        suffix="reg",
+        transform={"extractFields": [{"fields": [{"id": "rawEvent", "type": "string"}]}]},
+    )
+    spec["sink"]["config"] = {"properties": [{"key": "mode", "value": "inMemRegistrySink"}]}
+    sid = eng.register_stream(spec)
+    inner_spec = make_spec(suffix="inner")
+    rid = eng.publish(sid, json.dumps(inner_spec))
+    assert rid == "enginetest-inner"

@@ -1,0 +1,382 @@
+"""Transform compiler golden tests.
+
+Inputs/expected outputs ported from the reference's test suite
+(entity/transform/transformer_test.go) — semantics, asserted through
+the compiled DataFrame path instead of per-event interpretation.
+"""
+
+import datetime
+import json
+
+import pytest
+
+from geist_spark.compiler.transform import compile_transform
+from geist_spark.spec.model import parse_spec
+
+from tests.conftest import event_df
+
+
+def spec_with_transform(transform: dict) -> dict:
+    return {
+        "namespace": "t",
+        "streamIdSuffix": "t",
+        "description": "test",
+        "version": 1,
+        "source": {"type": "geistapi"},
+        "transform": transform,
+        "sink": {"type": "void"},
+    }
+
+
+def run_one(spark, transform: dict, event: str) -> list[dict]:
+    ct = compile_transform(parse_spec(spec_with_transform(transform)))
+    df = event_df(spark, event)
+    return [r.asDict(recursive=True) for r in ct.apply(df).collect()]
+
+
+# ---------------------------------------------------------------- extractFields
+# transformer_test.go:135-327
+
+
+def test_extract_int_from_string(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "myCoolNumber", "jsonPath": "coolNumber", "type": "integer"}]}]},
+        '{"coolNumber": "333"}',
+    )
+    assert out == [{"myCoolNumber": 333}]
+
+
+def test_extract_number_as_string_when_untyped(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "myCoolNumber", "jsonPath": "coolNumber"}]}]},
+        '{"coolNumber": 333}',
+    )
+    assert out == [{"myCoolNumber": "333"}]
+
+
+def test_iso_timestamp(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "ts", "jsonPath": "coolIsoTimestamp", "type": "isoTimestamp"}]}]},
+        '{"coolIsoTimestamp": "2019-11-30T14:57:23.389Z"}',
+    )
+    assert out[0]["ts"] == datetime.datetime(2019, 11, 30, 14, 57, 23, 389000)
+
+
+def test_unix_timestamp_number_and_string(spark):
+    t = {"extractFields": [{"fields": [{"id": "ts", "jsonPath": "coolUnixTimestamp", "type": "unixTimestamp"}]}]}
+    out = run_one(spark, t, '{"coolUnixTimestamp": 1571831226950}')
+    assert out[0]["ts"] == datetime.datetime(2019, 10, 23, 11, 47, 6, 950000)
+    out = run_one(spark, t, '{"coolUnixTimestamp": "1571831226959"}')
+    assert out[0]["ts"] == datetime.datetime(2019, 10, 23, 11, 47, 6, 959000)
+
+
+def test_raw_event_field(spark):
+    ev = '{"myThing": "1", "myOtherThing": 2}'
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "myFullRawEvent", "type": "string"}]}]},
+        ev,
+    )
+    assert out == [{"myFullRawEvent": ev}]
+
+
+def test_bool_and_float(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [
+            {"id": "cloudy", "jsonPath": "cloudyWeather", "type": "bool"},
+            {"id": "rainy", "jsonPath": "rainyWeather", "type": "bool"},
+        ]}]},
+        '{"cloudyWeather": true, "rainyWeather": false}',
+    )
+    assert out == [{"cloudy": True, "rainy": False}]
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "amount", "jsonPath": "amount", "type": "float"}]}]},
+        '{"amount": 92834.37}',
+    )
+    assert out == [{"amount": 92834.37}]
+
+
+def test_missing_field_gives_empty_string(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "myImportantField", "jsonPath": "importantStuff"}]}]},
+        '{"someStuff": "foo"}',
+    )
+    assert out == [{"myImportantField": ""}]
+
+
+def test_json_blob_extract(spark):
+    # transformer_test.go:329-347 (object path -> raw JSON text; Spark
+    # returns compact form, compare parsed)
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [{"id": "jsonBlobId", "jsonPath": "importantStuff"}]}]},
+        '{"unimportantStuff": "foo", "importantStuff": {"field1": "value1", "field2": "value2"}}',
+    )
+    assert json.loads(out[0]["jsonBlobId"]) == {"field1": "value1", "field2": "value2"}
+
+
+# ---------------------------------------------------------------- dispatch + event split
+# session spec semantics (transformer_test.go:27-64)
+
+SESSION_TRANSFORM = {
+    "extractFields": [
+        {
+            "forEventsWith": [{"key": "foo.evtType", "value": "FOO_SESSION_BEGIN"}],
+            "fields": [
+                {"id": "name", "jsonPath": "foo.evtType"},
+                {"id": "custId", "jsonPath": "foo.custId"},
+                {"id": "sessionId", "jsonPath": "bar.stuff.sId"},
+                {"id": "pId", "jsonPath": "bar.stuff.pInfo.pId"},
+                {"id": "pName", "jsonPath": "bar.stuff.pInfo.pName"},
+                {"id": "pCurrency", "jsonPath": "bar.stuff.pInfo.pCur"},
+            ],
+        },
+        {
+            "forEventsWith": [{"key": "foo.evtType", "value": "FOO_SESSION_END"}],
+            "fields": [
+                {"id": "name", "jsonPath": "foo.evtType"},
+                {"id": "custId", "jsonPath": "foo.custId"},
+                {"id": "sessionId", "jsonPath": "bar.stuff.sId"},
+                {"id": "pId", "jsonPath": "bar.stuff.pInfo.pId"},
+                {"id": "pHostIp", "jsonPath": "bar.stuff.pHostIp"},
+            ],
+        },
+    ]
+}
+
+BEGIN_EVENT = json.dumps(
+    {
+        "foo": {"evtType": "FOO_SESSION_BEGIN", "custId": "somecust"},
+        "bar": {"stuff": {"sId": "855f4462", "pInfo": {"pName": "somename", "pId": 89, "pCur": "SEK"}}},
+    }
+)
+END_EVENT = json.dumps(
+    {
+        "foo": {"evtType": "FOO_SESSION_END", "custId": "somecust"},
+        "bar": {"stuff": {"sId": "855f4462", "pHostIp": "11.22.123.4"}},
+    }
+)
+
+
+def test_session_dispatch_begin(spark):
+    out = run_one(spark, SESSION_TRANSFORM, BEGIN_EVENT)
+    assert len(out) == 1
+    rec = out[0]
+    assert rec["name"] == "FOO_SESSION_BEGIN"
+    assert rec["custId"] == "somecust"
+    assert rec["pId"] == "89"  # number -> string form (untyped)
+    assert rec["pCurrency"] == "SEK"
+    assert rec["pHostIp"] is None  # field of the other branch
+
+
+def test_session_dispatch_end(spark):
+    out = run_one(spark, SESSION_TRANSFORM, END_EVENT)
+    assert len(out) == 1
+    assert out[0]["name"] == "FOO_SESSION_END"
+    assert out[0]["pHostIp"] == "11.22.123.4"
+
+
+def test_non_matching_event_filtered(spark):
+    ev = json.dumps({"foo": {"evtType": "SOMETHING_ELSE"}})
+    assert run_one(spark, SESSION_TRANSFORM, ev) == []
+
+
+def test_event_split_multiple_blocks(spark):
+    # a block without forEventsWith matches everything -> 2 records
+    t = {
+        "extractFields": [
+            {"fields": [{"id": "a", "jsonPath": "x"}]},
+            {"fields": [{"id": "b", "jsonPath": "y"}]},
+        ]
+    }
+    out = run_one(spark, t, '{"x": "1", "y": "2"}')
+    assert out == [{"a": "1", "b": None}, {"a": None, "b": "2"}]
+
+
+# ---------------------------------------------------------------- gjson queries
+# xch-eur spec (transformer_test.go:374-409)
+
+XCH_TRANSFORM = {
+    "extractFields": [
+        {
+            "forEventsWith": [
+                {"key": "name", "value": "XCH_RATES_UPDATED"},
+                {"key": 'data.#(base=="EUR").base', "value": "EUR"},
+            ],
+            "fields": [
+                {"id": "rates", "jsonPath": 'data.#(base=="EUR").rates'},
+                {"id": "eventDate", "jsonPath": "ts"},
+            ],
+        }
+    ]
+}
+
+
+def test_gjson_array_query(spark):
+    ev = json.dumps(
+        {
+            "name": "XCH_RATES_UPDATED",
+            "ts": "2019-12-07T13:21:42.615Z",
+            "data": [
+                {"base": "CHF", "rates": {"HRK": 0.14, "CHF": 1}},
+                {"base": "EUR", "rates": {"HRK": 0.147, "CHF": 1.08}},
+            ],
+        }
+    )
+    out = run_one(spark, XCH_TRANSFORM, ev)
+    assert len(out) == 1
+    assert out[0]["eventDate"] == "2019-12-07T13:21:42.615Z"
+    assert json.loads(out[0]["rates"]) == {"HRK": 0.147, "CHF": 1.08}
+
+
+def test_gjson_query_non_applicable(spark):
+    ev = json.dumps({"name": "XCH_RATES_UPDATED", "ts": "x", "data": [{"base": "CHF", "rates": {}}]})
+    assert run_one(spark, XCH_TRANSFORM, ev) == []
+
+
+# ---------------------------------------------------------------- array items
+# transformer_test.go:417-487
+
+ARRAY_EVENT = json.dumps(
+    {
+        "name": "COOL_EVENT",
+        "dateOccurred": "2020-09-07T13:45:44.559Z",
+        "coolArray": [
+            {"fooId": "fooValue1", "barId": "barValue1", "things": "x", "moreThings": ["3", "2", "1"]},
+            {"fooId": "fooValue2", "barId": "barValue2", "things": "x", "moreThings": ["6", "5", "4"]},
+        ],
+    }
+)
+
+
+def test_extract_items_from_array(spark):
+    t = {
+        "extractItemsFromArray": [
+            {
+                "id": "myItemMapId",
+                "items": {
+                    "jsonPathToArray": "coolArray",
+                    "idFromItemFields": {"delimiter": "#", "fields": ["fooId", "barId"]},
+                },
+            }
+        ]
+    }
+    out = run_one(spark, t, ARRAY_EVENT)
+    assert len(out) == 1
+    items = out[0]["myItemMapId"]
+    assert set(items) == {"fooValue1#barValue1", "fooValue2#barValue2"}
+    assert json.loads(items["fooValue1#barValue1"])["fooId"] == "fooValue1"
+
+
+def test_array_items_empty_id_dropped(spark):
+    ev = json.dumps({"arr": [{"k": "a"}, {"nokey": 1}]})
+    t = {
+        "extractItemsFromArray": [
+            {
+                "id": "m",
+                "items": {"jsonPathToArray": "arr", "idFromItemFields": {"delimiter": "#", "fields": ["k"]}},
+            }
+        ]
+    }
+    out = run_one(spark, t, ev)
+    assert set(out[0]["m"]) == {"a"}
+
+
+# ---------------------------------------------------------------- filters
+# transformer_test.go:489-909
+
+def _filter_transform(excl):
+    return {
+        "excludeEventsWith": excl,
+        "extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}],
+    }
+
+
+def test_blacklist(spark):
+    t = _filter_transform([{"key": "provider", "values": ["badguy", "worseguy"]}])
+    assert run_one(spark, t, '{"name": "a", "provider": "badguy"}') == []
+    assert run_one(spark, t, '{"name": "a", "provider": "goodguy"}') == [{"name": "a"}]
+    # missing field -> "" -> not in blacklist -> kept
+    assert run_one(spark, t, '{"name": "a"}') == [{"name": "a"}]
+
+
+def test_whitelist(spark):
+    t = _filter_transform([{"key": "provider", "valuesNotIn": ["goodguy"]}])
+    assert run_one(spark, t, '{"name": "a", "provider": "badguy"}') == []
+    assert run_one(spark, t, '{"name": "a", "provider": "goodguy"}') == [{"name": "a"}]
+    # missing -> "" not in whitelist -> excluded
+    assert run_one(spark, t, '{"name": "a"}') == []
+
+
+def test_value_is_empty(spark):
+    t = _filter_transform([{"key": "f", "valueIsEmpty": True}])
+    assert run_one(spark, t, '{"name": "a", "f": ""}') == []
+    assert run_one(spark, t, '{"name": "a"}') == []  # missing counts as empty
+    assert run_one(spark, t, '{"name": "a", "f": "x"}') == [{"name": "a"}]
+
+
+def test_empty_check_precedes_whitelist(spark):
+    # valueIsEmpty=true short-circuits before whitelist check
+    t = _filter_transform([{"key": "f", "valueIsEmpty": True, "valuesNotIn": [""]}])
+    assert run_one(spark, t, '{"name": "a", "f": ""}') == []
+
+
+def test_multiple_filters_are_or(spark):
+    t = _filter_transform(
+        [{"key": "p1", "values": ["bad"]}, {"key": "p2", "values": ["alsobad"]}]
+    )
+    assert run_one(spark, t, '{"name": "a", "p1": "bad", "p2": "fine"}') == []
+    assert run_one(spark, t, '{"name": "a", "p1": "fine", "p2": "alsobad"}') == []
+    assert run_one(spark, t, '{"name": "a", "p1": "fine", "p2": "fine"}') == [{"name": "a"}]
+
+
+def test_multi_condition_and(spark):
+    t = {
+        "excludeEventsWithMultipleConditions": [
+            {"filters": [{"key": "name", "values": ["x"]}, {"key": "version", "values": ["2"]}]}
+        ],
+        "extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}],
+    }
+    assert run_one(spark, t, '{"name": "x", "version": "2"}') == []
+    # int 2 matches string "2" via string coercion
+    assert run_one(spark, t, '{"name": "x", "version": 2}') == []
+    assert run_one(spark, t, '{"name": "x", "version": "3"}') == [{"name": "x"}]
+    assert run_one(spark, t, '{"name": "y", "version": "2"}') == [{"name": "y"}]
+
+
+def test_block_local_exclude(spark):
+    # schema-evolution pattern (transformer_test.go:795-909)
+    t = {
+        "extractFields": [
+            {
+                "forEventsWith": [{"key": "version", "value": "1"}],
+                "excludeEventsWith": [{"key": "status", "values": ["skip"]}],
+                "fields": [{"id": "name", "jsonPath": "name"}],
+            }
+        ]
+    }
+    assert run_one(spark, t, '{"version": "1", "status": "skip", "name": "a"}') == []
+    assert run_one(spark, t, '{"version": "1", "status": "ok", "name": "a"}') == [{"name": "a"}]
+    assert run_one(spark, t, '{"version": "2", "status": "ok", "name": "a"}') == []
+
+
+def test_for_events_with_numeric_match(spark):
+    # "3" matches JSON number 3 (entity/spec.go:326-334)
+    t = {
+        "extractFields": [
+            {
+                "forEventsWith": [{"key": "v", "value": "3"}],
+                "fields": [{"id": "name", "jsonPath": "name"}],
+            }
+        ]
+    }
+    assert run_one(spark, t, '{"v": 3, "name": "a"}') == [{"name": "a"}]
+    assert run_one(spark, t, '{"v": "3", "name": "a"}') == [{"name": "a"}]
+    assert run_one(spark, t, '{"v": 4, "name": "a"}') == []
+    assert run_one(spark, t, '{"name": "a"}') == []  # missing -> not applicable
