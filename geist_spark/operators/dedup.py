@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale (LLM-)data pipelines.
+
+All variants are built from JVM-side primitives (md5/xxhash64, explode,
+groupBy, self-join) — no Python in the hot path — and designed so each
+stage is one shuffle on an explicit key:
+
+- exact:    hash-groupBy on md5(text)                   (1 shuffle)
+- minhash:  shingle explode -> 1 groupBy for signatures -> band
+            explode -> self-join on band hash           (2 shuffles + join)
+- simhash:  token explode -> weighted bit vote          (1 shuffle)
+- n-gram Jaccard: inverted-index self-join on shingle   (join on shingle)
+
+Determinism: every hash is md5 (identical in DuckDB), so the oracles
+in __spark_entry__ hash-match exactly. Seeded minhash uses
+md5(shingle || '|' || seed).
+
+At 100 TB: shingle explosion dominates — keep shingles k-token (not
+char) to bound blowup; band self-joins are skew-prone (hot bands) and
+run under AQE skew handling; cap per-band bucket size upstream with a
+count filter when needed (cap column emitted for observability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """lower + collapse whitespace (identical expression in oracles)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Group exact duplicates by content hash; emit one row per distinct
+    content with representative doc and multiplicity."""
+    return (
+        documents.select(
+            F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def tokens(col: F.Column) -> F.Column:
+    return F.split(normalize_text(col), TOKEN_SPLIT_RE)
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """k-token shingles: (doc_id, shingle). posexplode + slice keeps it
+    all in codegen — no UDF."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """One min-hash per seed as columns sig_0..sig_{n-1}.
+
+    Single groupBy(doc_id) with `num_hashes` conditional mins — the
+    seed dimension lives in the aggregate list, NOT an exploded join,
+    so the shuffle volume is exactly the shingle table once."""
+    sh = shingles(documents, k=k)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.col("shingle"), F.lit(str(s))))).alias(
+            f"sig_{s}"
+        )
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    rows-per-band = num_hashes // bands; two docs are candidates when
+    any band's concatenated signature matches. Self-join is on
+    (band_id, band_hash) — co-located, equi-join, AQE handles hot
+    bands."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes=num_hashes, k=k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint from token hashes (bit-vote).
+
+    Token hash = first 8 hex chars of md5 (32-bit, fits signed 64 in
+    both engines). Bit b of the fingerprint is 1 when more tokens have
+    bit b set than not. One explode + one groupBy."""
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    with_bits = tok.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    voted = with_bits.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted index.
+
+    Candidate generation = self-join on shingle (only pairs sharing at
+    least one shingle are compared — never all-pairs), then
+    |A∩B| from the join, |A|,|B| from per-doc counts. At scale the
+    hot shingles (stop-phrases) should be frequency-capped; here the
+    shingle sets are already distinct per doc."""
+    sh = shingles(documents, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def distinct_event_keys(events: DataFrame) -> DataFrame:
+    """insertId-style dedup (SURVEY §2.2 bigquery insertIdFromId):
+    distinct on the declared key columns."""
+    return events.select("user_id", "event_type").distinct()

@@ -1,0 +1,170 @@
+"""Relational / windowed operators (the surface the reference lacks).
+
+The reference explicitly defers joins/aggregations/windows to Spark
+(reference README.md:21,564; SURVEY §2.7). These helpers expose them
+as engine operators, written declaratively so Catalyst handles
+pushdown/pruning/join strategy. Each has a matching DuckDB oracle in
+__spark_entry__.oracle_sql().
+
+Scale notes (100 TB):
+- aggregations are partial (map-side combine) by construction;
+- dimension joins (region/nation/part/supplier) get broadcast hints;
+- window top-N per key shuffles once on the key and never collects;
+- all money outputs rounded to 2dp so cross-engine hashes are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Multi-join rollup: lineitem revenue per nation/region.
+
+    nation/region are tiny dims -> broadcast (no shuffle for them);
+    the orders⋈lineitem join shuffles on orderkey once."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def revenue_by_brand(lineitem: DataFrame, part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Broadcast-join enrichment: revenue per part brand x supplier nation."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n: int,
+    tiebreak: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep-last/top-N per key — the engine primitive behind the
+    BigTable `maxVersions` GC emulation (SURVEY §2.2) and generic
+    top-K. One shuffle on the key; deterministic via tiebreak."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    tb = F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
+    w = Window.partitionBy(key).orderBy(oc, tb)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """argmax(ts) per user_id with event_id tiebreak (insert-order)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate per event_type (batch equivalent of a
+    streaming windowed agg; the streaming path shares the expression
+    via F.window + watermark)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: new session when the gap to
+    the previous event exceeds `gap_minutes`. Classic lag+cumsum —
+    one shuffle on user_id; at scale the windows stay partition-local.
+    Returns per-session rollups."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_marks = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        with_marks.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi-join pattern (EXISTS): orders having at least one lineitem
+    shipped after the order date, counted by priority."""
+    late = lineitem.filter(F.col("l_shipdate").isNotNull()).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

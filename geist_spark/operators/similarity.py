@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact; query set broadcast against the
+  corpus, dot products via zip_with/aggregate (JVM-side, sequential
+  index-order summation -> bit-identical with an index-order oracle).
+- LSH-bucketed (random hyperplane signs): the 100 TB path — candidates
+  only within matching sign-buckets, then exact re-rank. Hyperplanes
+  are derived deterministically from md5 so the oracle can reproduce
+  them if needed (rows-only checked otherwise).
+
+Floats: cosine is computed in double and rounded (6dp) before ranking
+so Spark/DuckDB hash-compare deterministically; ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential index-order dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is a handful of rows -> broadcast; the corpus side
+    streams through one pass, no shuffle until the final per-query
+    top-k window over ~|Q|*N rows filtered down by rank."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    anywhere (no RNG state, no numpy on executors)."""
+    import hashlib
+
+    vals: list[float] = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane|{plane_idx}|{d}".encode()).hexdigest()
+        # map first 8 hex chars to [-1, 1)
+        vals.append(int(h[:8], 16) / 2**31 - 1.0)
+    return vals
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature buckets prune the
+    corpus before exact cosine re-rank. This is the plan shape that
+    survives 100 TB: the bucket join replaces the full cross join; the
+    per-bucket candidate sets are small and re-ranked exactly."""
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+
+    def signature(emb: F.Column) -> F.Column:
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(_dot(emb, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bits.append(bit * (2**p_idx))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    base = embeddings.withColumn("bucket", signature(F.col("embedding")))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket"),
+    )
+    pairs = F.broadcast(q).join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket by hyperplane signature,
+    exact cosine within buckets, keep pairs above threshold."""
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    bits = []
+    for p_idx, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1)).otherwise(F.lit(0))
+            * (2**p_idx)
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    base = embeddings.select("vec_id", "embedding", sig.alias("bucket"))
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = (
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (split/regexp/aggregate) — no Python
+UDFs — so they run at scan speed and have exact DuckDB oracles.
+
+- quality features: token/char stats, punctuation + stopword ratios
+- language-ID: stopword-overlap heuristic over small per-language sets
+- token counting: whitespace + BPE-ish subword estimate
+- fingerprinting: min-hash of character 8-grams (winnowing-lite)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from geist_spark.operators.dedup import normalize_text, tokens
+
+# deliberately tiny, deterministic stopword sets (heuristic lang-id)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "por"],
+}
+
+
+def _ratio_in(toks: F.Column, words: list[str]) -> F.Column:
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+    # overlap of DISTINCT tokens (deterministic, set semantics)
+    return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Per-doc quality scoring features (length/punct/stopword ratios,
+    rounded for cross-engine stability)."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language-ID: distinct-token overlap with per-language
+    stopword sets; argmax with fixed language order tiebreak."""
+    toks = F.array_distinct(tokens(F.col("text")))
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            F.round(_ratio_in(toks, words), 6).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    # reversed so the FIRST language in order wins ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Corpus token statistics per source: whitespace tokens plus a
+    BPE-ish subword estimate (ceil(chars/4) per token — the standard
+    ~4-chars-per-token heuristic), aggregated per source."""
+    toks = tokens(F.col("text"))
+    subword_est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    per_doc = documents.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        subword_est.alias("n_subwords"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_subwords").alias("total_subwords"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint: the `num_mins` smallest md5s
+    of character `gram`-grams (winnowing-lite), concatenated. Stable
+    across engines; array ops stay in codegen."""
+    norm = normalize_text(F.col("text"))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(gram))))
+    mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, num_mins)
+    return documents.select(
+        "doc_id", F.concat_ws("|", mins).alias("fingerprint")
+    )

@@ -25,6 +25,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # Go map semantics: duplicate keys overwrite (extractItemsFromArray).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # driver test tables carry TIMESTAMP(NANOS); read as long + truncate
+    # (geist_spark.sources.tables) exactly like DuckDB does.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas_udf / toPandas — the only sane Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local mode: one JVM; shuffle partitions ~ cores (AQE coalesces down).
