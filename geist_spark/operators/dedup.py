@@ -50,15 +50,17 @@ def tokens(col: F.Column) -> F.Column:
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """k-token shingles: (doc_id, shingle). posexplode + slice keeps it
-    all in codegen — no UDF."""
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return documents.select(
+    """k-token shingles: (doc_id, shingle), all in codegen — no UDF.
+
+    The token array is materialized in its own projection first:
+    referencing the split expression inside the higher-order lambda
+    would re-tokenize the document once PER ELEMENT (O(n^2) regex
+    work); a column attribute is evaluated once per row."""
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return toked.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     ).filter(F.col("shingle") != "")
 

@@ -104,11 +104,13 @@ def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> D
     """Rolling-hash document fingerprint: the `num_mins` smallest md5s
     of character `gram`-grams (winnowing-lite), concatenated. Stable
     across engines; array ops stay in codegen."""
-    norm = normalize_text(F.col("text"))
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1)))
+    # materialize norm first: referencing the regexp_replace inside the
+    # per-position lambda would re-normalize once per character
+    normed = documents.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    norm = F.col("norm")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - gram + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(gram))))
     mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, num_mins)
-    return documents.select(
-        "doc_id", F.concat_ws("|", mins).alias("fingerprint")
-    )
+    return normed.select("doc_id", F.concat_ws("|", mins).alias("fingerprint"))
