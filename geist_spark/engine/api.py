@@ -47,6 +47,7 @@ class Engine:
         self._streams: dict[str, Stream] = {}
         self._loader_factories: dict[str, LoaderFactory] = {}
         self._source_factories: dict[str, Callable] = {}
+        self._supervisor = None
 
         # native sinks (void natively; GCP sinks emulated as keyed tables)
         self.register_loader_factory(LoaderFactory("void", VoidLoader))
@@ -97,10 +98,28 @@ class Engine:
 
         return parse_spec(spec_json)
 
+    def start_streaming(self, stream_id: str):
+        """Deploy the spec as a Structured Streaming query (eventsim /
+        kafka / file sources). Returns the StreamingStream handle."""
+        from geist_spark.streaming.runner import StreamingSupervisor
+
+        spec = self.registry.get(stream_id)
+        if spec is None:
+            raise KeyError(f"no such stream: {stream_id}")
+        if self._supervisor is None:
+            self._supervisor = StreamingSupervisor(self.spark, env=self.registry.env)
+        factory = self._loader_factories[spec.sink.type]
+        return self._supervisor.deploy(spec, factory.create(self.spark, spec))
+
+    def streaming_stream(self, stream_id: str):
+        return self._supervisor.get(stream_id) if self._supervisor else None
+
     def shutdown(self) -> None:
         for s in self._streams.values():
             s.loader.shutdown()
         self._streams.clear()
+        if self._supervisor is not None:
+            self._supervisor.shutdown()
 
     # -- supervisor behavior (supervisor.go:154-250, simplified to the
     #    single-driver batch path; streaming queries in streaming/) ---
