@@ -547,6 +547,22 @@ class CompiledTransform:
         if not structs:
             # excludes-only spec: reference emits no records
             return pre.select(*keep_cols).limit(0)
+        if len(branches) == 1:
+            # one block emits at most one record per event, so the
+            # branch-union Generate is pure overhead: plain filter+select
+            # keeps the whole transform in one WholeStageCodegen span
+            app, cols = branches[0]
+            fields = []
+            for fid, ftype in self.output_fields:
+                src = cols.get(fid)
+                fields.append(
+                    (src.cast(ftype) if src is not None else F.lit(None).cast(ftype)).alias(fid)
+                )
+            if with_branch:
+                fields.append(F.lit(0).alias("__branch"))
+            return pre.filter(keep & app).select(
+                *[F.col(c) for c in keep_cols], *fields
+            )
         # when `keep` is false the array is NULL -> explode emits no row
         recs = F.when(keep, F.filter(F.array(*structs), lambda r: r.isNotNull()))
         out = pre.select(
