@@ -20,6 +20,7 @@ class Metrics:
     event_processing_time_micros: int = 0
     events_excluded: int = 0
     events_failed: int = 0
+    stream_restarts: int = 0
 
     def add(self, other: "Metrics") -> "Metrics":
         return Metrics(

@@ -59,8 +59,19 @@ class Stream:
     pre_hook: PreTransformHook | None = None
     post_hook: PostTransformHook | None = None
     notifier: Notifier = field(default_factory=Notifier)
-    dlq: list[str] = field(default_factory=list)
+    dlq: "DeadLetterQueue | None" = None
     metrics: Metrics = field(default_factory=Metrics)
+
+    def _dlq(self) -> "DeadLetterQueue":
+        if self.dlq is None:
+            from geist_spark.engine.dlq import DeadLetterQueue
+
+            self.dlq = DeadLetterQueue(
+                self.spark,
+                self.spec.id,
+                self.spec.ops.custom_properties.get("dlqPath"),
+            )
+        return self.dlq
 
     # -- publish path (geistapi): single-event sync batch ------------
 
@@ -120,7 +131,10 @@ class Stream:
         bad = self.transform.rejected(events_df, value_col=value_col)
         houe = self.spec.ops.handling_of_unretryable_events
         if houe == HOUE_DLQ:
-            self.dlq.extend(r[value_col] for r in bad.collect())
+            # distributed parquet append — no driver-side collect
+            self.metrics.events_failed += self._dlq().add_df(
+                bad, value_col=value_col, reason="transform error"
+            )
         elif houe == HOUE_FAIL:
             if bad.take(1):
                 raise UnretryableStreamError(f"unretryable events in {self.spec.id}")
@@ -160,6 +174,6 @@ class Stream:
         if houe == HOUE_FAIL:
             raise UnretryableStreamError(f"{self.spec.id}: {reason}")
         if houe == HOUE_DLQ and event is not None:
-            self.dlq.append(event)
+            self._dlq().add_event(event, reason=reason)
         self.notifier.notify("warn", self.spec.id, f"unretryable event: {reason}")
         return ""

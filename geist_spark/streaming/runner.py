@@ -22,13 +22,14 @@ import os
 import tempfile
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from geist_spark.compiler.transform import compile_transform
 from geist_spark.engine.metrics import Metrics
-from geist_spark.sinks.base import Loader
+from geist_spark.sinks.base import Loader, SinkError
 from geist_spark.spec.model import (
+    HOUE_DISCARD,
     HOUE_DLQ,
     HOUE_FAIL,
     Spec,
@@ -71,6 +72,14 @@ def build_source_stream(spark: SparkSession, spec: Spec, env: str = "") -> DataF
     raise ValueError(f"source type {stype} is not streamable")
 
 
+def _exc_summary(q: StreamingQuery) -> str:
+    try:
+        e = q.exception()
+        return str(e).splitlines()[0][:200] if e else "no exception"
+    except Exception:
+        return "unknown"
+
+
 def _topics_for_env(cc: dict, env: str) -> list[str]:
     """Per-env topic names (spec shape
     test/specs/kafkasrc-bigquerysink-fooevents.json:9-41)."""
@@ -92,25 +101,68 @@ class StreamingStream:
     checkpoint_root: str = ""
     value_col: str = "value"
     metrics: Metrics = dc_field(default_factory=Metrics)
-    dlq: list[str] = dc_field(default_factory=list)
+    dlq: "DeadLetterQueue | None" = None
     query: StreamingQuery | None = None
 
     def start(self) -> StreamingQuery:
+        from geist_spark.engine.dlq import DeadLetterQueue
+
+        if self.dlq is None:
+            self.dlq = DeadLetterQueue(
+                self.spark,
+                self.spec.id,
+                self.spec.ops.custom_properties.get("dlqPath"),
+            )
         source = build_source_stream(self.spark, self.spec, self.env)
         ct = compile_transform(self.spec)
         houe = self.spec.ops.handling_of_unretryable_events
         value_col = self.value_col
 
+        retries = self.spec.ops.max_event_processing_retries
+        retry_backoff_ms = int(
+            self.spec.ops.custom_properties.get("retryBackoffMs", "2000")
+        )
+
+        def load_with_retry(out: DataFrame, epoch_id: int) -> None:
+            """Sink retry loop (executor.go:282-329): retryable errors
+            retried with doubling backoff; exhaustion or unretryable ->
+            HOUE. A raise kills the query; the supervisor's restart loop
+            + checkpoint replays the batch (at-least-once)."""
+            import time as _t
+
+            attempt = 0
+            while True:
+                try:
+                    self.loader.stream_load(out, epoch_id)
+                    self.metrics.sink_operations += 1
+                    return
+                except SinkError as e:
+                    if e.retryable and attempt < retries:
+                        attempt += 1
+                        _t.sleep(retry_backoff_ms / 1000.0 * (2 ** (attempt - 1)))
+                        continue
+                    if houe == HOUE_DISCARD:
+                        self.metrics.events_failed += 1
+                        return
+                    if houe == HOUE_DLQ:
+                        self.metrics.events_failed += self.dlq.add_df(
+                            out.select(F.to_json(F.struct("*")).alias(value_col)),
+                            value_col=value_col,
+                            reason=f"sink error: {e}",
+                        )
+                        return
+                    raise
+
         def process(batch_df: DataFrame, epoch_id: int) -> None:
             self.metrics.microbatches += 1
             out = ct.apply(batch_df, value_col=value_col)
-            self.loader.stream_load(out, epoch_id)
-            self.metrics.sink_operations += 1
+            load_with_retry(out, epoch_id)
             bad = ct.rejected(batch_df, value_col=value_col)
             if houe == HOUE_DLQ:
-                rows = bad.collect()
-                self.dlq.extend(r[value_col] for r in rows)
-                self.metrics.events_failed += len(rows)
+                # distributed parquet append — no driver-side collect
+                self.metrics.events_failed += self.dlq.add_df(
+                    bad, value_col=value_col, reason="transform error"
+                )
             elif houe == HOUE_FAIL:
                 if bad.take(1):
                     raise RuntimeError(
@@ -158,13 +210,31 @@ class StreamingStream:
 
 
 class StreamingSupervisor:
-    """Owns all StreamingQuery objects (supervisor.go:61-177)."""
+    """Owns all StreamingQuery objects (supervisor.go:61-177), with the
+    reference executor's self-healing restart loop: a failed query is
+    restarted with exponential backoff, initial 4 s doubling to a cap
+    (executor.go:18-23,119-158; config.go:12-15). Backoff resets once a
+    restarted query survives past the current interval."""
 
-    def __init__(self, spark: SparkSession, checkpoint_root: str | None = None, env: str = ""):
+    RESTART_BACKOFF_INITIAL_S = 4.0
+    RESTART_BACKOFF_CAP_S = 240.0
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str | None = None,
+        env: str = "",
+        restart_backoff_initial_s: float | None = None,
+        restart_backoff_cap_s: float | None = None,
+    ):
         self.spark = spark
         self.env = env
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="geist_ckpt_")
         self._streams: dict[str, StreamingStream] = {}
+        self._backoff0 = restart_backoff_initial_s or self.RESTART_BACKOFF_INITIAL_S
+        self._backoff_cap = restart_backoff_cap_s or self.RESTART_BACKOFF_CAP_S
+        self._monitor: "threading.Thread | None" = None
+        self._stop_monitor = False
 
     def deploy(self, spec: Spec, loader: Loader) -> StreamingStream:
         """Create or replace (version upgrade) the stream for a spec
@@ -188,7 +258,57 @@ class StreamingSupervisor:
     def get(self, stream_id: str) -> StreamingStream | None:
         return self._streams.get(stream_id)
 
+    # -- self-healing (executor.go:119-158) --------------------------
+
+    def start_monitor(self, poll_s: float = 0.5) -> None:
+        """Background thread: restart dead queries with backoff."""
+        import threading
+
+        if self._monitor is not None:
+            return
+        self._stop_monitor = False
+
+        def loop() -> None:
+            import time
+
+            backoff: dict[str, float] = {}
+            next_try: dict[str, float] = {}
+            while not self._stop_monitor:
+                now = time.monotonic()
+                for sid, ss in list(self._streams.items()):
+                    q = ss.query
+                    if q is None or q.isActive:
+                        # healthy past one interval -> reset backoff
+                        if sid in next_try and now > next_try[sid]:
+                            backoff.pop(sid, None)
+                            next_try.pop(sid, None)
+                        continue
+                    if sid not in next_try:
+                        b = backoff.get(sid, self._backoff0)
+                        next_try[sid] = now + b
+                        backoff[sid] = min(b * 2, self._backoff_cap)
+                        ss.metrics.stream_restarts += 1
+                        log.warning(
+                            "stream %s died (%s); restart in %.1fs",
+                            sid, _exc_summary(q), next_try[sid] - now,
+                        )
+                    elif now >= next_try[sid]:
+                        next_try[sid] = now + backoff[sid]
+                        try:
+                            ss.start()
+                            next_try[sid] = now + backoff[sid]
+                        except Exception:
+                            log.exception("restart of %s failed", sid)
+                time.sleep(poll_s)
+
+        self._monitor = threading.Thread(target=loop, daemon=True, name="geist-supervisor")
+        self._monitor.start()
+
     def shutdown(self) -> None:
+        self._stop_monitor = True
+        if self._monitor is not None:
+            self._monitor.join(timeout=5)
+            self._monitor = None
         for ss in self._streams.values():
             ss.stop()
         self._streams.clear()

@@ -204,7 +204,10 @@ def test_dlq_routing(spark):
     sid = eng.register_stream(spec)
     ev = '{"name": "a"}'
     eng.publish(sid, ev)
-    assert eng.stream(sid).dlq == [ev]
+    dlq = eng.stream(sid).dlq
+    assert dlq.values() == [ev]
+    row = dlq.read().collect()[0]
+    assert row["stream_id"] == sid and row["reason"]
 
 
 def test_in_mem_registry_sink_mode(spark):

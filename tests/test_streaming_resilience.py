@@ -1,0 +1,92 @@
+"""Supervisor self-healing + sink retry semantics on streaming queries
+(reference executor.go:119-158,282-329 and the resilience matrix in
+internal/pkg/engine/executor_test.go:383-478)."""
+
+import time
+
+from geist_spark.engine.api import Engine
+
+
+def sim_spec(suffix, sink_props, ops=None):
+    spec = {
+        "namespace": "resil",
+        "streamIdSuffix": suffix,
+        "description": "resilience test",
+        "version": 1,
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 11,
+            "eventGeneration": {"type": "random", "minCount": 2, "maxCount": 4},
+            "eventSpec": {"fields": [
+                {"field": "id", "randomizedValue": {"type": "uuid"}},
+            ]},
+        }}},
+        "transform": {"extractFields": [{"fields": [{"id": "eventId", "jsonPath": "id"}]}]},
+        "sink": {"type": "void", "config": {"properties": [
+            {"key": k, "value": v} for k, v in sink_props.items()
+        ]}},
+    }
+    if ops:
+        spec["ops"] = ops
+    return spec
+
+
+def test_unretryable_sink_error_restarts_query(spark):
+    eng = Engine(spark)
+    sid = eng.register_stream(
+        sim_spec("restart", {"simulateError": "alwaysUnretryable", "maxErrors": "1"})
+    )
+    ss = eng.start_streaming(sid)
+    sup = eng._supervisor
+    sup._backoff0 = 0.5  # keep the test fast
+    sup.start_monitor(poll_s=0.1)
+    try:
+        deadline = time.monotonic() + 120
+        while ss.metrics.sink_operations < 1:
+            assert time.monotonic() < deadline, "no successful batch after restart"
+            time.sleep(0.1)
+        assert ss.metrics.stream_restarts >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_retryable_sink_error_retried_in_place(spark):
+    eng = Engine(spark)
+    sid = eng.register_stream(
+        sim_spec(
+            "retry",
+            {"simulateError": "alwaysRetryable", "maxErrors": "2"},
+            ops={"maxEventProcessingRetries": 5,
+                 "customProperties": {"retryBackoffMs": "10"}},
+        )
+    )
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=1, timeout_s=120)
+        # retried within the same micro-batch: no restart happened
+        assert ss.metrics.stream_restarts == 0
+        assert ss.metrics.sink_operations >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_unretryable_with_discard_keeps_query_alive(spark):
+    eng = Engine(spark)
+    sid = eng.register_stream(
+        sim_spec(
+            "discard",
+            {"simulateError": "alwaysUnretryable"},
+            ops={"handlingOfUnretryableEvents": "discard",
+                 "customProperties": {"retryBackoffMs": "10"}},
+        )
+    )
+    ss = eng.start_streaming(sid)
+    try:
+        deadline = time.monotonic() + 120
+        while ss.metrics.microbatches < 3:
+            assert ss.query.isActive, "query must survive discarded errors"
+            assert time.monotonic() < deadline
+            time.sleep(0.1)
+        assert ss.metrics.events_failed >= 1
+        assert ss.metrics.sink_operations == 0
+    finally:
+        eng.shutdown()
