@@ -359,6 +359,103 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, num_planes=4
+    )
+
+
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=8,
+        nprobe=2,
+    )
+
+
+# ------------------------------------------------------------ sink parity
+
+
+def k_max_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-table sink round-trip: BigTable maxVersions GC semantics
+    (keep-last-N per row key on readback; reference spec
+    test/specs/kafkasrc-bigtablesink-multitable-session.json:117-121).
+    Runs the REAL sink: append events, read back keep-last-2."""
+    from geist_spark.sinks.keyed_table import (
+        INGESTION_TS_COL,
+        ROW_KEY_COL,
+        KeyedTableLoader,
+        new_temp_path,
+    )
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "maxversions",
+            "version": 1,
+            "description": "maxVersions readback",
+            "source": {"type": "geistapi"},
+            "transform": {"extractFields": [{"fields": [{"id": "x"}]}]},
+            "sink": {
+                "type": "keyedTable",
+                "config": {
+                    "customConfig": {
+                        "path": new_temp_path(),
+                        "rowKeyFields": ["user_id"],
+                        "maxVersions": 2,
+                    }
+                },
+            },
+        }
+    )
+    loader = KeyedTableLoader(spark, spec)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("@GeistIngestionTime"),
+    )
+    loader.stream_load(ev)
+    return loader.extract_all().select(
+        F.col(ROW_KEY_COL).alias("row_key"),
+        "event_id",
+        "event_type",
+        F.col(INGESTION_TS_COL).alias("ts"),
+    )
+
+
+def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """userAgent scalar transform (ua.go:31-62) over synthetic UA
+    strings derived from event_type. Python-side parse -> no SQL
+    oracle; the driver records a rows-only check."""
+    from geist_spark.functions.ua import ua_udf
+
+    ev = _t(spark, sf_dir, "events")
+    ua = (
+        F.when(
+            F.col("event_type") == "click",
+            F.lit(
+                "Mozilla/5.0%20(Windows%20NT%2010.0;%20Win64;%20x64)%20AppleWebKit/537.36%20(KHTML,%20like%20Gecko)%20Chrome/109.0.0.0%20Safari/537.36"
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.lit(
+                "Mozilla/5.0%20(iPhone;%20CPU%20iPhone%20OS%2016_3%20like%20Mac%20OS%20X)%20AppleWebKit/605.1.15%20(KHTML,%20like%20Gecko)%20Version/16.3%20Mobile/15E148%20Safari/604.1"
+            ),
+        )
+        .otherwise(F.lit("Googlebot/2.1%20(+http://www.google.com/bot.html)"))
+    )
+    return ev.select("event_id", ua_udf(ua).alias("ua_json"))
+
+
 # ---------------------------------------------------------------- text
 
 
@@ -434,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_distinct_event_keys": d_distinct_event_keys,
         "s_cosine_topk": s_cosine_topk,
         "s_embedding_near_dup": s_embedding_near_dup,
+        "s_ann_lsh": s_ann_lsh,
+        "s_ann_ivf": s_ann_ivf,
+        "k_max_versions": k_max_versions,
+        "u_user_agent": u_user_agent,
         "t_quality_features": t_quality_features,
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
@@ -699,6 +800,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
+        "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
+        "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
+        "k_max_versions": """
+            SELECT CAST(user_id AS VARCHAR) AS row_key, event_id, event_type, ts
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC) <= 2
+        """,
+        # u_user_agent: Python-UDF parse, no SQL oracle (rows-only check)
     }
 
 
@@ -756,6 +866,78 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+
+def _ann_lsh_oracle(num_planes: int, dim: int, k: int, n_queries: int) -> str:
+    from geist_spark.operators.similarity import _hyperplane
+
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle(n_cells: int, nprobe: int, k: int, n_queries: int) -> str:
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cells}
+        ), ranked AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cid DESC) AS rn
+            FROM e CROSS JOIN c
+        ), assign AS (
+            SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, v AS qv, cid AS cell
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {nprobe}
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(p.qv, a.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+            FROM probes p JOIN assign a
+              ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
     """
 
 

@@ -179,3 +179,76 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid cell, probe only the query's `nprobe` closest
+    cells, exact cosine re-rank within the candidate set.
+
+    Centroid "training" is deterministic (the first `n_cells` vectors
+    by id) so an oracle can replay the whole algorithm; at real scale
+    you'd plug sampled k-means centroids into the same plan. Scale
+    shape: assignment is a per-row expression over a centroid array
+    literal (NO shuffle, no cross join — the aggregate runs inside
+    WholeStageCodegen); the only shuffle is the bucket join, with the
+    tiny probe side broadcast."""
+    emb = F.col("embedding")
+
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def cell_scores() -> F.Column:
+        """array<struct<cos,cid>> of rounded cosine to each centroid."""
+        entries = []
+        for r in cents:
+            arr = F.array(*[F.lit(float(x)) for x in r["embedding"]])
+            cos = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
+            entries.append(
+                F.struct(cos.alias("cos"), F.lit(int(r["vec_id"])).alias("cid"))
+            )
+        return F.array(*entries)
+
+    # argmax by (cos, cid): array_max on struct<cos,cid> — ties on the
+    # rounded cosine resolve to the larger cid, mirrored in the oracle
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.array_max(cell_scores())["cid"].alias("cell"),
+    )
+    probes = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.slice(F.reverse(F.array_sort(cell_scores())), 1, nprobe).alias("cells"),
+        )
+        .select("query_id", "q_emb", F.explode(F.col("cells")["cid"]).alias("cell"))
+    )
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q_emb"), emb) / (_norm(F.col("q_emb")) * _norm(emb))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
