@@ -379,6 +379,107 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ analytics dialect
+
+
+def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `aggregate` section (engine extension, SURVEY §2.7):
+    extract -> 1-hour tumbling window x event_type -> count/sum/distinct,
+    all compiled from the declarative spec."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "winagg",
+            "version": 1,
+            "description": "windowed agg",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "etype", "jsonPath": "event_type"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                        ]
+                    }
+                ],
+                "aggregate": {
+                    "window": {"field": "ts", "duration": "1 hour"},
+                    "groupBy": ["etype"],
+                    "aggregations": [
+                        {"fn": "count", "alias": "n"},
+                        {"fn": "sum", "field": "amount", "alias": "total"},
+                        {"fn": "count_distinct", "field": "uid", "alias": "users"},
+                    ],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    from geist_spark.compiler.transform import compile_transform
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+            )
+        ).alias("value")
+    )
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select(
+        F.col("window.start").alias("hour"),
+        "etype",
+        "n",
+        F.round("total", 2).alias("total"),
+        "users",
+    )
+
+
+def a_spec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `deduplicate` section: exact dedup on extracted
+    keys (streaming variant uses dropDuplicatesWithinWatermark)."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "dedup",
+            "version": 1,
+            "description": "dedup",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "etype", "jsonPath": "event_type"},
+                        ]
+                    }
+                ],
+                "deduplicate": {"fields": ["uid", "etype"]},
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _events_as_json(spark, sf_dir)
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select("uid", "etype")
+
+
 # ------------------------------------------------------------ sink parity
 
 
@@ -533,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dup": s_embedding_near_dup,
         "s_ann_lsh": s_ann_lsh,
         "s_ann_ivf": s_ann_ivf,
+        "a_spec_windowed_agg": a_spec_windowed_agg,
+        "a_spec_dedup": a_spec_dedup,
         "k_max_versions": k_max_versions,
         "u_user_agent": u_user_agent,
         "t_quality_features": t_quality_features,
@@ -802,6 +905,16 @@ def oracle_sql() -> dict[str, str]:
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
+        "a_spec_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS hour, event_type AS etype,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2
+        """,
+        "a_spec_dedup": """
+            SELECT DISTINCT user_id AS uid, event_type AS etype FROM events
+        """,
         "k_max_versions": """
             SELECT CAST(user_id AS VARCHAR) AS row_key, event_id, event_type, ts
             FROM events

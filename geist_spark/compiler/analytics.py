@@ -1,0 +1,84 @@
+"""Analytics sections of the spec dialect: deduplicate + aggregate.
+
+The reference defers aggregation/dedup to Spark ("that is better
+handled in products such as Spark", reference README.md:21,564); these
+compile the declarative spec sections onto Spark's native operators so
+a stream spec can carry them as pipeline steps after the extract
+transform:
+
+- deduplicate -> dropDuplicates / dropDuplicatesWithinWatermark
+  (streaming state-bounded dedup; withinWatermark requires an
+  event-time watermark and keeps state only inside the delay)
+- aggregate   -> groupBy(window(...), keys).agg(...) with optional
+  event-time watermark. Works identically on batch DataFrames (window
+  is an ordinary expression there) and streaming DataFrames (windowed
+  stateful agg with late-data handling).
+
+Scale notes: aggregations are hash-based with map-side partial
+aggregation (Catalyst does this for all fns here), so the shuffle
+carries partial states, not raw rows. count_distinct is the one
+exception (exact distinct shuffles values) — approx_count_distinct is
+the 100 TB path and is exposed alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geist_spark.spec.model import AggregateSpec, DeduplicateSpec, TransformSpec
+
+_AGG_BUILDERS = {
+    "count": lambda c: F.count(F.lit(1)),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count_distinct": lambda c: F.count_distinct(c),
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+    "collect_set": lambda c: F.array_sort(F.collect_set(c)),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+}
+
+
+def apply_deduplicate(df: DataFrame, spec: DeduplicateSpec) -> DataFrame:
+    if spec.within_watermark and df.isStreaming:
+        df = df.withWatermark(spec.watermark_field, spec.watermark_delay)
+        return df.dropDuplicatesWithinWatermark(spec.fields)
+    return df.dropDuplicates(spec.fields)
+
+
+def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
+    if spec.watermark_field and df.isStreaming:
+        df = df.withWatermark(spec.watermark_field, spec.watermark_delay)
+
+    keys: list[Column] = []
+    if spec.window_field:
+        if spec.window_slide:
+            keys.append(
+                F.window(spec.window_field, spec.window_duration, spec.window_slide)
+            )
+        else:
+            keys.append(F.window(spec.window_field, spec.window_duration))
+    keys.extend(F.col(k) for k in spec.group_by)
+
+    aggs = []
+    for a in spec.aggregations:
+        col = F.col(a.field) if a.field else None
+        aggs.append(_AGG_BUILDERS[a.fn](col).alias(a.alias))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
+    """Pipeline order: dedup first (so aggregates see unique events),
+    then aggregate — mirroring insertId-dedup-then-load in the
+    reference's sinks."""
+    if t.deduplicate is not None:
+        df = apply_deduplicate(df, t.deduplicate)
+    if t.aggregate is not None:
+        df = apply_aggregate(df, t.aggregate)
+    return df
+
+
+def has_analytics(t: TransformSpec) -> bool:
+    return t.deduplicate is not None or t.aggregate is not None

@@ -124,9 +124,14 @@ class Stream:
     # -- batch path: run a whole DataFrame of events through ---------
 
     def process_batch(self, events_df: DataFrame, value_col: str = "value") -> str:
-        """foreachBatch body: transform + load one micro-batch."""
+        """foreachBatch body: transform (+ analytics sections) + load
+        one micro-batch. The geistapi single-event publish path skips
+        analytics — dedup/aggregate are stream-level operators."""
+        from geist_spark.compiler.analytics import apply_analytics
+
         self.metrics.microbatches += 1
         out = self.transform.apply(events_df, value_col=value_col)
+        out = apply_analytics(out, self.spec.transform)
         rid = self._load_with_retry(out, None)
         bad = self.transform.rejected(events_df, value_col=value_col)
         houe = self.spec.ops.handling_of_unretryable_events

@@ -272,6 +272,83 @@ class RegexpSpec:
         return re.sub(r"\(\?<([^>]+)>", r"(?P<\1>", self.expression)
 
 
+# -- analytics dialect extension (beyond the reference surface) ------
+# The reference explicitly defers joins/aggregations to Spark
+# (README.md:21,564). These spec sections expose Spark's windowed
+# aggregation / streaming dedup as first-class declarative pipeline
+# steps, applied AFTER the extract transform on its typed output.
+
+_VALID_AGG_FNS = {
+    "count",
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "count_distinct",
+    "approx_count_distinct",
+    "collect_set",
+    "first",
+    "last",
+}
+
+
+@dataclass
+class AggregationSpec:
+    fn: str
+    field: str = ""
+    alias: str = ""
+
+    def validate(self) -> None:
+        if self.fn not in _VALID_AGG_FNS:
+            raise SpecError(f"invalid aggregation fn: {self.fn}")
+        if self.fn != "count" and not self.field:
+            raise SpecError(f"aggregation {self.fn} requires a field")
+        if not self.alias:
+            raise SpecError("aggregation requires an alias")
+
+
+@dataclass
+class AggregateSpec:
+    group_by: list[str] = field(default_factory=list)
+    aggregations: list[AggregationSpec] = field(default_factory=list)
+    window_field: str = ""
+    window_duration: str = ""
+    window_slide: str = ""
+    watermark_field: str = ""
+    watermark_delay: str = ""
+    output_mode: str = "update"  # foreachBatch mode for streaming aggs
+
+    def validate(self) -> None:
+        if not self.aggregations:
+            raise SpecError("aggregate requires at least one aggregation")
+        for a in self.aggregations:
+            a.validate()
+        if bool(self.window_field) != bool(self.window_duration):
+            raise SpecError("aggregate.window needs both field and duration")
+        if not self.group_by and not self.window_field:
+            raise SpecError("aggregate requires groupBy and/or window")
+        if bool(self.watermark_field) != bool(self.watermark_delay):
+            raise SpecError("aggregate.watermark needs both field and delay")
+
+
+@dataclass
+class DeduplicateSpec:
+    fields: list[str] = field(default_factory=list)
+    within_watermark: bool = False
+    watermark_field: str = ""
+    watermark_delay: str = ""
+
+    def validate(self) -> None:
+        if not self.fields:
+            raise SpecError("deduplicate requires fields")
+        if self.within_watermark and not (
+            self.watermark_field and self.watermark_delay
+        ):
+            raise SpecError(
+                "deduplicate.withinWatermark needs watermark field and delay"
+            )
+
+
 @dataclass
 class TransformSpec:
     exclude_events_with: list[ExcludeEventsWith] = field(default_factory=list)
@@ -279,6 +356,8 @@ class TransformSpec:
     extract_fields: list[ExtractFields] = field(default_factory=list)
     extract_items_from_array: list[ExtractItemsFromArray] = field(default_factory=list)
     regexp: RegexpSpec | None = None
+    deduplicate: DeduplicateSpec | None = None
+    aggregate: AggregateSpec | None = None
     custom_config: Any = None
 
 
@@ -338,6 +417,40 @@ def _parse_excludes(lst: Any) -> list[ExcludeEventsWith]:
 
 def _parse_few(lst: Any) -> list[ForEventsWith]:
     return [ForEventsWith(x.get("key", ""), x.get("value", "")) for x in (lst or [])]
+
+
+def _parse_dedup(d: Any) -> DeduplicateSpec | None:
+    if not d:
+        return None
+    wm = d.get("watermark") or {}
+    return DeduplicateSpec(
+        fields=list(d.get("fields") or []),
+        within_watermark=bool(d.get("withinWatermark", False)),
+        watermark_field=wm.get("field", ""),
+        watermark_delay=wm.get("delay", ""),
+    )
+
+
+def _parse_aggregate(d: Any) -> AggregateSpec | None:
+    if not d:
+        return None
+    win = d.get("window") or {}
+    wm = d.get("watermark") or {}
+    return AggregateSpec(
+        group_by=list(d.get("groupBy") or []),
+        aggregations=[
+            AggregationSpec(
+                fn=a.get("fn", ""), field=a.get("field", ""), alias=a.get("alias", "")
+            )
+            for a in (d.get("aggregations") or [])
+        ],
+        window_field=win.get("field", ""),
+        window_duration=win.get("duration", ""),
+        window_slide=win.get("slide", ""),
+        watermark_field=wm.get("field", ""),
+        watermark_delay=wm.get("delay", ""),
+        output_mode=d.get("outputMode", "update"),
+    )
 
 
 def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
@@ -413,10 +526,16 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
             for ia in (t.get("extractItemsFromArray") or [])
         ],
         regexp=regexp,
+        deduplicate=_parse_dedup(t.get("deduplicate")),
+        aggregate=_parse_aggregate(t.get("aggregate")),
         custom_config=t.get("customConfig"),
     )
     if transform.regexp is not None:
         transform.regexp.validate()
+    if transform.deduplicate is not None:
+        transform.deduplicate.validate()
+    if transform.aggregate is not None:
+        transform.aggregate.validate()
 
     spec = Spec(
         namespace=d.get("namespace", ""),

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from geist_spark.compiler.analytics import apply_analytics, has_analytics
 from geist_spark.compiler.transform import compile_transform
 from geist_spark.engine.metrics import Metrics
 from geist_spark.sinks.base import Loader, SinkError
@@ -174,9 +175,29 @@ class StreamingStream:
             self.spec.id,
             f"v{self.spec.version}",
         )
+        if has_analytics(self.spec.transform):
+            # analytics mode: the stateful operators (windowed agg,
+            # watermark dedup) must live on the STREAMING DataFrame —
+            # inside foreachBatch they would only see one micro-batch
+            # of state. The batch body just loads results; transform
+            # error routing (DLQ) is not available in this mode.
+            data = apply_analytics(
+                ct.apply(source, value_col=value_col), self.spec.transform
+            )
+
+            def process_analytics(batch_df: DataFrame, epoch_id: int) -> None:
+                self.metrics.microbatches += 1
+                load_with_retry(batch_df, epoch_id)
+
+            agg = self.spec.transform.aggregate
+            writer = (
+                data.writeStream.foreachBatch(process_analytics)
+                .outputMode(agg.output_mode if agg is not None else "update")
+            )
+        else:
+            writer = source.writeStream.foreachBatch(process)
         self.query = (
-            source.writeStream.foreachBatch(process)
-            .option("checkpointLocation", checkpoint)
+            writer.option("checkpointLocation", checkpoint)
             .trigger(processingTime=f"{self.spec.ops.micro_batch_timeout_ms} milliseconds"
                      if self.spec.ops.micro_batch else "0 seconds")
             .queryName(self.spec.id)

@@ -1,0 +1,212 @@
+"""Analytics spec sections (deduplicate/aggregate) and the custom
+stateful sessionization operator. These are the engine's extension
+surface beyond the reference (which defers aggs to Spark —
+README.md:21,564)."""
+
+import datetime as dt
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geist_spark.spec.model import SpecError, parse_spec
+
+
+def base_spec(transform):
+    return {
+        "namespace": "an",
+        "streamIdSuffix": "t",
+        "description": "analytics test",
+        "version": 1,
+        "source": {"type": "geistapi"},
+        "transform": transform,
+        "sink": {"type": "void"},
+    }
+
+
+EXTRACT = {
+    "fields": [
+        {"id": "userId", "jsonPath": "user", "type": "integer"},
+        {"id": "etype", "jsonPath": "etype"},
+        {"id": "amount", "jsonPath": "amount", "type": "float"},
+        {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+    ]
+}
+
+
+def test_aggregate_spec_validation():
+    with pytest.raises(SpecError, match="at least one aggregation"):
+        parse_spec(base_spec({"extractFields": [EXTRACT], "aggregate": {"groupBy": ["etype"]}}))
+    with pytest.raises(SpecError, match="invalid aggregation fn"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "aggregate": {"groupBy": ["etype"],
+                          "aggregations": [{"fn": "median", "field": "amount", "alias": "m"}]},
+        }))
+    with pytest.raises(SpecError, match="requires a field"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "aggregate": {"groupBy": ["etype"], "aggregations": [{"fn": "sum", "alias": "s"}]},
+        }))
+    with pytest.raises(SpecError, match="watermark"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "deduplicate": {"fields": ["userId"], "withinWatermark": True},
+        }))
+
+
+def events_json(spark, rows):
+    return spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string"
+    )
+
+
+ROWS = [
+    {"user": 1, "etype": "click", "amount": 1.5, "ts": "2024-01-01T10:05:00Z"},
+    {"user": 1, "etype": "click", "amount": 2.5, "ts": "2024-01-01T10:20:00Z"},
+    {"user": 2, "etype": "view", "amount": 4.0, "ts": "2024-01-01T10:40:00Z"},
+    {"user": 2, "etype": "click", "amount": 1.0, "ts": "2024-01-01T11:10:00Z"},
+    {"user": 1, "etype": "click", "amount": 1.5, "ts": "2024-01-01T10:05:00Z"},  # dup
+]
+
+
+def test_batch_dedup_and_windowed_aggregate(spark):
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    spec = parse_spec(base_spec({
+        "extractFields": [EXTRACT],
+        "deduplicate": {"fields": ["userId", "ts"]},
+        "aggregate": {
+            "window": {"field": "ts", "duration": "1 hour"},
+            "groupBy": ["etype"],
+            "aggregations": [
+                {"fn": "count", "alias": "n"},
+                {"fn": "sum", "field": "amount", "alias": "total"},
+            ],
+        },
+    }))
+    ct = compile_transform(spec)
+    out = apply_analytics(ct.apply(events_json(spark, ROWS), value_col="value"), spec.transform)
+    got = {
+        (r["window"]["start"].hour, r["etype"]): (r["n"], r["total"])
+        for r in out.collect()
+    }
+    assert got == {
+        (10, "click"): (2, 4.0),
+        (10, "view"): (1, 4.0),
+        (11, "click"): (1, 1.0),
+    }
+
+
+def test_engine_batch_publish_with_aggregate(spark):
+    from geist_spark.engine.api import Engine
+    from geist_spark.sinks.keyed_table import new_temp_path
+
+    path = new_temp_path()
+    eng = Engine(spark)
+    spec = base_spec({
+        "extractFields": [EXTRACT],
+        "aggregate": {
+            "groupBy": ["etype"],
+            "aggregations": [{"fn": "sum", "field": "amount", "alias": "total"}],
+        },
+    })
+    spec["sink"] = {"type": "keyedTable", "config": {"customConfig": {"path": path}}}
+    sid = eng.register_stream(spec)
+    # batch path (not single-event publish): aggregate applies
+    df = events_json(spark, ROWS[:3])
+    eng.stream(sid).process_batch(df)
+    got = {r["etype"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert got == {"click": 4.0, "view": 4.0}
+    eng.shutdown()
+
+
+def _write_events(spark, path, rows):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s)) for k, s in rows],
+        "key string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from geist_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    _write_events(spark, src, [("u1", 0), ("u1", 10), ("u2", 0)])
+    time.sleep(0.05)
+    _write_events(spark, src, [("u1", 100), ("u9", 300)])
+    time.sleep(0.05)
+    _write_events(spark, src, [("u9", 600)])
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, "key", "ts", gap_seconds=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in rows
+    }
+    t = lambda s: (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)).isoformat()
+    # u1[0..10] closed by gap; u2[0], u1[100], u9[300] closed by
+    # event-time timeout once the watermark passed; u9[600] still open
+    assert ("u1", t(0), t(10), 2) in got
+    assert ("u2", t(0), t(0), 1) in got
+    assert ("u1", t(100), t(100), 1) in got
+    assert not any(r[1] == t(600) for r in got)
+
+
+def test_streaming_aggregate_mode(spark):
+    """Analytics-mode streaming: windowed agg lives on the streaming
+    DataFrame (not per-batch inside foreachBatch)."""
+    from geist_spark.engine.api import Engine
+
+    eng = Engine(spark)
+    sid = eng.register_stream(base_spec({
+        "extractFields": [{
+            "fields": [
+                {"id": "berry", "jsonPath": "berry"},
+                {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+            ]
+        }],
+        "aggregate": {
+            "groupBy": ["berry"],
+            "aggregations": [{"fn": "count", "alias": "n"}],
+        },
+    }) | {
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 5,
+            "eventGeneration": {"type": "random", "minCount": 3, "maxCount": 6},
+            "eventSpec": {"fields": [
+                {"field": "berry", "predefinedValues": [
+                    {"value": "blueberry", "frequencyFactor": 1},
+                    {"value": "cloudberry", "frequencyFactor": 1},
+                ]},
+                {"field": "ts", "randomizedValue": {"type": "isoTimestampMilliseconds"}},
+            ]},
+        }}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=2, timeout_s=120)
+        assert ss.metrics.sink_operations >= 2
+    finally:
+        eng.shutdown()
