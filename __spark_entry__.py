@@ -445,6 +445,54 @@ def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `join` section: stream-static broadcast enrichment
+    against the customer dimension, then aggregate per nation."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "join",
+            "version": 1,
+            "description": "enrichment join",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                        ]
+                    }
+                ],
+                "join": {
+                    "table": {"path": f"{sf_dir}/customer.parquet"},
+                    "on": [{"left": "uid", "right": "c_custkey"}],
+                    "type": "inner",
+                    "broadcast": True,
+                    "select": [{"field": "c_nationkey", "alias": "nation"}],
+                },
+                "aggregate": {
+                    "groupBy": ["nation"],
+                    "aggregations": [
+                        {"fn": "count", "alias": "n"},
+                        {"fn": "sum", "field": "amount", "alias": "total"},
+                    ],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _events_as_json(spark, sf_dir)
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select("nation", "n", F.round("total", 2).alias("total"))
+
+
 def a_spec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `deduplicate` section: exact dedup on extracted
     keys (streaming variant uses dropDuplicatesWithinWatermark)."""
@@ -635,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_lsh": s_ann_lsh,
         "s_ann_ivf": s_ann_ivf,
         "a_spec_windowed_agg": a_spec_windowed_agg,
+        "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
         "k_max_versions": k_max_versions,
         "u_user_agent": u_user_agent,
@@ -911,6 +960,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2
+        """,
+        "a_spec_join": """
+            SELECT c_nationkey AS nation, count(*) AS n,
+                   round(sum(value), 2) AS total
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1
         """,
         "a_spec_dedup": """
             SELECT DISTINCT user_id AS uid, event_type AS etype FROM events

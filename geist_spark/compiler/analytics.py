@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from geist_spark.spec.model import AggregateSpec, DeduplicateSpec, TransformSpec
+from geist_spark.spec.model import (
+    AggregateSpec,
+    DeduplicateSpec,
+    JoinSpec,
+    TransformSpec,
+)
 
 _AGG_BUILDERS = {
     "count": lambda c: F.count(F.lit(1)),
@@ -39,6 +44,27 @@ _AGG_BUILDERS = {
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
 }
+
+
+def apply_join(df: DataFrame, spec: JoinSpec) -> DataFrame:
+    """Stream-static enrichment join. The static side is re-read per
+    micro-batch by Spark (picking up dimension updates); broadcast by
+    default so the stream side never shuffles."""
+    spark = df.sparkSession
+    dim = spark.read.parquet(spec.table_path)
+    if spec.select:
+        right_keys = [r for _, r in spec.on]
+        dim = dim.select(*right_keys, *[f for f, _ in spec.select])
+    if spec.broadcast:
+        dim = F.broadcast(dim)
+    cond = None
+    for left, right in spec.on:
+        c = df[left] == dim[right]
+        cond = c if cond is None else cond & c
+    joined = df.join(dim, cond, spec.how)
+    out_cols = [df[c] for c in df.columns]
+    out_cols.extend(dim[f].alias(a) for f, a in spec.select)
+    return joined.select(*out_cols)
 
 
 def apply_deduplicate(df: DataFrame, spec: DeduplicateSpec) -> DataFrame:
@@ -70,9 +96,11 @@ def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
 
 
 def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
-    """Pipeline order: dedup first (so aggregates see unique events),
-    then aggregate — mirroring insertId-dedup-then-load in the
-    reference's sinks."""
+    """Pipeline order: enrich (join) -> dedup -> aggregate, so
+    aggregates see unique, enriched events — mirroring
+    insertId-dedup-then-load in the reference's sinks."""
+    if t.join is not None:
+        df = apply_join(df, t.join)
     if t.deduplicate is not None:
         df = apply_deduplicate(df, t.deduplicate)
     if t.aggregate is not None:
@@ -81,4 +109,6 @@ def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
 
 
 def has_analytics(t: TransformSpec) -> bool:
-    return t.deduplicate is not None or t.aggregate is not None
+    return (
+        t.join is not None or t.deduplicate is not None or t.aggregate is not None
+    )

@@ -332,6 +332,28 @@ class AggregateSpec:
 
 
 @dataclass
+class JoinSpec:
+    """Stream-static enrichment join: the stream side joins a static
+    table (dimension) on equality keys. Streaming-safe (Spark's
+    stream-static join) and broadcast by default — the 100 TB shape for
+    dimension enrichment (no shuffle of the stream side)."""
+
+    table_path: str = ""
+    on: list[tuple[str, str]] = field(default_factory=list)  # (left, right)
+    how: str = "left"
+    broadcast: bool = True
+    select: list[tuple[str, str]] = field(default_factory=list)  # (field, alias)
+
+    def validate(self) -> None:
+        if not self.table_path:
+            raise SpecError("join requires table.path")
+        if not self.on:
+            raise SpecError("join requires at least one on condition")
+        if self.how not in ("inner", "left"):
+            raise SpecError(f"join type must be inner or left, got: {self.how}")
+
+
+@dataclass
 class DeduplicateSpec:
     fields: list[str] = field(default_factory=list)
     within_watermark: bool = False
@@ -356,6 +378,7 @@ class TransformSpec:
     extract_fields: list[ExtractFields] = field(default_factory=list)
     extract_items_from_array: list[ExtractItemsFromArray] = field(default_factory=list)
     regexp: RegexpSpec | None = None
+    join: JoinSpec | None = None
     deduplicate: DeduplicateSpec | None = None
     aggregate: AggregateSpec | None = None
     custom_config: Any = None
@@ -417,6 +440,21 @@ def _parse_excludes(lst: Any) -> list[ExcludeEventsWith]:
 
 def _parse_few(lst: Any) -> list[ForEventsWith]:
     return [ForEventsWith(x.get("key", ""), x.get("value", "")) for x in (lst or [])]
+
+
+def _parse_join(d: Any) -> JoinSpec | None:
+    if not d:
+        return None
+    return JoinSpec(
+        table_path=(d.get("table") or {}).get("path", ""),
+        on=[(o.get("left", ""), o.get("right", "")) for o in (d.get("on") or [])],
+        how=d.get("type", "left"),
+        broadcast=bool(d.get("broadcast", True)),
+        select=[
+            (s.get("field", ""), s.get("alias") or s.get("field", ""))
+            for s in (d.get("select") or [])
+        ],
+    )
 
 
 def _parse_dedup(d: Any) -> DeduplicateSpec | None:
@@ -526,12 +564,15 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
             for ia in (t.get("extractItemsFromArray") or [])
         ],
         regexp=regexp,
+        join=_parse_join(t.get("join")),
         deduplicate=_parse_dedup(t.get("deduplicate")),
         aggregate=_parse_aggregate(t.get("aggregate")),
         custom_config=t.get("customConfig"),
     )
     if transform.regexp is not None:
         transform.regexp.validate()
+    if transform.join is not None:
+        transform.join.validate()
     if transform.deduplicate is not None:
         transform.deduplicate.validate()
     if transform.aggregate is not None:

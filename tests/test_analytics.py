@@ -210,3 +210,62 @@ def test_streaming_aggregate_mode(spark):
         assert ss.metrics.sink_operations >= 2
     finally:
         eng.shutdown()
+
+
+def test_join_spec_validation():
+    with pytest.raises(SpecError, match="table.path"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"on": [{"left": "userId", "right": "c_custkey"}]},
+        }))
+    with pytest.raises(SpecError, match="inner or left"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"table": {"path": "/x"}, "type": "full",
+                     "on": [{"left": "a", "right": "b"}]},
+        }))
+
+
+def test_streaming_join_enrichment(spark, tmp_path):
+    """Stream-static join on a streaming DataFrame (analytics mode)."""
+    from geist_spark.engine.api import Engine
+    from geist_spark.sinks.keyed_table import new_temp_path
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("blueberry", "blue"), ("cloudberry", "amber")], "berry string, color string"
+    ).write.parquet(dim_path)
+    out_path = new_temp_path()
+
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "an", "streamIdSuffix": "sjoin", "version": 1,
+        "description": "stream-static join",
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 9,
+            "eventGeneration": {"type": "random", "minCount": 3, "maxCount": 5},
+            "eventSpec": {"fields": [
+                {"field": "berry", "predefinedValues": [
+                    {"value": "blueberry", "frequencyFactor": 1},
+                    {"value": "cloudberry", "frequencyFactor": 1},
+                ]},
+            ]},
+        }}},
+        "transform": {
+            "extractFields": [{"fields": [{"id": "berry", "jsonPath": "berry"}]}],
+            "join": {
+                "table": {"path": dim_path},
+                "on": [{"left": "berry", "right": "berry"}],
+                "type": "left",
+                "select": [{"field": "color", "alias": "color"}],
+            },
+        },
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=2, timeout_s=120)
+    finally:
+        eng.shutdown()
+    rows = spark.read.parquet(out_path).collect()
+    assert rows and all(r["color"] in ("blue", "amber") for r in rows)
