@@ -22,7 +22,7 @@ count filter when needed (cap column emitted for observability).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -88,13 +88,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     rows-per-band = num_hashes // bands; two docs are candidates when
     any band's concatenated signature matches. Self-join is on
     (band_id, band_hash) — co-located, equi-join, AQE handles hot
-    bands."""
+    bands.
+
+    `max_bucket_size` is the 100 TB guard: a band hash shared by m docs
+    yields m^2/2 candidate pairs, so one degenerate bucket (empty docs,
+    boilerplate) can dominate the whole job. Buckets above the cap are
+    dropped BEFORE the pair join (their members are near-certain exact
+    dups — route them through exact_dedup_groups instead, which is
+    linear). The cap count rides the same hash partitioning as the join
+    key, so it adds no extra shuffle."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes=num_hashes, k=k)
     band_cols = [
@@ -115,6 +124,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -269,3 +269,20 @@ def test_streaming_join_enrichment(spark, tmp_path):
         eng.shutdown()
     rows = spark.read.parquet(out_path).collect()
     assert rows and all(r["color"] in ("blue", "amber") for r in rows)
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket_size drops degenerate LSH buckets before the pair
+    join (the m^2 guard at scale)."""
+    from geist_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated here") for i in range(10)]
+        + [(100, "something entirely different from the rest one"),
+           (101, "something entirely different from the rest two")],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs, num_hashes=8, bands=2).count()
+    capped = minhash_lsh_pairs(docs, num_hashes=8, bands=2, max_bucket_size=5).count()
+    assert uncapped >= 45  # 10 identical docs -> >= C(10,2) pairs
+    assert capped < uncapped

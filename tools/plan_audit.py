@@ -1,0 +1,82 @@
+"""Physical-plan audit over every __spark_entry__.queries() entry.
+
+Prints one line per query with the signals that matter at 100 TB:
+- exchanges: shuffle count (every one is a full-data network pass)
+- bhj/smj/bnlj/cart: join strategies chosen
+- pushed: parquet scans with pushed filters / total scans
+- maxcols: widest ReadSchema (column pruning check)
+- py: python-UDF evals (ArrowEvalPython / BatchEvalPython nodes)
+
+(Codegen spans aren't visible pre-execution under AQE, so they're not
+reported; the `py` column is the codegen-breaking signal that matters.)
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(name: str, df) -> dict:
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    maxcols = max((s.count(",") + 1 for s in read_schemas if s), default=0)
+    return {
+        "exchanges": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cart": plan.count("CartesianProduct"),
+        "pushed": f"{sum(1 for s in scans if s.strip())}/{len(scans)}",
+        "maxcols": maxcols,
+        "py": plan.count("EvalPython"),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from geist_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    flagged = []
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            info = audit(name, fn(spark, sf_dir))
+        except Exception as e:
+            print(f"{name:26s} ERROR {e}")
+            continue
+        warn = ""
+        if info["cart"]:
+            warn += " !CARTESIAN"  # unbroadcast cross product: never ok
+        if info["smj"] and not info["bhj"]:
+            warn += " !SMJ-ONLY"
+        if warn:
+            flagged.append(name)
+        print(
+            f"{name:26s} xchg={info['exchanges']} bcast={info['broadcasts']} "
+            f"bhj={info['bhj']} smj={info['smj']} shj={info['shj']} "
+            f"bnlj={info['bnlj']} cart={info['cart']} pushed={info['pushed']} "
+            f"maxcols={info['maxcols']} py={info['py']}{warn}"
+        )
+    if flagged:
+        print("flagged:", ", ".join(flagged))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
