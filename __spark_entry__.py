@@ -353,9 +353,11 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.similarity import embedding_near_dup_pairs
 
     # driver embeddings are near-uniform random (max pairwise cosine
-    # ~0.48) so "near-dup" here means the top of that distribution
+    # ~0.48) so "near-dup" here means the top of that distribution.
+    # num_planes=None sizes buckets to the corpus (4 planes at sf0.01,
+    # matching the oracle; 8 at sf0.1 so pair counts stay bounded).
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=None
     )
 
 

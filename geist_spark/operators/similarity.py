@@ -48,18 +48,19 @@ def cosine_topk(
     streams through one pass, no shuffle until the final per-query
     top-k window over ~|Q|*N rows filtered down by rank."""
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = (
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -112,24 +113,25 @@ def lsh_bucketed_topk(
             out = out + b
         return out
 
-    base = embeddings.withColumn("bucket", signature(F.col("embedding")))
+    base = embeddings.withColumn("bucket", signature(F.col("embedding"))).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("bucket"),
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
         F.col("bucket"),
     )
     pairs = F.broadcast(q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = (
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
     )
@@ -143,11 +145,35 @@ def lsh_bucketed_topk(
     )
 
 
+def adaptive_num_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
+    """Plane count sized so expected bucket ~= target_bucket vectors.
+
+    Buckets must scale with the corpus or within-bucket pair counts
+    grow O(n^2 / 2^planes): 500 vectors -> 4 planes, 5k -> 8, 5M -> 17.
+    More planes = fewer candidates = lower recall; that's the LSH
+    tradeoff knob, made explicit here."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, num_planes: int = 8, dim: int = 64
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int | None = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signature,
-    exact cosine within buckets, keep pairs above threshold."""
+    exact cosine within buckets, keep pairs above threshold.
+
+    num_planes=None sizes the bucket count from the corpus
+    (adaptive_num_planes). Norms are computed ONCE per vector before
+    the self-join — the pair stage only does one dot product, not a
+    dot plus two norms."""
+    if num_planes is None:
+        num_planes = adaptive_num_planes(embeddings.count())
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     bits = []
     for p_idx, plane in enumerate(planes):
@@ -159,12 +185,13 @@ def embedding_near_dup_pairs(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    base = embeddings.select("vec_id", "embedding", sig.alias("bucket"))
+    base = embeddings.select(
+        "vec_id", "embedding", sig.alias("bucket"), _norm(F.col("embedding")).alias("nrm")
+    )
     a = base.alias("a")
     b = base.alias("b")
-    cos = (
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
@@ -224,6 +251,7 @@ def ivf_topk(
     assigned = embeddings.select(
         "vec_id",
         "embedding",
+        _norm(emb).alias("nrm"),
         F.array_max(cell_scores())["cid"].alias("cell"),
     )
     probes = (
@@ -231,14 +259,17 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.slice(F.reverse(F.array_sort(cell_scores())), 1, nprobe).alias("cells"),
         )
-        .select("query_id", "q_emb", F.explode(F.col("cells")["cid"]).alias("cell"))
+        .select(
+            "query_id", "q_emb", "q_nrm", F.explode(F.col("cells")["cid"]).alias("cell")
+        )
     )
     cand = F.broadcast(probes).join(assigned, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = _dot(F.col("q_emb"), emb) / (_norm(F.col("q_emb")) * _norm(emb))
+    cos = _dot(F.col("q_emb"), emb) / (F.col("q_nrm") * F.col("nrm"))
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
