@@ -582,6 +582,52 @@ def k_max_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_eventsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eventsim source (reference eventsim.go): one generated tick,
+    parsed back through the extract transform. Generators are random
+    by design -> rows-only check (no SQL oracle); the generator
+    semantics themselves are golden-tested in tests/test_eventsim.py."""
+    from geist_spark.sources.eventsim import EventSim, parse_sim_config
+
+    sim = EventSim(
+        parse_sim_config(
+            {
+                "eventSpec": {
+                    "fields": [
+                        {"field": "eventId", "randomizedValue": {"type": "uuid"}},
+                        {
+                            "field": "berry.type",
+                            "predefinedValues": [
+                                {"value": "blueberry", "frequencyFactor": 7},
+                                {"value": "cloudberry", "frequencyFactor": 3},
+                            ],
+                        },
+                        {
+                            "field": "berry.amount",
+                            "randomizedValue": {"type": "int", "min": 1, "max": 50},
+                        },
+                    ]
+                }
+            }
+        ),
+        seed=42,
+    )
+    ct = _compile(
+        {
+            "extractFields": [
+                {
+                    "fields": [
+                        {"id": "eventId", "jsonPath": "eventId"},
+                        {"id": "berry", "jsonPath": "berry.type"},
+                        {"id": "amount", "jsonPath": "berry.amount", "type": "integer"},
+                    ]
+                }
+            ]
+        }
+    )
+    return ct.apply(sim.batch(spark, count=10_000))
+
+
 def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """userAgent scalar transform (ua.go:31-62) over synthetic UA
     strings derived from event_type. Python-side parse -> no SQL
@@ -688,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
         "k_max_versions": k_max_versions,
+        "e_eventsim_batch": e_eventsim_batch,
         "u_user_agent": u_user_agent,
         "t_quality_features": t_quality_features,
         "t_language_id": t_language_id,

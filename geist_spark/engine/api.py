@@ -60,6 +60,12 @@ class Engine:
                 )
             )
         self.registry.on_modified(self._on_registry_modified)
+        # deploy every spec fetched from persistent storage — the
+        # reference's Supervisor.Init createStreams for all cached
+        # specs (supervisor.go:61-77)
+        for spec in self.registry.all():
+            if not spec.disabled:
+                self._streams[spec.id] = self._build_stream(spec)
 
     # -- plugin API (reference entity/loader.go:12-42, extractor.go:14-62)
 

@@ -111,6 +111,46 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_bytes", F.lit(None).cast("binary"))
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing as an Arrow-batched mapInPandas stage.
+
+    A real implementation decodes payload bytes, resamples to
+    (width, height) and re-encodes; the stub emits a deterministic
+    payload of the right order of magnitude (w*h bytes derived from the
+    source md5) so downstream schema/partitioning/size behavior is
+    exercised for real. No shuffle: resize is per-row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            def fake_resize(b):
+                if b is None:
+                    return None
+                seed = hashlib.md5(bytes(b)).digest()
+                return (seed * (n // len(seed) + 1))[:n]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Real decode path — requires codec libs not present in this
     container."""

@@ -60,7 +60,16 @@ def build_source_stream(spark: SparkSession, spec: Spec, env: str = "") -> DataF
             reader = reader.option(f"kafka.{p.key}", p.value)
         servers = cc.get("bootstrapServers", "localhost:9092")
         reader = reader.option("kafka.bootstrap.servers", servers)
-        df = reader.load()
+        try:
+            df = reader.load()
+        except Exception as e:  # connector jar not on the classpath
+            if "kafka" in str(e).lower():
+                raise RuntimeError(
+                    "kafka source needs the spark-sql-kafka connector on the "
+                    "classpath (spark.jars.packages="
+                    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+                ) from e
+            raise
         return df.select(
             df.value.cast("string").alias("value"),
             df.key.cast("string").alias("key"),

@@ -230,3 +230,19 @@ def test_streaming_eventsim_to_void(spark):
         assert ss.metrics.sink_operations >= 2
     finally:
         eng.shutdown()
+
+
+def test_topics_for_env():
+    from geist_spark.streaming.runner import _topics_for_env
+
+    cc = {"topics": [
+        {"env": "all", "names": ["t-common"]},
+        {"env": "prod", "names": ["t-prod-1", "t-prod-2"]},
+    ]}
+    # first matching entry wins (spec shape
+    # test/specs/kafkasrc-bigquerysink-fooevents.json:9-41)
+    assert _topics_for_env(cc, "dev") == ["t-common"]
+    assert _topics_for_env(cc, "") == ["t-common"]
+    assert _topics_for_env({"topics": [{"env": "prod", "names": ["p"]}]}, "prod") == ["p"]
+    assert _topics_for_env({"topics": [{"env": "prod", "names": ["p"]}]}, "dev") == []
+    assert _topics_for_env({}, "prod") == []

@@ -1,0 +1,67 @@
+"""Registry native-storage round trip: specs persist across engine
+restarts and redeploy on boot (reference registry Fetch semantics,
+internal/pkg/registry/registry.go:110-145; version gating
+registry.go:167-186)."""
+
+import pytest
+
+from geist_spark.engine.registry import RegistryError, SpecRegistry
+
+
+def make_spec(version=1, suffix="persisted", env_ops=None):
+    spec = {
+        "namespace": "reg",
+        "streamIdSuffix": suffix,
+        "description": "registry persistence test",
+        "version": version,
+        "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [{"id": "a", "jsonPath": "a"}]}]},
+        "sink": {"type": "void"},
+    }
+    if env_ops:
+        spec["opsPerEnv"] = env_ops
+    return spec
+
+
+def test_round_trip_and_version_gate(tmp_path):
+    store = str(tmp_path / "registry")
+    r1 = SpecRegistry(storage_path=store)
+    sid = r1.put(make_spec(version=1))
+    r1.put(make_spec(version=2))
+
+    # a fresh registry (engine restart) fetches the persisted spec
+    r2 = SpecRegistry(storage_path=store)
+    spec = r2.get(sid)
+    assert spec is not None and spec.version == 2
+
+    # version gating applies to fetched state too
+    with pytest.raises(RegistryError, match="version must exceed"):
+        r2.put(make_spec(version=2))
+    r2.put(make_spec(version=3))
+    assert SpecRegistry(storage_path=store).get(sid).version == 3
+
+
+def test_env_ops_resolution_applies_on_fetch(tmp_path):
+    store = str(tmp_path / "reg2")
+    SpecRegistry(storage_path=store).put(
+        make_spec(env_ops={"prod": {"streamsPerPod": 8}})
+    )
+    prod = SpecRegistry(env="prod", storage_path=store)
+    assert prod.get("reg-persisted").ops.streams_per_pod == 8
+    dev = SpecRegistry(env="dev", storage_path=store)
+    assert dev.get("reg-persisted").ops.streams_per_pod != 8
+
+
+def test_engine_redeploys_from_persisted_registry(spark, tmp_path):
+    from geist_spark.engine.api import Engine
+
+    store = str(tmp_path / "reg3")
+    eng1 = Engine(spark, registry_path=store)
+    sid = eng1.register_stream(make_spec())
+    eng1.shutdown()
+
+    eng2 = Engine(spark, registry_path=store)
+    # stream is live again without re-registration
+    assert eng2.publish(sid, '{"a": "1"}') == ""
+    assert eng2.metrics(sid).events_processed == 1
+    eng2.shutdown()
