@@ -381,6 +381,40 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): for each
+    purchase, the user's latest click at or before it. Implemented as
+    union + running last_value (one shuffle), NOT a range join."""
+    from geist_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id", "click_ts"],
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches
+    DuckDB quantile_cont). At 100 TB use approx_percentile (t-digest)
+    — same plan shape, sketch-mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # ------------------------------------------------------ analytics dialect
 
 
@@ -721,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_rollup": q_hourly_rollup,
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
+        "q_asof_join": q_asof_join,
+        "q_percentiles": q_percentiles,
         "d_exact_groups": d_exact_groups,
         "d_ngram_jaccard": d_ngram_jaccard,
         "d_minhash_pairs": d_minhash_pairs,
@@ -1003,6 +1039,24 @@ def oracle_sql() -> dict[str, str]:
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
+        "q_asof_join": """
+            WITH p AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS click_ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.ts, p.event_id, c.click_id, c.click_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "q_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
         "a_spec_windowed_agg": """
             SELECT date_trunc('hour', ts) AS hour, event_type AS etype,
                    count(*) AS n,

@@ -168,3 +168,58 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the
+    same key and right_ts <= left_ts (DuckDB/kdb ASOF JOIN semantics,
+    inclusive).
+
+    Spark has no native asof join; the classic scalable plan is NOT a
+    range join (O(n*m) within key) but a union + running last_value:
+    tag both sides, sort within key by (ts, side), and carry the most
+    recent right values forward onto left rows. ONE shuffle on the key,
+    partition-local sort — the same cost as a plain groupBy, regardless
+    of how many right rows precede each left row.
+
+    Right rows sharing (key, ts) are reduced to one row (max by
+    value_cols tuple) first so results are deterministic.
+    """
+    k, lt, rt = F.col(on), F.col(left_ts), F.col(right_ts)
+
+    r = (
+        right.select(
+            k.alias("__k"), rt.cast("timestamp").alias("__t"), F.struct(*value_cols).alias("__v")
+        )
+        .groupBy("__k", "__t")
+        .agg(F.max("__v").alias("__v"))
+        .withColumn("__side", F.lit(0))
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        lt.cast("timestamp").alias("__t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r.schema["__v"].dataType).alias("__v"),
+        F.lit(1).alias("__side"),
+    )
+    u = r.select("__k", "__t", F.lit(None).cast(l.schema["__l"].dataType).alias("__l"), "__v", "__side").unionByName(l)
+
+    # right rows (side 0) sort before left rows at equal ts -> inclusive
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("__match", F.last("__v", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in value_cols],
+    )
+    return out

@@ -79,6 +79,20 @@ class KeyedTableLoader(Loader, SinkExtractor):
         # partition-prunable equality filter on the key column
         return self._read().filter(F.col(ROW_KEY_COL) == key)
 
+    def extract_composite_key_value(self, parts: dict[str, str]) -> DataFrame:
+        """QueryTypeCompositeKeyValue (entity/extractor.go:114-132):
+        equality on individual row-key components rather than the
+        concatenated key — any subset of rowKeyFields."""
+        df = self._read()
+        for field, value in parts.items():
+            if field not in self.key_fields:
+                raise SinkError(
+                    f"{field} is not a row-key field of {self.spec.id} "
+                    f"(row key: {self.key_fields})"
+                )
+            df = df.filter(F.col(field).cast("string") == str(value))
+        return df
+
 
 def new_temp_path(base: str = "/tmp/geist_spark_tables") -> str:
     os.makedirs(base, exist_ok=True)

@@ -223,3 +223,61 @@ def test_in_mem_registry_sink_mode(spark):
     inner_spec = make_spec(suffix="inner")
     rid = eng.publish(sid, json.dumps(inner_spec))
     assert rid == "enginetest-inner"
+
+
+def test_composite_key_value_readback(engine, spark):
+    from geist_spark.sinks.base import SinkError
+
+    path = new_temp_path()
+    sid = engine.register_stream(
+        make_spec(
+            suffix="composite",
+            sink_type="keyedTable",
+            sink_cfg={"path": path, "rowKeyFields": ["name", "kind"]},
+            transform={"extractFields": [{"fields": [
+                {"id": "name", "jsonPath": "name"},
+                {"id": "kind", "jsonPath": "kind"},
+                {"id": "v", "jsonPath": "v", "type": "integer"},
+            ]}]},
+        )
+    )
+    for ev in ('{"name":"a","kind":"x","v":1}', '{"name":"a","kind":"y","v":2}',
+               '{"name":"b","kind":"x","v":3}'):
+        engine.publish(sid, ev)
+    loader = engine.stream(sid).loader
+    got = loader.extract_composite_key_value({"name": "a"}).collect()
+    assert sorted(r["v"] for r in got) == [1, 2]
+    got = loader.extract_composite_key_value({"name": "a", "kind": "y"}).collect()
+    assert [r["v"] for r in got] == [2]
+    import pytest as _pytest
+    with _pytest.raises(SinkError, match="not a row-key field"):
+        loader.extract_composite_key_value({"v": "1"})
+
+
+def test_hook_action_matrix(spark):
+    """Pre-hook action matrix (executor_test.go:86-163): retryable and
+    unretryable errors route through HOUE; shutdown raises."""
+    from geist_spark.engine.stream import StreamShutdown
+
+    actions = {}
+
+    def pre(ctx, holder):
+        return actions["next"]
+
+    eng = Engine(spark, pre_transform_hook=pre)
+    sid = eng.register_stream(
+        make_spec(suffix="matrix", ops={"handlingOfUnretryableEvents": "discard"})
+    )
+    actions["next"] = HookAction.UNRETRYABLE_ERROR
+    assert eng.publish(sid, '{"name":"u"}') == ""
+    assert eng.metrics(sid).events_failed == 1
+    actions["next"] = HookAction.RETRYABLE_ERROR
+    eng.publish(sid, '{"name":"r"}')
+    assert eng.metrics(sid).events_failed == 2
+    actions["next"] = HookAction.SHUTDOWN
+    import pytest as _pytest
+    with _pytest.raises(StreamShutdown):
+        eng.publish(sid, '{"name":"s"}')
+    actions["next"] = HookAction.PROCEED
+    eng.publish(sid, '{"name":"ok"}')
+    assert eng.metrics(sid).events_processed == 4
