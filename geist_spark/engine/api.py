@@ -51,6 +51,11 @@ class Engine:
 
         # native sinks (void natively; GCP sinks emulated as keyed tables)
         self.register_loader_factory(LoaderFactory("void", VoidLoader))
+        from geist_spark.sinks.kafka import KafkaLoader
+
+        self.register_loader_factory(
+            LoaderFactory("kafka", lambda sp, s: KafkaLoader(sp, s, env=env))
+        )
         for sink_id in ("keyedTable", "bigtable", "bigquery", "firestore"):
             self.register_loader_factory(
                 LoaderFactory(
@@ -115,7 +120,9 @@ class Engine:
         if self._supervisor is None:
             self._supervisor = StreamingSupervisor(self.spark, env=self.registry.env)
         factory = self._loader_factories[spec.sink.type]
-        return self._supervisor.deploy(spec, factory.create(self.spark, spec))
+        return self._supervisor.deploy(
+            spec, factory.create(self.spark, spec), self._source_factories
+        )
 
     def streaming_stream(self, stream_id: str):
         return self._supervisor.get(stream_id) if self._supervisor else None

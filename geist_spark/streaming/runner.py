@@ -39,10 +39,21 @@ from geist_spark.spec.model import (
 log = logging.getLogger(__name__)
 
 
-def build_source_stream(spark: SparkSession, spec: Spec, env: str = "") -> DataFrame:
-    """Source section -> streaming DataFrame with a `value` column."""
+def build_source_stream(
+    spark: SparkSession,
+    spec: Spec,
+    env: str = "",
+    source_factories: dict | None = None,
+) -> DataFrame:
+    """Source section -> streaming DataFrame with a `value` column.
+
+    Custom source plugins (reference ExtractorFactory,
+    entity/extractor.go:14-62) win over native types: a registered
+    factory is any `(spark, spec) -> streaming DataFrame` callable."""
     stype = spec.source.type
     cc = spec.source.custom_config or {}
+    if source_factories and stype in source_factories:
+        return source_factories[stype](spark, spec)
     if stype == "eventsim":
         from geist_spark.sources.eventsim import EventSim, parse_sim_config
 
@@ -110,6 +121,7 @@ class StreamingStream:
     env: str = ""
     checkpoint_root: str = ""
     value_col: str = "value"
+    source_factories: dict | None = None
     metrics: Metrics = dc_field(default_factory=Metrics)
     dlq: "DeadLetterQueue | None" = None
     query: StreamingQuery | None = None
@@ -123,7 +135,9 @@ class StreamingStream:
                 self.spec.id,
                 self.spec.ops.custom_properties.get("dlqPath"),
             )
-        source = build_source_stream(self.spark, self.spec, self.env)
+        source = build_source_stream(
+            self.spark, self.spec, self.env, self.source_factories
+        )
         ct = compile_transform(self.spec)
         houe = self.spec.ops.handling_of_unretryable_events
         value_col = self.value_col
@@ -266,7 +280,9 @@ class StreamingSupervisor:
         self._monitor: "threading.Thread | None" = None
         self._stop_monitor = False
 
-    def deploy(self, spec: Spec, loader: Loader) -> StreamingStream:
+    def deploy(
+        self, spec: Spec, loader: Loader, source_factories: dict | None = None
+    ) -> StreamingStream:
         """Create or replace (version upgrade) the stream for a spec
         (supervisor.go:220-250)."""
         old = self._streams.pop(spec.id, None)
@@ -280,6 +296,7 @@ class StreamingSupervisor:
             loader=loader,
             env=self.env,
             checkpoint_root=self.checkpoint_root,
+            source_factories=source_factories,
         )
         ss.start()
         self._streams[spec.id] = ss

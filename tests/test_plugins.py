@@ -1,0 +1,112 @@
+"""Custom source/sink plugin API e2e (reference geist_test.go:403-563:
+custom factories, customConfig passthrough, final sink payload
+asserted) plus kafka-sink payload projection."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from geist_spark.engine.api import Engine
+from geist_spark.sinks.base import Loader, LoaderFactory, SinkError
+
+
+class CollectingLoader(Loader):
+    """Custom sink plugin: collects transformed rows (test double for
+    an external system client)."""
+
+    instances = []
+
+    def __init__(self, spark, spec):
+        self.spec = spec
+        self.custom_config = spec.sink.custom_config or {}
+        self.rows = []
+        CollectingLoader.instances.append(self)
+
+    def stream_load(self, df, epoch_id: int = 0) -> str:
+        self.rows.extend(r.asDict() for r in df.collect())
+        return self.custom_config.get("resourceId", "custom")
+
+    def shutdown(self) -> None:
+        pass
+
+
+def spec_with_custom_sink():
+    return {
+        "namespace": "plug",
+        "streamIdSuffix": "custom",
+        "description": "custom plugin e2e",
+        "version": 1,
+        "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [
+            {"id": "name", "jsonPath": "name"},
+            {"id": "n", "jsonPath": "n", "type": "integer"},
+        ]}]},
+        "sink": {"type": "mysink", "config": {"customConfig": {
+            "resourceId": "my-resource", "endpoint": "https://example.test"}}},
+    }
+
+
+def test_custom_sink_plugin_batch(spark):
+    CollectingLoader.instances.clear()
+    eng = Engine(spark)
+    eng.register_loader_factory(LoaderFactory("mysink", CollectingLoader))
+    sid = eng.register_stream(spec_with_custom_sink())
+    rid = eng.publish(sid, '{"name": "a", "n": 7}')
+    assert rid == "my-resource"  # resource id from customConfig passthrough
+    loader = CollectingLoader.instances[-1]
+    assert loader.custom_config["endpoint"] == "https://example.test"
+    assert loader.rows == [{"name": "a", "n": 7}]
+
+
+def test_custom_source_plugin_streaming(spark, tmp_path):
+    """A registered source factory (spark, spec) -> streaming DF wins
+    over native source types."""
+    src_dir = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(json.dumps({"name": f"u{i}", "n": i}),) for i in range(5)],
+        "value string",
+    ).coalesce(1).write.parquet(src_dir)
+
+    def my_source(sp, spec):
+        assert spec.source.custom_config["marker"] == 42  # passthrough
+        return sp.readStream.schema("value string").parquet(src_dir)
+
+    CollectingLoader.instances.clear()
+    eng = Engine(spark)
+    eng.register_source_factory("mysource", my_source)
+    eng.register_loader_factory(LoaderFactory("mysink", CollectingLoader))
+    spec = spec_with_custom_sink()
+    spec["streamIdSuffix"] = "customsrc"
+    spec["source"] = {"type": "mysource", "config": {"customConfig": {"marker": 42}}}
+    sid = eng.register_stream(spec)
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()  # file source drains
+    finally:
+        eng.shutdown()
+    rows = sorted(
+        (r["n"] for loader in CollectingLoader.instances for r in loader.rows)
+    )
+    assert rows == [0, 1, 2, 3, 4]
+
+
+def test_kafka_sink_payload_projection(spark):
+    from geist_spark.sinks.kafka import payload_df, topic_for_env
+
+    df = spark.createDataFrame([("a", 1, '{"x":1}')], "name string, n long, body string")
+    # whole record as JSON when no payloadFromId
+    whole = payload_df(df, None).collect()[0]
+    assert json.loads(whole["value"]) == {"name": "a", "n": 1, "body": '{"x":1}'}
+    # single-field payload + key
+    one = payload_df(df, "body", key_from_id="name").collect()[0]
+    assert one["value"] == '{"x":1}' and one["key"] == "a"
+    with pytest.raises(SinkError, match="payloadFromId"):
+        payload_df(df, "missing")
+    cc = {"topic": [
+        {"env": "all", "topicSpec": {"name": "t-common"}},
+        {"env": "prod", "topicSpec": {"name": "t-prod"}},
+    ]}
+    assert topic_for_env(cc, "dev") == "t-common"
+    assert topic_for_env({"topic": [{"env": "prod", "name": "p"}]}, "prod") == "p"
