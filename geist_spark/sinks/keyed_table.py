@@ -42,9 +42,42 @@ class KeyedTableLoader(Loader, SinkExtractor):
         self.delimiter: str = cfg.get("rowKeyDelimiter", "#")
         self.insert_id_field: str | None = cfg.get("insertIdFromId")
         self.max_versions: int | None = cfg.get("maxVersions")
+        # per-table whitelist on a field (bigtable multi-table specs,
+        # kafkasrc-bigtablesink-multitable-session.json:109-115)
+        self.whitelist: dict | None = cfg.get("whitelist")
+        # dynamic column names from field values (bigquery nameFromId,
+        # kafkasrc-bigquerysink-fooevents.json:106-114): per-row names
+        # land in one MapType column name->value
+        self.dynamic_columns: list[dict] = cfg.get("dynamicColumns") or []
 
     def stream_load(self, df: DataFrame, epoch_id: int = 0) -> str:
         out = df
+        if self.whitelist:
+            wl_col = F.col(self.whitelist["id"]).cast("string")
+            out = out.filter(wl_col.isin([str(v) for v in self.whitelist["values"]]))
+        for dc in self.dynamic_columns:
+            nf = dc.get("nameFromId") or {}
+            name = F.concat(
+                F.lit(nf.get("prefix", "")),
+                F.col(nf["suffixFromId"]).cast("string"),
+            )
+            preset = nf.get("preset")
+            if preset:
+                name = F.when(
+                    F.col(nf["suffixFromId"]).cast("string").isin(
+                        [str(p) for p in preset]
+                    ),
+                    name,
+                )  # non-preset names -> NULL entry key dropped below
+            entry = F.when(
+                name.isNotNull(),
+                F.create_map(name, F.col(dc["valueFromId"]).cast("string")),
+            ).otherwise(F.create_map().cast("map<string,string>"))
+            alias = dc.get("alias", "__dynamic")
+            if alias in out.columns:
+                out = out.withColumn(alias, F.map_concat(F.col(alias), entry))
+            else:
+                out = out.withColumn(alias, entry)
         if self.key_fields:
             out = out.withColumn(
                 ROW_KEY_COL,

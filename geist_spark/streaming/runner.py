@@ -86,6 +86,13 @@ def build_source_stream(
             df.key.cast("string").alias("key"),
             "timestamp",
         )
+    if stype == "pubsub":
+        # no public Spark connector; the reference treats it as an
+        # external plugin repo too (README.md:122-126)
+        raise NotImplementedError(
+            "pubsub source: bridge Pub/Sub->Kafka or register a custom "
+            "source factory via Engine.register_source_factory('pubsub', fn)"
+        )
     if stype in ("file", "parquet"):
         path = cc.get("path") or spec.source.prop("path")
         schema_df = spark.read.parquet(path)

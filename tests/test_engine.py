@@ -281,3 +281,31 @@ def test_hook_action_matrix(spark):
     actions["next"] = HookAction.PROCEED
     eng.publish(sid, '{"name":"ok"}')
     assert eng.metrics(sid).events_processed == 4
+
+
+def test_whitelist_and_dynamic_columns(engine, spark):
+    """BigTable per-table whitelist + BigQuery nameFromId dynamic
+    columns (kafkasrc-bigtablesink-multitable-session.json:109-115,
+    kafkasrc-bigquerysink-fooevents.json:106-114)."""
+    path = new_temp_path()
+    sid = engine.register_stream(
+        make_spec(
+            suffix="dyn",
+            sink_type="bigquery",
+            sink_cfg={
+                "path": path,
+                "rowKeyFields": ["name"],
+                "whitelist": {"id": "name", "type": "or", "values": ["keep"]},
+                "dynamicColumns": [{
+                    "nameFromId": {"prefix": "evt_", "suffixFromId": "name",
+                                   "preset": ["keep"]},
+                    "valueFromId": "amount",
+                }],
+            },
+        )
+    )
+    engine.publish(sid, '{"name": "keep", "amount": 5}')
+    engine.publish(sid, '{"name": "drop", "amount": 9}')
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1  # whitelist filtered 'drop'
+    assert dict(rows[0]["__dynamic"]) == {"evt_keep": "5"}
