@@ -403,6 +403,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (hot-key skew guard): exact same
+    results as a plain groupBy, but the hot key spreads over 16
+    reducers in stage 1. event_type has only 5 values — maximal skew
+    for a direct groupBy at scale."""
+    from geist_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "value", "n"),
+            ("sum", "value", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+            ("avg", "value", "avg_value"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — matches
     DuckDB quantile_cont). At 100 TB use approx_percentile (t-digest)
@@ -756,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
         "q_asof_join": q_asof_join,
+        "q_salted_agg": q_salted_agg,
         "q_percentiles": q_percentiles,
         "d_exact_groups": d_exact_groups,
         "d_ngram_jaccard": d_ngram_jaccard,
@@ -1049,6 +1080,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id, p.ts, p.event_id, c.click_id, c.click_ts
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "q_salted_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
         """,
         "q_percentiles": """
             SELECT event_type,

@@ -1,0 +1,65 @@
+"""Skew-handling operators: salting patterns for hot keys.
+
+AQE's skew-join splitting covers joins; aggregation skew on a hot key
+is handled by two-stage salted aggregation: stage 1 aggregates on
+(key, salt) — the hot key's rows spread over `salt_buckets` reducers —
+stage 2 merges the partials per key. Classic MapReduce combiner
+pattern, expressed declaratively so Catalyst still does map-side
+partial aggregation within each stage.
+
+Only algebraic aggregates decompose this way (sum/count/min/max and
+avg via sum+count); that's the same constraint any distributed
+pre-aggregation has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],  # (fn, field, alias)
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation immune to hot-key reducer skew.
+
+    aggs: (fn, field, alias) with fn in {sum, count, min, max, avg}.
+    avg decomposes into sum+count partials and a final division."""
+    # random salt spreads a hot key's rows over salt_buckets reducers;
+    # results are exact regardless of the assignment because every
+    # aggregate here is algebraic
+    salt = F.floor(F.rand(seed=7) * salt_buckets).cast("int")
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for fn, field, alias in aggs:
+        if fn == "avg":
+            partials.append(F.sum(field).alias(f"__s_{alias}"))
+            partials.append(F.count(F.lit(1)).alias(f"__c_{alias}"))
+            finals.append(
+                (F.sum(f"__s_{alias}") / F.sum(f"__c_{alias}")).alias(alias)
+            )
+        elif fn in _PARTIAL:
+            partials.append(_PARTIAL[fn](field).alias(f"__p_{alias}"))
+            finals.append(_MERGE[fn](f"__p_{alias}").alias(alias))
+        else:
+            raise ValueError(f"{fn} is not algebraic; salting cannot decompose it")
+
+    stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)

@@ -286,3 +286,53 @@ def test_minhash_bucket_cap(spark):
     capped = minhash_lsh_pairs(docs, num_hashes=8, bands=2, max_bucket_size=5).count()
     assert uncapped >= 45  # 10 identical docs -> >= C(10,2) pairs
     assert capped < uncapped
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a streaming DataFrame through
+    the spec dialect: duplicates across micro-batches (within the
+    watermark delay) are dropped; state is bounded by the delay."""
+    import datetime as dt
+    from geist_spark.engine.api import Engine
+    from geist_spark.sinks.keyed_table import new_temp_path
+
+    src = str(tmp_path / "dupsrc")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(json.dumps({"eid": e, "ts": (t0 + dt.timedelta(seconds=s)).isoformat() + "Z"}),)
+             for e, s in rows],
+            "value string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file([("a", 0), ("b", 5), ("a", 1)])      # a duplicated in-batch
+    time.sleep(0.05)
+    write_file([("a", 2), ("c", 10)])               # a duplicated across batches
+    out_path = new_temp_path()
+
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "an", "streamIdSuffix": "wmdedup", "version": 1,
+        "description": "watermark dedup",
+        "source": {"type": "file", "config": {"customConfig": {"path": src}}},
+        "transform": {
+            "extractFields": [{"fields": [
+                {"id": "eid", "jsonPath": "eid"},
+                {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+            ]}],
+            "deduplicate": {
+                "fields": ["eid"],
+                "withinWatermark": True,
+                "watermark": {"field": "ts", "delay": "1 hour"},
+            },
+        },
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()  # file source drains
+    finally:
+        eng.shutdown()
+    rows = spark.read.parquet(out_path).collect()
+    assert sorted(r["eid"] for r in rows) == ["a", "b", "c"]
