@@ -69,6 +69,13 @@ def build_source_stream(
         for p in spec.source.properties:
             # consumer props pass through with kafka. prefix
             reader = reader.option(f"kafka.{p.key}", p.value)
+        if spec.ops.micro_batch and spec.ops.micro_batch_size:
+            # ops.microBatchSize (entity/spec.go:12-18) -> per-trigger
+            # record cap; Spark's closest contract to the reference's
+            # event-count micro-batches
+            reader = reader.option(
+                "maxOffsetsPerTrigger", str(spec.ops.micro_batch_size)
+            )
         servers = cc.get("bootstrapServers", "localhost:9092")
         reader = reader.option("kafka.bootstrap.servers", servers)
         try:
@@ -260,6 +267,37 @@ class StreamingStream:
             time.sleep(0.1)
 
 
+from pyspark.sql.streaming.listener import StreamingQueryListener
+
+
+class _MetricsListener(StreamingQueryListener):
+    """StreamingQueryListener folding lastProgress into the per-stream
+    Metrics shape (reference entity/common.go:36-62 counters come from
+    the engine; here Spark's progress events are the source of truth
+    for input-row counts)."""
+
+    def __init__(self, supervisor: "StreamingSupervisor"):
+        self._sup = supervisor
+
+    def _stream_for(self, name: str) -> "StreamingStream | None":
+        return self._sup.get(name)
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        ss = self._stream_for(p.name)
+        if ss is not None:
+            ss.metrics.events_processed += int(p.numInputRows or 0)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+
 class StreamingSupervisor:
     """Owns all StreamingQuery objects (supervisor.go:61-177), with the
     reference executor's self-healing restart loop: a failed query is
@@ -286,6 +324,8 @@ class StreamingSupervisor:
         self._backoff_cap = restart_backoff_cap_s or self.RESTART_BACKOFF_CAP_S
         self._monitor: "threading.Thread | None" = None
         self._stop_monitor = False
+        self._listener = _MetricsListener(self)
+        spark.streams.addListener(self._listener)
 
     def deploy(
         self, spec: Spec, loader: Loader, source_factories: dict | None = None
@@ -366,6 +406,12 @@ class StreamingSupervisor:
         for ss in self._streams.values():
             ss.stop()
         self._streams.clear()
+        if self._listener is not None:
+            try:
+                self.spark.streams.removeListener(self._listener)
+            except Exception:
+                pass
+            self._listener = None
 
     def metrics(self) -> dict[str, Metrics]:
         return {sid: ss.metrics for sid, ss in self._streams.items()}

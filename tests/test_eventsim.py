@@ -246,3 +246,32 @@ def test_topics_for_env():
     assert _topics_for_env({"topics": [{"env": "prod", "names": ["p"]}]}, "prod") == ["p"]
     assert _topics_for_env({"topics": [{"env": "prod", "names": ["p"]}]}, "dev") == []
     assert _topics_for_env({}, "prod") == []
+
+
+def test_streaming_metrics_from_progress(spark):
+    """events_processed is fed by the StreamingQueryListener from
+    Spark's progress events (entity/common.go:36-62 shape)."""
+    import time as _time
+    from geist_spark.engine.api import Engine
+
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "sim", "streamIdSuffix": "metrics", "version": 1,
+        "description": "metrics listener test",
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 13,
+            "eventGeneration": {"type": "random", "minCount": 2, "maxCount": 5},
+            "eventSpec": {"fields": [{"field": "id", "randomizedValue": {"type": "uuid"}}]},
+        }}},
+        "transform": {"extractFields": [{"fields": [{"id": "eventId", "jsonPath": "id"}]}]},
+        "sink": {"type": "void"},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=3, timeout_s=120)
+        deadline = _time.monotonic() + 30
+        while ss.metrics.events_processed == 0 and _time.monotonic() < deadline:
+            _time.sleep(0.2)  # listener events arrive async
+        assert ss.metrics.events_processed >= 2
+    finally:
+        eng.shutdown()
