@@ -49,6 +49,10 @@ class KeyedTableLoader(Loader, SinkExtractor):
         # kafkasrc-bigquerysink-fooevents.json:106-114): per-row names
         # land in one MapType column name->value
         self.dynamic_columns: list[dict] = cfg.get("dynamicColumns") or []
+        # effectively-once under at-least-once replay: each micro-batch
+        # writes its own epoch partition with dynamic overwrite, so a
+        # replayed epoch replaces itself instead of appending twice
+        self.epoch_idempotent: bool = bool(cfg.get("epochIdempotent", False))
 
     def stream_load(self, df: DataFrame, epoch_id: int = 0) -> str:
         out = df
@@ -89,7 +93,16 @@ class KeyedTableLoader(Loader, SinkExtractor):
             out = out.withColumnRenamed(GEIST_INGESTION_TIME, INGESTION_TS_COL)
         if INGESTION_TS_COL not in out.columns:
             out = out.withColumn(INGESTION_TS_COL, F.current_timestamp())
-        out.write.mode("append").parquet(self.path)
+        if self.epoch_idempotent:
+            (
+                out.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
+                .parquet(self.path)
+            )
+        else:
+            out.write.mode("append").parquet(self.path)
         return os.path.basename(self.path.rstrip("/"))
 
     # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----

@@ -309,3 +309,26 @@ def test_whitelist_and_dynamic_columns(engine, spark):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1  # whitelist filtered 'drop'
     assert dict(rows[0]["__dynamic"]) == {"evt_keep": "5"}
+
+
+def test_epoch_idempotent_replay(engine, spark):
+    """at-least-once replay of a micro-batch must not double-write when
+    epochIdempotent is set: each epoch owns a partition, dynamically
+    overwritten on replay (effectively-once)."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="idem", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"], "epochIdempotent": True},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "name string, amount long")
+    loader.stream_load(batch, epoch_id=7)
+    loader.stream_load(batch, epoch_id=7)  # replay of the same epoch
+    loader.stream_load(
+        spark.createDataFrame([("c", 3)], "name string, amount long"), epoch_id=8
+    )
+    rows = sorted(r["name"] for r in loader.extract_all().collect())
+    assert rows == ["a", "b", "c"]
