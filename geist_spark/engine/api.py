@@ -109,6 +109,14 @@ class Engine:
 
         return parse_spec(spec_json)
 
+    def get_stream_spec(self, stream_id: str) -> Spec | None:
+        """geist.GetStreamSpec (geist.go surface)."""
+        return self.registry.get(stream_id)
+
+    def registered_specs(self) -> list[Spec]:
+        """geist.GetRegisteredSpecs."""
+        return self.registry.all()
+
     def start_streaming(self, stream_id: str):
         """Deploy the spec as a Structured Streaming query (eventsim /
         kafka / file sources). Returns the StreamingStream handle."""
@@ -143,8 +151,20 @@ class Engine:
             old = self._streams.pop(stream_id, None)
             if old is not None:
                 old.loader.shutdown()
+            if self._supervisor is not None:
+                live = self._supervisor.get(stream_id)
+                if live is not None and spec is not None:
+                    # disabled spec stops the live query (supervisor.go:220-236)
+                    self._supervisor.deploy(spec, live.loader, self._source_factories)
             return
         self._streams[stream_id] = self._build_stream(spec)
+        if self._supervisor is not None and self._supervisor.get(stream_id) is not None:
+            # version bump while a streaming query is live: replace it
+            # in place (supervisor.go:237-250 upgrade path)
+            factory = self._loader_factories[spec.sink.type]
+            self._supervisor.deploy(
+                spec, factory.create(self.spark, spec), self._source_factories
+            )
 
     def _build_stream(self, spec: Spec) -> Stream:
         factory = self._loader_factories.get(spec.sink.type)

@@ -90,3 +90,40 @@ def test_unretryable_with_discard_keeps_query_alive(spark):
         assert ss.metrics.sink_operations == 0
     finally:
         eng.shutdown()
+
+
+def test_version_bump_replaces_live_query(spark):
+    """Registering v2 while v1's streaming query runs replaces it in
+    place (supervisor.go:237-250)."""
+    eng = Engine(spark)
+    sid = eng.register_stream(sim_spec("upgrade", {}))
+    ss1 = eng.start_streaming(sid)
+    ss1.await_batches(n=1, timeout_s=120)
+    q1 = ss1.query
+
+    spec2 = sim_spec("upgrade", {})
+    spec2["version"] = 2
+    eng.register_stream(spec2)
+    try:
+        ss2 = eng.streaming_stream(sid)
+        assert ss2 is not ss1
+        assert ss2.spec.version == 2
+        ss2.await_batches(n=1, timeout_s=120)
+        assert not q1.isActive  # old query stopped
+    finally:
+        eng.shutdown()
+
+
+def test_disable_stops_live_query(spark):
+    eng = Engine(spark)
+    sid = eng.register_stream(sim_spec("disable", {}))
+    ss1 = eng.start_streaming(sid)
+    ss1.await_batches(n=1, timeout_s=120)
+    spec2 = sim_spec("disable", {})
+    spec2["version"] = 2
+    spec2["disabled"] = True
+    eng.register_stream(spec2)
+    try:
+        assert not ss1.query.isActive
+    finally:
+        eng.shutdown()
