@@ -594,6 +594,39 @@ def a_spec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("uid", "etype")
 
 
+def p_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep pipeline: quality filter (token
+    count) -> exact dedup (normalized-text hash, keep lowest doc_id)
+    -> per-(source, lang) corpus stats. The operators compose as plain
+    DataFrame stages — one narrow pass plus the dedup shuffle and the
+    final agg."""
+    from pyspark.sql import Window
+
+    from geist_spark.operators.dedup import normalize_text
+    from geist_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("nc"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    ).filter(F.col("n_tokens") >= 40)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "h")
+    )
+    return deduped.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("nc"), 4).alias("avg_chars"),
+    )
+
+
 # ------------------------------------------------------------ sink parity
 
 
@@ -801,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
         "k_max_versions": k_max_versions,
+        "p_training_prep": p_training_prep,
         "e_eventsim_batch": e_eventsim_batch,
         "u_user_agent": u_user_agent,
         "t_quality_features": t_quality_features,
@@ -1117,6 +1151,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC) <= 2
+        """,
+        "p_training_prep": f"""
+            WITH enriched AS (
+                SELECT doc_id, lang, source,
+                       len({_TOKENS_SQL}) AS n_tokens,
+                       length(text) AS nc,
+                       md5({_NORM_SQL}) AS h
+                FROM documents
+                WHERE len({_TOKENS_SQL}) >= 40
+            ), deduped AS (
+                SELECT * FROM enriched
+                QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+            )
+            SELECT source, lang, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   round(avg(nc), 4) AS avg_chars
+            FROM deduped GROUP BY 1, 2
         """,
         # u_user_agent: Python-UDF parse, no SQL oracle (rows-only check)
     }
