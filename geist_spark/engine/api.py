@@ -129,7 +129,11 @@ class Engine:
             self._supervisor = StreamingSupervisor(self.spark, env=self.registry.env)
         factory = self._loader_factories[spec.sink.type]
         return self._supervisor.deploy(
-            spec, factory.create(self.spark, spec), self._source_factories
+            spec,
+            factory.create(self.spark, spec),
+            self._source_factories,
+            pre_hook=self.pre_hook,
+            post_hook=self.post_hook,
         )
 
     def streaming_stream(self, stream_id: str):
@@ -163,7 +167,11 @@ class Engine:
             # in place (supervisor.go:237-250 upgrade path)
             factory = self._loader_factories[spec.sink.type]
             self._supervisor.deploy(
-                spec, factory.create(self.spark, spec), self._source_factories
+                spec,
+                factory.create(self.spark, spec),
+                self._source_factories,
+                pre_hook=self.pre_hook,
+                post_hook=self.post_hook,
             )
 
     def _build_stream(self, spec: Spec) -> Stream:

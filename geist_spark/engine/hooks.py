@@ -45,3 +45,57 @@ class HookError(Exception):
     def __init__(self, action: HookAction):
         super().__init__(f"hook returned {action.name}")
         self.action = action
+
+
+def apply_pre_hook_distributed(df, hook, stream_id: str, value_col: str = "value"):
+    """Distributed pre-transform hook over a micro-batch DataFrame.
+
+    Arrow-batched mapInPandas; the hook itself is user Python (the
+    inherent slow path — reference hooks are per-event Go callbacks).
+    Actions: PROCEED keeps the (possibly enriched) event; SKIP,
+    RETRYABLE_ERROR and UNRETRYABLE_ERROR drop the row (per-event DLQ
+    routing is not available distributed — use the publish path for
+    that); SHUTDOWN raises and fails the batch."""
+    schema = df.schema
+    ctx = {"stream_id": stream_id}
+
+    def run(batches):
+        for pdf in batches:
+            keep = []
+            values = []
+            for v in pdf[value_col]:
+                holder = EventHolder(v)
+                action = hook(ctx, holder)
+                if action == HookAction.SHUTDOWN:
+                    raise HookError(action)
+                ok = action == HookAction.PROCEED
+                keep.append(ok)
+                values.append(holder.data if ok else v)
+            pdf = pdf.copy()
+            pdf[value_col] = values
+            yield pdf[keep]
+
+    return df.mapInPandas(run, schema)
+
+
+def apply_post_hook_distributed(df, hook, stream_id: str):
+    """Distributed post-transform hook: called once per Arrow batch
+    with the transformed records as list[dict] (mutable in place,
+    matching the reference's []*Transformed contract)."""
+    import pandas as pd
+
+    schema = df.schema
+    ctx = {"stream_id": stream_id}
+    cols = df.columns
+
+    def run(batches):
+        for pdf in batches:
+            records = pdf.to_dict("records")
+            action = hook(ctx, records)
+            if action == HookAction.SHUTDOWN:
+                raise HookError(action)
+            if action == HookAction.PROCEED:
+                yield pd.DataFrame(records, columns=cols)
+            # SKIP / errors drop the batch's records
+
+    return df.mapInPandas(run, schema)

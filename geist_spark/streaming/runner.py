@@ -136,6 +136,8 @@ class StreamingStream:
     checkpoint_root: str = ""
     value_col: str = "value"
     source_factories: dict | None = None
+    pre_hook: object = None
+    post_hook: object = None
     metrics: Metrics = dc_field(default_factory=Metrics)
     dlq: "DeadLetterQueue | None" = None
     query: StreamingQuery | None = None
@@ -191,9 +193,23 @@ class StreamingStream:
                         return
                     raise
 
+        pre_hook, post_hook = self.pre_hook, self.post_hook
+        stream_id = self.spec.id
+
         def process(batch_df: DataFrame, epoch_id: int) -> None:
+            from geist_spark.engine.hooks import (
+                apply_post_hook_distributed,
+                apply_pre_hook_distributed,
+            )
+
             self.metrics.microbatches += 1
+            if pre_hook is not None:
+                batch_df = apply_pre_hook_distributed(
+                    batch_df, pre_hook, stream_id, value_col
+                )
             out = ct.apply(batch_df, value_col=value_col)
+            if post_hook is not None:
+                out = apply_post_hook_distributed(out, post_hook, stream_id)
             load_with_retry(out, epoch_id)
             bad = ct.rejected(batch_df, value_col=value_col)
             if houe == HOUE_DLQ:
@@ -328,7 +344,12 @@ class StreamingSupervisor:
         spark.streams.addListener(self._listener)
 
     def deploy(
-        self, spec: Spec, loader: Loader, source_factories: dict | None = None
+        self,
+        spec: Spec,
+        loader: Loader,
+        source_factories: dict | None = None,
+        pre_hook: object = None,
+        post_hook: object = None,
     ) -> StreamingStream:
         """Create or replace (version upgrade) the stream for a spec
         (supervisor.go:220-250)."""
@@ -344,6 +365,8 @@ class StreamingSupervisor:
             env=self.env,
             checkpoint_root=self.checkpoint_root,
             source_factories=source_factories,
+            pre_hook=pre_hook,
+            post_hook=post_hook,
         )
         ss.start()
         self._streams[spec.id] = ss

@@ -127,3 +127,49 @@ def test_disable_stops_live_query(spark):
         assert not ss1.query.isActive
     finally:
         eng.shutdown()
+
+
+def test_hooks_apply_in_streaming(spark):
+    """Pre/post hooks run distributed (mapInPandas) on the streaming
+    path: enrichment lands in the sink, SKIP drops events."""
+    import json as _json
+    from geist_spark.engine.hooks import HookAction
+    from geist_spark.sinks.keyed_table import new_temp_path
+
+    def pre(ctx, holder):
+        doc = _json.loads(holder.data)
+        if doc.get("berry") == "cloudberry":
+            return HookAction.SKIP
+        holder.enrich(tag="hooked")
+        return HookAction.PROCEED
+
+    out_path = new_temp_path()
+    eng = Engine(spark, pre_transform_hook=pre)
+    sid = eng.register_stream({
+        "namespace": "resil", "streamIdSuffix": "hooks", "version": 1,
+        "description": "streaming hooks",
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 21,
+            "eventGeneration": {"type": "random", "minCount": 4, "maxCount": 8},
+            "eventSpec": {"fields": [
+                {"field": "berry", "predefinedValues": [
+                    {"value": "blueberry", "frequencyFactor": 1},
+                    {"value": "cloudberry", "frequencyFactor": 1},
+                ]},
+            ]},
+        }}},
+        "transform": {"extractFields": [{"fields": [
+            {"id": "berry", "jsonPath": "berry"},
+            {"id": "tag", "jsonPath": "tag"},
+        ]}]},
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=3, timeout_s=120)
+    finally:
+        eng.shutdown()
+    rows = spark.read.parquet(out_path).collect()
+    assert rows, "no rows reached the sink"
+    assert all(r["berry"] == "blueberry" for r in rows)  # SKIP dropped cloudberry
+    assert all(r["tag"] == "hooked" for r in rows)       # enrichment applied
