@@ -80,6 +80,26 @@ class Engine:
     def register_source_factory(self, source_id: str, factory: Callable) -> None:
         self._source_factories[source_id] = factory
 
+    def register_eventsim_charset(self, name: str, chars: str) -> None:
+        """Custom charset for eventsim string generators (reference
+        Config.AddEventSimCharset, config.go:101-110). Overrides the
+        native eventsim source via the plugin mechanism so registered
+        charsets reach the generator."""
+        self._eventsim_charsets = getattr(self, "_eventsim_charsets", {})
+        self._eventsim_charsets[name] = chars
+        charsets = self._eventsim_charsets
+
+        def factory(spark, spec):
+            from geist_spark.sources.eventsim import EventSim, parse_sim_config
+
+            cc = spec.source.custom_config or {}
+            sim = EventSim(
+                parse_sim_config(cc), seed=cc.get("seed"), charsets=charsets
+            )
+            return sim.stream(spark)
+
+        self._source_factories["eventsim"] = factory
+
     # -- geist.go surface -------------------------------------------
 
     def register_stream(self, spec_json: str | bytes | dict) -> str:

@@ -275,3 +275,43 @@ def test_streaming_metrics_from_progress(spark):
         assert ss.metrics.events_processed >= 2
     finally:
         eng.shutdown()
+
+
+def test_custom_charset_batch(spark):
+    """Custom charsets (reference config.go:101-110) reach the string
+    generator."""
+    cfg = {"eventSpec": {"fields": [{
+        "field": "s",
+        "randomizedValue": {"type": "string", "min": 5, "max": 8,
+                            "charset": "hex"},
+    }]}}
+    sim = EventSim(parse_sim_config(cfg), seed=3, charsets={"hex": "0123456789abcdef"})
+    vals = [json.loads(r["value"])["s"] for r in sim.batch(spark, count=50).collect()]
+    assert all(re.fullmatch(r"[0-9a-f]{5,8}", v) for v in vals)
+
+
+def test_custom_charset_streaming_via_engine(spark):
+    from geist_spark.engine.api import Engine
+
+    eng = Engine(spark)
+    eng.register_eventsim_charset("digits", "0123456789")
+    sid = eng.register_stream({
+        "namespace": "sim", "streamIdSuffix": "charset", "version": 1,
+        "description": "charset test",
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 4,
+            "eventGeneration": {"type": "random", "minCount": 2, "maxCount": 4},
+            "eventSpec": {"fields": [{
+                "field": "code",
+                "randomizedValue": {"type": "string", "min": 4, "max": 4,
+                                    "charset": "digits"},
+            }]},
+        }}},
+        "transform": {"extractFields": [{"fields": [{"id": "code", "jsonPath": "code"}]}]},
+        "sink": {"type": "void"},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=1, timeout_s=120)
+    finally:
+        eng.shutdown()
