@@ -559,6 +559,48 @@ def a_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("nation", "n", F.round("total", 2).alias("total"))
 
 
+def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `sql` escape hatch: arbitrary Spark SQL over the
+    transform output (__stream__ binding)."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "sql",
+            "version": 1,
+            "description": "sql section",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "etype", "jsonPath": "event_type"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                        ]
+                    }
+                ],
+                "sql": """
+                    SELECT etype, count(*) AS n,
+                           round(sum(amount), 2) AS total,
+                           count(DISTINCT uid) AS users
+                    FROM __stream__
+                    WHERE amount > 10
+                    GROUP BY etype
+                """,
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _events_as_json(spark, sf_dir)
+    return apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+
+
 def a_spec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `deduplicate` section: exact dedup on extracted
     keys (streaming variant uses dropDuplicatesWithinWatermark)."""
@@ -833,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
+        "a_spec_sql": a_spec_sql,
         "k_max_versions": k_max_versions,
         "p_training_prep": p_training_prep,
         "e_eventsim_batch": e_eventsim_batch,
@@ -1145,6 +1188,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a_spec_dedup": """
             SELECT DISTINCT user_id AS uid, event_type AS etype FROM events
+        """,
+        "a_spec_sql": """
+            SELECT event_type AS etype, count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   count(DISTINCT user_id) AS users
+            FROM events WHERE value > 10
+            GROUP BY event_type
         """,
         "k_max_versions": """
             SELECT CAST(user_id AS VARCHAR) AS row_key, event_id, event_type, ts

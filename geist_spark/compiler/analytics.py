@@ -95,8 +95,20 @@ def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs)
 
 
+def apply_sql(df: DataFrame, sql: str) -> DataFrame:
+    """Full-Spark-SQL escape hatch: run `sql` with __stream__ bound to
+    the pipeline output. Works on batch and streaming DataFrames
+    (views over streaming DFs are streaming views); Catalyst plans the
+    statement like any native query."""
+    import uuid
+
+    name = f"geist_sql_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(sql.replace("__stream__", name))
+
+
 def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
-    """Pipeline order: enrich (join) -> dedup -> aggregate, so
+    """Pipeline order: enrich (join) -> dedup -> aggregate -> sql, so
     aggregates see unique, enriched events — mirroring
     insertId-dedup-then-load in the reference's sinks."""
     if t.join is not None:
@@ -105,10 +117,15 @@ def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
         df = apply_deduplicate(df, t.deduplicate)
     if t.aggregate is not None:
         df = apply_aggregate(df, t.aggregate)
+    if t.sql:
+        df = apply_sql(df, t.sql)
     return df
 
 
 def has_analytics(t: TransformSpec) -> bool:
     return (
-        t.join is not None or t.deduplicate is not None or t.aggregate is not None
+        t.join is not None
+        or t.deduplicate is not None
+        or t.aggregate is not None
+        or bool(t.sql)
     )

@@ -381,6 +381,9 @@ class TransformSpec:
     join: JoinSpec | None = None
     deduplicate: DeduplicateSpec | None = None
     aggregate: AggregateSpec | None = None
+    # full Spark SQL over the pipeline output (extension): the query
+    # must reference the incoming rows as __stream__
+    sql: str = ""
     custom_config: Any = None
 
 
@@ -567,8 +570,11 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
         join=_parse_join(t.get("join")),
         deduplicate=_parse_dedup(t.get("deduplicate")),
         aggregate=_parse_aggregate(t.get("aggregate")),
+        sql=t.get("sql", ""),
         custom_config=t.get("customConfig"),
     )
+    if transform.sql and "__stream__" not in transform.sql:
+        raise SpecError("transform.sql must reference __stream__")
     if transform.regexp is not None:
         transform.regexp.validate()
     if transform.join is not None:

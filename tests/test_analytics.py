@@ -336,3 +336,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         eng.shutdown()
     rows = spark.read.parquet(out_path).collect()
     assert sorted(r["eid"] for r in rows) == ["a", "b", "c"]
+
+
+def test_sql_section_batch_and_validation(spark):
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    with pytest.raises(SpecError, match="__stream__"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "sql": "SELECT 1",
+        }))
+    spec = parse_spec(base_spec({
+        "extractFields": [EXTRACT],
+        "sql": "SELECT etype, round(sum(amount), 2) AS total FROM __stream__ GROUP BY etype",
+    }))
+    ct = compile_transform(spec)
+    out = apply_analytics(ct.apply(events_json(spark, ROWS[:4]), value_col="value"), spec.transform)
+    got = {r["etype"]: r["total"] for r in out.collect()}
+    assert got == {"click": 5.0, "view": 4.0}
+
+
+def test_sql_section_streaming(spark):
+    """The sql section runs as a streaming query (view over a
+    streaming DataFrame)."""
+    from geist_spark.engine.api import Engine
+
+    eng = Engine(spark)
+    sid = eng.register_stream(base_spec({
+        "extractFields": [{"fields": [{"id": "berry", "jsonPath": "berry"}]}],
+        "sql": "SELECT berry, count(*) AS n FROM __stream__ GROUP BY berry",
+    }) | {
+        "streamIdSuffix": "sqlstream",
+        "source": {"type": "eventsim", "config": {"customConfig": {
+            "simResolutionMilliseconds": 100, "seed": 6,
+            "eventGeneration": {"type": "random", "minCount": 2, "maxCount": 4},
+            "eventSpec": {"fields": [{"field": "berry", "predefinedValues": [
+                {"value": "blueberry", "frequencyFactor": 1}]}]},
+        }}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.await_batches(n=2, timeout_s=120)
+    finally:
+        eng.shutdown()
