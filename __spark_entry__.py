@@ -338,6 +338,44 @@ def d_distinct_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_event_keys(_t(spark, sf_dir, "events"))
 
 
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected-component cluster ids (the step that
+    turns pairwise LSH output into keep-one-per-cluster dedup)."""
+    from geist_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3
+    )
+    return dedup_clusters(pairs)
+
+
+def p_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test assignment, aggregated
+    per split (stable across runs/engines/cluster sizes)."""
+    from geist_spark.operators.split import hash_split
+
+    return (
+        hash_split(_t(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+    )
+
+
+def p_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted md5 sampling: exact, reproducible 10% draw of doc ids."""
+    from geist_spark.operators.split import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.1, salt="s1"
+    ).select("doc_id")
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 # ---------------------------------------------------------------- similarity
 
 
@@ -868,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": d_minhash_pairs,
         "d_simhash": d_simhash,
         "d_distinct_event_keys": d_distinct_event_keys,
+        "d_dedup_clusters": d_dedup_clusters,
+        "p_dataset_split": p_dataset_split,
+        "p_deterministic_sample": p_deterministic_sample,
         "s_cosine_topk": s_cosine_topk,
         "s_embedding_near_dup": s_embedding_near_dup,
         "s_ann_lsh": s_ann_lsh,
@@ -1064,6 +1105,9 @@ def oracle_sql() -> dict[str, str]:
         "d_distinct_event_keys": """
             SELECT DISTINCT user_id, event_type FROM events
         """,
+        "d_dedup_clusters": _dedup_clusters_oracle(num_hashes=16, bands=4),
+        "p_dataset_split": _dataset_split_oracle(),
+        "p_deterministic_sample": _deterministic_sample_oracle(0.1, "s1"),
         "t_quality_features": f"""
             WITH base AS (
                 SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
@@ -1277,6 +1321,47 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+
+def _dedup_clusters_oracle(num_hashes: int, bands: int) -> str:
+    """Connected components via recursive CTE over the same minhash
+    pairs the Spark side clusters (min reachable doc_id per vertex)."""
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        )
+        SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
+
+
+def _dataset_split_oracle() -> str:
+    from geist_spark.operators.split import split_oracle_case
+
+    case = split_oracle_case("doc_id", SPLIT_WEIGHTS)
+    return f"""
+        SELECT {case} AS split, count(*) AS n,
+               round(avg(length(text)), 4) AS avg_len
+        FROM documents GROUP BY 1
+    """
+
+
+def _deterministic_sample_oracle(fraction: float, salt: str) -> str:
+    from geist_spark.operators.split import _hex_threshold
+
+    return f"""
+        SELECT doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4)
+              < '{_hex_threshold(fraction, 4)}'
     """
 
 

@@ -1,0 +1,85 @@
+"""Deterministic dataset splitting & sampling for training-data prep.
+
+Scale design: split/sample assignment is a pure per-row expression on
+md5 of the key — zero shuffles, zero state, reproducible across runs,
+engines, and cluster sizes (no RNG, no partition dependence). The
+md5-hex prefix is compared LEXICOGRAPHICALLY, which is identical in
+every engine (the oracle uses the same expression in DuckDB), avoiding
+hex->int conversions that differ across SQL dialects.
+
+A 2-hex-char prefix gives 256 buckets (~0.4% split granularity); the
+4-char sampling variant gives 65536 (~0.0015%). At 100 TB both are a
+single codegen'd projection over the scan — the cheapest possible
+operator — and downstream writes can `partitionBy("split")`.
+
+No reference equivalent (zpiroux/geist has no sampling surface; the
+closest is the spec's event filters, entity/spec.go:260-285) — this is
+part of the driver's LLM-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hex_threshold(cum_fraction: float, chars: int) -> str:
+    """Hex string h such that P(md5_prefix < h) ~= cum_fraction."""
+    buckets = 16**chars
+    cut = min(buckets, max(0, round(cum_fraction * buckets)))
+    return format(cut, f"0{chars + 1}x")[-chars:] if cut < buckets else "g" * chars
+
+
+def split_column(key: Column, weights: dict[str, float], chars: int = 2) -> Column:
+    """CASE expression assigning each row a split name with probability
+    proportional to `weights`, keyed on md5(key) so the assignment is
+    stable under reshuffling, re-runs, and incremental appends."""
+    total = sum(weights.values())
+    names = list(weights)
+    prefix = F.substring(F.md5(key.cast("string")), 1, chars)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    cases: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append((name, _hex_threshold(cum, chars)))
+    for name, threshold in reversed(cases):
+        expr = F.when(prefix < threshold, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test (or custom) split column."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(out_col, split_column(F.col(key), weights))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by md5(key || salt) — stable
+    and engine-portable, unlike rand()-based sampling. Different salts
+    draw independent samples; the same salt always draws the same one."""
+    threshold = _hex_threshold(fraction, 4)
+    keyed = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    return df.filter(F.substring(keyed, 1, 4) < threshold)
+
+
+def split_oracle_case(key_sql: str, weights: dict[str, float]) -> str:
+    """The DuckDB-side CASE expression equivalent to split_column —
+    kept next to the operator so query and oracle can't drift."""
+    total = sum(weights.values())
+    names = list(weights)
+    parts = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        parts.append(
+            f"WHEN substr(md5(CAST({key_sql} AS VARCHAR)), 1, 2) <"
+            f" '{_hex_threshold(cum, 2)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

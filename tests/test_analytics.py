@@ -380,3 +380,62 @@ def test_sql_section_streaming(spark):
         ss.await_batches(n=2, timeout_s=120)
     finally:
         eng.shutdown()
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Transitive closure: a-b, b-c, and d-e pairs -> clusters
+    {a,b,c} (id=min) and {d,e}; singleton vertices keep their own id."""
+    from geist_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(2,), (5,), (9,), (20,), (21,), (99,)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, vertices=verts).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20, 99: 99}
+    # vertices=None derives the vertex set from the edges
+    got2 = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got2 == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_chain_beyond_one_hop(spark):
+    """A 6-long chain needs several propagation rounds — checks the
+    iteration actually runs to convergence, not one hop."""
+    from geist_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(10, 16)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 10 for i in range(10, 17)}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from geist_spark.operators.split import deterministic_sample, hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    # same rows land in the same split on re-run (pure function of key)
+    s2 = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    s1m = {r["k"]: r["split"] for r in s1.collect()}
+    assert s1m == s2
+    # deterministic sample: stable subset, ~fraction, salt changes the draw
+    a = set(r["k"] for r in deterministic_sample(df, "k", 0.2).collect())
+    b = set(r["k"] for r in deterministic_sample(df, "k", 0.2).collect())
+    c = set(r["k"] for r in deterministic_sample(df, "k", 0.2, salt="other").collect())
+    assert a == b
+    assert abs(len(a) / 5000 - 0.2) < 0.04
+    assert a != c
+    # smaller fraction of the SAME salt is a subset (nested draws)
+    d = set(r["k"] for r in deterministic_sample(df, "k", 0.1).collect())
+    assert d < a
