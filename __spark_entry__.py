@@ -1290,19 +1290,23 @@ def _simhash_oracle(bits: int) -> str:
 
 
 def _minhash_oracle(num_hashes: int, bands: int) -> str:
+    from geist_spark.operators.dedup import MINHASH_P, minhash_params
+
     rows_per_band = num_hashes // bands
     shingle_list = (
         "list_distinct([array_to_string(toks[i:i+2], ' ') "
         "for i in generate_series(1, greatest(len(toks) - 2, 1))])"
     )
     sig_cols = ", ".join(
-        f"min(md5(shingle || '|{s}')) AS sig_{s}" for s in range(num_hashes)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS sig_{s}"
+        for s, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs".format(
             b=b,
             concat=" || '|' || ".join(
-                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+                f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
@@ -1314,8 +1318,11 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
             SELECT doc_id, unnest({shingle_list}) AS shingle FROM t
         ), shf AS (
             SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+            FROM shf
         ), sigs AS (
-            SELECT doc_id, {sig_cols} FROM shf GROUP BY doc_id
+            SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
         ), bands AS ({band_selects})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b

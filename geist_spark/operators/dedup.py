@@ -65,6 +65,23 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     ).filter(F.col("shingle") != "")
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash for universal hashing
+    sig_s = min((a*h + b) mod P). a < 2^30 keeps a*h under 2^62 for a
+    32-bit h, so the arithmetic is exact in int64 in BOTH engines
+    (the DuckDB oracle replays the identical expressions)."""
+    import random
+
+    rng = random.Random(0x9E1157)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
@@ -72,15 +89,24 @@ def minhash_signatures(
 
     Single groupBy(doc_id) with `num_hashes` conditional mins — the
     seed dimension lives in the aggregate list, NOT an exploded join,
-    so the shuffle volume is exactly the shingle table once."""
+    so the shuffle volume is exactly the shingle table once. ONE md5
+    per shingle (32-bit prefix), then `num_hashes` two-multiply
+    universal hashes — at 100 TB the md5 over every shingle is the
+    dominant CPU term, so it is paid once, not num_hashes times."""
     sh = shingles(documents, k=k)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    hashed = sh.select("doc_id", h)
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.col("shingle"), F.lit(str(s))))).alias(
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
             f"sig_{s}"
         )
-        for s in range(num_hashes)
+        for s, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
