@@ -13,6 +13,7 @@ for it.
 
 from __future__ import annotations
 
+import functools
 import json
 import re
 import urllib.parse
@@ -118,6 +119,15 @@ def parse_user_agent(ua_escaped: str | None) -> str:
     return json.dumps(out, separators=(",", ":"))
 
 
+@functools.lru_cache(maxsize=65536)
+def _cached_parse(ua_escaped: str | None) -> str:
+    return parse_user_agent(ua_escaped)
+
+
 @F.pandas_udf(T.StringType())
 def ua_udf(s: pd.Series) -> pd.Series:
-    return s.map(parse_user_agent)
+    """Memoized per executor process: real UA traffic is billions of
+    rows over ~1e4 distinct strings, so the regex work runs once per
+    distinct value, not once per row — the cache persists across Arrow
+    batches for the lifetime of the Python worker."""
+    return s.map(_cached_parse)

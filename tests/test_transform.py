@@ -380,3 +380,41 @@ def test_for_events_with_numeric_match(spark):
     assert run_one(spark, t, '{"v": "3", "name": "a"}') == [{"name": "a"}]
     assert run_one(spark, t, '{"v": 4, "name": "a"}') == []
     assert run_one(spark, t, '{"name": "a"}') == []  # missing -> not applicable
+
+
+# ---------------------------------------------------------------- userAgent
+# transformer_test.go:349-367 (TestUserAgentExtract golden)
+
+
+def test_user_agent_extract_golden(spark):
+    """Byte-identical to the reference's mssola/user_agent output for
+    the iPhone golden case, through the compiled DataFrame path."""
+    event = json.dumps({
+        "ua": "Mozilla%2F5.0%20(iPhone%3B%20CPU%20iPhone%20OS%2014_6%20like"
+              "%20Mac%20OS%20X)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like"
+              "%20Gecko)%20Version%2F14.1.1%20Mobile%2F15E148%20Safari%2F604.1"
+    })
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [
+            {"id": "userAgentId", "jsonPath": "ua", "type": "userAgent"}]}]},
+        event,
+    )
+    assert out == [{"userAgentId": (
+        '{"platform":"iPhone","operatingSystem":{"name":"iPhone OS",'
+        '"fullName":"CPU iPhone OS 14_6 like Mac OS X","version":"14.6"},'
+        '"localization":"","browser":{"name":"Safari","version":"14.1.1",'
+        '"engine":"AppleWebKit","engineVersion":"605.1.15"},'
+        '"bot":false,"mobile":true}'
+    )}]
+
+
+def test_user_agent_bot_and_windows(spark):
+    out = run_one(
+        spark,
+        {"extractFields": [{"fields": [
+            {"id": "a", "jsonPath": "ua", "type": "userAgent"}]}]},
+        '{"ua": "Googlebot%2F2.1%20(%2Bhttp%3A%2F%2Fwww.google.com%2Fbot.html)"}',
+    )
+    parsed = json.loads(out[0]["a"])
+    assert parsed["bot"] is True and parsed["mobile"] is False
