@@ -332,3 +332,34 @@ def test_epoch_idempotent_replay(engine, spark):
     )
     rows = sorted(r["name"] for r in loader.extract_all().collect())
     assert rows == ["a", "b", "c"]
+
+
+def test_insert_id_dedup_within_batch(spark):
+    """bigquery insertIdFromId semantics (SURVEY §2.2): duplicate
+    insert ids inside one load batch collapse to one stored row."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="iid",
+        sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "insertIdFromId": "eid"},
+        transform={"extractFields": [{"fields": [
+            {"id": "name", "jsonPath": "name"},
+            {"id": "eid", "jsonPath": "eid"},
+            {"id": "amount", "jsonPath": "amount", "type": "integer"}]}]},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+    batch = spark.createDataFrame(
+        [("a", "e1", 1), ("a", "e1", 2), ("b", "e2", 3)],
+        "name string, eid string, amount int",
+    )
+    loader.stream_load(batch)
+    rows = {r["eid"]: r for r in loader.extract_all().collect()}
+    assert set(rows) == {"e1", "e2"}
+    # a second batch with an already-stored id is a NEW load op:
+    # insertId dedup is per-batch (best-effort, as in BigQuery)
+    loader.stream_load(spark.createDataFrame([("a", "e1", 9)], "name string, eid string, amount int"))
+    assert loader.extract_all().filter("eid = 'e1'").count() >= 1
