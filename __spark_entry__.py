@@ -549,6 +549,63 @@ def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_spec_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect session window (`window.gap`): native
+    F.session_window — gap-based sessions per user, streaming-capable,
+    state bounded by open sessions (the 100 TB sessionization path)."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "sesswin",
+            "version": 1,
+            "description": "session window agg",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                        ]
+                    }
+                ],
+                "aggregate": {
+                    "window": {"field": "ts", "gap": "30 minutes"},
+                    "groupBy": ["uid"],
+                    "aggregations": [
+                        {"fn": "count", "alias": "n_events"},
+                        {"fn": "sum", "field": "amount", "alias": "session_value"},
+                    ],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+            )
+        ).alias("value")
+    )
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select(
+        "uid",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+
 def a_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `join` section: stream-static broadcast enrichment
     against the customer dimension, then aggregate per nation."""
@@ -914,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_lsh": s_ann_lsh,
         "s_ann_ivf": s_ann_ivf,
         "a_spec_windowed_agg": a_spec_windowed_agg,
+        "a_spec_session_window": a_spec_session_window,
         "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
         "a_spec_sql": a_spec_sql,
@@ -1229,6 +1287,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1
+        """,
+        "a_spec_session_window": """
+            WITH marked AS (
+                SELECT user_id AS uid, ts, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY uid ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS seq
+                FROM marked
+            )
+            SELECT uid, min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM numbered GROUP BY uid, seq
         """,
         "a_spec_dedup": """
             SELECT DISTINCT user_id AS uid, event_type AS etype FROM events

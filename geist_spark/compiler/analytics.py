@@ -79,7 +79,13 @@ def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
         df = df.withWatermark(spec.watermark_field, spec.watermark_delay)
 
     keys: list[Column] = []
-    if spec.window_field:
+    if spec.window_gap:
+        # gap-based session window: native Spark operator, streaming-
+        # capable (with watermark) and an ordinary grouping expression
+        # in batch. State per open session only — the scalable
+        # sessionization path at 100 TB (vs global sort approaches).
+        keys.append(F.session_window(spec.window_field, spec.window_gap))
+    elif spec.window_field:
         if spec.window_slide:
             keys.append(
                 F.window(spec.window_field, spec.window_duration, spec.window_slide)

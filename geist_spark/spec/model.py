@@ -314,6 +314,7 @@ class AggregateSpec:
     window_field: str = ""
     window_duration: str = ""
     window_slide: str = ""
+    window_gap: str = ""  # session window (gap-based), exclusive with duration
     watermark_field: str = ""
     watermark_delay: str = ""
     output_mode: str = "update"  # foreachBatch mode for streaming aggs
@@ -323,7 +324,13 @@ class AggregateSpec:
             raise SpecError("aggregate requires at least one aggregation")
         for a in self.aggregations:
             a.validate()
-        if bool(self.window_field) != bool(self.window_duration):
+        if self.window_gap and self.window_duration:
+            raise SpecError("aggregate.window: duration and gap are exclusive")
+        if self.window_gap and not self.window_field:
+            raise SpecError("aggregate.window needs a field")
+        if not self.window_gap and bool(self.window_field) != bool(
+            self.window_duration
+        ):
             raise SpecError("aggregate.window needs both field and duration")
         if not self.group_by and not self.window_field:
             raise SpecError("aggregate requires groupBy and/or window")
@@ -488,6 +495,7 @@ def _parse_aggregate(d: Any) -> AggregateSpec | None:
         window_field=win.get("field", ""),
         window_duration=win.get("duration", ""),
         window_slide=win.get("slide", ""),
+        window_gap=win.get("gap", ""),
         watermark_field=wm.get("field", ""),
         watermark_delay=wm.get("delay", ""),
         output_mode=d.get("outputMode", "update"),

@@ -439,3 +439,44 @@ def test_hash_split_deterministic_and_proportional(spark):
     # smaller fraction of the SAME salt is a subset (nested draws)
     d = set(r["k"] for r in deterministic_sample(df, "k", 0.1).collect())
     assert d < a
+
+
+def test_session_window_aggregate_batch(spark):
+    """window.gap compiles to F.session_window: 3 events within gap +
+    1 beyond -> two sessions for the user."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    spec = parse_spec(base_spec({
+        "extractFields": [{"fields": [
+            {"id": "uid", "jsonPath": "uid", "type": "integer"},
+            {"id": "amount", "jsonPath": "v", "type": "float"},
+            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"}]}],
+        "aggregate": {
+            "window": {"field": "ts", "gap": "30 seconds"},
+            "groupBy": ["uid"],
+            "aggregations": [{"fn": "count", "alias": "n"},
+                             {"fn": "sum", "field": "amount", "alias": "total"}],
+        },
+    }))
+    rows = [
+        {"uid": 1, "v": 1.0, "ts": "2024-01-01T00:00:00Z"},
+        {"uid": 1, "v": 2.0, "ts": "2024-01-01T00:00:20Z"},
+        {"uid": 1, "v": 3.0, "ts": "2024-01-01T00:00:40Z"},
+        {"uid": 1, "v": 9.0, "ts": "2024-01-01T00:05:00Z"},
+    ]
+    out = apply_analytics(
+        compile_transform(spec).apply(events_json(spark, rows), value_col="value"),
+        spec.transform,
+    ).collect()
+    sessions = sorted((r["n"], r["total"]) for r in out)
+    assert sessions == [(1, 9.0), (3, 6.0)]
+    # exclusivity validation
+    with pytest.raises(SpecError, match="exclusive"):
+        parse_spec(base_spec({
+            "extractFields": [{"fields": [{"id": "a", "jsonPath": "a"}]}],
+            "aggregate": {
+                "window": {"field": "a", "duration": "1 hour", "gap": "5 minutes"},
+                "aggregations": [{"fn": "count", "alias": "n"}],
+            },
+        }))
