@@ -295,6 +295,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+RANGE_BANDS = [
+    ("low", 0.0, 15.0),
+    ("mid", 10.0, 40.0),
+    ("high", 30.0, 80.0),
+    ("top", 60.0, 120.0),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join (overlapping bands) via bucketed equi-join —
+    no BroadcastNestedLoop/cartesian in the plan (see range_join doc)."""
+    from geist_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(RANGE_BANDS, "band string, lo double, hi double")
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=20.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.relational import order_priority_counts
 
@@ -955,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_rollup": q_hourly_rollup,
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
+        "q_range_join": q_range_join,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_percentiles": q_percentiles,
@@ -1124,6 +1146,14 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    round(sum(value), 2) AS session_value
             FROM numbered GROUP BY user_id, session_seq
+        """,
+        "q_range_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('low', 0.0, 15.0), ('mid', 10.0, 40.0),
+                ('high', 30.0, 80.0), ('top', 60.0, 120.0))
+            SELECT band, count(*) AS n, round(sum(value), 2) AS total
+            FROM events JOIN bands ON value BETWEEN lo AND hi
+            GROUP BY band
         """,
         "q_order_priority_counts": """
             SELECT o_orderpriority, count(*) AS order_count

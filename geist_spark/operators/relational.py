@@ -223,3 +223,41 @@ def asof_join(
         *[F.col("__match")[c].alias(c) for c in value_cols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-range join (points.x BETWEEN ranges.lo AND ranges.hi,
+    inclusive) as a bucketed EQUI-join.
+
+    Naive range joins plan as BroadcastNestedLoop/cartesian —
+    every point against every range, O(|P| * |R|): unusable at scale.
+    Instead both sides are mapped onto fixed-width buckets: each range
+    explodes into the buckets it covers, each point hashes to exactly
+    one bucket, and the join runs as a hash equi-join on bucket_id with
+    the exact BETWEEN as a residual filter. Cost: one shuffle on
+    bucket_id; blowup = avg-range-span / bucket_width (pick
+    bucket_width ~ median range width so ranges explode to O(1)
+    buckets). This is the same strategy Databricks' range-join hints
+    and interval-join engines (Flink) use.
+
+    Columns from both inputs are kept (overlapping names must be
+    disambiguated by the caller).
+    """
+    p, lo, hi = F.col(point_col), F.col(lower_col), F.col(upper_col)
+    b = F.floor(p / F.lit(bucket_width)).cast("long")
+    lob = F.floor(lo / F.lit(bucket_width)).cast("long")
+    hib = F.floor(hi / F.lit(bucket_width)).cast("long")
+    pts = points.withColumn("__bucket", b)
+    rng = ranges.withColumn(
+        "__bucket", F.explode(F.sequence(lob, hib))
+    )
+    joined = pts.join(rng, "__bucket", how).filter(p.between(lo, hi))
+    return joined.drop("__bucket")

@@ -480,3 +480,24 @@ def test_session_window_aggregate_batch(spark):
                 "aggregations": [{"fn": "count", "alias": "n"}],
             },
         }))
+
+
+def test_range_join_overlapping_bands(spark):
+    """Bucketed range join: inclusive bounds, overlapping ranges, a
+    point in no band is dropped (inner)."""
+    from geist_spark.operators.relational import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 999.0)], "pid int, x double"
+    )
+    rng = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 4.0, 26.0)],
+        "rid string, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in range_join(pts, rng, "x", "lo", "hi", bucket_width=7.0).collect()
+    )
+    assert got == [(1, "a"), (1, "c"), (2, "a"), (2, "b"), (2, "c"), (3, "c")]
+    plan = range_join(pts, rng, "x", "lo", "hi", bucket_width=7.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
