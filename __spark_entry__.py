@@ -717,6 +717,90 @@ def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_spec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect stream-stream join (engine extension): purchases
+    joined to the same user's clicks within the preceding hour
+    (equality key + event-time bound), then pair counts per user.
+    Batch-mode check of the exact condition the streaming path uses."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import join_stream_spec, parse_spec
+
+    sub_transform = {
+        "excludeEventsWith": [{"key": "event_type", "valuesNotIn": ["click"]}],
+        "extractFields": [
+            {
+                "fields": [
+                    {"id": "ruid", "jsonPath": "user_id", "type": "integer"},
+                    {"id": "rts", "jsonPath": "ts", "type": "isoTimestamp"},
+                ]
+            }
+        ],
+    }
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "ssjoin",
+            "version": 1,
+            "description": "stream-stream join",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "excludeEventsWith": [
+                    {"key": "event_type", "valuesNotIn": ["purchase"]}
+                ],
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                        ]
+                    }
+                ],
+                "join": {
+                    "stream": {
+                        "source": {
+                            "type": "file",
+                            "config": {"customConfig": {"path": "/unused"}},
+                        },
+                        "transform": sub_transform,
+                        "watermark": {"field": "rts", "delay": "1 hour"},
+                    },
+                    "on": [{"left": "uid", "right": "ruid"}],
+                    "type": "inner",
+                    "timeBound": {
+                        "leftField": "ts",
+                        "rightField": "rts",
+                        "lower": "0 seconds",
+                        "upper": "1 hour",
+                    },
+                    "select": [],
+                    "watermark": {"field": "ts", "delay": "1 hour"},
+                },
+                "aggregate": {
+                    "groupBy": ["uid"],
+                    "aggregations": [{"fn": "count", "alias": "n_pairs"}],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+            )
+        ).alias("value")
+    )
+    right = compile_transform(join_stream_spec(spec)).apply(ev, value_col="value")
+    return apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"),
+        spec.transform,
+        join_right_df=right,
+    )
+
+
 def a_spec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `deduplicate` section: exact dedup on extracted
     keys (streaming variant uses dropDuplicatesWithinWatermark)."""
@@ -994,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": s_ann_ivf,
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_session_window": a_spec_session_window,
+        "a_spec_stream_join": a_spec_stream_join,
         "a_spec_join": a_spec_join,
         "a_spec_dedup": a_spec_dedup,
         "a_spec_sql": a_spec_sql,
@@ -1317,6 +1402,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1
+        """,
+        "a_spec_stream_join": """
+            SELECT l.user_id AS uid, count(*) AS n_pairs
+            FROM events l JOIN events r ON l.user_id = r.user_id
+            WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+              AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
+            GROUP BY l.user_id
         """,
         "a_spec_session_window": """
             WITH marked AS (

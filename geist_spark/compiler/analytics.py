@@ -46,10 +46,44 @@ _AGG_BUILDERS = {
 }
 
 
-def apply_join(df: DataFrame, spec: JoinSpec) -> DataFrame:
-    """Stream-static enrichment join. The static side is re-read per
+def apply_join(
+    df: DataFrame, spec: JoinSpec, right_df: DataFrame | None = None
+) -> DataFrame:
+    """Enrichment join.
+
+    Stream-static (`table_path`): the static side is re-read per
     micro-batch by Spark (picking up dimension updates); broadcast by
-    default so the stream side never shuffles."""
+    default so the stream side never shuffles.
+
+    Stream-stream (`stream`, right_df supplied by the runner): both
+    sides watermarked, equality keys + event-time bound. State per
+    side is bounded by watermark delay + bound span; the join shuffles
+    both streams on the equality keys (Spark's stream-stream hash
+    join) — the scalable shape as long as keys aren't pathologically
+    hot."""
+    if spec.stream is not None:
+        if right_df is None:
+            raise ValueError("stream join requires right_df from the runner")
+        right = right_df
+        if df.isStreaming and spec.watermark_field:
+            df = df.withWatermark(spec.watermark_field, spec.watermark_delay)
+        wm = spec.stream.get("watermark") or {}
+        if right.isStreaming and wm:
+            right = right.withWatermark(wm["field"], wm["delay"])
+        cond = None
+        for left_f, right_f in spec.on:
+            c = df[left_f] == right[right_f]
+            cond = c if cond is None else cond & c
+        tb = spec.time_bound
+        if tb:
+            lo = right[tb["rightField"]] + F.expr(f"INTERVAL {tb['lower']}")
+            hi = right[tb["rightField"]] + F.expr(f"INTERVAL {tb['upper']}")
+            cond = cond & (df[tb["leftField"]] >= lo) & (df[tb["leftField"]] <= hi)
+        joined = df.join(right, cond, spec.how)
+        out_cols = [df[c] for c in df.columns]
+        out_cols.extend(right[f].alias(a) for f, a in spec.select)
+        return joined.select(*out_cols)
+
     spark = df.sparkSession
     dim = spark.read.parquet(spec.table_path)
     if spec.select:
@@ -113,12 +147,14 @@ def apply_sql(df: DataFrame, sql: str) -> DataFrame:
     return df.sparkSession.sql(sql.replace("__stream__", name))
 
 
-def apply_analytics(df: DataFrame, t: TransformSpec) -> DataFrame:
+def apply_analytics(
+    df: DataFrame, t: TransformSpec, join_right_df: DataFrame | None = None
+) -> DataFrame:
     """Pipeline order: enrich (join) -> dedup -> aggregate -> sql, so
     aggregates see unique, enriched events — mirroring
     insertId-dedup-then-load in the reference's sinks."""
     if t.join is not None:
-        df = apply_join(df, t.join)
+        df = apply_join(df, t.join, right_df=join_right_df)
     if t.deduplicate is not None:
         df = apply_deduplicate(df, t.deduplicate)
     if t.aggregate is not None:

@@ -340,24 +340,50 @@ class AggregateSpec:
 
 @dataclass
 class JoinSpec:
-    """Stream-static enrichment join: the stream side joins a static
-    table (dimension) on equality keys. Streaming-safe (Spark's
-    stream-static join) and broadcast by default — the 100 TB shape for
-    dimension enrichment (no shuffle of the stream side)."""
+    """Enrichment join, two variants:
+
+    - stream-static (`table`): the stream joins a static dimension
+      table on equality keys; broadcast by default — the 100 TB shape
+      for dimension enrichment (no shuffle of the stream side).
+    - stream-stream (`stream`): the stream joins a SECOND stream
+      (its own source + transform sub-spec) on equality keys plus an
+      event-time bound. Spark's stream-stream join machinery: both
+      sides watermarked, the time bound limits buffered state to the
+      bound's span — without it, state grows unboundedly. The
+      reference has no joins at all (README.md:21,564); this exposes
+      Spark's native capability through the spec dialect."""
 
     table_path: str = ""
     on: list[tuple[str, str]] = field(default_factory=list)  # (left, right)
     how: str = "left"
     broadcast: bool = True
     select: list[tuple[str, str]] = field(default_factory=list)  # (field, alias)
+    # stream-stream variant
+    stream: dict[str, Any] | None = None  # {"source": ..., "transform": ...,
+    #  "watermark": {field, delay}} — right-side sub-spec (raw dicts)
+    watermark_field: str = ""  # left-side watermark
+    watermark_delay: str = ""
+    time_bound: dict[str, str] = field(default_factory=dict)
+    # {leftField, rightField, lower, upper} — lower/upper are interval
+    # strings bounding right.ts relative to left.ts (inclusive)
 
     def validate(self) -> None:
-        if not self.table_path:
-            raise SpecError("join requires table.path")
+        if bool(self.table_path) == bool(self.stream):
+            raise SpecError("join requires exactly one of table.path or stream")
         if not self.on:
             raise SpecError("join requires at least one on condition")
         if self.how not in ("inner", "left"):
             raise SpecError(f"join type must be inner or left, got: {self.how}")
+        if self.stream is not None:
+            if not (self.stream.get("source") and self.stream.get("transform")):
+                raise SpecError("join.stream requires source and transform")
+            tb = self.time_bound
+            if tb and not all(
+                tb.get(k) for k in ("leftField", "rightField", "lower", "upper")
+            ):
+                raise SpecError(
+                    "join.timeBound requires leftField, rightField, lower, upper"
+                )
 
 
 @dataclass
@@ -455,6 +481,7 @@ def _parse_few(lst: Any) -> list[ForEventsWith]:
 def _parse_join(d: Any) -> JoinSpec | None:
     if not d:
         return None
+    wm = d.get("watermark") or {}
     return JoinSpec(
         table_path=(d.get("table") or {}).get("path", ""),
         on=[(o.get("left", ""), o.get("right", "")) for o in (d.get("on") or [])],
@@ -464,6 +491,29 @@ def _parse_join(d: Any) -> JoinSpec | None:
             (s.get("field", ""), s.get("alias") or s.get("field", ""))
             for s in (d.get("select") or [])
         ],
+        stream=d.get("stream"),
+        watermark_field=wm.get("field", ""),
+        watermark_delay=wm.get("delay", ""),
+        time_bound=dict(d.get("timeBound") or {}),
+    )
+
+
+def join_stream_spec(parent: "Spec") -> "Spec":
+    """Materialize the right side of a stream-stream join as a full
+    Spec (void sink; the join consumes its output directly)."""
+    j = parent.transform.join
+    if j is None or j.stream is None:
+        raise SpecError("spec has no stream join")
+    return parse_spec(
+        {
+            "namespace": parent.namespace,
+            "streamIdSuffix": f"{parent.stream_id_suffix}-joinright",
+            "version": parent.version,
+            "description": f"right side of {parent.id} stream join",
+            "source": j.stream["source"],
+            "transform": j.stream["transform"],
+            "sink": {"type": "void"},
+        }
     )
 
 

@@ -230,12 +230,27 @@ class StreamingStream:
         )
         if has_analytics(self.spec.transform):
             # analytics mode: the stateful operators (windowed agg,
-            # watermark dedup) must live on the STREAMING DataFrame —
-            # inside foreachBatch they would only see one micro-batch
-            # of state. The batch body just loads results; transform
-            # error routing (DLQ) is not available in this mode.
+            # watermark dedup, stream-stream join) must live on the
+            # STREAMING DataFrame — inside foreachBatch they would only
+            # see one micro-batch of state. The batch body just loads
+            # results; transform error routing (DLQ) is not available
+            # in this mode.
+            right = None
+            j = self.spec.transform.join
+            if j is not None and j.stream is not None:
+                from geist_spark.spec.model import join_stream_spec
+
+                rspec = join_stream_spec(self.spec)
+                rsource = build_source_stream(
+                    self.spark, rspec, self.env, self.source_factories
+                )
+                right = compile_transform(rspec).apply(
+                    rsource, value_col=self.value_col
+                )
             data = apply_analytics(
-                ct.apply(source, value_col=value_col), self.spec.transform
+                ct.apply(source, value_col=value_col),
+                self.spec.transform,
+                join_right_df=right,
             )
 
             def process_analytics(batch_df: DataFrame, epoch_id: int) -> None:
@@ -243,9 +258,14 @@ class StreamingStream:
                 load_with_retry(batch_df, epoch_id)
 
             agg = self.spec.transform.aggregate
+            if agg is not None:
+                mode = agg.output_mode
+            elif j is not None and j.stream is not None:
+                mode = "append"  # stream-stream joins emit append-only
+            else:
+                mode = "update"
             writer = (
-                data.writeStream.foreachBatch(process_analytics)
-                .outputMode(agg.output_mode if agg is not None else "update")
+                data.writeStream.foreachBatch(process_analytics).outputMode(mode)
             )
         else:
             writer = source.writeStream.foreachBatch(process)

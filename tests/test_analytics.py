@@ -501,3 +501,116 @@ def test_range_join_overlapping_bands(spark):
     assert got == [(1, "a"), (1, "c"), (2, "a"), (2, "b"), (2, "c"), (3, "c")]
     plan = range_join(pts, rng, "x", "lo", "hi", bucket_width=7.0)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_stream_join_spec_validation():
+    with pytest.raises(SpecError, match="exactly one of"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"on": [{"left": "userId", "right": "uid"}]},
+        }))
+    with pytest.raises(SpecError, match="source and transform"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"stream": {"source": {"type": "file"}},
+                     "on": [{"left": "userId", "right": "uid"}]},
+        }))
+    with pytest.raises(SpecError, match="timeBound"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {
+                "stream": {"source": {"type": "file"},
+                           "transform": {"extractFields": [EXTRACT]}},
+                "on": [{"left": "userId", "right": "uid"}],
+                "timeBound": {"leftField": "ts", "lower": "0 seconds"},
+            },
+        }))
+
+
+def test_stream_join_batch_semantics(spark):
+    """Equality keys + inclusive event-time bound, checked on batch
+    DataFrames (same condition the streaming path uses)."""
+    from geist_spark.compiler.analytics import apply_join
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(base_spec({
+        "extractFields": [EXTRACT],
+        "join": {
+            "stream": {
+                "source": {"type": "file", "config": {"customConfig": {"path": "/x"}}},
+                "transform": {"extractFields": [EXTRACT]},
+                "watermark": {"field": "rts", "delay": "10 minutes"},
+            },
+            "on": [{"left": "uid", "right": "ruid"}],
+            "type": "inner",
+            "timeBound": {"leftField": "ts", "rightField": "rts",
+                          "lower": "0 seconds", "upper": "10 minutes"},
+            "select": [{"field": "rval", "alias": "matched"}],
+            "watermark": {"field": "ts", "delay": "10 minutes"},
+        },
+    })).transform.join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=m)) for m in (0, 5, 20)],
+        "uid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "a"), (1, t0 + dt.timedelta(minutes=15), "b"), (2, t0, "c")],
+        "ruid int, rts timestamp, rval string",
+    )
+    # left.ts in [rts, rts + 10m]: (0,a) (5,a) (20,b); uid 2 never
+    got = sorted((r["ts"].minute, r["matched"])
+                 for r in apply_join(left, spec, right_df=right).collect())
+    assert got == [(0, "a"), (5, "a"), (20, "b")]
+
+
+def test_stream_stream_join_e2e(spark, tmp_path):
+    """Two file streams joined on key + time bound through the
+    registered-spec streaming path."""
+    from geist_spark.engine.api import Engine
+
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    out_path = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda uid, s, v: (json.dumps(
+        {"u": uid, "v": v, "ts": (t0 + dt.timedelta(seconds=s)).isoformat() + "Z"}),)
+    spark.createDataFrame([mk(1, 5, "L1"), mk(2, 8, "L2")], "value string") \
+        .coalesce(1).write.parquet(lpath)
+    spark.createDataFrame([mk(1, 0, "R1"), mk(3, 0, "R3")], "value string") \
+        .coalesce(1).write.parquet(rpath)
+
+    sub = {"fields": [
+        {"id": "ru", "jsonPath": "u", "type": "integer"},
+        {"id": "rts", "jsonPath": "ts", "type": "isoTimestamp"},
+        {"id": "rv", "jsonPath": "v"}]}
+    eng = Engine(spark)
+    sid = eng.register_stream(base_spec({
+        "extractFields": [{"fields": [
+            {"id": "u", "jsonPath": "u", "type": "integer"},
+            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+            {"id": "lv", "jsonPath": "v"}]}],
+        "join": {
+            "stream": {
+                "source": {"type": "file", "config": {"customConfig": {"path": rpath}}},
+                "transform": {"extractFields": [sub]},
+                "watermark": {"field": "rts", "delay": "1 minute"},
+            },
+            "on": [{"left": "u", "right": "ru"}],
+            "type": "inner",
+            "timeBound": {"leftField": "ts", "rightField": "rts",
+                          "lower": "0 seconds", "upper": "30 seconds"},
+            "select": [{"field": "rv", "alias": "rv"}],
+            "watermark": {"field": "ts", "delay": "1 minute"},
+        },
+    }) | {
+        "streamIdSuffix": "ssjoin",
+        "source": {"type": "file", "config": {"customConfig": {"path": lpath}}},
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    rows = [(r["u"], r["lv"], r["rv"]) for r in spark.read.parquet(out_path).collect()]
+    assert sorted(rows) == [(1, "L1", "R1")]
