@@ -295,6 +295,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup: hour-grain sketches
+    unioned to per-type totals WITHOUT rescanning the raw table — the
+    pre-aggregated-cube pattern at 100 TB. At the correctness gate's
+    cardinalities the sketch is in sparse mode, where the DataSketches
+    estimate is exact, so the DuckDB oracle checks exact distincts."""
+    from geist_spark.operators.sketch import hll_merge, hll_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    hourly = hll_rollup(ev, ["hour", "event_type"], "user_id")
+    return hll_merge(hourly, ["event_type"]).select(
+        F.col("event_type").alias("etype"), "distinct_est", "n_rows"
+    )
+
+
 RANGE_BANDS = [
     ("low", 0.0, 15.0),
     ("mid", 10.0, 40.0),
@@ -1061,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
         "q_range_join": q_range_join,
+        "q_hll_rollup": q_hll_rollup,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_percentiles": q_percentiles,
@@ -1231,6 +1249,12 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    round(sum(value), 2) AS session_value
             FROM numbered GROUP BY user_id, session_seq
+        """,
+        "q_hll_rollup": """
+            SELECT event_type AS etype,
+                   count(DISTINCT user_id) AS distinct_est,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1
         """,
         "q_range_join": """
             WITH bands(band, lo, hi) AS (VALUES

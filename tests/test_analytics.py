@@ -614,3 +614,23 @@ def test_stream_stream_join_e2e(spark, tmp_path):
         eng.shutdown()
     rows = [(r["u"], r["lv"], r["rv"]) for r in spark.read.parquet(out_path).collect()]
     assert sorted(rows) == [(1, "L1", "R1")]
+
+
+def test_hll_rollup_merge_consistency(spark):
+    """Sketch mergeability: union of fine-grain sketches gives the
+    same estimate as sketching the whole input directly, and matches
+    exact distinct counts in the sparse regime."""
+    from geist_spark.operators.sketch import hll_merge, hll_rollup
+
+    df = spark.createDataFrame(
+        [(h, "t", u) for h in range(4) for u in range(h * 10, h * 10 + 20)],
+        "hour int, typ string, uid long",
+    )
+    fine = hll_rollup(df, ["hour", "typ"], "uid")
+    merged = hll_merge(fine, ["typ"]).collect()[0]
+    direct = hll_merge(hll_rollup(df, ["typ"], "uid"), ["typ"]).collect()[0]
+    exact = df.select("uid").distinct().count()
+    assert merged["distinct_est"] == direct["distinct_est"] == exact == 50
+    assert merged["n_rows"] == 80
+    # global merge (no group cols)
+    assert hll_merge(fine).collect()[0]["distinct_est"] == 50
