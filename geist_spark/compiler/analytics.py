@@ -63,7 +63,12 @@ def apply_join(
     hot."""
     if spec.stream is not None:
         if right_df is None:
-            raise ValueError("stream join requires right_df from the runner")
+            from geist_spark.spec.model import SpecError
+
+            raise SpecError(
+                "stream-stream join requires streaming mode "
+                "(start_streaming); the batch publish path has no right stream"
+            )
         right = right_df
         if df.isStreaming and spec.watermark_field:
             df = df.withWatermark(spec.watermark_field, spec.watermark_delay)
