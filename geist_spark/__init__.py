@@ -21,7 +21,17 @@ Public API (mirrors geist.go's surface: New/Run/RegisterStream/Publish):
 from geist_spark.session import get_spark, stop_spark
 from geist_spark.spec.model import Spec, parse_spec
 from geist_spark.engine.api import Engine
+from geist_spark.engine.hooks import HookAction, enrich_event
 
 __version__ = "0.1.0"
 
-__all__ = ["Engine", "Spec", "parse_spec", "get_spark", "stop_spark", "__version__"]
+__all__ = [
+    "Engine",
+    "HookAction",
+    "Spec",
+    "enrich_event",
+    "get_spark",
+    "parse_spec",
+    "stop_spark",
+    "__version__",
+]

@@ -124,6 +124,30 @@ class Engine:
     def metrics(self, stream_id: str) -> Metrics:
         return self._streams[stream_id].metrics
 
+    def entities(self) -> dict[str, dict[str, bool]]:
+        """Registered entity types per kind (reference geist.Entities,
+        geist.go:205-209): {"extractor": {...}, "loader": {...}}."""
+        native_sources = {"geistapi", "eventsim", "kafka", "file", "parquet"}
+        return {
+            "extractor": {
+                s: True for s in (native_sources | set(self._source_factories))
+            },
+            "loader": {s: True for s in self._loader_factories},
+        }
+
+    def all_metrics(self) -> "dict[str, Metrics]":
+        """Per-stream metrics for every registered stream (reference
+        geist.Metrics, geist.go:59-66), batch + live streaming
+        combined."""
+        out: dict[str, Metrics] = {}
+        for sid, stream in self._streams.items():
+            out[sid] = stream.metrics
+        if self._supervisor is not None:
+            for sid, ss in self._supervisor._streams.items():
+                base = out.get(sid)
+                out[sid] = base.add(ss.metrics) if base else ss.metrics
+        return out
+
     def validate_spec(self, spec_json: str | bytes | dict) -> Spec:
         from geist_spark.spec.model import parse_spec
 

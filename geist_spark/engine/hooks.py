@@ -41,6 +41,25 @@ class EventHolder:
         self.data = json.dumps(doc, separators=(",", ":"))
 
 
+def enrich_event(event: str | bytes, path: str, value: Any) -> str:
+    """Set a dotted-path field in a raw JSON event, creating nested
+    objects along the way (reference geist.EnrichEvent / sjson.SetBytes,
+    geist.go:212-214)."""
+    if isinstance(event, bytes):
+        event = event.decode()
+    doc = json.loads(event) if event else {}
+    node = doc
+    parts = path.split(".")
+    for p in parts[:-1]:
+        nxt = node.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            node[p] = nxt
+        node = nxt
+    node[parts[-1]] = value
+    return json.dumps(doc, separators=(",", ":"))
+
+
 class HookError(Exception):
     def __init__(self, action: HookAction):
         super().__init__(f"hook returned {action.name}")

@@ -363,3 +363,22 @@ def test_insert_id_dedup_within_batch(spark):
     # insertId dedup is per-batch (best-effort, as in BigQuery)
     loader.stream_load(spark.createDataFrame([("a", "e1", 9)], "name string, eid string, amount int"))
     assert loader.extract_all().filter("eid = 'e1'").count() >= 1
+
+
+def test_entities_all_metrics_and_enrich_event(engine):
+    from geist_spark.engine.hooks import enrich_event
+
+    ents = engine.entities()
+    assert ents["extractor"]["geistapi"] and ents["extractor"]["eventsim"]
+    assert ents["loader"]["void"] and ents["loader"]["bigtable"]
+
+    sid = engine.register_stream(make_spec(suffix="am"))
+    engine.publish(sid, '{"name": "x", "amount": 1}')
+    m = engine.all_metrics()
+    assert m[sid].events_processed >= 1
+
+    out = enrich_event('{"a": 1}', "b.c.d", 7)
+    assert json.loads(out) == {"a": 1, "b": {"c": {"d": 7}}}
+    assert json.loads(enrich_event(b"", "k", "v")) == {"k": "v"}
+    # overwriting a scalar mid-path replaces it with an object
+    assert json.loads(enrich_event('{"b": 3}', "b.c", 1)) == {"b": {"c": 1}}
