@@ -1039,6 +1039,25 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- multimodal
 
 
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (decode stubbed, see
+    operators/multimodal.py): deterministic frame fan-out per media
+    row, aggregated per media id so the oracle checks the exact
+    explode arithmetic."""
+    from geist_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample_stub,
+    )
+
+    frames = frame_sample_stub(
+        documents_as_media(_t(spark, sf_dir, "documents")), every_ms=1000
+    )
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_idx").alias("idx_sum"),
+    )
+
+
 def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.multimodal import (
         documents_as_media,
@@ -1109,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
         "m_media_features": m_media_features,
+        "m_frame_sample": m_frame_sample,
     }
 
 
@@ -1357,6 +1377,15 @@ def oracle_sql() -> dict[str, str]:
                            1, 4),
                        '|') AS fingerprint
             FROM base
+        """,
+        "m_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       greatest(CAST(floor(octet_length(encode(text)) / 1000.0)
+                                     AS BIGINT), 1) AS n
+                FROM documents)
+            SELECT media_id, n AS n_frames, n * (n - 1) // 2 AS idx_sum
+            FROM m
         """,
         "m_media_features": """
             SELECT doc_id AS media_id,
