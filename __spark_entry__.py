@@ -327,7 +327,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     bands = spark.createDataFrame(RANGE_BANDS, "band string, lo double, hi double")
-    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=20.0)
+    joined = range_join(
+        ev, bands, "value", "lo", "hi", bucket_width=20.0, broadcast_ranges=True
+    )
     return joined.groupBy("band").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )

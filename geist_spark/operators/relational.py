@@ -233,6 +233,7 @@ def range_join(
     upper_col: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_ranges: bool = False,
 ) -> DataFrame:
     """Point-in-range join (points.x BETWEEN ranges.lo AND ranges.hi,
     inclusive) as a bucketed EQUI-join.
@@ -259,5 +260,10 @@ def range_join(
     rng = ranges.withColumn(
         "__bucket", F.explode(F.sequence(lob, hib))
     )
+    if broadcast_ranges:
+        # dimension-sized ranges: broadcast the exploded range side so
+        # the (huge) point side never moves — at scale Spark's stats
+        # could otherwise pick the point side as the build side.
+        rng = F.broadcast(rng)
     joined = pts.join(rng, "__bucket", how).filter(p.between(lo, hi))
     return joined.drop("__bucket")
