@@ -634,3 +634,29 @@ def test_hll_rollup_merge_consistency(spark):
     assert merged["n_rows"] == 80
     # global merge (no group cols)
     assert hll_merge(fine).collect()[0]["distinct_est"] == 50
+
+
+def test_sql_section_joins_registered_views(spark):
+    """The sql escape hatch sees any registered table/view — stream
+    events can be enriched against catalog tables in plain SQL."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")],
+        "etype string, kind string",
+    ).createOrReplaceTempView("etype_dim")
+    spec = parse_spec(base_spec({
+        "extractFields": [EXTRACT],
+        "sql": """
+            SELECT d.kind, count(*) AS n
+            FROM __stream__ s JOIN etype_dim d ON s.etype = d.etype
+            GROUP BY d.kind
+        """,
+    }))
+    out = apply_analytics(
+        compile_transform(spec).apply(events_json(spark, ROWS[:4]), value_col="value"),
+        spec.transform,
+    )
+    got = {r["kind"]: r["n"] for r in out.collect()}
+    assert got == {"interactive": 3, "passive": 1}
