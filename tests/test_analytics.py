@@ -660,3 +660,45 @@ def test_sql_section_joins_registered_views(spark):
     )
     got = {r["kind"]: r["n"] for r in out.collect()}
     assert got == {"interactive": 3, "passive": 1}
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """window.gap through the streaming path: file-source events in
+    one user's two bursts -> two session rows after watermark close."""
+    from geist_spark.engine.api import Engine
+
+    src = str(tmp_path / "sess_src")
+    out_path = str(tmp_path / "sess_out")
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda s: (json.dumps({"u": 1, "ts": (t0 + dt.timedelta(seconds=s)).isoformat() + "Z"}),)
+    spark.createDataFrame([mk(0), mk(10), mk(120), mk(125)], "value string") \
+        .coalesce(1).write.parquet(src)
+    # a second file advances the watermark far enough to close both sessions
+    spark.createDataFrame([mk(4000)], "value string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark)
+    sid = eng.register_stream(base_spec({
+        "extractFields": [{"fields": [
+            {"id": "u", "jsonPath": "u", "type": "integer"},
+            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"}]}],
+        "aggregate": {
+            "watermark": {"field": "ts", "delay": "10 seconds"},
+            "window": {"field": "ts", "gap": "30 seconds"},
+            "groupBy": ["u"],
+            "aggregations": [{"fn": "count", "alias": "n"}],
+            "outputMode": "append",
+        },
+    }) | {
+        "streamIdSuffix": "sesstream",
+        "source": {"type": "file", "config": {"customConfig": {"path": src}}},
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    rows = spark.read.parquet(out_path).select("u", "n").collect()
+    got = sorted((r["u"], r["n"]) for r in rows)
+    assert got[:2] == [(1, 2), (1, 2)]
