@@ -526,6 +526,14 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ analytics dialect
 
 
+def s_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (see operators/similarity.py):
+    map-only array rewrite, oracle replays identical arithmetic."""
+    from geist_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `aggregate` section (engine extension, SURVEY §2.7):
     extract -> 1-hour tumbling window x event_type -> count/sum/distinct,
@@ -1115,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_near_dup": s_embedding_near_dup,
         "s_ann_lsh": s_ann_lsh,
         "s_ann_ivf": s_ann_ivf,
+        "s_quantize_embeddings": s_quantize_embeddings,
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_session_window": a_spec_session_window,
         "a_spec_stream_join": a_spec_stream_join,
@@ -1415,6 +1424,20 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM scored)
             WHERE rank <= 5
+        """,
+        "s_quantize_embeddings": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), m AS (
+                SELECT vec_id, v, list_max([abs(x) for x in v]) AS ma FROM e
+            ), s AS (
+                SELECT vec_id, v,
+                       CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS sc
+                FROM m
+            )
+            SELECT vec_id, round(sc, 6) AS scale,
+                   [CAST(floor(x * sc + 0.5) AS TINYINT) for x in v] AS q
+            FROM s
         """,
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),

@@ -283,3 +283,26 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame, value_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    q_i = floor(x_i * scale + 0.5) — 4x storage cut for embedding
+    corpora (the standard pre-ANN compression), dequantize by q/scale.
+
+    Pure JVM-side array expressions (transform/aggregate) — zero
+    shuffle, zero Python; at 100 TB this is a map-only rewrite of the
+    embedding column. floor(x+0.5) is used instead of round() so the
+    arithmetic is bit-identical across engines (the DuckDB oracle
+    replays the same expression)."""
+    v = F.col(value_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / max_abs)
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("byte"))
+    return embeddings.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+    )

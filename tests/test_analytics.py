@@ -702,3 +702,26 @@ def test_session_window_streaming(spark, tmp_path):
     rows = spark.read.parquet(out_path).select("u", "n").collect()
     got = sorted((r["u"], r["n"]) for r in rows)
     assert got[:2] == [(1, 2), (1, 2)]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """Quantization preserves direction: dequantized vector has
+    cosine ~1 vs the original; max |q| is exactly 127."""
+    import math
+
+    from geist_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    q1, s1 = rows[1]["q"], rows[1]["scale"]
+    assert q1 == [64, -127, 32] and abs(s1 - 127.0) < 1e-6
+    deq = [x / s1 for x in q1]
+    orig = [0.5, -1.0, 0.25]
+    cos = sum(a * b for a, b in zip(deq, orig)) / (
+        math.sqrt(sum(a * a for a in deq)) * math.sqrt(sum(b * b for b in orig))
+    )
+    assert cos > 0.9999
+    assert rows[2]["q"] == [0, 0, 0] and rows[2]["scale"] == 0.0
