@@ -414,6 +414,22 @@ def p_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
+
+
+def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (zero-shuffle md5
+    thresholds; unlisted sources kept at 25%)."""
+    from geist_spark.operators.split import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        STRATA_FRACTIONS,
+        default_fraction=0.25,
+        salt="strat",
+    ).select("doc_id", "source")
 
 
 # ---------------------------------------------------------------- similarity
@@ -1119,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_clusters": d_dedup_clusters,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
+        "p_stratified_sample": p_stratified_sample,
         "s_cosine_topk": s_cosine_topk,
         "s_embedding_near_dup": s_embedding_near_dup,
         "s_ann_lsh": s_ann_lsh,
@@ -1336,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "d_dedup_clusters": _dedup_clusters_oracle(num_hashes=16, bands=4),
         "p_dataset_split": _dataset_split_oracle(),
         "p_deterministic_sample": _deterministic_sample_oracle(0.1, "s1"),
+        "p_stratified_sample": _stratified_sample_oracle(),
         "t_quality_features": f"""
             WITH base AS (
                 SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
@@ -1636,6 +1654,20 @@ def _dataset_split_oracle() -> str:
         SELECT {case} AS split, count(*) AS n,
                round(avg(length(text)), 4) AS avg_len
         FROM documents GROUP BY 1
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    from geist_spark.operators.split import _hex_threshold
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex_threshold(f, 4)}'"
+        for s, f in STRATA_FRACTIONS.items()
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 4) <
+              (CASE {whens} ELSE '{_hex_threshold(0.25, 4)}' END)
     """
 
 

@@ -83,3 +83,25 @@ def split_oracle_case(key_sql: str, weights: dict[str, float]) -> str:
             f" '{_hex_threshold(cum, 2)}' THEN '{name}'"
         )
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    sources, keep all rare ones): each stratum value gets its own
+    md5-threshold. Same zero-shuffle / reproducible properties as
+    deterministic_sample; strata not listed get default_fraction."""
+    keyed = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    prefix = F.substring(keyed, 1, 4)
+    expr = F.lit(_hex_threshold(default_fraction, 4))
+    for stratum, frac in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac, 4))
+        ).otherwise(expr)
+    return df.filter(prefix < expr)

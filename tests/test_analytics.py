@@ -725,3 +725,20 @@ def test_quantize_embeddings_roundtrip(spark):
     )
     assert cos > 0.9999
     assert rows[2]["q"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_stratified_sample(spark):
+    from geist_spark.operators.split import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "book") for i in range(4000)],
+        "k long, src string",
+    )
+    out = stratified_sample(df, "k", "src", {"web": 0.1, "book": 0.9})
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["web"] / 2000 - 0.1) < 0.05
+    assert abs(got["book"] / 2000 - 0.9) < 0.05
+    # unlisted strata use default_fraction (0 -> dropped entirely)
+    df2 = df.union(spark.createDataFrame([(99990, "other")], "k long, src string"))
+    out2 = stratified_sample(df2, "k", "src", {"web": 0.5})
+    assert out2.filter("src = 'book' OR src = 'other'").count() == 0
