@@ -567,6 +567,9 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
     if not isinstance(d, dict):
         raise SpecError("spec must be a JSON object")
 
+    from geist_spark.spec.schema import validate_schema
+
+    validate_schema(d)
     _validate_structure(d)
 
     t = d.get("transform") or {}

@@ -112,3 +112,30 @@ def test_version_int_required():
     d = dict(MINIMAL, version="one")
     with pytest.raises(SpecError):
         parse_spec(d)
+
+
+def test_json_schema_layer():
+    """Structural JSON-Schema validation (reference spec.go:390-406):
+    unknown top-level keys, mistyped ops, bad opsPerEnv all rejected
+    with typed SpecError before semantic parsing."""
+    import pytest
+
+    from geist_spark.spec.model import SpecError, parse_spec
+
+    base = {
+        "namespace": "s", "streamIdSuffix": "x", "version": 1,
+        "description": "d", "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [{"id": "a", "jsonPath": "a"}]}]},
+        "sink": {"type": "void"},
+    }
+    parse_spec(base)  # sanity: valid spec passes
+    with pytest.raises(SpecError, match="schema violation"):
+        parse_spec(base | {"unknownTopLevelKey": 1})
+    with pytest.raises(SpecError, match="schema violation"):
+        parse_spec(base | {"ops": {"microBatchSize": "five-hundred"}})
+    with pytest.raises(SpecError, match="schema violation"):
+        parse_spec(base | {"ops": {"notAnOpsKey": True}})
+    with pytest.raises(SpecError, match="schema violation"):
+        parse_spec(base | {"opsPerEnv": {"prod": {"streamsPerPod": "two"}}})
+    with pytest.raises(SpecError, match="schema violation"):
+        parse_spec(base | {"transform": []})
