@@ -110,3 +110,21 @@ def test_kafka_sink_payload_projection(spark):
     ]}
     assert topic_for_env(cc, "dev") == "t-common"
     assert topic_for_env({"topic": [{"env": "prod", "name": "p"}]}, "prod") == "p"
+
+
+def test_pubsub_source_directs_to_factory_hook(spark):
+    """pubsub is an external connector in the reference too — the
+    engine directs users to the custom-source-factory hook."""
+    import pytest
+
+    from geist_spark.spec.model import parse_spec
+    from geist_spark.streaming.runner import build_source_stream
+
+    spec = parse_spec({
+        "namespace": "p", "streamIdSuffix": "ps", "version": 1,
+        "description": "d", "source": {"type": "pubsub"},
+        "transform": {"extractFields": [{"fields": [{"id": "a", "jsonPath": "a"}]}]},
+        "sink": {"type": "void"},
+    })
+    with pytest.raises(NotImplementedError, match="register_source_factory"):
+        build_source_stream(spark, spec)
