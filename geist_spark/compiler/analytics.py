@@ -43,6 +43,11 @@ _AGG_BUILDERS = {
     "collect_set": lambda c: F.array_sort(F.collect_set(c)),
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
+    # mergeable HLL sketch (binary column): persist per-cell sketches,
+    # roll up later with hll_union_agg/hll_sketch_estimate (see
+    # operators/sketch.py) — the pre-aggregated distinct-count cube
+    "hll_sketch": lambda c: F.hll_sketch_agg(c),
+    "hll_estimate": lambda c: F.hll_sketch_estimate(F.hll_sketch_agg(c)),
 }
 
 

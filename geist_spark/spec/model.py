@@ -289,6 +289,8 @@ _VALID_AGG_FNS = {
     "collect_set",
     "first",
     "last",
+    "hll_sketch",
+    "hll_estimate",
 }
 
 

@@ -742,3 +742,29 @@ def test_stratified_sample(spark):
     df2 = df.union(spark.createDataFrame([(99990, "other")], "k long, src string"))
     out2 = stratified_sample(df2, "k", "src", {"web": 0.5})
     assert out2.filter("src = 'book' OR src = 'other'").count() == 0
+
+
+def test_hll_aggregation_fns_in_spec(spark):
+    """hll_sketch / hll_estimate in the aggregate section: sketches
+    are persistable binaries; estimates match exact counts at test
+    cardinality."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    spec = parse_spec(base_spec({
+        "extractFields": [EXTRACT],
+        "aggregate": {
+            "groupBy": ["etype"],
+            "aggregations": [
+                {"fn": "hll_sketch", "field": "userId", "alias": "user_sketch"},
+                {"fn": "hll_estimate", "field": "userId", "alias": "users"},
+            ],
+        },
+    }))
+    out = apply_analytics(
+        compile_transform(spec).apply(events_json(spark, ROWS), value_col="value"),
+        spec.transform,
+    ).collect()
+    got = {r["etype"]: r for r in out}
+    assert got["click"]["users"] == 2 and got["view"]["users"] == 1
+    assert isinstance(got["click"]["user_sketch"], (bytes, bytearray))
