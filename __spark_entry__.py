@@ -389,6 +389,16 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def d_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-to-end: minhash pairs -> clusters -> keep the
+    min-id doc per cluster, pass unique docs through."""
+    from geist_spark.operators.dedup import keep_canonical, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    return keep_canonical(docs, pairs).select("doc_id")
+
+
 def p_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/val/test assignment, aggregated
     per split (stable across runs/engines/cluster sizes)."""
@@ -1133,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": d_simhash,
         "d_distinct_event_keys": d_distinct_event_keys,
         "d_dedup_clusters": d_dedup_clusters,
+        "d_keep_canonical": d_keep_canonical,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
@@ -1351,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type FROM events
         """,
         "d_dedup_clusters": _dedup_clusters_oracle(num_hashes=16, bands=4),
+        "d_keep_canonical": _keep_canonical_oracle(num_hashes=16, bands=4),
         "p_dataset_split": _dataset_split_oracle(),
         "p_deterministic_sample": _deterministic_sample_oracle(0.1, "s1"),
         "p_stratified_sample": _stratified_sample_oracle(),
@@ -1643,6 +1655,29 @@ def _dedup_clusters_oracle(num_hashes: int, bands: int) -> str:
             SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
         )
         SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
+
+
+def _keep_canonical_oracle(num_hashes: int, bands: int) -> str:
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
     """
 
 

@@ -305,3 +305,24 @@ def distinct_event_keys(events: DataFrame) -> DataFrame:
     """insertId-style dedup (SURVEY §2.2 bigquery insertIdFromId):
     distinct on the declared key columns."""
     return events.select("user_id", "event_type").distinct()
+
+
+def keep_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus dedup: cluster the near-dup pair graph and
+    keep ONE canonical doc (min id) per cluster; docs in no pair pass
+    through untouched. The left join is on the (small) cluster label
+    table — broadcast when it fits — so the corpus itself never
+    shuffles. This is the step a training-data pipeline actually runs
+    after minhash_lsh_pairs/ngram_jaccard_pairs."""
+    labels = dedup_clusters(pairs)
+    lab = labels.withColumnRenamed("doc_id", "__lbl_id")
+    out = documents.join(
+        F.broadcast(lab), documents[id_col] == lab["__lbl_id"], "left"
+    )
+    return out.filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == documents[id_col])
+    ).drop("__lbl_id", "cluster_id")

@@ -768,3 +768,15 @@ def test_hll_aggregation_fns_in_spec(spark):
     got = {r["etype"]: r for r in out}
     assert got["click"]["users"] == 2 and got["view"]["users"] == 1
     assert isinstance(got["click"]["user_sketch"], (bytes, bytearray))
+
+
+def test_keep_canonical(spark):
+    from geist_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs).collect())
+    # cluster {1,2,3} -> keep 1; 4 and 9 untouched
+    assert kept == [1, 4, 9]
