@@ -173,3 +173,45 @@ def test_hooks_apply_in_streaming(spark):
     assert rows, "no rows reached the sink"
     assert all(r["berry"] == "blueberry" for r in rows)  # SKIP dropped cloudberry
     assert all(r["tag"] == "hooked" for r in rows)       # enrichment applied
+
+
+def test_transform_error_routes_to_dlq_in_streaming(spark, tmp_path):
+    """Regexp non-match = unretryable event (transformer.go:229-242):
+    with HOUE=dlq the raw event lands in the DLQ parquet table while
+    good events keep flowing to the sink."""
+    import json
+
+    src = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    dlq_path = str(tmp_path / "dlq")
+    spark.createDataFrame(
+        [(json.dumps({"line": "GET /a 200"}),),
+         (json.dumps({"line": "no-match-here"}),),
+         (json.dumps({"line": "PUT /b 503"}),)],
+        "value string",
+    ).coalesce(1).write.parquet(src)
+
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "resil", "streamIdSuffix": "tdlq", "version": 1,
+        "description": "transform dlq",
+        "source": {"type": "file", "config": {"customConfig": {"path": src}}},
+        "transform": {
+            "extractFields": [{"fields": [{"id": "ln", "jsonPath": "line"}]}],
+            "regexp": {"expression": "^(?P<verb>[A-Z]+) (?P<path>\\S+) (?P<status>\\d+)$",
+                        "field": "ln"},
+        },
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+        "ops": {"handlingOfUnretryableEvents": "dlq",
+                "customProperties": {"dlqPath": dlq_path}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    good = spark.read.parquet(out_path).collect()
+    assert len(good) == 2
+    bad = spark.read.parquet(dlq_path).collect()
+    assert len(bad) == 1 and "no-match-here" in bad[0]["value"]
+    assert bad[0]["reason"] == "transform error"
