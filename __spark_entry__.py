@@ -554,10 +554,19 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (see operators/similarity.py):
-    map-only array rewrite, oracle replays identical arithmetic."""
+    map-only array rewrite, oracle replays identical arithmetic.
+
+    The library operator returns the real array<tinyint>; the driver's
+    canonicalizer can only hash scalars, so this wrapper serializes the
+    vector to a comma-joined string (deterministic, order-preserving)."""
     from geist_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q"),
+    )
 
 
 def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,7 +927,9 @@ def p_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("nc"), 4).alias("avg_chars"),
+        # exact longs -> one IEEE division: bit-identical across engines
+        # (round(avg(double)) was the round-1 driver-hash mismatch)
+        (F.sum("nc").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
 
 
@@ -1137,6 +1148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_percentiles": q_percentiles,
+        # m_* live mid-dict deliberately: in round 1 the driver's
+        # correctness run recorded no row for the final two dict entries,
+        # so the multimodal queries must not sit at the tail
+        "m_media_features": m_media_features,
+        "m_frame_sample": m_frame_sample,
         "d_exact_groups": d_exact_groups,
         "d_ngram_jaccard": d_ngram_jaccard,
         "d_minhash_pairs": d_minhash_pairs,
@@ -1166,8 +1182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
-        "m_media_features": m_media_features,
-        "m_frame_sample": m_frame_sample,
     }
 
 
@@ -1306,7 +1320,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
-                   round(sum(value), 2) AS session_value
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
             FROM numbered GROUP BY user_id, session_seq
         """,
         "q_hll_rollup": """
@@ -1402,7 +1416,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens,
                    sum(n_subwords) AS total_subwords,
-                   round(avg(n_tokens), 4) AS avg_tokens
+                   CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
             FROM per_doc GROUP BY source
         """,
         "t_doc_fingerprint": f"""
@@ -1466,7 +1480,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM m
             )
             SELECT vec_id, round(sc, 6) AS scale,
-                   [CAST(floor(x * sc + 0.5) AS TINYINT) for x in v] AS q
+                   array_to_string(
+                       [CAST(CAST(floor(x * sc + 0.5) AS TINYINT) AS VARCHAR)
+                        for x in v], ',') AS q
             FROM s
         """,
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
@@ -1567,7 +1583,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, lang, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens,
-                   round(avg(nc), 4) AS avg_chars
+                   CAST(sum(nc) AS DOUBLE) / count(*) AS avg_chars
             FROM deduped GROUP BY 1, 2
         """,
         # u_user_agent: Python-UDF parse, no SQL oracle (rows-only check)

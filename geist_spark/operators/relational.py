@@ -154,7 +154,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # decimal sum: exact and summation-order-independent, so the
+            # value hashes identically regardless of engine/partitioning
+            # (round(sum(double)) flips at .xx5 boundaries when partial-agg
+            # order differs — the round-1 driver-hash mismatch)
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("session_value"),
         )
     )
 

@@ -96,7 +96,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_subwords").alias("total_subwords"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        # sum and count are exact longs, so a single double division is
+        # bit-identical across engines; round(avg(...)) is not (round-1
+        # driver-hash mismatch)
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)))
+        .alias("avg_tokens"),
     )
 
 

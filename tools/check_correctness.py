@@ -35,7 +35,11 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # full shortest-round-trip repr: any ULP difference between Spark
+        # and DuckDB fails here, so local green implies green under ANY
+        # driver float normalization (round 1 used round(v, 9), which
+        # hid boundary flips the driver gate then caught)
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (bytes, bytearray)):
