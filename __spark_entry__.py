@@ -987,9 +987,10 @@ def k_max_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def e_eventsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eventsim source (reference eventsim.go): one generated tick,
-    parsed back through the extract transform. Generators are random
-    by design -> rows-only check (no SQL oracle); the generator
-    semantics themselves are golden-tested in tests/test_eventsim.py."""
+    parsed back through the extract transform. Seeded generation is
+    md5-derived per row id (partition-invariant), so the DuckDB oracle
+    replays the exact arithmetic: uuid = formatted md5(id|uuid|seed),
+    uniform_k = int(md5(id|r|k|seed)[:13], 16) / 2^52."""
     from geist_spark.sources.eventsim import EventSim, parse_sim_config
 
     sim = EventSim(
@@ -1033,8 +1034,10 @@ def e_eventsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """userAgent scalar transform (ua.go:31-62) over synthetic UA
-    strings derived from event_type. Python-side parse -> no SQL
-    oracle; the driver records a rows-only check."""
+    strings derived from event_type. The parse itself is Python (Arrow
+    pandas UDF); the oracle is a 3-arm CASE over the golden JSON
+    outputs (pinned in tests/test_transform.py), so the driver gate
+    hash-checks the full UDF plumbing."""
     from geist_spark.functions.ua import ua_udf
 
     ev = _t(spark, sf_dir, "events")
@@ -1586,8 +1589,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nc) AS DOUBLE) / count(*) AS avg_chars
             FROM deduped GROUP BY 1, 2
         """,
-        # u_user_agent: Python-UDF parse, no SQL oracle (rows-only check)
+        "e_eventsim_batch": _eventsim_oracle(seed=42, n=10_000),
+        "u_user_agent": _user_agent_oracle(),
     }
+
+
+def _eventsim_oracle(seed: int, n: int) -> str:
+    """Replays the seeded eventsim arithmetic (sources/eventsim.py
+    _rand/_gen_value): salt 1 = berry.type predefined pick (factors
+    7/3), salt 2 = berry.amount int in [1, 50]."""
+    two52 = float(1 << 52)
+
+    def u(salt: int) -> str:
+        return (
+            f"('0x' || substr(md5(CAST(i AS VARCHAR) || '|r|{salt}|{seed}'), 1, 13))"
+            f"::BIGINT / {two52!r}"
+        )
+
+    return f"""
+        WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+        h AS (
+            SELECT md5(CAST(i AS VARCHAR) || '|uuid|{seed}') AS hu,
+                   {u(1)} AS u1, {u(2)} AS u2
+            FROM ids
+        )
+        SELECT substr(hu, 1, 8) || '-' || substr(hu, 9, 4) || '-' ||
+               substr(hu, 13, 4) || '-' || substr(hu, 17, 4) || '-' ||
+               substr(hu, 21, 12) AS "eventId",
+               CASE WHEN floor(u1 * 10) < 7 THEN 'blueberry'
+                    ELSE 'cloudberry' END AS berry,
+               CAST(floor(u2 * 50 + 1) AS BIGINT) AS amount
+        FROM h
+    """
+
+
+def _user_agent_oracle() -> str:
+    """Golden outputs of parse_user_agent for the three UA literals in
+    u_user_agent (same goldens pinned in tests/test_transform.py)."""
+    g_click = (
+        '{"platform":"Windows","operatingSystem":{"name":"Windows",'
+        '"fullName":"Windows 10","version":"10.0"},"localization":"",'
+        '"browser":{"name":"Chrome","version":"109.0.0.0",'
+        '"engine":"AppleWebKit","engineVersion":"537.36"},'
+        '"bot":false,"mobile":false}'
+    )
+    g_view = (
+        '{"platform":"iPhone","operatingSystem":{"name":"iPhone OS",'
+        '"fullName":"CPU iPhone OS 16_3 like Mac OS X","version":"16.3"},'
+        '"localization":"","browser":{"name":"Safari","version":"16.3",'
+        '"engine":"AppleWebKit","engineVersion":"605.1.15"},'
+        '"bot":false,"mobile":true}'
+    )
+    g_bot = (
+        '{"platform":"+http://www.google.com/bot.html",'
+        '"operatingSystem":{"name":"",'
+        '"fullName":"+http://www.google.com/bot.html","version":""},'
+        '"localization":"","browser":{"name":"Googlebot","version":"2.1",'
+        '"engine":"","engineVersion":""},"bot":true,"mobile":false}'
+    )
+    return f"""
+        SELECT event_id,
+               CASE WHEN event_type = 'click' THEN '{g_click}'
+                    WHEN event_type = 'view' THEN '{g_view}'
+                    ELSE '{g_bot}' END AS ua_json
+        FROM events
+    """
 
 
 def _simhash_oracle(bits: int) -> str:

@@ -126,9 +126,26 @@ class EventSim:
 
     # -- randomness helpers -----------------------------------------
 
-    def _rand(self) -> Column:
-        """Uniform [0,1) column; independent per call site."""
+    def _rand(self, id_col: Column | None = None) -> Column:
+        """Uniform [0,1) column; independent per call site.
+
+        Seeded runs derive the uniform from md5(row id, call site, seed)
+        rather than F.rand(seed): rand(seed) is partition-dependent, so
+        seeded output would change with cluster parallelism. The hash
+        form is partition-invariant (the same row id generates the same
+        event on 1 or 1000 executors) and exactly replayable by the
+        DuckDB oracle (13 hex chars = 52 bits -> exact double)."""
         self._salt += 1
+        if self.seed is not None and id_col is not None:
+            h = F.md5(
+                F.concat(
+                    id_col.cast("string"),
+                    F.lit(f"|r|{self._salt}|{self.seed}"),
+                )
+            )
+            return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+                float(1 << 52)
+            )
         if self.seed is not None:
             return F.rand(self.seed + self._salt)
         return F.rand()
@@ -146,23 +163,23 @@ class EventSim:
     def _gen_value(self, fg: FieldGen, id_col: Column) -> tuple[Column, str]:
         """-> (expr, kind) where kind hints the JSON scalar type."""
         if fg.predefined:
-            return self._gen_predefined(fg)
+            return self._gen_predefined(fg, id_col)
         v = fg.randomized or {}
         t = v.get("type", "")
         lo, hi = float(v.get("min", 0)), float(v.get("max", 0))
         if t in ("int", "integer"):
             return (
-                F.floor(self._rand() * (hi + 1 - lo) + lo).cast("long"),
+                F.floor(self._rand(id_col) * (hi + 1 - lo) + lo).cast("long"),
                 "long",
             )
         if t == "float":
             digits = int(v.get("maxFractionDigits", 0)) or DEFAULT_MAX_FRACTION_DIGITS
             # reference quirk: rand()*max clamped up to min (eventsim.go:520-526)
-            return F.round(F.greatest(self._rand() * hi, F.lit(lo)), digits), "double"
+            return F.round(F.greatest(self._rand(id_col) * hi, F.lit(lo)), digits), "double"
         if t == "string":
             cs = self.charsets.get(v.get("charset", ""), DEFAULT_CHARSET)
             cs_arr = F.array(*[F.lit(c) for c in cs])
-            strlen = F.floor(self._rand() * (hi + 1 - lo) + lo).cast("int")
+            strlen = F.floor(self._rand(id_col) * (hi + 1 - lo) + lo).cast("int")
             chars = F.transform(
                 F.sequence(F.lit(1), strlen),
                 lambda i: F.element_at(
@@ -171,7 +188,7 @@ class EventSim:
             )
             return F.array_join(chars, ""), "string"
         if t in ("bool", "boolean"):
-            return (self._rand() < 0.5), "boolean"
+            return (self._rand(id_col) < 0.5), "boolean"
         if t == "uuid":
             if self.seed is None:
                 return F.expr("uuid()"), "string"
@@ -191,7 +208,7 @@ class EventSim:
             jitter_ms = int(v.get("jitterMilliseconds", 0))
             ts = F.current_timestamp()
             if jitter_ms:
-                delta_us = ((self._rand() * 2 - 1) * jitter_ms * 1000).cast("long")
+                delta_us = ((self._rand(id_col) * 2 - 1) * jitter_ms * 1000).cast("long")
                 ts = F.timestamp_micros(F.unix_micros(ts) + delta_us)
             fmt = (
                 "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
@@ -201,10 +218,10 @@ class EventSim:
             return F.date_format(ts, fmt), "string"
         raise ValueError(f"unsupported type for randomized values: {t}")
 
-    def _gen_predefined(self, fg: FieldGen) -> tuple[Column, str]:
+    def _gen_predefined(self, fg: FieldGen, id_col: Column | None = None) -> tuple[Column, str]:
         """Weighted pick via cumulative ranges (eventsim.go:575-624)."""
         total = sum(factor for _, factor in fg.predefined)
-        r = F.floor(self._rand() * total)
+        r = F.floor(self._rand(id_col) * total)
         kind = _common_kind([v for v, _ in fg.predefined])
         expr: Column | None = None
         acc = 0
