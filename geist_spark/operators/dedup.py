@@ -199,17 +199,37 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via shingle inverted index.
 
     Candidate generation = self-join on shingle (only pairs sharing at
     least one shingle are compared — never all-pairs), then
-    |A∩B| from the join, |A|,|B| from per-doc counts. At scale the
-    hot shingles (stop-phrases) should be frequency-capped; here the
-    shingle sets are already distinct per doc."""
+    |A∩B| from the join, |A|,|B| from per-doc counts.
+
+    `max_shingle_freq` is the 100 TB guard (the analogue of
+    minhash_lsh_pairs' max_bucket_size): a shingle shared by m docs
+    contributes m^2/2 rows to the self-join, so one stop-phrase can
+    dominate the whole job. Shingles above the document-frequency cap
+    are dropped from the index — |A∩B| then undercounts by the capped
+    shingles, so reported jaccard is a LOWER BOUND for pairs sharing
+    them (|A|,|B| stay exact, computed pre-cap). That bias is the
+    standard trade: a capped shingle appears in ~every doc and carries
+    no discriminating signal, so true near-dups still clear the
+    threshold on their remaining shingles. The frequency count rides
+    the same hash partitioning as the join key."""
     sh = shingles(documents, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -311,18 +331,25 @@ def keep_canonical(
     documents: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_broadcast_labels: int = 2_000_000,
 ) -> DataFrame:
     """End-to-end corpus dedup: cluster the near-dup pair graph and
     keep ONE canonical doc (min id) per cluster; docs in no pair pass
-    through untouched. The left join is on the (small) cluster label
-    table — broadcast when it fits — so the corpus itself never
-    shuffles. This is the step a training-data pipeline actually runs
-    after minhash_lsh_pairs/ngram_jaccard_pairs."""
+    through untouched. This is the step a training-data pipeline
+    actually runs after minhash_lsh_pairs/ngram_jaccard_pairs.
+
+    The label table has one row per doc appearing in ANY near-dup
+    pair — on a crawl-like corpus that is a double-digit percentage of
+    all docs, far past any broadcast limit. So the broadcast hint is
+    GATED: labels are already materialized (dedup_clusters ends on an
+    eager localCheckpoint), making count() free; small label sets
+    broadcast (corpus never shuffles), large ones fall through to a
+    plain join where AQE picks the strategy from runtime stats."""
     labels = dedup_clusters(pairs)
     lab = labels.withColumnRenamed("doc_id", "__lbl_id")
-    out = documents.join(
-        F.broadcast(lab), documents[id_col] == lab["__lbl_id"], "left"
-    )
+    if labels.count() <= max_broadcast_labels:
+        lab = F.broadcast(lab)
+    out = documents.join(lab, documents[id_col] == lab["__lbl_id"], "left")
     return out.filter(
         F.col("cluster_id").isNull() | (F.col("cluster_id") == documents[id_col])
     ).drop("__lbl_id", "cluster_id")

@@ -780,3 +780,51 @@ def test_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs).collect())
     # cluster {1,2,3} -> keep 1; 4 and 9 untouched
     assert kept == [1, 4, 9]
+
+
+def test_keep_canonical_oversized_label_set_skips_broadcast(spark):
+    """max_broadcast_labels gate: with the hint forced off (cap 0) the
+    non-broadcast join path must produce identical results, and the
+    physical plan must not contain a broadcast of the label table."""
+    from geist_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 30)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a long, doc_b long"
+    )
+    out = keep_canonical(docs, pairs, max_broadcast_labels=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # chain 1..20 is one cluster -> keep 1; 21..29 untouched
+    assert kept == [1] + list(range(21, 30))
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_freq drops stop-phrase shingles from the index: the
+    universal boilerplate shingle alone must not make every doc pair a
+    candidate, while true near-dups still clear the threshold."""
+    from geist_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"alpha beta gamma delta {boiler}"),  # near-dup of 1
+            (3, f"epsilon zeta eta theta {boiler}"),
+            (4, f"iota kappa lambda mu {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, k=3, threshold=0.01)
+    capped = ngram_jaccard_pairs(docs, k=3, threshold=0.01, max_shingle_freq=2)
+    un_pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # uncapped: the shared boilerplate shingle links every doc pair
+    assert (3, 4) in un_pairs
+    # capped: boilerplate shingle (df=4 > 2) dropped -> unrelated docs
+    # no longer pair up, but the true near-dup pair survives
+    assert (3, 4) not in cap_pairs
+    assert (1, 2) in cap_pairs
