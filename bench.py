@@ -8,6 +8,11 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a noop write (full execution, no
 driver-side collect cost). A short warmup query primes the JVM/codegen
 before timing.
+
+Per-query time is the BEST of $SPARK_GRAFT_BENCH_RUNS runs (default 2):
+single cold numbers on a shared host swing 2-15x with page-cache and
+CPU contention (round-1 g_timeconv: 17.7 s cold vs 3.2 s warm on an
+identical plan), so best-of-N measures the plan, not the host.
 """
 
 from __future__ import annotations
@@ -36,12 +41,17 @@ def main() -> int:
     # warmup: JVM + codegen + parquet footer caches
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
+        best = -1.0
         try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
