@@ -110,6 +110,13 @@ class Engine:
         """Single-event synchronous ingestion (geist.go:123-145)."""
         stream = self._streams.get(stream_id)
         if stream is None:
+            # disabled streams are popped from _streams on the registry
+            # event, so distinguish "disabled" from "never existed" via
+            # the registry (the reference returns ErrCodeStreamDisabled,
+            # not not-found, geist.go:131-137)
+            spec = self.registry.get(stream_id)
+            if spec is not None and spec.disabled:
+                raise RegistryError(f"stream {stream_id} is disabled")
             raise KeyError(f"no such stream: {stream_id}")
         if stream.spec.disabled:
             raise RegistryError(f"stream {stream_id} is disabled")

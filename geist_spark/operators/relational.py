@@ -257,19 +257,37 @@ def range_join(
 
     Columns from both inputs are kept (overlapping names must be
     disambiguated by the caller).
+
+    `how` may be 'inner' or 'left' (left = keep every point, NULL range
+    columns when no range contains it). A point hashes to exactly ONE
+    bucket, so moving the BETWEEN predicate into the join condition
+    gives exact left-outer semantics with no duplicate unmatched rows.
+    Range-preserving ('right'/'full') outer joins are rejected: the
+    range side is exploded per bucket, so unmatched ranges would need a
+    post-join dedup — use ranges as the point side or anti-join instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}: the "
+            "range side is bucket-exploded, so range-preserving outer "
+            "joins would duplicate unmatched ranges"
+        )
     p, lo, hi = F.col(point_col), F.col(lower_col), F.col(upper_col)
     b = F.floor(p / F.lit(bucket_width)).cast("long")
     lob = F.floor(lo / F.lit(bucket_width)).cast("long")
     hib = F.floor(hi / F.lit(bucket_width)).cast("long")
-    pts = points.withColumn("__bucket", b)
+    pts = points.withColumn("__bucket_p", b)
     rng = ranges.withColumn(
-        "__bucket", F.explode(F.sequence(lob, hib))
+        "__bucket_r", F.explode(F.sequence(lob, hib))
     )
     if broadcast_ranges:
         # dimension-sized ranges: broadcast the exploded range side so
         # the (huge) point side never moves — at scale Spark's stats
         # could otherwise pick the point side as the build side.
         rng = F.broadcast(rng)
-    joined = pts.join(rng, "__bucket", how).filter(p.between(lo, hi))
-    return joined.drop("__bucket")
+    # equality conjunct keeps this a hash equi-join; BETWEEN rides as
+    # the residual INSIDE the condition so unmatched points survive a
+    # left join (a post-join filter would silently drop them)
+    cond = (F.col("__bucket_p") == F.col("__bucket_r")) & p.between(lo, hi)
+    joined = pts.join(rng, cond, how)
+    return joined.drop("__bucket_p", "__bucket_r")

@@ -182,7 +182,10 @@ class StreamingStream:
                         _t.sleep(retry_backoff_ms / 1000.0 * (2 ** (attempt - 1)))
                         continue
                     if houe == HOUE_DISCARD:
-                        self.metrics.events_failed += 1
+                        # count dropped EVENTS, not micro-batches, to
+                        # match the DLQ branch and the reference's
+                        # per-event counters (entity/common.go:36-62)
+                        self.metrics.events_failed += out.count()
                         return
                     if houe == HOUE_DLQ:
                         self.metrics.events_failed += self.dlq.add_df(
@@ -430,10 +433,16 @@ class StreamingSupervisor:
                             sid, _exc_summary(q), next_try[sid] - now,
                         )
                     elif now >= next_try[sid]:
-                        next_try[sid] = now + backoff[sid]
+                        # double on EVERY attempt (capped), mirroring the
+                        # reference executor's per-retry doubling
+                        # (executor.go:137-150) — a persistently failing
+                        # query walks 4s -> 8s -> ... -> cap, not a
+                        # fixed interval
+                        b = backoff.get(sid, self._backoff0)
+                        next_try[sid] = now + b
+                        backoff[sid] = min(b * 2, self._backoff_cap)
                         try:
                             ss.start()
-                            next_try[sid] = now + backoff[sid]
                         except Exception:
                             log.exception("restart of %s failed", sid)
                 time.sleep(poll_s)

@@ -503,6 +503,32 @@ def test_range_join_overlapping_bands(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_range_join_left_keeps_unmatched_points(spark):
+    """how='left': a point in no range survives with NULL range cols,
+    exactly once; matched points are not duplicated."""
+    from geist_spark.operators.relational import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 999.0)], "pid int, x double"
+    )
+    rng = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 4.0, 26.0)],
+        "rid string, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in range_join(
+            pts, rng, "x", "lo", "hi", bucket_width=7.0, how="left"
+        ).collect()
+    )
+    assert got == [
+        (1, "a"), (1, "c"), (2, "a"), (2, "b"), (2, "c"), (3, "c"),
+        (4, None),
+    ]
+    with pytest.raises(ValueError, match="inner"):
+        range_join(pts, rng, "x", "lo", "hi", bucket_width=7.0, how="full")
+
+
 def test_stream_join_spec_validation():
     with pytest.raises(SpecError, match="exactly one of"):
         parse_spec(base_spec({

@@ -74,8 +74,12 @@ def test_disabled_stream(engine):
     spec2 = make_spec(suffix="dis", version=2)
     spec2["disabled"] = True
     engine.register_stream(spec2)
-    with pytest.raises((RegistryError, KeyError)):
+    # must surface as "disabled" (reference ErrCodeStreamDisabled,
+    # geist.go:131-137), not as an unknown-stream KeyError
+    with pytest.raises(RegistryError, match="disabled"):
         engine.publish(sid, '{"name": "a"}')
+    with pytest.raises(KeyError):
+        engine.publish("never-registered", '{"name": "a"}')
 
 
 def test_keyed_table_sink_and_readback(engine, spark):
