@@ -61,23 +61,9 @@ def build_source_stream(
         sim = EventSim(parse_sim_config(cc), seed=seed)
         return sim.stream(spark)
     if stype == "kafka":
-        topics = _topics_for_env(cc, env)
-        reader = (
-            spark.readStream.format("kafka")
-            .option("subscribe", ",".join(topics))
+        reader = spark.readStream.format("kafka").options(
+            **kafka_reader_options(spec, env)
         )
-        for p in spec.source.properties:
-            # consumer props pass through with kafka. prefix
-            reader = reader.option(f"kafka.{p.key}", p.value)
-        if spec.ops.micro_batch and spec.ops.micro_batch_size:
-            # ops.microBatchSize (entity/spec.go:12-18) -> per-trigger
-            # record cap; Spark's closest contract to the reference's
-            # event-count micro-batches
-            reader = reader.option(
-                "maxOffsetsPerTrigger", str(spec.ops.micro_batch_size)
-            )
-        servers = cc.get("bootstrapServers", "localhost:9092")
-        reader = reader.option("kafka.bootstrap.servers", servers)
         try:
             df = reader.load()
         except Exception as e:  # connector jar not on the classpath
@@ -115,6 +101,27 @@ def _exc_summary(q: StreamingQuery) -> str:
         return "unknown"
 
 
+def kafka_reader_options(spec: Spec, env: str = "") -> dict[str, str]:
+    """Kafka reader options from the spec's source section — pure and
+    broker-free, so the full option contract is unit-testable without
+    the connector jar (spec shape
+    test/specs/kafkasrc-bigquerysink-fooevents.json:9-41):
+    per-env topic subscription, consumer props under the `kafka.`
+    prefix, ops.microBatchSize (entity/spec.go:12-18) as
+    maxOffsetsPerTrigger — Spark's closest contract to the reference's
+    event-count micro-batches."""
+    cc = spec.source.custom_config or {}
+    opts: dict[str, str] = {"subscribe": ",".join(_topics_for_env(cc, env))}
+    for p in spec.source.properties:
+        opts[f"kafka.{p.key}"] = p.value
+    if spec.ops.micro_batch and spec.ops.micro_batch_size:
+        opts["maxOffsetsPerTrigger"] = str(spec.ops.micro_batch_size)
+    opts["kafka.bootstrap.servers"] = cc.get(
+        "bootstrapServers", "localhost:9092"
+    )
+    return opts
+
+
 def _topics_for_env(cc: dict, env: str) -> list[str]:
     """Per-env topic names (spec shape
     test/specs/kafkasrc-bigquerysink-fooevents.json:9-41)."""
@@ -141,6 +148,7 @@ class StreamingStream:
     metrics: Metrics = dc_field(default_factory=Metrics)
     dlq: "DeadLetterQueue | None" = None
     query: StreamingQuery | None = None
+    dlq_query: StreamingQuery | None = None
 
     def start(self) -> StreamingQuery:
         from geist_spark.engine.dlq import DeadLetterQueue
@@ -236,8 +244,9 @@ class StreamingStream:
             # watermark dedup, stream-stream join) must live on the
             # STREAMING DataFrame — inside foreachBatch they would only
             # see one micro-batch of state. The batch body just loads
-            # results; transform error routing (DLQ) is not available
-            # in this mode.
+            # results. Transform-error routing runs as a PARALLEL query
+            # over a second read of the source (below): rejected events
+            # can't be observed from inside the stateful plan.
             right = None
             j = self.spec.transform.join
             if j is not None and j.stream is not None:
@@ -270,6 +279,27 @@ class StreamingStream:
             writer = (
                 data.writeStream.foreachBatch(process_analytics).outputMode(mode)
             )
+            if houe == HOUE_DLQ:
+                # parallel DLQ query: re-read the source and route
+                # transform-rejected raw events to the DLQ table. Own
+                # checkpoint; kafka re-consumes under a shadow group —
+                # the cost of keeping the main plan purely stateful.
+                dlq_source = build_source_stream(
+                    self.spark, self.spec, self.env, self.source_factories
+                )
+
+                def process_rejects(batch_df: DataFrame, epoch_id: int) -> None:
+                    bad = ct.rejected(batch_df, value_col=value_col)
+                    self.metrics.events_failed += self.dlq.add_df(
+                        bad, value_col=value_col, reason="transform error"
+                    )
+
+                self.dlq_query = (
+                    dlq_source.writeStream.foreachBatch(process_rejects)
+                    .option("checkpointLocation", checkpoint + "_dlq")
+                    .queryName(f"{self.spec.id}-dlq")
+                    .start()
+                )
         else:
             writer = source.writeStream.foreachBatch(process)
         self.query = (
@@ -284,6 +314,8 @@ class StreamingStream:
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:
             self.query.stop()
+        if self.dlq_query is not None and self.dlq_query.isActive:
+            self.dlq_query.stop()
 
     def await_batches(self, n: int = 1, timeout_s: float = 60.0) -> None:
         """Test helper: block until >= n micro-batches have been sunk.

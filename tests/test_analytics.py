@@ -796,6 +796,32 @@ def test_hll_aggregation_fns_in_spec(spark):
     assert isinstance(got["click"]["user_sketch"], (bytes, bytearray))
 
 
+def test_sessionize_agrees_with_session_window(spark):
+    """The two sessionization paths — lag+cumsum (operators.relational
+    .sessionize) and native F.session_window (spec-dialect aggregate)
+    — must produce the SAME sessions on the same data: one row per
+    (user, session-start) with equal event counts and values. They
+    disagree-proof each other (VERDICT r1 item 7)."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    a = {
+        (r["user_id"], r["session_start"], r["n_events"],
+         round(r["session_value"], 2))
+        for r in entry_mod.q_sessionize(spark, sf_dir).collect()
+    }
+    b = {
+        (r["uid"], r["session_start"], r["n_events"],
+         round(r["session_value"], 2))
+        for r in entry_mod.a_spec_session_window(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
 def test_keep_canonical(spark):
     from geist_spark.operators.dedup import keep_canonical
 

@@ -215,3 +215,68 @@ def test_transform_error_routes_to_dlq_in_streaming(spark, tmp_path):
     bad = spark.read.parquet(dlq_path).collect()
     assert len(bad) == 1 and "no-match-here" in bad[0]["value"]
     assert bad[0]["reason"] == "transform error"
+
+
+def test_analytics_mode_routes_transform_errors_to_dlq(spark, tmp_path):
+    """Analytics (session-window) specs keep DLQ routing: the stateful
+    plan can't observe rejected events, so a parallel query re-reads
+    the source and routes regexp non-matches to the DLQ table while
+    the session aggregation keeps running (VERDICT r1 item 8)."""
+    import json
+
+    src = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    dlq_path = str(tmp_path / "dlq")
+    rows = [
+        {"line": "GET /a 200", "ts": "2024-01-01T00:00:10Z", "uid": 1},
+        {"line": "broken event", "ts": "2024-01-01T00:00:20Z", "uid": 1},
+        {"line": "PUT /b 503", "ts": "2024-01-01T00:05:00Z", "uid": 2},
+    ]
+    spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string"
+    ).coalesce(1).write.parquet(src)
+    # a late file advances the watermark far enough to close sessions
+    spark.createDataFrame(
+        [(json.dumps({"line": "GET /z 200", "ts": "2024-01-01T03:00:00Z",
+                      "uid": 9}),)],
+        "value string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "resil", "streamIdSuffix": "adlq", "version": 1,
+        "description": "analytics dlq",
+        "source": {"type": "file", "config": {"customConfig": {"path": src}}},
+        "transform": {
+            "extractFields": [{"fields": [
+                {"id": "ln", "jsonPath": "line"},
+                {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                {"id": "uid", "jsonPath": "uid", "type": "integer"},
+            ]}],
+            "regexp": {"expression": "^(?P<verb>[A-Z]+) (?P<path>\\S+) (?P<status>\\d+)$",
+                        "field": "ln"},
+            "aggregate": {
+                "watermark": {"field": "ts", "delay": "10 seconds"},
+                "window": {"field": "ts", "gap": "30 minutes"},
+                "groupBy": ["uid"],
+                "aggregations": [{"fn": "count", "alias": "n"}],
+                "outputMode": "append",
+            },
+        },
+        "sink": {"type": "keyedTable", "config": {"customConfig": {"path": out_path}}},
+        "ops": {"handlingOfUnretryableEvents": "dlq",
+                "customProperties": {"dlqPath": dlq_path}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        assert ss.dlq_query is not None, "parallel DLQ query must start"
+        ss.query.processAllAvailable()
+        ss.dlq_query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    bad = spark.read.parquet(dlq_path).collect()
+    assert len(bad) == 1 and "broken event" in bad[0]["value"]
+    assert bad[0]["reason"] == "transform error"
+    # the session aggregation itself kept flowing to the sink
+    good = spark.read.parquet(out_path).collect()
+    assert len(good) >= 1
