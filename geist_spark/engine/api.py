@@ -30,17 +30,79 @@ from geist_spark.sinks.void import VoidLoader
 from geist_spark.spec.model import Spec
 
 
+def registry_stream_spec(path: str) -> dict:
+    """The registry's OWN stream spec (reference regspec.go:15-100):
+    source = geistapi (specs are published as events), transform =
+    namespace/streamIdSuffix for the row key + the raw spec JSON,
+    sink = keyed table keyed by `namespace-streamIdSuffix` with
+    maxVersions=1 (latest version wins on readback — firestore's
+    upsert semantics, regspec.go:58-98)."""
+    return {
+        "namespace": "geist",
+        "streamIdSuffix": "spec-reg",
+        "version": 1,
+        "description": "registry bootstrap stream",
+        "source": {"type": "geistapi"},
+        "transform": {
+            "extractFields": [
+                {
+                    "fields": [
+                        {"id": "namespace", "jsonPath": "namespace"},
+                        {"id": "streamIdSuffix", "jsonPath": "streamIdSuffix"},
+                        # raw event (no jsonPath) = the spec JSON itself
+                        {"id": "specData", "type": "string"},
+                    ]
+                }
+            ]
+        },
+        "sink": {
+            "type": "keyedTable",
+            "config": {
+                "customConfig": {
+                    "path": path,
+                    "rowKeyFields": ["namespace", "streamIdSuffix"],
+                    "rowKeyDelimiter": "-",
+                    "maxVersions": 1,
+                }
+            },
+        },
+    }
+
+
+class RegistryStreamStorage:
+    """Registry-as-a-stream storage: specs persist by PUBLISHING them
+    into the registry's own geist stream (registry.go:229-251), and
+    boot-time fetch is sink READBACK (ExtractFromSink QueryTypeAll,
+    registry.go:110-145) — the reference's bootstrap property."""
+
+    def __init__(self, stream: Stream):
+        self.stream = stream
+
+    def persist(self, spec: Spec) -> None:
+        self.stream.publish(spec.json())
+
+    def load_all(self) -> list[str]:
+        ext = self.stream.sink_extractor
+        if ext is None:
+            return []
+        try:
+            df = ext.extract_all()
+        except Exception:  # first boot: sink table does not exist yet
+            return []
+        return [r["specData"] for r in df.select("specData").collect()]
+
+
 class Engine:
     def __init__(
         self,
         spark: SparkSession,
         env: str = "",
         registry_path: str | None = None,
+        registry_mode: str = "stream",
         pre_transform_hook: PreTransformHook | None = None,
         post_transform_hook: PostTransformHook | None = None,
     ):
         self.spark = spark
-        self.registry = SpecRegistry(env=env, storage_path=registry_path)
         self.notifier = Notifier()
         self.pre_hook = pre_transform_hook
         self.post_hook = post_transform_hook
@@ -48,6 +110,7 @@ class Engine:
         self._loader_factories: dict[str, LoaderFactory] = {}
         self._source_factories: dict[str, Callable] = {}
         self._supervisor = None
+        self._registry_stream: Stream | None = None
 
         # native sinks (void natively; GCP sinks emulated as keyed tables)
         self.register_loader_factory(LoaderFactory("void", VoidLoader))
@@ -64,6 +127,28 @@ class Engine:
                     new_sink_extractor=lambda spark, spec: None,
                 )
             )
+        # registry storage: by default the registry is ITSELF a stream
+        # (reference init.go:68-82 initRegistry builds the reg stream
+        # before anything else); "file" keeps the plain-JSON backend
+        storage = None
+        if registry_path:
+            if registry_mode == "stream":
+                from geist_spark.spec.model import parse_spec
+
+                self._registry_stream = self._build_stream(
+                    parse_spec(registry_stream_spec(registry_path)),
+                    with_hooks=False,
+                )
+                storage = RegistryStreamStorage(self._registry_stream)
+            elif registry_mode == "file":
+                from geist_spark.engine.registry import FileStorage
+
+                storage = FileStorage(registry_path)
+            else:
+                raise ValueError(
+                    f"registry_mode must be 'stream' or 'file', got {registry_mode!r}"
+                )
+        self.registry = SpecRegistry(env=env, storage=storage)
         self.registry.on_modified(self._on_registry_modified)
         # deploy every spec fetched from persistent storage — the
         # reference's Supervisor.Init createStreams for all cached
@@ -194,6 +279,8 @@ class Engine:
         for s in self._streams.values():
             s.loader.shutdown()
         self._streams.clear()
+        if self._registry_stream is not None:
+            self._registry_stream.loader.shutdown()
         if self._supervisor is not None:
             self._supervisor.shutdown()
 
@@ -225,7 +312,7 @@ class Engine:
                 post_hook=self.post_hook,
             )
 
-    def _build_stream(self, spec: Spec) -> Stream:
+    def _build_stream(self, spec: Spec, with_hooks: bool = True) -> Stream:
         factory = self._loader_factories.get(spec.sink.type)
         if factory is None:
             raise RegistryError(f"unknown sink type: {spec.sink.type}")
@@ -236,7 +323,8 @@ class Engine:
             transform=compile_transform(spec),
             loader=loader,
             sink_extractor=loader if hasattr(loader, "extract_all") else None,
-            pre_hook=self.pre_hook,
-            post_hook=self.post_hook,
+            # client hooks never see the internal registry stream
+            pre_hook=self.pre_hook if with_hooks else None,
+            post_hook=self.post_hook if with_hooks else None,
             notifier=self.notifier,
         )

@@ -3,9 +3,11 @@
 Mirrors internal/pkg/registry/registry.go:
 - `put` version-gates: reject same-or-lower version for an existing id
   (registry.go:167-186)
-- specs persist through a sink loader (the reference stores specs *via
-  a stream*; here the storage backend is pluggable: in-memory dict or
-  a parquet table via KeyedTableLoader)
+- storage is pluggable behind persist/load_all: `FileStorage` (one
+  JSON file per spec) or the engine's stream-backed storage
+  (engine/api.py RegistryStreamStorage), which restores the
+  reference's "the registry is itself a stream" bootstrap property
+  (regspec.go:15-100, registry.go:110-145)
 - `fetch` loads all persisted specs (registry.go:110-145)
 - registry-modified notifications fan out to listeners (the
   supervisor redeploys affected streams; registry.go:257-279).
@@ -24,13 +26,40 @@ class RegistryError(ValueError):
     pass
 
 
+class FileStorage:
+    """One JSON file per spec id under a directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def persist(self, spec: Spec) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, f"{spec.id}.json"), "w") as f:
+            f.write(spec.json())
+
+    def load_all(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self.path)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    out.append(f.read())
+        return out
+
+
 class SpecRegistry:
-    def __init__(self, env: str = "", storage_path: str | None = None):
+    def __init__(
+        self,
+        env: str = "",
+        storage_path: str | None = None,
+        storage=None,
+    ):
         self.env = env
-        self.storage_path = storage_path
+        self.storage = storage or (FileStorage(storage_path) if storage_path else None)
         self._specs: dict[str, Spec] = {}
         self._listeners: list[Callable[[str], None]] = []
-        if storage_path:
+        if self.storage is not None:
             self.fetch()
 
     # -- reference Registry API -------------------------------------
@@ -69,25 +98,18 @@ class SpecRegistry:
     # -- persistence ------------------------------------------------
 
     def _persist(self, spec: Spec) -> None:
-        if not self.storage_path:
-            return
-        os.makedirs(self.storage_path, exist_ok=True)
-        fn = os.path.join(self.storage_path, f"{spec.id}.json")
-        with open(fn, "w") as f:
-            f.write(spec.json())
+        if self.storage is not None:
+            self.storage.persist(spec)
 
     def fetch(self) -> None:
         """Load all persisted specs (reference registry.go:110-145)."""
-        if not self.storage_path or not os.path.isdir(self.storage_path):
+        if self.storage is None:
             return
-        for fn in sorted(os.listdir(self.storage_path)):
-            if not fn.endswith(".json"):
+        for raw in self.storage.load_all():
+            try:
+                spec = parse_spec(raw)
+            except SpecError:
                 continue
-            with open(os.path.join(self.storage_path, fn)) as f:
-                try:
-                    spec = parse_spec(f.read())
-                except SpecError:
-                    continue
-                if self.env:
-                    spec = resolve_ops_per_env(spec, self.env)
-                self._specs[spec.id] = spec
+            if self.env:
+                spec = resolve_ops_per_env(spec, self.env)
+            self._specs[spec.id] = spec

@@ -65,3 +65,48 @@ def test_engine_redeploys_from_persisted_registry(spark, tmp_path):
     assert eng2.publish(sid, '{"a": "1"}') == ""
     assert eng2.metrics(sid).events_processed == 1
     eng2.shutdown()
+
+
+def test_registry_is_itself_a_stream(spark, tmp_path):
+    """Reference bootstrap parity (regspec.go:15-100,
+    registry_test.go:27,76): register_stream PUBLISHES the spec through
+    the registry's own geist stream; a fresh engine fetches specs via
+    sink READBACK, and a version upgrade replaces the stored row
+    (maxVersions=1 keyed-table semantics)."""
+    from geist_spark.engine.api import Engine
+
+    store = str(tmp_path / "regstream")
+    eng1 = Engine(spark, registry_path=store)  # stream mode is default
+    assert eng1._registry_stream is not None
+    sid = eng1.register_stream(make_spec(version=1))
+    eng1.register_stream(make_spec(version=2))
+
+    # the spec rows live in the registry stream's SINK table, keyed by
+    # namespace-streamIdSuffix, latest version only
+    reg_rows = eng1._registry_stream.sink_extractor.extract_all().collect()
+    assert [r["__row_key"] for r in reg_rows] == ["reg-persisted"]
+    assert '"version": 2' in reg_rows[0]["specData"].replace('":2', '": 2')
+    eng1.shutdown()
+
+    # restart: fetch via sink readback, stream live again, gate intact
+    eng2 = Engine(spark, registry_path=store)
+    assert eng2.get_stream_spec(sid).version == 2
+    assert eng2.publish(sid, '{"a": "1"}') == ""
+    with pytest.raises(RegistryError, match="version must exceed"):
+        eng2.register_stream(make_spec(version=2))
+    eng2.shutdown()
+
+
+def test_registry_file_mode_still_supported(spark, tmp_path):
+    import os
+
+    from geist_spark.engine.api import Engine
+
+    store = str(tmp_path / "regfile")
+    eng = Engine(spark, registry_path=store, registry_mode="file")
+    sid = eng.register_stream(make_spec())
+    assert os.path.exists(os.path.join(store, f"{sid}.json"))
+    eng.shutdown()
+    eng2 = Engine(spark, registry_path=store, registry_mode="file")
+    assert eng2.get_stream_spec(sid) is not None
+    eng2.shutdown()
