@@ -1086,6 +1086,71 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents"), gram=8, num_mins=4)
 
 
+# ------------------------------------------------------------- corpus prep
+
+
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/prep.py): eval set =
+    docs with doc_id % 97 == 0; flag corpus docs sharing any 5-token
+    shingle. Eval shingle set broadcasts; corpus never shuffles."""
+    from geist_spark.operators.prep import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_docs, k=5)
+
+
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing into 2048-token bins per source
+    (operators/prep.py): one shuffle + partition-local window."""
+    from geist_spark.operators.prep import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget_tokens=2048
+    )
+
+
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/prep.py) over documents with synthetic
+    PII injected deterministically from doc_id (the corpus text itself
+    is PII-free), so the scrub provably strips known quantities."""
+    from geist_spark.operators.prep import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.20.30."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-2345"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    # hash the (long) redacted text so the driver compares a scalar
+    return out.select(
+        "doc_id",
+        F.md5("redacted_text").alias("redacted_md5"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )
+
+
+def p_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators/prep.py): keep <= 15 docs per
+    source by deterministic md5 order (binds at every SF: sources have
+    >= 25 docs at sf0.01)."""
+    from geist_spark.operators.prep import source_quota
+
+    return source_quota(
+        _t(spark, sf_dir, "documents"), cap_per_source=15, salt="q1"
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -1185,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
+        "t_decontaminate": t_decontaminate,
+        "t_redact_pii": t_redact_pii,
+        "p_pack_sequences": p_pack_sequences,
+        "p_source_quota": p_source_quota,
     }
 
 
@@ -1591,7 +1660,90 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e_eventsim_batch": _eventsim_oracle(seed=42, n=10_000),
         "u_user_agent": _user_agent_oracle(),
+        "t_decontaminate": f"""
+            WITH toked AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(toks[i:i+4], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 4, 1))]
+                       )) AS shingle
+                FROM toked
+            ), shf AS (
+                SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+            ), ev AS (
+                SELECT DISTINCT shingle FROM shf WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT s.doc_id, count(*) AS n
+                FROM shf s JOIN ev USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n, 0) AS n_contaminated_shingles,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "p_pack_sequences": f"""
+            WITH per AS (
+                SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT source, n_tokens,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / 2048.0) AS BIGINT) AS bin_id
+                FROM per
+            )
+            SELECT source, bin_id, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens
+            FROM b GROUP BY 1, 2
+        """,
+        "t_redact_pii": _redact_pii_oracle(),
+        "p_source_quota": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'q1') ASC,
+                             doc_id ASC) AS r
+                FROM documents)
+            WHERE r <= 15
+        """,
     }
+
+
+def _redact_pii_oracle() -> str:
+    """Replays operators/prep.py redact_pii (patterns restricted to the
+    Java-regex/RE2 common subset) over the same injected-PII text."""
+    from geist_spark.operators.prep import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from 10.20.30.'"
+        " || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' call +1 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-2345'"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {injected} AS t FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+                   regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS r1
+            FROM base
+        ), s2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(r1, '{IPV4_RE}')) AS n_ips,
+                   regexp_replace(r1, '{IPV4_RE}', '<IP>', 'g') AS r2
+            FROM s1
+        )
+        SELECT doc_id,
+               md5(regexp_replace(r2, '{PHONE_RE}', '<PHONE>', 'g'))
+                   AS redacted_md5,
+               n_emails, n_ips,
+               len(regexp_extract_all(r2, '{PHONE_RE}')) AS n_phones
+        FROM s2
+    """
 
 
 def _eventsim_oracle(seed: int, n: int) -> str:

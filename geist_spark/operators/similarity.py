@@ -164,16 +164,21 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int | None = 8,
     dim: int = 64,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket by hyperplane signature,
     exact cosine within buckets, keep pairs above threshold.
 
     num_planes=None sizes the bucket count from the corpus
-    (adaptive_num_planes). Norms are computed ONCE per vector before
+    (adaptive_num_planes); pass `corpus_size` when the caller already
+    knows it to skip the count() action (one job saved per run on a
+    100 TB corpus). Norms are computed ONCE per vector before
     the self-join — the pair stage only does one dot product, not a
     dot plus two norms."""
     if num_planes is None:
-        num_planes = adaptive_num_planes(embeddings.count())
+        num_planes = adaptive_num_planes(
+            corpus_size if corpus_size is not None else embeddings.count()
+        )
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     bits = []
     for p_idx, plane in enumerate(planes):
