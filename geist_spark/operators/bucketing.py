@@ -16,6 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions BEFORE CPU-heavy per-row work.
+
+    A small parquet file scans as ONE split, so an expensive map stage
+    (per-char md5 fingerprints, shingling, per-vector signatures)
+    serializes on one core no matter how many executors exist. The
+    same cliff hits at 100 TB after a selective filter + coalesce, or
+    on a skinny dimension feeding an explode. This widens to the
+    session default parallelism when (and only when) the input has
+    fewer partitions — on a healthy large scan it is a no-op, so the
+    round-robin shuffle cost is only ever paid on inputs small enough
+    for it to be trivial."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

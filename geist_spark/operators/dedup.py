@@ -56,7 +56,13 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     referencing the split expression inside the higher-order lambda
     would re-tokenize the document once PER ELEMENT (O(n^2) regex
     work); a column attribute is evaluated once per row."""
-    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    from geist_spark.operators.bucketing import fan_out
+
+    # shingling is the CPU-heavy stage of every dedup family; widen
+    # skinny inputs so it never serializes on one core
+    toked = fan_out(documents).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
@@ -179,7 +185,9 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     Token hash = first 8 hex chars of md5 (32-bit, fits signed 64 in
     both engines). Bit b of the fingerprint is 1 when more tokens have
     bit b set than not. One explode + one groupBy."""
-    tok = documents.select(
+    from geist_spark.operators.bucketing import fan_out
+
+    tok = fan_out(documents).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")

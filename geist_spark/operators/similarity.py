@@ -15,6 +15,7 @@ so Spark/DuckDB hash-compare deterministically; ties broken by vec_id.
 
 from __future__ import annotations
 
+from geist_spark.operators.bucketing import fan_out
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -52,7 +53,7 @@ def cosine_topk(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_nrm"),
     )
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_nrm"),
@@ -113,9 +114,9 @@ def lsh_bucketed_topk(
             out = out + b
         return out
 
-    base = embeddings.withColumn("bucket", signature(F.col("embedding"))).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    base = fan_out(embeddings).withColumn(
+        "bucket", signature(F.col("embedding"))
+    ).withColumn("nrm", _norm(F.col("embedding")))
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -190,7 +191,7 @@ def embedding_near_dup_pairs(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    base = embeddings.select(
+    base = fan_out(embeddings).select(
         "vec_id", "embedding", sig.alias("bucket"), _norm(F.col("embedding")).alias("nrm")
     )
     a = base.alias("a")
@@ -253,7 +254,9 @@ def ivf_topk(
 
     # argmax by (cos, cid): array_max on struct<cos,cid> — ties on the
     # rounded cosine resolve to the larger cid, mirrored in the oracle
-    assigned = embeddings.select(
+    # per-vector assignment = n_cells dot products: the CPU-heavy
+    # stage — widen skinny inputs so it parallelizes
+    assigned = fan_out(embeddings).select(
         "vec_id",
         "embedding",
         _norm(emb).alias("nrm"),

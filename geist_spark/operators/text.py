@@ -108,9 +108,13 @@ def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> D
     """Rolling-hash document fingerprint: the `num_mins` smallest md5s
     of character `gram`-grams (winnowing-lite), concatenated. Stable
     across engines; array ops stay in codegen."""
+    from geist_spark.operators.bucketing import fan_out
+
     # materialize norm first: referencing the regexp_replace inside the
-    # per-position lambda would re-normalize once per character
-    normed = documents.select(
+    # per-position lambda would re-normalize once per character; widen
+    # skinny inputs — one md5 per char position is the most CPU-heavy
+    # map stage in the repo
+    normed = fan_out(documents).select(
         "doc_id", normalize_text(F.col("text")).alias("norm")
     )
     norm = F.col("norm")
