@@ -84,7 +84,9 @@ def build_source_stream(
         # external plugin repo too (README.md:122-126)
         raise NotImplementedError(
             "pubsub source: bridge Pub/Sub->Kafka or register a custom "
-            "source factory via Engine.register_source_factory('pubsub', fn)"
+            "source factory via Engine.register_source_factory('pubsub', fn) "
+            "— reference pubsub specs then run verbatim (worked example: "
+            "tests/test_plugins.py::test_pubsub_spec_verbatim_through_factory)"
         )
     if stype in ("file", "parquet"):
         path = cc.get("path") or spec.source.prop("path")

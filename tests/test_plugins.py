@@ -128,3 +128,80 @@ def test_pubsub_source_directs_to_factory_hook(spark):
     })
     with pytest.raises(NotImplementedError, match="register_source_factory"):
         build_source_stream(spark, spec)
+
+
+def test_pubsub_spec_verbatim_through_factory(spark, tmp_path):
+    """A user's reference pubsub spec runs VERBATIM once a pubsub
+    factory is registered: source section (topics + shared
+    subscription, test/specs/pubsubsrc-regexp-reqs-voidsink.json:10-28)
+    reaches the factory untouched, and the spec's regexp +
+    timeConversion produce the reference's golden regexppayload
+    (transformer_test.go:88). The factory here replays Pub/Sub
+    envelope JSON from files; in production it would wrap the
+    Pub/Sub Lite Spark connector or a Pub/Sub->Kafka bridge."""
+    src_dir = str(tmp_path / "ps_src")
+    out_path = str(tmp_path / "ps_out")
+    envelope = {
+        "insertId": "a6bf3a8d-4fe0-40d9-bfce-0ebe5bdbdb86",
+        "logName": "fooservice/accesslog",
+        "textPayload": (
+            "cust1-loc1.somesite.com|11.222.123.123|https://<lots more stuff>"
+            "|<ua info...>|-|-|-|[17/Jun/2020:09:10:25 +0200]<|GET "
+            "/some/reqPath;more-stuff... HTTP/1.1|200|996|19"
+        ),
+        "timestamp": "2020-06-16T12:06:26.723709116Z",
+    }
+    spark.createDataFrame(
+        [(json.dumps(envelope),)], "value string"
+    ).coalesce(1).write.parquet(src_dir)
+
+    seen_cfg = {}
+
+    def pubsub_factory(sp, spec):
+        seen_cfg.update(spec.source.custom_config)
+        return sp.readStream.schema("value string").parquet(src_dir)
+
+    eng = Engine(spark)
+    eng.register_source_factory("pubsub", pubsub_factory)
+    sid = eng.register_stream({
+        "namespace": "foo-logs-test",
+        "streamIdSuffix": "foo-logs-access",
+        "description": "reference pubsub regexp spec, sink observable",
+        "version": 1,
+        "source": {"type": "pubsub", "config": {"customConfig": {
+            "topics": [{"env": "all", "names": ["foo-logs-bar-usage"]}],
+            "subscription": {"type": "shared",
+                             "name": "geist-foo-logs-bar-usage"},
+        }}},
+        "transform": {
+            "extractFields": [{"fields": [
+                {"id": "logEvent", "jsonPath": "textPayload",
+                 "type": "string"}]}],
+            "regexp": {
+                "field": "logEvent",
+                "expression": r"^(?P<customer>\w[a-z0-9]*)-?(?P<reqLoc>[^\.]*).{1}[a-z]*.{1}[a-z]*\:?(?P<port>\d{0,4})\|{1}(?P<ip>.*?[^\|])\|.*\[(?P<ts>[^\]]*).*(?P<httpVerb>POST|GET|DELETE|PUT|PATCH|OPTIONS|HEAD)\s{1}(?P<reqPath>\/(?:\/[^\/]+){4}|[^\\?| ;]+).*HTTP\/\d{1}.\d{1}\|(?P<httpResponse>\d*).*",
+                "timeConversion": {
+                    "field": "ts",
+                    "inputFormat": "02/Jan/2006:15:04:05 -0700",
+                },
+            },
+        },
+        "sink": {"type": "keyedTable",
+                 "config": {"customConfig": {"path": out_path}}},
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    # the factory saw the reference spec's source section untouched
+    assert seen_cfg["subscription"] == {
+        "type": "shared", "name": "geist-foo-logs-bar-usage"}
+    assert seen_cfg["topics"][0]["names"] == ["foo-logs-bar-usage"]
+    rows = spark.read.parquet(out_path).collect()
+    assert len(rows) == 1
+    assert rows[0]["regexppayload"] == (
+        '{"customer":"cust1","httpResponse":"200","httpVerb":"GET",'
+        '"ip":"11.222.123.123","port":"","reqLoc":"loc1",'
+        '"reqPath":"/some/reqPath","ts":"2020-06-17T09:10:25+02:00"}'
+    )
