@@ -330,8 +330,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(
         ev, bands, "value", "lo", "hi", bucket_width=20.0, broadcast_ranges=True
     )
+    from geist_spark.operators.relational import exact_sum
+
     return joined.groupBy("band").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), exact_sum("value").alias("total")
     )
 
 
@@ -409,7 +411,9 @@ def p_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+            # exact longs -> one IEEE division (engine-identical)
+            (F.sum(F.length("text")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_len"),
         )
     )
 
@@ -527,13 +531,11 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_buckets=16,
     )
+    # sum/avg are decimal-exact inside salted_aggregate; min/max are
+    # stored values — nothing needs rounding (round() itself differs
+    # between engines on identical doubles)
     return out.select(
-        "event_type",
-        "n",
-        F.round("sum_value", 2).alias("sum_value"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
-        F.round("avg_value", 6).alias("avg_value"),
+        "event_type", "n", "sum_value", "min_value", "max_value", "avg_value"
     )
 
 
@@ -623,11 +625,12 @@ def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_analytics(
         compile_transform(spec).apply(ev, value_col="value"), spec.transform
     )
+    # dialect float sums are decimal-exact; no rounding needed
     return out.select(
         F.col("window.start").alias("hour"),
         "etype",
         "n",
-        F.round("total", 2).alias("total"),
+        "total",
         "users",
     )
 
@@ -681,11 +684,12 @@ def a_spec_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_analytics(
         compile_transform(spec).apply(ev, value_col="value"), spec.transform
     )
+    # dialect float sums are decimal-exact; no rounding needed
     return out.select(
         "uid",
         F.col("session_window.start").alias("session_start"),
         "n_events",
-        F.round("session_value", 2).alias("session_value"),
+        "session_value",
     )
 
 
@@ -734,7 +738,7 @@ def a_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_analytics(
         compile_transform(spec).apply(ev, value_col="value"), spec.transform
     )
-    return out.select("nation", "n", F.round("total", 2).alias("total"))
+    return out.select("nation", "n", "total")
 
 
 def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,7 +767,7 @@ def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 "sql": """
                     SELECT etype, count(*) AS n,
-                           round(sum(amount), 2) AS total,
+                           CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS total,
                            count(DISTINCT uid) AS users
                     FROM __stream__
                     WHERE amount > 10
@@ -1325,13 +1329,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1340,7 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_revenue_by_nation": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1351,8 +1355,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_revenue_by_brand": """
             SELECT p_brand, s_nationkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1371,7 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
@@ -1405,7 +1409,7 @@ def oracle_sql() -> dict[str, str]:
             WITH bands(band, lo, hi) AS (VALUES
                 ('low', 0.0, 15.0), ('mid', 10.0, 40.0),
                 ('high', 30.0, 80.0), ('top', 60.0, 120.0))
-            SELECT band, count(*) AS n, round(sum(value), 2) AS total
+            SELECT band, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM events JOIN bands ON value BETWEEN lo AND hi
             GROUP BY band
         """,
@@ -1573,10 +1577,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_salted_agg": """
             SELECT event_type, count(*) AS n,
-                   round(sum(value), 2) AS sum_value,
-                   round(min(value), 6) AS min_value,
-                   round(max(value), 6) AS max_value,
-                   round(avg(value), 6) AS avg_value
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_value
             FROM events GROUP BY event_type
         """,
         "q_percentiles": """
@@ -1589,13 +1593,13 @@ def oracle_sql() -> dict[str, str]:
         "a_spec_windowed_agg": """
             SELECT date_trunc('hour', ts) AS hour, event_type AS etype,
                    count(*) AS n,
-                   round(sum(value), 2) AS total,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2
         """,
         "a_spec_join": """
             SELECT c_nationkey AS nation, count(*) AS n,
-                   round(sum(value), 2) AS total
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1
         """,
@@ -1622,7 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, min(ts) AS session_start,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS session_value
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
             FROM numbered GROUP BY uid, seq
         """,
         "a_spec_dedup": """
@@ -1630,7 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a_spec_sql": """
             SELECT event_type AS etype, count(*) AS n,
-                   round(sum(value), 2) AS total,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
                    count(DISTINCT user_id) AS users
             FROM events WHERE value > 10
             GROUP BY event_type
@@ -1921,7 +1925,7 @@ def _dataset_split_oracle() -> str:
     case = split_oracle_case("doc_id", SPLIT_WEIGHTS)
     return f"""
         SELECT {case} AS split, count(*) AS n,
-               round(avg(length(text)), 4) AS avg_len
+               CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len
         FROM documents GROUP BY 1
     """
 

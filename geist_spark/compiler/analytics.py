@@ -32,6 +32,15 @@ from geist_spark.spec.model import (
     TransformSpec,
 )
 
+def exact_sum(c: Column) -> Column:
+    """Sum via decimal(38,6): exact and summation-order-independent, so
+    fractional aggregates hash identically across engines and partition
+    layouts (round(sum(double)) flips at .xx5 boundaries when partial
+    aggregation order differs). Values truncate beyond 6 decimal
+    places — sub-microunit precision, well under float noise."""
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
 _AGG_BUILDERS = {
     "count": lambda c: F.count(F.lit(1)),
     "sum": F.sum,
@@ -138,10 +147,23 @@ def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
             keys.append(F.window(spec.window_field, spec.window_duration))
     keys.extend(F.col(k) for k in spec.group_by)
 
+    fractional = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
     aggs = []
     for a in spec.aggregations:
         col = F.col(a.field) if a.field else None
-        aggs.append(_AGG_BUILDERS[a.fn](col).alias(a.alias))
+        if a.fn in ("sum", "avg") and a.field in fractional:
+            # float inputs: decimal-exact sum so the result is
+            # independent of partial-aggregation order (integer sums
+            # are exact already and keep their integer type)
+            s = exact_sum(col)
+            expr = s if a.fn == "sum" else s / F.count(F.lit(1))
+        else:
+            expr = _AGG_BUILDERS[a.fn](col)
+        aggs.append(expr.alias(a.alias))
     return df.groupBy(*keys).agg(*aggs)
 
 

@@ -10,12 +10,28 @@ Scale notes (100 TB):
 - aggregations are partial (map-side combine) by construction;
 - dimension joins (region/nation/part/supplier) get broadcast hints;
 - window top-N per key shuffles once on the key and never collects;
-- all money outputs rounded to 2dp so cross-engine hashes are stable.
+- float aggregates use exact_sum/exact_avg (decimal-exact summation):
+  sum(double) is summation-order-dependent and round() implementations
+  differ between engines, so rounded double sums flip at .xx5
+  boundaries — the round-1 driver-hash failures. Decimal sums are
+  order-independent and convert to the same double everywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_sum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent sum for float columns: exact decimal(38,scale)
+    accumulation, result as double (deterministic conversion)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def exact_avg(col: Column | str, scale: int = 6) -> Column:
+    """exact_sum / count: one IEEE division of deterministic values."""
+    return exact_sum(col, scale) / F.count(F.lit(1))
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -24,22 +40,19 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            exact_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,8 +77,8 @@ def revenue_by_nation(
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -79,10 +92,10 @@ def revenue_by_brand(lineitem: DataFrame, part: DataFrame, supplier: DataFrame) 
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_nationkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            exact_sum("l_quantity").alias("sum_qty"),
         )
     )
 
@@ -131,7 +144,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            exact_sum("value").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -154,13 +167,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            # decimal sum: exact and summation-order-independent, so the
-            # value hashes identically regardless of engine/partitioning
-            # (round(sum(double)) flips at .xx5 boundaries when partial-agg
-            # order differs — the round-1 driver-hash mismatch)
-            F.sum(F.col("value").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("session_value"),
+            exact_sum("value").alias("session_value"),
         )
     )
 

@@ -40,21 +40,45 @@ def salted_aggregate(
     """Two-stage aggregation immune to hot-key reducer skew.
 
     aggs: (fn, field, alias) with fn in {sum, count, min, max, avg}.
-    avg decomposes into sum+count partials and a final division."""
+    avg decomposes into sum+count partials and a final division.
+
+    Float sums/avgs run on decimal(38,6) partials: double summation is
+    order-dependent, and salting makes the order explicitly random —
+    decimal partials keep the result exact and identical to a plain
+    groupBy (and to the DuckDB oracle) for ANY salt assignment."""
     # random salt spreads a hot key's rows over salt_buckets reducers;
     # results are exact regardless of the assignment because every
     # aggregate here is algebraic
     salt = F.floor(F.rand(seed=7) * salt_buckets).cast("int")
 
+    fractional = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+
+    def sum_col(field: str) -> Column:
+        if field in fractional:
+            return F.sum(F.col(field).cast("decimal(38,6)"))
+        return F.sum(field)
+
     partials: list[Column] = []
     finals: list[Column] = []
     for fn, field, alias in aggs:
+        frac = field in fractional
         if fn == "avg":
-            partials.append(F.sum(field).alias(f"__s_{alias}"))
+            partials.append(sum_col(field).alias(f"__s_{alias}"))
             partials.append(F.count(F.lit(1)).alias(f"__c_{alias}"))
-            finals.append(
-                (F.sum(f"__s_{alias}") / F.sum(f"__c_{alias}")).alias(alias)
-            )
+            s = F.sum(f"__s_{alias}")
+            if frac:
+                s = s.cast("double")
+            finals.append((s / F.sum(f"__c_{alias}")).alias(alias))
+        elif fn == "sum":
+            partials.append(sum_col(field).alias(f"__p_{alias}"))
+            merged = F.sum(f"__p_{alias}")
+            if frac:
+                merged = merged.cast("double")
+            finals.append(merged.alias(alias))
         elif fn in _PARTIAL:
             partials.append(_PARTIAL[fn](field).alias(f"__p_{alias}"))
             finals.append(_MERGE[fn](f"__p_{alias}").alias(alias))
