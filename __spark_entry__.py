@@ -1177,6 +1177,29 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py resize_stub):
+    Arrow mapInPandas emits a deterministic (width*height)-byte fake
+    payload whose first 16 bytes are md5(source payload) — so the
+    oracle checks the batch arithmetic exactly via the payload head
+    and length, no blob shipping."""
+    from geist_spark.operators.multimodal import (
+        documents_as_media,
+        resize_stub,
+    )
+
+    resized = resize_stub(
+        documents_as_media(_t(spark, sf_dir, "documents")), width=224, height=224
+    )
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("out_len"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 16))).alias("head_hex"),
+    )
+
+
 def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.multimodal import (
         documents_as_media,
@@ -1225,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the multimodal queries must not sit at the tail
         "m_media_features": m_media_features,
         "m_frame_sample": m_frame_sample,
+        "m_resize": m_resize,
         "d_exact_groups": d_exact_groups,
         "d_ngram_jaccard": d_ngram_jaccard,
         "d_minhash_pairs": d_minhash_pairs,
@@ -1522,6 +1546,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    md5(text) AS content_md5
+            FROM documents
+        """,
+        "m_resize": """
+            SELECT doc_id AS media_id,
+                   CAST(224 AS INTEGER) AS width,
+                   CAST(224 AS INTEGER) AS height,
+                   CAST(224 * 224 AS INTEGER) AS out_len,
+                   md5(text) AS head_hex
             FROM documents
         """,
         "d_simhash": _simhash_oracle(bits=32),

@@ -386,3 +386,56 @@ def test_entities_all_metrics_and_enrich_event(engine):
     assert json.loads(enrich_event(b"", "k", "v")) == {"k": "v"}
     # overwriting a scalar mid-path replaces it with an object
     assert json.loads(enrich_event('{"b": 3}', "b.c", 1)) == {"b": {"c": 1}}
+
+
+def test_full_lifecycle_metrics_goldens(spark, tmp_path):
+    """geist_test.go:140-384 parity: full engine lifecycle with metrics
+    asserted as GOLDEN values per stream — including the registry's own
+    stream (stream-backed storage) — plus excluded-event counting and
+    version upgrade/disable behavior along the way."""
+    store = str(tmp_path / "reg")
+    eng = Engine(spark, registry_path=store)
+
+    filt = {
+        "excludeEventsWith": [{"key": "name", "values": ["drop-me"]}],
+        "extractFields": [{"fields": [
+            {"id": "name", "jsonPath": "name"},
+            {"id": "amount", "jsonPath": "amount", "type": "integer"},
+        ]}],
+    }
+    a = eng.register_stream(make_spec(suffix="ga", transform=filt))
+    b = eng.register_stream(make_spec(suffix="gb"))
+
+    for i in range(3):
+        eng.publish(a, json.dumps({"name": f"u{i}", "amount": i}))
+    eng.publish(a, json.dumps({"name": "drop-me", "amount": 9}))
+    eng.publish(b, json.dumps({"name": "x", "amount": 1}))
+
+    ma = eng.metrics(a)
+    assert (ma.events_processed, ma.events_excluded, ma.sink_operations) == (4, 1, 3)
+    mb = eng.metrics(b)
+    assert (mb.events_processed, mb.events_excluded, mb.sink_operations) == (1, 0, 1)
+
+    # the registry is itself a stream: one processed event per put
+    mr = eng._registry_stream.metrics
+    assert mr.events_processed == 2 and mr.sink_operations == 2
+
+    # upgrade a -> v2: executor replaced, metrics reset for the new
+    # stream instance (reference builds fresh executors on redeploy,
+    # supervisor.go:237-250); registry stream saw a third spec event
+    eng.register_stream(make_spec(suffix="ga", version=2, transform=filt))
+    assert eng.metrics(a).events_processed == 0
+    assert mr.events_processed == 3
+    eng.publish(a, json.dumps({"name": "after-upgrade", "amount": 5}))
+    assert eng.metrics(a).events_processed == 1
+
+    # disable b -> publish surfaces the typed disabled error
+    dis = make_spec(suffix="gb", version=2)
+    dis["disabled"] = True
+    eng.register_stream(dis)
+    with pytest.raises(RegistryError, match="disabled"):
+        eng.publish(b, json.dumps({"name": "y", "amount": 2}))
+
+    # all_metrics covers every live stream
+    assert a in eng.all_metrics() and b not in eng.all_metrics()
+    eng.shutdown()
