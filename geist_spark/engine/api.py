@@ -240,6 +240,37 @@ class Engine:
                 out[sid] = base.add(ss.metrics) if base else ss.metrics
         return out
 
+    def sync_from_registry(self) -> list[str]:
+        """Cross-engine convergence: adopt specs registered by OTHER
+        engines sharing this registry storage and (re)deploy them —
+        the reference's cross-pod admin sync (supervisor.go:288-317)
+        with shared registry storage in the Pub/Sub admin stream's
+        role. Returns the adopted stream ids."""
+        return self.registry.sync()
+
+    def start_registry_sync(self, poll_s: float = 5.0) -> None:
+        """Background poller calling sync_from_registry — the always-on
+        equivalent of the reference's admin-event subscription."""
+        import threading
+        import time
+
+        if getattr(self, "_sync_thread", None) is not None:
+            return
+        self._stop_sync = False
+
+        def loop() -> None:
+            while not self._stop_sync:
+                try:
+                    self.sync_from_registry()
+                except Exception:  # storage briefly unreadable mid-write
+                    pass
+                time.sleep(poll_s)
+
+        self._sync_thread = threading.Thread(
+            target=loop, daemon=True, name="geist-registry-sync"
+        )
+        self._sync_thread.start()
+
     def validate_spec(self, spec_json: str | bytes | dict) -> Spec:
         from geist_spark.spec.model import parse_spec
 
@@ -276,6 +307,10 @@ class Engine:
         return self._supervisor.get(stream_id) if self._supervisor else None
 
     def shutdown(self) -> None:
+        if getattr(self, "_sync_thread", None) is not None:
+            self._stop_sync = True
+            self._sync_thread.join(timeout=10)
+            self._sync_thread = None
         for s in self._streams.values():
             s.loader.shutdown()
         self._streams.clear()

@@ -113,3 +113,32 @@ class SpecRegistry:
             if self.env:
                 spec = resolve_ops_per_env(spec, self.env)
             self._specs[spec.id] = spec
+
+    def sync(self) -> list[str]:
+        """Cross-engine convergence (the reference's cross-POD admin
+        sync, supervisor.go:288-317 + adminspec.go:25-42, with the
+        shared registry storage playing the Pub/Sub admin stream's
+        role): re-read storage, adopt specs that are NEW or have a
+        HIGHER version than the cached one, and fire the modified
+        listeners for each — so a second engine on the same registry
+        redeploys streams registered by the first. Returns the adopted
+        stream ids."""
+        if self.storage is None:
+            return []
+        changed: list[str] = []
+        for raw in self.storage.load_all():
+            try:
+                spec = parse_spec(raw)
+            except SpecError:
+                continue
+            if self.env:
+                spec = resolve_ops_per_env(spec, self.env)
+            cached = self._specs.get(spec.id)
+            if cached is not None and spec.version <= cached.version:
+                continue
+            self._specs[spec.id] = spec
+            changed.append(spec.id)
+        for sid in changed:
+            for listener in self._listeners:
+                listener(sid)
+        return changed

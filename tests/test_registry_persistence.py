@@ -97,6 +97,40 @@ def test_registry_is_itself_a_stream(spark, tmp_path):
     eng2.shutdown()
 
 
+def test_two_engines_converge_via_registry_sync(spark, tmp_path):
+    """Cross-pod admin sync parity (supervisor.go:288-317): two engines
+    share one registry; a spec registered (and later upgraded, and
+    later disabled) on engine A reaches engine B via sync — B deploys,
+    redeploys, then stops the stream, without B ever registering it."""
+    from geist_spark.engine.api import Engine
+
+    store = str(tmp_path / "shared_reg")
+    a = Engine(spark, registry_path=store)
+    b = Engine(spark, registry_path=store)
+
+    sid = a.register_stream(make_spec(version=1))
+    assert b.get_stream_spec(sid) is None  # not yet synced
+    assert b.sync_from_registry() == [sid]
+    assert b.publish(sid, '{"a": "1"}') == ""  # B deployed it
+    assert b.sync_from_registry() == []  # idempotent
+
+    # upgrade on A -> B adopts the higher version only after sync
+    a.register_stream(make_spec(version=2))
+    assert b.get_stream_spec(sid).version == 1
+    assert b.sync_from_registry() == [sid]
+    assert b.get_stream_spec(sid).version == 2
+
+    # disable on A -> B stops the stream on sync
+    dis = make_spec(version=3)
+    dis["disabled"] = True
+    a.register_stream(dis)
+    b.sync_from_registry()
+    with pytest.raises(RegistryError, match="disabled"):
+        b.publish(sid, '{"a": "2"}')
+    a.shutdown()
+    b.shutdown()
+
+
 def test_registry_file_mode_still_supported(spark, tmp_path):
     import os
 
