@@ -635,6 +635,64 @@ def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_spec_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect SLIDING window (`window.slide`): 1-hour windows
+    every 30 minutes — each event lands in 2 windows (epoch-aligned,
+    same grid as DuckDB time_bucket, which the oracle unnests)."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "slidewin",
+            "version": 1,
+            "description": "sliding windowed agg",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "etype", "jsonPath": "event_type"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                        ]
+                    }
+                ],
+                "aggregate": {
+                    "window": {
+                        "field": "ts",
+                        "duration": "1 hour",
+                        "slide": "30 minutes",
+                    },
+                    "groupBy": ["etype"],
+                    "aggregations": [
+                        {"fn": "count", "alias": "n"},
+                        {"fn": "sum", "field": "amount", "alias": "total"},
+                    ],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+            )
+        ).alias("value")
+    )
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select(
+        F.col("window.start").alias("wstart"), "etype", "n", "total"
+    )
+
+
 def a_spec_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect session window (`window.gap`): native
     F.session_window — gap-based sessions per user, streaming-capable,
@@ -1265,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": s_ann_ivf,
         "s_quantize_embeddings": s_quantize_embeddings,
         "a_spec_windowed_agg": a_spec_windowed_agg,
+        "a_spec_sliding_window": a_spec_sliding_window,
         "a_spec_session_window": a_spec_session_window,
         "a_spec_stream_join": a_spec_stream_join,
         "a_spec_join": a_spec_join,
@@ -1628,6 +1687,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2
+        """,
+        "a_spec_sliding_window": """
+            WITH w AS (
+                SELECT unnest([
+                           time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes'
+                       ]) AS wstart,
+                       event_type, value
+                FROM events
+            )
+            SELECT wstart, event_type AS etype, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM w GROUP BY 1, 2
         """,
         "a_spec_join": """
             SELECT c_nationkey AS nation, count(*) AS n,

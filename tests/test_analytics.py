@@ -880,3 +880,37 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # no longer pair up, but the true near-dup pair survives
     assert (3, 4) not in cap_pairs
     assert (1, 2) in cap_pairs
+
+
+def test_sliding_window_aggregate_batch(spark):
+    """window.slide compiles to F.window(duration, slide): with 1-hour
+    windows every 30 minutes each event lands in exactly two windows,
+    epoch-aligned."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+
+    spec = parse_spec(base_spec({
+        "extractFields": [{"fields": [
+            {"id": "etype", "jsonPath": "t"},
+            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"}]}],
+        "aggregate": {
+            "window": {"field": "ts", "duration": "1 hour",
+                       "slide": "30 minutes"},
+            "groupBy": ["etype"],
+            "aggregations": [{"fn": "count", "alias": "n"}],
+        },
+    }))
+    rows = [
+        {"t": "a", "ts": "2024-01-01T00:10:00Z"},  # windows 23:30, 00:00
+        {"t": "a", "ts": "2024-01-01T00:40:00Z"},  # windows 00:00, 00:30
+    ]
+    out = apply_analytics(
+        compile_transform(spec).apply(events_json(spark, rows), value_col="value"),
+        spec.transform,
+    ).collect()
+    got = sorted((str(r["window"]["start"]), r["n"]) for r in out)
+    assert got == [
+        ("2023-12-31 23:30:00", 1),
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 00:30:00", 1),
+    ]
