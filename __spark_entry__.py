@@ -1148,6 +1148,16 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents"), gram=8, num_mins=4)
 
 
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (operators/text.py):
+    duplicate-token / top-bigram / duplicate-trigram fractions per doc.
+    Zero-shuffle sorted-array run-length pass; all fractions are exact
+    long/long divisions (engine bit-identical)."""
+    from geist_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- corpus prep
 
 
@@ -1337,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
+        "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
         "t_redact_pii": t_redact_pii,
         "p_pack_sequences": p_pack_sequences,
@@ -1591,6 +1602,64 @@ def oracle_sql() -> dict[str, str]:
                            1, 4),
                        '|') AS fingerprint
             FROM base
+        """,
+        "t_repetition_stats": f"""
+            -- independent formulation: positional n-gram unnest + group
+            -- counts (Spark side uses a sorted-array run-length pass)
+            WITH sized AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks,
+                       len({_TOKENS_SQL}) AS n
+                FROM documents
+            ),
+            uni_cnt AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS gram FROM sized)
+                GROUP BY 1, 2
+            ),
+            uni_doc AS (
+                SELECT doc_id,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup1
+                FROM uni_cnt GROUP BY 1
+            ),
+            bi_cnt AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN n >= 2
+                                  THEN [toks[i] || ' ' || toks[i + 1]
+                                        for i in generate_series(1, n - 1)]
+                                  ELSE [] END) AS gram
+                    FROM sized)
+                GROUP BY 1, 2
+            ),
+            bi_doc AS (SELECT doc_id, max(c) AS best2 FROM bi_cnt GROUP BY 1),
+            tri_cnt AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN n >= 3
+                                  THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                                        for i in generate_series(1, n - 2)]
+                                  ELSE [] END) AS gram
+                    FROM sized)
+                GROUP BY 1, 2
+            ),
+            tri_doc AS (
+                SELECT doc_id,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup3
+                FROM tri_cnt GROUP BY 1
+            )
+            SELECT s.doc_id, s.n AS n_tokens,
+                   CAST(coalesce(u.dup1, 0) AS DOUBLE) / greatest(s.n, 1)
+                       AS dup_token_frac,
+                   CAST(coalesce(b.best2, 0) AS DOUBLE) / greatest(s.n - 1, 1)
+                       AS top_bigram_frac,
+                   CAST(coalesce(t.dup3, 0) AS DOUBLE) / greatest(s.n - 2, 1)
+                       AS dup_trigram_frac
+            FROM sized s
+            LEFT JOIN uni_doc u USING (doc_id)
+            LEFT JOIN bi_doc b USING (doc_id)
+            LEFT JOIN tri_doc t USING (doc_id)
         """,
         "m_frame_sample": """
             WITH m AS (

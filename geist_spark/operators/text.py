@@ -104,6 +104,95 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def _run_length_stats(grams: F.Column) -> F.Column:
+    """(max_count, dup_occurrences) over an array of grams, computed as
+    a linear pass over the sorted array — stays entirely in codegen,
+    zero shuffle, O(n log n) per row.
+
+    dup_occurrences counts every occurrence of a gram whose total count
+    is >= 2 (when a run reaches 2 both elements are counted, then +1
+    per further repeat) — the Gopher "fraction of tokens in duplicated
+    n-grams" numerator."""
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(s, g):
+        run = F.when(g == s.prev, s.run + 1).otherwise(F.lit(1).cast("long"))
+        dup = (
+            s.dup
+            + F.when(run == 2, F.lit(2))
+            .when(run > 2, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(s.best, run).alias("best"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        state0,
+        step,
+        lambda s: F.struct(s.best.alias("best"), s.dup.alias("dup")),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, A1.1),
+    token-based: duplicate-token fraction, most-common-bigram fraction,
+    duplicate-trigram fraction. High values flag boilerplate/spam docs
+    for corpus filtering.
+
+    All numerators/denominators are exact longs; each fraction is a
+    single long/long double division, so values are bit-identical
+    across engines (the round-1 driver-gate float lesson). Per-doc
+    arrays only — zero shuffle, scales linearly with corpus size."""
+    from geist_spark.operators.bucketing import fan_out
+
+    toked = fan_out(documents).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    n = F.size(t)
+
+    def grams(k: int) -> F.Column:
+        if k == 1:
+            return t
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        made = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+        return F.when(n >= k, made).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    staged = toked.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _run_length_stats(t).alias("s1"),
+        _run_length_stats(grams(2)).alias("s2"),
+        _run_length_stats(grams(3)).alias("s3"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("s1.dup").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .alias("dup_token_frac"),
+        (
+            F.col("s2.best").cast("double")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+        ).alias("top_bigram_frac"),
+        (
+            F.col("s3.dup").cast("double")
+            / F.greatest(F.col("n_tokens") - 2, F.lit(1))
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint: the `num_mins` smallest md5s
     of character `gram`-grams (winnowing-lite), concatenated. Stable

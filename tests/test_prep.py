@@ -70,3 +70,33 @@ def test_source_quota_caps_and_is_deterministic(spark):
     # a different salt draws a different subset
     kept3 = sorted(r["doc_id"] for r in source_quota(docs, 5, salt="z").collect())
     assert kept1 != kept3
+
+
+def test_repetition_stats_gopher_fractions(spark):
+    from geist_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),               # dup tokens 2/3; bigrams "a a","a b"
+            (2, "x y x y x y"),         # fully repetitive
+            (3, "unique words only here"),
+            (4, "w"),                   # degenerate: no bigrams/trigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["dup_token_frac"] == 2 / 3
+    assert rows[1]["top_bigram_frac"] == 1 / 2  # best bigram count 1 of 2
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    # "x y" appears 3x of 5 bigrams; every trigram is duplicated
+    assert rows[2]["dup_token_frac"] == 1.0
+    assert rows[2]["top_bigram_frac"] == 3 / 5
+    assert rows[2]["dup_trigram_frac"] == 1.0
+    assert rows[3]["dup_token_frac"] == 0.0
+    # single-token doc: denominators clamp to 1, all fractions 0
+    assert (
+        rows[4]["dup_token_frac"],
+        rows[4]["top_bigram_frac"],
+        rows[4]["dup_trigram_frac"],
+    ) == (0.0, 0.0, 0.0)
