@@ -1182,6 +1182,16 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (operators/prep.py):
+    32-token chunks, stride 24 (8-token overlap) — map-only explode."""
+    from geist_spark.operators.prep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
 def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/prep.py) over documents with synthetic
     PII injected deterministically from doc_id (the corpus text itself
@@ -1350,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
         "t_redact_pii": t_redact_pii,
+        "p_chunk_documents": p_chunk_documents,
         "p_pack_sequences": p_pack_sequences,
         "p_source_quota": p_source_quota,
     }
@@ -1602,6 +1613,23 @@ def oracle_sql() -> dict[str, str]:
                            1, 4),
                        '|') AS fingerprint
             FROM base
+        """,
+        "p_chunk_documents": f"""
+            WITH base AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks,
+                       greatest(len({_TOKENS_SQL}), 1) AS n
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, n, 24)) AS s
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+                   array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text,
+                   len(list_slice(toks, s, s + 31)) AS n_tokens
+            FROM st
         """,
         "t_repetition_stats": f"""
             -- independent formulation: positional n-gram unnest + group

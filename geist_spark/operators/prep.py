@@ -146,3 +146,42 @@ def source_quota(
         .filter(F.col("__qr") <= cap_per_source)
         .drop("__qr")
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    RAG / context-window prep step that turns a corpus into training or
+    retrieval units. Chunk starts advance by `stride` tokens
+    (stride < chunk_tokens ⇒ overlap of chunk_tokens - stride).
+
+    Pure per-row array work (sequence → slice → posexplode): zero
+    shuffle, output size is n_tokens/stride rows per doc. At 100 TB
+    the explode multiplies rows ~chunk/stride×, but each output row is
+    narrow and the stage stays map-only — downstream writers see
+    partition sizes grow by the same factor, so pair with
+    `spark.sql.files.maxPartitionBytes` sized for the post-explode
+    width, not the input width.
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from geist_spark.operators.bucketing import fan_out
+
+    toked = fan_out(documents).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
+    ex = toked.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+        F.size("chunk").alias("n_tokens"),
+    )

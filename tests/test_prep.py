@@ -100,3 +100,27 @@ def test_repetition_stats_gopher_fractions(spark):
         rows[4]["top_bigram_frac"],
         rows[4]["dup_trigram_frac"],
     ) == (0.0, 0.0, 0.0)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from geist_spark.operators.prep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],  # 10 tokens
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    )
+    # starts at tokens 0,3,6,9 -> three full 4-token chunks + 1-token tail
+    assert rows == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+        (3, "t9", 1),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=0)
