@@ -571,6 +571,20 @@ def s_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (operators/similarity.py
+    train_ivf_centroids): 2 iterations, k=8, exact long arithmetic
+    throughout — assignment is map-only over centroid literals, update
+    is one k-row groupBy per iteration. Output (vec_id, cell, sq_dist)
+    is all-integer, so the oracle replay is bit-exact by construction."""
+    from geist_spark.operators.similarity import train_ivf_centroids
+
+    _, assigned = train_ivf_centroids(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    return assigned
+
+
 def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `aggregate` section (engine extension, SURVEY §2.7):
     extract -> 1-hour tumbling window x event_type -> count/sum/distinct,
@@ -1342,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_lsh": s_ann_lsh,
         "s_ann_ivf": s_ann_ivf,
         "s_quantize_embeddings": s_quantize_embeddings,
+        "s_ivf_train": s_ivf_train,
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_sliding_window": a_spec_sliding_window,
         "a_spec_session_window": a_spec_session_window,
@@ -1752,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
+        "s_ivf_train": _ivf_train_oracle(k=8, iters=2, dim=64),
         "q_asof_join": """
             WITH p AS (
                 SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
@@ -2226,6 +2242,61 @@ def _ann_ivf_oracle(n_cells: int, nprobe: int, k: int, n_queries: int) -> str:
             FROM scored)
         WHERE rank <= {k}
     """
+
+
+def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:
+    """Replay of fixed-point Lloyd k-means (train_ivf_centroids):
+    exact long arithmetic, so the match is bit-exact by construction.
+    Floor division is spelled out ((s - posmod) / cnt) because DuckDB's
+    // truncates toward zero while the operator floors."""
+    from geist_spark.operators.similarity import FX_SCALE
+
+    parts = [
+        f"""fx AS (
+            SELECT vec_id,
+                   [CAST(floor(CAST(x AS DOUBLE) * {FX_SCALE}) AS BIGINT)
+                    for x in embedding] AS fx
+            FROM embeddings
+        )""",
+        f"c0 AS (SELECT vec_id AS cid, fx AS c FROM fx WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        parts.append(f"""d{it} AS (
+            SELECT f.vec_id, f.fx, c.cid,
+                   CAST(list_sum([(f.fx[i] - c.c[i]) * (f.fx[i] - c.c[i])
+                                  for i in generate_series(1, {dim})]) AS BIGINT) AS d
+            FROM fx f CROSS JOIN c{it} c
+        )""")
+        parts.append(f"""a{it} AS (
+            SELECT vec_id, fx, cid AS cell, d AS sq_dist
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid) AS rn
+                  FROM d{it})
+            WHERE rn = 1
+        )""")
+        if it == iters - 1:
+            break
+        parts.append(f"""s{it} AS (
+            SELECT cell, i,
+                   CAST(sum(fx[i]) AS BIGINT) AS s,
+                   count(*) AS cnt
+            FROM a{it}, (SELECT unnest(generate_series(1, {dim})) AS i) ix
+            GROUP BY cell, i
+        )""")
+        parts.append(f"""c{it + 1} AS (
+            SELECT cell AS cid,
+                   list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY i) AS c
+            FROM s{it}
+            GROUP BY cell
+            UNION ALL
+            SELECT cid, c FROM c{it}
+            WHERE cid NOT IN (SELECT DISTINCT cell FROM a{it})
+        )""")
+    last = iters - 1
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, cell, sq_dist FROM a{last}"
+    )
 
 
 def _near_dup_oracle(threshold: float, num_planes: int, dim: int) -> str:

@@ -314,3 +314,94 @@ def quantize_embeddings(
         F.round(scale, 6).alias("scale"),
         q.alias("q"),
     )
+
+
+FX_SCALE = 1 << 20  # fixed-point grid: 2^-20 resolution
+
+
+def _fx(col: F.Column) -> F.Column:
+    """Fixed-point projection: floor(x * 2^20) as long. Exact in both
+    engines (float->double cast is exact; double mul + floor is IEEE)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * FX_SCALE).cast("long")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    value_col: str = "embedding",
+):
+    """Distributed Lloyd k-means for IVF cell training, on FIXED-POINT
+    embeddings: every distance and centroid update is exact long
+    arithmetic, so the result is bit-identical at any partition count
+    and any execution order — the reproducibility property float
+    k-means fundamentally lacks (float sums reorder under shuffle).
+    Resolution loss is 2^-20 per dim — far below float32 noise.
+
+    Plan shape per iteration (the canonical scalable k-means):
+      - assignment: per-row expression over k*dim centroid LITERALS —
+        map-only, no shuffle, no cross join, runs in codegen;
+      - update: one groupBy("cell") with per-dim long sums (partial
+        aggregation map-side), k rows collected to the driver.
+    Init is deterministic: the k lowest vec_ids. Empty cells keep
+    their previous centroid. Returns (centroids, assignments) where
+    assignments = (vec_id, cell, sq_dist) — all exact longs.
+
+    At 100 TB: per-iteration cost is one scan + one k-row shuffle;
+    centroids (k*dim longs) stay driver-side like the 8-row IVF
+    centroid collect in ivf_topk. For huge k, swap the literal array
+    for a broadcast join against a centroid DataFrame — same plan
+    shape.
+    """
+    fxd = fan_out(embeddings).select(
+        "vec_id", _fx(F.col(value_col)).alias("fx")
+    )
+    init = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
+    cents = [list(r["fx"]) for r in init]
+    dim = len(cents[0])
+
+    def dist_to(c: list[int]) -> F.Column:
+        diffs = F.zip_with(
+            F.col("fx"),
+            F.array(*[F.lit(v).cast("long") for v in c]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    assigned = None
+    for it in range(iters):
+        scores = F.array(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        m = F.array_min(scores)  # lexicographic: min dist, then min cid
+        assigned = fxd.select(
+            "vec_id",
+            "fx",
+            m["cid"].alias("cell"),
+            m["d"].alias("sq_dist"),
+        )
+        if it == iters - 1:
+            break
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("fx")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in stats}
+        cents = [
+            [int(by_cell[ci][f"s{i}"]) // int(by_cell[ci]["cnt"]) for i in range(dim)]
+            if ci in by_cell
+            else cents[ci]  # empty cell: keep previous centroid
+            for ci in range(k)
+        ]
+    return cents, assigned.select("vec_id", "cell", "sq_dist")

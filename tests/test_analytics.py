@@ -914,3 +914,32 @@ def test_sliding_window_aggregate_batch(spark):
         ("2024-01-01 00:00:00", 2),
         ("2024-01-01 00:30:00", 1),
     ]
+
+
+def test_ivf_train_fixed_point_determinism_and_convergence(spark):
+    from geist_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, asg = train_ivf_centroids(emb, k=4, iters=2)
+    rows = sorted((r["vec_id"], r["cell"], r["sq_dist"]) for r in asg.collect())
+    # exact long arithmetic => identical result at any partition count
+    cents13, asg13 = train_ivf_centroids(emb.repartition(13), k=4, iters=2)
+    assert cents13 == cents
+    assert sorted(
+        (r["vec_id"], r["cell"], r["sq_dist"]) for r in asg13.collect()
+    ) == rows
+    # Lloyd monotonicity: total distortion never increases per iteration
+    from pyspark.sql import functions as F
+
+    def cost(df):
+        return df.agg(F.sum("sq_dist")).collect()[0][0]
+
+    _, asg1 = train_ivf_centroids(emb, k=4, iters=1)
+    assert cost(asg) <= cost(asg1)
+    # every vector lands in a valid cell
+    assert asg.filter((F.col("cell") < 0) | (F.col("cell") >= 4)).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_ivf_centroids(emb.filter(F.col("vec_id") >= 2), k=4, iters=1)
