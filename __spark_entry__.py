@@ -585,6 +585,19 @@ def s_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): exact
+    fixed-point k-means cells -> within-cell cosine pairs -> connected
+    components -> one canonical vector per semantic-dup group.
+    threshold=0.4 here so the synthetic corpus (near-orthogonal random
+    embeddings) actually forms groups; production uses ~0.95."""
+    from geist_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.4
+    )
+
+
 def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `aggregate` section (engine extension, SURVEY §2.7):
     extract -> 1-hour tumbling window x event_type -> count/sum/distinct,
@@ -1357,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": s_ann_ivf,
         "s_quantize_embeddings": s_quantize_embeddings,
         "s_ivf_train": s_ivf_train,
+        "s_semantic_dedup": s_semantic_dedup,
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_sliding_window": a_spec_sliding_window,
         "a_spec_session_window": a_spec_session_window,
@@ -1768,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
         "s_ivf_train": _ivf_train_oracle(k=8, iters=2, dim=64),
+        "s_semantic_dedup": _semantic_dedup_oracle(
+            k=8, iters=2, dim=64, threshold=0.4
+        ),
         "q_asof_join": """
             WITH p AS (
                 SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
@@ -2244,11 +2261,12 @@ def _ann_ivf_oracle(n_cells: int, nprobe: int, k: int, n_queries: int) -> str:
     """
 
 
-def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:
-    """Replay of fixed-point Lloyd k-means (train_ivf_centroids):
-    exact long arithmetic, so the match is bit-exact by construction.
-    Floor division is spelled out ((s - posmod) / cnt) because DuckDB's
-    // truncates toward zero while the operator floors."""
+def _ivf_train_cte_parts(k: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """CTE chain replaying fixed-point Lloyd k-means
+    (train_ivf_centroids): exact long arithmetic, so the match is
+    bit-exact by construction. Floor division is spelled out
+    ((s - posmod) // cnt) because DuckDB's // truncates toward zero
+    while the operator floors. Returns (parts, final_assignment_cte)."""
     from geist_spark.operators.similarity import FX_SCALE
 
     parts = [
@@ -2292,10 +2310,60 @@ def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:
             SELECT cid, c FROM c{it}
             WHERE cid NOT IN (SELECT DISTINCT cell FROM a{it})
         )""")
-    last = iters - 1
+    return parts, f"a{iters - 1}"
+
+
+def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:
+    parts, last = _ivf_train_cte_parts(k, iters, dim)
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT vec_id, cell, sq_dist FROM a{last}"
+        + f"\nSELECT vec_id, cell, sq_dist FROM {last}"
+    )
+
+
+def _semantic_dedup_oracle(k: int, iters: int, dim: int, threshold: float) -> str:
+    """SemDeDup replay: exact k-means cells + rounded within-cell
+    cosines + recursive-CTE connected components (same shape as the
+    d_dedup_clusters oracle)."""
+    parts, last = _ivf_train_cte_parts(k, iters, dim)
+    parts += [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cm AS (
+            SELECT {last}.vec_id, {last}.cell, e.v
+            FROM {last} JOIN e USING (vec_id)
+        )""",
+        f"""sem_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM cm a JOIN cm b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                  >= {threshold}
+        )""",
+        """sem_edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM sem_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM sem_pairs
+        )""",
+        """reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM sem_edges
+            UNION
+            SELECT se.dst, reach.r
+            FROM reach JOIN sem_edges se ON se.src = reach.doc_id
+        )""",
+        """labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        )""",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + """
+        SELECT e.vec_id,
+               coalesce(l.cluster_id, e.vec_id) AS rep,
+               coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+        FROM e LEFT JOIN labels l ON l.doc_id = e.vec_id
+        """
     )
 
 

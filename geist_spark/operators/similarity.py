@@ -364,21 +364,26 @@ def train_ivf_centroids(
     cents = [list(r["fx"]) for r in init]
     dim = len(cents[0])
 
-    def dist_to(c: list[int]) -> F.Column:
-        diffs = F.zip_with(
-            F.col("fx"),
-            F.array(*[F.lit(v).cast("long") for v in c]),
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
     assigned = None
     for it in range(iters):
-        scores = F.array(
-            *[
-                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(cents)
-            ]
+        # centroids as ONE array-of-arrays literal + a generic transform
+        # loop: the generated code is a small nested loop over literal
+        # DATA, not k unrolled copies of the distance expression —
+        # k unrolled copies made Janino compilation (seconds) dominate
+        # execution (milliseconds) on small inputs
+        cent_lit = F.array(
+            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in cents]
+        )
+        scores = F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("fx"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
         )
         m = F.array_min(scores)  # lexicographic: min dist, then min cid
         assigned = fxd.select(
@@ -405,3 +410,74 @@ def train_ivf_centroids(
             for ci in range(k)
         ]
     return cents, assigned.select("vec_id", "cell", "sq_dist")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means cluster the space,
+    find cosine near-duplicate PAIRS only within each cluster, form
+    connected components, keep the lowest vec_id per component.
+
+    Returns (vec_id, rep, keep): rep = canonical representative of the
+    semantic-dup group (itself when unpaired), keep = vec_id == rep.
+
+    Scale design — the whole point of SemDeDup: clustering bounds the
+    quadratic pair term to sum_cells(|cell|^2) instead of N^2. The
+    cluster assignment is the exact fixed-point k-means
+    (train_ivf_centroids), so results are reproducible at any
+    parallelism; the within-cell self-join shuffles on `cell` (one
+    key per cluster — at 100 TB raise k so cells stay ~10^4-10^5 docs
+    and let AQE split hot cells). Cosines are rounded to 6dp before
+    thresholding, mirrored in the oracle. Clustering of the pair graph
+    reuses dedup_clusters' min-label propagation (O(diameter) rounds).
+    """
+    from geist_spark.operators.dedup import dedup_clusters
+
+    _, asg = train_ivf_centroids(embeddings, k=k, iters=iters)
+    cellmates = embeddings.select("vec_id", "embedding").join(
+        asg.select("vec_id", "cell"), "vec_id"
+    )
+    a, b = cellmates.alias("a"), cellmates.alias("b")
+    # candidate generation first (cheap equi-join on cell), cosines
+    # second: the join output is skinny and AQE coalesces it to ~1
+    # partition, which would serialize the CPU-heavy cosine stage
+    # (higher-order-function lambdas run interpreted, not codegen) —
+    # so explicitly widen between the two
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    # the localCheckpoint is a required optimizer barrier, not a cache
+    # nicety: Catalyst pushes the cosine projection back down through a
+    # bare repartition into the single coalesced post-join partition,
+    # re-serializing the stage (measured 8.7s -> 0.3s at sf0.1)
+    cand = cand.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 6)
+    pairs = cand.select(
+        "doc_a", "doc_b", cos.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    rep = F.coalesce("cluster_id", F.col("vec_id"))
+    return (
+        embeddings.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            rep.alias("rep"),
+            (rep == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -943,3 +943,22 @@ def test_ivf_train_fixed_point_determinism_and_convergence(spark):
 
     with pytest.raises(ValueError):
         train_ivf_centroids(emb.filter(F.col("vec_id") >= 2), k=4, iters=1)
+
+
+def test_semantic_dedup_groups_and_canonicals(spark):
+    from geist_spark.operators.similarity import semantic_dedup
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, k=4, iters=2, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # every vector classified
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        # rep is the min id of its group, and reps keep themselves
+        assert r["rep"] <= r["vec_id"]
+        assert by_id[r["rep"]]["keep"] is True
+        assert r["keep"] == (r["rep"] == r["vec_id"])
+    # threshold=1.01 -> no pairs -> everything kept
+    all_kept = semantic_dedup(emb, k=4, iters=1, threshold=1.01)
+    assert all_kept.filter(~F.col("keep")).count() == 0
