@@ -539,6 +539,32 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-immune salted join (operators/skew.py salted_join):
+    facts salt randomly, the dim side replicates once per salt bucket,
+    join runs on (key, salt) — identical results to the plain join for
+    any salt assignment. Revenue per supplier nation; decimal-exact
+    sum (engine-identical)."""
+    from geist_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, on="l_suppkey", salt_buckets=8)
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(38,6)"
+        )
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rev.cast("double").alias("revenue"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — matches
     DuckDB quantile_cont). At 100 TB use approx_percentile (t-digest)
@@ -583,6 +609,24 @@ def s_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), k=8, iters=2
     )
     return assigned
+
+
+def s_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-search: fixed-point k-means centroids plugged into
+    ivf_topk (same probe/re-rank plan as s_ann_ivf, real cells instead
+    of the first-8-vectors stand-in)."""
+    from geist_spark.operators.similarity import (
+        FX_SCALE,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = train_ivf_centroids(emb, k=8, iters=2)
+    cd = [(i, [v / float(FX_SCALE) for v in c]) for i, c in enumerate(cents)]
+    return ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_cells=8, nprobe=2, centroids=cd
+    )
 
 
 def s_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
+        "q_salted_join": q_salted_join,
         "q_percentiles": q_percentiles,
         # m_* live mid-dict deliberately: in round 1 the driver's
         # correctness run recorded no row for the final two dict entries,
@@ -1371,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_quantize_embeddings": s_quantize_embeddings,
         "s_ivf_train": s_ivf_train,
         "s_semantic_dedup": s_semantic_dedup,
+        "s_ann_ivf_trained": s_ann_ivf_trained,
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_sliding_window": a_spec_sliding_window,
         "a_spec_session_window": a_spec_session_window,
@@ -1782,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
         "s_ivf_train": _ivf_train_oracle(k=8, iters=2, dim=64),
+        "s_ann_ivf_trained": _ann_ivf_trained_oracle(
+            k_cells=8, iters=2, dim=64, nprobe=2, k=5, n_queries=10
+        ),
         "s_semantic_dedup": _semantic_dedup_oracle(
             k=8, iters=2, dim=64, threshold=0.4
         ),
@@ -1795,6 +1844,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id, p.ts, p.event_id, c.click_id, c.click_ts
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "q_salted_join": """
+            SELECT s_nationkey, count(*) AS n_items,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
         """,
         "q_salted_agg": """
             SELECT event_type, count(*) AS n,
@@ -2318,6 +2374,60 @@ def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vec_id, cell, sq_dist FROM {last}"
+    )
+
+
+def _ann_ivf_trained_oracle(
+    k_cells: int, iters: int, dim: int, nprobe: int, k: int, n_queries: int
+) -> str:
+    """Train-then-search replay: the k-means CTE chain produces the
+    final centroid table, converted back to doubles (exact: fx/2^20),
+    then the standard IVF assign/probe/re-rank replay runs against it."""
+    from geist_spark.operators.similarity import FX_SCALE
+
+    parts, _ = _ivf_train_cte_parts(k_cells, iters, dim)
+    cent_cte = f"c{iters - 1}"
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    parts += [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cd AS (
+            SELECT cid, [x / {FX_SCALE}.0 for x in c] AS cv FROM {cent_cte}
+        )""",
+        f"""ranked AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cid DESC) AS rn
+            FROM e CROSS JOIN cd c
+        )""",
+        "assign AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1)",
+        f"""probes AS (
+            SELECT vec_id AS query_id, v AS qv, cid AS cell
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {nprobe}
+        )""",
+        """scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(p.qv, a.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+            FROM probes p JOIN assign a
+              ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+        """
     )
 
 

@@ -220,35 +220,46 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to its
     nearest centroid cell, probe only the query's `nprobe` closest
     cells, exact cosine re-rank within the candidate set.
 
     Centroid "training" is deterministic (the first `n_cells` vectors
-    by id) so an oracle can replay the whole algorithm; at real scale
-    you'd plug sampled k-means centroids into the same plan. Scale
+    by id) so an oracle can replay the whole algorithm; pass
+    `centroids=[(cid, vector), ...]` to plug real trained cells in —
+    e.g. train_ivf_centroids output via
+    `[(i, [v / FX_SCALE for v in c]) for i, c in enumerate(cents)]` —
+    the plan shape is identical. Scale
     shape: assignment is a per-row expression over a centroid array
     literal (NO shuffle, no cross join — the aggregate runs inside
     WholeStageCodegen); the only shuffle is the bucket join, with the
     tiny probe side broadcast."""
     emb = F.col("embedding")
 
-    cents = (
-        embeddings.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
+    if centroids is None:
+        rows = (
+            embeddings.filter(F.col("vec_id") < n_cells)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        cents = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    else:
+        cents = centroids
+        if len({len(v) for _, v in cents}) != 1:
+            # zip_with would silently truncate to the shorter array
+            raise ValueError("centroid vectors must share one dimensionality")
 
     def cell_scores() -> F.Column:
         """array<struct<cos,cid>> of rounded cosine to each centroid."""
         entries = []
-        for r in cents:
-            arr = F.array(*[F.lit(float(x)) for x in r["embedding"]])
+        for cid, vec in cents:
+            arr = F.array(*[F.lit(float(x)) for x in vec])
             cos = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
             entries.append(
-                F.struct(cos.alias("cos"), F.lit(int(r["vec_id"])).alias("cid"))
+                F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid"))
             )
         return F.array(*entries)
 

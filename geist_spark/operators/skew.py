@@ -87,3 +87,37 @@ def salted_aggregate(
 
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-immune equi-join without broadcast: salt the fact side
+    randomly into `salt_buckets`, REPLICATE every dim row once per
+    bucket, and join on (key, salt). A hot join key's rows land on
+    `salt_buckets` different reducers instead of one.
+
+    This is the manual fallback for the case AQE skew-splitting can't
+    fix (one key too large for any single split) and broadcast can't
+    either (dim side too big for memory but small enough that
+    `salt_buckets`x replication is acceptable). Result is exactly the
+    plain join for any salt assignment — salting only changes row
+    placement. `how` supports inner/left (dim replicated, facts never
+    duplicated).
+
+    At 100 TB: cost = one extra explode of the dim side (x buckets)
+    traded against eliminating the straggler reducer; pick
+    salt_buckets ~ (hot-key rows / healthy-partition rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salt = F.floor(F.rand(seed=7) * salt_buckets).cast("int")
+    f = facts.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return f.join(d, [on, "__salt"], how).drop("__salt")

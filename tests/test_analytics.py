@@ -962,3 +962,31 @@ def test_semantic_dedup_groups_and_canonicals(spark):
     # threshold=1.01 -> no pairs -> everything kept
     all_kept = semantic_dedup(emb, k=4, iters=1, threshold=1.01)
     assert all_kept.filter(~F.col("keep")).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from geist_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [(k, v) for k in ["hot"] * 50 + ["cold", "miss"] for v in [1, 2]],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, tag string"
+    )
+    plain = facts.join(dim, "k").groupBy("k", "tag").agg(F.sum("v").alias("s"))
+    salted = (
+        salted_join(facts, dim, on="k", salt_buckets=4)
+        .groupBy("k", "tag")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(facts, dim, on="k", salt_buckets=4, how="left")
+    assert left.count() == facts.count()
+    assert left.filter("tag IS NULL").count() == facts.filter("k = 'miss'").count()
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, on="k", how="outer")
