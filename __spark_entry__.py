@@ -1263,6 +1263,54 @@ def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed corpus pipeline — four gates, each an existing
+    operator, chained as ONE lazy Catalyst plan:
+
+      quality (Gopher repetition + min length)
+        -> exact dedup (canonical doc per content hash)
+        -> benchmark decontamination (5-shingle overlap vs eval set)
+        -> per-source quota (deterministic md5 draw)
+        -> per-source corpus stats (exact long counts)
+
+    This is the shape a real pretraining-data job takes; every gate's
+    arithmetic is engine-exact so the whole composition hash-matches
+    the DuckDB replay."""
+    from pyspark.sql import Window
+
+    from geist_spark.operators.dedup import normalize_text, tokens
+    from geist_spark.operators.prep import decontaminate, source_quota
+    from geist_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    ok = rep.filter(
+        (F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.96)
+    ).select("doc_id")
+    gated = docs.join(ok, "doc_id")
+
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy(
+        F.col("doc_id")
+    )
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = decontaminate(deduped, eval_docs, k=5)
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+
+    capped = source_quota(clean, 40, salt="cp")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+    )
+
+
 def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/prep.py) over documents with synthetic
     PII injected deterministically from doc_id (the corpus text itself
@@ -1436,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_decontaminate": t_decontaminate,
         "t_redact_pii": t_redact_pii,
         "p_chunk_documents": p_chunk_documents,
+        "p_corpus_pipeline": p_corpus_pipeline,
         "p_pack_sequences": p_pack_sequences,
         "p_source_quota": p_source_quota,
     }
@@ -1688,6 +1737,72 @@ def oracle_sql() -> dict[str, str]:
                            1, 4),
                        '|') AS fingerprint
             FROM base
+        """,
+        "p_corpus_pipeline": f"""
+            WITH sized AS (
+                SELECT doc_id, source, {_TOKENS_SQL} AS toks,
+                       len({_TOKENS_SQL}) AS n
+                FROM documents
+            ),
+            uni_doc AS (
+                SELECT doc_id,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup1
+                FROM (SELECT doc_id, gram, count(*) AS c
+                      FROM (SELECT doc_id, unnest(toks) AS gram FROM sized)
+                      GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            q AS (
+                SELECT s.doc_id FROM sized s LEFT JOIN uni_doc u USING (doc_id)
+                WHERE s.n >= 20
+                  AND CAST(coalesce(u.dup1, 0) AS DOUBLE)
+                      / greatest(s.n, 1) <= 0.96
+            ),
+            dedup AS (
+                SELECT doc_id, source FROM (
+                    SELECT d.doc_id, d.source, row_number() OVER (
+                        PARTITION BY md5({_NORM_SQL}) ORDER BY d.doc_id) AS rn
+                    FROM documents d JOIN q USING (doc_id))
+                WHERE rn = 1
+            ),
+            shf AS (
+                SELECT s.doc_id, shingle FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        [array_to_string(toks[i:i+4], ' ')
+                         for i in generate_series(1, greatest(len(toks) - 4, 1))]
+                    )) AS shingle
+                    FROM sized) s
+                JOIN dedup USING (doc_id)
+                WHERE shingle <> ''
+            ),
+            ev AS (
+                SELECT DISTINCT shingle FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        [array_to_string(toks[i:i+4], ' ')
+                         for i in generate_series(1, greatest(len(toks) - 4, 1))]
+                    )) AS shingle
+                    FROM sized WHERE doc_id % 97 = 0)
+                WHERE shingle <> ''
+            ),
+            contaminated AS (
+                SELECT DISTINCT s.doc_id FROM shf s JOIN ev USING (shingle)
+            ),
+            clean AS (
+                SELECT d.doc_id, d.source FROM dedup d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            capped AS (
+                SELECT doc_id, source FROM (
+                    SELECT doc_id, source, row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cp') ASC,
+                                 doc_id ASC) AS r
+                    FROM clean)
+                WHERE r <= 40
+            )
+            SELECT c.source, count(*) AS n_docs, sum(s.n) AS total_tokens
+            FROM capped c JOIN sized s USING (doc_id)
+            GROUP BY c.source
         """,
         "p_chunk_documents": f"""
             WITH base AS (

@@ -124,3 +124,23 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+def test_corpus_pipeline_gates_are_monotone(spark):
+    """Each pipeline gate only removes docs, and the per-source totals
+    reconcile with counting the surviving docs directly."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["p_corpus_pipeline"](spark, sf)
+    rows = {r["source"]: r for r in out.collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    per_source = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert rows  # something survives
+    for src, r in rows.items():
+        assert 0 < r["n_docs"] <= min(40, per_source[src])
+        assert r["total_tokens"] >= r["n_docs"]  # >= 1 token per doc
