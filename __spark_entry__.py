@@ -345,6 +345,43 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.relational import forecast_revenue
+
+    return forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.relational import returned_item_report
+
+    return returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.relational import large_order_customers
+
+    return large_order_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -1435,6 +1472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_rollup": q_hourly_rollup,
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
+        "q_shipping_priority": q_shipping_priority,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_returned_items": q_returned_items,
+        "q_large_order_customers": q_large_order_customers,
         "q_range_join": q_range_join,
         "q_hll_rollup": q_hll_rollup,
         "q_asof_join": q_asof_join,
@@ -1649,6 +1690,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem
                 WHERE l_orderkey = o_orderkey AND l_shipdate IS NOT NULL)
             GROUP BY o_orderpriority
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_shipdate > TIMESTAMP '1997-06-01'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q_large_order_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "d_exact_groups": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,

@@ -298,3 +298,137 @@ def range_join(
     cond = (F.col("__bucket_p") == F.col("__bucket_r")) & p.between(lo, hi)
     joined = pts.join(rng, cond, how)
     return joined.drop("__bucket_p", "__bucket_r")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-01",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-N not-yet-shipped orders
+    by revenue within a market segment.
+
+    Scale shape: both selective filters (segment on customer, date on
+    orders/lineitem) are pushed to the parquet scans BEFORE the joins;
+    the orderkey join shuffles once; the top-N is a TakeOrdered (heap
+    per partition + driver merge of N rows), never a full sort of the
+    joined result. Deterministic under ties via the orderkey tiebreak.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == segment),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(n)
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: a single selective scan+agg.
+
+    The whole query is one parquet scan with every predicate pushed
+    down and only 3 columns read, then a partial+final agg of one
+    group — the minimal possible plan (no shuffle of data rows, only
+    of 1-row partials)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from)
+            & (F.col("l_shipdate") < date_to)
+            & F.col("l_discount").between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-style returned-item report: revenue lost to returns
+    per customer in a quarter, top-N customers.
+
+    Scale shape: the returnflag filter prunes lineitem at the scan; the
+    quarter filter prunes orders at the scan (and transitively the join
+    input); nation is broadcast; top-N is TakeOrdered, not a sort."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= date_from)
+                & (F.col("o_orderdate") < date_to)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(n)
+    )
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    n: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    quantity exceeds min_qty, with their customers, top-N by price.
+
+    Scale shape: the HAVING-style reduction happens FIRST on lineitem
+    (one shuffle on orderkey, partial agg map-side), so the expensive
+    joins only see the ~1% of orders that survive; the surviving set is
+    small enough that AQE broadcasts it against orders."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(n)
+    )
