@@ -1280,6 +1280,22 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, eval_docs, k=5)
 
 
+def t_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/prep.py
+    bloom_decontaminate): constant-size (128 KiB) filter image probed
+    map-side instead of broadcasting the raw eval shingle set; exact
+    confirm join removes false positives. The oracle replays the md5
+    bit-position arithmetic, so the bloom candidate count itself is
+    hash-checked, not just the final exact flags."""
+    from geist_spark.operators.prep import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate(
+        docs, eval_docs, k=5, m_bits=1 << 20, num_hashes=4
+    )
+
+
 def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sequence packing into 2048-token bins per source
     (operators/prep.py): one shuffle + partition-local window."""
@@ -1523,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_doc_fingerprint": t_doc_fingerprint,
         "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
+        "t_bloom_decontaminate": t_bloom_decontaminate,
         "t_redact_pii": t_redact_pii,
         "p_chunk_documents": p_chunk_documents,
         "p_corpus_pipeline": p_corpus_pipeline,
@@ -2183,6 +2200,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n, 0) AS n_contaminated_shingles,
                    coalesce(n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "t_bloom_decontaminate": f"""
+            WITH toked AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(toks[i:i+4], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 4, 1))]
+                       )) AS shingle
+                FROM toked
+            ), shf AS (
+                SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+            ), ev AS (
+                SELECT DISTINCT shingle FROM shf WHERE doc_id % 97 = 0
+            ), seeds AS (
+                SELECT unnest([0, 1, 2, 3]) AS i
+            ), evpos AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(shingle || '|' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1048576 AS pos
+                FROM ev CROSS JOIN seeds
+            ), probe AS (
+                SELECT doc_id, shingle,
+                       ('0x' || substr(md5(shingle || '|' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1048576 AS pos
+                FROM shf CROSS JOIN seeds
+            ), cand AS (
+                SELECT doc_id, shingle
+                FROM probe LEFT JOIN evpos e ON probe.pos = e.pos
+                GROUP BY doc_id, shingle
+                HAVING count(e.pos) = 4
+            ), per_doc AS (
+                SELECT c.doc_id,
+                       count(*) AS n_cand,
+                       sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                FROM cand c LEFT JOIN ev ON c.shingle = ev.shingle
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_cand, 0) AS n_candidate_shingles,
+                   coalesce(n_hit, 0) AS n_contaminated_shingles,
+                   coalesce(n_hit, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         """,
         "p_pack_sequences": f"""
             WITH per AS (

@@ -185,3 +185,145 @@ def chunk_documents(
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
         F.size("chunk").alias("n_tokens"),
     )
+
+
+def _bloom_pos(key: F.Column, seed: int, m_bits: int) -> F.Column:
+    """Bit position for probe `seed`: 32-bit md5-prefix hash of the
+    salted key, mod m_bits. Non-negative in both engines (the DuckDB
+    oracle replays `('0x' || substr(md5(key || '|seed'), 1, 8))::BIGINT
+    % m_bits` exactly)."""
+    salted = F.concat(key, F.lit(f"|{seed}"))
+    h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return h % F.lit(m_bits)
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 20, num_hashes: int = 4
+) -> DataFrame:
+    """Build a bloom filter over a key column as ONE row holding a
+    dense array<long> of m_bits/64 words (`words`).
+
+    The whole filter is (m_bits/8) bytes — 128 KiB at the 2^20
+    default — INDEPENDENT of how many keys went in. That is the point
+    at scale: broadcasting the raw key set is O(total key bytes)
+    (gigabytes for a large eval/benchmark suite), while the bloom
+    image stays constant-size, so the corpus-side membership probe is
+    always a cheap map-side expression.
+
+    Build cost: one explode (num_hashes per key), one distinct on bit
+    positions, one 1-row aggregation packing bits into words. All
+    md5-deterministic: the same keys produce the same image on any
+    engine or parallelism.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+    one = F.lit(1).cast("long")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(key_col), i, m_bits)
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    sparse = pos.groupBy(
+        F.floor(F.col("pos") / 64).cast("long").alias("widx")
+    ).agg(
+        # bit_or of single-bit words; shiftleft via call_function so the
+        # shift amount can be a column (the F.shiftleft wrapper only
+        # takes a literal int)
+        F.bit_or(
+            F.call_function(
+                "shiftleft", one, (F.col("pos") % 64).cast("int")
+            )
+        ).alias("word")
+    )
+    wmap = sparse.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias(
+            "__wmap"
+        )
+    )
+    dense = wmap.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(F.col("__wmap"), i), F.lit(0).cast("long")),
+        ).alias("words")
+    )
+    return dense
+
+
+def bloom_might_contain(
+    words: F.Column, key: F.Column, m_bits: int, num_hashes: int
+) -> F.Column:
+    """Membership probe against a `bloom_build` image: true iff every
+    probe bit is set. Pure codegen column expression — no shuffle, no
+    Python; false positives possible (rate ~ (keys*num_hashes/m_bits)
+    ^num_hashes), false negatives impossible."""
+    one = F.lit(1).cast("long")
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        pos = _bloom_pos(key, i, m_bits)
+        word = F.element_at(words, (F.floor(pos / 64) + 1).cast("int"))
+        bit = F.call_function("shiftleft", one, (pos % 64).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination at corpus scale: bloom prefilter +
+    exact confirm.
+
+    `decontaminate` broadcasts the full eval shingle set — right for
+    benchmark-sized eval data, wrong when the contamination blocklist
+    is itself huge (all public test sets + licensed text: tens of GB).
+    This variant probes a constant-size (m_bits/8 bytes) bloom image
+    map-side, so only the tiny candidate fraction of corpus shingles
+    reaches the exact-confirm join; AQE picks the confirm strategy on
+    actual candidate size. False positives cost only wasted confirm
+    work, never wrong output; the exact join removes them.
+
+    Returns one row per doc: bloom candidate count (FPs included —
+    oracle-checked, the bloom arithmetic is engine-exact), exact
+    contaminated count, and the contaminated flag (identical to
+    `decontaminate`'s).
+    """
+    corpus_sh = shingles(documents, k=k)
+    eval_sh = shingles(eval_docs, k=k).select("shingle").distinct()
+    image = bloom_build(eval_sh, "shingle", m_bits, num_hashes)
+    cand = (
+        corpus_sh.join(F.broadcast(image))
+        .filter(
+            bloom_might_contain(
+                F.col("words"), F.col("shingle"), m_bits, num_hashes
+            )
+        )
+        .drop("words")
+    )
+    confirmed = cand.join(
+        eval_sh.select(F.col("shingle").alias("__es")),
+        cand.shingle == F.col("__es"),
+        "left",
+    )
+    per_doc = confirmed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.col("__es").isNotNull().cast("long")).alias("n_hit"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0)).alias("n_candidate_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_contaminated_shingles"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

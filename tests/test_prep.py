@@ -144,3 +144,57 @@ def test_corpus_pipeline_gates_are_monotone(spark):
     for src, r in rows.items():
         assert 0 < r["n_docs"] <= min(40, per_source[src])
         assert r["total_tokens"] >= r["n_docs"]  # >= 1 token per doc
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.prep import bloom_build, bloom_might_contain
+
+    m_bits, j = 1 << 16, 4
+    keys = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    image = bloom_build(keys, "k", m_bits=m_bits, num_hashes=j)
+    probes = spark.range(5000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    hits = (
+        probes.join(F.broadcast(image))
+        .filter(bloom_might_contain(F.col("words"), F.col("k"), m_bits, j))
+        .count()
+    )
+    # all 500 inserted keys MUST probe true (no false negatives);
+    # 4500 absent keys allow a small FP margin (expected ~(500*4/65536)^4)
+    assert hits >= 500
+    assert hits <= 520
+
+
+def test_bloom_build_rejects_unaligned_m(spark):
+    import pytest
+
+    from geist_spark.operators.prep import bloom_build
+
+    with pytest.raises(ValueError):
+        bloom_build(spark.range(1), "id", m_bits=100)
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.prep import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {
+        r["doc_id"]: (r["n_contaminated_shingles"], r["contaminated"])
+        for r in decontaminate(docs, eval_docs, k=5).collect()
+    }
+    bloom = bloom_decontaminate(docs, eval_docs, k=5).collect()
+    assert len(bloom) == len(exact)
+    for r in bloom:
+        n_exact, flag = exact[r["doc_id"]]
+        assert r["n_contaminated_shingles"] == n_exact
+        assert r["contaminated"] == flag
+        # bloom candidates always include every true hit
+        assert r["n_candidate_shingles"] >= n_exact
