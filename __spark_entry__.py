@@ -312,6 +312,32 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup (operators/sketch.py):
+    hour-grain fixed-bin histograms merged to per-type quantile
+    estimates without rescanning the raw table — the quantile analogue
+    of q_hll_rollup. Deterministic lower-edge estimates, so the DuckDB
+    oracle replays the arithmetic exactly."""
+    from geist_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    hourly = hist_rollup(
+        ev, ["hour", "event_type"], "value", lo=0.0, hi=100.0, n_bins=64
+    )
+    merged = hist_merge(hourly, ["event_type"])
+    return hist_quantiles(
+        merged, ["event_type"], [0.5, 0.9, 0.99], lo=0.0, hi=100.0, n_bins=64
+    ).select(
+        F.col("event_type").alias("etype"), "p50", "p90", "p99", "n_values"
+    )
+
+
 RANGE_BANDS = [
     ("low", 0.0, 15.0),
     ("mid", 10.0, 40.0),
@@ -1494,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_large_order_customers": q_large_order_customers,
         "q_range_join": q_range_join,
         "q_hll_rollup": q_hll_rollup,
+        "q_hist_quantiles": q_hist_quantiles,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1691,6 +1718,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_est,
                    count(*) AS n_rows
             FROM events GROUP BY 1
+        """,
+        "q_hist_quantiles": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(least(greatest(floor((value - 0.0) / 1.5625), 0), 63) AS INT) AS bin,
+                       count(*) AS n
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), c AS (
+                SELECT event_type, bin, n,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                       sum(n) OVER (PARTITION BY event_type) AS total
+                FROM h
+            )
+            SELECT event_type AS etype,
+                   min(CASE WHEN cum >= ceil(0.5 * total) THEN bin * CAST(1.5625 AS DOUBLE) END) AS p50,
+                   min(CASE WHEN cum >= ceil(0.9 * total) THEN bin * CAST(1.5625 AS DOUBLE) END) AS p90,
+                   min(CASE WHEN cum >= ceil(0.99 * total) THEN bin * CAST(1.5625 AS DOUBLE) END) AS p99,
+                   max(total) AS n_values
+            FROM c GROUP BY event_type
         """,
         "q_range_join": """
             WITH bands(band, lo, hi) AS (VALUES

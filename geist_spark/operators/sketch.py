@@ -46,3 +46,94 @@ def hll_merge(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+def hist_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-cell fixed-bin histogram of value_col: rows of
+    (group_cols..., bin, n). The quantile analogue of hll_rollup —
+    sketch once at fine grain, answer any coarser quantile query by
+    merging counts, never rescanning the raw table.
+
+    Long format (one row per non-empty bin) merges with a plain
+    groupBy-sum: associative, commutative, partial-agg map-side, and
+    at most n_bins rows per cell regardless of row count. Out-of-range
+    values clamp into the edge bins, so totals are preserved.
+
+    Unlike approx_percentile (whose internal sketch is not exposed as
+    a mergeable value), this histogram is deterministic and
+    engine-portable: the DuckDB oracle replays the identical binning
+    arithmetic bit-for-bit.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_merge(
+    hist: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge fine-grained histograms up to `group_cols` (empty =
+    global): groupBy-sum on (group_cols, bin). Input is a hist_rollup
+    output; the raw table is not touched again."""
+    keys = list(group_cols or []) + ["bin"]
+    return hist.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Estimate quantiles from a merged histogram: for each q, the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q * total). Error is bounded by one bin width; the estimate
+    is a pure function of the counts (no interpolation), so two
+    engines agree exactly.
+
+    One window over at most n_bins rows per group — the expensive
+    work (the scan) already happened in hist_rollup."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    aggs = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("total"))
+        edge = F.lit(lo) + F.col("bin") * F.lit(width)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, edge)).alias(
+                f"p{int(q * 100):02d}"
+            )
+        )
+    return cum.groupBy(*group_cols).agg(
+        *aggs, F.max("total").alias("n_values")
+    )

@@ -198,3 +198,49 @@ def test_bloom_decontaminate_matches_exact(spark):
         assert r["contaminated"] == flag
         # bloom candidates always include every true hit
         assert r["n_candidate_shingles"] >= n_exact
+
+
+def test_hist_rollup_merge_quantiles(spark):
+    """Merged fine-grain histograms give the same quantiles as a
+    direct coarse histogram, and lower-edge estimates are within one
+    bin width of exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.sketch import (
+        hist_merge,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 2).alias("fine"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    fine = hist_rollup(df, ["g", "fine"], "v", lo=0.0, hi=100.0, n_bins=50)
+    merged = hist_merge(fine, ["g"])
+    direct = hist_rollup(df, ["g"], "v", lo=0.0, hi=100.0, n_bins=50)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    q = hist_quantiles(merged, ["g"], [0.5, 0.9], 0.0, 100.0, 50).collect()
+    for r in q:
+        # ids 0..99 uniform -> p50 ~ 50, p90 ~ 90; bin width 2
+        assert abs(r["p50"] - 50.0) <= 2.0
+        assert abs(r["p90"] - 90.0) <= 2.0
+        assert r["n_values"] > 0
+
+
+def test_hist_rollup_clamps_out_of_range(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.sketch import hist_rollup
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.0,), (150.0,), (None,)], "v double"
+    )
+    rows = {r["bin"]: r["n"] for r in hist_rollup(df, [], "v", 0.0, 100.0, 10).collect()}
+    assert rows[0] == 2  # -5 clamps into bin 0
+    assert rows[9] == 2  # 150 clamps into bin 9
+    assert sum(rows.values()) == 4  # NULL dropped
