@@ -241,18 +241,19 @@ def bloom_build(
             )
         ).alias("word")
     )
-    wmap = sparse.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias(
-            "__wmap"
-        )
+    # dense assembly: scatter sparse words onto a zero skeleton with a
+    # (broadcast) left join, then pack in widx order. An element_at-on-
+    # map probe per index would be an O(n_words * n_entries) linear
+    # scan (measured 11 s at 16k words); this is O(n_words log n_words).
+    skeleton = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("widx")
     )
-    dense = wmap.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda i: F.coalesce(F.element_at(F.col("__wmap"), i), F.lit(0).cast("long")),
-        ).alias("words")
+    dense_rows = skeleton.join(sparse, "widx", "left").select(
+        "widx", F.coalesce("word", F.lit(0).cast("long")).alias("word")
     )
-    return dense
+    return dense_rows.agg(
+        F.array_sort(F.collect_list(F.struct("widx", "word"))).alias("__e")
+    ).select(F.transform(F.col("__e"), lambda s: s["word"]).alias("words"))
 
 
 def bloom_might_contain(
