@@ -156,7 +156,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     one shuffle on user_id; at scale the windows stay partition-local.
     Returns per-session rollups."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # cast via TIMESTAMP so TIMESTAMP_NTZ inputs (e.g. createDataFrame from
+    # naive datetimes) work too -- NTZ has no direct cast to BIGINT
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     with_marks = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
