@@ -408,7 +408,47 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geist_spark.operators.relational import dormant_customers
+
+    return dormant_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency member of the mergeable-sketch family: per-event-type
+    count-min cells merged to one global sketch, then per-user
+    frequency estimates read from the SKETCH alone (raw table never
+    rescanned) — top 10 users by estimated event count."""
+    from geist_spark.operators.sketch import cms_estimate, cms_merge, cms_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    cells = cms_rollup(ev, ["event_type"], "user_id", width=256, depth=4)
+    merged = cms_merge(cells)
+    est = cms_estimate(merged, ev, "user_id", width=256, depth=4)
+    return est.orderBy(
+        F.col("est_count").desc(), F.col("user_id").asc()
+    ).limit(10)
+
+
 # ---------------------------------------------------------------- dedup
+
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a stored corpus band index
+    (doc_id % 5 != 0) is probed by a new batch (doc_id % 5 == 0); only
+    the batch is shingled/hashed — O(batch), never O(corpus)."""
+    from geist_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_bands,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_bands(corpus, num_hashes=16, bands=4, k=3)
+    return incremental_dedup_pairs(batch, index, num_hashes=16, bands=4, k=3)
 
 
 def d_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,9 +1558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_revenue": q_forecast_revenue,
         "q_returned_items": q_returned_items,
         "q_large_order_customers": q_large_order_customers,
+        "q_dormant_customers": q_dormant_customers,
         "q_range_join": q_range_join,
         "q_hll_rollup": q_hll_rollup,
         "q_hist_quantiles": q_hist_quantiles,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1538,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_distinct_event_keys": d_distinct_event_keys,
         "d_dedup_clusters": d_dedup_clusters,
         "d_keep_canonical": d_keep_canonical,
+        "d_incremental_dedup": d_incremental_dedup,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
@@ -1805,6 +1848,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
         """,
+        "q_dormant_customers": """
+            WITH thr AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS total,
+                       CAST(count(*) AS DECIMAL(12,0)) AS n
+                FROM customer WHERE c_acctbal > 0
+            ), cand AS (
+                SELECT c.* FROM customer c, thr
+                WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * thr.n > thr.total
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+            FROM cand
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = cand.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
         "d_exact_groups": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,
                    min(doc_id) AS rep_doc_id,
@@ -1837,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d_dedup_clusters": _dedup_clusters_oracle(num_hashes=16, bands=4),
         "d_keep_canonical": _keep_canonical_oracle(num_hashes=16, bands=4),
+        "d_incremental_dedup": _incremental_dedup_oracle(num_hashes=16, bands=4),
         "p_dataset_split": _dataset_split_oracle(),
         "p_deterministic_sample": _deterministic_sample_oracle(0.1, "s1"),
         "p_stratified_sample": _stratified_sample_oracle(),
@@ -2437,7 +2501,9 @@ def _simhash_oracle(bits: int) -> str:
     """
 
 
-def _minhash_oracle(num_hashes: int, bands: int) -> str:
+def _minhash_bands_cte(num_hashes: int, bands: int) -> str:
+    """Shared CTE body ending in a `bands(doc_id, band_id, band_hash)`
+    relation — replays minhash_bands() arithmetic exactly."""
     from geist_spark.operators.dedup import MINHASH_P, minhash_params
 
     rows_per_band = num_hashes // bands
@@ -2472,10 +2538,65 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
         ), sigs AS (
             SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
         ), bands AS ({band_selects})
+    """
+
+
+def _minhash_oracle(num_hashes: int, bands: int) -> str:
+    return f"""
+        {_minhash_bands_cte(num_hashes, bands)}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+    """
+
+
+def _incremental_dedup_oracle(num_hashes: int, bands: int) -> str:
+    """Bands over all docs, then new batch (doc_id%5=0) probes the
+    corpus index (doc_id%5<>0) — signatures are per-doc, so banding
+    the full table and filtering is identical to banding each side."""
+    return f"""
+        {_minhash_bands_cte(num_hashes, bands)}
+        SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+        FROM bands n JOIN bands c
+          ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+        WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    """
+
+
+def _cms_oracle(width: int, depth: int) -> str:
+    """Replays cms_rollup/merge/estimate arithmetic: md5-32bit item
+    hash, universal-hash positions, per-(d,pos) counts, min-over-depth
+    estimates, top 10."""
+    from geist_spark.operators.sketch import CMS_P, cms_params
+
+    params_values = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(cms_params(depth))
+    )
+    return f"""
+        WITH params(d, a, b) AS (VALUES {params_values}),
+        ev AS (
+            SELECT user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), cells AS (
+            SELECT p.d AS d, ((p.a * e.h + p.b) % {CMS_P}) % {width} AS pos,
+                   count(*) AS n
+            FROM ev e CROSS JOIN params p GROUP BY 1, 2
+        ), probes AS (
+            SELECT DISTINCT user_id, h FROM ev
+        ), probe_cells AS (
+            SELECT pr.user_id, p.d AS d,
+                   ((p.a * pr.h + p.b) % {CMS_P}) % {width} AS pos
+            FROM probes pr CROSS JOIN params p
+        ), est AS (
+            SELECT pc.user_id, min(coalesce(c.n, 0)) AS est_count
+            FROM probe_cells pc
+            LEFT JOIN cells c ON c.d = pc.d AND c.pos = pc.pos
+            GROUP BY 1
+        )
+        SELECT user_id, est_count FROM est
+        ORDER BY est_count DESC, user_id LIMIT 10
     """
 
 

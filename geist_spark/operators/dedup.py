@@ -115,6 +115,82 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_bands(
+    documents: DataFrame, num_hashes: int = 16, bands: int = 4, k: int = 3
+) -> DataFrame:
+    """LSH band rows (doc_id, band_id, band_hash) — the persistable
+    near-dup INDEX of a corpus. rows-per-band = num_hashes // bands;
+    two docs are near-dup candidates when any band row collides.
+
+    This is the artifact an incremental pipeline stores (append-only,
+    partitioned by band_hash prefix): each ingest batch computes its
+    own bands (O(batch), never O(corpus)), probes the stored index,
+    and appends its rows. Pure per-doc computation — no shuffle beyond
+    the signature groupBy."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes=num_hashes, k=k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Probe a NEW ingest batch against an EXISTING corpus band index
+    (a stored `minhash_bands` output) — the 100 TB incremental-dedup
+    pattern: never re-shingle or re-cluster the corpus, only hash the
+    batch and equi-join the index on (band_id, band_hash).
+
+    Returns distinct (new_doc_id, corpus_doc_id) candidate pairs; docs
+    already in the index are skipped via the id inequality, so the
+    operator is idempotent under replayed batches. `max_bucket_size`
+    caps degenerate index buckets exactly like minhash_lsh_pairs.
+    """
+    probe = minhash_bands(new_docs, num_hashes=num_hashes, bands=bands, k=k)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        index = (
+            index.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
+    n, c = probe.alias("n"), index.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -136,26 +212,7 @@ def minhash_lsh_pairs(
     dups — route them through exact_dedup_groups instead, which is
     linear). The cap count rides the same hash partitioning as the join
     key, so it adds no extra shuffle."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes=num_hashes, k=k)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"sig_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = minhash_bands(documents, num_hashes=num_hashes, bands=bands, k=k)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash")
         banded = (

@@ -186,6 +186,43 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def dormant_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1998-01-01"
+) -> DataFrame:
+    """TPC-H Q22-style anti-join report: customers with above-average
+    positive account balance and NO order since `since` (dormant
+    high-value accounts), rolled up by market segment.
+
+    Scale shape: the global threshold is a 1-row aggregate cross-joined
+    (broadcast) onto customer — no driver collect, the whole query is
+    one lazy Catalyst plan; dormancy is a `left_anti` join against the
+    single projected o_custkey column (date filter + column pruning
+    both pushed to the orders scan, so the anti join's build side is a
+    fraction of orders); the final rollup is a partial agg over the few
+    surviving rows.
+
+    The threshold comparison is done in exact DECIMAL arithmetic
+    (c_acctbal * n_pos > total_bal — multiply instead of divide, so no
+    quotient rounding) making the survivors identical across engines.
+    """
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("__total"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+    )
+    cand = customer.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("__n")
+        > F.col("__total")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= since).select("o_custkey")
+    dormant = cand.join(
+        recent, cand["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -97,6 +97,112 @@ def hist_merge(
     return hist.groupBy(*keys).agg(F.sum("n").alias("n"))
 
 
+CMS_P = 2_147_483_647  # 2^31 - 1, Mersenne prime for universal hashing
+
+
+def cms_params(depth: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per sketch row. a < 2^30 keeps a*h exact in
+    int64 for a 32-bit h — the DuckDB oracle replays the identical
+    expressions (same guarantee as dedup.minhash_params)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, CMS_P))
+        for _ in range(depth)
+    ]
+
+
+def _cms_hash(item: F.Column) -> F.Column:
+    """32-bit md5 prefix of the item's string form — paid once per row,
+    then `depth` cheap universal hashes derive the row positions."""
+    return (
+        F.conv(F.substring(F.md5(item.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+
+
+def cms_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-cell count-min sketch in long format: rows of
+    (group_cols..., d, pos, n) — the frequency member of the mergeable
+    sketch family (HLL = distinct, histogram = quantiles, bloom =
+    membership, CMS = per-item counts / heavy hitters).
+
+    Long format merges with a plain groupBy-sum (associative,
+    commutative, map-side partial) and is at most width*depth rows per
+    cell regardless of input size — the overcount bound is the usual
+    CMS guarantee (eps ~ e/width with prob 1 - e^-depth). Deterministic
+    md5/universal-hash positions, so the DuckDB oracle replays the
+    arithmetic bit-for-bit (unlike count_min_sketch(), whose binary
+    image is not portable across engines)."""
+    h = _cms_hash(F.col(item_col))
+    cells = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.lit(a) * h + F.lit(b)) % F.lit(CMS_P)) % F.lit(width)).alias(
+                "pos"
+            ),
+        )
+        for d, (a, b) in enumerate(cms_params(depth))
+    ]
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, F.explode(F.array(*cells)).alias("c"))
+        .groupBy(*group_cols, "c.d", "c.pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(
+    cms: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge fine-grained CMS cells up to `group_cols` (empty =
+    global): groupBy-sum on (group_cols, d, pos). The raw table is not
+    touched again."""
+    keys = list(group_cols or []) + ["d", "pos"]
+    return cms.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for candidate items against a merged
+    global sketch: min over the `depth` rows of the counter at the
+    item's position (absent counter = 0, which only happens for items
+    the sketch never saw).
+
+    The sketch side is at most width*depth rows — broadcast it, so the
+    candidate scan never shuffles. Returns (item_col, est_count)."""
+    probes = items.select(item_col).distinct()
+    h = _cms_hash(F.col(item_col))
+    cells = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.lit(a) * h + F.lit(b)) % F.lit(CMS_P)) % F.lit(width)).alias(
+                "pos"
+            ),
+        )
+        for d, (a, b) in enumerate(cms_params(depth))
+    ]
+    probed = probes.select(
+        item_col, F.explode(F.array(*cells)).alias("c")
+    ).select(item_col, "c.d", "c.pos")
+    joined = probed.join(F.broadcast(cms), ["d", "pos"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count")
+    )
+
+
 def hist_quantiles(
     hist: DataFrame,
     group_cols: list[str],

@@ -244,3 +244,112 @@ def test_hist_rollup_clamps_out_of_range(spark):
     assert rows[0] == 2  # -5 clamps into bin 0
     assert rows[9] == 2  # 150 clamps into bin 9
     assert sum(rows.values()) == 4  # NULL dropped
+
+
+def test_cms_overcount_only_and_merge_equivalence(spark):
+    """CMS estimates never undercount; per-group cells merged globally
+    equal a direct global rollup; unseen items estimate to 0 (or a
+    collision overcount, never negative)."""
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_rollup,
+    )
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 37).alias("item"),
+    )
+    per_group = cms_rollup(df, ["g"], "item", width=64, depth=4)
+    merged = cms_merge(per_group)
+    direct = cms_rollup(df, [], "item", width=64, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    truth = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(merged, df, "item", width=64, depth=4).collect()
+    }
+    assert set(est) == set(truth)
+    for item, n in truth.items():
+        assert est[item] >= n  # CMS may only overcount
+
+    unseen = spark.createDataFrame([(10_001,), (10_002,)], "item long")
+    for r in cms_estimate(merged, unseen, "item", width=64, depth=4).collect():
+        assert r["est_count"] >= 0
+
+
+def test_incremental_dedup_matches_full_lsh(spark):
+    """Probing a new batch against a stored corpus index finds exactly
+    the cross-set subset of the full-corpus LSH pairs."""
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + (f" extra{i}" if i % 3 == 0 else "")) for i in range(12)]
+    rows += [(100 + i, f"totally different content number {i} about databases") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_bands(corpus, num_hashes=8, bands=4, k=3)
+    inc = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in incremental_dedup_pairs(
+            batch, index, num_hashes=8, bands=4, k=3
+        ).collect()
+    }
+
+    full = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4, k=3).collect()
+    }
+    expected = {
+        (n, c) for (a, b) in full
+        for (n, c) in ((a, b), (b, a))
+        if n % 2 == 1 and c % 2 == 0
+    }
+    assert inc == expected
+    assert inc  # near-dup family actually produced cross-set pairs
+
+
+def test_dormant_customers_anti_join(spark):
+    from geist_spark.operators.relational import dormant_customers
+
+    customer = spark.createDataFrame(
+        [
+            (1, "a", 0, 9000.0, "SEG1"),   # above avg, recent order -> out
+            (2, "b", 0, 8000.0, "SEG1"),   # above avg, old order only -> in
+            (3, "c", 0, 100.0, "SEG2"),    # below avg -> out
+            (4, "d", 0, 7000.0, "SEG2"),   # above avg, no orders -> in
+            (5, "e", 0, -50.0, "SEG2"),    # negative, excluded from avg, below -> out
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    import datetime
+
+    orders = spark.createDataFrame(
+        [
+            (10, 1, datetime.datetime(1998, 6, 1)),
+            (11, 2, datetime.datetime(1996, 1, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    # avg positive balance = (9000+8000+100+7000)/4 = 6025
+    got = {
+        r["c_mktsegment"]: (r["n_customers"], r["total_acctbal"])
+        for r in dormant_customers(customer, orders, since="1998-01-01").collect()
+    }
+    assert got == {"SEG1": (1, 8000.0), "SEG2": (1, 7000.0)}
