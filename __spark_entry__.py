@@ -432,6 +432,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def q_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly: sessionized, chronologically ordered
+    event sequences per user, digested to fixed-width scalars."""
+    from geist_spark.operators.relational import session_sequences
+
+    return session_sequences(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -1563,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_hist_quantiles": q_hist_quantiles,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_session_sequences": q_session_sequences,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1868,6 +1877,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "q_session_sequences": """
+            WITH marked AS (
+                SELECT user_id, event_id, event_type, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+                FROM marked
+            ), seqs AS (
+                SELECT user_id, session_seq, count(*) AS n_events,
+                       string_agg(event_type || ':' || CAST(epoch_us(ts) AS BIGINT),
+                                  '|' ORDER BY ts, event_id) AS seq_text
+                FROM numbered GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_seq, n_events,
+                   md5(seq_text) AS seq_hash,
+                   substr(seq_text, 1, 64) AS seq_head
+            FROM seqs
+        """,
         "d_exact_groups": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,
                    min(doc_id) AS rep_doc_id,

@@ -150,27 +150,77 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessionization per user: new session when the gap to
-    the previous event exceeds `gap_minutes`. Classic lag+cumsum —
-    one shuffle on user_id; at scale the windows stay partition-local.
-    Returns per-session rollups."""
+def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session assignment per user: every event row gains a
+    `session_seq` (1-based per user). Classic lag+cumsum — one shuffle
+    on user_id; at scale the windows stay partition-local."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # cast via TIMESTAMP so TIMESTAMP_NTZ inputs (e.g. createDataFrame from
     # naive datetimes) work too -- NTZ has no direct cast to BIGINT
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
-    with_marks = events.withColumn(
+    return events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
     ).withColumn("session_seq", F.sum("new_session").over(w))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session rollups over assign_sessions output."""
     return (
-        with_marks.groupBy("user_id", "session_seq")
+        assign_sessions(events, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             exact_sum("value").alias("session_value"),
+        )
+    )
+
+
+def session_sequences(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Training-sequence assembly: for each (user, session), the
+    chronologically ordered event sequence — the op that turns raw logs
+    into model-ready interaction sequences (SFT conversations, user
+    journeys, next-event-prediction examples).
+
+    The sequence is carried as `seq_text` ("type:epoch|type:epoch|…",
+    ordered by ts then event_id) plus a fixed-width md5 digest; scalar
+    outputs keep the result canonicalizer-friendly and make the digest
+    comparable across engines. Shape: ONE shuffle (the session window
+    on user_id); the ordered array is built with array_sort over
+    collect_list, so ordering never depends on partition iteration
+    order. Per-session arrays are bounded by session length, not table
+    size."""
+    with_sessions = assign_sessions(events, gap_minutes)
+    # unix_micros: exact integer epoch (cast-to-long truncates while
+    # DuckDB's epoch()::BIGINT rounds — micros sidestep both), and
+    # sorting by it is identical to sorting by the full timestamp
+    item = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    seq = F.array_sort(F.collect_list(item))
+    seq_text = F.concat_ws(
+        "|",
+        F.transform(
+            seq, lambda s: F.concat_ws(":", s["event_type"], s["epoch"])
+        ),
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            seq_text.alias("seq_text"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.md5("seq_text").alias("seq_hash"),
+            F.substring("seq_text", 1, 64).alias("seq_head"),
         )
     )
 

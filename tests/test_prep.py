@@ -353,3 +353,26 @@ def test_dormant_customers_anti_join(spark):
         for r in dormant_customers(customer, orders, since="1998-01-01").collect()
     }
     assert got == {"SEG1": (1, 8000.0), "SEG2": (1, 7000.0)}
+
+
+def test_session_sequences_order_invariant(spark):
+    """Sequence digests are a pure function of the data, not of input
+    partition/arrival order."""
+    import datetime
+
+    from geist_spark.operators.relational import session_sequences
+
+    rows = [
+        (1, i, datetime.datetime(2024, 1, 1, 0, 0, i), f"t{i % 3}", 1.0)
+        for i in range(6)
+    ] + [(1, 99, datetime.datetime(2024, 1, 1, 5, 0, 0), "late", 1.0)]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+
+    ra = sorted(map(tuple, session_sequences(a).collect()))
+    rb = sorted(map(tuple, session_sequences(b).collect()))
+    assert ra == rb
+    assert len(ra) == 2  # 5h gap splits into two sessions
+    assert ra[0][2] == 6 and ra[1][2] == 1  # n_events per session
+    assert ra[0][4].startswith("t0:")  # ordered: first event leads
