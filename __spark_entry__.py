@@ -440,6 +440,31 @@ def q_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_sequences(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: key events by interleaved
+    (value, user_id) bits, then per coarse z-cell report row count and
+    per-dimension min/max — the stats that drive multi-dim file
+    pruning once the layout is written."""
+    from geist_spark.operators.bucketing import linear_bin, zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    bins = [
+        linear_bin(F.col("value"), 0.0, 200.0, 8),
+        linear_bin(F.col("user_id"), 0.0, 2048.0, 8),
+    ]
+    keyed = ev.withColumn("__z", zorder_key(bins, 8))
+    return (
+        keyed.groupBy(F.shiftright(F.col("__z"), 8).alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -1572,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": q_hist_quantiles,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_session_sequences": q_session_sequences,
+        "q_zorder_cells": q_zorder_cells,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1899,6 +1925,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(seq_text) AS seq_hash,
                    substr(seq_text, 1, 64) AS seq_head
             FROM seqs
+        """,
+
+        "q_zorder_cells": """
+            WITH binned AS (
+                SELECT value, user_id,
+                       least(greatest(CAST(floor((value - 0.0) / 0.78125) AS BIGINT), 0), 255) AS vb,
+                       least(greatest(CAST(floor((user_id - 0.0) / 8.0) AS BIGINT), 0), 255) AS ub
+                FROM events
+            ), keyed AS (
+                SELECT value, user_id, ((((vb) >> 0) & 1) << 0) | ((((ub) >> 0) & 1) << 1) | ((((vb) >> 1) & 1) << 2) | ((((ub) >> 1) & 1) << 3) | ((((vb) >> 2) & 1) << 4) | ((((ub) >> 2) & 1) << 5) | ((((vb) >> 3) & 1) << 6) | ((((ub) >> 3) & 1) << 7) | ((((vb) >> 4) & 1) << 8) | ((((ub) >> 4) & 1) << 9) | ((((vb) >> 5) & 1) << 10) | ((((ub) >> 5) & 1) << 11) | ((((vb) >> 6) & 1) << 12) | ((((ub) >> 6) & 1) << 13) | ((((vb) >> 7) & 1) << 14) | ((((ub) >> 7) & 1) << 15) AS z FROM binned
+            )
+            SELECT z >> 8 AS z_cell, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value,
+                   min(user_id) AS min_user, max(user_id) AS max_user
+            FROM keyed GROUP BY 1
         """,
         "d_exact_groups": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,

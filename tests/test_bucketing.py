@@ -34,3 +34,70 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    """z-key matches a Python reference interleave, and each coarse
+    z-cell (key >> 8) spans at most a 16x16 tile of bin space -- the
+    locality that makes multi-dim min/max pruning work."""
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.bucketing import linear_bin, zorder_key
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    bins = [
+        linear_bin(F.col("x"), 0.0, 64.0, 8),
+        linear_bin(F.col("y"), 0.0, 64.0, 8),
+    ]
+    keyed = df.select(
+        "x", "y", zorder_key(bins, 8).alias("z"),
+        bins[0].alias("xb"), bins[1].alias("yb"),
+    )
+    rows = keyed.collect()
+
+    def ref(xb, yb):
+        k = 0
+        for i in range(8):
+            k |= ((xb >> i) & 1) << (2 * i)
+            k |= ((yb >> i) & 1) << (2 * i + 1)
+        return k
+
+    for r in rows:
+        assert r["z"] == ref(r["xb"], r["yb"])
+
+    cells = (
+        keyed.groupBy(F.shiftright("z", 8).alias("cell"))
+        .agg(
+            (F.max("xb") - F.min("xb")).alias("dx"),
+            (F.max("yb") - F.min("yb")).alias("dy"),
+        )
+        .collect()
+    )
+    assert cells
+    for c in cells:
+        assert c["dx"] <= 15 and c["dy"] <= 15
+
+
+def test_zorder_layout_sorts_within_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.bucketing import zorder_layout
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        ((F.col("id") * 7) % 89).cast("double").alias("b"),
+    )
+    out = zorder_layout(df, [("a", 0.0, 100.0), ("b", 0.0, 100.0)], bits=6,
+                        target_partitions=4)
+    assert out.count() == 1000
+    # every partition is internally sorted by the z key
+    def check(it):
+        prev = None
+        for row in it:
+            assert prev is None or row["__z"] >= prev
+            prev = row["__z"]
+        return iter([])
+    out.select("__z").rdd.mapPartitions(lambda it: check(it)).count()
