@@ -1006,6 +1006,52 @@ def a_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("nation", "n", "total")
 
 
+def a_spec_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `join` section with type=anti: keep events whose
+    user has NO row in the supplier dim (filter semantics — no right
+    columns), then count per event type. Compiles to a broadcast
+    left_anti join with the dim pruned to its key column."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "antijoin",
+            "version": 1,
+            "description": "anti-join filter",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "etype", "jsonPath": "event_type", "type": "string"},
+                        ]
+                    }
+                ],
+                "join": {
+                    "table": {"path": f"{sf_dir}/supplier.parquet"},
+                    "on": [{"left": "uid", "right": "s_suppkey"}],
+                    "type": "anti",
+                    "broadcast": True,
+                },
+                "aggregate": {
+                    "groupBy": ["etype"],
+                    "aggregations": [{"fn": "count", "alias": "n"}],
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _events_as_json(spark, sf_dir)
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select("etype", "n")
+
+
 def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `sql` escape hatch: arbitrary Spark SQL over the
     transform output (__stream__ binding)."""
@@ -1632,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_session_window": a_spec_session_window,
         "a_spec_stream_join": a_spec_stream_join,
         "a_spec_join": a_spec_join,
+        "a_spec_anti_join": a_spec_anti_join,
         "a_spec_dedup": a_spec_dedup,
         "a_spec_sql": a_spec_sql,
         "k_max_versions": k_max_versions,
@@ -2300,6 +2347,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1
+        """,
+        "a_spec_anti_join": """
+            SELECT event_type AS etype, count(*) AS n
+            FROM events
+            WHERE NOT EXISTS (
+                SELECT 1 FROM supplier WHERE s_suppkey = user_id)
+            GROUP BY event_type
         """,
         "a_spec_stream_join": """
             SELECT l.user_id AS uid, count(*) AS n_pairs

@@ -98,14 +98,17 @@ def apply_join(
             lo = right[tb["rightField"]] + F.expr(f"INTERVAL {tb['lower']}")
             hi = right[tb["rightField"]] + F.expr(f"INTERVAL {tb['upper']}")
             cond = cond & (df[tb["leftField"]] >= lo) & (df[tb["leftField"]] <= hi)
-        joined = df.join(right, cond, spec.how)
+        how = {"semi": "left_semi", "anti": "left_anti"}.get(spec.how, spec.how)
+        joined = df.join(right, cond, how)
+        if spec.how in ("semi", "anti"):
+            return joined  # filter semantics: left columns pass through
         out_cols = [df[c] for c in df.columns]
         out_cols.extend(right[f].alias(a) for f, a in spec.select)
         return joined.select(*out_cols)
 
     spark = df.sparkSession
     dim = spark.read.parquet(spec.table_path)
-    if spec.select:
+    if spec.select or spec.how in ("semi", "anti"):
         right_keys = [r for _, r in spec.on]
         dim = dim.select(*right_keys, *[f for f, _ in spec.select])
     if spec.broadcast:
@@ -114,7 +117,10 @@ def apply_join(
     for left, right in spec.on:
         c = df[left] == dim[right]
         cond = c if cond is None else cond & c
-    joined = df.join(dim, cond, spec.how)
+    how = {"semi": "left_semi", "anti": "left_anti"}.get(spec.how, spec.how)
+    joined = df.join(dim, cond, how)
+    if spec.how in ("semi", "anti"):
+        return joined  # filter semantics: left columns pass through
     out_cols = [df[c] for c in df.columns]
     out_cols.extend(dim[f].alias(a) for f, a in spec.select)
     return joined.select(*out_cols)

@@ -374,8 +374,14 @@ class JoinSpec:
             raise SpecError("join requires exactly one of table.path or stream")
         if not self.on:
             raise SpecError("join requires at least one on condition")
-        if self.how not in ("inner", "left"):
-            raise SpecError(f"join type must be inner or left, got: {self.how}")
+        if self.how not in ("inner", "left", "semi", "anti"):
+            raise SpecError(
+                f"join type must be inner, left, semi or anti, got: {self.how}"
+            )
+        if self.how in ("semi", "anti") and self.select:
+            raise SpecError(
+                f"{self.how} join keeps no right-side columns; remove select"
+            )
         if self.stream is not None:
             if not (self.stream.get("source") and self.stream.get("transform")):
                 raise SpecError("join.stream requires source and transform")

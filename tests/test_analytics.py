@@ -218,7 +218,7 @@ def test_join_spec_validation():
             "extractFields": [EXTRACT],
             "join": {"on": [{"left": "userId", "right": "c_custkey"}]},
         }))
-    with pytest.raises(SpecError, match="inner or left"):
+    with pytest.raises(SpecError, match="semi or anti"):
         parse_spec(base_spec({
             "extractFields": [EXTRACT],
             "join": {"table": {"path": "/x"}, "type": "full",
@@ -990,3 +990,39 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(facts, dim, on="k", how="outer")
+
+
+def test_semi_anti_join_dialect(spark, tmp_path):
+    """Spec-dialect semi/anti joins: filter semantics, no right-side
+    columns; select with semi/anti is a spec error."""
+    from geist_spark.compiler.analytics import apply_analytics
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(1,), (2,)], "k long").write.parquet(dim_path)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, payload string"
+    )
+
+    def mk(how):
+        return parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"table": {"path": dim_path}, "type": how,
+                     "on": [{"left": "k", "right": "k"}]},
+        })).transform.join
+
+    from geist_spark.compiler.analytics import apply_join
+    semi = apply_join(df, mk("semi"))
+    assert sorted(r["k"] for r in semi.collect()) == [1, 2]
+    assert semi.columns == df.columns
+
+    anti = apply_join(df, mk("anti"))
+    assert sorted(r["k"] for r in anti.collect()) == [3, 4]
+    assert anti.columns == df.columns
+
+    with pytest.raises(SpecError, match="no right-side columns"):
+        parse_spec(base_spec({
+            "extractFields": [EXTRACT],
+            "join": {"table": {"path": dim_path}, "type": "semi",
+                     "on": [{"left": "k", "right": "k"}],
+                     "select": [{"field": "x", "alias": "y"}]},
+        }))
