@@ -465,6 +465,17 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: the constant-size digest a
+    100 TB backfill/migration compares instead of re-diffing rows."""
+    from geist_spark.operators.integrity import table_digest
+
+    return table_digest(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -1697,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_corpus_pipeline": p_corpus_pipeline,
         "p_pack_sequences": p_pack_sequences,
         "p_source_quota": p_source_quota,
+        "p_table_digest": p_table_digest,
     }
 
 
@@ -1950,6 +1962,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "p_table_digest": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(('0x' || substr(md5(
+                       concat_ws(chr(31),
+                           coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(text, chr(0) || 'null'),
+                           coalesce(lang, chr(0) || 'null'),
+                           coalesce(source, chr(0) || 'null'),
+                           coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null')
+                       )), 1, 14))::BIGINT) AS VARCHAR) AS digest
+            FROM documents
+        """,
         "q_session_sequences": """
             WITH marked AS (
                 SELECT user_id, event_id, event_type, ts,

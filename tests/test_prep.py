@@ -376,3 +376,25 @@ def test_session_sequences_order_invariant(spark):
     assert len(ra) == 2  # 5h gap splits into two sessions
     assert ra[0][2] == 6 and ra[1][2] == 1  # n_events per session
     assert ra[0][4].startswith("t0:")  # ordered: first event leads
+
+
+def test_table_digest_order_invariant_and_sensitive(spark):
+    from geist_spark.operators.integrity import table_digest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    base = table_digest(df, ["id", "s"]).collect()[0]
+    shuffled = table_digest(df.repartition(13), ["id", "s"]).collect()[0]
+    assert (base["n_rows"], base["digest"]) == (shuffled["n_rows"], shuffled["digest"])
+
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "C")], "id long, s string"
+    )
+    assert table_digest(changed, ["id", "s"]).collect()[0]["digest"] != base["digest"]
+
+    # NULL is distinct from empty string
+    empty = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "c")], "id long, s string"
+    )
+    assert table_digest(empty, ["id", "s"]).collect()[0]["digest"] != base["digest"]
