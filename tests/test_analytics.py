@@ -1026,3 +1026,51 @@ def test_semi_anti_join_dialect(spark, tmp_path):
                      "on": [{"left": "k", "right": "k"}],
                      "select": [{"field": "x", "alias": "y"}]},
         }))
+
+
+def test_streaming_cms_rollup_merges_to_batch_truth(spark, tmp_path):
+    """Mergeable sketches under Structured Streaming: per-micro-batch
+    CMS cells accumulate, and the cross-batch merge answers frequency
+    queries identically to a single batch pass — the 'sketch at ingest,
+    query later without rescan' contract."""
+    from geist_spark.operators.sketch import cms_estimate, cms_merge, cms_rollup
+
+    src = tmp_path / "stream_src"
+    df_all = spark.range(500).selectExpr(
+        "id % 5 AS g", "id % 23 AS item"
+    )
+    # two source files -> at least two micro-batches with maxFilesPerTrigger=1
+    df_all.filter("id < 250").coalesce(1).write.parquet(str(src / "a"))
+    df_all.filter("id >= 250").coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("g bigint, item bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    acc: list = []
+    n_batches = []
+
+    def per_batch(bdf, bid):
+        cells = cms_rollup(bdf, ["g"], "item", width=64, depth=4)
+        acc.extend([tuple(r) for r in cells.collect()])
+        n_batches.append(bid)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "expected multiple micro-batches"
+
+    streamed_cells = spark.createDataFrame(acc, "g bigint, d int, pos bigint, n bigint")
+    merged = cms_merge(streamed_cells)
+    direct = cms_merge(cms_rollup(df_all, ["g"], "item", width=64, depth=4))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    est_streamed = cms_estimate(merged, df_all, "item", width=64, depth=4)
+    est_direct = cms_estimate(direct, df_all, "item", width=64, depth=4)
+    assert sorted(map(tuple, est_streamed.collect())) == sorted(
+        map(tuple, est_direct.collect())
+    )
