@@ -476,6 +476,38 @@ def p_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: quantity per linestatus x returnflag with explicit
+    pivot values (single-pass, fixed schema)."""
+    from geist_spark.operators.relational import pivot_table
+
+    return pivot_table(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_linestatus"],
+        "l_returnflag",
+        ["A", "N", "R"],
+        "l_quantity",
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals with grouping level ids."""
+    from geist_spark.operators.relational import rollup_report
+
+    return rollup_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled gaps."""
+    from geist_spark.operators.relational import gap_fill_hourly
+
+    return gap_fill_hourly(_t(spark, sf_dir, "events"), "event_type")
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -1655,6 +1687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_session_sequences": q_session_sequences,
         "q_zorder_cells": q_zorder_cells,
+        "q_pivot_returnflag": q_pivot_returnflag,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_gap_fill": q_gap_fill,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1962,6 +1997,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "q_pivot_returnflag": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN l_returnflag = 'A'
+                       THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS "A",
+                   CAST(sum(CASE WHEN l_returnflag = 'N'
+                       THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS "N",
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS "R"
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "q_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                   count(*) AS n_rows,
+                   GROUPING(l_returnflag, l_linestatus) AS grouping_level
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_gap_fill": """
+            WITH bounds AS (
+                SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi
+                FROM events
+            ), axis AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                FROM bounds
+            ), groups AS (
+                SELECT DISTINCT event_type FROM events
+            ), actual AS (
+                SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT g.event_type, a.hour, coalesce(actual.n, 0) AS n
+            FROM axis a CROSS JOIN groups g
+            LEFT JOIN actual ON actual.event_type = g.event_type
+                            AND actual.h = a.hour
+        """,
         "p_table_digest": """
             SELECT count(*) AS n_rows,
                    CAST(sum(('0x' || substr(md5(

@@ -522,3 +522,80 @@ def large_order_customers(
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(n)
     )
+
+
+def pivot_table(
+    df: DataFrame,
+    row_keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Cross-tab: one column per pivot value, exact decimal sums.
+
+    `pivot_values` is REQUIRED (not discovered): at 100 TB the
+    two-pass "scan to find distinct pivot values, scan again to
+    pivot" is the trap — explicit values keep this a single hash-agg
+    pass with a fixed output schema Catalyst can prune against."""
+    return (
+        df.groupBy(*row_keys)
+        .pivot(pivot_col, pivot_values)
+        .agg(exact_sum(value_col))
+    )
+
+
+def rollup_report(
+    df: DataFrame, dims: list[str], value_col: str
+) -> DataFrame:
+    """Hierarchical totals: ROLLUP over `dims` (subtotal per prefix +
+    grand total) with a grouping level id. One shuffle — Spark expands
+    grouping sets map-side, the aggregate is still a single partial
+    hash agg, so the cost is ~len(dims)+1 partial rows per input
+    partition, not extra passes."""
+    return (
+        df.rollup(*dims)
+        .agg(
+            exact_sum(value_col).alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def gap_fill_hourly(
+    events: DataFrame, group_col: str, fill: str = "zero"
+) -> DataFrame:
+    """Dense hourly series per group: every hour between the table's
+    min and max gets a row, absent hours count 0 — the gap-filling a
+    telemetry/feature pipeline needs before windowed models.
+
+    Scale shape: the dense hour axis is built ONCE from a 1-row
+    min/max aggregate via sequence+explode (hours x groups rows, tiny
+    next to the raw table), cross-joined with the distinct group list
+    (broadcast), then LEFT-joined with the per-hour partial counts.
+    The raw table is scanned once; the join keys are (group, hour) so
+    the fill never shuffles raw rows a second time."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = events.groupBy(
+        F.col(group_col).alias("g"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    groups = events.select(F.col(group_col).alias("g")).distinct()
+    dense = axis.crossJoin(F.broadcast(groups))
+    return (
+        dense.join(actual, ["g", "h"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

@@ -398,3 +398,42 @@ def test_table_digest_order_invariant_and_sensitive(spark):
         [(1, "a"), (2, ""), (3, "c")], "id long, s string"
     )
     assert table_digest(empty, ["id", "s"]).collect()[0]["digest"] != base["digest"]
+
+
+def test_pivot_rollup_gapfill(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.relational import (
+        gap_fill_hourly,
+        pivot_table,
+        rollup_report,
+    )
+
+    li = spark.createDataFrame(
+        [("O", "A", 1.0), ("O", "A", 2.0), ("O", "N", 4.0), ("F", "R", 8.0)],
+        "l_linestatus string, l_returnflag string, l_quantity double",
+    )
+    piv = {r["l_linestatus"]: r for r in
+           pivot_table(li, ["l_linestatus"], "l_returnflag", ["A", "N", "R"], "l_quantity").collect()}
+    assert piv["O"]["A"] == 3.0 and piv["O"]["N"] == 4.0 and piv["O"]["R"] is None
+    assert piv["F"]["R"] == 8.0
+
+    roll = rollup_report(li, ["l_linestatus", "l_returnflag"], "l_quantity")
+    rows = {(r["l_linestatus"], r["l_returnflag"]): (r["total"], r["grouping_level"])
+            for r in roll.collect()}
+    assert rows[("O", "A")] == (3.0, 0)
+    assert rows[("O", None)] == (7.0, 1)     # subtotal
+    assert rows[(None, None)] == (15.0, 3)   # grand total
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 30), "x"),
+         (2, datetime.datetime(2024, 1, 1, 3, 10), "x"),
+         (3, datetime.datetime(2024, 1, 1, 1, 0), "y")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    dense = gap_fill_hourly(ev, "event_type")
+    assert dense.count() == 8  # 4 hours x 2 types
+    zeros = dense.filter("n = 0").count()
+    assert zeros == 5  # x misses hours 1,2; y misses 0,2,3
