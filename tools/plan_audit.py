@@ -42,6 +42,16 @@ def audit(name: str, df) -> dict:
     }
 
 
+# Queries where a sort-merge join IS the intended scale strategy:
+# both sides are corpus-sized, so broadcast is impossible and the
+# equi-join must shuffle — flagging them would punish the right plan.
+SMJ_WAIVED = {
+    # within-cell self-join of the full embedding corpus (SemDeDup);
+    # AQE splits hot cells, broadcast can never apply
+    "s_semantic_dedup",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -62,7 +72,7 @@ def main() -> int:
         warn = ""
         if info["cart"]:
             warn += " !CARTESIAN"  # unbroadcast cross product: never ok
-        if info["smj"] and not info["bhj"]:
+        if info["smj"] and not info["bhj"] and name not in SMJ_WAIVED:
             warn += " !SMJ-ONLY"
         if warn:
             flagged.append(name)
