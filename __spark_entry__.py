@@ -508,7 +508,40 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(_t(spark, sf_dir, "events"), "event_type")
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-event activity features (RANGE window over
+    microsecond epochs, deterministic under timestamp ties)."""
+    from geist_spark.operators.relational import rolling_user_features
+
+    return rolling_user_features(_t(spark, sf_dir, "events"), days=7)
+
+
+def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature re-mixing of sources (boost rare, damp
+    dominant), expected half the corpus; reported per source."""
+    from geist_spark.operators.split import temperature_mix
+
+    kept = temperature_mix(
+        _t(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # ---------------------------------------------------------------- dedup
+
+
+def d_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard (the
+    prefilter -> exact-confirm contract)."""
+    from geist_spark.operators.dedup import verified_near_dup_pairs
+
+    return verified_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        k=3,
+        threshold=0.5,
+    )
 
 
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_returnflag": q_pivot_returnflag,
         "q_rollup_revenue": q_rollup_revenue,
         "q_gap_fill": q_gap_fill,
+        "q_rolling_features": q_rolling_features,
+        "p_temperature_mix": p_temperature_mix,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -1708,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_clusters": d_dedup_clusters,
         "d_keep_canonical": d_keep_canonical,
         "d_incremental_dedup": d_incremental_dedup,
+        "d_verified_pairs": d_verified_pairs,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
@@ -1997,6 +2033,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "q_rolling_features": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_window,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                       AS sum_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        """,
+        "p_temperature_mix": """
+            WITH counts AS (
+                SELECT source AS src, count(*) AS n_s
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT sum(n_s) AS total,
+                       sum(sqrt(CAST(n_s AS DOUBLE))) AS qd
+                FROM counts
+            ), rates AS (
+                SELECT src,
+                       least(1.0, ((sqrt(CAST(n_s AS DOUBLE)) / qd)
+                           * (CAST(total AS DOUBLE) / 2)) / CAST(n_s AS DOUBLE))
+                           AS rate
+                FROM counts, totals
+            ), kept AS (
+                SELECT d.source FROM documents d
+                JOIN rates r ON d.source = r.src
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < CAST(floor(rate * 4294967296.0) AS BIGINT)
+            )
+            SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+        """,
+        "d_verified_pairs": _verified_pairs_oracle(
+            num_hashes=16, bands=4, threshold=0.5
+        ),
         "q_pivot_returnflag": """
             SELECT l_linestatus,
                    CAST(sum(CASE WHEN l_returnflag = 'A'
@@ -2760,6 +2830,35 @@ def _minhash_bands_cte(num_hashes: int, bands: int) -> str:
         ), sigs AS (
             SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
         ), bands AS ({band_selects})
+    """
+
+
+def _verified_pairs_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """Minhash candidate CTE + exact-Jaccard confirm, mirroring
+    verified_near_dup_pairs (shf = the shared shingle relation)."""
+    return f"""
+        {_minhash_bands_cte(num_hashes, bands)}, cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN shf x ON x.doc_id = c.doc_a
+            JOIN shf y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT i.doc_a, i.doc_b, i.n_common,
+                   round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common
+                                           AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        SELECT * FROM scored WHERE jaccard >= {threshold}
     """
 
 

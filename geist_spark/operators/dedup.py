@@ -418,3 +418,54 @@ def keep_canonical(
     return out.filter(
         F.col("cluster_id").isNull() | (F.col("cluster_id") == documents[id_col])
     ).drop("__lbl_id", "cluster_id")
+
+
+def verified_near_dup_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The full LSH contract: banded-minhash CANDIDATES verified by
+    exact shingle Jaccard, keeping pairs >= threshold. LSH alone
+    over-reports (band collisions are probabilistic); verification
+    computes the true overlap — but only for the candidate set, never
+    all pairs, so the quadratic term stays bounded by what LSH emits.
+
+    Shape: candidates (bucketed band join) -> join each side's shingle
+    set on (doc_id, shingle) to count the intersection -> sizes from a
+    per-doc count. All equi-joins on doc/shingle keys; the exact-
+    confirm cost is O(candidate pairs x avg shingles), the same
+    prefilter->confirm economics as bloom_decontaminate."""
+    cands = minhash_lsh_pairs(
+        documents,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        max_bucket_size=max_bucket_size,
+    )
+    sh = shingles(documents, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -599,3 +599,31 @@ def gap_fill_hourly(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def rolling_user_features(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count
+    and exact sum of the user's events in the preceding `days` —
+    the feature-engineering shape behind churn/abuse/engagement
+    models ("activity in the last week as of each interaction").
+
+    RANGE frame over integer microsecond epochs (not ROWS): events at
+    identical timestamps are peers and both engines include the full
+    peer group, so results are deterministic under ties. One shuffle
+    (user_id); the frame scan is partition-local and incremental."""
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = days * 86_400_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-span, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_window"),
+    )

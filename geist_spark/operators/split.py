@@ -105,3 +105,61 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(_hex_threshold(frac, 4))
         ).otherwise(expr)
     return df.filter(prefix < expr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    target_rows_expr: str = "total / 2",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source re-mixing (the multilingual/multi-source
+    rebalancing rule, alpha = 0.5): sample source s at a rate giving it
+    a target share proportional to sqrt(n_s) — boosting rare sources,
+    damping dominant ones — with expected output size `target_rows`.
+
+    rate_s = min(1, ((sqrt(n_s) / sum_s sqrt(n_s)) * target) / n_s)
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded in
+    every engine while pow() may differ in the last ulp — the whole
+    pipeline (rates included) replays bit-for-bit in the DuckDB
+    oracle. Per-row keep is the usual md5-threshold draw (u32 prefix
+    vs floor(rate * 2^32)), so membership is stable across runs,
+    engines, and cluster sizes.
+
+    Scale shape: ONE tiny shuffle (per-source counts), rates broadcast
+    back onto the corpus, keep-filter is pure codegen. No collect —
+    the whole thing is one lazy plan."""
+    n_s = F.col("__n_s").cast("double")
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n_s")
+    )
+    totals = counts.agg(
+        F.sum("__n_s").alias("__total"),
+        F.sum(F.sqrt(F.col("__n_s").cast("double"))).alias("__qd"),
+    ).withColumn(
+        "__target",
+        F.expr(target_rows_expr.replace("total", "CAST(__total AS DOUBLE)")),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "__src",
+        F.least(
+            F.lit(1.0),
+            ((F.sqrt(n_s) / F.col("__qd")) * F.col("__target")) / n_s,
+        ).alias("__rate"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(
+            F.broadcast(rates), df[source_col] == F.col("__src"), "left"
+        )
+        .filter(u32 < F.floor(F.col("__rate") * F.lit(4294967296.0)))
+        .drop("__src", "__rate")
+    )

@@ -437,3 +437,73 @@ def test_pivot_rollup_gapfill(spark):
     assert dense.count() == 8  # 4 hours x 2 types
     zeros = dense.filter("n = 0").count()
     assert zeros == 5  # x misses hours 1,2; y misses 0,2,3
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.split import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df, "source", "doc_id")
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # qd = 30+10; target 500 -> rate_small = (10/40*500)/100 = 1.25 -> capped 1.0
+    assert by_src["small"] == 100
+    # rate_big = (30/40*500)/900 ~ 0.4167 of 900 ~ 375 +- md5 noise
+    assert 330 <= by_src["big"] <= 420
+    # deterministic under repartition
+    again = temperature_mix(df.repartition(17), "source", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_rolling_user_features_range_window(spark):
+    import datetime
+
+    from geist_spark.operators.relational import rolling_user_features
+
+    base = datetime.datetime(2024, 1, 10)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, base - datetime.timedelta(days=11), 100.0),  # outside both later windows
+            (2, 1, base - datetime.timedelta(days=3), 10.0),
+            (3, 1, base, 1.0),
+            (4, 1, base, 2.0),  # tie with event 3 -> peers, both include both
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: r for r in rolling_user_features(ev, days=7).collect()}
+    assert got[1]["n_window"] == 1 and got[1]["sum_window"] == 100.0
+    assert got[2]["n_window"] == 1 and got[2]["sum_window"] == 10.0
+    # ties: events 3 and 4 are RANGE peers -> identical features
+    for e in (3, 4):
+        assert got[e]["n_window"] == 3 and got[e]["sum_window"] == 13.0
+
+
+def test_verified_pairs_confirms_lsh_candidates(spark):
+    from geist_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verified_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog by the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different text about database engines and queries"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_lsh_pairs(docs, num_hashes=8, bands=4, k=3).collect()}
+    ver = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           verified_near_dup_pairs(docs, num_hashes=8, bands=4, k=3,
+                                   threshold=0.5).collect()}
+    assert (1, 2) in ver
+    assert 0.5 <= ver[(1, 2)] <= 1.0
+    assert set(ver) <= cand  # verification only filters, never invents
+    assert all(3 not in p for p in ver)
