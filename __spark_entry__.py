@@ -508,6 +508,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(_t(spark, sf_dir, "events"), "event_type")
 
 
+def t_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by frequency lift (rational
+    TF-IDF analog), top 5 terms per source."""
+    from geist_spark.operators.text import top_terms_per_source
+
+    return top_terms_per_source(
+        _t(spark, sf_dir, "documents"), top_n=5, min_tf=5
+    ).select("source", "term", "tf", "lift")
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1771,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
+        "t_top_terms": t_top_terms,
         "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
         "t_bloom_decontaminate": t_bloom_decontaminate,
@@ -2033,6 +2044,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "t_top_terms": f"""
+            WITH tok AS (
+                SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+            ), tokf AS (
+                SELECT source, term FROM tok WHERE term <> ''
+            ), per_src AS (
+                SELECT source, term, count(*) AS tf FROM tokf
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ), src_totals AS (
+                SELECT source, count(*) AS src_tokens FROM tokf GROUP BY 1
+            ), term_totals AS (
+                SELECT term, count(*) AS term_total FROM tokf GROUP BY 1
+            ), all_total AS (
+                SELECT count(*) AS all_tokens FROM tokf
+            ), scored AS (
+                SELECT p.source, p.term, p.tf,
+                       round((p.tf / s.src_tokens)
+                             / (t.term_total / a.all_tokens), 6) AS lift
+                FROM per_src p
+                JOIN src_totals s USING (source)
+                JOIN term_totals t USING (term)
+                CROSS JOIN all_total a
+            )
+            SELECT source, term, tf, lift FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY lift DESC, term ASC) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        """,
         "q_rolling_features": """
             SELECT event_id, user_id,
                    count(*) OVER w AS n_window,

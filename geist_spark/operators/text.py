@@ -11,7 +11,7 @@ UDFs — so they run at scan speed and have exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from geist_spark.operators.dedup import normalize_text, tokens
 
@@ -211,3 +211,56 @@ def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> D
     grams = F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(gram))))
     mins = F.slice(F.array_sort(F.array_distinct(grams)), 1, num_mins)
     return normed.select("doc_id", F.concat_ws("|", mins).alias("fingerprint"))
+
+
+def top_terms_per_source(
+    documents: DataFrame, top_n: int = 5, min_tf: int = 5
+) -> DataFrame:
+    """Distinctive vocabulary per source: terms ranked by frequency
+    LIFT — (term share within source) / (term share in the corpus) —
+    the TF-IDF-style signal for corpus drift monitoring and source
+    profiling, expressed in pure rational arithmetic (no log, whose
+    last-ulp behavior differs across libms; lift preserves the exact
+    ranking property that makes top-N deterministic).
+
+    Shape: one token explode (the dominant cost, paid once), one
+    groupBy (source, term), a broadcast join of per-term corpus
+    totals (vocabulary-sized), and a per-source top-N window.
+    `min_tf` prunes the hapax tail BEFORE the join — at 100 TB the
+    vocabulary's long tail is most of the rows and none of the
+    signal."""
+    tok = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    per_src = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).filter(F.col("tf") >= min_tf)
+    src_totals = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_tokens")
+    )
+    term_totals = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_total")
+    )
+    all_total = tok.agg(F.count(F.lit(1)).alias("all_tokens"))
+    lift = (
+        (F.col("tf") / F.col("src_tokens"))
+        / (F.col("term_total") / F.col("all_tokens"))
+    )
+    scored = (
+        per_src.join(F.broadcast(src_totals), "source")
+        .join(term_totals, "term")
+        .crossJoin(F.broadcast(all_total))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -507,3 +507,25 @@ def test_verified_pairs_confirms_lsh_candidates(spark):
     assert 0.5 <= ver[(1, 2)] <= 1.0
     assert set(ver) <= cand  # verification only filters, never invents
     assert all(3 not in p for p in ver)
+
+
+def test_top_terms_lift_ranks_distinctive_vocab(spark):
+    from geist_spark.operators.text import top_terms_per_source
+
+    rows = (
+        [(i, "spark catalyst shuffle " * 3, "tech") for i in range(10)]
+        + [(100 + i, "sonnet rhyme meter " * 3, "poetry") for i in range(10)]
+        + [(200 + i, "the and of " * 5, "tech") for i in range(2)]
+        + [(300 + i, "the and of " * 5, "poetry") for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    top = top_terms_per_source(docs, top_n=3, min_tf=5)
+    by_src = {}
+    for r in top.collect():
+        by_src.setdefault(r["source"], []).append((r["rank"], r["term"], r["lift"]))
+    # source-exclusive terms outrank shared stopwords
+    assert {t for _, t, _ in by_src["tech"]} == {"spark", "catalyst", "shuffle"}
+    assert {t for _, t, _ in by_src["poetry"]} == {"sonnet", "rhyme", "meter"}
+    for terms in by_src.values():
+        for _, _, lift in terms:
+            assert lift > 1.0  # distinctive => over-represented
