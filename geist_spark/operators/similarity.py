@@ -492,3 +492,37 @@ def semantic_dedup(
             (rep == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against exact brute force —
+    the accuracy meter an approximate-retrieval deployment tunes
+    num_planes/probes against. Both sides run in ONE lazy plan (the
+    corpus is scanned for each, but nothing is collected); the match
+    join is on (query_id, neighbor_id), per-query recall = |approx ∩
+    exact| / k. At 100 TB this runs on a sampled probe set — recall
+    is a statistic, not a per-corpus pass."""
+    exact = cosine_topk(embeddings, query_ids, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_bucketed_topk(
+        embeddings, query_ids=query_ids, k=k, num_planes=num_planes
+    ).select("query_id", "neighbor_id")
+    matched = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(matched, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_matched"),
+        F.round(F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )

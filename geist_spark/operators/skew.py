@@ -14,7 +14,7 @@ pre-aggregation has.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _MERGE = {
     "sum": F.sum,
@@ -121,3 +121,34 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Shuffle-planning diagnostic: the share and cumulative share of
+    the heaviest keys — the number you look at before choosing salting
+    buckets or AQE skew thresholds. A key with share >> 1/shuffle
+    partitions is the straggler.
+
+    Shape: one partial-agg count per key, top-N via TakeOrdered, and
+    the cumulative window runs over AT MOST top_n rows (a single tiny
+    partition by construction — the global orderBy is on the already-
+    reduced key counts, never the raw rows)."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return top.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        F.round(F.sum("n").over(w) / F.col("__total"), 6).alias("cum_share"),
+    )

@@ -529,3 +529,30 @@ def test_top_terms_lift_ranks_distinctive_vocab(spark):
     for terms in by_src.values():
         for _, _, lift in terms:
             assert lift > 1.0  # distinctive => over-represented
+
+
+def test_ann_recall_perfect_when_buckets_align(spark):
+    from geist_spark.operators.similarity import ann_recall_report
+
+    # all vectors share one direction -> identical LSH sign pattern ->
+    # one bucket -> approx sees the full corpus -> recall must be 1.0
+    rows = [(i, [float(i + 1), 2.0 * (i + 1), 3.0 * (i + 1)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = ann_recall_report(emb, query_ids=[0, 1, 2], k=3, num_planes=4)
+    got = {r["query_id"]: r for r in rep.collect()}
+    assert set(got) == {0, 1, 2}
+    for r in got.values():
+        assert r["n_matched"] == 3 and r["recall"] == 1.0
+
+
+def test_key_skew_report_shares(spark):
+    from geist_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10, "k string"
+    )
+    rows = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r["key"], r["n"]) for r in rows] == [("hot", 60), ("warm", 30)]
+    shares = {r["key"]: (r["share"], r["cum_share"]) for r in rows}
+    assert shares["hot"] == (0.6, 0.6)
+    assert shares["warm"] == (0.3, 0.9)
