@@ -573,6 +573,30 @@ def d_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census: distinct shared contents per
+    source pair."""
+    from geist_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+def t_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile normalization of n_chars via the
+    mergeable histogram (one-bin resolution)."""
+    from geist_spark.operators.sketch import percentile_normalize
+
+    out = percentile_normalize(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "source",
+        lo=0.0,
+        hi=4096.0,
+        n_bins=64,
+    )
+    return out.select("doc_id", "source", "n_chars", "pct")
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: a stored corpus band index
     (doc_id % 5 != 0) is probed by a new batch (doc_id % 5 == 0); only
@@ -1774,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_keep_canonical": d_keep_canonical,
         "d_incremental_dedup": d_incremental_dedup,
         "d_verified_pairs": d_verified_pairs,
+        "d_source_overlap": d_source_overlap,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
@@ -1803,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
         "t_top_terms": t_top_terms,
+        "t_score_normalize": t_score_normalize,
         "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
         "t_bloom_decontaminate": t_bloom_decontaminate,
@@ -2107,6 +2133,36 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
                        AS cum_share
             FROM top, total
+        """,
+        "d_source_overlap": f"""
+            WITH h AS (
+                SELECT DISTINCT md5({_NORM_SQL}) AS content_hash, source
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM h a JOIN h b
+              ON a.content_hash = b.content_hash AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "t_score_normalize": """
+            WITH base AS (
+                SELECT doc_id, source, n_chars,
+                       least(greatest(CAST(floor((n_chars - 0.0) / 64.0)
+                           AS BIGINT), 0), 63) AS bin
+                FROM documents WHERE n_chars IS NOT NULL
+            ), hist AS (
+                SELECT source, bin, count(*) AS n FROM base GROUP BY 1, 2
+            ), cum AS (
+                SELECT source, bin,
+                       CAST(sum(n) OVER (PARTITION BY source ORDER BY bin)
+                            AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                           AS pct
+                FROM hist
+            )
+            SELECT b.doc_id, b.source, b.n_chars, round(c.pct, 6) AS pct
+            FROM base b JOIN cum c ON c.source = b.source AND c.bin = b.bin
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

@@ -469,3 +469,32 @@ def verified_near_dup_pairs(
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source duplication census: for every source pair, how many
+    DISTINCT normalized contents appear in both — the corpus-analytics
+    view that tells you which feeds mirror each other (and therefore
+    which quota/dedup order matters) before any pair-level work.
+
+    Shape: contents reduce to (content_hash, source) DISTINCT rows
+    first (one shuffle, output bounded by distinct contents), then a
+    self-join on content_hash. A hash shared by s sources emits
+    s(s-1)/2 pairs — bounded by the source count squared, not docs."""
+    h = documents.select(
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+        "source",
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

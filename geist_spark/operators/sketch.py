@@ -243,3 +243,53 @@ def hist_quantiles(
     return cum.groupBy(*group_cols).agg(
         *aggs, F.max("total").alias("n_values")
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Rank-normalize a score WITHIN its group via the mergeable
+    histogram: each row gains `pct` = share of the group's rows in
+    bins at or below its own — the calibration step before applying
+    one quality threshold across heterogeneous sources (a 0.7 from a
+    clean feed and a 0.7 from a crawl are different animals).
+
+    Resolution is one bin (n_bins controls it); the mapping is a pure
+    function of the histogram, so it replays exactly in the oracle.
+    Shape: one hist shuffle, cumulative window over <= n_bins rows per
+    group, then a BROADCAST join of the tiny (group, bin, pct) table
+    back onto the raw rows — the raw table is never shuffled."""
+    from pyspark.sql import Window
+
+    hist = hist_rollup(df, [group_col], value_col, lo, hi, n_bins)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "bin",
+        (
+            F.sum("n").over(w).cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("__pct"),
+    )
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", bin_)
+        .join(F.broadcast(cum), [group_col, "bin"])
+        .select(
+            *df.columns,
+            F.round(F.col("__pct"), 6).alias("pct"),
+        )
+    )

@@ -556,3 +556,48 @@ def test_key_skew_report_shares(spark):
     shares = {r["key"]: (r["share"], r["cum_share"]) for r in rows}
     assert shares["hot"] == (0.6, 0.6)
     assert shares["warm"] == (0.3, 0.9)
+
+
+def test_source_overlap_matrix_counts_shared_contents(spark):
+    from geist_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared  Text", "a"),
+            (2, "shared text", "b"),   # same after normalization
+            (3, "shared text", "b"),   # duplicate within b: counted once
+            (4, "only in a", "a"),
+            (5, "elsewhere", "c"),
+            (6, "shared text", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap_matrix(docs).collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_percentile_normalize_monotone_and_bounded(spark):
+    from geist_spark.operators.sketch import percentile_normalize
+
+    df = spark.createDataFrame(
+        [(i, float(i), "g") for i in range(100)]
+        + [(200, 50.0, "h")]
+        + [(201 + i, 60.0 + float(i % 4) * 10, "h") for i in range(9)],
+        "id long, v double, src string",
+    )
+    out = percentile_normalize(df, "v", "src", lo=0.0, hi=100.0, n_bins=10)
+    rows = sorted(
+        [(r["src"], r["v"], r["pct"]) for r in out.collect()]
+    )
+    by_src = {}
+    for s, v, p in rows:
+        assert 0.0 < p <= 1.0
+        by_src.setdefault(s, []).append((v, p))
+    for vals in by_src.values():
+        pcts = [p for _, p in sorted(vals)]
+        assert pcts == sorted(pcts)  # monotone in the value
+        assert pcts[-1] == 1.0      # top bin = 100th pct
+    # same raw value, different groups -> different percentiles
+    g = dict(by_src["g"]); h = dict(by_src["h"])
+    assert g[50.0] != h[50.0]
