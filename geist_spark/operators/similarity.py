@@ -369,6 +369,12 @@ def train_ivf_centroids(
     fxd = fan_out(embeddings).select(
         "vec_id", _fx(F.col(value_col)).alias("fx")
     )
+    # iterative training drives one action per Lloyd update plus the
+    # final assignment — without a persist each action re-parses and
+    # re-fixes the whole corpus from parquet. The cached form is
+    # (vec_id, dim longs): small relative to the raw table, and
+    # exactly what a cluster job would persist before k-means.
+    fxd = fxd.persist()
     init = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if len(init) < k:
         raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
