@@ -597,6 +597,28 @@ def t_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars", "pct")
 
 
+def p_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware split: whole clusters land in one split
+    (no train/test leakage through duplicates). Reports per-split doc
+    counts plus the count of clusters spanning >1 split (must be 0)."""
+    from geist_spark.operators.dedup import minhash_lsh_pairs
+    from geist_spark.operators.split import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    assigned = leakage_safe_split(docs, pairs)
+    return assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def p_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source caps in tokens: deterministic md5-priority admission
+    until the 20k-token budget per source."""
+    from geist_spark.operators.prep import token_budget_quota
+
+    kept = token_budget_quota(_t(spark, sf_dir, "documents"), 20000)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: a stored corpus band index
     (doc_id % 5 != 0) is probed by a new batch (doc_id % 5 == 0); only
@@ -1778,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gap_fill": q_gap_fill,
         "q_rolling_features": q_rolling_features,
         "p_temperature_mix": p_temperature_mix,
+        "p_leakage_safe_split": p_leakage_safe_split,
+        "p_token_quota": p_token_quota,
         "q_asof_join": q_asof_join,
         "q_salted_agg": q_salted_agg,
         "q_salted_join": q_salted_join,
@@ -2163,6 +2187,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.doc_id, b.source, b.n_chars, round(c.pct, 6) AS pct
             FROM base b JOIN cum c ON c.source = b.source AND c.bin = b.bin
+        """,
+        "p_leakage_safe_split": _leakage_safe_split_oracle(num_hashes=16, bands=4),
+        "p_token_quota": f"""
+            WITH t AS (
+                SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT *, sum(n_tok) OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t
+            )
+            SELECT source, count(*) AS n_docs FROM c
+            WHERE cum <= 20000 GROUP BY source
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,
@@ -3115,6 +3154,21 @@ def _keep_canonical_oracle(num_hashes: int, bands: int) -> str:
         SELECT d.doc_id
         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+    """
+
+
+def _leakage_safe_split_oracle(num_hashes: int, bands: int) -> str:
+    from geist_spark.operators.split import split_oracle_case
+
+    labels_sql = _dedup_clusters_oracle(num_hashes=num_hashes, bands=bands)
+    case = split_oracle_case(
+        "coalesce(l.cluster_id, d.doc_id)", SPLIT_WEIGHTS
+    )
+    return f"""
+        WITH labels AS ({labels_sql})
+        SELECT {case} AS split, count(*) AS n_docs
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        GROUP BY 1
     """
 
 

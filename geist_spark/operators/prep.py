@@ -328,3 +328,35 @@ def bloom_decontaminate(
             (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def token_budget_quota(
+    documents: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus caps measured in TOKENS, not documents — the
+    unit training budgets are actually written in. Docs are admitted
+    in deterministic md5 priority order until the source's running
+    token total would exceed the budget (first overflowing doc is
+    excluded; a doc larger than the whole budget never sneaks in).
+
+    Same shape as source_quota: one shuffle on source, partition-local
+    window cumsum — adding the token dimension costs nothing extra.
+    Selection is a pure function of the data: stable across runs,
+    engines, cluster sizes, and incremental re-runs."""
+    from geist_spark.operators.dedup import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        documents.withColumn("__n_tok", n_tok)
+        .withColumn("__cum", F.sum("__n_tok").over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__n_tok", "__cum")
+    )

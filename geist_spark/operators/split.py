@@ -163,3 +163,32 @@ def temperature_mix(
         .filter(u32 < F.floor(F.col("__rate") * F.lit(4294967296.0)))
         .drop("__src", "__rate")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak through near-
+    duplicates: every doc in a near-dup cluster is keyed by its
+    cluster REPRESENTATIVE, so the whole cluster lands in one split.
+    Plain per-doc hashing puts two 99%-similar docs on opposite sides
+    of the train/test fence — the classic eval-contamination bug this
+    operator exists to kill.
+
+    `pairs` is any near-dup pair table (minhash_lsh_pairs,
+    verified_near_dup_pairs, incremental probe output). Shape: cluster
+    labels via min-label propagation (O(diameter) rounds over the PAIR
+    graph only, not the corpus), then one left join of labels onto the
+    corpus and the same zero-shuffle md5 CASE as hash_split, keyed on
+    coalesce(cluster_id, doc_id)."""
+    from geist_spark.operators.dedup import dedup_clusters
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = dedup_clusters(pairs)
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return documents.join(labels, "doc_id", "left").withColumn(
+        out_col, split_column(rep, weights)
+    ).drop("cluster_id")

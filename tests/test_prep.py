@@ -601,3 +601,62 @@ def test_percentile_normalize_monotone_and_bounded(spark):
     # same raw value, different groups -> different percentiles
     g = dict(by_src["g"]); h = dict(by_src["h"])
     assert g[50.0] != h[50.0]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.split import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # synthetic near-dup graph: chains of 4 docs (0-1-2-3), (4-5-6-7), ...
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 199) if i % 4 != 3],
+        "doc_a long, doc_b long",
+    )
+    assigned = leakage_safe_split(docs, pairs)
+    # every cluster of 4 must land in exactly one split
+    spans = (
+        assigned.withColumn("cluster", (F.col("doc_id") / 4).cast("long"))
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert spans == 0
+    # naive per-doc split DOES leak on the same graph (sanity that the
+    # property tested is non-trivial)
+    naive = hash_split(docs, "doc_id")
+    naive_spans = (
+        naive.withColumn("cluster", (F.col("doc_id") / 4).cast("long"))
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert naive_spans > 0
+
+
+def test_token_budget_quota(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.prep import token_budget_quota
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, "a") for i in range(20)]     # 10 tokens each
+        + [(100, "word " * 1000, "b")]                  # oversized vs budget
+        + [(101, "tiny text", "b")],                    # 2 tokens
+        "doc_id long, text string, source string",
+    )
+    kept = token_budget_quota(docs, budget_tokens=55)
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("a") == 5          # 5 x 10 tokens <= 55, 6th overflows
+    assert by_src.get("b") == 1          # oversized doc excluded, tiny kept
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 100 not in ids and 101 in ids
+    again = {r["doc_id"] for r in
+             token_budget_quota(docs.repartition(7), budget_tokens=55).collect()}
+    assert again == ids  # deterministic under repartition
