@@ -537,6 +537,13 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=10)
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transition counts/probabilities."""
+    from geist_spark.operators.relational import event_transition_matrix
+
+    return event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1798,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_returnflag": q_pivot_returnflag,
         "q_rollup_revenue": q_rollup_revenue,
         "q_gap_fill": q_gap_fill,
+        "q_transition_matrix": q_transition_matrix,
         "q_rolling_features": q_rolling_features,
         "p_temperature_mix": p_temperature_mix,
         "p_leakage_safe_split": p_leakage_safe_split,
@@ -2202,6 +2210,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(*) AS n_docs FROM c
             WHERE cum <= 20000 GROUP BY source
+        """,
+        "q_transition_matrix": """
+            WITH steps AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS from_type,
+                       event_type AS to_type
+                FROM events
+            ), counts AS (
+                SELECT from_type, to_type, count(*) AS n
+                FROM steps WHERE from_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY from_type)
+                                AS DOUBLE), 6) AS p
+            FROM counts
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

@@ -627,3 +627,29 @@ def rolling_user_features(events: DataFrame, days: int = 7) -> DataFrame:
         .cast("double")
         .alias("sum_window"),
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order behavior model: counts and probabilities of
+    consecutive event-type transitions within each user's timeline —
+    the Markov-chain summary behind next-event features and anomaly
+    baselines. One shuffle (the per-user lag window on user_id), then
+    a tiny (types x types) aggregate; the probability denominator
+    rides a second window over those few rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )

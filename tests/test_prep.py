@@ -660,3 +660,30 @@ def test_token_budget_quota(spark):
     again = {r["doc_id"] for r in
              token_budget_quota(docs.repartition(7), budget_tokens=55).collect()}
     assert again == ids  # deterministic under repartition
+
+
+def test_event_transition_matrix(spark):
+    import datetime
+
+    from geist_spark.operators.relational import event_transition_matrix
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, at(0), "a"), (2, 1, at(1), "b"), (3, 1, at(2), "a"),
+            (4, 2, at(0), "a"), (5, 2, at(1), "b"), (6, 2, at(2), "c"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transition_matrix(ev).collect()}
+    # a->b twice (both users); b->a once, b->c once
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    # no cross-user transition (user1 'a' -> user2 'a' never counted)
+    assert ("c", "a") not in got
