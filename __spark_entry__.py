@@ -544,6 +544,34 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: events by suppliers-as-keyset,
+    counted per event type. Result is EXACT (bloom over-admits only;
+    the confirm join removes false positives), so the oracle is the
+    plain EXISTS semi join."""
+    from geist_spark.operators.prep import bloom_semi_join
+
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    kept = bloom_semi_join(
+        ev, sup, "user_id", "s_suppkey", how="semi", m_bits=1 << 14
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered anti join: definite non-members skip the join
+    entirely; only bloom-admitted rows pay the exact confirm."""
+    from geist_spark.operators.prep import bloom_semi_join
+
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    kept = bloom_semi_join(
+        ev, sup, "user_id", "s_suppkey", how="anti", m_bits=1 << 14
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1806,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_gap_fill": q_gap_fill,
         "q_transition_matrix": q_transition_matrix,
+        "q_bloom_semi": q_bloom_semi,
+        "q_bloom_anti": q_bloom_anti,
         "q_rolling_features": q_rolling_features,
         "p_temperature_mix": p_temperature_mix,
         "p_leakage_safe_split": p_leakage_safe_split,
@@ -2228,6 +2258,16 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(n) OVER (PARTITION BY from_type)
                                 AS DOUBLE), 6) AS p
             FROM counts
+        """,
+        "q_bloom_semi": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = user_id)
+            GROUP BY event_type
+        """,
+        "q_bloom_anti": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = user_id)
+            GROUP BY event_type
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

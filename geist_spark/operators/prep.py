@@ -360,3 +360,55 @@ def token_budget_quota(
         .filter(F.col("__cum") <= budget_tokens)
         .drop("__n_tok", "__cum")
     )
+
+
+def bloom_semi_join(
+    df: DataFrame,
+    keys: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "semi",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Semi/anti join where the key-set side is too large to broadcast
+    raw but its constant-size bloom image is not: probe the image in
+    codegen first, then exact-confirm ONLY the candidate fraction with
+    a real left_semi/left_anti join. Output is exact — the bloom can
+    only over-admit candidates (false positives), and the confirm join
+    removes them.
+
+    Why it matters at 100 TB: a plain semi join against a large key
+    set shuffles BOTH sides on the key. Here the non-candidate rows
+    (the vast majority when the match rate is low: blocklists,
+    tombstones, already-processed ids) never enter the shuffle at all:
+
+      semi: candidates = rows the bloom admits -> confirm left_semi
+      anti: rows the bloom REJECTS are definite non-members (no false
+            negatives) and pass through with zero join work; only the
+            admitted sliver pays the left_anti confirm.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be semi or anti, got: {how}")
+    # the bloom hashes the STRING form of the key on both sides, so
+    # bigint keys probe consistently regardless of engine coercions
+    skeys = keys.select(F.col(right_key).cast("string").alias(right_key))
+    image = bloom_build(skeys, right_key, m_bits=m_bits, num_hashes=num_hashes)
+    probed = df.join(F.broadcast(image)).withColumn(
+        "__might",
+        bloom_might_contain(
+            F.col("words"), F.col(left_key).cast("string"), m_bits, num_hashes
+        ),
+    )
+    rk = keys.select(right_key).distinct()
+    if how == "semi":
+        cand = probed.filter(F.col("__might")).drop("words", "__might")
+        return cand.join(
+            rk, cand[left_key] == rk[right_key], "left_semi"
+        )
+    definite_out = probed.filter(~F.col("__might")).drop("words", "__might")
+    maybe = probed.filter(F.col("__might")).drop("words", "__might")
+    confirmed_out = maybe.join(
+        rk, maybe[left_key] == rk[right_key], "left_anti"
+    )
+    return definite_out.unionByName(confirmed_out)

@@ -687,3 +687,29 @@ def test_event_transition_matrix(spark):
     assert got[("b", "c")] == (1, 0.5)
     # no cross-user transition (user1 'a' -> user2 'a' never counted)
     assert ("c", "a") not in got
+
+
+def test_bloom_semi_join_exact_vs_plain(spark):
+    from geist_spark.operators.prep import bloom_semi_join
+
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(500)], "k long, v string")
+    keys = spark.createDataFrame([(i * 3,) for i in range(100)], "kk long")
+
+    plain_semi = {r["k"] for r in
+                  df.join(keys, df.k == keys.kk, "left_semi").collect()}
+    plain_anti = {r["k"] for r in
+                  df.join(keys, df.k == keys.kk, "left_anti").collect()}
+    # small m_bits forces false positives -> proves the confirm join works
+    for m in (1 << 8, 1 << 16):
+        semi = {r["k"] for r in
+                bloom_semi_join(df, keys, "k", "kk", "semi", m_bits=m).collect()}
+        anti = {r["k"] for r in
+                bloom_semi_join(df, keys, "k", "kk", "anti", m_bits=m).collect()}
+        assert semi == plain_semi
+        assert anti == plain_anti
+        assert semi | anti == {r["k"] for r in df.collect()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_semi_join(df, keys, "k", "kk", "outer")
