@@ -1074,3 +1074,60 @@ def test_streaming_cms_rollup_merges_to_batch_truth(spark, tmp_path):
     assert sorted(map(tuple, est_streamed.collect())) == sorted(
         map(tuple, est_direct.collect())
     )
+
+
+def test_sequence_stream_ordered_sequences(spark, tmp_path):
+    """Streaming sequence assembly: closed sessions emit the ordered
+    type:epoch_us text, matching the batch renderer's format, with
+    within-watermark out-of-order arrivals sorted by event time."""
+    from geist_spark.streaming.stateful import sequence_stream
+
+    src = str(tmp_path / "seq_events")
+    ckpt = str(tmp_path / "seq_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=s), ty) for k, s, ty in rows],
+            "key string, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # u1: events arrive OUT of event-time order within one batch
+    write([("u1", 10, "b"), ("u1", 0, "a"), ("u2", 0, "x")])
+    time.sleep(0.05)
+    write([("u1", 100, "c"), ("u9", 300, "y")])
+    time.sleep(0.05)
+    write([("u9", 600, "z")])
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    seqs = sequence_stream(
+        stream, "key", "ts", "event_type", gap_seconds=30
+    )
+    q = (
+        seqs.writeStream.format("memory")
+        .queryName("seq_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM seq_out").collect()
+    finally:
+        q.stop()
+    got = {(r["key"], r["seq_text"], r["n_events"]) for r in rows}
+
+    def us(s):
+        return int((base + dt.timedelta(seconds=s)).timestamp() * 1e6)
+
+    # u1's first session: a(0) then b(10) in EVENT-TIME order despite
+    # arrival order b,a
+    assert ("u1", f"a:{us(0)}|b:{us(10)}", 2) in got
+    assert ("u2", f"x:{us(0)}", 1) in got
+    assert ("u1", f"c:{us(100)}", 1) in got
+    # u9's 600s event still open (no session emitted for it)
+    assert not any(f"z:{us(600)}" in s for _, s, _ in got)
