@@ -572,6 +572,25 @@ def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only equi-join size estimate (events x orders on
+    customer key): the pre-shuffle planning number, computed from two
+    CMS images without rescanning either table."""
+    from geist_spark.operators.sketch import (
+        cms_join_size_estimate,
+        cms_merge,
+        cms_rollup,
+    )
+
+    ev = cms_merge(
+        cms_rollup(_t(spark, sf_dir, "events"), [], "user_id", 256, 4)
+    )
+    od = cms_merge(
+        cms_rollup(_t(spark, sf_dir, "orders"), [], "o_custkey", 256, 4)
+    )
+    return cms_join_size_estimate(ev, od)
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1828,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_hist_quantiles": q_hist_quantiles,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_join_size_estimate": q_join_size_estimate,
         "q_session_sequences": q_session_sequences,
         "q_zorder_cells": q_zorder_cells,
         "q_pivot_returnflag": q_pivot_returnflag,
@@ -2153,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_cms_heavy_hitters": _cms_oracle(width=256, depth=4),
+        "q_join_size_estimate": _join_size_oracle(width=256, depth=4),
         "t_top_terms": f"""
             WITH tok AS (
                 SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
@@ -3049,6 +3070,35 @@ def _ann_recall_oracle(k: int = 5) -> str:
                coalesce(m.n, 0) AS n_matched,
                round(coalesce(m.n, 0) / {float(k)}, 6) AS recall
         FROM qs LEFT JOIN matched m ON m.query_id = qs.query_id
+    """
+
+
+def _join_size_oracle(width: int, depth: int) -> str:
+    from geist_spark.operators.sketch import CMS_P, cms_params
+
+    params_values = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(cms_params(depth))
+    )
+    def cells(table, col):
+        return f"""
+            SELECT p.d AS d,
+                   ((p.a * (('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT)
+                     + p.b) % {CMS_P}) % {width} AS pos,
+                   count(*) AS n
+            FROM {table} CROSS JOIN params p
+            WHERE {col} IS NOT NULL
+            GROUP BY 1, 2
+        """
+    return f"""
+        WITH params(d, a, b) AS (VALUES {params_values}),
+        ca AS ({cells("events", "user_id")}),
+        cb AS ({cells("orders", "o_custkey")}),
+        per_d AS (
+            SELECT ca.d, sum(ca.n * cb.n) AS ip
+            FROM ca JOIN cb ON ca.d = cb.d AND ca.pos = cb.pos
+            GROUP BY 1
+        )
+        SELECT min(ip) AS join_size_est FROM per_d
     """
 
 

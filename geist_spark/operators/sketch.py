@@ -293,3 +293,25 @@ def percentile_normalize(
             F.round(F.col("__pct"), 6).alias("pct"),
         )
     )
+
+
+def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """AMS-style equi-join output-size estimate from two merged CMS
+    sketches over the join key: |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated
+    as min over sketch rows d of Σ_pos a[d,pos]·b[d,pos]. Every row's
+    inner product only ADDS collision terms, so the estimate is a
+    guaranteed upper bound that tightens with width — the number a
+    shuffle planner wants BEFORE paying for the join (pick broadcast
+    vs shuffle vs salting from sketch partials, never scanning either
+    table again).
+
+    Both sketches must be built with the same (width, depth, params).
+    Cost: a join of two ≤ width·depth row tables — nothing touches
+    the raw data."""
+    a, b = cms_a.alias("a"), cms_b.alias("b")
+    per_d = (
+        a.join(b, ["d", "pos"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("ip"))
+    )
+    return per_d.agg(F.min("ip").alias("join_size_est"))

@@ -713,3 +713,25 @@ def test_bloom_semi_join_exact_vs_plain(spark):
 
     with pytest.raises(ValueError):
         bloom_semi_join(df, keys, "k", "kk", "outer")
+
+
+def test_cms_join_size_estimate_upper_bound(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.sketch import (
+        cms_join_size_estimate,
+        cms_merge,
+        cms_rollup,
+    )
+
+    a = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    b = spark.range(400).select((F.col("id") % 80).alias("k"))
+    exact = a.join(b, "k").count()
+    for width in (32, 512):
+        sa = cms_merge(cms_rollup(a, [], "k", width=width, depth=4))
+        sb = cms_merge(cms_rollup(b, [], "k", width=width, depth=4))
+        est = cms_join_size_estimate(sa, sb).collect()[0]["join_size_est"]
+        assert est >= exact  # inner product only adds collision terms
+    # wide sketch: no collisions among 80 keys in 512 cells is likely
+    # but not guaranteed; bound the overestimate instead
+    assert est <= exact * 2
