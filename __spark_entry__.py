@@ -591,6 +591,21 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_join_size_estimate(ev, od)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed compaction: latest event per user wins; a latest
+    'error' event is a tombstone and removes the user from the state."""
+    from geist_spark.operators.relational import cdc_apply
+
+    state = cdc_apply(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        "event_id",
+        delete_when=F.col("event_type") == "error",
+    )
+    return state.select("user_id", "event_id", "event_type")
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1835,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_brand": q_revenue_by_brand,
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_latest_event_per_user": q_latest_event_per_user,
+        "q_cdc_apply": q_cdc_apply,
         "q_hourly_rollup": q_hourly_rollup,
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
@@ -2289,6 +2305,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n FROM events
             WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = user_id)
             GROUP BY event_type
+        """,
+        "q_cdc_apply": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

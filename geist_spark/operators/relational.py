@@ -653,3 +653,34 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
         ).alias("p"),
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    delete_when: Column | None = None,
+) -> DataFrame:
+    """Apply a change feed to produce current state: the LATEST change
+    per key wins (deterministic under same-timestamp races via the
+    tiebreak), and a winning change matching `delete_when` is a
+    tombstone — the key disappears. This is the MERGE/upsert primitive
+    a keyed snapshot needs when fed from a log (CDC, event-sourced
+    entities, mutable-dimension feeds).
+
+    One shuffle (the per-key window); at scale the change feed is
+    usually partitioned by ingest date, so compaction runs
+    incrementally: cdc_apply(old_state ∪ new_changes) — state rows
+    carry their original ts and lose to any newer change, making the
+    operator idempotent and restartable."""
+    order = [F.col(ts_col).desc(), F.col(tiebreak_col).desc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_when is not None:
+        latest = latest.filter(~delete_when)
+    return latest

@@ -735,3 +735,36 @@ def test_cms_join_size_estimate_upper_bound(spark):
     # wide sketch: no collisions among 80 keys in 512 cells is likely
     # but not guaranteed; bound the overestimate instead
     assert est <= exact * 2
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.relational import cdc_apply
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    changes = spark.createDataFrame(
+        [
+            (1, 1, at(0), "create"), (2, 1, at(5), "update"),   # u1 -> update
+            (3, 2, at(0), "create"), (4, 2, at(9), "delete"),   # u2 -> gone
+            (5, 3, at(7), "update"), (6, 3, at(7), "create"),   # tie: higher id wins
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    state = {r["user_id"]: (r["event_id"], r["event_type"]) for r in cdc_apply(
+        changes, ["user_id"], "ts", "event_id",
+        delete_when=F.col("event_type") == "delete",
+    ).collect()}
+    assert state == {1: (2, "update"), 3: (6, "create")}
+    # idempotent: applying state ∪ changes yields the same state
+    again = {r["user_id"]: (r["event_id"], r["event_type"]) for r in cdc_apply(
+        changes.unionByName(changes), ["user_id"], "ts", "event_id",
+        delete_when=F.col("event_type") == "delete",
+    ).collect()}
+    assert again == state
