@@ -606,6 +606,19 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("user_id", "event_id", "event_type")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history intervals from the event feed (per-user
+    versions with valid_from/valid_to/is_current)."""
+    from geist_spark.operators.relational import scd2_history
+
+    hist = scd2_history(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "event_id"
+    )
+    return hist.select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1851,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_cdc_apply": q_cdc_apply,
+        "q_scd2_history": q_scd2_history,
         "q_hourly_rollup": q_hourly_rollup,
         "q_sessionize": q_sessionize,
         "q_order_priority_counts": q_order_priority_counts,
@@ -2313,6 +2327,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "q_scd2_history": """
+            SELECT user_id, event_id,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

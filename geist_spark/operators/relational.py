@@ -684,3 +684,29 @@ def cdc_apply(
     if delete_when is not None:
         latest = latest.filter(~delete_when)
     return latest
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change feed:
+    each change becomes a versioned row with `valid_from`/`valid_to`
+    (open interval = NULL valid_to) and `is_current` — the as-of-able
+    history table that pairs with cdc_apply's current-state view (and
+    with asof_join for time-travel lookups).
+
+    One shuffle on the key; valid_to is the next change's timestamp
+    via lead(), so the whole history is one window pass — no
+    self-join. Same-timestamp races order by the tiebreak, making
+    intervals deterministic."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

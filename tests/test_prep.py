@@ -768,3 +768,28 @@ def test_cdc_apply_latest_wins_and_tombstones(spark):
         delete_when=F.col("event_type") == "delete",
     ).collect()}
     assert again == state
+
+
+def test_scd2_history_intervals(spark):
+    import datetime
+
+    from geist_spark.operators.relational import scd2_history
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    changes = spark.createDataFrame(
+        [(1, 1, at(0)), (2, 1, at(10)), (3, 2, at(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    hist = {r["event_id"]: r for r in
+            scd2_history(changes, ["user_id"], "ts", "event_id").collect()}
+    assert hist[1]["valid_from"] == at(0) and hist[1]["valid_to"] == at(10)
+    assert not hist[1]["is_current"]
+    assert hist[2]["valid_to"] is None and hist[2]["is_current"]
+    assert hist[3]["valid_to"] is None and hist[3]["is_current"]
+    # intervals tile: each key's current rows == 1
+    currents = [r for r in hist.values() if r["is_current"]]
+    assert {r["user_id"] for r in currents} == {1, 2}
