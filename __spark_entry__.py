@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -1694,6 +1694,31 @@ def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus build as ONE lazy plan: overlapping-chunk explode ->
+    exact chunk dedup (min (doc_id, chunk_idx) survives per distinct
+    normalized chunk) -> per-source retrieval-unit stats. Three
+    operators, one Catalyst plan, one shuffle per stage."""
+    from geist_spark.operators.dedup import normalize_text
+    from geist_spark.operators.prep import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24)
+    w = Window.partitionBy(F.md5(normalize_text(F.col("chunk_text")))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    uniq = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    joined = uniq.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def p_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composed corpus pipeline — four gates, each an existing
     operator, chained as ONE lazy Catalyst plan:
@@ -1947,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact_pii": t_redact_pii,
         "p_chunk_documents": p_chunk_documents,
         "p_corpus_pipeline": p_corpus_pipeline,
+        "p_rag_pipeline": p_rag_pipeline,
         "p_pack_sequences": p_pack_sequences,
         "p_source_quota": p_source_quota,
         "p_table_digest": p_table_digest,
@@ -2335,6 +2361,36 @@ def oracle_sql() -> dict[str, str]:
                    lead(ts) OVER w IS NULL AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "p_rag_pipeline": f"""
+            WITH base AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks,
+                       greatest(len({_TOKENS_SQL}), 1) AS n
+                FROM documents
+            ), st AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, n, 24)) AS s
+                FROM base
+            ), chunks AS (
+                SELECT doc_id,
+                       CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+                       array_to_string(list_slice(toks, s, s + 31), ' ')
+                           AS chunk_text,
+                       len(list_slice(toks, s, s + 31)) AS n_tokens
+                FROM st
+            ), uniq AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY md5(trim(regexp_replace(
+                            lower(chunk_text), '\s+', ' ', 'g')))
+                        ORDER BY doc_id, chunk_idx) AS rn
+                    FROM chunks)
+                WHERE rn = 1
+            )
+            SELECT d.source, count(*) AS n_chunks,
+                   sum(u.n_tokens) AS total_tokens
+            FROM uniq u JOIN documents d ON d.doc_id = u.doc_id
+            GROUP BY d.source
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,
