@@ -183,11 +183,16 @@ def leakage_safe_split(
     labels via min-label propagation (O(diameter) rounds over the PAIR
     graph only, not the corpus), then one left join of labels onto the
     corpus and the same zero-shuffle md5 CASE as hash_split, keyed on
-    coalesce(cluster_id, doc_id)."""
+    coalesce(cluster_id, doc_id). The label join uses the same
+    count-gated broadcast as keep_canonical: labels are already
+    materialized (dedup_clusters ends on an eager localCheckpoint) so
+    the count is free; duplicate-heavy corpora fall through to AQE."""
     from geist_spark.operators.dedup import dedup_clusters
 
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     labels = dedup_clusters(pairs)
+    if labels.count() <= 2_000_000:
+        labels = F.broadcast(labels)
     rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return documents.join(labels, "doc_id", "left").withColumn(
         out_col, split_column(rep, weights)
