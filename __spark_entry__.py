@@ -619,6 +619,24 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> view -> purchase): one scan,
+    one shuffle, per-user array walk instead of k self-joins."""
+    from geist_spark.operators.relational import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort x periods-since,
+    distinct users)."""
+    from geist_spark.operators.relational import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1909,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_gap_fill": q_gap_fill,
         "q_transition_matrix": q_transition_matrix,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
         "q_bloom_semi": q_bloom_semi,
         "q_bloom_anti": q_bloom_anti,
         "q_rolling_features": q_rolling_features,
@@ -2391,6 +2411,47 @@ def oracle_sql() -> dict[str, str]:
                    sum(u.n_tokens) AS total_tokens
             FROM uniq u JOIN documents d ON d.doc_id = u.doc_id
             GROUP BY d.source
+        """,
+        "q_funnel": """
+            WITH u AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup'
+                           THEN epoch(ts) END) AS t0
+                FROM events GROUP BY user_id
+            ), w1 AS (
+                SELECT u.user_id, u.t0,
+                       (SELECT min(epoch(e.ts)) FROM events e
+                        WHERE e.user_id = u.user_id
+                          AND e.event_type = 'view'
+                          AND epoch(e.ts) > u.t0) AS t1
+                FROM u
+            ), w2 AS (
+                SELECT w1.*,
+                       (SELECT min(epoch(e.ts)) FROM events e
+                        WHERE e.user_id = w1.user_id
+                          AND e.event_type = 'purchase'
+                          AND epoch(e.ts) > w1.t1) AS t2
+                FROM w1
+            )
+            SELECT sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n_step0,
+                   sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_step1,
+                   sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_step2
+            FROM w2
+        """,
+        "q_cohort_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT)
+                           AS period
+                FROM events
+            ), first AS (
+                SELECT user_id, min(period) AS cohort
+                FROM activity GROUP BY user_id
+            )
+            SELECT f.cohort, a.period - f.cohort AS periods_since,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM activity a JOIN first f ON f.user_id = a.user_id
+            GROUP BY 1, 2
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

@@ -710,3 +710,69 @@ def scd2_history(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def funnel_conversion(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered funnel: for each step k, how many users reached it via
+    the ordered path — step k's first qualifying event must be
+    strictly after the time the user completed step k-1.
+
+    Shape: ONE scan + one shuffle (the per-user aggregate). Each
+    step's qualifying times are collected as a sorted per-user array
+    (bounded by that user's matching events), and the path walk is a
+    per-row array expression — never the k self-joins of the textbook
+    formulation, which at 10^12 events would be k shuffles of the
+    full table."""
+    aggs = [
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == s,
+                    F.col("ts").cast("timestamp").cast("double"),
+                )
+            )
+        ).alias(f"__ts{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy("user_id").agg(*aggs)
+    prev = F.element_at(F.col("__ts0"), 1)
+    reach = [prev.isNotNull()]
+    for i in range(1, len(steps)):
+        prev = F.array_min(F.filter(F.col(f"__ts{i}"), lambda x: x > prev))
+        reach.append(prev.isNotNull())
+    flags = per_user.select(
+        *[
+            F.coalesce(r, F.lit(False)).alias(f"__r{i}")
+            for i, r in enumerate(reach)
+        ]
+    )
+    return flags.agg(
+        *[
+            F.sum(F.col(f"__r{i}").cast("long")).alias(f"n_step{i}")
+            for i in range(len(steps))
+        ]
+    )
+
+
+def cohort_retention(events: DataFrame, period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period
+    (cohort), distinct active users counted at each periods-since
+    offset. Two shuffles total (first-activity per user, then the
+    cohort x offset distinct-count) — the matrix every growth
+    dashboard needs, shaped so neither pass re-reads raw rows twice.
+
+    Periods are integer epoch-day buckets (floor(epoch_days /
+    period_days)) — deterministic, engine-exact arithmetic."""
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("long") / F.lit(86400)
+    )
+    period = F.floor(day / F.lit(period_days)).alias("period")
+    activity = events.select("user_id", period).distinct()
+    first = activity.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    joined = activity.join(first, "user_id")
+    return (
+        joined.groupBy(
+            "cohort", (F.col("period") - F.col("cohort")).alias("periods_since")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -793,3 +793,53 @@ def test_scd2_history_intervals(spark):
     # intervals tile: each key's current rows == 1
     currents = [r for r in hist.values() if r["is_current"]]
     assert {r["user_id"] for r in currents} == {1, 2}
+
+
+def test_funnel_requires_order(spark):
+    import datetime
+
+    from geist_spark.operators.relational import funnel_conversion
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, 1, at(0), "signup"), (2, 1, at(10), "view"), (3, 1, at(20), "purchase"),
+            # u2: purchase BEFORE view -> reaches step1 only
+            (4, 2, at(0), "signup"), (5, 2, at(5), "purchase"), (6, 2, at(10), "view"),
+            # u3: never signs up -> reaches nothing
+            (7, 3, at(0), "view"), (8, 3, at(5), "purchase"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    row = funnel_conversion(ev, ["signup", "view", "purchase"]).collect()[0]
+    assert (row["n_step0"], row["n_step1"], row["n_step2"]) == (2, 2, 1)
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from geist_spark.operators.relational import cohort_retention
+
+    def day(d):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, day(0)), (2, 1, day(8)),    # cohort c, back in c+1
+            (3, 2, day(1)), (4, 2, day(2)),    # cohort c, active only in c
+            (5, 3, day(9)),                    # cohort c+1
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {(r["cohort"], r["periods_since"]): r["n_users"]
+           for r in cohort_retention(ev, period_days=7).collect()}
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts[0], cohorts[-1]
+    assert got[(c0, 0)] == 2      # u1, u2 in their first week
+    assert got[(c0, 1)] == 1      # u1 returns
+    assert got[(c1, 0)] == 1      # u3's own cohort
