@@ -637,6 +637,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions x daily one-hour
+    maintenance windows; sessions overlapping each window counted.
+    Bucketed equi-join, no cartesian."""
+    from geist_spark.operators.relational import interval_join, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=30).select(
+        F.concat_ws("#", "user_id", "session_seq").alias("session_id"),
+        F.col("session_start"),
+        F.col("session_end"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("lo"),
+        F.date_trunc("DAY", F.max("ts")).alias("hi"),
+    )
+    windows = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("w_start")
+    ).select(
+        "w_start", (F.col("w_start") + F.expr("INTERVAL 1 HOUR")).alias("w_end")
+    )
+    pairs = interval_join(
+        sess, windows, "session_id", "w_start",
+        l_start="session_start", l_end="session_end",
+        r_start="w_start", r_end="w_end",
+    )
+    return pairs.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -1917,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_large_order_customers": q_large_order_customers,
         "q_dormant_customers": q_dormant_customers,
         "q_range_join": q_range_join,
+        "q_interval_join": q_interval_join,
         "q_hll_rollup": q_hll_rollup,
         "q_hist_quantiles": q_hist_quantiles,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2452,6 +2486,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a.user_id) AS n_users
             FROM activity a JOIN first f ON f.user_id = a.user_id
             GROUP BY 1, 2
+        """,
+        "q_interval_join": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+                FROM marked
+            ), sess AS (
+                SELECT user_id, session_seq,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM numbered GROUP BY user_id, session_seq
+            ), bounds AS (
+                SELECT date_trunc('day', min(ts)) AS lo,
+                       date_trunc('day', max(ts)) AS hi
+                FROM events
+            ), windows AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                           AS w_start
+                FROM bounds
+            )
+            SELECT w.w_start, count(*) AS n_sessions
+            FROM windows w JOIN sess s
+              ON epoch_us(s.session_start) <= epoch_us(w.w_start + INTERVAL 1 HOUR)
+             AND epoch_us(w.w_start) <= epoch_us(s.session_end)
+            GROUP BY w.w_start
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

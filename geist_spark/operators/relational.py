@@ -776,3 +776,48 @@ def cohort_retention(events: DataFrame, period_days: int = 7) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join (both sides are intervals; overlap iff
+    l_start <= r_end AND r_start <= l_end, inclusive) without a
+    cartesian product: each interval explodes into the coarse time
+    buckets it spans, candidates equi-join on bucket, the exact
+    predicate filters, and (left_id, right_id) dedupes multi-bucket
+    matches. The range_join trick generalized to interval x interval.
+
+    Bucket size trades explosion factor against candidate precision:
+    intervals explode into span/bucket_seconds rows, so pick buckets
+    near the typical interval length. Degenerate month-long intervals
+    in an hours-bucketed join should be routed to a broadcast path
+    upstream (same economics as the hot-bucket caps in dedup)."""
+    bucket_us = bucket_seconds * 1_000_000
+
+    def bucketed(df, start, end, idc, keep):
+        # exact microsecond epochs: second-truncated casts shift
+        # sub-second boundaries across the overlap predicate
+        s = F.unix_micros(F.col(start).cast("timestamp"))
+        e = F.unix_micros(F.col(end).cast("timestamp"))
+        b = F.explode(
+            F.sequence(F.floor(s / bucket_us), F.floor(e / bucket_us))
+        ).alias("__bucket")
+        return df.select(F.col(idc), *keep, s.alias(start + "_s"),
+                         e.alias(end + "_s"), b)
+
+    lb = bucketed(left, l_start, l_end, left_id, [])
+    rb = bucketed(right, r_start, r_end, right_id, [])
+    cand = lb.join(rb, "__bucket").filter(
+        (F.col(l_start + "_s") <= F.col(r_end + "_s"))
+        & (F.col(r_start + "_s") <= F.col(l_end + "_s"))
+    )
+    return cand.select(left_id, right_id).distinct()

@@ -843,3 +843,36 @@ def test_cohort_retention_matrix(spark):
     assert got[(c0, 0)] == 2      # u1, u2 in their first week
     assert got[(c0, 1)] == 1      # u1 returns
     assert got[(c1, 0)] == 1      # u3's own cohort
+
+
+def test_interval_join_overlap_semantics(spark):
+    import datetime
+
+    from geist_spark.operators.relational import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            ("a", at(0), at(100)),      # overlaps w1 and w2
+            ("b", at(250), at(260)),    # inside w2? w2 = [200, 300]
+            ("c", at(500), at(600)),    # touches w3 at exactly 500
+            ("d", at(10_000), at(10_001)),  # overlaps nothing
+        ],
+        "lid string, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", at(50), at(150)), ("w2", at(200), at(300)),
+         ("w3", at(400), at(500))],
+        "rid string, r_start timestamp, r_end timestamp",
+    )
+    got = {(r["lid"], r["rid"]) for r in interval_join(
+        left, right, "lid", "rid", bucket_seconds=60
+    ).collect()}
+    assert got == {("a", "w1"), ("b", "w2"), ("c", "w3")}
+    # multi-bucket spans dedupe to one pair (a spans buckets 0 and 1,
+    # w1 spans the same two buckets)
+    assert len(got) == 3
