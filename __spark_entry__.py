@@ -670,6 +670,19 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff tuning curve: per (source, min-length threshold),
+    surviving docs and character mass — one scan for the whole grid."""
+    from geist_spark.operators.prep import threshold_sweep
+
+    return threshold_sweep(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "source",
+        [0.0, 200.0, 500.0, 1000.0, 2000.0],
+    )
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -2020,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_doc_fingerprint": t_doc_fingerprint,
         "t_top_terms": t_top_terms,
         "t_score_normalize": t_score_normalize,
+        "t_threshold_sweep": t_threshold_sweep,
         "t_repetition_stats": t_repetition_stats,
         "t_decontaminate": t_decontaminate,
         "t_bloom_decontaminate": t_bloom_decontaminate,
@@ -2517,6 +2531,16 @@ def oracle_sql() -> dict[str, str]:
               ON epoch_us(s.session_start) <= epoch_us(w.w_start + INTERVAL 1 HOUR)
              AND epoch_us(w.w_start) <= epoch_us(s.session_end)
             GROUP BY w.w_start
+        """,
+        "t_threshold_sweep": """
+            SELECT source, t.threshold, count(*) AS n_rows,
+                   CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,6)))
+                        AS DOUBLE) AS metric_mass
+            FROM documents
+            CROSS JOIN (VALUES (0.0), (200.0), (500.0), (1000.0), (2000.0))
+                 AS t(threshold)
+            WHERE CAST(n_chars AS DOUBLE) >= t.threshold
+            GROUP BY source, t.threshold
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

@@ -412,3 +412,34 @@ def bloom_semi_join(
         rk, maybe[left_key] == rk[right_key], "left_anti"
     )
     return definite_out.unionByName(confirmed_out)
+
+
+def threshold_sweep(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Filter-tuning curve in ONE pass: for every (group, threshold)
+    pair, how many rows and how much metric mass survive
+    `metric >= threshold`. Choosing a corpus quality cutoff by
+    re-running the filter per candidate value costs a scan each; this
+    explodes the (tiny) threshold list against the rows map-side, so
+    the whole sweep is one scan + one (groups x thresholds)-sized
+    aggregate."""
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    exploded = df.select(
+        F.col(group_col), F.col(metric_col).cast("double").alias("__m"), thr
+    )
+    return (
+        exploded.filter(F.col("__m") >= F.col("threshold"))
+        .groupBy(group_col, "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__m").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("metric_mass"),
+        )
+    )

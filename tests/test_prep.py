@@ -876,3 +876,19 @@ def test_interval_join_overlap_semantics(spark):
     # multi-bucket spans dedupe to one pair (a spans buckets 0 and 1,
     # w1 spans the same two buckets)
     assert len(got) == 3
+
+
+def test_threshold_sweep_one_pass_grid(spark):
+    from geist_spark.operators.prep import threshold_sweep
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 100.0), ("a", 1000.0), ("b", 50.0)],
+        "src string, m double",
+    )
+    got = {(r["src"], r["threshold"]): (r["n_rows"], r["metric_mass"])
+           for r in threshold_sweep(df, "m", "src", [0.0, 50.0, 500.0]).collect()}
+    assert got[("a", 0.0)] == (3, 1110.0)
+    assert got[("a", 50.0)] == (2, 1100.0)
+    assert got[("a", 500.0)] == (1, 1000.0)
+    assert got[("b", 50.0)] == (1, 50.0)
+    assert ("b", 500.0) not in got  # nothing survives -> no row
