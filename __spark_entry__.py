@@ -765,6 +765,16 @@ def p_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def d_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup incidence (fraction of docs in any LSH
+    pair) — the census that prioritizes dedup effort."""
+    from geist_spark.operators.dedup import near_dup_rate_by_source
+
+    return near_dup_rate_by_source(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3
+    )
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: a stored corpus band index
     (doc_id % 5 != 0) is probed by a new batch (doc_id % 5 == 0); only
@@ -2003,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental_dedup": d_incremental_dedup,
         "d_verified_pairs": d_verified_pairs,
         "d_source_overlap": d_source_overlap,
+        "d_dup_rate_by_source": d_dup_rate_by_source,
         "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
@@ -2695,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "d_dedup_clusters": _dedup_clusters_oracle(num_hashes=16, bands=4),
         "d_keep_canonical": _keep_canonical_oracle(num_hashes=16, bands=4),
         "d_incremental_dedup": _incremental_dedup_oracle(num_hashes=16, bands=4),
+        "d_dup_rate_by_source": _dup_rate_oracle(num_hashes=16, bands=4),
         "p_dataset_split": _dataset_split_oracle(),
         "p_deterministic_sample": _deterministic_sample_oracle(0.1, "s1"),
         "p_stratified_sample": _stratified_sample_oracle(),
@@ -3537,6 +3549,26 @@ def _leakage_safe_split_oracle(num_hashes: int, bands: int) -> str:
         SELECT {case} AS split, count(*) AS n_docs
         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
         GROUP BY 1
+    """
+
+
+def _dup_rate_oracle(num_hashes: int, bands: int) -> str:
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH pairs AS ({pairs_sql}),
+        dup_docs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs)
+        )
+        SELECT d.source, count(*) AS n_docs,
+               sum(CASE WHEN dd.doc_id IS NULL THEN 0 ELSE 1 END)
+                   AS n_dup_docs,
+               round(CAST(sum(CASE WHEN dd.doc_id IS NULL THEN 0 ELSE 1 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS dup_rate
+        FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+        GROUP BY d.source
     """
 
 

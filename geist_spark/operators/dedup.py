@@ -498,3 +498,38 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def near_dup_rate_by_source(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-health census: per source, the fraction of docs that
+    appear in ANY minhash near-dup pair — the number that decides
+    which feeds are worth aggressive dedup before the expensive
+    cluster/keep-canonical passes run. Pair graph is LSH-bounded; the
+    doc membership check is one semi-join-shaped aggregation, never a
+    per-pair scan of the corpus."""
+    pairs = minhash_lsh_pairs(
+        documents, num_hashes=num_hashes, bands=bands, k=k
+    )
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    marked = documents.select("doc_id", "source").join(
+        dup_docs, "doc_id", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_docs"),
+        F.round(
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
