@@ -683,6 +683,16 @@ def t_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top shingles by distinct-document frequency — boilerplate
+    candidates for exclusion filters."""
+    from geist_spark.operators.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), k=3, top_n=20, min_docs=2
+    )
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day per-event activity features (RANGE window over
     microsecond epochs, deterministic under timestamp ties)."""
@@ -2043,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
         "t_top_terms": t_top_terms,
+        "t_boilerplate_ngrams": t_boilerplate_ngrams,
         "t_score_normalize": t_score_normalize,
         "t_threshold_sweep": t_threshold_sweep,
         "t_repetition_stats": t_repetition_stats,
@@ -2552,6 +2563,22 @@ def oracle_sql() -> dict[str, str]:
                  AS t(threshold)
             WHERE CAST(n_chars AS DOUBLE) >= t.threshold
             GROUP BY source, t.threshold
+        """,
+        "t_boilerplate_ngrams": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in generate_series(1,
+                               greatest(len(toks) - 2, 1))])) AS shingle
+                FROM t
+            ), shf AS (
+                SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+            )
+            SELECT shingle, count(*) AS n_docs
+            FROM shf GROUP BY shingle HAVING count(*) >= 2
+            ORDER BY n_docs DESC, shingle ASC LIMIT 20
         """,
         "q_rolling_features": """
             SELECT event_id, user_id,

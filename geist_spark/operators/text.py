@@ -264,3 +264,31 @@ def top_terms_per_source(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def boilerplate_ngrams(
+    documents: DataFrame,
+    k: int = 3,
+    top_n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate candidates: the k-token shingles appearing in the
+    most DISTINCT documents (headers, footers, cookie banners,
+    license blurbs). The output feeds exclusion filters and explains
+    hot LSH buckets — it is the same shingle table every dedup family
+    already pays for, aggregated the other way (by shingle, not doc).
+
+    Counting distinct docs (not occurrences) keeps within-doc
+    repetition from masquerading as boilerplate; `min_docs` prunes the
+    singleton tail before the top-N heap."""
+    from geist_spark.operators.dedup import shingles
+
+    sh = shingles(documents, k=k)
+    counts = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return counts.orderBy(
+        F.col("n_docs").desc(), F.col("shingle").asc()
+    ).limit(top_n)
