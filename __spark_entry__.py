@@ -1949,6 +1949,55 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", "content_md5")
 
 
+# ------------------------------------------------- model inference + eval
+
+
+# deterministic 64-dim integer probe head for q_eval_auc (stands in for
+# a trained linear probe; Fibonacci-hash spread, values in [-63, 63])
+_PROBE_WEIGHTS = [((i * 2654435761) % 127) - 63 for i in range(64)]
+
+
+def s_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classifier over embeddings: train per-label
+    fixed-point centroids (ONE groupBy, exact long arithmetic), then
+    map-only inference against centroid literals; output the confusion
+    matrix. The reference has no model surface (its transforms are
+    single-event, entity/transform/transformer.go:43-84); this is the
+    Spark-native tiny-model/huge-data inference shape."""
+    from geist_spark.operators.classify import (
+        centroid_classify,
+        confusion_matrix,
+        train_label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_label_centroids(emb, dim=64)
+    return confusion_matrix(centroid_classify(emb, cents))
+
+
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ROC-AUC of an integer linear probe over embeddings:
+    exact Mann-Whitney rank-sum with average-rank ties, one shuffle on
+    the group key. Positives = label >= 5, groups = vec_id % 4."""
+    from geist_spark.operators.classify import grouped_auc, linear_score_fx
+
+    scored = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).cast("int").alias("grp"),
+        (F.col("label") >= 5).cast("int").alias("is_pos"),
+        linear_score_fx(F.col("embedding"), _PROBE_WEIGHTS).alias("score"),
+    )
+    return grouped_auc(scored)
+
+
+def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference over the
+    documents table: tokenize -> md5 hash bucket -> integer weight ->
+    per-doc score, all map-only codegen (zero shuffle)."""
+    from geist_spark.operators.classify import hashed_linear_score
+
+    return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2073,6 +2122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_pack_sequences": p_pack_sequences,
         "p_source_quota": p_source_quota,
         "p_table_digest": p_table_digest,
+        "s_centroid_classify": s_centroid_classify,
+        "q_eval_auc": q_eval_auc,
+        "t_classifier_score": t_classifier_score,
     }
 
 
@@ -3209,6 +3261,88 @@ def oracle_sql() -> dict[str, str]:
                              doc_id ASC) AS r
                 FROM documents)
             WHERE r <= 15
+        """,
+        "s_centroid_classify": """
+            WITH fx AS (
+                SELECT vec_id, label,
+                       [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                        for x in embedding] AS fx
+                FROM embeddings
+            ), s AS (
+                SELECT label, i, CAST(sum(fx[i]) AS BIGINT) AS s, count(*) AS cnt
+                FROM fx, (SELECT unnest(generate_series(1, 64)) AS i) ix
+                GROUP BY label, i
+            ), c AS (
+                SELECT label AS clab,
+                       list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY i) AS c
+                FROM s GROUP BY label
+            ), d AS (
+                SELECT f.vec_id, f.label, c.clab,
+                       CAST(list_sum([(f.fx[i] - c.c[i]) * (f.fx[i] - c.c[i])
+                                      for i in generate_series(1, 64)]) AS BIGINT) AS d
+                FROM fx f CROSS JOIN c
+            ), a AS (
+                SELECT vec_id, label, clab AS predicted
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY d, clab) AS rn
+                      FROM d)
+                WHERE rn = 1
+            )
+            SELECT label, predicted, count(*) AS n FROM a GROUP BY label, predicted
+        """,
+        "q_eval_auc": """
+            WITH fx AS (
+                SELECT vec_id, label,
+                       [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                        for x in embedding] AS fx,
+                       [-63, 62, 60, 58, 56, 54, 52, 50, 48, 46, 44, 42, 40, 38, 36, 34, 32, 30, 28, 26, 24, 22, 20, 18, 16, 14, 12, 10, 8, 6, 4, 2, 0, -2, -4, -6, -8, -10, -12, -14, -16, -18, -20, -22, -24, -26, -28, -30, -32, -34, -36, -38, -40, -42, -44, -46, -48, -50, -52, -54, -56, -58, -60, -62] AS w
+                FROM embeddings
+            ), sc AS (
+                SELECT CAST(vec_id % 4 AS INTEGER) AS grp,
+                       CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_pos,
+                       CAST(list_sum([fx[i] * w[i]
+                                      for i in generate_series(1, 64)]) AS BIGINT) AS score
+                FROM fx
+            ), r AS (
+                SELECT grp, is_pos,
+                       CAST(2 * rank() OVER (PARTITION BY grp ORDER BY score)
+                            + count(*) OVER (PARTITION BY grp, score)
+                            - 1 AS BIGINT) AS avg_rank2
+                FROM sc
+            ), a AS (
+                SELECT grp,
+                       CAST(sum(is_pos) AS BIGINT) AS n_pos,
+                       CAST(sum(1 - is_pos) AS BIGINT) AS n_neg,
+                       CAST(sum(is_pos * avg_rank2) AS BIGINT) AS r2
+                FROM r GROUP BY grp
+            )
+            SELECT grp, n_pos, n_neg,
+                   CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+                   CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+            FROM a
+        """,
+        "t_classifier_score": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       [t for t in {_TOKENS_SQL} if t <> ''] AS toks
+                FROM documents
+            ), t2 AS (
+                SELECT doc_id, unnest(toks) AS tok FROM tok
+            ), tw AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('w|' || CAST(
+                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096
+                        AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+                FROM t2
+            ), agg AS (
+                SELECT doc_id, CAST(sum(w) AS BIGINT) AS s FROM tw GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   len(k.toks) AS n_tokens,
+                   COALESCE(a.s, 0) AS score_fx,
+                   COALESCE(a.s, 0) > 0 AS predicted
+            FROM tok k LEFT JOIN agg a USING (doc_id)
         """,
     }
 

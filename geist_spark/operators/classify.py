@@ -1,0 +1,240 @@
+"""Distributed model inference + evaluation operators.
+
+A 100 TB training-data pipeline doesn't only filter and dedup — it
+scores every document/embedding with small models (quality
+classifiers, linear probes) and evaluates them with rank metrics. The
+reference engine has no model surface at all (its transforms are
+single-event, entity/transform/transformer.go:43-84); these operators
+supply the Spark-native pattern for it:
+
+- the MODEL is tiny (a weight vector, per-class centroids, a hashed
+  linear head) and lives driver-side / as literals or a broadcast;
+- the DATA is huge and is scored in a map-only pass — no shuffle, no
+  Python, whole-stage codegen end to end;
+- evaluation (confusion matrix, grouped ROC-AUC) is one aggregation.
+
+Determinism: all arithmetic is fixed-point/integer (same FX scheme as
+similarity.train_ivf_centroids), so results are bit-identical at any
+partition count and replayable exactly in the DuckDB oracles.
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from geist_spark.operators.dedup import tokens
+from geist_spark.operators.similarity import FX_SCALE, _fx
+
+
+def train_label_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    value_col: str = "embedding",
+    label_col: str = "label",
+) -> list[tuple[int, list[int]]]:
+    """Per-label mean centroid in fixed point (floor(x*2^20) longs,
+    floored mean) — the training half of a nearest-class-mean
+    classifier.
+
+    Plan: ONE groupBy(label) with per-dim long sums (map-side partial
+    agg), k rows to the driver. At 100 TB that is a single scan + a
+    k-row shuffle — the canonical "tiny model from huge data" shape.
+    Exact long arithmetic: bit-identical at any parallelism.
+
+    Returns [(label, [dim longs])] sorted by label.
+    """
+    stats = (
+        embeddings.select(
+            F.col(label_col).alias("label"), _fx(F.col(value_col)).alias("fx")
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("fx")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+
+    def fdiv(s: int, c: int) -> int:  # floor division, like the k-means update
+        return int(s) // int(c)
+
+    return sorted(
+        (int(r["label"]), [fdiv(r[f"s{i}"], r["cnt"]) for i in range(dim)])
+        for r in stats
+    )
+
+
+def centroid_classify(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    value_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-mean inference: assign every vector to the label
+    of the closest centroid (squared L2 in fixed point; tie -> lowest
+    label).
+
+    Map-only over centroid LITERALS (k*dim longs inside the generated
+    code): zero shuffle, zero Python — inference cost is a linear scan.
+    For k beyond a few hundred classes swap the literal for a broadcast
+    join (same plan shape as similarity.ivf_topk).
+
+    Returns (vec_id, <label_col>, predicted, sq_dist).
+    """
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(v).cast("long") for v in c]).alias("c"),
+                F.lit(lab).cast("int").alias("lab"),
+            )
+            for lab, c in centroids
+        ]
+    )
+    fxd = embeddings.select(
+        "vec_id", F.col(label_col), _fx(F.col(value_col)).alias("fx")
+    )
+    scores = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("fx"), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s["lab"].alias("lab"),
+        ),
+    )
+    m = F.array_min(scores)  # lexicographic: min dist, then min label
+    return fxd.select(
+        "vec_id",
+        label_col,
+        m["lab"].alias("predicted"),
+        m["d"].alias("sq_dist"),
+    )
+
+
+def confusion_matrix(
+    assigned: DataFrame, label_col: str = "label", pred_col: str = "predicted"
+) -> DataFrame:
+    """(label, predicted, n) counts — one k^2-row aggregation."""
+    return (
+        assigned.groupBy(label_col, pred_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def linear_score_fx(emb_col: F.Column, weights: list[int]) -> F.Column:
+    """Integer linear probe: dot(fixed-point(embedding), weights) as a
+    long. Weights are literals (a trained probe head is a few hundred
+    ints); all-long arithmetic makes the score exact and
+    order-independent, so downstream rank metrics are deterministic."""
+    w = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+    return F.aggregate(
+        F.zip_with(_fx(emb_col), w, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def grouped_auc(
+    scored: DataFrame,
+    group_col: str = "grp",
+    label_col: str = "is_pos",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact grouped ROC-AUC via the Mann-Whitney rank-sum statistic
+    with average-rank tie handling.
+
+    AUC = (R+ - P(P+1)/2) / (P*N) where R+ is the positives' rank sum.
+    Everything up to the final division is integer (scores are exact
+    longs): avg_rank*2 = 2*min_rank + (ties-1), u2 = 2*R+ - P(P+1),
+    auc = u2 / (2*P*N) — ONE IEEE division on exact longs, so the
+    result is bit-identical across engines and partitionings.
+
+    Plan: two window passes over one shuffle on group_col, then a
+    per-group aggregation — rank metrics over any corpus size with a
+    single data movement. Output: (grp, n_pos, n_neg, u2, auc).
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(score_col)
+    w_tie = Window.partitionBy(group_col, score_col)
+    ranked = scored.select(
+        group_col,
+        label_col,
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long").alias("avg_rank2"),
+    )
+    pos = F.col(label_col).cast("long")
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(pos).alias("n_pos"),
+        F.sum(F.lit(1) - pos).alias("n_neg"),
+        F.sum(pos * F.col("avg_rank2")).alias("r2_pos"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def hashed_linear_score(
+    documents: DataFrame,
+    num_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed bag-of-tokens linear classifier inference:
+    token -> hash bucket -> integer weight, document score = sum of
+    token weights.
+
+    The weight table here is DERIVED from the bucket id
+    (md5-pseudo-random ints in [-1000, 1000]) — a deterministic
+    stand-in for a trained head; swapping in real trained weights is a
+    broadcast join on `bucket` with the identical plan. Inference is
+    tokenize + per-token md5 + one aggregate per row: map-only, zero
+    shuffle, whole-stage codegen — the shape that scores 100 TB at
+    scan speed. (fastText: Joulin et al. 2016, "Bag of Tricks for
+    Efficient Text Classification" — hashing trick per
+    Weinberger et al. 2009.)
+
+    Returns (doc_id, n_tokens, score_fx, predicted) with all-integer
+    score (exact, engine-independent).
+    """
+    toks = documents.select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    )
+    bucket = lambda t: (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    weight = lambda t: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), bucket(t).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    score = F.aggregate(
+        F.filter(F.col("toks"), lambda t: t != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + weight(t),
+    )
+    return toks.select(
+        "doc_id",
+        F.size(F.filter(F.col("toks"), lambda t: t != F.lit(""))).alias(
+            "n_tokens"
+        ),
+        score.alias("score_fx"),
+        (score > 0).alias("predicted"),
+    )

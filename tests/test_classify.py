@@ -1,0 +1,116 @@
+"""Model-inference/eval operators (operators/classify.py): nearest-
+class-mean classifier, grouped ROC-AUC, hashed linear text scoring.
+
+Covers the properties the sf0.01 oracle can't: hand-computed golden
+values on tiny inputs and partition-invariance of the exact integer
+arithmetic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geist_spark.operators.classify import (
+    centroid_classify,
+    confusion_matrix,
+    grouped_auc,
+    hashed_linear_score,
+    linear_score_fx,
+    train_label_centroids,
+)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def separated(spark):
+    # two well-separated 4-dim clusters around (0,0,0,0) and (10,10,10,10)
+    rows = []
+    for i in range(6):
+        d = i * 0.01
+        rows.append((i, [0.0 + d, 0.1, 0.0, 0.2 + d], 0))
+        rows.append((100 + i, [10.0 - d, 9.9, 10.0, 10.2 - d], 1))
+    return _emb_df(spark, rows)
+
+
+def test_centroid_classifier_perfect_on_separated(separated):
+    cents = train_label_centroids(separated, dim=4)
+    assert [lab for lab, _ in cents] == [0, 1]
+    cm = confusion_matrix(centroid_classify(separated, cents)).collect()
+    as_map = {(r["label"], r["predicted"]): r["n"] for r in cm}
+    assert as_map == {(0, 0): 6, (1, 1): 6}
+
+
+def test_centroid_training_partition_invariant(separated):
+    c1 = train_label_centroids(separated, dim=4)
+    c2 = train_label_centroids(separated.repartition(7), dim=4)
+    assert c1 == c2  # exact long arithmetic: no float drift
+
+
+def test_centroid_tie_breaks_to_lowest_label(spark):
+    # identical centroids for labels 3 and 5 -> tie resolves to 3
+    df = _emb_df(spark, [(0, [1.0, 1.0], 3), (1, [1.0, 1.0], 5)])
+    cents = train_label_centroids(df, dim=2)
+    out = centroid_classify(df, cents).collect()
+    assert {r["predicted"] for r in out} == {3}
+
+
+def test_grouped_auc_perfect_and_random(spark):
+    # group 0: scores perfectly separate positives -> AUC 1.0
+    # group 1: all scores tied -> AUC exactly 0.5
+    rows = (
+        [(0, s, 0) for s in (1, 2, 3)]
+        + [(0, s, 1) for s in (10, 11, 12)]
+        + [(1, 5, 0), (1, 5, 0), (1, 5, 1), (1, 5, 1)]
+    )
+    df = spark.createDataFrame(rows, "grp int, score long, is_pos int")
+    out = {r["grp"]: r for r in grouped_auc(df).collect()}
+    assert out[0]["auc"] == 1.0 and out[0]["n_pos"] == 3
+    assert out[1]["auc"] == 0.5  # average-rank tie handling is exact
+
+
+def test_grouped_auc_hand_computed_with_ties(spark):
+    # scores: neg 1, pos 2, neg 2, pos 3
+    # avg ranks: 1, 2.5, 2.5, 4 -> R+ = 6.5, U = 6.5 - 3 = 3.5, AUC = 3.5/4
+    df = spark.createDataFrame(
+        [(0, 1, 0), (0, 2, 1), (0, 2, 0), (0, 3, 1)],
+        "grp int, score long, is_pos int",
+    )
+    r = grouped_auc(df).collect()[0]
+    assert r["u2"] == 7 and r["auc"] == 3.5 / 4
+
+
+def test_linear_score_partition_invariant(spark):
+    df = _emb_df(
+        spark,
+        [(i, [0.1 * i, -0.2 * i, 0.3], i % 2) for i in range(20)],
+    )
+    w = [3, -5, 7]
+    a = sorted(
+        df.select("vec_id", linear_score_fx(F.col("embedding"), w).alias("s"))
+        .collect()
+    )
+    b = sorted(
+        df.repartition(9)
+        .select("vec_id", linear_score_fx(F.col("embedding"), w).alias("s"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_hashed_linear_score_shape_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark makes scans fast"), (2, "   "), (3, "spark spark")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(docs).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["score_fx"] == 0
+    assert out[2]["predicted"] is False
+    assert out[1]["n_tokens"] == 4
+    # same token twice -> exactly double the single-token weight
+    single = hashed_linear_score(
+        spark.createDataFrame([(9, "spark")], "doc_id long, text string")
+    ).collect()[0]
+    assert out[3]["score_fx"] == 2 * single["score_fx"]
