@@ -1949,6 +1949,17 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", "content_md5")
 
 
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape conditional-aggregation ratio (promo revenue
+    share) — pushed date filter, broadcast part dim, one agg."""
+    from geist_spark.operators.relational import promo_revenue_share
+
+    return promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 # ------------------------------------------------- model inference + eval
 
 
@@ -2125,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_centroid_classify": s_centroid_classify,
         "q_eval_auc": q_eval_auc,
         "t_classifier_score": t_classifier_score,
+        "q_promo_revenue": q_promo_revenue,
     }
 
 
@@ -3343,6 +3355,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.s, 0) AS score_fx,
                    COALESCE(a.s, 0) > 0 AS predicted
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+            ), a AS (
+                SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+                       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+                FROM j
+            )
+            SELECT promo_revenue, total_revenue,
+                   100.0 * promo_revenue / total_revenue AS promo_share_pct
+            FROM a
         """,
     }
 

@@ -455,6 +455,46 @@ def forecast_revenue(
     )
 
 
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-09-01",
+    date_to: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q14-style promotion effect: the revenue share of PROMO
+    parts in a ship-month — the conditional-aggregation-ratio shape
+    (CASE inside two sums over one join).
+
+    Plan: the date filter is pushed into the lineitem scan, part is a
+    dimension (broadcast, only p_partkey+p_type read), and both sums
+    come out of ONE partial+final aggregation — no second pass, no
+    self-join. Sums are exact decimal (order-independent); the share
+    is a single IEEE division of the two exact sums.
+    """
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return j.agg(
+        exact_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+            "promo_revenue"
+        ),
+        exact_sum(rev).alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ).alias("promo_share_pct"),
+    )
+
+
 def returned_item_report(
     customer: DataFrame,
     orders: DataFrame,
