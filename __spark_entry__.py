@@ -1960,6 +1960,36 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over orders: 7 checks
+    (completeness, uniqueness, accepted values, ranges, pattern,
+    referential integrity vs customer) compiled into ONE scan + one
+    broadcast left join — adding a check adds an aggregate column,
+    never a pass."""
+    from geist_spark.operators.quality import Check, validate
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            Check("not_null", "o_custkey"),
+            Check("unique", "o_orderkey"),
+            Check("accepted_values", "o_orderstatus", values=("O", "F", "P")),
+            Check("in_range", "o_totalprice", lo=0, hi=500000),
+            Check(
+                "in_range", "o_totalprice", lo=0, hi=300000,
+                min_pass_fraction=0.95,
+            ),
+            Check("matches", "o_orderpriority", pattern="^[1-5]-"),
+            Check(
+                "ref_integrity", "o_custkey",
+                parent=customer, parent_col="c_custkey",
+            ),
+        ],
+    )
+
+
 # ------------------------------------------------- model inference + eval
 
 
@@ -2137,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_auc": q_eval_auc,
         "t_classifier_score": t_classifier_score,
         "q_promo_revenue": q_promo_revenue,
+        "q_data_quality": q_data_quality,
     }
 
 
@@ -3371,6 +3402,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT promo_revenue, total_revenue,
                    100.0 * promo_revenue / total_revenue AS promo_share_pct
             FROM a
+        """,
+        "q_data_quality": """
+            WITH t AS (
+                SELECT count(*) AS total,
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+                       count(o_orderkey) AS nn_u,
+                       count(DISTINCT o_orderkey) AS d_u,
+                       sum(CASE WHEN o_orderstatus IS NULL
+                                  OR o_orderstatus NOT IN ('O','F','P')
+                                THEN 1 ELSE 0 END) AS v_av,
+                       sum(CASE WHEN o_totalprice IS NULL
+                                  OR o_totalprice < 0 OR o_totalprice > 500000
+                                THEN 1 ELSE 0 END) AS v_r1,
+                       sum(CASE WHEN o_totalprice IS NULL
+                                  OR o_totalprice < 0 OR o_totalprice > 300000
+                                THEN 1 ELSE 0 END) AS v_r2,
+                       sum(CASE WHEN o_orderpriority IS NULL
+                                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                                THEN 1 ELSE 0 END) AS v_m
+                FROM orders
+            ), r AS (
+                SELECT count(o.o_custkey) AS rt,
+                       sum(CASE WHEN o.o_custkey IS NOT NULL
+                                 AND p.c_custkey IS NULL
+                                THEN 1 ELSE 0 END) AS rv
+                FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                  ON o.o_custkey = p.c_custkey
+            ), rows_ AS (
+                SELECT 'not_null(o_custkey)' AS "constraint", 'o_custkey' AS "column",
+                       v_nn AS violations, total, 1.0 AS min_frac FROM t
+                UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey',
+                       (nn_u - d_u) + (total - nn_u), total, 1.0 FROM t
+                UNION ALL SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+                       v_av, total, 1.0 FROM t
+                UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice',
+                       v_r1, total, 1.0 FROM t
+                UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice',
+                       v_r2, total, 0.95 FROM t
+                UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+                       v_m, total, 1.0 FROM t
+                UNION ALL SELECT 'ref_integrity(o_custkey)', 'o_custkey',
+                       COALESCE(rv, 0), rt, 1.0 FROM r
+            )
+            SELECT "constraint", "column",
+                   CAST(violations AS BIGINT) AS violations,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(total - violations AS DOUBLE)
+                       / CAST(greatest(total, 1) AS DOUBLE) AS pass_fraction,
+                   (CAST(total - violations AS DOUBLE)
+                       / CAST(greatest(total, 1) AS DOUBLE)) >= min_frac AS passed
+            FROM rows_
         """,
     }
 

@@ -1,0 +1,169 @@
+"""Declarative data-quality validation (Deequ-style constraint suite).
+
+A 100 TB ingest isn't done when rows land — it's done when the table
+passes its contract. This module compiles a declarative list of
+constraints into ONE pass over the data:
+
+- every row-local constraint (completeness, range, accepted values,
+  pattern, non-negative) becomes a conditional aggregate in a shared
+  scan — adding a constraint adds a column to the agg, not a pass;
+- uniqueness constraints share that scan via count_distinct;
+- referential-integrity constraints become broadcast LEFT joins
+  against the distinct parent key set, with the orphan count taken in
+  the SAME aggregation (parent keys are distinct, so the join never
+  fans out) — no extra scan, no cartesian, no materialized orphans.
+
+Output is long format — one row per constraint:
+  (constraint, column, violations, total, pass_fraction, passed)
+so results stream into the same keyed-table sinks as any other data
+(quality history is just another table to query/rollup).
+
+Design parallel: Amazon Deequ (Schelter et al., VLDB 2018,
+"Automating Large-Scale Data Quality Verification") compiles checks
+to Spark aggregations the same way; this is an independent
+from-scratch implementation over pyspark.sql.functions only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_ROW_LOCAL = ("not_null", "in_range", "accepted_values", "matches", "non_negative")
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint.
+
+    kind:
+      - 'not_null':        col must be non-null
+      - 'unique':          col must have no duplicate values (nulls violate)
+      - 'in_range':        col must be BETWEEN lo AND hi (nulls violate)
+      - 'accepted_values': col must be one of `values` (nulls violate)
+      - 'matches':         col must match regex `pattern` (nulls violate)
+      - 'non_negative':    col >= 0 (nulls violate)
+      - 'ref_integrity':   non-null col values must exist in
+                           parent[parent_col] (total = non-null count)
+    min_pass_fraction: the check passes if at least this fraction of
+    rows satisfies it (1.0 = every row).
+    """
+
+    kind: str
+    column: str
+    lo: Any = None
+    hi: Any = None
+    values: Sequence[Any] = field(default=())
+    pattern: str = ""
+    parent: DataFrame | None = None
+    parent_col: str = ""
+    min_pass_fraction: float = 1.0
+
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def _violation_expr(c: Check) -> F.Column:
+    col = F.col(c.column)
+    if c.kind == "not_null":
+        bad = col.isNull()
+    elif c.kind == "in_range":
+        bad = col.isNull() | ~col.between(c.lo, c.hi)
+    elif c.kind == "accepted_values":
+        bad = col.isNull() | ~col.isin(*list(c.values))
+    elif c.kind == "matches":
+        bad = col.isNull() | ~col.rlike(c.pattern)
+    elif c.kind == "non_negative":
+        bad = col.isNull() | (col < 0)
+    else:  # pragma: no cover - kinds are routed before dispatch
+        raise ValueError(f"not a row-local check: {c.kind}")
+    return F.sum(bad.cast("long"))
+
+
+def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Run a constraint suite; returns the long-format report.
+
+    Plan shape: (broadcast left join per ref check, fan-out-free) ->
+    ONE aggregation covering every check -> explode of a literal array
+    into per-check rows. A single scan of `df` regardless of how many
+    constraints are declared; no per-check jobs, no driver loops."""
+    row_local = [c for c in checks if c.kind in _ROW_LOCAL]
+    uniques = [c for c in checks if c.kind == "unique"]
+    refs = [c for c in checks if c.kind == "ref_integrity"]
+    bad_kinds = sorted(
+        {c.kind for c in checks} - set(_ROW_LOCAL) - {"unique", "ref_integrity"}
+    )
+    if bad_kinds:
+        raise ValueError(f"unknown check kinds: {bad_kinds}")
+
+    j = df
+    for i, c in enumerate(refs):
+        if c.parent is None or not c.parent_col:
+            raise ValueError(f"{c.name()}: ref_integrity needs parent+parent_col")
+        pk = c.parent.select(F.col(c.parent_col).alias(f"__pk{i}")).distinct()
+        j = j.join(
+            F.broadcast(pk), F.col(c.column) == F.col(f"__pk{i}"), "left"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, c in enumerate(row_local):
+        aggs.append(_violation_expr(c).alias(f"__v{i}"))
+    for i, c in enumerate(uniques):
+        aggs.append(F.count(F.col(c.column)).alias(f"__nn{i}"))
+        aggs.append(F.count_distinct(F.col(c.column)).alias(f"__d{i}"))
+    for i, c in enumerate(refs):
+        aggs.append(
+            F.sum(
+                (
+                    F.col(c.column).isNotNull() & F.col(f"__pk{i}").isNull()
+                ).cast("long")
+            ).alias(f"__r{i}")
+        )
+        aggs.append(F.count(F.col(c.column)).alias(f"__rt{i}"))
+
+    one = j.agg(*aggs)
+
+    # (check, violations expr, total expr) — refs measure against the
+    # non-null FK population, everything else against all rows
+    entries: list[tuple[Check, F.Column, F.Column]] = []
+    for i, c in enumerate(row_local):
+        entries.append((c, F.col(f"__v{i}"), F.col("__total")))
+    for i, c in enumerate(uniques):
+        dupes = (F.col(f"__nn{i}") - F.col(f"__d{i}")) + (
+            F.col("__total") - F.col(f"__nn{i}")  # null keys violate
+        )
+        entries.append((c, dupes, F.col("__total")))
+    for i, c in enumerate(refs):
+        entries.append((c, F.col(f"__r{i}"), F.col(f"__rt{i}")))
+
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name()).alias("constraint"),
+                        F.lit(c.column).alias("column"),
+                        F.coalesce(v, F.lit(0)).cast("long").alias("violations"),
+                        t.cast("long").alias("total"),
+                        F.lit(float(c.min_pass_fraction)).alias("min_frac"),
+                    )
+                    for c, v, t in entries
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    frac_ok = (
+        (F.col("total") - F.col("violations")).cast("double")
+        / F.greatest(F.col("total"), F.lit(1)).cast("double")
+    )
+    return report.select(
+        "constraint",
+        "column",
+        "violations",
+        "total",
+        frac_ok.alias("pass_fraction"),
+        (frac_ok >= F.col("min_frac")).alias("passed"),
+    )
