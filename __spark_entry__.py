@@ -1990,6 +1990,37 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: TVD + chi-square between the
+    even/odd-orderkey halves of orders on o_totalprice (32 fixed
+    bins). Each side is one scan down to a 32-row bin table; the
+    statistics are decimal-exact sums of per-bin terms."""
+    from geist_spark.operators.drift import drift_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    return drift_stats(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 != 0),
+        "o_totalprice",
+        0.0,
+        500000.0,
+        bits=5,
+    )
+
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-baselined outlier detection: per-event trailing-7-day
+    z-score of value within each user, decimal-exact moments, flags
+    at |z| > 2. One shuffle on user_id."""
+    from geist_spark.operators.relational import anomaly_zscore
+
+    return anomaly_zscore(
+        _t(spark, sf_dir, "events"), days=7, z_threshold=2.0, min_n=5
+    )
+
+
 # ------------------------------------------------- model inference + eval
 
 
@@ -2168,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_classifier_score": t_classifier_score,
         "q_promo_revenue": q_promo_revenue,
         "q_data_quality": q_data_quality,
+        "q_distribution_drift": q_distribution_drift,
+        "q_anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -3454,6 +3487,70 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(total - violations AS DOUBLE)
                        / CAST(greatest(total, 1) AS DOUBLE)) >= min_frac AS passed
             FROM rows_
+        """,
+        "q_distribution_drift": """
+            WITH b AS (
+                SELECT o_orderkey % 2 = 0 AS is_ref,
+                       least(greatest(CAST(floor(o_totalprice / 15625.0) AS BIGINT),
+                                      0), 31) AS bin
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), r AS (
+                SELECT bin, count(*) AS ref_n FROM b WHERE is_ref GROUP BY bin
+            ), c AS (
+                SELECT bin, count(*) AS cur_n FROM b WHERE NOT is_ref GROUP BY bin
+            ), j AS (
+                SELECT COALESCE(r.bin, c.bin) AS bin,
+                       COALESCE(ref_n, 0) AS ref_n,
+                       COALESCE(cur_n, 0) AS cur_n
+                FROM r FULL OUTER JOIN c ON r.bin = c.bin
+            ), t AS (
+                SELECT bin, ref_n, cur_n,
+                       sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct
+                FROM j
+            ), terms AS (
+                SELECT rt, ct,
+                       abs(CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)
+                           - CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)) AS tvd_term,
+                       CASE WHEN ref_n > 0 THEN
+                           (CAST(cur_n AS DOUBLE)
+                            - CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                           * (CAST(cur_n AS DOUBLE)
+                              - CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                           / (CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                       ELSE 0.0 END AS chi_term
+                FROM t
+            )
+            SELECT CAST(max(rt) AS BIGINT) AS n_ref,
+                   CAST(max(ct) AS BIGINT) AS n_cur,
+                   CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(CAST(tvd_term AS DECIMAL(38,12))) AS DOUBLE) / 2.0 AS tvd,
+                   CAST(sum(CAST(chi_term AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+            FROM terms
+        """,
+        "q_anomaly_zscore": """
+            WITH base AS (
+                SELECT event_id, user_id, value AS v,
+                       count(*) OVER w AS n_window,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+                       CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sq
+                FROM events
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            ), z AS (
+                SELECT event_id, user_id, CAST(n_window AS BIGINT) AS n_window,
+                       CASE WHEN n_window >= 5
+                                 AND (sq - s * s / CAST(n_window AS DOUBLE))
+                                     / (CAST(n_window AS DOUBLE) - 1) > 0
+                            THEN (v - s / CAST(n_window AS DOUBLE))
+                                 / sqrt((sq - s * s / CAST(n_window AS DOUBLE))
+                                        / (CAST(n_window AS DOUBLE) - 1))
+                       END AS zscore
+                FROM base
+            )
+            SELECT event_id, user_id, n_window, zscore,
+                   COALESCE(abs(zscore) > 2.0, FALSE) AS is_anomaly
+            FROM z
         """,
     }
 

@@ -1,0 +1,125 @@
+"""Distribution-drift monitoring between dataset snapshots/splits.
+
+Training pipelines re-ingest continuously; the question "did this
+week's data shift?" must be answerable without a full-table diff.
+This module compares a reference and a current dataset on a numeric
+column via fixed-range histograms (same deterministic binning contract
+as sketch.hist_rollup / bucketing.linear_bin) and emits:
+
+- per-bin counts + fractions for both sides (the evidence), and
+- summary statistics: total-variation distance
+  (TVD = sum(|p_i - q_i|)/2) and the chi-square statistic against the
+  reference distribution — both pure arithmetic, no logarithms, so
+  results are deterministic and replayable exactly in SQL oracles
+  (PSI/KL need ln(), whose libm rounding differs across engines; TVD
+  and chi2 carry the same monitoring signal without that hazard).
+
+Scale shape: each side is ONE scan -> bin map expression -> one
+aggregation down to <= 2^bits rows; everything after runs on that
+tiny bin table (full-outer join on bin id, window totals). No
+cartesian products, no second scan of either input.
+
+Summation over bins is decimal-exact (cast before sum) so the
+reported statistics are independent of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from geist_spark.operators.bucketing import linear_bin
+
+
+def _joined_bins(
+    ref: DataFrame, cur: DataFrame, col: str, lo: float, hi: float, bits: int
+) -> DataFrame:
+    """(bin, ref_n, cur_n, __rt, __ct): aligned bin counts plus window
+    totals.
+
+    Both sides are tagged and UNIONED, then ONE conditional
+    aggregation on bin produces the aligned counts — a full-outer join
+    of the two bin tables would plan as a sort-merge join (full outer
+    can't broadcast); the union+group form is a single shuffle on bin
+    and bin alignment is free. The window totals run over the
+    <=2^bits-row bin table, not the inputs."""
+
+    def side(df: DataFrame, is_ref: int) -> DataFrame:
+        return df.filter(F.col(col).isNotNull()).select(
+            linear_bin(F.col(col), lo, hi, bits).alias("bin"),
+            F.lit(is_ref).alias("__is_ref"),
+        )
+
+    w = Window.partitionBy()
+    return (
+        side(ref, 1)
+        .unionByName(side(cur, 0))
+        .groupBy("bin")
+        .agg(
+            F.sum("__is_ref").alias("ref_n"),
+            F.sum(F.lit(1) - F.col("__is_ref")).alias("cur_n"),
+        )
+        .withColumn("__rt", F.sum("ref_n").over(w))
+        .withColumn("__ct", F.sum("cur_n").over(w))
+    )
+
+
+def histogram_compare(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bits: int = 5,
+) -> DataFrame:
+    """Per-bin comparison table: (bin, ref_n, cur_n, ref_frac,
+    cur_frac). Bins with no mass on either side are omitted (they
+    contribute nothing to TVD/chi2). Fractions are single IEEE
+    divisions of exact longs."""
+    return _joined_bins(ref, cur, col, lo, hi, bits).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        (F.col("ref_n").cast("double") / F.col("__rt").cast("double")).alias(
+            "ref_frac"
+        ),
+        (F.col("cur_n").cast("double") / F.col("__ct").cast("double")).alias(
+            "cur_frac"
+        ),
+    )
+
+
+def drift_stats(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bits: int = 5,
+) -> DataFrame:
+    """One-row drift summary: (n_ref, n_cur, n_bins, tvd, chi2).
+
+    chi2 = sum over bins with ref mass of (cur_n - E)^2 / E where
+    E = ref_frac * n_cur (bins with cur mass but zero ref mass are
+    excluded from chi2 — the standard guard — but still count in TVD).
+    Per-bin summands are cast to decimal(38,12) before summation:
+    exact, order-independent totals."""
+    j = _joined_bins(ref, cur, col, lo, hi, bits)
+    ref_frac = F.col("ref_n").cast("double") / F.col("__rt").cast("double")
+    cur_frac = F.col("cur_n").cast("double") / F.col("__ct").cast("double")
+    tvd_term = F.abs(ref_frac - cur_frac)
+    expected = ref_frac * F.col("__ct").cast("double")
+    chi_term = F.when(
+        F.col("ref_n") > 0,
+        (F.col("cur_n").cast("double") - expected)
+        * (F.col("cur_n").cast("double") - expected)
+        / expected,
+    ).otherwise(F.lit(0.0))
+    return j.agg(
+        F.max("__rt").cast("long").alias("n_ref"),
+        F.max("__ct").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.sum(tvd_term.cast("decimal(38,12)")).cast("double") / F.lit(2.0)
+        ).alias("tvd"),
+        F.sum(chi_term.cast("decimal(38,12)")).cast("double").alias("chi2"),
+    )

@@ -669,6 +669,53 @@ def rolling_user_features(events: DataFrame, days: int = 7) -> DataFrame:
     )
 
 
+def anomaly_zscore(
+    events: DataFrame,
+    days: int = 7,
+    z_threshold: float = 3.0,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-event anomaly flag: z-score of `value` against the user's
+    own trailing-`days` window (self-baselined outlier detection, the
+    shape behind fraud/abuse/telemetry monitors).
+
+    Same RANGE-frame-over-epoch-micros contract as
+    rolling_user_features (ties are peers -> deterministic). Sum and
+    sum-of-squares accumulate in decimal (exact, order-independent);
+    mean/variance/z are then a fixed chain of IEEE ops, so the score
+    is bit-reproducible. Windows with fewer than `min_n` events or
+    ~zero variance yield NULL z (no flag) — the standard guards.
+
+    One shuffle (user_id); the frame scan is partition-local and
+    incremental. Output: (event_id, user_id, n_window, zscore,
+    is_anomaly)."""
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = days * 86_400_000_000
+    w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-span, 0)
+    v = F.col("value")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    sq = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    base = events.select(
+        "event_id", "user_id", v.alias("__v"),
+        n.alias("n_window"), s.alias("__s"), sq.alias("__sq"),
+    )
+    nn = F.col("n_window").cast("double")
+    mean = F.col("__s") / nn
+    var = (F.col("__sq") - F.col("__s") * F.col("__s") / nn) / (nn - 1)
+    z = F.when(
+        (F.col("n_window") >= min_n) & (var > 0),
+        (F.col("__v") - mean) / F.sqrt(var),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.col("n_window").cast("long").alias("n_window"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def event_transition_matrix(events: DataFrame) -> DataFrame:
     """First-order behavior model: counts and probabilities of
     consecutive event-type transitions within each user's timeline —
