@@ -69,6 +69,49 @@ def registry_stream_spec(path: str) -> dict:
     }
 
 
+def admin_event_spec(
+    emulator_root: str,
+    topic: str = "geist-admin-events",
+    subscription: str | None = None,
+) -> dict:
+    """The built-in admin notification stream, ported from the
+    reference's native AdminEventSpec (adminspec.go:19-63): pubsub
+    source on the admin topic with a UNIQUE subscription (every pod
+    sees every notification), extractFields eventName + rawEvent,
+    admin sink. Runs against the file-backed pubsub emulator
+    (sources/pubsub.py) instead of GCP."""
+    return {
+        "namespace": "geist",
+        "streamIdSuffix": "adminevents",
+        "description": "built-in GEIST-internal admin notification stream",
+        "version": 1,
+        "source": {
+            "type": "pubsub",
+            "config": {
+                "customConfig": {
+                    "emulatorPath": emulator_root,
+                    "topics": [{"env": "all", "names": [topic]}],
+                    "subscription": {
+                        "type": "unique",
+                        **({"name": subscription} if subscription else {}),
+                    },
+                }
+            },
+        },
+        "transform": {
+            "extractFields": [
+                {
+                    "fields": [
+                        {"id": "eventName", "jsonPath": "name"},
+                        {"id": "rawEvent", "type": "string"},
+                    ]
+                }
+            ]
+        },
+        "sink": {"type": "admin"},
+    }
+
+
 class RegistryStreamStorage:
     """Registry-as-a-stream storage: specs persist by PUBLISHING them
     into the registry's own geist stream (registry.go:229-251), and
@@ -118,6 +161,16 @@ class Engine:
 
         self.register_loader_factory(
             LoaderFactory("kafka", lambda sp, s: KafkaLoader(sp, s, env=env))
+        )
+        from geist_spark.sinks.admin import AdminLoader
+
+        self.register_loader_factory(
+            LoaderFactory(
+                "admin",
+                lambda sp, s: AdminLoader(
+                    sp, s, on_event=lambda _n: self.sync_from_registry()
+                ),
+            )
         )
         for sink_id in ("keyedTable", "bigtable", "bigquery", "firestore"):
             self.register_loader_factory(
@@ -188,8 +241,21 @@ class Engine:
     # -- geist.go surface -------------------------------------------
 
     def register_stream(self, spec_json: str | bytes | dict) -> str:
-        """Validate + version-gate + store + (re)deploy (geist.go:83-108)."""
-        return self.registry.put(spec_json)
+        """Validate + version-gate + store + (re)deploy (geist.go:83-108).
+
+        With admin sync enabled, also notify other pods over the admin
+        topic (registry.go:257-279: "Registry sends an event to the
+        admin stream's source entity")."""
+        sid = self.registry.put(spec_json)
+        emu = getattr(self, "_admin_emu", None)
+        if emu is not None:
+            import json as _json
+
+            emu.publish(
+                self._admin_topic,
+                _json.dumps({"name": "specRegistered", "specId": sid}),
+            )
+        return sid
 
     def publish(self, stream_id: str, event: str | bytes) -> str:
         """Single-event synchronous ingestion (geist.go:123-145)."""
@@ -247,6 +313,74 @@ class Engine:
         with shared registry storage in the Pub/Sub admin stream's
         role. Returns the adopted stream ids."""
         return self.registry.sync()
+
+    def enable_admin_sync(
+        self,
+        emulator_root: str,
+        topic: str = "geist-admin-events",
+        mode: str = "thread",
+        poll_s: float = 0.25,
+    ) -> None:
+        """Event-driven cross-pod sync over the Pub/Sub admin stream —
+        the reference's actual mechanism (adminspec.go:9-17): a spec
+        registered on any pod publishes an AdminEvent to the shared
+        admin topic; every pod holds a UNIQUE subscription and on
+        receipt loads changed specs from shared registry storage and
+        redeploys (supervisor.go:288-317). Replaces blind polling
+        (`start_registry_sync`) with notification-triggered sync.
+
+        mode='thread': lightweight driver-side pull loop on the
+          emulator client — no Spark query (the reference's default
+          in-memory admin stream analogue).
+        mode='stream': the admin stream runs as a REAL geist stream —
+          the ported native AdminEventSpec (adminspec.go:19-63) through
+          the pubsub-emulator DataSource into the `admin` sink; "the
+          admin stream is just another stream" parity.
+        """
+        import threading
+        import uuid as _uuid
+
+        from geist_spark.sources.pubsub import PubSubEmulator
+
+        if mode not in ("thread", "stream"):
+            raise ValueError(f"mode must be 'thread' or 'stream', got {mode!r}")
+        if getattr(self, "_admin_emu", None) is not None:
+            return
+        self._admin_emu = PubSubEmulator(emulator_root)
+        self._admin_topic = topic
+        sub = f"geist-admin-{_uuid.uuid4().hex[:12]}"
+        if mode == "stream":
+            from geist_spark.spec.model import parse_spec
+            from geist_spark.streaming.runner import StreamingSupervisor
+
+            spec = parse_spec(admin_event_spec(emulator_root, topic, sub))
+            if self._supervisor is None:
+                self._supervisor = StreamingSupervisor(
+                    self.spark, env=self.registry.env
+                )
+            self._admin_stream = self._supervisor.deploy(
+                spec,
+                self._loader_factories["admin"].create(self.spark, spec),
+                self._source_factories,
+            )
+            return
+        self._stop_admin = False
+
+        def loop() -> None:
+            import time
+
+            while not self._stop_admin:
+                try:
+                    if self._admin_emu.pull(topic, sub):
+                        self.sync_from_registry()
+                except Exception:  # storage briefly unreadable mid-write
+                    pass
+                time.sleep(poll_s)
+
+        self._admin_thread = threading.Thread(
+            target=loop, daemon=True, name="geist-admin-sync"
+        )
+        self._admin_thread.start()
 
     def start_registry_sync(self, poll_s: float = 5.0) -> None:
         """Background poller calling sync_from_registry — the always-on
@@ -311,6 +445,10 @@ class Engine:
             self._stop_sync = True
             self._sync_thread.join(timeout=10)
             self._sync_thread = None
+        if getattr(self, "_admin_thread", None) is not None:
+            self._stop_admin = True
+            self._admin_thread.join(timeout=10)
+            self._admin_thread = None
         for s in self._streams.values():
             s.loader.shutdown()
         self._streams.clear()

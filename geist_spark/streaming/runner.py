@@ -80,14 +80,15 @@ def build_source_stream(
             "timestamp",
         )
     if stype == "pubsub":
-        # no public Spark connector; the reference treats it as an
-        # external plugin repo too (README.md:122-126)
-        raise NotImplementedError(
-            "pubsub source: bridge Pub/Sub->Kafka or register a custom "
-            "source factory via Engine.register_source_factory('pubsub', fn) "
-            "— reference pubsub specs then run verbatim (worked example: "
-            "tests/test_plugins.py::test_pubsub_spec_verbatim_through_factory)"
-        )
+        # no public Spark connector for GCP Pub/Sub (the reference keeps
+        # the real one in an external plugin repo too, README.md:122-126)
+        # — but reference pubsub specs run verbatim against the local
+        # file-backed emulator (shared/unique subscription semantics,
+        # ack-after-sink; sources/pubsub.py); a real connector can still
+        # be registered as a source factory and wins above.
+        from geist_spark.sources.pubsub import pubsub_stream_from_spec
+
+        return pubsub_stream_from_spec(spark, spec, env)
     if stype in ("file", "parquet"):
         path = cc.get("path") or spec.source.prop("path")
         schema_df = spark.read.parquet(path)
