@@ -801,6 +801,16 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_pairs(batch, index, num_hashes=16, bands=4, k=3)
 
 
+def d_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans >= 40 chars between doc pairs —
+    the suffix-array dedup family (Lee et al. 2022) as a gram-hash
+    inverted-index join + diagonal run merge (operators/dedup.py
+    substring_dup_spans). Integer outputs, engine-exact."""
+    from geist_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_t(spark, sf_dir, "documents"), min_len=40)
+
+
 def d_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.dedup import exact_dedup_groups
 
@@ -2201,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_quality": q_data_quality,
         "q_distribution_drift": q_distribution_drift,
         "q_anomaly_zscore": q_anomaly_zscore,
+        "d_substring_spans": d_substring_spans,
     }
 
 
@@ -3551,6 +3562,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, n_window, zscore,
                    COALESCE(abs(zscore) > 2.0, FALSE) AS is_anomaly
             FROM z
+        """,
+        # replays substring_dup_spans exactly: stride-1 40-gram
+        # inverted index -> position join -> diagonal run merge
+        "d_substring_spans": """
+            WITH grams AS (
+                SELECT doc_id, i.i AS pos, md5(substr(text, i.i, 40)) AS g
+                FROM documents,
+                LATERAL (SELECT unnest(generate_series(
+                    1, greatest(length(text) - 39, 0))) AS i) i
+            ), m AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, a.pos - b.pos AS diag
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+            ), runs AS (
+                SELECT doc_a, doc_b, diag, pa,
+                       CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+                FROM m
+                WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+            ), numbered AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run_id
+                FROM runs
+            ), spans AS (
+                SELECT doc_a, doc_b, max(pa) - min(pa) + 40 AS span
+                FROM numbered GROUP BY doc_a, doc_b, diag, run_id
+            )
+            SELECT doc_a, doc_b, count(*) AS n_spans,
+                   max(span) AS max_span, sum(span) AS total_shared
+            FROM spans GROUP BY doc_a, doc_b
         """,
     }
 

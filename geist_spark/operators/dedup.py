@@ -392,6 +392,93 @@ def distinct_event_keys(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type").distinct()
 
 
+def substring_dup_spans(
+    documents: DataFrame,
+    min_len: int = 40,
+    stride: int = 1,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact shared-substring spans between document pairs — the
+    suffix-array dedup family (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), reformulated for
+    Spark: a distributed suffix array is impractical, but its OUTPUT
+    (all maximal verbatim overlaps >= min_len chars) is reproduced by
+
+      1. char min_len-gram inverted index: (doc_id, pos, md5(gram)) —
+         pure codegen (sequence+explode+substring+md5), no UDF;
+      2. self-join on the gram hash (only positions sharing a gram are
+         compared — never all-pairs);
+      3. maximal-run merge: matching positions with equal diagonal
+         (pos_a - pos_b) and consecutive pos_a belong to one maximal
+         shared span; a lag-window streak-break + cumsum groups them,
+         span_len = max(pos_a) - min(pos_a) + min_len.
+
+    Returns (doc_a, doc_b, n_spans, max_span, total_shared) per
+    overlapping pair, doc_a < doc_b — integers, engine-exact.
+
+    Scale levers at 100 TB:
+    - `stride` samples index positions (pos % stride == 0 on ONE
+      side): detection stays guaranteed for spans >= min_len+stride-1
+      (a window of `stride` consecutive probe grams always hits one
+      sampled index gram) while index size drops stride-fold; stride=1
+      is exact at min_len. Reported span bounds are then approximate —
+      re-scan candidate pairs with stride=1 to tighten (two-stage, the
+      paper's own shape).
+    - `max_gram_freq` drops boilerplate grams whose m^2 join blow-up
+      dominates (same cap contract as ngram_jaccard_pairs; spans
+      bridged only by capped grams split/shrink — counts stay a lower
+      bound).
+    - the join shuffles once on the gram hash; the run-merge window
+      re-shuffles once on (pair, diag): two exchanges total.
+    """
+    from geist_spark.operators.bucketing import fan_out
+
+    k = min_len
+    t = F.col("text")
+    pos_seq = F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(0)))
+    grams = (
+        fan_out(documents)
+        .select("doc_id", F.explode(pos_seq).alias("pos"), t)
+        .select("doc_id", "pos", F.md5(F.substring(t, F.col("pos"), k)).alias("g"))
+    )
+    if max_gram_freq is not None:
+        w = Window.partitionBy("g")
+        grams = (
+            grams.withColumn("__gf", F.count(F.lit(1)).over(w))
+            .filter(F.col("__gf") <= max_gram_freq)
+            .drop("__gf")
+        )
+    probe = grams
+    if stride > 1:
+        grams = grams.filter(F.col("pos") % stride == 0)
+    a = probe.alias("a")
+    b = grams.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = matches.withColumn(
+        "brk",
+        F.when(F.col("pa") - F.lag("pa").over(wd) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("brk").over(wd))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        (F.max("pa") - F.min("pa") + k).alias("span")
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span").alias("max_span"),
+        F.sum("span").alias("total_shared"),
+    )
+
+
 def keep_canonical(
     documents: DataFrame,
     pairs: DataFrame,

@@ -892,3 +892,58 @@ def test_threshold_sweep_one_pass_grid(spark):
     assert got[("a", 500.0)] == (1, 1000.0)
     assert got[("b", 50.0)] == (1, 50.0)
     assert ("b", 500.0) not in got  # nothing survives -> no row
+
+
+def test_substring_dup_spans_maximal_runs(spark):
+    """Two docs sharing one long verbatim region -> exactly ONE maximal
+    span of the region's full length (not one hit per gram position);
+    disjoint regions -> separate spans; no shared >=k substring -> no
+    pair."""
+    from geist_spark.operators.dedup import substring_dup_spans
+
+    # aperiodic regions (periodic text matches on extra diagonals —
+    # real behavior, but noisy for a golden test): md5-derived hex
+    import hashlib
+
+    def rnd(seed: str, n: int) -> str:
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    shared = rnd("shared", 60)
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix-one " + shared + " tail-one"),
+            (2, "different lead " + shared + " other tail"),
+            (3, "x" * 70),
+            (4, "no overlap here at all with anybody, purely distinct text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r.asDict()
+            for r in substring_dup_spans(docs, min_len=40).collect()}
+    assert set(rows) == {(1, 2)}
+    got = rows[(1, 2)]
+    # one maximal run: the 60-char region PLUS both flanking spaces
+    assert got["n_spans"] == 1
+    assert got["max_span"] == 62
+    assert got["total_shared"] == 62
+
+    # two disjoint shared regions -> two spans
+    r1 = rnd("r-one", 45)
+    r2 = rnd("r-two", 45)
+    docs2 = spark.createDataFrame(
+        [(1, r1 + "*middle gap text*" + r2), (2, r2 + "#|#" + r1)],
+        "doc_id long, text string",
+    )
+    got2 = substring_dup_spans(docs2, min_len=40).collect()[0]
+    assert got2["n_spans"] == 2
+    assert got2["max_span"] == 45
+    assert got2["total_shared"] == 90
+
+    # stride sampling still finds spans >= min_len + stride - 1
+    got3 = substring_dup_spans(docs, min_len=40, stride=5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got3] == [(1, 2)]
