@@ -416,6 +416,50 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape correlated min per group, decorrelated to a
+    partial agg + tiny per-brand window (relational.py)."""
+    from geist_spark.operators.relational import cheapest_supplier_per_brand
+
+    return cheapest_supplier_per_brand(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape correlated-avg threshold in exact decimal
+    multiply form (relational.py)."""
+    from geist_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape EXISTS / NOT-EXISTS pair decorrelated into one
+    per-order conditional aggregation (relational.py)."""
+    from geist_spark.operators.relational import late_sole_suppliers
+
+    return late_sole_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape max-over-view with broadcast 1-row max
+    (relational.py)."""
+    from geist_spark.operators.relational import top_revenue_suppliers
+
+    return top_revenue_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency member of the mergeable-sketch family: per-event-type
     count-min cells merged to one global sketch, then per-user
@@ -2212,6 +2256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distribution_drift": q_distribution_drift,
         "q_anomaly_zscore": q_anomaly_zscore,
         "d_substring_spans": d_substring_spans,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_late_suppliers": q_late_suppliers,
+        "q_top_supplier": q_top_supplier,
     }
 
 
@@ -3592,6 +3640,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, count(*) AS n_spans,
                    max(span) AS max_span, sum(span) AS total_shared
             FROM spans GROUP BY doc_a, doc_b
+        """,
+        "q_cheapest_supplier": """
+            WITH priced AS (
+                SELECT p_brand, l_suppkey,
+                       min(l_extendedprice) AS min_price
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_brand, s_suppkey, s_name, min_price
+            FROM priced JOIN supplier ON l_suppkey = s_suppkey
+            WHERE min_price = (
+                SELECT min(min_price) FROM priced p2
+                WHERE p2.p_brand = priced.p_brand)
+        """,
+        "q_small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ), pp AS (
+                SELECT l_partkey AS pk,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty_total,
+                       CAST(count(*) AS DECIMAL(12,0)) AS n
+                FROM li GROUP BY 1
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM li JOIN pp ON l_partkey = pk
+            WHERE 5 * CAST(l_quantity AS DECIMAL(38,6)) * n < qty_total
+        """,
+        "q_late_suppliers": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                           AS n_late_supp,
+                       max(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+                FROM li GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late_supp = 1
+            GROUP BY 1, 2
+        """,
+        "q_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(38,6))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
         """,
     }
 

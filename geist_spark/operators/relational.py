@@ -908,3 +908,153 @@ def interval_join(
         & (F.col(r_start + "_s") <= F.col(l_end + "_s"))
     )
     return cand.select(left_id, right_id).distinct()
+
+
+def cheapest_supplier_per_brand(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q2-shape correlated-min decorrelation: for each part
+    brand, the supplier(s) achieving the minimum observed line price
+    (Q2's `ps_supplycost = (SELECT min(ps_supplycost) ...)` pattern
+    over the tables this dataset has).
+
+    Scale shape: the correlated subquery decorrelates into one
+    (brand, supplier) partial agg, then a per-brand min via a window
+    over brand — the agg shrinks the input to #brands x #suppliers
+    rows BEFORE the window, so the window shuffle is tiny. Equality
+    on min(price) is exact (comparison of stored values, no float
+    summation). Dimension joins broadcast."""
+    priced = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("p_brand")
+    best = (
+        priced.withColumn("brand_min", F.min("min_price").over(w))
+        .filter(F.col("min_price") == F.col("brand_min"))
+    )
+    return (
+        best.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  best.l_suppkey == F.col("s_suppkey"))
+        .select("p_brand", "s_suppkey", "s_name", "min_price")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17-shape: average yearly revenue that would be lost by
+    no longer filling small-quantity orders — lineitems with quantity
+    below 20% of the part's average, for one brand.
+
+    Scale shape: the correlated AVG decorrelates into a per-part agg
+    joined back to lineitem (self-join on l_partkey, shuffles once;
+    the per-part table is |parts|-sized so AQE broadcasts it at
+    realistic selectivity). The threshold uses the multiply form
+    (5 * qty * n < total) in exact DECIMAL — no quotient rounding, so
+    the qualifying set is identical across engines; the final /7.0 is
+    one IEEE division of a decimal-exact sum."""
+    li = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__qty_total"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+    ).withColumnRenamed("l_partkey", "__pk")
+    joined = li.join(per_part, li.l_partkey == F.col("__pk"))
+    small = joined.filter(
+        F.lit(5) * F.col("l_quantity").cast("decimal(38,6)") * F.col("__n")
+        < F.col("__qty_total")
+    )
+    return small.agg(
+        (exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def late_sole_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21-shape EXISTS/NOT-EXISTS decorrelation: suppliers who
+    were the ONLY late shipper on multi-supplier orders (late =
+    shipped more than `late_days` after the order date), counted per
+    supplier.
+
+    Scale shape: Q21's two correlated subqueries (another supplier
+    EXISTS, another LATE supplier NOT EXISTS) decorrelate into ONE
+    per-order conditional aggregation — n_suppliers and n_late_suppliers
+    as countDistinct over the same shuffle on l_orderkey — then a
+    filter (n_supp > 1 AND n_late = 1) and a count per the unique late
+    supplier. One wide shuffle total vs the naive double self-join."""
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    sole = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        sole.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shape: supplier(s) with the maximum revenue in a
+    quarter — the `revenue = (SELECT max(...) FROM view)` pattern.
+
+    Scale shape: revenue per supplier is one partial agg over the
+    date-pruned scan; the global max is a 1-row aggregate cross-joined
+    (broadcast) back — no driver collect, no second scan of lineitem
+    (Spark reuses the agg subtree via the self-referencing plan; the
+    max side is |suppliers| rows). Revenue compares exactly: the
+    DECIMAL sum is order-independent, so ties are engine-identical."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(38,6)")
+            ).alias("__rev")
+        )
+    )
+    mx = rev.agg(F.max("__rev").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
