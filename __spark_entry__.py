@@ -520,6 +520,21 @@ def p_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data export sharding: md5-bucket shard
+    assignment + per-shard manifest (rows, bytes, order-independent
+    content digest) — what an export validates/diffs before a training
+    job trusts it (operators/split.py)."""
+    from geist_spark.operators.split import shard_manifest
+
+    return shard_manifest(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        n_shards=8,
+        content_cols=["doc_id", "text", "source"],
+    )
+
+
 def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tab: quantity per linestatus x returnflag with explicit
     pivot values (single-pass, fixed schema)."""
@@ -2260,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_late_suppliers": q_late_suppliers,
         "q_top_supplier": q_top_supplier,
+        "p_shard_manifest": p_shard_manifest,
     }
 
 
@@ -3700,6 +3716,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE r = (SELECT max(r) FROM rev)
+        """,
+        # replays assign_shards + shard_manifest md5 arithmetic
+        "p_shard_manifest": """
+            WITH rows_ AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 8 AS INT)
+                           AS shard,
+                       strlen(coalesce(CAST(doc_id AS VARCHAR), ''))
+                       + strlen(coalesce(text, ''))
+                       + strlen(coalesce(source, '')) AS bytes_,
+                       ('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(text, chr(0) || 'null'),
+                           coalesce(source, chr(0) || 'null')
+                       )), 1, 14))::BIGINT AS fp
+                FROM documents
+            )
+            SELECT shard, count(*) AS n_rows, sum(bytes_) AS total_bytes,
+                   CAST(sum(fp) AS VARCHAR) AS content_digest
+            FROM rows_ GROUP BY shard
         """,
     }
 

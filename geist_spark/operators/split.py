@@ -197,3 +197,65 @@ def leakage_safe_split(
     return documents.join(labels, "doc_id", "left").withColumn(
         out_col, split_column(rep, weights)
     ).drop("cluster_id")
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, shard_col: str = "shard"
+) -> DataFrame:
+    """Deterministic shard id per row: md5-bucket of the key. The
+    assignment depends only on the KEY VALUE — not on partitioning,
+    row order, or cluster size — so a re-run, a backfill, or another
+    engine lands every row in the same shard (the property a
+    resumable multi-stage export needs). Pure projection, no shuffle."""
+    key = F.col(key_col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return df.withColumn(shard_col, (h % n_shards).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-shard export manifest: row count, byte size, and an
+    ORDER-INDEPENDENT content digest (sum of 56-bit row fingerprints,
+    operators/integrity.py) — what a training job validates before
+    trusting a sharded export, and what an incremental re-export
+    diffs against to find shards needing rewrite.
+
+    One shuffle (the groupBy on shard); everything else is a narrow
+    map. Engine-exact: the DuckDB oracle replays the identical md5
+    arithmetic."""
+    from geist_spark.operators.integrity import row_fingerprint
+
+    cols = content_cols or df.columns
+    sized = assign_shards(df, key_col, n_shards).withColumn(
+        "__bytes",
+        sum(
+            F.octet_length(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            for c in cols
+        ),
+    )
+    return sized.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__bytes").alias("total_bytes"),
+        F.sum(row_fingerprint(list(cols)))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_digest"),
+    )
+
+
+def write_sharded(
+    df: DataFrame, path: str, key_col: str, n_shards: int
+) -> None:
+    """Materialize a sharded export: one directory per shard
+    (shard=N/), rows routed by the deterministic assignment. The
+    repartition ON the shard column means each output directory is
+    written by the executors owning that shard's rows — no small-file
+    spray (without it, every task writes a sliver of every shard:
+    n_tasks x n_shards files). Readers prune by shard directory."""
+    assign_shards(df, key_col, n_shards).repartition(
+        n_shards, F.col("shard")
+    ).write.mode("overwrite").partitionBy("shard").parquet(path)
