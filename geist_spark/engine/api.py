@@ -247,6 +247,13 @@ class Engine:
         topic (registry.go:257-279: "Registry sends an event to the
         admin stream's source entity")."""
         sid = self.registry.put(spec_json)
+        spec = self.registry.get(sid)
+        self.notifier.notify(
+            "INFO",
+            "registry",
+            f"Registered spec {sid} v{spec.version if spec else '?'}",
+            stream=sid,
+        )
         emu = getattr(self, "_admin_emu", None)
         if emu is not None:
             import json as _json
@@ -312,7 +319,14 @@ class Engine:
         the reference's cross-pod admin sync (supervisor.go:288-317)
         with shared registry storage in the Pub/Sub admin stream's
         role. Returns the adopted stream ids."""
-        return self.registry.sync()
+        adopted = self.registry.sync()
+        for sid in adopted:
+            # supervisor.go:300 "Admin event received"
+            self.notifier.notify(
+                "INFO", "supervisor",
+                f"Adopted spec {sid} from shared registry", stream=sid,
+            )
+        return adopted
 
     def enable_admin_sync(
         self,
@@ -405,6 +419,12 @@ class Engine:
         )
         self._sync_thread.start()
 
+    def notification_channel(self) -> Notifier:
+        """The engine's operational-event channel (reference
+        geist.NotificationChannel, geist.go): read `events` for history
+        or `subscribe(cb)` for live delivery."""
+        return self.notifier
+
     def validate_spec(self, spec_json: str | bytes | dict) -> Spec:
         from geist_spark.spec.model import parse_spec
 
@@ -441,6 +461,8 @@ class Engine:
         return self._supervisor.get(stream_id) if self._supervisor else None
 
     def shutdown(self) -> None:
+        # supervisor.go:135 "Shutting down"
+        self.notifier.notify("INFO", "supervisor", "Shutting down")
         if getattr(self, "_sync_thread", None) is not None:
             self._stop_sync = True
             self._sync_thread.join(timeout=10)
@@ -463,6 +485,13 @@ class Engine:
     def _on_registry_modified(self, stream_id: str) -> None:
         spec = self.registry.get(stream_id)
         if spec is None or spec.disabled:
+            # supervisor.go:69 "Stream %s is disabled and will not be
+            # assigned to an executor"
+            self.notifier.notify(
+                "INFO", "supervisor",
+                f"Stream {stream_id} is disabled, shutting down executor",
+                stream=stream_id,
+            )
             old = self._streams.pop(stream_id, None)
             if old is not None:
                 old.loader.shutdown()
@@ -473,6 +502,12 @@ class Engine:
                     self._supervisor.deploy(spec, live.loader, self._source_factories)
             return
         self._streams[stream_id] = self._build_stream(spec)
+        # supervisor.go:170 "Created executor ... for spec with ID"
+        self.notifier.notify(
+            "INFO", "supervisor",
+            f"Deployed executor for {stream_id} v{spec.version}",
+            stream=stream_id,
+        )
         if self._supervisor is not None and self._supervisor.get(stream_id) is not None:
             # version bump while a streaming query is live: replace it
             # in place (supervisor.go:237-250 upgrade path)

@@ -33,16 +33,36 @@ class Metrics:
 
 @dataclass
 class NotifyEvent:
-    """Engine notification event (pkg/notify shape)."""
+    """Engine notification event (reference entity.NotificationEvent,
+    entity/notify.go:5-32: Level/Sender/Stream/Message; Timestamp and
+    stack info omitted — tests assert on the deterministic fields)."""
 
     level: str
     sender: str
     message: str
+    stream: str = ""
 
 
 class Notifier:
+    """Operational-event channel (reference pkg/notify): every
+    lifecycle action lands here, and external consumers subscribe —
+    the geist.NotificationChannel() surface (geist.go)."""
+
     def __init__(self):
         self.events: list[NotifyEvent] = []
+        self._subscribers: list = []
 
-    def notify(self, level: str, sender: str, message: str) -> None:
-        self.events.append(NotifyEvent(level, sender, message))
+    def notify(
+        self, level: str, sender: str, message: str, stream: str = ""
+    ) -> None:
+        ev = NotifyEvent(level, sender, message, stream)
+        self.events.append(ev)
+        for cb in self._subscribers:
+            try:
+                cb(ev)
+            except Exception:  # a broken consumer must not stall the engine
+                pass
+
+    def subscribe(self, callback) -> None:
+        """callback(NotifyEvent) on every future event."""
+        self._subscribers.append(callback)

@@ -180,5 +180,8 @@ class Stream:
             raise UnretryableStreamError(f"{self.spec.id}: {reason}")
         if houe == HOUE_DLQ and event is not None:
             self._dlq().add_event(event, reason=reason)
-        self.notifier.notify("warn", self.spec.id, f"unretryable event: {reason}")
+        self.notifier.notify(
+            "WARN", "executor", f"unretryable event: {reason}",
+            stream=self.spec.id,
+        )
         return ""
