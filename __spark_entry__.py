@@ -2137,6 +2137,74 @@ def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.classify import hashed_linear_score
 
     return hashed_linear_score(_t(spark, sf_dir, "documents"))
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape two-nation volume shipping (relational.py)."""
+    from geist_spark.operators.relational import volume_shipping
+
+    return volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape nation market share per year (relational.py)."""
+    from geist_spark.operators.relational import market_share
+
+    return market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape profit by nation x year (relational.py)."""
+    from geist_spark.operators.relational import product_type_profit
+
+    return product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape conditional priority counts on late shipments
+    (relational.py)."""
+    from geist_spark.operators.relational import late_shipment_priority
+
+    return late_shipment_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape order-count distribution incl. the zero bucket
+    (relational.py)."""
+    from geist_spark.operators.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape OR-of-ANDs cross-table predicate revenue
+    (relational.py)."""
+    from geist_spark.operators.relational import disjunctive_discount_revenue
+
+    return disjunctive_discount_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
 
 
 # ---------------------------------------------------------------- contract
@@ -2276,6 +2344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_suppliers": q_late_suppliers,
         "q_top_supplier": q_top_supplier,
         "p_shard_manifest": p_shard_manifest,
+        "q_volume_shipping": q_volume_shipping,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_late_priority": q_late_priority,
+        "q_order_count_dist": q_order_count_dist,
+        "q_disjunctive_revenue": q_disjunctive_revenue,
     }
 
 
@@ -2682,7 +2756,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY md5(trim(regexp_replace(
-                            lower(chunk_text), '\s+', ' ', 'g')))
+                            lower(chunk_text), '\\s+', ' ', 'g')))
                         ORDER BY doc_id, chunk_idx) AS rn
                     FROM chunks)
                 WHERE rn = 1
@@ -3736,6 +3810,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, count(*) AS n_rows, sum(bytes_) AS total_bytes,
                    CAST(sum(fp) AS VARCHAR) AS content_digest
             FROM rows_ GROUP BY shard
+        """,
+        "q_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       EXTRACT(year FROM l_shipdate) AS l_year,
+                       l_extendedprice, l_discount
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q_market_share": """
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END AS DECIMAL(38,6)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,6))) AS DOUBLE)
+                       AS mkt_share,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total_volume
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q_product_profit": """
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM l_shipdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * l_quantity
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY n_name, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "q_late_priority": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "q_order_count_dist": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (
+                    SELECT o_custkey, o_orderkey FROM orders
+                    WHERE o_orderpriority <> '5-LOW'
+                ) q ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
     }
 

@@ -1058,3 +1058,285 @@ def top_revenue_suppliers(
             F.col("__rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation1: str = "NATION_1",
+    nation2: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shape volume shipping: revenue between two nations by
+    (supplier nation, customer nation, year), keeping only the two
+    cross pairs (n1->n2, n2->n1).
+
+    Scale shape: the nation-pair predicate is pushed BELOW the fact
+    joins — supplier and customer are each pre-filtered to the two
+    nations via a broadcast nation join, so the lineitem->supplier
+    broadcast join prunes ~23/25 of fact rows before the orderkey
+    shuffle, and the customer join arrives pre-reduced. The final
+    disjunctive pair filter runs on the already-joined (tiny) result.
+    Two fact shuffles total (orderkey, custkey), every dim broadcast.
+    """
+    n = nation.select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin(nation1, nation2)
+    )
+    supp = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    fact = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation1)
+                & (F.col("cust_nation") == nation2)
+            )
+            | (
+                (F.col("supp_nation") == nation2)
+                & (F.col("cust_nation") == nation1)
+            )
+        )
+    )
+    return (
+        fact.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "EUROPE",
+    part_type: str = "PROMO",
+    target_nation: str = "NATION_3",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shape market share: target nation's share of revenue
+    per order-year, within one region's customers and one part type.
+
+    Scale shape: the most selective filter (p_type) broadcasts into
+    the lineitem scan first — fact rows drop to ~1/|types| before any
+    shuffle. Customer limits to the region through two broadcast dim
+    hops (nation->region), supplier tags rows with its nation via a
+    broadcast join, and the share is a single conditional aggregation
+    (sum(case)/sum), NOT two passes. Numerator/denominator accumulate
+    as exact decimals; ONE IEEE division at the end is deterministic.
+    """
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    reg_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == target_region)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(reg_nations),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == target_nation, vol)
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,6)")
+    )
+    den = F.sum(vol.cast("decimal(38,6)"))
+    return (
+        fact.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (num.cast("double") / den.cast("double")).alias("mkt_share"),
+            den.cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q9-shape product-type profit by (nation, year).
+
+    The reduced schema has no partsupp/ps_supplycost, so cost is
+    p_retailprice * l_quantity, and the year comes from l_shipdate
+    (saves the orders join without changing the shape: selective dim
+    filter -> broadcast into the fact -> derived profit expression ->
+    two-key aggregation). One fact shuffle (the groupBy); part and
+    supplier->nation are broadcast. Profit terms accumulate as exact
+    decimals so engine summation order is irrelevant.
+    """
+    p = part.filter(F.col("p_type") == part_type).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(exact_sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12-shape: conditional priority counts over late
+    shipments (no l_shipmode/l_commitdate in the reduced schema, so
+    'late' = shipped more than late_days after the order date, and the
+    category axis is l_linestatus).
+
+    Scale shape: the lateness predicate needs both sides, so it rides
+    the orderkey join as a residual; the priority split is a single
+    conditional aggregation (no second scan, no self-join). One fact
+    shuffle for the join (orders projected to 3 columns first), one
+    tiny shuffle for the 2-row groupBy.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "5-LOW",
+) -> DataFrame:
+    """TPC-H Q13-shape customer order-count distribution: how many
+    customers placed exactly k (qualifying) orders, INCLUDING k=0.
+
+    The zero bucket forces a left outer join with the order filter
+    INSIDE the join condition (filtering before a WHERE would drop
+    order-less customers; filtering orders pre-join is equivalent and
+    lets the predicate push to the orders scan — that is what this
+    does). Two shuffles: per-customer count on custkey, then the
+    k->count histogram on the (tiny, <= max-orders-per-customer row)
+    count table.
+    """
+    qual = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(qual, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def disjunctive_discount_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19-shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) with lineitem attributes (quantity).
+
+    Scale shape: Catalyst cannot split a cross-table disjunction, so
+    the table-local weakenings are added explicitly — the brand IN
+    list prunes part before broadcast, and the derived l_quantity <=
+    30 conjunct pushes to the lineitem parquet scan (the OR branches'
+    quantity ranges all sit within [1, 30]). The exact disjunction
+    then runs as the residual on the broadcast hash join. Zero
+    shuffles beyond the final 1-row aggregate.
+    """
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.filter(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
