@@ -2207,6 +2207,36 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet exact line-level dedup (operators/text.py line_dedup)
+    over documents with deterministic boilerplate lines injected (a
+    constant cookie banner + a doc_id%7 footer — the corpus text has
+    no newlines of its own); the original text rides as the middle
+    line, so real exact-duplicate docs lose it too."""
+    from geist_spark.operators.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Shared cookie banner: accept all cookies to continue"),
+            F.col("text"),
+            F.concat(
+                F.lit("footer section number "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(docs)
+    # hash the (long) rebuilt text so the driver compares a scalar
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -2350,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_priority": q_late_priority,
         "q_order_count_dist": q_order_count_dist,
         "q_disjunctive_revenue": q_disjunctive_revenue,
+        "t_line_dedup": t_line_dedup,
     }
 
 
@@ -3907,6 +3938,44 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # replays text.line_dedup over the same injected 3-line docs
+        "t_line_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       ['Shared cookie banner: accept all cookies to continue',
+                        text,
+                        'footer section number ' || CAST(doc_id % 7 AS VARCHAR)
+                       ] AS ls
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                FROM base, unnest(generate_series(1, len(ls))) AS t(i)
+            ), el AS (
+                SELECT doc_id, pos, line,
+                       md5(lower(trim(line))) AS lkey,
+                       strlen(lower(trim(line))) >= 10 AS elig
+                FROM lines
+            ), dup AS (
+                SELECT lkey
+                FROM (SELECT DISTINCT lkey, doc_id FROM el WHERE elig)
+                GROUP BY lkey HAVING count(*) >= 2
+            ), surv AS (
+                SELECT doc_id, pos, line FROM el
+                WHERE NOT (elig AND lkey IN (SELECT lkey FROM dup))
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_lines_kept
+                FROM surv GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(coalesce(r.text, '')) AS text_md5,
+                   coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+                   t.n_total - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
+            FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         """,
     }
 

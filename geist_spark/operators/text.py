@@ -292,3 +292,81 @@ def boilerplate_ngrams(
     return counts.orderBy(
         F.col("n_docs").desc(), F.col("shingle").asc()
     ).limit(top_n)
+
+
+def line_dedup(
+    documents: DataFrame,
+    sep: str = "\n",
+    min_doc_freq: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4/CCNet-style exact line-level dedup: drop every line whose
+    normalized form (lower + trim) appears in >= `min_doc_freq`
+    DISTINCT documents (cookie banners, nav bars, footers, license
+    blurbs), preserving the order of surviving lines per doc.
+
+    Lines shorter than `min_chars` after trimming are EXEMPT — they
+    are dropped from consideration, not from the doc. That is both the
+    C4 semantic (short fragments aren't boilerplate evidence) and the
+    skew guard: empty/near-empty lines are the hottest keys in a web
+    corpus and would otherwise dominate the count shuffle.
+
+    Scale shape: one explode, a partial-agg distinct-doc count on
+    md5(line) (uniform key — no salting needed), a LEFT ANTI join of
+    lines against the duplicated-key set (bounded by the number of
+    DISTINCT boilerplate lines, far smaller than the line table), and
+    one groupBy(doc_id) to reassemble. Every doc survives, even if all
+    its lines are dropped (left join back to the input).
+
+    Output: doc_id, text (deduped), n_lines_kept, n_lines_dropped.
+    """
+    norm = lambda c: F.lower(F.trim(c))  # noqa: E731
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    eligible = F.length(norm(F.col("line"))) >= min_chars
+    dup_keys = (
+        lines.filter(eligible)
+        .select(F.md5(norm(F.col("line"))).alias("lkey"), "doc_id")
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_doc_freq)
+        .select("lkey")
+    )
+    keyed = lines.withColumn(
+        "lkey", F.when(eligible, F.md5(norm(F.col("line"))))
+    )
+    survivors = keyed.join(dup_keys, "lkey", "left_anti")
+    rebuilt = survivors.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_total")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias(
+                "n_lines_kept"
+            ),
+            (
+                F.col("__n_total")
+                - F.coalesce(F.col("n_lines_kept"), F.lit(0))
+            ).alias("n_lines_dropped"),
+        )
+    )
