@@ -2207,6 +2207,18 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/similarity.py
+    pq_train_encode + pq_adc_topk): per-subspace fixed-point Lloyd
+    codebooks, m-code encoding, table-lookup scoring. All-long
+    arithmetic end to end, so the oracle replay is bit-exact."""
+    from geist_spark.operators.similarity import pq_adc_topk, pq_train_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books, codes = pq_train_encode(emb, m=4, k=16, iters=2)
+    return pq_adc_topk(emb, codes, books, query_ids=list(range(10)), k_top=5)
+
+
 def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet exact line-level dedup (operators/text.py line_dedup)
     over documents with deterministic boilerplate lines injected (a
@@ -2381,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_order_count_dist": q_order_count_dist,
         "q_disjunctive_revenue": q_disjunctive_revenue,
         "t_line_dedup": t_line_dedup,
+        "s_pq_adc": s_pq_adc,
     }
 
 
@@ -3977,6 +3990,9 @@ def oracle_sql() -> dict[str, str]:
                    t.n_total - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
             FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         """,
+        "s_pq_adc": _pq_adc_oracle(
+            m=4, k=16, iters=2, dim=64, n_queries=10, k_top=5
+        ),
     }
 
 
@@ -4530,6 +4546,96 @@ def _ivf_train_cte_parts(k: int, iters: int, dim: int) -> tuple[list[str], str]:
             WHERE cid NOT IN (SELECT DISTINCT cell FROM a{it})
         )""")
     return parts, f"a{iters - 1}"
+
+
+def _pq_adc_oracle(
+    m: int, k: int, iters: int, dim: int, n_queries: int, k_top: int
+) -> str:
+    """Replays pq_train_encode + pq_adc_topk: per-subspace fixed-point
+    Lloyd (same floor-division spelling as _ivf_train_cte_parts, keyed
+    by (subspace, cid)), then distance tables joined against the final
+    per-subspace assignments. Exact long arithmetic throughout."""
+    from geist_spark.operators.similarity import FX_SCALE
+
+    dsub = dim // m
+    parts = [
+        f"""fx AS (
+            SELECT vec_id,
+                   [CAST(floor(CAST(x AS DOUBLE) * {FX_SCALE}) AS BIGINT)
+                    for x in embedding] AS fx
+            FROM embeddings
+        )""",
+        f"""sub AS (
+            SELECT vec_id, j,
+                   [fx[i] for i in
+                    generate_series(j * {dsub} + 1, (j + 1) * {dsub})] AS sfx
+            FROM fx, (SELECT unnest(generate_series(0, {m - 1})) AS j) js
+        )""",
+        f"c0 AS (SELECT j, vec_id AS cid, sfx AS c FROM sub WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        parts.append(f"""d{it} AS (
+            SELECT s.vec_id, s.j, s.sfx, c.cid,
+                   CAST(list_sum([(s.sfx[i] - c.c[i]) * (s.sfx[i] - c.c[i])
+                                  for i in generate_series(1, {dsub})])
+                        AS BIGINT) AS d
+            FROM sub s JOIN c{it} c ON s.j = c.j
+        )""")
+        parts.append(f"""a{it} AS (
+            SELECT vec_id, j, sfx, cid AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+                  FROM d{it})
+            WHERE rn = 1
+        )""")
+        if it == iters - 1:
+            break
+        parts.append(f"""s{it} AS (
+            SELECT j, cell, i,
+                   CAST(sum(sfx[i]) AS BIGINT) AS s,
+                   count(*) AS cnt
+            FROM a{it}, (SELECT unnest(generate_series(1, {dsub})) AS i) ix
+            GROUP BY j, cell, i
+        )""")
+        parts.append(f"""c{it + 1} AS (
+            SELECT j, cell AS cid,
+                   list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY i) AS c
+            FROM s{it}
+            GROUP BY j, cell
+            UNION ALL
+            SELECT c.j, c.cid, c.c FROM c{it} c
+            WHERE NOT EXISTS (SELECT 1 FROM a{it} a
+                              WHERE a.j = c.j AND a.cell = c.cid)
+        )""")
+    last_a, last_c = f"a{iters - 1}", f"c{iters - 1}"
+    parts += [
+        f"""dt AS (
+            SELECT q.vec_id AS query_id, q.j, c.cid,
+                   CAST(list_sum([(q.sfx[i] - c.c[i]) * (q.sfx[i] - c.c[i])
+                                  for i in generate_series(1, {dsub})])
+                        AS BIGINT) AS d
+            FROM sub q JOIN {last_c} c ON q.j = c.j
+            WHERE q.vec_id < {n_queries}
+        )""",
+        f"""scored AS (
+            SELECT t.query_id, a.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS approx_sq_dist
+            FROM {last_a} a JOIN dt t ON t.j = a.j AND t.cid = a.cell
+            WHERE a.vec_id <> t.query_id
+            GROUP BY t.query_id, a.vec_id
+        )""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, approx_sq_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY approx_sq_dist, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k_top}
+        """
+    )
 
 
 def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:

@@ -532,3 +532,208 @@ def ann_recall_report(
             "recall"
         ),
     )
+
+
+def pq_train_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    value_col: str = "embedding",
+):
+    """Product quantization (Jegou et al., PAMI 2011): split each
+    vector into `m` contiguous subspaces, train a k-entry codebook per
+    subspace with fixed-point Lloyd (exact long arithmetic — the same
+    bit-identical-at-any-parallelism property as train_ivf_centroids),
+    and encode every vector as `m` small codes. Compression here:
+    dim*4 bytes -> m codes (m bytes at k<=256).
+
+    All m subspaces train in ONE pass per iteration: subvectors are
+    posexploded to (vec_id, sub_id, sfx) rows and the Lloyd update is
+    a single groupBy(sub_id, cell) — m*k result rows — instead of m
+    separate scan+aggregate rounds. Assignment is a map-only
+    expression over the [m][k][dsub] codebook literal. Init is
+    deterministic (subvectors of the k lowest vec_ids).
+
+    Returns (codebooks, codes) where codebooks[j][c] is a list of dsub
+    longs and codes = (vec_id, codes array<int> of length m).
+    """
+    fxd = fan_out(embeddings).select(
+        "vec_id", _fx(F.col(value_col)).alias("fx")
+    )
+    first = fxd.select(F.size("fx").alias("d")).first()
+    if first is None:
+        raise ValueError("empty embeddings input")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # (vec_id, sub_id, sfx): one row per subspace — the training grain
+    sub = fxd.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col("fx"), j * dsub + 1, dsub
+                ),
+            )
+        ).alias("sub_id", "sfx"),
+    ).persist()
+
+    init = (
+        sub.filter(F.col("vec_id") < k)
+        .orderBy("sub_id", "vec_id")
+        .collect()
+    )
+    if len(init) < m * k:
+        raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
+    # books[j][c] = centroid c of subspace j
+    books = [
+        [list(r["sfx"]) for r in init if r["sub_id"] == j] for j in range(m)
+    ]
+
+    assigned = None
+    for it in range(iters):
+        book_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(v).cast("long") for v in c])
+                        for c in books[j]
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
+        scores = F.transform(
+            F.element_at(book_lit, F.col("sub_id") + 1),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sfx"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+        mn = F.array_min(scores)  # lexicographic: min dist, then min cid
+        assigned = sub.select(
+            "vec_id",
+            "sub_id",
+            "sfx",
+            mn["cid"].alias("cell"),
+            mn["d"].alias("sq_dist"),
+        )
+        if it == iters - 1:
+            break
+        stats = (
+            assigned.groupBy("sub_id", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.col("sfx")[i]).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        by_key = {(r["sub_id"], r["cell"]): r for r in stats}
+        books = [
+            [
+                [
+                    int(by_key[(j, ci)][f"s{i}"]) // int(by_key[(j, ci)]["cnt"])
+                    for i in range(dsub)
+                ]
+                if (j, ci) in by_key
+                else books[j][ci]  # empty cell keeps previous centroid
+                for ci in range(k)
+            ]
+            for j in range(m)
+        ]
+    codes = (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub_id", "cell"))
+                ),
+                lambda s: s.getField("cell").cast("int"),
+            ).alias("codes")
+        )
+    )
+    return books, codes
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    books: list,
+    query_ids: list[int],
+    k_top: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query, precompute the
+    exact squared distance from each query SUBvector to every codebook
+    entry (an m x k long table, driver-side — m*k tiny), then score
+    the whole corpus with a pure table lookup:
+    approx_dist = sum_j dt[j][code_j].
+
+    This is the PQ payoff at 100 TB: the scan reads m ints per vector
+    (not dim floats), the per-row work is m array lookups in codegen,
+    there is NO shuffle until the final per-query top-k window, and
+    the distance tables ride along as literals (the query side is a
+    broadcast of |Q| rows). All-long arithmetic -> oracle bit-exact.
+    """
+    m = len(books)
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", _fx(F.col("embedding")).alias("qfx"))
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    dsub = len(books[0][0])
+    rows = []
+    for r in q:
+        qfx = list(r["qfx"])
+        dt = [
+            [
+                sum(
+                    (qfx[j * dsub + i] - c[i]) ** 2
+                    for i in range(dsub)
+                )
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        rows.append((r["vec_id"], dt))
+    qdf = spark.createDataFrame(
+        rows, "query_id long, dt array<array<long>>"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("dt"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("approx_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "approx_sq_dist", "rank")
+    )
