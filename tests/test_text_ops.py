@@ -1,0 +1,116 @@
+"""line_dedup + PQ invariants the DuckDB oracle can't observe:
+partition-count independence, order preservation, exemption rules."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_drops_cross_doc_lines_keeps_order(spark):
+    from geist_spark.operators.text import line_dedup
+
+    d = docs(
+        spark,
+        [
+            (1, "unique first line one\nshared boilerplate line\nunique tail line one"),
+            (2, "unique first line two\nshared boilerplate line\nunique tail line two"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert out[1]["text"] == "unique first line one\nunique tail line one"
+    assert out[2]["text"] == "unique first line two\nunique tail line two"
+    assert out[1]["n_lines_dropped"] == 1 and out[1]["n_lines_kept"] == 2
+
+
+def test_line_dedup_short_lines_exempt_and_doc_survives_total_loss(spark):
+    from geist_spark.operators.text import line_dedup
+
+    # "hi" (< min_chars) repeats everywhere but is exempt; doc 3 loses
+    # every eligible line yet still appears with the short lines kept
+    d = docs(
+        spark,
+        [
+            (1, "hi\nshared boilerplate line\nsomething original here"),
+            (2, "hi\nshared boilerplate line\nother original content"),
+            (3, "hi\nshared boilerplate line"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert out[3]["text"] == "hi"
+    assert out[3]["n_lines_kept"] == 1 and out[3]["n_lines_dropped"] == 1
+    assert out[1]["text"].startswith("hi\n")
+
+
+def test_line_dedup_normalizes_case_and_whitespace(spark):
+    from geist_spark.operators.text import line_dedup
+
+    d = docs(
+        spark,
+        [
+            (1, "  Shared Boilerplate Line \nkeep this one please"),
+            (2, "shared boilerplate line\nkeep this other please"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert out[1]["text"] == "keep this one please"
+    assert out[2]["text"] == "keep this other please"
+
+
+def test_line_dedup_freq_threshold(spark):
+    from geist_spark.operators.text import line_dedup
+
+    d = docs(
+        spark,
+        [
+            (1, "twice repeated line here\nalways repeated line here"),
+            (2, "twice repeated line here\nalways repeated line here"),
+            (3, "only here once for real\nalways repeated line here"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(d, min_doc_freq=3).collect()
+    }
+    # freq-2 line survives a min_doc_freq=3 threshold; freq-3 dies
+    assert out[1]["text"] == "twice repeated line here"
+    assert out[3]["text"] == "only here once for real"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_codes_partition_invariant(spark, emb):
+    from geist_spark.operators.similarity import pq_train_encode
+
+    _, codes1 = pq_train_encode(emb.repartition(1), m=4, k=8, iters=2)
+    books32, codes32 = pq_train_encode(emb.repartition(32), m=4, k=8, iters=2)
+    r1 = {r["vec_id"]: list(r["codes"]) for r in codes1.collect()}
+    r32 = {r["vec_id"]: list(r["codes"]) for r in codes32.collect()}
+    assert r1 == r32  # fixed-point Lloyd: bit-identical at any parallelism
+    assert all(len(c) == 4 for c in r1.values())
+    assert len(books32) == 4 and len(books32[0]) == 8
+
+
+def test_pq_adc_ranks_true_neighbor_first(spark, emb):
+    from geist_spark.operators.similarity import pq_adc_topk, pq_train_encode
+
+    books, codes = pq_train_encode(emb, m=4, k=16, iters=2)
+    out = pq_adc_topk(emb, codes, books, query_ids=[0, 1], k_top=3)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        # distances are non-decreasing with rank and never negative
+        ds = [r["approx_sq_dist"] for r in rs]
+        assert ds == sorted(ds) and ds[0] >= 0
+        assert all(r["neighbor_id"] != q for r in rs)
