@@ -2207,6 +2207,37 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators/dedup.py
+    fuzzy_match_pairs): md5-derived 'user <hex10>' names + a
+    deterministic one-char-deletion typo per record; q-gram blocking
+    must recover every (original, typo) pair at edit distance 1, with
+    the shared 'user ' prefix grams dropped by the frequency cap."""
+    from geist_spark.operators.dedup import fuzzy_match_pairs
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("user "),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 10),
+        ).alias("nm"),
+    )
+    p = (F.col("c_custkey") % 15) + 1
+    orig = base.select(
+        (F.col("c_custkey") * 2).alias("rec_id"), F.col("nm").alias("name")
+    )
+    typo = base.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.concat(
+            F.col("nm").substr(F.lit(1), p - 1),
+            F.col("nm").substr(p + 1, F.lit(99)),
+        ).alias("name"),
+    )
+    return fuzzy_match_pairs(
+        orig.unionByName(typo), id_col="rec_id", text_col="name", max_dist=2
+    )
+
+
 def s_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (operators/similarity.py
     pq_train_encode + pq_adc_topk): per-subspace fixed-point Lloyd
@@ -2394,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_disjunctive_revenue": q_disjunctive_revenue,
         "t_line_dedup": t_line_dedup,
         "s_pq_adc": s_pq_adc,
+        "d_fuzzy_match": d_fuzzy_match,
     }
 
 
@@ -3993,6 +4025,45 @@ def oracle_sql() -> dict[str, str]:
         "s_pq_adc": _pq_adc_oracle(
             m=4, k=16, iters=2, dim=64, n_queries=10, k_top=5
         ),
+        # replays dedup.fuzzy_match_pairs over the same injected names
+        "d_fuzzy_match": """
+            WITH src AS (
+                SELECT c_custkey,
+                       'user ' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                         1, 10) AS nm,
+                       (c_custkey % 15) + 1 AS p
+                FROM customer
+            ), recs AS (
+                SELECT c_custkey * 2 AS rid, nm AS raw FROM src
+                UNION ALL
+                SELECT c_custkey * 2 + 1,
+                       substr(nm, 1, CAST(p - 1 AS INT))
+                       || substr(nm, CAST(p + 1 AS INT), 99)
+                FROM src
+            ), base AS (
+                SELECT rid,
+                       lower(regexp_replace(trim(raw), '\\s+', ' ', 'g')) AS s
+                FROM recs
+                WHERE strlen(lower(regexp_replace(trim(raw), '\\s+', ' ', 'g'))) >= 3
+            ), grams AS (
+                SELECT DISTINCT rid, s, substr(s, CAST(i AS INT), 3) AS g
+                FROM base,
+                     unnest(generate_series(1, strlen(s) - 2)) AS t(i)
+            ), capped AS (
+                SELECT rid, s, g FROM (
+                    SELECT *, count(*) OVER (PARTITION BY g) AS gf FROM grams
+                ) WHERE gf <= 200
+            ), cand AS (
+                SELECT a.rid AS id_a, b.rid AS id_b,
+                       max(a.s) AS s_a, max(b.s) AS s_b
+                FROM capped a JOIN capped b
+                  ON a.g = b.g AND a.rid < b.rid
+                 AND abs(strlen(a.s) - strlen(b.s)) <= 2
+                GROUP BY a.rid, b.rid
+            )
+            SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
+            FROM cand WHERE levenshtein(s_a, s_b) <= 2
+        """,
     }
 
 

@@ -620,3 +620,80 @@ def near_dup_rate_by_source(
             6,
         ).alias("dup_rate"),
     )
+
+
+def fuzzy_match_pairs(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "name",
+    max_dist: int = 2,
+    gram: int = 3,
+    max_gram_freq: int | None = 200,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: pairs of records whose normalized
+    strings are within `max_dist` Levenshtein edits, WITHOUT the
+    all-pairs comparison a naive edit-distance join implies.
+
+    Blocking = character q-gram inverted index: two strings within d
+    edits share at least max(|a|,|b|) - gram + 1 - d*gram q-grams, so
+    any pair with NO shared q-gram (short strings aside) cannot match;
+    the candidate join runs on the gram key only. Two cheap residual
+    guards run BEFORE the O(|a|*|b|) levenshtein: the length gap
+    (|len_a - len_b| <= d, a necessary condition) and pair dedup via
+    groupBy. `max_gram_freq` is the hot-key cap (same trade as
+    ngram_jaccard_pairs' max_shingle_freq — a gram in every record
+    contributes m^2/2 candidates and no discrimination).
+
+    Both Spark's levenshtein() and DuckDB's are the classic
+    unit-cost edit distance, so the confirm step has an exact oracle.
+
+    Output: (id_a, id_b, dist), id_a < id_b.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = records.select(
+        F.col(id_col).alias("rid"), norm.alias("s")
+    ).filter(F.length("s") >= gram)
+    idx = F.sequence(F.lit(1), F.length("s") - gram + 1)
+    grams = base.select(
+        "rid",
+        "s",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("s").substr(i, F.lit(gram)))
+            )
+        ).alias("g"),
+    )
+    if max_gram_freq is not None:
+        w = Window.partitionBy("g")
+        grams = (
+            grams.withColumn("__gf", F.count(F.lit(1)).over(w))
+            .filter(F.col("__gf") <= max_gram_freq)
+            .drop("__gf")
+        )
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            # length-gap guard inside the join: prunes before the
+            # pair-dedup shuffle, not just before levenshtein
+            & (
+                F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
+                <= max_dist
+            ),
+        )
+        .groupBy(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+        )
+        .agg(
+            F.first(F.col("a.s")).alias("s_a"),
+            F.first(F.col("b.s")).alias("s_b"),
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -114,3 +114,26 @@ def test_pq_adc_ranks_true_neighbor_first(spark, emb):
         ds = [r["approx_sq_dist"] for r in rs]
         assert ds == sorted(ds) and ds[0] >= 0
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_fuzzy_match_pairs_distance_gate_and_blocking(spark):
+    from geist_spark.operators.dedup import fuzzy_match_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "jonathan smithers"),
+            (2, "jonathan smithres"),   # transposition: dist 2
+            (3, "jonathan smith"),      # 3 deletions from 1: dist 3
+            (4, "completely different"),
+        ],
+        "rec_id long, name string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_match_pairs(recs, max_dist=2).collect()
+    }
+    assert out == {(1, 2): 2}  # dist-3 and unrelated names excluded
+
+    wide = fuzzy_match_pairs(recs, max_dist=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in wide}
+    assert (1, 3) in got and (1, 2) in got and (2, 3) in got
