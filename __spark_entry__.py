@@ -2207,6 +2207,29 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite mojibake repair (operators/text.py fix_text) over
+    documents with deterministic mojibake + control chars injected
+    into 2 of every 3 docs (doc_id%3==0 stays clean, proving the
+    changed flag goes both ways)."""
+    from geist_spark.operators.text import fix_text
+
+    moji = (
+        " cafÃ© itâ€™s here"
+        "â€¦ " + chr(7) + " end"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(moji)))
+        .alias("text"),
+    )
+    out = fix_text(docs)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "changed"
+    )
+
+
 def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join (operators/dedup.py
     fuzzy_match_pairs): md5-derived 'user <hex10>' names + a
@@ -2426,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_line_dedup": t_line_dedup,
         "s_pq_adc": s_pq_adc,
         "d_fuzzy_match": d_fuzzy_match,
+        "t_fix_text": t_fix_text,
     }
 
 
@@ -4063,6 +4087,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
             FROM cand WHERE levenshtein(s_a, s_b) <= 2
+        """,
+        # replays text.fix_text over the same injected mojibake (only
+        # the injected sequences can occur, so the un-triggered table
+        # entries are no-ops on both sides)
+        "t_fix_text": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text
+                            ELSE text || ' caf' || chr(195) || chr(169)
+                                 || ' it' || chr(226) || chr(8364) || chr(8482)
+                                 || 's here'
+                                 || chr(226) || chr(8364) || chr(166) || ' '
+                                 || chr(7) || ' end'
+                       END AS t
+                FROM documents
+            ), fixed AS (
+                SELECT doc_id, t,
+                       trim(regexp_replace(regexp_replace(
+                           replace(replace(replace(t,
+                               chr(226) || chr(8364) || chr(8482), ''''),
+                               chr(226) || chr(8364) || chr(166), '...'),
+                               chr(195) || chr(169), chr(233)),
+                           '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                           '[ \\t]{2,}', ' ', 'g')) AS f
+                FROM inj
+            )
+            SELECT doc_id, md5(f) AS text_md5, f <> t AS changed FROM fixed
         """,
     }
 

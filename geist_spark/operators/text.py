@@ -370,3 +370,54 @@ def line_dedup(
             ).alias("n_lines_dropped"),
         )
     )
+
+
+# common UTF-8-decoded-as-cp1252 mojibake sequences and invisible
+# characters (escaped so the source stays ASCII), in fix order.
+# Pure literal replacements -- identical semantics in any engine.
+MOJIBAKE_FIXES = [
+    ("\u00e2\u20ac\u2122", "'"),      # a-hat euro TM   -> right single quote
+    ("\u00e2\u20ac\u02dc", "'"),      # a-hat euro ~    -> left single quote
+    ("\u00e2\u20ac\u0153", '"'),      # a-hat euro oe   -> left double quote
+    ("\u00e2\u20ac\u201d", "-"),      # a-hat euro rdq  -> em dash
+    ("\u00e2\u20ac\u201c", "-"),      # a-hat euro ldq  -> en dash
+    ("\u00e2\u20ac\u00a6", "..."),    # a-hat euro brokenbar -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),       # A-tilde (c)     -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),       #                 -> e-grave
+    ("\u00c3\u00bc", "\u00fc"),       #                 -> u-umlaut
+    ("\u00c3\u00b6", "\u00f6"),       #                 -> o-umlaut
+    ("\u00c3\u00a4", "\u00e4"),       #                 -> a-umlaut
+    ("\u00c3\u00b1", "\u00f1"),       #                 -> n-tilde
+    ("\u00c2\u00a0", " "),             # A-circ + nbsp   -> space
+    ("\u00a0", " "),                    # bare nbsp       -> space
+    ("\u200b", ""),                     # zero-width space
+    ("\ufeff", ""),                     # BOM / zero-width no-break
+]
+
+
+def fix_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """ftfy-lite text repair for crawl corpora: undo the most common
+    UTF-8-read-as-cp1252 mojibake sequences, drop zero-width
+    characters, normalize non-breaking spaces, strip C0 control
+    characters (except tab/newline), and collapse space runs.
+
+    The fix table is a literal `replace` chain (no regex except the
+    control-strip and space-collapse), so the whole repair is ONE
+    map-only codegen stage -- no shuffle, no Python -- and any engine
+    that chains replace() reproduces it exactly.
+
+    Output: doc_id, fixed text, and a changed flag (computed in the
+    same pass, no second scan).
+    """
+    c = F.col(text_col)
+    for bad, good in MOJIBAKE_FIXES:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    # strip C0 controls except tab/newline, collapse space/tab runs
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t]{2,}", " ")
+    c = F.trim(c)
+    return documents.select(
+        "doc_id",
+        c.alias("text"),
+        (c != F.col(text_col)).alias("changed"),
+    )
