@@ -2207,6 +2207,41 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over a deterministic
+    md5-derived link graph on doc_ids (3 out-edges per doc). All-long
+    arithmetic, so the 3-iteration oracle replay is bit-exact."""
+    from geist_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
 def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite mojibake repair (operators/text.py fix_text) over
     documents with deterministic mojibake + control chars injected
@@ -2450,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_pq_adc": s_pq_adc,
         "d_fuzzy_match": d_fuzzy_match,
         "t_fix_text": t_fix_text,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -4115,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(f) AS text_md5, f <> t AS changed FROM fixed
         """,
+        "q_pagerank": _pagerank_oracle(iters=3),
     }
 
 
@@ -4668,6 +4705,58 @@ def _ivf_train_cte_parts(k: int, iters: int, dim: int) -> tuple[list[str], str]:
             WHERE cid NOT IN (SELECT DISTINCT cell FROM a{it})
         )""")
     return parts, f"a{iters - 1}"
+
+
+def _pagerank_oracle(
+    iters: int = 3, num: int = 85, den: int = 100
+) -> str:
+    """Replays graph.pagerank over the same md5-derived edge list:
+    all-long arithmetic with positive operands, so DuckDB's // is the
+    same floor division the operator computes."""
+    from geist_spark.operators.graph import PR_SCALE
+
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        """edges AS (
+            SELECT doc_id AS src,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   % (SELECT n FROM nd) AS dst
+            FROM documents, unnest([1, 2, 3]) AS t(j)
+        )""",
+        """nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+        )""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"""params AS (
+            SELECT ({PR_SCALE} // n) AS pr0,
+                   (({den - num}) * ({PR_SCALE} // n)) // {den} AS base
+            FROM nd
+        )""",
+        "r0 AS (SELECT node, (SELECT pr0 FROM params) AS pr FROM nodes)",
+    ]
+    for it in range(iters):
+        parts.append(f"""c{it} AS (
+            SELECT e.dst AS node_in,
+                   CAST(sum(r.pr // o.deg) AS BIGINT) AS inflow
+            FROM edges e
+            JOIN r{it} r ON e.src = r.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        )""")
+        parts.append(f"""r{it + 1} AS (
+            SELECT n.node,
+                   CAST((SELECT base FROM params)
+                        + ({num} * coalesce(c.inflow, 0)) // {den}
+                        AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN c{it} c ON n.node = c.node_in
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, pr FROM r{iters}"
+    )
 
 
 def _pq_adc_oracle(

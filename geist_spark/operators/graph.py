@@ -1,0 +1,98 @@
+"""Iterative graph operators (PageRank family).
+
+Complements dedup.py's connected-components (min-label propagation)
+with rank propagation. Same reproducibility discipline as the
+fixed-point k-means family: every rank is a scaled long, every
+division is exact integer floor division (spelled subtract-pmod so the
+double-division path is exactly divisible and therefore exact), so the
+result is bit-identical at any parallelism and replayable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1 << 30  # rank grid: ranks sum to ~PR_SCALE
+
+
+def _floordiv(a: F.Column, b: F.Column) -> F.Column:
+    """Exact floor division for non-negative longs: (a - a mod b) / b
+    is exactly divisible, so the double division is exact and the cast
+    back to long is lossless (results stay far below 2^53)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over an edge list (simplified model: no
+    dangling-mass redistribution — a node with no out-edges absorbs
+    its rank, the standard formulation for link-graph dedup/authority
+    scoring at corpus scale).
+
+        pr0        = PR_SCALE // n
+        base       = ((den - num) * pr0) // den
+        share(j)   = pr(j) // outdeg(j)
+        pr'(i)     = base + (num * sum_in(shares)) // den
+
+    All quantities are longs; `//` is floor division (operands are
+    non-negative, so DuckDB's truncating // replays it exactly).
+
+    Plan per iteration: ranks join edges on src (shuffle on src),
+    partial-agg sum per dst, left join back onto the node set — two
+    shuffles, both on node keys, the same shape as connected
+    components. Node count n is one driver scalar (a 1-row agg, like
+    the IVF centroid collect). Lineage is truncated with
+    localCheckpoint every iteration so `iters` stays O(iters) not
+    O(iters^2) at plan-build time.
+
+    Returns (node, pr) with pr on the PR_SCALE grid.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("src"), d.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge list")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    num, den = damping_num, damping_den
+    pr0 = PR_SCALE // n
+    base = ((den - num) * pr0) // den
+
+    ranks = nodes.withColumn("pr", F.lit(pr0).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, F.col("src") == F.col("node"))
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node_in"),
+                _floordiv(F.col("pr"), F.col("deg")).alias("share"),
+            )
+            .groupBy("node_in")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.node_in, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + _floordiv(
+                        F.lit(num) * F.coalesce(F.col("inflow"), F.lit(0)),
+                        F.lit(den),
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -39,6 +39,8 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet scans: split files into ~128 MB tasks (cluster default).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Managed tables (bucketed layouts) go to /tmp, not the repo cwd.
+    "spark.sql.warehouse.dir": "file:///tmp/geist_spark_warehouse",
 }
 
 

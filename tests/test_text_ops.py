@@ -137,3 +137,26 @@ def test_fuzzy_match_pairs_distance_gate_and_blocking(spark):
     wide = fuzzy_match_pairs(recs, max_dist=3).collect()
     got = {(r["id_a"], r["id_b"]) for r in wide}
     assert (1, 3) in got and (1, 2) in got and (2, 3) in got
+
+
+def test_pagerank_partition_invariant_and_mass_bounded(spark):
+    from geist_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0)],
+        "src long, dst long",
+    )
+    r1 = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges.repartition(1), iters=4).collect()
+    }
+    r8 = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges.repartition(8), iters=4).collect()
+    }
+    assert r1 == r8  # fixed-point: bit-identical at any parallelism
+    assert set(r1) == {0, 1, 2, 3, 4}
+    # node 0 has 3 in-edges, node 4 has none: ranks must reflect that
+    assert r1[0] > r1[4]
+    # total mass stays at/below the scale grid (floor losses only)
+    assert 0 < sum(r1.values()) <= PR_SCALE
