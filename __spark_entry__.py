@@ -2207,6 +2207,19 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware contrastive negative sampling (operators/split.py
+    sample_negatives): md5-derived probes filtered against the minhash
+    near-dup clusters, first k survivors per anchor by probe index."""
+    from geist_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from geist_spark.operators.split import sample_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    clusters = dedup_clusters(pairs)
+    return sample_negatives(docs, clusters, k=3, oversample=3)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (operators/graph.py) over a deterministic
     md5-derived link graph on doc_ids (3 out-edges per doc). All-long
@@ -2486,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_fuzzy_match": d_fuzzy_match,
         "t_fix_text": t_fix_text,
         "q_pagerank": q_pagerank,
+        "p_negatives": p_negatives,
     }
 
 
@@ -4152,6 +4166,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(f) AS text_md5, f <> t AS changed FROM fixed
         """,
         "q_pagerank": _pagerank_oracle(iters=3),
+        "p_negatives": _negatives_oracle(
+            num_hashes=16, bands=4, k=3, oversample=3
+        ),
     }
 
 
@@ -4510,6 +4527,53 @@ def _keep_canonical_oracle(num_hashes: int, bands: int) -> str:
         SELECT d.doc_id
         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+    """
+
+
+def _negatives_oracle(
+    num_hashes: int, bands: int, k: int, oversample: int, seed: str = "neg"
+) -> str:
+    """Replays split.sample_negatives: same md5 probe arithmetic, same
+    recursive-CTE cluster labels, same first-k-by-probe-index rule."""
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        nd AS (SELECT count(*) AS n FROM documents),
+        probes AS (
+            SELECT d.doc_id AS anchor_id, j,
+                   ('0x' || substr(md5('{seed}|'
+                        || CAST(d.doc_id AS VARCHAR) || '|'
+                        || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   % (SELECT n FROM nd) AS cand
+            FROM documents d,
+                 unnest(generate_series(0, {k * oversample - 1})) AS t(j)
+        ),
+        flt AS (
+            SELECT p.anchor_id, p.j, p.cand
+            FROM probes p
+            LEFT JOIN labels la ON la.doc_id = p.anchor_id
+            LEFT JOIN labels lc ON lc.doc_id = p.cand
+            WHERE p.cand <> p.anchor_id
+              AND (la.cluster_id IS NULL OR lc.cluster_id IS NULL
+                   OR la.cluster_id <> lc.cluster_id)
+        )
+        SELECT anchor_id, cand AS neg_id, CAST(rn AS INT) AS slot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id ORDER BY j) AS rn FROM flt)
+        WHERE rn <= {k}
     """
 
 

@@ -19,7 +19,7 @@ part of the driver's LLM-pipeline extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _hex_threshold(cum_fraction: float, chars: int) -> str:
@@ -259,3 +259,86 @@ def write_sharded(
     assign_shards(df, key_col, n_shards).repartition(
         n_shards, F.col("shard")
     ).write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def sample_negatives(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    k: int = 3,
+    oversample: int = 3,
+    n_docs: int | None = None,
+    id_col: str = "doc_id",
+    seed: str = "neg",
+) -> DataFrame:
+    """Leakage-aware contrastive negative sampling: k pseudo-random
+    negatives per anchor, excluding self and anything in the anchor's
+    near-dup cluster (a near-duplicate "negative" is a false negative
+    that poisons a contrastive objective — the same leakage class
+    leakage_safe_split guards splits against).
+
+    Candidates are md5(seed|anchor|j) % n for j in [0, k*oversample):
+    GENERATION is O(n*k) map-only (never an n^2 candidate join), fully
+    deterministic, and invariant to partitioning/order. Survivors of
+    the self/cluster filters are ranked by probe index j and the first
+    k kept — `oversample` absorbs filtered-out probes (an anchor in a
+    huge cluster can still come up short; rows emitted are the
+    survivors, never padded).
+
+    Requires ids dense in [0, n) (compose with a zipWithIndex-style
+    re-keying otherwise). `clusters` is (doc_id, cluster_id) as
+    produced by dedup_clusters; docs absent from it are singletons.
+
+    Plan: one explode, two label joins (label table is near-dup docs
+    only — AQE broadcasts it when small, exactly the keep_canonical
+    lesson), one per-anchor window. Output (anchor_id, neg_id, slot).
+    """
+    n = n_docs or docs.count()
+    probes = docs.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("j"),
+    )
+    cand = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "|"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    probes = probes.select("anchor_id", "j", cand.alias("neg_id")).filter(
+        F.col("neg_id") != F.col("anchor_id")
+    )
+    if clusters is not None:
+        la = clusters.select(
+            F.col("doc_id").alias("__a_id"), F.col("cluster_id").alias("__a_cl")
+        )
+        lc = clusters.select(
+            F.col("doc_id").alias("__c_id"), F.col("cluster_id").alias("__c_cl")
+        )
+        probes = (
+            probes.join(la, probes.anchor_id == la.__a_id, "left")
+            .join(lc, probes.neg_id == lc.__c_id, "left")
+            .filter(
+                F.col("__a_cl").isNull()
+                | F.col("__c_cl").isNull()
+                | (F.col("__a_cl") != F.col("__c_cl"))
+            )
+            .select("anchor_id", "j", "neg_id")
+        )
+    w = Window.partitionBy("anchor_id").orderBy("j")
+    return (
+        probes.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= k)
+        .select("anchor_id", "neg_id", "slot")
+    )
