@@ -2207,6 +2207,74 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_spec_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-dialect `window` section (analytic functions): per-user
+    (ts, eid)-ordered row_number / lag / decimal-exact running_sum,
+    plus declarative keepTopN top-N-per-key — all compiled from the
+    spec (compiler/analytics.py apply_window)."""
+    from geist_spark.compiler.analytics import apply_analytics
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "anwin",
+            "version": 1,
+            "description": "analytic window",
+            "source": {"type": "geistapi"},
+            "transform": {
+                "extractFields": [
+                    {
+                        "fields": [
+                            {"id": "eid", "jsonPath": "event_id", "type": "integer"},
+                            {"id": "uid", "jsonPath": "user_id", "type": "integer"},
+                            {"id": "etype", "jsonPath": "event_type"},
+                            {"id": "amount", "jsonPath": "value", "type": "float"},
+                            {"id": "ts", "jsonPath": "ts", "type": "isoTimestamp"},
+                        ]
+                    }
+                ],
+                "window": {
+                    "partitionBy": ["uid"],
+                    "orderBy": [{"field": "ts"}, {"field": "eid"}],
+                    "functions": [
+                        {"fn": "row_number", "alias": "rn"},
+                        {
+                            "fn": "lag",
+                            "field": "etype",
+                            "offset": 1,
+                            "alias": "prev_type",
+                        },
+                        {
+                            "fn": "running_sum",
+                            "field": "amount",
+                            "alias": "cum_amount",
+                        },
+                    ],
+                    "keepTopN": 5,
+                },
+            },
+            "sink": {"type": "void"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+            )
+        ).alias("value")
+    )
+    out = apply_analytics(
+        compile_transform(spec).apply(ev, value_col="value"), spec.transform
+    )
+    return out.select("uid", "eid", "rn", "prev_type", "cum_amount")
+
+
 def p_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-aware contrastive negative sampling (operators/split.py
     sample_negatives): md5-derived probes filtered against the minhash
@@ -2500,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fix_text": t_fix_text,
         "q_pagerank": q_pagerank,
         "p_negatives": p_negatives,
+        "a_spec_analytic_window": a_spec_analytic_window,
     }
 
 
@@ -4169,6 +4238,27 @@ def oracle_sql() -> dict[str, str]:
         "p_negatives": _negatives_oracle(
             num_hashes=16, bands=4, k=3, oversample=3
         ),
+        "a_spec_analytic_window": """
+            WITH base AS (
+                SELECT event_id AS eid, user_id AS uid,
+                       event_type AS etype,
+                       CAST(value AS DOUBLE) AS amount, ts
+                FROM events
+            ), wn AS (
+                SELECT uid, eid,
+                       row_number() OVER (
+                           PARTITION BY uid ORDER BY ts, eid) AS rn,
+                       lag(etype, 1) OVER (
+                           PARTITION BY uid ORDER BY ts, eid) AS prev_type,
+                       CAST(sum(CAST(amount AS DECIMAL(38,6))) OVER (
+                           PARTITION BY uid ORDER BY ts, eid
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS DOUBLE) AS cum_amount
+                FROM base
+            )
+            SELECT uid, eid, rn, prev_type, cum_amount
+            FROM wn WHERE rn <= 5
+        """,
     }
 
 

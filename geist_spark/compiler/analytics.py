@@ -29,7 +29,9 @@ from geist_spark.spec.model import (
     AggregateSpec,
     DeduplicateSpec,
     JoinSpec,
+    SpecError,
     TransformSpec,
+    WindowSpec,
 )
 
 def exact_sum(c: Column) -> Column:
@@ -173,6 +175,71 @@ def apply_aggregate(df: DataFrame, spec: AggregateSpec) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs)
 
 
+def apply_window(df: DataFrame, spec: WindowSpec) -> DataFrame:
+    """Analytic window section: ranking / offset / running-total
+    functions per partition key, plus the optional keepTopN filter
+    (the declarative form of top-N-per-key).
+
+    Scale shape: ONE shuffle on partitionBy + a partition-local sort —
+    the spec validator refuses empty partitionBy precisely because a
+    global analytic window serializes onto one task. running_sum over
+    float inputs accumulates in decimal (prefix sums replay the same
+    in any engine; float running totals would drift with frame order).
+    Batch / micro-batch only: Spark has no incremental analytic-window
+    operator for unbounded streams — use aggregate/session sections
+    there.
+    """
+    from pyspark.sql import Window as W
+
+    if df.isStreaming:
+        raise SpecError(
+            "transform.window requires batch execution (analytic "
+            "windows are unsupported on unbounded streams); use "
+            "aggregate windows or run it inside a batch sink stage"
+        )
+    order = [
+        F.col(f).desc() if desc else F.col(f).asc()
+        for f, desc in spec.order_by
+    ]
+    w = W.partitionBy(*[F.col(c) for c in spec.partition_by]).orderBy(*order)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    fractional = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+    out = df
+    for fn in spec.functions:
+        c = F.col(fn.field) if fn.field else None
+        if fn.fn == "row_number":
+            expr = F.row_number().over(w)
+        elif fn.fn == "rank":
+            expr = F.rank().over(w)
+        elif fn.fn == "dense_rank":
+            expr = F.dense_rank().over(w)
+        elif fn.fn == "ntile":
+            expr = F.ntile(fn.n).over(w)
+        elif fn.fn == "lag":
+            expr = F.lag(c, fn.offset).over(w)
+        elif fn.fn == "lead":
+            expr = F.lead(c, fn.offset).over(w)
+        elif fn.fn == "running_count":
+            expr = F.count(F.lit(1)).over(w_run)
+        else:  # running_sum (validated)
+            if fn.field in fractional:
+                expr = (
+                    F.sum(c.cast("decimal(38,6)")).over(w_run).cast("double")
+                )
+            else:
+                expr = F.sum(c).over(w_run)
+        out = out.withColumn(fn.alias, expr)
+    if spec.keep_top_n:
+        out = out.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= spec.keep_top_n
+        ).drop("__rn")
+    return out
+
+
 def apply_sql(df: DataFrame, sql: str) -> DataFrame:
     """Full-Spark-SQL escape hatch: run `sql` with __stream__ bound to
     the pipeline output. Works on batch and streaming DataFrames
@@ -188,15 +255,18 @@ def apply_sql(df: DataFrame, sql: str) -> DataFrame:
 def apply_analytics(
     df: DataFrame, t: TransformSpec, join_right_df: DataFrame | None = None
 ) -> DataFrame:
-    """Pipeline order: enrich (join) -> dedup -> aggregate -> sql, so
-    aggregates see unique, enriched events — mirroring
-    insertId-dedup-then-load in the reference's sinks."""
+    """Pipeline order: enrich (join) -> dedup -> aggregate -> window
+    -> sql, so aggregates see unique, enriched events (mirroring
+    insertId-dedup-then-load in the reference's sinks) and analytic
+    windows run over the aggregated grain when both are present."""
     if t.join is not None:
         df = apply_join(df, t.join, right_df=join_right_df)
     if t.deduplicate is not None:
         df = apply_deduplicate(df, t.deduplicate)
     if t.aggregate is not None:
         df = apply_aggregate(df, t.aggregate)
+    if t.window is not None:
+        df = apply_window(df, t.window)
     if t.sql:
         df = apply_sql(df, t.sql)
     return df
@@ -207,5 +277,6 @@ def has_analytics(t: TransformSpec) -> bool:
         t.join is not None
         or t.deduplicate is not None
         or t.aggregate is not None
+        or t.window is not None
         or bool(t.sql)
     )

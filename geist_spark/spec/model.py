@@ -340,6 +340,78 @@ class AggregateSpec:
             raise SpecError("aggregate.watermark needs both field and delay")
 
 
+_WINDOW_FNS = {
+    "row_number",
+    "rank",
+    "dense_rank",
+    "ntile",
+    "lag",
+    "lead",
+    "running_sum",
+    "running_count",
+}
+_WINDOW_FIELD_FNS = {"lag", "lead", "running_sum"}
+
+
+@dataclass
+class WindowFnSpec:
+    fn: str
+    alias: str
+    field: str = ""
+    offset: int = 1  # lag/lead
+    n: int = 0  # ntile buckets
+
+    def validate(self) -> None:
+        if self.fn not in _WINDOW_FNS:
+            raise SpecError(
+                f"window.functions: unknown fn {self.fn!r} "
+                f"(supported: {sorted(_WINDOW_FNS)})"
+            )
+        if not self.alias:
+            raise SpecError("window.functions: alias is required")
+        if self.fn in _WINDOW_FIELD_FNS and not self.field:
+            raise SpecError(f"window fn {self.fn!r} requires a field")
+        if self.fn == "ntile" and self.n < 1:
+            raise SpecError("window fn 'ntile' requires n >= 1")
+        if self.fn in ("lag", "lead") and self.offset < 1:
+            raise SpecError(f"window fn {self.fn!r} requires offset >= 1")
+
+
+@dataclass
+class WindowSpec:
+    """Analytic (per-row) window functions over the pipeline output —
+    ranking, offsets, and running totals per partition key. Batch /
+    micro-batch only: Spark has no incremental analytic-window
+    operator for unbounded streams (enforced at apply time)."""
+
+    partition_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (field, desc)
+    functions: list[WindowFnSpec] = field(default_factory=list)
+    keep_top_n: int = 0  # optional: keep the first N rows per key
+
+    def validate(self) -> None:
+        if not self.functions and not self.keep_top_n:
+            raise SpecError("window requires functions and/or keepTopN")
+        if not self.order_by:
+            raise SpecError(
+                "window requires orderBy (make it a unique key per "
+                "partition for deterministic output)"
+            )
+        if not self.partition_by:
+            raise SpecError(
+                "window requires partitionBy: a global window moves "
+                "every row to one partition (refused by design at "
+                "engine scale; aggregate or sql handle global cases)"
+            )
+        for f in self.functions:
+            f.validate()
+        seen: set[str] = set()
+        for f in self.functions:
+            if f.alias in seen:
+                raise SpecError(f"window: duplicate alias {f.alias!r}")
+            seen.add(f.alias)
+
+
 @dataclass
 class JoinSpec:
     """Enrichment join, two variants:
@@ -422,6 +494,7 @@ class TransformSpec:
     join: JoinSpec | None = None
     deduplicate: DeduplicateSpec | None = None
     aggregate: AggregateSpec | None = None
+    window: WindowSpec | None = None
     # full Spark SQL over the pipeline output (extension): the query
     # must reference the incoming rows as __stream__
     sql: str = ""
@@ -560,6 +633,29 @@ def _parse_aggregate(d: Any) -> AggregateSpec | None:
     )
 
 
+def _parse_window(d: Any) -> WindowSpec | None:
+    if not d:
+        return None
+    return WindowSpec(
+        partition_by=list(d.get("partitionBy") or []),
+        order_by=[
+            (o.get("field", ""), bool(o.get("desc", False)))
+            for o in (d.get("orderBy") or [])
+        ],
+        functions=[
+            WindowFnSpec(
+                fn=f.get("fn", ""),
+                alias=f.get("alias", ""),
+                field=f.get("field", ""),
+                offset=int(f.get("offset", 1)),
+                n=int(f.get("n", 0)),
+            )
+            for f in (d.get("functions") or [])
+        ],
+        keep_top_n=int(d.get("keepTopN", 0)),
+    )
+
+
 def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
     """Parse + validate + default-fill a stream spec (reference NewSpec,
     entity/spec.go:55-73)."""
@@ -639,6 +735,7 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
         join=_parse_join(t.get("join")),
         deduplicate=_parse_dedup(t.get("deduplicate")),
         aggregate=_parse_aggregate(t.get("aggregate")),
+        window=_parse_window(t.get("window")),
         sql=t.get("sql", ""),
         custom_config=t.get("customConfig"),
     )
@@ -652,6 +749,8 @@ def parse_spec(spec_data: str | bytes | dict[str, Any]) -> Spec:
         transform.deduplicate.validate()
     if transform.aggregate is not None:
         transform.aggregate.validate()
+    if transform.window is not None:
+        transform.window.validate()
 
     spec = Spec(
         namespace=d.get("namespace", ""),

@@ -139,3 +139,67 @@ def test_json_schema_layer():
         parse_spec(base | {"opsPerEnv": {"prod": {"streamsPerPod": "two"}}})
     with pytest.raises(SpecError, match="schema violation"):
         parse_spec(base | {"transform": []})
+
+
+def _win_spec(window):
+    d = dict(MINIMAL)
+    d["transform"] = dict(MINIMAL["transform"], window=window)
+    return d
+
+
+def test_window_section_parses_and_validates():
+    spec = parse_spec(
+        _win_spec(
+            {
+                "partitionBy": ["uid"],
+                "orderBy": [{"field": "ts"}, {"field": "eid", "desc": True}],
+                "functions": [
+                    {"fn": "row_number", "alias": "rn"},
+                    {"fn": "lag", "field": "etype", "offset": 2, "alias": "p"},
+                    {"fn": "ntile", "n": 4, "alias": "q"},
+                ],
+                "keepTopN": 3,
+            }
+        )
+    )
+    w = spec.transform.window
+    assert w.partition_by == ["uid"]
+    assert w.order_by == [("ts", False), ("eid", True)]
+    assert [f.fn for f in w.functions] == ["row_number", "lag", "ntile"]
+    assert w.functions[1].offset == 2 and w.keep_top_n == 3
+
+
+def test_window_section_rejects_bad_shapes():
+    base = {
+        "partitionBy": ["uid"],
+        "orderBy": [{"field": "ts"}],
+        "functions": [{"fn": "row_number", "alias": "rn"}],
+    }
+    with pytest.raises(SpecError, match="partitionBy"):
+        parse_spec(_win_spec(dict(base, partitionBy=[])))
+    with pytest.raises(SpecError, match="orderBy"):
+        parse_spec(_win_spec(dict(base, orderBy=[])))
+    with pytest.raises(SpecError, match="unknown fn"):
+        parse_spec(
+            _win_spec(dict(base, functions=[{"fn": "median", "alias": "m"}]))
+        )
+    with pytest.raises(SpecError, match="requires a field"):
+        parse_spec(
+            _win_spec(dict(base, functions=[{"fn": "lag", "alias": "p"}]))
+        )
+    with pytest.raises(SpecError, match="duplicate alias"):
+        parse_spec(
+            _win_spec(
+                dict(
+                    base,
+                    functions=[
+                        {"fn": "row_number", "alias": "x"},
+                        {"fn": "rank", "alias": "x"},
+                    ],
+                )
+            )
+        )
+    with pytest.raises(SpecError, match="ntile"):
+        parse_spec(
+            _win_spec(dict(base, functions=[{"fn": "ntile", "alias": "q"}]))
+        )
