@@ -2207,6 +2207,22 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/bucketing.py
+    compact_plan + compact_summary) over a deterministic synthetic
+    file listing (one 'file' per document, dir = source)."""
+    from geist_spark.operators.bucketing import compact_plan, compact_summary
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("dir"),
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("path"),
+        (F.col("n_chars") * 7 + 100).alias("bytes"),
+    )
+    return compact_summary(compact_plan(files, target_bytes=4000))
+
+
 def a_spec_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-dialect `window` section (analytic functions): per-user
     (ts, eid)-ordered row_number / lag / decimal-exact running_sum,
@@ -2569,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "p_negatives": p_negatives,
         "a_spec_analytic_window": a_spec_analytic_window,
+        "p_compact_plan": p_compact_plan,
     }
 
 
@@ -4258,6 +4275,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, eid, rn, prev_type, cum_amount
             FROM wn WHERE rn <= 5
+        """,
+        # replays bucketing.compact_plan's exclusive-prefix-sum binning
+        "p_compact_plan": """
+            WITH files AS (
+                SELECT source AS dir,
+                       'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                           AS path,
+                       n_chars * 7 + 100 AS bytes_
+                FROM documents
+            ), plan AS (
+                SELECT dir, bytes_,
+                       coalesce(sum(bytes_) OVER (
+                           PARTITION BY dir ORDER BY path
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) // 4000 AS bin
+                FROM files
+            )
+            SELECT dir, CAST(bin AS BIGINT) AS bin,
+                   count(*) AS n_files, sum(bytes_) AS total_bytes
+            FROM plan GROUP BY dir, bin
         """,
     }
 

@@ -13,7 +13,7 @@ join keyed tables bucket-aligned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -121,3 +121,54 @@ def zorder_layout(
     keyed = df.withColumn("__z", zorder_key(bins, bits))
     n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
     return keyed.repartitionByRange(n, "__z").sortWithinPartitions("__z")
+
+
+def compact_plan(
+    files: DataFrame,
+    target_bytes: int,
+    dir_col: str = "dir",
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner (Iceberg/Delta binpack shape):
+    assign every file to a rewrite bin of ~target_bytes, per
+    directory/partition, with one deterministic rule:
+
+        bin = floor(exclusive_prefix_sum(bytes) / target_bytes)
+
+    over files ordered by path. Properties: deterministic under any
+    execution order, bins fill to >= target only when a single file
+    exceeds it (oversized files isolate naturally because the prefix
+    sum jumps past whole bins), and each bin's files are contiguous in
+    path order (rewrites stream sequentially).
+
+    This is a METADATA operator — one row per file, not per data row —
+    so the per-directory window is millions of rows at worst. The
+    partition key is the directory: exactly the grain real table
+    compaction rewrites at (cross-partition packing would break
+    partition pruning).
+
+    Output: (dir, path, bytes, bin).
+    """
+    w = Window.partitionBy(dir_col).orderBy(path_col)
+    eprefix = F.coalesce(
+        F.sum(bytes_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return files.select(
+        F.col(dir_col).alias("dir"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).alias("bytes"),
+        F.floor(eprefix / F.lit(target_bytes)).cast("long").alias("bin"),
+    )
+
+
+def compact_summary(plan: DataFrame) -> DataFrame:
+    """Rewrite-task summary per (dir, bin): file count + bytes — what
+    a compaction executor schedules one task per row of."""
+    return plan.groupBy("dir", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+    )

@@ -101,3 +101,31 @@ def test_zorder_layout_sorts_within_partitions(spark):
             prev = row["__z"]
         return iter([])
     out.select("__z").rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_compact_plan_bins_fill_to_target_and_isolate_oversized(spark):
+    from geist_spark.operators.bucketing import compact_plan, compact_summary
+
+    files = spark.createDataFrame(
+        [
+            ("d1", "a", 300),
+            ("d1", "b", 300),
+            ("d1", "c", 300),
+            ("d1", "d", 5000),  # oversized: must isolate
+            ("d1", "e", 300),
+            ("d2", "a", 100),
+        ],
+        "dir string, path string, bytes long",
+    )
+    plan = {r["path"]: r["bin"] for r in
+            compact_plan(files, 1000).filter("dir = 'd1'").collect()}
+    # a+b+c fill bin 0 (900 <= 1000); d starts at prefix 900 -> bin 0?
+    # no: floor(900/1000)=0, so d lands in bin 0 too but pushes the
+    # prefix to 5900 -> e lands in bin 5: oversized files end bins.
+    assert plan["a"] == plan["b"] == plan["c"] == 0
+    assert plan["e"] == 5
+    s = compact_summary(compact_plan(files, 1000))
+    rows = {(r["dir"], r["bin"]): r for r in s.collect()}
+    assert rows[("d2", 0)]["n_files"] == 1
+    total = sum(r["total_bytes"] for r in rows.values())
+    assert total == 300 * 4 + 5000 + 100  # every byte planned exactly once
