@@ -2207,6 +2207,55 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/quality.py
+    k_anonymity_report) over customer quasi-identifiers
+    (mktsegment, nationkey), sensitive = acctbal sign bucket."""
+    from geist_spark.operators.quality import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .otherwise(F.lit("pos"))
+        .alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        cust,
+        quasi_cols=["c_mktsegment", "c_nationkey"],
+        sensitive_col="bal_bucket",
+        k=10,
+    )
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance (relational.py mergeable_rollup +
+    merge_rollups): events split at a cutoff into two disjoint partial
+    states, merged — the oracle recomputes from scratch, proving
+    merge(state_old, state_new) == full recompute."""
+    from geist_spark.operators.relational import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "1997-06-01"
+    old = mergeable_rollup(
+        ev.filter(F.col("ts") < cutoff), keys=["event_type"]
+    )
+    new = mergeable_rollup(
+        ev.filter(F.col("ts") >= cutoff), keys=["event_type"]
+    )
+    merged = merge_rollups(["event_type"], old, new)
+    return merged.select(
+        "event_type",
+        "cnt",
+        F.col("sum_v").cast("double").alias("total"),
+        "min_ts",
+        "max_ts",
+    )
+
+
 def p_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (operators/bucketing.py
     compact_plan + compact_summary) over a deterministic synthetic
@@ -2586,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_negatives": p_negatives,
         "a_spec_analytic_window": a_spec_analytic_window,
         "p_compact_plan": p_compact_plan,
+        "q_k_anonymity": q_k_anonymity,
+        "q_incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -4275,6 +4326,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, eid, rn, prev_type, cum_amount
             FROM wn WHERE rn <= 5
+        """,
+        "q_k_anonymity": """
+            SELECT c_mktsegment, c_nationkey,
+                   count(*) AS class_size,
+                   count(*) >= 10 AS k_anonymous,
+                   count(DISTINCT CASE WHEN c_acctbal < 0
+                                       THEN 'neg' ELSE 'pos' END) >= 2
+                       AS l_diverse
+            FROM customer
+            GROUP BY c_mktsegment, c_nationkey
+        """,
+        # full recompute: proves merge(state_old, state_new) == scratch
+        "q_incremental_rollup": """
+            SELECT event_type, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events GROUP BY event_type
         """,
         # replays bucketing.compact_plan's exclusive-prefix-sum binning
         "p_compact_plan": """

@@ -167,3 +167,35 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         frac_ok.alias("pass_fraction"),
         (frac_ok >= F.col("min_frac")).alias("passed"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit: equivalence classes over the
+    quasi-identifier columns, flagging classes smaller than k
+    (k-anonymity) and — when a sensitive column is given — classes
+    with fewer than 2 distinct sensitive values (l-diversity floor:
+    everyone in the class shares the secret).
+
+    ONE aggregation on the quasi-identifier tuple computes class size
+    and distinct-sensitive count together (count_distinct is exact
+    here by design: a privacy audit must not approximate the thing it
+    certifies; the quasi-tuple cardinality, not the row count, bounds
+    the shuffle). Output is per-class, smallest first — the records a
+    release gate would suppress or generalize.
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    anon_ok = F.col("class_size") >= k
+    cols = [*quasi_cols, "class_size", anon_ok.alias("k_anonymous")]
+    if sensitive_col is not None:
+        cols.append((F.col("n_sensitive") >= 2).alias("l_diverse"))
+    return out.select(*cols)

@@ -1340,3 +1340,45 @@ def disjunctive_discount_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def mergeable_rollup(
+    events: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Partial-aggregate state for incremental rollup maintenance:
+    per key, (cnt, decimal-exact sum, min/max ts). Every column is a
+    MERGEABLE aggregate — two states over disjoint row sets combine
+    with merge_rollups into exactly the state a full recompute would
+    produce (the sum is decimal, so merge order is irrelevant).
+
+    This is the incremental-view-maintenance pattern at 100 TB: keep
+    the state table, roll each new partition/day into it, never rescan
+    history. (HLL/CMS/histogram sketch states from operators/sketch.py
+    compose the same way for distinct/frequency/quantile rollups.)
+    """
+    return events.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_v"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    )
+
+
+def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
+    """Combine mergeable_rollup states (disjoint or not — states are
+    partial aggregates, so re-aggregation is the merge). One shuffle
+    over state-table rows (key cardinality, not event cardinality)."""
+    if not states:
+        raise ValueError("need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+    )
