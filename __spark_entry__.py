@@ -2207,6 +2207,29 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal pipeline: binary media payloads ->
+    mapInPandas embedding stage (operators/multimodal.py embed_stub,
+    where a CLIP-style encoder slots in) -> hyperplane-LSH near-dup
+    pairs (operators/similarity.py). Exact-duplicate payloads land at
+    cosine 1.0; the md5 embedding arithmetic replays in SQL."""
+    from geist_spark.operators.multimodal import documents_as_media, embed_stub
+    from geist_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # re-upload simulation: every 10th payload appears again under a
+    # new media id — the pairs the pipeline must find
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    media = documents_as_media(docs.unionByName(dupes))
+    emb = embed_stub(media, dim=16)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.999, num_planes=4, dim=16
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (operators/quality.py
     k_anonymity_report) over customer quasi-identifiers
@@ -2637,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_compact_plan": p_compact_plan,
         "q_k_anonymity": q_k_anonymity,
         "q_incremental_rollup": q_incremental_rollup,
+        "m_embed_near_dup": m_embed_near_dup,
     }
 
 
@@ -4327,6 +4351,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT uid, eid, rn, prev_type, cum_amount
             FROM wn WHERE rn <= 5
         """,
+        "m_embed_near_dup": _media_embed_near_dup_oracle(
+            threshold=0.999, num_planes=4, dim=16
+        ),
         "q_k_anonymity": """
             SELECT c_mktsegment, c_nationkey,
                    count(*) AS class_size,
@@ -5215,6 +5242,50 @@ def _semantic_dedup_oracle(k: int, iters: int, dim: int, threshold: float) -> st
         FROM e LEFT JOIN labels l ON l.doc_id = e.vec_id
         """
     )
+
+
+def _media_embed_near_dup_oracle(
+    threshold: float, num_planes: int, dim: int
+) -> str:
+    """Replays multimodal.embed_stub (payload bytes = UTF-8 text, so
+    md5(payload) == md5(text); each component is exact n/2^31 - 1)
+    then the hyperplane-LSH near-dup bucket join."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    comps = ", ".join(
+        f"('0x' || substr(md5(md5(text) || '|{i}'), 1, 8))::BIGINT"
+        " / 2147483648.0 - 1.0"
+        for i in range(dim)
+    )
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0"
+            f" THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 10 = 0
+        ), e AS (
+            SELECT doc_id AS vec_id, [{comps}] AS v FROM docs
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
 
 
 def _near_dup_oracle(threshold: float, num_planes: int, dim: int) -> str:

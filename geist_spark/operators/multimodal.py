@@ -159,3 +159,51 @@ def decode_real(media: DataFrame) -> DataFrame:
         "use extract_media_features (deterministic stub) or run on a "
         "cluster with PIL/ffmpeg installed"
     )
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def embed_stub(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Media -> embedding plumbing: an Arrow-batched `mapInPandas`
+    stage mapping each binary payload to a dense vector, exactly where
+    a CLIP/CLAP-style encoder slots in on a GPU cluster (same schema,
+    same batch grain, same no-shuffle property).
+
+    The stand-in encoder is deterministic md5 arithmetic (dim values
+    in [-1, 1), each an exact n/2^31 - 1 with n < 2^32 — exact in
+    float64), so identical payloads get identical embeddings and the
+    whole media -> embed -> ANN chain has an exact SQL oracle. Output
+    columns are (vec_id, embedding) — directly consumable by every
+    operator in operators/similarity.py.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    ids.append(mid)
+                    vecs.append(None)
+                    continue
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                vecs.append(
+                    [
+                        int(
+                            hashlib.md5(f"{h}|{i}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        / 2**31
+                        - 1.0
+                        for i in range(dim)
+                    ]
+                )
+                ids.append(mid)
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return media.mapInPandas(run, EMBED_SCHEMA)
