@@ -2207,6 +2207,36 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-diff backfill planning (operators/integrity.py
+    partition_digests + backfill_plan): per-day digests of events vs a
+    deterministically perturbed copy (one day-class removed, one
+    relabeled, one shifted +10y = added) — the planner must emit
+    exactly the removed/changed/added/unchanged statuses."""
+    from geist_spark.operators.integrity import backfill_plan, partition_digests
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doy = F.dayofyear("ts")
+    changed = ev.withColumn(
+        "event_type",
+        F.when(
+            doy % 11 == 1, F.concat(F.col("event_type"), F.lit("_v2"))
+        ).otherwise(F.col("event_type")),
+    ).filter(doy % 11 != 0)
+    added = ev.filter(doy % 11 == 2).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3650 DAYS")
+    )
+    new_ev = changed.unionByName(added)
+
+    cols = ["event_id", "user_id", "event_type"]
+    part = F.to_date("ts").cast("string")
+    old_d = partition_digests(ev, part, cols)
+    new_d = partition_digests(new_ev, part, cols)
+    return backfill_plan(old_d, new_d)
+
+
 def m_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed multimodal pipeline: binary media payloads ->
     mapInPandas embedding stage (operators/multimodal.py embed_stub,
@@ -2661,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_anonymity": q_k_anonymity,
         "q_incremental_rollup": q_incremental_rollup,
         "m_embed_near_dup": m_embed_near_dup,
+        "q_backfill_plan": q_backfill_plan,
     }
 
 
@@ -4350,6 +4381,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, eid, rn, prev_type, cum_amount
             FROM wn WHERE rn <= 5
+        """,
+        # replays integrity.partition_digests + backfill_plan over the
+        # same perturbed copy of events
+        "q_backfill_plan": """
+            WITH ev AS (
+                SELECT event_id, user_id, event_type, ts FROM events
+            ), newev AS (
+                SELECT event_id, user_id,
+                       CASE WHEN dayofyear(ts) % 11 = 1
+                            THEN event_type || '_v2' ELSE event_type END
+                           AS event_type,
+                       ts
+                FROM ev WHERE dayofyear(ts) % 11 <> 0
+                UNION ALL
+                SELECT event_id, user_id, event_type,
+                       ts + INTERVAL 3650 DAY
+                FROM ev WHERE dayofyear(ts) % 11 = 2
+            ), od AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+                       count(*) AS n_rows,
+                       CAST(sum(('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(CAST(user_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(event_type, chr(0) || 'null')
+                       )), 1, 14))::BIGINT) AS VARCHAR) AS digest
+                FROM ev GROUP BY 1
+            ), nd AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+                       count(*) AS n_rows,
+                       CAST(sum(('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(CAST(user_id AS VARCHAR), chr(0) || 'null'),
+                           coalesce(event_type, chr(0) || 'null')
+                       )), 1, 14))::BIGINT) AS VARCHAR) AS digest
+                FROM newev GROUP BY 1
+            )
+            SELECT coalesce(o.part, n.part) AS part,
+                   o.n_rows AS old_rows, n.n_rows AS new_rows,
+                   CASE WHEN o.part IS NULL THEN 'added'
+                        WHEN n.part IS NULL THEN 'removed'
+                        WHEN o.digest = n.digest AND o.n_rows = n.n_rows
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM od o FULL OUTER JOIN nd n ON o.part = n.part
         """,
         "m_embed_near_dup": _media_embed_near_dup_oracle(
             threshold=0.999, num_planes=4, dim=16
