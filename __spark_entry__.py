@@ -2207,6 +2207,36 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative prep pipeline (compiler/pipeline.py): a JSON step
+    list — fixText -> exactDedup -> qualityFilter -> sourceQuota —
+    compiled into ONE lazy plan and run over a re-upload-perturbed
+    corpus (every 10th doc appears twice; exactDedup must collapse
+    them). Output: per-source survivor count + token total."""
+    from geist_spark.compiler.pipeline import compile_pipeline
+    from geist_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "fixText"},
+                {"op": "exactDedup"},
+                {"op": "qualityFilter", "minTokens": 20},
+                {"op": "sourceQuota", "maxDocsPerSource": 40},
+            ]
+        }
+    )
+    out = pipe(docs.unionByName(dupes))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+    )
+
+
 def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest-diff backfill planning (operators/integrity.py
     partition_digests + backfill_plan): per-day digests of events vs a
@@ -2692,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_rollup": q_incremental_rollup,
         "m_embed_near_dup": m_embed_near_dup,
         "q_backfill_plan": q_backfill_plan,
+        "p_spec_pipeline": p_spec_pipeline,
     }
 
 
@@ -4381,6 +4412,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT uid, eid, rn, prev_type, cum_amount
             FROM wn WHERE rn <= 5
+        """,
+        # replays the compiled pipeline step by step (fixText's
+        # mojibake replaces are no-ops on the clean corpus, so only
+        # its regex/trim stages appear; quota = md5(doc_id) order)
+        "p_spec_pipeline": f"""
+            WITH base AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, source FROM documents
+                WHERE doc_id % 10 = 0
+            ), fx AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(text,
+                           '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                           '[ \\t]{{2,}}', ' ', 'g')) AS text,
+                       source
+                FROM base
+            ), dd AS (
+                SELECT doc_id, text, source
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY md5(text) ORDER BY doc_id) AS dr
+                      FROM fx)
+                WHERE dr = 1
+            ), qf AS (
+                SELECT * FROM dd WHERE len({_TOKENS_SQL}) >= 20
+            ), sq AS (
+                SELECT doc_id, text, source
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ) AS qr FROM qf)
+                WHERE qr <= 40
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(len({_TOKENS_SQL})) AS total_tokens
+            FROM sq GROUP BY source
         """,
         # replays integrity.partition_digests + backfill_plan over the
         # same perturbed copy of events

@@ -1,0 +1,153 @@
+"""Declarative corpus-prep pipelines: a JSON step list compiled onto
+the prep/dedup/text operators, the same spec-first philosophy the
+reference applies to stream transforms (entity/spec.go's declared
+transform chain) extended to the batch training-data surface.
+
+A pipeline spec is:
+
+    {
+      "steps": [
+        {"op": "fixText"},
+        {"op": "exactDedup"},
+        {"op": "qualityFilter", "minTokens": 20, "maxTokens": 100000},
+        {"op": "lineDedup", "minDocFreq": 2, "minChars": 10},
+        {"op": "sourceQuota", "maxDocsPerSource": 40}
+      ]
+    }
+
+`compile_pipeline` validates the spec up front (unknown op / missing
+or invalid params raise SpecError BEFORE any Spark job runs) and
+returns a `DataFrame -> DataFrame` function whose steps compose into
+ONE lazy Catalyst plan — no materialization between steps, so column
+pruning and filter pushdown work across step boundaries.
+
+Every step preserves the input columns (doc_id, text, source, ...);
+steps only filter rows or rewrite the text column. Scale shape per
+step is the underlying operator's (documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from geist_spark.spec.model import SpecError
+
+Step = Callable[[DataFrame], DataFrame]
+
+
+def _fix_text(params: dict[str, Any]) -> Step:
+    from geist_spark.operators.text import fixed_text_col
+
+    def run(df: DataFrame) -> DataFrame:
+        return df.withColumn("text", fixed_text_col(F.col("text")))
+
+    return run
+
+
+def _exact_dedup(params: dict[str, Any]) -> Step:
+    # keep the lowest doc_id per exact content hash — one shuffle on
+    # md5(text) (uniform key), columns preserved
+    def run(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+            F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("__dr", F.row_number().over(w))
+            .filter(F.col("__dr") == 1)
+            .drop("__dr")
+        )
+
+    return run
+
+
+def _quality_filter(params: dict[str, Any]) -> Step:
+    lo = int(params.get("minTokens", 1))
+    hi = int(params.get("maxTokens", 1 << 31))
+    if lo < 0 or hi < lo:
+        raise SpecError("qualityFilter: need 0 <= minTokens <= maxTokens")
+
+    def run(df: DataFrame) -> DataFrame:
+        from geist_spark.operators.dedup import tokens
+
+        n = F.size(tokens(F.col("text")))
+        return df.filter((n >= lo) & (n <= hi))
+
+    return run
+
+
+def _line_dedup(params: dict[str, Any]) -> Step:
+    min_doc_freq = int(params.get("minDocFreq", 2))
+    min_chars = int(params.get("minChars", 10))
+    if min_doc_freq < 2:
+        raise SpecError("lineDedup: minDocFreq must be >= 2")
+
+    def run(df: DataFrame) -> DataFrame:
+        from geist_spark.operators.text import line_dedup
+
+        rebuilt = line_dedup(
+            df.select("doc_id", "text"),
+            min_doc_freq=min_doc_freq,
+            min_chars=min_chars,
+        ).select("doc_id", F.col("text").alias("__new_text"))
+        return (
+            df.join(rebuilt, "doc_id")
+            .withColumn("text", F.col("__new_text"))
+            .drop("__new_text")
+        )
+
+    return run
+
+
+def _source_quota(params: dict[str, Any]) -> Step:
+    cap = params.get("maxDocsPerSource")
+    if not isinstance(cap, int) or cap < 1:
+        raise SpecError("sourceQuota: maxDocsPerSource must be an int >= 1")
+    salt = str(params.get("salt", ""))
+
+    def run(df: DataFrame) -> DataFrame:
+        from geist_spark.operators.prep import source_quota
+
+        return source_quota(df, cap_per_source=cap, salt=salt)
+
+    return run
+
+
+_STEP_BUILDERS: dict[str, Callable[[dict[str, Any]], Step]] = {
+    "fixText": _fix_text,
+    "exactDedup": _exact_dedup,
+    "qualityFilter": _quality_filter,
+    "lineDedup": _line_dedup,
+    "sourceQuota": _source_quota,
+}
+
+
+def compile_pipeline(spec: dict[str, Any]) -> Step:
+    """Validate the pipeline spec and return the composed step
+    function. Raises SpecError on unknown ops or bad params (before
+    any Spark work)."""
+    if not isinstance(spec, dict) or not isinstance(spec.get("steps"), list):
+        raise SpecError("pipeline spec must be {'steps': [...]}")
+    if not spec["steps"]:
+        raise SpecError("pipeline requires at least one step")
+    steps: list[Step] = []
+    for i, s in enumerate(spec["steps"]):
+        if not isinstance(s, dict) or "op" not in s:
+            raise SpecError(f"pipeline step {i}: missing 'op'")
+        op = s["op"]
+        builder = _STEP_BUILDERS.get(op)
+        if builder is None:
+            raise SpecError(
+                f"pipeline step {i}: unknown op {op!r} "
+                f"(supported: {sorted(_STEP_BUILDERS)})"
+            )
+        steps.append(builder({k: v for k, v in s.items() if k != "op"}))
+
+    def run(df: DataFrame) -> DataFrame:
+        for st in steps:
+            df = st(df)
+        return df
+
+    return run

@@ -409,15 +409,21 @@ def fix_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
     Output: doc_id, fixed text, and a changed flag (computed in the
     same pass, no second scan).
     """
-    c = F.col(text_col)
-    for bad, good in MOJIBAKE_FIXES:
-        c = F.replace(c, F.lit(bad), F.lit(good))
-    # strip C0 controls except tab/newline, collapse space/tab runs
-    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
-    c = F.regexp_replace(c, "[ \\t]{2,}", " ")
-    c = F.trim(c)
+    c = fixed_text_col(F.col(text_col))
     return documents.select(
         "doc_id",
         c.alias("text"),
         (c != F.col(text_col)).alias("changed"),
     )
+
+
+def fixed_text_col(c: "F.Column") -> "F.Column":
+    """The fix_text repair chain as a reusable column expression
+    (used in-place by the declarative prep pipeline so other columns
+    survive the step)."""
+    for bad, good in MOJIBAKE_FIXES:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    # strip C0 controls except tab/newline, collapse space/tab runs
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t]{2,}", " ")
+    return F.trim(c)

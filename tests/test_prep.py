@@ -991,3 +991,50 @@ def test_shard_export_deterministic_and_prunable(spark, tmp_path):
     man2 = {r["shard"]: r["content_digest"] for r in
             shard_manifest(df.repartition(13), "doc_id", 8).collect()}
     assert man2 == {s: m["content_digest"] for s, m in man.items()}
+
+
+def test_pipeline_spec_validation_errors(spark):
+    import pytest as _pytest
+
+    from geist_spark.compiler.pipeline import compile_pipeline
+    from geist_spark.spec.model import SpecError
+
+    with _pytest.raises(SpecError, match="at least one step"):
+        compile_pipeline({"steps": []})
+    with _pytest.raises(SpecError, match="unknown op"):
+        compile_pipeline({"steps": [{"op": "frobnicate"}]})
+    with _pytest.raises(SpecError, match="missing 'op'"):
+        compile_pipeline({"steps": [{"minTokens": 3}]})
+    with _pytest.raises(SpecError, match="maxDocsPerSource"):
+        compile_pipeline({"steps": [{"op": "sourceQuota"}]})
+    with _pytest.raises(SpecError, match="minTokens"):
+        compile_pipeline(
+            {"steps": [{"op": "qualityFilter", "minTokens": 9, "maxTokens": 3}]}
+        )
+
+
+def test_pipeline_composes_lazily_and_preserves_columns(spark):
+    from geist_spark.compiler.pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma delta", "s1"),  # exact dup of 1
+            (3, "too short", "s1"),
+            (4, "one two three four five six", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "exactDedup"},
+                {"op": "qualityFilter", "minTokens": 4},
+                {"op": "sourceQuota", "maxDocsPerSource": 5},
+            ]
+        }
+    )
+    out = pipe(df)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    rows = {r["doc_id"] for r in out.collect()}
+    assert rows == {1, 4}  # dup 2 collapsed to 1; 3 fails min tokens
