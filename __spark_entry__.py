@@ -2207,6 +2207,24 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold assignment (operators/split.py kfold_split)
+    keyed by minhash near-dup cluster representative; per-fold doc and
+    token totals."""
+    from geist_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs, tokens
+    from geist_spark.operators.split import kfold_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    )
+    out = kfold_split(docs, k=5, clusters=clusters)
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+    )
+
+
 def p_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative prep pipeline (compiler/pipeline.py): a JSON step
     list — fixText -> exactDedup -> qualityFilter -> sourceQuota —
@@ -2723,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_embed_near_dup": m_embed_near_dup,
         "q_backfill_plan": q_backfill_plan,
         "p_spec_pipeline": p_spec_pipeline,
+        "p_kfold": p_kfold,
     }
 
 
@@ -4392,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "p_negatives": _negatives_oracle(
             num_hashes=16, bands=4, k=3, oversample=3
         ),
+        "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         "a_spec_analytic_window": """
             WITH base AS (
                 SELECT event_id AS eid, user_id AS uid,
@@ -4939,6 +4959,38 @@ def _negatives_oracle(
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY anchor_id ORDER BY j) AS rn FROM flt)
         WHERE rn <= {k}
+    """
+
+
+def _kfold_oracle(num_hashes: int, bands: int, k: int, salt: str = "fold") -> str:
+    """Replays split.kfold_split keyed by the recursive-CTE cluster
+    representative, plus the per-fold token totals."""
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        folded AS (
+            SELECT d.text,
+                   CAST(('0x' || substr(md5('{salt}|' || CAST(
+                       coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                       )::BIGINT % {k} AS INT) AS fold
+            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        )
+        SELECT fold, count(*) AS n_docs,
+               sum(len({_TOKENS_SQL})) AS total_tokens
+        FROM folded GROUP BY fold
     """
 
 

@@ -342,3 +342,42 @@ def sample_negatives(
         .filter(F.col("slot") <= k)
         .select("anchor_id", "neg_id", "slot")
     )
+
+
+def kfold_split(
+    docs: DataFrame,
+    k: int = 5,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5(salt|key) % k,
+    where key is the near-dup CLUSTER representative when `clusters`
+    is given (whole clusters land in one fold — the same leakage
+    guard as leakage_safe_split, because a near-dup of a training doc
+    sitting in the validation fold inflates every metric it touches).
+
+    Zero-shuffle projection without clusters; one left join against
+    the (near-dup docs only) label table with them. Invariant to
+    partitioning, order, and engine — folds are a pure function of
+    ids. Output: input columns + fold (int in [0, k))."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    key = F.col(id_col).cast("string")
+    out = docs
+    if clusters is not None:
+        lab = clusters.select(
+            F.col("doc_id").alias("__l_id"), F.col("cluster_id").alias("__l_cl")
+        )
+        out = out.join(lab, out[id_col] == lab.__l_id, "left")
+        key = F.coalesce(F.col("__l_cl"), F.col(id_col)).cast("string")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % k
+    ).cast("int")
+    out = out.withColumn("fold", fold)
+    if clusters is not None:
+        out = out.drop("__l_id", "__l_cl")
+    return out
