@@ -2207,6 +2207,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan corpus datasheet (operators/prep.py
+    corpus_datasheet): GROUPING SETS over (), (lang), (source)."""
+    from geist_spark.operators.prep import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def p_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe k-fold assignment (operators/split.py kfold_split)
     keyed by minhash near-dup cluster representative; per-fold doc and
@@ -2742,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_backfill_plan": q_backfill_plan,
         "p_spec_pipeline": p_spec_pipeline,
         "p_kfold": p_kfold,
+        "p_corpus_datasheet": p_corpus_datasheet,
     }
 
 
@@ -4412,6 +4421,24 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        "p_corpus_datasheet": f"""
+            WITH base AS (
+                SELECT lang, source,
+                       len({_TOKENS_SQL}) AS tok,
+                       strlen(text) AS chr_, md5(text) AS h
+                FROM documents
+            )
+            SELECT CASE WHEN lang IS NOT NULL THEN 'lang'
+                        WHEN source IS NOT NULL THEN 'source'
+                        ELSE 'all' END AS metric,
+                   coalesce(lang, source, '*') AS dimension,
+                   count(*) AS n_docs,
+                   sum(tok) AS n_tokens,
+                   sum(chr_) AS n_chars,
+                   count(DISTINCT h) AS n_distinct_texts
+            FROM base
+            GROUP BY GROUPING SETS ((), (lang), (source))
+        """,
         "a_spec_analytic_window": """
             WITH base AS (
                 SELECT event_id AS eid, user_id AS uid,

@@ -443,3 +443,50 @@ def threshold_sweep(
             .alias("metric_mass"),
         )
     )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """Corpus datasheet ("data card") in long format: global totals
+    plus per-language and per-source breakdowns, computed in ONE scan
+    via GROUPING SETS ((), (lang), (source)) — one shuffle carries all
+    three grains as partial aggregates, where three separate
+    aggregations would re-read 100 TB three times.
+
+    Output rows: (metric, dimension, n_docs, n_tokens, n_chars,
+    n_distinct_texts). metric is 'all' | 'lang' | 'source';
+    n_distinct_texts at the 'all' grain exposes the exact-dup count
+    without a second job (count_distinct of md5 — exact by design, a
+    datasheet is an audit artifact).
+    """
+    from geist_spark.operators.dedup import tokens
+
+    base = documents.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("__tok"),
+        F.length("text").alias("__chr"),
+        F.md5(F.col("text")).alias("__h"),
+    )
+    gs = base.groupingSets(
+        [[], [F.col("lang")], [F.col("source")]], "lang", "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__chr").alias("n_chars"),
+        F.count_distinct(F.col("__h")).alias("n_distinct_texts"),
+    )
+    metric = (
+        F.when(F.col("lang").isNotNull(), F.lit("lang"))
+        .when(F.col("source").isNotNull(), F.lit("source"))
+        .otherwise(F.lit("all"))
+    )
+    return gs.select(
+        metric.alias("metric"),
+        F.coalesce(F.col("lang"), F.col("source"), F.lit("*")).alias(
+            "dimension"
+        ),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_distinct_texts",
+    )
