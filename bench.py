@@ -9,10 +9,16 @@ Each query is materialized with a noop write (full execution, no
 driver-side collect cost). A short warmup query primes the JVM/codegen
 before timing.
 
-Per-query time is the BEST of $SPARK_GRAFT_BENCH_RUNS runs (default 2):
-single cold numbers on a shared host swing 2-15x with page-cache and
-CPU contention (round-1 g_timeconv: 17.7 s cold vs 3.2 s warm on an
-identical plan), so best-of-N measures the plan, not the host.
+Per-query time is the BEST of up to $SPARK_GRAFT_BENCH_RUNS runs
+(default 2): single cold numbers on a shared host swing 2-15x with
+page-cache and CPU contention (round-1 g_timeconv: 17.7 s cold vs
+3.2 s warm on an identical plan), so best-of-N measures the plan, not
+the host. With 130+ queries a full second pass could outrun the
+harness timeout, so re-runs are TIME-BUDGETED
+($SPARK_GRAFT_BENCH_BUDGET_S, default 420 s for the re-run phase):
+pass 1 times every query once, then pass 2 re-runs queries in
+descending pass-1 time (cold-start noise shows up as a big t1, so the
+noisiest candidates get re-measured first) until the budget runs out.
 """
 
 from __future__ import annotations
@@ -42,19 +48,36 @@ def main() -> int:
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        best = -1.0
+
+    def run_once(name: str) -> float:
         try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            timings[name] = round(best, 3)
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            return time.perf_counter() - t0
         except Exception as e:  # a failing query must not hide the rest
-            timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+            return -1.0
+
+    for name in qs:
+        timings[name] = round(run_once(name), 3)
+
+    # re-run phase: noisiest-first (big t1 = cold-start suspect),
+    # bounded by the wall budget so the gate always completes
+    rerun_t0 = time.perf_counter()
+    order = sorted(
+        (n for n, t in timings.items() if t >= 0),
+        key=lambda n: -timings[n],
+    )
+    for _ in range(runs - 1):
+        for name in order:
+            if time.perf_counter() - rerun_t0 > budget_s:
+                break
+            dt = run_once(name)
+            if dt >= 0:
+                timings[name] = round(min(timings[name], dt), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -289,6 +289,29 @@ class Engine:
     def metrics(self, stream_id: str) -> Metrics:
         return self._streams[stream_id].metrics
 
+
+    def metrics_df(self) -> DataFrame:
+        """All stream counters as a DataFrame (one row per registered
+        stream) so operational monitoring is plain SQL over the same
+        engine — the geist Metrics surface (geist.go Metrics())
+        re-expressed Spark-first. Counters are driver-side ints; the
+        frame is literal-backed (no job runs to build it)."""
+        from dataclasses import asdict
+
+        rows = []
+        for sid, st in self._streams.items():
+            d = asdict(st.metrics)
+            d["stream_id"] = sid
+            rows.append(d)
+        from geist_spark.engine.metrics import Metrics as _M
+
+        cols = ["stream_id", *[f for f in asdict(_M())]]
+        schema = "stream_id string, " + ", ".join(
+            f"{c} long" for c in cols[1:]
+        )
+        data = [tuple(r[c] for c in cols) for r in rows]
+        return self.spark.createDataFrame(data, schema)
+
     def entities(self) -> dict[str, dict[str, bool]]:
         """Registered entity types per kind (reference geist.Entities,
         geist.go:205-209): {"extractor": {...}, "loader": {...}}."""

@@ -439,3 +439,34 @@ def test_full_lifecycle_metrics_goldens(spark, tmp_path):
     # all_metrics covers every live stream
     assert a in eng.all_metrics() and b not in eng.all_metrics()
     eng.shutdown()
+
+
+def test_metrics_df_one_row_per_stream(spark):
+    from geist_spark import Engine
+
+    eng = Engine(spark)
+    spec = {
+        "namespace": "mx",
+        "streamIdSuffix": "one",
+        "version": 1,
+        "description": "metrics frame",
+        "source": {"type": "geistapi"},
+        "transform": {
+            "extractFields": [{"fields": [{"id": "v", "jsonPath": "v"}]}]
+        },
+        "sink": {"type": "void"},
+    }
+    sid = eng.register_stream(spec)
+    eng.publish(sid, '{"v": "a"}')
+    eng.publish(sid, '{"v": "b"}')
+    df = eng.metrics_df()
+    rows = {r["stream_id"]: r for r in df.collect()}
+    assert sid in rows
+    assert rows[sid]["events_processed"] == 2
+    assert rows[sid]["events_failed"] == 0
+    # SQL over the metrics surface works like any table
+    df.createOrReplaceTempView("geist_metrics")
+    n = spark.sql(
+        "SELECT sum(events_processed) AS n FROM geist_metrics"
+    ).collect()[0]["n"]
+    assert n >= 2
