@@ -2439,7 +2439,7 @@ def a_spec_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id",
                 "event_type",
                 "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
             )
         ).alias("value")
     )
@@ -4428,10 +4428,14 @@ def oracle_sql() -> dict[str, str]:
                        strlen(text) AS chr_, md5(text) AS h
                 FROM documents
             )
-            SELECT CASE WHEN lang IS NOT NULL THEN 'lang'
-                        WHEN source IS NOT NULL THEN 'source'
+            SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                        WHEN GROUPING(source) = 0 THEN 'source'
                         ELSE 'all' END AS metric,
-                   coalesce(lang, source, '*') AS dimension,
+                   CASE WHEN GROUPING(lang) = 0
+                            THEN coalesce(lang, '<null>')
+                        WHEN GROUPING(source) = 0
+                            THEN coalesce(source, '<null>')
+                        ELSE '*' END AS dimension,
                    count(*) AS n_docs,
                    sum(tok) AS n_tokens,
                    sum(chr_) AS n_chars,
@@ -4973,14 +4977,18 @@ def _negatives_oracle(
             FROM documents d,
                  unnest(generate_series(0, {k * oversample - 1})) AS t(j)
         ),
+        dedup AS (
+            SELECT anchor_id, cand, min(j) AS j
+            FROM probes WHERE cand <> anchor_id
+            GROUP BY anchor_id, cand
+        ),
         flt AS (
             SELECT p.anchor_id, p.j, p.cand
-            FROM probes p
+            FROM dedup p
             LEFT JOIN labels la ON la.doc_id = p.anchor_id
             LEFT JOIN labels lc ON lc.doc_id = p.cand
-            WHERE p.cand <> p.anchor_id
-              AND (la.cluster_id IS NULL OR lc.cluster_id IS NULL
-                   OR la.cluster_id <> lc.cluster_id)
+            WHERE la.cluster_id IS NULL OR lc.cluster_id IS NULL
+               OR la.cluster_id <> lc.cluster_id
         )
         SELECT anchor_id, cand AS neg_id, CAST(rn AS INT) AS slot
         FROM (SELECT *, row_number() OVER (

@@ -157,11 +157,17 @@ def compact_plan(
         ),
         F.lit(0),
     )
+    t = F.lit(int(target_bytes))
+    # exact integer floor division (subtract-pmod form, like
+    # graph._floordiv): floor(double-division) can land in the
+    # adjacent bin once per-dir prefix sums push quotients within an
+    # ulp of an integer — the oracle's integer // never does
+    bin_ = ((eprefix - F.pmod(eprefix, t)) / t).cast("long")
     return files.select(
         F.col(dir_col).alias("dir"),
         F.col(path_col).alias("path"),
         F.col(bytes_col).alias("bytes"),
-        F.floor(eprefix / F.lit(target_bytes)).cast("long").alias("bin"),
+        bin_.alias("bin"),
     )
 
 

@@ -470,21 +470,33 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
     gs = base.groupingSets(
         [[], [F.col("lang")], [F.col("source")]], "lang", "source"
     ).agg(
+        F.grouping("lang").alias("__g_lang"),
+        F.grouping("source").alias("__g_source"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
         F.sum("__chr").alias("n_chars"),
         F.count_distinct(F.col("__h")).alias("n_distinct_texts"),
     )
+    # classify by GROUPING membership, not by value nullness: a data
+    # row with lang=NULL (common in crawl corpora) must land in the
+    # 'lang' breakdown as dimension '<null>', never masquerade as the
+    # global-totals row
     metric = (
-        F.when(F.col("lang").isNotNull(), F.lit("lang"))
-        .when(F.col("source").isNotNull(), F.lit("source"))
+        F.when(F.col("__g_lang") == 0, F.lit("lang"))
+        .when(F.col("__g_source") == 0, F.lit("source"))
         .otherwise(F.lit("all"))
+    )
+    dim = (
+        F.when(F.col("__g_lang") == 0, F.coalesce(F.col("lang"), F.lit("<null>")))
+        .when(
+            F.col("__g_source") == 0,
+            F.coalesce(F.col("source"), F.lit("<null>")),
+        )
+        .otherwise(F.lit("*"))
     )
     return gs.select(
         metric.alias("metric"),
-        F.coalesce(F.col("lang"), F.col("source"), F.lit("*")).alias(
-            "dimension"
-        ),
+        dim.alias("dimension"),
         "n_docs",
         "n_tokens",
         "n_chars",

@@ -185,8 +185,9 @@ def k_anonymity_report(
     and distinct-sensitive count together (count_distinct is exact
     here by design: a privacy audit must not approximate the thing it
     certifies; the quasi-tuple cardinality, not the row count, bounds
-    the shuffle). Output is per-class, smallest first — the records a
-    release gate would suppress or generalize.
+    the shuffle). Output is per-class, smallest classes first (the
+    rows a release gate would suppress or generalize come first; the
+    sort runs over the already-reduced class table, not the input).
     """
     aggs = [F.count(F.lit(1)).alias("class_size")]
     if sensitive_col is not None:
@@ -198,4 +199,7 @@ def k_anonymity_report(
     cols = [*quasi_cols, "class_size", anon_ok.alias("k_anonymous")]
     if sensitive_col is not None:
         cols.append((F.col("n_sensitive") >= 2).alias("l_diverse"))
-    return out.select(*cols)
+    order = [F.col("class_size").asc()] + [
+        F.col(c).asc() for c in quasi_cols
+    ]
+    return out.select(*cols).orderBy(*order)

@@ -319,6 +319,12 @@ def sample_negatives(
     probes = probes.select("anchor_id", "j", cand.alias("neg_id")).filter(
         F.col("neg_id") != F.col("anchor_id")
     )
+    # independent probes can collide on the same candidate (~k^2/n of
+    # anchors at small n); keep one row per (anchor, candidate) at its
+    # earliest probe index so the k slots are k DISTINCT negatives
+    probes = probes.groupBy("anchor_id", "neg_id").agg(
+        F.min("j").alias("j")
+    )
     if clusters is not None:
         la = clusters.select(
             F.col("doc_id").alias("__a_id"), F.col("cluster_id").alias("__a_cl")

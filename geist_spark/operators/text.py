@@ -321,11 +321,14 @@ def line_dedup(
     Output: doc_id, text (deduped), n_lines_kept, n_lines_dropped.
     """
     norm = lambda c: F.lower(F.trim(c))  # noqa: E731
+    # NULL text is treated as empty: split(NULL) is NULL and posexplode
+    # would emit no rows, silently dropping the doc — violating the
+    # every-doc-survives contract below
     lines = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), F.lit(sep), -1)).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), F.lit(sep), -1)
+        ).alias("pos", "line"),
     )
     eligible = F.length(norm(F.col("line"))) >= min_chars
     dup_keys = (

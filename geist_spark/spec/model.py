@@ -390,6 +390,11 @@ class WindowSpec:
     keep_top_n: int = 0  # optional: keep the first N rows per key
 
     def validate(self) -> None:
+        if self.keep_top_n < 0:
+            raise SpecError(
+                "window.keepTopN must be >= 0 (a negative value would "
+                "silently drop every row)"
+            )
         if not self.functions and not self.keep_top_n:
             raise SpecError("window requires functions and/or keepTopN")
         if not self.order_by:

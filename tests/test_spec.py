@@ -203,3 +203,17 @@ def test_window_section_rejects_bad_shapes():
         parse_spec(
             _win_spec(dict(base, functions=[{"fn": "ntile", "alias": "q"}]))
         )
+
+
+def test_window_rejects_negative_keep_top_n():
+    with pytest.raises(SpecError, match="keepTopN"):
+        parse_spec(
+            _win_spec(
+                {
+                    "partitionBy": ["uid"],
+                    "orderBy": [{"field": "ts"}],
+                    "functions": [{"fn": "row_number", "alias": "rn"}],
+                    "keepTopN": -1,
+                }
+            )
+        )

@@ -160,3 +160,19 @@ def test_pagerank_partition_invariant_and_mass_bounded(spark):
     assert r1[0] > r1[4]
     # total mass stays at/below the scale grid (floor losses only)
     assert 0 < sum(r1.values()) <= PR_SCALE
+
+
+def test_line_dedup_null_text_doc_survives(spark):
+    from geist_spark.operators.text import line_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "shared boilerplate line\nkeep this sentence here"),
+            (2, "shared boilerplate line\nkeep this other sentence"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    assert set(out) == {1, 2, 3}  # NULL-text doc must not vanish
+    assert out[3]["text"] == "" and out[3]["n_lines_dropped"] == 0
