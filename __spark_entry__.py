@@ -2207,6 +2207,16 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/text.py inverted_index):
+    exact df + capped sorted postings per term."""
+    from geist_spark.operators.text import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_postings=20
+    )
+
+
 def p_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan corpus datasheet (operators/prep.py
     corpus_datasheet): GROUPING SETS over (), (lang), (source)."""
@@ -2751,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_spec_pipeline": p_spec_pipeline,
         "p_kfold": p_kfold,
         "p_corpus_datasheet": p_corpus_datasheet,
+        "t_inverted_index": t_inverted_index,
     }
 
 
@@ -4421,6 +4432,18 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        "t_inverted_index": f"""
+            WITH td AS (
+                SELECT DISTINCT doc_id, t.term
+                FROM documents,
+                     unnest(list_distinct({_TOKENS_SQL})) AS t(term)
+                WHERE t.term <> ''
+            )
+            SELECT term, count(*) AS df,
+                   array_to_string(
+                       (list_sort(list(doc_id)))[1:20], ',') AS postings
+            FROM td GROUP BY term HAVING count(*) >= 2
+        """,
         "p_corpus_datasheet": f"""
             WITH base AS (
                 SELECT lang, source,
