@@ -2207,6 +2207,33 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_weak_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak supervision (operators/classify.py
+    weak_label): four keyword labeling functions voting tech vs
+    business, majority with deterministic abstain on ties."""
+    from geist_spark.operators.classify import weak_label
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weak_label(
+        docs,
+        rules=[
+            ("has_spark", F.col("text").contains("spark"), "tech"),
+            ("has_table", F.col("text").contains("table"), "tech"),
+            ("has_customer", F.col("text").contains("customer"), "business"),
+            ("has_order", F.col("text").contains("order"), "business"),
+        ],
+    )
+    return out.select(
+        "doc_id",
+        "weak_label",
+        "n_votes",
+        "lf_has_spark",
+        "lf_has_table",
+        "lf_has_customer",
+        "lf_has_order",
+    )
+
+
 def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (operators/text.py inverted_index):
     exact df + capped sorted postings per term."""
@@ -2762,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_kfold": p_kfold,
         "p_corpus_datasheet": p_corpus_datasheet,
         "t_inverted_index": t_inverted_index,
+        "t_weak_label": t_weak_label,
     }
 
 
@@ -4432,6 +4460,32 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        # replays classify.weak_label's vote/tie/abstain logic
+        "t_weak_label": """
+            WITH lf AS (
+                SELECT doc_id,
+                       text LIKE '%spark%' AS lf_has_spark,
+                       text LIKE '%table%' AS lf_has_table,
+                       text LIKE '%customer%' AS lf_has_customer,
+                       text LIKE '%order%' AS lf_has_order
+                FROM documents
+            ), v AS (
+                SELECT *,
+                       CAST(lf_has_spark AS INT)
+                       + CAST(lf_has_table AS INT) AS v_tech,
+                       CAST(lf_has_customer AS INT)
+                       + CAST(lf_has_order AS INT) AS v_business
+                FROM lf
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(v_tech, v_business) <= 0 THEN 'abstain'
+                        WHEN v_tech = v_business THEN 'abstain'
+                        WHEN v_business > v_tech THEN 'business'
+                        ELSE 'tech' END AS weak_label,
+                   CAST(greatest(v_tech, v_business) AS INT) AS n_votes,
+                   lf_has_spark, lf_has_table, lf_has_customer, lf_has_order
+            FROM v
+        """,
         "t_inverted_index": f"""
             WITH td AS (
                 SELECT DISTINCT doc_id, t.term

@@ -238,3 +238,64 @@ def hashed_linear_score(
         score.alias("score_fx"),
         (score > 0).alias("predicted"),
     )
+
+
+def weak_label(
+    df: DataFrame,
+    rules: list[tuple[str, Column, str]],
+    abstain: str = "abstain",
+) -> DataFrame:
+    """Snorkel-style weak supervision: apply N labeling functions
+    (each a boolean Column expression voting for a label, or
+    abstaining when false) and resolve by majority vote —
+    deterministic tiebreak on label name, `abstain` when nothing
+    fires or the vote ties across different labels... the standard
+    programmatic-labeling pass that bootstraps classifier training
+    sets from rules at corpus scale.
+
+    rules: [(rule_name, predicate_column, label)].
+
+    Everything compiles to conditional expressions in ONE projection —
+    no shuffle, no Python, adding a rule adds a column not a pass —
+    then a per-row argmax over the (tiny, fixed) label set. Output:
+    input columns + weak_label + n_votes + per-rule vote flags
+    (`lf_<rule_name>`), the audit trail label-model training reads.
+    """
+    if not rules:
+        raise ValueError("need at least one labeling rule")
+    labels = sorted({lab for _, _, lab in rules})
+    out = df
+    for name, pred, _lab in rules:
+        out = out.withColumn(f"lf_{name}", pred.cast("boolean"))
+    # votes per label: sum of fired rules voting for it
+    per_label = [
+        sum(
+            (F.col(f"lf_{name}").cast("int") for name, _p, lab2 in rules if lab2 == lab),
+            F.lit(0),
+        ).alias(f"__votes_{lab}")
+        for lab in labels
+    ]
+    out = out.select("*", *per_label)
+    best = F.greatest(*[F.col(f"__votes_{lab}") for lab in labels])
+    # winner = lexicographically FIRST label reaching the max vote
+    # count (deterministic); ties between DIFFERENT labels with equal
+    # max votes resolve to that first label only if unique, else the
+    # tie stands — detect ties by counting labels at max
+    n_at_max = sum(
+        ((F.col(f"__votes_{lab}") == best).cast("int") for lab in labels),
+        F.lit(0),
+    )
+    winner = F.lit(abstain)
+    for lab in reversed(labels):
+        winner = F.when(F.col(f"__votes_{lab}") == best, F.lit(lab)).otherwise(
+            winner
+        )
+    label = (
+        F.when(best <= 0, F.lit(abstain))
+        .when(n_at_max > 1, F.lit(abstain))
+        .otherwise(winner)
+    )
+    out = out.withColumn("weak_label", label).withColumn(
+        "n_votes", best.cast("int")
+    )
+    return out.drop(*[f"__votes_{lab}" for lab in labels])
