@@ -2207,6 +2207,53 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training export in ONE lazy plan: declarative prep
+    (qualityFilter -> exactDedup via compiler/pipeline.py) ->
+    token-budget sequence packing -> deterministic shard assignment of
+    bins -> per-shard export summary. The composition a training job
+    consumes: shards are stable under re-runs (md5 of (source,bin)),
+    bins are a pure function of the data."""
+    from geist_spark.compiler.pipeline import compile_pipeline
+    from geist_spark.operators.prep import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "qualityFilter", "minTokens": 20},
+                {"op": "exactDedup"},
+            ]
+        }
+    )
+    bins = pack_sequences(pipe(docs), budget_tokens=512)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("source"), F.col("bin_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    ).cast("int")
+    return (
+        bins.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def t_weak_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snorkel-style weak supervision (operators/classify.py
     weak_label): four keyword labeling functions voting tech vs
@@ -2790,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_corpus_datasheet": p_corpus_datasheet,
         "t_inverted_index": t_inverted_index,
         "t_weak_label": t_weak_label,
+        "p_training_export": p_training_export,
     }
 
 
@@ -4460,6 +4508,41 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        # replays the export chain: quality gate -> exact dedup ->
+        # token-budget packing -> md5 shard of (source, bin)
+        "p_training_export": f"""
+            WITH qf AS (
+                SELECT doc_id, text, source FROM documents
+                WHERE len({_TOKENS_SQL}) >= 20
+            ), dd AS (
+                SELECT doc_id, text, source
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY md5(text) ORDER BY doc_id) AS dr
+                      FROM qf)
+                WHERE dr = 1
+            ), tok AS (
+                SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens
+                FROM dd
+            ), binned AS (
+                SELECT source, doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) // 512 AS bin_id
+                FROM tok
+            ), bins AS (
+                SELECT source, bin_id, count(*) AS n_docs,
+                       sum(n_tokens) AS total_tokens
+                FROM binned GROUP BY source, bin_id
+            )
+            SELECT CAST(('0x' || substr(md5(source || '|'
+                        || CAST(bin_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                        AS INT) AS shard,
+                   count(*) AS n_bins,
+                   sum(n_docs) AS n_docs,
+                   sum(total_tokens) AS total_tokens
+            FROM bins GROUP BY 1
+        """,
         # replays classify.weak_label's vote/tie/abstain logic
         "t_weak_label": """
             WITH lf AS (
