@@ -2207,6 +2207,19 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration bins (operators/classify.py calibration_bins) of
+    the integer linear probe: fixed-width exact-integer score bins,
+    per-bin positives and rate."""
+    from geist_spark.operators.classify import calibration_bins, linear_score_fx
+
+    scored = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("int").alias("is_pos"),
+        linear_score_fx(F.col("embedding"), _PROBE_WEIGHTS).alias("score"),
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
 def p_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training export in ONE lazy plan: declarative prep
     (qualityFilter -> exactDedup via compiler/pipeline.py) ->
@@ -2838,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_inverted_index": t_inverted_index,
         "t_weak_label": t_weak_label,
         "p_training_export": p_training_export,
+        "q_eval_calibration": q_eval_calibration,
     }
 
 
@@ -4508,6 +4522,33 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        # replays calibration_bins' exact-integer fixed-width binning
+        # over the same probe scores as q_eval_auc
+        "q_eval_calibration": f"""
+            WITH fx AS (
+                SELECT label,
+                       [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                        for x in embedding] AS fx,
+                       {list(_PROBE_WEIGHTS)} AS w
+                FROM embeddings
+            ), sc AS (
+                SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS is_pos,
+                       CAST(list_sum([fx[i] * w[i]
+                                      for i in generate_series(1, 64)])
+                            AS BIGINT) AS score
+                FROM fx
+            ), rng AS (
+                SELECT min(score) AS lo, max(score) AS hi FROM sc
+            )
+            SELECT CAST(((score - lo) * 10) // (hi - lo + 1) AS BIGINT)
+                       AS bin,
+                   count(*) AS n,
+                   CAST(sum(is_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(is_pos) AS DOUBLE) / count(*) AS pos_rate,
+                   min(score) AS lo_score,
+                   max(score) AS hi_score
+            FROM sc, rng GROUP BY 1
+        """,
         # replays the export chain: quality gate -> exact dedup ->
         # token-budget packing -> md5 shard of (source, bin)
         "p_training_export": f"""

@@ -299,3 +299,45 @@ def weak_label(
         "n_votes", best.cast("int")
     )
     return out.drop(*[f"__votes_{lab}" for lab in labels])
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """Reliability-diagram data: fixed-width score bins with per-bin
+    count, positives, and positive rate — the calibration readout next
+    to grouped_auc's ranking readout.
+
+    Deliberately NOT equal-count (ntile) bins: a global ntile is a
+    single-partition sort of every row — the exact anti-pattern the
+    window-spec validator refuses. Fixed-width binning is a 1-row
+    min/max aggregate broadcast back plus a map-side bin expression
+    and ONE groupBy(bin): the same cost as any histogram at 100 TB.
+    Bin ids are exact integer arithmetic ((score-lo)*n // span), so
+    the oracle replays them bit-for-bit; pos_rate is one int/int
+    double division.
+    """
+    rng = scored.agg(
+        F.min(score_col).alias("__lo"), F.max(score_col).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo") + 1
+    shifted = (F.col(score_col) - F.col("__lo")) * n_bins
+    bin_ = ((shifted - F.pmod(shifted, span)) / span).cast("long")
+    return (
+        scored.join(F.broadcast(rng))
+        .withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            (
+                F.sum(F.col(label_col).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pos_rate"),
+            F.min(score_col).alias("lo_score"),
+            F.max(score_col).alias("hi_score"),
+        )
+    )
