@@ -2137,6 +2137,8 @@ def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.classify import hashed_linear_score
 
     return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shape two-nation volume shipping (relational.py)."""
     from geist_spark.operators.relational import volume_shipping
