@@ -124,6 +124,17 @@ _STEP_BUILDERS: dict[str, Callable[[dict[str, Any]], Step]] = {
 }
 
 
+def describe_pipeline(spec: dict[str, Any]) -> list[dict[str, Any]]:
+    """Validated step plan as data (op + params per step, in run
+    order) — what a UI or audit log records next to the run. Raises
+    the same SpecErrors as compile_pipeline."""
+    compile_pipeline(spec)  # full validation
+    return [
+        {"op": s["op"], **{k: v for k, v in s.items() if k != "op"}}
+        for s in spec["steps"]
+    ]
+
+
 def compile_pipeline(spec: dict[str, Any]) -> Step:
     """Validate the pipeline spec and return the composed step
     function. Raises SpecError on unknown ops or bad params (before

@@ -1131,3 +1131,19 @@ def test_sequence_stream_ordered_sequences(spark, tmp_path):
     assert ("u1", f"c:{us(100)}", 1) in got
     # u9's 600s event still open (no session emitted for it)
     assert not any(f"z:{us(600)}" in s for _, s, _ in got)
+
+
+def test_window_section_refuses_streaming_input(spark):
+    from geist_spark.compiler.analytics import apply_window
+    from geist_spark.spec.model import SpecError, WindowFnSpec, WindowSpec
+
+    stream = spark.readStream.format("rate").load()
+    w = WindowSpec(
+        partition_by=["value"],
+        order_by=[("timestamp", False)],
+        functions=[WindowFnSpec(fn="row_number", alias="rn")],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SpecError, match="batch execution"):
+        apply_window(stream, w)

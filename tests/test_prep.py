@@ -1038,3 +1038,25 @@ def test_pipeline_composes_lazily_and_preserves_columns(spark):
     assert set(out.columns) == {"doc_id", "text", "source"}
     rows = {r["doc_id"] for r in out.collect()}
     assert rows == {1, 4}  # dup 2 collapsed to 1; 3 fails min tokens
+
+
+def test_describe_pipeline_returns_validated_plan(spark):
+    import pytest as _pytest
+
+    from geist_spark.compiler.pipeline import describe_pipeline
+    from geist_spark.spec.model import SpecError
+
+    plan = describe_pipeline(
+        {
+            "steps": [
+                {"op": "fixText"},
+                {"op": "qualityFilter", "minTokens": 5},
+            ]
+        }
+    )
+    assert plan == [
+        {"op": "fixText"},
+        {"op": "qualityFilter", "minTokens": 5},
+    ]
+    with _pytest.raises(SpecError):
+        describe_pipeline({"steps": [{"op": "nope"}]})
