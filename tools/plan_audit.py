@@ -49,6 +49,16 @@ SMJ_WAIVED = {
     # within-cell self-join of the full embedding corpus (SemDeDup);
     # AQE splits hot cells, broadcast can never apply
     "s_semantic_dedup",
+    # near-dup cluster-label joins: on a crawl corpus the label table
+    # is O(docs-in-clusters) — the keep_canonical round-1 lesson says
+    # NO unconditional broadcast; the static plan is SMJ and AQE
+    # downgrades to broadcast at runtime when labels are small
+    "p_negatives",
+    "p_kfold",
+    # digest-table comparison is a FULL OUTER join (added/removed
+    # partitions must both surface); full outer cannot broadcast, and
+    # both sides are metadata-sized
+    "q_backfill_plan",
 }
 
 
