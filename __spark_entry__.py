@@ -2209,6 +2209,20 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (operators/similarity.py
+    lsh_multiprobe_topk): queries probe own + Hamming-1 buckets; only
+    the tiny query side fans out."""
+    from geist_spark.operators.similarity import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        num_planes=4,
+    )
+
+
 def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration bins (operators/classify.py calibration_bins) of
     the integer linear probe: fixed-width exact-integer score bins,
@@ -2854,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_weak_label": t_weak_label,
         "p_training_export": p_training_export,
         "q_eval_calibration": q_eval_calibration,
+        "s_ann_multiprobe": s_ann_multiprobe,
     }
 
 
@@ -4526,6 +4541,9 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "s_ann_multiprobe": _ann_multiprobe_oracle(
+            num_planes=4, dim=64, k=5, n_queries=10
+        ),
         "q_eval_calibration": f"""
             WITH fx AS (
                 SELECT label,
@@ -5325,6 +5343,50 @@ def _ann_lsh_oracle(num_planes: int, dim: int, k: int, n_queries: int) -> str:
             FROM bucketed q JOIN bucketed c
               ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
             WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _ann_multiprobe_oracle(
+    num_planes: int, dim: int, k: int, n_queries: int
+) -> str:
+    """Replays lsh_multiprobe_topk: queries probe their bucket plus
+    every Hamming-1 bucket (xor with each 2^i), dedupe per pair, exact
+    cosine re-rank."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    flips = ", ".join(["0"] + [str(2**i) for i in range(num_planes)])
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        ), probes AS (
+            SELECT vec_id, v, xor(bucket, f) AS bucket
+            FROM bucketed, unnest([{flips}]) AS t(f)
+            WHERE vec_id < {n_queries}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   max(round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6))
+                       AS cosine
+            FROM probes q JOIN bucketed c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            GROUP BY q.vec_id, c.vec_id
         )
         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM (
