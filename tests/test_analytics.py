@@ -1147,3 +1147,78 @@ def test_window_section_refuses_streaming_input(spark):
 
     with _pytest.raises(SpecError, match="batch execution"):
         apply_window(stream, w)
+
+
+def test_streaming_incremental_rollup_matches_batch(spark, tmp_path):
+    """IVM end-to-end in streaming: each micro-batch's mergeable_rollup
+    state merges (via merge_rollups) into a persisted state table in
+    foreachBatch; after three micro-batches the state equals a
+    from-scratch batch rollup over the same rows."""
+    import datetime as dt
+
+    from geist_spark.operators.relational import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    state_path = str(tmp_path / "state")
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (k, float(v), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+                for k, v, s in rows
+            ],
+            "event_type string, value double, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([("a", 1.5, 0), ("b", 2.0, 10)])
+    write([("a", 3.25, 20)])
+    write([("b", 0.5, 5), ("c", 9.0, 99)])
+
+    stream = (
+        spark.readStream.schema("event_type string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def merge_batch(df, batch_id):
+        delta = mergeable_rollup(df, keys=["event_type"])
+        try:
+            state = spark.read.parquet(state_path)
+            merged = merge_rollups(["event_type"], state, delta)
+        except Exception:
+            merged = delta
+        # write to a tmp dir then swap (overwrite of the input path
+        # within one job would read-while-write)
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state_path + "_next")
+        spark.read.parquet(state_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_type"]: (r["cnt"], float(r["sum_v"]), r["min_ts"], r["max_ts"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    full = {
+        r["event_type"]: (r["cnt"], float(r["sum_v"]), r["min_ts"], r["max_ts"])
+        for r in mergeable_rollup(
+            spark.read.parquet(src), keys=["event_type"]
+        ).collect()
+    }
+    assert got == full  # merge of per-batch states == full recompute
+    assert got["a"][0] == 2 and got["a"][1] == 4.75
