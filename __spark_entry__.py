@@ -2209,6 +2209,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores (relational.py robust_anomaly):
+    outlier-resistant counterpart to q_anomaly_zscore."""
+    from geist_spark.operators.relational import robust_anomaly
+
+    return robust_anomaly(_t(spark, sf_dir, "events"))
+
+
 def s_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (operators/similarity.py
     lsh_multiprobe_topk): queries probe own + Hamming-1 buckets; only
@@ -2869,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_training_export": p_training_export,
         "q_eval_calibration": q_eval_calibration,
         "s_ann_multiprobe": s_ann_multiprobe,
+        "q_robust_anomaly": q_robust_anomaly,
     }
 
 
@@ -4541,6 +4550,24 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "q_robust_anomaly": """
+            WITH a AS (
+                SELECT event_id, user_id, value,
+                       quantile_cont(value, 0.5)
+                           OVER (PARTITION BY user_id) AS med,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            ), b AS (
+                SELECT *, quantile_cont(abs(value - med), 0.5)
+                              OVER (PARTITION BY user_id) AS mad
+                FROM a
+            )
+            SELECT event_id, user_id, value,
+                   CASE WHEN n < 8 OR mad <= 0 THEN NULL
+                        ELSE round((value - med) / (mad * 1.4826), 6)
+                   END AS robust_z
+            FROM b
+        """,
         "s_ann_multiprobe": _ann_multiprobe_oracle(
             num_planes=4, dim=64, k=5, n_queries=10
         ),

@@ -1382,3 +1382,45 @@ def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
         F.min("min_ts").alias("min_ts"),
         F.max("max_ts").alias("max_ts"),
     )
+
+
+def robust_anomaly(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    min_n: int = 8,
+) -> DataFrame:
+    """Median/MAD robust z-scores per key: z = (x - median) /
+    (MAD * 1.4826). The mean/std z-score (anomaly_zscore) is poisoned
+    by the very outliers it hunts — one huge value inflates sigma and
+    hides itself; median and MAD have a 50% breakdown point.
+
+    Plan: TWO window passes over the SAME partitioning (median, then
+    MAD of deviations) — one shuffle on the key total, no joins. The
+    exact interpolated percentile matches DuckDB quantile_cont
+    (the q_percentiles parity); at 100 TB swap in approx_percentile
+    for the same plan shape with sketch state. NULL where the key has
+    fewer than `min_n` events or MAD is 0 (a constant series has no
+    scale to score against).
+    """
+    w = Window.partitionBy(key_col)
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    staged = events.withColumn("__med", med).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = F.expr("percentile(__dev, 0.5)").over(w)
+    n = F.count(F.lit(1)).over(w)
+    staged = staged.withColumn("__mad", mad).withColumn("__n", n)
+    z = F.round(
+        (F.col(value_col) - F.col("__med"))
+        / (F.col("__mad") * F.lit(1.4826)),
+        6,
+    )
+    return staged.select(
+        "event_id",
+        key_col,
+        value_col,
+        F.when((F.col("__n") < min_n) | (F.col("__mad") <= 0), F.lit(None))
+        .otherwise(z)
+        .alias("robust_z"),
+    )
