@@ -2209,6 +2209,17 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user (operators/drift.py
+    cusum_alarms): sequential max-recurrence fold in codegen; slack
+    ~0.5 sigma, threshold ~4 sigma of the value distribution."""
+    from geist_spark.operators.drift import cusum_alarms
+
+    return cusum_alarms(
+        _t(spark, sf_dir, "events"), slack=25.0, threshold=200.0
+    )
+
+
 def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust z-scores (relational.py robust_anomaly):
     outlier-resistant counterpart to q_anomaly_zscore."""
@@ -2878,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_calibration": q_eval_calibration,
         "s_ann_multiprobe": s_ann_multiprobe,
         "q_robust_anomaly": q_robust_anomaly,
+        "q_cusum_alarms": q_cusum_alarms,
     }
 
 
@@ -4550,6 +4562,51 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # replays drift.cusum_alarms' fold as a recursive CTE: same
+        # (ts, event_id) order, same IEEE chain per step
+        "q_cusum_alarms": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ), m AS (
+                SELECT user_id,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                           / count(*) AS mean,
+                       count(*) AS n_events
+                FROM events GROUP BY user_id
+            ), rec(user_id, rn, hi, lo, alarms, peak) AS (
+                SELECT user_id, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                       CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM m
+                UNION ALL
+                SELECT e.user_id, e.rn,
+                       CASE WHEN greatest(0.0, r.hi + (e.value - m.mean - 25.0)) > 200.0
+                              OR greatest(0.0, r.lo - (e.value - m.mean + 25.0)) > 200.0
+                            THEN 0.0
+                            ELSE greatest(0.0, r.hi + (e.value - m.mean - 25.0)) END,
+                       CASE WHEN greatest(0.0, r.hi + (e.value - m.mean - 25.0)) > 200.0
+                              OR greatest(0.0, r.lo - (e.value - m.mean + 25.0)) > 200.0
+                            THEN 0.0
+                            ELSE greatest(0.0, r.lo - (e.value - m.mean + 25.0)) END,
+                       r.alarms + CASE WHEN
+                           greatest(0.0, r.hi + (e.value - m.mean - 25.0)) > 200.0
+                           OR greatest(0.0, r.lo - (e.value - m.mean + 25.0)) > 200.0
+                           THEN 1 ELSE 0 END,
+                       greatest(r.peak,
+                           greatest(0.0, r.hi + (e.value - m.mean - 25.0)),
+                           greatest(0.0, r.lo - (e.value - m.mean + 25.0)))
+                FROM rec r
+                JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+                JOIN m ON m.user_id = r.user_id
+            )
+            SELECT r.user_id, m.n_events,
+                   CAST(floor(m.mean * 1000) AS BIGINT) AS mean_milli,
+                   r.alarms AS n_alarms,
+                   CAST(floor(r.peak * 1000) AS BIGINT) AS max_cusum_milli
+            FROM rec r JOIN m ON m.user_id = r.user_id
+            WHERE r.rn = m.n_events
+        """,
         "q_robust_anomaly": """
             WITH a AS (
                 SELECT event_id, user_id, value,

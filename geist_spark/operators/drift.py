@@ -123,3 +123,79 @@ def drift_stats(
         ).alias("tvd"),
         F.sum(chi_term.cast("decimal(38,12)")).cast("double").alias("chi2"),
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection: the classic one-sided
+    recurrences
+
+        hi_t = max(0, hi_{t-1} + (x_t - mean - slack))
+        lo_t = max(0, lo_{t-1} - (x_t - mean + slack))
+
+    with an alarm (and reset) whenever either side crosses
+    `threshold`. Catches small persistent level shifts that per-point
+    z-scores (anomaly_zscore / robust_anomaly) never flag.
+
+    A max-recurrence is NOT a window sum, so it cannot be a plain
+    window function; it runs as a sequential fold over each key's
+    time-ordered value array INSIDE codegen (F.aggregate — the same
+    pattern as the Gopher run-length pass), after one groupBy(key)
+    with a deterministic (ts, event_id) sort. State per key is the
+    event list: bounded by events-per-key, the same bound
+    sessionization already carries; the fold order is pinned by the
+    sort, so results are exact IEEE chains — engine-replayable.
+
+    Output per key: n_events, mean (exact-sum/count), n_alarms,
+    max_cusum (the peak of either side between alarms).
+    """
+    from geist_spark.operators.relational import exact_sum
+
+    per_key = events.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(ts_col), F.col("event_id"), F.col(value_col))
+            )
+        ).alias("__evs"),
+        (exact_sum(value_col) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform(F.col("__evs"), lambda s: s.getField(value_col))
+    state0 = F.struct(
+        F.lit(0.0).alias("hi"),
+        F.lit(0.0).alias("lo"),
+        F.lit(0).cast("long").alias("alarms"),
+        F.lit(0.0).alias("peak"),
+    )
+    mean = F.col("mean")
+
+    def step(s, x):
+        hi = F.greatest(F.lit(0.0), s.hi + (x - mean - F.lit(slack)))
+        lo = F.greatest(F.lit(0.0), s.lo - (x - mean + F.lit(slack)))
+        fired = (hi > threshold) | (lo > threshold)
+        return F.struct(
+            F.when(fired, F.lit(0.0)).otherwise(hi).alias("hi"),
+            F.when(fired, F.lit(0.0)).otherwise(lo).alias("lo"),
+            (s.alarms + fired.cast("long")).alias("alarms"),
+            F.greatest(s.peak, hi, lo).alias("peak"),
+        )
+
+    res = F.aggregate(vals, state0, step)
+    # floored-milli integers, not round(x, 6): the fold output is the
+    # same double in every engine, but round() ALGORITHMS differ at
+    # .xxx5 ties (Spark BigDecimal HALF_UP vs C-library rounding) —
+    # floor(x * 1000) is one IEEE multiply + floor, algorithm-free
+    milli = lambda c: F.floor(c * 1000).cast("long")  # noqa: E731
+    return per_key.select(
+        key_col,
+        "n_events",
+        milli(mean).alias("mean_milli"),
+        res.getField("alarms").alias("n_alarms"),
+        milli(res.getField("peak")).alias("max_cusum_milli"),
+    )
