@@ -2209,6 +2209,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type co-occurrence pairs (relational.py
+    session_cooccurrence)."""
+    from geist_spark.operators.relational import session_cooccurrence
+
+    return session_cooccurrence(_t(spark, sf_dir, "events"))
+
+
 def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per user (operators/drift.py
     cusum_alarms): sequential max-recurrence fold in codegen; slack
@@ -2890,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_multiprobe": s_ann_multiprobe,
         "q_robust_anomaly": q_robust_anomaly,
         "q_cusum_alarms": q_cusum_alarms,
+        "q_cooccurrence": q_cooccurrence,
     }
 
 
@@ -4562,6 +4571,32 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # same session ids as q_sessionize, then pair self-join over
+        # the distinct (user, session, type) table
+        "q_cooccurrence": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+                FROM marked
+            ), st AS (
+                SELECT DISTINCT user_id, session_seq, event_type
+                FROM numbered
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_sessions
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id
+             AND a.session_seq = b.session_seq
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         # replays drift.cusum_alarms' fold as a recursive CTE: same
         # (ts, event_id) order, same IEEE chain per step
         "q_cusum_alarms": """

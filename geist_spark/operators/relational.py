@@ -1424,3 +1424,38 @@ def robust_anomaly(
         .otherwise(z)
         .alias("robust_z"),
     )
+
+
+def session_cooccurrence(
+    events: DataFrame, gap_minutes: int = 30, min_sessions: int = 2
+) -> DataFrame:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of event types appearing in the SAME session, the number of
+    distinct sessions containing both — the affinity signal behind
+    "users who did A also did B" and feature-cross candidates.
+
+    Shape: sessionize (lag+cumsum, one user shuffle), reduce to the
+    DISTINCT (user, session, type) table — the fan-in guard: a type
+    firing 500 times in one session contributes ONE row — then a
+    self-join keyed on the session with type_a < type_b. Join fan-out
+    is bounded by (distinct types per session)^2, which is capped by
+    the type vocabulary, not by session length. `min_sessions` prunes
+    the long tail before the result materializes.
+    """
+    sess = assign_sessions(events, gap_minutes=gap_minutes)
+    st = sess.select("user_id", "session_seq", "event_type").distinct()
+    a, b = st.alias("a"), st.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_sessions)
+    )
