@@ -2209,6 +2209,41 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py
+    triangle_counts) over the same md5-derived link graph as
+    q_pagerank."""
+    from geist_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level event-type co-occurrence pairs (relational.py
     session_cooccurrence)."""
@@ -2899,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robust_anomaly": q_robust_anomaly,
         "q_cusum_alarms": q_cusum_alarms,
         "q_cooccurrence": q_cooccurrence,
+        "q_triangles": q_triangles,
     }
 
 
@@ -4571,6 +4607,32 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # canonical a<b<c triangle enumeration over the same md5 graph
+        # as q_pagerank (orientation is a Spark-side skew guard only —
+        # both forms count each triangle exactly once)
+        "q_triangles": """
+            WITH nd AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+                SELECT doc_id AS src,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                           || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                       % (SELECT n FROM nd) AS dst
+                FROM documents, unnest([1, 2, 3]) AS t(j)
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM edges WHERE src <> dst
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM und e1
+                JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM tri, unnest([a, b, c]) AS t(node)
+            GROUP BY node
+        """,
         # same session ids as q_sessionize, then pair self-join over
         # the distinct (user, session, type) table
         "q_cooccurrence": """

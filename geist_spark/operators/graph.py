@@ -96,3 +96,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph — the
+    clustering/community signal next to pagerank's authority signal.
+
+    Scalable formulation (Suri & Vassilvitskii's "curse of the last
+    reducer" fix): orient every edge from its LOWER-degree endpoint to
+    the higher (ties by id), so each wedge is generated exactly once
+    at its lowest-degree vertex and a celebrity node of degree d
+    produces O(d) oriented out-edges instead of O(d^2) wedges. Plan:
+    distinct canonical edges (1 shuffle), degree table joined back
+    (edge-keyed shuffles), wedge self-join on the oriented source,
+    closure check against the canonical edge set, explode 3 corners,
+    count per vertex. Every join is an equi-join on vertex/edge keys.
+
+    Output: (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(s, d).alias("u"), F.greatest(s, d).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    # orient low-(deg, id) -> high-(deg, id)
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("w_a"),
+        F.col("e1.b").alias("w_b"),
+        F.col("e2.b").alias("w_c"),
+    )
+    closed = wedges.join(
+        und,
+        (F.least(F.col("w_b"), F.col("w_c")) == F.col("u"))
+        & (F.greatest(F.col("w_b"), F.col("w_c")) == F.col("v")),
+    )
+    corners = closed.select(
+        F.explode(F.array("w_a", "w_b", "w_c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
