@@ -176,3 +176,22 @@ def test_line_dedup_null_text_doc_survives(spark):
     out = {r["doc_id"]: r for r in line_dedup(d).collect()}
     assert set(out) == {1, 2, 3}  # NULL-text doc must not vanish
     assert out[3]["text"] == "" and out[3]["n_lines_dropped"] == 0
+
+
+def test_triangle_counts_known_graph(spark):
+    from geist_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each vertex in 3) plus a pendant
+    # edge 3-4 (no triangle) and a duplicate/reversed edge to dedupe
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (1, 0), (2, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # partition invariance
+    got8 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges.repartition(8)).collect()
+    }
+    assert got8 == got
