@@ -2209,6 +2209,20 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal load profile (relational.py seasonality_profile)."""
+    from geist_spark.operators.relational import seasonality_profile
+
+    return seasonality_profile(_t(spark, sf_dir, "events"))
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization (relational.py winsorize)."""
+    from geist_spark.operators.relational import winsorize
+
+    return winsorize(_t(spark, sf_dir, "events"))
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle counting (operators/graph.py
     triangle_counts) over the same md5-derived link graph as
@@ -2935,6 +2949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum_alarms": q_cusum_alarms,
         "q_cooccurrence": q_cooccurrence,
         "q_triangles": q_triangles,
+        "q_seasonality": q_seasonality,
+        "q_winsorize": q_winsorize,
     }
 
 
@@ -4607,6 +4623,31 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+        "q_seasonality": """
+            SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hod,
+                   count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q_winsorize": """
+            WITH b AS (
+                SELECT event_id, event_type, value,
+                       quantile_cont(value, 0.01)
+                           OVER (PARTITION BY event_type) AS lo,
+                       quantile_cont(value, 0.99)
+                           OVER (PARTITION BY event_type) AS hi
+                FROM events
+            )
+            SELECT event_id, event_type, value AS raw_value,
+                   round(least(greatest(value, lo), hi), 6)
+                       AS clipped_value,
+                   value <> least(greatest(value, lo), hi) AS was_clipped
+            FROM b
+        """,
         # canonical a<b<c triangle enumeration over the same md5 graph
         # as q_pagerank (orientation is a Spark-side skew guard only —
         # both forms count each triangle exactly once)

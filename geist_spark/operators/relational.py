@@ -1459,3 +1459,50 @@ def session_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_sessions)
     )
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Load profile per event type: (day-of-week, hour-of-day) counts
+    and exact value sums — the seasonal baseline behind capacity
+    planning and "is this drop a failure or a Sunday" triage. One
+    partial-agg shuffle to at most |types| * 168 rows."""
+    return (
+        events.groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").alias("total_value"),
+        )
+    )
+
+
+def winsorize(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip values to the group's [lo_q,
+    hi_q] exact percentiles — the standard outlier-taming step before
+    training on heavy-tailed features (clipping preserves row count,
+    unlike filtering, so downstream joins stay intact).
+
+    One window pass per group (percentiles over the group partition,
+    same single shuffle), clip as a map expression. At 100 TB swap
+    percentile -> approx_percentile: same plan, sketch state."""
+    w = Window.partitionBy(group_col)
+    lo = F.expr(f"percentile({value_col}, {lo_q})").over(w)
+    hi = F.expr(f"percentile({value_col}, {hi_q})").over(w)
+    staged = events.withColumn("__lo", lo).withColumn("__hi", hi)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return staged.select(
+        "event_id",
+        group_col,
+        F.col(value_col).alias("raw_value"),
+        F.round(clipped, 6).alias("clipped_value"),
+        (F.col(value_col) != clipped).alias("was_clipped"),
+    )
