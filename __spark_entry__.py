@@ -2209,6 +2209,23 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (operators/split.py
+    importance_sample): weight = n_chars, target fraction 0.3;
+    per-source kept counts."""
+    from geist_spark.operators.split import importance_sample
+
+    kept = importance_sample(
+        _t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        target_fraction=0.3,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal load profile (relational.py seasonality_profile)."""
     from geist_spark.operators.relational import seasonality_profile
@@ -2951,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_seasonality": q_seasonality,
         "q_winsorize": q_winsorize,
+        "p_importance_sample": p_importance_sample,
     }
 
 
@@ -4623,6 +4641,22 @@ def oracle_sql() -> dict[str, str]:
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # replays split.importance_sample's capped acceptance draw
+        "p_importance_sample": """
+            WITH m AS (
+                SELECT CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS mw
+                FROM documents
+            ), k AS (
+                SELECT d.* FROM documents d, m
+                WHERE ('0x' || substr(md5('imp|'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0
+                      < least(1.0, 0.3 * n_chars / mw)
+            )
+            SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+            FROM k GROUP BY source
+        """,
         # Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
         "q_seasonality": """
             SELECT event_type,

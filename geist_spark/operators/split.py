@@ -387,3 +387,59 @@ def kfold_split(
     if clusters is not None:
         out = out.drop("__l_id", "__l_cl")
     return out
+
+
+def importance_sample(
+    docs: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "imp",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    min(1, target_fraction * w / mean_w) against an md5-uniform draw —
+    doc-level quality weighting for training mixtures (the doc-grain
+    companion to temperature_mix's source-grain re-weighting).
+
+    The draw is u = md5(salt|id)/2^32: a pure function of the id, so
+    the sample is reproducible across runs/engines/partitionings and
+    DISJOINT salts give independent draws. Plan: one 1-row mean
+    aggregate (decimal-exact) broadcast back, then a map-side filter —
+    no shuffle of the data. Rows whose scaled weight exceeds 1 are
+    always kept, so the realized fraction tracks target_fraction only
+    while acceptance stays unsaturated (documented bias of the
+    standard capped scheme).
+    """
+    mean_w = docs.agg(
+        (
+            F.sum(F.col(weight_col).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mean_w")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    accept = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col(weight_col)
+        / F.col("__mean_w"),
+    )
+    return (
+        docs.join(F.broadcast(mean_w))
+        .filter(u < accept)
+        .drop("__mean_w")
+    )
