@@ -2209,6 +2209,19 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus dedup (operators/dedup.py keep_best):
+    minhash clusters, survivor = longest doc (n_chars), ties by min
+    id."""
+    from geist_spark.operators.dedup import keep_best, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    return keep_best(docs, pairs, score_col="n_chars").select(
+        "doc_id", "n_chars"
+    )
+
+
 def p_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling (operators/split.py
     importance_sample): weight = n_chars, target fraction 0.3;
@@ -2969,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonality": q_seasonality,
         "q_winsorize": q_winsorize,
         "p_importance_sample": p_importance_sample,
+        "d_keep_best": d_keep_best,
     }
 
 
@@ -4639,6 +4653,7 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, k=3, oversample=3
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
+        "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
         # replays split.importance_sample's capped acceptance draw
@@ -5503,6 +5518,41 @@ def _kfold_oracle(num_hashes: int, bands: int, k: int, salt: str = "fold") -> st
         SELECT fold, count(*) AS n_docs,
                sum(len({_TOKENS_SQL})) AS total_tokens
         FROM folded GROUP BY fold
+    """
+
+
+def _keep_best_oracle(num_hashes: int, bands: int) -> str:
+    """Replays dedup.keep_best: recursive-CTE clusters, argmax
+    survivor (n_chars desc, doc_id asc) per cluster, singletons pass
+    through."""
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        joined AS (
+            SELECT d.doc_id, d.n_chars, l.cluster_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        )
+        SELECT doc_id, n_chars FROM joined WHERE cluster_id IS NULL
+        UNION ALL
+        SELECT doc_id, n_chars FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM joined WHERE cluster_id IS NOT NULL)
+        WHERE rn = 1
     """
 
 

@@ -697,3 +697,43 @@ def fuzzy_match_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def keep_best(
+    documents: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    max_broadcast_labels: int = 2_000_000,
+) -> DataFrame:
+    """Quality-aware corpus dedup: like keep_canonical, but the
+    survivor of each near-dup cluster is the HIGHEST-`score_col` doc
+    (ties: lowest id), not the lowest id. Pipelines keep the longest /
+    cleanest / most-recent copy of a near-dup family, not an
+    arbitrary one — min-id survival systematically favors whatever
+    was crawled first.
+
+    Same scale shape as keep_canonical: cluster labels (bounded by
+    docs-in-pairs, count-gated broadcast), one left join onto the
+    corpus, then ONE extra window over cluster members only
+    (singletons skip it via the null label — the window input is the
+    clustered minority, not the corpus).
+    """
+    labels = dedup_clusters(pairs)
+    lab = labels.withColumnRenamed("doc_id", "__lbl_id")
+    if labels.count() <= max_broadcast_labels:
+        lab = F.broadcast(lab)
+    out = documents.join(lab, documents[id_col] == lab["__lbl_id"], "left")
+    singletons = out.filter(F.col("cluster_id").isNull()).drop(
+        "__lbl_id", "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        out.filter(F.col("cluster_id").isNotNull())
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__lbl_id", "cluster_id", "__r")
+    )
+    return singletons.unionByName(best)
