@@ -2209,6 +2209,25 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_datasheet_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version drift (operators/prep.py datasheet_diff): old =
+    documents, new = every-7th-doc dropped + re-upload of every 10th —
+    the diff must show per-source/per-lang doc and token deltas."""
+    from geist_spark.operators.prep import datasheet_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return datasheet_diff(docs, new)
+
+
 def d_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware corpus dedup (operators/dedup.py keep_best):
     minhash clusters, survivor = longest doc (n_chars), ties by min
@@ -2983,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "p_importance_sample": p_importance_sample,
         "d_keep_best": d_keep_best,
+        "p_datasheet_diff": p_datasheet_diff,
     }
 
 
@@ -4656,6 +4676,53 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # two GROUPING SETS datasheets (same classification as
+        # p_corpus_datasheet) full-outer joined on (metric, dimension)
+        "p_datasheet_diff": f"""
+            WITH oldd AS (
+                SELECT doc_id, text, lang, source FROM documents
+            ), newd AS (
+                SELECT doc_id, text, lang, source FROM documents
+                WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, source FROM documents
+                WHERE doc_id % 10 = 0
+            ), sa AS (
+                SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                            WHEN GROUPING(source) = 0 THEN 'source'
+                            ELSE 'all' END AS metric,
+                       CASE WHEN GROUPING(lang) = 0
+                                THEN coalesce(lang, '<null>')
+                            WHEN GROUPING(source) = 0
+                                THEN coalesce(source, '<null>')
+                            ELSE '*' END AS dimension,
+                       count(*) AS old_docs,
+                       sum(len({_TOKENS_SQL})) AS old_tokens
+                FROM oldd GROUP BY GROUPING SETS ((), (lang), (source))
+            ), sb AS (
+                SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang'
+                            WHEN GROUPING(source) = 0 THEN 'source'
+                            ELSE 'all' END AS metric,
+                       CASE WHEN GROUPING(lang) = 0
+                                THEN coalesce(lang, '<null>')
+                            WHEN GROUPING(source) = 0
+                                THEN coalesce(source, '<null>')
+                            ELSE '*' END AS dimension,
+                       count(*) AS new_docs,
+                       sum(len({_TOKENS_SQL})) AS new_tokens
+                FROM newd GROUP BY GROUPING SETS ((), (lang), (source))
+            )
+            SELECT coalesce(sa.metric, sb.metric) AS metric,
+                   coalesce(sa.dimension, sb.dimension) AS dimension,
+                   coalesce(old_docs, 0) AS old_docs,
+                   coalesce(new_docs, 0) AS new_docs,
+                   coalesce(new_docs, 0) - coalesce(old_docs, 0)
+                       AS docs_delta,
+                   coalesce(new_tokens, 0) - coalesce(old_tokens, 0)
+                       AS tokens_delta
+            FROM sa FULL OUTER JOIN sb
+              ON sa.metric = sb.metric AND sa.dimension = sb.dimension
+        """,
         # replays split.importance_sample's capped acceptance draw
         "p_importance_sample": """
             WITH m AS (

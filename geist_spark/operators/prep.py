@@ -502,3 +502,36 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
         "n_chars",
         "n_distinct_texts",
     )
+
+
+def datasheet_diff(
+    old_docs: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Corpus-version drift report: both datasheets (one scan each),
+    full-outer joined on (metric, dimension) — the join runs over the
+    datasheet rows (per-dimension metadata), so comparing two 100 TB
+    corpus versions costs two scans and a metadata join. Rows where
+    nothing changed are kept (delta 0) so the report is a complete
+    audit artifact, not just the diff."""
+    a = corpus_datasheet(old_docs).select(
+        "metric",
+        "dimension",
+        F.col("n_docs").alias("old_docs"),
+        F.col("n_tokens").alias("old_tokens"),
+    )
+    b = corpus_datasheet(new_docs).select(
+        "metric",
+        "dimension",
+        F.col("n_docs").alias("new_docs"),
+        F.col("n_tokens").alias("new_tokens"),
+    )
+    j = a.join(b, ["metric", "dimension"], "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return j.select(
+        "metric",
+        "dimension",
+        z("old_docs").alias("old_docs"),
+        z("new_docs").alias("new_docs"),
+        (z("new_docs") - z("old_docs")).alias("docs_delta"),
+        (z("new_tokens") - z("old_tokens")).alias("tokens_delta"),
+    )
