@@ -2209,6 +2209,23 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py
+    hard_negative_mining) over embeddings with re-uploaded duplicates
+    injected (vec_id%10==0 appears twice) — the duplicate is the
+    nearest neighbor and MUST be excluded from the negatives."""
+    from geist_spark.operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dupes = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    return hard_negative_mining(
+        emb.unionByName(dupes), query_ids=list(range(10)), k=5
+    )
+
+
 def p_datasheet_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version drift (operators/prep.py datasheet_diff): old =
     documents, new = every-7th-doc dropped + re-upload of every 10th —
@@ -3003,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_importance_sample": p_importance_sample,
         "d_keep_best": d_keep_best,
         "p_datasheet_diff": p_datasheet_diff,
+        "s_hard_negatives": s_hard_negatives,
     }
 
 
@@ -4676,6 +4694,10 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "s_hard_negatives": _hard_negatives_oracle(
+            num_planes=4, dim=64, k=5, n_queries=10,
+            threshold=0.999, overfetch=4,
+        ),
         # two GROUPING SETS datasheets (same classification as
         # p_corpus_datasheet) full-outer joined on (metric, dimension)
         "p_datasheet_diff": f"""
@@ -6152,6 +6174,85 @@ def _media_embed_near_dup_oracle(
         WHERE round(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
+def _hard_negatives_oracle(
+    num_planes: int,
+    dim: int,
+    k: int,
+    n_queries: int,
+    threshold: float,
+    overfetch: int,
+) -> str:
+    """Replays hard_negative_mining over the duplicate-injected
+    embedding set: LSH candidates (rank <= k*overfetch), near-dup
+    pairs at `threshold`, recursive-CTE clusters, exclusion, re-rank."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0"
+            f" THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    cos = (
+        "round(list_dot_product(q.v, c.v)"
+        " / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(c.v, c.v))), 6)"
+    )
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+            WHERE vec_id % 10 = 0
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        ), cand AS (
+            SELECT query_id, neighbor_id, cosine
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos} AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos} DESC, c.vec_id) AS rank
+                FROM bucketed q JOIN bucketed c
+                  ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < {n_queries}
+            ) WHERE rank <= {k * overfetch}
+        ), nd AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM nd
+            UNION ALL SELECT doc_b, doc_a FROM nd
+        ), reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT ed.dst, reach.r FROM reach
+            JOIN edges ed ON ed.src = reach.doc_id
+        ), labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ), kept AS (
+            SELECT c.query_id, c.neighbor_id, c.cosine
+            FROM cand c
+            LEFT JOIN labels la ON la.doc_id = c.query_id
+            LEFT JOIN labels lb ON lb.doc_id = c.neighbor_id
+            WHERE la.cluster_id IS NULL OR lb.cluster_id IS NULL
+               OR la.cluster_id <> lb.cluster_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS hn_rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn FROM kept)
+        WHERE rn <= {k}
     """
 
 

@@ -820,3 +820,64 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    near_dup_threshold: float = 0.999,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Hard negatives for contrastive training: each anchor's NEAREST
+    neighbors that are NOT its near-duplicates. sample_negatives draws
+    easy random negatives; the informative ones sit close to the
+    anchor — but the closest candidates of all are duplicates, which
+    would be FALSE negatives. So: ANN candidates (bucketed LSH,
+    overfetched k*overfetch), minus the anchor's near-dup cluster
+    (embedding_near_dup_pairs -> connected components), re-ranked.
+
+    Plan: the LSH candidate join + one clusters computation over the
+    near-dup PAIR graph (not the corpus) + two label lookups + a
+    re-rank window. Overfetch bounds the risk of losing all k to
+    cluster exclusion (an anchor inside a dup family bigger than
+    k*(overfetch-1) can come up short — rows are survivors, never
+    padding).
+    """
+    from geist_spark.operators.dedup import dedup_clusters
+
+    cand = lsh_bucketed_topk(
+        embeddings, query_ids, k=k * overfetch, num_planes=num_planes, dim=dim
+    )
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        threshold=near_dup_threshold,
+        num_planes=num_planes,
+        dim=dim,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels = dedup_clusters(pairs)
+    la = labels.select(
+        F.col("doc_id").alias("__qid"), F.col("cluster_id").alias("__qcl")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("__nid"), F.col("cluster_id").alias("__ncl")
+    )
+    kept = (
+        cand.join(la, cand.query_id == la.__qid, "left")
+        .join(lb, cand.neighbor_id == lb.__nid, "left")
+        .filter(
+            F.col("__qcl").isNull()
+            | F.col("__ncl").isNull()
+            | (F.col("__qcl") != F.col("__ncl"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        kept.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "hn_rank")
+    )
