@@ -2209,6 +2209,35 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own top-100 vocabulary
+    (operators/text.py oov_rate), with a singleton 'OCR-noise' token
+    appended per doc (doc_id%3 copies) so the tail actually exists —
+    the raw corpus vocabulary is tiny enough to fit the head."""
+    from geist_spark.operators.text import oov_rate
+
+    m = (F.col("doc_id") % 3).cast("int")
+    noise = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat(
+                F.lit("zq"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(m > 0, F.concat(F.col("text"), F.lit(" "), noise))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return oov_rate(docs)
+
+
 def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py
     hard_negative_mining) over embeddings with re-uploaded duplicates
@@ -3021,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_keep_best": d_keep_best,
         "p_datasheet_diff": p_datasheet_diff,
         "s_hard_negatives": s_hard_negatives,
+        "t_oov_rate": t_oov_rate,
     }
 
 
@@ -4694,6 +4724,35 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "t_oov_rate": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 > 0
+                            THEN text || ' ' || array_to_string(
+                                [('zq' || CAST(doc_id AS VARCHAR) || 'x'
+                                  || CAST(i AS VARCHAR))
+                                 for i in generate_series(1, doc_id % 3)],
+                                ' ')
+                            ELSE text END AS text
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, t.t
+                FROM base, unnest({_TOKENS_SQL}) AS t(t)
+                WHERE t.t <> ''
+            ), vocab AS (
+                SELECT t FROM (
+                    SELECT t, count(*) AS tf FROM tok GROUP BY t
+                    HAVING count(*) >= 2
+                    ORDER BY tf DESC, t ASC LIMIT 100)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / greatest(count(*), 1) AS oov_rate
+            FROM tok LEFT JOIN vocab v ON tok.t = v.t
+            GROUP BY doc_id
+        """,
         "s_hard_negatives": _hard_negatives_oracle(
             num_planes=4, dim=64, k=5, n_queries=10,
             threshold=0.999, overfetch=4,

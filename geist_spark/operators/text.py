@@ -478,3 +478,51 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def oov_rate(
+    documents: DataFrame, vocab_size: int = 100, min_tf: int = 2
+) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus's own top-N
+    vocabulary — the OCR-garbage / encoding-noise detector: clean text
+    draws mostly from the head of the corpus distribution, mojibake
+    and OCR spray draw from the tail.
+
+    The vocabulary is the corpus's `vocab_size` most frequent tokens
+    (freq desc, token asc tiebreak — deterministic), built with one
+    explode + groupBy and BROADCAST back (vocab_size rows); the per-doc
+    rate is then a map-side array intersection. Rates are exact
+    int/int single divisions.
+
+    Output: doc_id, n_tokens, n_oov, oov_rate.
+    """
+    from geist_spark.operators.dedup import tokens
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+        .orderBy(F.col("tf").desc(), F.col("t").asc())
+        .limit(vocab_size)
+        .select(F.col("t").alias("__v"))
+    )
+    hits = (
+        tok.join(F.broadcast(vocab), tok.t == F.col("__v"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__v").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (
+            F.col("n_oov").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("oov_rate"),
+    )
