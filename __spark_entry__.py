@@ -2209,6 +2209,17 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid drift (operators/similarity.py
+    source_centroid_drift): exact fixed-point centroids, pairwise
+    cosine over the metadata-grain centroid table."""
+    from geist_spark.operators.similarity import source_centroid_drift
+
+    return source_centroid_drift(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )
+
+
 def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate vs the corpus's own top-100 vocabulary
     (operators/text.py oov_rate), with a singleton 'OCR-noise' token
@@ -3051,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_datasheet_diff": p_datasheet_diff,
         "s_hard_negatives": s_hard_negatives,
         "t_oov_rate": t_oov_rate,
+        "s_source_drift": s_source_drift,
     }
 
 
@@ -4724,6 +4736,33 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # replays source_centroid_drift: fixed-point sums, the lloyd
+        # floor-division spelling, pairwise centroid cosine
+        "s_source_drift": """
+            WITH fx AS (
+                SELECT d.source,
+                       [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                        for x in e.embedding] AS fx
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            ), sums AS (
+                SELECT source, i,
+                       CAST(sum(fx[i]) AS BIGINT) AS s,
+                       count(*) AS cnt
+                FROM fx, (SELECT unnest(generate_series(1, 64)) AS i) ix
+                GROUP BY source, i
+            ), cent AS (
+                SELECT source,
+                       list(CAST((s - (((s % cnt) + cnt) % cnt)) // cnt
+                                 AS DOUBLE) ORDER BY i) AS c
+                FROM sums GROUP BY source
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   round(list_dot_product(a.c, b.c)
+                         / (sqrt(list_dot_product(a.c, a.c))
+                            * sqrt(list_dot_product(b.c, b.c))), 6)
+                       AS cosine
+            FROM cent a JOIN cent b ON a.source < b.source
+        """,
         "t_oov_rate": f"""
             WITH base AS (
                 SELECT doc_id,

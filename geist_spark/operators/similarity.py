@@ -881,3 +881,58 @@ def hard_negative_mining(
         .filter(F.col("hn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "hn_rank")
     )
+
+
+def source_centroid_drift(
+    embeddings: DataFrame,
+    doc_meta: DataFrame,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space drift between sources: fixed-point centroid per
+    source (exact integer sums + floor division — bit-identical at any
+    parallelism, like the Lloyd family), then pairwise cosine between
+    centroids. Low cross-source centroid cosine = the sources occupy
+    different regions (expected); a previously-distinct source
+    drifting toward another is the signal worth alerting on.
+
+    Plan: one join (embedding id -> source), ONE aggregation with
+    dim sum columns per source, then a self-join over the
+    sources-sized (metadata-grain) centroid table. Nothing here
+    scales with corpus size except the first aggregation scan.
+
+    Output: (src_a, src_b, cosine) for src_a < src_b.
+    """
+    joined = embeddings.join(
+        doc_meta.select(
+            F.col("doc_id").alias("vec_id"), "source"
+        ),
+        "vec_id",
+    ).select("source", _fx(F.col("embedding")).alias("fx"))
+    sums = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.col("fx")[i]).alias(f"s{i}") for i in range(dim)],
+    )
+    # exact floor division for possibly-negative sums: pmod yields the
+    # non-negative remainder, so (s - pmod(s, cnt)) is exactly
+    # divisible and the double division is lossless
+    cent = sums.select(
+        "source",
+        F.array(
+            *[
+                (
+                    (F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("cnt")))
+                    / F.col("cnt")
+                ).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("c"),
+    )
+    a = cent.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    cos = _dot(F.col("ca"), F.col("cb")) / (
+        _norm(F.col("ca")) * _norm(F.col("cb"))
+    )
+    return pairs.select(
+        "src_a", "src_b", F.round(cos, 6).alias("cosine")
+    )
