@@ -2209,6 +2209,44 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER (operators/dedup.py
+    sorted_neighborhood_pairs): zero-padded sequential names + an
+    appended-char typo per record — originals, their typos, and
+    numeric neighbors all sort within the window."""
+    from geist_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("user"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+        ).alias("nm"),
+    )
+    orig = base.select(
+        (F.col("c_custkey") * 2).alias("rec_id"), F.col("nm").alias("name")
+    )
+    typo = base.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.concat(F.col("nm"), F.lit("x")).alias("name"),
+    )
+    return sorted_neighborhood_pairs(
+        orig.unionByName(typo), window=3, max_dist=2, prefix_len=8
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/quality.py
+    profile_table) over customer's int/string columns (float and
+    timestamp string forms differ across engines, so the profile
+    query sticks to the stable types; the operator itself takes any)."""
+    from geist_spark.operators.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "customer"),
+        cols=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
 def s_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding centroid drift (operators/similarity.py
     source_centroid_drift): exact fixed-point centroids, pairwise
@@ -3063,6 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_hard_negatives": s_hard_negatives,
         "t_oov_rate": t_oov_rate,
         "s_source_drift": s_source_drift,
+        "q_profile": q_profile,
+        "d_sorted_neighborhood": d_sorted_neighborhood,
     }
 
 
@@ -4736,6 +4776,61 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        # replays sorted_neighborhood_pairs: forward + reversed-key
+        # passes, window-3 leads inside 8-char prefix blocks
+        "d_sorted_neighborhood": """
+            WITH recs AS (
+                SELECT c_custkey * 2 AS rid,
+                       'user' || lpad(CAST(c_custkey AS VARCHAR), 6, '0')
+                           AS raw
+                FROM customer
+                UNION ALL
+                SELECT c_custkey * 2 + 1,
+                       'user' || lpad(CAST(c_custkey AS VARCHAR), 6, '0')
+                           || 'x'
+                FROM customer
+            ), base AS (
+                SELECT rid,
+                       lower(regexp_replace(trim(raw), '\\s+', ' ', 'g')) AS s
+                FROM recs
+            ), passes AS (
+                SELECT rid, s, s AS k FROM base
+                UNION ALL
+                SELECT rid, s, reverse(s) FROM base
+            ), cand AS (
+                SELECT rid, s,
+                       lead(rid, 1) OVER w AS r1, lead(s, 1) OVER w AS s1,
+                       lead(rid, 2) OVER w AS r2, lead(s, 2) OVER w AS s2,
+                       lead(rid, 3) OVER w AS r3, lead(s, 3) OVER w AS s3
+                FROM passes
+                WINDOW w AS (PARTITION BY k LIKE 'user%', substr(k, 1, 8)
+                             ORDER BY k, rid)
+            ), flat AS (
+                SELECT rid, s, r1 AS rid2, s1 AS sx FROM cand WHERE r1 IS NOT NULL
+                UNION ALL
+                SELECT rid, s, r2, s2 FROM cand WHERE r2 IS NOT NULL
+                UNION ALL
+                SELECT rid, s, r3, s3 FROM cand WHERE r3 IS NOT NULL
+            )
+            SELECT id_a, id_b, CAST(min(dist) AS INT) AS dist
+            FROM (SELECT least(rid, rid2) AS id_a,
+                         greatest(rid, rid2) AS id_b,
+                         levenshtein(s, sx) AS dist
+                  FROM flat)
+            GROUP BY id_a, id_b HAVING min(dist) <= 2
+        """,
+        "q_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min(CAST({c} AS VARCHAR)) AS min_str,
+                   max(CAST({c} AS VARCHAR)) AS max_str
+            FROM customer
+            """
+            for c in ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+        ),
         # replays source_centroid_drift: fixed-point sums, the lloyd
         # floor-division spelling, pairwise centroid cosine
         "s_source_drift": """

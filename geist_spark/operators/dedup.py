@@ -22,7 +22,7 @@ count filter when needed (cap column emitted for observability).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -737,3 +737,67 @@ def keep_best(
         .drop("__lbl_id", "cluster_id", "__r")
     )
     return singletons.unionByName(best)
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "name",
+    window: int = 3,
+    max_dist: int = 2,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez & Stolfo):
+    sort records by a normalized key and compare each to its next
+    `window` neighbors — a FIXED candidate budget (n*window pairs,
+    no hot-block blowup possible), complementary to
+    fuzzy_match_pairs' q-gram blocking.
+
+    Distributed form: a truly global sorted window is a one-task
+    WindowExec, so neighborhoods run INSIDE prefix blocks
+    (partitionBy(first prefix_len chars), orderBy(key) — partition-
+    local sort after one hash shuffle). Cross-prefix neighbors are
+    the method's known blind spot; the classic fix is multi-pass
+    with a second key ordering, implemented here as a REVERSED-string
+    pass in the same job (prefix typos sort far apart forward but
+    adjacent backward). Pairs from both passes are deduped, then
+    Levenshtein-confirmed.
+
+    Output: (id_a, id_b, dist), id_a < id_b.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = records.select(F.col(id_col).alias("rid"), norm.alias("s"))
+
+    def one_pass(key: Column) -> DataFrame:
+        keyed = base.withColumn("__k", key)
+        w = Window.partitionBy(
+            F.substring(F.col("__k"), 1, prefix_len)
+        ).orderBy(F.col("__k"), F.col("rid"))
+        out = None
+        for j in range(1, window + 1):
+            nxt = keyed.select(
+                "rid",
+                "s",
+                F.lead("rid", j).over(w).alias("rid2"),
+                F.lead("s", j).over(w).alias("s2"),
+            ).filter(F.col("rid2").isNotNull())
+            out = nxt if out is None else out.unionByName(nxt)
+        return out
+
+    fwd = one_pass(F.col("s"))
+    rev = one_pass(F.reverse(F.col("s")))
+    # distance computed per candidate ROW (levenshtein is symmetric,
+    # so duplicate pair sightings across passes agree), THEN deduped —
+    # aggregating the two strings independently could pair fields from
+    # different rows of a swapped-role duplicate
+    return (
+        fwd.unionByName(rev)
+        .select(
+            F.least(F.col("rid"), F.col("rid2")).alias("id_a"),
+            F.greatest(F.col("rid"), F.col("rid2")).alias("id_b"),
+            F.levenshtein("s", "s2").alias("dist"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dist").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -203,3 +203,47 @@ def k_anonymity_report(
         F.col(c).asc() for c in quasi_cols
     ]
     return out.select(*cols).orderBy(*order)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profile in long format: per column — row count, nulls,
+    exact distinct count, lexicographic min/max (string form). The
+    Deequ-style profiling pass that feeds constraint suggestion and
+    schema documentation.
+
+    ONE aggregation computes every column's stats together (adding a
+    column adds agg expressions, not a pass); the literal-array
+    explode that produces long format is the same shape as
+    validate()'s report. Exact distinct is deliberate at profile time
+    (profiles are audit artifacts); swap approx_count_distinct when
+    profiling at full corpus scale on a schedule.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"),
+            F.count_distinct(F.col(c)).alias(f"__d{i}"),
+            F.min(s).alias(f"__min{i}"),
+            F.max(s).alias(f"__max{i}"),
+        ]
+    one = df.agg(*aggs)
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__null{i}").alias("n_null"),
+                        F.col(f"__d{i}").alias("n_distinct"),
+                        F.col(f"__min{i}").alias("min_str"),
+                        F.col(f"__max{i}").alias("max_str"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return report
