@@ -2209,6 +2209,17 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution for purchases (relational.py
+    touch_attribution), summarized per (first, last) touch pair."""
+    from geist_spark.operators.relational import touch_attribution
+
+    out = touch_attribution(_t(spark, sf_dir, "events"))
+    return out.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
 def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER (operators/dedup.py
     sorted_neighborhood_pairs): zero-padded sequential names + an
@@ -3103,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_source_drift": s_source_drift,
         "q_profile": q_profile,
         "d_sorted_neighborhood": d_sorted_neighborhood,
+        "q_attribution": q_attribution,
     }
 
 
@@ -4776,6 +4788,25 @@ def oracle_sql() -> dict[str, str]:
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "q_attribution": """
+            WITH staged AS (
+                SELECT event_id, user_id, event_type,
+                       first_value(CASE WHEN event_type IN ('click', 'view')
+                                        THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS first_touch,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS last_touch
+                FROM events
+            )
+            SELECT first_touch, last_touch, count(*) AS n_conversions
+            FROM staged WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
         # replays sorted_neighborhood_pairs: forward + reversed-key
         # passes, window-3 leads inside 8-char prefix blocks
         "d_sorted_neighborhood": """

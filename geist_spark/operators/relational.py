@@ -1506,3 +1506,33 @@ def winsorize(
         F.round(clipped, 6).alias("clipped_value"),
         (F.col(value_col) != clipped).alias("was_clipped"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+) -> DataFrame:
+    """First-/last-touch attribution: for every conversion event, the
+    first and the most recent touchpoint event type that preceded it
+    for the same user. One user-keyed window pass (ignore-nulls
+    first/last over the preceding frame) — never a self-join per
+    conversion, which is the O(conversions x history) trap.
+
+    Output: one row per conversion (event_id, user_id, ts,
+    first_touch, last_touch); NULLs when the user converted with no
+    prior touchpoint (organic)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*touch_types), F.col("event_type")
+    )
+    staged = events.withColumn(
+        "first_touch", F.first(touch, ignorenulls=True).over(w)
+    ).withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    return staged.filter(F.col("event_type") == conversion_type).select(
+        "event_id", "user_id", "ts", "first_touch", "last_touch"
+    )
