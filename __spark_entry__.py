@@ -2209,6 +2209,26 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how much of the corpus sits
+    in dup families of each size — the dedup-savings estimate
+    (sum((size-1) * n_clusters) docs removable) and the hot-cluster
+    alarm, straight off the cluster labels, two metadata-sized
+    group-bys past them."""
+    from geist_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, k=3)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-/last-touch attribution for purchases (relational.py
     touch_attribution), summarized per (first, last) touch pair."""
@@ -3115,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "d_sorted_neighborhood": d_sorted_neighborhood,
         "q_attribution": q_attribution,
+        "d_cluster_sizes": d_cluster_sizes,
     }
 
 
@@ -4786,6 +4807,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "p_kfold": _kfold_oracle(num_hashes=16, bands=4, k=5),
         "d_keep_best": _keep_best_oracle(num_hashes=16, bands=4),
+        "d_cluster_sizes": _cluster_sizes_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
         "q_attribution": """
@@ -5831,6 +5853,32 @@ def _kfold_oracle(num_hashes: int, bands: int, k: int, salt: str = "fold") -> st
         SELECT fold, count(*) AS n_docs,
                sum(len({_TOKENS_SQL})) AS total_tokens
         FROM folded GROUP BY fold
+    """
+
+
+def _cluster_sizes_oracle(num_hashes: int, bands: int) -> str:
+    """Replays d_cluster_sizes: recursive-CTE clusters -> per-cluster
+    size -> size histogram."""
+    pairs_sql = _minhash_oracle(num_hashes=num_hashes, bands=bands)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+        ),
+        labels AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id
+        )
+        SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size
     """
 
 
