@@ -2209,6 +2209,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive baseline error (relational.py
+    seasonal_naive_error), week-over-week hourly counts."""
+    from geist_spark.operators.relational import seasonal_naive_error
+
+    return seasonal_naive_error(_t(spark, sf_dir, "events"))
+
+
 def d_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size distribution: how much of the corpus sits
     in dup families of each size — the dedup-savings estimate
@@ -3136,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_sorted_neighborhood": d_sorted_neighborhood,
         "q_attribution": q_attribution,
         "d_cluster_sizes": d_cluster_sizes,
+        "q_seasonal_naive": q_seasonal_naive,
     }
 
 
@@ -4810,6 +4819,20 @@ def oracle_sql() -> dict[str, str]:
         "d_cluster_sizes": _cluster_sizes_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "q_seasonal_naive": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT c.event_type, count(*) AS n_hours,
+                   CAST(sum(abs(c.n - p.n)) AS BIGINT) AS total_abs_err,
+                   CAST(max(abs(c.n - p.n)) AS BIGINT) AS max_abs_err
+            FROM hourly c JOIN hourly p
+              ON p.event_type = c.event_type
+             AND p.h + INTERVAL 168 HOUR = c.h
+            GROUP BY c.event_type
+        """,
         "q_attribution": """
             WITH staged AS (
                 SELECT event_id, user_id, event_type,

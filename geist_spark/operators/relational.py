@@ -1536,3 +1536,46 @@ def touch_attribution(
     return staged.filter(F.col("event_type") == conversion_type).select(
         "event_id", "user_id", "ts", "first_touch", "last_touch"
     )
+
+
+def seasonal_naive_error(
+    events: DataFrame, season_hours: int = 168
+) -> DataFrame:
+    """Seasonal-naive forecast baseline: predict each (type, hour)'s
+    event count with the count one season earlier (default 168 h = a
+    week), and report per-type absolute-error totals — the baseline
+    every real forecasting model must beat, and a drift alarm on its
+    own (error jumps when the seasonal pattern breaks).
+
+    Plan: ONE hourly rollup (partial agg), then a self-join of the
+    tiny rollup table on the shifted hour — the join runs over
+    |types| * |hours| metadata rows, never events. Errors are exact
+    integer sums; only n_hours with no prior-season observation are
+    excluded (not zero-filled: absence of data is not a zero
+    forecast).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur = hourly.alias("cur")
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr(f"INTERVAL {int(season_hours)} HOURS")).alias(
+            "p_h"
+        ),
+        F.col("n").alias("forecast"),
+    )
+    j = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("p_type"))
+        & (F.col("cur.h") == F.col("p_h")),
+    )
+    err = F.abs(F.col("cur.n") - F.col("forecast"))
+    return (
+        j.groupBy(F.col("cur.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(err).alias("total_abs_err"),
+            F.max(err).alias("max_abs_err"),
+        )
+    )
