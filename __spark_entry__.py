@@ -2209,6 +2209,48 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_reconcile_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/manifest reconciliation (operators/bucketing.py
+    reconcile_files): listing from documents; manifest drops every
+    13th file (-> orphans) and invents phantoms (-> missing).
+    Summarized per status."""
+    from geist_spark.operators.bucketing import reconcile_files
+
+    listing = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("path"),
+        (F.col("n_chars") * 7 + 100).alias("bytes"),
+    )
+    manifest = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 != 0)
+        .select(
+            F.concat(
+                F.lit("part-"),
+                F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            ).alias("path"),
+            (F.col("n_chars") * 7 + 100).alias("bytes"),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 17 == 0)
+            .select(
+                F.concat(
+                    F.lit("phantom-"),
+                    F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+                ).alias("path"),
+                F.lit(1000).cast("long").alias("bytes"),
+            )
+        )
+    )
+    out = reconcile_files(listing, manifest)
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+
+
 def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive baseline error (relational.py
     seasonal_naive_error), week-over-week hourly counts."""
@@ -3145,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": q_attribution,
         "d_cluster_sizes": d_cluster_sizes,
         "q_seasonal_naive": q_seasonal_naive,
+        "p_reconcile_files": p_reconcile_files,
     }
 
 
@@ -4819,6 +4862,32 @@ def oracle_sql() -> dict[str, str]:
         "d_cluster_sizes": _cluster_sizes_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "p_reconcile_files": """
+            WITH listing AS (
+                SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                           AS path,
+                       n_chars * 7 + 100 AS bytes_
+                FROM documents
+            ), manifest AS (
+                SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0'),
+                       n_chars * 7 + 100
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT 'phantom-' || lpad(CAST(doc_id AS VARCHAR), 6, '0'),
+                       1000
+                FROM documents WHERE doc_id % 17 = 0
+            ), j AS (
+                SELECT coalesce(l.path, m.path) AS path,
+                       coalesce(l.bytes_, m.bytes_) AS bytes_,
+                       CASE WHEN m.path IS NULL THEN 'orphan'
+                            WHEN l.path IS NULL THEN 'missing'
+                            ELSE 'ok' END AS status
+                FROM listing l
+                FULL OUTER JOIN manifest m(path, bytes_) ON l.path = m.path
+            )
+            SELECT status, count(*) AS n_files, sum(bytes_) AS total_bytes
+            FROM j GROUP BY status
+        """,
         "q_seasonal_naive": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h,

@@ -178,3 +178,33 @@ def compact_summary(plan: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
     )
+
+
+def reconcile_files(listing: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Storage-vs-manifest reconciliation: files on disk that no
+    manifest references (orphans — failed-write leftovers the GC can
+    reclaim) and manifest entries with no backing file (missing —
+    corruption to repair from a snapshot). The third lakehouse
+    maintenance primitive next to compact_plan and backfill_plan;
+    like them it is METADATA-grain — a full-outer join over file
+    listings, costing nothing at any data scale.
+
+    Inputs: (path, bytes) each. Output: (path, bytes, status) with
+    status in {'orphan', 'missing', 'ok'}."""
+    a = listing.select(
+        F.col("path").alias("l_path"), F.col("bytes").alias("l_bytes")
+    )
+    b = manifest.select(
+        F.col("path").alias("m_path"), F.col("bytes").alias("m_bytes")
+    )
+    j = a.join(b, a.l_path == b.m_path, "full_outer")
+    status = (
+        F.when(F.col("m_path").isNull(), F.lit("orphan"))
+        .when(F.col("l_path").isNull(), F.lit("missing"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        F.coalesce(F.col("l_path"), F.col("m_path")).alias("path"),
+        F.coalesce(F.col("l_bytes"), F.col("m_bytes")).alias("bytes"),
+        status.alias("status"),
+    )
