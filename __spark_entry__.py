@@ -2209,6 +2209,17 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning curve (operators/similarity.py lsh_tuning_curve):
+    candidate-pair counts for 2/3/4 hyperplanes from one coarse-bucket
+    join."""
+    from geist_spark.operators.similarity import lsh_tuning_curve
+
+    return lsh_tuning_curve(
+        _t(spark, sf_dir, "embeddings"), min_planes=2, max_planes=4
+    )
+
+
 def p_reconcile_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage/manifest reconciliation (operators/bucketing.py
     reconcile_files): listing from documents; manifest drops every
@@ -3188,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cluster_sizes": d_cluster_sizes,
         "q_seasonal_naive": q_seasonal_naive,
         "p_reconcile_files": p_reconcile_files,
+        "s_lsh_tuning": s_lsh_tuning,
     }
 
 
@@ -5032,6 +5044,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN vocab v ON tok.t = v.t
             GROUP BY doc_id
         """,
+        "s_lsh_tuning": _lsh_tuning_oracle(
+            min_planes=2, max_planes=4, dim=64
+        ),
         "s_hard_negatives": _hard_negatives_oracle(
             num_planes=4, dim=64, k=5, n_queries=10,
             threshold=0.999, overfetch=4,
@@ -6538,6 +6553,48 @@ def _media_embed_near_dup_oracle(
         WHERE round(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
+def _lsh_tuning_oracle(min_planes: int, max_planes: int, dim: int) -> str:
+    """Replays lsh_tuning_curve: sign bits per plane, coarse-bucket
+    pair join, agreement-depth histogram, cumulative counts."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    bit_exprs = []
+    for p in range(max_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0"
+            f" THEN 1 ELSE 0 END) AS b{p}"
+        )
+    coarse_cond = " AND ".join(
+        f"a.b{i} = b.b{i}" for i in range(min_planes)
+    )
+    # depth = min_planes + agree(min) + agree(min..min+1) + ...
+    depth = str(min_planes)
+    prefix_conds = []
+    for i in range(min_planes, max_planes):
+        prefix_conds.append(f"a.b{i} = b.b{i}")
+        cond = " AND ".join(prefix_conds)
+        depth += f" + (CASE WHEN {cond} THEN 1 ELSE 0 END)"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), bits AS (
+            SELECT vec_id, {', '.join(bit_exprs)} FROM e
+        ), pairs AS (
+            SELECT ({depth}) AS agree_depth
+            FROM bits a JOIN bits b
+              ON {coarse_cond} AND a.vec_id < b.vec_id
+        ), hist AS (
+            SELECT agree_depth, count(*) AS n FROM pairs GROUP BY agree_depth
+        )
+        SELECT agree_depth AS planes,
+               CAST(sum(n) OVER (ORDER BY agree_depth DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_candidate_pairs
+        FROM hist
     """
 
 

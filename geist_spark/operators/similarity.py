@@ -936,3 +936,68 @@ def source_centroid_drift(
     return pairs.select(
         "src_a", "src_b", F.round(cos, 6).alias("cosine")
     )
+
+
+def lsh_tuning_curve(
+    embeddings: DataFrame,
+    min_planes: int = 2,
+    max_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH tuning curve — candidate-pair count at EVERY plane count in
+    [min_planes, max_planes] from ONE self-join: buckets at p+1 planes
+    refine buckets at p planes (the signature is a bit-prefix), so a
+    single join on the COARSEST bucket finds every pair any setting
+    would, and each pair's deepest agreeing signature prefix says
+    which settings keep it. The "how many planes do I need" question
+    answered in one pass instead of max-min+1 reruns.
+
+    Output: (planes, n_candidate_pairs), monotonically non-increasing
+    in planes. Join volume is the min_planes-bucket pair count — pick
+    min_planes high enough that the coarse join itself is tractable
+    (the same consideration as running LSH at min_planes).
+    """
+    planes = [_hyperplane(dim, p) for p in range(max_planes)]
+    bit_cols = []
+    for p_idx, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        bit_cols.append(
+            F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"b{p_idx}")
+        )
+    base = fan_out(embeddings).select(
+        F.col("vec_id").alias("vid"), *bit_cols
+    )
+    coarse = sum(
+        (F.col(f"b{i}") * (2**i) for i in range(min_planes)), F.lit(0)
+    )
+    base = base.withColumn("bucket", coarse)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    # deepest agreeing prefix: min_planes + consecutive agreement of
+    # the remaining bits, stopping at the first disagreement
+    depth = F.lit(min_planes)
+    alive = F.lit(True)
+    for i in range(min_planes, max_planes):
+        agree = F.col(f"a.b{i}") == F.col(f"b.b{i}")
+        alive = alive & agree
+        depth = depth + alive.cast("int")
+    hist = pairs.select(depth.alias("agree_depth")).groupBy(
+        "agree_depth"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # cumulative: pairs at depth >= p survive p planes
+    w = Window.orderBy(F.col("agree_depth").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("n_candidate_pairs", F.sum("n").over(w))
+        .select(
+            F.col("agree_depth").alias("planes"),
+            "n_candidate_pairs",
+        )
+    )
