@@ -2209,6 +2209,19 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deletion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style deletion planning (relational.py deletion_plan):
+    subjects = users with user_id % 13 == 0; per-day rewrite
+    worklist."""
+    from geist_spark.operators.relational import deletion_plan
+
+    ev = _t(spark, sf_dir, "events")
+    subjects = ev.select("user_id").distinct().filter(
+        F.col("user_id") % 13 == 0
+    )
+    return deletion_plan(ev, subjects)
+
+
 def s_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH tuning curve (operators/similarity.py lsh_tuning_curve):
     candidate-pair counts for 2/3/4 hyperplanes from one coarse-bucket
@@ -3200,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive": q_seasonal_naive,
         "p_reconcile_files": p_reconcile_files,
         "s_lsh_tuning": s_lsh_tuning,
+        "q_deletion_plan": q_deletion_plan,
     }
 
 
@@ -4874,6 +4888,16 @@ def oracle_sql() -> dict[str, str]:
         "d_cluster_sizes": _cluster_sizes_oracle(num_hashes=16, bands=4),
         # replays calibration_bins' exact-integer fixed-width binning
         # over the same probe scores as q_eval_auc
+        "q_deletion_plan": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+                   CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_delete,
+                   CAST(sum(CASE WHEN user_id % 13 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_keep,
+                   sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) > 0
+                       AS rewrite
+            FROM events GROUP BY 1
+        """,
         "p_reconcile_files": """
             WITH listing AS (
                 SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')

@@ -1579,3 +1579,33 @@ def seasonal_naive_error(
             F.max(err).alias("max_abs_err"),
         )
     )
+
+
+def deletion_plan(
+    events: DataFrame,
+    subject_ids: DataFrame,
+    id_col: str = "user_id",
+    part_col: str = "ts",
+) -> DataFrame:
+    """Right-to-erasure planning: per day-partition, how many rows
+    belong to the deletion subjects vs survive — the rewrite worklist
+    a GDPR/CCPA purge job executes (only partitions with hits are
+    rewritten; the rest are untouched, which at 100 TB is the entire
+    point of planning before deleting).
+
+    The subject list is request-sized -> broadcast; ONE conditional
+    aggregation per partition (no second scan for survivors, no
+    per-subject jobs). Output: (part, n_delete, n_keep, rewrite)."""
+    subj = F.broadcast(
+        subject_ids.select(F.col(id_col).alias("__subj")).distinct()
+    )
+    j = events.join(subj, events[id_col] == F.col("__subj"), "left")
+    hit = F.col("__subj").isNotNull()
+    return (
+        j.groupBy(F.to_date(part_col).cast("string").alias("part"))
+        .agg(
+            F.sum(hit.cast("long")).alias("n_delete"),
+            F.sum((~hit).cast("long")).alias("n_keep"),
+        )
+        .withColumn("rewrite", F.col("n_delete") > 0)
+    )
