@@ -59,6 +59,9 @@ SMJ_WAIVED = {
     # partitions must both surface); full outer cannot broadcast, and
     # both sides are metadata-sized
     "q_backfill_plan",
+    # listing-vs-manifest reconciliation: same full-outer-over-metadata
+    # shape as the digest diff
+    "p_reconcile_files",
 }
 
 
