@@ -3039,6 +3039,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF_DEFAULT)
 
 
+def _synth_url(doc_id_col: F.Column) -> F.Column:
+    """Deterministic messy URL per doc (md5-derived, replayed verbatim
+    in the oracle): mixed-case scheme/host, scheme-default and
+    non-default ports, trailing-slash variants, tracking params in
+    shuffled order, fragments — every normalization rule gets hit."""
+    h = F.md5(doc_id_col.cast("string"))
+
+    def d(i: int, n: int = 1) -> F.Column:
+        return F.substring(h, i, n)
+
+    scheme = F.when(d(1) < "8", F.lit("https")).otherwise(F.lit("HTTP"))
+    port = (
+        F.when(
+            d(2) < "4",
+            F.when(d(1) < "8", F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(d(2) < "6", F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    host = F.concat(F.lit("WWW.h"), d(3, 2), F.lit(".Example.com"))
+    path = F.concat(
+        F.lit("/p/"),
+        d(5, 3),
+        F.when(d(8) < "8", F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d(9) < "4", F.lit(""))
+        .when(
+            d(9) < "8",
+            F.concat(F.lit("?id="), d(10, 2), F.lit("&utm_source=feed")),
+        )
+        .when(
+            d(9) < "c",
+            F.concat(F.lit("?utm_source=feed&id="), d(10, 2)),
+        )
+        .otherwise(F.lit("?b=2&a=1&utm_campaign=x"))
+    )
+    frag = F.when(d(12) < "8", F.concat(F.lit("#sec"), d(13, 1))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+def w_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py normalize_url): RFC 3986
+    component parse in pure codegen — lower scheme/host, strip default
+    ports and fragments, drop tracking params, sort the rest, collapse
+    trailing slashes. Map-only: free at any scale."""
+    from geist_spark.operators.web import normalize_url, url_host
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url(F.col("doc_id"))
+    )
+    return docs.select(
+        "doc_id",
+        "url",
+        normalize_url(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+def w_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl census (operators/web.py host_stats): docs,
+    distinct canonical URLs, distinct paths, total chars — one
+    partial-agg shuffle at host grain; hosts are the skew axis AQE
+    splits."""
+    from geist_spark.operators.web import host_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url(F.col("doc_id"))
+    )
+    return host_stats(docs)
+
+
+def w_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/web.py url_dedup): one survivor per
+    normalized URL via the top-1-per-key window — the same page under
+    tracking-param/case/port noise collapses to one document."""
+    from geist_spark.operators.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url(F.col("doc_id"))
+    )
+    return url_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract query inventory.
 
@@ -3214,6 +3300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_reconcile_files": p_reconcile_files,
         "s_lsh_tuning": s_lsh_tuning,
         "q_deletion_plan": q_deletion_plan,
+        "w_url_normalize": w_url_normalize,
+        "w_host_stats": w_host_stats,
+        "w_url_dedup": w_url_dedup,
     }
 
 
@@ -5543,7 +5632,100 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_files, sum(bytes_) AS total_bytes
             FROM plan GROUP BY dir, bin
         """,
+        "w_url_normalize": _url_oracle_cte()
+        + """
+            SELECT doc_id, url, url_norm, host FROM normed
+        """,
+        "w_host_stats": _url_oracle_cte()
+        + """
+            SELECT host, count(*) AS n_docs,
+                   count(DISTINCT url_norm) AS n_urls,
+                   count(DISTINCT regexp_extract(url_norm,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1))
+                       AS n_paths,
+                   sum(length(text)) AS total_chars
+            FROM normed GROUP BY host
+        """,
+        "w_url_dedup": _url_oracle_cte()
+        + """
+            SELECT doc_id, url_norm,
+                   row_number() OVER (PARTITION BY url_norm
+                                      ORDER BY doc_id) = 1 AS keep
+            FROM normed
+        """,
     }
+
+
+def _url_oracle_cte() -> str:
+    """Replays _synth_url + operators/web.py normalize_url/url_host in
+    DuckDB: same md5-derived messy URL, same RFC 3986 component parse
+    and normalization rules (lower scheme/host, default-port strip,
+    fragment drop, tracking-param filter + sort, trailing-slash
+    collapse)."""
+    return r"""
+        WITH docs_u AS (
+            SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), raw AS (
+            SELECT doc_id, text,
+                CASE WHEN substr(h,1,1) < '8' THEN 'https'
+                     ELSE 'HTTP' END ||
+                '://WWW.h' || substr(h,3,2) || '.Example.com' ||
+                CASE WHEN substr(h,2,1) < '4' THEN
+                        (CASE WHEN substr(h,1,1) < '8' THEN ':443'
+                              ELSE ':80' END)
+                     WHEN substr(h,2,1) < '6' THEN ':8080'
+                     ELSE '' END ||
+                '/p/' || substr(h,5,3) ||
+                CASE WHEN substr(h,8,1) < '8' THEN '/' ELSE '' END ||
+                CASE WHEN substr(h,9,1) < '4' THEN ''
+                     WHEN substr(h,9,1) < '8' THEN
+                        '?id=' || substr(h,10,2) || '&utm_source=feed'
+                     WHEN substr(h,9,1) < 'c' THEN
+                        '?utm_source=feed&id=' || substr(h,10,2)
+                     ELSE '?b=2&a=1&utm_campaign=x' END ||
+                CASE WHEN substr(h,12,1) < '8' THEN
+                        '#sec' || substr(h,13,1)
+                     ELSE '' END AS url
+            FROM docs_u
+        ), parsed AS (
+            SELECT doc_id, text, url,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+                    AS raw_path,
+                regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS rawq
+            FROM raw
+        ), comp AS (
+            SELECT doc_id, text, url, scheme,
+                lower(regexp_extract(auth,
+                    '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+                regexp_extract(auth, ':(\d+)$', 1) AS port,
+                CASE WHEN regexp_replace(raw_path, '/+$', '') = ''
+                     THEN '/'
+                     ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+                coalesce(list_aggregate(list_sort(list_filter(
+                    string_split(rawq, '&'),
+                    x -> x <> ''
+                         AND NOT regexp_extract(x, '^([^=]*)', 1)
+                             IN ('fbclid','gclid','msclkid','ref')
+                         AND NOT starts_with(
+                             regexp_extract(x, '^([^=]*)', 1), 'utm_'))),
+                    'string_agg', '&'), '') AS qq
+            FROM parsed
+        ), normed AS (
+            SELECT doc_id, text, url, host,
+                scheme || '://' || host ||
+                CASE WHEN port = '' OR (scheme='http' AND port='80')
+                          OR (scheme='https' AND port='443') THEN ''
+                     ELSE ':' || port END || path ||
+                CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_norm
+            FROM comp
+        )
+    """
 
 
 def _redact_pii_oracle() -> str:

@@ -1,0 +1,88 @@
+"""URL canonicalization / host stats / URL dedup (operators/web.py)."""
+
+from pyspark.sql import functions as F
+
+from geist_spark.operators.web import (
+    host_stats,
+    normalize_url,
+    url_dedup,
+    url_host,
+)
+
+
+def _norm(spark, *urls: str) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+
+
+def test_normalize_rules(spark):
+    got = _norm(
+        spark,
+        "HTTP://WWW.Example.com:80/a/b/?utm_source=feed&id=7#frag",
+        "https://host.com:443/a//",
+        "https://host.com:8080/a?b=2&a=1&fbclid=xx",
+        "http://user@Host.com/p?ref=x",
+        "https://h.com",
+        "http://h.com:81/x/?utm_campaign=z&z=1&y=2",
+    )
+    assert got == [
+        "http://www.example.com/a/b?id=7",
+        "https://host.com/a",
+        "https://host.com:8080/a?a=1&b=2",
+        "http://host.com/p",
+        "https://h.com/",
+        "http://h.com:81/x?y=2&z=1",
+    ]
+
+
+def test_normalize_idempotent(spark):
+    urls = [
+        "HTTP://A.b:80/x/?utm_a=1&b=2#f",
+        "https://q.com:8443/p?z=1&a=2",
+        "https://h.com",
+    ]
+    once = _norm(spark, *urls)
+    twice = _norm(spark, *once)
+    assert once == twice
+
+
+def test_normalize_non_url_is_null(spark):
+    df = spark.createDataFrame([("not a url",), ("",), (None,)], "url string")
+    got = [
+        r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert got == [None, None, None]
+
+
+def test_url_host_strips_userinfo_and_port(spark):
+    df = spark.createDataFrame(
+        [("https://alice:pw@Host.Example.COM:8443/x",)], "url string"
+    )
+    assert (
+        df.select(url_host(F.col("url")).alias("h")).collect()[0].h
+        == "host.example.com"
+    )
+
+
+def test_host_stats_and_dedup(spark):
+    rows = [
+        (1, "http://A.com/p?utm_source=x", "aaaa"),
+        (2, "HTTP://a.com:80/p/", "bb"),  # same canonical page as 1
+        (3, "http://a.com/q", "c"),
+        (4, "https://b.com/p", "dd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    hs = {r.host: r for r in host_stats(docs).collect()}
+    assert hs["a.com"].n_docs == 3
+    assert hs["a.com"].n_urls == 2  # docs 1+2 collapse
+    assert hs["a.com"].n_paths == 2
+    assert hs["a.com"].total_chars == 7
+    assert hs["b.com"].n_docs == 1
+
+    dd = {r.doc_id: r for r in url_dedup(docs).collect()}
+    assert dd[1].keep and not dd[2].keep  # lowest id survives
+    assert dd[1].url_norm == dd[2].url_norm == "http://a.com/p"
+    assert dd[3].keep and dd[4].keep
