@@ -3125,6 +3125,33 @@ def w_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+def t_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus n-gram LM training (operators/lm.py
+    train_ngram_lm): bigram count table over the lang='en' slice —
+    two vocabulary-grain aggregations, shuffling (token, partial-count)
+    pairs, never documents (CCNet trains its filter LM on a clean
+    reference corpus the same way)."""
+    from geist_spark.operators.lm import train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    _, bi = train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    return bi
+
+
+def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py lm_score),
+    log-free: every doc scored against unigram/bigram tables trained
+    on the lang='en' slice — oov_rate / bigram_hit_rate /
+    avg_freq_digits / min_unigram_cnt, all exact-integer arithmetic
+    with single IEEE divisions. One array-side pair explode (no
+    window), two broadcast vocab joins, one doc-grain agg."""
+    from geist_spark.operators.lm import lm_score, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score(docs, uni, bi)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract query inventory.
 
@@ -3303,6 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_url_normalize": w_url_normalize,
         "w_host_stats": w_host_stats,
         "w_url_dedup": w_url_dedup,
+        "t_lm_train": t_lm_train,
+        "t_lm_score": t_lm_score,
     }
 
 
@@ -5652,6 +5681,58 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY url_norm
                                       ORDER BY doc_id) = 1 AS keep
             FROM normed
+        """,
+        "t_lm_train": f"""
+            WITH ref AS (
+                SELECT {_TOKENS_SQL} AS l FROM documents WHERE lang = 'en'
+            )
+            SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt
+            FROM (SELECT unnest(list_zip(l[1:-2], l[2:-1])) AS p FROM ref)
+            GROUP BY 1, 2
+        """,
+        "t_lm_score": f"""
+            WITH ref AS (
+                SELECT {_TOKENS_SQL} AS l FROM documents WHERE lang = 'en'
+            ), uni AS (
+                SELECT t AS token, count(*) AS cnt
+                FROM (SELECT unnest(l) AS t FROM ref) GROUP BY 1
+            ), bi AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt
+                FROM (SELECT unnest(list_zip(l[1:-2], l[2:-1])) AS p
+                      FROM ref)
+                GROUP BY 1, 2
+            ), alldocs AS (
+                SELECT doc_id, {_TOKENS_SQL} AS l FROM documents
+            ), ex AS (
+                SELECT doc_id, p[1] AS w, p[2] AS w_next
+                FROM (SELECT doc_id,
+                             unnest(list_zip(l,
+                                 list_concat(l[2:-1], [NULL::VARCHAR]))) AS p
+                      FROM alldocs)
+            ), j AS (
+                SELECT e.doc_id, e.w, e.w_next,
+                       u.cnt AS cnt_u, b.cnt AS cnt_b
+                FROM ex e
+                LEFT JOIN uni u ON e.w = u.token
+                LEFT JOIN bi b ON e.w = b.w1 AND e.w_next = b.w2
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN cnt_u IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS oov_rate,
+                   CASE WHEN sum(CASE WHEN w_next IS NOT NULL
+                                      THEN 1 ELSE 0 END) > 0
+                        THEN CAST(sum(CASE WHEN cnt_b IS NOT NULL
+                                           THEN 1 ELSE 0 END) AS DOUBLE)
+                             / sum(CASE WHEN w_next IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                   END AS bigram_hit_rate,
+                   CASE WHEN count(cnt_u) > 0
+                        THEN CAST(sum(CASE WHEN cnt_u IS NOT NULL
+                                 THEN length(CAST(cnt_u AS VARCHAR))
+                                 ELSE 0 END) AS DOUBLE) / count(cnt_u)
+                   END AS avg_freq_digits,
+                   min(cnt_u) AS min_unigram_cnt
+            FROM j GROUP BY doc_id
         """,
     }
 

@@ -1,0 +1,61 @@
+"""N-gram LM quality scoring (operators/lm.py)."""
+
+from pyspark.sql import functions as F
+
+from geist_spark.operators.lm import lm_score, train_ngram_lm
+
+
+def _docs(spark, *texts: str):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_train_counts(spark):
+    ref = _docs(spark, "the cat sat", "the cat ran", "a dog ran")
+    uni, bi = train_ngram_lm(ref)
+    u = {r.token: r.cnt for r in uni.collect()}
+    assert u == {"the": 2, "cat": 2, "sat": 1, "ran": 2, "a": 1, "dog": 1}
+    b = {(r.w1, r.w2): r.cnt for r in bi.collect()}
+    assert b[("the", "cat")] == 2
+    assert b[("cat", "sat")] == 1
+    assert ("sat", "the") not in b  # no cross-document pairs
+
+
+def test_min_count_filter(spark):
+    ref = _docs(spark, "the cat sat", "the cat ran")
+    uni, bi = train_ngram_lm(ref, min_count=2)
+    assert {r.token for r in uni.collect()} == {"the", "cat"}
+    assert {(r.w1, r.w2) for r in bi.collect()} == {("the", "cat")}
+
+
+def test_score_features(spark):
+    ref = _docs(spark, "the cat sat", "the cat ran")
+    uni, bi = train_ngram_lm(ref)
+    scored = {
+        r.doc_id: r
+        for r in lm_score(
+            _docs(spark, "the cat sat", "zz qq", "the zz", "cat"), uni, bi
+        ).collect()
+    }
+    # doc 0: fully in-reference
+    assert scored[0].oov_rate == 0.0 and scored[0].bigram_hit_rate == 1.0
+    assert scored[0].min_unigram_cnt == 1  # 'sat'
+    # doc 1: fully OOV
+    assert scored[1].oov_rate == 1.0 and scored[1].bigram_hit_rate == 0.0
+    assert scored[1].min_unigram_cnt is None
+    assert scored[1].avg_freq_digits is None
+    # doc 2: half OOV, pair unseen
+    assert scored[2].oov_rate == 0.5 and scored[2].bigram_hit_rate == 0.0
+    # doc 3: single token -> no pairs -> NULL hit rate
+    assert scored[3].bigram_hit_rate is None
+    assert scored[3].n_tokens == 1
+
+
+def test_shuffle_join_path_matches_broadcast(spark):
+    ref = _docs(spark, "the cat sat on the mat", "the dog sat")
+    docs = _docs(spark, "the cat", "dog sat on", "x y the")
+    uni, bi = train_ngram_lm(ref)
+    a = lm_score(docs, uni, bi, broadcast_vocab=True)
+    b = lm_score(docs, uni, bi, broadcast_vocab=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
