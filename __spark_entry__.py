@@ -3152,6 +3152,51 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi)
 
 
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/tokenizer.py
+    train_bpe): one corpus pass builds the word-frequency table; each
+    merge round is a vocabulary-grain pair count + 1-row argmax +
+    greedy left-to-right fold merge (F.aggregate — exact BPE
+    semantics, replayed in DuckDB with list_reduce). Ties break
+    (freq DESC, left ASC, right ASC) so the table is a pure function
+    of the data."""
+    from geist_spark.operators.tokenizer import train_bpe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    merges = train_bpe(docs, num_merges=6)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_freq bigint",
+    )
+
+
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding at vocabulary grain (operators/tokenizer.py
+    bpe_apply): merges learned on the lang='en' slice, applied ONCE to
+    the distinct-word table (never per token occurrence), broadcast
+    back onto the token stream for per-doc subword counts."""
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.tokenizer import bpe_apply, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs.filter(F.col("lang") == "en"), num_merges=6)
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    enc = bpe_apply(ex.select("word").distinct(), merges).select(
+        "word", "n_subwords"
+    )
+    return (
+        ex.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract query inventory.
 
@@ -3332,6 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_url_dedup": w_url_dedup,
         "t_lm_train": t_lm_train,
         "t_lm_score": t_lm_score,
+        "t_bpe_merges": t_bpe_merges,
+        "t_bpe_encode": t_bpe_encode,
     }
 
 
@@ -5734,6 +5781,8 @@ def oracle_sql() -> dict[str, str]:
                    min(cnt_u) AS min_unigram_cnt
             FROM j GROUP BY doc_id
         """,
+        "t_bpe_merges": _bpe_merges_oracle(6),
+        "t_bpe_encode": _bpe_encode_oracle(6),
     }
 
 
@@ -5807,6 +5856,119 @@ def _url_oracle_cte() -> str:
             FROM comp
         )
     """
+
+
+def _bpe_fold_sql(a: str, b: str) -> str:
+    """DuckDB list_reduce replay of operators/tokenizer.py merge_fold:
+    greedy left-to-right merge of pair (a, b) over the space-joined
+    symbol string `sym`, state packed as output||chr(1)||pending.
+    Produces the raw folded accumulator (unpacked by _BPE_UNPACK)."""
+    sp1 = "split_part(acc, chr(1), 1)"
+    sp2 = "split_part(acc, chr(1), 2)"
+    arr = "string_split(sym, ' ')"
+    lam = (
+        f"(acc, x) -> CASE WHEN {sp2} = {a} AND x = {b} "
+        f"THEN (CASE WHEN {sp1} = '' THEN '' ELSE {sp1} || ' ' END) "
+        f"|| {a} || {b} || chr(1) "
+        f"ELSE (CASE WHEN {sp2} = '' THEN {sp1} "
+        f"WHEN {sp1} = '' THEN {sp2} "
+        f"ELSE {sp1} || ' ' || {sp2} END) || chr(1) || x END"
+    )
+    return (
+        f"list_reduce(list_concat([chr(1) || list_extract({arr}, 1)], "
+        f"list_slice({arr}, 2, len({arr}))), {lam})"
+    )
+
+
+_BPE_UNPACK = (
+    "CASE WHEN split_part(acc, chr(1), 2) = '' "
+    "THEN split_part(acc, chr(1), 1) "
+    "WHEN split_part(acc, chr(1), 1) = '' "
+    "THEN split_part(acc, chr(1), 2) "
+    "ELSE split_part(acc, chr(1), 1) || ' ' || split_part(acc, chr(1), 2) "
+    "END"
+)
+
+_BPE_PAIRS = (
+    "SELECT p[1] AS a, p[2] AS b, sum(freq) AS cnt "
+    "FROM (SELECT freq, unnest(list_zip(arr[1:-2], arr[2:-1])) AS p "
+    "      FROM (SELECT freq, string_split(sym, ' ') AS arr FROM {src})) "
+    "GROUP BY 1, 2"
+)
+
+
+def _bpe_oracle_ctes(num_merges: int) -> str:
+    """CTE chain replaying train_bpe round by round: pair counts ->
+    deterministic argmax -> list_reduce greedy merge, each round's
+    best pair LEFT JOIN'ed (ON TRUE) into the next merge so an
+    exhausted pair table degrades to a no-op merge, mirroring the
+    Spark loop's early break."""
+    parts = [
+        "WITH wf AS ("
+        f"  SELECT t AS word, count(*) AS freq"
+        f"  FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents"
+        "        WHERE lang = 'en')"
+        "  WHERE t <> '' GROUP BY 1"
+        "), syms0 AS ("
+        "  SELECT word, freq,"
+        "         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym"
+        "  FROM wf"
+        ")"
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f", pairs{r} AS ({_BPE_PAIRS.format(src=f'syms{r}')})"
+            f", best{r} AS (SELECT a, b, cnt FROM pairs{r}"
+            f"              ORDER BY cnt DESC, a, b LIMIT 1)"
+            f", red{r} AS (SELECT word, freq,"
+            f"    {_bpe_fold_sql(f'best{r}.a', f'best{r}.b')} AS acc"
+            f"    FROM syms{r} LEFT JOIN best{r} ON TRUE)"
+            f", syms{r + 1} AS (SELECT word, freq, {_BPE_UNPACK} AS sym"
+            f"    FROM red{r})"
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(num_merges: int) -> str:
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS pair_freq FROM best{r}"
+        for r in range(num_merges)
+    ]
+    return _bpe_oracle_ctes(num_merges) + " ".join(
+        ["\n"] + [" UNION ALL ".join(selects)]
+    )
+
+
+def _bpe_encode_oracle(num_merges: int) -> str:
+    parts = [
+        _bpe_oracle_ctes(num_merges),
+        ", ex AS ("
+        f"  SELECT doc_id, t AS word"
+        f"  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)"
+        "  WHERE t <> ''"
+        "), asyms0 AS ("
+        "  SELECT word,"
+        "         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym"
+        "  FROM (SELECT DISTINCT word FROM ex)"
+        ")",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f", ared{r} AS (SELECT word,"
+            f"    {_bpe_fold_sql(f'best{r}.a', f'best{r}.b')} AS acc"
+            f"    FROM asyms{r} LEFT JOIN best{r} ON TRUE)"
+            f", asyms{r + 1} AS (SELECT word, {_BPE_UNPACK} AS sym"
+            f"    FROM ared{r})"
+        )
+    parts.append(
+        f", enc AS (SELECT word, len(string_split(sym, ' ')) AS n_sub"
+        f"          FROM asyms{num_merges})"
+        " SELECT doc_id, count(*) AS n_tokens,"
+        " sum(n_sub) AS n_subwords"
+        " FROM ex JOIN enc USING (word) GROUP BY doc_id"
+    )
+    return "".join(parts)
 
 
 def _redact_pii_oracle() -> str:

@@ -1,0 +1,175 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+Byte-pair encoding trains on a WORD-FREQUENCY table, not the corpus:
+the corpus is scanned ONCE to count words (vocabulary-grain shuffle of
+(word, partial-count) pairs), and every merge round thereafter runs on
+the vocab table — pair counting is a groupBy over symbol bigrams
+weighted by word frequency, the argmax is a 1-row collect, and the
+merge itself is a vocab-grain projection. At 100 TB the corpus pass is
+the only corpus-sized cost; M merge rounds cost M tiny vocab-table
+jobs (each localCheckpoint'ed so round N never replays rounds 1..N-1).
+
+The merge step is GREEDY LEFT-TO-RIGHT (the BPE contract: in
+`a a a a a`, merging (a,a) yields `aa aa a`, never `aa a aa`). A
+plain string replace() gets this wrong on overlapping runs, so the
+merge is an explicit fold over the symbol array (F.aggregate — same
+higher-order fold the DuckDB oracle replays with list_reduce): state
+is (emitted-output, pending-symbol) packed into one string with a
+\\x01 separator; a (pending==left AND next==right) step emits the
+merged symbol and clears pending.
+
+Ties in pair counts break deterministically (freq DESC, left ASC,
+right ASC) so the learned merge table is a pure function of the data.
+
+`bpe_apply` replays a learned merge list over any word table as ONE
+chained projection (merge k folds the output of merge k-1) — encoding
+a 100 TB corpus is a distinct-word join, not a per-token scan: encode
+the vocabulary once, broadcast it, join tokens against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from geist_spark.operators.dedup import tokens
+
+_E = "\x01"  # state separator: acc = emitted-output || _E || pending
+END_TOKEN = "</w>"
+
+
+def word_freqs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-sized pass of
+    BPE training; everything after runs at vocabulary grain."""
+    return (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def char_symbols(word: F.Column, end_token: str = END_TOKEN) -> F.Column:
+    """Initial symbol string: space-joined characters + end marker
+    ('low' -> 'l o w </w>')."""
+    return F.concat(F.regexp_replace(word, "(.)", "$1 "), F.lit(end_token))
+
+
+def merge_fold(sym: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of the (left, right) symbol pair in a
+    space-joined symbol string — the exact BPE merge semantics (see
+    module docstring for why replace() is wrong on overlapping runs).
+    """
+    arr = F.split(sym, " ")
+    n = F.size(arr)
+    init = F.concat(F.lit(_E), F.element_at(arr, 1))
+    merged = F.lit(left + right)
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        out = F.substring_index(acc, _E, 1)
+        prev = F.substring_index(acc, _E, -1)
+        out_sp = F.when(out == "", F.lit("")).otherwise(
+            F.concat(out, F.lit(" "))
+        )
+        joined = (
+            F.when(prev == "", out)
+            .when(out == "", prev)
+            .otherwise(F.concat(out, F.lit(" "), prev))
+        )
+        return F.when(
+            (prev == left) & (x == right),
+            F.concat(out_sp, merged, F.lit(_E)),
+        ).otherwise(F.concat(joined, F.lit(_E), x))
+
+    def fin(acc: F.Column) -> F.Column:
+        out = F.substring_index(acc, _E, 1)
+        prev = F.substring_index(acc, _E, -1)
+        return (
+            F.when(prev == "", out)
+            .when(out == "", prev)
+            .otherwise(F.concat(out, F.lit(" "), prev))
+        )
+
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))), init, step, fin
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    arr = F.split(F.col("sym"), " ")
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+    )
+    return (
+        syms.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe(
+    documents: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    end_token: str = END_TOKEN,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn `num_merges` BPE merges from the corpus. Returns
+    [(merge_rank, left, right, merged, pair_freq)], rank 0 first.
+
+    One corpus pass (word_freqs); each round is a vocab-grain pair
+    count + 1-row argmax collect + vocab-grain merge projection,
+    localCheckpoint'ed so round N's plan doesn't replay rounds 1..N-1.
+    """
+    syms = word_freqs(documents, text_col).select(
+        "word", "freq", char_symbols(F.col("word"), end_token).alias("sym")
+    )
+    syms = syms.localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, best[0].cnt
+        merges.append((rank, a, b, a + b, int(cnt)))
+        syms = syms.select(
+            "word", "freq", merge_fold(F.col("sym"), a, b).alias("sym")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    word_col: str = "word",
+    end_token: str = END_TOKEN,
+) -> DataFrame:
+    """Encode a word table with a learned merge list: ONE chained
+    projection (fold k over the output of fold k-1) adding `sym`
+    (space-joined subwords) and `n_subwords`.
+
+    Encode the distinct vocabulary, broadcast it, join tokens against
+    it — never re-encode per token occurrence.
+
+    Each fold is its own projection over the previous one, with a
+    localCheckpoint barrier per merge: merge_fold references its input
+    several times, so letting CollapseProject inline M nested folds
+    into one expression would re-evaluate lower folds exponentially
+    (same hazard semantic_dedup documents). The barriers cost M tiny
+    vocabulary-grain jobs.
+    """
+    df = words.withColumn(
+        "sym", char_symbols(F.col(word_col), end_token)
+    )
+    for _, a, b, _, _ in merges:
+        df = df.withColumn(
+            "sym", merge_fold(F.col("sym"), a, b)
+        ).localCheckpoint()
+    return df.withColumn(
+        "n_subwords", F.size(F.split(F.col("sym"), " "))
+    )

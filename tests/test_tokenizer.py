@@ -1,0 +1,67 @@
+"""Distributed BPE training (operators/tokenizer.py)."""
+
+from pyspark.sql import functions as F
+
+from geist_spark.operators.tokenizer import (
+    bpe_apply,
+    merge_fold,
+    train_bpe,
+    word_freqs,
+)
+
+
+def _docs(spark, *texts: str):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_merge_fold_greedy_left_to_right(spark):
+    df = spark.createDataFrame(
+        [("a a a a a </w>",), ("l o w </w>",), ("a </w>",)], "sym string"
+    )
+    got = [
+        r.m
+        for r in df.select(merge_fold(F.col("sym"), "a", "a").alias("m")).collect()
+    ]
+    # greedy merges (1,2) then (3,4), never the overlapping (2,3)
+    assert got == ["aa aa a </w>", "l o w </w>", "a </w>"]
+
+
+def test_train_bpe_golden(spark):
+    # classic Sennrich corpus shape: 'er' dominates
+    docs = _docs(spark, "lower newer fewer", "new few lower", "er er")
+    merges = train_bpe(docs, num_merges=2)
+    rank0 = merges[0]
+    assert (rank0[1], rank0[2], rank0[3]) == ("e", "r", "er")
+    assert rank0[4] == 6  # lower newer fewer lower + er er
+    # rank 1 must be counted AFTER the first merge applied
+    assert merges[1][0] == 1
+
+
+def test_train_bpe_deterministic_tiebreak(spark):
+    # (a,b), (b,a), (a,</w>) all tie at freq 2 -> lexicographically
+    # smallest pair wins and '<' sorts before 'b'
+    docs = _docs(spark, "aba aba")
+    merges = train_bpe(docs, num_merges=1)
+    assert (merges[0][1], merges[0][2]) == ("a", "</w>")
+
+
+def test_bpe_apply_roundtrip(spark):
+    train = _docs(spark, "lower lower newer fewer new")
+    merges = train_bpe(train, num_merges=4)
+    vocab = word_freqs(_docs(spark, "lowest newest tower")).select("word")
+    enc = bpe_apply(vocab, merges)
+    for r in enc.collect():
+        # subwords reassemble exactly to word + end marker
+        assert "".join(r.sym.split(" ")) == r.word + "</w>"
+        assert r.n_subwords == len(r.sym.split(" "))
+        assert r.n_subwords <= len(r.word) + 1
+
+
+def test_train_bpe_exhausted_pairs_stops(spark):
+    docs = _docs(spark, "ab")  # one word, one pair ('a','b') then ('ab','</w>')
+    merges = train_bpe(docs, num_merges=10)
+    assert len(merges) < 10  # breaks when no pairs remain
+    final = merges[-1]
+    assert final[3] == "ab</w>"
