@@ -3197,6 +3197,33 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative web-corpus pipeline (compiler/pipeline.py): the
+    round-2 steps composed spec-first — urlDedup (canonical-URL
+    survivor) -> lmQualityFilter (oov_rate gate vs an LM trained on
+    the post-dedup lang='en' slice) -> sourceQuota — compiled into one
+    lazy plan over documents carrying the md5-derived url column.
+    Output: per-source survivor count + char total."""
+    from geist_spark.compiler.pipeline import compile_pipeline
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url(F.col("doc_id"))
+    )
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "urlDedup"},
+                {"op": "lmQualityFilter", "maxOovRate": 0.2},
+                {"op": "sourceQuota", "maxDocsPerSource": 30},
+            ]
+        }
+    )
+    return pipe(docs).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract query inventory.
 
@@ -3234,7 +3261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_scd2_history": q_scd2_history,
         "q_funnel": q_funnel,
-        "q_pivot_returnflag": q_pivot_returnflag,
         "q_rollup_revenue": q_rollup_revenue,
         "q_hll_rollup": q_hll_rollup,
         "q_hist_quantiles": q_hist_quantiles,
@@ -3244,9 +3270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_windowed_agg": a_spec_windowed_agg,
         "a_spec_session_window": a_spec_session_window,
         "a_spec_stream_join": a_spec_stream_join,
-        "a_spec_join": a_spec_join,
-        "a_spec_dedup": a_spec_dedup,
-        "a_spec_sql": a_spec_sql,
         "d_exact_groups": d_exact_groups,
         "d_minhash_pairs": d_minhash_pairs,
         "d_dedup_clusters": d_dedup_clusters,
@@ -3257,6 +3280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_semantic_dedup": s_semantic_dedup,
         "t_quality_features": t_quality_features,
         "t_decontaminate": t_decontaminate,
+        "w_url_normalize": w_url_normalize,
+        "t_lm_score": t_lm_score,
+        "t_bpe_merges": t_bpe_merges,
         "m_media_features": m_media_features,
         "p_training_prep": p_training_prep,
         "p_dataset_split": p_dataset_split,
@@ -3372,13 +3398,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_reconcile_files": p_reconcile_files,
         "s_lsh_tuning": s_lsh_tuning,
         "q_deletion_plan": q_deletion_plan,
-        "w_url_normalize": w_url_normalize,
         "w_host_stats": w_host_stats,
         "w_url_dedup": w_url_dedup,
+        "a_spec_dedup": a_spec_dedup,
+        "q_pivot_returnflag": q_pivot_returnflag,
+        "a_spec_join": a_spec_join,
+        "a_spec_sql": a_spec_sql,
         "t_lm_train": t_lm_train,
-        "t_lm_score": t_lm_score,
-        "t_bpe_merges": t_bpe_merges,
         "t_bpe_encode": t_bpe_encode,
+        "p_web_pipeline": p_web_pipeline,
     }
 
 
@@ -5783,6 +5811,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_bpe_encode": _bpe_encode_oracle(6),
+        "p_web_pipeline": _url_oracle_cte()
+        + f"""
+            , ud AS (
+                SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+                FROM (SELECT doc_id,
+                             row_number() OVER (PARTITION BY url_norm
+                                                ORDER BY doc_id) AS ur
+                      FROM normed) k
+                JOIN documents d USING (doc_id)
+                WHERE k.ur = 1
+            ), uni AS (
+                SELECT t AS token, count(*) AS cnt
+                FROM (SELECT unnest({_TOKENS_SQL}) AS t
+                      FROM ud WHERE lang = 'en')
+                GROUP BY 1
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN u.cnt IS NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*) AS oov_rate
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM ud) e
+                LEFT JOIN uni u ON e.w = u.token
+                GROUP BY doc_id
+            ), lf AS (
+                SELECT ud.* FROM ud JOIN scored USING (doc_id)
+                WHERE oov_rate <= 0.2
+            ), sq AS (
+                SELECT doc_id, source, n_chars
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ) AS qr FROM lf)
+                WHERE qr <= 30
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM sq GROUP BY source
+        """,
     }
 
 

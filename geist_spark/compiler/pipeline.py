@@ -11,6 +11,8 @@ A pipeline spec is:
         {"op": "exactDedup"},
         {"op": "qualityFilter", "minTokens": 20, "maxTokens": 100000},
         {"op": "lineDedup", "minDocFreq": 2, "minChars": 10},
+        {"op": "urlDedup", "urlColumn": "url"},
+        {"op": "lmQualityFilter", "maxOovRate": 0.2, "referenceLang": "en"},
         {"op": "sourceQuota", "maxDocsPerSource": 40}
       ]
     }
@@ -115,12 +117,64 @@ def _source_quota(params: dict[str, Any]) -> Step:
     return run
 
 
+def _url_dedup(params: dict[str, Any]) -> Step:
+    url_col = params.get("urlColumn", "url")
+    if not isinstance(url_col, str) or not url_col:
+        raise SpecError("urlDedup: urlColumn must be a non-empty string")
+
+    def run(df: DataFrame) -> DataFrame:
+        from geist_spark.operators.web import normalize_url
+
+        w = Window.partitionBy(normalize_url(F.col(url_col))).orderBy(
+            F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("__ur", F.row_number().over(w))
+            .filter(F.col("__ur") == 1)
+            .drop("__ur")
+        )
+
+    return run
+
+
+def _lm_quality_filter(params: dict[str, Any]) -> Step:
+    max_oov = params.get("maxOovRate", 0.5)
+    if not isinstance(max_oov, (int, float)) or not 0 <= max_oov <= 1:
+        raise SpecError("lmQualityFilter: maxOovRate must be in [0, 1]")
+    ref_lang = params.get("referenceLang", "en")
+    if not isinstance(ref_lang, str) or not ref_lang:
+        raise SpecError(
+            "lmQualityFilter: referenceLang must be a non-empty string"
+        )
+
+    def run(df: DataFrame) -> DataFrame:
+        # reference LM trains on THIS stage's input (post earlier
+        # steps), so a preceding dedup changes the counts — spec order
+        # is semantic, as with every other step. The stage input is
+        # referenced three times (train, score, join-back), so a lazy
+        # localCheckpoint computes the upstream once instead of thrice.
+        from geist_spark.operators.lm import oov_rate, train_ngram_lm
+
+        df = df.localCheckpoint(eager=False)
+        uni, _ = train_ngram_lm(df.filter(F.col("lang") == ref_lang))
+        scored = oov_rate(df, uni)
+        return (
+            df.join(scored, "doc_id")
+            .filter(F.col("oov_rate") <= float(max_oov))
+            .drop("oov_rate")
+        )
+
+    return run
+
+
 _STEP_BUILDERS: dict[str, Callable[[dict[str, Any]], Step]] = {
     "fixText": _fix_text,
     "exactDedup": _exact_dedup,
     "qualityFilter": _quality_filter,
     "lineDedup": _line_dedup,
     "sourceQuota": _source_quota,
+    "urlDedup": _url_dedup,
+    "lmQualityFilter": _lm_quality_filter,
 }
 
 

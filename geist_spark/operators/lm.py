@@ -78,6 +78,37 @@ def train_ngram_lm(
     return uni, bi
 
 
+def oov_rate(
+    documents: DataFrame,
+    unigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-doc OOV rate alone — the cheap subset of lm_score for
+    filter gates that only need the unigram signal: one token explode,
+    one vocab join, one doc-grain agg; the bigram table is never
+    built."""
+    uni = unigrams.select(
+        F.col("token").alias("u_tok"), F.lit(1).alias("known")
+    )
+    if broadcast_vocab:
+        uni = F.broadcast(uni)
+    ex = documents.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        ex.join(uni, F.col("w") == F.col("u_tok"), "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("oov_rate")
+        )
+    )
+
+
 def lm_score(
     documents: DataFrame,
     unigrams: DataFrame,

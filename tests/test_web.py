@@ -66,6 +66,41 @@ def test_url_host_strips_userinfo_and_port(spark):
     )
 
 
+def test_pipeline_url_dedup_and_lm_filter(spark):
+    from geist_spark.compiler.pipeline import compile_pipeline
+    from geist_spark.spec.model import SpecError
+    import pytest
+
+    rows = [
+        # (doc_id, text, lang, source, url)
+        (1, "the cat sat", "en", "s1", "http://A.com/p?utm_x=1"),
+        (2, "the cat ran", "en", "s1", "HTTP://a.com:80/p/"),  # dup URL of 1
+        (3, "zz qq ww", "de", "s1", "http://a.com/q"),  # fully OOV vs en LM
+        (4, "the cat", "en", "s2", "https://b.com/p"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, url string"
+    )
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "urlDedup"},
+                {"op": "lmQualityFilter", "maxOovRate": 0.5},
+            ]
+        }
+    )
+    out = pipe(docs)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+    assert set(out.columns) == {"doc_id", "text", "lang", "source", "url"}
+
+    with pytest.raises(SpecError, match="maxOovRate"):
+        compile_pipeline(
+            {"steps": [{"op": "lmQualityFilter", "maxOovRate": 1.5}]}
+        )
+    with pytest.raises(SpecError, match="urlColumn"):
+        compile_pipeline({"steps": [{"op": "urlDedup", "urlColumn": ""}]})
+
+
 def test_host_stats_and_dedup(spark):
     rows = [
         (1, "http://A.com/p?utm_source=x", "aaaa"),
