@@ -929,7 +929,11 @@ def source_centroid_drift(
     )
     a = cent.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
     b = cent.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
-    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    # the centroid table is source-count-sized (metadata grain), but an
+    # unhinted inequality self-join still plans as CartesianProduct,
+    # which re-partitions both sides n^2 ways; broadcasting one side
+    # keeps it a single-stage BroadcastNestedLoopJoin
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
     cos = _dot(F.col("ca"), F.col("cb")) / (
         _norm(F.col("ca")) * _norm(F.col("cb"))
     )

@@ -62,6 +62,9 @@ SMJ_WAIVED = {
     # listing-vs-manifest reconciliation: same full-outer-over-metadata
     # shape as the digest diff
     "p_reconcile_files",
+    # datasheet version diff: full outer over two metadata-grain
+    # datasheets (added/removed slices must both surface) — same class
+    "p_datasheet_diff",
 }
 
 
