@@ -3197,6 +3197,33 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (subwords per word under the
+    en-trained BPE): the metric that exposes tokenizer bias — a
+    vocabulary trained on one language fragments the others. Same
+    vocabulary-grain encode as t_bpe_encode, final agg at lang grain."""
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.tokenizer import bpe_apply, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs.filter(F.col("lang") == "en"), num_merges=6)
+    ex = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    enc = bpe_apply(ex.select("word").distinct(), merges).select(
+        "word", "n_subwords"
+    )
+    return (
+        ex.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_subwords").alias("n_subwords"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("n_subwords") / F.count(F.lit(1))).alias("fertility"),
+        )
+    )
+
+
 def p_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative web-corpus pipeline (compiler/pipeline.py): the
     round-2 steps composed spec-first — urlDedup (canonical-URL
@@ -3406,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_spec_sql": a_spec_sql,
         "t_lm_train": t_lm_train,
         "t_bpe_encode": t_bpe_encode,
+        "t_bpe_fertility": t_bpe_fertility,
         "p_web_pipeline": p_web_pipeline,
     }
 
@@ -5811,6 +5839,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_bpe_encode": _bpe_encode_oracle(6),
+        "t_bpe_fertility": _bpe_fertility_oracle(6),
         "p_web_pipeline": _url_oracle_cte()
         + f"""
             , ud AS (
@@ -6005,12 +6034,16 @@ def _bpe_merges_oracle(num_merges: int) -> str:
     )
 
 
-def _bpe_encode_oracle(num_merges: int) -> str:
+def _bpe_encode_ctes(num_merges: int) -> str:
+    """Shared apply-chain CTEs: the training chain plus `ex` (per-doc
+    token stream with lang) and `enc` (distinct vocabulary encoded by
+    every learned merge, in order)."""
     parts = [
         _bpe_oracle_ctes(num_merges),
         ", ex AS ("
-        f"  SELECT doc_id, t AS word"
-        f"  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)"
+        f"  SELECT doc_id, lang, t AS word"
+        f"  FROM (SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS t"
+        "        FROM documents)"
         "  WHERE t <> ''"
         "), asyms0 AS ("
         "  SELECT word,"
@@ -6029,11 +6062,25 @@ def _bpe_encode_oracle(num_merges: int) -> str:
     parts.append(
         f", enc AS (SELECT word, len(string_split(sym, ' ')) AS n_sub"
         f"          FROM asyms{num_merges})"
+    )
+    return "".join(parts)
+
+
+def _bpe_encode_oracle(num_merges: int) -> str:
+    return _bpe_encode_ctes(num_merges) + (
         " SELECT doc_id, count(*) AS n_tokens,"
         " sum(n_sub) AS n_subwords"
         " FROM ex JOIN enc USING (word) GROUP BY doc_id"
     )
-    return "".join(parts)
+
+
+def _bpe_fertility_oracle(num_merges: int) -> str:
+    return _bpe_encode_ctes(num_merges) + (
+        " SELECT lang, sum(n_sub) AS n_subwords,"
+        " count(*) AS n_tokens,"
+        " CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility"
+        " FROM ex JOIN enc USING (word) GROUP BY lang"
+    )
 
 
 def _redact_pii_oracle() -> str:

@@ -59,6 +59,49 @@ def test_bpe_apply_roundtrip(spark):
         assert r.n_subwords <= len(r.word) + 1
 
 
+def _greedy_merge_py(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge (the textbook scan)."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def test_merge_fold_randomized_parity(spark):
+    # seeded random symbol runs (heavy on repeats to stress overlap
+    # handling), checked in ONE batch against the textbook scan
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "c"]
+    cases = []
+    for _ in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        pair = (rng.choice(alphabet), rng.choice(alphabet))
+        cases.append((" ".join(syms), pair[0], pair[1]))
+    # group by pair so each distinct pair is one column expression
+    by_pair: dict[tuple, list[str]] = {}
+    for sym, a, b in cases:
+        by_pair.setdefault((a, b), []).append(sym)
+    for (a, b), syms_list in by_pair.items():
+        df = spark.createDataFrame([(s,) for s in syms_list], "sym string")
+        got = [
+            r.m
+            for r in df.select(
+                "sym", merge_fold(F.col("sym"), a, b).alias("m")
+            ).collect()
+        ]
+        want = [
+            " ".join(_greedy_merge_py(s.split(" "), a, b)) for s in syms_list
+        ]
+        assert got == want, (a, b)
+
+
 def test_train_bpe_exhausted_pairs_stops(spark):
     docs = _docs(spark, "ab")  # one word, one pair ('a','b') then ('ab','</w>')
     merges = train_bpe(docs, num_merges=10)
