@@ -3224,6 +3224,29 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture epoch planning (operators/split.py mixture_plan):
+    per-source token budgets from integer weight parts with a
+    max-epochs repetition cap — the metadata-grain allocation that
+    feeds token_budget_quota/temperature_mix for enforcement. Weight
+    parts derive from the source name's trailing digit (replayed in
+    SQL)."""
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.split import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    cs = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    w = cs.select(
+        "source",
+        (F.substring(F.col("source"), -1, 1).cast("long") + 1).alias(
+            "weight_parts"
+        ),
+    )
+    return mixture_plan(cs, w, total_tokens=200_000, max_epochs=3)
+
+
 def p_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative web-corpus pipeline (compiler/pipeline.py): the
     round-2 steps composed spec-first — urlDedup (canonical-URL
@@ -3435,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_encode": t_bpe_encode,
         "t_bpe_fertility": t_bpe_fertility,
         "p_web_pipeline": p_web_pipeline,
+        "p_mixture_plan": p_mixture_plan,
     }
 
 
@@ -5840,6 +5864,38 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
+        "p_mixture_plan": f"""
+            WITH cs AS (
+                SELECT source, sum(len({_TOKENS_SQL})) AS n_tokens
+                FROM documents GROUP BY source
+            ), w AS (
+                SELECT source,
+                       CAST(right(source, 1) AS BIGINT) + 1 AS weight_parts
+                FROM cs
+            ), j AS (
+                SELECT cs.source, cs.n_tokens AS available_tokens,
+                       w.weight_parts,
+                       (SELECT sum(weight_parts) FROM w) AS ps
+                FROM cs JOIN w USING (source)
+            ), t AS (
+                SELECT *, CAST((200000 * weight_parts
+                                - (200000 * weight_parts) % ps) / ps
+                               AS BIGINT) AS target_tokens
+                FROM j
+            ), p AS (
+                SELECT *, least(target_tokens, available_tokens * 3)
+                           AS planned_tokens
+                FROM t
+            )
+            SELECT source, available_tokens, weight_parts, target_tokens,
+                   planned_tokens,
+                   CAST(planned_tokens AS DOUBLE) / available_tokens
+                       AS epochs,
+                   CAST(planned_tokens AS DOUBLE)
+                       / (SELECT sum(planned_tokens) FROM p)
+                       AS achieved_weight
+            FROM p
+        """,
         "p_web_pipeline": _url_oracle_cte()
         + f"""
             , ud AS (

@@ -443,3 +443,78 @@ def importance_sample(
         .filter(u < accept)
         .drop("__mean_w")
     )
+
+
+def mixture_plan(
+    corpus_stats: DataFrame,
+    weights: DataFrame,
+    total_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight_parts",
+) -> DataFrame:
+    """Data-mixture epoch planning: given per-source available tokens
+    and integer target-weight PARTS, compute how much of each source a
+    `total_tokens` training budget takes — the Chinchilla/Llama-style
+    "how many epochs of web vs books vs code" computation.
+
+    weights carries integer parts (not floats) so every allocation is
+    exact: target_i = floor(total * parts_i / sum(parts)). Sources cap
+    at `max_epochs` repetitions (repeating data past a few epochs hurts
+    — Muennighoff et al. 2023, arXiv:2305.16264); planned_i =
+    min(target_i, available_i * max_epochs). `epochs` and
+    `achieved_weight` are single IEEE divisions of exact integers.
+
+    Everything here is METADATA grain (one row per source): the two
+    inputs are aggregates, sum-of-parts and sum-of-planned are 1-row
+    broadcasts, and the output feeds token_budget_quota /
+    temperature_mix for doc-level enforcement. Zero corpus cost.
+
+    Output: (source, available_tokens, weight_parts, target_tokens,
+    planned_tokens, epochs, achieved_weight).
+    """
+    j = corpus_stats.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("available_tokens"),
+    ).join(
+        weights.select(
+            F.col(source_col).alias("source"),
+            F.col(weight_col).cast("long").alias("weight_parts"),
+        ),
+        "source",
+    )
+    parts_sum = j.agg(F.sum("weight_parts").alias("__parts_sum"))
+    j = j.join(F.broadcast(parts_sum))
+    tgt = (F.lit(int(total_tokens)) * F.col("weight_parts")) - F.pmod(
+        F.lit(int(total_tokens)) * F.col("weight_parts"),
+        F.col("__parts_sum"),
+    )
+    target = (tgt / F.col("__parts_sum")).cast("long")
+    planned = F.least(
+        target, F.col("available_tokens") * F.lit(int(max_epochs))
+    )
+    j = j.select(
+        "source",
+        "available_tokens",
+        "weight_parts",
+        target.alias("target_tokens"),
+        planned.alias("planned_tokens"),
+    )
+    planned_sum = j.agg(F.sum("planned_tokens").alias("__planned_sum"))
+    return (
+        j.join(F.broadcast(planned_sum))
+        .select(
+            "source",
+            "available_tokens",
+            "weight_parts",
+            "target_tokens",
+            "planned_tokens",
+            (F.col("planned_tokens") / F.col("available_tokens")).alias(
+                "epochs"
+            ),
+            (F.col("planned_tokens") / F.col("__planned_sum")).alias(
+                "achieved_weight"
+            ),
+        )
+    )

@@ -1060,3 +1060,55 @@ def test_describe_pipeline_returns_validated_plan(spark):
     ]
     with _pytest.raises(SpecError):
         describe_pipeline({"steps": [{"op": "nope"}]})
+
+
+# ---------------------------------------------------------- mixture planning
+
+
+def test_mixture_plan_allocation_and_cap(spark):
+    from geist_spark.operators.split import mixture_plan
+
+    cs = spark.createDataFrame(
+        [("web", 1000), ("books", 100), ("code", 400)],
+        "source string, n_tokens long",
+    )
+    w = spark.createDataFrame(
+        [("web", 2), ("books", 1), ("code", 1)],
+        "source string, weight_parts long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_plan(cs, w, total_tokens=1200, max_epochs=3).collect()
+    }
+    # targets: floor(1200 * parts / 4) -> web 600, books 300, code 300
+    assert out["web"].target_tokens == 600
+    assert out["books"].target_tokens == 300
+    # books caps at 3 epochs of 100 available
+    assert out["books"].planned_tokens == 300
+    assert out["books"].epochs == 3.0
+    # web/code fit in one epoch
+    assert out["web"].planned_tokens == 600 and out["web"].epochs == 0.6
+    assert out["code"].planned_tokens == 300
+    total_planned = sum(r.planned_tokens for r in out.values())
+    for r in out.values():
+        assert r.achieved_weight == r.planned_tokens / total_planned
+
+
+def test_mixture_plan_cap_binds_hard(spark):
+    from geist_spark.operators.split import mixture_plan
+
+    cs = spark.createDataFrame(
+        [("tiny", 10), ("big", 10000)], "source string, n_tokens long"
+    )
+    w = spark.createDataFrame(
+        [("tiny", 9), ("big", 1)], "source string, weight_parts long"
+    )
+    out = {
+        r.source: r
+        for r in mixture_plan(cs, w, total_tokens=10000, max_epochs=2).collect()
+    }
+    # tiny wants 9000 but caps at 20; the plan surfaces the shortfall
+    assert out["tiny"].target_tokens == 9000
+    assert out["tiny"].planned_tokens == 20
+    assert out["tiny"].epochs == 2.0
+    assert out["big"].planned_tokens == 1000
