@@ -5977,7 +5977,7 @@ def _url_oracle_cte() -> str:
                 regexp_extract(url,
                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
                     AS raw_path,
-                regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS rawq
+                regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
             FROM raw
         ), comp AS (
             SELECT doc_id, text, url, scheme,

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"^[^#]*\?([^#]*)"
+# query starts at the FIRST '?' before any '#' (RFC 3986) — the
+# pre-'?' span must exclude '?' itself or greedy matching would anchor
+# on the last one
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 # tracking params dropped by normalization (prefix match for utm_*)
 TRACKING_PREFIXES = ("utm_",)

@@ -26,6 +26,7 @@ def test_normalize_rules(spark):
         "http://user@Host.com/p?ref=x",
         "https://h.com",
         "http://h.com:81/x/?utm_campaign=z&z=1&y=2",
+        "http://h.com/p?a=1?b=2",  # query starts at the FIRST '?'
     )
     assert got == [
         "http://www.example.com/a/b?id=7",
@@ -34,6 +35,7 @@ def test_normalize_rules(spark):
         "http://host.com/p",
         "https://h.com/",
         "http://h.com:81/x?y=2&z=1",
+        "http://h.com/p?a=1?b=2",
     ]
 
 
