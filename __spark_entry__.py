@@ -3183,7 +3183,7 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs.filter(F.col("lang") == "en"), num_merges=6)
     ex = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
-    ).filter(F.col("word") != "")
+    ).filter((F.col("word") != "") & ~F.col("word").contains("\x01"))
     enc = bpe_apply(ex.select("word").distinct(), merges).select(
         "word", "n_subwords"
     )
@@ -3209,7 +3209,7 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(docs.filter(F.col("lang") == "en"), num_merges=6)
     ex = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
-    ).filter(F.col("word") != "")
+    ).filter((F.col("word") != "") & ~F.col("word").contains("\x01"))
     enc = bpe_apply(ex.select("word").distinct(), merges).select(
         "word", "n_subwords"
     )
@@ -5805,6 +5805,7 @@ def oracle_sql() -> dict[str, str]:
         "w_url_dedup": _url_oracle_cte()
         + """
             SELECT doc_id, url_norm,
+                   url_norm IS NULL OR
                    row_number() OVER (PARTITION BY url_norm
                                       ORDER BY doc_id) = 1 AS keep
             FROM normed
@@ -5878,8 +5879,7 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT sum(weight_parts) FROM w) AS ps
                 FROM cs JOIN w USING (source)
             ), t AS (
-                SELECT *, CAST((200000 * weight_parts
-                                - (200000 * weight_parts) % ps) / ps
+                SELECT *, CAST((200000 * weight_parts) // ps
                                AS BIGINT) AS target_tokens
                 FROM j
             ), p AS (
@@ -5982,7 +5982,7 @@ def _url_oracle_cte() -> str:
         ), comp AS (
             SELECT doc_id, text, url, scheme,
                 lower(regexp_extract(auth,
-                    '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+                    '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1)) AS host,
                 regexp_extract(auth, ':(\d+)$', 1) AS port,
                 CASE WHEN regexp_replace(raw_path, '/+$', '') = ''
                      THEN '/'
@@ -6058,7 +6058,7 @@ def _bpe_oracle_ctes(num_merges: int) -> str:
         f"  SELECT t AS word, count(*) AS freq"
         f"  FROM (SELECT unnest({_TOKENS_SQL}) AS t FROM documents"
         "        WHERE lang = 'en')"
-        "  WHERE t <> '' GROUP BY 1"
+        "  WHERE t <> '' AND strpos(t, chr(1)) = 0 GROUP BY 1"
         "), syms0 AS ("
         "  SELECT word, freq,"
         "         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym"
@@ -6100,7 +6100,7 @@ def _bpe_encode_ctes(num_merges: int) -> str:
         f"  SELECT doc_id, lang, t AS word"
         f"  FROM (SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS t"
         "        FROM documents)"
-        "  WHERE t <> ''"
+        "  WHERE t <> '' AND strpos(t, chr(1)) = 0"
         "), asyms0 AS ("
         "  SELECT word,"
         "         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS sym"

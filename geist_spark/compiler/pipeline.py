@@ -125,13 +125,16 @@ def _url_dedup(params: dict[str, Any]) -> Step:
     def run(df: DataFrame) -> DataFrame:
         from geist_spark.operators.web import normalize_url
 
-        w = Window.partitionBy(normalize_url(F.col(url_col))).orderBy(
-            F.col("doc_id").asc()
-        )
+        # unparseable URLs normalize to NULL; such docs are not
+        # duplicates of each other, so they bypass the dedup window
+        # instead of collapsing into one NULL partition
+        norm = normalize_url(F.col(url_col))
+        w = Window.partitionBy(F.col("__un")).orderBy(F.col("doc_id").asc())
         return (
-            df.withColumn("__ur", F.row_number().over(w))
-            .filter(F.col("__ur") == 1)
-            .drop("__ur")
+            df.withColumn("__un", norm)
+            .withColumn("__ur", F.row_number().over(w))
+            .filter(F.col("__un").isNull() | (F.col("__ur") == 1))
+            .drop("__un", "__ur")
         )
 
     return run
@@ -139,7 +142,11 @@ def _url_dedup(params: dict[str, Any]) -> Step:
 
 def _lm_quality_filter(params: dict[str, Any]) -> Step:
     max_oov = params.get("maxOovRate", 0.5)
-    if not isinstance(max_oov, (int, float)) or not 0 <= max_oov <= 1:
+    if (
+        isinstance(max_oov, bool)
+        or not isinstance(max_oov, (int, float))
+        or not 0 <= max_oov <= 1
+    ):
         raise SpecError("lmQualityFilter: maxOovRate must be in [0, 1]")
     ref_lang = params.get("referenceLang", "en")
     if not isinstance(ref_lang, str) or not ref_lang:
@@ -156,12 +163,25 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         from geist_spark.operators.lm import oov_rate, train_ngram_lm
 
         df = df.localCheckpoint(eager=False)
-        uni, _ = train_ngram_lm(df.filter(F.col("lang") == ref_lang))
+        ref = df.filter(F.col("lang") == ref_lang)
+        uni, _ = train_ngram_lm(ref)
         scored = oov_rate(df, uni)
+        # 1-row reference size, broadcast: if the reference slice is
+        # EMPTY (wrong lang code, or a preceding filter removed it)
+        # every doc would score oov_rate=1.0 and the gate would wipe
+        # the corpus — pass everything through instead of silently
+        # deleting it. NULL-scored docs (NULL text -> no token rows)
+        # also pass: this step only drops what it can measure.
+        ref_n = uni.agg(F.count(F.lit(1)).alias("__ref_vocab"))
         return (
-            df.join(scored, "doc_id")
-            .filter(F.col("oov_rate") <= float(max_oov))
-            .drop("oov_rate")
+            df.join(scored, "doc_id", "left")
+            .join(F.broadcast(ref_n))
+            .filter(
+                (F.col("__ref_vocab") == 0)
+                | F.col("oov_rate").isNull()
+                | (F.col("oov_rate") <= float(max_oov))
+            )
+            .drop("oov_rate", "__ref_vocab")
         )
 
     return run

@@ -486,11 +486,13 @@ def mixture_plan(
     )
     parts_sum = j.agg(F.sum("weight_parts").alias("__parts_sum"))
     j = j.join(F.broadcast(parts_sum))
-    tgt = (F.lit(int(total_tokens)) * F.col("weight_parts")) - F.pmod(
-        F.lit(int(total_tokens)) * F.col("weight_parts"),
-        F.col("__parts_sum"),
+    # integral `div`, never IEEE `/`: total * parts can pass 2^53 for
+    # real LLM budgets (e.g. 15T tokens), where double division would
+    # round before truncating
+    target = F.expr(
+        f"(CAST({int(total_tokens)} AS BIGINT) * weight_parts)"
+        " div __parts_sum"
     )
-    target = (tgt / F.col("__parts_sum")).cast("long")
     planned = F.least(
         target, F.col("available_tokens") * F.lit(int(max_epochs))
     )

@@ -39,10 +39,15 @@ END_TOKEN = "</w>"
 
 def word_freqs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus — the single corpus-sized pass of
-    BPE training; everything after runs at vocabulary grain."""
+    BPE training; everything after runs at vocabulary grain.
+
+    Words containing the fold-state separator \\x01 are excluded (a
+    dirty corpus can carry control bytes through whitespace
+    tokenization; such a word would corrupt the packed fold state).
+    """
     return (
         documents.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "") & ~F.col("word").contains(_E))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

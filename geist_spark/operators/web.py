@@ -33,10 +33,16 @@ TRACKING_PREFIXES = ("utm_",)
 TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref")
 
 
+# host inside an authority: bracketed IPv6 literal or everything up to
+# the port colon, with optional userinfo stripped
+_HOST_RE = r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)"
+
+
 def url_host(url: F.Column) -> F.Column:
-    """Lower-cased host (authority minus port/userinfo)."""
+    """Lower-cased host (authority minus port/userinfo; bracketed IPv6
+    literals kept whole)."""
     auth = F.regexp_extract(url, _AUTH_RE, 1)
-    return F.lower(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1))
+    return F.lower(F.regexp_extract(auth, _HOST_RE, 1))
 
 
 def normalize_url(url: F.Column) -> F.Column:
@@ -50,7 +56,7 @@ def normalize_url(url: F.Column) -> F.Column:
     """
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.regexp_extract(url, _AUTH_RE, 1)
-    host = F.lower(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1))
+    host = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     default_port = (
         ((scheme == "http") & (port == "80"))
@@ -123,6 +129,11 @@ def url_dedup(
     Top-1-per-key window on url_norm: one hash shuffle at canonical-URL
     grain, partition-local sort — the maxVersions/latest-per-key shape
     (SURVEY §2.2) applied at the web-corpus grain. Never a self-join.
+
+    Docs whose URL does not parse (url_norm NULL) are NOT duplicates of
+    each other — they all keep (a NULL key would otherwise collapse
+    every unparseable doc into one window partition and delete all but
+    one).
     """
     norm = normalize_url(F.col(url_col))
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
@@ -132,6 +143,6 @@ def url_dedup(
         .select(
             id_col,
             "url_norm",
-            (F.col("rn") == 1).alias("keep"),
+            (F.col("url_norm").isNull() | (F.col("rn") == 1)).alias("keep"),
         )
     )

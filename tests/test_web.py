@@ -68,6 +68,38 @@ def test_url_host_strips_userinfo_and_port(spark):
     )
 
 
+def test_ipv6_authority(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://[2001:DB8::1]:8080/x",),
+            ("http://[::1]/y",),
+        ],
+        "url string",
+    )
+    got = df.select(
+        url_host(F.col("url")).alias("h"),
+        normalize_url(F.col("url")).alias("n"),
+    ).collect()
+    assert got[0].h == "[2001:db8::1]"
+    assert got[0].n == "http://[2001:db8::1]:8080/x"
+    assert got[1].h == "[::1]"
+    assert got[1].n == "http://[::1]/y"
+
+
+def test_url_dedup_null_urls_all_keep(spark):
+    rows = [
+        (1, "not a url"),
+        (2, "also not"),
+        (3, "http://a.com/p"),
+        (4, "http://a.com/p/"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    dd = {r.doc_id: r for r in url_dedup(docs).collect()}
+    # unparseable URLs are not duplicates of each other
+    assert dd[1].keep and dd[2].keep
+    assert dd[3].keep and not dd[4].keep
+
+
 def test_pipeline_url_dedup_and_lm_filter(spark):
     from geist_spark.compiler.pipeline import compile_pipeline
     from geist_spark.spec.model import SpecError
@@ -99,8 +131,44 @@ def test_pipeline_url_dedup_and_lm_filter(spark):
         compile_pipeline(
             {"steps": [{"op": "lmQualityFilter", "maxOovRate": 1.5}]}
         )
+    with pytest.raises(SpecError, match="maxOovRate"):
+        compile_pipeline(
+            {"steps": [{"op": "lmQualityFilter", "maxOovRate": True}]}
+        )
     with pytest.raises(SpecError, match="urlColumn"):
         compile_pipeline({"steps": [{"op": "urlDedup", "urlColumn": ""}]})
+
+
+def test_pipeline_guards_against_corpus_wipe(spark):
+    from geist_spark.compiler.pipeline import compile_pipeline
+
+    rows = [
+        (1, "the cat sat", "en", "s1", None),  # NULL url -> bypasses dedup
+        (2, None, "en", "s1", "http://a.com/p"),  # NULL text -> unscoreable
+        (3, "zz qq", "de", "s1", "http://a.com/q"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, url string"
+    )
+    pipe = compile_pipeline(
+        {
+            "steps": [
+                {"op": "urlDedup"},
+                {"op": "lmQualityFilter", "maxOovRate": 0.4},
+            ]
+        }
+    )
+    kept = sorted(r.doc_id for r in pipe(docs).collect())
+    # NULL url keeps; NULL text passes the gate (only drop what is
+    # measured); the OOV doc is the only drop
+    assert kept == [1, 2]
+
+    # empty reference slice (no 'xx' docs): the gate passes everything
+    # through rather than scoring all docs OOV and wiping the corpus
+    pipe2 = compile_pipeline(
+        {"steps": [{"op": "lmQualityFilter", "referenceLang": "xx"}]}
+    )
+    assert sorted(r.doc_id for r in pipe2(docs).collect()) == [1, 2, 3]
 
 
 def test_host_stats_and_dedup(spark):
