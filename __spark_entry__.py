@@ -3224,6 +3224,25 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, ["spark", "table"]),
+    (1, ["hash", "merge"]),
+    (2, ["window", "sort", "key"]),
+]
+
+
+def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/text.py bm25_topk): rational-parameter
+    BM25 (k1=6/5, b=3/4) where every per-term contribution is an exact
+    BIGINT ratio floored to nanos — deterministic ranking with exact
+    integer score sums; top-5 docs for three literal term queries."""
+    from geist_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_QUERIES, k_top=5
+    )
+
+
 def p_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture epoch planning (operators/split.py mixture_plan):
     per-source token budgets from integer weight parts with a
@@ -3459,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_fertility": t_bpe_fertility,
         "p_web_pipeline": p_web_pipeline,
         "p_mixture_plan": p_mixture_plan,
+        "t_bm25_search": t_bm25_search,
     }
 
 
@@ -5865,6 +5885,52 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
+        "t_bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
+                      FROM documents)
+                WHERE t <> ''
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT count(*) AS n_docs, sum(dl) AS totlen FROM dl
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfr AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), q AS (
+                SELECT * FROM (VALUES
+                    (0, 'spark'), (0, 'table'),
+                    (1, 'hash'), (1, 'merge'),
+                    (2, 'window'), (2, 'sort'), (2, 'key')
+                ) v(query_id, term)
+            ), j AS (
+                SELECT q.query_id, tf.doc_id,
+                       CAST(floor(
+                           CAST((2*s.n_docs - 2*dfr.df + 1) * 22
+                                * tf.tf * s.totlen AS DOUBLE)
+                           / CAST((2*dfr.df + 1)
+                                  * (10*s.totlen*tf.tf + 3*s.totlen
+                                     + 9*dl.dl*s.n_docs) AS DOUBLE)
+                           * 1000000000.0) AS BIGINT) AS nanos
+                FROM tf
+                JOIN q USING (term)
+                JOIN dfr USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+            ), scored AS (
+                SELECT query_id, doc_id, sum(nanos) AS score_nanos
+                FROM j GROUP BY query_id, doc_id
+            )
+            SELECT query_id, rank, doc_id, score_nanos
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score_nanos DESC, doc_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
         "p_mixture_plan": f"""
             WITH cs AS (
                 SELECT source, sum(len({_TOKENS_SQL})) AS n_tokens

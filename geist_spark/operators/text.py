@@ -526,3 +526,84 @@ def oov_rate(
             / F.greatest(F.col("n_tokens"), F.lit(1))
         ).alias("oov_rate"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k_top: int = 5,
+) -> DataFrame:
+    """BM25 retrieval (k1=6/5, b=3/4) over the corpus, top-k docs per
+    query — the ranking-side counterpart of inverted_index.
+
+    Determinism discipline: with the rational parameter choices every
+    per-term contribution is a ratio of two exact BIGINT products —
+    Robertson idf (N-df+1/2)/(df+1/2) becomes (2N-2df+1)/(2df+1), and
+    clearing the tf-normalization denominators of avgdl = totlen/N
+    gives
+
+        num = (2N - 2*df + 1) * 22 * tf * totlen
+        den = (2*df + 1) * (10*totlen*tf + 3*totlen + 9*dl*N)
+
+    The ratio is materialized as floor(1e9 * num/den) nanos (one
+    correctly-rounded IEEE division + exact floor, the same dodge
+    CUSUM uses for round()-divergence), summed EXACTLY as BIGINTs per
+    (query, doc), with one final division for display. BIGINT products
+    hold to ~10^5 docs per stats partition; at corpus scale compute
+    num/den in DECIMAL(38,0) — same plan shape.
+
+    Plan: query terms are a driver literal (broadcast); the tf table
+    joins on term so only matching postings shuffle; corpus stats are
+    a 1-row broadcast; the final top-k is a per-query window. The
+    corpus itself is scanned twice (doc lengths + tf) and never
+    shuffled at document grain.
+    """
+    from geist_spark.operators.dedup import tokens
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("totlen")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id int, term string",
+    )
+    j = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    n, totlen = F.col("n_docs"), F.col("totlen")
+    num = (2 * n - 2 * F.col("df") + 1) * 22 * F.col("tf") * totlen
+    den = (2 * F.col("df") + 1) * (
+        10 * totlen * F.col("tf") + 3 * totlen + 9 * F.col("dl") * n
+    )
+    nanos = F.floor(
+        num.cast("double") / den.cast("double") * F.lit(1000000000.0)
+    )
+    scored = (
+        j.select("query_id", "doc_id", nanos.alias("nanos"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("nanos").alias("score_nanos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nanos").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_top)
+        .select(
+            "query_id",
+            F.col("rn").alias("rank"),
+            "doc_id",
+            "score_nanos",
+        )
+    )

@@ -195,3 +195,30 @@ def test_triangle_counts_known_graph(spark):
         for r in triangle_counts(edges.repartition(8)).collect()
     }
     assert got8 == got
+
+
+# --------------------------------------------------------------- BM25
+
+
+def test_bm25_ranking_and_determinism(spark):
+    from geist_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark table join"),          # both query terms
+        (2, "spark row filter"),          # one common term
+        (3, "table scan table table"),    # repeated rarer term
+        (4, "totally unrelated words"),
+        (5, "spark spark spark spark"),   # tf saturation: still 1 term
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, [(0, ["spark", "table"])], k_top=5).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 4 matches nothing and must be absent
+    assert 4 not in ranked
+    # the doc matching both terms outranks every single-term doc
+    assert ranked[0] == 1
+    # tf saturation: 4x 'spark' must not overtake the two-term match
+    assert ranked.index(5) > 0
+    # scores are exact integers (nanos) -> stable across runs
+    again = bm25_topk(docs, [(0, ["spark", "table"])], k_top=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
