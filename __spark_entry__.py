@@ -5966,12 +5966,12 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             , ud AS (
                 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-                FROM (SELECT doc_id,
+                FROM (SELECT doc_id, url_norm,
                              row_number() OVER (PARTITION BY url_norm
                                                 ORDER BY doc_id) AS ur
                       FROM normed) k
                 JOIN documents d USING (doc_id)
-                WHERE k.ur = 1
+                WHERE k.ur = 1 OR k.url_norm IS NULL
             ), uni AS (
                 SELECT t AS token, count(*) AS cnt
                 FROM (SELECT unnest({_TOKENS_SQL}) AS t
@@ -5985,8 +5985,9 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN uni u ON e.w = u.token
                 GROUP BY doc_id
             ), lf AS (
-                SELECT ud.* FROM ud JOIN scored USING (doc_id)
-                WHERE oov_rate <= 0.2
+                SELECT ud.* FROM ud LEFT JOIN scored USING (doc_id)
+                WHERE (SELECT count(*) FROM uni) = 0
+                   OR oov_rate IS NULL OR oov_rate <= 0.2
             ), sq AS (
                 SELECT doc_id, source, n_chars
                 FROM (SELECT *, row_number() OVER (

@@ -126,16 +126,19 @@ def _url_dedup(params: dict[str, Any]) -> Step:
         from geist_spark.operators.web import normalize_url
 
         # unparseable URLs normalize to NULL; such docs are not
-        # duplicates of each other, so they bypass the dedup window
-        # instead of collapsing into one NULL partition
+        # duplicates of each other — they skip the window entirely
+        # (a NULL key would sort every unparseable doc on ONE task)
+        # and union back in
         norm = normalize_url(F.col(url_col))
+        tagged = df.withColumn("__un", norm)
         w = Window.partitionBy(F.col("__un")).orderBy(F.col("doc_id").asc())
-        return (
-            df.withColumn("__un", norm)
+        parsed = (
+            tagged.filter(F.col("__un").isNotNull())
             .withColumn("__ur", F.row_number().over(w))
-            .filter(F.col("__un").isNull() | (F.col("__ur") == 1))
+            .filter(F.col("__ur") == 1)
             .drop("__un", "__ur")
         )
+        return parsed.unionByName(tagged.filter(F.col("__un").isNull()).drop("__un"))
 
     return run
 
@@ -165,6 +168,10 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         df = df.localCheckpoint(eager=False)
         ref = df.filter(F.col("lang") == ref_lang)
         uni, _ = train_ngram_lm(ref)
+        # uni feeds both the scoring join and the emptiness guard —
+        # vocab-sized, so one lazy checkpoint avoids tokenizing and
+        # aggregating the reference slice twice
+        uni = uni.localCheckpoint(eager=False)
         scored = oov_rate(df, uni)
         # 1-row reference size, broadcast: if the reference slice is
         # EMPTY (wrong lang code, or a preceding filter removed it)

@@ -569,14 +569,19 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("totlen")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
         "query_id int, term string",
     )
+    # restrict to query-term postings FIRST: document frequency is
+    # only needed for the query's terms, so df_ stays |query terms|
+    # rows instead of the full corpus vocabulary (which must never be
+    # collected or broadcast)
+    tfq = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_ = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     j = (
-        tf.join(F.broadcast(qterms), "term")
+        tfq.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))

@@ -167,14 +167,22 @@ def bpe_apply(
     into one expression would re-evaluate lower folds exponentially
     (same hazard semantic_dedup documents). The barriers cost M tiny
     vocabulary-grain jobs.
+
+    Words containing the fold-state separator \\x01 cannot run through
+    merge_fold (the packed accumulator would split at the embedded
+    byte); they keep their plain character segmentation — lossless,
+    just unmerged — instead of silently corrupting.
     """
-    df = words.withColumn(
+    dirty = words.filter(F.col(word_col).contains(_E)).withColumn(
+        "sym", char_symbols(F.col(word_col), end_token)
+    )
+    df = words.filter(~F.col(word_col).contains(_E)).withColumn(
         "sym", char_symbols(F.col(word_col), end_token)
     )
     for _, a, b, _, _ in merges:
         df = df.withColumn(
             "sym", merge_fold(F.col("sym"), a, b)
         ).localCheckpoint()
-    return df.withColumn(
+    return df.unionByName(dirty).withColumn(
         "n_subwords", F.size(F.split(F.col("sym"), " "))
     )

@@ -131,18 +131,21 @@ def url_dedup(
     (SURVEY §2.2) applied at the web-corpus grain. Never a self-join.
 
     Docs whose URL does not parse (url_norm NULL) are NOT duplicates of
-    each other — they all keep (a NULL key would otherwise collapse
-    every unparseable doc into one window partition and delete all but
-    one).
+    each other — they all keep, and they are EXCLUDED from the window
+    input (not merely exempted from its verdict): a NULL key would
+    hash every unparseable doc onto one window partition and sort them
+    all on a single task — the hot-key hazard — for row numbers the
+    filter would ignore anyway.
     """
     norm = normalize_url(F.col(url_col))
+    base = documents.select(F.col(id_col), norm.alias("url_norm"))
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
-    return (
-        documents.select(F.col(id_col), norm.alias("url_norm"))
+    parsed = (
+        base.filter(F.col("url_norm").isNotNull())
         .withColumn("rn", F.row_number().over(w))
-        .select(
-            id_col,
-            "url_norm",
-            (F.col("url_norm").isNull() | (F.col("rn") == 1)).alias("keep"),
-        )
+        .select(id_col, "url_norm", (F.col("rn") == 1).alias("keep"))
     )
+    unparsed = base.filter(F.col("url_norm").isNull()).select(
+        id_col, "url_norm", F.lit(True).alias("keep")
+    )
+    return parsed.unionByName(unparsed)

@@ -102,6 +102,20 @@ def test_merge_fold_randomized_parity(spark):
         assert got == want, (a, b)
 
 
+def test_bpe_apply_separator_word_survives_unmerged(spark):
+    train = _docs(spark, "lower lower newer")
+    merges = train_bpe(train, num_merges=2)
+    vocab = spark.createDataFrame(
+        [("lower",), ("a\x01b",)], "word string"
+    )
+    enc = {r.word: r for r in bpe_apply(vocab, merges).collect()}
+    # dirty word keeps plain char segmentation, no corruption
+    assert "".join(enc["a\x01b"].sym.split(" ")) == "a\x01b</w>"
+    assert enc["a\x01b"].n_subwords == 4
+    # clean word still merges
+    assert enc["lower"].n_subwords < 6
+
+
 def test_train_bpe_exhausted_pairs_stops(spark):
     docs = _docs(spark, "ab")  # one word, one pair ('a','b') then ('ab','</w>')
     merges = train_bpe(docs, num_merges=10)
