@@ -100,6 +100,94 @@ def test_url_dedup_null_urls_all_keep(spark):
     assert dd[3].keep and not dd[4].keep
 
 
+def test_normalize_randomized_duckdb_parity(spark):
+    """Seeded fuzz of messy URLs through BOTH the Spark normalizer and
+    the DuckDB oracle expression (the same SQL __spark_entry__ embeds)
+    — the hand-duplicated parse must agree beyond the md5-derived
+    corpus shapes."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Example.com", "a.B.c", "[2001:DB8::1]", "x-y.org"]
+    userinfos = ["", "u@", "u:p@"]
+    ports = ["", ":80", ":443", ":8080", ":81"]
+    paths = ["", "/", "/a", "/a/b/", "/a//", "/p.q/r"]
+    queries = [
+        "",
+        "?",
+        "?a=1",
+        "?b=2&a=1",
+        "?utm_source=x&id=3",
+        "?id=4&utm_campaign=y&ref=z",
+        "?a=1?b=2",
+        "?fbclid=q&gclid=r",
+    ]
+    frags = ["", "#f", "#sec?x=1"]
+    urls = []
+    for _ in range(300):
+        urls.append(
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(userinfos)
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.n
+        for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+
+    con = duckdb.connect()
+    sql = r"""
+    WITH t AS (SELECT unnest(?) AS url),
+    p AS (
+      SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+            AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+            AS auth,
+        regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
+      FROM t),
+    q AS (
+      SELECT *,
+        lower(regexp_extract(auth, '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1))
+            AS host,
+        regexp_extract(auth, ':(\d+)$', 1) AS port,
+        CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+        coalesce(list_aggregate(list_sort(list_filter(
+            string_split(rawq, '&'),
+            x -> x <> ''
+                 AND NOT regexp_extract(x, '^([^=]*)', 1)
+                     IN ('fbclid','gclid','msclkid','ref')
+                 AND NOT starts_with(
+                     regexp_extract(x, '^([^=]*)', 1), 'utm_'))),
+            'string_agg', '&'), '') AS qq
+      FROM p)
+    SELECT CASE WHEN scheme = '' THEN NULL ELSE
+      scheme || '://' || host ||
+      CASE WHEN port = '' OR (scheme='http' AND port='80')
+                OR (scheme='https' AND port='443') THEN ''
+           ELSE ':' || port END
+      || path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END END AS n
+    FROM q
+    """
+    want = [n for (n,) in con.execute(sql, [urls]).fetchall()]
+    mismatches = [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_pipeline_url_dedup_and_lm_filter(spark):
     from geist_spark.compiler.pipeline import compile_pipeline
     from geist_spark.spec.model import SpecError
