@@ -279,3 +279,53 @@ def test_host_stats_and_dedup(spark):
     assert dd[1].keep and not dd[2].keep  # lowest id survives
     assert dd[1].url_norm == dd[2].url_norm == "http://a.com/p"
     assert dd[3].keep and dd[4].keep
+
+
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """normalize_url composes with Structured Streaming: canonical-URL
+    dedup across micro-batches via dropDuplicatesWithinWatermark —
+    state keyed on the normalized form, bounded by the watermark."""
+    import datetime as dt
+
+    src = str(tmp_path / "urlsrc")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(u, t0 + dt.timedelta(seconds=s)) for u, s in rows],
+            "url string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file(
+        [
+            ("http://A.com/p?utm_source=x", 0),
+            ("HTTP://a.com:80/p/", 1),  # same canonical page
+            ("http://a.com/q", 2),
+        ]
+    )
+    write_file([("http://a.com/p#frag", 3)])  # dup again, next batch
+
+    stream = (
+        spark.readStream.schema("url string, ts timestamp").parquet(src)
+        .withColumn("url_norm", normalize_url(F.col("url")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["url_norm"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("urldedup")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT url_norm FROM urldedup").collect()
+    assert sorted(r.url_norm for r in rows) == [
+        "http://a.com/p",
+        "http://a.com/q",
+    ]
