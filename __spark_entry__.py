@@ -3224,6 +3224,19 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (operators/dedup.py
+    simhash_near_dup_pairs, Manku et al. WWW 2007): pigeonhole band
+    equi-join candidates + bit_count(xor) confirm — exact-signature
+    simhash grouping generalized to hamming <= 1 at 32 bits here
+    (web-scale runs 64-bit / 4-band / hamming 3; same plan)."""
+    from geist_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=2, max_hamming=1
+    )
+
+
 _BM25_QUERIES = [
     (0, ["spark", "table"]),
     (1, ["hash", "merge"]),
@@ -3479,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_web_pipeline": p_web_pipeline,
         "p_mixture_plan": p_mixture_plan,
         "t_bm25_search": t_bm25_search,
+        "d_simhash_near_dup": d_simhash_near_dup,
     }
 
 
@@ -5885,6 +5899,9 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
+        "d_simhash_near_dup": _simhash_near_dup_oracle(
+            bits=32, bands=2, max_hamming=1, max_band_freq=1000
+        ),
         "t_bm25_search": f"""
             WITH toks AS (
                 SELECT doc_id, t AS term
@@ -6204,6 +6221,52 @@ def _bpe_fertility_oracle(num_merges: int) -> str:
         " CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility"
         " FROM ex JOIN enc USING (word) GROUP BY lang"
     )
+
+
+def _simhash_near_dup_oracle(
+    bits: int, bands: int, max_hamming: int, max_band_freq: int
+) -> str:
+    """Replays simhash_near_dup_pairs: the simhash fingerprint CTEs,
+    the pigeonhole band split, the band-frequency cap, and the
+    bit_count(xor) confirm."""
+    width = bits // bands
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
+    )
+    bandvals = ", ".join(f"({b})" for b in range(bands))
+    mask = (1 << width) - 1
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+            FROM tok WHERE tok <> ''
+        ), votes AS (
+            SELECT doc_id, {votes} FROM h GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+        ), banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {width})) & {mask} AS val
+            FROM fp CROSS JOIN (VALUES {bandvals}) b(band)
+        ), capped AS (
+            SELECT banded.* FROM banded
+            JOIN (SELECT band, val, count(*) AS bf
+                  FROM banded GROUP BY band, val) c USING (band, val)
+            WHERE c.bf <= {max_band_freq}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               min(bit_count(xor(a.simhash, b.simhash))) AS hamming
+        FROM capped a JOIN capped b USING (band, val)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        GROUP BY 1, 2
+    """
 
 
 def _redact_pii_oracle() -> str:

@@ -263,6 +263,92 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return voted.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_freq: int | None = 1000,
+) -> DataFrame:
+    """SimHash NEAR-duplicate pairs (Manku, Jain & Das Sarma, WWW
+    2007): docs whose fingerprints differ in at most `max_hamming`
+    bits. `simhash` alone only groups EXACT signatures; this is the
+    Hamming-ball variant actual web dedup uses.
+
+    Candidate generation is the pigeonhole band trick: split the
+    `bits`-bit fingerprint into `bands` contiguous bands — any pair
+    within Hamming distance < `bands` must agree exactly on at least
+    one band — then equi-join per band and confirm with
+    bit_count(xor) <= max_hamming. Requires max_hamming < bands
+    (pigeonhole soundness; validated).
+
+    Scale shape: fingerprints are one explode + one groupBy
+    (simhash); the candidate join is a band-keyed EQUI-join over
+    fingerprint rows (corpus never self-joins all-pairs).
+    `max_band_freq` caps degenerate bands (a band value shared by
+    millions of near-identical docs — the hot-bucket guard, same role
+    as minhash's max_bucket_size). Pairs found via multiple bands
+    dedupe with one groupBy on (doc_a, doc_b).
+    """
+    if not max_hamming < bands:
+        raise ValueError(
+            f"need max_hamming < bands for pigeonhole soundness, got "
+            f"hamming={max_hamming} bands={bands}"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    width = bits // bands
+    fp = simhash(documents, bits=bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    if max_band_freq is not None:
+        counts = banded.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__bf")
+        )
+        banded = (
+            banded.join(counts, ["band", "val"])
+            .filter(F.col("__bf") <= max_band_freq)
+            .drop("__bf")
+        )
+    a = banded.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    dist = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 3,

@@ -1222,3 +1222,56 @@ def test_streaming_incremental_rollup_matches_batch(spark, tmp_path):
     }
     assert got == full  # merge of per-batch states == full recompute
     assert got["a"][0] == 2 and got["a"][1] == 4.75
+
+
+def test_simhash_near_dup_pigeonhole(spark):
+    """simhash_near_dup_pairs finds pairs within the Hamming ball and
+    obeys the pigeonhole contract (max_hamming < bands)."""
+    import pytest
+    from geist_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),                     # identical -> hamming 0
+        (3, base + " extraword"),      # near dup -> small hamming
+        (4, "totally different words here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    d13 = bin(fps[1] ^ fps[3]).count("1")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            docs, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    if d13 <= 3:
+        assert pairs[(1, 3)] == d13  # guaranteed found: pigeonhole
+    # the unrelated doc pairs with nothing
+    assert not any(4 in p for p in pairs)
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_dup_pairs(docs, bits=32, bands=5, max_hamming=2)
+
+
+def test_simhash_near_dup_band_cap(spark):
+    """max_band_freq drops degenerate bands: with a cap of 1 no band
+    bucket can ever produce a candidate pair."""
+    from geist_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same text for everyone") for i in range(6)],
+        "doc_id long, text string",
+    )
+    n = simhash_near_dup_pairs(
+        docs, bits=32, bands=4, max_hamming=3, max_band_freq=1
+    ).count()
+    assert n == 0
