@@ -64,3 +64,33 @@ def test_volume_shipping_prunes_fact_below_joins(spark, q):
     p = simple_plan(q["q_volume_shipping"](spark, SF))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 4  # supp/cust/nation dims
+
+
+def test_url_normalize_is_map_only(spark, q):
+    p = simple_plan(q["w_url_normalize"](spark, SF))
+    assert "Exchange" not in p  # pure codegen projection on the scan
+
+
+def test_url_dedup_single_window_shuffle(spark, q):
+    p = simple_plan(q["w_url_dedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # union, not a self-join
+
+
+def test_lm_score_broadcasts_vocab_no_window(spark, q):
+    p = simple_plan(q["t_lm_score"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # unigram + bigram joins
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p  # adjacency built array-side, no per-doc sort
+
+
+def test_bm25_broadcasts_query_side_no_cartesian(spark, q):
+    p = simple_plan(q["t_bm25_search"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # qterms/df broadcast onto postings
+
+
+def test_simhash_near_dup_equi_join_only(spark, q):
+    p = simple_plan(q["d_simhash_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # band equi-join candidates
