@@ -612,3 +612,33 @@ def bm25_topk(
             "score_nanos",
         )
     )
+
+
+def term_stats(documents: DataFrame) -> DataFrame:
+    """Per-term corpus statistics (df = docs containing the term,
+    cnt = total occurrences) — the mergeable state behind
+    inverted_index/bm25_topk. One token explode, one groupBy(term)."""
+    from geist_spark.operators.dedup import tokens
+
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def merge_term_stats(*parts: DataFrame) -> DataFrame:
+    """Merge term-stat states from DISJOINT document partitions (e.g.
+    yesterday's index state + today's delta) by summation — the IVM
+    pattern (see relational.mergeable_rollup): maintaining a 100 TB
+    retrieval index costs one pass over the DELTA, never a rescan of
+    history. Exact only when the same doc never appears in two parts
+    (df sums assume disjoint doc sets); dedup upstream."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cnt").alias("cnt")
+    )

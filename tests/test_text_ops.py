@@ -222,3 +222,25 @@ def test_bm25_ranking_and_determinism(spark):
     # scores are exact integers (nanos) -> stable across runs
     again = bm25_topk(docs, [(0, ["spark", "table"])], k_top=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_term_stats_incremental_merge_equals_full(spark):
+    """Index-maintenance IVM: term stats from disjoint corpus slices
+    merge into exactly the full recompute."""
+    from geist_spark.operators.text import merge_term_stats, term_stats
+
+    rows = [(i, t) for i, t in enumerate(
+        ["spark table join", "spark row", "table scan table", "row row row"]
+    )]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    a = full.filter("doc_id < 2")
+    b = full.filter("doc_id >= 2")
+    merged = {
+        r.term: (r.df, r.cnt)
+        for r in merge_term_stats(term_stats(a), term_stats(b)).collect()
+    }
+    want = {
+        r.term: (r.df, r.cnt) for r in term_stats(full).collect()
+    }
+    assert merged == want
+    assert want["table"] == (2, 3) and want["row"] == (2, 4)
