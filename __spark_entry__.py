@@ -3224,6 +3224,23 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/similarity.py hybrid_search): BM25
+    lexical and exact-cosine semantic lists fused by Reciprocal Rank
+    Fusion in pure integer arithmetic (1e9 div (60+rank) nanos, exact
+    BIGINT sums) — queries are docs 0..9 (first-3-token lexical query
+    + the doc's own embedding)."""
+    from geist_spark.operators.similarity import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k_list=10,
+        k_top=5,
+    )
+
+
 def d_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (operators/dedup.py
     simhash_near_dup_pairs, Manku et al. WWW 2007): pigeonhole band
@@ -3493,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_mixture_plan": p_mixture_plan,
         "t_bm25_search": t_bm25_search,
         "d_simhash_near_dup": d_simhash_near_dup,
+        "s_hybrid_search": s_hybrid_search,
     }
 
 
@@ -5902,6 +5920,9 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash_near_dup": _simhash_near_dup_oracle(
             bits=32, bands=2, max_hamming=1, max_band_freq=1000
         ),
+        "s_hybrid_search": _hybrid_oracle(
+            n_queries=10, k_list=10, k_top=5, k_rrf=60
+        ),
         "t_bm25_search": f"""
             WITH toks AS (
                 SELECT doc_id, t AS term
@@ -6221,6 +6242,95 @@ def _bpe_fertility_oracle(num_merges: int) -> str:
         " CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility"
         " FROM ex JOIN enc USING (word) GROUP BY lang"
     )
+
+
+def _hybrid_oracle(
+    n_queries: int, k_list: int, k_top: int, k_rrf: int
+) -> str:
+    """Replays hybrid_search: the BM25 ranker (rank assigned over ALL
+    docs, self filtered after — matching the Spark composition), the
+    exact-cosine ranker (self excluded before ranking, as in
+    cosine_topk), and integer-nano RRF fusion."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
+                  FROM documents)
+            WHERE t <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS totlen FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), q AS (
+            SELECT DISTINCT CAST(doc_id AS INT) AS query_id, t AS term
+            FROM (SELECT doc_id,
+                         unnest(list_slice({_TOKENS_SQL}, 1, 3)) AS t
+                  FROM documents WHERE doc_id < {n_queries})
+            WHERE t <> ''
+        ), dfr AS (
+            SELECT term, count(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM q)
+            GROUP BY term
+        ), jb AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(floor(
+                       CAST((2*s.n_docs - 2*dfr.df + 1) * 22
+                            * tf.tf * s.totlen AS DOUBLE)
+                       / CAST((2*dfr.df + 1)
+                              * (10*s.totlen*tf.tf + 3*s.totlen
+                                 + 9*dl.dl*s.n_docs) AS DOUBLE)
+                       * 1000000000.0) AS BIGINT) AS nanos
+            FROM tf
+            JOIN q USING (term)
+            JOIN dfr USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        ), bm_scored AS (
+            SELECT query_id, doc_id, sum(nanos) AS score_nanos
+            FROM jb GROUP BY query_id, doc_id
+        ), bm AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_nanos DESC, doc_id) AS rank
+                FROM bm_scored)
+            WHERE rank <= {k_list} AND doc_id <> query_id
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), qe AS (SELECT * FROM e WHERE vec_id < {n_queries}),
+        cos_scored AS (
+            SELECT qe.vec_id AS query_id, e.vec_id AS doc_id,
+                   round(list_dot_product(qe.v, e.v)
+                         / (sqrt(list_dot_product(qe.v, qe.v))
+                            * sqrt(list_dot_product(e.v, e.v))), 6)
+                       AS cosine
+            FROM qe JOIN e ON qe.vec_id <> e.vec_id
+        ), cs AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, doc_id) AS rank
+                FROM cos_scored)
+            WHERE rank <= {k_list}
+        ), fused AS (
+            SELECT coalesce(bm.query_id, cs.query_id) AS query_id,
+                   coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+                   coalesce(1000000000 // ({k_rrf} + bm.rank), 0)
+                   + coalesce(1000000000 // ({k_rrf} + cs.rank), 0)
+                       AS rrf_nanos
+            FROM bm FULL OUTER JOIN cs
+              ON bm.query_id = cs.query_id AND bm.doc_id = cs.doc_id
+        )
+        SELECT query_id, rank, doc_id, rrf_nanos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rrf_nanos DESC, doc_id) AS rank
+              FROM fused)
+        WHERE rank <= {k_top}
+    """
 
 
 def _simhash_near_dup_oracle(

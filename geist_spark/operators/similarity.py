@@ -1005,3 +1005,77 @@ def lsh_tuning_curve(
             "n_candidate_pairs",
         )
     )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_list: int = 10,
+    k_top: int = 5,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and exact cosine (semantic)
+    candidate lists fused by Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard two-tower + keyword production pattern.
+
+    Each query is a document (query_ids index both tables): its first
+    3 tokens form the lexical query; its embedding is the semantic
+    query. RRF contribution per list = 1e9 div (k_rrf + rank) — pure
+    INTEGER division of exact ranks, so fused scores are exact BIGINT
+    sums (no IEEE anywhere) and the fusion is bit-replayable. A doc in
+    only one list contributes only that list's term (full outer
+    merge).
+
+    Scale shape: both rankers are the existing operators (bm25_topk's
+    query-term broadcast; cosine_topk's broadcast query side — swap in
+    lsh_bucketed_topk for ANN at corpus scale, same interface); the
+    fusion joins two k_list-per-query tables — metadata-sized — and
+    takes a per-query top-k window.
+    """
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.text import bm25_topk
+
+    qterms = (
+        documents.filter(F.col("doc_id").isin(query_ids))
+        .select(
+            F.col("doc_id").cast("int").alias("query_id"),
+            F.explode(F.slice(tokens(F.col("text")), 1, 3)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()  # a repeated token among the first 3 must not
+        # double-count its BM25 contribution
+    )
+    bm = bm25_topk(documents, qterms, k_top=k_list).filter(
+        F.col("doc_id") != F.col("query_id")  # self-match parity with cosine
+    )
+    cos = cosine_topk(embeddings, query_ids, k=k_list)
+
+    rrf = lambda r: F.expr(f"1000000000 div ({k_rrf} + {r})")  # noqa: E731
+    bm_c = bm.select(
+        "query_id", "doc_id", rrf("rank").alias("bm_rrf")
+    )
+    cos_c = cos.select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        rrf("rank").alias("cos_rrf"),
+    )
+    fused = (
+        bm_c.join(cos_c, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.col("bm_rrf"), F.lit(0))
+                + F.coalesce(F.col("cos_rrf"), F.lit(0))
+            ).alias("rrf_nanos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nanos").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "rank", "doc_id", "rrf_nanos")
+    )

@@ -530,7 +530,7 @@ def oov_rate(
 
 def bm25_topk(
     documents: DataFrame,
-    queries: list[tuple[int, list[str]]],
+    queries: list[tuple[int, list[str]]] | DataFrame,
     k_top: int = 5,
 ) -> DataFrame:
     """BM25 retrieval (k1=6/5, b=3/4) over the corpus, top-k docs per
@@ -570,10 +570,15 @@ def bm25_topk(
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts],
-        "query_id int, term string",
-    )
+    if isinstance(queries, DataFrame):
+        # (query_id, term) rows — must be broadcast-sized (a query
+        # workload, not a corpus)
+        qterms = queries.select("query_id", "term")
+    else:
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "query_id int, term string",
+        )
     # restrict to query-term postings FIRST: document frequency is
     # only needed for the query's terms, so df_ stays |query terms|
     # rows instead of the full corpus vocabulary (which must never be

@@ -244,3 +244,36 @@ def test_term_stats_incremental_merge_equals_full(spark):
     }
     assert merged == want
     assert want["table"] == (2, 3) and want["row"] == (2, 4)
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    """RRF fusion: a doc ranked in both lists beats docs in one list;
+    integer nanos make scores exact."""
+    from geist_spark.operators.similarity import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark table join engine"),
+            (1, "spark table join engine extra"),  # lexical + semantic twin
+            (2, "spark unrelated content here"),   # lexical-only overlap
+            (3, "zz qq ww rr"),                    # neither
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.14, 0.0]),   # close to query 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search(docs, embs, query_ids=[0], k_list=3, k_top=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].doc_id == 1  # in both lists -> two RRF terms
+    assert all(r.doc_id != 0 for r in rows)  # self excluded
+    # exact integer check: cosine rank 1 + BM25 rank 2 (the query doc
+    # occupies BM25 rank 1 before the self-filter — by design, so
+    # lexical ranks are stable whether or not the query is corpus-held)
+    assert rows[0].rrf_nanos == (10**9 // 61) + (10**9 // 62)
