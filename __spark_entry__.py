@@ -298,15 +298,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count rollup: hour-grain sketches
     unioned to per-type totals WITHOUT rescanning the raw table — the
-    pre-aggregated-cube pattern at 100 TB. At the correctness gate's
-    cardinalities the sketch is in sparse mode, where the DataSketches
-    estimate is exact, so the DuckDB oracle checks exact distincts."""
+    pre-aggregated-cube pattern at 100 TB. lg_k=14 keeps the
+    DataSketches coupon-set regime (exact until ~2^(lg_k-3) = 2048
+    distinct per group) through sf0.1's 1500 users/type, so the DuckDB
+    oracle checks exact distincts; past that regime HLL estimates and
+    the oracle would need a rows-only check."""
     from geist_spark.operators.sketch import hll_merge, hll_rollup
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "hour", F.date_trunc("hour", "ts")
     )
-    hourly = hll_rollup(ev, ["hour", "event_type"], "user_id")
+    hourly = hll_rollup(ev, ["hour", "event_type"], "user_id", lg_k=14)
     return hll_merge(hourly, ["event_type"]).select(
         F.col("event_type").alias("etype"), "distinct_est", "n_rows"
     )
@@ -984,10 +986,11 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # driver embeddings are near-uniform random (max pairwise cosine
     # ~0.48) so "near-dup" here means the top of that distribution.
-    # num_planes=None sizes buckets to the corpus (4 planes at sf0.01,
-    # matching the oracle; 8 at sf0.1 so pair counts stay bounded).
+    # num_planes is PINNED to the oracle's 4 (the oracle SQL is static
+    # per session and cannot adapt to sf); the corpus-adaptive sizing
+    # (num_planes=None) is covered by unit tests and s_lsh_tuning.
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=None
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
     )
 
 
