@@ -3227,6 +3227,42 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `urlNormalize` extractFields TYPE (engine extension in the
+    reference's own dialect, same pattern as the userAgent type): a
+    spec-declared field canonicalizes URLs in the compiled transform —
+    pure codegen inside the same single projection as every other
+    typed extraction. Events carry the md5-derived messy URL."""
+    ev = _t(spark, sf_dir, "events")
+    events = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                _synth_url(F.col("event_id")).alias("page"),
+            )
+        ).alias("value")
+    )
+    ct = _compile(
+        {
+            "extractFields": [
+                {
+                    "fields": [
+                        {"id": "eid", "jsonPath": "event_id", "type": "integer"},
+                        {"id": "page_raw", "jsonPath": "page"},
+                        {
+                            "id": "page",
+                            "jsonPath": "page",
+                            "type": "urlNormalize",
+                        },
+                    ]
+                }
+            ]
+        }
+    )
+    return ct.apply(events)
+
+
 def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/similarity.py hybrid_search): BM25
     lexical and exact-cosine semantic lists fused by Reciprocal Rank
@@ -3514,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25_search": t_bm25_search,
         "d_simhash_near_dup": d_simhash_near_dup,
         "s_hybrid_search": s_hybrid_search,
+        "g_url_normalize": g_url_normalize,
     }
 
 
@@ -5926,6 +5963,14 @@ def oracle_sql() -> dict[str, str]:
         "s_hybrid_search": _hybrid_oracle(
             n_queries=10, k_list=10, k_top=5, k_rrf=60
         ),
+        "g_url_normalize": _url_oracle_cte(
+            table="events", id_col="event_id", extra="event_type"
+        )
+        + """
+            SELECT doc_id AS eid, url AS page_raw,
+                   coalesce(url_norm, '') AS page
+            FROM normed
+        """,
         "t_bm25_search": f"""
             WITH toks AS (
                 SELECT doc_id, t AS term
@@ -6044,18 +6089,20 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _url_oracle_cte() -> str:
+def _url_oracle_cte(
+    table: str = "documents", id_col: str = "doc_id", extra: str = "text"
+) -> str:
     """Replays _synth_url + operators/web.py normalize_url/url_host in
     DuckDB: same md5-derived messy URL, same RFC 3986 component parse
     and normalization rules (lower scheme/host, default-port strip,
     fragment drop, tracking-param filter + sort, trailing-slash
     collapse)."""
-    return r"""
+    return rf"""
         WITH docs_u AS (
-            SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
-            FROM documents
+            SELECT {id_col} AS doc_id, {extra}, md5(CAST({id_col} AS VARCHAR)) AS h
+            FROM {table}
         ), raw AS (
-            SELECT doc_id, text,
+            SELECT doc_id, {extra},
                 CASE WHEN substr(h,1,1) < '8' THEN 'https'
                      ELSE 'HTTP' END ||
                 '://WWW.h' || substr(h,3,2) || '.Example.com' ||
@@ -6077,7 +6124,7 @@ def _url_oracle_cte() -> str:
                      ELSE '' END AS url
             FROM docs_u
         ), parsed AS (
-            SELECT doc_id, text, url,
+            SELECT doc_id, {extra}, url,
                 lower(regexp_extract(url,
                     '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
                 regexp_extract(url,
@@ -6088,7 +6135,7 @@ def _url_oracle_cte() -> str:
                 regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
             FROM raw
         ), comp AS (
-            SELECT doc_id, text, url, scheme,
+            SELECT doc_id, {extra}, url, scheme,
                 lower(regexp_extract(auth,
                     '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1)) AS host,
                 regexp_extract(auth, ':(\d+)$', 1) AS port,
@@ -6105,7 +6152,7 @@ def _url_oracle_cte() -> str:
                     'string_agg', '&'), '') AS qq
             FROM parsed
         ), normed AS (
-            SELECT doc_id, text, url, host,
+            SELECT doc_id, {extra}, url, host,
                 scheme || '://' || host ||
                 CASE WHEN port = '' OR (scheme='http' AND port='80')
                           OR (scheme='https' AND port='443') THEN ''

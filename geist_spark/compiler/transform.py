@@ -209,6 +209,13 @@ def _typed_extract(res: JsonResolver, json_path: str, spec_type: str) -> Column:
         from geist_spark.functions.ua import ua_udf
 
         return ua_udf(F.coalesce(raw, F.lit("")))
+    if t == "urlnormalize":
+        # engine extension (same pattern as userAgent's typed parse):
+        # RFC 3986 canonicalization in pure codegen; non-URL values
+        # take the string zero-value "" per gjson coercion rules
+        from geist_spark.operators.web import normalize_url
+
+        return F.coalesce(normalize_url(raw), F.lit(""))
     raise SpecError(f"unknown extract field type: {spec_type}")
 
 

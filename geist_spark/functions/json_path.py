@@ -194,4 +194,5 @@ def spark_type_for(spec_type: str | None) -> T.DataType:
         "isotimestamp": T.TimestampType(),
         "unixtimestamp": T.TimestampType(),
         "useragent": T.StringType(),
+        "urlnormalize": T.StringType(),
     }[t]

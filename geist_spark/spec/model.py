@@ -35,7 +35,7 @@ GEIST_INGESTION_TIME = "@GeistIngestionTime"
 
 _VALID_FIELD_TYPES = {
     "", "string", "int", "integer", "number", "float", "bool", "boolean",
-    "isoTimestamp", "unixTimestamp", "userAgent",
+    "isoTimestamp", "unixTimestamp", "userAgent", "urlNormalize",
 }
 
 

@@ -418,3 +418,30 @@ def test_user_agent_bot_and_windows(spark):
     )
     parsed = json.loads(out[0]["a"])
     assert parsed["bot"] is True and parsed["mobile"] is False
+
+
+def test_url_normalize_field_type(spark):
+    """Engine-extension extractFields type urlNormalize: spec-declared
+    canonicalization with string zero-value coercion for non-URLs."""
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    ct = compile_transform(parse_spec({
+        "namespace": "t", "streamIdSuffix": "urln", "version": 1,
+        "description": "urlNormalize type",
+        "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [
+            {"id": "u", "jsonPath": "page", "type": "urlNormalize"},
+        ]}]},
+        "sink": {"type": "void"},
+    }).transform)
+    df = spark.createDataFrame(
+        [
+            ('{"page": "HTTP://A.com:80/x/?utm_s=1&b=2#f"}',),
+            ('{"page": "not a url"}',),
+            ('{"other": 1}',),
+        ],
+        "value string",
+    )
+    got = [r.u for r in ct.apply(df).collect()]
+    assert got == ["http://a.com/x?b=2", "", ""]
