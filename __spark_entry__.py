@@ -3227,6 +3227,27 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema-drift census (operators/quality.py
+    json_key_census): per-key event counts + fraction over a JSON
+    column whose key set varies (to_json drops null struct fields, so
+    conditional fields appear in 1/3 and 1/5 of events) — the profile
+    that catches producer field drift before a spec breaks."""
+    from geist_spark.operators.quality import json_key_census
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(1)).alias("beta"),
+            F.when(F.col("event_id") % 5 == 0, F.col("value")).alias(
+                "gamma"
+            ),
+        )
+    )
+    return json_key_census(ev.select(payload.alias("payload")))
+
+
 def g_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `urlNormalize` extractFields TYPE (engine extension in the
     reference's own dialect, same pattern as the userAgent type): a
@@ -3551,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_near_dup": d_simhash_near_dup,
         "s_hybrid_search": s_hybrid_search,
         "g_url_normalize": g_url_normalize,
+        "q_json_key_census": q_json_key_census,
     }
 
 
@@ -5970,6 +5992,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS eid, url AS page_raw,
                    coalesce(url_norm, '') AS page
             FROM normed
+        """,
+        "q_json_key_census": """
+            WITH t AS (SELECT count(*) AS n FROM events)
+            SELECT 'k' AS key, count(*) AS n_events,
+                   CAST(count(*) AS DOUBLE) / (SELECT n FROM t) AS frac
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            UNION ALL
+            SELECT 'beta', count(*),
+                   CAST(count(*) AS DOUBLE) / (SELECT n FROM t)
+            FROM events WHERE event_id % 3 = 0
+            UNION ALL
+            SELECT 'gamma', count(*),
+                   CAST(count(*) AS DOUBLE) / (SELECT n FROM t)
+            FROM events WHERE event_id % 5 = 0 AND value IS NOT NULL
         """,
         "t_bm25_search": f"""
             WITH toks AS (

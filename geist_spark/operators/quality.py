@@ -247,3 +247,32 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return report
+
+
+def json_key_census(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Schema-drift census over a JSON event column: per key, how many
+    events carry it and the fraction of all events — the payload-level
+    profile that catches producers adding/dropping/renaming fields
+    before a downstream spec breaks (pairs with datasheet_diff for
+    version-over-version comparison).
+
+    One `json_object_keys` explode + a key-grain groupBy; the total is
+    a 1-row broadcast. Fraction is a single IEEE division of exact
+    longs. Top-level keys only (nested drift shows up as a top-level
+    payload key changing shape, which the extract layer's typed
+    coercion already surfaces per field).
+    """
+    keys = df.select(
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__n_events"))
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_events",
+            (F.col("n_events") / F.col("__n_events")).alias("frac"),
+        )
+    )

@@ -107,3 +107,20 @@ def test_single_scan_plan(table, parent):
     # the broadcast side of the left join
     assert plan.count("Aggregate") <= 3  # partial/final pairs collapse later
     assert "Join LeftOuter" in plan
+
+
+def test_json_key_census_counts_and_fracs(spark):
+    from geist_spark.operators.quality import json_key_census
+
+    rows = [
+        ('{"a": 1, "b": 2}',),
+        ('{"a": 3}',),
+        ('{"c": null}',),  # null-valued key still present in the JSON
+        ('{}',),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = {r.key: r for r in json_key_census(df).collect()}
+    assert out["a"].n_events == 2 and out["a"].frac == 0.5
+    assert out["b"].n_events == 1 and out["b"].frac == 0.25
+    assert out["c"].n_events == 1  # presence, not non-null-ness
+    assert set(out) == {"a", "b", "c"}
