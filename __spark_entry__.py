@@ -3227,6 +3227,17 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/lm.py collocation_lift): bigrams
+    ranked by exact-integer lift (the log-free monotone core of PMI)
+    over the lang='en' slice — the phrase-discovery pass that feeds
+    tokenizer vocabulary curation."""
+    from geist_spark.operators.lm import collocation_lift
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return collocation_lift(docs, min_count=20)
+
+
 def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload schema-drift census (operators/quality.py
     json_key_census): per-key event counts + fraction over a JSON
@@ -3573,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_hybrid_search": s_hybrid_search,
         "g_url_normalize": g_url_normalize,
         "q_json_key_census": q_json_key_census,
+        "t_collocations": t_collocations,
     }
 
 
@@ -6007,6 +6019,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'gamma', count(*),
                    CAST(count(*) AS DOUBLE) / (SELECT n FROM t)
             FROM events WHERE event_id % 5 = 0 AND value IS NOT NULL
+        """,
+        "t_collocations": f"""
+            WITH ref AS (
+                SELECT {_TOKENS_SQL} AS l FROM documents WHERE lang = 'en'
+            ), uni AS (
+                SELECT t AS token, count(*) AS cnt
+                FROM (SELECT unnest(l) AS t FROM ref) GROUP BY 1
+            ), bi AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt
+                FROM (SELECT unnest(list_zip(l[1:-2], l[2:-1])) AS p
+                      FROM ref)
+                GROUP BY 1, 2
+            ), tot AS (SELECT sum(cnt) AS n FROM uni)
+            SELECT bi.w1, bi.w2, bi.cnt AS n_ab,
+                   ua.cnt AS n_a, ub.cnt AS n_b,
+                   bi.cnt * (SELECT n FROM tot) AS lift_num,
+                   ua.cnt * ub.cnt AS lift_den,
+                   CAST(bi.cnt * (SELECT n FROM tot) AS DOUBLE)
+                       / (ua.cnt * ub.cnt) AS lift
+            FROM bi
+            JOIN uni ua ON bi.w1 = ua.token
+            JOIN uni ub ON bi.w2 = ub.token
+            WHERE bi.cnt >= 20
         """,
         "t_bm25_search": f"""
             WITH toks AS (

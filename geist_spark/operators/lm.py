@@ -181,3 +181,53 @@ def lm_score(
         F.when(n_known > 0, digit_sum / n_known).alias("avg_freq_digits"),
         F.min("cnt_u").alias("min_unigram_cnt"),
     )
+
+
+def collocation_lift(
+    documents: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining: bigrams ranked by lift —
+    n_ab * N / (n_a * n_b), the monotone core of PMI without the log
+    (log is rank-preserving, and ln() rounds differently across
+    engines — the repo's standing log-free discipline). High-lift
+    bigrams are multi-word units worth protecting as single tokens in
+    vocabulary curation (tokenizer merges, phrase-aware dedup).
+
+    Exact arithmetic: numerator and denominator are exact BIGINT
+    products (emitted as columns for downstream exact comparison);
+    `lift` is their single IEEE division. min_count prunes the noisy
+    tail BEFORE the join (at corpus scale most bigrams are hapax).
+
+    Plan: the train_ngram_lm aggregations (vocabulary grain), two
+    broadcast unigram joins onto the pruned bigram table, a 1-row
+    token-total broadcast. Nothing corpus-sized shuffles.
+    """
+    uni, bi = train_ngram_lm(documents, text_col=text_col)
+    n_total = uni.agg(F.sum("cnt").alias("__n"))
+    ua = F.broadcast(
+        uni.select(F.col("token").alias("w1"), F.col("cnt").alias("n_a"))
+    )
+    ub = F.broadcast(
+        uni.select(F.col("token").alias("w2"), F.col("cnt").alias("n_b"))
+    )
+    return (
+        bi.filter(F.col("cnt") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("cnt").alias("n_ab"),
+            "n_a",
+            "n_b",
+            (F.col("cnt") * F.col("__n")).alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).alias("lift_den"),
+            (
+                (F.col("cnt") * F.col("__n"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

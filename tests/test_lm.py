@@ -52,6 +52,29 @@ def test_score_features(spark):
     assert scored[3].n_tokens == 1
 
 
+def test_collocation_lift_ranks_fixed_phrases(spark):
+    from geist_spark.operators.lm import collocation_lift
+
+    # "new york" always co-occurs; "the cat"/"the dog" split "the"
+    docs = _docs(
+        spark,
+        "new york is big",
+        "new york is old",
+        "the cat is here",
+        "the dog is here",
+    )
+    out = {(r.w1, r.w2): r for r in collocation_lift(docs, min_count=2).collect()}
+    ny = out[("new", "york")]
+    # exact: n_ab=2, n_a=2, n_b=2, N=16 -> lift = 32/4 = 8.0
+    assert (ny.n_ab, ny.n_a, ny.n_b) == (2, 2, 2)
+    assert ny.lift_num == 32 and ny.lift_den == 4 and ny.lift == 8.0
+    # "is here" (2/4*2) has lower lift than the fixed phrase
+    assert out[("is", "here")].lift < ny.lift
+    # min_count prunes hapax bigrams like ("york", "is")? no — that
+    # occurs twice; ("is", "big") occurs once and must be absent
+    assert ("is", "big") not in out
+
+
 def test_shuffle_join_path_matches_broadcast(spark):
     ref = _docs(spark, "the cat sat on the mat", "the dog sat")
     docs = _docs(spark, "the cat", "dog sat on", "x y the")
