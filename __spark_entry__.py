@@ -3317,7 +3317,8 @@ def d_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_near_dup_pairs, Manku et al. WWW 2007): pigeonhole band
     equi-join candidates + bit_count(xor) confirm — exact-signature
     simhash grouping generalized to hamming <= 1 at 32 bits here
-    (web-scale runs 64-bit / 4-band / hamming 3; same plan)."""
+    (Manku's 64-bit config needs a 64-bit token hash first — the
+    operator validates bits <= 32; same plan shape either way)."""
     from geist_spark.operators.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
@@ -6418,8 +6419,8 @@ def _hybrid_oracle(
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id
                     ORDER BY score_nanos DESC, doc_id) AS rank
-                FROM bm_scored)
-            WHERE rank <= {k_list} AND doc_id <> query_id
+                FROM bm_scored WHERE doc_id <> query_id)
+            WHERE rank <= {k_list}
         ), e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), qe AS (SELECT * FROM e WHERE vec_id < {n_queries}),

@@ -197,7 +197,8 @@ def _typed_extract(res: JsonResolver, json_path: str, spec_type: str) -> Column:
         return F.coalesce(raw, F.lit(""))
     if t in ("int", "integer"):
         return F.coalesce(raw.cast(T.LongType()), F.lit(0))
-    if t == "float":
+    if t in ("float", "number"):
+        # "number" is the reference's generic numeric (gjson float64)
         return F.coalesce(raw.cast(T.DoubleType()), F.lit(0.0))
     if t in ("bool", "boolean"):
         return F.coalesce(raw.cast(T.BooleanType()), F.lit(False))

@@ -170,7 +170,7 @@ def typed_col(raw: Column, spec_type: str | None) -> Column:
     if t in ("int", "integer"):
         # Go json.Number -> int64; "3.7" would fail in Go, Spark yields null
         return raw.cast(T.LongType())
-    if t == "float":
+    if t in ("float", "number"):
         return raw.cast(T.DoubleType())
     if t in ("bool", "boolean"):
         return raw.cast(T.BooleanType())
@@ -195,4 +195,7 @@ def spark_type_for(spec_type: str | None) -> T.DataType:
         "unixtimestamp": T.TimestampType(),
         "useragent": T.StringType(),
         "urlnormalize": T.StringType(),
+        # reference spec.go treats "number" as the generic numeric
+        # type (gjson numbers are float64)
+        "number": T.DoubleType(),
     }[t]

@@ -280,7 +280,11 @@ def simhash_near_dup_pairs(
     within Hamming distance < `bands` must agree exactly on at least
     one band — then equi-join per band and confirm with
     bit_count(xor) <= max_hamming. Requires max_hamming < bands
-    (pigeonhole soundness; validated).
+    (pigeonhole soundness; validated) and bits <= 32: simhash token
+    hashes are 32-bit md5 prefixes, so higher fingerprint bits would
+    be constant zero — upper bands would agree for EVERY pair and the
+    band join would degenerate toward all-pairs (validated; widening
+    to Manku's 64-bit needs a 64-bit token hash first).
 
     Scale shape: fingerprints are one explode + one groupBy
     (simhash); the candidate join is a band-keyed EQUI-join over
@@ -297,6 +301,10 @@ def simhash_near_dup_pairs(
         )
     if bits % bands != 0:
         raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"bits must be in [1, 32] (token hashes are 32-bit), got {bits}"
+        )
     width = bits // bands
     fp = simhash(documents, bits=bits)
     banded = fp.select(
@@ -320,11 +328,13 @@ def simhash_near_dup_pairs(
         F.col("bv.val").alias("val"),
     )
     if max_band_freq is not None:
-        counts = banded.groupBy("band", "val").agg(
-            F.count(F.lit(1)).alias("__bf")
-        )
+        # window count rides the same hash partitioning as the pair
+        # join (the minhash max_bucket_size pattern) — no extra join,
+        # and the uncached fingerprint pipeline is not recomputed for
+        # a separate counts branch
+        wb = Window.partitionBy("band", "val")
         banded = (
-            banded.join(counts, ["band", "val"])
+            banded.withColumn("__bf", F.count(F.lit(1)).over(wb))
             .filter(F.col("__bf") <= max_band_freq)
             .drop("__bf")
         )

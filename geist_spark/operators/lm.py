@@ -187,6 +187,7 @@ def collocation_lift(
     documents: DataFrame,
     min_count: int = 5,
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Collocation (phrase) mining: bigrams ranked by lift —
     n_ab * N / (n_a * n_b), the monotone core of PMI without the log
@@ -201,17 +202,20 @@ def collocation_lift(
     tail BEFORE the join (at corpus scale most bigrams are hapax).
 
     Plan: the train_ngram_lm aggregations (vocabulary grain), two
-    broadcast unigram joins onto the pruned bigram table, a 1-row
-    token-total broadcast. Nothing corpus-sized shuffles.
+    unigram joins onto the pruned bigram table (broadcast while the
+    vocabulary fits — broadcast_vocab=False switches to shuffle-hash
+    joins at vocabulary grain for crawl-scale vocabularies), a 1-row
+    token-total broadcast. Nothing document-grain ever shuffles.
     """
     uni, bi = train_ngram_lm(documents, text_col=text_col)
     n_total = uni.agg(F.sum("cnt").alias("__n"))
-    ua = F.broadcast(
-        uni.select(F.col("token").alias("w1"), F.col("cnt").alias("n_a"))
-    )
-    ub = F.broadcast(
-        uni.select(F.col("token").alias("w2"), F.col("cnt").alias("n_b"))
-    )
+    ua = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("n_a"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("n_b"))
+    if broadcast_vocab:
+        # fine while the corpus vocabulary is broadcast-sized; over a
+        # full crawl corpus pass False — the joins shuffle-hash on
+        # token at vocabulary grain (same escape hatch as oov_rate)
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
     return (
         bi.filter(F.col("cnt") >= min_count)
         .join(ua, "w1")

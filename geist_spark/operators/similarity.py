@@ -1046,8 +1046,20 @@ def hybrid_search(
         .distinct()  # a repeated token among the first 3 must not
         # double-count its BM25 contribution
     )
-    bm = bm25_topk(documents, qterms, k_top=k_list).filter(
-        F.col("doc_id") != F.col("query_id")  # self-match parity with cosine
+    # rank parity with cosine_topk (which excludes self BEFORE
+    # ranking): overfetch one slot, drop the self-match, re-rank on
+    # the exact integer scores — otherwise the best lexical hit could
+    # never earn rank 1 for a corpus-held query and the fusion would
+    # systematically underweight the lexical list
+    bm_raw = bm25_topk(documents, qterms, k_top=k_list + 1).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("score_nanos").desc(), F.col("doc_id").asc()
+    )
+    bm = (
+        bm_raw.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= k_list)
     )
     cos = cosine_topk(embeddings, query_ids, k=k_list)
 

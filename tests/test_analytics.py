@@ -1260,6 +1260,10 @@ def test_simhash_near_dup_pigeonhole(spark):
         simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_near_dup_pairs(docs, bits=32, bands=5, max_hamming=2)
+    with pytest.raises(ValueError, match="32-bit"):
+        # token hashes are 32-bit md5 prefixes: wider fingerprints
+        # would have constant-zero upper bands (degenerate join)
+        simhash_near_dup_pairs(docs, bits=64, bands=4, max_hamming=3)
 
 
 def test_simhash_near_dup_band_cap(spark):

@@ -273,7 +273,8 @@ def test_hybrid_search_rrf_fusion(spark):
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows[0].doc_id == 1  # in both lists -> two RRF terms
     assert all(r.doc_id != 0 for r in rows)  # self excluded
-    # exact integer check: cosine rank 1 + BM25 rank 2 (the query doc
-    # occupies BM25 rank 1 before the self-filter — by design, so
-    # lexical ranks are stable whether or not the query is corpus-held)
-    assert rows[0].rrf_nanos == (10**9 // 61) + (10**9 // 62)
+    # exact integer check: rank 1 in BOTH lists — BM25 excludes the
+    # self-match BEFORE final ranks (rank parity with cosine), so the
+    # best real lexical hit earns rank 1 and neither list is
+    # systematically underweighted in the fusion
+    assert rows[0].rrf_nanos == 2 * (10**9 // 61)

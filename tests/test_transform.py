@@ -445,3 +445,25 @@ def test_url_normalize_field_type(spark):
     )
     got = [r.u for r in ct.apply(df).collect()]
     assert got == ["http://a.com/x?b=2", "", ""]
+
+
+def test_number_field_type_compiles(spark):
+    """Reference type 'number' (spec.go generic numeric) compiles to
+    double with float zero-value coercion."""
+    from geist_spark.compiler.transform import compile_transform
+    from geist_spark.spec.model import parse_spec
+
+    ct = compile_transform(parse_spec({
+        "namespace": "t", "streamIdSuffix": "numtype", "version": 1,
+        "description": "number type",
+        "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [
+            {"id": "v", "jsonPath": "v", "type": "number"},
+        ]}]},
+        "sink": {"type": "void"},
+    }).transform)
+    df = spark.createDataFrame(
+        [('{"v": 3.5}',), ('{"v": 2}',), ('{"other": 1}',)], "value string"
+    )
+    got = [r.v for r in ct.apply(df).collect()]
+    assert got == [3.5, 2.0, 0.0]
