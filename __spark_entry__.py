@@ -3227,6 +3227,22 @@ def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TS_PATTERN = [0.0, 1.0, 2.0, 1.0, 0.0]
+
+
+def q_ts_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (operators/relational.py
+    ts_pattern_topk): top-10 z-normalized sliding windows across all
+    users' value series closest to a spike pattern — every float step
+    a fixed sequential chain (the _dot precedent), two-stage top-k
+    (per-key prune, then metadata-sized global rank)."""
+    from geist_spark.operators.relational import ts_pattern_topk
+
+    return ts_pattern_topk(
+        _t(spark, sf_dir, "events"), pattern=_TS_PATTERN, k_top=10
+    )
+
+
 def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (operators/lm.py collocation_lift): bigrams
     ranked by exact-integer lift (the log-free monotone core of PMI)
@@ -3586,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_url_normalize": g_url_normalize,
         "q_json_key_census": q_json_key_census,
         "t_collocations": t_collocations,
+        "q_ts_pattern": q_ts_pattern,
     }
 
 
@@ -5998,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "s_hybrid_search": _hybrid_oracle(
             n_queries=10, k_list=10, k_top=5, k_rrf=60
         ),
+        "q_ts_pattern": _ts_pattern_oracle(_TS_PATTERN, k_top=10),
         "g_url_normalize": _url_oracle_cte(
             table="events", id_col="event_id", extra="event_type"
         )
@@ -6365,6 +6383,65 @@ def _bpe_fertility_oracle(num_merges: int) -> str:
         " CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility"
         " FROM ex JOIN enc USING (word) GROUP BY lang"
     )
+
+
+def _ts_pattern_oracle(pattern: list[float], k_top: int) -> str:
+    """Replays ts_pattern_topk: ordered per-user series, window
+    explode via list comprehension, the identical sequential float
+    chain (list_dot_product == the Spark ordered fold — the cosine
+    precedent), round(6), per-key prune then global rank."""
+    m = len(pattern)
+    pm = sum(pattern) / m
+    psd = (sum((x - pm) ** 2 for x in pattern) / m) ** 0.5
+    pz = ", ".join(repr((x - pm) / psd) for x in pattern)
+    ones = ", ".join(["1.0"] * m)
+    return f"""
+        WITH ordered AS (
+            SELECT user_id AS key,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id)
+                       AS vs
+            FROM events GROUP BY user_id
+        ), wins AS (
+            SELECT key, w.start AS start, w.w AS w
+            FROM (SELECT key,
+                         unnest([struct_pack(start := i,
+                                  w := list_slice(vs, i, i + {m} - 1))
+                                 for i in generate_series(1,
+                                     greatest(len(vs) - {m} + 1, 0))])
+                             AS w
+                  FROM ordered)
+        ), staged AS (
+            SELECT key, start, w,
+                   list_dot_product(w, [{ones}]) / {m} AS mean
+            FROM wins
+        ), cent AS (
+            SELECT key, start,
+                   [x - mean for x in w] AS c
+            FROM staged
+        ), sdd AS (
+            SELECT key, start, c,
+                   sqrt(list_dot_product(c, c) / {m}) AS sd
+            FROM cent
+        ), dist AS (
+            SELECT key, start,
+                   round(list_dot_product(d, d), 6) AS dist2
+            FROM (SELECT key, start,
+                         [p[1] / sd - p[2]
+                          for p in list_zip(c, [{pz}])] AS d
+                  FROM sdd WHERE sd > 0)
+        ), pruned AS (
+            SELECT key, start, dist2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY key ORDER BY dist2, start) AS kr
+                FROM dist)
+            WHERE kr <= {k_top}
+        )
+        SELECT rank, key, start, dist2 FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY dist2, key, start) AS rank
+            FROM pruned)
+        WHERE rank <= {k_top}
+    """
 
 
 def _hybrid_oracle(

@@ -1609,3 +1609,112 @@ def deletion_plan(
         )
         .withColumn("rewrite", F.col("n_delete") > 0)
     )
+
+
+def ts_pattern_topk(
+    events: DataFrame,
+    pattern: list[float],
+    k_top: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series similarity search: the k sliding windows (length =
+    len(pattern)) of each key's time-ordered value series closest to
+    the z-normalized query pattern (UCR-suite-style subsequence
+    matching, the EDBT'19 distributed-streams shape).
+
+    Determinism discipline: every float step is a FIXED sequential
+    chain per window — ordered folds for sums (the cosine/_dot
+    precedent: DuckDB's list arithmetic is sequential too), explicit
+    centered-sum-of-squares variance (never the algebraically-equal
+    but bit-different E[x^2]-mean^2), one sqrt, squared z-distance,
+    round(6) before ranking with (key, window_start) tie-breaks.
+
+    Plan: ONE groupBy(key) builds the ordered series array (per-key
+    series must be bounded — a day/session of events; for unbounded
+    streams compose with session/window slicing first), then windows
+    explode map-side and a single top-k window ranks matches. Flat
+    (zero-variance) windows cannot be z-normed and are skipped.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs >= 2 points")
+    pm = sum(pattern) / m
+    pvar = sum((x - pm) ** 2 for x in pattern) / m
+    if pvar == 0:
+        raise ValueError("pattern is flat (zero variance)")
+    psd = pvar**0.5
+    pz = [(x - pm) / psd for x in pattern]
+
+    def _fold_sum(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+
+    series = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("eid"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "key",
+            F.transform(F.col("ss"), lambda s: s["v"]).alias("vs"),
+        )
+    )
+    n = F.size(F.col("vs"))
+    wins = series.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - m + 1, F.lit(0))),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.slice(F.col("vs"), i, m).alias("w"),
+                ),
+            )
+        ).alias("win"),
+    ).select("key", F.col("win.start").alias("start"), F.col("win.w").alias("w"))
+
+    mean = _fold_sum(F.col("w")) / m
+    centered = F.transform(F.col("w"), lambda x: x.cast("double") - F.col("__mean"))
+    staged = wins.withColumn("__mean", mean).withColumn("c", centered)
+    s2 = _fold_sum(F.transform(F.col("c"), lambda x: x * x))
+    staged = staged.withColumn("__sd", F.sqrt(s2 / m)).filter(
+        F.col("__sd") > 0
+    )
+    pz_arr = F.array(*[F.lit(v) for v in pz])
+    diff = F.zip_with(
+        F.col("c"), pz_arr, lambda c, p: c / F.col("__sd") - p
+    )
+    dist2 = _fold_sum(F.transform(diff, lambda d: d * d))
+    scored = staged.select(
+        "key", "start", F.round(dist2, 6).alias("dist2")
+    )
+    # two-stage top-k: a global ORDER BY window is a one-task sort
+    # over every window (banned here as everywhere in this repo) —
+    # prune to k_top per key on the partitioned window first, then
+    # rank the k_top * |keys| survivors (metadata-sized)
+    w_key = Window.partitionBy("key").orderBy(
+        F.col("dist2").asc(), F.col("start").asc()
+    )
+    pruned = (
+        scored.withColumn("__kr", F.row_number().over(w_key))
+        .filter(F.col("__kr") <= k_top)
+        .drop("__kr")
+    )
+    w_rank = Window.orderBy(
+        F.col("dist2").asc(), F.col("key").asc(), F.col("start").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k_top)
+        .select("rank", "key", "start", "dist2")
+    )

@@ -1279,3 +1279,36 @@ def test_simhash_near_dup_band_cap(spark):
         docs, bits=32, bands=4, max_hamming=3, max_band_freq=1
     ).count()
     assert n == 0
+
+
+def test_ts_pattern_finds_planted_match(spark):
+    """ts_pattern_topk: a planted scaled+shifted copy of the pattern
+    matches exactly (z-normalization is shift/scale invariant); flat
+    windows are skipped; validation rejects degenerate patterns."""
+    import datetime as dt
+    import pytest
+    from geist_spark.operators.relational import ts_pattern_topk
+
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = [0.0, 1.0, 2.0, 1.0, 0.0]
+    # user 1: noise, then 10 + 5*pattern at positions 4..8, then noise
+    vals1 = [3.0, 7.0, 1.0, 10.0, 15.0, 20.0, 15.0, 10.0, 2.0, 8.0]
+    # user 2: constant series -> every window flat -> no rows
+    vals2 = [5.0] * 10
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), i + u * 100, v)
+        for u, vals in ((1, vals1), (2, vals2))
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = ts_pattern_topk(ev, pattern, k_top=3).collect()
+    best = sorted(out, key=lambda r: r.rank)[0]
+    assert (best.key, best.start, best.dist2) == (1, 4, 0.0)
+    assert all(r.key != 2 for r in out)  # flat windows skipped
+
+    with pytest.raises(ValueError, match="flat"):
+        ts_pattern_topk(ev, [1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match=">= 2"):
+        ts_pattern_topk(ev, [1.0])
