@@ -3631,7 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "for i in generate_series(1, greatest(len(toks) - 2, 1))])"
     )
 
-    return {
+    sqls = {
         "g_extract_typed": f"""
             SELECT event_id AS eid, event_type AS etype,
                    value AS amount, {k_sql} AS k
@@ -3727,8 +3727,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": """
             WITH marked AS (
                 SELECT user_id, event_id, ts, value,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4063,8 +4063,8 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_join": """
             WITH marked AS (
                 SELECT user_id, event_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4202,8 +4202,8 @@ def oracle_sql() -> dict[str, str]:
         "q_session_sequences": """
             WITH marked AS (
                 SELECT user_id, event_id, event_type, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4598,8 +4598,8 @@ def oracle_sql() -> dict[str, str]:
         "a_spec_session_window": """
             WITH marked AS (
                 SELECT user_id AS uid, ts, value,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -5583,8 +5583,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cooccurrence": """
             WITH marked AS (
                 SELECT user_id, event_id, ts, event_type,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -6178,6 +6178,60 @@ def oracle_sql() -> dict[str, str]:
             FROM sq GROUP BY source
         """,
     }
+    return {
+        name: _force_bigint(sql, _HUGEINT_COLS[name])
+        if name in _HUGEINT_COLS else sql
+        for name, sql in sqls.items()
+    }
+
+
+# DuckDB returns HUGEINT for any un-cast integer sum()/product() (plain or
+# windowed).  The driver's correctness gate converts oracle results through
+# pandas, which renders HUGEINT as float64 — so Spark's BIGINT `450` hashes
+# against the oracle's `450.0` and fails even though the values are equal
+# (round-2 verdict: exactly the 5 recorded-slot failures, 31 oracles total).
+# _force_bigint pins every such column back to BIGINT at the outermost
+# projection with DuckDB's `SELECT * REPLACE (...)`, preserving column names
+# and order.  tests/test_entry_contract.py asserts no oracle output column is
+# HUGEINT so new queries cannot reintroduce the landmine.
+_HUGEINT_COLS: dict[str, list[str]] = {
+    "q_sessionize": ["session_seq"],
+    "q_session_sequences": ["session_seq"],
+    "q_hist_quantiles": ["n_values"],
+    "q_join_size_estimate": ["join_size_est"],
+    "q_funnel": ["n_step0", "n_step1", "n_step2"],
+    "q_late_priority": ["high_line_count", "low_line_count"],
+    "d_dup_rate_by_source": ["n_dup_docs"],
+    "d_substring_spans": ["total_shared"],
+    "t_token_stats": ["total_tokens", "total_subwords"],
+    "t_bloom_decontaminate": ["n_contaminated_shingles"],
+    "t_bpe_merges": ["pair_freq"],
+    "t_bpe_encode": ["n_subwords"],
+    "t_bpe_fertility": ["n_subwords"],
+    "t_collocations": ["lift_num"],
+    "t_bm25_search": ["score_nanos"],
+    "w_host_stats": ["total_chars"],
+    "p_rag_pipeline": ["total_tokens"],
+    "p_corpus_pipeline": ["total_tokens"],
+    "p_training_prep": ["total_tokens"],
+    "p_pack_sequences": ["total_tokens"],
+    "p_shard_manifest": ["total_bytes"],
+    "p_kfold": ["total_tokens"],
+    "p_reconcile_files": ["total_bytes"],
+    "p_datasheet_diff": ["tokens_delta"],
+    "p_importance_sample": ["kept_chars"],
+    "p_training_export": ["n_docs", "total_tokens"],
+    "p_corpus_datasheet": ["n_tokens", "n_chars"],
+    "p_spec_pipeline": ["total_tokens"],
+    "p_compact_plan": ["total_bytes"],
+    "p_mixture_plan": ["available_tokens", "planned_tokens"],
+    "p_web_pipeline": ["total_chars"],
+}
+
+
+def _force_bigint(sql: str, cols: list[str]) -> str:
+    replace = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({replace}) FROM (\n{sql}\n) __bigint_fix"
 
 
 def _url_oracle_cte(
@@ -6237,7 +6291,7 @@ def _url_oracle_cte(
                     string_split(rawq, '&'),
                     x -> x <> ''
                          AND NOT regexp_extract(x, '^([^=]*)', 1)
-                             IN ('fbclid','gclid','msclkid','ref')
+                             IN ('fbclid','gclid','msclkid')
                          AND NOT starts_with(
                              regexp_extract(x, '^([^=]*)', 1), 'utm_'))),
                     'string_agg', '&'), '') AS qq

@@ -156,6 +156,11 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         raise SpecError(
             "lmQualityFilter: referenceLang must be a non-empty string"
         )
+    lang_col = params.get("langColumn", "lang")
+    if not isinstance(lang_col, str) or not lang_col:
+        raise SpecError(
+            "lmQualityFilter: langColumn must be a non-empty string"
+        )
 
     def run(df: DataFrame) -> DataFrame:
         # reference LM trains on THIS stage's input (post earlier
@@ -165,8 +170,15 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         # localCheckpoint computes the upstream once instead of thrice.
         from geist_spark.operators.lm import oov_rate, train_ngram_lm
 
+        # a missing language column is a SPEC error, not a mid-job
+        # AnalysisException three steps deep into a lazy plan
+        if lang_col not in df.columns:
+            raise SpecError(
+                f"lmQualityFilter: langColumn {lang_col!r} not in input "
+                f"columns {df.columns}"
+            )
         df = df.localCheckpoint(eager=False)
-        ref = df.filter(F.col("lang") == ref_lang)
+        ref = df.filter(F.col(lang_col) == ref_lang)
         uni, _ = train_ngram_lm(ref)
         # uni feeds both the scoring join and the emptiness guard —
         # vocab-sized, so one lazy checkpoint avoids tokenizing and

@@ -155,13 +155,18 @@ def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     `session_seq` (1-based per user). Classic lag+cumsum — one shuffle
     on user_id; at scale the windows stay partition-local."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast via TIMESTAMP so TIMESTAMP_NTZ inputs (e.g. createDataFrame from
-    # naive datetimes) work too -- NTZ has no direct cast to BIGINT
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # exact integer MICROSECOND gaps: cast("long") truncates to whole
+    # seconds while the DuckDB oracle's epoch() is fractional DOUBLE, so a
+    # pair 1800.3 s apart would flip the boundary between the two engines
+    # (cast via TIMESTAMP first so TIMESTAMP_NTZ inputs work too)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     return events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     ).withColumn("session_seq", F.sum("new_session").over(w))
 
 

@@ -548,9 +548,22 @@ def bm25_topk(
     The ratio is materialized as floor(1e9 * num/den) nanos (one
     correctly-rounded IEEE division + exact floor, the same dodge
     CUSUM uses for round()-divergence), summed EXACTLY as BIGINTs per
-    (query, doc), with one final division for display. BIGINT products
-    hold to ~10^5 docs per stats partition; at corpus scale compute
-    num/den in DECIMAL(38,0) — same plan shape.
+    (query, doc), with one final division for display.
+
+    Exactness bound, honestly: num and den are cast to double before
+    the division, so the nanos value equals the true rational only
+    while BOTH stay under 2^53 — num ~ 44*N*tf*totlen blows that at
+    e.g. N=1e5 docs, totlen=1e7 tokens, tf > ~2 (NOT at "~10^5 docs"
+    unconditionally).  Past the bound the score is still fully
+    DETERMINISTIC and cross-engine reproducible — Spark and the DuckDB
+    oracle perform the identical IEEE-754 double division and floor —
+    it just may differ from the infinitely-precise ratio by an ULP's
+    worth of floor flip, which can reorder two docs whose true scores
+    are within ~1e-16 relative of each other.  If bit-exactness to the
+    rational matters at corpus scale, compute num/den in
+    DECIMAL(38,0); that requires pinning BOTH engines' decimal
+    division scale rules (they differ), so it is deliberately not the
+    default here.
 
     Plan: query terms are a driver literal (broadcast); the tf table
     joins on term so only matching postings shuffle; corpus stats are

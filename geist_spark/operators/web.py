@@ -28,9 +28,14 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 # on the last one
 _QUERY_RE = r"^[^#?]*\?([^#]*)"
 
-# tracking params dropped by normalization (prefix match for utm_*)
+# tracking params dropped by normalization (prefix match for utm_*).
+# 'ref' is deliberately NOT in the default list: it is a common
+# FUNCTIONAL parameter (branch selectors on code hosts, referrer-keyed
+# landing pages) and dropping it conflates genuinely distinct pages —
+# callers who know their corpus uses it for tracking pass it in
+# explicitly via tracking_exact.
 TRACKING_PREFIXES = ("utm_",)
-TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref")
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid")
 
 
 # host inside an authority: bracketed IPv6 literal or everything up to
@@ -45,11 +50,16 @@ def url_host(url: F.Column) -> F.Column:
     return F.lower(F.regexp_extract(auth, _HOST_RE, 1))
 
 
-def normalize_url(url: F.Column) -> F.Column:
+def normalize_url(
+    url: F.Column,
+    tracking_exact: tuple[str, ...] = TRACKING_EXACT,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+) -> F.Column:
     """Canonical URL: lower-cased scheme+host, default port stripped
     (http:80 / https:443), fragment dropped, tracking query params
-    (utm_*, fbclid, gclid, msclkid, ref) removed and the remainder
-    sorted, trailing path slashes collapsed ('' -> '/').
+    (default utm_*, fbclid, gclid, msclkid — both sets overridable)
+    removed and the remainder sorted, trailing path slashes collapsed
+    ('' -> '/').
 
     One pure-codegen projection — the whole normalizer inlines into
     the scan stage; nothing here costs a shuffle or a UDF.
@@ -73,8 +83,10 @@ def normalize_url(url: F.Column) -> F.Column:
     rawq = F.regexp_extract(url, _QUERY_RE, 1)
     def _keep(p: F.Column) -> F.Column:
         name = F.regexp_extract(p, r"^([^=]*)", 1)
-        cond = (p != "") & ~name.isin(*TRACKING_EXACT)
-        for pref in TRACKING_PREFIXES:
+        cond = p != ""
+        if tracking_exact:
+            cond = cond & ~name.isin(*tracking_exact)
+        for pref in tracking_prefixes:
             cond = cond & ~name.startswith(pref)
         return cond
 
@@ -121,6 +133,8 @@ def url_dedup(
     documents: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    tracking_exact: tuple[str, ...] = TRACKING_EXACT,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
 ) -> DataFrame:
     """URL-level dedup: one survivor per normalized URL (lowest id —
     deterministic; swap the ordering for recency when a fetch
@@ -137,7 +151,7 @@ def url_dedup(
     all on a single task — the hot-key hazard — for row numbers the
     filter would ignore anyway.
     """
-    norm = normalize_url(F.col(url_col))
+    norm = normalize_url(F.col(url_col), tracking_exact, tracking_prefixes)
     base = documents.select(F.col(id_col), norm.alias("url_norm"))
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
     parsed = (

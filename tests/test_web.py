@@ -32,7 +32,9 @@ def test_normalize_rules(spark):
         "http://www.example.com/a/b?id=7",
         "https://host.com/a",
         "https://host.com:8080/a?a=1&b=2",
-        "http://host.com/p",
+        # 'ref' is functional by default (branch selectors etc.) — kept;
+        # pass tracking_exact=(...,'ref') to drop it
+        "http://host.com/p?ref=x",
         "https://h.com/",
         "http://h.com:81/x?y=2&z=1",
         "http://h.com/p?a=1?b=2",
@@ -168,7 +170,7 @@ def test_normalize_randomized_duckdb_parity(spark):
             string_split(rawq, '&'),
             x -> x <> ''
                  AND NOT regexp_extract(x, '^([^=]*)', 1)
-                     IN ('fbclid','gclid','msclkid','ref')
+                     IN ('fbclid','gclid','msclkid')
                  AND NOT starts_with(
                      regexp_extract(x, '^([^=]*)', 1), 'utm_'))),
             'string_agg', '&'), '') AS qq
@@ -225,6 +227,50 @@ def test_pipeline_url_dedup_and_lm_filter(spark):
         )
     with pytest.raises(SpecError, match="urlColumn"):
         compile_pipeline({"steps": [{"op": "urlDedup", "urlColumn": ""}]})
+    with pytest.raises(SpecError, match="langColumn"):
+        compile_pipeline(
+            {"steps": [{"op": "lmQualityFilter", "langColumn": ""}]}
+        )
+
+    # a custom langColumn works; a MISSING one is a SpecError at run()
+    # (a directed message, not a mid-plan AnalysisException)
+    renamed = docs.withColumnRenamed("lang", "language")
+    pipe_lc = compile_pipeline(
+        {
+            "steps": [
+                {
+                    "op": "lmQualityFilter",
+                    "maxOovRate": 0.5,
+                    "langColumn": "language",
+                }
+            ]
+        }
+    )
+    assert sorted(r.doc_id for r in pipe_lc(renamed).collect()) == [1, 2, 4]
+    pipe_missing = compile_pipeline(
+        {"steps": [{"op": "lmQualityFilter", "langColumn": "nope"}]}
+    )
+    with pytest.raises(SpecError, match="nope"):
+        pipe_missing(docs)
+
+
+def test_normalize_url_tracking_overrides(spark):
+    df = spark.createDataFrame(
+        [("http://h.com/p?ref=x&sid=1&a=2",)], "url string"
+    )
+    # default: ref and sid are functional, kept
+    assert (
+        df.select(normalize_url(F.col("url")).alias("n")).collect()[0].n
+        == "http://h.com/p?a=2&ref=x&sid=1"
+    )
+    # caller opts specific params into the tracking set
+    got = df.select(
+        normalize_url(
+            F.col("url"), tracking_exact=("fbclid", "ref"),
+            tracking_prefixes=("utm_", "sid"),
+        ).alias("n")
+    ).collect()[0].n
+    assert got == "http://h.com/p?a=2"
 
 
 def test_pipeline_guards_against_corpus_wipe(spark):
