@@ -23,6 +23,7 @@ count filter when needed (cap column emitted for observability).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -424,32 +425,55 @@ def dedup_clusters(
     pairs: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 20,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id),
     cluster_id = min doc_id reachable. This turns pairwise near-dup
     output (minhash_lsh_pairs / ngram_jaccard_pairs) into dedup groups
     so a pipeline can keep one canonical doc per cluster.
 
-    Algorithm: iterative min-label propagation (the standard Spark
-    formulation, same as GraphFrames' default CC): each round every
-    vertex takes min(own label, neighbors' labels); converges in
-    O(graph diameter) rounds — near-dup clusters are shallow (dups of
-    dups of one canonical doc), so typically 2-4 rounds.
+    Two paths, gated on a BOUNDED edge probe (limit(cap+1).count() —
+    never a full count of a 100 TB pair set), the same scale gate
+    keep_canonical uses for its broadcast:
 
-    Scale notes: labels are hash-partitioned on doc_id each round and
-    localCheckpoint()ed to truncate lineage (without it, round N
-    replays rounds 1..N-1 — quadratic). The per-round convergence
-    check rides the same aggregation as the join. Each round is 2
-    shuffles (join + groupBy) over |edges|, not |docs|^2.
+    - |edges| <= max_driver_edges: driver-side union-find (path
+      compression, min-id roots). Near-dup pair sets are edge-sparse
+      (LSH/banding emits only candidate pairs), so this is the common
+      case far up the scale curve; it replaces ~2 Spark jobs per
+      propagation round with exactly one collect. The fixed point is
+      IDENTICAL to the distributed path: cluster_id = min reachable
+      doc_id.
+    - above the cap: iterative min-label propagation (the standard
+      Spark formulation, same as GraphFrames' default CC): each round
+      every vertex takes min(own label, neighbors' labels); converges
+      in O(graph diameter) rounds — near-dup clusters are shallow
+      (dups of dups of one canonical doc), so typically 2-4 rounds.
+
+    Scale notes (distributed path): labels are hash-partitioned on
+    doc_id each round and localCheckpoint()ed to truncate lineage
+    (without it, round N replays rounds 1..N-1 — quadratic). The
+    per-round convergence check rides the same aggregation as the
+    join. Each round is 2 shuffles (join + groupBy) over |edges|,
+    not |docs|^2.
 
     No reference equivalent (geist has no joins at all,
     README.md:21); built for the driver's dedup-pipeline mandate.
     """
-    edges = pairs.select(
+    # probe and fetch in ONE action: limit(cap+1).collect() returns the
+    # COMPLETE edge set iff it is under the cap (and cap+1 rows — all
+    # discarded — iff not, without scanning the rest of a 100 TB pair
+    # set).  Deliberately no checkpoint here: checkpointing this plan
+    # when the caller's pair frame already contains its own lazy
+    # checkpoint barrier (semantic_dedup) trips a Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND during RDD materialization.
+    one_way = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    probe = one_way.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        return _union_find_clusters(one_way.sparkSession, probe, one_way.schema, vertices)
+    edges = one_way.union(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     if vertices is None:
         verts = edges.select(F.col("src").alias("doc_id")).distinct()
@@ -480,6 +504,52 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def _union_find_clusters(
+    spark, rows, edge_schema, vertices: DataFrame | None
+) -> DataFrame:
+    """Driver-side connected components for the bounded-edge case:
+    classic union-find with path compression, roots kept at the MIN
+    doc_id so the result is bit-identical to the distributed
+    min-label fixed point. Vertices outside the edge set (when a
+    `vertices` frame is supplied) stay identity-labeled WITHOUT being
+    collected — they join back lazily, so a huge mostly-unpaired
+    corpus never reaches the driver."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    touched = sorted({x for r in rows for x in (r["src"], r["dst"])})
+    id_type = edge_schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    labels = spark.createDataFrame(
+        [(x, find(x)) for x in touched], schema
+    )
+    if vertices is None:
+        return labels
+    verts = vertices.select("doc_id").distinct()
+    rest = verts.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labels.unionByName(rest)
 
 
 def distinct_event_keys(events: DataFrame) -> DataFrame:

@@ -374,6 +374,12 @@ def train_ivf_centroids(
     # re-fixes the whole corpus from parquet. The cached form is
     # (vec_id, dim longs): small relative to the raw table, and
     # exactly what a cluster job would persist before k-means.
+    # The persist is UNDONE before returning (see below): a fragment
+    # left in the CacheManager gets substituted into downstream
+    # self-joins that share this lineage (semantic_dedup's cellmates)
+    # and miscompiles to INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    # ("Could not find fx#N") whenever any earlier plan ran in the
+    # session.
     fxd = fxd.persist()
     init = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if len(init) < k:
@@ -426,7 +432,15 @@ def train_ivf_centroids(
             else cents[ci]  # empty cell: keep previous centroid
             for ci in range(k)
         ]
-    return cents, assigned.select("vec_id", "cell", "sq_dist")
+    # materialize the final assignment OFF the cached lineage, then drop
+    # the cache entry: callers get a checkpoint with fixed output
+    # attributes (safe under any downstream self-join), and the fragment
+    # can't be cache-substituted into later plans
+    out = assigned.select("vec_id", "cell", "sq_dist").localCheckpoint(
+        eager=True
+    )
+    fxd.unpersist()
+    return cents, out
 
 
 def semantic_dedup(
@@ -478,10 +492,15 @@ def semantic_dedup(
     # the localCheckpoint is a required optimizer barrier, not a cache
     # nicety: Catalyst pushes the cosine projection back down through a
     # bare repartition into the single coalesced post-join partition,
-    # re-serializing the stage (measured 8.7s -> 0.3s at sf0.1)
+    # re-serializing the stage (measured 8.7s -> 0.3s at sf0.1).
+    # EAGER because downstream (dedup_clusters' bounded edge probe)
+    # opens with a limit() action, and partially materializing a LAZY
+    # local checkpoint then finishing it later miscompiles
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at sf0.1); every partition
+    # is needed regardless.
     cand = cand.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     ea, eb = F.col("ea"), F.col("eb")
     cos = F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 6)
     pairs = cand.select(
@@ -561,13 +580,22 @@ def pq_train_encode(
     fxd = fan_out(embeddings).select(
         "vec_id", _fx(F.col(value_col)).alias("fx")
     )
-    first = fxd.select(F.size("fx").alias("d")).first()
-    if first is None:
-        raise ValueError("empty embeddings input")
-    dim = first["d"]
+    # ONE bounded collect serves both the dim probe and the
+    # deterministic init (subvectors of the k lowest vec_ids), instead
+    # of a separate first() job
+    init_rows = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
+    dim = len(init_rows[0]["fx"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # books[j][c] = centroid c of subspace j (driver-side slicing of the
+    # same rows the executor-side posexplode would produce)
+    books = [
+        [list(r["fx"][j * dsub : (j + 1) * dsub]) for r in init_rows]
+        for j in range(m)
+    ]
 
     # (vec_id, sub_id, sfx): one row per subspace — the training grain
     sub = fxd.select(
@@ -581,18 +609,6 @@ def pq_train_encode(
             )
         ).alias("sub_id", "sfx"),
     ).persist()
-
-    init = (
-        sub.filter(F.col("vec_id") < k)
-        .orderBy("sub_id", "vec_id")
-        .collect()
-    )
-    if len(init) < m * k:
-        raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
-    # books[j][c] = centroid c of subspace j
-    books = [
-        [list(r["sfx"]) for r in init if r["sub_id"] == j] for j in range(m)
-    ]
 
     assigned = None
     for it in range(iters):
@@ -665,6 +681,11 @@ def pq_train_encode(
             ).alias("codes")
         )
     )
+    # same cache hygiene as train_ivf_centroids: materialize the result
+    # off the cached lineage, then drop the cache entry so the fragment
+    # can't be substituted into a later plan in the session
+    codes = codes.localCheckpoint(eager=True)
+    sub.unpersist()
     return books, codes
 
 

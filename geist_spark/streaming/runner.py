@@ -116,6 +116,16 @@ def kafka_reader_options(spec: Spec, env: str = "") -> dict[str, str]:
     cc = spec.source.custom_config or {}
     opts: dict[str, str] = {"subscribe": ",".join(_topics_for_env(cc, env))}
     for p in spec.source.properties:
+        if p.key == "auto.offset.reset":
+            # Spark's kafka source REJECTS kafka.auto.offset.reset with an
+            # IllegalArgumentException (offsets are checkpoint-managed);
+            # the reference spec carries it as a plain consumer prop
+            # (test/specs/kafkasrc-bigquerysink-fooevents.json:30-33), so
+            # translate to the equivalent startingOffsets — same
+            # first-run semantics, checkpoint wins thereafter, exactly
+            # like a committed consumer group ignores auto.offset.reset.
+            opts["startingOffsets"] = p.value
+            continue
         opts[f"kafka.{p.key}"] = p.value
     if spec.ops.micro_batch and spec.ops.micro_batch_size:
         opts["maxOffsetsPerTrigger"] = str(spec.ops.micro_batch_size)

@@ -416,6 +416,33 @@ def test_dedup_clusters_chain_beyond_one_hop(spark):
     assert got == {i: 10 for i in range(10, 17)}
 
 
+def test_dedup_clusters_paths_agree(spark):
+    """The driver union-find fast path (edges under the cap) and the
+    distributed min-label propagation (forced with max_driver_edges=0)
+    must land on the SAME fixed point — cluster_id = min reachable —
+    including identity labels for untouched vertices."""
+    from geist_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 11), (40, 41), (41, 40), (5, 5)],
+        "doc_a long, doc_b long",
+    )
+    verts = spark.createDataFrame(
+        [(3,), (5,), (7,), (11,), (40,), (41,), (100,)], "doc_id long"
+    )
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, vertices=verts).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            pairs, vertices=verts, max_driver_edges=0
+        ).collect()
+    }
+    assert fast == dist == {3: 3, 7: 3, 11: 3, 40: 40, 41: 40, 5: 5, 100: 100}
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     from geist_spark.operators.split import deterministic_sample, hash_split
 

@@ -9,6 +9,8 @@ test/specs/kafkasrc-bigquerysink-fooevents.json:9-41 and
 test/specs/pubsubsrc-kafkasink-foologs.json:37-61.
 """
 
+import os
+
 import pytest
 
 from geist_spark.sinks.base import SinkError
@@ -59,7 +61,10 @@ def test_kafka_reader_options_full_contract():
     assert opts["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
     # consumer props pass through under the kafka. prefix
     assert opts["kafka.group.id"] == "geist-foo"
-    assert opts["kafka.auto.offset.reset"] == "earliest"
+    # EXCEPT auto.offset.reset, which Spark's kafka source rejects
+    # outright — it becomes the equivalent startingOffsets
+    assert "kafka.auto.offset.reset" not in opts
+    assert opts["startingOffsets"] == "earliest"
     # ops.microBatchSize -> per-trigger record cap
     assert opts["maxOffsetsPerTrigger"] == "2500"
 
@@ -147,3 +152,79 @@ def test_topic_for_env_resolution():
     assert topic_for_env(cc, "prod") == "t-prod"
     assert topic_for_env(cc, "dev") == "t-dev"
     assert topic_for_env({}, "prod") == ""
+
+
+_BOOTSTRAP = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP", "")
+
+
+@pytest.mark.skipif(
+    not _BOOTSTRAP,
+    reason="live Kafka e2e: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port "
+    "(broker with auto.create.topics) and put the spark-sql-kafka "
+    "connector on the classpath (spark.jars.packages="
+    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)",
+)
+def test_kafka_live_end_to_end(spark, tmp_path):
+    """The ONE reference path compile-level tests can't reach: a real
+    broker. Publishes JSON events with Spark's batch kafka sink, then
+    runs the reference-shaped kafka-source spec through the full
+    engine (source -> transform -> keyed-table sink) and reads the
+    sink back. Gated on SPARK_GRAFT_KAFKA_BOOTSTRAP because the CI
+    sandbox has no broker; run it wherever one exists."""
+    import json
+    import uuid
+
+    from geist_spark.engine.api import Engine
+    from geist_spark.sinks.keyed_table import new_temp_path
+
+    topic = f"geist-e2e-{uuid.uuid4().hex[:12]}"
+    events = [{"eventId": f"e{i}", "n": i} for i in range(5)]
+    spark.createDataFrame(
+        [(json.dumps(e),) for e in events], "value string"
+    ).write.format("kafka").option(
+        "kafka.bootstrap.servers", _BOOTSTRAP
+    ).option("topic", topic).save()
+
+    table_path = new_temp_path()
+    eng = Engine(spark)
+    sid = eng.register_stream({
+        "namespace": "ktest",
+        "streamIdSuffix": "live",
+        "version": 1,
+        "description": "live kafka e2e",
+        "source": {
+            "type": "kafka",
+            "config": {
+                "customConfig": {
+                    "topics": [{"env": "all", "names": [topic]}],
+                    "bootstrapServers": _BOOTSTRAP,
+                },
+                # reference spec shape: earliest via consumer prop
+                # (translated to startingOffsets by the reader)
+                "properties": [
+                    {"key": "auto.offset.reset", "value": "earliest"},
+                ],
+            },
+        },
+        "transform": {
+            "extractFields": [{"fields": [
+                {"id": "eid", "jsonPath": "eventId"},
+                {"id": "n", "jsonPath": "n", "type": "integer"},
+            ]}]
+        },
+        "sink": {
+            "type": "keyedTable",
+            "config": {"customConfig": {
+                "path": table_path, "rowKeyFields": ["eid"],
+            }},
+        },
+    })
+    ss = eng.start_streaming(sid)
+    try:
+        ss.query.processAllAvailable()
+    finally:
+        eng.shutdown()
+    rows = sorted(
+        (r["eid"], r["n"]) for r in ss.loader.extract_all().collect()
+    )
+    assert rows == [(f"e{i}", i) for i in range(5)]
