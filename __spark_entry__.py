@@ -994,6 +994,21 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_cross_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: train-vs-eval embedding near-dup
+    (similarity.cross_corpus_leakage). Eval slice = vec_id < 100
+    (benchmark-sized, broadcast); train = the rest, scanned map-only."""
+    from geist_spark.operators.similarity import cross_corpus_leakage
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cross_corpus_leakage(
+        emb.filter(F.col("vec_id") >= 100),
+        emb.filter(F.col("vec_id") < 100),
+        threshold=0.3,
+        num_planes=4,
+    )
+
+
 def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.similarity import lsh_bucketed_topk
 
@@ -3603,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_key_census": q_json_key_census,
         "t_collocations": t_collocations,
         "q_ts_pattern": q_ts_pattern,
+        "s_cross_leakage": s_cross_leakage,
     }
 
 
@@ -6177,6 +6193,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars) AS total_chars
             FROM sq GROUP BY source
         """,
+        "s_cross_leakage": _cross_leakage_oracle(
+            threshold=0.3, num_planes=4, dim=64, eval_max=100
+        ),
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])
@@ -7785,6 +7804,40 @@ def _hard_negatives_oracle(
                   PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id) AS rn FROM kept)
         WHERE rn <= {k}
+    """
+
+
+def _cross_leakage_oracle(
+    threshold: float, num_planes: int, dim: int, eval_max: int
+) -> str:
+    """DuckDB replay of similarity.cross_corpus_leakage: same
+    hyperplane signatures on both slices, bucket equi-join, exact
+    cosine confirm."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        )
+        SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+               round(list_dot_product(tr.v, ev.v)
+                     / (sqrt(list_dot_product(tr.v, tr.v))
+                        * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine
+        FROM bucketed tr JOIN bucketed ev
+          ON tr.bucket = ev.bucket
+        WHERE tr.vec_id >= {eval_max} AND ev.vec_id < {eval_max}
+          AND round(list_dot_product(tr.v, ev.v)
+              / (sqrt(list_dot_product(tr.v, tr.v))
+                 * sqrt(list_dot_product(ev.v, ev.v))), 6) >= {threshold}
     """
 
 

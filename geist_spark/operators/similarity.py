@@ -214,6 +214,70 @@ def embedding_near_dup_pairs(
     )
 
 
+def cross_corpus_leakage(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic decontamination: training docs whose EMBEDDING is a
+    near-duplicate of an evaluation/benchmark doc — the
+    cross-corpus counterpart of embedding_near_dup_pairs, catching
+    paraphrased benchmark leakage that exact/13-gram decontamination
+    (prep.decontaminate, bloom_decontaminate) misses by construction.
+
+    Both sides are bucketed with the SAME hyperplane signatures, so a
+    contaminated pair collides with probability 1 - (theta/pi)^planes
+    per band, exactly like the self-join variant; exact cosine
+    confirms within buckets.
+
+    Plan for 100 TB: the EVAL side is benchmark-sized (10^3-10^6
+    rows), so it is explicitly broadcast — the train corpus is scanned
+    ONCE, map-side, with NO shuffle of training vectors at all
+    (bucket + dot products run inside the scan stage). The output is
+    pair-grain, bounded by |eval| x bucket-collision rate.
+
+    Returns (eval_id, train_id, cosine), cosine rounded to 6dp.
+    """
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in plane])
+            bits.append(
+                F.when(
+                    _dot(F.col("embedding"), arr) >= 0, F.lit(1)
+                ).otherwise(F.lit(0))
+                * (2**p_idx)
+            )
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        return df.select(
+            "vec_id",
+            "embedding",
+            sig.alias("bucket"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+
+    t = bucketed(fan_out(train)).alias("t")
+    e = bucketed(eval_df).alias("e")
+    cos = _dot(F.col("t.embedding"), F.col("e.embedding")) / (
+        F.col("t.nrm") * F.col("e.nrm")
+    )
+    return (
+        t.join(F.broadcast(e), F.col("t.bucket") == F.col("e.bucket"))
+        .select(
+            F.col("e.vec_id").alias("eval_id"),
+            F.col("t.vec_id").alias("train_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

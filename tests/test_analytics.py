@@ -991,6 +991,37 @@ def test_semantic_dedup_groups_and_canonicals(spark):
     assert all_kept.filter(~F.col("keep")).count() == 0
 
 
+def test_cross_corpus_leakage_semantics_and_plan(spark):
+    """Train docs semantically matching an eval doc are flagged; the
+    eval (benchmark) side is BROADCAST so the train corpus never
+    shuffles — the property that makes this run at 100 TB."""
+    from geist_spark.operators.similarity import cross_corpus_leakage
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") >= 50)
+    ev = emb.filter(F.col("vec_id") < 50)
+    out = cross_corpus_leakage(train, ev, threshold=0.3, num_planes=2)
+    rows = out.collect()
+    # slice discipline: every pair is (eval-slice id, train-slice id)
+    assert all(r["eval_id"] < 50 <= r["train_id"] for r in rows)
+    # a literal copy of an eval vector in train MUST be flagged
+    copy = ev.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    flagged = cross_corpus_leakage(
+        train.unionByName(copy, allowMissingColumns=True),
+        ev,
+        threshold=0.999,
+        num_planes=2,
+    ).filter(F.col("train_id") == 100000)
+    assert flagged.count() == 1
+    # plan: eval side broadcast, no shuffle of the train scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     from geist_spark.operators.skew import salted_join
     from pyspark.sql import functions as F
