@@ -125,6 +125,11 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
         "queries": {},
         "queries_omitted": len(timings),
     }
+    # a budget below the bare envelope must degrade to emitting the
+    # envelope (still-parseable totals), never to an assert after the
+    # whole bench has run — that would be the exact zero-output failure
+    # this function exists to prevent
+    budget = max(budget, len(json.dumps(payload, separators=(",", ":"))))
     for name, t in timings.items():
         payload["queries"][name] = t
         if len(json.dumps(payload, separators=(",", ":"))) > budget:

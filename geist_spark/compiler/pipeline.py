@@ -171,8 +171,11 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         from geist_spark.operators.lm import oov_rate, train_ngram_lm
 
         # a missing language column is a SPEC error, not a mid-job
-        # AnalysisException three steps deep into a lazy plan
-        if lang_col not in df.columns:
+        # AnalysisException three steps deep into a lazy plan.
+        # Case-INSENSITIVE, because Spark's own column resolution is
+        # (spark.sql.caseSensitive=false by default) — the guard must
+        # not reject a spec the engine would have resolved fine.
+        if lang_col.lower() not in {c.lower() for c in df.columns}:
             raise SpecError(
                 f"lmQualityFilter: langColumn {lang_col!r} not in input "
                 f"columns {df.columns}"

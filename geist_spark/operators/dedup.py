@@ -432,7 +432,14 @@ def dedup_clusters(
     output (minhash_lsh_pairs / ngram_jaccard_pairs) into dedup groups
     so a pipeline can keep one canonical doc per cluster.
 
-    Two paths, gated on a BOUNDED edge probe (limit(cap+1).count() —
+    When `vertices` is supplied, clustering runs on the vertex-INDUCED
+    subgraph: edges touching a doc outside `vertices` are ignored and
+    only vertex rows appear in the output (both paths, by
+    construction). NULL endpoints are dropped. NOTE: this operator
+    runs a bounded Spark action at composition time (the edge probe),
+    like the centroid collects in similarity.train_ivf_centroids.
+
+    Two paths, gated on a BOUNDED edge probe (limit(cap+1).collect() —
     never a full count of a 100 TB pair set), the same scale gate
     keep_canonical uses for its broadcast:
 
@@ -459,22 +466,49 @@ def dedup_clusters(
     No reference equivalent (geist has no joins at all,
     README.md:21); built for the driver's dedup-pipeline mandate.
     """
+    # NULL endpoints are no-ops on the distributed path (null join keys
+    # never match) — drop them explicitly so the union-find path agrees
+    # instead of raising TypeError on None<int, and so nulls never
+    # become a shuffle hot key.
+    one_way = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if vertices is not None:
+        # BOTH paths operate on the vertex-INDUCED subgraph: the
+        # distributed propagation implicitly blocks any path through a
+        # doc absent from `vertices` (its endpoint has no label row),
+        # so the fast path must see the same restricted edge set or the
+        # two fixed points diverge on exactly the inputs where the
+        # caller filtered the universe.
+        verts = vertices.select("doc_id").distinct()
+        one_way = (
+            one_way.join(
+                verts.withColumnRenamed("doc_id", "src"), "src", "left_semi"
+            ).join(
+                verts.withColumnRenamed("doc_id", "dst"), "dst", "left_semi"
+            )
+            # USING-joins move the join column FIRST; restore (src, dst)
+            # order or the positional union() below swaps directions
+            .select("src", "dst")
+        )
     # probe and fetch in ONE action: limit(cap+1).collect() returns the
     # COMPLETE edge set iff it is under the cap (and cap+1 rows — all
     # discarded — iff not, without scanning the rest of a 100 TB pair
-    # set).  Deliberately no checkpoint here: checkpointing this plan
-    # when the caller's pair frame already contains its own lazy
-    # checkpoint barrier (semantic_dedup) trips a Catalyst
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND during RDD materialization.
-    one_way = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    # set).  Deliberately no checkpoint before the probe: partially
+    # materializing a lazy checkpoint under limit() trips a Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the caller's pair frame
+    # carries its own checkpoint barrier (semantic_dedup).
     probe = one_way.limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:
         return _union_find_clusters(one_way.sparkSession, probe, one_way.schema, vertices)
+    # above the cap: materialize ONCE (eager — safe now, no limit in
+    # flight) so the propagation rounds reuse stored blocks instead of
+    # recomputing the pair join every round. The probe's map-side pass
+    # is the one extra computation the gate costs at this scale.
+    one_way = one_way.localCheckpoint(eager=True)
     edges = one_way.union(
         one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    )
     if vertices is None:
         verts = edges.select(F.col("src").alias("doc_id")).distinct()
     else:

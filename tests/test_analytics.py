@@ -442,6 +442,36 @@ def test_dedup_clusters_paths_agree(spark):
     }
     assert fast == dist == {3: 3, 7: 3, 11: 3, 40: 40, 41: 40, 5: 5, 100: 100}
 
+    # vertex-INDUCED semantics: doc 2 connects 1-9 but is NOT in the
+    # vertex frame -> the path through it is blocked and 2 is absent
+    # from the output, identically on both paths
+    pairs2 = spark.createDataFrame([(1, 2), (2, 9)], "doc_a long, doc_b long")
+    verts2 = spark.createDataFrame([(1,), (9,)], "doc_id long")
+    fast2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs2, vertices=verts2).collect()
+    }
+    dist2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            pairs2, vertices=verts2, max_driver_edges=0
+        ).collect()
+    }
+    assert fast2 == dist2 == {1: 1, 9: 9}
+
+    # NULL endpoints are no-op edges on both paths (not a TypeError)
+    pairs3 = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "doc_a long, doc_b long"
+    )
+    fast3 = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs3).collect()
+    }
+    dist3 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs3, max_driver_edges=0).collect()
+    }
+    assert fast3 == dist3 == {1: 1, 2: 1}
+
 
 def test_hash_split_deterministic_and_proportional(spark):
     from geist_spark.operators.split import deterministic_sample, hash_split

@@ -91,3 +91,14 @@ def test_bench_line_small_fleet_keeps_everything():
     payload = json.loads(bench.compact_line(timings, total=10.0, sf=0.01))
     assert payload["queries_omitted"] == 0
     assert len(payload["queries"]) == 10
+
+
+def test_bench_line_degrades_to_envelope_under_tiny_budget(monkeypatch):
+    """A budget below the envelope size must still emit a parseable
+    envelope (totals intact), never assert after the whole bench ran."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LINE_BYTES", "50")
+    timings = {f"q_{'y' * 30}_{i}": 1.5 for i in range(40)}
+    payload = json.loads(bench.compact_line(timings, total=60.0, sf=0.1))
+    assert payload["value"] == 60.0
+    assert payload["n_queries"] == 40
+    assert payload["queries_omitted"] == 40 - len(payload["queries"])

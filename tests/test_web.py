@@ -252,6 +252,13 @@ def test_pipeline_url_dedup_and_lm_filter(spark):
     )
     with pytest.raises(SpecError, match="nope"):
         pipe_missing(docs)
+    # guard is case-INSENSITIVE like Spark's own column resolution:
+    # langColumn='LANG' against a 'lang' column must run, not raise
+    pipe_ci = compile_pipeline(
+        {"steps": [{"op": "lmQualityFilter", "maxOovRate": 0.5,
+                    "langColumn": "LANG"}]}
+    )
+    assert sorted(r.doc_id for r in pipe_ci(docs).collect()) == [1, 2, 4]
 
 
 def test_normalize_url_tracking_overrides(spark):
