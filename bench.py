@@ -122,6 +122,10 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # the query count grows every round, so the headline total does
+        # too — the per-query average is the comparable number across
+        # rounds
+        "avg_sec_per_query": round(total / max(len(timings), 1), 3),
         "queries": {},
         "queries_omitted": len(timings),
     }
