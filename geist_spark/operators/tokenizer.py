@@ -142,9 +142,17 @@ def train_bpe(
             break
         a, b, cnt = best[0].a, best[0].b, best[0].cnt
         merges.append((rank, a, b, a + b, int(cnt)))
+        # LAZY checkpoint: the next round's argmax is a
+        # TakeOrderedAndProject (orderBy+limit), which evaluates EVERY
+        # partition — so the merged table materializes fully inside
+        # that action instead of costing its own eager job (and the
+        # final round's merge, which nothing consumes, never
+        # materializes at all). Safe from the partial-materialization
+        # miscompile because no short-circuit CollectLimit ever runs
+        # over this frame.
         syms = syms.select(
             "word", "freq", merge_fold(F.col("sym"), a, b).alias("sym")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -180,9 +188,12 @@ def bpe_apply(
         "sym", char_symbols(F.col(word_col), end_token)
     )
     for _, a, b, _, _ in merges:
+        # lazy: each barrier still blocks CollapseProject (it is an RDD
+        # boundary either way), but all M levels materialize inside the
+        # consumer's ONE action instead of M eager jobs here
         df = df.withColumn(
             "sym", merge_fold(F.col("sym"), a, b)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return df.unionByName(dirty).withColumn(
         "n_subwords", F.size(F.split(F.col("sym"), " "))
     )
