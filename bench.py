@@ -124,8 +124,12 @@ def compact_line(timings: dict[str, float], total: float, sf: float) -> str:
         "n_queries": len(timings),
         # the query count grows every round, so the headline total does
         # too — the per-query average is the comparable number across
-        # rounds
-        "avg_sec_per_query": round(total / max(len(timings), 1), 3),
+        # rounds. Denominator counts only SUCCESSFUL queries (failures
+        # are recorded as -1.0 and excluded from total, so including
+        # them would flatter a failing round).
+        "avg_sec_per_query": round(
+            total / max(sum(1 for t in timings.values() if t >= 0), 1), 3
+        ),
         "queries": {},
         "queries_omitted": len(timings),
     }

@@ -171,14 +171,31 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
         from geist_spark.operators.lm import oov_rate, train_ngram_lm
 
         # a missing language column is a SPEC error, not a mid-job
-        # AnalysisException three steps deep into a lazy plan.
-        # Case-INSENSITIVE, because Spark's own column resolution is
-        # (spark.sql.caseSensitive=false by default) — the guard must
-        # not reject a spec the engine would have resolved fine.
-        if lang_col.lower() not in {c.lower() for c in df.columns}:
+        # AnalysisException three steps deep into a lazy plan. The
+        # guard mirrors the SESSION's resolution rules instead of
+        # hardcoding the default: case-sensitive match when
+        # spark.sql.caseSensitive=true, case-insensitive otherwise —
+        # and an ambiguous case-insensitive match (both 'lang' and
+        # 'LANG' present) is rejected up front too, because F.col()
+        # would raise AMBIGUOUS_REFERENCE at execution.
+        case_sensitive = (
+            df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+            .lower()
+            == "true"
+        )
+        if case_sensitive:
+            matches = [c for c in df.columns if c == lang_col]
+        else:
+            matches = [c for c in df.columns if c.lower() == lang_col.lower()]
+        if not matches:
             raise SpecError(
                 f"lmQualityFilter: langColumn {lang_col!r} not in input "
                 f"columns {df.columns}"
+            )
+        if len(matches) > 1:
+            raise SpecError(
+                f"lmQualityFilter: langColumn {lang_col!r} is ambiguous "
+                f"among {matches} (case-insensitive session)"
             )
         df = df.localCheckpoint(eager=False)
         ref = df.filter(F.col(lang_col) == ref_lang)

@@ -189,11 +189,21 @@ def bpe_apply(
     )
     for _, a, b, _, _ in merges:
         # lazy: each barrier still blocks CollapseProject (it is an RDD
-        # boundary either way), but all M levels materialize inside the
-        # consumer's ONE action instead of M eager jobs here
+        # boundary either way), but all M levels materialize inside ONE
+        # action instead of M eager jobs here
         df = df.withColumn(
             "sym", merge_fold(F.col("sym"), a, b)
         ).localCheckpoint(eager=False)
+    if merges:
+        # ...and that one action is THIS eager checkpoint, not the
+        # consumer's: a public operator cannot control the consumer's
+        # first action, and a CollectLimit (.show(), .limit()) would
+        # partially materialize the lazy chain — the documented
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND precondition
+        # (similarity.semantic_dedup). Materializing level M computes
+        # every partition of every lazy level below it, so the whole
+        # chain lands in stored blocks in one job.
+        df = df.localCheckpoint(eager=True)
     return df.unionByName(dirty).withColumn(
         "n_subwords", F.size(F.split(F.col("sym"), " "))
     )

@@ -93,6 +93,15 @@ def test_bench_line_small_fleet_keeps_everything():
     assert len(payload["queries"]) == 10
 
 
+def test_bench_avg_excludes_failed_queries():
+    """Failures are recorded as -1.0 and excluded from the total, so
+    they must be excluded from the average's denominator too."""
+    payload = json.loads(
+        bench.compact_line({"a": 2.0, "b": -1.0, "c": 4.0}, total=6.0, sf=0.1)
+    )
+    assert payload["avg_sec_per_query"] == 3.0
+
+
 def test_bench_line_degrades_to_envelope_under_tiny_budget(monkeypatch):
     """A budget below the envelope size must still emit a parseable
     envelope (totals intact), never assert after the whole bench ran."""

@@ -259,6 +259,12 @@ def test_pipeline_url_dedup_and_lm_filter(spark):
                     "langColumn": "LANG"}]}
     )
     assert sorted(r.doc_id for r in pipe_ci(docs).collect()) == [1, 2, 4]
+    # ...and an input carrying BOTH casings is an upfront SpecError
+    # (F.col would raise AMBIGUOUS_REFERENCE mid-plan otherwise)
+    # (withColumn would REPLACE case-insensitively; select appends)
+    dup = docs.select("*", F.col("lang").alias("LANG"))
+    with pytest.raises(SpecError, match="ambiguous"):
+        pipe_ci(dup)
 
 
 def test_normalize_url_tracking_overrides(spark):
