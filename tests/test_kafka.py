@@ -12,6 +12,7 @@ test/specs/pubsubsrc-kafkasink-foologs.json:37-61.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from geist_spark.sinks.base import SinkError
 from geist_spark.sinks.kafka import KafkaLoader, payload_df, topic_for_env
@@ -228,3 +229,36 @@ def test_kafka_live_end_to_end(spark, tmp_path):
         (r["eid"], r["n"]) for r in ss.loader.extract_all().collect()
     )
     assert rows == [(f"e{i}", i) for i in range(5)]
+
+
+@pytest.mark.skipif(
+    not _BOOTSTRAP,
+    reason="live Kafka e2e: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port",
+)
+def test_kafka_live_sink_roundtrip(spark):
+    """The geist kafka SINK against a real broker: KafkaLoader
+    publishes with payloadFromId/keyFromId projection, and a batch
+    read of the topic gets the exact (key, value) pairs back."""
+    import uuid
+
+    topic = f"geist-sink-{uuid.uuid4().hex[:12]}"
+    spec = kafka_sink_spec({"payloadFromId": "payload", "keyFromId": "k"})
+    loader = KafkaLoader(spark, spec)
+    loader.topic = topic
+    loader.servers = _BOOTSTRAP
+    df = spark.createDataFrame(
+        [("k1", '{"a":1}'), ("k2", '{"a":2}')], "k string, payload string"
+    )
+    assert loader.stream_load(df) == topic
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", _BOOTSTRAP)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(
+            F.col("key").cast("string"), F.col("value").cast("string")
+        )
+    )
+    rows = sorted((r["key"], r["value"]) for r in back.collect())
+    assert rows == [("k1", '{"a":1}'), ("k2", '{"a":2}')]
