@@ -170,12 +170,16 @@ def incremental_dedup_pairs(
     """
     probe = minhash_bands(new_docs, num_hashes=num_hashes, bands=bands, k=k)
     if max_bucket_size is not None:
-        w = Window.partitionBy("band_id", "band_hash")
-        index = (
-            index.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bucket_n") <= max_bucket_size)
-            .drop("__bucket_n")
+        # degenerate-bucket cap via aggregate + anti-join (the hot
+        # bucket list is tiny by definition), not a window sort over
+        # the whole index — same rows kept, no index-sized sort
+        hot = (
+            index.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > max_bucket_size)
+            .select("band_id", "band_hash")
         )
+        index = index.join(hot, ["band_id", "band_hash"], "left_anti")
     n, c = probe.alias("n"), index.alias("c")
     return (
         n.join(
@@ -642,12 +646,24 @@ def substring_dup_spans(
         .select("doc_id", "pos", F.md5(F.substring(t, F.col("pos"), k)).alias("g"))
     )
     if max_gram_freq is not None:
-        w = Window.partitionBy("g")
-        grams = (
-            grams.withColumn("__gf", F.count(F.lit(1)).over(w))
-            .filter(F.col("__gf") <= max_gram_freq)
-            .drop("__gf")
+        # hot-gram cap via aggregate + anti-join, NOT a window: a
+        # window partitioned on the gram must SORT every gram row; the
+        # aggregate is a map-side partial agg down to distinct grams,
+        # and the over-cap (hot) list is small by definition
+        # (<= total_grams / cap), so AQE broadcasts the anti-join in
+        # the common case. Trade, stated: the gram pipeline is
+        # computed twice (counts branch + main branch) — measured
+        # cheaper than the window's corpus-sized sort-spill here, the
+        # opposite of minhash_lsh_pairs' cap, where recomputing means
+        # re-shingling the corpus and the window shares the join's
+        # exchange AND its SMJ sort.
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__gf"))
+            .filter(F.col("__gf") > max_gram_freq)
+            .select("g")
         )
+        grams = grams.join(hot, "g", "left_anti")
     probe = grams
     if stride > 1:
         grams = grams.filter(F.col("pos") % stride == 0)
@@ -864,12 +880,24 @@ def fuzzy_match_pairs(
         ).alias("g"),
     )
     if max_gram_freq is not None:
-        w = Window.partitionBy("g")
-        grams = (
-            grams.withColumn("__gf", F.count(F.lit(1)).over(w))
-            .filter(F.col("__gf") <= max_gram_freq)
-            .drop("__gf")
+        # hot-gram cap via aggregate + anti-join, NOT a window: a
+        # window partitioned on the gram must SORT every gram row; the
+        # aggregate is a map-side partial agg down to distinct grams,
+        # and the over-cap (hot) list is small by definition
+        # (<= total_grams / cap), so AQE broadcasts the anti-join in
+        # the common case. Trade, stated: the gram pipeline is
+        # computed twice (counts branch + main branch) — measured
+        # cheaper than the window's corpus-sized sort-spill here, the
+        # opposite of minhash_lsh_pairs' cap, where recomputing means
+        # re-shingling the corpus and the window shares the join's
+        # exchange AND its SMJ sort.
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__gf"))
+            .filter(F.col("__gf") > max_gram_freq)
+            .select("g")
         )
+        grams = grams.join(hot, "g", "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
     cand = (
         a.join(
