@@ -94,3 +94,32 @@ def test_simhash_near_dup_equi_join_only(spark, q):
     p = simple_plan(q["d_simhash_near_dup"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p  # band equi-join candidates
+
+
+def test_fuzzy_match_cap_is_anti_join_not_window(spark, q):
+    """The hot-gram cap must stay an aggregate + anti-join: a Window
+    here means the whole gram table gets sorted again (round-3 rework;
+    minhash keeps its window deliberately — it shares the pair join's
+    exchange and sort)."""
+    p = simple_plan(q["d_fuzzy_match"](spark, SF))
+    assert "Window" not in p
+    assert "LeftAnti" in p
+
+
+def test_substring_spans_cap_is_anti_join(spark):
+    # the driver query runs uncapped; build the capped operator
+    # directly to pin ITS plan shape
+    from geist_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = simple_plan(substring_dup_spans(docs, min_len=40, max_gram_freq=50))
+    assert "LeftAnti" in p
+    # the only Windows allowed are the diagonal run-merge (pos
+    # ordering), not a gram-frequency count
+    assert "count(1) windowspecdefinition" not in p.lower()
+
+
+def test_cross_leakage_broadcasts_eval_only(spark, q):
+    p = simple_plan(q["s_cross_leakage"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # train side must never shuffle-sort
