@@ -95,7 +95,14 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    # same cache hygiene as similarity.train_ivf_centroids: materialize
+    # the result off the cached lineage, then drop the cache entry — a
+    # persisted fragment left in the CacheManager gets substituted into
+    # later session plans sharing its lineage and can miscompile
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    out = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return out
 
 
 def triangle_counts(
