@@ -217,6 +217,79 @@ def test_transform_error_routes_to_dlq_in_streaming(spark, tmp_path):
     assert bad[0]["reason"] == "transform error"
 
 
+def test_stateful_session_state_survives_restart(spark, tmp_path):
+    """Custom stateful state (applyInPandasWithState sessionization)
+    survives a full query stop + restart from the same checkpoint: an
+    OPEN session built before the stop is closed correctly by an event
+    arriving after the restart, and emitted exactly once (file-sink
+    exactly-once over the restart boundary). This is the
+    production-failover contract a 1000-executor cluster relies on —
+    driver loss must not lose or duplicate open sessions."""
+    import datetime as dt
+
+    from geist_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = dt.datetime(2024, 1, 1)
+
+    def write(seconds):
+        spark.createDataFrame(
+            [("u1", base + dt.timedelta(seconds=s)) for s in seconds],
+            "key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema("key string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sessionize_stream(stream, "key", "ts", gap_seconds=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: two events 10 s apart -> ONE open session in state,
+    # nothing closed, nothing emitted; then the query stops (simulated
+    # driver loss — state lives only in the checkpoint now).
+    write([0, 10])
+    run_until_drained()
+
+    # phase 2: a fresh query object from the SAME checkpoint; the new
+    # event at t=100 exceeds the 30 s gap, so closing the pre-restart
+    # session requires the recovered state (start=0, last=10, n=2).
+    write([100])
+    run_until_drained()
+
+    rows = (
+        spark.read.schema(
+            "key string, session_start timestamp, session_end timestamp,"
+            " n_events long"
+        )
+        .parquet(out)
+        .collect()
+    )
+    closed = [
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+    ]
+    # exactly once: the spanning session appears a single time, with
+    # boundaries from BEFORE the restart
+    assert closed == [
+        ("u1", base, base + dt.timedelta(seconds=10), 2)
+    ], closed
+
+
 def test_analytics_mode_routes_transform_errors_to_dlq(spark, tmp_path):
     """Analytics (session-window) specs keep DLQ routing: the stateful
     plan can't observe rejected events, so a parallel query re-reads
