@@ -1,0 +1,166 @@
+"""Measured-scaling probe: run headline operators at 1x/4x/16x data.
+
+SCALE.md argues each operator family is linear-ish at 100 TB (bounded
+shuffles, no all-pairs joins, no driver collects in the data plane).
+This tool MEASURES that claim at test scale: it expands the sf0.1
+tables by k in {1,4,16} — k key-shifted copies unioned together, so
+row count AND key cardinality scale together while join fan-out,
+near-dup density, and group sizes stay constant (the workload keeps
+its shape; only its size grows) — then times one action per operator
+per k and fits the log-log slope time ~ k^s.
+
+Slope ~1 = linear scaling; <1 = fixed overhead still dominates at this
+size; >1.2 would flag a super-linear shuffle/join blow-up worth
+investigating. Text copies get a per-copy salt token appended so LSH /
+near-dup candidate density does not grow with k (identical cross-copy
+text would add k^2 true duplicate pairs — a different workload, not a
+bigger one). The salt is a per-copy character rotation, so EVERY
+shingle differs across copies while intra-copy near-dup structure,
+lengths, and token counts are preserved exactly.
+
+Usage: python tools/scale_probe.py [sf_dir] [out_json]
+Prints one JSON line per operator and writes the full result map.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHIFT = 1 << 40  # key offset between copies; far above any real key
+
+
+def expand(df: DataFrame, k: int, id_cols: list[str], salt_text: str | None = None) -> DataFrame:
+    """Union k copies of df with id columns shifted per copy.
+
+    Shifting every id/key column by i*SHIFT keeps intra-copy joins and
+    groupings intact while making keys globally distinct across copies:
+    cardinality scales with k, per-key group sizes do not."""
+    parts = []
+    for i in range(k):
+        p = df
+        for c in id_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+        if salt_text is not None and i > 0:
+            # rotate the lowercase alphabet by i: every word (hence
+            # every shingle) differs across copies, but lengths, token
+            # counts, and intra-copy duplicate structure are unchanged
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            rot = alpha[i % 26:] + alpha[: i % 26]
+            p = p.withColumn(salt_text, F.translate(F.col(salt_text), alpha, rot))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_probes(spark: SparkSession, sf_dir: str):
+    from geist_spark.operators import dedup, relational, text
+
+    def t(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    events, docs = t("events"), t("documents")
+    lineitem, orders, customer = t("lineitem"), t("orders"), t("customer")
+    nation, region = t("nation"), t("region")
+
+    def scan_agg(k):
+        return relational.hourly_rollup(expand(events, k, ["event_id", "user_id"]))
+
+    def sessionize(k):
+        return relational.sessionize(expand(events, k, ["event_id", "user_id"]))
+
+    def join_agg(k):
+        return relational.revenue_by_nation(
+            expand(customer, k, ["c_custkey"]),
+            expand(orders, k, ["o_orderkey", "o_custkey"]),
+            expand(lineitem, k, ["l_orderkey"]),
+            nation,
+            region,
+        )
+
+    def exact_dedup(k):
+        return dedup.exact_dedup_groups(
+            expand(docs, k, ["doc_id"], salt_text="text")
+        )
+
+    def minhash_lsh(k):
+        return dedup.minhash_lsh_pairs(
+            expand(docs, k, ["doc_id"], salt_text="text"), max_bucket_size=64
+        )
+
+    def quality(k):
+        return text.quality_features(expand(docs, k, ["doc_id"]))
+
+    return {
+        "scan_agg_hourly_rollup": scan_agg,
+        "sessionize_lag_cumsum": sessionize,
+        "multi_join_revenue_by_nation": join_agg,
+        "exact_dedup_groups": exact_dedup,
+        "minhash_lsh_pairs": minhash_lsh,
+        "text_quality_features": quality,
+    }
+
+
+def fit_slope(ks: list[int], times: list[float]) -> float:
+    xs = [math.log(k) for k in ks]
+    ys = [math.log(max(t, 1e-9)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ks = [1, 4, 16]
+    probes = build_probes(spark, sf_dir)
+    results: dict[str, dict] = {}
+    for name, probe in probes.items():
+        # warm the 1x path once so JVM/codegen warmup is not billed to k=1
+        probe(1).write.format("noop").mode("overwrite").save()
+        times, rows = [], []
+        for k in ks:
+            df = probe(k)
+            t0 = time.monotonic()
+            n = df.count()
+            times.append(round(time.monotonic() - t0, 3))
+            rows.append(n)
+        slope = round(fit_slope(ks, times), 3)
+        results[name] = {
+            "k": ks,
+            "sec": times,
+            "rows": rows,
+            "slope": slope,
+        }
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "ks": ks, "ops": results}, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
