@@ -49,6 +49,11 @@ def main() -> int:
         "geist_spark_bench",
         **{"spark.ui.showConsoleProgress": "false"},
     )
+    # ERROR-only logging for the same reason: benign WARNs (e.g.
+    # WindowExec on the documented metadata-sized global windows)
+    # land on stderr and could crowd the final JSON line out of the
+    # driver's merged-stream tail window
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
