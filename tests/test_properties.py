@@ -178,3 +178,118 @@ def test_merge_fold_greedy_left_matches_reference(spark, words, pair):
         # char_symbols renders 'low' -> 'l o w </w>'
         sym = " ".join(list(w)) + " </w>"
         assert got[w] == _py_merge(sym, a, b), (w, a, b)
+
+
+# ---------- URL normalization ----------
+
+def _py_normalize_url(url, tracking_exact=("fbclid", "gclid", "msclkid"),
+                      tracking_prefixes=("utm_",)):
+    """Independent reference for web.normalize_url's documented
+    contract: lower-cased scheme+host, default port stripped, fragment
+    dropped, tracking params removed, remaining params byte-sorted,
+    trailing path slashes collapsed ('' -> '/'). Manual string walk —
+    deliberately NOT the operator's regexes."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = url[m.end():]
+    cut = len(rest)
+    for ch in "/?#":
+        j = rest.find(ch)
+        if j != -1:
+            cut = min(cut, j)
+    auth, after = rest[:cut], rest[cut:]
+    at = auth.find("@")
+    hostport = auth[at + 1:] if at != -1 else auth
+    if hostport.startswith("[") and "]" in hostport:
+        host = hostport[: hostport.index("]") + 1]
+    else:
+        c = hostport.find(":")
+        host = hostport if c == -1 else hostport[:c]
+    host = host.lower()
+    pm = _re.search(r":(\d+)$", auth)
+    port = pm.group(1) if pm else ""
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        port_part = ":" + port
+    else:
+        port_part = ""
+    frag = after.find("#")
+    no_frag = after if frag == -1 else after[:frag]
+    qpos = no_frag.find("?")
+    path = no_frag if qpos == -1 else no_frag[:qpos]
+    rawq = "" if qpos == -1 else no_frag[qpos + 1:]
+    path = path.rstrip("/") or "/"
+    keep = []
+    for p in rawq.split("&"):
+        if not p:
+            continue
+        name = p.split("=", 1)[0]
+        if name in tracking_exact:
+            continue
+        if any(name.startswith(pref) for pref in tracking_prefixes):
+            continue
+        keep.append(p)
+    q_part = "?" + "&".join(sorted(keep)) if keep else ""
+    return f"{scheme}://{host}{port_part}{path}{q_part}"
+
+
+_url_scheme = st.sampled_from(
+    ["http", "HTTP", "https", "HtTpS", "ftp", "x+y.z-1"]
+)
+_url_userinfo = st.sampled_from(["", "bob@", "u:pw@"])
+_url_host = st.sampled_from(
+    ["ex-AMPLE.com", "Host", "127.0.0.1", "[2001:DB8::1]", "a.b.c.D"]
+)
+_url_port = st.sampled_from(["", ":80", ":443", ":8080", ":080"])
+_url_path = st.lists(
+    st.sampled_from(["a", "B", "x1", "~z", "%20"]), max_size=3
+).flatmap(
+    lambda segs: st.sampled_from(["", "/", "//"]).map(
+        lambda tail: ("/" + "/".join(segs) if segs else "") + tail
+    )
+)
+_url_param = st.tuples(
+    st.sampled_from(
+        ["a", "b", "z", "utm_source", "utm_x", "fbclid", "gclid", "ref", ""]
+    ),
+    st.sampled_from([None, "", "1", "x"]),
+).map(lambda nv: nv[0] if nv[1] is None else f"{nv[0]}={nv[1]}")
+_url_query = st.lists(_url_param, max_size=4).map("&".join)
+_url_fragment = st.sampled_from(["", "#", "#top", "#a?b=1"])
+
+
+@given(
+    urls=st.lists(
+        st.tuples(
+            _url_scheme, _url_userinfo, _url_host, _url_port,
+            _url_path, _url_query, _url_fragment,
+        ).map(
+            lambda t: f"{t[0]}://{t[1]}{t[2]}{t[3]}{t[4]}"
+            + (f"?{t[5]}" if t[5] else "")
+            + t[6]
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SET
+def test_normalize_url_matches_reference(spark, urls):
+    from geist_spark.operators.web import normalize_url
+
+    # a few fixed adversarial shapes ride along with every example
+    urls = urls + ["no-scheme.com/a", "http//missing.colon/x", ""]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_url(F.col("url")).alias("n")
+        ).collect()
+    ]
+    want = [_py_normalize_url(u) for u in urls]
+    assert got == want, list(zip(urls, got, want))
