@@ -293,3 +293,162 @@ def test_normalize_url_matches_reference(spark, urls):
     ]
     want = [_py_normalize_url(u) for u in urls]
     assert got == want, list(zip(urls, got, want))
+
+
+# ---------- as-of join ----------
+
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 60),     # ts seconds
+        ),
+        min_size=1, max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 60),     # ts seconds
+            st.integers(0, 9),      # v1
+            st.integers(0, 9),      # v2
+        ),
+        max_size=25,
+    ),
+)
+@SET
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from geist_spark.operators.relational import asof_join
+
+    epoch = dt.datetime(2024, 1, 1)
+    t = lambda s: epoch + dt.timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, key long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s), v1, v2) for k, s, v1, v2 in rights],
+        "key long, rts timestamp, v1 long, v2 long",
+    )
+    got = {
+        r["lid"]: (r["v1"], r["v2"])
+        for r in asof_join(
+            ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+            value_cols=["v1", "v2"],
+        ).collect()
+    }
+    # reference: same-(key,ts) right rows reduce to max (v1,v2) tuple,
+    # then each left row takes the latest right ts <= left ts
+    reduced = {}
+    for k, s, v1, v2 in rights:
+        cur = reduced.get((k, s))
+        if cur is None or (v1, v2) > cur:
+            reduced[(k, s)] = (v1, v2)
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, v) for (rk, rs), v in reduced.items()
+                 if rk == k and rs <= s]
+        want = max(cands)[1] if cands else (None, None)
+        assert got[i] == want, (i, k, s, got[i], want)
+
+
+# ---------- bucketed range join ----------
+
+@given(
+    points=st.lists(st.integers(-5, 105), min_size=1, max_size=20),
+    ranges=st.lists(
+        st.tuples(st.integers(-5, 105), st.integers(-10, 30)),
+        max_size=15,
+    ),
+    how=st.sampled_from(["inner", "left"]),
+    width=st.sampled_from([1.0, 7.0, 64.0]),
+)
+@SET
+def test_range_join_matches_bruteforce(spark, points, ranges, how, width):
+    from geist_spark.operators.relational import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)],
+        "pid long, x double",
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo + span)) for j, (lo, span) in enumerate(ranges)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in range_join(
+            pdf, rdf, "x", "lo", "hi", bucket_width=width, how=how
+        ).collect()
+    )
+    matched = sorted(
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (lo, span) in enumerate(ranges)
+        if lo <= x <= lo + span
+    )
+    if how == "inner":
+        want = matched
+    else:
+        hit = {i for i, _ in matched}
+        want = sorted(
+            matched
+            + [(i, None) for i in range(len(points)) if i not in hit]
+        )
+    assert got == want, (got, want)
+
+
+# ---------- CDC current-state + SCD2 history ----------
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 20),         # ts seconds (collisions likely)
+            st.integers(0, 9),          # value
+            st.booleans(),              # tombstone?
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+@SET
+def test_cdc_and_scd2_match_reference(spark, changes):
+    from geist_spark.operators.relational import cdc_apply, scd2_history
+
+    epoch = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, epoch + dt.timedelta(seconds=s), i, v, d)
+        for i, (k, s, v, d) in enumerate(changes)  # i = unique tiebreak
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, ts timestamp, seq long, value long, deleted boolean"
+    )
+    got_state = {
+        r["key"]: (r["seq"], r["value"])
+        for r in cdc_apply(
+            df, ["key"], "ts", "seq", delete_when=F.col("deleted")
+        ).collect()
+    }
+    # reference: winner per key by (ts, seq); tombstone removes the key
+    want_state = {}
+    for k, ts, seq, v, d in rows:
+        cur = want_state.get(k)
+        if cur is None or (ts, seq) > (cur[0], cur[1]):
+            want_state[k] = (ts, seq, v, d)
+    want_state = {
+        k: (seq, v) for k, (ts, seq, v, d) in want_state.items() if not d
+    }
+    assert got_state == want_state
+
+    got_hist = {
+        r["seq"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["key"], "ts", "seq").collect()
+    }
+    by_key = {}
+    for k, ts, seq, v, d in rows:
+        by_key.setdefault(k, []).append((ts, seq))
+    want_hist = {}
+    for k, lst in by_key.items():
+        lst.sort()
+        for idx, (ts, seq) in enumerate(lst):
+            nxt = lst[idx + 1][0] if idx + 1 < len(lst) else None
+            want_hist[seq] = (ts, nxt, nxt is None)
+    assert got_hist == want_hist
