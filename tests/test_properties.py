@@ -452,3 +452,91 @@ def test_cdc_and_scd2_match_reference(spark, changes):
             nxt = lst[idx + 1][0] if idx + 1 < len(lst) else None
             want_hist[seq] = (ts, nxt, nxt is None)
     assert got_hist == want_hist
+
+
+# ---------- ordered funnel ----------
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),              # user
+            st.integers(0, 30),             # ts seconds
+            st.sampled_from(list("abcx")),  # event type (x = noise)
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@SET
+def test_funnel_matches_reference_walk(spark, events):
+    from geist_spark.operators.relational import funnel_conversion
+
+    epoch = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, epoch + dt.timedelta(seconds=s), ty)
+            for u, s, ty in events
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    steps = ["a", "b", "c"]
+    row = funnel_conversion(df, steps).collect()[0]
+    got = tuple(row[f"n_step{i}"] for i in range(3))
+
+    # reference: per user, step k's first qualifying time must be
+    # STRICTLY after the completion time of step k-1
+    by_user = {}
+    for u, s, ty in events:
+        by_user.setdefault(u, []).append((s, ty))
+    want = [0, 0, 0]
+    for u, evs in by_user.items():
+        prev = None
+        for i, step in enumerate(steps):
+            times = sorted(s for s, ty in evs if ty == step
+                           and (prev is None or s > prev))
+            if not times:
+                break
+            prev = times[0]
+            want[i] += 1
+    assert got == tuple(want), (got, want)
+
+
+# ---------- interval-overlap join ----------
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 7200), st.integers(0, 5400)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 7200), st.integers(0, 5400)),
+        max_size=15,
+    ),
+    bucket_s=st.sampled_from([60, 3600]),
+)
+@SET
+def test_interval_join_matches_bruteforce(spark, lefts, rights, bucket_s):
+    from geist_spark.operators.relational import interval_join
+
+    epoch = dt.datetime(2024, 1, 1)
+    t = lambda s: epoch + dt.timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(i, t(s), t(s + d)) for i, (s, d) in enumerate(lefts)],
+        "lid long, l_start timestamp, l_end timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(j, t(s), t(s + d)) for j, (s, d) in enumerate(rights)],
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, "lid", "rid", bucket_seconds=bucket_s
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(lefts)
+        for j, (rs, rd) in enumerate(rights)
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want, (got, want)
