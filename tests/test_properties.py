@@ -540,3 +540,102 @@ def test_interval_join_matches_bruteforce(spark, lefts, rights, bucket_s):
         if ls <= rs + rd and rs <= ls + ld
     )
     assert got == want, (got, want)
+
+
+# ---------- C4-style line dedup ----------
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([
+                "",                       # empty line
+                "short",                  # < min_chars, exempt
+                "  COOKIE banner here  ", # normalizes to a dup key
+                "cookie banner here",
+                "unique sentence one x",
+                "unique sentence two y",
+                "another long line zzz",
+            ]),
+            max_size=6,
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+@SET
+def test_line_dedup_matches_reference(spark, docs):
+    from geist_spark.operators.text import line_dedup
+
+    min_df, min_chars = 2, 10
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in line_dedup(
+            df, min_doc_freq=min_df, min_chars=min_chars
+        ).collect()
+    }
+    # reference: a line is dropped iff its lower+trim form is
+    # >= min_chars long and appears in >= min_df distinct docs;
+    # split('') yields one empty line per empty doc (Spark split
+    # semantics on the empty string)
+    split_docs = [("\n".join(lines)).split("\n") for lines in docs]
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for i, lines in enumerate(split_docs):
+        for ln in lines:
+            n = ln.strip().lower()
+            if len(n) >= min_chars:
+                seen[n].add(i)
+    dup = {n for n, s in seen.items() if len(s) >= min_df}
+    for i, lines in enumerate(split_docs):
+        keep = [
+            ln for ln in lines
+            if not (
+                len(ln.strip().lower()) >= min_chars
+                and ln.strip().lower() in dup
+            )
+        ]
+        want = ("\n".join(keep), len(keep), len(lines) - len(keep))
+        assert got[i] == want, (i, lines, got[i], want)
+
+
+# ---------- trailing RANGE-frame features ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # user
+            st.integers(0, 10 * 86_400),             # ts seconds
+            st.integers(-5, 5),                      # value
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SET
+def test_rolling_features_matches_reference(spark, rows):
+    from geist_spark.operators.relational import rolling_user_features
+
+    epoch = dt.datetime(2024, 1, 1)
+    days = 7
+    data = [
+        (i, u, epoch + dt.timedelta(seconds=s), float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["n_window"], r["sum_window"])
+        for r in rolling_user_features(df, days=days).collect()
+    }
+    span = days * 86_400
+    for i, (u, s, v) in enumerate(rows):
+        peers = [
+            (vv)
+            for j, (uu, ss, vv) in enumerate(rows)
+            if uu == u and s - span <= ss <= s
+        ]
+        want = (len(peers), float(sum(peers)))
+        assert got[i] == want, (i, got[i], want)
