@@ -639,3 +639,72 @@ def test_rolling_features_matches_reference(spark, rows):
         ]
         want = (len(peers), float(sum(peers)))
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------- mergeable sketch invariants ----------
+
+@given(
+    part_a=st.lists(st.integers(0, 40), max_size=40),
+    part_b=st.lists(st.integers(0, 40), max_size=40),
+)
+@SET
+def test_cms_merge_and_upper_bound(spark, part_a, part_b):
+    """Two exact CMS invariants: (1) rollup(a) ++ rollup(b) merged ==
+    rollup(a ++ b) row-for-row (the mergeability contract incremental
+    maintenance relies on); (2) estimates never undercount."""
+    from geist_spark.operators.sketch import (
+        cms_estimate, cms_merge, cms_rollup,
+    )
+
+    width, depth = 32, 4  # small width so collisions actually happen
+    mk = lambda items, part: spark.createDataFrame(
+        [(part, str(x)) for x in items] or [(part, None)],
+        "part string, item string",
+    )
+    both = mk(part_a, "a").unionByName(mk(part_b, "b"))
+    merged = cms_merge(
+        cms_rollup(both, ["part"], "item", width=width, depth=depth)
+    )
+    direct = cms_merge(
+        cms_rollup(
+            both.select(F.lit("all").alias("part"), "item"),
+            ["part"], "item", width=width, depth=depth,
+        )
+    )
+    as_map = lambda df: {
+        (r["d"], r["pos"]): r["n"] for r in df.collect()
+    }
+    assert as_map(merged) == as_map(direct)
+
+    items = both.filter(F.col("item").isNotNull()).select("item")
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(
+            merged, items, "item", width=width, depth=depth
+        ).collect()
+    }
+    from collections import Counter
+    true = Counter(str(x) for x in part_a + part_b)
+    for item, n in true.items():
+        assert est[item] >= n, (item, est[item], n)
+
+
+@given(
+    values=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    split=st.integers(1, 3),
+)
+@SET
+def test_hll_exact_in_coupon_regime(spark, values, split):
+    """At lg_k=12 and <=120 distinct values the datasketches HLL is in
+    its exact (coupon) regime: the merged estimate must equal the true
+    distinct count exactly — the invariant the q_hll_rollup oracle
+    depends on (an sf0.1 gate run caught this drifting once)."""
+    from geist_spark.operators.sketch import hll_merge, hll_rollup
+
+    df = spark.createDataFrame(
+        [(i % split, v) for i, v in enumerate(values)],
+        "g long, v long",
+    )
+    got = hll_merge(hll_rollup(df, ["g"], "v")).collect()[0]
+    assert int(round(got["distinct_est"])) == len(set(values))
+    assert got["n_rows"] == len(values)
