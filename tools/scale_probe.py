@@ -101,6 +101,23 @@ def build_probes(spark: SparkSession, sf_dir: str):
     def quality(k):
         return text.quality_features(expand(docs, k, ["doc_id"]))
 
+    def asof(k):
+        ev = expand(events, k, ["event_id", "user_id"])
+        trades = ev.select("user_id", "ts", "event_id")
+        quotes = ev.select(
+            "user_id", "ts", F.col("value").alias("quote")
+        )
+        return relational.asof_join(
+            trades, quotes, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["quote"],
+        )
+
+    def cosine(k):
+        from geist_spark.operators.similarity import cosine_topk
+
+        emb = expand(t("embeddings"), k, ["vec_id"])
+        return cosine_topk(emb, query_ids=list(range(10)), k=5)
+
     return {
         "scan_agg_hourly_rollup": scan_agg,
         "sessionize_lag_cumsum": sessionize,
@@ -108,6 +125,8 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "exact_dedup_groups": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh,
         "text_quality_features": quality,
+        "asof_join_union_carry": asof,
+        "cosine_topk_bruteforce": cosine,
     }
 
 
