@@ -708,3 +708,66 @@ def test_hll_exact_in_coupon_regime(spark, values, split):
     got = hll_merge(hll_rollup(df, ["g"], "v")).collect()[0]
     assert int(round(got["distinct_est"])) == len(set(values))
     assert got["n_rows"] == len(values)
+
+
+# ---------- MinHash-LSH exact replay ----------
+
+def _py_minhash_pairs(docs, num_hashes=16, bands=4, k=3):
+    """Exact Python replay of the dedup chain: normalize -> k-token
+    shingles (Spark slice semantics: truncated tails allowed, distinct,
+    empty filtered) -> md5-prefix hash -> universal min-hash ->
+    band md5 -> pairs sharing any band."""
+    import hashlib
+    import re as _re
+
+    from geist_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    buckets = {}
+    for doc_id, text in docs:
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        upper = max(len(toks) - k, 0)
+        sh = {
+            " ".join(toks[i:i + k]) for i in range(upper + 1)
+        } - {""}
+        if not sh:
+            continue
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        ]
+        sig = [min((a * h + b) % MINHASH_P for h in hs) for a, b in params]
+        for b in range(bands):
+            key = "|".join(str(v) for v in sig[b * rpb:(b + 1) * rpb])
+            bh = hashlib.md5(key.encode()).hexdigest()
+            buckets.setdefault((b, bh), set()).add(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "fox", "jumps", "over", "dog", "the"]),
+            max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+)
+@SET
+def test_minhash_lsh_pairs_match_python_replay(spark, texts):
+    from geist_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df).collect()
+    }
+    assert got == _py_minhash_pairs(docs)
