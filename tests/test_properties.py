@@ -771,3 +771,44 @@ def test_minhash_lsh_pairs_match_python_replay(spark, texts):
         for r in minhash_lsh_pairs(df).collect()
     }
     assert got == _py_minhash_pairs(docs)
+
+
+# ---------- SimHash exact replay ----------
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["Red", "fox", "JUMPS", "over", "dog", "the", "a1"]
+            ),
+            max_size=10,
+        ).map("  ".join),  # double spaces exercise normalization
+        min_size=1, max_size=10,
+    ),
+)
+@SET
+def test_simhash_matches_python_replay(spark, texts):
+    import hashlib
+    import re as _re
+
+    from geist_spark.operators.dedup import simhash
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    for doc_id, text in docs:
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        toks = {t for t in norm.split(" ") if t} or None
+        if toks is None:
+            # empty docs produce no token rows -> absent from output
+            assert doc_id not in got
+            continue
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks
+        ]
+        fp = 0
+        for b in range(32):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                fp += 1 << b
+        assert got[doc_id] == fp, (doc_id, text, got[doc_id], fp)
