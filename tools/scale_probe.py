@@ -14,9 +14,26 @@ size; >1.2 would flag a super-linear shuffle/join blow-up worth
 investigating. Text copies get a per-copy salt token appended so LSH /
 near-dup candidate density does not grow with k (identical cross-copy
 text would add k^2 true duplicate pairs — a different workload, not a
-bigger one). The salt is a per-copy character rotation, so EVERY
-shingle differs across copies while intra-copy near-dup structure,
-lengths, and token counts are preserved exactly.
+bigger one). The salt prefixes every token with a per-copy tag, so
+EVERY token (hence every shingle and every whole-text hash) differs
+across copies on ANY corpus, while intra-copy duplicate/near-dup
+structure and token counts are preserved exactly (token lengths grow
+by the 2-char tag — a bounded, documented perturbation).
+
+Workload-shape caveats, stated precisely: id-keyed probes (joins,
+sessionize, dedup) keep per-key group sizes constant because keys are
+shifted per copy; the scan_agg probe groups by (hour, event_type),
+which are NOT id columns, so its group COUNT stays constant and group
+sizes grow with k — still a pure linearity measurement, just of the
+growing-groups shape. LSH pair counts grow proportionally to k
+(cross-copy pairs are zero; per-copy pair counts vary slightly
+because band hashes are re-rolled by the salt).
+
+The timed action is the same noop write bench.py uses — NOT count():
+Catalyst prunes unreferenced projections under count(), which would
+let a map-only operator (quality_features) or a pruned-side plan
+(asof_join reduces to counting the left input) be optimized out of
+its own measurement.
 
 Usage: python tools/scale_probe.py [sf_dir] [out_json]
 Prints one JSON line per operator and writes the full result map.
@@ -50,12 +67,14 @@ def expand(df: DataFrame, k: int, id_cols: list[str], salt_text: str | None = No
         for c in id_cols:
             p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
         if salt_text is not None and i > 0:
-            # rotate the lowercase alphabet by i: every word (hence
-            # every shingle) differs across copies, but lengths, token
-            # counts, and intra-copy duplicate structure are unchanged
-            alpha = "abcdefghijklmnopqrstuvwxyz"
-            rot = alpha[i % 26:] + alpha[: i % 26]
-            p = p.withColumn(salt_text, F.translate(F.col(salt_text), alpha, rot))
+            # prefix every token with a per-copy tag: every token —
+            # hence every shingle and whole-text hash — differs across
+            # copies regardless of corpus alphabet, while token counts
+            # and intra-copy duplicate structure are unchanged
+            p = p.withColumn(
+                salt_text,
+                F.regexp_replace(F.col(salt_text), r"(\S+)", f"q{i}$1"),
+            )
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
@@ -164,10 +183,14 @@ def main() -> None:
         times, rows = [], []
         for k in ks:
             df = probe(k)
+            # noop write, NOT count(): count() lets Catalyst prune the
+            # operator under test (verified: quality_features reduces
+            # to a bare row count, asof_join to a count of its left
+            # input) — the noop sink materializes every output column
             t0 = time.monotonic()
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
-            rows.append(n)
+            rows.append(df.count())
         slope = round(fit_slope(ks, times), 3)
         results[name] = {
             "k": ks,
