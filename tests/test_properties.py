@@ -812,3 +812,172 @@ def test_simhash_matches_python_replay(spark, texts):
             if vote > 0:
                 fp += 1 << b
         assert got[doc_id] == fp, (doc_id, text, got[doc_id], fp)
+
+
+# ---------- Bloom filter: false negatives are impossible ----------
+
+@given(
+    inserted=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                     min_size=1, max_size=30),
+    probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                   max_size=30),
+)
+@SET
+def test_bloom_never_false_negative(spark, inserted, probes):
+    from geist_spark.operators.prep import bloom_build, bloom_might_contain
+
+    m_bits, num_hashes = 256, 4  # tiny filter: false positives likely,
+    keys = spark.createDataFrame(
+        [(k,) for k in inserted], "key string"
+    )
+    words = bloom_build(keys, "key", m_bits=m_bits, num_hashes=num_hashes)
+    w = words.collect()[0]["words"]
+    probe_df = spark.createDataFrame(
+        [(k,) for k in sorted(inserted | probes)], "key string"
+    )
+    got = {
+        r["key"]: r["hit"]
+        for r in probe_df.crossJoin(F.broadcast(words)).select(
+            "key",
+            bloom_might_contain(
+                F.col("words"), F.col("key"), m_bits, num_hashes
+            ).alias("hit"),
+        ).collect()
+    }
+    assert len(w) == m_bits // 64
+    for k in inserted:  # a false negative is a correctness bug, always
+        assert got[k], (k, "false negative")
+
+
+# ---------- leakage-safe split: clusters are atomic ----------
+
+@given(
+    n_docs=st.integers(2, 15),
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=12
+    ),
+)
+@SET
+def test_leakage_safe_split_cluster_atomicity(spark, n_docs, edges):
+    from geist_spark.operators.split import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    edges = [(a, b) for a, b in edges if a != b and a < n_docs and b < n_docs]
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    assert set(split_of) == set(range(n_docs))  # every doc, exactly once
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    comp = _py_components(edges, set(range(n_docs)))
+    for a, b in edges:
+        assert split_of[a] == split_of[b], (a, b, split_of)
+    # stronger: whole component shares one split
+    by_root = {}
+    for v, root in comp.items():
+        by_root.setdefault(root, set()).add(split_of[v])
+    assert all(len(s) == 1 for s in by_root.values()), by_root
+
+
+# ---------- streaming sequence packing ----------
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(st.sampled_from(["w", "xx", "yyy"]), max_size=6).map(
+                " ".join
+            ),
+        ),
+        min_size=1, max_size=20,
+    ),
+    budget=st.sampled_from([1, 3, 7]),
+)
+@SET
+def test_pack_sequences_matches_reference(spark, docs, budget):
+    from geist_spark.operators.prep import pack_sequences
+
+    rows = [(src, i, text) for i, (src, text) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    }
+    # reference: per group in doc_id order, bin = floor(exclusive
+    # prefix sum / budget); token count = Spark split semantics
+    # (split of '' -> [''] -> size 1)
+    import re as _re
+    want = {}
+    by_src = {}
+    for src, i, text in rows:
+        by_src.setdefault(src, []).append((i, text))
+    for src, lst in by_src.items():
+        lst.sort()
+        acc = 0
+        for i, text in lst:
+            norm = _re.sub(r"\s+", " ", text.lower()).strip()
+            n_tok = len(norm.split(" "))
+            b = acc // budget
+            nd, tt = want.get((src, b), (0, 0))
+            want[(src, b)] = (nd + 1, tt + n_tok)
+            acc += n_tok
+    assert got == want, (got, want)
+
+
+# ---------- exact n-gram Jaccard ----------
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "fox", "dog", "the", "runs"]),
+            max_size=7,
+        ).map(" ".join),
+        min_size=2, max_size=8,
+    ),
+)
+@SET
+def test_ngram_jaccard_matches_reference(spark, texts):
+    import decimal
+
+    from geist_spark.operators.dedup import ngram_jaccard_pairs
+
+    k, threshold = 3, 0.2
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, k=k, threshold=threshold).collect()
+    }
+    import re as _re
+    sh = {}
+    for i, text in docs:
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        s = {
+            " ".join(toks[j:j + k])
+            for j in range(max(len(toks) - k, 0) + 1)
+        } - {""}
+        if s:
+            sh[i] = s
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue  # pairs sharing no shingle never join
+            j = decimal.Decimal(inter) / decimal.Decimal(
+                len(sh[a] | sh[b])
+            )
+            j6 = float(j.quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            ))
+            if j6 >= threshold:
+                want[(a, b)] = (inter, j6)
+    assert got == want, (got, want)
