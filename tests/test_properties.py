@@ -981,3 +981,71 @@ def test_ngram_jaccard_matches_reference(spark, texts):
             if j6 >= threshold:
                 want[(a, b)] = (inter, j6)
     assert got == want, (got, want)
+
+
+# ---------- partition-invariance of determinism claims ----------
+
+@given(
+    parts=st.sampled_from([1, 3, 32]),
+    n=st.integers(1, 200),
+    seed=st.integers(0, 3),
+)
+@SET
+def test_eventsim_partition_invariant(spark, parts, n, seed):
+    """Seeded eventsim claims md5-per-row-id generation — identical
+    events at ANY parallelism. Regenerate the same tick with the
+    default partitioning and with an explicit repartition(parts):
+    the multiset of events must match bit-for-bit."""
+    from geist_spark.sources.eventsim import EventSim, parse_sim_config
+
+    cfg = parse_sim_config({
+        "seed": seed,
+        "eventGeneration": {"type": "random", "minCount": n, "maxCount": n},
+        "eventSpec": {"fields": [
+            {"field": "id", "randomizedValue": {"type": "uuid"}},
+            {"field": "n", "randomizedValue": {"type": "int", "min": 0, "max": 99}},
+            {"field": "kind", "predefinedValues": [
+                {"value": "a", "frequencyFactor": 2},
+                {"value": "b", "frequencyFactor": 1},
+            ]},
+        ]},
+    })
+    sim = EventSim(cfg, seed=seed)
+    base = sorted(r["value"] for r in sim.batch(spark, count=n).collect())
+    sim2 = EventSim(cfg, seed=seed)
+    wide = sorted(
+        r["value"]
+        for r in spark.range(n).repartition(parts).select(
+            sim2.event_expr(F.col("id")).alias("value")
+        ).collect()
+    )
+    assert base == wide
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 4), st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+        )),
+        min_size=1, max_size=60,
+    ),
+    parts=st.sampled_from([1, 7, 32]),
+)
+@SET
+def test_exact_sum_and_digest_partition_invariant(spark, vals, parts):
+    """exact_sum (decimal accumulation) and table_digest (sum of row
+    fingerprints) both claim order/partition independence — the
+    property two engines or two cluster sizes need to agree on the
+    same answer. Compare 1-partition vs repartitioned results."""
+    from geist_spark.operators.integrity import row_fingerprint
+    from geist_spark.operators.relational import exact_sum
+
+    df = spark.createDataFrame(vals, "k long, v double")
+    def run(d):
+        agg = d.groupBy("k").agg(
+            exact_sum("v").alias("s"),
+            F.sum(row_fingerprint(["k", "v"])).alias("digest"),
+        )
+        return {r["k"]: (r["s"], str(r["digest"])) for r in agg.collect()}
+
+    assert run(df.coalesce(1)) == run(df.repartition(parts))
