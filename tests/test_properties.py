@@ -1049,3 +1049,75 @@ def test_exact_sum_and_digest_partition_invariant(spark, vals, parts):
         return {r["k"]: (r["s"], str(r["digest"])) for r in agg.collect()}
 
     assert run(df.coalesce(1)) == run(df.repartition(parts))
+
+
+# ---------- BM25 integer-exact scoring replay ----------
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "fox", "dog", "the", "run", "big"]),
+            max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    qs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "fox", "dog", "zzz", "the"]),
+            min_size=1, max_size=3,
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+@SET
+def test_bm25_matches_python_replay(spark, texts, qs):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from geist_spark.operators.text import bm25_topk
+
+    k_top = 3
+    docs = list(enumerate(texts))
+    queries = list(enumerate(qs))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_nanos"])
+        for r in bm25_topk(df, queries, k_top=k_top).collect()
+    }
+
+    # replica: identical integer formula, identical IEEE double chain
+    tf, dl = {}, {}
+    for i, text in docs:
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        toks = [t for t in norm.split(" ") if t]
+        if not toks:
+            continue  # docs with no tokens never enter dl/N
+        dl[i] = len(toks)
+        tf[i] = Counter(toks)
+    N, totlen = len(dl), sum(dl.values())
+    dfreq = Counter()
+    for i in tf:
+        for term in tf[i]:
+            dfreq[term] += 1
+    want = {}
+    for qid, terms in queries:
+        scores = Counter()
+        for term in terms:  # duplicate query terms score twice
+            if not dfreq[term]:
+                continue
+            for i in tf:
+                t = tf[i].get(term)
+                if not t:
+                    continue
+                num = (2 * N - 2 * dfreq[term] + 1) * 22 * t * totlen
+                den = (2 * dfreq[term] + 1) * (
+                    10 * totlen * t + 3 * totlen + 9 * dl[i] * N
+                )
+                scores[i] += math.floor(
+                    float(num) / float(den) * 1000000000.0
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (i, s) in enumerate(ranked[:k_top], start=1):
+            want[(qid, rank)] = (i, s)
+    assert got == want, (got, want)
