@@ -1121,3 +1121,152 @@ def test_bm25_matches_python_replay(spark, texts, qs):
         for rank, (i, s) in enumerate(ranked[:k_top], start=1):
             want[(qid, rank)] = (i, s)
     assert got == want, (got, want)
+
+
+# ---------- histogram sketch -> quantiles ----------
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(min_value=-10.0, max_value=110.0,
+                      allow_nan=False, width=32),
+        ),
+        min_size=1, max_size=50,
+    ),
+)
+@SET
+def test_hist_quantiles_match_reference(spark, vals):
+    import math
+
+    from geist_spark.operators.sketch import (
+        hist_merge, hist_quantiles, hist_rollup,
+    )
+
+    lo, hi, n_bins = 0.0, 100.0, 16
+    qs = [0.5, 0.95]
+    df = spark.createDataFrame(vals, "g string, v double")
+    hist = hist_merge(hist_rollup(df, ["g"], "v", lo, hi, n_bins), ["g"])
+    got = {
+        r["g"]: (r["p50"], r["p95"], r["n_values"])
+        for r in hist_quantiles(hist, ["g"], qs, lo, hi, n_bins).collect()
+    }
+    width = (hi - lo) / n_bins
+    by_g = {}
+    for g, v in vals:
+        b = math.floor((v - lo) / width)  # same IEEE ops as the plan
+        by_g.setdefault(g, []).append(min(max(b, 0), n_bins - 1))
+    want = {}
+    for g, bins in by_g.items():
+        total = len(bins)
+        seen = {}
+        for b in bins:
+            seen[b] = seen.get(b, 0) + 1
+        edges = []
+        for q in qs:
+            target = math.ceil(q * total)
+            cum = 0
+            edge = None
+            for b in sorted(seen):
+                cum += seen[b]
+                if cum >= target:
+                    edge = lo + b * width
+                    break
+            edges.append(edge)
+        want[g] = (edges[0], edges[1], total)
+    assert got == want, (got, want)
+
+
+# ---------- first-order transition matrix ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),              # user
+            st.integers(0, 20),             # ts seconds
+            st.sampled_from(list("abc")),   # event type
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SET
+def test_transition_matrix_matches_reference(spark, rows):
+    import decimal
+
+    from geist_spark.operators.relational import event_transition_matrix
+
+    epoch = dt.datetime(2024, 1, 1)
+    data = [
+        (u, epoch + dt.timedelta(seconds=s), i, ty)
+        for i, (u, s, ty) in enumerate(rows)  # i = unique event_id
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(df).collect()
+    }
+    from collections import Counter
+    steps = Counter()
+    by_user = {}
+    for u, s, ty in rows:
+        by_user.setdefault(u, []).append((s, ty))
+    for u, evs in by_user.items():
+        # sort mirrors the window: (ts, event_id) == input order for ties
+        idx = [(s, i, ty) for i, (s, ty) in enumerate(evs)]
+        idx.sort()
+        for (s1, i1, t1), (s2, i2, t2) in zip(idx, idx[1:]):
+            steps[(t1, t2)] += 1
+    outdeg = Counter()
+    for (a, b), n in steps.items():
+        outdeg[a] += n
+    want = {}
+    for (a, b), n in steps.items():
+        p = float(
+            decimal.Decimal(repr(n / outdeg[a])).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+        want[(a, b)] = (n, p)
+    assert got == want, (got, want)
+
+
+# ---------- cohort retention ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),               # user
+            st.integers(0, 40 * 86_400),     # ts seconds over ~6 weeks
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+@SET
+def test_cohort_retention_matches_reference(spark, rows):
+    from geist_spark.operators.relational import cohort_retention
+
+    epoch = dt.datetime(1970, 1, 1)  # ts epoch == generated seconds
+    df = spark.createDataFrame(
+        [(u, epoch + dt.timedelta(seconds=s)) for u, s in rows],
+        "user_id long, ts timestamp",
+    )
+    period_days = 7
+    got = {
+        (r["cohort"], r["periods_since"]): r["n_users"]
+        for r in cohort_retention(df, period_days=period_days).collect()
+    }
+    periods = {}
+    for u, s in rows:
+        periods.setdefault(u, set()).add((s // 86_400) // period_days)
+    from collections import Counter
+    want = Counter()
+    users_at = {}
+    for u, ps in periods.items():
+        c = min(ps)
+        for p in ps:
+            users_at.setdefault((c, p - c), set()).add(u)
+    want = {k: len(v) for k, v in users_at.items()}
+    assert got == want, (got, want)
