@@ -3049,6 +3049,52 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus (exact baseline
+    path; the scale path feeds LSH/IVF candidate pairs instead)."""
+    from geist_spark.operators.similarity import mutual_knn_graph
+
+    return mutual_knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (sub-document dup
+    detection that symmetric Jaccard misses)."""
+    from geist_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        threshold_pct=80,
+        max_shingle_freq=200,
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals (all dim subsets) with grouping level ids."""
+    from geist_spark.operators.relational import cube_report
+
+    return cube_report(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+
+
+def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave order (difficulty = token count) with the
+    global position computed arithmetically — no global-sort window."""
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.prep import curriculum_interleave
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return curriculum_interleave(
+        docs, "n_tokens", n_buckets=10, bucket_width=32
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3619,6 +3665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_collocations": t_collocations,
         "q_ts_pattern": q_ts_pattern,
         "s_cross_leakage": s_cross_leakage,
+        "s_mutual_knn": s_mutual_knn,
+        "d_containment": d_containment,
+        "q_cube_revenue": q_cube_revenue,
+        "p_curriculum": p_curriculum,
     }
 
 
@@ -6196,6 +6246,85 @@ def oracle_sql() -> dict[str, str]:
         "s_cross_leakage": _cross_leakage_oracle(
             threshold=0.3, num_planes=4, dim=64, eval_max=100
         ),
+        "s_mutual_knn": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ), topk AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY src ORDER BY cosine DESC, dst) AS r
+                    FROM scored)
+                WHERE r <= 5
+            )
+            SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
+                   max(cosine) AS cosine
+            FROM topk GROUP BY 1, 2 HAVING count(*) = 2
+        """,
+        "d_containment": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({shingle_list.replace('toks', _TOKENS_SQL)}) AS shingle
+                FROM documents
+            ), shf AS (
+                SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+            ), capped AS (
+                SELECT doc_id, shingle FROM (
+                    SELECT doc_id, shingle,
+                           count(*) OVER (PARTITION BY shingle) AS df
+                    FROM shf)
+                WHERE df <= 200
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM capped a JOIN capped b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE 100 * n_common >= 80 * least(sa.n_sh, sb.n_sh)
+        """,
+        "q_cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                   count(*) AS n_rows,
+                   GROUPING(l_returnflag, l_linestatus) AS grouping_level
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "p_curriculum": f"""
+            WITH base AS (
+                SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT doc_id, n_tokens,
+                       least(CAST(10 AS BIGINT), 1 + n_tokens // 32) AS bucket
+                FROM base
+            ), stepped AS (
+                SELECT doc_id, bucket,
+                       CAST(row_number() OVER (
+                           PARTITION BY bucket ORDER BY n_tokens, doc_id
+                       ) AS BIGINT) AS step
+                FROM b
+            ), sizes AS (
+                SELECT bucket, count(*) AS n FROM stepped GROUP BY 1
+            )
+            SELECT s.doc_id, s.bucket, s.step,
+                   CAST(1 + sum(least(z.n, s.step - 1)
+                       + CASE WHEN z.bucket < s.bucket AND z.n >= s.step
+                              THEN 1 ELSE 0 END) AS BIGINT) AS position
+            FROM stepped s CROSS JOIN sizes z
+            GROUP BY s.doc_id, s.bucket, s.step
+        """,
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])

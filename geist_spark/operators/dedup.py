@@ -425,6 +425,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold_pct: int = 80,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder 1997's
+    containment coefficient): C = |A∩B| / min(|A|,|B|) over distinct
+    k-token shingles. Catches SUB-document duplication — a short doc
+    fully embedded in a long one (quoted articles, boilerplate
+    expansions, mirrored fragments) has containment 1.0 but Jaccard
+    |A|/|B|, far below any symmetric threshold, so Jaccard-only dedup
+    ships both copies to training.
+
+    The predicate is pure BIGINT arithmetic —
+    100*n_common >= threshold_pct*min(n_a,n_b) — no IEEE division
+    decides membership, so the oracle replays it exactly.
+
+    Same candidate shape as ngram_jaccard_pairs: shingle inverted
+    index self-join (only pairs sharing >=1 shingle are counted,
+    never all-pairs), with the identical `max_shingle_freq` hot-key
+    cap and the identical lower-bound trade when it fires (|A∩B|
+    undercounts by capped shingles; |A|,|B| stay exact, pre-cap).
+
+    Output: (doc_a, doc_b, n_common, n_a, n_b), doc_a < doc_b, all
+    BIGINT.
+    """
+    sh = shingles(documents, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+        .filter(
+            F.lit(100) * F.col("n_common")
+            >= F.lit(threshold_pct) * F.least("n_a", "n_b")
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     vertices: DataFrame | None = None,

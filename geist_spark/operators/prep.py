@@ -535,3 +535,84 @@ def datasheet_diff(
         (z("new_docs") - z("old_docs")).alias("docs_delta"),
         (z("new_tokens") - z("old_tokens")).alias("tokens_delta"),
     )
+
+
+def curriculum_interleave(
+    documents: DataFrame,
+    difficulty_col: str = "n_tokens",
+    n_buckets: int = 10,
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Curriculum training order WITHOUT a global sort: bucket docs by
+    a difficulty proxy, then compute each doc's global interleaved
+    position arithmetically. The schedule round-robins difficulty
+    buckets (position order = step 1 of every bucket easiest-first,
+    then step 2, ...), the standard mixing order that avoids feeding
+    the model a long homogeneous difficulty block (curriculum
+    learning, Bengio et al. 2009) while keeping easy docs dense early.
+
+    The scale point: a naive `row_number() OVER (ORDER BY ...)` is a
+    single-partition window — a driver-shaped bottleneck at corpus
+    scale. Here the only window is PARTITIONED (per-bucket step), and
+    the global position is derived from the per-bucket SIZE table
+    (n_buckets rows, broadcast as an array):
+
+        position = 1 + sum_j min(size_j, step-1)            -- earlier steps
+                     + |{j < bucket : size_j >= step}|       -- same-step ties
+
+    which is exactly the rank in the (step, bucket, doc-order) total
+    order, in pure BIGINT arithmetic. Bucketing uses fixed integer
+    widths (not ntile) so it needs no global window either; the last
+    bucket absorbs the tail.
+
+    Within a bucket, `step` orders by (difficulty, doc_id) — fully
+    deterministic at any parallelism.
+
+    Output: (doc_id, bucket, step, position), all BIGINT.
+    """
+    diff = F.col(difficulty_col).cast("bigint")
+    # integer division (div), NOT float-divide-then-cast: Spark casts
+    # double->bigint by truncation while DuckDB CAST rounds, so the
+    # bucket edge would disagree between engine and oracle
+    bucket = F.least(
+        F.lit(n_buckets).cast("bigint"),
+        F.lit(1)
+        + F.expr(
+            f"CAST({difficulty_col} AS BIGINT) div {int(bucket_width)}"
+        ),
+    ).cast("bigint")
+    base = documents.select(
+        F.col("doc_id"), diff.alias("__d"), bucket.alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("__d").asc(), F.col("doc_id").asc()
+    )
+    stepped = base.withColumn("step", F.row_number().over(w).cast("bigint"))
+    sizes = (
+        stepped.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "n"))
+            ).alias("__sizes")
+        )
+    )
+    pos = F.lit(1) + F.aggregate(
+        F.col("__sizes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.least(s["n"], F.col("step") - 1)
+        + F.when(
+            (s["bucket"] < F.col("bucket")) & (s["n"] >= F.col("step")),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (
+        stepped.crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "bucket",
+            "step",
+            pos.alias("position"),
+        )
+    )

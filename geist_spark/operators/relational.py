@@ -607,6 +607,32 @@ def rollup_report(
     )
 
 
+def cube_report(
+    df: DataFrame, dims: list[str], value_col: str
+) -> DataFrame:
+    """All-subsets totals: CUBE over `dims` (every combination of
+    grouping columns, 2^len(dims) grouping sets) with a grouping
+    level id — the cross-dim slice a dashboard or mixture audit wants
+    where ROLLUP only gives the prefix hierarchy. Same cost shape as
+    rollup_report: Spark expands grouping sets map-side into ONE
+    partial hash aggregate, so the price is ~2^len(dims) partial rows
+    per input partition (dims stay small by construction), not extra
+    passes over the fact table.
+
+    grouping_level uses Spark's grouping_id() bit order (first dim =
+    most significant bit); the oracle reconstructs it explicitly from
+    GROUPING() bits so both engines agree by construction.
+    """
+    return (
+        df.cube(*dims)
+        .agg(
+            exact_sum(value_col).alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
 def gap_fill_hourly(
     events: DataFrame, group_col: str, fill: str = "zero"
 ) -> DataFrame:

@@ -1176,3 +1176,99 @@ def hybrid_search(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "rank", "doc_id", "rrf_nanos")
     )
+
+
+def mutual_knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Mutual k-NN graph over an embedding corpus: undirected edges
+    (id_a < id_b) where EACH endpoint ranks the other inside its own
+    cosine top-k. Mutuality is the standard symmetrization for
+    graph-based corpus analysis (SemDeDup-style clustering, label
+    propagation, coreset selection): one-sided kNN edges from dense
+    hubs are exactly the edges mutuality drops.
+
+    Default path is the exact baseline: corpus x corpus scored
+    all-pairs (one side broadcast). That is O(N^2) BY DEFINITION of
+    exact kNN and is the right plan only up to ~1e5 vectors. The 100
+    TB path passes `candidates` — (id_a, id_b) pairs from
+    lsh_bucketed_topk / ivf_topk bucketing (never all-pairs); ranks
+    are then computed within the candidate graph only, so recall
+    follows the candidate generator's recall while the plan stays
+    bucket-local.
+
+    Ranking mirrors cosine_topk exactly: cosine in double, rounded to
+    6dp BEFORE ranking, ties by neighbor id — so a DuckDB oracle
+    replays it bit-for-bit. Output: (id_a, id_b, cosine) with both
+    directed ranks <= k (enforced by requiring BOTH directions to
+    survive the per-source top-k window).
+    """
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("emb"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    if candidates is None:
+        a = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        b = fan_out(e).select(
+            F.col("vec_id").alias("dst"),
+            F.col("emb").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        scored = (
+            F.broadcast(a)
+            .crossJoin(b)
+            .filter(F.col("src") != F.col("dst"))
+        )
+    else:
+        # candidate pairs are unordered; a directed rank needs both
+        # directions present, so mirror them before scoring
+        cand = candidates.select(
+            F.col(candidates.columns[0]).alias("src"),
+            F.col(candidates.columns[1]).alias("dst"),
+        )
+        both = cand.union(cand.select(F.col("dst"), F.col("src")))
+        ea = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        eb = e.select(
+            F.col("vec_id").alias("dst"),
+            F.col("emb").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        scored = both.join(ea, "src").join(eb, "dst")
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    directed = scored.select(
+        "src", "dst", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    topk = directed.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    # an undirected edge survives iff BOTH directed edges did: the
+    # unordered-pair groupBy sees exactly 2 rows for mutual pairs
+    # (cosine is symmetric and rounded identically on both sides)
+    return (
+        topk.groupBy(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("cosine").alias("cosine"),
+        )
+        .filter(F.col("__n") == 2)
+        .select("id_a", "id_b", "cosine")
+    )

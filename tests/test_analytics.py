@@ -1400,3 +1400,108 @@ def test_ts_pattern_finds_planted_match(spark):
         ts_pattern_topk(ev, [1.0, 1.0, 1.0])
     with pytest.raises(ValueError, match=">= 2"):
         ts_pattern_topk(ev, [1.0])
+
+
+def test_mutual_knn_drops_one_sided_edges(spark):
+    """With k=1: A<->B are each other's nearest, C's nearest is A but
+    A's nearest is B — so (A,C) is one-sided and must be dropped."""
+    from geist_spark.operators.similarity import mutual_knn_graph
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),          # A
+            (1, [0.99, 0.14, 0.0]),        # B ~ A
+            (2, [0.90, -0.43, 0.0]),       # C: nearest A, but A prefers B
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_graph(emb, k=1).collect()
+    }
+    assert edges == {(0, 1)}
+
+
+def test_mutual_knn_candidates_path_subset(spark):
+    """The bucketed path (explicit candidate pairs) must agree with
+    the exact path on every pair the candidates cover."""
+    from geist_spark.operators.similarity import mutual_knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in mutual_knn_graph(emb, k=2).collect()
+    }
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        "id_a long, id_b long",
+    )
+    via_cand = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in mutual_knn_graph(emb, k=2, candidates=cand).collect()
+    }
+    # full candidate coverage -> identical graph
+    assert via_cand == exact
+
+
+def test_ngram_containment_finds_subdoc_jaccard_misses(spark):
+    from geist_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, k=3, threshold_pct=90).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    # every shingle of the short doc appears in the long one
+    assert row["n_common"] == row["n_a"]
+    # symmetric Jaccard at 0.5 misses the same pair
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_cube_report_all_grouping_sets(spark):
+    from geist_spark.operators.relational import cube_report
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "d1 string, d2 string, v double",
+    )
+    rows = {
+        (r["d1"], r["d2"], r["grouping_level"]): (r["total"], r["n_rows"])
+        for r in cube_report(df, ["d1", "d2"], "v").collect()
+    }
+    # 2^2 grouping sets: detail(0), by-d1(1), by-d2(2), grand total(3)
+    assert rows[("a", "x", 0)] == (1.0, 1)
+    assert rows[("a", None, 1)] == (3.0, 2)
+    assert rows[(None, "x", 2)] == (5.0, 2)
+    assert rows[(None, None, 3)] == (7.0, 3)
+    # 3 detail + 2 by-d1 + 2 by-d2 + 1 grand total
+    assert len(rows) == 8
+
+
+def test_curriculum_interleave_round_robin(spark):
+    from geist_spark.operators.prep import curriculum_interleave
+
+    # difficulties spread over 3 buckets of width 10: sizes 3, 2, 1
+    data = [(1, 4), (2, 7), (3, 9), (4, 12), (5, 15), (6, 27)]
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    out = sorted(
+        curriculum_interleave(df, "n_tokens", n_buckets=5, bucket_width=10)
+        .collect(),
+        key=lambda r: r["position"],
+    )
+    # positions are a permutation of 1..N
+    assert [r["position"] for r in out] == list(range(1, 7))
+    # round-robin: step 1 of each bucket first (easiest-first within a
+    # step), then step 2 of surviving buckets, etc.
+    assert [r["doc_id"] for r in out] == [1, 4, 6, 2, 5, 3]
+    assert [r["bucket"] for r in out] == [1, 2, 3, 1, 2, 1]
