@@ -1270,3 +1270,121 @@ def test_cohort_retention_matches_reference(spark, rows):
             users_at.setdefault((c, p - c), set()).add(u)
     want = {k: len(v) for k, v in users_at.items()}
     assert got == want, (got, want)
+
+
+# ---------- mutual k-NN graph ----------
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=3, max_size=12, unique_by=tuple,
+    ),
+    k=st.integers(1, 3),
+)
+@SET
+def test_mutual_knn_matches_python_replay(spark, vecs, k):
+    import math
+
+    from geist_spark.operators.similarity import mutual_knn_graph
+
+    # avoid zero vectors (cosine undefined -> NULL, dropped by rank)
+    vecs = [v if any(v) else [1, 0, 0] for v in vecs]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_graph(emb, k=k).collect()
+    }
+    # python replay of the rounded-cosine ranking
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+    n = len(vecs)
+    topk = {}
+    for i in range(n):
+        ranked = sorted(
+            ((-cos(vecs[i], vecs[j]), j) for j in range(n) if j != i),
+        )[:k]
+        topk[i] = {j for _, j in ranked}
+    want = {
+        (a, b)
+        for a in range(n) for b in range(a + 1, n)
+        if b in topk[a] and a in topk[b]
+    }
+    assert got == want, (got, want)
+
+
+# ---------- n-gram containment ----------
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    pct=st.sampled_from([50, 80, 100]),
+)
+@SET
+def test_containment_matches_brute_force(spark, docs, pct):
+    from geist_spark.operators.dedup import ngram_containment_pairs
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in ngram_containment_pairs(df, k=3, threshold_pct=pct).collect()
+    }
+    def sh(toks):
+        # mirror shingles(): windows of 3, padded semantics via
+        # greatest(len-k, 0) -> at least one (possibly short) shingle
+        n = max(len(toks) - 3, 0)
+        return {" ".join(toks[i:i + 3]) for i in range(n + 1)}
+    sets = [sh(t) for t in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter and 100 * inter >= pct * min(len(sets[a]), len(sets[b])):
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == want, (got, want)
+
+
+# ---------- curriculum interleave ----------
+
+@given(
+    diffs=st.lists(st.integers(0, 99), min_size=1, max_size=25),
+    width=st.sampled_from([10, 25]),
+    n_buckets=st.integers(2, 5),
+)
+@SET
+def test_curriculum_matches_sorted_replay(spark, diffs, width, n_buckets):
+    from geist_spark.operators.prep import curriculum_interleave
+
+    df = spark.createDataFrame(
+        list(enumerate(diffs)), "doc_id long, n_tokens long"
+    )
+    rows = curriculum_interleave(
+        df, "n_tokens", n_buckets=n_buckets, bucket_width=width
+    ).collect()
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["position"])]
+    # replay: bucket -> per-bucket (diff, id) order -> round-robin by
+    # (step, bucket); this IS the total order the arithmetic encodes
+    def bucket(d):
+        return min(n_buckets, 1 + d // width)
+    per = {}
+    for i, d in enumerate(diffs):
+        per.setdefault(bucket(d), []).append((d, i))
+    key = []
+    for b, items in per.items():
+        items.sort()
+        for step, (_, i) in enumerate(items, start=1):
+            key.append((step, b, i))
+    want = [i for _, _, i in sorted(key)]
+    assert got == want, (got, want)
+    # and position is a permutation of 1..N
+    assert sorted(r["position"] for r in rows) == list(range(1, len(diffs) + 1))
