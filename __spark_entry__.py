@@ -3095,6 +3095,24 @@ def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ ANN (the FAISS IVFPQ architecture): trained
+    coarse cells restrict candidates, PQ ADC distance ranks them."""
+    from geist_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k_top=5,
+        n_cells=8,
+        ivf_iters=2,
+        nprobe=2,
+        m=4,
+        k_codes=16,
+        pq_iters=2,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3669,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_containment": d_containment,
         "q_cube_revenue": q_cube_revenue,
         "p_curriculum": p_curriculum,
+        "s_ivf_pq": s_ivf_pq,
     }
 
 
@@ -6325,6 +6344,11 @@ def oracle_sql() -> dict[str, str]:
             FROM stepped s CROSS JOIN sizes z
             GROUP BY s.doc_id, s.bucket, s.step
         """,
+        "s_ivf_pq": _ivf_pq_oracle(
+            n_cells=8, ivf_iters=2, nprobe=2,
+            m=4, k_codes=16, pq_iters=2,
+            dim=64, n_queries=10, k_top=5,
+        ),
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])
@@ -7573,13 +7597,15 @@ def _pagerank_oracle(
     )
 
 
-def _pq_adc_oracle(
-    m: int, k: int, iters: int, dim: int, n_queries: int, k_top: int
-) -> str:
-    """Replays pq_train_encode + pq_adc_topk: per-subspace fixed-point
-    Lloyd (same floor-division spelling as _ivf_train_cte_parts, keyed
-    by (subspace, cid)), then distance tables joined against the final
-    per-subspace assignments. Exact long arithmetic throughout."""
+def _pq_cte_parts(
+    m: int, k: int, iters: int, dim: int, n_queries: int
+) -> tuple[list[str], str]:
+    """CTE chain replaying pq_train_encode + the per-query ADC
+    distance tables (`dt`): per-subspace fixed-point Lloyd (same
+    floor-division spelling as _ivf_train_cte_parts, keyed by
+    (subspace, cid)). Returns (parts, final_assignment_cte) so
+    _pq_adc_oracle and the composed _ivf_pq_oracle share one replay.
+    Exact long arithmetic throughout."""
     from geist_spark.operators.similarity import FX_SCALE
 
     dsub = dim // m
@@ -7633,23 +7659,102 @@ def _pq_adc_oracle(
                               WHERE a.j = c.j AND a.cell = c.cid)
         )""")
     last_a, last_c = f"a{iters - 1}", f"c{iters - 1}"
-    parts += [
-        f"""dt AS (
+    parts.append(f"""dt AS (
             SELECT q.vec_id AS query_id, q.j, c.cid,
                    CAST(list_sum([(q.sfx[i] - c.c[i]) * (q.sfx[i] - c.c[i])
                                   for i in generate_series(1, {dsub})])
                         AS BIGINT) AS d
             FROM sub q JOIN {last_c} c ON q.j = c.j
             WHERE q.vec_id < {n_queries}
-        )""",
-        f"""scored AS (
+        )""")
+    return parts, last_a
+
+
+def _pq_adc_oracle(
+    m: int, k: int, iters: int, dim: int, n_queries: int, k_top: int
+) -> str:
+    """pq_train_encode + pq_adc_topk replay (see _pq_cte_parts)."""
+    parts, last_a = _pq_cte_parts(m, k, iters, dim, n_queries)
+    parts.append(f"""scored AS (
             SELECT t.query_id, a.vec_id AS neighbor_id,
                    CAST(sum(t.d) AS BIGINT) AS approx_sq_dist
             FROM {last_a} a JOIN dt t ON t.j = a.j AND t.cid = a.cell
             WHERE a.vec_id <> t.query_id
             GROUP BY t.query_id, a.vec_id
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, approx_sq_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY approx_sq_dist, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k_top}
+        """
+    )
+
+
+def _ivf_pq_oracle(
+    n_cells: int,
+    ivf_iters: int,
+    nprobe: int,
+    m: int,
+    k_codes: int,
+    pq_iters: int,
+    dim: int,
+    n_queries: int,
+    k_top: int,
+) -> str:
+    """Composed IVFPQ replay: the trained-IVF cosine assignment
+    (prefixed `ivf_` to keep its CTE names disjoint from the PQ
+    chain's) restricts the PQ ADC scoring to probed cells — the exact
+    composition ivf_pq_topk runs."""
+    import re
+
+    from geist_spark.operators.similarity import FX_SCALE
+
+    ivf_parts, _ = _ivf_train_cte_parts(n_cells, ivf_iters, dim)
+    # blanket-rename the chain's working identifiers (CTE names AND
+    # the fx column, consistently on both definition and reference)
+    pat = re.compile(r"\b(fx|sub|c\d+|d\d+|a\d+|s\d+)\b")
+    ivf_parts = [pat.sub(lambda mo: "ivf_" + mo.group(1), p) for p in ivf_parts]
+    cent_cte = f"ivf_c{ivf_iters - 1}"
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    parts = ivf_parts + [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cd AS (
+            SELECT cid, [x / {FX_SCALE}.0 for x in c] AS cv FROM {cent_cte}
+        )""",
+        f"""ranked AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cid DESC) AS rn
+            FROM e CROSS JOIN cd c
+        )""",
+        "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)",
+        f"""probes AS (
+            SELECT vec_id AS query_id, cid AS cell
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {nprobe}
         )""",
     ]
+    pq_parts, pq_last_a = _pq_cte_parts(m, k_codes, pq_iters, dim, n_queries)
+    parts += pq_parts
+    parts.append(f"""scored AS (
+            SELECT t.query_id, a.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS approx_sq_dist
+            FROM {pq_last_a} a
+            JOIN dt t ON t.j = a.j AND t.cid = a.cell
+            JOIN assign av ON av.vec_id = a.vec_id
+            JOIN probes p ON p.query_id = t.query_id AND p.cell = av.cell
+            WHERE a.vec_id <> t.query_id
+            GROUP BY t.query_id, a.vec_id
+        )""")
     return (
         "WITH " + ",\n".join(parts)
         + f"""

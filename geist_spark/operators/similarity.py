@@ -278,6 +278,22 @@ def cross_corpus_leakage(
     )
 
 
+def _centroid_scores(
+    emb: F.Column, cents: list[tuple[int, list[float]]]
+) -> F.Column:
+    """array<struct<cos,cid>> of rounded cosine to each centroid —
+    the shared cell-assignment arithmetic of ivf_topk and ivf_pq_topk
+    (one spelling, one oracle replay)."""
+    entries = []
+    for cid, vec in cents:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        cos = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
+        entries.append(
+            F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid"))
+        )
+    return F.array(*entries)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -317,15 +333,7 @@ def ivf_topk(
             raise ValueError("centroid vectors must share one dimensionality")
 
     def cell_scores() -> F.Column:
-        """array<struct<cos,cid>> of rounded cosine to each centroid."""
-        entries = []
-        for cid, vec in cents:
-            arr = F.array(*[F.lit(float(x)) for x in vec])
-            cos = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
-            entries.append(
-                F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid"))
-            )
-        return F.array(*entries)
+        return _centroid_scores(emb, cents)
 
     # argmax by (cos, cid): array_max on struct<cos,cid> — ties on the
     # rounded cosine resolve to the larger cid, mirrored in the oracle
@@ -1271,4 +1279,117 @@ def mutual_knn_graph(
         )
         .filter(F.col("__n") == 2)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 5,
+    n_cells: int = 8,
+    ivf_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF+PQ composed ANN search (the FAISS IVFPQ architecture,
+    Jegou et al. 2011): a trained coarse quantizer restricts the
+    candidate set to `nprobe` cells, and PQ asymmetric distance (ADC
+    table lookup) ranks the candidates — the configuration that
+    actually runs billion-vector search in production.
+
+    Composition of the two existing operators, so each stage keeps
+    its independently-verified exactness: train_ivf_centroids
+    (fixed-point Lloyd, bit-identical at any parallelism) for the
+    cells, pq_train_encode for the codebooks/codes, the shared
+    _centroid_scores cosine assignment for probes. One honest delta
+    from production IVFPQ: codes quantize RAW vectors, not residuals
+    (x - centroid) — residual encoding improves recall but couples
+    the stages; the PLAN (scan reads m ints/vector, candidates only
+    from probed cells, no shuffle before the per-query top-k window)
+    is identical, which is what matters at 100 TB.
+
+    Output: (query_id, neighbor_id, approx_sq_dist, rank) — exact
+    long ADC distances, ties by neighbor_id.
+    """
+    cents_fx, _ = train_ivf_centroids(
+        embeddings, k=n_cells, iters=ivf_iters
+    )
+    cd = [
+        (i, [v / float(FX_SCALE) for v in c])
+        for i, c in enumerate(cents_fx)
+    ]
+    emb = F.col("embedding")
+    scores = _centroid_scores(emb, cd)
+    assigned = fan_out(embeddings).select(
+        "vec_id", F.array_max(scores)["cid"].alias("cell")
+    )
+    probes = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
+            ).alias("cell"),
+        )
+    )
+    books, codes = pq_train_encode(
+        embeddings, m=m, k=k_codes, iters=pq_iters
+    )
+    # per-query ADC distance tables (m x k longs, driver-side) — the
+    # same bounded collect as pq_adc_topk
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", _fx(emb).alias("qfx"))
+        .collect()
+    )
+    dsub = len(books[0][0])
+    rows = []
+    for r in q:
+        qfx = list(r["qfx"])
+        dt = [
+            [
+                sum((qfx[j * dsub + i] - c[i]) ** 2 for i in range(dsub))
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        rows.append((r["vec_id"], dt))
+    qdf = embeddings.sparkSession.createDataFrame(
+        rows, "query_id long, dt array<array<long>>"
+    )
+    # candidates = codes of vectors whose IVF cell is probed by the
+    # query: the probe side is |Q|*nprobe rows -> broadcast; the codes
+    # scan reads m ints per vector and only probed cells shuffle on
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes.join(qdf, "query_id")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("dt"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("approx_sq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_sq_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

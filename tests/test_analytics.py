@@ -1505,3 +1505,57 @@ def test_curriculum_interleave_round_robin(spark):
     # step), then step 2 of surviving buckets, etc.
     assert [r["doc_id"] for r in out] == [1, 4, 6, 2, 5, 3]
     assert [r["bucket"] for r in out] == [1, 2, 3, 1, 2, 1]
+
+
+def test_ivf_pq_is_cell_restricted_adc(spark):
+    """Composition invariants: every IVFPQ hit carries the SAME ADC
+    distance the unrestricted PQ search assigns to that pair, and
+    every returned neighbor lives in a cell the query probed."""
+    from geist_spark.operators.similarity import (
+        FX_SCALE,
+        _centroid_scores,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_train_encode,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    args = dict(n_cells=4, ivf_iters=2, nprobe=2, m=2, k_codes=4, pq_iters=2)
+    got = ivf_pq_topk(emb, query_ids=[0, 1, 2], k_top=3, **args).collect()
+    assert got, "IVFPQ returned no rows"
+
+    # unrestricted ADC distances for the same codebooks
+    books, codes = pq_train_encode(emb, m=2, k=4, iters=2)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sq_dist"]
+        for r in pq_adc_topk(emb, codes, books, [0, 1, 2], k_top=24).collect()
+    }
+    # probed cells per query / assigned cell per vector
+    cents, _ = train_ivf_centroids(emb, k=4, iters=2)
+    cd = [(i, [v / float(FX_SCALE) for v in c]) for i, c in enumerate(cents)]
+    scores = _centroid_scores(F.col("embedding"), cd)
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", F.array_max(scores)["cid"].alias("cell")
+        ).collect()
+    }
+    probed = {
+        r["vec_id"]: set(r["cells"])
+        for r in emb.filter(F.col("vec_id") < 3).select(
+            "vec_id",
+            F.slice(F.reverse(F.array_sort(scores)), 1, 2)["cid"].alias("cells"),
+        ).collect()
+    }
+    for r in got:
+        pair = (r["query_id"], r["neighbor_id"])
+        assert full[pair] == r["approx_sq_dist"], pair
+        assert assigned[r["neighbor_id"]] in probed[r["query_id"]], pair
