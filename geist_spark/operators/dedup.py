@@ -364,29 +364,18 @@ def simhash_near_dup_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_candidate_counts(
     documents: DataFrame,
-    k: int = 3,
-    threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    k: int,
+    max_shingle_freq: int | None,
 ) -> DataFrame:
-    """Exact Jaccard near-dup pairs via shingle inverted index.
-
-    Candidate generation = self-join on shingle (only pairs sharing at
-    least one shingle are compared — never all-pairs), then
-    |A∩B| from the join, |A|,|B| from per-doc counts.
-
-    `max_shingle_freq` is the 100 TB guard (the analogue of
-    minhash_lsh_pairs' max_bucket_size): a shingle shared by m docs
-    contributes m^2/2 rows to the self-join, so one stop-phrase can
-    dominate the whole job. Shingles above the document-frequency cap
-    are dropped from the index — |A∩B| then undercounts by the capped
-    shingles, so reported jaccard is a LOWER BOUND for pairs sharing
-    them (|A|,|B| stay exact, computed pre-cap). That bias is the
-    standard trade: a capped shingle appears in ~every doc and carries
-    no discriminating signal, so true near-dups still clear the
-    threshold on their remaining shingles. The frequency count rides
-    the same hash partitioning as the join key."""
+    """Shared candidate stage of ngram_jaccard_pairs and
+    ngram_containment_pairs: shingle inverted-index self-join (only
+    pairs sharing >=1 surviving shingle, never all-pairs) with the
+    hot-shingle document-frequency cap, joined to the PRE-cap per-doc
+    sizes. Output: (doc_a, doc_b, n_common, n_a, n_b), doc_a < doc_b —
+    both similarity measures are thin projections over these counts.
+    """
     sh = shingles(documents, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
@@ -412,11 +401,46 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted index.
+
+    Candidate generation = self-join on shingle (only pairs sharing at
+    least one shingle are compared — never all-pairs), then
+    |A∩B| from the join, |A|,|B| from per-doc counts.
+
+    `max_shingle_freq` is the 100 TB guard (the analogue of
+    minhash_lsh_pairs' max_bucket_size): a shingle shared by m docs
+    contributes m^2/2 rows to the self-join, so one stop-phrase can
+    dominate the whole job. Shingles above the document-frequency cap
+    are dropped from the index — |A∩B| then undercounts by the capped
+    shingles, so reported jaccard is a LOWER BOUND for pairs sharing
+    them (|A|,|B| stay exact, computed pre-cap). That bias is the
+    standard trade: a capped shingle appears in ~every doc and carries
+    no discriminating signal, so true near-dups still clear the
+    threshold on their remaining shingles. The frequency count rides
+    the same hash partitioning as the join key."""
+    counts = _shingle_candidate_counts(documents, k, max_shingle_freq)
+    return (
+        counts.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ),
         )
@@ -452,42 +476,9 @@ def ngram_containment_pairs(
     Output: (doc_a, doc_b, n_common, n_a, n_b), doc_a < doc_b, all
     BIGINT.
     """
-    sh = shingles(documents, k=k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    if max_shingle_freq is not None:
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_shingle_freq)
-            .drop("__df")
-        )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.col("sa.n_sh").alias("n_a"),
-            F.col("sb.n_sh").alias("n_b"),
-        )
-        .filter(
-            F.lit(100) * F.col("n_common")
-            >= F.lit(threshold_pct) * F.least("n_a", "n_b")
-        )
+    return _shingle_candidate_counts(documents, k, max_shingle_freq).filter(
+        F.lit(100) * F.col("n_common")
+        >= F.lit(threshold_pct) * F.least("n_a", "n_b")
     )
 
 

@@ -589,6 +589,17 @@ def pivot_table(
     )
 
 
+def _grouping_report(grouped, value_col: str) -> DataFrame:
+    """Shared aggregate body of rollup_report / cube_report: exact
+    total, row count, and the grouping-set id — one output contract
+    for every grouping-sets report shape."""
+    return grouped.agg(
+        exact_sum(value_col).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
 def rollup_report(
     df: DataFrame, dims: list[str], value_col: str
 ) -> DataFrame:
@@ -597,14 +608,7 @@ def rollup_report(
     grouping sets map-side, the aggregate is still a single partial
     hash agg, so the cost is ~len(dims)+1 partial rows per input
     partition, not extra passes."""
-    return (
-        df.rollup(*dims)
-        .agg(
-            exact_sum(value_col).alias("total"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.grouping_id().alias("grouping_level"),
-        )
-    )
+    return _grouping_report(df.rollup(*dims), value_col)
 
 
 def cube_report(
@@ -623,14 +627,7 @@ def cube_report(
     most significant bit); the oracle reconstructs it explicitly from
     GROUPING() bits so both engines agree by construction.
     """
-    return (
-        df.cube(*dims)
-        .agg(
-            exact_sum(value_col).alias("total"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.grouping_id().alias("grouping_level"),
-        )
-    )
+    return _grouping_report(df.cube(*dims), value_col)
 
 
 def gap_fill_hourly(

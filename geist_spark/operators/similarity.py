@@ -761,6 +761,65 @@ def pq_train_encode(
     return books, codes
 
 
+def _adc_distance_tables(
+    embeddings: DataFrame, query_ids: list[int], books: list
+) -> DataFrame:
+    """Per-query ADC distance tables: exact squared distance from each
+    query SUBvector to every codebook entry — an m x k long table per
+    query, built driver-side from one bounded |Q|-row collect (m*k is
+    tiny). Shared by pq_adc_topk and ivf_pq_topk so the ADC arithmetic
+    has exactly one spelling. Output: (query_id, dt array<array<long>>).
+    """
+    m = len(books)
+    dsub = len(books[0][0])
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", _fx(F.col("embedding")).alias("qfx"))
+        .collect()
+    )
+    rows = []
+    for r in q:
+        qfx = list(r["qfx"])
+        dt = [
+            [
+                sum((qfx[j * dsub + i] - c[i]) ** 2 for i in range(dsub))
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        rows.append((r["vec_id"], dt))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "query_id long, dt array<array<long>>"
+    )
+
+
+def _adc_score_topk(cand: DataFrame, k_top: int) -> DataFrame:
+    """Shared ADC scoring tail: sum_j dt[j][code_j] in pure long table
+    lookups over (query_id, vec_id, codes, dt) candidate rows, then the
+    per-query top-k window (ties by neighbor id)."""
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("dt"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("approx_sq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "approx_sq_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     codes: DataFrame,
@@ -780,56 +839,11 @@ def pq_adc_topk(
     the distance tables ride along as literals (the query side is a
     broadcast of |Q| rows). All-long arithmetic -> oracle bit-exact.
     """
-    m = len(books)
-    q = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select("vec_id", _fx(F.col("embedding")).alias("qfx"))
-        .collect()
+    qdf = _adc_distance_tables(embeddings, query_ids, books)
+    cand = codes.crossJoin(F.broadcast(qdf)).filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    spark = embeddings.sparkSession
-    dsub = len(books[0][0])
-    rows = []
-    for r in q:
-        qfx = list(r["qfx"])
-        dt = [
-            [
-                sum(
-                    (qfx[j * dsub + i] - c[i]) ** 2
-                    for i in range(dsub)
-                )
-                for c in books[j]
-            ]
-            for j in range(m)
-        ]
-        rows.append((r["vec_id"], dt))
-    qdf = spark.createDataFrame(
-        rows, "query_id long, dt array<array<long>>"
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("dt"),
-                    lambda code, row: F.element_at(row, code + 1),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("approx_sq_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "neighbor_id", "approx_sq_dist", "rank")
-    )
+    return _adc_score_topk(cand, k_top)
 
 
 def lsh_multiprobe_topk(
@@ -1236,12 +1250,22 @@ def mutual_knn_graph(
         )
     else:
         # candidate pairs are unordered; a directed rank needs both
-        # directions present, so mirror them before scoring
+        # directions present, so mirror them before scoring. Distinct
+        # + self-pair drop are load-bearing: raw candidate generators
+        # (an LSH band join before dedup) emit duplicates, mirrored
+        # orientations, and (x,x) rows — a duplicated directed edge
+        # would occupy a rank slot AND break the count==2 mutuality
+        # test below in both directions (double-counted mutual pairs
+        # dropped, duplicated one-sided pairs kept)
         cand = candidates.select(
             F.col(candidates.columns[0]).alias("src"),
             F.col(candidates.columns[1]).alias("dst"),
         )
-        both = cand.union(cand.select(F.col("dst"), F.col("src")))
+        both = (
+            cand.union(cand.select(F.col("dst"), F.col("src")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
         ea = e.select(
             F.col("vec_id").alias("src"),
             F.col("emb").alias("a_emb"),
@@ -1337,28 +1361,7 @@ def ivf_pq_topk(
     books, codes = pq_train_encode(
         embeddings, m=m, k=k_codes, iters=pq_iters
     )
-    # per-query ADC distance tables (m x k longs, driver-side) — the
-    # same bounded collect as pq_adc_topk
-    q = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select("vec_id", _fx(emb).alias("qfx"))
-        .collect()
-    )
-    dsub = len(books[0][0])
-    rows = []
-    for r in q:
-        qfx = list(r["qfx"])
-        dt = [
-            [
-                sum((qfx[j * dsub + i] - c[i]) ** 2 for i in range(dsub))
-                for c in books[j]
-            ]
-            for j in range(m)
-        ]
-        rows.append((r["vec_id"], dt))
-    qdf = embeddings.sparkSession.createDataFrame(
-        rows, "query_id long, dt array<array<long>>"
-    )
+    qdf = _adc_distance_tables(embeddings, query_ids, books)
     # candidates = codes of vectors whose IVF cell is probed by the
     # query: the probe side is |Q|*nprobe rows -> broadcast; the codes
     # scan reads m ints per vector and only probed cells shuffle on
@@ -1367,29 +1370,4 @@ def ivf_pq_topk(
         .join(F.broadcast(probes.join(qdf, "query_id")), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("dt"),
-                lambda code, row: F.element_at(row, code + 1),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("approx_sq_dist"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "approx_sq_dist",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _adc_score_topk(cand, k_top)

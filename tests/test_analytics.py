@@ -1435,10 +1435,13 @@ def test_mutual_knn_candidates_path_subset(spark):
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in mutual_knn_graph(emb, k=2).collect()
     }
-    cand = spark.createDataFrame(
-        [(a, b) for a in range(8) for b in range(a + 1, 8)],
-        "id_a long, id_b long",
-    )
+    # full coverage, but MESSY: duplicates, mirrored orientations, and
+    # self-pairs — the raw shape of an un-deduped LSH band join. The
+    # operator must canonicalize, or ranks miscount and the count==2
+    # mutuality test breaks in both directions.
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    messy = pairs + [(b, a) for a, b in pairs] + pairs[:5] + [(3, 3)]
+    cand = spark.createDataFrame(messy, "id_a long, id_b long")
     via_cand = {
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in mutual_knn_graph(emb, k=2, candidates=cand).collect()
