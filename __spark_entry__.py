@@ -3113,6 +3113,15 @@ def s_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 span REMOVAL (the paper's actual output): every
+    >=40-char shared span is cut from the higher-id doc; one row per
+    input doc with the rebuilt text's md5 + removal counts."""
+    from geist_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"), min_len=40)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3688,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_revenue": q_cube_revenue,
         "p_curriculum": p_curriculum,
         "s_ivf_pq": s_ivf_pq,
+        "d_remove_spans": d_remove_spans,
     }
 
 
@@ -6349,6 +6359,82 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
+        "d_remove_spans": """
+            WITH grams AS (
+                SELECT doc_id, i.i AS pos, md5(substr(text, i.i, 40)) AS g
+                FROM documents,
+                LATERAL (SELECT unnest(generate_series(
+                    1, greatest(length(text) - 39, 0))) AS i) i
+            ), m AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, a.pos - b.pos AS diag
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+            ), runs AS (
+                SELECT doc_a, doc_b, diag, pa,
+                       CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+                FROM m
+                WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+            ), numbered AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run_id
+                FROM runs
+            ), uspan AS (
+                SELECT DISTINCT doc_id, start_pos, end_pos FROM (
+                    SELECT doc_b AS doc_id,
+                           min(pa) - diag AS start_pos,
+                           max(pa) - diag + 39 AS end_pos
+                    FROM numbered GROUP BY doc_a, doc_b, diag, run_id)
+            ), marked AS (
+                SELECT doc_id, start_pos, end_pos,
+                       CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+                           PARTITION BY doc_id ORDER BY start_pos, end_pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       THEN 1 ELSE 0 END AS grp_brk
+                FROM uspan
+            ), grouped AS (
+                SELECT doc_id, start_pos, end_pos,
+                       sum(grp_brk) OVER (
+                           PARTITION BY doc_id
+                           ORDER BY start_pos, end_pos) AS grp
+                FROM marked
+            ), mspan AS (
+                SELECT doc_id, grp,
+                       min(start_pos) AS start_pos, max(end_pos) AS end_pos
+                FROM grouped GROUP BY doc_id, grp
+            ), pieces AS (
+                SELECT doc_id, start_pos, end_pos,
+                       coalesce(lag(end_pos) OVER (
+                           PARTITION BY doc_id ORDER BY start_pos), 0) + 1
+                       AS piece_start
+                FROM mspan
+            ), perdoc AS (
+                SELECT p.doc_id,
+                       string_agg(
+                           substr(d.text, p.piece_start,
+                                  p.start_pos - p.piece_start),
+                           '' ORDER BY p.start_pos) AS head,
+                       max(p.end_pos) AS last_end,
+                       count(*) AS n_spans_removed
+                FROM pieces p JOIN documents d ON d.doc_id = p.doc_id
+                GROUP BY p.doc_id
+            ), cleaned AS (
+                SELECT d.doc_id,
+                       coalesce(pd.head, '')
+                       || substr(d.text, coalesce(pd.last_end, 0) + 1,
+                                 greatest(length(d.text)
+                                          - coalesce(pd.last_end, 0), 0))
+                       AS newtext,
+                       coalesce(pd.n_spans_removed, 0) AS n_spans_removed
+                FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+            )
+            SELECT c.doc_id, md5(c.newtext) AS text_md5,
+                   CAST(length(d.text) - length(c.newtext) AS BIGINT)
+                       AS n_chars_removed,
+                   CAST(c.n_spans_removed AS BIGINT) AS n_spans_removed
+            FROM cleaned c JOIN documents d ON d.doc_id = c.doc_id
+        """,
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])

@@ -653,7 +653,7 @@ def distinct_event_keys(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type").distinct()
 
 
-def substring_dup_spans(
+def _dup_span_runs(
     documents: DataFrame,
     min_len: int = 40,
     stride: int = 1,
@@ -674,8 +674,9 @@ def substring_dup_spans(
          shared span; a lag-window streak-break + cumsum groups them,
          span_len = max(pos_a) - min(pos_a) + min_len.
 
-    Returns (doc_a, doc_b, n_spans, max_span, total_shared) per
-    overlapping pair, doc_a < doc_b — integers, engine-exact.
+    Returns ONE ROW PER MAXIMAL RUN: (doc_a, doc_b, diag, run_id,
+    pa_min, pa_max), doc_a < doc_b — the grain both the pair summary
+    (substring_dup_spans) and the cutter (remove_dup_spans) consume.
 
     Scale levers at 100 TB:
     - `stride` samples index positions (pos % stride == 0 on ONE
@@ -700,6 +701,12 @@ def substring_dup_spans(
     grams = (
         fan_out(documents)
         .select("doc_id", F.explode(pos_seq).alias("pos"), t)
+        # docs shorter than k must emit ZERO grams: Spark's
+        # sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
+        # generate_series(1, 0) is empty), so without this guard every
+        # short doc emits md5 grams of ''/truncated text that match
+        # across all short docs and fabricate shared spans
+        .filter(F.col("pos") <= F.length(t) - k + 1)
         .select("doc_id", "pos", F.md5(F.substring(t, F.col("pos"), k)).alias("g"))
     )
     if max_gram_freq is not None:
@@ -742,14 +749,129 @@ def substring_dup_spans(
             F.lit(1)
         ),
     ).withColumn("run_id", F.sum("brk").over(wd))
-    spans = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
-        (F.max("pa") - F.min("pa") + k).alias("span")
+    # one row per maximal run: the shared grain substring_dup_spans
+    # aggregates and remove_dup_spans cuts from
+    return runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.min("pa").alias("pa_min"), F.max("pa").alias("pa_max")
+    )
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    min_len: int = 40,
+    stride: int = 1,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Per-pair summary of the maximal shared spans _dup_span_runs
+    finds (see its docstring for the algorithm and the 100 TB levers).
+    Returns (doc_a, doc_b, n_spans, max_span, total_shared),
+    doc_a < doc_b — integers, engine-exact."""
+    k = min_len
+    spans = _dup_span_runs(documents, min_len, stride, max_gram_freq).select(
+        "doc_a",
+        "doc_b",
+        (F.col("pa_max") - F.col("pa_min") + k).alias("span"),
     )
     return spans.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_spans"),
         F.max("span").alias("max_span"),
         F.sum("span").alias("total_shared"),
     )
+
+
+def remove_dup_spans(
+    documents: DataFrame,
+    min_len: int = 40,
+    stride: int = 1,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Cut duplicated substrings OUT of the corpus — the second half
+    of Lee et al. 2022 (the paper removes one copy of every >=min_len
+    shared span; substring_dup_spans only reports them). Policy: the
+    copy in the LOWEST doc_id survives; every maximal shared span is
+    cut from the higher-id doc of its pair. Deterministic, idempotent
+    on the surviving copy.
+
+    All codegen, three shuffles past the shared run stage:
+      1. per-doc span extraction from _dup_span_runs (the b side of a
+         run covers chars [pa_min-diag, pa_max-diag+min_len-1]);
+      2. overlap merge: running-max-of-end window per doc -> group ids
+         (strictly overlapping spans merge; adjacent spans stay
+         separate and just contribute an empty kept piece);
+      3. rebuild: each merged span keeps the gap BEFORE it via a lag
+         window, one ordered concat per doc plus the tail after the
+         last span. Untouched docs pass through via anti-join + union.
+
+    Output per doc (every input doc appears exactly once):
+    (doc_id, text_md5, n_chars_removed, n_spans_removed) — md5 of the
+    rebuilt text so the result stays a scalar row, exact integers.
+    """
+    runs = _dup_span_runs(documents, min_len, stride, max_gram_freq)
+    raw_spans = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa_min") - F.col("diag")).alias("start"),
+        (F.col("pa_max") - F.col("diag") + min_len - 1).alias("end"),
+    ).distinct()  # the same b-span can arrive from several doc_a pairs
+    wm = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        raw_spans.withColumn(
+            "grp_brk",
+            F.when(
+                F.col("start") > F.coalesce(prev_max, F.lit(0)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("grp", F.sum("grp_brk").over(wm))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    wp = Window.partitionBy("doc_id").orderBy("start")
+    pieces = merged.withColumn(
+        "piece_start",
+        F.coalesce(F.lag("end").over(wp), F.lit(0)) + F.lit(1),
+    )
+    per_doc = pieces.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "piece_start"))
+        ).alias("cuts"),
+        F.max("end").alias("last_end"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+    )
+    t = F.col("text")
+    joined = documents.join(per_doc, "doc_id")
+    kept = F.concat(
+        F.array_join(
+            F.transform(
+                F.col("cuts"),
+                lambda c: F.substring(
+                    t, c["piece_start"], c["start"] - c["piece_start"]
+                ),
+            ),
+            "",
+        ),
+        F.substring(
+            t, F.col("last_end") + 1, F.greatest(
+                F.length(t) - F.col("last_end"), F.lit(0)
+            )
+        ),
+    )
+    cleaned = joined.select(
+        "doc_id",
+        F.md5(kept).alias("text_md5"),
+        (F.length(t) - F.length(kept)).cast("long").alias(
+            "n_chars_removed"
+        ),
+        "n_spans_removed",
+    )
+    untouched = documents.join(per_doc, "doc_id", "left_anti").select(
+        "doc_id",
+        F.md5(t).alias("text_md5"),
+        F.lit(0).cast("long").alias("n_chars_removed"),
+        F.lit(0).cast("long").alias("n_spans_removed"),
+    )
+    return cleaned.unionByName(untouched)
 
 
 def keep_canonical(

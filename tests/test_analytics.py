@@ -1562,3 +1562,55 @@ def test_ivf_pq_is_cell_restricted_adc(spark):
         pair = (r["query_id"], r["neighbor_id"])
         assert full[pair] == r["approx_sq_dist"], pair
         assert assigned[r["neighbor_id"]] in probed[r["query_id"]], pair
+
+
+def test_remove_dup_spans_keeps_lowest_copy(spark):
+    import hashlib
+
+    from geist_spark.operators.dedup import remove_dup_spans
+
+    shared = "X" * 50
+    docs = [
+        (1, "aaa " + shared + " tail-one-unique-part"),
+        (2, "bbb prefix " + shared + " zzz"),
+        (3, "totally unrelated document body with no duplicate content"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_spans(df, min_len=40).collect()}
+    assert len(out) == 3
+    # the lowest-id copy and the unrelated doc are untouched
+    assert out[1]["n_chars_removed"] == 0 and out[1]["n_spans_removed"] == 0
+    assert out[1]["text_md5"] == hashlib.md5(docs[0][1].encode()).hexdigest()
+    assert out[3]["n_chars_removed"] == 0
+    # the higher-id copy loses the maximal shared span — which
+    # includes BOTH flanking spaces (" X*50 " = 52 chars)
+    assert out[2]["n_chars_removed"] == 52
+    assert out[2]["n_spans_removed"] == 1
+    assert out[2]["text_md5"] == hashlib.md5(b"bbb prefixzzz").hexdigest()
+
+
+def test_remove_dup_spans_idempotent_on_survivors(spark):
+    """Cutting the duplicate copy makes a SECOND pass a no-op: after
+    removal no >=min_len span is shared any more."""
+    from geist_spark.operators.dedup import remove_dup_spans
+    from pyspark.sql import functions as F
+
+    shared = "Q" * 60
+    docs = [(1, "one " + shared), (2, "two " + shared + " more")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    first = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(df, min_len=40).collect()
+    }
+    assert first[2]["n_spans_removed"] == 1
+    # doc 2 after the cut: the shared span " Q*60" (leading space
+    # shared) is removed, leaving "two" + " more"
+    df2 = spark.createDataFrame(
+        [(1, "one " + shared), (2, "two more")],
+        "doc_id long, text string",
+    )
+    second = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(df2, min_len=40).collect()
+    }
+    assert all(v["n_chars_removed"] == 0 for v in second.values())

@@ -1388,3 +1388,89 @@ def test_curriculum_matches_sorted_replay(spark, diffs, width, n_buckets):
     assert got == want, (got, want)
     # and position is a permutation of 1..N
     assert sorted(r["position"] for r in rows) == list(range(1, len(diffs) + 1))
+
+
+# ---------- duplicate-span removal ----------
+
+def _py_remove_spans(texts, k):
+    """Exact replay of remove_dup_spans: gram match -> diagonal runs
+    -> b-side spans -> strict-overlap merge -> cut."""
+    grams = {}
+    for d, t in texts.items():
+        grams[d] = [(i, t[i:i + k]) for i in range(len(t) - k + 1)]
+    spans = {}
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            bypos = {}
+            for pb, g in grams[b]:
+                bypos.setdefault(g, []).append(pb)
+            # matches on (diag, pa) with pa 1-indexed like the operator
+            ms = sorted(
+                (pa - pb, pa + 1)
+                for pa, g in grams[a]
+                for pb in bypos.get(g, [])
+            )
+            bydiag = {}
+            for diag, pa1 in ms:
+                bydiag.setdefault(diag, []).append(pa1)
+            for diag, pas in bydiag.items():
+                pas.sort()
+                run = [pas[0]]
+                for p in pas[1:]:
+                    if p == run[-1] + 1:
+                        run.append(p)
+                    else:
+                        spans.setdefault(b, set()).add(
+                            (run[0] - diag, run[-1] - diag + k - 1)
+                        )
+                        run = [p]
+                spans.setdefault(b, set()).add(
+                    (run[0] - diag, run[-1] - diag + k - 1)
+                )
+    out = {}
+    for d, t in texts.items():
+        ss = sorted(spans.get(d, ()))
+        merged = []
+        for s0, e0 in ss:
+            if merged and s0 <= merged[-1][1]:  # strict overlap only
+                merged[-1][1] = max(merged[-1][1], e0)
+            else:
+                merged.append([s0, e0])
+        kept, prev_end = [], 0
+        for s0, e0 in merged:
+            kept.append(t[prev_end: s0 - 1])  # 1-indexed spans
+            prev_end = e0
+        kept.append(t[prev_end:])
+        new = "".join(kept)
+        out[d] = (new, len(t) - len(new), len(merged))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2, max_size=6,
+    ),
+    k=st.sampled_from([4, 6]),
+)
+@SET
+def test_remove_dup_spans_matches_python_replay(spark, docs, k):
+    import hashlib
+
+    from geist_spark.operators.dedup import remove_dup_spans
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_md5"], r["n_chars_removed"], r["n_spans_removed"])
+        for r in remove_dup_spans(df, min_len=k).collect()
+    }
+    want = {
+        d: (hashlib.md5(new.encode()).hexdigest(), removed, nspans)
+        for d, (new, removed, nspans) in _py_remove_spans(texts, k).items()
+    }
+    assert got == want, (got, want)
