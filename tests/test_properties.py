@@ -1474,3 +1474,186 @@ def test_remove_dup_spans_matches_python_replay(spark, docs, k):
         for d, (new, removed, nspans) in _py_remove_spans(texts, k).items()
     }
     assert got == want, (got, want)
+
+
+# ---------- fuzzy-match blocking completeness ----------
+
+def _py_lev(a, b):
+    """Classic unit-cost edit distance (the same metric Spark's
+    levenshtein() computes)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx ", min_size=3, max_size=10),
+        min_size=2, max_size=10,
+    ),
+    max_dist=st.integers(1, 2),
+)
+@SET
+def test_fuzzy_match_blocking_complete(spark, names, max_dist):
+    """UNCAPPED q-gram blocking must find EVERY pair within max_dist
+    (of the normalized strings long enough to index) — the blocking
+    theorem fuzzy_match_pairs' docstring claims. Distances must also
+    be exactly the unit-cost edit distance."""
+    import re
+
+    from geist_spark.operators.dedup import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "rec_id long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_match_pairs(
+            df, id_col="rec_id", text_col="name",
+            max_dist=max_dist, gram=3, max_gram_freq=None,
+        ).collect()
+    }
+    norm = [re.sub(r"\s+", " ", n.strip()).lower() for n in names]
+    want = {}
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            if len(norm[a]) < 3 or len(norm[b]) < 3:
+                continue  # below the gram size: not indexed
+            d = _py_lev(norm[a], norm[b])
+            if d <= max_dist and any(
+                norm[a][i:i + 3] in norm[b]
+                for i in range(len(norm[a]) - 2)
+            ):
+                want[(a, b)] = d
+    # blocking completeness: every pair sharing >=1 gram and within
+    # max_dist is found with the exact distance; nothing else is
+    assert got == want, (got, want)
+
+
+# ---------- winsorize ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SET
+def test_winsorize_matches_exact_percentile_clip(spark, rows):
+    import datetime as _dt
+
+    from geist_spark.operators.relational import winsorize
+
+    data = [
+        (g, float(v), _dt.datetime(2024, 1, 1), i, g)
+        for i, (g, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_type string, value double, ts timestamp,"
+        " event_id long, user_id string",
+    )
+    out = winsorize(df, "value", "event_type", 0.25, 0.75).collect()
+    # exact interpolated percentile (Spark percentile() semantics)
+    def pct(vals, q):
+        vals = sorted(vals)
+        if len(vals) == 1:
+            return vals[0]
+        pos = q * (len(vals) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * frac
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    bounds = {g: (pct(v, 0.25), pct(v, 0.75)) for g, v in by_g.items()}
+    # winsorize preserves row count and clips into [lo, hi]
+    assert len(out) == len(rows)
+    from collections import Counter
+    got = Counter((r["event_type"], r["clipped_value"]) for r in out)
+    want = Counter(
+        (g, round(min(max(float(v), bounds[g][0]), bounds[g][1]), 6))
+        for g, v in rows
+    )
+    assert got == want, (got, want)
+    # was_clipped is consistent with the bounds
+    for r in out:
+        lo, hi = bounds[r["event_type"]]
+        assert r["was_clipped"] == (not lo <= r["raw_value"] <= hi), r
+
+
+# ---------- salted aggregation / salted join equivalence ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=40,
+    ),
+    buckets=st.sampled_from([2, 16]),
+)
+@SET
+def test_salted_aggregate_equals_plain_groupby(spark, rows, buckets):
+    """Exactness under ANY salt assignment: the two-stage salted
+    aggregate must equal the plain groupBy for every algebraic fn."""
+    from geist_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k long, v double"
+    )
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"], r["a"])
+        for r in salted_aggregate(
+            df, ["k"],
+            [("sum", "v", "s"), ("count", "v", "n"),
+             ("min", "v", "mn"), ("max", "v", "mx"), ("avg", "v", "a")],
+            salt_buckets=buckets,
+        ).collect()
+    }
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(float(v))
+    want = {
+        k: (
+            float(sum(v)), len(v), min(v), max(v),
+            float(sum(v)) / len(v),
+        )
+        for k, v in by_k.items()
+    }
+    assert got == want, (got, want)
+
+
+@given(
+    facts=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    buckets=st.sampled_from([2, 8]),
+)
+@SET
+def test_salted_join_equals_plain_join(spark, facts, buckets):
+    from geist_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(k, i) for i, k in enumerate(facts)],
+                              "k long, fact_id long")
+    d = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")],
+                              "k long, label string")
+    got = sorted(
+        (r["fact_id"], r["label"])
+        for r in salted_join(f, d, "k", salt_buckets=buckets).collect()
+    )
+    want = sorted(
+        (i, {0: "a", 1: "b", 2: "c"}[k])
+        for i, k in enumerate(facts) if k in (0, 1, 2)
+    )
+    assert got == want, (got, want)
