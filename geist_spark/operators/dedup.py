@@ -705,8 +705,11 @@ def _dup_span_runs(
         # sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
         # generate_series(1, 0) is empty), so without this guard every
         # short doc emits md5 grams of ''/truncated text that match
-        # across all short docs and fabricate shared spans
-        .filter(F.col("pos") <= F.length(t) - k + 1)
+        # across all short docs and fabricate shared spans. BOTH
+        # bounds are load-bearing: a doc of length exactly k-1 has
+        # n = 0, and its pos=0 row passes the upper bound alone
+        # (substring(t, 0, k) reads from position 1 — the whole text)
+        .filter((F.col("pos") >= 1) & (F.col("pos") <= F.length(t) - k + 1))
         .select("doc_id", "pos", F.md5(F.substring(t, F.col("pos"), k)).alias("g"))
     )
     if max_gram_freq is not None:
@@ -840,7 +843,10 @@ def remove_dup_spans(
         F.count(F.lit(1)).alias("n_spans_removed"),
     )
     t = F.col("text")
-    joined = documents.join(per_doc, "doc_id")
+    # ONE left join rebuilds touched and untouched docs alike (an
+    # inner+anti+union pair would scan documents twice and re-evaluate
+    # the whole span pipeline as two join subtrees)
+    joined = documents.join(per_doc, "doc_id", "left")
     kept = F.concat(
         F.array_join(
             F.transform(
@@ -857,21 +863,17 @@ def remove_dup_spans(
             )
         ),
     )
-    cleaned = joined.select(
+    new_text = F.when(F.col("last_end").isNotNull(), kept).otherwise(t)
+    return joined.select(
         "doc_id",
-        F.md5(kept).alias("text_md5"),
-        (F.length(t) - F.length(kept)).cast("long").alias(
+        F.md5(new_text).alias("text_md5"),
+        (F.length(t) - F.length(new_text)).cast("long").alias(
             "n_chars_removed"
         ),
-        "n_spans_removed",
+        F.coalesce(F.col("n_spans_removed"), F.lit(0)).cast("long").alias(
+            "n_spans_removed"
+        ),
     )
-    untouched = documents.join(per_doc, "doc_id", "left_anti").select(
-        "doc_id",
-        F.md5(t).alias("text_md5"),
-        F.lit(0).cast("long").alias("n_chars_removed"),
-        F.lit(0).cast("long").alias("n_spans_removed"),
-    )
-    return cleaned.unionByName(untouched)
 
 
 def keep_canonical(

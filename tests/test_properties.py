@@ -11,7 +11,7 @@ DataFrame per example so the Spark job count stays bounded.
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -1455,6 +1455,9 @@ def _py_remove_spans(texts, k):
     ),
     k=st.sampled_from([4, 6]),
 )
+@example(docs=["aaa", "aaa"], k=4)  # length == min_len-1: the pos=0
+# descending-sequence row must NOT become a truncated-text gram
+@example(docs=["", ""], k=4)        # empty docs emit zero grams
 @SET
 def test_remove_dup_spans_matches_python_replay(spark, docs, k):
     import hashlib

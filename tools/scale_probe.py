@@ -137,6 +137,23 @@ def build_probes(spark: SparkSession, sf_dir: str):
         emb = expand(t("embeddings"), k, ["vec_id"])
         return cosine_topk(emb, query_ids=list(range(10)), k=5)
 
+    def containment(k):
+        # cross-copy shingles are disjoint (salted), so candidate
+        # volume scales with k, not k^2 — the property the inverted
+        # index must hold at 100 TB
+        return dedup.ngram_containment_pairs(
+            expand(docs, k, ["doc_id"], salt_text="text"),
+            k=3, threshold_pct=80, max_shingle_freq=200,
+        )
+
+    def span_removal(k):
+        # gram cap bounds the hot-gram m^2 blow-up exactly as the
+        # operator would run on a crawl corpus
+        return dedup.remove_dup_spans(
+            expand(docs, k, ["doc_id"], salt_text="text"),
+            min_len=40, max_gram_freq=64,
+        )
+
     return {
         "scan_agg_hourly_rollup": scan_agg,
         "sessionize_lag_cumsum": sessionize,
@@ -146,6 +163,8 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "text_quality_features": quality,
         "asof_join_union_carry": asof,
         "cosine_topk_bruteforce": cosine,
+        "ngram_containment_pairs": containment,
+        "dup_span_removal": span_removal,
     }
 
 
