@@ -180,7 +180,10 @@ def incremental_dedup_pairs(
             .select("band_id", "band_hash")
         )
         index = index.join(hot, ["band_id", "band_hash"], "left_anti")
-    n, c = probe.alias("n"), index.alias("c")
+    # merge hint on the INDEX side: the stored corpus index must never
+    # be the broadcast build side (the probe batch may be; AQE decides
+    # from actual shuffle sizes)
+    n, c = probe.alias("n"), index.hint("merge").alias("c")
     return (
         n.join(
             c,
@@ -226,7 +229,12 @@ def minhash_lsh_pairs(
             .drop("__bucket_n")
         )
     a = banded.alias("a")
-    b = banded.alias("b")
+    # merge hint: both sides are the corpus-sized index. Static size
+    # estimates UNDER-count exploded/derived frames (measured at 16x:
+    # Catalyst picked BuildRight broadcast of the full index and
+    # aborted on driver maxResultSize), so the hint pins the safe
+    # shuffle plan; AQE still re-splits skewed partitions at runtime.
+    b = banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -355,7 +363,9 @@ def simhash_near_dup_pairs(
         F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     )
     return (
-        a.join(b, ["band", "val"])
+        # merge hint: corpus-sized fingerprint bands on both sides
+        # (same measured static-misestimate hazard as minhash bands)
+        a.join(b.hint("merge"), ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
@@ -386,7 +396,12 @@ def _shingle_candidate_counts(
             .drop("__df")
         )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # merge hint: both sides are the corpus-sized index. Static size
+    # estimates UNDER-count exploded/derived frames (measured at 16x:
+    # Catalyst picked BuildRight broadcast of the full index and
+    # aborted on driver maxResultSize), so the hint pins the safe
+    # shuffle plan; AQE still re-splits skewed partitions at runtime.
+    b = sh.hint("merge").alias("b")
     inter = (
         a.join(
             b,
@@ -396,8 +411,9 @@ def _shingle_candidate_counts(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # sizes is doc-grain — corpus-sized too; same hint rationale
+    sa = sizes.hint("merge").alias("sa")
+    sb = sizes.hint("merge").alias("sb")
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -735,7 +751,10 @@ def _dup_span_runs(
     if stride > 1:
         grams = grams.filter(F.col("pos") % stride == 0)
     a = probe.alias("a")
-    b = grams.alias("b")
+    # merge hint: the gram inverted index (one row per char position)
+    # is the most explosion-prone frame in the repo — at 16x Catalyst
+    # statically broadcast it (driver maxResultSize abort, measured)
+    b = grams.hint("merge").alias("b")
     matches = a.join(
         b,
         (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -935,13 +954,15 @@ def verified_near_dup_pairs(
     xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cands.join(xa, "doc_a")
-        .join(xb, ["doc_b", "shingle"])
+        # merge hints: xa/xb are the corpus shingle table (candidate
+        # pairs are LSH-bounded, but the shingle sides are not)
+        cands.join(xa.hint("merge"), "doc_a")
+        .join(xb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sizes.hint("merge").select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.hint("merge").select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
         F.col("n_common")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
@@ -969,7 +990,7 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("content_hash"),
         "source",
     ).distinct()
-    a, b = h.alias("a"), h.alias("b")
+    a, b = h.alias("a"), h.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -1073,7 +1094,9 @@ def fuzzy_match_pairs(
             .filter(F.col("__gf") <= max_gram_freq)
             .drop("__gf")
         )
-    a, b = grams.alias("a"), grams.alias("b")
+    # merge hint on the self-join: same corpus-sized-index rationale
+    # as substring spans (static estimates under-count the explode)
+    a, b = grams.alias("a"), grams.hint("merge").alias("b")
     cand = (
         a.join(
             b,

@@ -195,7 +195,11 @@ def embedding_near_dup_pairs(
         "vec_id", "embedding", sig.alias("bucket"), _norm(F.col("embedding")).alias("nrm")
     )
     a = base.alias("a")
-    b = base.alias("b")
+    # merge hint: both sides are the full bucketed corpus — static
+    # size estimates under-count derived frames, and a misestimated
+    # broadcast of the vector table is a driver OOM at scale (the
+    # measured 16x failure mode of the dedup index joins)
+    b = base.hint("merge").alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -1276,7 +1280,10 @@ def mutual_knn_graph(
             F.col("emb").alias("b_emb"),
             F.col("nrm").alias("b_nrm"),
         )
-        scored = both.join(ea, "src").join(eb, "dst")
+        # merge hints: ea/eb are the corpus embedding table
+        scored = both.join(ea.hint("merge"), "src").join(
+            eb.hint("merge"), "dst"
+        )
     cos = _dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
@@ -1366,7 +1373,9 @@ def ivf_pq_topk(
     # query: the probe side is |Q|*nprobe rows -> broadcast; the codes
     # scan reads m ints per vector and only probed cells shuffle on
     cand = (
-        codes.join(assigned, "vec_id")
+        # codes and assigned are both corpus-grain: merge hint (the
+        # probe side below IS the broadcast side, explicitly)
+        codes.join(assigned.hint("merge"), "vec_id")
         .join(F.broadcast(probes.join(qdf, "query_id")), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
     )

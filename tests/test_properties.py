@@ -1660,3 +1660,145 @@ def test_salted_join_equals_plain_join(spark, facts, buckets):
         for i, k in enumerate(facts) if k in (0, 1, 2)
     )
     assert got == want, (got, want)
+
+
+# ---------- touch attribution ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # user
+            st.integers(0, 100),                     # ts seconds
+            st.sampled_from(["click", "view", "purchase", "other"]),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SET
+def test_attribution_matches_reference(spark, rows):
+    from geist_spark.operators.relational import touch_attribution
+
+    epoch = dt.datetime(2024, 1, 1)
+    data = [
+        (u, epoch + dt.timedelta(seconds=s), i, ty)
+        for i, (u, s, ty) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["event_id"]: (r["first_touch"], r["last_touch"])
+        for r in touch_attribution(df).collect()
+    }
+    by_user = {}
+    for i, (u, s, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, ty))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, event_id) — the window's order
+        for pos, (s, i, ty) in enumerate(evs):
+            if ty != "purchase":
+                continue
+            touches = [
+                t2 for _, _, t2 in evs[:pos] if t2 in ("click", "view")
+            ]
+            want[i] = (
+                touches[0] if touches else None,
+                touches[-1] if touches else None,
+            )
+    assert got == want, (got, want)
+
+
+# ---------- session co-occurrence ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # user
+            st.integers(0, 7200),                    # ts seconds (~2 h)
+            st.sampled_from(list("abc")),            # event type
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@SET
+def test_cooccurrence_matches_reference(spark, rows):
+    from collections import Counter
+
+    from geist_spark.operators.relational import session_cooccurrence
+
+    epoch = dt.datetime(2024, 1, 1)
+    data = [
+        (u, epoch + dt.timedelta(seconds=s), i, ty)
+        for i, (u, s, ty) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["n_sessions"]
+        for r in session_cooccurrence(
+            df, gap_minutes=30, min_sessions=1
+        ).collect()
+    }
+    # replay: gap sessionization (>30 min in integer micros), then
+    # distinct types per session, then unordered-pair counts
+    by_user = {}
+    for i, (u, s, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, ty))
+    counts = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        sessions = {}
+        for s, i, ty in evs:
+            if prev is None or (s - prev) * 1_000_000 > 30 * 60 * 1_000_000:
+                seq += 1
+            prev = s
+            sessions.setdefault(seq, set()).add(ty)
+        for types in sessions.values():
+            ts_sorted = sorted(types)
+            for x in range(len(ts_sorted)):
+                for y in range(x + 1, len(ts_sorted)):
+                    counts[(ts_sorted[x], ts_sorted[y])] += 1
+    assert got == dict(counts), (got, counts)
+
+
+# ---------- hourly gap fill ----------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 72),                      # hour offset (3 days)
+            st.sampled_from(["a", "b"]),             # group
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+@SET
+def test_gap_fill_dense_axis(spark, rows):
+    from geist_spark.operators.relational import gap_fill_hourly
+
+    epoch = dt.datetime(2024, 1, 1)
+    data = [
+        (g, epoch + dt.timedelta(hours=h, minutes=7), i)
+        for i, (h, g) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, event_id long"
+    )
+    out = gap_fill_hourly(df, "event_type").collect()
+    groups = sorted({g for _, g in rows})
+    hours = [h for h, _ in rows]
+    lo, hi = min(hours), max(hours)
+    # dense axis: every (group, hour) in [lo, hi] appears exactly once
+    assert len(out) == len(groups) * (hi - lo + 1)
+    from collections import Counter
+    want = Counter()
+    for h, g in rows:
+        want[(g, h)] += 1
+    for r in out:
+        h = int((r["hour"] - epoch).total_seconds() // 3600)
+        assert lo <= h <= hi
+        assert r["n"] == want.get((r[0], h), 0), (r, want)
