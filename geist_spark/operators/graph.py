@@ -137,8 +137,12 @@ def triangle_counts(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    # merge hints throughout: edge and degree tables are graph-sized;
+    # static estimates of derived frames under-count (the measured
+    # exploded-index broadcast hazard, SCALE.md), and a broadcast
+    # build of the edge set is a driver OOM on any real graph
+    du = deg.hint("merge").select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.hint("merge").select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     ranked = und.join(du, "u").join(dv, "v")
     # orient low-(deg, id) -> high-(deg, id)
     u_first = (F.col("du") < F.col("dv")) | (
@@ -148,7 +152,7 @@ def triangle_counts(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    e1, e2 = oriented.alias("e1"), oriented.hint("merge").alias("e2")
     wedges = e1.join(
         e2,
         (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
@@ -158,7 +162,7 @@ def triangle_counts(
         F.col("e2.b").alias("w_c"),
     )
     closed = wedges.join(
-        und,
+        und.hint("merge"),
         (F.least(F.col("w_b"), F.col("w_c")) == F.col("u"))
         & (F.greatest(F.col("w_b"), F.col("w_c")) == F.col("v")),
     )

@@ -218,8 +218,8 @@ def collocation_lift(
         ua, ub = F.broadcast(ua), F.broadcast(ub)
     return (
         bi.filter(F.col("cnt") >= min_count)
-        .join(ua, "w1")
-        .join(ub, "w2")
+        .join(ua.hint("merge"), "w1")
+        .join(ub.hint("merge"), "w2")
         .join(F.broadcast(n_total))
         .select(
             "w1",

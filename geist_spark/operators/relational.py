@@ -1472,7 +1472,10 @@ def session_cooccurrence(
     """
     sess = assign_sessions(events, gap_minutes=gap_minutes)
     st = sess.select("user_id", "session_seq", "event_type").distinct()
-    a, b = st.alias("a"), st.alias("b")
+    # merge hint: the distinct (user, session, type) table is
+    # corpus-sized — same static-misestimate broadcast hazard as the
+    # dedup index self-joins (SCALE.md)
+    a, b = st.alias("a"), st.hint("merge").alias("b")
     return (
         a.join(
             b,

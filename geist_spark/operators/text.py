@@ -360,7 +360,10 @@ def line_dedup(
         F.count(F.lit(1)).alias("__n_total")
     )
     return (
-        totals.join(rebuilt, "doc_id", "left")
+        # doc-grain both sides: pin the shuffle join (AQE may still
+        # localize it; a misestimated broadcast of the rebuilt-text
+        # table would collect the corpus to the driver)
+        totals.join(rebuilt.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
