@@ -3122,6 +3122,61 @@ def d_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(_t(spark, sf_dir, "documents"), min_len=40)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch audience overlap: hour-grain K-minimum-value
+    sketches of user_id merged to event_type grain, then pairwise
+    distinct + INTERSECTION estimates between types — the set-
+    expression question HLL cannot answer from pre-built sketches.
+    k=256 pinned: sf0.01 (~150 users/type) exercises the exact
+    retained-set regime, sf0.1 (~1500) the (K-1)*2^32/h_K estimator;
+    the oracle replays the identical md5 sketch at type grain, which
+    simultaneously checks that the hourly merge path equals a direct
+    rollup."""
+    from geist_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_overlap,
+        kmv_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    hourly = kmv_rollup(ev, ["hour", "event_type"], "user_id", k=256)
+    # the merged sketch is tiny (|types|*K rows) but feeds SIX lineage
+    # branches (est a/b, theta a/b, join sides) — checkpoint eagerly so
+    # the events scan + sketch build runs once, not six times
+    merged = kmv_merge(hourly, ["event_type"], k=256).localCheckpoint(
+        eager=True
+    )
+    est = kmv_estimate(merged, ["event_type"], k=256)
+    ov = kmv_overlap(merged, "event_type", k=256)
+    return (
+        ov.join(
+            F.broadcast(est.select(
+                F.col("event_type").alias("group_a"),
+                F.col("distinct_est").alias("est_a"),
+            )),
+            "group_a",
+        )
+        .join(
+            F.broadcast(est.select(
+                F.col("event_type").alias("group_b"),
+                F.col("distinct_est").alias("est_b"),
+            )),
+            "group_b",
+        )
+        .select(
+            F.col("group_a").alias("type_a"),
+            F.col("group_b").alias("type_b"),
+            "est_a",
+            "est_b",
+            "n_common",
+            "intersect_est",
+        )
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3698,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_curriculum": p_curriculum,
         "s_ivf_pq": s_ivf_pq,
         "d_remove_spans": d_remove_spans,
+        "q_kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -6434,6 +6490,56 @@ def oracle_sql() -> dict[str, str]:
                        AS n_chars_removed,
                    CAST(c.n_spans_removed AS BIGINT) AS n_spans_removed
             FROM cleaned c JOIN documents d ON d.doc_id = c.doc_id
+        """,
+        "q_kmv_overlap": """
+            WITH dh AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           ::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), sk AS (
+                SELECT event_type, h FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h) AS r
+                    FROM dh)
+                WHERE r <= 256
+            ), st AS (
+                SELECT event_type,
+                       count(*) AS n_ret,
+                       max(CASE WHEN r = 256 THEN h END) AS h_k
+                FROM (
+                    SELECT event_type, h, row_number() OVER (
+                        PARTITION BY event_type ORDER BY h) AS r
+                    FROM dh)
+                WHERE r <= 256 GROUP BY 1
+            ), estv AS (
+                SELECT event_type,
+                       round(CASE WHEN h_k IS NULL THEN CAST(n_ret AS DOUBLE)
+                             ELSE 255.0 * 4294967296.0 / h_k END, 4)
+                           AS distinct_est,
+                       coalesce(h_k, 4294967296) AS theta
+                FROM st
+            ), common AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       least(ea.theta, eb.theta) AS theta,
+                       count(*) AS n_common
+                FROM sk a
+                JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+                JOIN estv ea ON ea.event_type = a.event_type
+                JOIN estv eb ON eb.event_type = b.event_type
+                WHERE a.h < least(ea.theta, eb.theta)
+                GROUP BY 1, 2, 3
+            )
+            SELECT c.ta AS type_a, c.tb AS type_b,
+                   ea.distinct_est AS est_a, eb.distinct_est AS est_b,
+                   c.n_common,
+                   round(CASE WHEN c.theta = 4294967296
+                         THEN CAST(c.n_common AS DOUBLE)
+                         ELSE c.n_common * 4294967296.0 / c.theta END, 4)
+                       AS intersect_est
+            FROM common c
+            JOIN estv ea ON ea.event_type = c.ta
+            JOIN estv eb ON eb.event_type = c.tb
         """,
     }
     return {

@@ -16,7 +16,7 @@ README.md:21); part of the driver's scale-extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def hll_rollup(
@@ -200,6 +200,147 @@ def cms_estimate(
     joined = probed.join(F.broadcast(cms), ["d", "pos"], "left")
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count")
+    )
+
+
+KMV_RANGE = 1 << 32  # hash domain size for the 32-bit md5 prefix
+
+
+def kmv_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-cell KMV / theta sketch of item_col: the K smallest 32-bit
+    md5 hashes of the distinct items, long format (group_cols..., r, h)
+    with r = 1..K ascending — the set-expression member of the
+    mergeable sketch family (HLL = distinct count only; KMV also
+    answers UNION / INTERSECTION / overlap between cells, the audience-
+    overlap question HLL cannot).
+
+    Plan shape: map-side partial distinct on (group, h), then the
+    rank<=K filter — Spark >= 3.5 infers WindowGroupLimit partials, so
+    each shuffle map task forwards at most K rows per group, never the
+    full distinct set. Deterministic md5 hashing, so the DuckDB oracle
+    replays the sketch bit-for-bit."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    distinct = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        distinct.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(*group_cols, "r", "h")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Union fine-grained KMV sketches up to `group_cols` (empty =
+    global): dedupe retained hashes, keep the K smallest, re-rank. The
+    union of per-cell K-minima always contains the true K minima of
+    the union (standard KMV merge), so the merged sketch is exactly
+    what a direct rollup at the coarser grain would have built — the
+    raw table is not touched again."""
+    keys = list(group_cols or [])
+    distinct = sketches.select(*keys, "h").distinct()
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+    return (
+        distinct.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(*keys, "r", "h")
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: exact
+    n_retained when the cell held fewer than K distinct hashes (the
+    sketch IS the distinct set), else (K-1) * 2^32 / h_K — the classic
+    KMV estimator. Pure integer inputs into one double division, so
+    two engines agree bit-for-bit."""
+    agg = sketches.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("h_k").isNull(), F.col("n_ret").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_RANGE)) / F.col("h_k")
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("distinct_est"))
+
+
+def kmv_overlap(
+    sketches: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise set-intersection estimates between every pair of cells
+    of one KMV sketch table (group_a < group_b): theta-sketch
+    intersection. theta = min over both sides of (h_K or 2^32 when the
+    side is exact); the intersection estimate is |{h in A ∩ B : h <
+    theta}| * 2^32 / theta, which degrades to the EXACT intersection
+    count when both sides retained their full distinct sets.
+
+    Cost: a self-join of two <= |groups|*K row tables on h — nothing
+    touches the raw data. This is the question that motivates theta
+    over HLL: 'how many users do checkout and refund share?' from
+    pre-built per-type sketches, no rescan, no exact distinct join."""
+    theta_tbl = sketches.groupBy(group_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("r") == k, F.col("h"))),
+            F.lit(KMV_RANGE).cast("long"),
+        ).alias("theta")
+    )
+    a = sketches.select(
+        F.col(group_col).alias("ga"), F.col("h").alias("h")
+    ).join(
+        F.broadcast(theta_tbl.select(
+            F.col(group_col).alias("ga"), F.col("theta").alias("theta_a")
+        )),
+        "ga",
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"), F.col("h").alias("h")
+    ).join(
+        F.broadcast(theta_tbl.select(
+            F.col(group_col).alias("gb"), F.col("theta").alias("theta_b")
+        )),
+        "gb",
+    )
+    # |groups|*K can reach corpus scale for fine groupings, and
+    # Catalyst's static estimate of the window-derived sides is
+    # unreliable (see SCALE.md merge-hint policy) — pin the self-join
+    # to sort-merge.
+    common = a.hint("merge").join(b, "h").filter(F.col("ga") < F.col("gb"))
+    theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    agg = (
+        common.withColumn("theta", theta)
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("ga", "gb", "theta")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = F.when(
+        F.col("theta") == KMV_RANGE, F.col("n_common").cast("double")
+    ).otherwise(
+        F.col("n_common") * F.lit(float(KMV_RANGE)) / F.col("theta")
+    )
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("n_common"),
+        F.round(est, 4).alias("intersect_est"),
     )
 
 

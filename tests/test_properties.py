@@ -689,6 +689,83 @@ def test_cms_merge_and_upper_bound(spark, part_a, part_b):
         assert est[item] >= n, (item, est[item], n)
 
 
+def _kmv_hash(x) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+
+@given(
+    items_a=st.lists(st.integers(0, 300), max_size=60),
+    items_b=st.lists(st.integers(0, 300), max_size=60),
+    k=st.integers(2, 8),
+)
+@example(items_a=list(range(20)), items_b=list(range(10, 30)), k=4)
+@SET
+def test_kmv_merge_estimate_overlap_vs_replay(spark, items_a, items_b, k):
+    """KMV/theta invariants vs an exact Python replay: (1) per-part
+    rollups merged == direct rollup at the coarse grain (the merge
+    contract); (2) the distinct estimate follows the (K-1)*2^32/h_K
+    formula (exact count below K); (3) pairwise intersection estimates
+    replay the theta-sketch rule |A∩B ∩ [0,θ)| * 2^32 / θ with
+    θ = min over both sides (2^32 for an exact side).  Small k so both
+    regimes and the θ cut actually trigger."""
+    from geist_spark.operators.sketch import (
+        KMV_RANGE, kmv_estimate, kmv_merge, kmv_overlap, kmv_rollup,
+    )
+
+    rows = [("a", "p1" if i % 2 else "p2", str(x))
+            for i, x in enumerate(items_a)]
+    rows += [("b", "p1", str(x)) for x in items_b]
+    df = spark.createDataFrame(
+        rows or [("a", "p1", None)], "g string, part string, item string"
+    )
+    merged = kmv_merge(
+        kmv_rollup(df, ["g", "part"], "item", k=k), ["g"], k=k
+    )
+    direct = kmv_rollup(df, ["g"], "item", k=k)
+    as_rows = lambda d: sorted(
+        (r["g"], r["r"], r["h"]) for r in d.collect()
+    )
+    assert as_rows(merged) == as_rows(direct)
+
+    def py_sketch(items):
+        return sorted({_kmv_hash(x) for x in items})[:k]
+
+    sk = {"a": py_sketch(items_a), "b": py_sketch(items_b)}
+    est = {
+        r["g"]: r["distinct_est"]
+        for r in kmv_estimate(merged, ["g"], k=k).collect()
+    }
+    for g, hs in sk.items():
+        if not hs:
+            assert g not in est
+            continue
+        want = (
+            round((k - 1) * float(KMV_RANGE) / hs[-1], 4)
+            if len(hs) == k else float(len(hs))
+        )
+        assert est[g] == want, (g, est[g], want)
+
+    got_ov = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["intersect_est"])
+        for r in kmv_overlap(merged, "g", k=k).collect()
+    }
+    theta = {
+        g: hs[-1] if len(hs) == k else KMV_RANGE for g, hs in sk.items()
+    }
+    th = min(theta["a"], theta["b"])
+    common = [h for h in set(sk["a"]) & set(sk["b"]) if h < th]
+    if common:
+        want_est = (
+            float(len(common)) if th == KMV_RANGE
+            else round(len(common) * float(KMV_RANGE) / th, 4)
+        )
+        assert got_ov[("a", "b")] == (len(common), want_est)
+    else:
+        assert ("a", "b") not in got_ov
+
+
 @given(
     values=st.lists(st.integers(0, 500), min_size=1, max_size=120),
     split=st.integers(1, 3),
