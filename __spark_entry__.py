@@ -3177,6 +3177,24 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch reshuffle manifest for training-data
+    loading: equal-width md5-hash ranges give each (epoch, batch) its
+    row/byte totals with NO global sort or row_number (the
+    single-reducer trap); n_stayers audits that epochs actually
+    decorrelate (e=0: all rows 'stay'; e>0: ~n/n_batches). Map-only
+    fan-out + one 24-group partial agg."""
+    from geist_spark.operators.split import epoch_shuffle_manifest
+
+    return epoch_shuffle_manifest(
+        _t(spark, sf_dir, "documents"),
+        n_epochs=3,
+        n_batches=8,
+        key="doc_id",
+        size_col="n_chars",
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3754,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ivf_pq": s_ivf_pq,
         "d_remove_spans": d_remove_spans,
         "q_kmv_overlap": q_kmv_overlap,
+        "p_epoch_shuffle": p_epoch_shuffle,
     }
 
 
@@ -6540,6 +6559,28 @@ def oracle_sql() -> dict[str, str]:
             FROM common c
             JOIN estv ea ON ea.event_type = c.ta
             JOIN estv eb ON eb.event_type = c.tb
+        """,
+        "p_epoch_shuffle": """
+            WITH ep AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+            a AS (
+                SELECT d.n_chars, ep.epoch,
+                       ('0x' || substr(md5('epoch'
+                            || CAST(ep.epoch AS VARCHAR) || '|'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           AS h,
+                       ('0x' || substr(md5('epoch0|'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           AS h0
+                FROM documents d CROSS JOIN ep
+            )
+            SELECT epoch,
+                   CAST(floor(h / 536870912) AS INT) AS batch,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN floor(h / 536870912)
+                                    = floor(h0 / 536870912)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stayers,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size
+            FROM a GROUP BY 1, 2
         """,
     }
     return {

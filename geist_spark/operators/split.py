@@ -520,3 +520,78 @@ def mixture_plan(
             ),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_epochs: int,
+    n_batches: int,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global reshuffle for training-data
+    loading: every row gains (epoch, batch, sort_key) for each of
+    n_epochs epochs, where sort_key = 32-bit md5('epoch<e>|' || key)
+    and batch = sort_key div ceil(2^32 / n_batches) — equal-width hash
+    ranges, so batch sizes concentrate tightly around n/n_batches
+    without any global sort or row_number (a single-reducer
+    anti-pattern at 100 TB). Writing the reordered epoch is then
+    `partitionBy(epoch, batch)` + sort within partitions by sort_key:
+    fully parallel, byte-stable across runs and cluster sizes.
+
+    `batch_e0` carries the row's epoch-0 batch in the same projection
+    (no self-join) so downstream audits can measure how thoroughly
+    epochs decorrelate. Map-only: the fan-out is an explode over
+    n_epochs literals; no shuffle happens here at all."""
+    if n_epochs < 1 or n_batches < 1:
+        raise ValueError("need n_epochs >= 1 and n_batches >= 1")
+    width = (1 << 32) // n_batches + (1 if (1 << 32) % n_batches else 0)
+
+    def h(epoch: Column) -> Column:
+        seed = F.concat(
+            F.lit("epoch"), epoch.cast("string"), F.lit("|"),
+            F.col(key).cast("string"),
+        )
+        return F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long")
+
+    ep = F.explode(
+        F.sequence(F.lit(0), F.lit(n_epochs - 1))
+    ).alias("epoch")
+    out = df.select(*df.columns, ep)
+    hk = h(F.col("epoch"))
+    return out.select(
+        *df.columns,
+        "epoch",
+        hk.alias("sort_key"),
+        # explicit floor: Spark's double->int cast truncates but
+        # DuckDB's ROUNDS, so the oracle replays floor() on both sides.
+        # The double quotient is safe: |true - floor boundary| >= 1/width
+        # which dwarfs the division's half-ULP rounding error.
+        F.floor(hk / F.lit(width)).cast("int").alias("batch"),
+        F.floor(h(F.lit(0)) / F.lit(width)).cast("int").alias("batch_e0"),
+    )
+
+
+def epoch_shuffle_manifest(
+    df: DataFrame,
+    n_epochs: int,
+    n_batches: int,
+    key: str = "doc_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Shuffle-plan manifest: per (epoch, batch) row counts, payload
+    totals, and n_stayers = rows whose batch index equals their
+    epoch-0 batch (for epoch 0 that is n_rows; for e > 0 it should
+    hover near n_rows/n_batches — the evidence the reshuffle actually
+    decorrelates epochs). One partial-agg shuffle carrying
+    n_epochs * n_batches groups; the fan-out never leaves the map
+    side."""
+    assigned = epoch_shuffle(df, n_epochs, n_batches, key)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("batch") == F.col("batch_e0")).cast("long")
+        ).alias("n_stayers"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("total_size"))
+    return assigned.groupBy("epoch", "batch").agg(*aggs)

@@ -689,6 +689,43 @@ def test_cms_merge_and_upper_bound(spark, part_a, part_b):
         assert est[item] >= n, (item, est[item], n)
 
 
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                 unique=True),
+    n_epochs=st.integers(1, 4),
+    n_batches=st.integers(1, 9),
+)
+@SET
+def test_epoch_shuffle_vs_replay(spark, ids, n_epochs, n_batches):
+    """epoch_shuffle vs a pure-Python replay: every (row, epoch) pair
+    appears exactly once, batch = floor(h / ceil(2^32/n_batches)) on
+    the 32-bit md5 of 'epoch<e>|<id>', batch_e0 always mirrors the
+    epoch-0 assignment, and batches partition [0, n_batches)."""
+    import hashlib
+
+    from geist_spark.operators.split import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["epoch"]): (r["sort_key"], r["batch"], r["batch_e0"])
+        for r in epoch_shuffle(df, n_epochs, n_batches).collect()
+    }
+    assert len(got) == len(ids) * n_epochs
+    width = (1 << 32) // n_batches + (1 if (1 << 32) % n_batches else 0)
+
+    def h(e, i):
+        return int(
+            hashlib.md5(f"epoch{e}|{i}".encode()).hexdigest()[:8], 16
+        )
+
+    for i in ids:
+        for e in range(n_epochs):
+            hk = h(e, i)
+            want = (hk, hk // width, h(0, i) // width)
+            assert got[(i, e)] == want, (i, e, got[(i, e)], want)
+            assert 0 <= want[1] < n_batches
+
+
 def _kmv_hash(x) -> int:
     import hashlib
 
