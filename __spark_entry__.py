@@ -3195,6 +3195,33 @@ def p_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label probe over the embeddings table: 20
+    held-out queries classified by their 10 cosine-nearest labeled
+    neighbors — the non-parametric sibling of s_centroid_classify
+    (same broadcast-query / corpus-single-pass plan as
+    s_cosine_topk)."""
+    from geist_spark.operators.classify import knn_classify
+
+    return knn_classify(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(20)), k=10
+    )
+
+
+def s_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation audit: recall@10 of 16-dim
+    prefix retrieval vs the full 64-dim exact top-10 — the measurement
+    behind 'can I cut my ANN index cost 4x?'."""
+    from geist_spark.operators.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=10,
+        trunc_dim=16,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3773,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_remove_spans": d_remove_spans,
         "q_kmv_overlap": q_kmv_overlap,
         "p_epoch_shuffle": p_epoch_shuffle,
+        "s_knn_classify": s_knn_classify,
+        "s_matryoshka": s_matryoshka,
     }
 
 
@@ -6581,6 +6610,86 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stayers,
                    CAST(sum(n_chars) AS BIGINT) AS total_size
             FROM a GROUP BY 1, 2
+        """,
+        "s_knn_classify": """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings
+            ), q AS (SELECT * FROM e WHERE vec_id < 20),
+            c AS (SELECT * FROM e WHERE vec_id >= 20),
+            scored AS (
+                SELECT q.vec_id AS query_id, q.label AS true_label,
+                       c.label AS n_label, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6)
+                           AS cosine
+                FROM q CROSS JOIN c
+            ), top AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM scored)
+                WHERE rank <= 10
+            ), votes AS (
+                SELECT query_id, true_label, n_label,
+                       count(*) AS n_votes
+                FROM top GROUP BY 1, 2, 3
+            )
+            SELECT query_id, true_label,
+                   n_label AS pred_label, n_votes,
+                   CAST(n_label = true_label AS INT) AS correct
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, n_label) AS vr
+                FROM votes)
+            WHERE vr = 1
+        """,
+        "s_matryoshka": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       (embedding::DOUBLE[])[1:16] AS vt
+                FROM embeddings
+            ), q AS (SELECT * FROM e WHERE vec_id < 10),
+            fulltop AS (
+                SELECT * FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM (
+                        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                               round(list_dot_product(q.v, e.v)
+                                     / (sqrt(list_dot_product(q.v, q.v))
+                                        * sqrt(list_dot_product(e.v, e.v))),
+                                     6) AS cosine
+                        FROM q JOIN e ON q.vec_id <> e.vec_id))
+                WHERE rank <= 10
+            ), trunctop AS (
+                SELECT * FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM (
+                        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                               round(list_dot_product(q.vt, e.vt)
+                                     / (sqrt(list_dot_product(q.vt, q.vt))
+                                        * sqrt(list_dot_product(e.vt, e.vt))),
+                                     6) AS cosine
+                        FROM q JOIN e ON q.vec_id <> e.vec_id))
+                WHERE rank <= 10
+            ), ov AS (
+                SELECT f.query_id, count(*) AS n_overlap
+                FROM fulltop f JOIN trunctop t
+                  ON f.query_id = t.query_id
+                 AND f.neighbor_id = t.neighbor_id
+                GROUP BY 1
+            )
+            SELECT q.vec_id AS query_id,
+                   coalesce(ov.n_overlap, 0) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) / 10 AS recall
+            FROM q LEFT JOIN ov ON ov.query_id = q.vec_id
         """,
     }
     return {

@@ -341,3 +341,82 @@ def calibration_bins(
             F.max(score_col).alias("hi_score"),
         )
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    label_col: str = "label",
+    value_col: str = "embedding",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an
+    embedding column: each query vector takes the label most common
+    among its k cosine-nearest LABELED neighbors (query rows are held
+    out of the corpus). The non-parametric sibling of
+    centroid_classify — no training pass, robust to non-spherical
+    classes, and the standard probe for "are these embeddings any
+    good?" during data prep.
+
+    Plan shape (same as similarity.cosine_topk): the bounded query
+    side is BROADCAST against the corpus scan — one pass, no corpus
+    shuffle; the rank<=k filter compiles to WindowGroupLimit partials
+    so each map task forwards at most k rows per query. Votes then
+    aggregate over |Q|*k rows. Cosine rounded to 6dp before ranking;
+    ties: cosine desc -> neighbor_id asc, votes desc -> label asc —
+    all integer afterward, so the DuckDB oracle replays exactly.
+
+    Returns (query_id, true_label, pred_label, n_votes, correct).
+    """
+    from geist_spark.operators.bucketing import fan_out
+    from geist_spark.operators.similarity import _dot, _norm
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(label_col).alias("true_label"),
+        F.col(value_col).alias("q_emb"),
+        _norm(F.col(value_col)).alias("q_nrm"),
+    )
+    c = fan_out(
+        embeddings.filter(~F.col("vec_id").isin(query_ids))
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(value_col).alias("c_emb"),
+        _norm(F.col(value_col)).alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "true_label",
+        "n_label",
+        "neighbor_id",
+        F.round(cos, 6).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )

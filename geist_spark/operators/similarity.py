@@ -1380,3 +1380,44 @@ def ivf_pq_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     return _adc_score_topk(cand, k_top)
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    trunc_dim: int = 16,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: retrieval recall@k
+    of the FIRST trunc_dim coordinates against full-dimension exact
+    top-k (Kusupati et al. 2022 — MRL embeddings keep most retrieval
+    quality in a prefix). The number a pipeline owner wants before
+    cutting index cost 4x: 'what recall do I keep at dim/4?'.
+
+    Two broadcast-query corpus passes (full + sliced) — each the
+    cosine_topk plan — then an overlap join over |Q|*k rows. At 100 TB
+    the corpus is scanned twice but never shuffled; a fused single-pass
+    variant would save one scan at the cost of 2x state per row, not
+    worth it below memory pressure.
+
+    Returns (query_id, n_overlap, recall) with recall = n_overlap/k.
+    """
+    full = cosine_topk(embeddings, query_ids, k)
+    sliced = embeddings.select(
+        "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
+    )
+    trunc = cosine_topk(sliced, query_ids, k)
+    overlap = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = full.select("query_id").distinct()
+    n = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return qs.join(F.broadcast(overlap), "query_id", "left").select(
+        "query_id",
+        n.alias("n_overlap"),
+        (n / F.lit(k)).alias("recall"),
+    )

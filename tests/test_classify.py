@@ -114,3 +114,58 @@ def test_hashed_linear_score_shape_and_empty_doc(spark):
         spark.createDataFrame([(9, "spark")], "doc_id long, text string")
     ).collect()[0]
     assert out[3]["score_fx"] == 2 * single["score_fx"]
+
+
+def test_knn_classify_majority_beats_nearest(spark):
+    """The vote, not the single nearest neighbor, decides: query 0's
+    closest vector has label 9 but two of its top-3 carry label 1; and
+    vote ties break to the LOWEST label."""
+    from geist_spark.operators.classify import knn_classify
+
+    rows = [
+        # query: unit-x
+        (0, [1.0, 0.0], 1),
+        # nearest (cos ~ .9998) with the odd label
+        (1, [0.99, 0.02], 9),
+        # two slightly farther with label 1
+        (2, [0.97, 0.06], 1),
+        (3, [0.96, 0.08], 1),
+        # far away, other labels
+        (4, [0.0, 1.0], 2),
+        (5, [-1.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = knn_classify(df, query_ids=[0], k=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["pred_label"], r["n_votes"], r["correct"]) == (1, 2, 1)
+
+    # tie: k=2 -> one vote each for labels 9 and 1 -> lowest label wins
+    tie = knn_classify(df, query_ids=[0], k=2).collect()[0]
+    assert tie["pred_label"] == 1 and tie["n_votes"] == 1
+
+
+def test_matryoshka_recall_full_dim_is_perfect(spark):
+    """Truncating to the FULL dimension must give recall 1.0 for every
+    query (the degenerate sanity bound), and n_overlap is capped by k."""
+    from geist_spark.operators.similarity import matryoshka_recall
+
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [b / 255.0 - 0.5 for b in h[:8]]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    full = matryoshka_recall(df, query_ids=[0, 1, 2], k=5, trunc_dim=8)
+    for r in full.collect():
+        assert r["n_overlap"] == 5 and r["recall"] == 1.0
+
+    part = matryoshka_recall(df, query_ids=[0, 1, 2], k=5, trunc_dim=2)
+    for r in part.collect():
+        assert 0 <= r["n_overlap"] <= 5
+        assert r["recall"] == r["n_overlap"] / 5
