@@ -3222,6 +3222,16 @@ def s_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the documents table: top-20
+    stopword-delimited phrases by exact-integer degree/freq scoring
+    (vocabulary-grain joins; docs collapse to phrase grain in one
+    agg)."""
+    from geist_spark.operators.text import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3802,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_epoch_shuffle": p_epoch_shuffle,
         "s_knn_classify": s_knn_classify,
         "s_matryoshka": s_matryoshka,
+        "t_rake_keywords": t_rake_keywords,
     }
 
 
@@ -6690,6 +6701,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(ov.n_overlap, 0) AS n_overlap,
                    coalesce(ov.n_overlap, 0) / 10 AS recall
             FROM q LEFT JOIN ov ON ov.query_id = q.vec_id
+        """,
+        "t_rake_keywords": """
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), '\\s+') AS l
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, i.i AS pos, l[i.i] AS tok
+                FROM tk, LATERAL (SELECT unnest(generate_series(
+                    1, len(l))) AS i) i
+            ), ns AS (
+                SELECT doc_id, pos, tok,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM pos
+                WHERE tok <> '' AND tok NOT IN
+                      ('the','and','of','to','a','in','is','it','that','for')
+            ), ph AS (
+                SELECT doc_id, grp,
+                       string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                       count(*) AS n_words
+                FROM ns GROUP BY 1, 2
+            ), cand AS (
+                SELECT phrase, n_words, count(*) AS n_occ
+                FROM ph WHERE n_words <= 6 GROUP BY 1, 2
+            ), wx AS (
+                SELECT phrase, n_words, n_occ,
+                       unnest(string_split(phrase, ' ')) AS w
+                FROM cand
+            ), ws AS (
+                SELECT w,
+                       (CAST(sum(n_occ * n_words) AS BIGINT) * 1000000)
+                           // CAST(sum(n_occ) AS BIGINT) AS wscore
+                FROM wx GROUP BY 1
+            ), sc AS (
+                SELECT wx.phrase, wx.n_words, wx.n_occ,
+                       CAST(sum(ws.wscore) AS BIGINT) AS score_fx
+                FROM wx JOIN ws ON ws.w = wx.w
+                GROUP BY 1, 2, 3
+            )
+            SELECT phrase, n_words, n_occ, score_fx, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY score_fx DESC, phrase) AS rank
+                FROM sc)
+            WHERE rank <= 20
         """,
     }
     return {

@@ -663,3 +663,91 @@ def merge_term_stats(*parts: DataFrame) -> DataFrame:
     return out.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cnt").alias("cnt")
     )
+
+
+def rake_keywords(
+    documents: DataFrame,
+    stopwords: list[str] | None = None,
+    max_words: int = 6,
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyword/phrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (<= max_words);
+    each word scores degree/freq over the candidate corpus (degree =
+    occurrence-weighted total length of phrases containing the word);
+    a phrase scores the sum of its words' scores. Scores are kept in
+    exact integers — word_score_fx = (degree * 1e6) div freq, summed
+    per phrase — so ranking is order-independent and the DuckDB oracle
+    replays it bit-for-bit (same `div` trick as lm.py's log-free
+    proxies).
+
+    Plan shape at 100 TB: run detection is one per-doc window
+    (partitionBy doc_id — fully parallel); documents collapse to
+    phrase grain in one agg; word stats and the score join are
+    VOCABULARY-grain (distinct candidate phrases x words), never
+    per-document. The final global top-k is orderBy+limit, which
+    compiles to TakeOrderedAndProject — each map task forwards only
+    its local top k, so no single reducer ever sorts the phrase table
+    (an unpartitioned rank window would; Spark's WindowGroupLimit
+    rewrite does NOT fire for empty partition specs — verified). The
+    rank column is then numbered on the k surviving rows.
+
+    Returns (phrase, n_words, n_occ, score_fx, rank), rank 1..top_k by
+    score_fx desc then phrase asc.
+    """
+    from geist_spark.operators.dedup import tokens
+
+    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop_arr = F.array(*[F.lit(w) for w in stop])
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    ns = tok.filter(~F.array_contains(stop_arr, F.col("tok")))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = ns.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    ph = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+    )
+    # cand feeds TWO branches (word stats + the score join) — eager
+    # checkpoint so the document scan/tokenize/run-detect pipeline runs
+    # once, and per repo cache policy no persist fragment is left behind
+    cand = (
+        ph.groupBy("phrase", "n_words")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)
+    )
+    wx = cand.select(
+        "phrase", "n_words", "n_occ",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    ws = wx.groupBy("w").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("n_words")).alias("degree"),
+    ).select("w", F.expr("(degree * 1000000) div freq").alias("wscore"))
+    scored = (
+        wx.join(ws, "w")
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum("wscore").alias("score_fx"))
+    )
+    top = scored.orderBy(
+        F.col("score_fx").desc(), F.col("phrase").asc()
+    ).limit(top_k)
+    wr = Window.orderBy(F.col("score_fx").desc(), F.col("phrase").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "phrase", "n_words", "n_occ", "score_fx", "rank"
+    )
