@@ -1164,6 +1164,63 @@ def test_streaming_cms_rollup_merges_to_batch_truth(spark, tmp_path):
     )
 
 
+def test_streaming_kmv_rollup_merges_to_batch_truth(spark, tmp_path):
+    """KMV/theta sketches under Structured Streaming: per-micro-batch
+    K-minimum sketches accumulate, and kmv_merge over the batch
+    sketches yields the identical retained set — hence identical
+    distinct AND intersection estimates — as one batch pass. The
+    union-of-K-minima-contains-true-K-minima property is exactly what
+    makes this safe across arbitrary micro-batch boundaries."""
+    from geist_spark.operators.sketch import (
+        kmv_estimate, kmv_merge, kmv_overlap, kmv_rollup,
+    )
+
+    src = tmp_path / "kmv_src"
+    df_all = spark.range(600).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g",
+        "id % 97 AS item",
+    )
+    df_all.filter("id < 300").coalesce(1).write.parquet(str(src / "a"))
+    df_all.filter("id >= 300").coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("g string, item bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    acc: list = []
+    n_batches = []
+
+    def per_batch(bdf, bid):
+        sk = kmv_rollup(bdf, ["g"], "item", k=16)
+        acc.extend([tuple(r) for r in sk.collect()])
+        n_batches.append(bid)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "expected multiple micro-batches"
+
+    streamed = kmv_merge(
+        spark.createDataFrame(acc, "g string, r int, h bigint"),
+        ["g"], k=16,
+    )
+    direct = kmv_rollup(df_all, ["g"], "item", k=16)
+    key = lambda df: sorted((r["g"], r["r"], r["h"]) for r in df.collect())
+    assert key(streamed) == key(direct)
+
+    pair = lambda df: sorted(map(tuple, df.collect()))
+    assert pair(kmv_estimate(streamed, ["g"], k=16)) == pair(
+        kmv_estimate(direct, ["g"], k=16)
+    )
+    assert pair(kmv_overlap(streamed, "g", k=16)) == pair(
+        kmv_overlap(direct, "g", k=16)
+    )
+
+
 def test_sequence_stream_ordered_sequences(spark, tmp_path):
     """Streaming sequence assembly: closed sessions emit the ordered
     type:epoch_us text, matching the batch renderer's format, with
