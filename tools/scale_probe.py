@@ -154,6 +154,42 @@ def build_probes(spark: SparkSession, sf_dir: str):
             min_len=40, max_gram_freq=64,
         )
 
+    def kmv_sketch(k):
+        from geist_spark.operators.sketch import kmv_merge, kmv_rollup
+
+        ev = expand(events, k, ["event_id", "user_id"]).withColumn(
+            "hour", F.date_trunc("hour", "ts")
+        )
+        return kmv_merge(
+            kmv_rollup(ev, ["hour", "event_type"], "user_id", k=256),
+            ["event_type"], k=256,
+        )
+
+    def epoch_shuffle(k):
+        from geist_spark.operators.split import epoch_shuffle_manifest
+
+        return epoch_shuffle_manifest(
+            expand(docs, k, ["doc_id"]), n_epochs=3, n_batches=8,
+            size_col="n_chars",
+        )
+
+    def rake(k):
+        # UNsalted: identical text across copies keeps the phrase
+        # vocabulary constant while doc volume grows — the realistic
+        # shape (vocab grows sublinearly in corpus size), and it
+        # keeps stopwords intact (the salt tag would prefix them,
+        # erasing every phrase boundary)
+        return text.rake_keywords(expand(docs, k, ["doc_id"]))
+
+    def knn(k):
+        from geist_spark.operators.classify import knn_classify
+
+        # fixed 20-query panel (copy 0 only), corpus grows with k
+        return knn_classify(
+            expand(t("embeddings"), k, ["vec_id"]),
+            query_ids=list(range(20)), k=10,
+        )
+
     return {
         "scan_agg_hourly_rollup": scan_agg,
         "sessionize_lag_cumsum": sessionize,
@@ -165,6 +201,10 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "cosine_topk_bruteforce": cosine,
         "ngram_containment_pairs": containment,
         "dup_span_removal": span_removal,
+        "kmv_sketch_rollup_merge": kmv_sketch,
+        "epoch_shuffle_manifest": epoch_shuffle,
+        "rake_keywords": rake,
+        "knn_classify_vote": knn,
     }
 
 
