@@ -216,10 +216,18 @@ def collocation_lift(
         # full crawl corpus pass False — the joins shuffle-hash on
         # token at vocabulary grain (same escape hatch as oov_rate)
         ua, ub = F.broadcast(ua), F.broadcast(ub)
+    else:
+        # merge hint ONLY here: stacking hint("merge") on an
+        # F.broadcast frame silently discards the broadcast (Spark
+        # keeps the outermost hint), which would make broadcast_vocab
+        # dead code. The hint guards the Catalyst static-size
+        # mis-estimate on the self-derived vocab side (see SCALE.md
+        # merge-hint policy).
+        ua, ub = ua.hint("merge"), ub.hint("merge")
     return (
         bi.filter(F.col("cnt") >= min_count)
-        .join(ua.hint("merge"), "w1")
-        .join(ub.hint("merge"), "w2")
+        .join(ua, "w1")
+        .join(ub, "w2")
         .join(F.broadcast(n_total))
         .select(
             "w1",

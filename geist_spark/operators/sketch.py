@@ -284,14 +284,24 @@ def kmv_estimate(
 
 
 def kmv_overlap(
-    sketches: DataFrame, group_col: str, k: int = 256
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+    include_empty: bool = False,
 ) -> DataFrame:
-    """Pairwise set-intersection estimates between every pair of cells
-    of one KMV sketch table (group_a < group_b): theta-sketch
-    intersection. theta = min over both sides of (h_K or 2^32 when the
-    side is exact); the intersection estimate is |{h in A ∩ B : h <
-    theta}| * 2^32 / theta, which degrades to the EXACT intersection
-    count when both sides retained their full distinct sets.
+    """Pairwise set-intersection estimates between cells of one KMV
+    sketch table (group_a < group_b): theta-sketch intersection.
+    theta = min over both sides of (h_K or 2^32 when the side is
+    exact); the intersection estimate is |{h in A ∩ B : h < theta}| *
+    2^32 / theta, which degrades to the EXACT intersection count when
+    both sides retained their full distinct sets.
+
+    By default a pair with NO retained common hash below theta is
+    ABSENT from the output (the inner join on h yields nothing), so
+    'disjoint' and 'not computed' look the same to a consumer.
+    include_empty=True completes the pair universe from the (tiny,
+    one-row-per-group) theta table and emits n_common=0,
+    intersect_est=0.0 rows for those pairs instead.
 
     Cost: a self-join of two <= |groups|*K row tables on h — nothing
     touches the raw data. This is the question that motivates theta
@@ -336,12 +346,31 @@ def kmv_overlap(
     ).otherwise(
         F.col("n_common") * F.lit(float(KMV_RANGE)) / F.col("theta")
     )
-    return agg.select(
+    out = agg.select(
         F.col("ga").alias("group_a"),
         F.col("gb").alias("group_b"),
         F.col("n_common"),
         F.round(est, 4).alias("intersect_est"),
     )
+    if include_empty:
+        # complete the pair universe at group grain (|groups|^2 rows,
+        # metadata-sized) so disjoint pairs surface as explicit zeros
+        ga = theta_tbl.select(F.col(group_col).alias("group_a"))
+        gb = theta_tbl.select(F.col(group_col).alias("group_b"))
+        pairs = ga.crossJoin(F.broadcast(gb)).filter(
+            F.col("group_a") < F.col("group_b")
+        )
+        out = pairs.join(out, ["group_a", "group_b"], "left").select(
+            "group_a",
+            "group_b",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(
+                "n_common"
+            ),
+            F.coalesce(F.col("intersect_est"), F.lit(0.0)).alias(
+                "intersect_est"
+            ),
+        )
+    return out
 
 
 def hist_quantiles(

@@ -556,7 +556,15 @@ def epoch_shuffle(
     ep = F.explode(
         F.sequence(F.lit(0), F.lit(n_epochs - 1))
     ).alias("epoch")
-    out = df.select(*df.columns, ep)
+    # batch_e0 is computed BEFORE the explode — once per input row,
+    # not once per (row, epoch) pair (the epoch-0 hash is
+    # epoch-independent, so evaluating it post-explode would redo the
+    # same md5 n_epochs times per row).
+    e0 = df.select(
+        *df.columns,
+        F.floor(h(F.lit(0)) / F.lit(width)).cast("int").alias("batch_e0"),
+    )
+    out = e0.select(*e0.columns, ep)
     hk = h(F.col("epoch"))
     return out.select(
         *df.columns,
@@ -567,7 +575,7 @@ def epoch_shuffle(
         # The double quotient is safe: |true - floor boundary| >= 1/width
         # which dwarfs the division's half-ULP rounding error.
         F.floor(hk / F.lit(width)).cast("int").alias("batch"),
-        F.floor(h(F.lit(0)) / F.lit(width)).cast("int").alias("batch_e0"),
+        "batch_e0",
     )
 
 

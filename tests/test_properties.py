@@ -802,6 +802,17 @@ def test_kmv_merge_estimate_overlap_vs_replay(spark, items_a, items_b, k):
     else:
         assert ("a", "b") not in got_ov
 
+    # include_empty completes the pair universe: the (a, b) pair is
+    # ALWAYS present (zeros when disjoint/above-theta), and non-empty
+    # pairs carry identical values to the default path
+    if sk["a"] and sk["b"]:
+        full = {
+            (r["group_a"], r["group_b"]): (r["n_common"], r["intersect_est"])
+            for r in kmv_overlap(merged, "g", k=k, include_empty=True).collect()
+        }
+        assert ("a", "b") in full
+        assert full[("a", "b")] == got_ov.get(("a", "b"), (0, 0.0))
+
 
 @given(
     values=st.lists(st.integers(0, 500), min_size=1, max_size=120),

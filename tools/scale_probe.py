@@ -241,12 +241,18 @@ def main() -> None:
         probe(1).write.format("noop").mode("overwrite").save()
         times, rows = [], []
         for k in ks:
-            df = probe(k)
+            # the timer brackets CONSTRUCTION + the noop write:
+            # operators that eager-checkpoint internally (rake's
+            # candidate table) run their scan/tokenize/aggregate work
+            # at DataFrame-construction time, which a write-only timer
+            # would silently exclude; for lazy operators construction
+            # is plan-building only (sub-ms, harmless to include).
             # noop write, NOT count(): count() lets Catalyst prune the
             # operator under test (verified: quality_features reduces
             # to a bare row count, asof_join to a count of its left
             # input) — the noop sink materializes every output column
             t0 = time.monotonic()
+            df = probe(k)
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
             rows.append(df.count())
