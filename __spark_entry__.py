@@ -3232,6 +3232,91 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(_t(spark, sf_dir, "documents"))
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders (relational.py
+    association_rules): baskets = orders, items = part brands; directed
+    rules with exact-integer support/confidence/lift — the affinity
+    ranking behind recommender feature-crosses. Pair self-join at
+    basket grain (merge-hinted), vocabulary-grain count joins
+    broadcast."""
+    from geist_spark.operators.relational import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=50
+    )
+
+
+def s_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label-noise audit over a 100-vector panel
+    (operators/classify.py label_noise_audit): suspects are rows whose
+    10 nearest OTHER embeddings out-vote their own label —
+    confident-learning-style mislabel triage before training."""
+    from geist_spark.operators.classify import label_noise_audit
+
+    return label_noise_audit(
+        _t(spark, sf_dir, "embeddings"), audit_ids=list(range(100)), k=10
+    )
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit (operators/bucketing.py zone_map +
+    zone_prune): per-file min/max spans of l_shipdate under TWO
+    simulated layouts — ingest order (l_orderkey range bins) vs time
+    partitioning (ship month) — with the scan/skip decision for one
+    Q6-shape date predicate. Quantifies what the layout buys: the
+    ingest layout scans every file, the time layout skips all but the
+    predicate's months. Metadata-grain end to end (one partial-agg
+    shuffle per layout)."""
+    from geist_spark.operators.bucketing import zone_map, zone_prune
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # both layouts ride ONE scan: each row explodes into its two
+    # (layout-prefixed) file names before the metadata-grain agg — at
+    # 100 TB the scan dominates, so 1 scan + 2x shuffle fan-out beats
+    # two full scans (the shuffle input is still just 2 rows of
+    # (file_id, ts) per lineitem row)
+    lay = li.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("ingest/"),
+                    F.floor(F.col("l_orderkey") / 2048).cast("string"),
+                ),
+                F.concat(
+                    F.lit("month/"), F.date_format("l_shipdate", "yyyy-MM")
+                ),
+            )
+        ).alias("fid"),
+        "l_shipdate",
+    )
+    z = zone_map(lay, F.col("fid"), ["l_shipdate"])
+    pred = [("l_shipdate", "1995-06-01 00:00:00", "1995-08-31 23:59:59")]
+    return zone_prune(z, pred).select(
+        F.split("file_id", "/")[0].alias("layout"),
+        "file_id",
+        "n_rows",
+        "min_l_shipdate",
+        "max_l_shipdate",
+        "nulls_l_shipdate",
+        "scan_needed",
+    )
+
+
+def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords over the documents table (operators/text.py
+    textrank_keywords): adjacency co-occurrence graph of non-stopword
+    tokens ranked by graph.pagerank's fixed-point arithmetic; top-20
+    words. The graph-centrality complement to t_rake_keywords."""
+    from geist_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3813,6 +3898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_knn_classify": s_knn_classify,
         "s_matryoshka": s_matryoshka,
         "t_rake_keywords": t_rake_keywords,
+        "q_assoc_rules": q_assoc_rules,
+        "s_label_noise": s_label_noise,
+        "q_zone_map_prune": q_zone_map_prune,
+        "t_textrank": t_textrank,
     }
 
 
@@ -6749,6 +6838,119 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc)
             WHERE rank <= 20
         """,
+        "q_assoc_rules": """
+            WITH di AS (
+                SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ), nb AS (
+                SELECT count(DISTINCT bk) AS n_baskets FROM di
+            ), ic AS (
+                SELECT item, count(*) AS n_item FROM di GROUP BY 1
+            ), pc AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       count(*) AS n_both
+                FROM di a JOIN di b
+                  ON a.bk = b.bk AND a.item < b.item
+                GROUP BY 1, 2
+                HAVING count(*) >= 50
+            ), j AS (
+                SELECT pc.item_a, pc.item_b, pc.n_both,
+                       ca.n_item AS n_a, cb.n_item AS n_b, nb.n_baskets
+                FROM pc
+                JOIN ic ca ON pc.item_a = ca.item
+                JOIN ic cb ON pc.item_b = cb.item
+                CROSS JOIN nb
+            ), r AS (
+                SELECT item_a AS antecedent, item_b AS consequent,
+                       n_both, n_a AS n_ant, n_b AS n_cons, n_baskets
+                FROM j
+                UNION ALL
+                SELECT item_b, item_a, n_both, n_b, n_a, n_baskets
+                FROM j
+            )
+            SELECT antecedent, consequent, n_both, n_ant, n_cons,
+                   n_baskets,
+                   round(CAST(n_both AS DOUBLE) / n_ant, 6) AS confidence,
+                   n_both * n_baskets AS lift_num,
+                   n_ant * n_cons AS lift_den,
+                   round(CAST(n_both * n_baskets AS DOUBLE)
+                         / (n_ant * n_cons), 6) AS lift
+            FROM r
+        """,
+        "s_label_noise": """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings
+            ), q AS (SELECT * FROM e WHERE vec_id < 100),
+            scored AS (
+                SELECT q.vec_id AS query_id, q.label AS own_label,
+                       c.label AS n_label, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6)
+                           AS cosine
+                FROM q CROSS JOIN e c
+                WHERE c.vec_id <> q.vec_id
+            ), top AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM scored)
+                WHERE rank <= 10
+            ), votes AS (
+                SELECT query_id, own_label, n_label,
+                       count(*) AS n_votes
+                FROM top GROUP BY 1, 2, 3
+            ), pred AS (
+                SELECT query_id, own_label,
+                       n_label AS pred_label, n_votes AS n_votes_pred
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY n_votes DESC, n_label) AS vr
+                    FROM votes)
+                WHERE vr = 1
+            ), own AS (
+                SELECT query_id, n_votes AS n_votes_own
+                FROM votes WHERE n_label = own_label
+            )
+            SELECT p.query_id AS vec_id, p.own_label AS label,
+                   p.pred_label, p.n_votes_pred,
+                   coalesce(o.n_votes_own, 0) AS n_votes_own,
+                   CAST(p.pred_label <> p.own_label AS INT) AS suspect
+            FROM pred p LEFT JOIN own o ON p.query_id = o.query_id
+        """,
+        "q_zone_map_prune": """
+            WITH z AS (
+                SELECT 'ingest' AS layout,
+                       'ingest/' || CAST(l_orderkey // 2048 AS VARCHAR)
+                           AS file_id,
+                       count(*) AS n_rows,
+                       min(l_shipdate) AS min_l_shipdate,
+                       max(l_shipdate) AS max_l_shipdate,
+                       count(*) FILTER (WHERE l_shipdate IS NULL)
+                           AS nulls_l_shipdate
+                FROM lineitem GROUP BY 2
+                UNION ALL
+                SELECT 'month',
+                       'month/' || strftime(l_shipdate, '%Y-%m'),
+                       count(*),
+                       min(l_shipdate), max(l_shipdate),
+                       count(*) FILTER (WHERE l_shipdate IS NULL)
+                FROM lineitem GROUP BY 2
+            )
+            SELECT layout, file_id, n_rows,
+                   min_l_shipdate, max_l_shipdate, nulls_l_shipdate,
+                   CAST(min_l_shipdate IS NOT NULL
+                        AND max_l_shipdate >=
+                            TIMESTAMP '1995-06-01 00:00:00'
+                        AND min_l_shipdate <=
+                            TIMESTAMP '1995-08-31 23:59:59'
+                        AS INT) AS scan_needed
+            FROM z
+        """,
+        "t_textrank": _textrank_oracle(),
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])
@@ -7945,33 +8147,30 @@ def _ivf_train_cte_parts(k: int, iters: int, dim: int) -> tuple[list[str], str]:
     return parts, f"a{iters - 1}"
 
 
-def _pagerank_oracle(
+def _pagerank_iter_parts(
     iters: int = 3, num: int = 85, den: int = 100
-) -> str:
-    """Replays graph.pagerank over the same md5-derived edge list:
-    all-long arithmetic with positive operands, so DuckDB's // is the
-    same floor division the operator computes."""
+) -> list[str]:
+    """CTE parts replaying graph.pagerank's fixed-point iterations
+    over a previously-defined `edges(src, dst)` CTE: node set, node
+    count, out-degrees, base/pr0 params, then `iters` unrolled
+    contribute/update rounds ending in r{iters}. All-long arithmetic
+    with positive operands, so DuckDB's // is the same floor division
+    the operator computes. Shared by _pagerank_oracle (md5 link graph)
+    and the t_textrank oracle (word co-occurrence graph)."""
     from geist_spark.operators.graph import PR_SCALE
 
     parts = [
-        "nd AS (SELECT count(*) AS n FROM documents)",
-        """edges AS (
-            SELECT doc_id AS src,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
-                                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT
-                   % (SELECT n FROM nd) AS dst
-            FROM documents, unnest([1, 2, 3]) AS t(j)
-        )""",
         """nodes AS (
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges
                 UNION ALL SELECT dst FROM edges)
         )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
         "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
         f"""params AS (
             SELECT ({PR_SCALE} // n) AS pr0,
                    (({den - num}) * ({PR_SCALE} // n)) // {den} AS base
-            FROM nd
+            FROM nn
         )""",
         "r0 AS (SELECT node, (SELECT pr0 FROM params) AS pr FROM nodes)",
     ]
@@ -7991,9 +8190,77 @@ def _pagerank_oracle(
                         AS BIGINT) AS pr
             FROM nodes n LEFT JOIN c{it} c ON n.node = c.node_in
         )""")
+    return parts
+
+
+def _pagerank_oracle(
+    iters: int = 3, num: int = 85, den: int = 100
+) -> str:
+    """Replays graph.pagerank over q_pagerank's md5-derived link graph
+    (edge build + the shared _pagerank_iter_parts replay)."""
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        """edges AS (
+            SELECT doc_id AS src,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   % (SELECT n FROM nd) AS dst
+            FROM documents, unnest([1, 2, 3]) AS t(j)
+        )""",
+    ] + _pagerank_iter_parts(iters, num, den)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, pr FROM r{iters}"
+    )
+
+
+def _textrank_oracle(iters: int = 3, top_n: int = 20) -> str:
+    """Replays text.textrank_keywords: tokenization + adjacency edge
+    build (the same lag/pos-delta rule as the operator), then the
+    shared _pagerank_iter_parts fixed-point replay, then top-n by
+    (pr desc, word asc)."""
+    parts = [
+        r"""tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(regexp_replace(
+                       lower(text), '\s+', ' ', 'g')), '\s+') AS l
+            FROM documents
+        )""",
+        """pos AS (
+            SELECT doc_id, i.i AS pos, l[i.i] AS tok
+            FROM tk, LATERAL (SELECT unnest(generate_series(
+                1, len(l))) AS i) i
+        )""",
+        """ns AS (
+            SELECT doc_id, pos, tok FROM pos
+            WHERE tok <> '' AND tok NOT IN
+                  ('the','and','of','to','a','in','is','it','that','for')
+        )""",
+        """adj AS (
+            SELECT doc_id, pos, tok AS w2,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev_pos,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+            FROM ns
+        )""",
+        """pairs AS (
+            SELECT w1, w2 FROM adj
+            WHERE pos - prev_pos = 1 AND w1 <> w2
+        )""",
+        """edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT w1 AS src, w2 AS dst FROM pairs
+                UNION ALL SELECT w2, w1 FROM pairs)
+        )""",
+    ] + _pagerank_iter_parts(iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT node AS word, pr, CAST(rank AS INT) AS rank
+        FROM (SELECT node, pr, row_number() OVER (
+                  ORDER BY pr DESC, node) AS rank
+              FROM r{iters})
+        WHERE rank <= {top_n}"""
     )
 
 

@@ -208,3 +208,59 @@ def reconcile_files(listing: DataFrame, manifest: DataFrame) -> DataFrame:
         F.coalesce(F.col("l_bytes"), F.col("m_bytes")).alias("bytes"),
         status.alias("status"),
     )
+
+
+def zone_map(
+    df: DataFrame,
+    file_col,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Per-file zone-map statistics — the min/max/null-count metadata
+    parquet footers and Delta/Iceberg manifests keep per column, the
+    data-skipping substrate every 100 TB scan depends on (a filter
+    that can't consult zone maps reads everything).
+
+    `file_col` is the expression that names a row's file (a real
+    file-path column, or a layout expression when simulating one).
+    ONE partial-agg shuffle down to |files| rows — metadata grain;
+    columns per stat col c: min_c, max_c, nulls_c.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy(file_col.alias("file_id")).agg(*aggs)
+
+
+def zone_prune(
+    zones: DataFrame,
+    predicates: list[tuple[str, object, object]],
+) -> DataFrame:
+    """Data-skipping decision over a zone-map table: for conjunctive
+    range predicates [(col, lo, hi), ...] (None = unbounded), a file
+    must be scanned iff EVERY predicate's range overlaps the file's
+    [min, max] span. Null semantics: a range predicate never matches
+    NULL, so a file whose column is entirely null (min/max NULL)
+    cannot satisfy that predicate and is skipped.
+
+    Pure map expression over the metadata-grain zones table — the
+    planner-side half of partition pruning: run it against the
+    layout's zone maps to quantify how many files (and rows) a
+    predicate actually touches. Pair with zorder_layout to measure
+    what a layout change buys BEFORE rewriting 100 TB.
+
+    Returns zones + scan_needed (int) — 1 iff the file may contain a
+    matching row.
+    """
+    need = F.lit(True)
+    for c, lo, hi in predicates:
+        ok = F.col(f"min_{c}").isNotNull()
+        if lo is not None:
+            ok = ok & (F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (F.col(f"min_{c}") <= F.lit(hi))
+        need = need & ok
+    return zones.withColumn("scan_needed", need.cast("int"))

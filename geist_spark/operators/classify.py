@@ -420,3 +420,105 @@ def knn_classify(
             .alias("correct"),
         )
     )
+
+
+def label_noise_audit(
+    embeddings: DataFrame,
+    audit_ids: list[int],
+    k: int = 10,
+    label_col: str = "label",
+    value_col: str = "embedding",
+) -> DataFrame:
+    """Leave-one-out kNN label-noise audit (confident-learning-lite):
+    each audited point is re-classified by the majority vote of its k
+    cosine-nearest OTHER points; a disagreement between the vote and
+    the point's own label flags a likely mislabel. The standard triage
+    pass before training on crowd- or heuristically-labeled data —
+    run it on a sampled panel, re-queue the suspects for review.
+
+    Differs from knn_classify in the holdout rule: the audited rows
+    stay IN the corpus (each excludes only itself), because the audit
+    asks "does the rest of the data agree with this row's label?",
+    not "can held-out queries be classified?".
+
+    Plan shape is knn_classify's: bounded audit panel BROADCAST
+    against one corpus scan, rank<=k via WindowGroupLimit partials,
+    then integer votes over |panel|*k rows. At 100 TB the full-corpus
+    audit swaps the brute-force scan for the IVF/LSH candidate stage
+    (similarity.py) in front of the same vote — the vote plan is
+    unchanged.
+
+    Returns (vec_id, label, pred_label, n_votes_pred, n_votes_own,
+    suspect) — n_votes_own = votes for the row's own label (0 when
+    none of the k neighbors carries it); suspect = pred != own.
+    """
+    from geist_spark.operators.bucketing import fan_out
+    from geist_spark.operators.similarity import _dot, _norm
+
+    q = embeddings.filter(F.col("vec_id").isin(audit_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(label_col).alias("own_label"),
+        F.col(value_col).alias("q_emb"),
+        _norm(F.col(value_col)).alias("q_nrm"),
+    )
+    c = fan_out(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(value_col).alias("c_emb"),
+        _norm(F.col(value_col)).alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "own_label",
+            "n_label",
+            "neighbor_id",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy("query_id", "own_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "own_label",
+            F.col("n_label").alias("pred_label"),
+            F.col("n_votes").alias("n_votes_pred"),
+        )
+    )
+    own = votes.filter(F.col("n_label") == F.col("own_label")).select(
+        "query_id", F.col("n_votes").alias("n_votes_own")
+    )
+    # votes is |panel|-grain; broadcast the own-votes side explicitly —
+    # Catalyst's static estimate of the window-derived frame would
+    # otherwise fall back to a sort-merge join over two tiny tables
+    return pred.join(F.broadcast(own), "query_id", "left").select(
+        F.col("query_id").alias("vec_id"),
+        F.col("own_label").alias("label"),
+        "pred_label",
+        "n_votes_pred",
+        F.coalesce(F.col("n_votes_own"), F.lit(0).cast("long")).alias(
+            "n_votes_own"
+        ),
+        (F.col("pred_label") != F.col("own_label"))
+        .cast("int")
+        .alias("suspect"),
+    )

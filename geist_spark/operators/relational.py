@@ -1492,6 +1492,117 @@ def session_cooccurrence(
     )
 
 
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal-style, pair grain):
+    for every DIRECTED pair of items co-occurring in >= min_support
+    baskets, support / confidence / lift — the affinity mining that
+    session_cooccurrence stops short of (it emits co-counts;
+    rules add direction and normalization, the ranking retailers and
+    recommender feature-crosses actually use).
+
+        confidence(a -> b) = n_both / n_ant
+        lift(a, b)         = n_both * n_baskets / (n_ant * n_cons)
+
+    Exact arithmetic: all counts are BIGINTs; lift_num / lift_den are
+    exact integer products emitted as columns (same discipline as
+    lm.collocation_lift), confidence and lift each ONE IEEE division.
+
+    Shape at 100 TB: baskets reduce to the DISTINCT (basket, item)
+    table first — the fan-in guard (an item bought 50 times in one
+    order contributes one row) — then a self-join keyed on the basket
+    with item_a < item_b. Fan-out per basket is (distinct items)^2,
+    bounded by the item vocabulary, not basket length. min_support
+    prunes at pair grain BEFORE the (vocabulary-grain) item-count
+    joins; item counts and the basket total are broadcast (item grain
+    and 1 row). The self-join carries the merge hint per the SCALE.md
+    policy: both sides are corpus-sized and Catalyst's static size
+    estimate of the distinct-derived frame is unreliable.
+
+    Returns (antecedent, consequent, n_both, n_ant, n_cons,
+    n_baskets, confidence, lift_num, lift_den, lift); each unordered
+    co-occurring pair yields both directed rules.
+    """
+    di = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = di.agg(
+        F.countDistinct("bk").alias("n_baskets")
+    )
+    item_cnt = di.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = di.alias("a"), di.hint("merge").alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    ca = F.broadcast(
+        item_cnt.select(
+            F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+        )
+    )
+    cb = F.broadcast(
+        item_cnt.select(
+            F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+        )
+    )
+    joined = (
+        pair_cnt.join(ca, "item_a")
+        .join(cb, "item_b")
+        .join(F.broadcast(n_baskets))
+    )
+    # each unordered pair emits both directed rules in one explode —
+    # no second self-join pass
+    rules = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_a").alias("n_ant"),
+                    F.col("n_b").alias("n_cons"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_b").alias("n_ant"),
+                    F.col("n_a").alias("n_cons"),
+                ),
+            )
+        ).alias("r"),
+        "n_both",
+        "n_baskets",
+    )
+    return rules.select(
+        F.col("r.antecedent").alias("antecedent"),
+        F.col("r.consequent").alias("consequent"),
+        "n_both",
+        F.col("r.n_ant").alias("n_ant"),
+        F.col("r.n_cons").alias("n_cons"),
+        "n_baskets",
+        F.round(F.col("n_both") / F.col("r.n_ant"), 6).alias("confidence"),
+        (F.col("n_both") * F.col("n_baskets")).alias("lift_num"),
+        (F.col("r.n_ant") * F.col("r.n_cons")).alias("lift_den"),
+        F.round(
+            (F.col("n_both") * F.col("n_baskets"))
+            / (F.col("r.n_ant") * F.col("r.n_cons")),
+            6,
+        ).alias("lift"),
+    )
+
+
 def seasonality_profile(events: DataFrame) -> DataFrame:
     """Load profile per event type: (day-of-week, hour-of-day) counts
     and exact value sums — the seasonal baseline behind capacity

@@ -751,3 +751,71 @@ def rake_keywords(
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "phrase", "n_words", "n_occ", "score_fx", "rank"
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    stopwords: list[str] | None = None,
+    iters: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph — an undirected edge between two
+    non-stopword tokens directly ADJACENT in a document — and rank
+    words by PageRank over it. The graph-centrality complement to
+    RAKE's frequency/degree scoring: RAKE surfaces long distinctive
+    phrases, TextRank surfaces the words the corpus keeps arranging
+    around.
+
+    Composition, not reimplementation: the graph is ranked by
+    graph.pagerank — the same fixed-point integer arithmetic
+    (PR_SCALE grid, floor division), so the DuckDB oracle replays the
+    edge build plus the identical unrolled iterations bit-for-bit.
+
+    Shape at 100 TB: tokenize + adjacency detection is one per-doc
+    window (partitionBy doc_id, fully parallel); the edge list then
+    collapses to DISTINCT vocabulary-grain pairs — all pagerank
+    iterations run at vocabulary grain, never touching documents
+    again. Final top-n is orderBy+limit (TakeOrderedAndProject — map
+    tasks forward local top-n only, no global sort), numbered on the
+    n survivors.
+
+    Returns (word, pr, rank), rank 1..top_n by pr desc then word asc.
+    """
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.graph import pagerank
+
+    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop_arr = F.array(*[F.lit(w) for w in stop])
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(
+        (F.col("tok") != "") & ~F.array_contains(stop_arr, F.col("tok"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    adj = tok.select(
+        "pos",
+        F.lag("pos").over(wd).alias("prev_pos"),
+        F.col("tok").alias("w2"),
+        F.lag("tok").over(wd).alias("w1"),
+    ).filter(
+        (F.col("pos") - F.col("prev_pos") == 1)
+        & (F.col("w1") != F.col("w2"))
+    )
+    # undirected: both directions, DISTINCT — vocabulary-grain from
+    # here on (multiplicity deliberately dropped: classic TextRank is
+    # unweighted; a weighted variant would carry the pair count into
+    # pagerank's share term)
+    und = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank(und, iters=iters)
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(top_n)
+    wr = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        F.col("node").alias("word"), "pr", "rank"
+    )

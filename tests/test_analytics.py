@@ -1671,3 +1671,79 @@ def test_remove_dup_spans_idempotent_on_survivors(spark):
         for r in remove_dup_spans(df2, min_len=40).collect()
     }
     assert all(v["n_chars_removed"] == 0 for v in second.values())
+
+
+# ------------------------------------------------------ association rules
+
+
+def test_association_rules_golden(spark):
+    """Hand-computed rules on 4 baskets: support counts at DISTINCT
+    (basket, item) grain, both directed rules per pair, exact
+    confidence/lift arithmetic, min_support pruning."""
+    from geist_spark.operators.relational import association_rules
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "milk"),   # dup item in basket
+        (2, "milk"), (2, "bread"), (2, "eggs"),
+        (3, "milk"), (3, "eggs"),
+        (4, "bread"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            df, "bk", "item", min_support=2
+        ).collect()
+    }
+    # pairs with support >= 2: (bread, milk) 2, (eggs, milk) 2;
+    # (bread, eggs) support 1 is pruned — 2 pairs x 2 directions
+    assert set(out) == {
+        ("bread", "milk"), ("milk", "bread"),
+        ("eggs", "milk"), ("milk", "eggs"),
+    }
+    r = out[("bread", "milk")]
+    # n(bread)=3, n(milk)=3, n(both)=2, baskets=4
+    assert (r["n_both"], r["n_ant"], r["n_cons"], r["n_baskets"]) == (
+        2, 3, 3, 4
+    )
+    assert r["confidence"] == round(2 / 3, 6)
+    assert (r["lift_num"], r["lift_den"]) == (8, 9)
+    assert r["lift"] == round(8 / 9, 6)
+    rm = out[("milk", "eggs")]
+    assert rm["confidence"] == round(2 / 3, 6)
+    assert out[("eggs", "milk")]["confidence"] == 1.0
+
+
+# ------------------------------------------------------------- zone maps
+
+
+def test_zone_map_and_prune(spark):
+    """Zone-map stats + skip decisions: disjoint-below, overlapping,
+    disjoint-above, and all-null files against one range predicate."""
+    from geist_spark.operators.bucketing import zone_map, zone_prune
+
+    rows = [
+        ("f1", 1), ("f1", 5),          # entirely below [10, 20]
+        ("f2", 8), ("f2", 15),         # overlaps
+        ("f3", 25), ("f3", 30),        # entirely above
+        ("f4", None), ("f4", None),    # all null -> skip
+        ("f5", 12), ("f5", None),      # in range + a null
+    ]
+    df = spark.createDataFrame(rows, "f string, x int")
+    z = zone_map(df, F.col("f"), ["x"])
+    out = {
+        r["file_id"]: r
+        for r in zone_prune(z, [("x", 10, 20)]).collect()
+    }
+    assert {k: v["scan_needed"] for k, v in out.items()} == {
+        "f1": 0, "f2": 1, "f3": 0, "f4": 0, "f5": 1,
+    }
+    assert out["f4"]["min_x"] is None and out["f4"]["nulls_x"] == 2
+    assert (out["f2"]["min_x"], out["f2"]["max_x"]) == (8, 15)
+    assert out["f5"]["nulls_x"] == 1
+    # unbounded sides: lo=None keeps every non-null-min file
+    lo_open = {
+        r["file_id"]: r["scan_needed"]
+        for r in zone_prune(z, [("x", None, 9)]).collect()
+    }
+    assert lo_open == {"f1": 1, "f2": 1, "f3": 0, "f4": 0, "f5": 0}

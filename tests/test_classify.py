@@ -169,3 +169,53 @@ def test_matryoshka_recall_full_dim_is_perfect(spark):
     for r in part.collect():
         assert 0 <= r["n_overlap"] <= 5
         assert r["recall"] == r["n_overlap"] / 5
+
+
+# ---------------------------------------------------------- label noise
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    """A tight cluster of label 0 with ONE row labeled 1: the audit
+    must flag exactly that row (its neighbors unanimously vote 0) and
+    leave the correctly-labeled rows unflagged."""
+    from geist_spark.operators.classify import label_noise_audit
+
+    rows = []
+    for i in range(8):
+        d = i * 0.01
+        rows.append((i, [1.0 + d, 0.0, 0.0, 0.0], 1 if i == 3 else 0))
+    # far-away cluster with its own consistent label
+    for i in range(4):
+        rows.append((100 + i, [0.0, 9.0 + i * 0.01, 0.0, 0.0], 2))
+    df = _emb_df(spark, rows)
+    out = {
+        r["vec_id"]: r
+        for r in label_noise_audit(
+            df, audit_ids=list(range(8)), k=5
+        ).collect()
+    }
+    assert set(out) == set(range(8))
+    assert out[3]["suspect"] == 1 and out[3]["pred_label"] == 0
+    # the planted row's own label gets zero neighbor votes
+    assert out[3]["n_votes_own"] == 0
+    for i in set(range(8)) - {3}:
+        assert out[i]["suspect"] == 0, i
+        assert out[i]["pred_label"] == out[i]["label"]
+        # own-label votes == winner votes when the row agrees
+        assert out[i]["n_votes_own"] == out[i]["n_votes_pred"]
+
+
+def test_label_noise_excludes_only_self(spark):
+    """Audited rows stay in each OTHER's neighbor sets (leave-one-out,
+    not panel-holdout): with a 3-row corpus and k=2, every audit row
+    gets exactly 2 votes — its two peers."""
+    from geist_spark.operators.classify import label_noise_audit
+
+    df = _emb_df(
+        spark,
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0)],
+    )
+    out = label_noise_audit(df, audit_ids=[0, 1, 2], k=2).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_votes_pred"] == 2 and r["suspect"] == 0

@@ -1927,3 +1927,80 @@ def test_gap_fill_dense_axis(spark, rows):
         h = int((r["hour"] - epoch).total_seconds() // 3600)
         assert lo <= h <= hi
         assert r["n"] == want.get((r[0], h), 0), (r, want)
+
+
+# ---------- textrank keywords ----------
+
+def _py_textrank(texts, stop, iters=3, num=85, den=100):
+    """Reference TextRank: tokenize (lower/collapse-ws/split), drop
+    stopwords+empties, edges between DIRECTLY adjacent survivors
+    (original-position delta 1, w1 != w2), undirected distinct, then
+    the exact integer pagerank (PR_SCALE grid, floor division —
+    operands non-negative)."""
+    import re
+
+    from geist_spark.operators.graph import PR_SCALE
+
+    edges = set()
+    for t in texts:
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        keep = [(i, w) for i, w in enumerate(toks)
+                if w != "" and w not in stop]
+        for (pa, wa), (pb, wb) in zip(keep, keep[1:]):
+            if pb - pa == 1 and wa != wb:
+                edges.add((wa, wb))
+                edges.add((wb, wa))
+    if not edges:
+        return None
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr0 = PR_SCALE // n
+    base = ((den - num) * pr0) // den
+    pr = {v: pr0 for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += pr[s] // outdeg[s]
+        pr = {v: base + (num * inflow[v]) // den for v in nodes}
+    return pr
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "spark", "shuffle", "join", "scan",
+                 "broadcast", "skew", "", "codegen"]
+            ),
+            min_size=2, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+@example(docs=["spark shuffle spark", "the spark the shuffle"])
+@example(docs=["a the a", "join join join"])  # no edges / self-pairs only
+@SET
+def test_textrank_vs_replay(spark, docs):
+    from geist_spark.operators.text import STOPWORDS, textrank_keywords
+
+    want = _py_textrank(docs, set(STOPWORDS["en"]))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    if want is None:
+        import pytest
+
+        with pytest.raises(ValueError):
+            textrank_keywords(df).collect()
+        return
+    got = [
+        (r["word"], r["pr"], r["rank"])
+        for r in textrank_keywords(df, top_n=20).collect()
+    ]
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [
+        (w, p, i + 1) for i, (w, p) in enumerate(top)
+    ]
