@@ -3317,6 +3317,34 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(_t(spark, sf_dir, "documents"))
 
 
+def s_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection recall audit
+    (operators/similarity.py rp_recall): recall@10 of 16-dim
+    Rademacher-projected retrieval vs the full 64-dim exact top-10 —
+    matryoshka's generic sibling for embeddings without prefix
+    training. Projection is map-only exact-integer arithmetic."""
+    from geist_spark.operators.similarity import rp_recall
+
+    return rp_recall(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=10,
+        dim=64,
+        out_dim=16,
+    )
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Holt level+trend forecast over daily counts
+    (operators/drift.py holt_forecast): scaled-long smoothing
+    recurrences with exact floor division, folded sequentially in
+    codegen — the where-is-load-heading companion to
+    q_seasonality."""
+    from geist_spark.operators.drift import holt_forecast
+
+    return holt_forecast(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3902,6 +3930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_label_noise": s_label_noise,
         "q_zone_map_prune": q_zone_map_prune,
         "t_textrank": t_textrank,
+        "s_rp_recall": s_rp_recall,
+        "q_holt_forecast": q_holt_forecast,
     }
 
 
@@ -6951,6 +6981,8 @@ def oracle_sql() -> dict[str, str]:
             FROM z
         """,
         "t_textrank": _textrank_oracle(),
+        "s_rp_recall": _rp_recall_oracle(),
+        "q_holt_forecast": _holt_oracle(),
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])
@@ -8212,6 +8244,118 @@ def _pagerank_oracle(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, pr FROM r{iters}"
     )
+
+
+def _rp_recall_oracle(
+    dim: int = 64, out_dim: int = 16, k: int = 10, n_queries: int = 10
+) -> str:
+    """Replays similarity.rp_recall: the SAME md5-derived sign matrix
+    (imported from the operator), the fixed-point projection — every
+    product an exact integer below 2^53, so DuckDB's double
+    list_dot_product is lossless — then the two cosine top-k passes
+    and the overlap join, mirroring the s_matryoshka oracle."""
+    from geist_spark.operators.similarity import RP_SCALE, _rp_signs
+
+    signs = _rp_signs(dim, out_dim)
+    proj_exprs = ",\n                       ".join(
+        f"CAST(list_dot_product(fx, {row}::BIGINT[]) AS DOUBLE)"
+        for row in signs
+    )
+
+    def topk(vec: str, name: str) -> str:
+        return f"""{name} AS (
+                SELECT * FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM (
+                        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                               round(list_dot_product(q.{vec}, e.{vec})
+                                     / (sqrt(list_dot_product(q.{vec}, q.{vec}))
+                                        * sqrt(list_dot_product(e.{vec}, e.{vec}))),
+                                     6) AS cosine
+                        FROM q JOIN e ON q.vec_id <> e.vec_id))
+                WHERE rank <= {k}
+            )"""
+
+    return f"""
+            WITH fxd AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       [CAST(floor(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)
+                        for x in embedding] AS fx
+                FROM embeddings
+            ), e AS (
+                SELECT vec_id, v,
+                       [{proj_exprs}] AS p
+                FROM fxd
+            ), q AS (SELECT * FROM e WHERE vec_id < {n_queries}),
+            {topk("v", "fulltop")},
+            {topk("p", "redtop")},
+            ov AS (
+                SELECT f.query_id, count(*) AS n_overlap
+                FROM fulltop f JOIN redtop t
+                  ON f.query_id = t.query_id
+                 AND f.neighbor_id = t.neighbor_id
+                GROUP BY 1
+            )
+            SELECT q.vec_id AS query_id,
+                   coalesce(ov.n_overlap, 0) AS n_overlap,
+                   coalesce(ov.n_overlap, 0) / {k} AS recall
+            FROM q LEFT JOIN ov ON ov.query_id = q.vec_id
+    """
+
+
+def _holt_oracle(
+    an: int = 3,
+    ad: int = 10,
+    bn: int = 1,
+    bd: int = 5,
+    scale: int = 1000,
+    horizon: int = 7,
+) -> str:
+    """Replays drift.holt_forecast with a per-key recursive CTE: the
+    same scaled-long recurrences with subtract-pmod exact floor
+    division (valid for negative trends — verified -7//5 -> -2)."""
+
+    def fdiv(a: str, d: int) -> str:
+        return f"(({a}) - (((({a}) % {d}) + {d}) % {d})) // {d}"
+
+    lnew = fdiv(f"{an} * i.y * {scale} + {ad - an} * (r.l + r.t)", ad)
+    tnew = fdiv(f"{bn} * (s.l2 - s.l1) + {bd - bn} * s.t1", bd)
+    return f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ), idx AS (
+                SELECT event_type, y, row_number() OVER (
+                    PARTITION BY event_type ORDER BY day) AS rn
+                FROM daily
+            ), nmax AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                FROM idx GROUP BY 1
+            ), rec(event_type, rn, l, t) AS (
+                SELECT event_type, rn,
+                       CAST(y * {scale} AS BIGINT), CAST(0 AS BIGINT)
+                FROM idx WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.rn,
+                       CAST(s.l2 AS BIGINT), CAST({tnew} AS BIGINT)
+                FROM (
+                    SELECT i.event_type, i.rn, r.l AS l1, r.t AS t1,
+                           {lnew} AS l2
+                    FROM rec r JOIN idx i
+                      ON i.event_type = r.event_type AND i.rn = r.rn + 1
+                ) s
+            )
+            SELECT r.event_type, n.n_days, r.l AS level_fx,
+                   r.t AS trend_fx,
+                   r.l + r.t AS forecast_next_fx,
+                   r.l + {horizon} * r.t AS forecast_h_fx
+            FROM rec r
+            JOIN nmax n ON n.event_type = r.event_type
+                       AND r.rn = n.n_days
+    """
 
 
 def _textrank_oracle(iters: int = 3, top_n: int = 20) -> str:

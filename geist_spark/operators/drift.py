@@ -199,3 +199,93 @@ def cusum_alarms(
         res.getField("alarms").alias("n_alarms"),
         milli(res.getField("peak")).alias("max_cusum_milli"),
     )
+
+
+def _floordiv_any(a: F.Column, b: int) -> F.Column:
+    """Exact floor division for any-sign longs over a positive literal
+    divisor: pmod is non-negative, so (a - pmod(a, b)) is exactly
+    divisible and the double division is lossless below 2^53 (the
+    graph.pagerank spelling, extended to negative numerators — a
+    trend CAN be negative)."""
+    bl = F.lit(b)
+    return ((a - F.pmod(a, bl)) / bl).cast("long")
+
+
+def holt_forecast(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (1, 5),
+    scale: int = 1000,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear
+    trend) over the key's daily event counts, with an h-step-ahead
+    forecast — the capacity-planning / load-forecasting companion to
+    seasonality_profile (which answers "what does a normal Tuesday
+    look like"; this answers "where is the series HEADING").
+
+        level_t = alpha*y_t + (1-alpha)*(level + trend)
+        trend_t = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}
+
+    computed entirely in scaled-long arithmetic: alpha/beta are
+    rationals, every update a subtract-pmod exact floor division
+    (negative trends included), so the result is bit-identical at any
+    parallelism and the DuckDB oracle replays it with a recursive
+    CTE. Level/trend init: first observation, zero trend. The fold
+    runs over OBSERVED days (a silent day is absent, not zero —
+    compose gap-filling upstream when zeros should decay the level).
+
+    A smoothing recurrence is not a window function; like
+    cusum_alarms it runs as a sequential fold over the key's
+    day-ordered count array inside codegen. ONE groupBy(key, day)
+    partial-agg shuffle plus ONE groupBy(key): state per key is the
+    daily series (bounded by the calendar, not event volume — 100 TB
+    of events still folds over ~thousands of days per key).
+
+    Returns (key, n_days, level_fx, trend_fx, forecast_next_fx,
+    forecast_h_fx) — fx values on the `scale` grid.
+    """
+    an, ad = alpha
+    bn, bd = beta
+    daily = events.groupBy(
+        F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    per_key = daily.groupBy(key_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s.getField("y"),
+        ).alias("__ys"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    ys = F.col("__ys")
+    state0 = F.struct(
+        (F.element_at(ys, 1) * F.lit(scale)).cast("long").alias("L"),
+        F.lit(0).cast("long").alias("T"),
+    )
+
+    def step(s, y):
+        lp = _floordiv_any(
+            F.lit(an) * y * F.lit(scale) + F.lit(ad - an) * (s.L + s.T),
+            ad,
+        )
+        tp = _floordiv_any(
+            F.lit(bn) * (lp - s.L) + F.lit(bd - bn) * s.T, bd
+        )
+        return F.struct(lp.alias("L"), tp.alias("T"))
+
+    res = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        state0,
+        step,
+    )
+    lvl, tr = res.getField("L"), res.getField("T")
+    return per_key.select(
+        key_col,
+        "n_days",
+        lvl.alias("level_fx"),
+        tr.alias("trend_fx"),
+        (lvl + tr).alias("forecast_next_fx"),
+        (lvl + F.lit(horizon) * tr).alias("forecast_h_fx"),
+    )

@@ -1409,8 +1409,122 @@ def matryoshka_recall(
     trunc = cosine_topk(sliced, query_ids, k)
     overlap = (
         full.select("query_id", "neighbor_id")
-        .join(trunc.select("query_id", "neighbor_id"),
+        # both sides are |Q|*k rows; broadcast one — Catalyst's static
+        # estimate of the window-derived frames would SMJ two tiny tables
+        .join(F.broadcast(trunc.select("query_id", "neighbor_id")),
               ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = full.select("query_id").distinct()
+    n = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return qs.join(F.broadcast(overlap), "query_id", "left").select(
+        "query_id",
+        n.alias("n_overlap"),
+        (n / F.lit(k)).alias("recall"),
+    )
+
+
+RP_SCALE = 1 << 10  # projection fixed-point grid: keeps every dot
+# product exact in double (|y_j| <= dim * 2^10, so y*y sums stay far
+# below 2^53 — integers are exact in IEEE754, engine-independent)
+
+
+def _rp_signs(dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic +-1 Rademacher sign matrix from md5 — the
+    Achlioptas-style database-friendly JL projection (signs suffice;
+    no Gaussians needed). signs[j][i] is the coefficient of input
+    dim i in output dim j; shared verbatim by the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    value_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: each output coordinate
+    is an exact integer dot product of the fixed-point input
+    (floor(x * 2^10)) with a deterministic +-1 row — dimensionality
+    reduction whose distance distortion is bounded by the JL lemma,
+    at the cost of ONE map-only pass (the sign matrix lives in the
+    generated code as literals; no shuffle, no Python).
+
+    Unlike matryoshka truncation (which needs MRL-trained
+    embeddings), this works on ANY embedding column — the generic
+    'shrink the index 4x' tool. All-integer outputs: bit-identical at
+    any parallelism and below the 2^53 double mantissa, so the DuckDB
+    oracle replays cosine over them exactly.
+
+    Returns (vec_id, embedding) with the projected array<double>
+    (integer-valued), ready for any downstream similarity operator.
+    """
+    signs = _rp_signs(dim, out_dim)
+    fx = F.transform(
+        F.col(value_col),
+        lambda x: F.floor(x.cast("double") * F.lit(RP_SCALE)).cast("long"),
+    )
+    proj = embeddings.select(
+        "vec_id", fx.alias("__fx")
+    ).select(
+        "vec_id",
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__fx"),
+                        F.array(*[F.lit(s).cast("long") for s in row]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                for row in signs
+            ]
+        ).alias("embedding"),
+    )
+    return proj
+
+
+def rp_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Retrieval recall@k of JL sign-projected vectors against the
+    full-dimension exact top-k — matryoshka_recall's generic sibling
+    for embeddings WITHOUT prefix training. Same two broadcast-query
+    corpus passes + metadata-grain overlap join; the projection rides
+    the corpus scan as a map expression.
+
+    Returns (query_id, n_overlap, recall)."""
+    full = cosine_topk(embeddings, query_ids, k)
+    proj = random_projection(embeddings, dim=dim, out_dim=out_dim)
+    red = cosine_topk(proj, query_ids, k)
+    overlap = (
+        full.select("query_id", "neighbor_id")
+        .join(
+            # |Q|*k rows — broadcast, same reasoning as matryoshka_recall
+            F.broadcast(red.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+        )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -2004,3 +2004,101 @@ def test_textrank_vs_replay(spark, docs):
     assert got == [
         (w, p, i + 1) for i, (w, p) in enumerate(top)
     ]
+
+
+# ---------- holt forecast ----------
+
+def _py_holt(ys, an=3, ad=10, bn=1, bd=5, scale=1000):
+    """Reference Holt replay: scaled-long recurrences with true floor
+    division (Python // floors for negatives, matching the operator's
+    subtract-pmod spelling)."""
+    L, T = ys[0] * scale, 0
+    for y in ys[1:]:
+        lp = (an * y * scale + (ad - an) * (L + T)) // ad
+        T = (bn * (lp - L) + (bd - bn) * T) // bd
+        L = lp
+    return L, T
+
+
+@given(
+    series=st.lists(
+        st.lists(st.integers(1, 50), min_size=1, max_size=30),
+        min_size=1, max_size=4,
+    )
+)
+@example(series=[[50, 1, 1, 1, 1]])   # steep negative trend
+@example(series=[[1], [2, 2]])        # single-day key
+@SET
+def test_holt_forecast_vs_replay(spark, series):
+    """holt_forecast == the Python floor-division replay per key,
+    including NEGATIVE trends (the case where truncating division
+    would silently diverge from the oracle's floor)."""
+    from geist_spark.operators.drift import holt_forecast
+
+    rows = []
+    for k, ys in enumerate(series):
+        for d, y in enumerate(ys):
+            base = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            for j in range(y):
+                rows.append(
+                    (f"k{k}", base + dt.timedelta(seconds=j), j)
+                )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r["event_type"]: r
+        for r in holt_forecast(df, horizon=7).collect()
+    }
+    assert set(got) == {f"k{k}" for k in range(len(series))}
+    for k, ys in enumerate(series):
+        L, T = _py_holt(ys)
+        r = got[f"k{k}"]
+        assert r["n_days"] == len(ys)
+        assert (r["level_fx"], r["trend_fx"]) == (L, T), (k, ys)
+        assert r["forecast_next_fx"] == L + T
+        assert r["forecast_h_fx"] == L + 7 * T
+
+
+# ---------- random projection ----------
+
+def _py_rp(vecs, dim, out_dim, scale):
+    from geist_spark.operators.similarity import _rp_signs
+
+    signs = _rp_signs(dim, out_dim)
+    import math
+
+    out = {}
+    for vid, v in vecs.items():
+        fx = [math.floor(float(x) * scale) for x in v]
+        out[vid] = [
+            float(sum(a * s for a, s in zip(fx, row))) for row in signs
+        ]
+    return out
+
+
+@given(
+    vecs=st.dictionaries(
+        st.integers(0, 20),
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+@SET
+def test_random_projection_vs_replay(spark, vecs):
+    """random_projection == the Python fixed-point sign-matrix replay
+    (exact integers, any float input)."""
+    from geist_spark.operators.similarity import RP_SCALE, random_projection
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in random_projection(df, dim=8, out_dim=4).collect()
+    }
+    assert got == _py_rp(vecs, 8, 4, RP_SCALE)
