@@ -3345,6 +3345,49 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(_t(spark, sf_dir, "events"))
 
 
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join + nearest-site reduction
+    (operators/geo.py): events get deterministic md5-derived
+    micro-degree coordinates, nations are 25 sites; each event within
+    5 degrees of a site maps to its nearest one. The broadcast 3x3
+    cell join never shuffles the point side; the ORACLE brute-forces
+    all point x site pairs, so a hash match also PROVES the grid
+    join's completeness (no pair within radius escapes the cell
+    neighborhood)."""
+    from geist_spark.operators.geo import geo_radius_join, nearest_site
+
+    def synth(prefix: str, key: F.Column, mod: int, shift: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % F.lit(mod) - F.lit(shift)
+
+    points = _t(spark, sf_dir, "events").select(
+        "event_id",
+        synth("lat|", F.col("event_id"), 120_000_001, 60_000_000).alias(
+            "lat"
+        ),
+        synth("lon|", F.col("event_id"), 360_000_001, 180_000_000).alias(
+            "lon"
+        ),
+    )
+    sites = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site_id"),
+        synth(
+            "slat|", F.col("n_nationkey"), 120_000_001, 60_000_000
+        ).alias("site_lat"),
+        synth(
+            "slon|", F.col("n_nationkey"), 360_000_001, 180_000_000
+        ).alias("site_lon"),
+    )
+    joined = geo_radius_join(points, sites, radius_micro=5_000_000)
+    return nearest_site(joined, "event_id", "site_id")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3932,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_textrank": t_textrank,
         "s_rp_recall": s_rp_recall,
         "q_holt_forecast": q_holt_forecast,
+        "q_geo_nearest": q_geo_nearest,
     }
 
 
@@ -6983,6 +7027,48 @@ def oracle_sql() -> dict[str, str]:
         "t_textrank": _textrank_oracle(),
         "s_rp_recall": _rp_recall_oracle(),
         "q_holt_forecast": _holt_oracle(),
+        "q_geo_nearest": """
+            WITH pts AS (
+                SELECT event_id,
+                       ('0x' || substr(md5('lat|' ||
+                            CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 120000001 - 60000000 AS lat,
+                       ('0x' || substr(md5('lon|' ||
+                            CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 360000001 - 180000000 AS lon
+                FROM events
+            ), st AS (
+                SELECT n_nationkey AS site_id,
+                       ('0x' || substr(md5('slat|' ||
+                            CAST(n_nationkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 120000001 - 60000000 AS site_lat,
+                       ('0x' || substr(md5('slon|' ||
+                            CAST(n_nationkey AS VARCHAR)), 1, 8))::BIGINT
+                           % 360000001 - 180000000 AS site_lon
+                FROM nation
+            ), pairs AS (
+                -- brute force: the oracle deliberately checks ALL
+                -- point x site pairs so a hash match proves the
+                -- operator's grid neighborhood misses nothing
+                SELECT p.event_id, p.lat, p.lon,
+                       s.site_id, s.site_lat, s.site_lon,
+                       (p.lat - s.site_lat) * (p.lat - s.site_lat)
+                       + (p.lon - s.site_lon) * (p.lon - s.site_lon)
+                           AS d2_micro
+                FROM pts p CROSS JOIN st s
+                WHERE (p.lat - s.site_lat) * (p.lat - s.site_lat)
+                      + (p.lon - s.site_lon) * (p.lon - s.site_lon)
+                      <= 5000000 * CAST(5000000 AS BIGINT)
+            )
+            SELECT event_id, lat, lon, site_id, site_lat, site_lon,
+                   d2_micro
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id
+                    ORDER BY d2_micro, site_id) AS rn
+                FROM pairs)
+            WHERE rn = 1
+        """,
     }
     return {
         name: _force_bigint(sql, _HUGEINT_COLS[name])

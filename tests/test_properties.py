@@ -2102,3 +2102,47 @@ def test_random_projection_vs_replay(spark, vecs):
         for r in random_projection(df, dim=8, out_dim=4).collect()
     }
     assert got == _py_rp(vecs, 8, 4, RP_SCALE)
+
+
+# ---------- geo radius join ----------
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-200, 200), st.integers(-200, 200)),
+        min_size=1, max_size=25,
+    ),
+    sts=st.lists(
+        st.tuples(st.integers(-200, 200), st.integers(-200, 200)),
+        min_size=1, max_size=6,
+    ),
+    r=st.integers(1, 120),
+)
+@example(pts=[(0, 0), (100, 0)], sts=[(100, 0)], r=100)  # inclusive edge
+@example(pts=[(-1, -1)], sts=[(1, 1)], r=3)              # cross-origin cells
+@SET
+def test_geo_radius_join_vs_bruteforce(spark, pts, sts, r):
+    """Grid 3x3 bucket join returns EXACTLY the brute-force pair set
+    (completeness: no pair within r escapes the neighbor cells;
+    soundness: the d2 confirm rejects same-cell far pairs), including
+    negative coordinates and the inclusive boundary."""
+    from geist_spark.operators.geo import geo_radius_join
+
+    p = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)],
+        "event_id long, lat long, lon long",
+    )
+    s = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(sts)],
+        "site_id long, site_lat long, site_lon long",
+    )
+    got = {
+        (r_["event_id"], r_["site_id"], r_["d2_micro"])
+        for r_ in geo_radius_join(p, s, radius_micro=r).collect()
+    }
+    want = set()
+    for i, (a, b) in enumerate(pts):
+        for j, (c, d) in enumerate(sts):
+            d2 = (a - c) ** 2 + (b - d) ** 2
+            if d2 <= r * r:
+                want.add((i, j, d2))
+    assert got == want
