@@ -190,6 +190,28 @@ def build_probes(spark: SparkSession, sf_dir: str):
             query_ids=list(range(20)), k=10,
         )
 
+    def geo(k):
+        from geist_spark.operators.geo import geo_radius_join
+
+        # fixed 25-site broadcast side; the point side grows with k —
+        # the map-only scan shape (coordinates synthesized per copy
+        # via the shifted event_id, so point positions stay iid)
+        ev = expand(events, k, ["event_id", "user_id"])
+        h = lambda pre, c: (  # noqa: E731
+            F.conv(F.substring(F.md5(F.concat(F.lit(pre), F.col(c).cast("string"))), 1, 8), 16, 10).cast("long")
+        )
+        pts = ev.select(
+            "event_id",
+            (h("lat|", "event_id") % 120000001 - 60000000).alias("lat"),
+            (h("lon|", "event_id") % 360000001 - 180000000).alias("lon"),
+        )
+        sites = t("nation").select(
+            F.col("n_nationkey").alias("site_id"),
+            (h("slat|", "n_nationkey") % 120000001 - 60000000).alias("site_lat"),
+            (h("slon|", "n_nationkey") % 360000001 - 180000000).alias("site_lon"),
+        )
+        return geo_radius_join(pts, sites, radius_micro=5_000_000)
+
     return {
         "scan_agg_hourly_rollup": scan_agg,
         "sessionize_lag_cumsum": sessionize,
@@ -205,6 +227,7 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "epoch_shuffle_manifest": epoch_shuffle,
         "rake_keywords": rake,
         "knn_classify_vote": knn,
+        "geo_radius_join": geo,
     }
 
 
