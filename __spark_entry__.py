@@ -3354,34 +3354,27 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     all point x site pairs, so a hash match also PROVES the grid
     join's completeness (no pair within radius escapes the cell
     neighborhood)."""
-    from geist_spark.operators.geo import geo_radius_join, nearest_site
-
-    def synth(prefix: str, key: F.Column, mod: int, shift: int) -> F.Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        return h % F.lit(mod) - F.lit(shift)
+    from geist_spark.operators.geo import (
+        LAT_MOD, LAT_SHIFT, LON_MOD, LON_SHIFT,
+        geo_radius_join, md5_micro_coord, nearest_site,
+    )
 
     points = _t(spark, sf_dir, "events").select(
         "event_id",
-        synth("lat|", F.col("event_id"), 120_000_001, 60_000_000).alias(
-            "lat"
-        ),
-        synth("lon|", F.col("event_id"), 360_000_001, 180_000_000).alias(
-            "lon"
-        ),
+        md5_micro_coord(
+            "lat|", F.col("event_id"), LAT_MOD, LAT_SHIFT
+        ).alias("lat"),
+        md5_micro_coord(
+            "lon|", F.col("event_id"), LON_MOD, LON_SHIFT
+        ).alias("lon"),
     )
     sites = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("site_id"),
-        synth(
-            "slat|", F.col("n_nationkey"), 120_000_001, 60_000_000
+        md5_micro_coord(
+            "slat|", F.col("n_nationkey"), LAT_MOD, LAT_SHIFT
         ).alias("site_lat"),
-        synth(
-            "slon|", F.col("n_nationkey"), 360_000_001, 180_000_000
+        md5_micro_coord(
+            "slon|", F.col("n_nationkey"), LON_MOD, LON_SHIFT
         ).alias("site_lon"),
     )
     joined = geo_radius_join(points, sites, radius_micro=5_000_000)
@@ -6947,8 +6940,10 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_both AS DOUBLE) / n_ant, 6) AS confidence,
                    n_both * n_baskets AS lift_num,
                    n_ant * n_cons AS lift_den,
-                   round(CAST(n_both * n_baskets AS DOUBLE)
-                         / (n_ant * n_cons), 6) AS lift
+                   -- double-cast FACTORS (not the long product), in
+                   -- lockstep with the operator's wrap-proof form
+                   round((CAST(n_both AS DOUBLE) * n_baskets)
+                         / (CAST(n_ant AS DOUBLE) * n_cons), 6) AS lift
             FROM r
         """,
         "s_label_noise": """
@@ -8400,8 +8395,11 @@ def _holt_oracle(
     horizon: int = 7,
 ) -> str:
     """Replays drift.holt_forecast with a per-key recursive CTE: the
-    same scaled-long recurrences with subtract-pmod exact floor
-    division (valid for negative trends — verified -7//5 -> -2)."""
+    same scaled-long recurrences in subtract-pmod form. NOTE: DuckDB's
+    integer // TRUNCATES (plain -7//5 is -1, not -2); the replay is
+    floor-exact only because the pmod subtraction makes the numerator
+    exactly divisible (truncation == floor there) — the subtraction is
+    load-bearing, same as the pagerank oracle."""
 
     def fdiv(a: str, d: int) -> str:
         return f"(({a}) - (((({a}) % {d}) + {d}) % {d})) // {d}"

@@ -343,6 +343,46 @@ def calibration_bins(
     )
 
 
+def _knn_votes(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Shared kNN scoring pipeline for knn_classify and
+    label_noise_audit: broadcast the bounded query panel
+    (query_id, own_label, q_emb, q_nrm) against the corpus
+    (neighbor_id, n_label, c_emb, c_nrm), exclude self-matches,
+    rank<=k via WindowGroupLimit partials, count votes.
+
+    The cosine rounding (6dp) and tie-breaks (cosine desc ->
+    neighbor_id asc) are encoded HERE ONCE — they must stay in
+    lockstep with the DuckDB oracles of every caller.
+
+    Returns votes at (query_id, own_label, n_label) grain."""
+    from geist_spark.operators.similarity import _dot
+
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "own_label",
+            "n_label",
+            "neighbor_id",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )
+    return top.groupBy("query_id", "own_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+
+
 def knn_classify(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -369,11 +409,11 @@ def knn_classify(
     Returns (query_id, true_label, pred_label, n_votes, correct).
     """
     from geist_spark.operators.bucketing import fan_out
-    from geist_spark.operators.similarity import _dot, _norm
+    from geist_spark.operators.similarity import _norm
 
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        F.col(label_col).alias("true_label"),
+        F.col(label_col).alias("own_label"),
         F.col(value_col).alias("q_emb"),
         _norm(F.col(value_col)).alias("q_nrm"),
     )
@@ -385,25 +425,7 @@ def knn_classify(
         F.col(value_col).alias("c_emb"),
         _norm(F.col(value_col)).alias("c_nrm"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_nrm") * F.col("c_nrm")
-    )
-    scored = F.broadcast(q).crossJoin(c).select(
-        "query_id",
-        "true_label",
-        "n_label",
-        "neighbor_id",
-        F.round(cos, 6).alias("cosine"),
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    top = scored.withColumn("rank", F.row_number().over(wk)).filter(
-        F.col("rank") <= k
-    )
-    votes = top.groupBy("query_id", "true_label", "n_label").agg(
-        F.count(F.lit(1)).alias("n_votes")
-    )
+    votes = _knn_votes(q, c, k)
     wv = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("n_label").asc()
     )
@@ -412,10 +434,10 @@ def knn_classify(
         .filter(F.col("vr") == 1)
         .select(
             "query_id",
-            "true_label",
+            F.col("own_label").alias("true_label"),
             F.col("n_label").alias("pred_label"),
             "n_votes",
-            (F.col("n_label") == F.col("true_label"))
+            (F.col("n_label") == F.col("own_label"))
             .cast("int")
             .alias("correct"),
         )
@@ -453,7 +475,7 @@ def label_noise_audit(
     none of the k neighbors carries it); suspect = pred != own.
     """
     from geist_spark.operators.bucketing import fan_out
-    from geist_spark.operators.similarity import _dot, _norm
+    from geist_spark.operators.similarity import _norm
 
     q = embeddings.filter(F.col("vec_id").isin(audit_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -467,30 +489,7 @@ def label_noise_audit(
         F.col(value_col).alias("c_emb"),
         _norm(F.col(value_col)).alias("c_nrm"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_nrm") * F.col("c_nrm")
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "own_label",
-            "n_label",
-            "neighbor_id",
-            F.round(cos, 6).alias("cosine"),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    top = scored.withColumn("rank", F.row_number().over(wk)).filter(
-        F.col("rank") <= k
-    )
-    votes = top.groupBy("query_id", "own_label", "n_label").agg(
-        F.count(F.lit(1)).alias("n_votes")
-    )
+    votes = _knn_votes(q, c, k)
     wv = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("n_label").asc()
     )

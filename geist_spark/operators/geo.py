@@ -33,6 +33,23 @@ from pyspark.sql import DataFrame, functions as F
 
 MICRO = 1_000_000  # micro-degrees per degree
 
+LAT_MOD, LAT_SHIFT = 120_000_001, 60_000_000  # synth lat in [-60, 60] deg
+LON_MOD, LON_SHIFT = 360_000_001, 180_000_000  # synth lon in [-180, 180] deg
+
+
+def md5_micro_coord(prefix: str, key: F.Column, mod: int, shift: int) -> F.Column:
+    """Deterministic md5-derived micro-degree coordinate — the synth
+    the q_geo_nearest oracle and the scale probe replay verbatim, kept
+    HERE so entry query, oracle, and probe can never drift apart."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(mod) - F.lit(shift)
+
 
 def _cell(lat: F.Column, lon: F.Column, width: int) -> F.Column:
     """Grid cell id from micro-degree longs: floor division per axis

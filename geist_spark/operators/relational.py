@@ -1511,6 +1511,12 @@ def association_rules(
     Exact arithmetic: all counts are BIGINTs; lift_num / lift_den are
     exact integer products emitted as columns (same discipline as
     lm.collocation_lift), confidence and lift each ONE IEEE division.
+    Bound: the long products are exact while n_both * n_baskets <
+    2^63 (~3e9 baskets with a co-frequency near saturation) — beyond
+    that Spark's non-ANSI multiply would WRAP, so `lift` itself is
+    computed from double-cast factors (no wrap ever; exact below
+    2^53, correctly rounded above) and lift_num/lift_den carry the
+    documented bound.
 
     Shape at 100 TB: baskets reduce to the DISTINCT (basket, item)
     table first — the fan-in guard (an item bought 50 times in one
@@ -1596,8 +1602,8 @@ def association_rules(
         (F.col("n_both") * F.col("n_baskets")).alias("lift_num"),
         (F.col("r.n_ant") * F.col("r.n_cons")).alias("lift_den"),
         F.round(
-            (F.col("n_both") * F.col("n_baskets"))
-            / (F.col("r.n_ant") * F.col("r.n_cons")),
+            (F.col("n_both").cast("double") * F.col("n_baskets"))
+            / (F.col("r.n_ant").cast("double") * F.col("r.n_cons")),
             6,
         ).alias("lift"),
     )

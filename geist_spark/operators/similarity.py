@@ -1473,7 +1473,19 @@ def random_projection(
 
     Returns (vec_id, embedding) with the projected array<double>
     (integer-valued), ready for any downstream similarity operator.
+
+    Raises ValueError when `dim` does not match the data: zip_with
+    pads the shorter side with NULLs, so a silent mismatch would
+    yield all-NULL projections and a downstream recall audit full of
+    NULL cosines — fail fast instead (one LIMIT-1 probe, the same
+    bounded control-plane action train_label_centroids uses).
     """
+    probe = embeddings.select(F.size(value_col).alias("n")).limit(1).collect()
+    if probe and probe[0]["n"] != dim:
+        raise ValueError(
+            f"random_projection: dim={dim} but {value_col} has "
+            f"{probe[0]['n']} elements"
+        )
     signs = _rp_signs(dim, out_dim)
     fx = F.transform(
         F.col(value_col),

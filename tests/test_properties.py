@@ -2146,3 +2146,17 @@ def test_geo_radius_join_vs_bruteforce(spark, pts, sts, r):
             if d2 <= r * r:
                 want.add((i, j, d2))
     assert got == want
+
+
+def test_random_projection_dim_mismatch_fails_fast(spark):
+    """A wrong `dim` must raise immediately, not emit all-NULL
+    projections (zip_with pads the short side with NULLs)."""
+    import pytest
+
+    from geist_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim=16"):
+        random_projection(df, dim=16, out_dim=4)

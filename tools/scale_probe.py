@@ -191,24 +191,25 @@ def build_probes(spark: SparkSession, sf_dir: str):
         )
 
     def geo(k):
-        from geist_spark.operators.geo import geo_radius_join
+        from geist_spark.operators.geo import (
+            LAT_MOD, LAT_SHIFT, LON_MOD, LON_SHIFT,
+            geo_radius_join, md5_micro_coord,
+        )
 
         # fixed 25-site broadcast side; the point side grows with k —
         # the map-only scan shape (coordinates synthesized per copy
-        # via the shifted event_id, so point positions stay iid)
+        # via the shifted event_id, so point positions stay iid);
+        # synth imported from the operator so probe == entry workload
         ev = expand(events, k, ["event_id", "user_id"])
-        h = lambda pre, c: (  # noqa: E731
-            F.conv(F.substring(F.md5(F.concat(F.lit(pre), F.col(c).cast("string"))), 1, 8), 16, 10).cast("long")
-        )
         pts = ev.select(
             "event_id",
-            (h("lat|", "event_id") % 120000001 - 60000000).alias("lat"),
-            (h("lon|", "event_id") % 360000001 - 180000000).alias("lon"),
+            md5_micro_coord("lat|", F.col("event_id"), LAT_MOD, LAT_SHIFT).alias("lat"),
+            md5_micro_coord("lon|", F.col("event_id"), LON_MOD, LON_SHIFT).alias("lon"),
         )
         sites = t("nation").select(
             F.col("n_nationkey").alias("site_id"),
-            (h("slat|", "n_nationkey") % 120000001 - 60000000).alias("site_lat"),
-            (h("slon|", "n_nationkey") % 360000001 - 180000000).alias("site_lon"),
+            md5_micro_coord("slat|", F.col("n_nationkey"), LAT_MOD, LAT_SHIFT).alias("site_lat"),
+            md5_micro_coord("slon|", F.col("n_nationkey"), LON_MOD, LON_SHIFT).alias("site_lon"),
         )
         return geo_radius_join(pts, sites, radius_micro=5_000_000)
 
@@ -259,12 +260,19 @@ def main() -> None:
     ks = [1, 4, 16]
     probes = build_probes(spark, sf_dir)
     results: dict[str, dict] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2")))
     for name, probe in probes.items():
         # warm the 1x path once so JVM/codegen warmup is not billed to k=1
         probe(1).write.format("noop").mode("overwrite").save()
         times, rows = [], []
         for k in ks:
-            # the timer brackets CONSTRUCTION + the noop write:
+            # BEST of n_runs: single-shot sf0.1 wall times swing 2-15x
+            # with host contention (measured: the dup-span 16x point
+            # read 77 s cold/contended vs 16 s on an idle re-run — a
+            # fake 1.1 slope from a real 0.5 operator), and a slope
+            # fit amplifies one bad point. min() measures the plan.
+            #
+            # The timer brackets CONSTRUCTION + the noop write:
             # operators that eager-checkpoint internally (rake's
             # candidate table) run their scan/tokenize/aggregate work
             # at DataFrame-construction time, which a write-only timer
@@ -274,10 +282,14 @@ def main() -> None:
             # operator under test (verified: quality_features reduces
             # to a bare row count, asof_join to a count of its left
             # input) — the noop sink materializes every output column
-            t0 = time.monotonic()
-            df = probe(k)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.monotonic() - t0, 3))
+            best = None
+            for _ in range(n_runs):
+                t0 = time.monotonic()
+                df = probe(k)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times.append(round(best, 3))
             rows.append(df.count())
         slope = round(fit_slope(ks, times), 3)
         results[name] = {
