@@ -1747,3 +1747,71 @@ def test_zone_map_and_prune(spark):
         for r in zone_prune(z, [("x", None, 9)]).collect()
     }
     assert lo_open == {"f1": 1, "f2": 1, "f3": 0, "f4": 0, "f5": 0}
+
+
+def test_streaming_daily_counts_feed_holt_to_batch_truth(spark, tmp_path):
+    """Forecasting over a streaming-maintained state table: per-micro-
+    batch (key, day) partial counts accumulate via foreachBatch (the
+    incremental-rollup pattern — counts are mergeable by addition),
+    and holt_forecast over the merged state is IDENTICAL to the batch
+    forecast over all events — the fold is a pure function of the
+    final daily series, so the micro-batch cut points cannot leak in."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.drift import holt_forecast
+
+    rows = []
+    for k, daily in (("a", [5, 7, 2, 9, 4]), ("b", [1, 1, 8])):
+        for d, n in enumerate(daily):
+            base = dt.datetime(2024, 3, 1) + dt.timedelta(days=d)
+            rows.extend(
+                (k, base + dt.timedelta(minutes=j), d * 100 + j)
+                for j in range(n)
+            )
+    df_all = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    src = tmp_path / "holt_src"
+    df_all.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "a"))
+    df_all.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    acc: list = []
+    n_batches = []
+
+    def per_batch(bdf, bid):
+        part = bdf.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("y"))
+        acc.extend([tuple(r) for r in part.collect()])
+        n_batches.append(bid)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "expected multiple micro-batches"
+
+    merged = (
+        spark.createDataFrame(acc, "event_type string, day timestamp, y long")
+        .groupBy("event_type", "day")
+        .agg(F.sum("y").alias("y"))
+    )
+    # rebuild an event-grain frame from the merged state (one row per
+    # count) so the same holt_forecast operator runs on both paths
+    state_events = merged.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.col("y"))).alias("j"),
+        F.col("day").alias("ts"),
+    ).select("event_type", "ts", F.col("j").cast("long").alias("event_id"))
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(holt_forecast(state_events)) == key(holt_forecast(df_all))
