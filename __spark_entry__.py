@@ -3345,6 +3345,19 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(_t(spark, sf_dir, "events"))
 
 
+def s_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection (operators/similarity.py
+    coreset_select): exact k-means cells, then the 10 most central
+    vectors per cell — budgeted diversity subsetting where a global
+    top-n would collapse onto the densest cluster. Selection is one
+    WindowGroupLimit-bounded window over the assignment table."""
+    from geist_spark.operators.similarity import coreset_select
+
+    return coreset_select(
+        _t(spark, sf_dir, "embeddings"), n_per_cell=10, k=8, iters=2
+    )
+
+
 def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial radius join + nearest-site reduction
     (operators/geo.py): events get deterministic md5-derived
@@ -3969,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_rp_recall": s_rp_recall,
         "q_holt_forecast": q_holt_forecast,
         "q_geo_nearest": q_geo_nearest,
+        "s_coreset": s_coreset,
     }
 
 
@@ -7022,6 +7036,7 @@ def oracle_sql() -> dict[str, str]:
         "t_textrank": _textrank_oracle(),
         "s_rp_recall": _rp_recall_oracle(),
         "q_holt_forecast": _holt_oracle(),
+        "s_coreset": _coreset_oracle(),
         "q_geo_nearest": """
             WITH pts AS (
                 SELECT event_id,
@@ -8324,6 +8339,24 @@ def _pagerank_oracle(
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, pr FROM r{iters}"
+    )
+
+
+def _coreset_oracle(
+    k: int = 8, iters: int = 2, dim: int = 64, n: int = 10
+) -> str:
+    """Replays similarity.coreset_select (policy='central'): the
+    shared fixed-point Lloyd replay, then rank<=n per cell by
+    (sq_dist, vec_id)."""
+    parts, asg = _ivf_train_cte_parts(k=k, iters=iters, dim=dim)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT vec_id, cell, sq_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT vec_id, cell, sq_dist, row_number() OVER (
+                  PARTITION BY cell ORDER BY sq_dist, vec_id) AS rank
+              FROM {asg})
+        WHERE rank <= {n}"""
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from geist_spark.functions.litx import long_array
 from geist_spark.operators.dedup import tokens
 from geist_spark.operators.similarity import FX_SCALE, _fx
 
@@ -83,14 +84,17 @@ def centroid_classify(
 
     Returns (vec_id, <label_col>, predicted, sq_dist).
     """
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(v).cast("long") for v in c]).alias("c"),
-                F.lit(lab).cast("int").alias("lab"),
-            )
+    # whole centroid table as ONE expr literal (functions/litx.py):
+    # per-element F.lit would cost k*(dim+1) py4j round trips
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('c', array("
+            + ",".join(f"{int(v)}L" for v in c)
+            + f"), 'lab', {int(lab)})"
             for lab, c in centroids
-        ]
+        )
+        + ")"
     )
     fxd = embeddings.select(
         "vec_id", F.col(label_col), _fx(F.col(value_col)).alias("fx")
@@ -130,7 +134,7 @@ def linear_score_fx(emb_col: F.Column, weights: list[int]) -> F.Column:
     long. Weights are literals (a trained probe head is a few hundred
     ints); all-long arithmetic makes the score exact and
     order-independent, so downstream rank metrics are deterministic."""
-    w = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+    w = long_array(weights)
     return F.aggregate(
         F.zip_with(_fx(emb_col), w, lambda a, b: a * b),
         F.lit(0).cast("long"),

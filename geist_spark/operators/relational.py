@@ -19,6 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from geist_spark.functions.litx import double_array
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -1838,7 +1839,7 @@ def ts_pattern_topk(
     staged = staged.withColumn("__sd", F.sqrt(s2 / m)).filter(
         F.col("__sd") > 0
     )
-    pz_arr = F.array(*[F.lit(v) for v in pz])
+    pz_arr = double_array(pz)
     diff = F.zip_with(
         F.col("c"), pz_arr, lambda c, p: c / F.col("__sd") - p
     )

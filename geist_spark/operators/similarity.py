@@ -16,6 +16,7 @@ so Spark/DuckDB hash-compare deterministically; ties broken by vec_id.
 from __future__ import annotations
 
 from geist_spark.operators.bucketing import fan_out
+from geist_spark.functions.litx import double_array, long_array, long_matrix
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -106,7 +107,7 @@ def lsh_bucketed_topk(
     def signature(emb: F.Column) -> F.Column:
         bits = []
         for p_idx, plane in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in plane])
+            arr = double_array(plane)
             bit = F.when(_dot(emb, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
             bits.append(bit * (2**p_idx))
         out = bits[0]
@@ -183,7 +184,7 @@ def embedding_near_dup_pairs(
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
     bits = []
     for p_idx, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
+        arr = double_array(plane)
         bits.append(
             F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1)).otherwise(F.lit(0))
             * (2**p_idx)
@@ -249,7 +250,7 @@ def cross_corpus_leakage(
     def bucketed(df: DataFrame) -> DataFrame:
         bits = []
         for p_idx, plane in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in plane])
+            arr = double_array(plane)
             bits.append(
                 F.when(
                     _dot(F.col("embedding"), arr) >= 0, F.lit(1)
@@ -290,7 +291,7 @@ def _centroid_scores(
     (one spelling, one oracle replay)."""
     entries = []
     for cid, vec in cents:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
+        arr = double_array(vec)
         cos = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
         entries.append(
             F.struct(cos.alias("cos"), F.lit(int(cid)).alias("cid"))
@@ -469,10 +470,10 @@ def train_ivf_centroids(
         # loop: the generated code is a small nested loop over literal
         # DATA, not k unrolled copies of the distance expression —
         # k unrolled copies made Janino compilation (seconds) dominate
-        # execution (milliseconds) on small inputs
-        cent_lit = F.array(
-            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in cents]
-        )
+        # execution (milliseconds) on small inputs; the matrix is ONE
+        # expr call (per-element F.lit cost 10+ s of py4j round trips
+        # per iteration on high-latency hosts — functions/litx.py)
+        cent_lit = long_matrix(cents)
         scores = F.transform(
             cent_lit,
             lambda c, i: F.struct(
@@ -688,17 +689,8 @@ def pq_train_encode(
 
     assigned = None
     for it in range(iters):
-        book_lit = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(v).cast("long") for v in c])
-                        for c in books[j]
-                    ]
-                )
-                for j in range(m)
-            ]
-        )
+        # one expr call per subspace matrix (see functions/litx.py)
+        book_lit = F.array(*[long_matrix(books[j]) for j in range(m)])
         scores = F.transform(
             F.element_at(book_lit, F.col("sub_id") + 1),
             lambda c, i: F.struct(
@@ -874,7 +866,7 @@ def lsh_multiprobe_topk(
     def signature(emb: F.Column) -> F.Column:
         bits = []
         for p_idx, plane in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in plane])
+            arr = double_array(plane)
             bit = F.when(_dot(emb, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
             bits.append(bit * (2**p_idx))
         out = bits[0]
@@ -1075,7 +1067,7 @@ def lsh_tuning_curve(
     planes = [_hyperplane(dim, p) for p in range(max_planes)]
     bit_cols = []
     for p_idx, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
+        arr = double_array(plane)
         bit_cols.append(
             F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1))
             .otherwise(F.lit(0))
@@ -1500,7 +1492,7 @@ def random_projection(
                 F.aggregate(
                     F.zip_with(
                         F.col("__fx"),
-                        F.array(*[F.lit(s).cast("long") for s in row]),
+                        long_array(row),
                         lambda a, b: a * b,
                     ),
                     F.lit(0).cast("long"),
@@ -1546,4 +1538,54 @@ def rp_recall(
         "query_id",
         n.alias("n_overlap"),
         (n / F.lit(k)).alias("recall"),
+    )
+
+
+def coreset_select(
+    embeddings: DataFrame,
+    n_per_cell: int,
+    k: int = 8,
+    iters: int = 2,
+    policy: str = "central",
+    value_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced coreset selection: train exact fixed-point
+    k-means cells (train_ivf_centroids — bit-identical at any
+    parallelism), then keep n_per_cell vectors per cell. The
+    data-curation move behind prototype/diversity subset selection
+    (SemDeDup's sibling: that REMOVES redundancy inside cells, this
+    PICKS a budgeted representative subset) — a capped per-cell quota
+    guarantees every region of embedding space survives the cut, where
+    a global top-n by any score would collapse onto the densest
+    cluster.
+
+    policy='central' keeps the vectors CLOSEST to their centroid
+    (prototypes — clean exemplars for few-shot pools and eval
+    anchors); policy='spread' keeps the FARTHEST (boundary/hard
+    examples — the active-learning pick). Both deterministic:
+    (sq_dist, vec_id) ties.
+
+    Plan: k-means is one scan + k-row shuffle per iteration; selection
+    is ONE per-cell window whose rank<=n filter compiles to
+    WindowGroupLimit partials — map tasks forward at most n rows per
+    cell, so the select stage moves |cells|*n rows, not the corpus.
+
+    Returns (vec_id, cell, sq_dist, rank), rank 1..n_per_cell within
+    the cell under the chosen policy.
+    """
+    if policy not in ("central", "spread"):
+        raise ValueError(f"unknown policy: {policy!r}")
+    _, assigned = train_ivf_centroids(
+        embeddings, k=k, iters=iters, value_col=value_col
+    )
+    order = (
+        [F.col("sq_dist").asc(), F.col("vec_id").asc()]
+        if policy == "central"
+        else [F.col("sq_dist").desc(), F.col("vec_id").asc()]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_cell)
+        .select("vec_id", "cell", "sq_dist", "rank")
     )

@@ -2160,3 +2160,31 @@ def test_random_projection_dim_mismatch_fails_fast(spark):
     )
     with pytest.raises(ValueError, match="dim=16"):
         random_projection(df, dim=16, out_dim=4)
+
+
+def test_litx_roundtrip_and_empty_rejection(spark):
+    """functions/litx.py batch literals: exact round-trip for longs
+    (beyond int32), IEEE doubles (repr-exact), and quoted strings;
+    empty inputs rejected."""
+    import pytest
+
+    from geist_spark.functions.litx import (
+        double_array, long_array, long_matrix, string_array,
+    )
+
+    longs = [0, -1, 3_000_000_000, -(2**62)]
+    dbls = [0.1, -1.5e-7, 2.0**-20, -0.0, 1e300]
+    strs = ["a", "it's", "x y", ""]
+    row = spark.range(1).select(
+        long_array(longs).alias("l"),
+        long_matrix([longs, [7, 8]]).alias("m"),
+        double_array(dbls).alias("d"),
+        string_array(strs).alias("s"),
+    ).collect()[0]
+    assert list(row["l"]) == longs
+    assert [list(x) for x in row["m"]] == [longs, [7, 8]]
+    assert list(row["d"]) == dbls
+    assert list(row["s"]) == strs
+    for fn in (long_array, double_array, string_array, long_matrix):
+        with pytest.raises(ValueError):
+            fn([])
