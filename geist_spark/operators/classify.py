@@ -85,13 +85,15 @@ def centroid_classify(
     Returns (vec_id, <label_col>, predicted, sq_dist).
     """
     # whole centroid table as ONE expr literal (functions/litx.py):
-    # per-element F.lit would cost k*(dim+1) py4j round trips
+    # per-element F.lit would cost k*(dim+1) py4j round trips; the
+    # BIGINT spelling comes from litx._longs so it cannot diverge from
+    # the other literal-table operators
+    from geist_spark.functions.litx import _longs
+
     cent_lit = F.expr(
         "array("
         + ",".join(
-            "named_struct('c', array("
-            + ",".join(f"{int(v)}L" for v in c)
-            + f"), 'lab', {int(lab)})"
+            f"named_struct('c', {_longs(c)}, 'lab', {int(lab)})"
             for lab, c in centroids
         )
         + ")"

@@ -1797,7 +1797,7 @@ def test_streaming_daily_counts_feed_holt_to_batch_truth(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     assert len(n_batches) >= 2, "expected multiple micro-batches"
 
     merged = (

@@ -2174,7 +2174,7 @@ def test_litx_roundtrip_and_empty_rejection(spark):
 
     longs = [0, -1, 3_000_000_000, -(2**62)]
     dbls = [0.1, -1.5e-7, 2.0**-20, -0.0, 1e300]
-    strs = ["a", "it's", "x y", ""]
+    strs = ["a", "it's", "x y", "", "a\\b", "tab\\t", "ends\\"]
     row = spark.range(1).select(
         long_array(longs).alias("l"),
         long_matrix([longs, [7, 8]]).alias("m"),
@@ -2183,7 +2183,9 @@ def test_litx_roundtrip_and_empty_rejection(spark):
     ).collect()[0]
     assert list(row["l"]) == longs
     assert [list(x) for x in row["m"]] == [longs, [7, 8]]
-    assert list(row["d"]) == dbls
+    # repr comparison: -0.0 == 0.0 is True in Python, so plain == could
+    # not see a dropped sign bit
+    assert [repr(x) for x in row["d"]] == [repr(x) for x in dbls]
     assert list(row["s"]) == strs
     for fn in (long_array, double_array, string_array, long_matrix):
         with pytest.raises(ValueError):
