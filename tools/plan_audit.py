@@ -65,6 +65,28 @@ SMJ_WAIVED = {
     # datasheet version diff: full outer over two metadata-grain
     # datasheets (added/removed slices must both surface) — same class
     "p_datasheet_diff",
+    # --- merge-hint policy (SCALE.md "Broadcast misestimates"):
+    # every corpus-sized index self-join DELIBERATELY pins
+    # hint("merge") — Catalyst's static size estimate of exploded
+    # frames under-counts by the explode factor and was broadcasting
+    # whole inverted indexes (driver maxResultSize abort, measured at
+    # 16x). The SMJ in these plans is the intended join, so SMJ-ONLY
+    # is the expected audit shape, not a regression:
+    "d_minhash_pairs",       # banded LSH index self-join
+    "d_incremental_dedup",   # band index probe
+    "d_ngram_jaccard",       # shingle inverted index
+    "d_verified_pairs",      # LSH candidates + shingle verify
+    "d_source_overlap",      # cross-source content-hash join
+    "d_dup_rate_by_source",  # same, per-source rate grain
+    "d_containment",         # shingle index, asymmetric threshold
+    "d_substring_spans",     # char-gram inverted index
+    "d_remove_spans",        # same runs + corpus rebuild join
+    "d_fuzzy_match",         # q-gram blocking index
+    "d_simhash_near_dup",    # simhash band index
+    "s_embedding_near_dup",  # hyperplane-bucket self-join
+    "m_embed_near_dup",      # same over media embeddings
+    "q_cooccurrence",        # distinct (user, session, type) self-join
+    "q_triangles",           # oriented-edge wedge self-join
 }
 
 
