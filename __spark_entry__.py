@@ -3358,6 +3358,31 @@ def s_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness / watermark-tuning profile (relational.py
+    late_arrival_profile): lateness of each event's event-time behind
+    the max of all preceding ARRIVAL batches (arrival proxied by the
+    monotone event_id), bucketed histogram — the measurement behind
+    choosing a withWatermark delay. Batch-grain running max only; the
+    corpus is never sorted."""
+    from geist_spark.operators.relational import late_arrival_profile
+
+    return late_arrival_profile(
+        _t(spark, sf_dir, "events"), batch_size=1000
+    )
+
+
+def d_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/dedup.py novelty_score):
+    fraction of a doc's distinct 3-token shingles appearing in no
+    other doc — the curation signal between pairwise dedup and
+    content-free quality scores. One inverted index, two aggregations,
+    no pairwise joins."""
+    from geist_spark.operators.dedup import novelty_score
+
+    return novelty_score(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial radius join + nearest-site reduction
     (operators/geo.py): events get deterministic md5-derived
@@ -3983,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt_forecast": q_holt_forecast,
         "q_geo_nearest": q_geo_nearest,
         "s_coreset": s_coreset,
+        "q_late_arrival": q_late_arrival,
+        "d_novelty": d_novelty,
     }
 
 
@@ -7078,6 +7105,58 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY d2_micro, site_id) AS rn
                 FROM pairs)
             WHERE rn = 1
+        """,
+        "q_late_arrival": """
+            WITH ev AS (
+                SELECT event_id // 1000 AS b,
+                       epoch_us(ts) AS ts_us
+                FROM events
+            ), pb AS (
+                SELECT b, max(ts_us) AS bmax FROM ev GROUP BY 1
+            ), prev AS (
+                SELECT b, max(bmax) OVER (
+                    ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_max
+                FROM pb
+            ), lat AS (
+                SELECT greatest(coalesce(prev_max - ts_us, 0), 0) AS l
+                FROM ev JOIN prev USING (b)
+            )
+            SELECT CASE
+                     WHEN l <= 0 THEN 'on_time'
+                     WHEN l < 60000000 THEN 'lt_1m'
+                     WHEN l < 600000000 THEN 'lt_10m'
+                     WHEN l < 3600000000 THEN 'lt_1h'
+                     WHEN l < 86400000000 THEN 'lt_1d'
+                     ELSE 'ge_1d'
+                   END AS lateness_bucket,
+                   count(*) AS n_events,
+                   CAST(max(l) AS BIGINT) AS max_lateness_us
+            FROM lat GROUP BY 1
+        """,
+        "d_novelty": f"""
+            WITH tk AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id, unnest({shingle_list}) AS shingle
+                    FROM tk)
+                WHERE shingle <> ''
+            ), freq AS (
+                SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CAST(f.df = 1 AS BIGINT)) AS BIGINT)
+                       AS n_novel,
+                   round(CAST(sum(CAST(f.df = 1 AS BIGINT)) AS DOUBLE)
+                         / count(*), 6) AS novelty
+            FROM sh s JOIN freq f USING (shingle)
+            GROUP BY 1
         """,
     }
     return {

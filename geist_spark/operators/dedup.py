@@ -1227,3 +1227,47 @@ def sorted_neighborhood_pairs(
         .agg(F.min("dist").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def novelty_score(
+    documents: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    k-token shingles that appear in no other document. The curation
+    signal between exact dedup (all shingles shared) and quality
+    scoring (content-free): low novelty marks template/boilerplate
+    families worth down-weighting even when no single pair crosses a
+    dedup threshold; high novelty marks unique content worth keeping.
+
+    Shape: the same shingle inverted index every dedup operator
+    builds — distinct (doc, shingle), shingle-grain doc-frequency
+    partial agg, one merge-hinted join back (both sides corpus-sized;
+    SCALE.md policy), one doc-grain agg. No pairwise anything: cost
+    is index + two aggregations regardless of duplication structure.
+
+    Returns (doc_id, n_shingles, n_novel, novelty) with novelty =
+    round(n_novel / n_shingles, 6). Shingle semantics follow
+    `shingles()` exactly: a doc shorter than k tokens contributes its
+    whole text as one short shingle (so such docs ARE scored); only
+    empty-token docs are absent.
+    """
+    sh = shingles(documents, k=k).distinct()
+    df_freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    return (
+        sh.join(df_freq.hint("merge"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -1815,3 +1815,68 @@ def test_streaming_daily_counts_feed_holt_to_batch_truth(spark, tmp_path):
 
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(holt_forecast(state_events)) == key(holt_forecast(df_all))
+
+
+def test_late_arrival_profile_buckets(spark):
+    """late_arrival_profile on hand-built out-of-order arrivals: the
+    batch-grain running max classifies each event against the max
+    event-time of PRECEDING batches only (within-batch inversions
+    deliberately invisible), buckets split at the documented
+    boundaries, max lateness is exact."""
+    import datetime as dt
+
+    from geist_spark.operators.relational import late_arrival_profile
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    s = dt.timedelta
+    rows = [
+        # batch 0 (ids 0-1): establishes max = t0 + 1h
+        (0, t0),
+        (1, t0 + s(hours=1)),
+        # batch 1 (ids 2-3): one on time, one 30s late (lt_1m)
+        (2, t0 + s(hours=2)),
+        (3, t0 + s(hours=1) - s(seconds=30)),
+        # batch 2 (ids 4-5): 5min late (lt_10m), 2 days late (ge_1d)
+        (4, t0 + s(hours=2) - s(minutes=5)),
+        (5, t0 + s(hours=2) - s(days=2)),
+        # within-batch inversion ONLY (batch 3): ids 6-7 swap order but
+        # both exceed every prior timestamp -> both on_time
+        (6, t0 + s(hours=4)),
+        (7, t0 + s(hours=3)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {
+        r["lateness_bucket"]: (r["n_events"], r["max_lateness_us"])
+        for r in late_arrival_profile(df, batch_size=2).collect()
+    }
+    assert out == {
+        "on_time": (5, 0),
+        "lt_1m": (1, 30_000_000),
+        "lt_10m": (1, 300_000_000),
+        "ge_1d": (1, 2 * 86_400_000_000),
+    }
+
+
+def test_novelty_score_planted_families(spark):
+    """novelty_score: a template family shares every shingle (novelty
+    0 within the family), a unique doc scores 1.0, and a half-copied
+    doc lands exactly at its shared/unique shingle ratio."""
+    from geist_spark.operators.dedup import novelty_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),        # exact dup of 1
+        (3, "purple elephants juggle nine flaming torches"),  # unique
+        (4, "the cat sat on a chair"),         # shares a prefix with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in novelty_score(df, k=3).collect()
+    }
+    # docs 1/2: every shingle shared with the twin -> novelty 0
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    # doc 4: shingles = [the cat sat, cat sat on, sat on a, on a chair]
+    # first two shared with docs 1/2, last two unique -> 2/4
+    assert (out[4]["n_shingles"], out[4]["n_novel"]) == (4, 2)
+    assert out[4]["novelty"] == 0.5
