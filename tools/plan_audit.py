@@ -87,6 +87,7 @@ SMJ_WAIVED = {
     "m_embed_near_dup",      # same over media embeddings
     "q_cooccurrence",        # distinct (user, session, type) self-join
     "q_triangles",           # oriented-edge wedge self-join
+    "d_novelty",             # shingle doc-frequency join (same index)
 }
 
 
