@@ -3113,6 +3113,26 @@ def s_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVFPQ (the production FAISS recipe): PQ
+    codes quantize x - coarse_centroid(x) instead of raw vectors;
+    ADC tables are per-(query, probed cell). Closes ivf_pq_topk's
+    documented raw-vector delta."""
+    from geist_spark.operators.similarity import ivf_pq_residual_topk
+
+    return ivf_pq_residual_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k_top=5,
+        n_cells=8,
+        ivf_iters=2,
+        nprobe=2,
+        m=4,
+        k_codes=16,
+        pq_iters=2,
+    )
+
+
 def d_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 span REMOVAL (the paper's actual output): every
     >=40-char shared span is cut from the higher-id doc; one row per
@@ -4010,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_coreset": s_coreset,
         "q_late_arrival": q_late_arrival,
         "d_novelty": d_novelty,
+        "s_ivf_pq_residual": s_ivf_pq_residual,
     }
 
 
@@ -6671,6 +6692,11 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
+        "s_ivf_pq_residual": _ivf_pq_residual_oracle(
+            n_cells=8, ivf_iters=2, nprobe=2,
+            m=4, k_codes=16, pq_iters=2,
+            dim=64, n_queries=10, k_top=5,
+        ),
         "d_remove_spans": """
             WITH grams AS (
                 SELECT doc_id, i.i AS pos, md5(substr(text, i.i, 40)) AS g
@@ -8605,18 +8631,23 @@ def _textrank_oracle(iters: int = 3, top_n: int = 20) -> str:
 
 
 def _pq_cte_parts(
-    m: int, k: int, iters: int, dim: int, n_queries: int
+    m: int, k: int, iters: int, dim: int, n_queries: int,
+    fx_select: str | None = None, include_dt: bool = True,
 ) -> tuple[list[str], str]:
     """CTE chain replaying pq_train_encode + the per-query ADC
     distance tables (`dt`): per-subspace fixed-point Lloyd (same
     floor-division spelling as _ivf_train_cte_parts, keyed by
     (subspace, cid)). Returns (parts, final_assignment_cte) so
     _pq_adc_oracle and the composed _ivf_pq_oracle share one replay.
-    Exact long arithmetic throughout."""
+    Exact long arithmetic throughout. `fx_select` overrides the fx
+    source (residual IVFPQ trains on IVF residuals instead of raw
+    vectors); include_dt=False skips the raw-vector dt CTE (residual
+    dt is per-(query, cell) and built by the caller)."""
     from geist_spark.operators.similarity import FX_SCALE
 
     dsub = dim // m
     parts = [
+        f"fx AS ({fx_select})" if fx_select else
         f"""fx AS (
             SELECT vec_id,
                    [CAST(floor(CAST(x AS DOUBLE) * {FX_SCALE}) AS BIGINT)
@@ -8666,7 +8697,8 @@ def _pq_cte_parts(
                               WHERE a.j = c.j AND a.cell = c.cid)
         )""")
     last_a, last_c = f"a{iters - 1}", f"c{iters - 1}"
-    parts.append(f"""dt AS (
+    if include_dt:
+        parts.append(f"""dt AS (
             SELECT q.vec_id AS query_id, q.j, c.cid,
                    CAST(list_sum([(q.sfx[i] - c.c[i]) * (q.sfx[i] - c.c[i])
                                   for i in generate_series(1, {dsub})])
@@ -8762,6 +8794,117 @@ def _ivf_pq_oracle(
             WHERE a.vec_id <> t.query_id
             GROUP BY t.query_id, a.vec_id
         )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, approx_sq_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY approx_sq_dist, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k_top}
+        """
+    )
+
+
+def _ivf_pq_residual_oracle(
+    n_cells: int,
+    ivf_iters: int,
+    nprobe: int,
+    m: int,
+    k_codes: int,
+    pq_iters: int,
+    dim: int,
+    n_queries: int,
+    k_top: int,
+) -> str:
+    """Residual-encoding IVFPQ replay (the production FAISS recipe):
+    same IVF chain + cosine assignment as _ivf_pq_oracle, but PQ
+    trains on RESIDUALS (fx - assigned-cell centroid, exact longs) and
+    the ADC tables are per-(query, probed-cell) — the query residual
+    depends on which cell is probed. All-long arithmetic throughout."""
+    import re
+
+    from geist_spark.operators.similarity import FX_SCALE
+
+    ivf_parts, _ = _ivf_train_cte_parts(n_cells, ivf_iters, dim)
+    pat = re.compile(r"\b(fx|sub|c\d+|d\d+|a\d+|s\d+)\b")
+    ivf_parts = [pat.sub(lambda mo: "ivf_" + mo.group(1), p) for p in ivf_parts]
+    cent_cte = f"ivf_c{ivf_iters - 1}"
+    cos = (
+        "round(list_dot_product(e.v, c.cv)"
+        " / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    dsub = dim // m
+    parts = ivf_parts + [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cd AS (
+            SELECT cid, [x / {FX_SCALE}.0 for x in c] AS cv FROM {cent_cte}
+        )""",
+        f"""ranked AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos} DESC, c.cid DESC) AS rn
+            FROM e CROSS JOIN cd c
+        )""",
+        "assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)",
+        f"""probes AS (
+            SELECT vec_id AS query_id, cid AS cell
+            FROM ranked WHERE vec_id < {n_queries} AND rn <= {nprobe}
+        )""",
+        # residual = fx - assigned cell's fx centroid (exact longs)
+        f"""res AS (
+            SELECT f.vec_id,
+                   [f.ivf_fx[i] - c.c[i]
+                    for i in generate_series(1, {dim})] AS fx
+            FROM ivf_fx f
+            JOIN assign a ON a.vec_id = f.vec_id
+            JOIN {cent_cte} c ON c.cid = a.cell
+        )""",
+    ]
+    pq_parts, pq_last_a = _pq_cte_parts(
+        m, k_codes, pq_iters, dim, n_queries,
+        fx_select="SELECT vec_id, fx FROM res", include_dt=False,
+    )
+    parts += pq_parts
+    pq_last_c = f"c{pq_iters - 1}"
+    parts += [
+        # query residual w.r.t. EACH probed cell's centroid
+        f"""qres AS (
+            SELECT p.query_id, p.cell,
+                   [qf.ivf_fx[i] - c.c[i]
+                    for i in generate_series(1, {dim})] AS rfx
+            FROM probes p
+            JOIN ivf_fx qf ON qf.vec_id = p.query_id
+            JOIN {cent_cte} c ON c.cid = p.cell
+        )""",
+        f"""qsub AS (
+            SELECT query_id, cell, j,
+                   [rfx[i] for i in
+                    generate_series(j * {dsub} + 1, (j + 1) * {dsub})] AS sfx
+            FROM qres,
+                 (SELECT unnest(generate_series(0, {m - 1})) AS j) js
+        )""",
+        f"""dt AS (
+            SELECT q.query_id, q.cell, q.j, c.cid,
+                   CAST(list_sum([(q.sfx[i] - c.c[i]) * (q.sfx[i] - c.c[i])
+                                  for i in generate_series(1, {dsub})])
+                        AS BIGINT) AS d
+            FROM qsub q JOIN {pq_last_c} c ON q.j = c.j
+        )""",
+        f"""scored AS (
+            SELECT t.query_id, a.vec_id AS neighbor_id,
+                   CAST(sum(t.d) AS BIGINT) AS approx_sq_dist
+            FROM {pq_last_a} a
+            JOIN assign av ON av.vec_id = a.vec_id
+            JOIN dt t ON t.j = a.j AND t.cid = a.cell
+                     AND t.cell = av.cell
+            WHERE a.vec_id <> t.query_id
+            GROUP BY t.query_id, a.vec_id
+        )""",
+    ]
     return (
         "WITH " + ",\n".join(parts)
         + f"""

@@ -502,7 +502,7 @@ def dedup_clusters(
     pairs: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 20,
-    max_driver_edges: int = 200_000,
+    max_driver_edges: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id),
     cluster_id = min doc_id reachable. This turns pairwise near-dup
@@ -514,7 +514,9 @@ def dedup_clusters(
     only vertex rows appear in the output (both paths, by
     construction). NULL endpoints are dropped. NOTE: this operator
     runs a bounded Spark action at composition time (the edge probe),
-    like the centroid collects in similarity.train_ivf_centroids.
+    like the centroid collects in similarity.train_ivf_centroids;
+    pass max_driver_edges=None to skip the probe (fully lazy
+    composition, always the distributed path).
 
     Two paths, gated on a BOUNDED edge probe (limit(cap+1).collect() —
     never a full count of a 100 TB pair set), the same scale gate
@@ -575,9 +577,15 @@ def dedup_clusters(
     # materializing a lazy checkpoint under limit() trips a Catalyst
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the caller's pair frame
     # carries its own checkpoint barrier (semantic_dedup).
-    probe = one_way.limit(max_driver_edges + 1).collect()
-    if len(probe) <= max_driver_edges:
-        return _union_find_clusters(one_way.sparkSession, probe, one_way.schema, vertices)
+    # max_driver_edges=None opts out of the probe entirely: no Spark
+    # action at composition time (plan inspection / lazy contexts) —
+    # always the distributed propagation path.
+    if max_driver_edges is not None:
+        probe = one_way.limit(max_driver_edges + 1).collect()
+        if len(probe) <= max_driver_edges:
+            return _union_find_clusters(
+                one_way.sparkSession, probe, one_way.schema, vertices
+            )
     # above the cap: materialize ONCE (eager — safe now, no limit in
     # flight) so the propagation rounds reuse stored blocks instead of
     # recomputing the pair join every round. The probe's map-side pass

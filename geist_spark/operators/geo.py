@@ -87,6 +87,15 @@ def geo_radius_join(
     """
     if radius_micro <= 0:
         raise ValueError("radius_micro must be positive")
+    # the output is *points.columns + *sites.columns — any shared name
+    # would produce duplicate/ambiguous columns that break downstream
+    # selects silently; fail loud at composition time instead
+    shared = set(points.columns) & set(sites.columns)
+    if shared:
+        raise ValueError(
+            "geo_radius_join: points and sites share column name(s) "
+            f"{sorted(shared)} — rename one side before joining"
+        )
     width = radius_micro
     plat, plon = (F.col(c).cast("long") for c in point_cols)
     slat, slon = (F.col(c).cast("long") for c in site_cols)

@@ -1592,6 +1592,24 @@ def association_rules(
         "n_both",
         "n_baskets",
     )
+    # every factor below is a count <= n_baskets, so both integer
+    # products are <= n_baskets^2; guarding n_baskets <= floor(sqrt(
+    # 2^63-1)) once makes BIGINT wrap impossible instead of silent
+    # (non-ANSI Spark wraps long*long). raise_error is per-row but the
+    # branch is a broadcast scalar comparison — free in codegen.
+    def _wrap_guard(prod: F.Column) -> F.Column:
+        return F.when(
+            F.col("n_baskets") <= F.lit(3_037_000_499), prod
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "association_rules: n_baskets exceeds 3037000499; "
+                    "lift_num/lift_den would overflow BIGINT — aggregate "
+                    "lift in DECIMAL or pre-bucket baskets"
+                )
+            ).cast("long")
+        )
+
     return rules.select(
         F.col("r.antecedent").alias("antecedent"),
         F.col("r.consequent").alias("consequent"),
@@ -1600,8 +1618,8 @@ def association_rules(
         F.col("r.n_cons").alias("n_cons"),
         "n_baskets",
         F.round(F.col("n_both") / F.col("r.n_ant"), 6).alias("confidence"),
-        (F.col("n_both") * F.col("n_baskets")).alias("lift_num"),
-        (F.col("r.n_ant") * F.col("r.n_cons")).alias("lift_den"),
+        _wrap_guard(F.col("n_both") * F.col("n_baskets")).alias("lift_num"),
+        _wrap_guard(F.col("r.n_ant") * F.col("r.n_cons")).alias("lift_den"),
         F.round(
             (F.col("n_both").cast("double") * F.col("n_baskets"))
             / (F.col("r.n_ant").cast("double") * F.col("r.n_cons")),

@@ -39,16 +39,48 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+def _exact_corpus_guard(
+    corpus: DataFrame, cap: int | None, op: str, scale_hint: str
+) -> None:
+    """Bounded-size gate for exact-baseline (scan-product) ANN paths:
+    one limit(cap+1) probe (never a full count of a 100 TB table) that
+    raises with a pointer to the bucketed scale path when the corpus
+    exceeds the documented exact-baseline regime. cap=None opts out
+    (fully lazy composition) — the dedup_clusters probe pattern
+    (dedup.py:dedup_clusters)."""
+    if cap is None:
+        return
+    n = corpus.select(F.lit(1).alias("one")).limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op}: corpus exceeds max_exact_vectors={cap}; the exact "
+            f"baseline is O(|Q|*N)/O(N^2) by definition — {scale_hint} "
+            "(or pass max_exact_vectors=None to force the exact path)"
+        )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     The query side is a handful of rows -> broadcast; the corpus side
     streams through one pass, no shuffle until the final per-query
-    top-k window over ~|Q|*N rows filtered down by rank."""
+    top-k window over ~|Q|*N rows filtered down by rank.
+
+    Exact baseline regime: scoring work is |Q| full-corpus passes —
+    right up to ~1e5 vectors, a non-starter at 100 TB. A bounded probe
+    enforces that bound (raises above `max_exact_vectors`, pointing at
+    lsh_bucketed_topk / ivf_topk); None disables the probe."""
+    _exact_corpus_guard(
+        embeddings,
+        max_exact_vectors,
+        "cosine_topk",
+        "use lsh_bucketed_topk or ivf_topk",
+    )
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -657,6 +689,15 @@ def pq_train_encode(
     fxd = fan_out(embeddings).select(
         "vec_id", _fx(F.col(value_col)).alias("fx")
     )
+    return _pq_train_encode_fx(fxd, m=m, k=k, iters=iters)
+
+
+def _pq_train_encode_fx(fxd: DataFrame, m: int, k: int, iters: int):
+    """PQ Lloyd core over a PRE-FIXED (vec_id, fx array<long>) frame —
+    shared by pq_train_encode (raw vectors) and ivf_pq_residual_topk
+    (IVF residuals, which are already exact longs). Same deterministic
+    init (subvectors of the k lowest vec_ids) and exact long
+    arithmetic."""
     # ONE bounded collect serves both the dim probe and the
     # deterministic init (subvectors of the k lowest vec_ids), instead
     # of a separate first() job
@@ -1200,6 +1241,7 @@ def mutual_knn_graph(
     embeddings: DataFrame,
     k: int = 5,
     candidates: DataFrame | None = None,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Mutual k-NN graph over an embedding corpus: undirected edges
     (id_a < id_b) where EACH endpoint ranks the other inside its own
@@ -1229,6 +1271,15 @@ def mutual_knn_graph(
         _norm(F.col("embedding")).alias("nrm"),
     )
     if candidates is None:
+        # the default broadcasts the WHOLE corpus — a scan-product that
+        # must never reach cluster scale unguarded; the bounded probe
+        # raises above the documented exact-baseline regime
+        _exact_corpus_guard(
+            embeddings,
+            max_exact_vectors,
+            "mutual_knn_graph",
+            "pass candidates= from lsh_bucketed_topk/ivf_topk bucketing",
+        )
         a = e.select(
             F.col("vec_id").alias("src"),
             F.col("emb").alias("a_emb"),
@@ -1369,6 +1420,111 @@ def ivf_pq_topk(
         # probe side below IS the broadcast side, explicitly)
         codes.join(assigned.hint("merge"), "vec_id")
         .join(F.broadcast(probes.join(qdf, "query_id")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _adc_score_topk(cand, k_top)
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_top: int = 5,
+    n_cells: int = 8,
+    ivf_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding — the production FAISS IVFPQ
+    recipe (Jegou et al., PAMI 2011 §V: quantize x - q1(x), the
+    residual from the coarse centroid, not x itself). Residuals
+    concentrate around the origin, so the same PQ bit budget spends
+    its resolution on the informative part of the vector — the recall
+    improvement over raw-vector PQ that closes ivf_pq_topk's
+    documented delta.
+
+    Exactness chain: residuals are computed in the SAME 2^-20
+    fixed-point grid as the IVF centroids (long - long, exact), PQ
+    trains on those longs (the shared _pq_train_encode_fx core), and
+    the per-(query, probed-cell) ADC tables use the query's residual
+    w.r.t. THAT cell's centroid — all-long arithmetic end to end, so
+    the DuckDB oracle replays it bit-for-bit.
+
+    Plan shape is IDENTICAL to ivf_pq_topk (what matters at 100 TB):
+    coarse assignment is a map-only expression over centroid
+    literals; the residual is one zip_with against a literal
+    element_at lookup (still map-only, in codegen); candidates only
+    from probed cells; the broadcast side is |Q| x nprobe dt tables
+    (m*k longs each — tiny); the corpus-grain code/cell join carries
+    the merge hint; no shuffle before the per-query top-k window.
+    """
+    cents_fx, _ = train_ivf_centroids(
+        embeddings, k=n_cells, iters=ivf_iters
+    )
+    cd = [
+        (i, [v / float(FX_SCALE) for v in c])
+        for i, c in enumerate(cents_fx)
+    ]
+    emb = F.col("embedding")
+    scores = _centroid_scores(emb, cd)
+    cent_lit = long_matrix(cents_fx)
+    # one pass: fx projection + cosine cell assignment + residual
+    # (fx - cell centroid), all map-only expressions
+    res = fan_out(embeddings).select(
+        "vec_id",
+        F.array_max(scores)["cid"].alias("cell"),
+        F.zip_with(
+            _fx(emb),
+            F.element_at(cent_lit, F.array_max(scores)["cid"] + 1),
+            lambda a, b: a - b,
+        ).alias("fx"),
+    )
+    books, codes = _pq_train_encode_fx(
+        res.select("vec_id", "fx"), m=m, k=k_codes, iters=pq_iters
+    )
+    # per-(query, probed cell) ADC tables: the query residual depends
+    # on WHICH cell is probed, so dt is keyed by (query_id, cell) —
+    # |Q| x nprobe tables of m*k longs, built from two bounded collects
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", _fx(emb).alias("qfx"))
+        .collect()
+    )
+    qfx_by_id = {int(r["vec_id"]): list(r["qfx"]) for r in qrows}
+    probe_rows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
+            ).alias("cell"),
+        )
+        .collect()
+    )
+    dsub = len(cents_fx[0]) // m
+    dt_rows = []
+    for r in probe_rows:
+        qid, cell = int(r["query_id"]), int(r["cell"])
+        qres = [
+            q - c for q, c in zip(qfx_by_id[qid], cents_fx[cell])
+        ]
+        dt = [
+            [
+                sum(
+                    (qres[j * dsub + i] - bc[i]) ** 2 for i in range(dsub)
+                )
+                for bc in books[j]
+            ]
+            for j in range(m)
+        ]
+        dt_rows.append((qid, cell, dt))
+    qdt = embeddings.sparkSession.createDataFrame(
+        dt_rows, "query_id long, cell int, dt array<array<long>>"
+    )
+    cand = (
+        codes.join(res.select("vec_id", "cell").hint("merge"), "vec_id")
+        .join(F.broadcast(qdt), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     return _adc_score_topk(cand, k_top)

@@ -124,6 +124,17 @@ def kafka_reader_options(spec: Spec, env: str = "") -> dict[str, str]:
             # translate to the equivalent startingOffsets — same
             # first-run semantics, checkpoint wins thereafter, exactly
             # like a committed consumer group ignores auto.offset.reset.
+            # Only 'earliest'/'latest' have a startingOffsets equivalent;
+            # Kafka's third legal value 'none' (throw when no committed
+            # offset) has none — fail at spec level with a clear message
+            # instead of letting Spark throw an opaque option error at
+            # stream start.
+            if p.value not in ("earliest", "latest"):
+                raise ValueError(
+                    f"auto.offset.reset={p.value!r} has no Spark "
+                    "startingOffsets equivalent (use 'earliest' or "
+                    "'latest'; Spark manages offsets via checkpoints)"
+                )
             opts["startingOffsets"] = p.value
             continue
         opts[f"kafka.{p.key}"] = p.value

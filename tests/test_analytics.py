@@ -1507,6 +1507,66 @@ def test_mutual_knn_candidates_path_subset(spark):
     assert via_cand == exact
 
 
+def test_ivf_pq_residual_single_cell_equals_raw(spark):
+    """With n_cells=1 the residual is one constant shift x - c. Floored
+    division commutes with constant shifts ((s - n*c) fdiv n = s fdiv n
+    - c), so PQ Lloyd on the shifted longs converges to exactly-shifted
+    codebooks, and every ADC distance ||(q-c)-(x̂-c)||² equals the raw
+    path's ||q-x̂||² bit-for-bit. A full-plumbing invariance check of
+    the residual chain (assignment, shift, per-cell dt, scoring)."""
+    from geist_spark.operators.similarity import (
+        ivf_pq_residual_topk, ivf_pq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 13 + j * 7) % 17) / 5.0 + 0.3 for j in range(8)])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(
+        query_ids=[0, 1, 2], k_top=4, n_cells=1, ivf_iters=1,
+        nprobe=1, m=2, k_codes=4, pq_iters=2,
+    )
+    raw = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sq_dist"]
+        for r in ivf_pq_topk(emb, **kw).collect()
+    }
+    res = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sq_dist"]
+        for r in ivf_pq_residual_topk(emb, **kw).collect()
+    }
+    assert raw == res and len(raw) == 12
+
+
+def test_exact_baseline_size_guard(spark):
+    """The exact-baseline (scan-product) paths of cosine_topk and
+    mutual_knn_graph raise above max_exact_vectors with a pointer to
+    the bucketed scale path; None disables; the candidates= path is
+    never guarded (it IS the scale path)."""
+    from geist_spark.operators.similarity import cosine_topk, mutual_knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+        cosine_topk(emb, query_ids=[0], k=2, max_exact_vectors=10)
+    with pytest.raises(ValueError, match="candidates="):
+        mutual_knn_graph(emb, k=2, max_exact_vectors=10)
+    # opt-out and the candidates path both still compose and run
+    assert cosine_topk(
+        emb, query_ids=[0], k=2, max_exact_vectors=None
+    ).count() == 2
+    cand = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    mutual_knn_graph(emb, k=2, candidates=cand, max_exact_vectors=10).count()
+    # default cap is far above the test corpus: no behavior change
+    assert cosine_topk(emb, query_ids=[0], k=2).count() == 2
+
+
 def test_ngram_containment_finds_subdoc_jaccard_misses(spark):
     from geist_spark.operators.dedup import (
         ngram_containment_pairs, ngram_jaccard_pairs,
@@ -1676,6 +1736,19 @@ def test_remove_dup_spans_idempotent_on_survivors(spark):
 # ------------------------------------------------------ association rules
 
 
+def test_dedup_clusters_lazy_optout(spark):
+    """max_driver_edges=None skips the composition-time probe and
+    always composes the distributed path lazily — same fixed point."""
+    from geist_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    lazy = dedup_clusters(pairs, max_driver_edges=None)
+    got = {r["doc_id"]: r["cluster_id"] for r in lazy.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_association_rules_golden(spark):
     """Hand-computed rules on 4 baskets: support counts at DISTINCT
     (basket, item) grain, both directed rules per pair, exact
@@ -1712,6 +1785,19 @@ def test_association_rules_golden(spark):
     rm = out[("milk", "eggs")]
     assert rm["confidence"] == round(2 / 3, 6)
     assert out[("eggs", "milk")]["confidence"] == 1.0
+
+
+def test_geo_radius_join_rejects_shared_columns(spark):
+    """Shared point/site column names would emit duplicate output
+    columns — composition-time error, not downstream ambiguity."""
+    from geist_spark.operators.geo import geo_radius_join
+
+    pts = spark.createDataFrame([(1, 0, 0)], "id long, lat long, lon long")
+    sts = spark.createDataFrame(
+        [(1, 0, 0)], "id long, site_lat long, site_lon long"
+    )
+    with pytest.raises(ValueError, match="share column"):
+        geo_radius_join(pts, sts, radius_micro=10)
 
 
 # ------------------------------------------------------------- zone maps

@@ -70,6 +70,18 @@ def test_kafka_reader_options_full_contract():
     assert opts["maxOffsetsPerTrigger"] == "2500"
 
 
+def test_kafka_auto_offset_reset_none_is_a_spec_error():
+    """Kafka's legal value 'none' has no startingOffsets equivalent —
+    the translation must fail with a descriptive spec error instead of
+    an opaque Spark option error at stream start."""
+    spec = kafka_spec()
+    for p in spec.source.properties:
+        if p.key == "auto.offset.reset":
+            p.value = "none"
+    with pytest.raises(ValueError, match="auto.offset.reset"):
+        kafka_reader_options(spec, env="prod")
+
+
 def test_kafka_reader_options_env_and_defaults():
     spec = kafka_spec()
     opts = kafka_reader_options(spec, env="dev")
