@@ -677,11 +677,44 @@ def distinct_event_keys(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type").distinct()
 
 
+def _span_shuffle_partitions(
+    documents: DataFrame, k: int, stride: int
+) -> int | None:
+    """Derive a shuffle width for the char-gram frames from a cheap
+    row estimate: docs x max(avg_len - k + 1, 0) / stride gram rows,
+    targeting ~2M rows (~100 MB) per partition. The 64x probe showed
+    the gram self-join's per-partition SMJ sort spilling at the
+    session default (SCALE.md): the operator owns the sizing now
+    instead of relying on every caller to scale
+    spark.sql.shuffle.partitions with input. Estimate cost: one
+    column-pruned count (parquet-metadata fast) + one bounded-sample
+    length average. Returns None when the session default already
+    suffices (no repartition, no behavior change)."""
+    sess = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_docs = documents.count()
+    if n_docs == 0:
+        return None
+    avg_len = (
+        documents.select(F.length("text").alias("L"))
+        .limit(4096)
+        .agg(F.avg("L"))
+        .collect()[0][0]
+    ) or 0.0
+    est_rows = n_docs * max(avg_len - k + 1, 0.0) / max(stride, 1)
+    need = int(est_rows // 2_000_000) + 1
+    if need <= sess:
+        return None
+    return min(need, 16_384)  # runaway-estimate backstop
+
+
 def _dup_span_runs(
     documents: DataFrame,
     min_len: int = 40,
     stride: int = 1,
     max_gram_freq: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Exact shared-substring spans between document pairs — the
     suffix-array dedup family (Lee et al. 2022, "Deduplicating
@@ -716,8 +749,19 @@ def _dup_span_runs(
       bound).
     - the join shuffles once on the gram hash; the run-merge window
       re-shuffles once on (pair, diag): two exchanges total.
+    - `shuffle_partitions`: width of those two exchanges. "auto"
+      (default) derives it from a cheap gram-row estimate
+      (_span_shuffle_partitions) so the SMJ sort volume per partition
+      stays bounded as input grows — the measured 64x wall was
+      exactly this (fixed 32 partitions: 208 s; scaled: 133 s).
+      An int pins it; None keeps the session default untouched.
     """
     from geist_spark.operators.bucketing import fan_out
+
+    if shuffle_partitions == "auto":
+        n_parts = _span_shuffle_partitions(documents, min_len, stride)
+    else:
+        n_parts = shuffle_partitions
 
     k = min_len
     t = F.col("text")
@@ -758,6 +802,13 @@ def _dup_span_runs(
     probe = grams
     if stride > 1:
         grams = grams.filter(F.col("pos") % stride == 0)
+    if n_parts is not None:
+        # pre-shape BOTH exchanges the plan needs anyway: the SMJ
+        # reuses HashPartitioning(g, n) on each side (same keys, same
+        # width -> no extra exchange), so this widens the join's
+        # per-partition sort instead of adding a shuffle
+        probe = probe.repartition(n_parts, "g")
+        grams = grams.repartition(n_parts, "g")
     a = probe.alias("a")
     # merge hint: the gram inverted index (one row per char position)
     # is the most explosion-prone frame in the repo — at 16x Catalyst
@@ -772,6 +823,11 @@ def _dup_span_runs(
         F.col("a.pos").alias("pa"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
+    if n_parts is not None:
+        # same trick for the run-merge window's exchange: the window
+        # (and the final groupBy, whose keys are a superset) reuse
+        # HashPartitioning(pair, diag, n)
+        matches = matches.repartition(n_parts, "doc_a", "doc_b", "diag")
     wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = matches.withColumn(
         "brk",
@@ -791,13 +847,16 @@ def substring_dup_spans(
     min_len: int = 40,
     stride: int = 1,
     max_gram_freq: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Per-pair summary of the maximal shared spans _dup_span_runs
     finds (see its docstring for the algorithm and the 100 TB levers).
     Returns (doc_a, doc_b, n_spans, max_span, total_shared),
     doc_a < doc_b — integers, engine-exact."""
     k = min_len
-    spans = _dup_span_runs(documents, min_len, stride, max_gram_freq).select(
+    spans = _dup_span_runs(
+        documents, min_len, stride, max_gram_freq, shuffle_partitions
+    ).select(
         "doc_a",
         "doc_b",
         (F.col("pa_max") - F.col("pa_min") + k).alias("span"),
@@ -814,6 +873,7 @@ def remove_dup_spans(
     min_len: int = 40,
     stride: int = 1,
     max_gram_freq: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Cut duplicated substrings OUT of the corpus — the second half
     of Lee et al. 2022 (the paper removes one copy of every >=min_len
@@ -836,7 +896,9 @@ def remove_dup_spans(
     (doc_id, text_md5, n_chars_removed, n_spans_removed) — md5 of the
     rebuilt text so the result stays a scalar row, exact integers.
     """
-    runs = _dup_span_runs(documents, min_len, stride, max_gram_freq)
+    runs = _dup_span_runs(
+        documents, min_len, stride, max_gram_freq, shuffle_partitions
+    )
     raw_spans = runs.select(
         F.col("doc_b").alias("doc_id"),
         (F.col("pa_min") - F.col("diag")).alias("start"),

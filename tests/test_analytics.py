@@ -1507,6 +1507,36 @@ def test_mutual_knn_candidates_path_subset(spark):
     assert via_cand == exact
 
 
+def test_span_shuffle_partitions_invariance(spark):
+    """The span operators' shuffle sizing (auto / pinned int / None)
+    changes only the exchange width, never the rows: all three paths
+    must agree exactly. Auto must also be a no-op below the target."""
+    from geist_spark.operators.dedup import (
+        _span_shuffle_partitions, remove_dup_spans, substring_dup_spans,
+    )
+
+    shared = "x" * 60
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta"),
+            (2, "prefix " + shared + " tail text here"),
+            (3, "completely unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    # tiny corpus: the estimate must say "session default suffices"
+    assert _span_shuffle_partitions(docs, 40, 1) is None
+    for op in (substring_dup_spans, remove_dup_spans):
+        base = sorted(map(tuple, op(docs, min_len=40).collect()))
+        pinned = sorted(
+            map(tuple, op(docs, min_len=40, shuffle_partitions=7).collect())
+        )
+        off = sorted(
+            map(tuple, op(docs, min_len=40, shuffle_partitions=None).collect())
+        )
+        assert base == pinned == off and base
+
+
 def test_ivf_pq_residual_single_cell_equals_raw(spark):
     """With n_cells=1 the residual is one constant shift x - c. Floored
     division commutes with constant shifts ((s - n*c) fdiv n = s fdiv n
