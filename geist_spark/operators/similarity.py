@@ -447,11 +447,65 @@ def _fx(col: F.Column) -> F.Column:
     )
 
 
+def _fx_cell_scores_over(cents_col: F.Column) -> F.Column:
+    """array<struct<d,cid>> of exact squared fixed-point distances from
+    F.col("fx") to each entry of `cents_col` (array<struct<cid,c>>) —
+    the SAME arithmetic as the literal-matrix transform in
+    train_ivf_centroids, expressed over a DATA column instead of a
+    codegen literal, so the two assignment paths are bit-identical by
+    construction."""
+    return F.transform(
+        cents_col,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("fx"), s["c"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+
+
+def assign_cells_fx(fxd: DataFrame, centroids_df: DataFrame) -> DataFrame:
+    """Broadcast-table cell assignment for LARGE k: instead of a
+    k*dim literal matrix (whose generated code grows with k until
+    Janino compilation dominates — fine at k<=~256, wrong at k=10^5),
+    the centroid table rides in as ONE broadcast row (array of
+    structs) cross-joined to the corpus. Plan: BroadcastNestedLoopJoin
+    against a 1-row build side — map-only over the corpus, NO corpus
+    shuffle, no per-vector row explosion (the k candidates stay inside
+    one array expression per row, exactly like the literal path).
+
+    fxd: (vec_id, fx array<long>); centroids_df: (cid int, c
+    array<long>). Returns (vec_id, fx, cell, sq_dist) — bit-identical
+    to the literal-matrix assignment (same exact long arithmetic, same
+    lexicographic (d, cid) argmin; verified by property test)."""
+    cent_row = centroids_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("c")))
+        ).alias("__cents")
+    )
+    m = F.array_min(_fx_cell_scores_over(F.col("__cents")))
+    return (
+        fxd.join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "fx",
+            m["cid"].alias("cell"),
+            m["d"].alias("sq_dist"),
+        )
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
     value_col: str = "embedding",
+    assignment: str = "literal",
 ):
     """Distributed Lloyd k-means for IVF cell training, on FIXED-POINT
     embeddings: every distance and centroid update is exact long
@@ -471,10 +525,15 @@ def train_ivf_centroids(
 
     At 100 TB: per-iteration cost is one scan + one k-row shuffle;
     centroids (k*dim longs) stay driver-side like the 8-row IVF
-    centroid collect in ivf_topk. For huge k, swap the literal array
-    for a broadcast join against a centroid DataFrame — same plan
-    shape.
+    centroid collect in ivf_topk. For huge k pass
+    assignment="broadcast": the centroid matrix rides as ONE broadcast
+    data row (assign_cells_fx) instead of a codegen literal whose
+    Janino compile time grows with k — same exact arithmetic, same
+    map-only no-corpus-shuffle plan, bit-identical output (property
+    test pins literal == broadcast).
     """
+    if assignment not in ("literal", "broadcast"):
+        raise ValueError("assignment must be 'literal' or 'broadcast'")
     fxd = fan_out(embeddings).select(
         "vec_id", _fx(F.col(value_col)).alias("fx")
     )
@@ -505,25 +564,34 @@ def train_ivf_centroids(
         # execution (milliseconds) on small inputs; the matrix is ONE
         # expr call (per-element F.lit cost 10+ s of py4j round trips
         # per iteration on high-latency hosts — functions/litx.py)
-        cent_lit = long_matrix(cents)
-        scores = F.transform(
-            cent_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("fx"), c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                i.alias("cid"),
-            ),
-        )
-        m = F.array_min(scores)  # lexicographic: min dist, then min cid
-        assigned = fxd.select(
-            "vec_id",
-            "fx",
-            m["cid"].alias("cell"),
-            m["d"].alias("sq_dist"),
-        )
+        if assignment == "broadcast":
+            cents_df = fxd.sparkSession.createDataFrame(
+                [(ci, c) for ci, c in enumerate(cents)],
+                "cid int, c array<bigint>",
+            )
+            assigned = assign_cells_fx(fxd, cents_df)
+        else:
+            cent_lit = long_matrix(cents)
+            scores = F.transform(
+                cent_lit,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("fx"), c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("cid"),
+                ),
+            )
+            m = F.array_min(scores)  # lexicographic: min dist, then min cid
+            assigned = fxd.select(
+                "vec_id",
+                "fx",
+                m["cid"].alias("cell"),
+                m["d"].alias("sq_dist"),
+            )
         if it == iters - 1:
             break
         stats = (

@@ -1507,6 +1507,60 @@ def test_mutual_knn_candidates_path_subset(spark):
     assert via_cand == exact
 
 
+def test_kmeans_broadcast_assignment_bit_identical(spark):
+    """assignment="broadcast" (centroid table as ONE broadcast data
+    row, for huge k where the literal matrix's codegen would dominate)
+    must be bit-identical to the literal path: same exact long
+    arithmetic, same lexicographic (d, cid) argmin — centroids AND
+    per-vector assignments. Plan check: the broadcast path's
+    assignment adds no corpus shuffle (only a BroadcastExchange of the
+    1-row centroid side)."""
+    from geist_spark.operators.similarity import (
+        _fx, assign_cells_fx, train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 17 + j * 5) % 23) / 7.0 for j in range(6)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    c_lit, a_lit = train_ivf_centroids(emb, k=8, iters=3)
+    c_bc, a_bc = train_ivf_centroids(
+        emb, k=8, iters=3, assignment="broadcast"
+    )
+    assert c_lit == c_bc
+    rows = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], r["sq_dist"]) for r in df.collect()
+    )
+    assert rows(a_lit) == rows(a_bc)
+
+    # plan: assignment over a corpus never shuffles the corpus — the
+    # only exchange is the broadcast of the 1-row centroid side
+    fxd = emb.select("vec_id", _fx(F.col("embedding")).alias("fx"))
+    cents_df = spark.createDataFrame(
+        [(i, [j * 100 for j in range(6)]) for i in range(8)],
+        "cid int, c array<bigint>",
+    )
+    plan = (
+        assign_cells_fx(fxd, cents_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    corpus_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln)
+        and "Broadcast" not in ln
+        # the k-row centroid side collapsing to its single array row
+        # is a SinglePartition exchange of k rows, not a corpus shuffle
+        and "SinglePartition" not in ln
+    ]
+    assert corpus_exchanges == []
+
+
 def test_span_shuffle_partitions_invariance(spark):
     """The span operators' shuffle sizing (auto / pinned int / None)
     changes only the exchange width, never the rows: all three paths
