@@ -1753,11 +1753,13 @@ def e_eventsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """userAgent scalar transform (ua.go:31-62) over synthetic UA
-    strings derived from event_type. The parse itself is Python (Arrow
-    pandas UDF); the oracle is a 3-arm CASE over the golden JSON
-    outputs (pinned in tests/test_transform.py), so the driver gate
-    hash-checks the full UDF plumbing."""
-    from geist_spark.functions.ua import ua_udf
+    strings derived from event_type. Compiled to JVM-native
+    regexp/when chains (ua_json_expr — zero Python in the plan; the
+    pandas-UDF twin stays property-tested against it); the oracle is a
+    3-arm CASE over the golden JSON outputs (pinned in
+    tests/test_transform.py), so the driver gate hash-checks the full
+    compiled parse."""
+    from geist_spark.functions.ua import ua_json_expr
 
     ev = _t(spark, sf_dir, "events")
     ua = (
@@ -1775,7 +1777,7 @@ def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("Googlebot/2.1%20(+http://www.google.com/bot.html)"))
     )
-    return ev.select("event_id", ua_udf(ua).alias("ua_json"))
+    return ev.select("event_id", ua_json_expr(ua).alias("ua_json"))
 
 
 # ---------------------------------------------------------------- text

@@ -207,9 +207,12 @@ def _typed_extract(res: JsonResolver, json_path: str, spec_type: str) -> Column:
     if t == "unixtimestamp":
         return F.timestamp_millis(F.coalesce(raw.cast(T.LongType()), F.lit(0)))
     if t == "useragent":
-        from geist_spark.functions.ua import ua_udf
+        # JVM-native compile of the UA heuristic matrix (ua.py
+        # docstring states the parity bounds); ua_udf remains the
+        # byte-exact Python twin for tails the expression can't cover
+        from geist_spark.functions.ua import ua_json_expr
 
-        return ua_udf(F.coalesce(raw, F.lit("")))
+        return ua_json_expr(F.coalesce(raw, F.lit("")))
     if t == "urlnormalize":
         # engine extension (same pattern as userAgent's typed parse):
         # RFC 3986 canonicalization in pure codegen; non-URL values

@@ -119,6 +119,216 @@ def parse_user_agent(ua_escaped: str | None) -> str:
     return json.dumps(out, separators=(",", ":"))
 
 
+def _re_ver_join(src: F.Column, pat: str) -> F.Column:
+    """Native twin of `".".join(g for g in m.groups() if g)` over a
+    3-group version pattern: Java regexp_extract returns "" for an
+    unmatched optional group (Python returns None) — both cases drop
+    the segment."""
+    g1 = F.regexp_extract(src, pat, 1)
+    g2 = F.regexp_extract(src, pat, 2)
+    g3 = F.regexp_extract(src, pat, 3)
+    return F.when(g1 == "", F.lit("")).otherwise(
+        F.when(g3 == "", F.concat_ws(".", g1, g2)).otherwise(
+            F.concat_ws(".", g1, g2, g3)
+        )
+    )
+
+
+def _first_part(parts: F.Column, pred, default: F.Column) -> F.Column:
+    """next((p for p in parts if pred(p)), default) as an expression."""
+    hits = F.filter(parts, pred)
+    return F.when(F.size(hits) > 0, hits[0]).otherwise(default)
+
+
+def ua_json_expr(ua_escaped: F.Column) -> F.Column:
+    """JVM-native compilation of parse_user_agent: the SAME heuristic
+    matrix (OS branch order, browser pattern order, engine leftmost
+    match, bot/mobile/localization regexes) expressed as
+    regexp_extract/when chains + to_json — whole-stage codegen, no
+    Python worker, no Arrow transfer. This was the one Python-UDF plan
+    in the engine (VERDICT r03 #6); the golden-CASE oracle proves the
+    output is deterministic string rules, so it compiles.
+
+    Parity bounds vs the Python UDF (property-tested over the golden
+    corpus + generators):
+    - unquote: '+' is protected before try_url_decode (unquote keeps
+      '+' literal; url_decode is form-decoding), and a string whose
+      escapes are ALL invalid falls back to itself like unquote; a
+      string mixing valid AND invalid %-escapes (protocol-illegal,
+      never seen in traffic) falls back wholesale where unquote would
+      decode the valid ones.
+    - JSON escaping: identical for ASCII (both engines emit standard
+      short escapes); non-ASCII chars stay raw UTF-8 here while
+      json.dumps emits \\uXXXX (UA strings are ASCII per RFC 9110
+      field-value rules). Keep ua_udf for byte-exact tails.
+    """
+    esc = F.coalesce(ua_escaped, F.lit(""))
+    protected = F.regexp_replace(esc, r"\+", "%2B")
+    ua = F.coalesce(F.try_url_decode(protected), esc)
+
+    section = F.regexp_extract(ua, r"\(([^)]*)\)", 1)
+    parts = F.transform(F.split(section, ";"), lambda p: F.trim(p))
+    platform0 = F.trim(F.element_at(parts, 1))
+    mobile_re = ua.rlike("Mobile|Android|iPhone|iPod|iPad|Windows Phone")
+
+    # --- operating system branches (same order as _osinfo) ---
+    ios = (
+        section.contains("iPhone")
+        | section.contains("iPad")
+        | section.contains("iPod")
+    )
+    ios_full = _first_part(
+        parts,
+        lambda p: p.contains("OS") & p.contains("like Mac"),
+        section,
+    )
+    ios_ver = _re_ver_join(ios_full, r"OS (\d+)[_.](\d+)(?:[_.](\d+))?")
+    ios_name = F.when(
+        section.contains("iPhone") | section.contains("iPod"),
+        F.lit("iPhone OS"),
+    ).otherwise(F.lit("iPadOS"))
+
+    android = section.contains("Android")
+    android_ver = F.regexp_extract(section, r"Android ([\d.]+)", 1)
+    android_full = _first_part(
+        parts, lambda p: p.startswith("Android"), F.lit("Android")
+    )
+
+    windows = section.contains("Windows NT")
+    nt = F.regexp_extract(section, r"Windows NT ([\d.]+)", 1)
+    win_full = (
+        F.when(nt == "10.0", F.lit("Windows 10"))
+        .when(nt == "6.3", F.lit("Windows 8.1"))
+        .when(nt == "6.2", F.lit("Windows 8"))
+        .when(nt == "6.1", F.lit("Windows 7"))
+        .when(nt == "6.0", F.lit("Windows Vista"))
+        .when(nt == "5.1", F.lit("Windows XP"))
+        .otherwise(F.concat(F.lit("Windows NT "), nt))
+    )
+
+    mac = section.contains("Mac OS X")
+    mac_ver = _re_ver_join(section, r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?")
+    mac_full = _first_part(
+        parts, lambda p: p.contains("Mac OS X"), F.lit("Intel Mac OS X")
+    )
+
+    linux = section.contains("Linux") | section.contains("X11")
+
+    os_struct = (
+        F.when(ios, F.struct(
+            ios_name.alias("name"),
+            ios_full.alias("fullName"),
+            ios_ver.alias("version"),
+            F.lit("").alias("platform"),   # sentinel: use section platform
+            F.lit(True).alias("mobile"),
+        ))
+        .when(android, F.struct(
+            F.lit("Android").alias("name"),
+            android_full.alias("fullName"),
+            android_ver.alias("version"),
+            F.lit("Linux").alias("platform"),
+            F.lit(True).alias("mobile"),
+        ))
+        .when(windows, F.struct(
+            F.lit("Windows").alias("name"),
+            win_full.alias("fullName"),
+            nt.alias("version"),
+            F.lit("Windows").alias("platform"),
+            mobile_re.alias("mobile"),
+        ))
+        .when(mac, F.struct(
+            F.lit("Mac OS X").alias("name"),
+            mac_full.alias("fullName"),
+            mac_ver.alias("version"),
+            F.lit("Macintosh").alias("platform"),
+            F.lit(False).alias("mobile"),
+        ))
+        .when(linux, F.struct(
+            F.lit("Linux").alias("name"),
+            F.lit("Linux").alias("fullName"),
+            F.lit("").alias("version"),
+            F.lit("X11").alias("platform"),
+            mobile_re.alias("mobile"),
+        ))
+        .otherwise(F.struct(
+            F.lit("").alias("name"),
+            section.alias("fullName"),
+            F.lit("").alias("version"),
+            F.lit("").alias("platform"),
+            mobile_re.alias("mobile"),
+        ))
+    )
+    # iOS and the fallthrough branch keep the raw section platform;
+    # the others pin it ("" is the sentinel — a real platform token is
+    # never empty in those branches)
+    platform = F.when(
+        os_struct["platform"] == "", platform0
+    ).otherwise(os_struct["platform"])
+
+    # --- browser (same pattern order as _browser) ---
+    eng_pat = r"(AppleWebKit|Gecko|Trident|Presto)/([\d.]+)"
+    engine = F.regexp_extract(ua, eng_pat, 1)
+    engine_version = F.regexp_extract(ua, eng_pat, 2)
+
+    browser_pats = [
+        (r"Edg(?:e|A|iOS)?/([\d.]+)", "Edge"),
+        (r"OPR/([\d.]+)", "Opera"),
+        (r"Opera[/ ]([\d.]+)", "Opera"),
+        (r"CriOS/([\d.]+)", "Chrome"),
+        (r"Chrome/([\d.]+)", "Chrome"),
+        (r"FxiOS/([\d.]+)", "Firefox"),
+        (r"Firefox/([\d.]+)", "Firefox"),
+        (r"MSIE ([\d.]+)", "Internet Explorer"),
+        (r"rv:([\d.]+)\) like Gecko", "Internet Explorer"),
+        (r"Version/([\d.]+).*Safari", "Safari"),
+    ]
+    b = None
+    for pat, name in browser_pats:
+        v = F.regexp_extract(ua, pat, 1)
+        hit = F.struct(F.lit(name).alias("name"), v.alias("version"))
+        b = F.when(v != "", hit) if b is None else b.when(v != "", hit)
+    fallthrough_pat = r"^([A-Za-z][\w\-]*)/([\d.]+)"
+    ft_name = F.regexp_extract(ua, fallthrough_pat, 1)
+    b = b.when(
+        ua.contains("Safari"),
+        F.struct(F.lit("Safari").alias("name"), F.lit("").alias("version")),
+    ).when(
+        ft_name != "",
+        F.struct(
+            ft_name.alias("name"),
+            F.regexp_extract(ua, fallthrough_pat, 2).alias("version"),
+        ),
+    ).otherwise(
+        F.struct(F.lit("").alias("name"), F.lit("").alias("version"))
+    )
+
+    localization = F.regexp_extract(
+        ua, r"\(.*?;\s*([a-z]{2}(?:-[A-Za-z]{2})?)\s*[;)]", 1
+    )
+    bot = ua.rlike(
+        "(?i)bot|crawler|spider|slurp|archiver|facebookexternalhit"
+        "|mediapartners"
+    )
+
+    return F.to_json(F.struct(
+        platform.alias("platform"),
+        F.struct(
+            os_struct["name"].alias("name"),
+            os_struct["fullName"].alias("fullName"),
+            os_struct["version"].alias("version"),
+        ).alias("operatingSystem"),
+        localization.alias("localization"),
+        F.struct(
+            b["name"].alias("name"),
+            b["version"].alias("version"),
+            engine.alias("engine"),
+            engine_version.alias("engineVersion"),
+        ).alias("browser"),
+        bot.alias("bot"),
+        os_struct["mobile"].alias("mobile"),
+    ))
+
+
 @functools.lru_cache(maxsize=65536)
 def _cached_parse(ua_escaped: str | None) -> str:
     return parse_user_agent(ua_escaped)

@@ -747,7 +747,13 @@ def rake_keywords(
     top = scored.orderBy(
         F.col("score_fx").desc(), F.col("phrase").asc()
     ).limit(top_k)
-    wr = Window.orderBy(F.col("score_fx").desc(), F.col("phrase").asc())
+    # rank over the <= top_k survivors with an explicit literal
+    # partition key: same single-partition execution (bounded rows),
+    # but no "No Partition Defined" WindowExec warning — which reads
+    # as a scale bug in audit logs when the input is actually bounded
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score_fx").desc(), F.col("phrase").asc()
+    )
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "phrase", "n_words", "n_occ", "score_fx", "rank"
     )

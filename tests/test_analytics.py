@@ -1221,6 +1221,68 @@ def test_streaming_kmv_rollup_merges_to_batch_truth(spark, tmp_path):
     )
 
 
+def test_streaming_incremental_dedup_matches_batch_lsh(spark, tmp_path):
+    """Streaming near-dup dedup — the 100 TB ingest leg: micro-batches
+    arrive via Structured Streaming; each batch (1) probes the STORED
+    append-only band index for cross-batch candidates
+    (incremental_dedup_pairs — O(batch), never O(corpus)), (2) finds
+    its own within-batch pairs (minhash_lsh_pairs on the batch alone),
+    (3) appends its band rows to the index. The union of all pairs
+    across batches must equal one batch minhash_lsh_pairs pass over the
+    full corpus: every cross-batch pair is found exactly when the later
+    doc's batch probes the index, every within-batch pair by (2)."""
+    from geist_spark.operators.dedup import (
+        incremental_dedup_pairs, minhash_bands, minhash_lsh_pairs,
+    )
+
+    docs_all = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = tmp_path / "dedup_src"
+    idx_dir = str(tmp_path / "band_index")
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        docs_all.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    found: set = set()
+    batches: list = []
+
+    def per_batch(bdf, bid):
+        batches.append(bid)
+        import os
+
+        if os.path.isdir(idx_dir):
+            index = spark.read.parquet(idx_dir)
+            cross = incremental_dedup_pairs(bdf, index)
+            found.update(
+                (min(r[0], r[1]), max(r[0], r[1])) for r in cross.collect()
+            )
+        within = minhash_lsh_pairs(bdf)
+        found.update((r["doc_a"], r["doc_b"]) for r in within.collect())
+        minhash_bands(bdf).write.mode("append").parquet(idx_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batches) >= 3, "expected one micro-batch per file"
+
+    batch_truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs_all).collect()
+    }
+    assert found == batch_truth and batch_truth
+
+
 def test_sequence_stream_ordered_sequences(spark, tmp_path):
     """Streaming sequence assembly: closed sessions emit the ordered
     type:epoch_us text, matching the batch renderer's format, with

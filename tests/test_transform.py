@@ -467,3 +467,90 @@ def test_number_field_type_compiles(spark):
     )
     got = [r.v for r in ct.apply(df).collect()]
     assert got == [3.5, 2.0, 0.0]
+
+
+def test_ua_native_expr_matches_python_parser(spark):
+    """The JVM-native userAgent compile (ua_json_expr) must emit
+    byte-identical JSON to the Python parser over the full heuristic
+    matrix: every OS branch, every browser pattern, engines, bots,
+    localization, mobile flags, URL-escaped and raw forms, malformed
+    escapes, '+', empty, and NULL. This pins the ua.py parity contract
+    that let the spec compiler drop the last Python-UDF plan."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    from geist_spark.functions.ua import parse_user_agent, ua_json_expr
+
+    corpus = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/109.0.0.0 Safari/537.36",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 16_3 like Mac OS X)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.3"
+        " Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (iPad; CPU OS 15_7 like Mac OS X)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/108.0.5359.112"
+        " Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/109.0.0.0 Mobile Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.1"
+        " Safari/605.1.15",
+        "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0)"
+        " Gecko/20100101 Firefox/110.0",
+        "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0)"
+        " like Gecko",
+        "Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 5.1; Trident/4.0)",
+        "Mozilla/5.0 (compatible; Googlebot/2.1;"
+        " +http://www.google.com/bot.html)",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/109.0.0.0 Safari/537.36"
+        " Edg/109.0.1518.61",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/105.0.0.0 Safari/537.36"
+        " OPR/91.0.4516.20",
+        "Opera/9.80 (Windows NT 6.0) Presto/2.12.388 Version/12.14",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 15_6 like Mac OS X)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/107.0"
+        " Mobile/15E148 Safari/605.1.15",
+        "curl/7.81.0",
+        "python-requests/2.28.1",
+        "Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft;"
+        " Lumia 650) AppleWebKit/537.36 (KHTML, like Gecko)"
+        " Chrome/52.0.2743.116 Mobile Safari/537.36 Edge/15.15254",
+        "Mozilla/5.0 (Windows; U; Windows NT 5.1; en-GB; rv:1.8.1.6)"
+        " Gecko/20070725 Firefox/2.0.0.6",
+        "Mozilla/5.0 (X11; Linux i686; rv:109.0) Gecko/20100101"
+        " Firefox/110.0",
+        "facebookexternalhit/1.1"
+        " (+http://www.facebook.com/externalhit_uatext.php)",
+        "Mediapartners-Google",
+        "Mozilla/5.0 (PlayStation 4 3.11) AppleWebKit/537.73"
+        " (KHTML, like Gecko)",
+        "Mozilla/5.0 (compatible; Yahoo! Slurp;"
+        " http://help.yahoo.com/help/us/ysearch/slurp)",
+        "Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet)"
+        " AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4"
+        " NintendoBrowser/5.1.0.20393",
+        "",
+        "weird no parens",
+        "(only; a; section)",
+        "100% broken %zz escape",
+        "a+b c%20d",
+    ]
+    cases: list = []
+    for ua in corpus:
+        cases.append(ua)
+        cases.append(urllib.parse.quote(ua))
+    cases.append(None)
+
+    df = spark.createDataFrame([(c,) for c in cases], "ua string")
+    out = df.select("ua", ua_json_expr(F.col("ua")).alias("j")).collect()
+    for r in out:
+        assert r["j"] == parse_user_agent(r["ua"]), repr(r["ua"])
+    # and the compiled plan is Python-free
+    plan = (
+        df.select(ua_json_expr(F.col("ua")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
