@@ -3115,6 +3115,52 @@ def s_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot of order revenue: priority rows x pinned status
+    columns, decimal-exact sums — compiles to ONE conditional-agg
+    groupBy (relational.pivot_exact_sum), no discovery scan."""
+    from geist_spark.operators.relational import pivot_exact_sum
+
+    return pivot_exact_sum(
+        _t(spark, sf_dir, "orders"),
+        row_key="o_orderpriority",
+        col_key="o_orderstatus",
+        col_values=["O", "F", "P"],
+        value_col="o_totalprice",
+    )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-7 autocorrelation of per-type daily counts
+    (operators/drift.py autocorrelation): integer n^2-scaled centered
+    products, one final IEEE division."""
+    from geist_spark.operators.drift import autocorrelation
+
+    return autocorrelation(_t(spark, sf_dir, "events"), lag=7)
+
+
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease in exact micro-scaled
+    long arithmetic (operators/text.py readability) — the standard
+    text-difficulty features of corpus quality filters."""
+    from geist_spark.operators.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def s_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998) — greedy relevance-vs-redundancy selection in exact
+    micro-scaled long arithmetic; the oracle replays the full greedy
+    chain as unrolled CTE steps."""
+    from geist_spark.operators.similarity import mmr_select
+
+    return mmr_select(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5,
+        lam_num=7, lam_den=10,
+    )
+
+
 def s_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-encoding IVFPQ (the production FAISS recipe): PQ
     codes quantize x - coarse_centroid(x) instead of raw vectors;
@@ -4033,6 +4079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_arrival": q_late_arrival,
         "d_novelty": d_novelty,
         "s_ivf_pq_residual": s_ivf_pq_residual,
+        "s_mmr_select": s_mmr_select,
+        "t_readability": t_readability,
+        "q_autocorr": q_autocorr,
+        "q_pivot_revenue": q_pivot_revenue,
     }
 
 
@@ -6694,6 +6744,78 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
+        "q_pivot_revenue": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                        FILTER (o_orderstatus = 'O') AS DOUBLE) AS sum_O,
+                   CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                        FILTER (o_orderstatus = 'F') AS DOUBLE) AS sum_F,
+                   CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                        FILTER (o_orderstatus = 'P') AS DOUBLE) AS sum_P,
+                   CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_autocorr": """
+            WITH daily AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ), st AS (
+                SELECT k, day, x,
+                       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+                       CAST(sum(x) OVER (PARTITION BY k) AS BIGINT) AS s,
+                       lag(x, 7) OVER (PARTITION BY k ORDER BY day) AS x_lag
+                FROM daily
+            ), c AS (
+                SELECT k, n, n * x - s AS c, n * x_lag - s AS c_lag FROM st
+            )
+            SELECT k AS event_type,
+                   CAST(max(n) AS BIGINT) AS n_days,
+                   CAST(coalesce(sum(c * c_lag), 0) AS BIGINT) AS num,
+                   CAST(sum(c * c) AS BIGINT) AS den,
+                   CASE WHEN sum(c * c) > 0 THEN
+                       CAST(coalesce(sum(c * c_lag), 0) AS BIGINT)::DOUBLE
+                       / CAST(sum(c * c) AS BIGINT)
+                   END AS acf_lag7
+            FROM c GROUP BY k
+        """,
+        "t_readability": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len({_TOKENS_SQL}) AS BIGINT) AS w,
+                       CAST(greatest(
+                           len({_TOKENS_SQL}),
+                           len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           - len(regexp_extract_all(lower(text),
+                                                    '[^aeiouy\\s]e\\b'))
+                       ) AS BIGINT) AS y,
+                       CAST(greatest(1,
+                           len(regexp_extract_all(lower(text), '[.!?]+'))
+                       ) AS BIGINT) AS s
+                FROM documents
+            ), nums AS (
+                SELECT doc_id, w, s, y,
+                       390000 * w * w + 11800000 * y * s
+                           - 15590000 * s * w AS gn,
+                       206835000 * s * w - 1015000 * w * w
+                           - 84600000 * y * s AS en,
+                       s * w AS den
+                FROM base
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+                   CASE WHEN w > 0 THEN
+                       (gn - (((gn % den) + den) % den)) // den
+                   END AS grade_micro,
+                   CASE WHEN w > 0 THEN
+                       (en - (((en % den) + den) % den)) // den
+                   END AS ease_micro
+            FROM nums
+        """,
+        "s_mmr_select": _mmr_oracle(
+            query_id=0, k=5, lam_num=7, lam_den=10,
+        ),
         "s_ivf_pq_residual": _ivf_pq_residual_oracle(
             n_cells=8, ivf_iters=2, nprobe=2,
             m=4, k_codes=16, pq_iters=2,
@@ -8918,6 +9040,69 @@ def _ivf_pq_residual_oracle(
         WHERE rank <= {k_top}
         """
     )
+
+
+def _mmr_oracle(
+    query_id: int, k: int, lam_num: int, lam_den: int
+) -> str:
+    """Unrolled MMR greedy replay: step i scores every unselected
+    candidate as lam_num*rel6 - (lam_den-lam_num)*red6 (red6 = max
+    micro-scaled cosine to the selected set, exact longs) and keeps
+    the argmax (ties -> lowest vec_id) — the same integer chain
+    mmr_select runs."""
+    mu = lam_den - lam_num
+
+    def cos6(a: str, b: str) -> str:
+        return (
+            f"CAST(round(round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+            " * 1000000, 0) AS BIGINT)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})",
+        f"""base AS (
+            SELECT e.vec_id, e.v, {cos6('e.v', 'q.qv')} AS rel6
+            FROM e, q WHERE e.vec_id <> {query_id}
+        )""",
+        f"""p1 AS (
+            SELECT vec_id, v, rel6, CAST(0 AS BIGINT) AS red6,
+                   {lam_num} * rel6 AS score_fx
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY {lam_num} * rel6 DESC, vec_id) AS rn
+                  FROM base)
+            WHERE rn = 1
+        )""",
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM p{j}" for j in range(1, i)
+        )
+        parts.append(f"sel{i} AS ({sel})")
+        parts.append(f"""cand{i} AS (
+            SELECT b.vec_id, b.v, b.rel6,
+                   (SELECT max({cos6('b.v', 's.v')})
+                    FROM sel{i} s) AS red6
+            FROM base b
+            WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{i})
+        )""")
+        parts.append(f"""p{i} AS (
+            SELECT vec_id, v, rel6, red6,
+                   {lam_num} * rel6 - {mu} * red6 AS score_fx
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY {lam_num} * rel6 - {mu} * red6 DESC,
+                               vec_id) AS rn
+                  FROM cand{i})
+            WHERE rn = 1
+        )""")
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, rel6, red6, score_fx"
+        f" FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def _ivf_train_oracle(k: int, iters: int, dim: int) -> str:

@@ -289,3 +289,68 @@ def holt_forecast(
         (lvl + tr).alias("forecast_next_fx"),
         (lvl + F.lit(horizon) * tr).alias("forecast_h_fx"),
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    lag: int = 1,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact lag-k autocorrelation of each key's daily-count series —
+    the seasonality/persistence detector behind "is this load pattern
+    weekly?" triage and anomaly-baseline selection (an ACF near 1 at
+    lag 7 says: baseline on the same weekday, not yesterday).
+
+    Exactness: with S = sum(x) and n = days, the mean-centered products
+    are computed as (n*x_t - S)(n*x_{t+k} - S) — the n^2-scaled integer
+    form of (x_t - mean)(x_{t+k} - mean) — so numerator and denominator
+    are EXACT BIGINTs and the single final IEEE division is
+    bit-identical across engines (the repo's decimal-exact rule). Lags
+    step over the key's OBSERVED days in order (documented: absent
+    days are absent, not zero — the calendar-dense variant is one
+    date_sequence explode away).
+
+    Plan: one partial-agg shuffle to (key, day) grain, then the
+    per-key window and final aggregate REUSE that key partitioning —
+    day grain is bounded by the calendar, so everything after the
+    first aggregation is constant-size per key at any corpus scale.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    daily = (
+        events.groupBy(
+            F.col(key_col).alias("k"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wk = Window.partitionBy("k")
+    wo = wk.orderBy("day")
+    centered = daily.select(
+        "k",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wk).alias("n"),
+        F.sum("x").over(wk).alias("s"),
+        F.lag("x", lag).over(wo).alias("x_lag"),
+    ).select(
+        "k",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+        (F.col("n") * F.col("x_lag") - F.col("s")).alias("c_lag"),
+        "n",
+    )
+    out = centered.groupBy(F.col("k").alias(key_col)).agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("c") * F.col("c_lag")).alias("num"),
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+    )
+    return out.select(
+        key_col,
+        "n_days",
+        F.coalesce("num", F.lit(0)).alias("num"),
+        "den",
+        F.when(
+            F.col("den") > 0,
+            F.coalesce(F.col("num"), F.lit(0)).cast("double") / F.col("den"),
+        ).alias(f"acf_lag{lag}"),
+    )

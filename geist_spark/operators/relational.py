@@ -1952,3 +1952,35 @@ def late_arrival_profile(
             F.max("__l").alias("max_lateness_us"),
         )
     )
+
+
+def pivot_exact_sum(
+    df: DataFrame,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Wide pivot: one row per `row_key`, one (sum, count) column pair
+    per pinned `col_values` entry — the reshape every BI/report layer
+    asks of an engine. Sums are decimal-exact (exact_sum) so the wide
+    cells hash-compare across engines.
+
+    `col_values` is REQUIRED (not discovered): Spark's two-arg pivot
+    otherwise runs an extra distinct job to find the columns, and a
+    discovered column set makes the output schema data-dependent —
+    both wrong for a 100 TB pipeline (schema must be static, and the
+    distinct scan is a full pass). With pinned values the whole pivot
+    compiles to ONE groupBy with conditional aggregates — a single
+    partial-agg shuffle on the row key, no extra scan, no wide-row
+    explosion."""
+    aggs = []
+    for v in col_values:
+        hit = F.when(F.col(col_key) == v, F.col(value_col))
+        aggs.append(
+            F.sum(hit.cast("decimal(38,6)")).cast("double").alias(f"sum_{v}")
+        )
+        aggs.append(
+            F.count(hit).alias(f"n_{v}")
+        )
+    return df.groupBy(row_key).agg(*aggs)

@@ -1813,3 +1813,112 @@ def coreset_select(
         .filter(F.col("rank") <= n_per_cell)
         .select("vec_id", "cell", "sq_dist", "rank")
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k items maximizing
+    lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s) — relevance
+    traded against redundancy to the already-selected set. THE
+    diversity-selection step of training-data curation and RAG context
+    assembly (near-identical top hits waste the budget a diverse set
+    spends well).
+
+    Exact integer selection: cosines are rounded to 6dp (the repo-wide
+    convention) then scaled to micro-units as longs, and the MMR score
+    is `lam_num*rel6 - (lam_den-lam_num)*red6` — pure long arithmetic,
+    so argmax ties (broken by lowest vec_id) are engine-exact and a
+    DuckDB oracle replays the whole greedy chain bit-for-bit.
+
+    Plan shape: k bounded iterations, each ONE map-only corpus pass
+    (relevance is precomputed once; redundancy-to-selected is a
+    max over <=k literal vectors inside codegen) + a 1-row argmax
+    aggregate. No shuffle of the candidate set, ever; selected vectors
+    ride as literals (functions/litx). At 100 TB you pre-pool
+    candidates with cosine_topk/ivf_topk (pass `candidates=`) so the
+    k passes scan the pool, not the corpus — same code path.
+
+    Returns (rank, vec_id, rel6, red6, score_fx): selection order,
+    micro-scaled relevance/redundancy, and the integer MMR score.
+    """
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("need 0 < lam_num <= lam_den")
+    emb = F.col("embedding")
+    pool = candidates if candidates is not None else embeddings
+    qrow = embeddings.filter(F.col("vec_id") == query_id).select(
+        "embedding"
+    ).collect()
+    if not qrow:
+        raise ValueError(f"query vec_id {query_id} not found")
+    qv = [float(x) for x in qrow[0]["embedding"]]
+    qarr = double_array(qv)
+
+    def cos6_to(arr: F.Column) -> F.Column:
+        # micro-scaled rounded cosine as LONG (6dp round then *1e6 is
+        # exact in double for |cos| <= 1)
+        c = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
+        return F.round(c * F.lit(1_000_000.0), 0).cast("long")
+
+    base = (
+        fan_out(pool)
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", "embedding", cos6_to(qarr).alias("rel6"))
+        # k argmax passes re-read this frame: materialize once, off
+        # lineage (repo cache policy: eager checkpoint, no persist
+        # fragments)
+        .localCheckpoint(eager=True)
+    )
+    mu = lam_den - lam_num
+    selected: list[tuple[int, list[float]]] = []
+    out_rows = []
+    for rank in range(1, k + 1):
+        if len(selected) > 1:
+            red6 = F.greatest(
+                *[cos6_to(double_array(sv)) for _, sv in selected]
+            )
+        elif selected:
+            red6 = cos6_to(double_array(selected[0][1]))
+        else:
+            red6 = F.lit(0).cast("long")
+        scored = base.filter(
+            ~F.col("vec_id").isin([sid for sid, _ in selected])
+        ).select(
+            "vec_id",
+            "embedding",
+            "rel6",
+            red6.alias("red6"),
+            (F.lit(lam_num) * F.col("rel6")
+             - F.lit(mu) * red6).alias("score_fx"),
+        )
+        # 1-row argmax: max score, ties -> LOWEST vec_id (negated id in
+        # the lexicographic struct max)
+        top = scored.agg(
+            F.max(
+                F.struct(
+                    F.col("score_fx"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("rel6"),
+                    F.col("red6"),
+                    F.col("embedding"),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        if top is None:
+            break
+        vid = -int(top["nid"])
+        out_rows.append(
+            (rank, vid, int(top["rel6"]), int(top["red6"]),
+             int(top["score_fx"]))
+        )
+        selected.append((vid, [float(x) for x in top["embedding"]]))
+    return embeddings.sparkSession.createDataFrame(
+        out_rows,
+        "rank int, vec_id long, rel6 long, red6 long, score_fx long",
+    )

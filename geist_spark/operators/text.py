@@ -821,7 +821,72 @@ def textrank_keywords(
     )
     pr = pagerank(und, iters=iters)
     top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(top_n)
-    wr = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    # literal partition key over the <= top_n survivors: same bounded
+    # single-partition rank, no misleading WindowExec warning (see
+    # rake_keywords)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pr").desc(), F.col("node").asc()
+    )
     return top.withColumn("rank", F.row_number().over(wr)).select(
         F.col("node").alias("word"), "pr", "rank"
+    )
+
+
+def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch readability scores (Flesch 1948 / Kincaid et al. 1975 —
+    the standard text-difficulty features of corpus quality filters),
+    computed EXACTLY in micro-scaled long arithmetic so the score is
+    engine-identical (no IEEE division until never: the two rational
+    terms are put over the common denominator S*W and floor-divided).
+
+    Syllable estimation is the documented corpus-grain heuristic:
+    vowel-group runs ([aeiouy]+ in the lowercased text — word breaks
+    split runs, so the corpus total equals the per-word sum) minus
+    consonant+'e' word endings (silent e), floored at one per word.
+    Sentences = [.!?]+ runs, floored at 1. Patterns restricted to the
+    Java-regex/RE2 common subset (no lookahead) so a DuckDB oracle
+    replays them byte-identically.
+
+    grade_micro = 10^6 * (0.39*W/S + 11.8*Y/W - 15.59)  [FK grade]
+    ease_micro  = 10^6 * (206.835 - 1.015*W/S - 84.6*Y/W)  [ease]
+    both as exact floor divisions. Map-only, zero shuffle at any scale.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(tokens(F.col(text_col)))
+    vruns = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+    silent_e = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^aeiouy\s]e\b"), F.lit(0))
+    )
+    syll = F.greatest(words, vruns - silent_e).cast("long")
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))),
+    ).cast("long")
+    w = words.cast("long")
+
+    def fdiv(num: F.Column, den: F.Column) -> F.Column:
+        # exact floor division (subtract-pmod form; num may be negative)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    den = sents * w
+    grade_num = (
+        F.lit(390_000) * w * w
+        + F.lit(11_800_000) * syll * sents
+        - F.lit(15_590_000) * sents * w
+    )
+    ease_num = (
+        F.lit(206_835_000) * sents * w
+        - F.lit(1_015_000) * w * w
+        - F.lit(84_600_000) * syll * sents
+    )
+    nonempty = w > 0
+    return documents.select(
+        "doc_id",
+        w.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.when(nonempty, fdiv(grade_num, den))
+        .otherwise(F.lit(None).cast("long")).alias("grade_micro"),
+        F.when(nonempty, fdiv(ease_num, den))
+        .otherwise(F.lit(None).cast("long")).alias("ease_micro"),
     )

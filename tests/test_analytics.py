@@ -2112,3 +2112,123 @@ def test_novelty_score_planted_families(spark):
     # first two shared with docs 1/2, last two unique -> 2/4
     assert (out[4]["n_shingles"], out[4]["n_novel"]) == (4, 2)
     assert out[4]["novelty"] == 0.5
+
+
+def test_mmr_select_trades_relevance_for_diversity(spark):
+    """Golden MMR behavior: with two near-identical top-relevance
+    vectors, rank 1 takes the most relevant and rank 2 must SKIP its
+    near-duplicate for the diverse third vector; with lambda=1 (no
+    redundancy term) the selection is pure relevance order."""
+    from geist_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),             # query
+            (1, [0.999, 0.04]),          # most relevant
+            (2, [0.9989, 0.0402]),       # near-dup of 1 (cos ~ 1.0)
+            (3, [0.999, -0.3]),          # relevant but diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    picks = [
+        r["vec_id"]
+        for r in mmr_select(emb, query_id=0, k=2, lam_num=5, lam_den=10)
+            .orderBy("rank").collect()
+    ]
+    assert picks == [1, 3]
+    pure = [
+        r["vec_id"]
+        for r in mmr_select(emb, query_id=0, k=3, lam_num=10, lam_den=10)
+            .orderBy("rank").collect()
+    ]
+    assert pure == [1, 2, 3]
+    with pytest.raises(ValueError, match="lam_num"):
+        mmr_select(emb, query_id=0, k=2, lam_num=0)
+    with pytest.raises(ValueError, match="not found"):
+        mmr_select(emb, query_id=99, k=2)
+
+
+def test_readability_golden(spark):
+    """Hand-computed Flesch scores: 'the cat sat on the mat.' has 6
+    words, 1 sentence, 6 vowel runs, 0 silent-e endings -> FK grade
+    0.39*6 + 11.8*1 - 15.59 = -1.45 exactly in micro units."""
+    from geist_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat."),
+            (2, "make note: one mole ate nine."),  # silent-e words
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 1, 6)
+    # grade = (390000*36 + 11800000*6 - 15590000*6) / 6 = -1450000
+    assert r1["grade_micro"] == -1_450_000
+    # ease = (206835000*6 - 1015000*36 - 84600000*6) / 6 = 116145000
+    assert r1["ease_micro"] == 116_145_000
+    r2 = out[2]
+    # make/note/mole/ate/nine end consonant+e: vruns 10 - 5 silent = 5,
+    # floored at n_words 6
+    assert (r2["n_words"], r2["n_syllables"]) == (6, 6)
+    # empty text: the repo-wide tokens() convention counts [''] as one
+    # token (split of '' yields ['']), so w=1, y=1, s=1 ->
+    # (390000 + 11800000 - 15590000) / 1 = -3400000 exactly
+    assert (out[3]["n_words"], out[3]["grade_micro"]) == (1, -3_400_000)
+
+
+def test_autocorrelation_exact(spark):
+    """Perfectly alternating daily counts have lag-1 ACF of exactly
+    -n/(n-1)-ish rational; assert against a python replay of the same
+    integer arithmetic."""
+    import datetime as _dt
+
+    from geist_spark.operators.drift import autocorrelation
+
+    rows = []
+    xs = [2, 6, 2, 6, 2, 6]
+    for d, x in enumerate(xs):
+        for i in range(x):
+            rows.append(
+                ("a", _dt.datetime(2024, 1, 1 + d, 12, 0, 0))
+            )
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = autocorrelation(ev, lag=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    n, s = len(xs), sum(xs)
+    c = [n * x - s for x in xs]
+    num = sum(c[i] * c[i - 1] for i in range(1, n))
+    den = sum(v * v for v in c)
+    assert (r["n_days"], r["num"], r["den"]) == (n, num, den)
+    assert r["acf_lag1"] == num / den
+    with pytest.raises(ValueError, match="lag"):
+        autocorrelation(ev, lag=0)
+
+
+def test_pivot_exact_sum_golden(spark):
+    """Pinned-column pivot: cells are decimal-exact sums / counts,
+    absent combinations are NULL sum + 0 count, and the plan is one
+    aggregate (no pivot discovery scan)."""
+    from geist_spark.operators.relational import pivot_exact_sum
+
+    df = spark.createDataFrame(
+        [("p1", "O", 10.5), ("p1", "O", 1.25), ("p1", "F", 2.0),
+         ("p2", "F", 7.75)],
+        "pri string, st string, amt double",
+    )
+    out = {
+        r["pri"]: r
+        for r in pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt").collect()
+    }
+    assert (out["p1"]["sum_O"], out["p1"]["n_O"]) == (11.75, 2)
+    assert (out["p1"]["sum_F"], out["p1"]["n_F"]) == (2.0, 1)
+    assert out["p2"]["sum_O"] is None and out["p2"]["n_O"] == 0
+    plan = (
+        pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one aggregate pair (partial+final), no extra scan/job
+    assert plan.count("Scan") == 1
