@@ -82,7 +82,10 @@ def _browser(ua: str) -> tuple[str, str, str, str]:
             return name, bm.group(1), engine, engine_version
     if "Safari" in ua:
         return "Safari", "", engine, engine_version
-    fm = re.match(r"([A-Za-z][\w\-]*)/([\d.]+)", ua)
+    # re.ASCII pins \w to Java/RE2 semantics ([A-Za-z0-9_]) so the
+    # Python twin and the native expression agree on non-ASCII product
+    # tokens (Python's default \w is Unicode-wide)
+    fm = re.match(r"([A-Za-z][\w\-]*)/([\d.]+)", ua, re.ASCII)
     if fm:
         return fm.group(1), fm.group(2), engine, engine_version
     return "", "", engine, engine_version
@@ -116,7 +119,11 @@ def parse_user_agent(ua_escaped: str | None) -> str:
         "bot": bool(_BOT_RE.search(ua)),
         "mobile": mobile,
     }
-    return json.dumps(out, separators=(",", ":"))
+    # ensure_ascii=False: non-ASCII stays raw UTF-8, matching BOTH the
+    # reference (Go json.Marshal does not \u-escape non-ASCII,
+    # entity/transform/ua.go) and Spark's to_json — the three UA
+    # spellings agree byte-for-byte on any UA content
+    return json.dumps(out, separators=(",", ":"), ensure_ascii=False)
 
 
 def _re_ver_join(src: F.Column, pat: str) -> F.Column:
@@ -157,10 +164,10 @@ def ua_json_expr(ua_escaped: F.Column) -> F.Column:
       string mixing valid AND invalid %-escapes (protocol-illegal,
       never seen in traffic) falls back wholesale where unquote would
       decode the valid ones.
-    - JSON escaping: identical for ASCII (both engines emit standard
-      short escapes); non-ASCII chars stay raw UTF-8 here while
-      json.dumps emits \\uXXXX (UA strings are ASCII per RFC 9110
-      field-value rules). Keep ua_udf for byte-exact tails.
+    - JSON escaping: both spellings emit raw UTF-8 for non-ASCII
+      (parse_user_agent uses ensure_ascii=False, matching Go
+      json.Marshal in the reference ua.go and Spark to_json) and
+      standard short escapes for ASCII control/quote chars.
     """
     esc = F.coalesce(ua_escaped, F.lit(""))
     protected = F.regexp_replace(esc, r"\+", "%2B")

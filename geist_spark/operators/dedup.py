@@ -513,10 +513,11 @@ def dedup_clusters(
     subgraph: edges touching a doc outside `vertices` are ignored and
     only vertex rows appear in the output (both paths, by
     construction). NULL endpoints are dropped. NOTE: this operator
-    runs a bounded Spark action at composition time (the edge probe),
-    like the centroid collects in similarity.train_ivf_centroids;
-    pass max_driver_edges=None to skip the probe (fully lazy
-    composition, always the distributed path).
+    runs Spark actions at composition time on EITHER path — the
+    bounded edge probe, and (distributed path) the eager checkpoint +
+    per-round convergence counts; iterative CC cannot compose lazily.
+    max_driver_edges=None skips only the probe (always the
+    distributed path) — it does NOT make composition action-free.
 
     Two paths, gated on a BOUNDED edge probe (limit(cap+1).collect() —
     never a full count of a 100 TB pair set), the same scale gate
@@ -577,9 +578,10 @@ def dedup_clusters(
     # materializing a lazy checkpoint under limit() trips a Catalyst
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the caller's pair frame
     # carries its own checkpoint barrier (semantic_dedup).
-    # max_driver_edges=None opts out of the probe entirely: no Spark
-    # action at composition time (plan inspection / lazy contexts) —
-    # always the distributed propagation path.
+    # max_driver_edges=None opts out of the probe (always the
+    # distributed path); note the distributed path still runs eager
+    # actions at composition (checkpoint + convergence counts) — see
+    # the docstring.
     if max_driver_edges is not None:
         probe = one_way.limit(max_driver_edges + 1).collect()
         if len(probe) <= max_driver_edges:
@@ -687,9 +689,15 @@ def _span_shuffle_partitions(
     session default (SCALE.md): the operator owns the sizing now
     instead of relying on every caller to scale
     spark.sql.shuffle.partitions with input. Estimate cost: one
-    column-pruned count (parquet-metadata fast) + one bounded-sample
-    length average. Returns None when the session default already
-    suffices (no repartition, no behavior change)."""
+    column-pruned count (parquet-metadata fast for raw scans; a real
+    job for derived frames) + one bounded-sample length average. The
+    sample rows are whichever limit(4096) fetches first, so the RAW
+    estimate can wobble run-to-run on length-skewed corpora — the
+    derived width is therefore rounded UP to a power of two, which
+    absorbs estimate noise into stable plan widths (results are
+    identical at any width; only the exchange fan-out varies). Returns
+    None when the session default already suffices (no repartition,
+    no behavior change)."""
     sess = int(
         documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -706,6 +714,7 @@ def _span_shuffle_partitions(
     need = int(est_rows // 2_000_000) + 1
     if need <= sess:
         return None
+    need = 1 << (need - 1).bit_length()  # stable power-of-two width
     return min(need, 16_384)  # runaway-estimate backstop
 
 

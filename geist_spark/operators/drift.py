@@ -339,18 +339,37 @@ def autocorrelation(
         (F.col("n") * F.col("x_lag") - F.col("s")).alias("c_lag"),
         "n",
     )
+    # accumulate the products in DECIMAL(38,0): long*long sums would
+    # silently wrap past 2^63 under non-ANSI Spark (the same defect
+    # class association_rules guards); decimal headroom is ~1e38, far
+    # above any calendar-bounded series, and the BIGINT output is
+    # guarded on the way back down (raise, never wrap)
+    cd = F.col("c").cast("decimal(38,0)")
     out = centered.groupBy(F.col("k").alias(key_col)).agg(
         F.max("n").alias("n_days"),
-        F.sum(F.col("c") * F.col("c_lag")).alias("num"),
-        F.sum(F.col("c") * F.col("c")).alias("den"),
+        F.sum(cd * F.col("c_lag")).alias("num_dec"),
+        F.sum(cd * F.col("c")).alias("den_dec"),
     )
+    long_max = F.lit(9223372036854775807).cast("decimal(38,0)")
+
+    def to_long_guarded(c: F.Column, name: str) -> F.Column:
+        return F.when(F.abs(c) <= long_max, c.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"autocorrelation: {name} exceeds BIGINT — series too "
+                    "long/hot for the n^2-scaled integer form"
+                )
+            ).cast("long")
+        )
+
+    num = to_long_guarded(F.coalesce(F.col("num_dec"), F.lit(0)), "num")
+    den = to_long_guarded(F.col("den_dec"), "den")
     return out.select(
         key_col,
         "n_days",
-        F.coalesce("num", F.lit(0)).alias("num"),
-        "den",
+        num.alias("num"),
+        den.alias("den"),
         F.when(
-            F.col("den") > 0,
-            F.coalesce(F.col("num"), F.lit(0)).cast("double") / F.col("den"),
+            den > 0, num.cast("double") / den
         ).alias(f"acf_lag{lag}"),
     )

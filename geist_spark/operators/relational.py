@@ -1977,10 +1977,10 @@ def pivot_exact_sum(
     aggs = []
     for v in col_values:
         hit = F.when(F.col(col_key) == v, F.col(value_col))
+        aggs.append(exact_sum(hit).alias(f"sum_{v}"))
+        # count MATCHING ROWS (count(*) FILTER semantics), not non-null
+        # values: a matching row with a NULL measure must still count
         aggs.append(
-            F.sum(hit.cast("decimal(38,6)")).cast("double").alias(f"sum_{v}")
-        )
-        aggs.append(
-            F.count(hit).alias(f"n_{v}")
+            F.count(F.when(F.col(col_key) == v, F.lit(1))).alias(f"n_{v}")
         )
     return df.groupBy(row_key).agg(*aggs)

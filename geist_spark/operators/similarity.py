@@ -701,6 +701,7 @@ def ann_recall_report(
     query_ids: list[int],
     k: int = 5,
     num_planes: int = 4,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Recall@k of the LSH-bucketed ANN against exact brute force —
     the accuracy meter an approximate-retrieval deployment tunes
@@ -708,8 +709,16 @@ def ann_recall_report(
     corpus is scanned for each, but nothing is collected); the match
     join is on (query_id, neighbor_id), per-query recall = |approx ∩
     exact| / k. At 100 TB this runs on a sampled probe set — recall
-    is a statistic, not a per-corpus pass."""
-    exact = cosine_topk(embeddings, query_ids, k=k).select(
+    is a statistic, not a per-corpus pass. The exact side inherits the
+    exact-baseline size gate (guarded ONCE here, followable at this
+    API; None opts out)."""
+    _exact_corpus_guard(
+        embeddings, max_exact_vectors, "recall_at_k",
+        "sample the probe corpus or raise max_exact_vectors",
+    )
+    exact = cosine_topk(
+        embeddings, query_ids, k=k, max_exact_vectors=None
+    ).select(
         "query_id", "neighbor_id"
     )
     approx = lsh_bucketed_topk(
@@ -1226,6 +1235,7 @@ def hybrid_search(
     k_list: int = 10,
     k_top: int = 5,
     k_rrf: int = 60,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 (lexical) and exact cosine (semantic)
     candidate lists fused by Reciprocal Rank Fusion (Cormack et al.
@@ -1273,7 +1283,9 @@ def hybrid_search(
         bm_raw.withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= k_list)
     )
-    cos = cosine_topk(embeddings, query_ids, k=k_list)
+    cos = cosine_topk(
+        embeddings, query_ids, k=k_list, max_exact_vectors=max_exact_vectors
+    )
 
     rrf = lambda r: F.expr(f"1000000000 div ({k_rrf} + {r})")  # noqa: E731
     bm_c = bm.select(
@@ -1554,39 +1566,35 @@ def ivf_pq_residual_topk(
     # per-(query, probed cell) ADC tables: the query residual depends
     # on WHICH cell is probed, so dt is keyed by (query_id, cell) —
     # |Q| x nprobe tables of m*k longs, built from two bounded collects
+    # ONE bounded collect serves both the query fx vectors and their
+    # probed cells (was two scans of the same |Q|-row filter)
     qrows = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select("vec_id", _fx(emb).alias("qfx"))
-        .collect()
-    )
-    qfx_by_id = {int(r["vec_id"]): list(r["qfx"]) for r in qrows}
-    probe_rows = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
-            ).alias("cell"),
+            _fx(emb).alias("qfx"),
+            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
+            .alias("cells"),
         )
         .collect()
     )
     dsub = len(cents_fx[0]) // m
     dt_rows = []
-    for r in probe_rows:
-        qid, cell = int(r["query_id"]), int(r["cell"])
-        qres = [
-            q - c for q, c in zip(qfx_by_id[qid], cents_fx[cell])
-        ]
-        dt = [
-            [
-                sum(
-                    (qres[j * dsub + i] - bc[i]) ** 2 for i in range(dsub)
-                )
-                for bc in books[j]
+    for r in qrows:
+        qid, qfx = int(r["query_id"]), list(r["qfx"])
+        for cell in (int(c) for c in r["cells"]):
+            qres = [q - c for q, c in zip(qfx, cents_fx[cell])]
+            dt = [
+                [
+                    sum(
+                        (qres[j * dsub + i] - bc[i]) ** 2
+                        for i in range(dsub)
+                    )
+                    for bc in books[j]
+                ]
+                for j in range(m)
             ]
-            for j in range(m)
-        ]
-        dt_rows.append((qid, cell, dt))
+            dt_rows.append((qid, cell, dt))
     qdt = embeddings.sparkSession.createDataFrame(
         dt_rows, "query_id long, cell int, dt array<array<long>>"
     )
@@ -1603,6 +1611,7 @@ def matryoshka_recall(
     query_ids: list[int],
     k: int = 10,
     trunc_dim: int = 16,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Matryoshka-style dimension-truncation audit: retrieval recall@k
     of the FIRST trunc_dim coordinates against full-dimension exact
@@ -1617,12 +1626,18 @@ def matryoshka_recall(
     worth it below memory pressure.
 
     Returns (query_id, n_overlap, recall) with recall = n_overlap/k.
+    The exact-baseline size gate runs ONCE here (followable at this
+    API, one probe for both passes; None opts out).
     """
-    full = cosine_topk(embeddings, query_ids, k)
+    _exact_corpus_guard(
+        embeddings, max_exact_vectors, "matryoshka_recall",
+        "sample the probe corpus or raise max_exact_vectors",
+    )
+    full = cosine_topk(embeddings, query_ids, k, max_exact_vectors=None)
     sliced = embeddings.select(
         "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
     )
-    trunc = cosine_topk(sliced, query_ids, k)
+    trunc = cosine_topk(sliced, query_ids, k, max_exact_vectors=None)
     overlap = (
         full.select("query_id", "neighbor_id")
         # both sides are |Q|*k rows; broadcast one — Catalyst's static
@@ -1735,6 +1750,7 @@ def rp_recall(
     k: int = 10,
     dim: int = 64,
     out_dim: int = 16,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Retrieval recall@k of JL sign-projected vectors against the
     full-dimension exact top-k — matryoshka_recall's generic sibling
@@ -1742,10 +1758,15 @@ def rp_recall(
     corpus passes + metadata-grain overlap join; the projection rides
     the corpus scan as a map expression.
 
-    Returns (query_id, n_overlap, recall)."""
-    full = cosine_topk(embeddings, query_ids, k)
+    Returns (query_id, n_overlap, recall). The exact-baseline size
+    gate runs ONCE here (one probe for both passes; None opts out)."""
+    _exact_corpus_guard(
+        embeddings, max_exact_vectors, "rp_recall",
+        "sample the probe corpus or raise max_exact_vectors",
+    )
+    full = cosine_topk(embeddings, query_ids, k, max_exact_vectors=None)
     proj = random_projection(embeddings, dim=dim, out_dim=out_dim)
-    red = cosine_topk(proj, query_ids, k)
+    red = cosine_topk(proj, query_ids, k, max_exact_vectors=None)
     overlap = (
         full.select("query_id", "neighbor_id")
         .join(

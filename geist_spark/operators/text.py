@@ -864,29 +864,27 @@ def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     w = words.cast("long")
 
-    def fdiv(num: F.Column, den: F.Column) -> F.Column:
-        # exact floor division (subtract-pmod form; num may be negative)
-        return ((num - F.pmod(num, den)) / den).cast("long")
+    staged = documents.select(
+        "doc_id", w.alias("w"), sents.alias("s"), syll.alias("y")
+    )
+    gn = "390000*w*w + 11800000*y*s - 15590000*s*w"
+    en = "206835000*s*w - 1015000*w*w - 84600000*y*s"
 
-    den = sents * w
-    grade_num = (
-        F.lit(390_000) * w * w
-        + F.lit(11_800_000) * syll * sents
-        - F.lit(15_590_000) * sents * w
-    )
-    ease_num = (
-        F.lit(206_835_000) * sents * w
-        - F.lit(1_015_000) * w * w
-        - F.lit(84_600_000) * syll * sents
-    )
-    nonempty = w > 0
-    return documents.select(
+    def fdiv(num: str) -> F.Column:
+        # exact floor division: pmod aligns the numerator to the floor
+        # multiple, then `div` (true integer division — NOT `/`, which
+        # is IEEE double and silently truncates wrong past 2^53 on
+        # long inputs, e.g. a 100k-word document) divides exactly
+        return F.expr(
+            f"CASE WHEN w > 0 THEN"
+            f" (({num}) - pmod(({num}), s*w)) div (s*w) END"
+        )
+
+    return staged.select(
         "doc_id",
-        w.alias("n_words"),
-        sents.alias("n_sentences"),
-        syll.alias("n_syllables"),
-        F.when(nonempty, fdiv(grade_num, den))
-        .otherwise(F.lit(None).cast("long")).alias("grade_micro"),
-        F.when(nonempty, fdiv(ease_num, den))
-        .otherwise(F.lit(None).cast("long")).alias("ease_micro"),
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        fdiv(gn).alias("grade_micro"),
+        fdiv(en).alias("ease_micro"),
     )

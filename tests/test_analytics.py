@@ -2216,7 +2216,7 @@ def test_pivot_exact_sum_golden(spark):
 
     df = spark.createDataFrame(
         [("p1", "O", 10.5), ("p1", "O", 1.25), ("p1", "F", 2.0),
-         ("p2", "F", 7.75)],
+         ("p2", "F", 7.75), ("p2", "O", None)],
         "pri string, st string, amt double",
     )
     out = {
@@ -2224,8 +2224,10 @@ def test_pivot_exact_sum_golden(spark):
         for r in pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt").collect()
     }
     assert (out["p1"]["sum_O"], out["p1"]["n_O"]) == (11.75, 2)
+    # a matching row with a NULL measure still counts (count(*) FILTER
+    # semantics), while its sum contribution is the SQL null-skip
+    assert (out["p2"]["sum_O"], out["p2"]["n_O"]) == (None, 1)
     assert (out["p1"]["sum_F"], out["p1"]["n_F"]) == (2.0, 1)
-    assert out["p2"]["sum_O"] is None and out["p2"]["n_O"] == 0
     plan = (
         pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt")
         ._jdf.queryExecution().executedPlan().toString()

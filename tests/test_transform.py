@@ -534,6 +534,13 @@ def test_ua_native_expr_matches_python_parser(spark):
         " NintendoBrowser/5.1.0.20393",
         "",
         "weird no parens",
+        # non-ASCII: raw UTF-8 on both sides now (ensure_ascii=False in
+        # the Python twin matches to_json and the reference's Go
+        # json.Marshal); ASCII-pinned \w keeps the fallthrough token
+        # rule identical across engines
+        "Mozilla/5.0 (Linux; U; Android 4.0.3; \u0440\u0443-ru)"
+        " AppleWebKit/534.30 (KHTML, like Gecko) Mobile Safari/534.30",
+        "A\u00fc/1.0",
         "(only; a; section)",
         "100% broken %zz escape",
         "a+b c%20d",
