@@ -1970,6 +1970,33 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card scrub (operators/prep.py
+    credit_card_scrub) with synthetic cards injected per doc_id —
+    even ids get a Luhn-VALID test PAN, odd ids a 16-digit run that
+    fails the checksum, so the oracle proves the validator both
+    redacts real cards and leaves checksum-failing digit runs alone."""
+    from geist_spark.operators.prep import credit_card_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" card 4539 1488 0343 6467 on file"),
+            ).otherwise(F.lit(" card 1234 5678 1234 5678 on file")),
+        ).alias("text"),
+    )
+    out = credit_card_scrub(docs)
+    return out.select(
+        "doc_id",
+        "n_candidates",
+        "n_valid_cards",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
 def p_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap (operators/prep.py): keep <= 15 docs per
     source by deterministic md5 order (binds at every SF: sources have
@@ -2953,6 +2980,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     return pagerank(edges, iters=3)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py kcore) over the same
+    md5 link graph as q_pagerank: iterative peeling to the k=4 core;
+    the oracle unrolls 8 peel rounds (measured convergence <= 3 at
+    both test SFs; extra rounds are fixed-point no-ops)."""
+    from geist_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("|"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    return kcore(edges, k=4, max_iterations=20)
 
 
 def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4083,6 +4146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_readability": t_readability,
         "q_autocorr": q_autocorr,
         "q_pivot_revenue": q_pivot_revenue,
+        "t_card_scrub": t_card_scrub,
+        "q_kcore": q_kcore,
     }
 
 
@@ -6744,6 +6809,51 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
+        "q_kcore": _kcore_oracle(k=4, rounds=8),
+        "t_card_scrub": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                           THEN ' card 4539 1488 0343 6467 on file'
+                           ELSE ' card 1234 5678 1234 5678 on file'
+                       END AS t
+                FROM documents
+            ), staged AS (
+                SELECT doc_id, t,
+                       regexp_extract_all(t, '[0-9][0-9 -]{11,22}[0-9]')
+                           AS cands
+                FROM injected
+            ), cand_rows AS (
+                SELECT s.doc_id, i.i AS i,
+                       list_reverse(regexp_extract_all(s.cands[i.i],
+                                                       '[0-9]')) AS d,
+                       s.cands[i.i] AS c
+                FROM staged s, LATERAL (SELECT unnest(generate_series(
+                    1, len(s.cands))) AS i) i
+            ), flagged AS (
+                SELECT doc_id, i, c,
+                       len(d) BETWEEN 13 AND 19 AND list_sum([
+                           CASE WHEN (j % 2) = 1 THEN CAST(d[j] AS INT)
+                                ELSE CASE WHEN CAST(d[j] AS INT) * 2 > 9
+                                     THEN CAST(d[j] AS INT) * 2 - 9
+                                     ELSE CAST(d[j] AS INT) * 2 END END
+                           for j in generate_series(1, len(d))]) % 10 = 0
+                           AS ok
+                FROM cand_rows
+            ), valids AS (
+                SELECT doc_id,
+                       list(c ORDER BY i) FILTER (ok) AS vlist
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(len(s.cands) AS INT) AS n_candidates,
+                   CAST(coalesce(len(v.vlist), 0) AS INT) AS n_valid_cards,
+                   md5(list_reduce(
+                       list_prepend(s.t, coalesce(v.vlist, [])),
+                       (acc, x) -> replace(acc, x, '<CARD>')
+                   )) AS redacted_md5
+            FROM staged s LEFT JOIN valids v USING (doc_id)
+        """,
         "q_pivot_revenue": """
             SELECT o_orderpriority,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
@@ -8548,6 +8658,47 @@ def _pagerank_iter_parts(
             FROM nodes n LEFT JOIN c{it} c ON n.node = c.node_in
         )""")
     return parts
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
+    """Replays graph.kcore over q_kcore's md5 link graph: mirror +
+    dedup, then `rounds` unrolled peel steps (degree >= k semi-joins).
+    Peeling is monotone, so any unroll >= the true convergence depth
+    lands on the same fixed point the operator early-exits at."""
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        """raw AS (
+            SELECT doc_id AS src,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                       || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   % (SELECT n FROM nd) AS dst
+            FROM documents, unnest([1, 2, 3]) AS t(j)
+        )""",
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM raw WHERE src <> dst
+                UNION ALL
+                SELECT dst, src FROM raw WHERE src <> dst)
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: default CTE inlining expands
+        # e{r} into 3 copies of e{r-1} (FROM + two IN-subqueries) —
+        # 3^rounds scans of the parquet file (EMFILE at rounds=8)
+        parts.append(f"""k{r} AS MATERIALIZED (
+            SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+        )""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r - 1} e
+            WHERE e.src IN (SELECT src FROM k{r})
+              AND e.dst IN (SELECT src FROM k{r})
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e{rounds} GROUP BY src"""
+    )
 
 
 def _pagerank_oracle(

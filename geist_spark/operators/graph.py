@@ -172,3 +172,64 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Batagelj-Zaversnik distributed formulation): repeatedly drop
+    vertices whose degree in the SURVIVING subgraph is below k until a
+    fixed point — the standard dense-substructure extractor (spam link
+    farms, co-citation cores, community seeding) that complements
+    pagerank's authority scores and triangle_counts' local density.
+
+    Input (src, dst) is treated as UNDIRECTED (mirrored, self-loops
+    dropped, parallel edges deduped). Returns the surviving vertices
+    with their degree inside the k-core: (node, degree), degree >= k.
+
+    Plan shape per round: one groupBy(node) degree count + two
+    semi-joins to drop edges touching peeled vertices, all keyed on
+    the vertex — the same key partitioning reused. The edge set only
+    SHRINKS, so at 100 TB round cost is monotonically decreasing;
+    convergence is checked on the same aggregate (a bounded 1-row
+    count). Early exit at the fixed point is safe: peeling is
+    monotone, extra rounds are no-ops (the oracle replays a fixed
+    unroll of rounds — both land on the same fixed point).
+
+    No reference equivalent (geist has no joins, README.md:21); built
+    for the driver's graph-analytics mandate.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    und = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = und.count()
+    for _ in range(max_iterations):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        pruned = (
+            und.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            # USING-join moved dst first: restore (src, dst)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_after = pruned.count()
+        und = pruned
+        if n_after == prev_n:
+            break
+        prev_n = n_after
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

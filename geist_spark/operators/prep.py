@@ -616,3 +616,64 @@ def curriculum_interleave(
             pos.alias("position"),
         )
     )
+
+
+CARD_CAND_RE = r"[0-9][0-9 -]{11,22}[0-9]"
+
+
+def _luhn_valid(cand: F.Column) -> F.Column:
+    """Luhn checksum over a candidate string's digits (ISO/IEC 7812):
+    from the RIGHT, double every second digit (subtracting 9 above 9),
+    valid iff the sum is 0 mod 10 and the digit count is a real PAN
+    length (13-19). Pure array expressions — codegen, no UDF — and
+    spelled identically in the DuckDB oracle."""
+    digits = F.reverse(
+        F.regexp_extract_all(cand, F.lit("[0-9]"), F.lit(0))
+    )
+    n = F.size(digits)
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), n - 1),
+            lambda d, i: F.struct(d.cast("int").alias("d"), i.alias("i")),
+        ),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(s["i"] % 2 == 0, s["d"]).otherwise(
+            F.when(s["d"] * 2 > 9, s["d"] * 2 - 9).otherwise(s["d"] * 2)
+        ),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def credit_card_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Checksum-validated payment-card scrub: candidate digit runs
+    (13-19 digits with optional space/dash grouping) are Luhn-checked
+    before redaction, so order ids / phone-adjacent digit runs do NOT
+    get scrubbed (the false-positive trap a bare regex PII pass has).
+    Invalid candidates are counted but left in place.
+
+    Valid candidates are folded out of the text with exact string
+    replace (no regex re-scan per card). Map-only codegen — one pass
+    at any corpus scale; the Luhn fold and the replace fold are both
+    replayed exactly by the DuckDB oracle (list comprehensions +
+    list_reduce)."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(CARD_CAND_RE), F.lit(0))
+    staged = documents.select(
+        "doc_id",
+        t.alias("__t"),
+        cands.alias("__cands"),
+        F.filter(cands, _luhn_valid).alias("__valid"),
+    )
+    redacted = F.aggregate(
+        F.col("__valid"),
+        F.col("__t"),
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__cands").alias("n_candidates"),
+        F.size("__valid").alias("n_valid_cards"),
+        redacted.alias("redacted_text"),
+    )

@@ -2234,3 +2234,55 @@ def test_pivot_exact_sum_golden(spark):
     )
     # exactly one aggregate pair (partial+final), no extra scan/job
     assert plan.count("Scan") == 1
+
+
+def test_credit_card_scrub_luhn_gate(spark):
+    """Only Luhn-valid 13-19 digit runs are redacted: the checksum
+    gate leaves order-id digit runs in place (the false-positive trap
+    a bare regex PII pass has); multiple cards per doc all fold out."""
+    from geist_spark.operators.prep import credit_card_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay with 4539 1488 0343 6467 now"),
+            (2, "order 1234 5678 1234 5678 confirmed"),   # bad checksum
+            (3, "call 555-0123 thanks"),                  # too short
+            (4, "cards 4111111111111111 and 4539148803436467."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in credit_card_scrub(docs).collect()}
+    assert out[1]["redacted_text"] == "pay with <CARD> now"
+    assert (out[1]["n_candidates"], out[1]["n_valid_cards"]) == (1, 1)
+    assert out[2]["redacted_text"] == "order 1234 5678 1234 5678 confirmed"
+    assert (out[2]["n_candidates"], out[2]["n_valid_cards"]) == (1, 0)
+    assert out[3]["n_candidates"] == 0
+    assert out[4]["redacted_text"] == "cards <CARD> and <CARD>."
+
+
+def test_kcore_peeling_golden(spark):
+    """Hand-built graph: a 4-clique (3-core) with a pendant chain —
+    peeling at k=3 keeps exactly the clique (the chain AND the
+    initially-degree-3 bridge node fall in cascading rounds); k=1
+    keeps every non-isolated node; self-loops and duplicate edges are
+    canonicalized away."""
+    from geist_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [
+            # 4-clique 1-2-3-4
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            # bridge 4-5 and chain 5-6, 6-7: node 5 starts with deg 3
+            # but falls once 6 is peeled (cascade proof)
+            (4, 5), (5, 6), (6, 7),
+            (6, 5),        # duplicate (mirrored) edge
+            (7, 7),        # self loop
+        ],
+        "src long, dst long",
+    )
+    core3 = {r["node"]: r["degree"] for r in kcore(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core1 = {r["node"]: r["degree"] for r in kcore(edges, k=1).collect()}
+    assert set(core1) == {1, 2, 3, 4, 5, 6, 7}
+    with pytest.raises(ValueError, match="k must"):
+        kcore(edges, k=0)
