@@ -3018,6 +3018,46 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=4, max_iterations=20)
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (relational.returned_item_ranking): customers
+    ranked by returned-item revenue in one quarter; 4-table star join
+    with pushed fact filters and a deterministic top-20."""
+    from geist_spark.operators.relational import returned_item_ranking
+
+    return returned_item_ranking(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        date_from="1996-01-01",
+        date_to="1996-04-01",
+        top_n=20,
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse compaction planning (bucketing.compaction_plan):
+    synthetic file metadata (one file per (event_type, day), size =
+    row count) binned to ~600-row targets, smallest-first sequential
+    coalescing — one window, exact integer bins."""
+    from geist_spark.operators.bucketing import compaction_plan
+
+    files = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("part_key"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("size_bytes"))
+        .select(
+            "part_key",
+            F.date_format("day", "yyyy-MM-dd").alias("file_id"),
+            "size_bytes",
+        )
+    )
+    return compaction_plan(files, target_bytes=600)
+
+
 def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite mojibake repair (operators/text.py fix_text) over
     documents with deterministic mojibake + control chars injected
@@ -4148,6 +4188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_revenue": q_pivot_revenue,
         "t_card_scrub": t_card_scrub,
         "q_kcore": q_kcore,
+        "q10_returned_items": q10_returned_items,
+        "q_compaction_plan": q_compaction_plan,
     }
 
 
@@ -6809,6 +6851,46 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
+        "q10_returned_items": """
+            WITH base AS (
+                SELECT c.c_custkey, c.c_name, n.n_name,
+                       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY c.c_custkey, c.c_name, n.n_name
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY revenue DESC, c_custkey) AS INT) AS rank,
+                   c_custkey, c_name, n_name, revenue
+            FROM base
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_compaction_plan": """
+            WITH files AS (
+                SELECT event_type AS part_key,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS file_id,
+                       CAST(count(*) AS BIGINT) AS size_bytes
+                FROM events GROUP BY 1, 2
+            ), staged AS (
+                SELECT part_key, file_id, size_bytes,
+                       CAST(sum(size_bytes) OVER (
+                           PARTITION BY part_key
+                           ORDER BY size_bytes, file_id
+                           ROWS UNBOUNDED PRECEDING) - size_bytes
+                       AS BIGINT) AS prev
+                FROM files
+            )
+            SELECT part_key, file_id, size_bytes,
+                   prev // 600 AS bin
+            FROM staged
+        """,
         "q_kcore": _kcore_oracle(k=4, rounds=8),
         "t_card_scrub": """
             WITH injected AS (

@@ -1984,3 +1984,50 @@ def pivot_exact_sum(
             F.count(F.when(F.col(col_key) == v, F.lit(1))).alias(f"n_{v}")
         )
     return df.groupBy(row_key).agg(*aggs)
+
+
+def returned_item_ranking(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str,
+    date_to: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: rank customers by revenue lost to returned
+    items in a quarter — the canonical 4-table star join with a
+    selective fact filter and a top-n tail.
+
+    Plan: the date predicate on orders and returnflag on lineitem are
+    pushed to the scans (Catalyst), orders⋈lineitem shuffles once on
+    orderkey, customer joins on custkey, nation broadcasts; revenue is
+    decimal-exact. Deterministic top-n: ties broken by c_custkey, and
+    the rank is numbered AFTER the limit over a literal partition key
+    (bounded rows, no global-window warning).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    top = base.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    ).limit(top_n)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    ).select("rank", "c_custkey", "c_name", "n_name", "revenue")

@@ -2286,3 +2286,62 @@ def test_kcore_peeling_golden(spark):
     assert set(core1) == {1, 2, 3, 4, 5, 6, 7}
     with pytest.raises(ValueError, match="k must"):
         kcore(edges, k=0)
+
+
+def test_compaction_plan_bins(spark):
+    """Sequential-coalescing bins: smallest-first cumulative packing,
+    oversized files isolated by the same arithmetic, per-partition."""
+    from geist_spark.operators.bucketing import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", "a", 40), ("p", "b", 50), ("p", "c", 30), ("p", "d", 250),
+         ("q", "e", 10)],
+        "part_key string, file_id string, size_bytes long",
+    )
+    out = {
+        (r["part_key"], r["file_id"]): r["bin"]
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    # order small-first: c(30) a(40) b(50) d(250); prevs 0,30,70,120
+    assert out == {
+        ("p", "c"): 0, ("p", "a"): 0, ("p", "b"): 0, ("p", "d"): 1,
+        ("q", "e"): 0,
+    }
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(files, target_bytes=0)
+
+
+def test_returned_item_ranking_golden(spark):
+    """Q10 shape on a 2-customer micro-set: only returned lineitems in
+    the date window count; rank ties break by custkey."""
+    import datetime as _dt
+
+    from geist_spark.operators.relational import returned_item_ranking
+
+    cust = spark.createDataFrame(
+        [(1, "alice", 10, 0.0, "B"), (2, "bob", 10, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    nat = spark.createDataFrame(
+        [(10, "NORDICS", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, _dt.datetime(1996, 2, 1)),   # in window
+         (101, 2, _dt.datetime(1996, 2, 1)),   # in window
+         (102, 1, _dt.datetime(1997, 2, 1))],  # out of window
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    li = spark.createDataFrame(
+        [(100, "R", 100.0, 0.1),   # alice: 90
+         (100, "N", 999.0, 0.0),   # not returned
+         (101, "R", 200.0, 0.5),   # bob: 100
+         (102, "R", 500.0, 0.0)],  # out-of-window order
+        "l_orderkey long, l_returnflag string, l_extendedprice double, l_discount double",
+    )
+    got = [
+        (r["rank"], r["c_name"], r["revenue"])
+        for r in returned_item_ranking(
+            cust, orders, li, nat, "1996-01-01", "1996-04-01", top_n=20
+        ).collect()
+    ]
+    assert got == [(1, "bob", 100.0), (2, "alice", 90.0)]
