@@ -1759,7 +1759,7 @@ def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-arm CASE over the golden JSON outputs (pinned in
     tests/test_transform.py), so the driver gate hash-checks the full
     compiled parse."""
-    from geist_spark.functions.ua import ua_json_expr
+    from geist_spark.functions.ua import parse_user_agents
 
     ev = _t(spark, sf_dir, "events")
     ua = (
@@ -1777,7 +1777,11 @@ def u_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("Googlebot/2.1%20(+http://www.google.com/bot.html)"))
     )
-    return ev.select("event_id", ua_json_expr(ua).alias("ua_json"))
+    # dictionary parse (the 100 TB plan): distinct ua values run the
+    # regex matrix once each, broadcast-joined back to the rows
+    return parse_user_agents(
+        ev.select("event_id", ua.alias("ua")), "ua"
+    ).select("event_id", "ua_json")
 
 
 # ---------------------------------------------------------------- text

@@ -561,3 +561,33 @@ def test_ua_native_expr_matches_python_parser(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_user_agents_dictionary_join(spark):
+    """Dictionary UA parsing (distinct -> parse -> broadcast join)
+    returns exactly what mapping ua_json_expr over every row would,
+    including NULL ua (parsed as empty string), duplicate values, and
+    row multiplicity."""
+    from pyspark.sql import functions as F
+
+    from geist_spark.functions.ua import parse_user_agents, ua_json_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "curl/7.81.0"),
+            (2, "curl/7.81.0"),
+            (3, None),
+            (4, "Mozilla/5.0 (X11; Linux i686; rv:109.0) Gecko/20100101"
+                " Firefox/110.0"),
+        ],
+        "id long, ua string",
+    )
+    via_dict = {
+        r["id"]: r["ua_json"]
+        for r in parse_user_agents(df, "ua").collect()
+    }
+    direct = {
+        r["id"]: r["j"]
+        for r in df.select("id", ua_json_expr(F.col("ua")).alias("j")).collect()
+    }
+    assert via_dict == direct and len(via_dict) == 4

@@ -190,6 +190,48 @@ def build_probes(spark: SparkSession, sf_dir: str):
             query_ids=list(range(20)), k=10,
         )
 
+    def card_scrub(k):
+        from geist_spark.operators.prep import credit_card_scrub
+
+        d = expand(docs, k, ["doc_id"]).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit(" card 4539 1488 0343 6467 on file"))
+                .otherwise(F.lit(" card 1234 5678 1234 5678 on file")),
+            ),
+        )
+        return credit_card_scrub(d)
+
+    def kcore_peel(k):
+        from geist_spark.operators.graph import kcore
+
+        d = expand(docs, k, ["doc_id"]).select("doc_id")
+        n_per_copy = docs.count()
+        # per-copy edges: hash the ORIGINAL id (src % SHIFT) and keep
+        # dst inside the same copy's id range, so every copy is an
+        # identical disjoint graph — k copies = k x the work, never a
+        # cross-copy hub (the expand() contract all probes rely on)
+        orig = F.pmod(F.col("doc_id"), F.lit(SHIFT))
+        base = (F.col("doc_id") - orig).cast("long")
+        edges = d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        ).select(
+            F.col("doc_id").alias("src"),
+            (
+                base
+                + F.conv(
+                    F.substring(
+                        F.md5(F.concat(orig.cast("string"),
+                                       F.lit("|"),
+                                       F.col("j").cast("string"))),
+                        1, 8), 16, 10).cast("long") % F.lit(n_per_copy)
+            ).alias("dst"),
+        )
+        return kcore(edges, k=4, max_iterations=20)
+
     def geo(k):
         from geist_spark.operators.geo import (
             LAT_MOD, LAT_SHIFT, LON_MOD, LON_SHIFT,
@@ -229,6 +271,8 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "rake_keywords": rake,
         "knn_classify_vote": knn,
         "geo_radius_join": geo,
+        "card_scrub_luhn": card_scrub,
+        "kcore_peeling": kcore_peel,
     }
 
 
@@ -259,6 +303,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ks = [1, 4, 16]
     probes = build_probes(spark, sf_dir)
+    only = {s for s in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
+    if only:
+        probes = {n: p for n, p in probes.items() if n in only}
     results: dict[str, dict] = {}
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2")))
     for name, probe in probes.items():
