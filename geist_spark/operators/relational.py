@@ -2025,7 +2025,10 @@ def returned_item_ranking(
     top = base.orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
     ).limit(top_n)
-    wr = Window.partitionBy(F.lit(0)).orderBy(
+    # non-foldable constant partition key (a literal gets folded out
+    # and the "No Partition Defined" warning returns; rows are bounded
+    # by the limit, one partition is the point)
+    wr = Window.partitionBy(F.pmod(F.col("c_custkey"), F.lit(1))).orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
     )
     return top.withColumn(
