@@ -2190,3 +2190,153 @@ def test_litx_roundtrip_and_empty_rejection(spark):
     for fn in (long_array, double_array, string_array, long_matrix):
         with pytest.raises(ValueError):
             fn([])
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: undirected, dedup, no self-loops; returns
+    {node: degree} of the k-core fixed point."""
+    es = {
+        (a, b) for a, b in edges if a != b
+    } | {(b, a) for a, b in edges if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, _ in es:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    out: dict[int, int] = {}
+    for a, _ in es:
+        out[a] = out.get(a, 0) + 1
+    return out
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)), max_size=30
+    ),
+    k=st.integers(1, 4),
+)
+@SET
+def test_kcore_matches_python_peeling(spark, edges, k):
+    from geist_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+    assert got == _py_kcore(edges, k)
+
+
+def _py_luhn(s: str) -> bool:
+    d = [int(c) for c in s if c.isdigit()][::-1]
+    if not 13 <= len(d) <= 19:
+        return False
+    tot = 0
+    for i, x in enumerate(d):
+        if i % 2 == 1:
+            x *= 2
+            if x > 9:
+                x -= 9
+        tot += x
+    return tot % 10 == 0
+
+
+@given(
+    runs=st.lists(
+        st.text(alphabet="0123456789 -", min_size=12, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SET
+def test_card_scrub_matches_python_luhn(spark, runs):
+    """Candidate extraction + Luhn gate replayed in python over
+    arbitrary digit/sep runs embedded in text."""
+    import re
+
+    from geist_spark.operators.prep import CARD_CAND_RE, credit_card_scrub
+
+    text = "x " + " y ".join(runs) + " z"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = credit_card_scrub(df).collect()[0]
+    cands = re.findall(CARD_CAND_RE, text)
+    valid = [c for c in cands if _py_luhn(c)]
+    expected = text
+    for c in valid:
+        expected = expected.replace(c, "<CARD>")
+    assert row["n_candidates"] == len(cands)
+    assert row["n_valid_cards"] == len(valid)
+    assert row["redacted_text"] == expected
+
+
+def _py_mmr(
+    vecs: dict[int, list[float]], qid: int, k: int, lam_num: int, lam_den: int
+) -> list[tuple[int, int, int, int]]:
+    """Greedy MMR replay in the same micro-scaled integer arithmetic."""
+    import math
+
+    def cos6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = round(dot / (na * nb), 6)
+        return int(round(c * 1_000_000, 0))
+
+    q = vecs[qid]
+    rel = {i: cos6(v, q) for i, v in vecs.items() if i != qid}
+    mu = lam_den - lam_num
+    sel: list[int] = []
+    out = []
+    for rank in range(1, k + 1):
+        best = None
+        for i in sorted(rel):
+            if i in sel:
+                continue
+            red = max((cos6(vecs[i], vecs[s]) for s in sel), default=0)
+            score = lam_num * rel[i] - mu * red
+            key = (score, -i)
+            if best is None or key > best[0]:
+                best = (key, i, red, score)
+        if best is None:
+            break
+        _, i, red, score = best
+        sel.append(i)
+        out.append((rank, i, rel[i], red))
+    return out
+
+
+@given(
+    n=st.integers(3, 7),
+    seed=st.integers(0, 10_000),
+    lam=st.integers(1, 10),
+)
+@SET
+def test_mmr_matches_python_greedy(spark, n, seed, lam):
+    import random
+
+    rng = random.Random(seed)
+    vecs = {
+        i: [rng.randint(-4, 4) / 2.0 or 0.5 for _ in range(4)]
+        for i in range(n)
+    }
+    from geist_spark.operators.similarity import mmr_select
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["rel6"], r["red6"])
+        for r in mmr_select(
+            df, query_id=0, k=3, lam_num=lam, lam_den=10
+        ).orderBy("rank").collect()
+    ]
+    # float32 storage: python must see the same float32-rounded values
+    import struct as _struct
+
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]  # noqa: E731
+    vecs32 = {i: [f32(x) for x in v] for i, v in vecs.items()}
+    assert got == _py_mmr(vecs32, qid=0, k=3, lam_num=lam, lam_den=10)
