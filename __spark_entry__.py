@@ -3039,29 +3039,6 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lakehouse compaction planning (bucketing.compaction_plan):
-    synthetic file metadata (one file per (event_type, day), size =
-    row count) binned to ~600-row targets, smallest-first sequential
-    coalescing — one window, exact integer bins."""
-    from geist_spark.operators.bucketing import compaction_plan
-
-    files = (
-        _t(spark, sf_dir, "events")
-        .groupBy(
-            F.col("event_type").alias("part_key"),
-            F.to_date("ts").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).alias("size_bytes"))
-        .select(
-            "part_key",
-            F.date_format("day", "yyyy-MM-dd").alias("file_id"),
-            "size_bytes",
-        )
-    )
-    return compaction_plan(files, target_bytes=600)
-
-
 def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite mojibake repair (operators/text.py fix_text) over
     documents with deterministic mojibake + control chars injected
@@ -4193,7 +4170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_card_scrub": t_card_scrub,
         "q_kcore": q_kcore,
         "q10_returned_items": q10_returned_items,
-        "q_compaction_plan": q_compaction_plan,
     }
 
 
@@ -6875,25 +6851,6 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
-        """,
-        "q_compaction_plan": """
-            WITH files AS (
-                SELECT event_type AS part_key,
-                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS file_id,
-                       CAST(count(*) AS BIGINT) AS size_bytes
-                FROM events GROUP BY 1, 2
-            ), staged AS (
-                SELECT part_key, file_id, size_bytes,
-                       CAST(sum(size_bytes) OVER (
-                           PARTITION BY part_key
-                           ORDER BY size_bytes, file_id
-                           ROWS UNBOUNDED PRECEDING) - size_bytes
-                       AS BIGINT) AS prev
-                FROM files
-            )
-            SELECT part_key, file_id, size_bytes,
-                   prev // 600 AS bin
-            FROM staged
         """,
         "q_kcore": _kcore_oracle(k=4, rounds=8),
         "t_card_scrub": """

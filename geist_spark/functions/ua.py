@@ -395,19 +395,28 @@ def parse_user_agents(
 
     broadcast=False switches to a shuffle join for the (pathological)
     case of near-unique ua values; rows with NULL ua get the parsed
-    empty-string JSON, matching ua_json_expr(NULL) exactly."""
-    from pyspark.sql import functions as FF
+    empty-string JSON, matching ua_json_expr(NULL) exactly.
 
-    key = FF.coalesce(FF.col(ua_col), FF.lit("")).alias("__ua_key")
+    Loss-proof by construction: the dictionary and the probe recompute
+    the input plan independently, so a NON-DETERMINISTIC upstream could
+    surface a ua value the dictionary never saw — the join is LEFT and
+    misses fall back to parsing inline (lazy per-row branch), so rows
+    can never be dropped and the output always equals the direct
+    row-wise parse."""
+    key = F.coalesce(F.col(ua_col), F.lit("")).alias("__ua_key")
     dic = (
         df.select(key)
         .distinct()
-        .select("__ua_key", ua_json_expr(FF.col("__ua_key")).alias(out_col))
+        .select("__ua_key", ua_json_expr(F.col("__ua_key")).alias(out_col))
     )
     if broadcast:
-        dic = FF.broadcast(dic)
+        dic = F.broadcast(dic)
     return (
         df.withColumn("__ua_key", key)
-        .join(dic, "__ua_key")
+        .join(dic, "__ua_key", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), ua_json_expr(F.col("__ua_key"))),
+        )
         .drop("__ua_key")
     )

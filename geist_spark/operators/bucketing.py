@@ -137,10 +137,13 @@ def compact_plan(
         bin = floor(exclusive_prefix_sum(bytes) / target_bytes)
 
     over files ordered by path. Properties: deterministic under any
-    execution order, bins fill to >= target only when a single file
-    exceeds it (oversized files isolate naturally because the prefix
-    sum jumps past whole bins), and each bin's files are contiguous in
-    path order (rewrites stream sequentially).
+    execution order; each bin's files are contiguous in path order
+    (rewrites stream sequentially); a bin's total is bounded by
+    target_bytes plus its largest member (the bin closes when its
+    range boundary is crossed, so only the crossing file overshoots —
+    an oversized file can still share its bin with the small files
+    that preceded it inside the same range, and the files AFTER it
+    start fresh bins because the prefix sum jumps past whole ranges).
 
     This is a METADATA operator — one row per file, not per data row —
     so the per-directory window is millions of rows at worst. The
@@ -266,52 +269,11 @@ def zone_prune(
     return zones.withColumn("scan_needed", need.cast("int"))
 
 
-def compaction_plan(
-    files: DataFrame,
-    partition_col: str = "part_key",
-    file_col: str = "file_id",
-    size_col: str = "size_bytes",
-    target_bytes: int = 128 * 1024 * 1024,
-) -> DataFrame:
-    """Small-file compaction planning — the lakehouse maintenance step
-    (Delta OPTIMIZE / Iceberg rewriteDataFiles shape): within each
-    table partition, assign files to compaction bins of ~target_bytes
-    so a rewrite job can merge each bin into one right-sized file.
-
-    Policy (deterministic, documented): files order smallest-first
-    (size asc, file id asc — small files are the problem being solved
-    and pack tightest), running total within the partition, bin =
-    floor((cumsum - size) / target) — the sequential-coalescing rule.
-    A file >= target_bytes lands alone in its own bin by the same
-    arithmetic. Exact integer division (sizes are longs).
-
-    Plan: ONE window over (partition, order) — a single shuffle on the
-    partition key at any metadata scale; file metadata is ~1e6 rows
-    per million files, never data-sized.
-
-    Returns (partition_col, file_col, size_col, bin): bin is dense per
-    partition starting at 0.
-    """
-    if target_bytes <= 0:
-        raise ValueError("target_bytes must be positive")
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(F.col(size_col).asc(), F.col(file_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(size_col).over(w)
-    staged = files.select(
-        partition_col,
-        file_col,
-        size_col,
-        (cum - F.col(size_col)).cast("long").alias("__prev"),
-    )
-    # `div` (true integer division), not `/`: long/long in Spark is
-    # IEEE double and silently truncates wrong past 2^53 — petabyte
-    # partition cumsums are exactly where a planner must not drift
-    return staged.select(
-        partition_col,
-        file_col,
-        size_col,
-        F.expr(f"__prev div {int(target_bytes)}L").alias("bin"),
-    )
+def nonfoldable_zero(col: str) -> F.Column:
+    """A constant-0 partition key Catalyst can NOT constant-fold away:
+    pmod(col, 1) == 0 for every row but depends on a column, so a
+    bounded top-k rank window keeps a non-empty partition spec (a
+    foldable literal gets folded out and WindowExec logs the
+    misleading "No Partition Defined" warning). Shared by every
+    rank-after-limit site (rake/textrank/returned_item_ranking)."""
+    return F.pmod(F.length(F.col(col).cast("string")), F.lit(1))

@@ -215,7 +215,14 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     prev_n = und.count()
+    converged = prev_n == 0
+    # per-round eager checkpoints accumulate in the block manager until
+    # the superseded python handles are GC'd (ContextCleaner) — the
+    # same policy as dedup_clusters' propagation rounds; the edge set
+    # only shrinks, so the initial mirrored set dominates peak storage
     for _ in range(max_iterations):
+        if converged:
+            break
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         pruned = (
@@ -227,9 +234,18 @@ def kcore(
         )
         n_after = pruned.count()
         und = pruned
-        if n_after == prev_n:
-            break
+        converged = n_after == prev_n
         prev_n = n_after
+    if not converged:
+        # a partially-peeled edge set still contains degree<k vertices
+        # — returning it would silently violate the contract (a path
+        # graph peels only its 2 endpoints per round, so long chains
+        # legitimately need ~n/2 rounds)
+        raise RuntimeError(
+            f"kcore did not converge in {max_iterations} rounds; "
+            "raise max_iterations (peeling needs up to ~longest-chain/2 "
+            "rounds)"
+        )
     return und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

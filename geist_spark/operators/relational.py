@@ -2025,10 +2025,10 @@ def returned_item_ranking(
     top = base.orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
     ).limit(top_n)
-    # non-foldable constant partition key (a literal gets folded out
-    # and the "No Partition Defined" warning returns; rows are bounded
-    # by the limit, one partition is the point)
-    wr = Window.partitionBy(F.pmod(F.col("c_custkey"), F.lit(1))).orderBy(
+    # non-foldable constant partition key (bucketing.nonfoldable_zero)
+    from geist_spark.operators.bucketing import nonfoldable_zero
+
+    wr = Window.partitionBy(nonfoldable_zero("c_custkey")).orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
     )
     return top.withColumn(

@@ -747,14 +747,13 @@ def rake_keywords(
     top = scored.orderBy(
         F.col("score_fx").desc(), F.col("phrase").asc()
     ).limit(top_k)
-    # rank over the <= top_k survivors with a NON-FOLDABLE constant
-    # partition key (pmod(length, 1) == 0 always): a literal key gets
-    # constant-folded OUT of the partition spec and the misleading
-    # "No Partition Defined" WindowExec warning comes back — the rows
-    # are bounded by the limit, so one partition is the point
-    wr = Window.partitionBy(
-        F.pmod(F.length("phrase"), F.lit(1))
-    ).orderBy(F.col("score_fx").desc(), F.col("phrase").asc())
+    # non-foldable constant partition key over the limit-bounded rows
+    # (see bucketing.nonfoldable_zero for why a literal won't do)
+    from geist_spark.operators.bucketing import nonfoldable_zero
+
+    wr = Window.partitionBy(nonfoldable_zero("phrase")).orderBy(
+        F.col("score_fx").desc(), F.col("phrase").asc()
+    )
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "phrase", "n_words", "n_occ", "score_fx", "rank"
     )
@@ -822,12 +821,12 @@ def textrank_keywords(
     )
     pr = pagerank(und, iters=iters)
     top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(top_n)
-    # non-foldable constant partition key over the <= top_n survivors
-    # (see rake_keywords: a literal key gets folded out and the
-    # warning returns)
-    wr = Window.partitionBy(
-        F.pmod(F.length("node"), F.lit(1))
-    ).orderBy(F.col("pr").desc(), F.col("node").asc())
+    # non-foldable constant partition key (bucketing.nonfoldable_zero)
+    from geist_spark.operators.bucketing import nonfoldable_zero
+
+    wr = Window.partitionBy(nonfoldable_zero("node")).orderBy(
+        F.col("pr").desc(), F.col("node").asc()
+    )
     return top.withColumn("rank", F.row_number().over(wr)).select(
         F.col("node").alias("word"), "pr", "rank"
     )

@@ -2288,29 +2288,6 @@ def test_kcore_peeling_golden(spark):
         kcore(edges, k=0)
 
 
-def test_compaction_plan_bins(spark):
-    """Sequential-coalescing bins: smallest-first cumulative packing,
-    oversized files isolated by the same arithmetic, per-partition."""
-    from geist_spark.operators.bucketing import compaction_plan
-
-    files = spark.createDataFrame(
-        [("p", "a", 40), ("p", "b", 50), ("p", "c", 30), ("p", "d", 250),
-         ("q", "e", 10)],
-        "part_key string, file_id string, size_bytes long",
-    )
-    out = {
-        (r["part_key"], r["file_id"]): r["bin"]
-        for r in compaction_plan(files, target_bytes=100).collect()
-    }
-    # order small-first: c(30) a(40) b(50) d(250); prevs 0,30,70,120
-    assert out == {
-        ("p", "c"): 0, ("p", "a"): 0, ("p", "b"): 0, ("p", "d"): 1,
-        ("q", "e"): 0,
-    }
-    with pytest.raises(ValueError, match="target_bytes"):
-        compaction_plan(files, target_bytes=0)
-
-
 def test_returned_item_ranking_golden(spark):
     """Q10 shape on a 2-customer micro-set: only returned lineitems in
     the date window count; rank ties break by custkey."""
