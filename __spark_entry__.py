@@ -3022,23 +3022,6 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=4, max_iterations=20)
 
 
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape (relational.returned_item_ranking): customers
-    ranked by returned-item revenue in one quarter; 4-table star join
-    with pushed fact filters and a deterministic top-20."""
-    from geist_spark.operators.relational import returned_item_ranking
-
-    return returned_item_ranking(
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-        _t(spark, sf_dir, "nation"),
-        date_from="1996-01-01",
-        date_to="1996-04-01",
-        top_n=20,
-    )
-
-
 def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite mojibake repair (operators/text.py fix_text) over
     documents with deterministic mojibake + control chars injected
@@ -3200,17 +3183,30 @@ def s_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide pivot of order revenue: priority rows x pinned status
-    columns, decimal-exact sums — compiles to ONE conditional-agg
-    groupBy (relational.pivot_exact_sum), no discovery scan."""
-    from geist_spark.operators.relational import pivot_exact_sum
+    """Wide pivot of order revenue with per-cell counts: priority rows
+    x pinned status columns (relational.pivot_table with_counts=True —
+    ONE conditional-agg groupBy, count(*) FILTER semantics, no
+    discovery scan)."""
+    from geist_spark.operators.relational import pivot_table
 
-    return pivot_exact_sum(
+    wide = pivot_table(
         _t(spark, sf_dir, "orders"),
-        row_key="o_orderpriority",
-        col_key="o_orderstatus",
-        col_values=["O", "F", "P"],
-        value_col="o_totalprice",
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        "o_totalprice",
+        with_counts=True,
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            c
+            for v in ("O", "F", "P")
+            for c in (
+                F.col(f"{v}_sum").alias(f"sum_{v}"),
+                F.col(f"{v}_n").alias(f"n_{v}"),
+            )
+        ],
     )
 
 
@@ -4169,7 +4165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_revenue": q_pivot_revenue,
         "t_card_scrub": t_card_scrub,
         "q_kcore": q_kcore,
-        "q10_returned_items": q10_returned_items,
     }
 
 
@@ -6831,27 +6826,6 @@ def oracle_sql() -> dict[str, str]:
             m=4, k_codes=16, pq_iters=2,
             dim=64, n_queries=10, k_top=5,
         ),
-        "q10_returned_items": """
-            WITH base AS (
-                SELECT c.c_custkey, c.c_name, n.n_name,
-                       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-                FROM lineitem l
-                JOIN orders o ON l.l_orderkey = o.o_orderkey
-                JOIN customer c ON o.o_custkey = c.c_custkey
-                JOIN nation n ON c.c_nationkey = n.n_nationkey
-                WHERE l.l_returnflag = 'R'
-                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
-                GROUP BY c.c_custkey, c.c_name, n.n_name
-            )
-            SELECT CAST(row_number() OVER (
-                       ORDER BY revenue DESC, c_custkey) AS INT) AS rank,
-                   c_custkey, c_name, n_name, revenue
-            FROM base
-            ORDER BY revenue DESC, c_custkey
-            LIMIT 20
-        """,
         "q_kcore": _kcore_oracle(k=4, rounds=8),
         "t_card_scrub": """
             WITH injected AS (

@@ -576,13 +576,28 @@ def pivot_table(
     pivot_col: str,
     pivot_values: list[str],
     value_col: str,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Cross-tab: one column per pivot value, exact decimal sums.
 
     `pivot_values` is REQUIRED (not discovered): at 100 TB the
     two-pass "scan to find distinct pivot values, scan again to
     pivot" is the trap — explicit values keep this a single hash-agg
-    pass with a fixed output schema Catalyst can prune against."""
+    pass with a fixed output schema Catalyst can prune against.
+
+    with_counts=True adds a per-cell row count with count(*) FILTER
+    semantics (count(lit(1)) inside the pivot group: a matching row
+    with a NULL measure still counts, while its sum contribution is
+    the SQL null-skip). Columns become {value}_sum / {value}_n."""
+    if with_counts:
+        return (
+            df.groupBy(*row_keys)
+            .pivot(pivot_col, pivot_values)
+            .agg(
+                exact_sum(value_col).alias("sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
     return (
         df.groupBy(*row_keys)
         .pivot(pivot_col, pivot_values)
@@ -1952,85 +1967,3 @@ def late_arrival_profile(
             F.max("__l").alias("max_lateness_us"),
         )
     )
-
-
-def pivot_exact_sum(
-    df: DataFrame,
-    row_key: str,
-    col_key: str,
-    col_values: list[str],
-    value_col: str,
-) -> DataFrame:
-    """Wide pivot: one row per `row_key`, one (sum, count) column pair
-    per pinned `col_values` entry — the reshape every BI/report layer
-    asks of an engine. Sums are decimal-exact (exact_sum) so the wide
-    cells hash-compare across engines.
-
-    `col_values` is REQUIRED (not discovered): Spark's two-arg pivot
-    otherwise runs an extra distinct job to find the columns, and a
-    discovered column set makes the output schema data-dependent —
-    both wrong for a 100 TB pipeline (schema must be static, and the
-    distinct scan is a full pass). With pinned values the whole pivot
-    compiles to ONE groupBy with conditional aggregates — a single
-    partial-agg shuffle on the row key, no extra scan, no wide-row
-    explosion."""
-    aggs = []
-    for v in col_values:
-        hit = F.when(F.col(col_key) == v, F.col(value_col))
-        aggs.append(exact_sum(hit).alias(f"sum_{v}"))
-        # count MATCHING ROWS (count(*) FILTER semantics), not non-null
-        # values: a matching row with a NULL measure must still count
-        aggs.append(
-            F.count(F.when(F.col(col_key) == v, F.lit(1))).alias(f"n_{v}")
-        )
-    return df.groupBy(row_key).agg(*aggs)
-
-
-def returned_item_ranking(
-    customer: DataFrame,
-    orders: DataFrame,
-    lineitem: DataFrame,
-    nation: DataFrame,
-    date_from: str,
-    date_to: str,
-    top_n: int = 20,
-) -> DataFrame:
-    """TPC-H Q10 shape: rank customers by revenue lost to returned
-    items in a quarter — the canonical 4-table star join with a
-    selective fact filter and a top-n tail.
-
-    Plan: the date predicate on orders and returnflag on lineitem are
-    pushed to the scans (Catalyst), orders⋈lineitem shuffles once on
-    orderkey, customer joins on custkey, nation broadcasts; revenue is
-    decimal-exact. Deterministic top-n: ties broken by c_custkey, and
-    the rank is numbered AFTER the limit over a literal partition key
-    (bounded rows, no global-window warning).
-    """
-    o = orders.filter(
-        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
-    )
-    li = lineitem.filter(F.col("l_returnflag") == "R")
-    base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(customer, o.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-    )
-    top = base.orderBy(
-        F.col("revenue").desc(), F.col("c_custkey").asc()
-    ).limit(top_n)
-    # non-foldable constant partition key (bucketing.nonfoldable_zero)
-    from geist_spark.operators.bucketing import nonfoldable_zero
-
-    wr = Window.partitionBy(nonfoldable_zero("c_custkey")).orderBy(
-        F.col("revenue").desc(), F.col("c_custkey").asc()
-    )
-    return top.withColumn(
-        "rank", F.row_number().over(wr).cast("int")
-    ).select("rank", "c_custkey", "c_name", "n_name", "revenue")

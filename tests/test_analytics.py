@@ -2208,11 +2208,12 @@ def test_autocorrelation_exact(spark):
         autocorrelation(ev, lag=0)
 
 
-def test_pivot_exact_sum_golden(spark):
-    """Pinned-column pivot: cells are decimal-exact sums / counts,
-    absent combinations are NULL sum + 0 count, and the plan is one
-    aggregate (no pivot discovery scan)."""
-    from geist_spark.operators.relational import pivot_exact_sum
+def test_pivot_table_with_counts_golden(spark):
+    """Pinned-column pivot with per-cell counts: decimal-exact sums,
+    count(*) FILTER semantics (a matching row with a NULL measure
+    still counts), absent combinations NULL sum + 0 count, one
+    aggregate pass (no pivot discovery scan)."""
+    from geist_spark.operators.relational import pivot_table
 
     df = spark.createDataFrame(
         [("p1", "O", 10.5), ("p1", "O", 1.25), ("p1", "F", 2.0),
@@ -2221,18 +2222,17 @@ def test_pivot_exact_sum_golden(spark):
     )
     out = {
         r["pri"]: r
-        for r in pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt").collect()
+        for r in pivot_table(
+            df, ["pri"], "st", ["O", "F"], "amt", with_counts=True
+        ).collect()
     }
-    assert (out["p1"]["sum_O"], out["p1"]["n_O"]) == (11.75, 2)
-    # a matching row with a NULL measure still counts (count(*) FILTER
-    # semantics), while its sum contribution is the SQL null-skip
-    assert (out["p2"]["sum_O"], out["p2"]["n_O"]) == (None, 1)
-    assert (out["p1"]["sum_F"], out["p1"]["n_F"]) == (2.0, 1)
+    assert (out["p1"]["O_sum"], out["p1"]["O_n"]) == (11.75, 2)
+    assert (out["p2"]["O_sum"], out["p2"]["O_n"]) == (None, 1)
+    assert (out["p1"]["F_sum"], out["p1"]["F_n"]) == (2.0, 1)
     plan = (
-        pivot_exact_sum(df, "pri", "st", ["O", "F"], "amt")
+        pivot_table(df, ["pri"], "st", ["O", "F"], "amt", with_counts=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # exactly one aggregate pair (partial+final), no extra scan/job
     assert plan.count("Scan") == 1
 
 
@@ -2288,37 +2288,3 @@ def test_kcore_peeling_golden(spark):
         kcore(edges, k=0)
 
 
-def test_returned_item_ranking_golden(spark):
-    """Q10 shape on a 2-customer micro-set: only returned lineitems in
-    the date window count; rank ties break by custkey."""
-    import datetime as _dt
-
-    from geist_spark.operators.relational import returned_item_ranking
-
-    cust = spark.createDataFrame(
-        [(1, "alice", 10, 0.0, "B"), (2, "bob", 10, 0.0, "B")],
-        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
-    )
-    nat = spark.createDataFrame(
-        [(10, "NORDICS", 1)], "n_nationkey long, n_name string, n_regionkey long"
-    )
-    orders = spark.createDataFrame(
-        [(100, 1, _dt.datetime(1996, 2, 1)),   # in window
-         (101, 2, _dt.datetime(1996, 2, 1)),   # in window
-         (102, 1, _dt.datetime(1997, 2, 1))],  # out of window
-        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
-    )
-    li = spark.createDataFrame(
-        [(100, "R", 100.0, 0.1),   # alice: 90
-         (100, "N", 999.0, 0.0),   # not returned
-         (101, "R", 200.0, 0.5),   # bob: 100
-         (102, "R", 500.0, 0.0)],  # out-of-window order
-        "l_orderkey long, l_returnflag string, l_extendedprice double, l_discount double",
-    )
-    got = [
-        (r["rank"], r["c_name"], r["revenue"])
-        for r in returned_item_ranking(
-            cust, orders, li, nat, "1996-01-01", "1996-04-01", top_n=20
-        ).collect()
-    ]
-    assert got == [(1, "bob", 100.0), (2, "alice", 90.0)]
