@@ -2288,3 +2288,24 @@ def test_kcore_peeling_golden(spark):
         kcore(edges, k=0)
 
 
+
+
+def test_hybrid_search_forwards_exact_guard(spark):
+    """hybrid_search forwards max_exact_vectors to its cosine leg so
+    the exact-baseline gate is followable at the called API."""
+    from geist_spark.operators.similarity import hybrid_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_exact_vectors"):
+        hybrid_search(docs, emb, query_ids=[0], max_exact_vectors=5)
+    out = hybrid_search(
+        docs, emb, query_ids=[0], k_top=3, max_exact_vectors=None
+    )
+    assert out.count() > 0
