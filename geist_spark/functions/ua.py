@@ -21,8 +21,14 @@ import urllib.parse
 import pandas as pd
 from pyspark.sql import functions as F, types as T
 
+# re.ASCII on every pattern in this module: Java regex classes
+# (\s, \d, \w) and (?i) folding are ASCII-only, Python's default is
+# Unicode-wide — the native expression (ua_json_expr) is the contract,
+# so the Python twin pins ASCII semantics to stay byte-exact on
+# non-ASCII input (NBSP after a semicolon, Arabic digits, etc.)
 _BOT_RE = re.compile(
-    r"bot|crawler|spider|slurp|archiver|facebookexternalhit|mediapartners", re.I
+    r"bot|crawler|spider|slurp|archiver|facebookexternalhit|mediapartners",
+    re.I | re.ASCII,
 )
 
 
@@ -30,29 +36,30 @@ def _osinfo(ua: str) -> tuple[str, str, str, str, bool]:
     """-> (platform, os_name, os_full, os_version, mobile)"""
     m = re.search(r"\(([^)]*)\)", ua)
     section = m.group(1) if m else ""
-    parts = [p.strip() for p in section.split(";")]
+    # strip(" ") not strip(): F.trim removes ASCII spaces only
+    parts = [p.strip(" ") for p in section.split(";")]
     platform = parts[0] if parts else ""
     mobile = bool(re.search(r"Mobile|Android|iPhone|iPod|iPad|Windows Phone", ua))
 
     if "iPhone" in section or "iPad" in section or "iPod" in section:
         full = next((p for p in parts if "OS" in p and "like Mac" in p), section)
-        vm = re.search(r"OS (\d+)[_.](\d+)(?:[_.](\d+))?", full)
+        vm = re.search(r"OS (\d+)[_.](\d+)(?:[_.](\d+))?", full, re.ASCII)
         version = ".".join(g for g in (vm.groups() if vm else ()) if g) if vm else ""
         name = "iPhone OS" if ("iPhone" in section or "iPod" in section) else "iPadOS"
         return platform, name, full, version, True
     if "Android" in section:
-        am = re.search(r"Android ([\d.]+)", section)
+        am = re.search(r"Android ([\d.]+)", section, re.ASCII)
         full = next((p for p in parts if p.startswith("Android")), "Android")
         return "Linux", "Android", full, am.group(1) if am else "", True
     if "Windows NT" in section:
-        wm = re.search(r"Windows NT ([\d.]+)", section)
+        wm = re.search(r"Windows NT ([\d.]+)", section, re.ASCII)
         nt = wm.group(1) if wm else ""
         names = {"10.0": "Windows 10", "6.3": "Windows 8.1", "6.2": "Windows 8",
                  "6.1": "Windows 7", "6.0": "Windows Vista", "5.1": "Windows XP"}
         full = names.get(nt, f"Windows NT {nt}")
         return "Windows", "Windows", full, nt, mobile
     if "Mac OS X" in section:
-        mm = re.search(r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?", section)
+        mm = re.search(r"Mac OS X (\d+)[_.](\d+)(?:[_.](\d+))?", section, re.ASCII)
         version = ".".join(g for g in (mm.groups() if mm else ()) if g) if mm else ""
         full = next((p for p in parts if "Mac OS X" in p), "Intel Mac OS X")
         return "Macintosh", "Mac OS X", full, version, False
@@ -63,7 +70,7 @@ def _osinfo(ua: str) -> tuple[str, str, str, str, bool]:
 
 def _browser(ua: str) -> tuple[str, str, str, str]:
     """-> (name, version, engine, engine_version)"""
-    em = re.search(r"(AppleWebKit|Gecko|Trident|Presto)/([\d.]+)", ua)
+    em = re.search(r"(AppleWebKit|Gecko|Trident|Presto)/([\d.]+)", ua, re.ASCII)
     engine, engine_version = (em.group(1), em.group(2)) if em else ("", "")
     for pat, name in [
         (r"Edg(?:e|A|iOS)?/([\d.]+)", "Edge"),
@@ -77,7 +84,7 @@ def _browser(ua: str) -> tuple[str, str, str, str]:
         (r"rv:([\d.]+)\) like Gecko", "Internet Explorer"),
         (r"Version/([\d.]+).*Safari", "Safari"),
     ]:
-        bm = re.search(pat, ua)
+        bm = re.search(pat, ua, re.ASCII)
         if bm:
             return name, bm.group(1), engine, engine_version
     if "Safari" in ua:
@@ -98,9 +105,9 @@ def parse_user_agent(ua_escaped: str | None) -> str:
     ua = urllib.parse.unquote(ua_escaped)
     platform, os_name, os_full, os_version, mobile = _osinfo(ua)
     b_name, b_version, engine, engine_version = _browser(ua)
-    loc_m = re.search(r"\(.*?;\s*([a-z]{2}(?:-[A-Za-z]{2})?)\s*[;)]", ua)
+    loc_m = re.search(r"\(.*?;\s*([a-z]{2}(?:-[A-Za-z]{2})?)\s*[;)]", ua, re.ASCII)
     localization = ""
-    if loc_m and re.fullmatch(r"[a-z]{2}(-[A-Za-z]{2})?", loc_m.group(1)):
+    if loc_m and re.fullmatch(r"[a-z]{2}(-[A-Za-z]{2})?", loc_m.group(1), re.ASCII):
         localization = loc_m.group(1)
     out = {
         "platform": platform,
@@ -403,6 +410,12 @@ def parse_user_agents(
     misses fall back to parsing inline (lazy per-row branch), so rows
     can never be dropped and the output always equals the direct
     row-wise parse."""
+    if out_col in df.columns or "__ua_key" in df.columns:
+        raise ValueError(
+            f"parse_user_agents: input already has a column named "
+            f"{out_col!r} or '__ua_key' — rename or drop it first "
+            "(the dictionary join would be ambiguous)"
+        )
     key = F.coalesce(F.col(ua_col), F.lit("")).alias("__ua_key")
     dic = (
         df.select(key)

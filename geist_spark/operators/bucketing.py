@@ -271,9 +271,15 @@ def zone_prune(
 
 def nonfoldable_zero(col: str) -> F.Column:
     """A constant-0 partition key Catalyst can NOT constant-fold away:
-    pmod(col, 1) == 0 for every row but depends on a column, so a
-    bounded top-k rank window keeps a non-empty partition spec (a
-    foldable literal gets folded out and WindowExec logs the
-    misleading "No Partition Defined" warning). Shared by every
-    rank-after-limit site (rake/textrank/returned_item_ranking)."""
-    return F.pmod(F.length(F.col(col).cast("string")), F.lit(1))
+    pmod(coalesce(length(col), 0), 1) == 0 for EVERY row — including
+    NULL values of the anchor column (coalesce is load-bearing: a NULL
+    key would silently split the "constant" partition in two and
+    duplicate ranks) — but depends on a column, so a bounded top-k
+    rank window keeps a non-empty partition spec (a foldable literal
+    gets folded out and WindowExec logs the misleading "No Partition
+    Defined" warning). Shared by the rank-over-bounded-rows sites
+    (rake_keywords, textrank_keywords, ts_pattern_topk)."""
+    return F.pmod(
+        F.coalesce(F.length(F.col(col).cast("string")), F.lit(0)),
+        F.lit(1),
+    )

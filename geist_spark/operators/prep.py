@@ -657,7 +657,16 @@ def credit_card_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame
     replace (no regex re-scan per card). Map-only codegen — one pass
     at any corpus scale; the Luhn fold and the replace fold are both
     replayed exactly by the DuckDB oracle (list comprehensions +
-    list_reduce)."""
+    list_reduce).
+
+    Known false-negative corridor (shared by regex-grammar scrubbers
+    generally): digits ADJACENT to a card through the separator
+    alphabet merge into one over-length candidate — '<valid PAN> 1234'
+    scans as a single 20-digit run, fails the 13-19 gate, and the
+    embedded card is NOT redacted. Splitting such runs correctly needs
+    lookaround (absent from RE2, so the oracle could not replay it) or
+    a position-scanning pass; route length-gate failures (n_candidates
+    > n_valid_cards) to review instead of treating them as clean."""
     t = F.col(text_col)
     cands = F.regexp_extract_all(t, F.lit(CARD_CAND_RE), F.lit(0))
     staged = documents.select(

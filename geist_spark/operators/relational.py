@@ -1892,7 +1892,11 @@ def ts_pattern_topk(
         .filter(F.col("__kr") <= k_top)
         .drop("__kr")
     )
-    w_rank = Window.orderBy(
+    from geist_spark.operators.bucketing import nonfoldable_zero
+
+    # rank the metadata-sized survivors under a non-foldable constant
+    # partition key (see bucketing.nonfoldable_zero)
+    w_rank = Window.partitionBy(nonfoldable_zero("key")).orderBy(
         F.col("dist2").asc(), F.col("key").asc(), F.col("start").asc()
     )
     return (

@@ -1549,17 +1549,28 @@ def ivf_pq_residual_topk(
     emb = F.col("embedding")
     scores = _centroid_scores(emb, cd)
     cent_lit = long_matrix(cents_fx)
-    # one pass: fx projection + cosine cell assignment + residual
-    # (fx - cell centroid), all map-only expressions
-    res = fan_out(embeddings).select(
+    # two-stage select: the n_cells x dim score array is HOF-built
+    # (CodegenFallback — no subexpression elimination), so the cell
+    # argmax must be computed ONCE as a named column, not inlined
+    # twice (the ua_json_expr duplicated-subtree lesson); the residual
+    # then derives from the cell column
+    assigned_fx = fan_out(embeddings).select(
         "vec_id",
+        _fx(emb).alias("vfx"),
         F.array_max(scores)["cid"].alias("cell"),
+    )
+    res = assigned_fx.select(
+        "vec_id",
+        "cell",
         F.zip_with(
-            _fx(emb),
-            F.element_at(cent_lit, F.array_max(scores)["cid"] + 1),
+            F.col("vfx"),
+            F.element_at(cent_lit, F.col("cell") + 1),
             lambda a, b: a - b,
         ).alias("fx"),
-    )
+        # res feeds THREE jobs (PQ init collect, the persisted subspace
+        # build, the candidate join): materialize once, eagerly, per
+        # the repo checkpoint policy (no persist fragments)
+    ).localCheckpoint(eager=True)
     books, codes = _pq_train_encode_fx(
         res.select("vec_id", "fx"), m=m, k=k_codes, iters=pq_iters
     )

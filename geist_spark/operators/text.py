@@ -867,6 +867,20 @@ def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
     staged = documents.select(
         "doc_id", w.alias("w"), sents.alias("s"), syll.alias("y")
     )
+    # BIGINT-wrap guard (the association_rules/autocorrelation defect
+    # class): every product below is coefficient * pair where each
+    # factor is <= 2^31-ish, so the PAIR products (w*w, y*s, s*w)
+    # themselves cannot wrap — bound them so coefficient*pair stays
+    # under (2^63-1)/3 (three terms are then summed) and nothing in
+    # gn/en can overflow. The limits allow ~1.7M-word documents;
+    # beyond that the operator raises instead of emitting garbage.
+    lim = (2**63 - 1) // 3
+    staged = staged.withColumn(
+        "__ok",
+        (F.col("s") * F.col("w") <= F.lit(lim // 206_835_000))
+        & (F.col("w") * F.col("w") <= F.lit(lim // 1_015_000))
+        & (F.col("y") * F.col("s") <= F.lit(lim // 84_600_000)),
+    )
     gn = "390000*w*w + 11800000*y*s - 15590000*s*w"
     en = "206835000*s*w - 1015000*w*w - 84600000*y*s"
 
@@ -876,7 +890,10 @@ def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
         # is IEEE double and silently truncates wrong past 2^53 on
         # long inputs, e.g. a 100k-word document) divides exactly
         return F.expr(
-            f"CASE WHEN w > 0 THEN"
+            f"CASE WHEN NOT __ok THEN"
+            f" raise_error('readability: document too large for the"
+            f" micro-scaled BIGINT form (~1.7M-word bound)')"
+            f" WHEN w > 0 THEN"
             f" (({num}) - pmod(({num}), s*w)) div (s*w) END"
         )
 

@@ -2309,3 +2309,29 @@ def test_hybrid_search_forwards_exact_guard(spark):
         docs, emb, query_ids=[0], k_top=3, max_exact_vectors=None
     )
     assert out.count() > 0
+
+
+def test_card_scrub_adjacent_digit_corridor_documented(spark):
+    """Known false-negative corridor (docstring): a valid PAN with
+    adjacent digits through the separator alphabet merges into one
+    over-length candidate and escapes redaction — pinned so the
+    behavior (and the n_candidates > n_valid_cards review signal) is
+    explicit rather than accidental."""
+    from geist_spark.operators.prep import credit_card_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "card 4539 1488 0343 6467 9999 end")],
+        "doc_id long, text string",
+    )
+    r = credit_card_scrub(docs).collect()[0]
+    assert (r["n_candidates"], r["n_valid_cards"]) == (1, 0)
+    assert "<CARD>" not in r["redacted_text"]  # the documented corridor
+
+
+def test_parse_user_agents_collision_guard(spark):
+    from geist_spark.functions.ua import parse_user_agents
+
+    df = spark.createDataFrame([(1, "curl/7.81.0", "x")],
+                               "id long, ua string, ua_json string")
+    with pytest.raises(ValueError, match="ua_json"):
+        parse_user_agents(df, "ua")

@@ -541,6 +541,15 @@ def test_ua_native_expr_matches_python_parser(spark):
         "Mozilla/5.0 (Linux; U; Android 4.0.3; \u0440\u0443-ru)"
         " AppleWebKit/534.30 (KHTML, like Gecko) Mobile Safari/534.30",
         "A\u00fc/1.0",
+        # Unicode-semantics corners: NBSP where Java \s won't match,
+        # a tab F.trim won't strip, Arabic-Indic digits Java \d won't
+        # match — the Python twin pins re.ASCII / strip(" ") so both
+        # sides agree (ua.py module comment)
+        "Mozilla/5.0 (Windows; U;\u00a0en-GB; rv:1.8.1.6)"
+        " Gecko/20070725 Firefox/2.0.0.6",
+        "Mozilla/5.0 (\tiPhone; CPU iPhone OS 14_2 like Mac OS X)"
+        " AppleWebKit/605.1.15",
+        "Opera/\u0669.\u0668\u0660 (Windows NT 6.0)",
         "(only; a; section)",
         "100% broken %zz escape",
         "a+b c%20d",
