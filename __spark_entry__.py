@@ -2416,10 +2416,10 @@ def s_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate vs the corpus's own top-100 vocabulary
-    (operators/text.py oov_rate), with a singleton 'OCR-noise' token
+    (operators/text.py corpus_oov_rate), with a singleton 'OCR-noise' token
     appended per doc (doc_id%3 copies) so the tail actually exists —
     the raw corpus vocabulary is tiny enough to fit the head."""
-    from geist_spark.operators.text import oov_rate
+    from geist_spark.operators.text import corpus_oov_rate
 
     m = (F.col("doc_id") % 3).cast("int")
     noise = F.array_join(
@@ -2440,7 +2440,7 @@ def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return oov_rate(docs)
+    return corpus_oov_rate(docs)
 
 
 def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

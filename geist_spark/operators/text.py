@@ -483,11 +483,13 @@ def inverted_index(
     )
 
 
-def oov_rate(
+def corpus_oov_rate(
     documents: DataFrame, vocab_size: int = 100, min_tf: int = 2
 ) -> DataFrame:
-    """Out-of-vocabulary rate per doc against the corpus's own top-N
-    vocabulary — the OCR-garbage / encoding-noise detector: clean text
+    """Out-of-vocabulary rate per doc against the corpus's OWN top-N
+    vocabulary (renamed from oov_rate: lm.oov_rate scores against an
+    EXTERNAL reference vocab — same name, different contract, and the
+    collision made call sites ambiguous) — the OCR-garbage / encoding-noise detector: clean text
     draws mostly from the head of the corpus distribution, mojibake
     and OCR spray draw from the tail.
 
