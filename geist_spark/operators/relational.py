@@ -588,15 +588,32 @@ def pivot_table(
     with_counts=True adds a per-cell row count with count(*) FILTER
     semantics (count(lit(1)) inside the pivot group: a matching row
     with a NULL measure still counts, while its sum contribution is
-    the SQL null-skip). Columns become {value}_sum / {value}_n."""
+    the SQL null-skip). Columns become {value}_sum / {value}_n. An
+    absent (row_key, pivot_value) cell keeps the SQL contract: NULL
+    sum, 0 count — Spark's pivot leaves BOTH NULL, so the count
+    columns are coalesced to 0 post-pivot (count(*) FILTER over an
+    empty set is 0, never NULL)."""
     if with_counts:
-        return (
+        wide = (
             df.groupBy(*row_keys)
             .pivot(pivot_col, pivot_values)
             .agg(
                 exact_sum(value_col).alias("sum"),
                 F.count(F.lit(1)).alias("n"),
             )
+        )
+        return wide.select(
+            *row_keys,
+            *[
+                c
+                for v in pivot_values
+                for c in (
+                    F.col(f"{v}_sum"),
+                    F.coalesce(
+                        F.col(f"{v}_n"), F.lit(0).cast("long")
+                    ).alias(f"{v}_n"),
+                )
+            ],
         )
     return (
         df.groupBy(*row_keys)

@@ -713,7 +713,7 @@ def ann_recall_report(
     exact-baseline size gate (guarded ONCE here, followable at this
     API; None opts out)."""
     _exact_corpus_guard(
-        embeddings, max_exact_vectors, "recall_at_k",
+        embeddings, max_exact_vectors, "ann_recall_report",
         "sample the probe corpus or raise max_exact_vectors",
     )
     exact = cosine_topk(
@@ -1854,6 +1854,7 @@ def mmr_select(
     lam_num: int = 7,
     lam_den: int = 10,
     candidates: DataFrame | None = None,
+    max_exact_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR 1998): greedily pick k items maximizing
@@ -1875,7 +1876,11 @@ def mmr_select(
     aggregate. No shuffle of the candidate set, ever; selected vectors
     ride as literals (functions/litx). At 100 TB you pre-pool
     candidates with cosine_topk/ivf_topk (pass `candidates=`) so the
-    k passes scan the pool, not the corpus — same code path.
+    k passes scan the pool, not the corpus — same code path. The
+    default (candidates=None) is k full corpus passes, so it carries
+    the exact-baseline size gate its siblings have (bounded probe,
+    raises above `max_exact_vectors`; None opts out). A caller-supplied
+    candidate pool is already the scale path and is not probed.
 
     Returns (rank, vec_id, rel6, red6, score_fx): selection order,
     micro-scaled relevance/redundancy, and the integer MMR score.
@@ -1883,6 +1888,12 @@ def mmr_select(
     if not 0 < lam_num <= lam_den:
         raise ValueError("need 0 < lam_num <= lam_den")
     emb = F.col("embedding")
+    if candidates is None:
+        _exact_corpus_guard(
+            embeddings, max_exact_vectors, "mmr_select",
+            "pre-pool candidates with cosine_topk/ivf_topk and pass "
+            "candidates=",
+        )
     pool = candidates if candidates is not None else embeddings
     qrow = embeddings.filter(F.col("vec_id") == query_id).select(
         "embedding"

@@ -1713,6 +1713,33 @@ def test_exact_baseline_size_guard(spark):
     assert cosine_topk(emb, query_ids=[0], k=2).count() == 2
 
 
+def test_mmr_select_size_guard(spark):
+    """mmr_select's candidates=None default is k full corpus passes,
+    so it carries the same exact-baseline gate as its siblings: the
+    bounded probe raises above max_exact_vectors pointing at
+    pre-pooling; a caller-supplied candidate pool skips the probe
+    (it IS the scale path); None opts out."""
+    from geist_spark.operators.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="candidates="):
+        mmr_select(emb, query_id=0, k=2, max_exact_vectors=10)
+    # candidate-pool path is never probed, even over the tiny cap
+    pool = emb.filter(F.col("vec_id") < 5)
+    assert mmr_select(
+        emb, query_id=0, k=2, candidates=pool, max_exact_vectors=10
+    ).count() == 2
+    # explicit opt-out still runs the exact path
+    assert mmr_select(
+        emb, query_id=0, k=2, max_exact_vectors=None
+    ).count() == 2
+    # default cap far above the test corpus: no behavior change
+    assert mmr_select(emb, query_id=0, k=2).count() == 2
+
+
 def test_ngram_containment_finds_subdoc_jaccard_misses(spark):
     from geist_spark.operators.dedup import (
         ngram_containment_pairs, ngram_jaccard_pairs,
@@ -2217,7 +2244,7 @@ def test_pivot_table_with_counts_golden(spark):
 
     df = spark.createDataFrame(
         [("p1", "O", 10.5), ("p1", "O", 1.25), ("p1", "F", 2.0),
-         ("p2", "F", 7.75), ("p2", "O", None)],
+         ("p2", "F", 7.75), ("p2", "O", None), ("p3", "F", 3.5)],
         "pri string, st string, amt double",
     )
     out = {
@@ -2229,6 +2256,10 @@ def test_pivot_table_with_counts_golden(spark):
     assert (out["p1"]["O_sum"], out["p1"]["O_n"]) == (11.75, 2)
     assert (out["p2"]["O_sum"], out["p2"]["O_n"]) == (None, 1)
     assert (out["p1"]["F_sum"], out["p1"]["F_n"]) == (2.0, 1)
+    # p3 has NO 'O' rows at all: the absent cell must be NULL sum +
+    # 0 count (count(*) FILTER over an empty set), not NULL count.
+    assert (out["p3"]["O_sum"], out["p3"]["O_n"]) == (None, 0)
+    assert (out["p3"]["F_sum"], out["p3"]["F_n"]) == (3.5, 1)
     plan = (
         pivot_table(df, ["pri"], "st", ["O", "F"], "amt", with_counts=True)
         ._jdf.queryExecution().executedPlan().toString()
