@@ -255,6 +255,44 @@ def build_probes(spark: SparkSession, sf_dir: str):
         )
         return geo_radius_join(pts, sites, radius_micro=5_000_000)
 
+    def _zipf_ua(k):
+        # zipfian UA traffic: ~90% of rows from a 50-string head, the
+        # rest from a 2000-string tail. pmod residues survive expand()'s
+        # key shift bijectively (constant offset per copy mod 2000), so
+        # the distinct-UA dictionary stays FIXED at ~2000 while rows
+        # scale with k — the production shape the dictionary join is
+        # designed for (ua.py:parse_user_agents).
+        ev = expand(events, k, ["event_id", "user_id"])
+        uid = F.when(
+            F.pmod(F.col("event_id"), 10) < 9,
+            F.pmod(F.col("user_id"), 50),
+        ).otherwise(F.pmod(F.col("user_id"), 2000))
+        return ev.select(
+            "event_id",
+            F.concat(
+                F.lit(
+                    "Mozilla/5.0%20(Windows%20NT%2010.0;%20Win64;%20x64)"
+                    "%20AppleWebKit/537.36%20(KHTML,%20like%20Gecko)"
+                    "%20Chrome/"
+                ),
+                uid.cast("string"),
+                F.lit(".0.0.0%20Safari/537.36"),
+            ).alias("ua"),
+        )
+
+    def ua_dict_join(k):
+        # the shipped plan: distinct -> JVM parse -> broadcast left join
+        from geist_spark.functions.ua import parse_user_agents
+
+        return parse_user_agents(_zipf_ua(k), "ua")
+
+    def ua_pandas_twin(k):
+        # the r3 plan it replaced: Arrow round-trip of every row into a
+        # memoized pandas UDF — per-row transfer cost, per-distinct parse
+        from geist_spark.functions.ua import ua_udf
+
+        return _zipf_ua(k).withColumn("ua_json", ua_udf(F.col("ua")))
+
     return {
         "scan_agg_hourly_rollup": scan_agg,
         "sessionize_lag_cumsum": sessionize,
@@ -273,6 +311,8 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "geo_radius_join": geo,
         "card_scrub_luhn": card_scrub,
         "kcore_peeling": kcore_peel,
+        "ua_dict_join": ua_dict_join,
+        "ua_pandas_twin": ua_pandas_twin,
     }
 
 
