@@ -193,6 +193,85 @@ def adaptive_num_planes(n_vectors: int, target_bucket: int = 32, floor: int = 4)
     return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def _bucket_signature(num_planes: int, dim: int) -> F.Column:
+    """Hyperplane sign-bit bucket id for F.col('embedding') — the ONE
+    signature function shared by the batch near-dup pass, the stored
+    index builder, and the incremental probe, so all three agree on
+    bucket boundaries by construction."""
+    bits = []
+    for p_idx in range(num_planes):
+        arr = double_array(_hyperplane(dim, p_idx))
+        bits.append(
+            F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            * (2**p_idx)
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def embedding_buckets(
+    embeddings: DataFrame, num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Persistable hyperplane-bucket index rows for a corpus slice:
+    (vec_id, embedding, bucket, nrm). This IS the stored ANN index of
+    the streaming ingest path — each micro-batch appends its rows
+    (parquet/Delta append), later batches probe it with
+    incremental_embedding_near_dup. Buckets and norms are
+    deterministic (md5 hyperplanes, no RNG state), so index rows
+    written on any executor at any time agree bit-for-bit."""
+    return fan_out(embeddings).select(
+        "vec_id",
+        "embedding",
+        _bucket_signature(num_planes, dim).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+
+
+def incremental_embedding_near_dup(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Probe a NEW ingest batch against a STORED embedding_buckets
+    index — the semantic-dedup twin of dedup.incremental_dedup_pairs:
+    never re-bucket or re-scan the corpus, only bucket the batch and
+    equi-join the index on the bucket id (O(batch), not O(corpus)).
+
+    Returns (new_vec_id, corpus_vec_id, cosine) pairs at or above
+    `threshold`. Each vector owns exactly ONE bucket (single
+    signature, not banded), so a pair can join at most once — no
+    distinct pass needed. The id inequality makes replayed batches
+    idempotent against an index that already contains them. The
+    stored index side carries hint('merge'): the corpus index must
+    never be a misestimated broadcast build side (the measured 16x
+    failure mode of derived-frame broadcasts); the batch side is left
+    to AQE, which sees its true (small) shuffle size."""
+    probe = embedding_buckets(new_vectors, num_planes=num_planes, dim=dim)
+    n, c = probe.alias("n"), index.hint("merge").alias("c")
+    cos = _dot(F.col("n.embedding"), F.col("c.embedding")) / (
+        F.col("n.nrm") * F.col("c.nrm")
+    )
+    return (
+        n.join(
+            c,
+            (F.col("n.bucket") == F.col("c.bucket"))
+            & (F.col("n.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("n.vec_id").alias("new_vec_id"),
+            F.col("c.vec_id").alias("corpus_vec_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -213,20 +292,7 @@ def embedding_near_dup_pairs(
         num_planes = adaptive_num_planes(
             corpus_size if corpus_size is not None else embeddings.count()
         )
-    planes = [_hyperplane(dim, p) for p in range(num_planes)]
-    bits = []
-    for p_idx, plane in enumerate(planes):
-        arr = double_array(plane)
-        bits.append(
-            F.when(_dot(F.col("embedding"), arr) >= 0, F.lit(1)).otherwise(F.lit(0))
-            * (2**p_idx)
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    base = fan_out(embeddings).select(
-        "vec_id", "embedding", sig.alias("bucket"), _norm(F.col("embedding")).alias("nrm")
-    )
+    base = embedding_buckets(embeddings, num_planes=num_planes, dim=dim)
     a = base.alias("a")
     # merge hint: both sides are the full bucketed corpus — static
     # size estimates under-count derived frames, and a misestimated

@@ -1283,6 +1283,88 @@ def test_streaming_incremental_dedup_matches_batch_lsh(spark, tmp_path):
     assert found == batch_truth and batch_truth
 
 
+def test_streaming_embedding_near_dup_matches_batch(spark, tmp_path):
+    """Streaming SEMANTIC near-dup — the 100 TB embedding-ingest leg,
+    mirroring test_streaming_incremental_dedup_matches_batch_lsh: each
+    micro-batch (1) probes the STORED hyperplane-bucket index for
+    cross-batch pairs (incremental_embedding_near_dup — O(batch)),
+    (2) finds within-batch pairs (embedding_near_dup_pairs on the
+    batch alone), (3) appends its embedding_buckets rows to the index.
+    The union across batches must equal one batch
+    embedding_near_dup_pairs pass over the full corpus: buckets come
+    from the SAME deterministic hyperplanes, so a cross-batch pair is
+    found exactly when the later vector's batch probes the index."""
+    from geist_spark.operators.similarity import (
+        embedding_buckets,
+        embedding_near_dup_pairs,
+        incremental_embedding_near_dup,
+    )
+
+    emb_all = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    # lower threshold + fewer planes so the tiny sf has both
+    # within-batch AND cross-batch pairs to prove the union on
+    thr, planes = 0.3, 4
+    src = tmp_path / "emb_src"
+    idx_dir = str(tmp_path / "bucket_index")
+    for i, (lo, hi) in enumerate([(0, 60), (60, 120), (120, 10**9)]):
+        emb_all.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    found: set = set()
+    batches: list = []
+
+    def per_batch(bdf, bid):
+        batches.append(bid)
+        import os
+
+        if os.path.isdir(idx_dir):
+            index = spark.read.parquet(idx_dir)
+            cross = incremental_embedding_near_dup(
+                bdf, index, threshold=thr, num_planes=planes
+            )
+            found.update(
+                (min(r[0], r[1]), max(r[0], r[1])) for r in cross.collect()
+            )
+        within = embedding_near_dup_pairs(
+            bdf, threshold=thr, num_planes=planes
+        )
+        found.update((r["vec_a"], r["vec_b"]) for r in within.collect())
+        embedding_buckets(bdf, num_planes=planes).write.mode(
+            "append"
+        ).parquet(idx_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batches) >= 3, "expected one micro-batch per file"
+
+    truth_rows = embedding_near_dup_pairs(
+        emb_all, threshold=thr, num_planes=planes
+    ).collect()
+    batch_truth = {(r["vec_a"], r["vec_b"]) for r in truth_rows}
+    assert found == batch_truth and batch_truth
+    # the corpus spans batch boundaries: require at least one
+    # cross-batch pair, or the parity claim is vacuous
+    assert any(
+        not (a < 60 and b < 60)
+        and not (60 <= a < 120 and 60 <= b < 120)
+        and not (a >= 120 and b >= 120)
+        for a, b in batch_truth
+    )
+
+
 def test_sequence_stream_ordered_sequences(spark, tmp_path):
     """Streaming sequence assembly: closed sessions emit the ordered
     type:epoch_us text, matching the batch renderer's format, with
