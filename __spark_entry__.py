@@ -1799,6 +1799,20 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))
 
 
+def t_quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware quality features (round 5): the stopword ratio
+    is computed per ROW against that row's language list
+    (text.quality_features(lang_col='lang') / lang_stopword_sets), and
+    tokenization is the universal CJK-aware tokenizer — de/fr/es/zh
+    rows score their own function words instead of being silently
+    mis-scored against the en list."""
+    from geist_spark.operators.text import quality_features
+
+    return quality_features(
+        _t(spark, sf_dir, "documents"), lang_col="lang"
+    )
+
+
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.text import token_stats
 
@@ -4165,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_revenue": q_pivot_revenue,
         "t_card_scrub": t_card_scrub,
         "q_kcore": q_kcore,
+        "t_quality_multilang": t_quality_multilang,
     }
 
 
@@ -4176,7 +4191,15 @@ def oracle_sql() -> dict[str, str]:
         "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
         "fr": "['le','la','les','et','de','un','une','est','pour','que']",
         "es": "['el','la','los','las','y','de','un','una','es','por']",
+        "zh": "['的','了','是','在','我','有','和','就','不','人']",
     }
+    # universal tokenizer (text.py UNIVERSAL_TOKEN_RE): single Han
+    # chars + non-space runs; \x{...} is the Java-regex/RE2 common
+    # spelling for the CJK base block
+    utoks_sql = (
+        "regexp_extract_all(lower(text), "
+        "'[\\x{4e00}-\\x{9fff}]|[^\\s\\x{4e00}-\\x{9fff}]+')"
+    )
     lang_scores = ", ".join(
         f"round(len(list_intersect(dtoks, {s}))::DOUBLE / greatest(len(dtoks), 1), 6) AS score_{lang}"
         for lang, s in lang_sets.items()
@@ -4187,6 +4210,13 @@ def oracle_sql() -> dict[str, str]:
     for lang in langs:
         pred_chain += f"WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' "
     pred_chain += "ELSE 'unknown' END"
+    # per-row stopword set for the multilang quality query (mirrors
+    # text.lang_stopword_sets: unknown languages -> empty set)
+    sw_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{lang}' THEN {s}" for lang, s in lang_sets.items())
+        + " ELSE CAST([] AS VARCHAR[]) END"
+    )
 
     shingle_list = (
         "list_distinct([array_to_string(toks[i:i+2], ' ') "
@@ -4850,15 +4880,31 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(toks)), 1), 6) AS stopword_ratio
             FROM base
         """,
+        "t_quality_multilang": f"""
+            WITH base AS (
+                SELECT doc_id, lang, text, {utoks_sql} AS toks,
+                       {sw_case} AS sw
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   len(toks) AS n_tokens,
+                   length(text) AS n_chars,
+                   round(length(text)::DOUBLE / greatest(len(toks), 1), 4) AS avg_token_len,
+                   round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_intersect(list_distinct(toks), sw))::DOUBLE
+                         / greatest(len(list_distinct(toks)), 1), 6) AS stopword_ratio
+            FROM base
+        """,
         "t_language_id": f"""
             WITH base AS (
-                SELECT doc_id, lang, list_distinct({_TOKENS_SQL}) AS dtoks
+                SELECT doc_id, lang, list_distinct({utoks_sql}) AS dtoks
                 FROM documents
             ), scored AS (
                 SELECT doc_id, lang, {lang_scores} FROM base
             )
             SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
-                   {pred_chain} AS predicted_lang
+                   score_zh, {pred_chain} AS predicted_lang
             FROM scored
         """,
         "t_token_stats": f"""

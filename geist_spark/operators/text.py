@@ -15,13 +15,49 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from geist_spark.operators.dedup import normalize_text, tokens
 
-# deliberately tiny, deterministic stopword sets (heuristic lang-id)
+# deliberately tiny, deterministic stopword sets (heuristic lang-id).
+# Public lists: top function words per language; zh entries are the
+# highest-frequency particles/pronouns (的 了 是 在 我 有 和 就 不 人).
+# zh MUST stay last: ties in language_id resolve to the earliest
+# language in this dict order, and both existing oracles pin that.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
     "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
     "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "por"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
 }
+
+# CJK Unified Ideographs base block — the deterministic, engine-portable
+# core (Java and RE2 both accept \x{...}; script names are spelled
+# differently per engine, so the explicit range is used in oracles too)
+_HAN = r"\x{4e00}-\x{9fff}"
+# one Han character per token; everything else tokenizes as non-space
+# runs (identical to whitespace tokenization on whitespace-delimited
+# text — CJK has no word spaces, so char-grain is the standard fallback)
+UNIVERSAL_TOKEN_RE = rf"[{_HAN}]|[^\s{_HAN}]+"
+
+
+def universal_tokens(text: F.Column) -> F.Column:
+    """Language-agnostic tokenization: single Han characters + non-space
+    runs over lowercased text. On whitespace-delimited languages this
+    yields exactly the whitespace tokens (runs between spaces); on CJK
+    it falls back to character grain instead of treating a whole
+    sentence as one token. Used where the language is unknown or mixed
+    (language_id, lang_col quality scoring)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(UNIVERSAL_TOKEN_RE), 0)
+
+
+def lang_stopword_sets(lang_col: F.Column) -> F.Column:
+    """Per-row stopword array selected by a language column; languages
+    outside STOPWORDS get an EMPTY set (ratio 0), never silently scored
+    against English — the mis-scoring trap of a hardcoded en list."""
+    expr = F.expr("CAST(array() AS array<string>)")
+    for lang, words in STOPWORDS.items():
+        expr = F.when(
+            lang_col == lang, F.array(*[F.lit(w) for w in words])
+        ).otherwise(expr)
+    return expr
 
 
 def _ratio_in(toks: F.Column, words: list[str]) -> F.Column:
@@ -30,20 +66,37 @@ def _ratio_in(toks: F.Column, words: list[str]) -> F.Column:
     return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
 
 
-def quality_features(documents: DataFrame) -> DataFrame:
+def quality_features(
+    documents: DataFrame, lang_col: str | None = None
+) -> DataFrame:
     """Per-doc quality scoring features (length/punct/stopword ratios,
-    rounded for cross-engine stability)."""
-    toks = tokens(F.col("text"))
+    rounded for cross-engine stability).
+
+    lang_col=None keeps the original English-corpus contract
+    (whitespace tokens, en stopword list). Passing a language column
+    makes scoring language-aware per ROW: tokens come from the
+    universal tokenizer (CJK char-grain fallback) and the stopword
+    ratio is computed against THAT row's language list
+    (lang_stopword_sets — unknown languages score 0, not en)."""
+    if lang_col is None:
+        toks = tokens(F.col("text"))
+        sw: F.Column | None = None
+    else:
+        toks = universal_tokens(F.col("text"))
+        sw = lang_stopword_sets(F.col(lang_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col("text"))
     punct = F.length(F.regexp_replace(F.col("text"), r"[^\.,;:!\?]", ""))
     stop_hits = F.size(
         F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+            toks,
+            sw if sw is not None
+            else F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
         )
     )
     return documents.select(
         "doc_id",
+        *([F.col(lang_col)] if lang_col is not None else []),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_len"),
@@ -56,8 +109,12 @@ def quality_features(documents: DataFrame) -> DataFrame:
 
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language-ID: distinct-token overlap with per-language
-    stopword sets; argmax with fixed language order tiebreak."""
-    toks = F.array_distinct(tokens(F.col("text")))
+    stopword sets; argmax with fixed language order tiebreak.
+    Tokenization is the UNIVERSAL tokenizer (not whitespace): CJK text
+    has no word spaces, so whitespace tokens would make zh structurally
+    undetectable; on whitespace-delimited text the two tokenizers agree
+    (verified value-identical on the synthetic corpus)."""
+    toks = F.array_distinct(universal_tokens(F.col("text")))
     scored = documents.select(
         "doc_id",
         "lang",
@@ -667,11 +724,28 @@ def merge_term_stats(*parts: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_stopwords(
+    stopwords: list[str] | None, lang: str
+) -> list[str]:
+    """Explicit list wins; otherwise select STOPWORDS[lang], raising a
+    typed error for unknown languages instead of silently scoring a
+    non-English corpus against the en list."""
+    if stopwords is not None:
+        return stopwords
+    if lang not in STOPWORDS:
+        raise ValueError(
+            f"no stopword list for lang={lang!r}; known: "
+            f"{sorted(STOPWORDS)} — pass stopwords= explicitly"
+        )
+    return STOPWORDS[lang]
+
+
 def rake_keywords(
     documents: DataFrame,
     stopwords: list[str] | None = None,
     max_words: int = 6,
     top_k: int = 20,
+    lang: str = "en",
 ) -> DataFrame:
     """RAKE keyword/phrase extraction (Rose et al. 2010): candidate
     phrases are maximal stopword-free token runs (<= max_words);
@@ -699,7 +773,7 @@ def rake_keywords(
     """
     from geist_spark.operators.dedup import tokens
 
-    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
     tok = documents.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
@@ -766,6 +840,7 @@ def textrank_keywords(
     stopwords: list[str] | None = None,
     iters: int = 3,
     top_n: int = 20,
+    lang: str = "en",
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
     word co-occurrence graph — an undirected edge between two
@@ -793,7 +868,7 @@ def textrank_keywords(
     from geist_spark.operators.dedup import tokens
     from geist_spark.operators.graph import pagerank
 
-    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
     tok = documents.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
@@ -848,6 +923,12 @@ def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
     Sentences = [.!?]+ runs, floored at 1. Patterns restricted to the
     Java-regex/RE2 common subset (no lookahead) so a DuckDB oracle
     replays them byte-identically.
+
+    ENGLISH-ONLY heuristic: the silent-e rule and vowel set are
+    English orthography; on other languages the score is meaningless
+    (not merely noisy). Gate rows through language_id / a lang column
+    first — quality_features(lang_col=...) is the language-aware
+    feature path.
 
     grade_micro = 10^6 * (0.39*W/S + 11.8*Y/W - 15.59)  [FK grade]
     ease_micro  = 10^6 * (206.835 - 1.015*W/S - 84.6*Y/W)  [ease]

@@ -278,3 +278,96 @@ def test_hybrid_search_rrf_fusion(spark):
     # best real lexical hit earns rank 1 and neither list is
     # systematically underweighted in the fusion
     assert rows[0].rrf_nanos == 2 * (10**9 // 61)
+
+
+def test_universal_tokens_cjk_char_grain(spark):
+    """CJK text tokenizes at character grain (no word spaces to split
+    on); latin runs inside CJK text stay whole; pure-latin text yields
+    exactly the whitespace tokens."""
+    from geist_spark.operators.text import universal_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "我是学生 GPU很快"),
+            (2, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", universal_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    assert out[1] == ["我", "是", "学", "生", "gpu", "很", "快"]
+    assert out[2] == ["the", "quick", "brown", "fox"]
+
+
+def test_quality_features_lang_aware_stopwords(spark):
+    """Per-row stopword selection: a German doc scores against the de
+    list (not en), real Chinese text gets a nonzero zh-stopword ratio
+    via char-grain tokens, and unknown languages score 0 instead of
+    being silently scored against English."""
+    from geist_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze", "de"),
+            (2, "the cat and the dog", "en"),
+            (3, "我是学生人", "zh"),
+            (4, "the cat and the dog", "xx"),  # unknown lang
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r for r in quality_features(df, lang_col="lang").collect()
+    }
+    # de: der/und/die = 3 of 5 distinct tokens
+    assert out[1]["stopword_ratio"] == round(3 / 5, 6)
+    # en: the/and = 2 of 4 distinct tokens
+    assert out[2]["stopword_ratio"] == round(2 / 4, 6)
+    # zh char tokens: 我 是 学 生 人 -> 我,是,人 are zh stopwords
+    assert out[3]["n_tokens"] == 5
+    assert out[3]["stopword_ratio"] == round(3 / 5, 6)
+    # unknown lang: empty stopword set, ratio 0 (NOT the en score)
+    assert out[4]["stopword_ratio"] == 0.0
+    # lang rides along in the output for downstream gating
+    assert out[1]["lang"] == "de"
+
+
+def test_language_id_detects_real_chinese(spark):
+    """The universal tokenizer makes zh detectable: a real Chinese
+    sentence (no spaces) predicts zh; whitespace languages are
+    unaffected."""
+    from geist_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "我是学生我有人", "zh"),
+            (2, "the cat and the dog is here", "en"),
+            (3, "der hund und die katze ist da", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in language_id(df).collect()}
+    assert out[1]["predicted_lang"] == "zh" and out[1]["score_zh"] > 0
+    assert out[2]["predicted_lang"] == "en"
+    assert out[3]["predicted_lang"] == "de"
+
+
+def test_rake_lang_selection_and_unknown_raises(spark):
+    """lang= selects the stopword list; unknown languages raise a
+    typed error instead of silently scoring against en."""
+    from geist_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "der schnelle hund und die kluge katze")],
+        "doc_id long, text string",
+    )
+    # de stopwords split the phrase runs at der/und/die
+    phrases = {
+        r["phrase"] for r in rake_keywords(df, lang="de", top_k=10).collect()
+    }
+    assert "schnelle hund" in phrases and "kluge katze" in phrases
+    with pytest.raises(ValueError, match="stopword"):
+        rake_keywords(df, lang="sw")
