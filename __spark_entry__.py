@@ -994,6 +994,31 @@ def s_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-ingest leg as a batch oracle query: a
+    STORED hyperplane-bucket index (vec_id % 5 != 0, built by
+    similarity.embedding_buckets) is probed by a new ingest batch
+    (vec_id % 5 == 0) via incremental_embedding_near_dup — only the
+    batch is bucketed, the corpus index is equi-joined on the bucket
+    id: O(batch), never O(corpus). Deterministic md5 hyperplanes so
+    DuckDB replays the bucket signatures exactly (the semantic twin
+    of d_incremental_dedup). num_planes pinned to the static oracle's
+    4; threshold 0.3 matches s_embedding_near_dup's calibration for
+    the near-uniform driver embeddings."""
+    from geist_spark.operators.similarity import (
+        embedding_buckets,
+        incremental_embedding_near_dup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = embedding_buckets(corpus, num_planes=4)
+    return incremental_embedding_near_dup(
+        batch, index, threshold=0.3, num_planes=4
+    )
+
+
 def s_cross_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination: train-vs-eval embedding near-dup
     (similarity.cross_corpus_leakage). Eval slice = vec_id < 100
@@ -4180,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_card_scrub": t_card_scrub,
         "q_kcore": q_kcore,
         "t_quality_multilang": t_quality_multilang,
+        "s_incremental_embed": s_incremental_embed,
     }
 
 
@@ -5119,6 +5145,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "s_embedding_near_dup": _near_dup_oracle(threshold=0.3, num_planes=4, dim=64),
+        "s_incremental_embed": _incremental_embed_oracle(
+            threshold=0.3, num_planes=4, dim=64
+        ),
         "s_ann_lsh": _ann_lsh_oracle(num_planes=4, dim=64, k=5, n_queries=10),
         "s_ann_recall": _ann_recall_oracle(k=5),
         "s_ann_ivf": _ann_ivf_oracle(n_cells=8, nprobe=2, k=5, n_queries=10),
@@ -9627,6 +9656,41 @@ def _cross_leakage_oracle(
           AND round(list_dot_product(tr.v, ev.v)
               / (sqrt(list_dot_product(tr.v, tr.v))
                  * sqrt(list_dot_product(ev.v, ev.v))), 6) >= {threshold}
+    """
+
+
+def _incremental_embed_oracle(
+    threshold: float, num_planes: int, dim: int
+) -> str:
+    """DuckDB replay of s_incremental_embed: the same md5-hyperplane
+    sign buckets on BOTH slices (similarity._bucket_signature), batch
+    slice (vec_id % 5 = 0) equi-joined to the corpus-index slice
+    (vec_id % 5 != 0) on the bucket id, exact cosine confirm."""
+    from geist_spark.operators.similarity import _hyperplane
+
+    plane_dots = []
+    for p in range(num_planes):
+        lits = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        plane_dots.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        )
+        SELECT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
+               round(list_dot_product(n.v, c.v)
+                     / (sqrt(list_dot_product(n.v, n.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM bucketed n JOIN bucketed c
+          ON n.bucket = c.bucket
+        WHERE n.vec_id % 5 = 0 AND c.vec_id % 5 != 0
+          AND round(list_dot_product(n.v, c.v)
+              / (sqrt(list_dot_product(n.v, n.v))
+                 * sqrt(list_dot_product(c.v, c.v))), 6) >= {threshold}
     """
 
 

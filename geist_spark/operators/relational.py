@@ -602,15 +602,21 @@ def pivot_table(
                 F.count(F.lit(1)).alias("n"),
             )
         )
+        # backtick-quoted resolution so pivot values containing dots
+        # (or backticks) resolve as literal column names, never as
+        # nested-field accessor paths
+        def _qcol(name: str) -> F.Column:
+            return F.col("`" + name.replace("`", "``") + "`")
+
         return wide.select(
             *row_keys,
             *[
                 c
                 for v in pivot_values
                 for c in (
-                    F.col(f"{v}_sum"),
+                    _qcol(f"{v}_sum"),
                     F.coalesce(
-                        F.col(f"{v}_n"), F.lit(0).cast("long")
+                        _qcol(f"{v}_n"), F.lit(0).cast("long")
                     ).alias(f"{v}_n"),
                 )
             ],

@@ -217,17 +217,25 @@ def embedding_buckets(
     embeddings: DataFrame, num_planes: int = 8, dim: int = 64
 ) -> DataFrame:
     """Persistable hyperplane-bucket index rows for a corpus slice:
-    (vec_id, embedding, bucket, nrm). This IS the stored ANN index of
-    the streaming ingest path — each micro-batch appends its rows
-    (parquet/Delta append), later batches probe it with
-    incremental_embedding_near_dup. Buckets and norms are
+    (vec_id, embedding, bucket, nrm, num_planes, dim). This IS the
+    stored ANN index of the streaming ingest path — each micro-batch
+    appends its rows (parquet/Delta append), later batches probe it
+    with incremental_embedding_near_dup. Buckets and norms are
     deterministic (md5 hyperplanes, no RNG state), so index rows
-    written on any executor at any time agree bit-for-bit."""
+    written on any executor at any time agree bit-for-bit.
+
+    num_planes/dim travel WITH the index rows (constant columns —
+    parquet RLE makes them free): a stored index probed with
+    mismatched parameters would silently produce near-zero recall
+    (disjoint bucket spaces), so the probe validates them up front
+    instead of joining into the void."""
     return fan_out(embeddings).select(
         "vec_id",
         "embedding",
         _bucket_signature(num_planes, dim).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
+        F.lit(num_planes).alias("num_planes"),
+        F.lit(dim).alias("dim"),
     )
 
 
@@ -246,12 +254,41 @@ def incremental_embedding_near_dup(
     Returns (new_vec_id, corpus_vec_id, cosine) pairs at or above
     `threshold`. Each vector owns exactly ONE bucket (single
     signature, not banded), so a pair can join at most once — no
-    distinct pass needed. The id inequality makes replayed batches
-    idempotent against an index that already contains them. The
-    stored index side carries hint('merge'): the corpus index must
-    never be a misestimated broadcast build side (the measured 16x
-    failure mode of derived-frame broadcasts); the batch side is left
-    to AQE, which sees its true (small) shuffle size."""
+    distinct pass needed.
+
+    Delivery contract: AT-LEAST-ONCE under foreachBatch retries. If a
+    retry fires AFTER the failed attempt already appended the batch's
+    rows to the index, the replayed probe re-emits every pair AND
+    emits within-batch pairs in both orientations (the join predicate
+    is `!=`, not `<`, because the new/corpus roles are asymmetric).
+    Sinks needing set-idempotency should normalize downstream —
+    `least(new_vec_id, corpus_vec_id), greatest(...)` + dedup by that
+    key — or append the index only after the pair sink commits.
+
+    Parameter safety: when the stored index carries the
+    num_planes/dim metadata columns (embedding_buckets writes them),
+    they are validated against this probe's parameters with one
+    limit(1) scan BEFORE the join — a mismatched probe would
+    otherwise silently return near-zero recall (disjoint bucket
+    spaces), the worst failure mode (no error, wrong answer). Indexes
+    persisted before the metadata existed skip the check.
+
+    The stored index side carries hint('merge'): the corpus index
+    must never be a misestimated broadcast build side (the measured
+    16x failure mode of derived-frame broadcasts); the batch side is
+    left to AQE, which sees its true (small) shuffle size."""
+    if {"num_planes", "dim"} <= set(index.columns):
+        meta = index.select("num_planes", "dim").limit(1).collect()
+        if meta and (
+            meta[0]["num_planes"] != num_planes or meta[0]["dim"] != dim
+        ):
+            raise ValueError(
+                "incremental_embedding_near_dup: stored index was built "
+                f"with num_planes={meta[0]['num_planes']}, "
+                f"dim={meta[0]['dim']} but the probe was called with "
+                f"num_planes={num_planes}, dim={dim} — bucket spaces are "
+                "disjoint; probe with the index's parameters"
+            )
     probe = embedding_buckets(new_vectors, num_planes=num_planes, dim=dim)
     n, c = probe.alias("n"), index.hint("merge").alias("c")
     cos = _dot(F.col("n.embedding"), F.col("c.embedding")) / (

@@ -724,6 +724,27 @@ def merge_term_stats(*parts: DataFrame) -> DataFrame:
     )
 
 
+# languages that are NOT whitespace-delimited: keyword extraction must
+# tokenize at character grain (universal_tokens) — whitespace tokens()
+# would hand RAKE/TextRank whole sentences as single "words" and the
+# stopword delimiting would never fire (silently meaningless phrases)
+CHAR_GRAIN_LANGS = frozenset({"zh"})
+
+
+def _keyword_tokens(col: F.Column, lang: str) -> F.Column:
+    """Tokenizer selection for keyword extraction: whitespace tokens()
+    for space-delimited languages, universal_tokens (single Han chars)
+    for CJK. Punctuation is NOT a special delimiter on either path —
+    whitespace tokens keep trailing punctuation attached, char-grain
+    keeps punctuation runs as ordinary tokens — matching the existing
+    en contract."""
+    if lang in CHAR_GRAIN_LANGS:
+        return universal_tokens(col)
+    from geist_spark.operators.dedup import tokens
+
+    return tokens(col)
+
+
 def _resolve_stopwords(
     stopwords: list[str] | None, lang: str
 ) -> list[str]:
@@ -768,15 +789,24 @@ def rake_keywords(
     rewrite does NOT fire for empty partition specs — verified). The
     rank column is then numbered on the k surviving rows.
 
+    Language handling: `lang` selects BOTH the stopword list and the
+    tokenizer — CHAR_GRAIN_LANGS (zh) route through universal_tokens,
+    so a Chinese document yields single-Han-char tokens and the
+    single-char zh stopwords (的 了 是 …) actually delimit runs;
+    whitespace tokenization would hand the whole sentence over as one
+    token and emit sentence-sized "phrases". Char-grain phrases are
+    still space-joined internally (the word-stat split depends on it);
+    n_words counts CHARACTERS for zh. An explicit stopwords= list does
+    not change the tokenizer — lang alone picks it.
+
     Returns (phrase, n_words, n_occ, score_fx, rank), rank 1..top_k by
     score_fx desc then phrase asc.
     """
-    from geist_spark.operators.dedup import tokens
-
     stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
     tok = documents.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        "doc_id",
+        F.posexplode(_keyword_tokens(F.col("text"), lang)).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
     ns = tok.filter(~F.array_contains(stop_arr, F.col("tok")))
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -863,15 +893,21 @@ def textrank_keywords(
     tasks forward local top-n only, no global sort), numbered on the
     n survivors.
 
+    Language handling matches rake_keywords: `lang` picks the
+    tokenizer too — CHAR_GRAIN_LANGS (zh) tokenize at Han-char grain
+    via universal_tokens, so the co-occurrence graph is between
+    adjacent CHARACTERS and zh stopword chars actually drop out;
+    whitespace tokens would make every Chinese sentence one node.
+
     Returns (word, pr, rank), rank 1..top_n by pr desc then word asc.
     """
-    from geist_spark.operators.dedup import tokens
     from geist_spark.operators.graph import pagerank
 
     stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
     tok = documents.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        "doc_id",
+        F.posexplode(_keyword_tokens(F.col("text"), lang)).alias("pos", "tok"),
     ).filter(
         (F.col("tok") != "") & ~F.array_contains(stop_arr, F.col("tok"))
     )

@@ -1365,6 +1365,28 @@ def test_streaming_embedding_near_dup_matches_batch(spark, tmp_path):
     )
 
 
+def test_incremental_embedding_param_mismatch_raises(spark):
+    """A stored embedding_buckets index probed with different
+    num_planes/dim must raise (disjoint bucket spaces would silently
+    return near-zero recall); pre-metadata indexes skip the check."""
+    from geist_spark.operators.similarity import (
+        embedding_buckets,
+        incremental_embedding_near_dup,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(20)
+    )
+    index = embedding_buckets(emb, num_planes=4)
+    with pytest.raises(ValueError, match="num_planes=4"):
+        incremental_embedding_near_dup(emb, index, num_planes=8)
+    # legacy index without metadata columns: no validation, no error
+    legacy = index.drop("num_planes", "dim")
+    incremental_embedding_near_dup(emb, legacy, num_planes=8).collect()
+
+
 def test_sequence_stream_ordered_sequences(spark, tmp_path):
     """Streaming sequence assembly: closed sessions emit the ordered
     type:epoch_us text, matching the batch renderer's format, with
@@ -2347,6 +2369,25 @@ def test_pivot_table_with_counts_golden(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan") == 1
+
+
+def test_pivot_table_dotted_pivot_values(spark):
+    """Pivot values containing dots must resolve as literal column
+    names (backtick-quoted), not nested-field accessor paths."""
+    from geist_spark.operators.relational import pivot_table
+
+    df = spark.createDataFrame(
+        [("p1", "v1.5", 10.0), ("p1", "v2.0", 3.0), ("p2", "v1.5", 1.0)],
+        "pri string, st string, amt double",
+    )
+    out = {
+        r["pri"]: r
+        for r in pivot_table(
+            df, ["pri"], "st", ["v1.5", "v2.0"], "amt", with_counts=True
+        ).collect()
+    }
+    assert (out["p1"]["v1.5_sum"], out["p1"]["v1.5_n"]) == (10.0, 1)
+    assert (out["p2"]["v2.0_sum"], out["p2"]["v2.0_n"]) == (None, 0)
 
 
 def test_credit_card_scrub_luhn_gate(spark):

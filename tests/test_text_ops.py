@@ -371,3 +371,43 @@ def test_rake_lang_selection_and_unknown_raises(spark):
     assert "schnelle hund" in phrases and "kluge katze" in phrases
     with pytest.raises(ValueError, match="stopword"):
         rake_keywords(df, lang="sw")
+
+
+def test_rake_zh_char_grain(spark):
+    """lang='zh' tokenizes at Han-char grain: the single-char zh
+    stopwords (的/了/是/在) actually delimit runs, so phrases are short
+    char runs — never the whole (space-free) sentence as one token."""
+    from geist_spark.operators.text import rake_keywords
+
+    # "模型的训练数据是大规模语料" — 的 and 是 are zh stopwords and
+    # must split the sentence into three candidate runs
+    df = spark.createDataFrame(
+        [(1, "模型的训练数据是大规模语料"), (2, "训练数据的质量")],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(df, lang="zh", top_k=10).collect()
+    phrases = {r["phrase"]: r["n_words"] for r in rows}
+    # char-grain phrases are space-joined characters
+    assert "模 型" in phrases and phrases["模 型"] == 2
+    assert "训 练 数 据" in phrases and phrases["训 练 数 据"] == 4
+    assert "大 规 模 语 料" in phrases
+    # the un-split whole sentence must NOT appear anywhere
+    assert all(len(p.split(" ")) <= 6 for p in phrases)
+    # shared run across docs counted once per occurrence
+    assert rows and all(r["n_occ"] >= 1 for r in rows)
+
+
+def test_textrank_zh_char_grain(spark):
+    """lang='zh' builds the co-occurrence graph between adjacent Han
+    CHARACTERS (stopword chars removed), not whole sentences."""
+    from geist_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [(1, "训练数据的训练数据"), (2, "数据质量")],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(df, lang="zh", top_n=10).collect()
+    words = {r["word"] for r in rows}
+    # nodes are single characters; 的 (stopword) is absent
+    assert words <= {"训", "练", "数", "据", "质", "量"}
+    assert "的" not in words and len(words) >= 4

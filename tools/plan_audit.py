@@ -74,6 +74,8 @@ SMJ_WAIVED = {
     # is the expected audit shape, not a regression:
     "d_minhash_pairs",       # banded LSH index self-join
     "d_incremental_dedup",   # band index probe
+    "s_incremental_embed",   # embedding bucket-index probe (merge-pinned
+                             # corpus side; batch side left to AQE)
     "d_ngram_jaccard",       # shingle inverted index
     "d_verified_pairs",      # LSH candidates + shingle verify
     "d_source_overlap",      # cross-source content-hash join
