@@ -1017,9 +1017,14 @@ def verified_near_dup_pairs(
     all pairs, so the quadratic term stays bounded by what LSH emits.
 
     Shape: candidates (bucketed band join) -> join each side's shingle
-    set on (doc_id, shingle) to count the intersection -> sizes from a
-    per-doc count. All equi-joins on doc/shingle keys; the exact-
-    confirm cost is O(candidate pairs x avg shingles), the same
+    set on (doc_id, shingle) to count the intersection. Per-doc
+    shingle COUNTS ride along as a window over the shingle table
+    instead of a separate aggregate + two post-group joins: the
+    count-over-doc_id window needs exactly the exchange+sort the
+    doc_a confirm join needs anyway, so n_a/n_b arrive for free and
+    the plan drops three joins' worth of exchanges (14 -> 11 and
+    SMJ 5 -> 3 at sf0.01, audited round 6). All equi-joins on doc/shingle keys; the
+    exact-confirm cost is O(candidate pairs x avg shingles), the same
     prefilter->confirm economics as bloom_decontaminate."""
     cands = minhash_lsh_pairs(
         documents,
@@ -1029,30 +1034,33 @@ def verified_near_dup_pairs(
         max_bucket_size=max_bucket_size,
     )
     sh = shingles(documents, k=k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sized = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    xa = sized.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    xb = sized.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
     inter = (
         # merge hints: xa/xb are the corpus shingle table (candidate
         # pairs are LSH-bounded, but the shingle sides are not)
         cands.join(xa.hint("merge"), "doc_a")
         .join(xb.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        # n_a/n_b are constant per (doc_a, doc_b); grouping by them
+        # keeps the single pair-grain exchange
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.hint("merge").select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.hint("merge").select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
         F.col("n_common")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         6,
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "doc_a", "doc_b", "n_common", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def source_overlap_matrix(documents: DataFrame) -> DataFrame:

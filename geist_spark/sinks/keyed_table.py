@@ -14,6 +14,20 @@ Scale notes: appends are partitioned parquet writes (no shuffle);
 readback keep-last-N is a window per key — at 100 TB the table should
 be partitioned by key range/date and the window runs partition-local
 after AQE; the hot path (stream_load) never shuffles.
+
+writeMode="merge" (round 6) upserts per micro-batch WITHOUT a
+full-table rewrite: the table is laid out in `mergeBuckets` key-hash
+partitions (__key_bucket = pmod(xxhash64(row_key), n)); each batch
+reads ONLY the buckets its keys touch (partition-pruned scan), merges
+batch+existing keeping the newest maxVersions (default 1) rows per
+key, and dynamically overwrites just those bucket partitions. Cost is
+O(touched buckets), not O(table) — a streaming CDC feed whose batch
+touches k buckets rewrites k/n of the table per trigger. Point
+lookups (extract_key_value) fold the key's bucket id to a literal so
+the scan prunes to one partition. Crash mid-overwrite can leave a
+subset of buckets updated; replaying the batch re-merges to the same
+fixed point when rows carry stable ingestion times (ts ties keep the
+incoming copy), so retries converge instead of duplicating.
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ from geist_spark.spec.model import GEIST_INGESTION_TIME, Spec
 
 ROW_KEY_COL = "__row_key"
 INGESTION_TS_COL = "__geist_ingestion_time"
+KEY_BUCKET_COL = "__key_bucket"
 
 
 class KeyedTableLoader(Loader, SinkExtractor):
@@ -53,6 +68,32 @@ class KeyedTableLoader(Loader, SinkExtractor):
         # writes its own epoch partition with dynamic overwrite, so a
         # replayed epoch replaces itself instead of appending twice
         self.epoch_idempotent: bool = bool(cfg.get("epochIdempotent", False))
+        # writeMode="merge": per-batch key upsert over a key-hash
+        # bucket layout (module docstring) — maxVersions-aware
+        self.write_mode: str = cfg.get("writeMode", "append")
+        self.merge_buckets: int = int(cfg.get("mergeBuckets", 64))
+        if self.write_mode not in ("append", "merge"):
+            raise SinkError(
+                f"keyed_table sink for {spec.id}: unknown writeMode "
+                f"{self.write_mode!r} (append|merge)"
+            )
+        if self.write_mode == "merge":
+            if not self.key_fields:
+                raise SinkError(
+                    f"keyed_table sink for {spec.id}: writeMode=merge "
+                    "requires rowKeyFields"
+                )
+            if self.epoch_idempotent:
+                raise SinkError(
+                    f"keyed_table sink for {spec.id}: epochIdempotent and "
+                    "writeMode=merge are mutually exclusive layouts "
+                    "(epoch partitions vs key-bucket partitions)"
+                )
+            if self.merge_buckets < 1:
+                raise SinkError(
+                    f"keyed_table sink for {spec.id}: mergeBuckets must "
+                    "be >= 1"
+                )
 
     def stream_load(self, df: DataFrame, epoch_id: int = 0) -> str:
         out = df
@@ -101,14 +142,71 @@ class KeyedTableLoader(Loader, SinkExtractor):
                 .partitionBy("__epoch")
                 .parquet(self.path)
             )
+        elif self.write_mode == "merge":
+            self._merge_write(out)
         else:
             out.write.mode("append").parquet(self.path)
         return os.path.basename(self.path.rstrip("/"))
 
+    def _bucket_of(self, key_col: F.Column) -> F.Column:
+        return F.pmod(
+            F.xxhash64(key_col), F.lit(self.merge_buckets)
+        ).cast("int")
+
+    def _merge_write(self, out: DataFrame) -> None:
+        """Key-merge one micro-batch into the bucket-partitioned table:
+        union the batch with ONLY its touched bucket partitions, keep
+        the newest `maxVersions` (default 1 = pure upsert) rows per
+        key — ingestion-time desc, ties keep the INCOMING copy so a
+        replayed batch converges — then dynamically overwrite just
+        those partitions. The merged frame is eagerly checkpointed
+        before the write: Spark refuses to overwrite a path it is
+        still reading from, and per repo cache policy no lazy fragment
+        may leak (the checkpoint is micro-batch + touched-buckets
+        sized, never the table)."""
+        out = out.withColumn(KEY_BUCKET_COL, self._bucket_of(F.col(ROW_KEY_COL)))
+        keep = self.max_versions or 1
+        merged = out.withColumn("__incoming", F.lit(1))
+        try:
+            existing = self.spark.read.parquet(self.path)
+        except Exception:
+            existing = None  # first batch: nothing to merge with
+        if existing is not None:
+            # bounded probe: touched bucket ids (<= mergeBuckets values)
+            touched = [
+                r[0] for r in out.select(KEY_BUCKET_COL).distinct().collect()
+            ]
+            merged = existing.filter(
+                F.col(KEY_BUCKET_COL).isin(touched)
+            ).withColumn("__incoming", F.lit(0)).unionByName(merged)
+        w = Window.partitionBy(ROW_KEY_COL).orderBy(
+            F.col(INGESTION_TS_COL).desc(), F.col("__incoming").desc()
+        )
+        merged = (
+            merged.withColumn("__v", F.row_number().over(w))
+            .filter(F.col("__v") <= keep)
+            .drop("__v", "__incoming")
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(KEY_BUCKET_COL)
+            .parquet(self.path)
+        )
+
     # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----
 
-    def _read(self) -> DataFrame:
+    def _read(self, key: str | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.path)
+        if key is not None:
+            df = df.filter(F.col(ROW_KEY_COL) == key)
+            if KEY_BUCKET_COL in df.columns:
+                # xxhash64(lit) constant-folds, so this prunes the
+                # scan to the key's single bucket partition
+                df = df.filter(
+                    F.col(KEY_BUCKET_COL) == self._bucket_of(F.lit(key))
+                )
         if self.max_versions:
             w = Window.partitionBy(ROW_KEY_COL).orderBy(F.col(INGESTION_TS_COL).desc())
             df = (
@@ -116,14 +214,17 @@ class KeyedTableLoader(Loader, SinkExtractor):
                 .filter(F.col("__v") <= self.max_versions)
                 .drop("__v")
             )
+        if KEY_BUCKET_COL in df.columns:
+            df = df.drop(KEY_BUCKET_COL)  # internal layout detail
         return df
 
     def extract_all(self) -> DataFrame:
         return self._read()
 
     def extract_key_value(self, key: str) -> DataFrame:
-        # partition-prunable equality filter on the key column
-        return self._read().filter(F.col(ROW_KEY_COL) == key)
+        # partition-prunable equality filter on the key column (plus
+        # bucket-id pruning on merge-layout tables)
+        return self._read(key=key)
 
     def extract_composite_key_value(self, parts: dict[str, str]) -> DataFrame:
         """QueryTypeCompositeKeyValue (entity/extractor.go:114-132):

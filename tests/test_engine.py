@@ -338,6 +338,141 @@ def test_epoch_idempotent_replay(engine, spark):
     assert rows == ["a", "b", "c"]
 
 
+def test_merge_write_mode_upsert_and_replay(spark):
+    """writeMode=merge: per-batch key upsert over the bucket layout —
+    latest row per key wins, maxVersions retention applies at WRITE
+    time, a replayed batch converges (ts ties keep the incoming copy),
+    and untouched keys in other buckets are left alone."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrg", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 8},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "name string, amount long, `@GeistIngestionTime` timestamp"
+        )
+
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    loader.stream_load(batch([("a", 1, t(1)), ("b", 2, t(1))]), epoch_id=0)
+    # upsert a, insert c; b's bucket may or may not be touched — its
+    # row must survive either way
+    loader.stream_load(batch([("a", 10, t(2)), ("c", 3, t(2))]), epoch_id=1)
+    got = {r["name"]: r["amount"] for r in loader.extract_all().collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
+    # replaying the same batch converges (no duplicates, same values)
+    loader.stream_load(batch([("a", 10, t(2)), ("c", 3, t(2))]), epoch_id=1)
+    rows = loader.extract_all().collect()
+    assert len(rows) == 3
+    assert {r["name"]: r["amount"] for r in rows} == {"a": 10, "b": 2, "c": 3}
+    # point lookup prunes to the key's bucket and returns the winner
+    assert [r["amount"] for r in loader.extract_key_value("a").collect()] == [10]
+
+
+def test_merge_write_mode_max_versions(spark):
+    """writeMode=merge with maxVersions=2 keeps the two NEWEST rows
+    per key physically (write-time GC, not readback-time)."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader, ROW_KEY_COL
+    from geist_spark.spec.model import parse_spec
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgv", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 4,
+                  "maxVersions": 2},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+    import datetime as dt
+    for s, amt in [(1, 1), (2, 2), (3, 3)]:
+        loader.stream_load(spark.createDataFrame(
+            [("a", amt, dt.datetime(2024, 1, 1, 0, 0, s))],
+            "name string, amount long, `@GeistIngestionTime` timestamp",
+        ), epoch_id=s)
+    # physically stored: only the 2 newest versions survive the merge
+    stored = spark.read.parquet(path).collect()
+    assert sorted(r["amount"] for r in stored) == [2, 3]
+    assert sorted(r["amount"] for r in loader.extract_all().collect()) == [2, 3]
+
+
+def test_merge_write_mode_streaming_cdc(spark, tmp_path):
+    """Streaming e2e: a CDC file stream upserts through foreachBatch
+    -> the table converges to the latest row per key without a
+    full-table rewrite (bucket partitions on disk prove the layout)."""
+    import glob
+    import os
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgs", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 8},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+    src = str(tmp_path / "cdc_src")
+    import datetime as dt
+    for i, rows in enumerate([
+        [("a", 1), ("b", 2)],
+        [("a", 10), ("c", 3)],
+        [("b", 20), ("a", 100)],
+    ]):
+        spark.createDataFrame(
+            [(n, v, dt.datetime(2024, 1, 1, 0, i)) for n, v in rows],
+            "name string, amount long, `@GeistIngestionTime` timestamp",
+        ).coalesce(1).write.parquet(src, mode="append" if i else "overwrite")
+
+    stream = (
+        spark.readStream.schema(
+            "name string, amount long, `@GeistIngestionTime` timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: loader.stream_load(bdf, epoch_id=bid)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {r["name"]: r["amount"] for r in loader.extract_all().collect()}
+    assert got == {"a": 100, "b": 20, "c": 3}
+    # bucket-partition layout on disk (the no-full-rewrite contract)
+    assert glob.glob(os.path.join(path, "__key_bucket=*"))
+
+
+def test_merge_write_mode_spec_errors(spark):
+    """merge mode misconfiguration raises typed SinkError at build
+    time: missing rowKeyFields, epochIdempotent conflict, bad mode."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    from geist_spark.sinks.base import SinkError
+
+    def build(cfg):
+        cfg = {"path": new_temp_path(), **cfg}
+        return KeyedTableLoader(spark, parse_spec(
+            make_spec(suffix="bad", sink_type="keyedTable", sink_cfg=cfg)
+        ))
+
+    with pytest.raises(SinkError, match="rowKeyFields"):
+        build({"writeMode": "merge"})
+    with pytest.raises(SinkError, match="mutually exclusive"):
+        build({"writeMode": "merge", "rowKeyFields": ["name"],
+               "epochIdempotent": True})
+    with pytest.raises(SinkError, match="writeMode"):
+        build({"writeMode": "replace", "rowKeyFields": ["name"]})
+
+
 def test_insert_id_dedup_within_batch(spark):
     """bigquery insertIdFromId semantics (SURVEY §2.2): duplicate
     insert ids inside one load batch collapse to one stored row."""
