@@ -17,25 +17,31 @@ from geist_spark.operators.dedup import normalize_text, tokens
 
 # deliberately tiny, deterministic stopword sets (heuristic lang-id).
 # Public lists: top function words per language; zh entries are the
-# highest-frequency particles/pronouns (的 了 是 在 我 有 和 就 不 人).
-# zh MUST stay last: ties in language_id resolve to the earliest
-# language in this dict order, and both existing oracles pin that.
+# highest-frequency particles/pronouns (的 了 是 在 我 有 和 就 不 人),
+# ja the highest-frequency single-kana particles (の は に を が …).
+# The CJK entries MUST stay last, zh before ja: ties in language_id
+# resolve to the earliest language in this dict order, and the
+# existing oracles pin that ordering.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
     "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
     "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "por"],
     "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+    "ja": ["の", "は", "に", "を", "が", "と", "で", "て", "も", "だ"],
 }
 
 # CJK Unified Ideographs base block — the deterministic, engine-portable
 # core (Java and RE2 both accept \x{...}; script names are spelled
 # differently per engine, so the explicit range is used in oracles too)
 _HAN = r"\x{4e00}-\x{9fff}"
-# one Han character per token; everything else tokenizes as non-space
-# runs (identical to whitespace tokenization on whitespace-delimited
-# text — CJK has no word spaces, so char-grain is the standard fallback)
-UNIVERSAL_TOKEN_RE = rf"[{_HAN}]|[^\s{_HAN}]+"
+# hiragana (3040-309f) + katakana (30a0-30ff): one contiguous block
+_KANA = r"\x{3040}-\x{30ff}"
+# one Han/kana character per token; everything else tokenizes as
+# non-space runs (identical to whitespace tokenization on whitespace-
+# delimited text — CJK has no word spaces, so char-grain is the
+# standard fallback)
+UNIVERSAL_TOKEN_RE = rf"[{_HAN}{_KANA}]|[^\s{_HAN}{_KANA}]+"
 
 
 def universal_tokens(text: F.Column) -> F.Column:
@@ -728,7 +734,7 @@ def merge_term_stats(*parts: DataFrame) -> DataFrame:
 # tokenize at character grain (universal_tokens) — whitespace tokens()
 # would hand RAKE/TextRank whole sentences as single "words" and the
 # stopword delimiting would never fire (silently meaningless phrases)
-CHAR_GRAIN_LANGS = frozenset({"zh"})
+CHAR_GRAIN_LANGS = frozenset({"zh", "ja"})
 
 
 def _keyword_tokens(col: F.Column, lang: str) -> F.Column:

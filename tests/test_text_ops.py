@@ -355,6 +355,43 @@ def test_language_id_detects_real_chinese(spark):
     assert out[3]["predicted_lang"] == "de"
 
 
+def test_language_id_detects_japanese_kana(spark):
+    """Kana chars tokenize at char grain (hiragana/katakana ranges in
+    the universal tokenizer), so a real Japanese sentence — no spaces,
+    kana particles — predicts ja; zh text keeps predicting zh (ja is
+    last in STOPWORDS, so zh wins any tie)."""
+    from geist_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            # これはペンですがノートもある: particles は/が/も are ja
+            # stopword chars; katakana ペン/ノート are char tokens
+            (1, "これはペンですがノートもある", "ja"),
+            (2, "我是学生我有人", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in language_id(df).collect()}
+    assert out[1]["predicted_lang"] == "ja" and out[1]["score_ja"] > 0
+    assert out[2]["predicted_lang"] == "zh"
+
+
+def test_rake_ja_char_grain(spark):
+    """lang='ja' routes through the char-grain tokenizer: kana
+    particles delimit runs over mixed kanji+katakana text."""
+    from geist_spark.operators.text import rake_keywords
+
+    # 東京の会社でデータ分析 — の and で are ja stopword chars
+    df = spark.createDataFrame(
+        [(1, "東京の会社でデータ分析")], "doc_id long, text string"
+    )
+    phrases = {
+        r["phrase"] for r in rake_keywords(df, lang="ja", top_k=10).collect()
+    }
+    assert "東 京" in phrases and "会 社" in phrases
+    assert "デ ー タ 分 析" in phrases
+
+
 def test_rake_lang_selection_and_unknown_raises(spark):
     """lang= selects the stopword list; unknown languages raise a
     typed error instead of silently scoring against en."""
