@@ -593,23 +593,24 @@ def pivot_table(
     sum, 0 count — Spark's pivot leaves BOTH NULL, so the count
     columns are coalesced to 0 post-pivot (count(*) FILTER over an
     empty set is 0, never NULL)."""
+    # backtick-quoted resolution so row keys and pivot values
+    # containing dots (or backticks) resolve as literal top-level
+    # column names, never as nested-field accessor paths — pivot
+    # values especially, since they become GENERATED names ({v}_sum)
+    def _qcol(name: str) -> F.Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     if with_counts:
         wide = (
-            df.groupBy(*row_keys)
+            df.groupBy(*[_qcol(k) for k in row_keys])
             .pivot(pivot_col, pivot_values)
             .agg(
                 exact_sum(value_col).alias("sum"),
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        # backtick-quoted resolution so pivot values containing dots
-        # (or backticks) resolve as literal column names, never as
-        # nested-field accessor paths
-        def _qcol(name: str) -> F.Column:
-            return F.col("`" + name.replace("`", "``") + "`")
-
         return wide.select(
-            *row_keys,
+            *[_qcol(k) for k in row_keys],
             *[
                 c
                 for v in pivot_values
@@ -622,7 +623,7 @@ def pivot_table(
             ],
         )
     return (
-        df.groupBy(*row_keys)
+        df.groupBy(*[_qcol(k) for k in row_keys])
         .pivot(pivot_col, pivot_values)
         .agg(exact_sum(value_col))
     )

@@ -267,18 +267,32 @@ def incremental_embedding_near_dup(
 
     Parameter safety: when the stored index carries the
     num_planes/dim metadata columns (embedding_buckets writes them),
-    they are validated against this probe's parameters with one
-    limit(1) scan BEFORE the join — a mismatched probe would
-    otherwise silently return near-zero recall (disjoint bucket
-    spaces), the worst failure mode (no error, wrong answer). Indexes
-    persisted before the metadata existed skip the check.
+    the first metadata-CARRYING row is validated against this probe's
+    parameters with one bounded limit(1) scan BEFORE the join — a
+    mismatched probe would otherwise silently return near-zero recall
+    (disjoint bucket spaces), the worst failure mode (no error, wrong
+    answer). Rows with NULL metadata (a pre-metadata index that has
+    since received new appends — NULL-filled by parquet schema merge)
+    are skipped, never misread as num_planes=None; a fully legacy
+    index skips the check. The probe is deliberately bounded: an
+    index whose rows disagree WITH EACH OTHER is corrupt by
+    construction and is only probabilistically caught — proving
+    internal consistency would cost a full metadata scan per
+    micro-batch.
 
     The stored index side carries hint('merge'): the corpus index
     must never be a misestimated broadcast build side (the measured
     16x failure mode of derived-frame broadcasts); the batch side is
     left to AQE, which sees its true (small) shuffle size."""
     if {"num_planes", "dim"} <= set(index.columns):
-        meta = index.select("num_planes", "dim").limit(1).collect()
+        meta = (
+            index.select("num_planes", "dim")
+            .filter(
+                F.col("num_planes").isNotNull() & F.col("dim").isNotNull()
+            )
+            .limit(1)
+            .collect()
+        )
         if meta and (
             meta[0]["num_planes"] != num_planes or meta[0]["dim"] != dim
         ):

@@ -153,24 +153,69 @@ class KeyedTableLoader(Loader, SinkExtractor):
             F.xxhash64(key_col), F.lit(self.merge_buckets)
         ).cast("int")
 
+    _MERGE_META_FILE = "_merge_buckets"
+
+    def _check_merge_meta(self) -> None:
+        """mergeBuckets is a PHYSICAL layout parameter: a table written
+        with n buckets and merged/read with m leaves stale rows
+        stranded in never-touched partitions (silent split-brain, the
+        same failure class the embedding-index metadata guard closes).
+        The bucket count is pinned in a sidecar file at first write
+        (underscore-prefixed: parquet readers skip it) and validated
+        before every merge and pruned point lookup."""
+        meta = os.path.join(self.path, self._MERGE_META_FILE)
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                stored = int(fh.read().strip())
+            if stored != self.merge_buckets:
+                raise SinkError(
+                    f"keyed_table {self.spec.id}: table at {self.path} was "
+                    f"written with mergeBuckets={stored} but the sink is "
+                    f"configured with mergeBuckets={self.merge_buckets} — "
+                    "rewrite the table or restore the original setting"
+                )
+        elif os.path.isdir(self.path):
+            with open(meta, "w") as fh:
+                fh.write(str(self.merge_buckets))
+
     def _merge_write(self, out: DataFrame) -> None:
         """Key-merge one micro-batch into the bucket-partitioned table:
         union the batch with ONLY its touched bucket partitions, keep
         the newest `maxVersions` (default 1 = pure upsert) rows per
-        key — ingestion-time desc, ties keep the INCOMING copy so a
-        replayed batch converges — then dynamically overwrite just
-        those partitions. The merged frame is eagerly checkpointed
-        before the write: Spark refuses to overwrite a path it is
-        still reading from, and per repo cache policy no lazy fragment
-        may leak (the checkpoint is micro-batch + touched-buckets
-        sized, never the table)."""
-        out = out.withColumn(KEY_BUCKET_COL, self._bucket_of(F.col(ROW_KEY_COL)))
+        key, then dynamically overwrite just those partitions.
+
+        Replay convergence: versions are keyed by (row key, ingestion
+        time) — first a per-(key, ts) dedup keeps ONE copy (incoming
+        preferred), then the keep-last-N window orders by ts desc. A
+        replayed batch therefore converges for ANY maxVersions: the
+        incoming copy replaces its stored twin instead of stacking a
+        duplicate that would evict a genuine older version. Rows
+        needing distinct versions must carry distinct ingestion times
+        (the reference's bigtable cell-timestamp contract).
+
+        The batch pipeline is eagerly checkpointed BEFORE the touched-
+        bucket probe so source transforms run once, not once for the
+        probe and again for the merge; the merged frame is checkpointed
+        again because Spark refuses to overwrite a path it still reads
+        from. Both checkpoints are micro-batch + touched-buckets sized,
+        never the table; per repo cache policy no lazy fragment leaks.
+        """
+        self._check_merge_meta()
+        out = out.withColumn(
+            KEY_BUCKET_COL, self._bucket_of(F.col(ROW_KEY_COL))
+        ).localCheckpoint(eager=True)
         keep = self.max_versions or 1
         merged = out.withColumn("__incoming", F.lit(1))
         try:
             existing = self.spark.read.parquet(self.path)
-        except Exception:
-            existing = None  # first batch: nothing to merge with
+        except Exception as exc:
+            # ONLY path-not-found means "first batch". Any other read
+            # failure (transient FS error, corrupt footer) must abort:
+            # proceeding would dynamically overwrite touched buckets
+            # with the batch alone, silently deleting every other key.
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            existing = None
         if existing is not None:
             # bounded probe: touched bucket ids (<= mergeBuckets values)
             touched = [
@@ -179,13 +224,18 @@ class KeyedTableLoader(Loader, SinkExtractor):
             merged = existing.filter(
                 F.col(KEY_BUCKET_COL).isin(touched)
             ).withColumn("__incoming", F.lit(0)).unionByName(merged)
+        wv = Window.partitionBy(ROW_KEY_COL, INGESTION_TS_COL).orderBy(
+            F.col("__incoming").desc()
+        )
         w = Window.partitionBy(ROW_KEY_COL).orderBy(
-            F.col(INGESTION_TS_COL).desc(), F.col("__incoming").desc()
+            F.col(INGESTION_TS_COL).desc()
         )
         merged = (
-            merged.withColumn("__v", F.row_number().over(w))
+            merged.withColumn("__c", F.row_number().over(wv))
+            .filter(F.col("__c") == 1)
+            .withColumn("__v", F.row_number().over(w))
             .filter(F.col("__v") <= keep)
-            .drop("__v", "__incoming")
+            .drop("__c", "__v", "__incoming")
             .localCheckpoint(eager=True)
         )
         (
@@ -194,6 +244,7 @@ class KeyedTableLoader(Loader, SinkExtractor):
             .partitionBy(KEY_BUCKET_COL)
             .parquet(self.path)
         )
+        self._check_merge_meta()  # pin the layout at first write
 
     # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----
 
@@ -202,6 +253,9 @@ class KeyedTableLoader(Loader, SinkExtractor):
         if key is not None:
             df = df.filter(F.col(ROW_KEY_COL) == key)
             if KEY_BUCKET_COL in df.columns:
+                # a pruned lookup with the wrong bucket count would
+                # silently miss rows — validate the layout first
+                self._check_merge_meta()
                 # xxhash64(lit) constant-folds, so this prunes the
                 # scan to the key's single bucket partition
                 df = df.filter(

@@ -1385,6 +1385,15 @@ def test_incremental_embedding_param_mismatch_raises(spark):
     # legacy index without metadata columns: no validation, no error
     legacy = index.drop("num_planes", "dim")
     incremental_embedding_near_dup(emb, legacy, num_planes=8).collect()
+    # mixed index (legacy rows NULL-filled by schema merge + new rows
+    # with metadata): NULL rows are skipped, the metadata-carrying
+    # rows validate — no spurious raise, real mismatch still caught
+    mixed = legacy.withColumn(
+        "num_planes", F.lit(None).cast("int")
+    ).withColumn("dim", F.lit(None).cast("int")).unionByName(index)
+    incremental_embedding_near_dup(emb, mixed, num_planes=4).collect()
+    with pytest.raises(ValueError, match="num_planes=4"):
+        incremental_embedding_near_dup(emb, mixed, num_planes=8)
 
 
 def test_sequence_stream_ordered_sequences(spark, tmp_path):

@@ -402,6 +402,68 @@ def test_merge_write_mode_max_versions(spark):
     assert sorted(r["amount"] for r in loader.extract_all().collect()) == [2, 3]
 
 
+def test_merge_write_mode_replay_with_max_versions(spark):
+    """Replay convergence must hold for maxVersions>1: the replayed
+    copy REPLACES its stored (key, ts) twin instead of stacking a
+    duplicate that evicts a genuine older version."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgr", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 4,
+                  "maxVersions": 2},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+
+    def b(amt, s):
+        return spark.createDataFrame(
+            [("a", amt, dt.datetime(2024, 1, 1, 0, 0, s))],
+            "name string, amount long, `@GeistIngestionTime` timestamp",
+        )
+
+    loader.stream_load(b(1, 1), epoch_id=1)
+    loader.stream_load(b(2, 2), epoch_id=2)
+    loader.stream_load(b(2, 2), epoch_id=2)  # replay of epoch 2
+    stored = sorted(r["amount"] for r in spark.read.parquet(path).collect())
+    # both versions survive, the replayed one exactly once
+    assert stored == [1, 2]
+
+
+def test_merge_write_mode_bucket_count_pinned(spark):
+    """mergeBuckets is a physical layout parameter: reopening the
+    table with a different count raises instead of silently stranding
+    rows in stale buckets (merge side AND pruned-lookup side)."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    from geist_spark.sinks.base import SinkError
+    import datetime as dt
+
+    path = new_temp_path()
+
+    def loader(n):
+        return KeyedTableLoader(spark, parse_spec(make_spec(
+            suffix="mrgb", sink_type="keyedTable",
+            sink_cfg={"path": path, "rowKeyFields": ["name"],
+                      "writeMode": "merge", "mergeBuckets": n},
+        )))
+
+    batch = spark.createDataFrame(
+        [("a", 1, dt.datetime(2024, 1, 1))],
+        "name string, amount long, `@GeistIngestionTime` timestamp",
+    )
+    loader(8).stream_load(batch)
+    with pytest.raises(SinkError, match="mergeBuckets=8"):
+        loader(16).stream_load(batch)
+    with pytest.raises(SinkError, match="mergeBuckets=8"):
+        loader(16).extract_key_value("a").collect()
+    # the original layout keeps working
+    assert loader(8).extract_key_value("a").collect()[0]["amount"] == 1
+
+
 def test_merge_write_mode_streaming_cdc(spark, tmp_path):
     """Streaming e2e: a CDC file stream upserts through foreachBatch
     -> the table converges to the latest row per key without a
