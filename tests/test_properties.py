@@ -2340,3 +2340,77 @@ def test_mmr_matches_python_greedy(spark, n, seed, lam):
     f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]  # noqa: E731
     vecs32 = {i: [f32(x) for x in v] for i, v in vecs.items()}
     assert got == _py_mmr(vecs32, qid=0, k=3, lam_num=lam, lam_den=10)
+
+
+# ---------- keyed-table merge sink ----------
+
+def _py_merge_store(batches, keep):
+    """Reference model of writeMode='merge': versions keyed by
+    (row key, ingestion ts); same-ts incoming replaces; newest `keep`
+    per key survive each write (eviction is permanent)."""
+    store = {}  # key -> {ts_second: amount}
+    for rows, _replay in batches:
+        for (k, s), a in rows.items():
+            store.setdefault(k, {})[s] = a
+        for (k, _s), _a in rows.items():
+            newest = sorted(store[k], reverse=True)[:keep]
+            store[k] = {t: store[k][t] for t in newest}
+    return {
+        (k, s, a) for k, vs in store.items() for s, a in vs.items()
+    }
+
+
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.tuples(st.sampled_from("abcde"), st.integers(0, 5)),
+                st.integers(0, 100),
+                min_size=1,
+                max_size=4,
+            ),
+            st.booleans(),  # replay this batch (at-least-once retry)?
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@example(  # review-finding regression: replay with maxVersions>1 must
+    # replace the stored (key, ts) twin, not evict an older version
+    batches=[({("a", 1): 1}, False), ({("a", 2): 2}, True)],
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_sink_matches_python_model(spark, batches):
+    from geist_spark.sinks.keyed_table import KeyedTableLoader, new_temp_path
+    from geist_spark.spec.model import parse_spec
+
+    keep = 2
+    spec = parse_spec({
+        "namespace": "prop", "streamIdSuffix": "mrg",
+        "description": "merge property", "version": 1,
+        "source": {"type": "geistapi"},
+        "transform": {"extractFields": [{"fields": [
+            {"id": "name", "jsonPath": "name"}]}]},
+        "sink": {"type": "keyedTable", "config": {"customConfig": {
+            "path": new_temp_path(), "rowKeyFields": ["name"],
+            "writeMode": "merge", "mergeBuckets": 4,
+            "maxVersions": keep}}},
+    })
+    loader = KeyedTableLoader(spark, spec)
+    for i, (rows, replay) in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(k, a, dt.datetime(2024, 1, 1, 0, 0, s))
+             for (k, s), a in rows.items()],
+            "name string, amount long, `@GeistIngestionTime` timestamp",
+        )
+        for _ in range(2 if replay else 1):
+            loader.stream_load(bdf, epoch_id=i)
+    got = {
+        (r["name"], r["__geist_ingestion_time"].second, r["amount"])
+        for r in loader.extract_all().collect()
+    }
+    assert got == _py_merge_store(batches, keep)
