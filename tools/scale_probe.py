@@ -117,6 +117,15 @@ def build_probes(spark: SparkSession, sf_dir: str):
             expand(docs, k, ["doc_id"], salt_text="text"), max_bucket_size=64
         )
 
+    def verified_pairs(k):
+        # the round-6 window-count confirm shape (xchg 14 -> 11):
+        # candidates + exact-Jaccard verify, per-doc sizes riding the
+        # shared doc_id exchange
+        return dedup.verified_near_dup_pairs(
+            expand(docs, k, ["doc_id"], salt_text="text"),
+            max_bucket_size=64,
+        )
+
     def quality(k):
         return text.quality_features(expand(docs, k, ["doc_id"]))
 
@@ -299,6 +308,7 @@ def build_probes(spark: SparkSession, sf_dir: str):
         "multi_join_revenue_by_nation": join_agg,
         "exact_dedup_groups": exact_dedup,
         "minhash_lsh_pairs": minhash_lsh,
+        "verified_near_dup_pairs": verified_pairs,
         "text_quality_features": quality,
         "asof_join_union_carry": asof,
         "cosine_topk_bruteforce": cosine,
