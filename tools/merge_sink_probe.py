@@ -3,8 +3,8 @@
 A writeMode="merge" micro-batch should cost O(touched bucket
 partitions), not O(table): a CDC batch whose keys land in t of n
 buckets reads and rewrites ~t/n of the table. This probe grows the
-TABLE 1x/4x/16x while holding the BATCH fixed (10 keys, <=10 of 256
-buckets touched) and times:
+TABLE 1x/4x/16x/64x while holding the BATCH fixed (10 keys, <=10 of
+256 buckets touched) and times:
 
   - merge:   loader.stream_load(batch) on the bucket-partitioned table
   - rewrite: the naive alternative — read whole table, union batch,
@@ -28,6 +28,7 @@ from pyspark.sql import Window, functions as F
 
 from geist_spark.session import get_spark
 from geist_spark.sinks.keyed_table import (
+    KEY_BUCKET_COL,
     INGESTION_TS_COL,
     ROW_KEY_COL,
     KeyedTableLoader,
@@ -70,11 +71,16 @@ def batch_df(spark, ts):
 
 
 def naive_rewrite(spark, path, batch):
-    """The alternative the merge layout avoids: full read + overwrite."""
+    """The alternative the merge layout avoids: full read + overwrite.
+
+    Deliberately FAIR to the baseline: it writes to a sibling path, so
+    it needs NO checkpoint (the merge path's two checkpoints exist
+    only because it overwrites the path it reads) — one read, one
+    window, one write, nothing double-materialized."""
     existing = spark.read.parquet(path)
     b = batch.withColumnRenamed("@GeistIngestionTime", INGESTION_TS_COL)
     b = b.withColumn(ROW_KEY_COL, F.col("name"))
-    merged = existing.drop("__key_bucket").unionByName(
+    merged = existing.drop(KEY_BUCKET_COL).unionByName(
         b, allowMissingColumns=True
     )
     w = Window.partitionBy(ROW_KEY_COL).orderBy(F.col(INGESTION_TS_COL).desc())
@@ -82,22 +88,31 @@ def naive_rewrite(spark, path, batch):
         merged.withColumn("__v", F.row_number().over(w))
         .filter(F.col("__v") == 1)
         .drop("__v")
-        .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(path + "_rw")
+
+
+KS = (1, 4, 16, 64)  # 64x = 2.56M rows; the documented headline point
 
 
 def main():
     spark = get_spark("merge_probe")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"buckets={BUCKETS} batch_keys={BATCH_KEYS} (<= {BATCH_KEYS} buckets touched)")
-    for k in (1, 4, 16):
+    ts = datetime.datetime(2024, 6, 1)
+    # warm BOTH paths once on a throwaway 1x table so JVM/codegen
+    # warmup is not billed to the k=1 measurements (scale_probe does
+    # the same); timed points below are best-of-2 on top
+    wpath = new_temp_path()
+    wloader = make_loader(spark, wpath)
+    seed_table(spark, wloader, BASE_ROWS)
+    wloader.stream_load(batch_df(spark, ts), epoch_id=1)
+    naive_rewrite(spark, wpath, batch_df(spark, ts))
+    for k in KS:
         rows = BASE_ROWS * k
         path = new_temp_path()
         loader = make_loader(spark, path)
         seed_table(spark, loader, rows)
-        ts = datetime.datetime(2024, 6, 1)
-        # warm both paths once at 1x shape? keep single-shot best-of-2
         t_merge = min(
             _timed(lambda i=i: loader.stream_load(
                 batch_df(spark, ts + datetime.timedelta(seconds=i)),
