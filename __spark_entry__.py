@@ -2108,6 +2108,38 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", "content_md5")
 
 
+def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle gate: synthesize a 4x2 P6
+    PPM per document (pixel bytes = md5-derived, 24 bytes), run the
+    pure-python decode_real (actual header tokenization + pixel
+    extraction, multimodal.py), and emit the exact integer BT.601
+    luma. The oracle recomputes the luma ARITHMETICALLY from the same
+    hex digests without any image parsing — a header-offset or
+    channel-order bug in the decoder hash-mismatches. pixel_md5 is
+    projected out (DuckDB md5 takes VARCHAR only, cannot hash raw
+    bytes)."""
+    from geist_spark.operators.multimodal import decode_real
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P6\n4 2\n255\n"),
+        F.unhex(
+            F.concat(
+                F.md5(F.col("text")),
+                F.substring(
+                    F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
+                ),
+            )
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shape conditional-aggregation ratio (promo revenue
@@ -4206,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "t_quality_multilang": t_quality_multilang,
         "s_incremental_embed": s_incremental_embed,
+        "m_decode_real": m_decode_real,
     }
 
 
@@ -5118,6 +5151,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        # arithmetic replay of the REAL PPM decode: pixel bytes from
+        # the same md5 digests (hex-pair -> int), BT.601 milli-luma
+        # over the r/g/b byte positions of a 4x2 P6 — no image parsing
+        # on the oracle side, so a decoder header-offset/channel-order
+        # bug cannot cancel out
+        "m_decode_real": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5(text) || substr(md5(text || 'x'), 1, 16) AS hx
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       [16*(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
+                        for i in generate_series(1, 24)] AS bytes
+                FROM h
+            )
+            SELECT doc_id AS media_id,
+                   'P6' AS format,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(
+                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                     // 8 AS BIGINT) AS mean_luma_fx
+            FROM b
         """,
         "m_resize": """
             SELECT doc_id AS media_id,

@@ -2,12 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched `mapInPandas` stages
-so the Python boundary is per-batch, not per-row. The actual codec
-libraries are NOT in this container, so `decode_stub` computes
-deterministic pseudo-features (byte length, md5, an 8-bin byte
-histogram) — the Spark-side plumbing (schema, batch shape, partition
-behavior) is real and tested; swap `_decode_batch` for a real decoder
-(PIL/ffmpeg) on a cluster that has one.
+so the Python boundary is per-batch, not per-row. `decode_real`
+REALLY decodes the codec-free formats (Netpbm P6/P5, uncompressed
+24-bit BMP) in pure Python — actual pixels, exact luma, cross-format
+pixel hash; compressed formats (JPEG/PNG) need codec libraries NOT
+in this container, so for those `decode_real` raises (or NULLs, by
+option) and `extract_media_features` computes deterministic
+pseudo-features (byte length, md5, an 8-bin byte histogram) — the
+Spark-side plumbing (schema, batch shape, partition behavior) is the
+same either way; swap in PIL/ffmpeg on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -151,14 +154,154 @@ def resize_stub(media: DataFrame, width: int = 224, height: int = 224) -> DataFr
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Real decode path — requires codec libs not present in this
-    container."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "use extract_media_features (deterministic stub) or run on a "
-        "cluster with PIL/ffmpeg installed"
-    )
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        # exact integer luma: (299*sum_r + 587*sum_g + 114*sum_b)
+        # div n_pixels, in milli-luma units (0..255000)
+        T.StructField("mean_luma_fx", T.LongType(), True),
+        # md5 of the row-major RGB byte stream AFTER normalization
+        # (BMP bottom-up/BGR/padding undone), so the same image
+        # encoded as PPM and as BMP hashes identically
+        T.StructField("pixel_md5", T.StringType(), True),
+    ]
+)
+
+
+def _ppm_decode(b: bytes) -> tuple:
+    """Netpbm P6 (RGB) / P5 (gray) raw decode: header tokens may be
+    separated by whitespace and '#' comments; maxval <= 255."""
+    magic = bytes(b[:2]).decode("ascii", "replace")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM/PGM header")
+        toks.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM/PGM unsupported (maxval={maxval})")
+    ch = 3 if magic == "P6" else 1
+    need = w * h * ch
+    px = bytes(b[pos : pos + need])
+    if len(px) < need:
+        raise ValueError(
+            f"truncated PPM/PGM payload: need {need} pixel bytes, got {len(px)}"
+        )
+    if ch == 1:  # normalize gray to RGB triples for the cross-format md5
+        rgb = bytes(v for g in px for v in (g, g, g))
+    else:
+        rgb = px
+    return magic, w, h, ch, rgb
+
+
+def _bmp_decode(b: bytes) -> tuple:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) decode: undo the
+    4-byte row padding, the bottom-up row order (negative height =
+    top-down), and BGR channel order."""
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={comp})"
+        )
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    stride = (w * 3 + 3) & ~3
+    if len(b) < off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        row = b[off + src * stride : off + src * stride + w * 3]
+        # BGR -> RGB per pixel
+        rows.append(
+            bytes(
+                row[i + 2 - c] for i in range(0, w * 3, 3) for c in (0, 1, 2)
+            )
+        )
+    return "BMP", w, h, 3, b"".join(rows)
+
+
+def _luma_fx(rgb: bytes) -> int:
+    """Exact integer BT.601 luma in milli-units, averaged per pixel."""
+    sr = sum(rgb[0::3])
+    sg = sum(rgb[1::3])
+    sb = sum(rgb[2::3])
+    n = len(rgb) // 3
+    return (299 * sr + 587 * sg + 114 * sb) // n if n else 0
+
+
+def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """REAL image decode for the container-friendly formats — Netpbm
+    P6/P5 and uncompressed 24-bit BMP, parsed in pure Python (no codec
+    libraries): actual pixel bytes come out, normalized to row-major
+    RGB, with exact integer luma and a cross-format pixel hash (the
+    same image encoded as PPM and as BMP produces the SAME pixel_md5 —
+    property-tested). Runs as the same Arrow-batched `mapInPandas`
+    stage as the stubs: per-batch Python boundary, no shuffle,
+    partitioning preserved.
+
+    Compressed formats (JPEG/PNG/...) still need codec libs absent
+    from this container: on_unsupported="error" (default) raises
+    NotImplementedError naming the first offending media_id;
+    "null" emits a NULL row for them instead (format=None) so mixed
+    corpora can decode what's decodable in one pass. Malformed
+    payloads of a SUPPORTED format always raise ValueError — silent
+    partial decodes are the wrong default for a data pipeline."""
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = w = h = ch = luma = md5 = None
+                if payload is not None:
+                    b = bytes(payload)
+                    if b[:2] in (b"P6", b"P5"):
+                        fmt, w, h, ch, rgb = _ppm_decode(b)
+                        luma, md5 = _luma_fx(rgb), hashlib.md5(rgb).hexdigest()
+                    elif b[:2] == b"BM":
+                        fmt, w, h, ch, rgb = _bmp_decode(b)
+                        luma, md5 = _luma_fx(rgb), hashlib.md5(rgb).hexdigest()
+                    elif on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"media_id={mid}: payload is not PPM/PGM/BMP; "
+                            "compressed codecs (JPEG/PNG/...) need PIL/"
+                            "ffmpeg, not present in this environment — "
+                            "pass on_unsupported='null' to skip, or use "
+                            "extract_media_features (deterministic stub)"
+                        )
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_luma_fx"].append(luma)
+                out["pixel_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 EMBED_SCHEMA = T.StructType(

@@ -61,8 +61,97 @@ def test_resize_stub(spark):
     assert out[3]["payload"] is None
 
 
-def test_decode_real_raises(spark):
+def _ppm_bytes(w, h, pixels):
+    """P6 bytes for row-major RGB pixel tuples (with a header comment
+    to exercise the tokenizer)."""
+    body = bytes(v for px in pixels for v in px)
+    return f"P6\n# test image\n{w} {h}\n255\n".encode() + body
+
+
+def _pgm_bytes(w, h, grays):
+    return f"P5 {w} {h} 255\n".encode() + bytes(grays)
+
+
+def _bmp_bytes(w, h, pixels, top_down=False):
+    """Uncompressed 24-bit BMP for the same row-major RGB pixels:
+    BGR channel order, 4-byte row padding, bottom-up unless top_down."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        row = b"".join(
+            bytes((pixels[src * w + c][2], pixels[src * w + c][1],
+                   pixels[src * w + c][0]))
+            for c in range(w)
+        )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    px = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(px), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(px), 2835, 2835, 0, 0,
+    )
+    return header + px
+
+
+def test_decode_real_ppm_bmp_cross_format(spark):
+    """decode_real REALLY decodes PPM and BMP: same 3x2 image encoded
+    both ways yields identical dims, exact luma, and the SAME
+    pixel_md5 (BMP bottom-up/BGR/padding normalized away); top-down
+    BMP too; P5 grayscale normalizes to RGB triples."""
     from geist_spark.operators.multimodal import decode_real
 
-    with pytest.raises(NotImplementedError):
-        decode_real(media_df(spark))
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    rows = [
+        (1, _ppm_bytes(3, 2, pixels)),
+        (2, _bmp_bytes(3, 2, pixels)),
+        (3, _bmp_bytes(3, 2, pixels, top_down=True)),
+        (4, _pgm_bytes(2, 1, [100, 200])),
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"],
+            out[1]["channels"]) == ("P6", 3, 2, 3)
+    assert out[2]["format"] == "BMP" and out[3]["format"] == "BMP"
+    # the cross-format contract: one image, three encodings, one hash
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"] == out[3]["pixel_md5"]
+    assert out[1]["mean_luma_fx"] == out[2]["mean_luma_fx"]
+    # exact integer luma replay
+    sr = sum(p[0] for p in pixels)
+    sg = sum(p[1] for p in pixels)
+    sb = sum(p[2] for p in pixels)
+    assert out[1]["mean_luma_fx"] == (299 * sr + 587 * sg + 114 * sb) // 6
+    # grayscale: luma of (g,g,g) is exactly g * 1000
+    assert out[4]["channels"] == 1
+    assert out[4]["mean_luma_fx"] == (100 + 200) * 1000 // 2
+    assert out[5]["format"] is None and out[5]["pixel_md5"] is None
+
+
+def test_decode_real_unsupported_and_malformed(spark):
+    """Compressed/unknown formats raise by default (naming the id) or
+    NULL out with on_unsupported='null'; truncated payloads of a
+    SUPPORTED format always raise."""
+    from geist_spark.operators.multimodal import decode_real
+
+    mixed = spark.createDataFrame(
+        [(1, _ppm_bytes(1, 1, [(9, 9, 9)])), (2, b"\x89PNG\r\n fake")],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="PPM/PGM/BMP"):
+        decode_real(mixed).collect()
+    out = {r["media_id"]: r for r in
+           decode_real(mixed, on_unsupported="null").collect()}
+    assert out[1]["format"] == "P6" and out[2]["format"] is None
+    trunc = spark.createDataFrame(
+        [(1, _ppm_bytes(4, 4, [(1, 2, 3)]))],  # header says 16 px, has 1
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_real(trunc).collect()
+    with pytest.raises(ValueError, match="on_unsupported"):
+        decode_real(mixed, on_unsupported="skip")
