@@ -2140,6 +2140,45 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle gate: synthesize a 12-sample
+    16-bit PCM WAV per document (sample bytes = the same md5-derived
+    24 bytes as m_decode_real), run the pure-python RIFF chunk walk +
+    sample parse (multimodal.decode_audio_real), and emit exact
+    integer peak / floor-mean-square. The oracle reassembles the
+    little-endian signed samples ARITHMETICALLY from the hex digests
+    (lo + 256*hi, two's complement) with no WAV parsing — a chunk-
+    offset or endianness bug in the decoder hash-mismatches."""
+    import struct
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    docs = _t(spark, sf_dir, "documents")
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 24) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 24)
+    )
+    payload = F.concat(
+        F.lit(header),
+        F.unhex(
+            F.concat(
+                F.md5(F.col("text")),
+                F.substring(
+                    F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
+                ),
+            )
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "sample_rate", "bit_depth",
+        "n_frames", "duration_ms", "peak_abs", "mean_square_fx",
+    )
+
+
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shape conditional-aggregation ratio (promo revenue
@@ -4239,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_multilang": t_quality_multilang,
         "s_incremental_embed": s_incremental_embed,
         "m_decode_real": m_decode_real,
+        "m_decode_audio": m_decode_audio,
     }
 
 
@@ -5180,6 +5220,41 @@ def oracle_sql() -> dict[str, str]:
                       + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
                      // 8 AS BIGINT) AS mean_luma_fx
             FROM b
+        """,
+        # arithmetic replay of the REAL WAV decode: 12 signed 16-bit LE
+        # samples from the same 24 md5 bytes (lo + 256*hi, two's
+        # complement), exact peak / floor-mean-square — no WAV parsing
+        # oracle-side
+        "m_decode_audio": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5(text) || substr(md5(text || 'x'), 1, 16) AS hx
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       [16*(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
+                        for i in generate_series(1, 24)] AS bytes
+                FROM h
+            ), s AS (
+                SELECT doc_id,
+                       [CASE WHEN bytes[2*i-1] + 256*bytes[2*i] >= 32768
+                             THEN bytes[2*i-1] + 256*bytes[2*i] - 65536
+                             ELSE bytes[2*i-1] + 256*bytes[2*i] END
+                        for i in generate_series(1, 12)] AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'WAV' AS format,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bit_depth,
+                   CAST(12 AS BIGINT) AS n_frames,
+                   CAST(1 AS BIGINT) AS duration_ms,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT) AS peak_abs,
+                   CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
+                        AS BIGINT) AS mean_square_fx
+            FROM s
         """,
         "m_resize": """
             SELECT doc_id AS media_id,

@@ -304,6 +304,116 @@ def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        # exact integer loudness: max |sample| and floor(mean(sample^2))
+        # — no sqrt, so the oracle replays bit-for-bit
+        T.StructField("peak_abs", T.LongType(), True),
+        T.StructField("mean_square_fx", T.LongType(), True),
+    ]
+)
+
+
+def _wav_decode(b: bytes) -> tuple:
+    """RIFF/WAVE PCM decode (pure python): fmt + data chunk walk,
+    8-bit unsigned (centered) and 16-bit signed LE samples."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = bytes(b[pos : pos + 4])
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < clen:
+                raise ValueError(
+                    f"truncated WAV data chunk: header says {clen} bytes, "
+                    f"got {len(body)}"
+                )
+            data = bytes(body)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, ch, rate, _byterate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only 8/16-bit PCM WAV supported (format={audio_fmt}, bits={bits})"
+        )
+    bps = bits // 8
+    n_samples = len(data) // bps
+    if bits == 8:  # unsigned, centered at 128
+        samples = [v - 128 for v in data[: n_samples * bps]]
+    else:
+        samples = [
+            int.from_bytes(data[i : i + 2], "little", signed=True)
+            for i in range(0, n_samples * 2, 2)
+        ]
+    n_frames = n_samples // ch if ch else 0
+    peak = max((abs(s) for s in samples), default=0)
+    msq = sum(s * s for s in samples) // n_samples if n_samples else 0
+    return "WAV", ch, rate, bits, n_frames, peak, msq
+
+
+def decode_audio_real(
+    media: DataFrame, on_unsupported: str = "error"
+) -> DataFrame:
+    """REAL audio decode for the codec-free format — RIFF/WAVE PCM
+    (8-bit unsigned / 16-bit signed LE), parsed in pure Python: chunk
+    walk, actual sample values, exact integer loudness (peak and
+    floor-mean-square — no sqrt, so the DuckDB oracle replays the
+    numbers bit-for-bit). Same Arrow-batched mapInPandas contract as
+    decode_real; compressed audio (MP3/AAC/OGG) raises (or NULLs with
+    on_unsupported='null') pending ffmpeg. Malformed payloads of a
+    supported format always raise ValueError."""
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vals = (None,) * 7
+                if payload is not None:
+                    b = bytes(payload)
+                    if b[:4] == b"RIFF":
+                        vals = _wav_decode(b)
+                    elif on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"media_id={mid}: payload is not RIFF/WAVE PCM; "
+                            "compressed audio (MP3/AAC/OGG) needs ffmpeg, "
+                            "not present in this environment — pass "
+                            "on_unsupported='null' to skip"
+                        )
+                fmt, ch, rate, bits, n_frames, peak, msq = vals
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bit_depth"].append(bits)
+                out["n_frames"].append(n_frames)
+                out["duration_ms"].append(
+                    n_frames * 1000 // rate if rate else None
+                )
+                out["peak_abs"].append(peak)
+                out["mean_square_fx"].append(msq)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
 EMBED_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType(), False),

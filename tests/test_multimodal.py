@@ -155,3 +155,64 @@ def test_decode_real_unsupported_and_malformed(spark):
         decode_real(trunc).collect()
     with pytest.raises(ValueError, match="on_unsupported"):
         decode_real(mixed, on_unsupported="skip")
+
+
+def _wav_bytes(samples, rate=8000, bits=16, channels=1):
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(s + 128 for s in samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * bits // 8,
+                                channels * bits // 8, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio_real REALLY parses RIFF/WAVE PCM: chunk walk,
+    16-bit signed and 8-bit centered samples, exact integer peak and
+    floor-mean-square, duration from the fmt sample rate."""
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    s16 = [1000, -1000, 32767, -32768]
+    rows = [
+        (1, _wav_bytes(s16)),
+        (2, _wav_bytes([0, 100, -100, 50], bits=8)),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio_real(media).collect()}
+    r1 = out[1]
+    assert (r1["format"], r1["n_channels"], r1["sample_rate"],
+            r1["bit_depth"], r1["n_frames"]) == ("WAV", 1, 8000, 16, 4)
+    assert r1["peak_abs"] == 32768
+    assert r1["mean_square_fx"] == sum(s * s for s in s16) // 4
+    assert r1["duration_ms"] == 4 * 1000 // 8000
+    r2 = out[2]
+    assert (r2["bit_depth"], r2["peak_abs"]) == (8, 100)
+    assert r2["mean_square_fx"] == (0 + 100 * 100 + 100 * 100 + 50 * 50) // 4
+    assert out[3]["format"] is None
+
+
+def test_decode_audio_real_unsupported_and_malformed(spark):
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    mixed = spark.createDataFrame(
+        [(1, _wav_bytes([1, 2])), (2, b"ID3\x03mp3ish")],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_audio_real(mixed).collect()
+    out = {r["media_id"]: r for r in
+           decode_audio_real(mixed, on_unsupported="null").collect()}
+    assert out[1]["format"] == "WAV" and out[2]["format"] is None
+    # data chunk header claims more bytes than present -> typed error
+    trunc = _wav_bytes([1, 2, 3, 4])[:-4]
+    bad = spark.createDataFrame([(1, trunc)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="truncated WAV data"):
+        decode_audio_real(bad).collect()
