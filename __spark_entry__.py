@@ -2108,6 +2108,34 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", "content_md5")
 
 
+def _md5_payload_bytes() -> "F.Column":
+    """The shared 24-byte deterministic payload for the real-decode
+    gate queries: md5(text) + first 8 bytes of md5(text || 'x'). MUST
+    stay byte-identical with the oracle-side hex CTE
+    (_MD5_BYTES_CTE_SQL) — both decode gates hash against it."""
+    return F.unhex(
+        F.concat(
+            F.md5(F.col("text")),
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16),
+        )
+    )
+
+
+# oracle twin of _md5_payload_bytes: hex digests -> 24 ints (1-based)
+_MD5_BYTES_CTE_SQL = """
+            h AS (
+                SELECT doc_id,
+                       md5(text) || substr(md5(text || 'x'), 1, 16) AS hx
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       [16*(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)
+                        + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
+                        for i in generate_series(1, 24)] AS bytes
+                FROM h
+            )"""
+
+
 def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the oracle gate: synthesize a 4x2 P6
     PPM per document (pixel bytes = md5-derived, 24 bytes), run the
@@ -2121,17 +2149,7 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.multimodal import decode_real
 
     docs = _t(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.lit(b"P6\n4 2\n255\n"),
-        F.unhex(
-            F.concat(
-                F.md5(F.col("text")),
-                F.substring(
-                    F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
-                ),
-            )
-        ),
-    )
+    payload = F.concat(F.lit(b"P6\n4 2\n255\n"), _md5_payload_bytes())
     media = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
@@ -2159,17 +2177,7 @@ def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", 24)
     )
-    payload = F.concat(
-        F.lit(header),
-        F.unhex(
-            F.concat(
-                F.md5(F.col("text")),
-                F.substring(
-                    F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
-                ),
-            )
-        ),
-    )
+    payload = F.concat(F.lit(header), _md5_payload_bytes())
     media = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
@@ -5197,18 +5205,8 @@ def oracle_sql() -> dict[str, str]:
         # over the r/g/b byte positions of a 4x2 P6 — no image parsing
         # on the oracle side, so a decoder header-offset/channel-order
         # bug cannot cancel out
-        "m_decode_real": """
-            WITH h AS (
-                SELECT doc_id,
-                       md5(text) || substr(md5(text || 'x'), 1, 16) AS hx
-                FROM documents
-            ), b AS (
-                SELECT doc_id,
-                       [16*(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)
-                        + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
-                        for i in generate_series(1, 24)] AS bytes
-                FROM h
-            )
+        "m_decode_real": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
             SELECT doc_id AS media_id,
                    'P6' AS format,
                    CAST(4 AS INTEGER) AS width,
@@ -5225,18 +5223,8 @@ def oracle_sql() -> dict[str, str]:
         # samples from the same 24 md5 bytes (lo + 256*hi, two's
         # complement), exact peak / floor-mean-square — no WAV parsing
         # oracle-side
-        "m_decode_audio": """
-            WITH h AS (
-                SELECT doc_id,
-                       md5(text) || substr(md5(text || 'x'), 1, 16) AS hx
-                FROM documents
-            ), b AS (
-                SELECT doc_id,
-                       [16*(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)
-                        + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
-                        for i in generate_series(1, 24)] AS bytes
-                FROM h
-            ), s AS (
+        "m_decode_audio": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
                 SELECT doc_id,
                        [CASE WHEN bytes[2*i-1] + 256*bytes[2*i] >= 32768
                              THEN bytes[2*i-1] + 256*bytes[2*i] - 65536

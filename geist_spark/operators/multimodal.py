@@ -192,8 +192,14 @@ def _ppm_decode(b: bytes) -> tuple:
         toks.append(int(b[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     w, h, maxval = toks
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError(
+            f"malformed PPM/PGM header: width={w}, height={h}, maxval={maxval}"
+        )
     if maxval > 255:
-        raise ValueError(f"16-bit PPM/PGM unsupported (maxval={maxval})")
+        raise NotImplementedError(
+            f"16-bit PPM/PGM unsupported (maxval={maxval})"
+        )
     ch = 3 if magic == "P6" else 1
     need = w * h * ch
     px = bytes(b[pos : pos + need])
@@ -221,8 +227,13 @@ def _bmp_decode(b: bytes) -> tuple:
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]
     if comp != 0 or bpp != 24:
-        raise ValueError(
+        raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={comp})"
+        )
+    if w <= 0 or h_signed == 0 or off < 54:
+        raise ValueError(
+            f"malformed BMP header: width={w}, height={h_signed}, "
+            f"pixel offset={off} (must be >= 54)"
         )
     h = abs(h_signed)
     top_down = h_signed < 0
@@ -261,13 +272,15 @@ def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     stage as the stubs: per-batch Python boundary, no shuffle,
     partitioning preserved.
 
-    Compressed formats (JPEG/PNG/...) still need codec libs absent
-    from this container: on_unsupported="error" (default) raises
-    NotImplementedError naming the first offending media_id;
-    "null" emits a NULL row for them instead (format=None) so mixed
-    corpora can decode what's decodable in one pass. Malformed
-    payloads of a SUPPORTED format always raise ValueError — silent
-    partial decodes are the wrong default for a data pipeline."""
+    CAPABILITY limits vs MALFORMED data are distinct contracts:
+    unsupported formats or variants (JPEG/PNG, compressed/non-24-bit
+    BMP, 16-bit PPM — NotImplementedError inside the decoders) raise
+    by default naming the first offending media_id, or NULL out with
+    on_unsupported="null" so mixed corpora decode what's decodable in
+    one pass. MALFORMED payloads of a supported format (truncation,
+    non-positive dimensions, pixel offset inside the header) always
+    raise ValueError regardless of the option — silent partial
+    decodes are the wrong default for a data pipeline."""
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
 
@@ -278,20 +291,27 @@ def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
                 fmt = w = h = ch = luma = md5 = None
                 if payload is not None:
                     b = bytes(payload)
-                    if b[:2] in (b"P6", b"P5"):
-                        fmt, w, h, ch, rgb = _ppm_decode(b)
+                    try:
+                        if b[:2] in (b"P6", b"P5"):
+                            fmt, w, h, ch, rgb = _ppm_decode(b)
+                        elif b[:2] == b"BM":
+                            fmt, w, h, ch, rgb = _bmp_decode(b)
+                        else:
+                            raise NotImplementedError(
+                                "payload is not PPM/PGM/BMP; compressed "
+                                "codecs (JPEG/PNG/...) need PIL/ffmpeg, "
+                                "not present in this environment — pass "
+                                "on_unsupported='null' to skip, or use "
+                                "extract_media_features (deterministic "
+                                "stub)"
+                            )
                         luma, md5 = _luma_fx(rgb), hashlib.md5(rgb).hexdigest()
-                    elif b[:2] == b"BM":
-                        fmt, w, h, ch, rgb = _bmp_decode(b)
-                        luma, md5 = _luma_fx(rgb), hashlib.md5(rgb).hexdigest()
-                    elif on_unsupported == "error":
-                        raise NotImplementedError(
-                            f"media_id={mid}: payload is not PPM/PGM/BMP; "
-                            "compressed codecs (JPEG/PNG/...) need PIL/"
-                            "ffmpeg, not present in this environment — "
-                            "pass on_unsupported='null' to skip, or use "
-                            "extract_media_features (deterministic stub)"
-                        )
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        fmt = w = h = ch = luma = md5 = None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 out["width"].append(w)
@@ -349,10 +369,19 @@ def _wav_decode(b: bytes) -> tuple:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, ch, rate, _byterate, _align, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16):
-        raise ValueError(
+        raise NotImplementedError(
             f"only 8/16-bit PCM WAV supported (format={audio_fmt}, bits={bits})"
         )
+    if ch <= 0 or rate <= 0:
+        raise ValueError(
+            f"malformed WAV fmt chunk: channels={ch}, sample_rate={rate}"
+        )
     bps = bits // 8
+    if len(data) % (ch * bps) != 0:
+        raise ValueError(
+            f"malformed WAV data chunk: {len(data)} bytes is not a "
+            f"multiple of the {ch * bps}-byte frame size"
+        )
     n_samples = len(data) // bps
     if bits == 8:  # unsigned, centered at 128
         samples = [v - 128 for v in data[: n_samples * bps]]
@@ -374,10 +403,13 @@ def decode_audio_real(
     (8-bit unsigned / 16-bit signed LE), parsed in pure Python: chunk
     walk, actual sample values, exact integer loudness (peak and
     floor-mean-square — no sqrt, so the DuckDB oracle replays the
-    numbers bit-for-bit). Same Arrow-batched mapInPandas contract as
-    decode_real; compressed audio (MP3/AAC/OGG) raises (or NULLs with
-    on_unsupported='null') pending ffmpeg. Malformed payloads of a
-    supported format always raise ValueError."""
+    numbers bit-for-bit). Same Arrow-batched mapInPandas contract and
+    the same two-tier error contract as decode_real: CAPABILITY
+    limits (not RIFF/WAVE — MP3/AAC/OGG/WebP/AVI — or a non-PCM /
+    non-8/16-bit WAV variant) raise by default naming the media_id or
+    NULL out with on_unsupported='null'; MALFORMED payloads of a
+    supported format (truncated chunks, zero channels, a data chunk
+    that is not a whole number of frames) always raise ValueError."""
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
 
@@ -388,15 +420,24 @@ def decode_audio_real(
                 vals = (None,) * 7
                 if payload is not None:
                     b = bytes(payload)
-                    if b[:4] == b"RIFF":
-                        vals = _wav_decode(b)
-                    elif on_unsupported == "error":
-                        raise NotImplementedError(
-                            f"media_id={mid}: payload is not RIFF/WAVE PCM; "
-                            "compressed audio (MP3/AAC/OGG) needs ffmpeg, "
-                            "not present in this environment — pass "
-                            "on_unsupported='null' to skip"
-                        )
+                    try:
+                        # RIFF alone is not enough: WebP/AVI are RIFF
+                        # containers too — require the WAVE form type
+                        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                            vals = _wav_decode(b)
+                        else:
+                            raise NotImplementedError(
+                                "payload is not RIFF/WAVE PCM; compressed "
+                                "audio (MP3/AAC/OGG) needs ffmpeg, not "
+                                "present in this environment — pass "
+                                "on_unsupported='null' to skip"
+                            )
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        vals = (None,) * 7
                 fmt, ch, rate, bits, n_frames, peak, msq = vals
                 out["media_id"].append(mid)
                 out["format"].append(fmt)

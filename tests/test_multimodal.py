@@ -216,3 +216,62 @@ def test_decode_audio_real_unsupported_and_malformed(spark):
     bad = spark.createDataFrame([(1, trunc)], "media_id long, payload binary")
     with pytest.raises(Exception, match="truncated WAV data"):
         decode_audio_real(bad).collect()
+
+
+def test_decode_error_taxonomy(spark):
+    """CAPABILITY limits (unknown format, unsupported variant) NULL
+    out under on_unsupported='null'; MALFORMED payloads of a supported
+    format always raise, regardless of the option."""
+    import struct
+    from geist_spark.operators.multimodal import (
+        decode_audio_real,
+        decode_real,
+    )
+
+    # RIFF-but-WebP must hit the audio NULL path, not crash the stage
+    webp = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 fake"
+    rows = spark.createDataFrame(
+        [(1, _wav_bytes([5, -5])), (2, webp)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_audio_real(rows, on_unsupported="null").collect()}
+    assert out[1]["format"] == "WAV" and out[2]["format"] is None
+    # compressed BMP is a capability limit -> NULL under 'null'
+    rle_bmp = bytearray(_bmp_bytes(1, 1, [(1, 2, 3)]))
+    rle_bmp[30] = 1  # biCompression = BI_RLE8
+    img = spark.createDataFrame(
+        [(1, _ppm_bytes(1, 1, [(4, 5, 6)])), (2, bytes(rle_bmp))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in
+           decode_real(img, on_unsupported="null").collect()}
+    assert got[1]["format"] == "P6" and got[2]["format"] is None
+    # malformed stays fatal even under 'null': negative PPM dims,
+    # BMP pixel offset inside the header, non-frame-multiple WAV data
+    neg = spark.createDataFrame(
+        [(1, b"P6\n-4 2\n255\nXXXXXXXX")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="malformed PPM"):
+        decode_real(neg, on_unsupported="null").collect()
+    bad_off = bytearray(_bmp_bytes(1, 1, [(1, 2, 3)]))
+    bad_off[10] = 0  # pixel offset -> 0 (inside the header)
+    with pytest.raises(Exception, match="malformed BMP"):
+        decode_real(
+            spark.createDataFrame(
+                [(1, bytes(bad_off))], "media_id long, payload binary"
+            ),
+            on_unsupported="null",
+        ).collect()
+    odd = (
+        b"RIFF" + struct.pack("<I", 36 + 5) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 5) + b"\x01\x02\x03\x04\x05"
+    )
+    with pytest.raises(Exception, match="not a multiple"):
+        decode_audio_real(
+            spark.createDataFrame(
+                [(1, odd)], "media_id long, payload binary"
+            ),
+            on_unsupported="null",
+        ).collect()
