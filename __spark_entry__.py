@@ -2158,6 +2158,51 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction under the oracle gate: synthesize a
+    2-frame 2x1 raw-DIB AVI per document (frame pixels = the first 12
+    md5 bytes, 6 per frame in DIB BGR order), run the pure-python RIFF
+    walk + frame normalization (multimodal.frame_sample_real), and
+    emit per-frame exact luma + timestamps. The oracle reconstructs
+    both frames' luma ARITHMETICALLY from the digest byte positions
+    (including the BGR->RGB mapping) with no container parsing — a
+    chunk-walk or row-order bug hash-mismatches. pixel_md5 projected
+    out (DuckDB cannot md5 raw bytes)."""
+    import struct
+
+    from geist_spark.operators.multimodal import frame_sample_real
+
+    docs = _t(spark, sf_dir, "documents")
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 40000, 0, 0, 0, 2, 0, 1, 0, 2, 1, 0, 0, 0, 0
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_len = 4 + 2 * (8 + 8)  # 'movi' + two 8-byte '00db' chunks
+    prefix = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(hdrl) + 8 + movi_len)
+        + b"AVI " + hdrl
+        + b"LIST" + struct.pack("<I", movi_len) + b"movi"
+        + b"00db" + struct.pack("<I", 8)
+    )
+    mid = b"\x00\x00" + b"00db" + struct.pack("<I", 8)
+    hx = F.md5(F.col("text"))
+    payload = F.concat(
+        F.lit(prefix),
+        F.unhex(F.substring(hx, 1, 12)),
+        F.lit(mid),
+        F.unhex(F.substring(hx, 13, 12)),
+        F.lit(b"\x00\x00"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return frame_sample_real(media, every_ms=40).select(
+        "media_id", "frame_idx", "ts_ms", "width", "height", "mean_luma_fx"
+    )
+
+
 def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the oracle gate: synthesize a 12-sample
     16-bit PCM WAV per document (sample bytes = the same md5-derived
@@ -4287,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_incremental_embed": s_incremental_embed,
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
+        "m_frame_sample_real": m_frame_sample_real,
     }
 
 
@@ -5218,6 +5264,31 @@ def oracle_sql() -> dict[str, str]:
                       + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
                      // 8 AS BIGINT) AS mean_luma_fx
             FROM b
+        """,
+        # arithmetic replay of the REAL AVI frame extraction: two 2x1
+        # DIB frames from md5 bytes 1-6 / 7-12 (BGR order, so r/g/b
+        # come from positions 3,2,1 and 6,5,4 within each frame) — no
+        # container parsing oracle-side
+        "m_frame_sample_real": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, f AS (
+                SELECT doc_id, 0 AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+                       bytes[3]+bytes[6] AS sr, bytes[2]+bytes[5] AS sg,
+                       bytes[1]+bytes[4] AS sb
+                FROM b
+                UNION ALL
+                SELECT doc_id, 1, CAST(40 AS BIGINT),
+                       bytes[9]+bytes[12], bytes[8]+bytes[11],
+                       bytes[7]+bytes[10]
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   ts_ms,
+                   CAST(2 AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS height,
+                   CAST((299*sr + 587*sg + 114*sb) // 2 AS BIGINT)
+                       AS mean_luma_fx
+            FROM f
         """,
         # arithmetic replay of the REAL WAV decode: 12 signed 16-bit LE
         # samples from the same 24 md5 bytes (lo + 256*hi, two's

@@ -114,6 +114,164 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_bytes", F.lit(None).cast("binary"))
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma_fx", T.LongType(), True),
+        T.StructField("pixel_md5", T.StringType(), True),
+    ]
+)
+
+
+def _avi_decode(b: bytes) -> tuple:
+    """Uncompressed AVI parse (pure python): RIFF 'AVI ' container,
+    avih main header (frame period, dims), LIST movi walk collecting
+    raw '..db' DIB frames (bottom-up BGR rows, 4-byte padded — the
+    BMP pixel layout). Returns (usec_per_frame, width, height,
+    [rgb_frame_bytes...]) with each frame normalized to row-major
+    RGB like _bmp_decode."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec = w = h = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal usec, w, h
+        pos = start
+        while pos + 8 <= end:
+            cid = bytes(b[pos : pos + 4])
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body_start, body_end = pos + 8, pos + 8 + clen
+            if body_end > end:
+                raise ValueError(
+                    f"truncated AVI chunk {cid!r}: header says {clen} "
+                    f"bytes, container has {end - body_start}"
+                )
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type tag
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("truncated AVI main header")
+                usec = struct.unpack_from("<I", b, body_start)[0]
+                w, h = struct.unpack_from("<II", b, body_start + 32)
+            elif cid[2:] == b"db":  # raw uncompressed DIB frame
+                frames.append(bytes(b[body_start:body_end]))
+            elif cid[2:] == b"dc":  # compressed frame
+                raise NotImplementedError(
+                    "compressed AVI frames ('..dc') need a codec; only "
+                    "raw-DIB ('..db') AVI is supported without ffmpeg"
+                )
+            pos = body_end + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    if usec is None:
+        raise ValueError("AVI missing avih main header")
+    if not usec or w is None or w <= 0 or h is None or h <= 0:
+        raise ValueError(
+            f"malformed AVI header: usec_per_frame={usec}, width={w}, "
+            f"height={h}"
+        )
+    stride = (w * 3 + 3) & ~3
+    rgb_frames = []
+    for fi, data in enumerate(frames):
+        if len(data) < stride * h:
+            raise ValueError(
+                f"truncated AVI frame {fi}: need {stride * h} bytes, "
+                f"got {len(data)}"
+            )
+        rows = []
+        for r in range(h):
+            src = h - 1 - r  # DIB frames are bottom-up
+            row = data[src * stride : src * stride + w * 3]
+            rows.append(
+                bytes(
+                    row[i + 2 - c]
+                    for i in range(0, w * 3, 3)
+                    for c in (0, 1, 2)
+                )
+            )
+        rgb_frames.append(b"".join(rows))
+    return usec, w, h, rgb_frames
+
+
+def frame_sample_real(
+    media: DataFrame, every_ms: int = 1000, on_unsupported: str = "error"
+) -> DataFrame:
+    """REAL video frame sampling for the codec-free container —
+    uncompressed raw-DIB AVI, parsed in pure Python (RIFF chunk walk,
+    avih header, movi frame list; frames normalized bottom-up/BGR/
+    padding to row-major RGB exactly like decode_real's BMP path).
+    One output row per SAMPLED frame: the stride is
+    max(1, every_ms*1000 // usec_per_frame) and frames at
+    idx % stride == 0 are kept, each with its exact timestamp
+    (idx * usec_per_frame // 1000), exact BT.601 milli-luma, and the
+    pixel hash. The fan-out runs inside the same Arrow-batched
+    mapInPandas stage — no shuffle, no per-row Python boundary.
+
+    Same two-tier error contract as the other decoders: capability
+    limits (not an AVI; compressed '..dc' frames) raise naming the
+    media_id or NULL out (one NULL row, frame_idx NULL) with
+    on_unsupported='null'; malformed payloads of a supported format
+    (truncated chunks/frames, zero frame period) always raise."""
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+
+            def emit(mid, idx, ts, w, h, luma, md5):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(ts)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma_fx"].append(luma)
+                out["pixel_md5"].append(md5)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    emit(mid, None, None, None, None, None, None)
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        usec, w, h, frames = _avi_decode(b)
+                    else:
+                        raise NotImplementedError(
+                            "payload is not an uncompressed AVI; other "
+                            "video containers/codecs need ffmpeg, not "
+                            "present in this environment — pass "
+                            "on_unsupported='null' to skip"
+                        )
+                except NotImplementedError as exc:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"media_id={mid}: {exc}"
+                        ) from exc
+                    emit(mid, None, None, None, None, None, None)
+                    continue
+                stride = max(1, every_ms * 1000 // usec)
+                for idx, rgb in enumerate(frames):
+                    if idx % stride:
+                        continue
+                    emit(
+                        mid, idx, idx * usec // 1000, w, h,
+                        _luma_fx(rgb), hashlib.md5(rgb).hexdigest(),
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -275,3 +275,101 @@ def test_decode_error_taxonomy(spark):
             ),
             on_unsupported="null",
         ).collect()
+
+
+def _avi_bytes(frames_px, w, h, usec_per_frame=40000, compressed=False):
+    """Minimal uncompressed AVI: RIFF('AVI ') + LIST(hdrl){avih} +
+    LIST(movi){00db raw DIB frames}. frames_px = list of row-major RGB
+    pixel lists; frames stored bottom-up BGR with 4-byte padding."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(frames_px), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    stride = (w * 3 + 3) & ~3
+    movi_body = b"movi"
+    for px in frames_px:
+        rows = []
+        for r in range(h):
+            src = h - 1 - r
+            row = b"".join(
+                bytes((px[src * w + c][2], px[src * w + c][1],
+                       px[src * w + c][0]))
+                for c in range(w)
+            )
+            rows.append(row + b"\x00" * (stride - len(row)))
+        fid = b"00dc" if compressed else b"00db"
+        movi_body += chunk(fid, b"".join(rows))
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    return b"RIFF" + __import__("struct").pack("<I", len(riff_body)) + riff_body
+
+
+def test_frame_sample_real_avi(spark):
+    """frame_sample_real REALLY extracts frames from uncompressed AVI:
+    dims/timestamps from avih, frames normalized to RGB (a frame equal
+    to a BMP/PPM image hashes identically — the cross-container
+    contract), stride sampling from every_ms."""
+    from geist_spark.operators.multimodal import (
+        decode_real,
+        frame_sample_real,
+    )
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    f2 = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (9, 8, 7), (6, 5, 4), (3, 2, 1)]
+    avi = _avi_bytes([pixels, f2, pixels], 3, 2, usec_per_frame=40000)
+    media = spark.createDataFrame(
+        [(1, avi)], "media_id long, payload binary"
+    )
+    # every_ms=40 -> stride 1: all three frames
+    rows = {r["frame_idx"]: r for r in
+            frame_sample_real(media, every_ms=40).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert (rows[0]["width"], rows[0]["height"]) == (3, 2)
+    assert [rows[i]["ts_ms"] for i in (0, 1, 2)] == [0, 40, 80]
+    # cross-container: frame 0 == the same image as a PPM
+    ppm_hash = decode_real(spark.createDataFrame(
+        [(9, _ppm_bytes(3, 2, pixels))], "media_id long, payload binary"
+    )).collect()[0]["pixel_md5"]
+    assert rows[0]["pixel_md5"] == ppm_hash == rows[2]["pixel_md5"]
+    assert rows[1]["pixel_md5"] != ppm_hash
+    # every_ms=80 -> stride 2: frames 0 and 2 only
+    sampled = sorted(
+        r["frame_idx"]
+        for r in frame_sample_real(media, every_ms=80).collect()
+    )
+    assert sampled == [0, 2]
+
+
+def test_frame_sample_real_errors(spark):
+    from geist_spark.operators.multimodal import frame_sample_real
+
+    pixels = [(1, 2, 3)]
+    comp = _avi_bytes([pixels], 1, 1, compressed=True)
+    media = spark.createDataFrame(
+        [(1, comp)], "media_id long, payload binary"
+    )
+    # compressed frames: capability limit -> raise / NULL by option
+    with pytest.raises(Exception, match="codec"):
+        frame_sample_real(media).collect()
+    out = frame_sample_real(media, on_unsupported="null").collect()
+    assert len(out) == 1 and out[0]["frame_idx"] is None
+    # truncated frame chunk: malformed -> always raises
+    good = _avi_bytes([pixels], 1, 1)
+    trunc = good[: len(good) - 2]
+    with pytest.raises(Exception, match="truncated AVI"):
+        frame_sample_real(
+            spark.createDataFrame(
+                [(1, trunc)], "media_id long, payload binary"
+            ),
+            on_unsupported="null",
+        ).collect()
+    with pytest.raises(ValueError, match="every_ms"):
+        frame_sample_real(media, every_ms=0)
