@@ -2176,8 +2176,18 @@ def m_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     avih = struct.pack(
         "<IIIIIIIIIIIIII", 40000, 0, 0, 0, 2, 0, 1, 0, 2, 1, 0, 0, 0, 0
     )
-    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
-        + b"avih" + struct.pack("<I", len(avih)) + avih
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + b"\x00" * 48
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 0, 0, 0, 0, 0
+    )
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+        + b"strl" + strh + strf
+    )
+    hdrl_body = (
+        b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    )
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
     movi_len = 4 + 2 * (8 + 8)  # 'movi' + two 8-byte '00db' chunks
     prefix = (
         b"RIFF"

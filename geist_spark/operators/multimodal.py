@@ -128,21 +128,26 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _avi_decode(b: bytes) -> tuple:
-    """Uncompressed AVI parse (pure python): RIFF 'AVI ' container,
-    avih main header (frame period, dims), LIST movi walk collecting
-    raw '..db' DIB frames (bottom-up BGR rows, 4-byte padded — the
-    BMP pixel layout). Returns (usec_per_frame, width, height,
-    [rgb_frame_bytes...]) with each frame normalized to row-major
-    RGB like _bmp_decode."""
+    """Uncompressed AVI parse (pure python): RIFF 'AVI ' container
+    (walk clamped to the DECLARED RIFF size — trailing padding after
+    it is spec-legal and ignored), avih main header (frame period,
+    dims), strf stream format (bit depth, compression, row order —
+    the REAL discriminators; the '..db'/'..dc' chunk tags are only
+    advisory), LIST movi walk collecting raw DIB frames. Returns
+    (usec_per_frame, width, height, top_down, [raw_frame_bytes...])
+    — frames stay RAW here; the caller normalizes only the frames it
+    actually samples (_dib_to_rgb), so skipped frames cost nothing."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    riff_len = struct.unpack_from("<I", b, 4)[0]
     usec = w = h = None
+    strf: tuple | None = None
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal usec, w, h
+        nonlocal usec, w, h, strf
         pos = start
         while pos + 8 <= end:
             cid = bytes(b[pos : pos + 4])
@@ -160,44 +165,46 @@ def _avi_decode(b: bytes) -> tuple:
                     raise ValueError("truncated AVI main header")
                 usec = struct.unpack_from("<I", b, body_start)[0]
                 w, h = struct.unpack_from("<II", b, body_start + 32)
-            elif cid[2:] == b"db":  # raw uncompressed DIB frame
+            elif cid == b"strf" and strf is None:  # first video stream
+                if clen < 40:
+                    raise ValueError("truncated AVI strf header")
+                bi_h = struct.unpack_from("<i", b, body_start + 8)[0]
+                bpp = struct.unpack_from("<H", b, body_start + 14)[0]
+                comp = struct.unpack_from("<I", b, body_start + 16)[0]
+                strf = (bi_h, bpp, comp)
+            elif cid[2:] in (b"db", b"dc"):
                 frames.append(bytes(b[body_start:body_end]))
-            elif cid[2:] == b"dc":  # compressed frame
-                raise NotImplementedError(
-                    "compressed AVI frames ('..dc') need a codec; only "
-                    "raw-DIB ('..db') AVI is supported without ffmpeg"
-                )
             pos = body_end + (clen & 1)  # chunks are word-aligned
 
-    walk(12, len(b))
+    # readers must stop at the declared RIFF size; trailing bytes are
+    # padding, not chunks
+    walk(12, min(len(b), 8 + riff_len))
     if usec is None:
         raise ValueError("AVI missing avih main header")
+    if strf is None:
+        raise ValueError("AVI missing strf stream format header")
+    bi_h, bpp, comp = strf
+    if comp != 0 or bpp != 24:
+        # biCompression/biBitCount are the real codec discriminators
+        # (encoders tag compressed frames '00db' too) — capability
+        # limit, not malformed data
+        raise NotImplementedError(
+            f"only uncompressed 24-bit raw-DIB AVI supported "
+            f"(bpp={bpp}, compression={comp}); other codecs need ffmpeg"
+        )
     if not usec or w is None or w <= 0 or h is None or h <= 0:
         raise ValueError(
             f"malformed AVI header: usec_per_frame={usec}, width={w}, "
             f"height={h}"
         )
     stride = (w * 3 + 3) & ~3
-    rgb_frames = []
     for fi, data in enumerate(frames):
         if len(data) < stride * h:
             raise ValueError(
                 f"truncated AVI frame {fi}: need {stride * h} bytes, "
                 f"got {len(data)}"
             )
-        rows = []
-        for r in range(h):
-            src = h - 1 - r  # DIB frames are bottom-up
-            row = data[src * stride : src * stride + w * 3]
-            rows.append(
-                bytes(
-                    row[i + 2 - c]
-                    for i in range(0, w * 3, 3)
-                    for c in (0, 1, 2)
-                )
-            )
-        rgb_frames.append(b"".join(rows))
-    return usec, w, h, rgb_frames
+    return usec, w, h, bi_h < 0, frames
 
 
 def frame_sample_real(
@@ -244,7 +251,7 @@ def frame_sample_real(
                 b = bytes(payload)
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                        usec, w, h, frames = _avi_decode(b)
+                        usec, w, h, top_down, frames = _avi_decode(b)
                     else:
                         raise NotImplementedError(
                             "payload is not an uncompressed AVI; other "
@@ -259,10 +266,17 @@ def frame_sample_real(
                         ) from exc
                     emit(mid, None, None, None, None, None, None)
                     continue
+                if not frames:
+                    # decodable but frameless: keep one row per media
+                    # (dims carried, frame_idx NULL) so the id never
+                    # silently vanishes from per-media accounting
+                    emit(mid, None, None, w, h, None, None)
+                    continue
                 stride = max(1, every_ms * 1000 // usec)
-                for idx, rgb in enumerate(frames):
+                for idx, raw in enumerate(frames):
                     if idx % stride:
-                        continue
+                        continue  # skipped frames are never normalized
+                    rgb = _dib_to_rgb(raw, 0, w, h, top_down)
                     emit(
                         mid, idx, idx * usec // 1000, w, h,
                         _luma_fx(rgb), hashlib.md5(rgb).hexdigest(),
@@ -372,6 +386,27 @@ def _ppm_decode(b: bytes) -> tuple:
     return magic, w, h, ch, rgb
 
 
+def _dib_to_rgb(
+    data: bytes, off: int, w: int, h: int, top_down: bool
+) -> bytes:
+    """Normalize one raw 24-bit DIB pixel block (BGR channel order,
+    4-byte-padded rows, bottom-up unless top_down) to row-major RGB —
+    the ONE copy of this index arithmetic, shared by the BMP decoder
+    and the AVI frame path. Caller has already bounds-checked."""
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        row = data[off + src * stride : off + src * stride + w * 3]
+        # BGR -> RGB per pixel
+        rows.append(
+            bytes(
+                row[i + 2 - c] for i in range(0, w * 3, 3) for c in (0, 1, 2)
+            )
+        )
+    return b"".join(rows)
+
+
 def _bmp_decode(b: bytes) -> tuple:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) decode: undo the
     4-byte row padding, the bottom-up row order (negative height =
@@ -394,21 +429,10 @@ def _bmp_decode(b: bytes) -> tuple:
             f"pixel offset={off} (must be >= 54)"
         )
     h = abs(h_signed)
-    top_down = h_signed < 0
     stride = (w * 3 + 3) & ~3
     if len(b) < off + stride * h:
         raise ValueError("truncated BMP pixel data")
-    rows = []
-    for r in range(h):
-        src = r if top_down else h - 1 - r
-        row = b[off + src * stride : off + src * stride + w * 3]
-        # BGR -> RGB per pixel
-        rows.append(
-            bytes(
-                row[i + 2 - c] for i in range(0, w * 3, 3) for c in (0, 1, 2)
-            )
-        )
-    return "BMP", w, h, 3, b"".join(rows)
+    return "BMP", w, h, 3, _dib_to_rgb(b, off, w, h, h_signed < 0)
 
 
 def _luma_fx(rgb: bytes) -> int:

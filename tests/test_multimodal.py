@@ -277,10 +277,15 @@ def test_decode_error_taxonomy(spark):
         ).collect()
 
 
-def _avi_bytes(frames_px, w, h, usec_per_frame=40000, compressed=False):
-    """Minimal uncompressed AVI: RIFF('AVI ') + LIST(hdrl){avih} +
-    LIST(movi){00db raw DIB frames}. frames_px = list of row-major RGB
-    pixel lists; frames stored bottom-up BGR with 4-byte padding."""
+def _avi_bytes(frames_px, w, h, usec_per_frame=40000, compressed=False,
+               top_down=False, bpp=24, trailing=b""):
+    """Minimal uncompressed AVI: RIFF('AVI ') + LIST(hdrl){avih,
+    LIST(strl){strh, strf}} + LIST(movi){00db raw DIB frames}.
+    frames_px = list of row-major RGB pixel lists; frames stored BGR
+    with 4-byte padding, bottom-up unless top_down (strf biHeight
+    sign carries the row order, like BMP). compressed sets strf
+    biCompression=1 while KEEPING the '00db' tag — the tag is
+    advisory; biCompression is the real discriminator."""
     import struct
 
     def chunk(cid, body):
@@ -292,23 +297,30 @@ def _avi_bytes(frames_px, w, h, usec_per_frame=40000, compressed=False):
         "<IIIIIIIIIIIIII",
         usec_per_frame, 0, 0, 0, len(frames_px), 0, 1, 0, w, h, 0, 0, 0, 0,
     )
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    strh = chunk(b"strh", b"vids" + b"DIB " + b"\x00" * 48)
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp,
+        1 if compressed else 0, 0, 0, 0, 0, 0,
+    ))
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
     stride = (w * 3 + 3) & ~3
     movi_body = b"movi"
     for px in frames_px:
         rows = []
         for r in range(h):
-            src = h - 1 - r
+            src = r if top_down else h - 1 - r
             row = b"".join(
                 bytes((px[src * w + c][2], px[src * w + c][1],
                        px[src * w + c][0]))
                 for c in range(w)
             )
             rows.append(row + b"\x00" * (stride - len(row)))
-        fid = b"00dc" if compressed else b"00db"
-        movi_body += chunk(fid, b"".join(rows))
+        movi_body += chunk(b"00db", b"".join(rows))
     riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
-    return b"RIFF" + __import__("struct").pack("<I", len(riff_body)) + riff_body
+    return (
+        b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body + trailing
+    )
 
 
 def test_frame_sample_real_avi(spark):
@@ -346,21 +358,43 @@ def test_frame_sample_real_avi(spark):
         for r in frame_sample_real(media, every_ms=80).collect()
     )
     assert sampled == [0, 2]
+    # top-down AVI (negative strf biHeight) normalizes to the SAME
+    # pixel hash; trailing padding after the RIFF size is ignored
+    td = _avi_bytes([pixels], 3, 2, top_down=True, trailing=b"JUNKJUNK")
+    tr = frame_sample_real(
+        spark.createDataFrame([(2, td)], "media_id long, payload binary"),
+        every_ms=40,
+    ).collect()
+    assert len(tr) == 1 and tr[0]["pixel_md5"] == ppm_hash
+    # decodable but frameless: one NULL-frame row, id never vanishes
+    empty = _avi_bytes([], 3, 2)
+    er = frame_sample_real(
+        spark.createDataFrame([(3, empty)], "media_id long, payload binary")
+    ).collect()
+    assert len(er) == 1 and er[0]["frame_idx"] is None
+    assert (er[0]["width"], er[0]["height"]) == (3, 2)
 
 
 def test_frame_sample_real_errors(spark):
     from geist_spark.operators.multimodal import frame_sample_real
 
     pixels = [(1, 2, 3)]
+    # biCompression=1 with an advisory '00db' tag: the strf field is
+    # the discriminator -> capability limit, raise / NULL by option
     comp = _avi_bytes([pixels], 1, 1, compressed=True)
     media = spark.createDataFrame(
         [(1, comp)], "media_id long, payload binary"
     )
-    # compressed frames: capability limit -> raise / NULL by option
     with pytest.raises(Exception, match="codec"):
         frame_sample_real(media).collect()
     out = frame_sample_real(media, on_unsupported="null").collect()
     assert len(out) == 1 and out[0]["frame_idx"] is None
+    # 32-bpp raw DIB: capability limit too (would misread as BGR24)
+    deep = _avi_bytes([pixels], 1, 1, bpp=32)
+    with pytest.raises(Exception, match="bpp=32"):
+        frame_sample_real(
+            spark.createDataFrame([(1, deep)], "media_id long, payload binary")
+        ).collect()
     # truncated frame chunk: malformed -> always raises
     good = _avi_bytes([pixels], 1, 1)
     trunc = good[: len(good) - 2]
