@@ -2158,6 +2158,27 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize under the oracle gate: the same synthesized 4x2 P6
+    PPM as m_decode_real, nearest-neighbor-resampled to 2x1 by
+    multimodal.resize_real (actual pixel resampling, integer index
+    map src = dst*src_dim // dst_dim). The oracle picks the mapped
+    source pixels (columns 0 and 2 of row 0 = digest bytes 1-3 and
+    7-9, PPM is RGB order) and recomputes the resized luma
+    arithmetically — a wrong index map or channel order
+    hash-mismatches."""
+    from geist_spark.operators.multimodal import resize_real
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(b"P6\n4 2\n255\n"), _md5_payload_bytes())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return resize_real(media, 2, 1).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 def m_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction under the oracle gate: synthesize a
     2-frame 2x1 raw-DIB AVI per document (frame pixels = the first 12
@@ -4343,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
         "m_frame_sample_real": m_frame_sample_real,
+        "m_resize_real": m_resize_real,
     }
 
 
@@ -5273,6 +5295,22 @@ def oracle_sql() -> dict[str, str]:
                       + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
                       + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
                      // 8 AS BIGINT) AS mean_luma_fx
+            FROM b
+        """,
+        # arithmetic replay of the REAL nearest-neighbor resize: 4x2
+        # -> 2x1 keeps source pixels 0 and 2 of row 0 (digest bytes
+        # 1-3 / 7-9, RGB order)
+        "m_resize_real": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'P6' AS format,
+                   CAST(2 AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST((299*(bytes[1]+bytes[7])
+                         + 587*(bytes[2]+bytes[8])
+                         + 114*(bytes[3]+bytes[9])) // 2 AS BIGINT)
+                       AS mean_luma_fx
             FROM b
         """,
         # arithmetic replay of the REAL AVI frame extraction: two 2x1

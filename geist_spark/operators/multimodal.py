@@ -444,6 +444,84 @@ def _luma_fx(rgb: bytes) -> int:
     return (299 * sr + 587 * sg + 114 * sb) // n if n else 0
 
 
+def _nn_resize_rgb(
+    rgb: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of a row-major RGB byte block — pure
+    integer index mapping (src = (dst * src_dim) // dst_dim), the
+    standard NN convention, exactly replayable in SQL."""
+    out = bytearray(out_w * out_h * 3)
+    for j in range(out_h):
+        sj = j * h // out_h
+        for i in range(out_w):
+            si = i * w // out_w
+            s = (sj * w + si) * 3
+            d = (j * out_w + i) * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
+
+
+def resize_real(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """REAL image resize: decode the codec-free formats (the same
+    PPM/PGM/BMP path as decode_real) and nearest-neighbor-resample the
+    ACTUAL pixels to (width, height) — integer index mapping
+    src = (dst * src_dim) // dst_dim, so the resampled luma/hash are
+    exactly replayable. Output: (media_id, width, height,
+    mean_luma_fx, pixel_md5) of the RESIZED image. Same Arrow-batched
+    mapInPandas stage and two-tier error contract as decode_real;
+    resize_stub remains the plumbing twin for undecodable payloads."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = luma = md5 = None
+                w_out = h_out = None
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        if b[:2] in (b"P6", b"P5"):
+                            fmt, w, h, _ch, rgb = _ppm_decode(b)
+                        elif b[:2] == b"BM":
+                            fmt, w, h, _ch, rgb = _bmp_decode(b)
+                        else:
+                            raise NotImplementedError(
+                                "payload is not PPM/PGM/BMP; compressed "
+                                "codecs need PIL/ffmpeg — pass "
+                                "on_unsupported='null' to skip, or use "
+                                "resize_stub (deterministic plumbing twin)"
+                            )
+                        r = _nn_resize_rgb(rgb, w, h, width, height)
+                        w_out, h_out = width, height
+                        luma = _luma_fx(r)
+                        md5 = hashlib.md5(r).hexdigest()
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        fmt = luma = md5 = w_out = h_out = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w_out)
+                out["height"].append(h_out)
+                out["channels"].append(3 if fmt is not None else None)
+                out["mean_luma_fx"].append(luma)
+                out["pixel_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
 def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     """REAL image decode for the container-friendly formats — Netpbm
     P6/P5 and uncompressed 24-bit BMP, parsed in pure Python (no codec

@@ -407,3 +407,36 @@ def test_frame_sample_real_errors(spark):
         ).collect()
     with pytest.raises(ValueError, match="every_ms"):
         frame_sample_real(media, every_ms=0)
+
+
+def test_resize_real_nearest_neighbor(spark):
+    """resize_real resamples ACTUAL pixels: known 4x2 -> 2x1 picks
+    source columns 0 and 2 of row 0 (src = dst*src_dim // dst_dim);
+    upscale 1x1 -> 3x2 replicates the single pixel; identity resize
+    preserves the decode_real hash."""
+    from geist_spark.operators.multimodal import decode_real, resize_real
+
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120),
+          (1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13)]
+    media = spark.createDataFrame(
+        [(1, _ppm_bytes(4, 2, px))], "media_id long, payload binary"
+    )
+    r = resize_real(media, 2, 1).collect()[0]
+    assert (r["width"], r["height"]) == (2, 1)
+    # dst row 0 -> src row 0*2//1 = 0; dst cols 0,1 -> src cols 0,2
+    keep = [px[0], px[2]]
+    sr, sg, sb = (sum(p[c] for p in keep) for c in (0, 1, 2))
+    assert r["mean_luma_fx"] == (299 * sr + 587 * sg + 114 * sb) // 2
+    # upscale replicates: all 6 output pixels = the one source pixel
+    one = spark.createDataFrame(
+        [(2, _ppm_bytes(1, 1, [(200, 100, 50)]))],
+        "media_id long, payload binary",
+    )
+    u = resize_real(one, 3, 2).collect()[0]
+    assert u["mean_luma_fx"] == 299 * 200 + 587 * 100 + 114 * 50
+    # identity resize == decode_real's pixel hash
+    ident = resize_real(media, 4, 2).collect()[0]
+    dec = decode_real(media).collect()[0]
+    assert ident["pixel_md5"] == dec["pixel_md5"]
+    with pytest.raises(ValueError, match="positive"):
+        resize_real(media, 0, 4)
