@@ -2121,6 +2121,17 @@ def _md5_payload_bytes() -> "F.Column":
     )
 
 
+def _synth_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE synthesized 4x2 P6 media frame shared by m_decode_real
+    and m_resize_real — header + _md5_payload_bytes pixels; both
+    gates and both oracle CTEs must see the identical payload."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(b"P6\n4 2\n255\n"), _md5_payload_bytes())
+    return docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+
+
 # oracle twin of _md5_payload_bytes: hex digests -> 24 ints (1-based)
 _MD5_BYTES_CTE_SQL = """
             h AS (
@@ -2148,12 +2159,7 @@ def m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes)."""
     from geist_spark.operators.multimodal import decode_real
 
-    docs = _t(spark, sf_dir, "documents")
-    payload = F.concat(F.lit(b"P6\n4 2\n255\n"), _md5_payload_bytes())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
-    )
-    return decode_real(media).select(
+    return decode_real(_synth_ppm_media(spark, sf_dir)).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
 
@@ -2169,12 +2175,7 @@ def m_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches."""
     from geist_spark.operators.multimodal import resize_real
 
-    docs = _t(spark, sf_dir, "documents")
-    payload = F.concat(F.lit(b"P6\n4 2\n255\n"), _md5_payload_bytes())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
-    )
-    return resize_real(media, 2, 1).select(
+    return resize_real(_synth_ppm_media(spark, sf_dir), 2, 1).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
 

@@ -444,21 +444,44 @@ def _luma_fx(rgb: bytes) -> int:
     return (299 * sr + 587 * sg + 114 * sb) // n if n else 0
 
 
+def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
+    """The ONE image-format dispatch shared by decode_real and
+    resize_real: (fmt, w, h, channels, rgb) for PPM/PGM/BMP, or
+    NotImplementedError (capability limit) for anything else —
+    keeping the two operators' accepted-format sets identical by
+    construction."""
+    if b[:2] in (b"P6", b"P5"):
+        return _ppm_decode(b)
+    if b[:2] == b"BM":
+        return _bmp_decode(b)
+    raise NotImplementedError(
+        "payload is not PPM/PGM/BMP; compressed codecs (JPEG/PNG/...) "
+        "need PIL/ffmpeg, not present in this environment — pass "
+        f"on_unsupported='null' to skip, or use {alt_hint}"
+    )
+
+
 def _nn_resize_rgb(
     rgb: bytes, w: int, h: int, out_w: int, out_h: int
 ) -> bytes:
     """Nearest-neighbor resize of a row-major RGB byte block — pure
     integer index mapping (src = (dst * src_dim) // dst_dim), the
-    standard NN convention, exactly replayable in SQL."""
-    out = bytearray(out_w * out_h * 3)
+    standard NN convention, exactly replayable in SQL. Column offsets
+    are computed once (identical across rows) and whole output rows
+    are memoized per source row, so upscales replicate row objects
+    instead of re-slicing pixel by pixel."""
+    cols = [(i * w // out_w) * 3 for i in range(out_w)]
+    row_cache: dict[int, bytes] = {}
+    rows = []
     for j in range(out_h):
         sj = j * h // out_h
-        for i in range(out_w):
-            si = i * w // out_w
-            s = (sj * w + si) * 3
-            d = (j * out_w + i) * 3
-            out[d : d + 3] = rgb[s : s + 3]
-    return bytes(out)
+        row = row_cache.get(sj)
+        if row is None:
+            base = sj * w * 3
+            row = b"".join(rgb[base + c : base + c + 3] for c in cols)
+            row_cache[sj] = row
+        rows.append(row)
+    return b"".join(rows)
 
 
 def resize_real(
@@ -468,13 +491,17 @@ def resize_real(
     on_unsupported: str = "error",
 ) -> DataFrame:
     """REAL image resize: decode the codec-free formats (the same
-    PPM/PGM/BMP path as decode_real) and nearest-neighbor-resample the
-    ACTUAL pixels to (width, height) — integer index mapping
-    src = (dst * src_dim) // dst_dim, so the resampled luma/hash are
-    exactly replayable. Output: (media_id, width, height,
-    mean_luma_fx, pixel_md5) of the RESIZED image. Same Arrow-batched
-    mapInPandas stage and two-tier error contract as decode_real;
-    resize_stub remains the plumbing twin for undecodable payloads."""
+    shared PPM/PGM/BMP dispatch as decode_real) and nearest-neighbor-
+    resample the ACTUAL pixels to (width, height) — integer index
+    mapping src = (dst * src_dim) // dst_dim, so the resampled
+    luma/hash are exactly replayable. Returns DECODED_SCHEMA rows
+    (media_id, format, width, height, channels, mean_luma_fx,
+    pixel_md5) for the RESIZED image: width/height are the TARGET
+    dims, channels the SOURCE channel count (1 for grayscale —
+    matching decode_real's meaning of the column), luma/hash over the
+    resized normalized-RGB bytes. Same Arrow-batched mapInPandas
+    stage and two-tier error contract as decode_real; resize_stub
+    remains the plumbing twin for undecodable payloads."""
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be positive")
     if on_unsupported not in ("error", "null"):
@@ -484,22 +511,14 @@ def resize_real(
         for pdf in batches:
             out = {k.name: [] for k in DECODED_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                fmt = luma = md5 = None
+                fmt = ch = luma = md5 = None
                 w_out = h_out = None
                 if payload is not None:
                     b = bytes(payload)
                     try:
-                        if b[:2] in (b"P6", b"P5"):
-                            fmt, w, h, _ch, rgb = _ppm_decode(b)
-                        elif b[:2] == b"BM":
-                            fmt, w, h, _ch, rgb = _bmp_decode(b)
-                        else:
-                            raise NotImplementedError(
-                                "payload is not PPM/PGM/BMP; compressed "
-                                "codecs need PIL/ffmpeg — pass "
-                                "on_unsupported='null' to skip, or use "
-                                "resize_stub (deterministic plumbing twin)"
-                            )
+                        fmt, w, h, ch, rgb = _decode_rgb_bytes(
+                            b, "resize_stub (deterministic plumbing twin)"
+                        )
                         r = _nn_resize_rgb(rgb, w, h, width, height)
                         w_out, h_out = width, height
                         luma = _luma_fx(r)
@@ -509,12 +528,12 @@ def resize_real(
                             raise NotImplementedError(
                                 f"media_id={mid}: {exc}"
                             ) from exc
-                        fmt = luma = md5 = w_out = h_out = None
+                        fmt = ch = luma = md5 = w_out = h_out = None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 out["width"].append(w_out)
                 out["height"].append(h_out)
-                out["channels"].append(3 if fmt is not None else None)
+                out["channels"].append(ch)
                 out["mean_luma_fx"].append(luma)
                 out["pixel_md5"].append(md5)
             yield pd.DataFrame(out)
@@ -552,19 +571,9 @@ def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
                 if payload is not None:
                     b = bytes(payload)
                     try:
-                        if b[:2] in (b"P6", b"P5"):
-                            fmt, w, h, ch, rgb = _ppm_decode(b)
-                        elif b[:2] == b"BM":
-                            fmt, w, h, ch, rgb = _bmp_decode(b)
-                        else:
-                            raise NotImplementedError(
-                                "payload is not PPM/PGM/BMP; compressed "
-                                "codecs (JPEG/PNG/...) need PIL/ffmpeg, "
-                                "not present in this environment — pass "
-                                "on_unsupported='null' to skip, or use "
-                                "extract_media_features (deterministic "
-                                "stub)"
-                            )
+                        fmt, w, h, ch, rgb = _decode_rgb_bytes(
+                            b, "extract_media_features (deterministic stub)"
+                        )
                         luma, md5 = _luma_fx(rgb), hashlib.md5(rgb).hexdigest()
                     except NotImplementedError as exc:
                         if on_unsupported == "error":

@@ -440,3 +440,17 @@ def test_resize_real_nearest_neighbor(spark):
     assert ident["pixel_md5"] == dec["pixel_md5"]
     with pytest.raises(ValueError, match="positive"):
         resize_real(media, 0, 4)
+
+
+def test_resize_real_grayscale_channels(spark):
+    """channels reports the SOURCE channel count (decode_real's
+    meaning of the column): grayscale stays 1 through a resize."""
+    from geist_spark.operators.multimodal import resize_real
+
+    m = spark.createDataFrame(
+        [(1, _pgm_bytes(2, 1, [100, 200]))], "media_id long, payload binary"
+    )
+    r = resize_real(m, 4, 2).collect()[0]
+    assert (r["channels"], r["width"], r["height"]) == (1, 4, 2)
+    # NN upscale of [100, 200] to 4x2 doubles each column in each row
+    assert r["mean_luma_fx"] == (100 + 200) * 1000 // 2
