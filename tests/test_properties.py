@@ -2414,3 +2414,118 @@ def test_merge_sink_matches_python_model(spark, batches):
         for r in loader.extract_all().collect()
     }
     assert got == _py_merge_store(batches, keep)
+
+
+# ---------- pure-python media decoders ----------
+
+def _py_luma(pixels):
+    sr = sum(p[0] for p in pixels)
+    sg = sum(p[1] for p in pixels)
+    sb = sum(p[2] for p in pixels)
+    return (299 * sr + 587 * sg + 114 * sb) // len(pixels)
+
+
+@given(
+    w=st.integers(1, 5),
+    h=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+    top_down=st.booleans(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decode_real_cross_format_property(spark, w, h, seed, top_down):
+    """Any random image: the PPM encoding and the (bottom-up or
+    top-down) BMP encoding decode to the SAME pixel hash, and the
+    exact luma matches the python reference."""
+    import random
+
+    from tests.test_multimodal import _bmp_bytes, _ppm_bytes
+    from geist_spark.operators.multimodal import decode_real
+
+    rng = random.Random(seed)
+    pixels = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    media = spark.createDataFrame(
+        [(1, _ppm_bytes(w, h, pixels)),
+         (2, _bmp_bytes(w, h, pixels, top_down=top_down))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"]
+    assert out[1]["mean_luma_fx"] == out[2]["mean_luma_fx"] == _py_luma(pixels)
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+
+
+@given(
+    n=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+    bits=st.sampled_from([8, 16]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decode_audio_real_property(spark, n, seed, bits):
+    """Random PCM: exact peak and floor-mean-square match the python
+    reference for 8-bit (centered) and 16-bit (signed) samples."""
+    import random
+
+    from tests.test_multimodal import _wav_bytes
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    rng = random.Random(seed)
+    if bits == 16:
+        samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+    else:
+        samples = [rng.randrange(-128, 128) for _ in range(n)]
+    media = spark.createDataFrame(
+        [(1, _wav_bytes(samples, bits=bits))],
+        "media_id long, payload binary",
+    )
+    r = decode_audio_real(media).collect()[0]
+    assert r["n_frames"] == n
+    assert r["peak_abs"] == max(abs(s) for s in samples)
+    assert r["mean_square_fx"] == sum(s * s for s in samples) // n
+
+
+@given(
+    w=st.integers(1, 4),
+    h=st.integers(1, 3),
+    ow=st.integers(1, 5),
+    oh=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resize_real_matches_python_nn(spark, w, h, ow, oh, seed):
+    """Random image, random target dims: the resized exact luma equals
+    a python nearest-neighbor reference using the same index map."""
+    import random
+
+    from tests.test_multimodal import _ppm_bytes
+    from geist_spark.operators.multimodal import resize_real
+
+    rng = random.Random(seed)
+    pixels = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    resized = [
+        pixels[(j * h // oh) * w + (i * w // ow)]
+        for j in range(oh)
+        for i in range(ow)
+    ]
+    media = spark.createDataFrame(
+        [(1, _ppm_bytes(w, h, pixels))], "media_id long, payload binary"
+    )
+    r = resize_real(media, ow, oh).collect()[0]
+    assert r["mean_luma_fx"] == _py_luma(resized)
