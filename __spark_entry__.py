@@ -2264,6 +2264,45 @@ def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
+    as m_decode_real (24 md5-derived bytes) encoded per document as an
+    8-bit PNG with row filters Sub (row 0) and Paeth (row 1) — so the
+    zlib inflate AND the hardest unfiltering paths run for real — then
+    decoded by multimodal.decode_real (stdlib zlib + numpy scanline
+    unfiltering, multimodal.py). PNG synthesis needs Python zlib, so
+    it runs as a first Arrow-batched mapInPandas stage; the oracle
+    recomputes the luma ARITHMETICALLY from the md5 hex digests with
+    no PNG parsing oracle-side — a chunk-walk, inflate-size, or
+    unfilter bug in the decoder hash-mismatches against the PPM-path
+    arithmetic."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_real, png_encode_rgb
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        png_encode_rgb(4, 2, bytes(px), [1, 4])
+                        for px in pdf["px"]
+                    ],
+                }
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shape conditional-aggregation ratio (promo revenue
@@ -4366,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": m_decode_audio,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
+        "m_decode_png": m_decode_png,
     }
 
 
@@ -5371,6 +5411,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(224 * 224 AS INTEGER) AS out_len,
                    md5(text) AS head_hex
             FROM documents
+        """,
+        # arithmetic replay of the REAL PNG decode: the SAME pixels as
+        # m_decode_real (PNG filtering + zlib round-trips them), so the
+        # luma arithmetic is identical — only the format tag differs.
+        # An unfilter/inflate bug Spark-side breaks the equality.
+        "m_decode_png": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'PNG' AS format,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(
+                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                     // 8 AS BIGINT) AS mean_luma_fx
+            FROM b
         """,
         "d_simhash": _simhash_oracle(bits=32),
         "d_minhash_pairs": _minhash_oracle(num_hashes=16, bands=4),

@@ -3,11 +3,12 @@
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched `mapInPandas` stages
 so the Python boundary is per-batch, not per-row. `decode_real`
-REALLY decodes the codec-free formats (Netpbm P6/P5, uncompressed
-24-bit BMP) in pure Python — actual pixels, exact luma, cross-format
-pixel hash; compressed formats (JPEG/PNG) need codec libraries NOT
-in this container, so for those `decode_real` raises (or NULLs, by
-option) and `extract_media_features` computes deterministic
+REALLY decodes the dependency-free formats (Netpbm P6/P5,
+uncompressed 24-bit BMP, and 8-bit PNG via stdlib zlib + numpy
+unfiltering) — actual pixels, exact luma, cross-format pixel hash;
+codec formats (JPEG/WebP/...) need libraries NOT in this container,
+so for those `decode_real` raises (or NULLs, by option) and
+`extract_media_features` computes deterministic
 pseudo-features (byte length, md5, an 8-bin byte histogram) — the
 Spark-side plumbing (schema, batch shape, partition behavior) is the
 same either way; swap in PIL/ffmpeg on a cluster that has them.
@@ -18,6 +19,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -146,9 +148,16 @@ def _avi_decode(b: bytes) -> tuple:
     strf: tuple | None = None
     frames: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
-        nonlocal usec, w, h, strf
-        pos = start
+    # Iterative chunk walk (explicit continuation stack, NOT recursion:
+    # a crafted payload of thousands of nested 8-byte LIST headers must
+    # raise a typed error or just cost memory — never RecursionError,
+    # which would escape the two-tier error contract and kill the
+    # mapInPandas task even under on_unsupported='null').
+    # Readers must stop at the declared RIFF size; trailing bytes are
+    # padding, not chunks.
+    stack: list[tuple[int, int]] = [(12, min(len(b), 8 + riff_len))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = bytes(b[pos : pos + 4])
             (clen,) = struct.unpack_from("<I", b, pos + 4)
@@ -159,7 +168,11 @@ def _avi_decode(b: bytes) -> tuple:
                     f"bytes, container has {end - body_start}"
                 )
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip the list type tag
+                # resume this level after the list body, descend now —
+                # same depth-first order as the recursive walk
+                stack.append((body_end + (clen & 1), end))
+                pos, end = body_start + 4, body_end  # skip list type tag
+                continue
             elif cid == b"avih":
                 if clen < 40:
                     raise ValueError("truncated AVI main header")
@@ -175,10 +188,6 @@ def _avi_decode(b: bytes) -> tuple:
             elif cid[2:] in (b"db", b"dc"):
                 frames.append(bytes(b[body_start:body_end]))
             pos = body_end + (clen & 1)  # chunks are word-aligned
-
-    # readers must stop at the declared RIFF size; trailing bytes are
-    # padding, not chunks
-    walk(12, min(len(b), 8 + riff_len))
     if usec is None:
         raise ValueError("AVI missing avih main header")
     if strf is None:
@@ -361,7 +370,15 @@ def _ppm_decode(b: bytes) -> tuple:
             pos += 1
         if pos == start:
             raise ValueError("truncated PPM/PGM header")
-        toks.append(int(b[start:pos]))
+        try:
+            toks.append(int(b[start:pos]))
+        except ValueError:
+            # keep the two-tier taxonomy's typed message — a bare
+            # "invalid literal for int()" would not name the format
+            raise ValueError(
+                f"malformed PPM/PGM header token {bytes(b[start:pos])!r} "
+                "(expected a decimal integer)"
+            ) from None
     pos += 1  # exactly one whitespace byte after maxval
     w, h, maxval = toks
     if w <= 0 or h <= 0 or maxval <= 0:
@@ -380,7 +397,7 @@ def _ppm_decode(b: bytes) -> tuple:
             f"truncated PPM/PGM payload: need {need} pixel bytes, got {len(px)}"
         )
     if ch == 1:  # normalize gray to RGB triples for the cross-format md5
-        rgb = bytes(v for g in px for v in (g, g, g))
+        rgb = np.repeat(np.frombuffer(px, dtype=np.uint8), 3).tobytes()
     else:
         rgb = px
     return magic, w, h, ch, rgb
@@ -392,19 +409,24 @@ def _dib_to_rgb(
     """Normalize one raw 24-bit DIB pixel block (BGR channel order,
     4-byte-padded rows, bottom-up unless top_down) to row-major RGB —
     the ONE copy of this index arithmetic, shared by the BMP decoder
-    and the AVI frame path. Caller has already bounds-checked."""
+    and the AVI frame path. Caller has already bounds-checked.
+
+    numpy reshape/slice, no per-byte Python: decode is the dominant
+    per-byte cost of a multimodal pipeline (measured ~200x over the
+    per-byte loop — SCALE.md "Decoder vectorization")."""
     stride = (w * 3 + 3) & ~3
-    rows = []
-    for r in range(h):
-        src = r if top_down else h - 1 - r
-        row = data[off + src * stride : off + src * stride + w * 3]
-        # BGR -> RGB per pixel
-        rows.append(
-            bytes(
-                row[i + 2 - c] for i in range(0, w * 3, 3) for c in (0, 1, 2)
-            )
-        )
-    return b"".join(rows)
+    arr = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    # drop row padding, split pixels
+    px = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    # three contiguous-destination channel copies beat a strided
+    # `[..., ::-1].tobytes()` ~7x (measured in tools/decode_probe.py)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = px[:, :, 2]
+    out[:, :, 1] = px[:, :, 1]
+    out[:, :, 2] = px[:, :, 0]
+    return out.tobytes()
 
 
 def _bmp_decode(b: bytes) -> tuple:
@@ -435,27 +457,245 @@ def _bmp_decode(b: bytes) -> tuple:
     return "BMP", w, h, 3, _dib_to_rgb(b, off, w, h, h_signed < 0)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). None and Up are whole-row numpy ops; Sub is an exact
+    per-channel-lane cumulative sum mod 256; Average/Paeth carry a
+    left-dependency so they scan (still per-row, and encoders rarely
+    emit them for synthetic data). Returns the (h, stride) recon
+    array."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int64)
+        up = out[r - 1].astype(np.int64) if r else zero
+        if ft == 0:
+            res = cur
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            res = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            res = (cur + up) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            res = np.zeros(stride, dtype=np.int64)
+            upl = out[r - 1] if r else None
+            for x in range(stride):
+                left = int(res[x - bpp]) if x >= bpp else 0
+                u = int(up[x])
+                ul = int(upl[x - bpp]) if (r and x >= bpp) else 0
+                if ft == 3:
+                    res[x] = (cur[x] + (left + u) // 2) & 0xFF
+                else:
+                    p = left + u - ul
+                    pa, pb, pc = abs(p - left), abs(p - u), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = u
+                    else:
+                        pred = ul
+                    res[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ft}")
+        out[r] = res.astype(np.uint8)
+    return out
+
+
+def _png_decode(b: bytes) -> tuple:
+    """PNG decode WITHOUT codec libraries: stdlib zlib inflate + numpy
+    scanline unfiltering. Supported: 8-bit depth, color types 0
+    (grayscale), 2 (RGB), 3 (palette), non-interlaced — the common
+    lossless web-crawl shapes. Gray normalizes to RGB triples (like
+    PGM) so the cross-format pixel_md5 contract holds; palette expands
+    through PLTE (channels reported as 3 — the colors are RGB even
+    though storage is indexed). CAPABILITY limits (16-bit, alpha
+    variants 4/6, Adam7 interlace) raise NotImplementedError; bad
+    chunk CRCs, truncation, and inflate/size mismatches are MALFORMED
+    (ValueError), per the two-tier error contract."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat, saw_iend = 8, None, None, [], False
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = bytes(b[pos + 4 : pos + 8])
+        body_end = pos + 8 + clen
+        if body_end + 4 > len(b):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: header says {clen} bytes"
+            )
+        body = bytes(b[pos + 8 : body_end])
+        (crc,) = struct.unpack_from(">I", b, body_end)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"malformed PNG: chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos = body_end + 4
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("malformed PNG: missing or short IHDR chunk")
+    if not saw_iend:
+        raise ValueError("truncated PNG: missing IEND chunk")
+    w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(
+            f"malformed PNG IHDR: compression={comp}, filter={filt}, "
+            f"interlace={interlace}"
+        )
+    if interlace == 1:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if depth != 8:
+        raise NotImplementedError(
+            f"only 8-bit PNG supported (bit depth={depth})"
+        )
+    if ctype_v not in (0, 2, 3):
+        raise NotImplementedError(
+            f"PNG color type {ctype_v} unsupported (alpha variants would "
+            "silently drop a channel; decode them with PIL on a cluster "
+            "that has it)"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PNG IHDR: width={w}, height={h}")
+    if not idat:
+        raise ValueError("malformed PNG: no IDAT chunks")
+    bpp = 3 if ctype_v == 2 else 1
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG IDAT stream: {exc}") from None
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"malformed PNG: inflated to {len(raw)} bytes, expected "
+            f"{h * (1 + stride)} for {w}x{h} color type {ctype_v}"
+        )
+    recon = _png_unfilter(raw, h, stride, bpp)
+    if ctype_v == 2:
+        return "PNG", w, h, 3, recon.tobytes()
+    if ctype_v == 0:  # gray -> RGB triples, like PGM
+        return "PNG", w, h, 1, np.repeat(recon.reshape(-1), 3).tobytes()
+    if plte is None or len(plte) % 3 or not plte:
+        raise ValueError("malformed PNG: palette image without valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = recon.reshape(-1)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError(
+            f"malformed PNG: palette index {int(idx.max())} out of range "
+            f"({pal.shape[0]} entries)"
+        )
+    return "PNG", w, h, 3, pal[idx].tobytes()
+
+
+def png_encode_rgb(
+    w: int, h: int, rgb: bytes, filters: list[int] | None = None
+) -> bytes:
+    """Synthetic-fixture PNG encoder (tests + the m_decode_png gate
+    query synthesize payloads with it — NOT a public pipeline
+    operator): 8-bit RGB, one zlib stream, per-row filter types taken
+    from `filters` (default all 0/None) so the decoder's unfiltering
+    paths are exercised against real filtered data."""
+    import struct
+    import zlib
+
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length must be w*h*3")
+    filters = filters or [0] * h
+    if len(filters) != h:
+        raise ValueError("need one filter type per row")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w * 3).astype(np.int64)
+    lines = bytearray()
+    for r, ft in enumerate(filters):
+        cur = arr[r]
+        up = arr[r - 1] if r else np.zeros(w * 3, dtype=np.int64)
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+            filt = (cur - left) & 0xFF
+        elif ft == 2:
+            filt = (cur - up) & 0xFF
+        elif ft in (3, 4):
+            filt = np.zeros(w * 3, dtype=np.int64)
+            for x in range(w * 3):
+                left = int(cur[x - 3]) if x >= 3 else 0
+                u = int(up[x])
+                ul = int(arr[r - 1][x - 3]) if (r and x >= 3) else 0
+                if ft == 3:
+                    filt[x] = (cur[x] - (left + u) // 2) & 0xFF
+                else:
+                    p = left + u - ul
+                    pa, pb, pc = abs(p - left), abs(p - u), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = u
+                    else:
+                        pred = ul
+                    filt[x] = (cur[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        lines.append(ft)
+        lines += filt.astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _luma_fx(rgb: bytes) -> int:
-    """Exact integer BT.601 luma in milli-units, averaged per pixel."""
-    sr = sum(rgb[0::3])
-    sg = sum(rgb[1::3])
-    sb = sum(rgb[2::3])
+    """Exact integer BT.601 luma in milli-units, averaged per pixel.
+    Channel sums are strided int64 numpy reductions (arr[c::3] beats
+    an axis-0 reduction of the (n, 3) view ~10x — decode_probe.py);
+    the 299/587/114 weighting happens in Python ints so the result is
+    exact for any image size."""
     n = len(rgb) // 3
-    return (299 * sr + 587 * sg + 114 * sb) // n if n else 0
+    if not n:
+        return 0
+    arr = np.frombuffer(rgb, dtype=np.uint8, count=n * 3)
+    sr = int(arr[0::3].sum(dtype=np.int64))
+    sg = int(arr[1::3].sum(dtype=np.int64))
+    sb = int(arr[2::3].sum(dtype=np.int64))
+    return (299 * sr + 587 * sg + 114 * sb) // n
 
 
 def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
     """The ONE image-format dispatch shared by decode_real and
-    resize_real: (fmt, w, h, channels, rgb) for PPM/PGM/BMP, or
+    resize_real: (fmt, w, h, channels, rgb) for PPM/PGM/BMP/PNG, or
     NotImplementedError (capability limit) for anything else —
     keeping the two operators' accepted-format sets identical by
     construction."""
+    if b[:8] == _PNG_SIG:
+        return _png_decode(b)
     if b[:2] in (b"P6", b"P5"):
         return _ppm_decode(b)
     if b[:2] == b"BM":
         return _bmp_decode(b)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP; compressed codecs (JPEG/PNG/...) "
+        "payload is not PPM/PGM/BMP/PNG; other codecs (JPEG/WebP/...) "
         "need PIL/ffmpeg, not present in this environment — pass "
         f"on_unsupported='null' to skip, or use {alt_hint}"
     )
@@ -466,22 +706,12 @@ def _nn_resize_rgb(
 ) -> bytes:
     """Nearest-neighbor resize of a row-major RGB byte block — pure
     integer index mapping (src = (dst * src_dim) // dst_dim), the
-    standard NN convention, exactly replayable in SQL. Column offsets
-    are computed once (identical across rows) and whole output rows
-    are memoized per source row, so upscales replicate row objects
-    instead of re-slicing pixel by pixel."""
-    cols = [(i * w // out_w) * 3 for i in range(out_w)]
-    row_cache: dict[int, bytes] = {}
-    rows = []
-    for j in range(out_h):
-        sj = j * h // out_h
-        row = row_cache.get(sj)
-        if row is None:
-            base = sj * w * 3
-            row = b"".join(rgb[base + c : base + c + 3] for c in cols)
-            row_cache[sj] = row
-        rows.append(row)
-    return b"".join(rows)
+    standard NN convention, exactly replayable in SQL. Two numpy fancy
+    index gathers (rows then columns), no per-pixel Python."""
+    arr = np.frombuffer(rgb, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[rows][:, cols].tobytes()
 
 
 def resize_real(
@@ -543,17 +773,20 @@ def resize_real(
 
 def decode_real(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     """REAL image decode for the container-friendly formats — Netpbm
-    P6/P5 and uncompressed 24-bit BMP, parsed in pure Python (no codec
-    libraries): actual pixel bytes come out, normalized to row-major
-    RGB, with exact integer luma and a cross-format pixel hash (the
-    same image encoded as PPM and as BMP produces the SAME pixel_md5 —
-    property-tested). Runs as the same Arrow-batched `mapInPandas`
-    stage as the stubs: per-batch Python boundary, no shuffle,
-    partitioning preserved.
+    P6/P5, uncompressed 24-bit BMP, and 8-bit PNG (stdlib zlib inflate
+    + scanline unfiltering; no codec libraries): actual pixel bytes
+    come out, normalized to row-major RGB, with exact integer luma and
+    a cross-format pixel hash (the same image encoded as PPM, BMP and
+    PNG produces the SAME pixel_md5 — property-tested). Runs as the
+    same Arrow-batched `mapInPandas` stage as the stubs: per-batch
+    Python boundary, no shuffle, partitioning preserved. Pixel-block
+    normalization is numpy-vectorized (SCALE.md "Decoder
+    vectorization").
 
     CAPABILITY limits vs MALFORMED data are distinct contracts:
-    unsupported formats or variants (JPEG/PNG, compressed/non-24-bit
-    BMP, 16-bit PPM — NotImplementedError inside the decoders) raise
+    unsupported formats or variants (JPEG/WebP, compressed/non-24-bit
+    BMP, 16-bit PPM, interlaced/alpha/16-bit PNG — NotImplementedError
+    inside the decoders) raise
     by default naming the first offending media_id, or NULL out with
     on_unsupported="null" so mixed corpora decode what's decodable in
     one pass. MALFORMED payloads of a supported format (truncation,
@@ -652,16 +885,20 @@ def _wav_decode(b: bytes) -> tuple:
             f"multiple of the {ch * bps}-byte frame size"
         )
     n_samples = len(data) // bps
+    # vectorized sample parse + reductions: int64 throughout, so the
+    # sum of squares is exact for any payload a Spark row can hold
+    # (2 GB row cap -> 1e9 samples -> max sum ~1.07e18 < 2^63)
     if bits == 8:  # unsigned, centered at 128
-        samples = [v - 128 for v in data[: n_samples * bps]]
+        samples = np.frombuffer(
+            data, dtype=np.uint8, count=n_samples
+        ).astype(np.int64) - 128
     else:
-        samples = [
-            int.from_bytes(data[i : i + 2], "little", signed=True)
-            for i in range(0, n_samples * 2, 2)
-        ]
+        samples = np.frombuffer(
+            data, dtype="<i2", count=n_samples
+        ).astype(np.int64)
     n_frames = n_samples // ch if ch else 0
-    peak = max((abs(s) for s in samples), default=0)
-    msq = sum(s * s for s in samples) // n_samples if n_samples else 0
+    peak = int(np.abs(samples).max()) if n_samples else 0
+    msq = int((samples * samples).sum()) // n_samples if n_samples else 0
     return "WAV", ch, rate, bits, n_frames, peak, msq
 
 

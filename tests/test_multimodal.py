@@ -157,6 +157,139 @@ def test_decode_real_unsupported_and_malformed(spark):
         decode_real(mixed, on_unsupported="skip")
 
 
+def _png_gray_bytes(w, h, grays):
+    """8-bit grayscale PNG (color type 0), filter None per row."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += bytes(grays[r * w : (r + 1) * w])
+
+    def chunk(ct, body):
+        return (
+            struct.pack(">I", len(body)) + ct + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_palette_bytes(w, h, indices, palette):
+    """8-bit palette PNG (color type 3)."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += bytes(indices[r * w : (r + 1) * w])
+
+    def chunk(ct, body):
+        return (
+            struct.pack(">I", len(body)) + ct + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(v for p in palette for v in p))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png_cross_format(spark):
+    """decode_real REALLY decodes 8-bit PNG via stdlib zlib + scanline
+    unfiltering: the same image as PPM, BMP and PNG (every filter type
+    exercised) yields ONE pixel_md5; grayscale PNG normalizes like PGM;
+    palette PNG expands through PLTE."""
+    from geist_spark.operators.multimodal import decode_real, png_encode_rgb
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    rgb = bytes(v for p in pixels for v in p)
+    rows = [
+        (1, _ppm_bytes(3, 2, pixels)),
+        (2, png_encode_rgb(3, 2, rgb, [0, 2])),       # None + Up
+        (3, png_encode_rgb(3, 2, rgb, [1, 3])),       # Sub + Average
+        (4, png_encode_rgb(3, 2, rgb, [4, 4])),       # Paeth
+        (5, _png_gray_bytes(2, 1, [100, 200])),
+        (6, _pgm_bytes(2, 1, [100, 200])),
+        (7, _png_palette_bytes(2, 1, [1, 0], [(9, 8, 7), (1, 2, 3)])),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[2]["format"] == "PNG"
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 3)
+    assert (out[1]["pixel_md5"] == out[2]["pixel_md5"]
+            == out[3]["pixel_md5"] == out[4]["pixel_md5"])
+    assert out[1]["mean_luma_fx"] == out[2]["mean_luma_fx"]
+    # grayscale: channels=1, same normalization as PGM
+    assert out[5]["channels"] == 1
+    assert out[5]["pixel_md5"] == out[6]["pixel_md5"]
+    assert out[5]["mean_luma_fx"] == (100 + 200) * 1000 // 2
+    # palette expands to the RGB colors
+    assert out[7]["channels"] == 3
+    assert out[7]["mean_luma_fx"] == (
+        (299 * (1 + 9) + 587 * (2 + 8) + 114 * (3 + 7)) // 2
+    )
+
+
+def test_decode_real_png_errors(spark):
+    """PNG error taxonomy: CAPABILITY limits (16-bit, alpha, Adam7)
+    NULL out under on_unsupported='null'; bad CRC / truncation /
+    corrupt deflate are MALFORMED and always raise."""
+    import struct
+    import zlib
+
+    from geist_spark.operators.multimodal import decode_real, png_encode_rgb
+
+    good = png_encode_rgb(2, 2, bytes(range(12)), [1, 4])
+
+    def with_ihdr(mutate):
+        buf = bytearray(good)
+        mutate(buf)  # IHDR body spans bytes 16..29
+        body = bytes(buf[16:29])
+        buf[29:33] = struct.pack(
+            ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+        )
+        return bytes(buf)
+
+    interlaced = with_ihdr(lambda b: b.__setitem__(28, 1))
+    deep = with_ihdr(lambda b: b.__setitem__(24, 16))
+    rgba = with_ihdr(lambda b: b.__setitem__(25, 6))
+    caps = spark.createDataFrame(
+        [(1, good), (2, interlaced), (3, deep), (4, rgba)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_real(caps, on_unsupported="null").collect()}
+    assert out[1]["format"] == "PNG"
+    assert out[2]["format"] is None and out[3]["format"] is None
+    assert out[4]["format"] is None
+    # malformed always raises, even under 'null'
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 1  # IHDR body byte, CRC left stale
+    for payload, msg in [
+        (bytes(bad_crc), "CRC mismatch"),
+        (good[:-13], "truncated PNG"),
+        (_png_palette_bytes(1, 1, [3], [(1, 2, 3)]), "out of range"),
+    ]:
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            decode_real(df, on_unsupported="null").collect()
+
+
 def _wav_bytes(samples, rate=8000, bits=16, channels=1):
     import struct
 

@@ -2462,6 +2462,44 @@ def test_decode_real_cross_format_property(spark, w, h, seed, top_down):
 
 
 @given(
+    w=st.integers(1, 5),
+    h=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decode_real_png_property(spark, w, h, seed):
+    """Any random image with RANDOM per-row PNG filter types decodes
+    to the same pixel hash and exact luma as its PPM encoding — the
+    unfiltering paths (None/Sub/Up/Average/Paeth) are all equivalent
+    on reconstruction."""
+    import random
+
+    from tests.test_multimodal import _ppm_bytes
+    from geist_spark.operators.multimodal import decode_real, png_encode_rgb
+
+    rng = random.Random(seed)
+    pixels = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    rgb = bytes(v for p in pixels for v in p)
+    filters = [rng.randrange(5) for _ in range(h)]
+    media = spark.createDataFrame(
+        [(1, _ppm_bytes(w, h, pixels)),
+         (2, png_encode_rgb(w, h, rgb, filters))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"], filters
+    assert out[2]["mean_luma_fx"] == _py_luma(pixels)
+    assert (out[2]["width"], out[2]["height"]) == (w, h)
+
+
+@given(
     n=st.integers(1, 12),
     seed=st.integers(0, 10_000),
     bits=st.sampled_from([8, 16]),
