@@ -125,3 +125,48 @@ def test_cross_leakage_broadcasts_eval_only(spark, q):
     p = simple_plan(q["s_cross_leakage"](spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p  # train side must never shuffle-sort
+
+
+def _mip_count(p: str) -> int:
+    return (
+        p.count("MapInPandas")
+        + p.count("PythonMapInArrow")
+        + p.count("FlatMapGroupsInPandas")
+    )
+
+
+# The ONLY queries allowed to carry Arrow-batched Python stages, with
+# their exact stage counts (a full 216-query plan scan verified no
+# other query carries one — round 7). plan_audit's `py` column counts
+# EvalPython nodes only, so this pin is what keeps "no Python in the
+# hot path" honest for the mapInPandas node class.
+MIP_ALLOWED = {
+    "m_media_features": 1,   # feature-extract stage
+    "m_frame_sample": 0,     # stub is a pure explode, no Python
+    "m_resize": 1,           # resize stage
+    "m_embed_near_dup": 2,   # embed stage duplicated across the self-join
+    "m_decode_real": 1,
+    "m_decode_audio": 1,
+    "m_frame_sample_real": 1,
+    "m_resize_real": 1,
+    "m_decode_png": 2,       # PNG synth (needs zlib) + decode
+}
+
+
+def test_arrow_python_stages_only_in_media_family(spark, q):
+    """Every m_* query carries exactly its declared Arrow-Python stage
+    count; representative hot-path queries across the other families
+    carry ZERO (the full-registry scan is tools/plan_audit.py's `mip`
+    column — this test pins the contract in CI)."""
+    for name, expected in MIP_ALLOWED.items():
+        p = simple_plan(q[name](spark, SF))
+        assert _mip_count(p) == expected, (name, _mip_count(p))
+    for name in [
+        "q1_pricing_summary", "d_verified_pairs", "s_semantic_dedup",
+        "t_quality_features", "u_user_agent", "g_extract_typed",
+        "p_training_prep",
+    ]:
+        p = simple_plan(q[name](spark, SF))
+        assert _mip_count(p) == 0, name
+    # the allowed set is exactly the media family
+    assert all(n.startswith("m_") for n in MIP_ALLOWED)

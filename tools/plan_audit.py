@@ -6,6 +6,10 @@ Prints one line per query with the signals that matter at 100 TB:
 - pushed: parquet scans with pushed filters / total scans
 - maxcols: widest ReadSchema (column pruning check)
 - py: python-UDF evals (ArrowEvalPython / BatchEvalPython nodes)
+- mip: Arrow-batched Python stages (MapInPandas / PythonMapInArrow /
+  FlatMapGroupsInPandas) — DELIBERATE in the m_* decode family and
+  nowhere else (pinned by tests/test_plans.py); py=0 alone would be
+  blind to this node class
 
 (Codegen spans aren't visible pre-execution under AQE, so they're not
 reported; the `py` column is the codegen-breaking signal that matters.)
@@ -39,6 +43,11 @@ def audit(name: str, df) -> dict:
         "pushed": f"{sum(1 for s in scans if s.strip())}/{len(scans)}",
         "maxcols": maxcols,
         "py": plan.count("EvalPython"),
+        "mip": (
+            plan.count("MapInPandas")
+            + plan.count("PythonMapInArrow")
+            + plan.count("FlatMapGroupsInPandas")
+        ),
     }
 
 
@@ -121,7 +130,7 @@ def main() -> int:
             f"{name:26s} xchg={info['exchanges']} bcast={info['broadcasts']} "
             f"bhj={info['bhj']} smj={info['smj']} shj={info['shj']} "
             f"bnlj={info['bnlj']} cart={info['cart']} pushed={info['pushed']} "
-            f"maxcols={info['maxcols']} py={info['py']}{warn}"
+            f"maxcols={info['maxcols']} py={info['py']} mip={info['mip']}{warn}"
         )
     if flagged:
         print("flagged:", ", ".join(flagged))
