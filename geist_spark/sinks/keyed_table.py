@@ -28,6 +28,15 @@ the scan prunes to one partition. Crash mid-overwrite can leave a
 subset of buckets updated; replaying the batch re-merges to the same
 fixed point when rows carry stable ingestion times (ts ties keep the
 incoming copy), so retries converge instead of duplicating.
+
+deleteWhen (round 7) adds CDC tombstones to merge mode: batch rows
+matching the predicate become persistent deletion markers — the key's
+older rows are dropped during the bucket merge, the marker stays
+physical (hidden on readback) so late out-of-order upserts cannot
+resurrect the key, and it ages out once maxVersions newer rows exist
+(the bigtable deletion-marker/compaction contract). The mergeBuckets
+layout pin and the first-batch probe go through the Hadoop FileSystem
+API, so both work on hdfs://s3a:// table URIs, not just local paths.
 """
 
 from __future__ import annotations
@@ -43,6 +52,7 @@ from geist_spark.spec.model import GEIST_INGESTION_TIME, Spec
 ROW_KEY_COL = "__row_key"
 INGESTION_TS_COL = "__geist_ingestion_time"
 KEY_BUCKET_COL = "__key_bucket"
+DELETED_COL = "__deleted"
 
 
 class KeyedTableLoader(Loader, SinkExtractor):
@@ -72,6 +82,12 @@ class KeyedTableLoader(Loader, SinkExtractor):
         # bucket layout (module docstring) — maxVersions-aware
         self.write_mode: str = cfg.get("writeMode", "append")
         self.merge_buckets: int = int(cfg.get("mergeBuckets", 64))
+        # deleteWhen: SQL boolean over batch columns marking a change
+        # row as a TOMBSTONE — the key's older rows are dropped during
+        # the bucket merge and the marker persists (hidden on
+        # readback) so late out-of-order upserts cannot resurrect the
+        # key. Mirrors relational.cdc_apply's delete_when.
+        self.delete_when: str | None = cfg.get("deleteWhen")
         if self.write_mode not in ("append", "merge"):
             raise SinkError(
                 f"keyed_table sink for {spec.id}: unknown writeMode "
@@ -94,6 +110,11 @@ class KeyedTableLoader(Loader, SinkExtractor):
                     f"keyed_table sink for {spec.id}: mergeBuckets must "
                     "be >= 1"
                 )
+        if self.delete_when and self.write_mode != "merge":
+            raise SinkError(
+                f"keyed_table sink for {spec.id}: deleteWhen requires "
+                "writeMode=merge (append mode has no row to delete)"
+            )
 
     def stream_load(self, df: DataFrame, epoch_id: int = 0) -> str:
         out = df
@@ -155,6 +176,24 @@ class KeyedTableLoader(Loader, SinkExtractor):
 
     _MERGE_META_FILE = "_merge_buckets"
 
+    # -- filesystem access goes through the Hadoop FileSystem API, NOT
+    # os.path: the table path may be hdfs:// or s3a:// on a cluster,
+    # where a local-only probe would silently skip the split-brain
+    # guard exactly where tables are most likely to be reconfigured --
+
+    def _fs(self):
+        """(FileSystem, Path factory) for self.path's scheme."""
+        jvm = self.spark._jvm
+        make_path = jvm.org.apache.hadoop.fs.Path
+        fs = make_path(self.path).getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return fs, make_path
+
+    def _table_exists(self) -> bool:
+        fs, make_path = self._fs()
+        return bool(fs.exists(make_path(self.path)))
+
     def _check_merge_meta(self) -> None:
         """mergeBuckets is a PHYSICAL layout parameter: a table written
         with n buckets and merged/read with m leaves stale rows
@@ -162,11 +201,20 @@ class KeyedTableLoader(Loader, SinkExtractor):
         same failure class the embedding-index metadata guard closes).
         The bucket count is pinned in a sidecar file at first write
         (underscore-prefixed: parquet readers skip it) and validated
-        before every merge and pruned point lookup."""
-        meta = os.path.join(self.path, self._MERGE_META_FILE)
-        if os.path.exists(meta):
-            with open(meta) as fh:
-                stored = int(fh.read().strip())
+        before every merge and pruned point lookup — via the Hadoop
+        FileSystem API so the pin travels with the table on any
+        scheme, not just the local FS."""
+        fs, make_path = self._fs()
+        meta = make_path(self.path.rstrip("/") + "/" + self._MERGE_META_FILE)
+        if fs.exists(meta):
+            stream = fs.open(meta)
+            try:
+                raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            stored = int(raw.strip())
             if stored != self.merge_buckets:
                 raise SinkError(
                     f"keyed_table {self.spec.id}: table at {self.path} was "
@@ -174,9 +222,12 @@ class KeyedTableLoader(Loader, SinkExtractor):
                     f"configured with mergeBuckets={self.merge_buckets} — "
                     "rewrite the table or restore the original setting"
                 )
-        elif os.path.isdir(self.path):
-            with open(meta, "w") as fh:
-                fh.write(str(self.merge_buckets))
+        elif fs.exists(make_path(self.path)):
+            out = fs.create(meta, True)
+            try:
+                out.write(bytearray(str(self.merge_buckets).encode()))
+            finally:
+                out.close()
 
     def _merge_write(self, out: DataFrame) -> None:
         """Key-merge one micro-batch into the bucket-partitioned table:
@@ -193,6 +244,16 @@ class KeyedTableLoader(Loader, SinkExtractor):
         needing distinct versions must carry distinct ingestion times
         (the reference's bigtable cell-timestamp contract).
 
+        Tombstones (deleteWhen): batch rows matching the configured
+        predicate become DELETION MARKERS — after the (key, ts) dedup,
+        every row of the key strictly OLDER than the newest marker is
+        dropped, and the marker itself persists (hidden on readback)
+        so a late out-of-order upsert replayed in a LATER batch cannot
+        resurrect the key. A marker is superseded by newer upserts the
+        usual way: it competes for the keep-last-N version slots and
+        ages out of the table once `keep` newer rows exist (the
+        bigtable compaction contract for deletion markers).
+
         The batch pipeline is eagerly checkpointed BEFORE the touched-
         bucket probe so source transforms run once, not once for the
         probe and again for the merge; the merged frame is checkpointed
@@ -201,39 +262,69 @@ class KeyedTableLoader(Loader, SinkExtractor):
         never the table; per repo cache policy no lazy fragment leaks.
         """
         self._check_merge_meta()
+        if self.delete_when:
+            out = out.withColumn(
+                DELETED_COL,
+                F.coalesce(
+                    F.expr(self.delete_when).cast("boolean"), F.lit(False)
+                ),
+            )
         out = out.withColumn(
             KEY_BUCKET_COL, self._bucket_of(F.col(ROW_KEY_COL))
         ).localCheckpoint(eager=True)
         keep = self.max_versions or 1
         merged = out.withColumn("__incoming", F.lit(1))
-        try:
-            existing = self.spark.read.parquet(self.path)
-        except Exception as exc:
-            # ONLY path-not-found means "first batch". Any other read
-            # failure (transient FS error, corrupt footer) must abort:
-            # proceeding would dynamically overwrite touched buckets
-            # with the batch alone, silently deleting every other key.
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            existing = None
-        if existing is not None:
+        # Explicit existence probe (Hadoop FS, any scheme): ONLY a
+        # missing table means "first batch". Any read failure below
+        # (transient FS error, corrupt footer) must abort: proceeding
+        # would dynamically overwrite touched buckets with the batch
+        # alone, silently deleting every other key.
+        if self._table_exists():
+            reader = self.spark.read
+            if self.delete_when:
+                # buckets written before deleteWhen was configured lack
+                # the marker column; without footer merging the scan
+                # could pick a legacy file's schema and silently hide
+                # every stored marker (resurrection bug)
+                reader = reader.option("mergeSchema", "true")
+            existing = reader.parquet(self.path)
             # bounded probe: touched bucket ids (<= mergeBuckets values)
             touched = [
                 r[0] for r in out.select(KEY_BUCKET_COL).distinct().collect()
             ]
-            merged = existing.filter(
+            ex = existing.filter(
                 F.col(KEY_BUCKET_COL).isin(touched)
-            ).withColumn("__incoming", F.lit(0)).unionByName(merged)
+            ).withColumn("__incoming", F.lit(0))
+            # marker column may exist on either side only (legacy table
+            # + new deleteWhen config, or the reverse): fill with false
+            if DELETED_COL in merged.columns and DELETED_COL not in ex.columns:
+                ex = ex.withColumn(DELETED_COL, F.lit(False))
+            if DELETED_COL in ex.columns and DELETED_COL not in merged.columns:
+                merged = merged.withColumn(DELETED_COL, F.lit(False))
+            merged = ex.unionByName(merged)
         wv = Window.partitionBy(ROW_KEY_COL, INGESTION_TS_COL).orderBy(
             F.col("__incoming").desc()
         )
         w = Window.partitionBy(ROW_KEY_COL).orderBy(
             F.col(INGESTION_TS_COL).desc()
         )
+        merged = merged.withColumn("__c", F.row_number().over(wv)).filter(
+            F.col("__c") == 1
+        )
+        if DELETED_COL in merged.columns:
+            # newest marker per key kills everything strictly older;
+            # the unordered max-window shares the keep-last-N window's
+            # key exchange
+            is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            del_ts = F.max(
+                F.when(is_del, F.col(INGESTION_TS_COL))
+            ).over(Window.partitionBy(ROW_KEY_COL))
+            merged = merged.withColumn("__del_ts", del_ts).filter(
+                F.col("__del_ts").isNull()
+                | (F.col(INGESTION_TS_COL) >= F.col("__del_ts"))
+            ).drop("__del_ts")
         merged = (
-            merged.withColumn("__c", F.row_number().over(wv))
-            .filter(F.col("__c") == 1)
-            .withColumn("__v", F.row_number().over(w))
+            merged.withColumn("__v", F.row_number().over(w))
             .filter(F.col("__v") <= keep)
             .drop("__c", "__v", "__incoming")
             .localCheckpoint(eager=True)
@@ -249,7 +340,12 @@ class KeyedTableLoader(Loader, SinkExtractor):
     # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----
 
     def _read(self, key: str | None = None) -> DataFrame:
-        df = self.spark.read.parquet(self.path)
+        reader = self.spark.read
+        if self.delete_when:
+            # see _merge_write: legacy buckets may predate the marker
+            # column; a single-footer schema would hide stored markers
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path)
         if key is not None:
             df = df.filter(F.col(ROW_KEY_COL) == key)
             if KEY_BUCKET_COL in df.columns:
@@ -268,6 +364,12 @@ class KeyedTableLoader(Loader, SinkExtractor):
                 .filter(F.col("__v") <= self.max_versions)
                 .drop("__v")
             )
+        if DELETED_COL in df.columns:
+            # deletion markers persist physically (they block late
+            # out-of-order resurrections) but are never user-visible
+            df = df.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
         if KEY_BUCKET_COL in df.columns:
             df = df.drop(KEY_BUCKET_COL)  # internal layout detail
         return df

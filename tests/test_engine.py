@@ -5,6 +5,7 @@ hooks + resilience)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from geist_spark.engine.api import Engine
 from geist_spark.engine.hooks import HookAction
@@ -513,6 +514,178 @@ def test_merge_write_mode_streaming_cdc(spark, tmp_path):
     assert glob.glob(os.path.join(path, "__key_bucket=*"))
 
 
+def test_merge_write_mode_delete_when_tombstones(spark):
+    """deleteWhen CDC tombstones: a matching row kills the key's older
+    versions during the bucket merge; the marker is invisible on
+    readback but persists physically, so a LATER batch replaying an
+    older upsert cannot resurrect the key; an upsert NEWER than the
+    marker re-creates the key; replaying the delete batch converges."""
+    from geist_spark.sinks.keyed_table import DELETED_COL, KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgd", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 4,
+                  "deleteWhen": "op = 'delete'"},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp",
+        )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    loader.stream_load(batch([("a", 1, "upsert", t(1)),
+                              ("b", 2, "upsert", t(1))]), epoch_id=0)
+    loader.stream_load(batch([("a", 0, "delete", t(2))]), epoch_id=1)
+    got = {r["name"]: r["amount"] for r in loader.extract_all().collect()}
+    assert got == {"b": 2}
+    # the marker is physical (resurrection guard) but never visible
+    stored = spark.read.option("mergeSchema", "true").parquet(path)
+    assert [r["name"] for r in
+            stored.filter(F.col(DELETED_COL)).collect()] == ["a"]
+    assert loader.extract_key_value("a").collect() == []
+    # replaying the delete batch converges (one marker, still deleted)
+    loader.stream_load(batch([("a", 0, "delete", t(2))]), epoch_id=1)
+    stored = spark.read.option("mergeSchema", "true").parquet(path)
+    assert stored.filter(F.col(DELETED_COL)).count() == 1
+    assert {r["name"] for r in loader.extract_all().collect()} == {"b"}
+    # a LATE out-of-order upsert (older ts than the marker) stays dead
+    loader.stream_load(batch([("a", 99, "upsert", t(1))]), epoch_id=2)
+    assert {r["name"] for r in loader.extract_all().collect()} == {"b"}
+    # a genuinely newer upsert resurrects the key
+    loader.stream_load(batch([("a", 7, "upsert", t(3))]), epoch_id=3)
+    got = {r["name"]: r["amount"] for r in loader.extract_all().collect()}
+    assert got == {"a": 7, "b": 2}
+
+
+def test_merge_write_mode_delete_when_marker_ages_out(spark):
+    """A deletion marker competes for version slots and is compacted
+    away once maxVersions newer upserts exist."""
+    from geist_spark.sinks.keyed_table import DELETED_COL, KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgg", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 4,
+                  "maxVersions": 2, "deleteWhen": "op = 'delete'"},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+
+    def one(amt, op, s, epoch):
+        loader.stream_load(spark.createDataFrame(
+            [("a", amt, op, dt.datetime(2024, 1, 1, 0, 0, s))],
+            "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp",
+        ), epoch_id=epoch)
+
+    one(1, "upsert", 1, 0)
+    one(0, "delete", 2, 1)
+    one(5, "upsert", 3, 2)
+    stored = spark.read.option("mergeSchema", "true").parquet(path)
+    # marker still holds a version slot (1 marker + 1 newer upsert)
+    assert stored.filter(F.col(DELETED_COL)).count() == 1
+    one(6, "upsert", 4, 3)
+    # two newer upserts -> the marker fell out of the keep-last-2 set
+    stored = spark.read.option("mergeSchema", "true").parquet(path)
+    assert stored.filter(F.col(DELETED_COL)).count() == 0
+    assert sorted(
+        r["amount"] for r in loader.extract_all().collect()
+    ) == [5, 6]
+
+
+def test_merge_write_mode_streaming_cdc_with_deletes(spark, tmp_path):
+    """Streaming e2e with interleaved upserts and deletes: the table
+    converges under availableNow replay to exactly the live keys."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgsd", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 8,
+                  "deleteWhen": "op = 'delete'"},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+    src = str(tmp_path / "cdc_del_src")
+    feed = [
+        [("a", 1, "upsert"), ("b", 2, "upsert")],
+        [("a", 0, "delete"), ("c", 3, "upsert")],
+        [("b", 20, "upsert"), ("c", 0, "delete"), ("d", 4, "upsert")],
+    ]
+    for i, rows in enumerate(feed):
+        spark.createDataFrame(
+            [(n, v, op, dt.datetime(2024, 1, 1, 0, i)) for n, v, op in rows],
+            "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp",
+        ).coalesce(1).write.parquet(src, mode="append" if i else "overwrite")
+    stream = (
+        spark.readStream.schema(
+            "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: loader.stream_load(bdf, epoch_id=bid)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {r["name"]: r["amount"] for r in loader.extract_all().collect()}
+    assert got == {"b": 20, "d": 4}
+
+
+def test_merge_layout_pin_on_nonlocal_path_scheme(spark, tmp_path):
+    """The mergeBuckets sidecar travels through the Hadoop FileSystem
+    API: on a scheme-qualified table URI (file:/, standing in for
+    hdfs://s3a:// — os.path cannot see it) the pin is still written
+    and the split-brain guard still fires."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    from geist_spark.sinks.base import SinkError
+    import datetime as dt
+    import os
+
+    local_dir = str(tmp_path / "uri_table")
+    uri = "file:" + local_dir  # not a plain OS path
+
+    def loader(n):
+        return KeyedTableLoader(spark, parse_spec(make_spec(
+            suffix="mrgu", sink_type="keyedTable",
+            sink_cfg={"path": uri, "rowKeyFields": ["name"],
+                      "writeMode": "merge", "mergeBuckets": n},
+        )))
+
+    batch = spark.createDataFrame(
+        [("a", 1, dt.datetime(2024, 1, 1))],
+        "name string, amount long, `@GeistIngestionTime` timestamp",
+    )
+    assert not os.path.exists(uri)  # the os.path view really is blind
+    loader(8).stream_load(batch)
+    # sidecar landed next to the data through the FS API
+    assert os.path.exists(os.path.join(local_dir, "_merge_buckets"))
+    with pytest.raises(SinkError, match="mergeBuckets=8"):
+        loader(16).stream_load(batch)
+    with pytest.raises(SinkError, match="mergeBuckets=8"):
+        loader(16).extract_key_value("a").collect()
+    assert loader(8).extract_key_value("a").collect()[0]["amount"] == 1
+
+
 def test_merge_write_mode_spec_errors(spark):
     """merge mode misconfiguration raises typed SinkError at build
     time: missing rowKeyFields, epochIdempotent conflict, bad mode."""
@@ -533,6 +706,8 @@ def test_merge_write_mode_spec_errors(spark):
                "epochIdempotent": True})
     with pytest.raises(SinkError, match="writeMode"):
         build({"writeMode": "replace", "rowKeyFields": ["name"]})
+    with pytest.raises(SinkError, match="deleteWhen"):
+        build({"rowKeyFields": ["name"], "deleteWhen": "op = 'delete'"})
 
 
 def test_insert_id_dedup_within_batch(spark):
