@@ -239,12 +239,51 @@ def embedding_buckets(
     )
 
 
+def check_embedding_index_meta(
+    index: DataFrame, num_planes: int, dim: int
+) -> None:
+    """Validate a stored embedding_buckets index's pinned layout
+    parameters against a probe's — one BOUNDED limit(1) Spark job
+    (eager, driver-blocking). A mismatched probe would silently
+    return near-zero recall (disjoint bucket spaces), the worst
+    failure mode; rows with NULL metadata (pre-metadata appends
+    NULL-filled by parquet schema merge) are skipped, and a fully
+    legacy index skips the check. Callable directly to validate ONCE
+    at stream start, pairing with meta_check='skip'/'once' on the
+    per-trigger probe."""
+    if not {"num_planes", "dim"} <= set(index.columns):
+        return
+    meta = (
+        index.select("num_planes", "dim")
+        .filter(F.col("num_planes").isNotNull() & F.col("dim").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if meta and (
+        meta[0]["num_planes"] != num_planes or meta[0]["dim"] != dim
+    ):
+        raise ValueError(
+            "incremental_embedding_near_dup: stored index was built "
+            f"with num_planes={meta[0]['num_planes']}, "
+            f"dim={meta[0]['dim']} but the probe was called with "
+            f"num_planes={num_planes}, dim={dim} — bucket spaces are "
+            "disjoint; probe with the index's parameters"
+        )
+
+
+# (index_token, num_planes, dim) triples whose stored metadata already
+# validated in this process — the meta_check='once' cache
+_META_VALIDATED: set[tuple[str, int, int]] = set()
+
+
 def incremental_embedding_near_dup(
     new_vectors: DataFrame,
     index: DataFrame,
     threshold: float = 0.95,
     num_planes: int = 8,
     dim: int = 64,
+    meta_check: str = "always",
+    index_token: str | None = None,
 ) -> DataFrame:
     """Probe a NEW ingest batch against a STORED embedding_buckets
     index — the semantic-dedup twin of dedup.incremental_dedup_pairs:
@@ -265,44 +304,48 @@ def incremental_embedding_near_dup(
     `least(new_vec_id, corpus_vec_id), greatest(...)` + dedup by that
     key — or append the index only after the pair sink commits.
 
-    Parameter safety: when the stored index carries the
-    num_planes/dim metadata columns (embedding_buckets writes them),
-    the first metadata-CARRYING row is validated against this probe's
-    parameters with one bounded limit(1) scan BEFORE the join — a
-    mismatched probe would otherwise silently return near-zero recall
-    (disjoint bucket spaces), the worst failure mode (no error, wrong
-    answer). Rows with NULL metadata (a pre-metadata index that has
-    since received new appends — NULL-filled by parquet schema merge)
-    are skipped, never misread as num_planes=None; a fully legacy
-    index skips the check. The probe is deliberately bounded: an
-    index whose rows disagree WITH EACH OTHER is corrupt by
-    construction and is only probabilistically caught — proving
-    internal consistency would cost a full metadata scan per
-    micro-batch.
+    Parameter safety (check_embedding_index_meta): when the stored
+    index carries the num_planes/dim metadata columns
+    (embedding_buckets writes them), the first metadata-CARRYING row
+    is validated against this probe's parameters — a mismatched probe
+    would otherwise silently return near-zero recall (disjoint bucket
+    spaces), the worst failure mode (no error, wrong answer). NOTE
+    this is an EAGER bounded limit(1) Spark job at DataFrame-
+    construction time. `meta_check` controls when it runs:
+
+    - "always" (default): every call — right for ad-hoc/batch use.
+    - "once": first call per `index_token` (required — e.g. the index
+      path) per process; later triggers of a streaming foreachBatch
+      loop skip the job. The token PINS the layout: rebuilding the
+      index at the same path with different parameters mid-stream is
+      outside the contract (same class as the keyed-table
+      mergeBuckets sidecar pin).
+    - "skip": never — pair with an explicit
+      check_embedding_index_meta(...) at stream start.
+
+    The check is deliberately bounded either way: an index whose rows
+    disagree WITH EACH OTHER is corrupt by construction and is only
+    probabilistically caught — proving internal consistency would
+    cost a full metadata scan.
 
     The stored index side carries hint('merge'): the corpus index
     must never be a misestimated broadcast build side (the measured
     16x failure mode of derived-frame broadcasts); the batch side is
     left to AQE, which sees its true (small) shuffle size."""
-    if {"num_planes", "dim"} <= set(index.columns):
-        meta = (
-            index.select("num_planes", "dim")
-            .filter(
-                F.col("num_planes").isNotNull() & F.col("dim").isNotNull()
-            )
-            .limit(1)
-            .collect()
-        )
-        if meta and (
-            meta[0]["num_planes"] != num_planes or meta[0]["dim"] != dim
-        ):
+    if meta_check not in ("always", "once", "skip"):
+        raise ValueError("meta_check must be 'always', 'once' or 'skip'")
+    if meta_check == "once":
+        if not index_token:
             raise ValueError(
-                "incremental_embedding_near_dup: stored index was built "
-                f"with num_planes={meta[0]['num_planes']}, "
-                f"dim={meta[0]['dim']} but the probe was called with "
-                f"num_planes={num_planes}, dim={dim} — bucket spaces are "
-                "disjoint; probe with the index's parameters"
+                "meta_check='once' needs an index_token identifying the "
+                "stored index (e.g. its path)"
             )
+        key = (index_token, num_planes, dim)
+        if key not in _META_VALIDATED:
+            check_embedding_index_meta(index, num_planes, dim)
+            _META_VALIDATED.add(key)
+    elif meta_check == "always":
+        check_embedding_index_meta(index, num_planes, dim)
     probe = embedding_buckets(new_vectors, num_planes=num_planes, dim=dim)
     n, c = probe.alias("n"), index.hint("merge").alias("c")
     cos = _dot(F.col("n.embedding"), F.col("c.embedding")) / (

@@ -1328,8 +1328,11 @@ def test_streaming_embedding_near_dup_matches_batch(spark, tmp_path):
 
         if os.path.isdir(idx_dir):
             index = spark.read.parquet(idx_dir)
+            # streaming hot path: validate the index layout on the
+            # FIRST trigger only (meta_check='once' + path token)
             cross = incremental_embedding_near_dup(
-                bdf, index, threshold=thr, num_planes=planes
+                bdf, index, threshold=thr, num_planes=planes,
+                meta_check="once", index_token=idx_dir,
             )
             found.update(
                 (min(r[0], r[1]), max(r[0], r[1])) for r in cross.collect()
@@ -1394,6 +1397,27 @@ def test_incremental_embedding_param_mismatch_raises(spark):
     incremental_embedding_near_dup(emb, mixed, num_planes=4).collect()
     with pytest.raises(ValueError, match="num_planes=4"):
         incremental_embedding_near_dup(emb, mixed, num_planes=8)
+    # meta_check='once': first probe validates (mismatch raises and is
+    # NOT cached), a correct probe caches, and the cache is per-token
+    with pytest.raises(ValueError, match="index_token"):
+        incremental_embedding_near_dup(emb, index, meta_check="once")
+    with pytest.raises(ValueError, match="num_planes=4"):
+        incremental_embedding_near_dup(
+            emb, index, num_planes=8, meta_check="once", index_token="tokA"
+        )
+    incremental_embedding_near_dup(
+        emb, index, num_planes=4, meta_check="once", index_token="tokA"
+    ).collect()
+    # 'skip' pairs with an explicit stream-start validation
+    from geist_spark.operators.similarity import check_embedding_index_meta
+
+    with pytest.raises(ValueError, match="num_planes=4"):
+        check_embedding_index_meta(index, num_planes=8, dim=64)
+    incremental_embedding_near_dup(
+        emb, index, num_planes=8, meta_check="skip"
+    )  # plan builds without a validation job (wrong params NOT caught)
+    with pytest.raises(ValueError, match="meta_check"):
+        incremental_embedding_near_dup(emb, index, meta_check="never")
 
 
 def test_sequence_stream_ordered_sequences(spark, tmp_path):
