@@ -4419,14 +4419,15 @@ def oracle_sql() -> dict[str, str]:
         "es": "['el','la','los','las','y','de','un','una','es','por']",
         "zh": "['的','了','是','在','我','有','和','就','不','人']",
         "ja": "['の','は','に','を','が','と','で','て','も','だ']",
+        "ko": "['은','는','이','가','을','를','의','에','도','로']",
     }
-    # universal tokenizer (text.py UNIVERSAL_TOKEN_RE): single Han/kana
-    # chars + non-space runs; \x{...} is the Java-regex/RE2 common
-    # spelling for the CJK base + kana blocks
+    # universal tokenizer (text.py UNIVERSAL_TOKEN_RE): single
+    # Han/kana/Hangul chars + non-space runs; \x{...} is the
+    # Java-regex/RE2 common spelling for the CJK base + kana + Hangul
+    # syllable blocks
+    _cjk = "\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}"
     utoks_sql = (
-        "regexp_extract_all(lower(text), "
-        "'[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]"
-        "|[^\\s\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]+')"
+        f"regexp_extract_all(lower(text), '[{_cjk}]|[^\\s{_cjk}]+')"
     )
     lang_scores = ", ".join(
         f"round(len(list_intersect(dtoks, {s}))::DOUBLE / greatest(len(dtoks), 1), 6) AS score_{lang}"
@@ -5132,7 +5133,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, {lang_scores} FROM base
             )
             SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
-                   score_zh, score_ja, {pred_chain} AS predicted_lang
+                   score_zh, score_ja, score_ko,
+                   {pred_chain} AS predicted_lang
             FROM scored
         """,
         "t_token_stats": f"""

@@ -18,10 +18,11 @@ from geist_spark.operators.dedup import normalize_text, tokens
 # deliberately tiny, deterministic stopword sets (heuristic lang-id).
 # Public lists: top function words per language; zh entries are the
 # highest-frequency particles/pronouns (的 了 是 在 我 有 和 就 不 人),
-# ja the highest-frequency single-kana particles (の は に を が …).
-# The CJK entries MUST stay last, zh before ja: ties in language_id
-# resolve to the earliest language in this dict order, and the
-# existing oracles pin that ordering.
+# ja the highest-frequency single-kana particles (の は に を が …),
+# ko the highest-frequency single-syllable particles (은 는 이 가 …).
+# The CJK entries MUST stay last, zh before ja before ko: ties in
+# language_id resolve to the earliest language in this dict order, and
+# the existing oracles pin that ordering.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
@@ -29,6 +30,7 @@ STOPWORDS = {
     "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "por"],
     "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
     "ja": ["の", "は", "に", "を", "が", "と", "で", "て", "も", "だ"],
+    "ko": ["은", "는", "이", "가", "을", "를", "의", "에", "도", "로"],
 }
 
 # CJK Unified Ideographs base block — the deterministic, engine-portable
@@ -37,20 +39,26 @@ STOPWORDS = {
 _HAN = r"\x{4e00}-\x{9fff}"
 # hiragana (3040-309f) + katakana (30a0-30ff): one contiguous block
 _KANA = r"\x{3040}-\x{30ff}"
-# one Han/kana character per token; everything else tokenizes as
-# non-space runs (identical to whitespace tokenization on whitespace-
-# delimited text — CJK has no word spaces, so char-grain is the
-# standard fallback)
-UNIVERSAL_TOKEN_RE = rf"[{_HAN}{_KANA}]|[^\s{_HAN}{_KANA}]+"
+# Hangul precomposed syllables (ac00-d7af)
+_HANGUL = r"\x{ac00}-\x{d7af}"
+# one Han/kana/Hangul character per token; everything else tokenizes
+# as non-space runs (identical to whitespace tokenization on
+# whitespace-delimited text — zh/ja have no word spaces and ko
+# agglutinates particles onto eojeol, so char-grain is the standard
+# dependency-free fallback for all three)
+_CJK = rf"{_HAN}{_KANA}{_HANGUL}"
+UNIVERSAL_TOKEN_RE = rf"[{_CJK}]|[^\s{_CJK}]+"
 
 
 def universal_tokens(text: F.Column) -> F.Column:
-    """Language-agnostic tokenization: single Han characters + non-space
-    runs over lowercased text. On whitespace-delimited languages this
-    yields exactly the whitespace tokens (runs between spaces); on CJK
-    it falls back to character grain instead of treating a whole
-    sentence as one token. Used where the language is unknown or mixed
-    (language_id, lang_col quality scoring)."""
+    """Language-agnostic tokenization: single Han/kana/Hangul
+    characters + non-space runs over lowercased text. On
+    whitespace-delimited languages this yields exactly the whitespace
+    tokens (runs between spaces); on CJK it falls back to character
+    grain instead of treating a whole sentence (zh/ja) or a
+    particle-agglutinated eojeol (ko) as one token. Used where the
+    language is unknown or mixed (language_id, lang_col quality
+    scoring)."""
     return F.regexp_extract_all(F.lower(text), F.lit(UNIVERSAL_TOKEN_RE), 0)
 
 
@@ -730,17 +738,20 @@ def merge_term_stats(*parts: DataFrame) -> DataFrame:
     )
 
 
-# languages that are NOT whitespace-delimited: keyword extraction must
-# tokenize at character grain (universal_tokens) — whitespace tokens()
-# would hand RAKE/TextRank whole sentences as single "words" and the
-# stopword delimiting would never fire (silently meaningless phrases)
-CHAR_GRAIN_LANGS = frozenset({"zh", "ja"})
+# languages where whitespace tokens are the wrong keyword grain:
+# zh/ja are not whitespace-delimited at all (whole sentences would
+# become single "words" and stopword delimiting would never fire —
+# silently meaningless phrases); ko has spaces but agglutinates
+# particles onto eojeol, so char grain lets the single-syllable
+# particle stopwords actually delimit runs
+CHAR_GRAIN_LANGS = frozenset({"zh", "ja", "ko"})
 
 
 def _keyword_tokens(col: F.Column, lang: str) -> F.Column:
     """Tokenizer selection for keyword extraction: whitespace tokens()
-    for space-delimited languages, universal_tokens (single Han chars)
-    for CJK. Punctuation is NOT a special delimiter on either path —
+    for space-delimited languages, universal_tokens (Han + kana +
+    Hangul char grain) for CJK. Punctuation is NOT a special delimiter
+    on either path —
     whitespace tokens keep trailing punctuation attached, char-grain
     keeps punctuation runs as ordinary tokens — matching the existing
     en contract."""
@@ -796,14 +807,15 @@ def rake_keywords(
     rank column is then numbered on the k surviving rows.
 
     Language handling: `lang` selects BOTH the stopword list and the
-    tokenizer — CHAR_GRAIN_LANGS (zh) route through universal_tokens,
-    so a Chinese document yields single-Han-char tokens and the
-    single-char zh stopwords (的 了 是 …) actually delimit runs;
-    whitespace tokenization would hand the whole sentence over as one
-    token and emit sentence-sized "phrases". Char-grain phrases are
-    still space-joined internally (the word-stat split depends on it);
-    n_words counts CHARACTERS for zh. An explicit stopwords= list does
-    not change the tokenizer — lang alone picks it.
+    tokenizer — CHAR_GRAIN_LANGS (zh/ja/ko) route through
+    universal_tokens (Han + kana + Hangul char grain), so a CJK
+    document yields single-character tokens and the single-char
+    stopwords (的 了 是 … / の は に … / 은 는 이 …) actually delimit
+    runs; whitespace tokenization would hand the whole sentence over
+    as one token and emit sentence-sized "phrases". Char-grain phrases
+    are still space-joined internally (the word-stat split depends on
+    it); n_words counts CHARACTERS for CJK. An explicit stopwords=
+    list does not change the tokenizer — lang alone picks it.
 
     Returns (phrase, n_words, n_occ, score_fx, rank), rank 1..top_k by
     score_fx desc then phrase asc.
@@ -900,10 +912,11 @@ def textrank_keywords(
     n survivors.
 
     Language handling matches rake_keywords: `lang` picks the
-    tokenizer too — CHAR_GRAIN_LANGS (zh) tokenize at Han-char grain
-    via universal_tokens, so the co-occurrence graph is between
-    adjacent CHARACTERS and zh stopword chars actually drop out;
-    whitespace tokens would make every Chinese sentence one node.
+    tokenizer too — CHAR_GRAIN_LANGS (zh/ja/ko) tokenize at Han +
+    kana + Hangul char grain via universal_tokens, so the
+    co-occurrence graph is between adjacent CHARACTERS and the
+    single-char stopwords actually drop out; whitespace tokens would
+    make every zh/ja sentence one node.
 
     Returns (word, pr, rank), rank 1..top_n by pr desc then word asc.
     """

@@ -376,6 +376,47 @@ def test_language_id_detects_japanese_kana(spark):
     assert out[2]["predicted_lang"] == "zh"
 
 
+def test_language_id_detects_korean_hangul(spark):
+    """Hangul syllables tokenize at char grain (ac00-d7af in the
+    universal tokenizer), so a real Korean sentence — agglutinated
+    particles, no token-level separation of 은/는/이/가 — predicts ko;
+    ja text keeps predicting ja (ko is last in STOPWORDS, so ja wins
+    any tie)."""
+    from geist_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            # 나는학생이다그는의사다: particles 는/이/의 are ko stopword
+            # syllables once the text tokenizes at char grain
+            (1, "나는학생이다그는의사다", "ko"),
+            (2, "これはペンですがノートもある", "ja"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in language_id(df).collect()}
+    assert out[1]["predicted_lang"] == "ko" and out[1]["score_ko"] > 0
+    assert out[2]["predicted_lang"] == "ja"
+
+
+def test_rake_ko_char_grain(spark):
+    """lang='ko' routes through the char-grain tokenizer: the
+    single-syllable particle stopwords delimit runs inside eojeol,
+    which whitespace tokens would keep glued to their noun. (Known
+    char-grain caveat: a stopword syllable INSIDE a content word —
+    e.g. 이 in 데이터 — also splits it; that is inherent to the
+    dependency-free heuristic, same as zh 的 inside names.)"""
+    from geist_spark.operators.text import rake_keywords
+
+    # 품질은중요하다 — 은 is a ko stopword syllable and must split the
+    # (space-free) sentence into two runs
+    df = spark.createDataFrame(
+        [(1, "품질은중요하다")], "doc_id long, text string"
+    )
+    rows = rake_keywords(df, lang="ko", top_k=10).collect()
+    phrases = {r["phrase"] for r in rows}
+    assert phrases == {"품 질", "중 요 하 다"}
+
+
 def test_rake_ja_char_grain(spark):
     """lang='ja' routes through the char-grain tokenizer: kana
     particles delimit runs over mixed kanji+katakana text."""
