@@ -522,6 +522,7 @@ def _png_decode(b: bytes) -> tuple:
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat, saw_iend = 8, None, None, [], False
+    has_trns = False
     while pos + 8 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
         ctype = bytes(b[pos + 4 : pos + 8])
@@ -540,6 +541,8 @@ def _png_decode(b: bytes) -> tuple:
             plte = body
         elif ctype == b"IDAT":
             idat.append(body)
+        elif ctype == b"tRNS":
+            has_trns = True
         elif ctype == b"IEND":
             saw_iend = True
             break
@@ -568,20 +571,36 @@ def _png_decode(b: bytes) -> tuple:
             "silently drop a channel; decode them with PIL on a cluster "
             "that has it)"
         )
+    if has_trns:
+        # a tRNS chunk adds transparency to gray/RGB/palette images —
+        # decoding it as opaque would silently drop a channel, the
+        # exact failure the color-type 4/6 guard exists to prevent
+        raise NotImplementedError(
+            "PNG with a tRNS transparency chunk unsupported (alpha "
+            "would be silently dropped; decode with PIL)"
+        )
     if w <= 0 or h <= 0:
         raise ValueError(f"malformed PNG IHDR: width={w}, height={h}")
     if not idat:
         raise ValueError("malformed PNG: no IDAT chunks")
     bpp = 3 if ctype_v == 2 else 1
+    stride = w * bpp
+    expected = h * (1 + stride)
+    # bounded inflate: a decompression-bomb IDAT (deflate ~1030:1)
+    # must raise the typed malformed error at expected+1 bytes, never
+    # materialize gigabytes before the size check (OOM would escape
+    # the two-tier error contract like the AVI RecursionError did)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(
+            b"".join(idat), expected + 1
+        )
     except zlib.error as exc:
         raise ValueError(f"malformed PNG IDAT stream: {exc}") from None
-    stride = w * bpp
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected:
         raise ValueError(
-            f"malformed PNG: inflated to {len(raw)} bytes, expected "
-            f"{h * (1 + stride)} for {w}x{h} color type {ctype_v}"
+            f"malformed PNG: inflated to {'>' if len(raw) > expected else ''}"
+            f"{len(raw)} bytes, expected {expected} for {w}x{h} "
+            f"color type {ctype_v}"
         )
     recon = _png_unfilter(raw, h, stride, bpp)
     if ctype_v == 2:

@@ -194,7 +194,38 @@ class KeyedTableLoader(Loader, SinkExtractor):
         fs, make_path = self._fs()
         return bool(fs.exists(make_path(self.path)))
 
-    def _check_merge_meta(self) -> None:
+    def _meta_path(self, make_path):
+        return make_path(self.path.rstrip("/") + "/" + self._MERGE_META_FILE)
+
+    def _read_meta(self) -> tuple[int | None, bool]:
+        """(pinned bucket count | None, table-has-deletion-markers).
+        Sidecar format: first token = bucket count; the literal token
+        'markers' on a later line records that some file in the table
+        carries the __deleted column (see _table_frame)."""
+        fs, make_path = self._fs()
+        meta = self._meta_path(make_path)
+        if not fs.exists(meta):
+            return None, False
+        stream = fs.open(meta)
+        try:
+            raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        toks = raw.split()
+        return int(toks[0]), "markers" in toks[1:]
+
+    def _write_meta(self, markers: bool) -> None:
+        fs, make_path = self._fs()
+        out = fs.create(self._meta_path(make_path), True)
+        try:
+            body = str(self.merge_buckets) + ("\nmarkers" if markers else "")
+            out.write(bytearray(body.encode()))
+        finally:
+            out.close()
+
+    def _check_merge_meta(self, ensure_markers: bool = False) -> bool:
         """mergeBuckets is a PHYSICAL layout parameter: a table written
         with n buckets and merged/read with m leaves stale rows
         stranded in never-touched partitions (silent split-brain, the
@@ -203,18 +234,11 @@ class KeyedTableLoader(Loader, SinkExtractor):
         (underscore-prefixed: parquet readers skip it) and validated
         before every merge and pruned point lookup — via the Hadoop
         FileSystem API so the pin travels with the table on any
-        scheme, not just the local FS."""
-        fs, make_path = self._fs()
-        meta = make_path(self.path.rstrip("/") + "/" + self._MERGE_META_FILE)
-        if fs.exists(meta):
-            stream = fs.open(meta)
-            try:
-                raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8"
-                )
-            finally:
-                stream.close()
-            stored = int(raw.strip())
+        scheme, not just the local FS. `ensure_markers` additionally
+        records that the table now carries deletion-marker files.
+        Returns whether the table carries markers."""
+        stored, markers = self._read_meta()
+        if stored is not None:
             if stored != self.merge_buckets:
                 raise SinkError(
                     f"keyed_table {self.spec.id}: table at {self.path} was "
@@ -222,12 +246,39 @@ class KeyedTableLoader(Loader, SinkExtractor):
                     f"configured with mergeBuckets={self.merge_buckets} — "
                     "rewrite the table or restore the original setting"
                 )
-        elif fs.exists(make_path(self.path)):
-            out = fs.create(meta, True)
-            try:
-                out.write(bytearray(str(self.merge_buckets).encode()))
-            finally:
-                out.close()
+            if ensure_markers and not markers:
+                self._write_meta(True)
+                markers = True
+        else:
+            fs, make_path = self._fs()
+            if fs.exists(make_path(self.path)):
+                self._write_meta(ensure_markers)
+                markers = ensure_markers
+        return markers
+
+    def _table_frame(self) -> DataFrame:
+        """Read the merge table with a MARKER-COMPLETE schema, without
+        per-call footer merging. A table can mix files written before
+        and after deleteWhen was configured; plain parquet inference
+        picks ONE arbitrary footer, so the __deleted column could
+        silently vanish (markers surface as live rows and later merges
+        resurrect deleted keys), while option(mergeSchema) would read
+        EVERY file's footer on every streaming trigger — O(table), the
+        cost class merge mode exists to avoid. Instead the sidecar
+        records whether any file carries markers; when it does and the
+        inferred schema lacks the column, ONE re-read with the widened
+        explicit schema fills missing columns with NULL (coalesced to
+        false at every use site)."""
+        df = self.spark.read.parquet(self.path)
+        _, markers = self._read_meta()
+        if (
+            (markers or self.delete_when)
+            and DELETED_COL not in df.columns
+        ):
+            df = self.spark.read.schema(
+                df.schema.add(DELETED_COL, "boolean")
+            ).parquet(self.path)
+        return df
 
     def _merge_write(self, out: DataFrame) -> None:
         """Key-merge one micro-batch into the bucket-partitioned table:
@@ -261,7 +312,7 @@ class KeyedTableLoader(Loader, SinkExtractor):
         from. Both checkpoints are micro-batch + touched-buckets sized,
         never the table; per repo cache policy no lazy fragment leaks.
         """
-        self._check_merge_meta()
+        self._check_merge_meta(ensure_markers=bool(self.delete_when))
         if self.delete_when:
             out = out.withColumn(
                 DELETED_COL,
@@ -280,14 +331,10 @@ class KeyedTableLoader(Loader, SinkExtractor):
         # would dynamically overwrite touched buckets with the batch
         # alone, silently deleting every other key.
         if self._table_exists():
-            reader = self.spark.read
-            if self.delete_when:
-                # buckets written before deleteWhen was configured lack
-                # the marker column; without footer merging the scan
-                # could pick a legacy file's schema and silently hide
-                # every stored marker (resurrection bug)
-                reader = reader.option("mergeSchema", "true")
-            existing = reader.parquet(self.path)
+            # marker-complete schema without per-trigger footer merging
+            # (_table_frame) — a single-footer inference could silently
+            # drop __deleted and resurrect deleted keys
+            existing = self._table_frame()
             # bounded probe: touched bucket ids (<= mergeBuckets values)
             touched = [
                 r[0] for r in out.select(KEY_BUCKET_COL).distinct().collect()
@@ -302,8 +349,18 @@ class KeyedTableLoader(Loader, SinkExtractor):
             if DELETED_COL in ex.columns and DELETED_COL not in merged.columns:
                 merged = merged.withColumn(DELETED_COL, F.lit(False))
             merged = ex.unionByName(merged)
+        # (key, ts) dedup tie order: a deletion marker beats an upsert
+        # at the SAME timestamp (deterministic, conservative — an
+        # upsert-preferred or arbitrary tie would let a replayed/
+        # same-second upsert silently erase a tombstone and resurrect
+        # the key); among rows of the same kind, incoming beats stored
+        wv_order = [F.col("__incoming").desc()]
+        if DELETED_COL in merged.columns:
+            wv_order.insert(
+                0, F.coalesce(F.col(DELETED_COL), F.lit(False)).desc()
+            )
         wv = Window.partitionBy(ROW_KEY_COL, INGESTION_TS_COL).orderBy(
-            F.col("__incoming").desc()
+            *wv_order
         )
         w = Window.partitionBy(ROW_KEY_COL).orderBy(
             F.col(INGESTION_TS_COL).desc()
@@ -335,17 +392,19 @@ class KeyedTableLoader(Loader, SinkExtractor):
             .partitionBy(KEY_BUCKET_COL)
             .parquet(self.path)
         )
-        self._check_merge_meta()  # pin the layout at first write
+        # pin the layout (+ marker presence) at first write
+        self._check_merge_meta(ensure_markers=bool(self.delete_when))
 
     # -- readback (ExtractFromSink, entity/extractor.go:114-132) -----
 
     def _read(self, key: str | None = None) -> DataFrame:
-        reader = self.spark.read
-        if self.delete_when:
-            # see _merge_write: legacy buckets may predate the marker
-            # column; a single-footer schema would hide stored markers
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(self.path)
+        if self.write_mode == "merge":
+            # marker-complete schema (sidecar-driven, no footer sweep):
+            # a loader WITHOUT deleteWhen reading a table that carries
+            # markers must still hide them
+            df = self._table_frame()
+        else:
+            df = self.spark.read.parquet(self.path)
         if key is not None:
             df = df.filter(F.col(ROW_KEY_COL) == key)
             if KEY_BUCKET_COL in df.columns:

@@ -565,6 +565,88 @@ def test_merge_write_mode_delete_when_tombstones(spark):
     assert got == {"a": 7, "b": 2}
 
 
+def test_merge_delete_and_upsert_same_timestamp_is_deterministic(spark):
+    """A delete and an upsert for the same key at the SAME ingestion
+    timestamp (one CDC batch, second-granularity commit ts): the
+    tombstone wins the (key, ts) tie — deterministically, so a replay
+    converges — and a later same-ts upsert replay cannot erase a
+    stored marker."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+    spec = parse_spec(make_spec(
+        suffix="mrgt", sink_type="keyedTable",
+        sink_cfg={"path": path, "rowKeyFields": ["name"],
+                  "writeMode": "merge", "mergeBuckets": 4,
+                  "deleteWhen": "op = 'delete'"},
+    ))
+    loader = KeyedTableLoader(spark, spec)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp",
+        )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    same = [("a", 9, "upsert", t(5)), ("a", 0, "delete", t(5))]
+    for _ in range(3):  # original + two replays must all agree
+        loader.stream_load(batch(same), epoch_id=0)
+        assert loader.extract_all().collect() == []
+    # a LATER batch replaying an upsert at exactly the marker's ts
+    # must NOT erase the tombstone
+    loader.stream_load(batch([("a", 9, "upsert", t(5))]), epoch_id=1)
+    assert loader.extract_all().collect() == []
+
+
+def test_merge_marker_table_readable_without_delete_when(spark):
+    """A loader WITHOUT deleteWhen configured (readback-only consumer,
+    or the predicate later removed from the spec) still hides stored
+    markers and does not resurrect deleted keys on merge — the sidecar
+    records marker presence, so the schema is widened even when plain
+    parquet inference picks a pre-marker footer."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader
+    from geist_spark.spec.model import parse_spec
+    import datetime as dt
+
+    path = new_temp_path()
+
+    def build(cfg):
+        return KeyedTableLoader(spark, parse_spec(make_spec(
+            suffix="mrgm", sink_type="keyedTable",
+            sink_cfg={"path": path, "rowKeyFields": ["name"],
+                      "writeMode": "merge", "mergeBuckets": 4, **cfg},
+        )))
+
+    writer = build({"deleteWhen": "op = 'delete'"})
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "name string, amount long, op string, "
+            "`@GeistIngestionTime` timestamp")
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    writer.stream_load(batch([("a", 1, "upsert", t(1)),
+                              ("b", 2, "upsert", t(1))]), epoch_id=0)
+    writer.stream_load(batch([("a", 0, "delete", t(2))]), epoch_id=1)
+    plain = build({})  # no deleteWhen
+    got = {r["name"] for r in plain.extract_all().collect()}
+    assert got == {"b"}
+    assert plain.extract_key_value("a").collect() == []
+    # merging through the plain loader must keep the marker alive: an
+    # out-of-order old upsert for 'a' in a later batch stays dead (the
+    # plain loader treats 'op' as ordinary data, it has no predicate)
+    plain.stream_load(
+        batch([("a", 99, "upsert", t(1)), ("c", 3, "upsert", t(3))]),
+        epoch_id=2,
+    )
+    got = {r["name"]: r["amount"] for r in plain.extract_all().collect()}
+    assert got == {"b": 2, "c": 3}
+
+
 def test_merge_write_mode_delete_when_marker_ages_out(spark):
     """A deletion marker competes for version slots and is compacted
     away once maxVersions newer upserts exist."""

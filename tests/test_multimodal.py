@@ -290,6 +290,54 @@ def test_decode_real_png_errors(spark):
             decode_real(df, on_unsupported="null").collect()
 
 
+def test_decode_real_png_bomb_and_trns(spark):
+    """A decompression-bomb IDAT raises the typed malformed error at
+    the expected-size bound instead of materializing the payload
+    (OOM would escape the two-tier contract); a tRNS transparency
+    chunk is a capability limit (alpha would be silently dropped)."""
+    import struct
+    import zlib
+
+    from geist_spark.operators.multimodal import decode_real
+
+    def chunk(ct, body):
+        return (
+            struct.pack(">I", len(body)) + ct + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
+        )
+
+    # IHDR says 1x1 gray (expected inflate = 2 bytes) but the IDAT
+    # stream inflates to 10 MB — the decoder must stop at 3 bytes
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, bomb)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="expected 2"):
+        decode_real(df, on_unsupported="null").collect()
+    # palette image with tRNS: capability limit -> NULL under 'null'
+    raw = b"\x00\x00"  # one filter byte + one palette index
+    trns = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([1, 2, 3]))
+        + chunk(b"tRNS", bytes([128]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    mixed = spark.createDataFrame(
+        [(1, trns), (2, _png_gray_bytes(1, 1, [7]))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="tRNS"):
+        decode_real(mixed).collect()
+    out = {r["media_id"]: r for r in
+           decode_real(mixed, on_unsupported="null").collect()}
+    assert out[1]["format"] is None and out[2]["format"] == "PNG"
+
+
 def _wav_bytes(samples, rate=8000, bits=16, channels=1):
     import struct
 

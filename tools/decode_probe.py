@@ -106,7 +106,7 @@ def main() -> int:
         ),
     ]:
         t_new, out_new = timeit(new_fn)
-        t_old, out_old = timeit(old_fn, reps=1)
+        t_old, out_old = timeit(old_fn)
         assert out_new == out_old, name
         rows.append((name, t_old, t_new, mp))
     rgb = _dib_to_rgb(dib, 0, w, h, False)
@@ -120,7 +120,7 @@ def main() -> int:
         ),
     ]:
         t_new, out_new = timeit(new_fn)
-        t_old, out_old = timeit(old_fn, reps=1)
+        t_old, out_old = timeit(old_fn)
         assert out_new == out_old, name
         rows.append((name, t_old, t_new, denom))
 
@@ -133,7 +133,7 @@ def main() -> int:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     t_new, out_new = timeit(lambda: _wav_decode(wav))
-    t_old, out_old = timeit(lambda: _wav_samples_py(data, 16), reps=1)
+    t_old, out_old = timeit(lambda: _wav_samples_py(data, 16))
     assert (out_new[5], out_new[6]) == out_old
     rows.append(("wav_parse(10MS)", t_old, t_new, n_samp / 1e6))
 
