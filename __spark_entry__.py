@@ -1729,6 +1729,72 @@ def k_max_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-table MERGE sink with deleteWhen tombstones under the
+    oracle gate: a three-batch synthetic CDC feed over orders keys
+    (o_orderkey % 97 == 0) — upsert all, tombstone the even half,
+    re-upsert the %4 quarter at a newer ts — merged through the REAL
+    sink (key-hash bucket layout, persistent deletion markers,
+    keep-newest GC; sinks/keyed_table.py _merge_write), then read
+    back. Final state is pure arithmetic on the key, so DuckDB
+    replays it with no sink machinery: %4==0 keys live with doubled
+    price, %2==0-but-not-%4 keys are deleted (their markers are
+    physical but hidden), odd keys keep the original price."""
+    from geist_spark.sinks.keyed_table import KeyedTableLoader, new_temp_path
+    from geist_spark.spec.model import parse_spec
+
+    spec = parse_spec(
+        {
+            "namespace": "bench",
+            "streamIdSuffix": "mergetomb",
+            "version": 1,
+            "description": "merge tombstone readback",
+            "source": {"type": "geistapi"},
+            "transform": {"extractFields": [{"fields": [{"id": "x"}]}]},
+            "sink": {
+                "type": "keyedTable",
+                "config": {
+                    "customConfig": {
+                        "path": new_temp_path(),
+                        "rowKeyFields": ["okey"],
+                        "writeMode": "merge",
+                        "mergeBuckets": 8,
+                        "deleteWhen": "op = 'delete'",
+                    }
+                },
+            },
+        }
+    )
+    loader = KeyedTableLoader(spark, spec)
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+
+    def ts(s: int) -> F.Column:
+        return F.lit(f"2024-01-01 00:00:0{s}").cast("timestamp")
+
+    b1 = keys.select(
+        "okey", "price", F.lit("upsert").alias("op"),
+        ts(1).alias("@GeistIngestionTime"),
+    )
+    b2 = keys.filter(F.col("okey") % 2 == 0).select(
+        "okey", F.lit(0.0).alias("price"), F.lit("delete").alias("op"),
+        ts(2).alias("@GeistIngestionTime"),
+    )
+    b3 = keys.filter(F.col("okey") % 4 == 0).select(
+        "okey", (F.col("price") * 2).alias("price"),
+        F.lit("upsert").alias("op"), ts(3).alias("@GeistIngestionTime"),
+    )
+    for i, b in enumerate([b1, b2, b3]):
+        loader.stream_load(b, epoch_id=i)
+    return loader.extract_all().select("okey", "price", "op")
+
+
 def e_eventsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eventsim source (reference eventsim.go): one generated tick,
     parsed back through the extract transform. Seeded generation is
@@ -4406,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
+        "k_merge_tombstones": k_merge_tombstones,
     }
 
 
@@ -5380,6 +5447,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((299*sr + 587*sg + 114*sb) // 2 AS BIGINT)
                        AS mean_luma_fx
             FROM f
+        """,
+        # arithmetic replay of the merge-sink tombstone feed: the final
+        # table state is a pure function of the key (no sink machinery
+        # oracle-side) — a marker that leaks, resurrects, or evicts the
+        # wrong version hash-mismatches
+        "k_merge_tombstones": """
+            WITH k AS (
+                SELECT o_orderkey AS okey,
+                       CAST(o_totalprice AS DOUBLE) AS price
+                FROM orders WHERE o_orderkey % 97 = 0
+            )
+            SELECT okey,
+                   CASE WHEN okey % 4 = 0 THEN price * 2 ELSE price END
+                       AS price,
+                   'upsert' AS op
+            FROM k
+            WHERE okey % 4 = 0 OR okey % 2 = 1
         """,
         # arithmetic replay of the REAL WAV decode: 12 signed 16-bit LE
         # samples from the same 24 md5 bytes (lo + 256*hi, two's
