@@ -2369,6 +2369,46 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the oracle gate: the same 24 md5-derived
+    pixel bytes as m_decode_real/m_decode_png, laid out 2x4 and
+    encoded per document as an INTERLACED GIF89a (per-image palette,
+    real greedy LZW with dictionary growth) by
+    multimodal.gif_encode_rgb, then decoded by multimodal.decode_real
+    (pure-python variable-width LZW + numpy palette mapping + 4-pass
+    deinterlace row gather). The oracle recomputes the luma
+    ARITHMETICALLY from the md5 hex digests with no GIF parsing
+    oracle-side — an LZW, color-table, or sub-block-walk bug
+    hash-mismatches against the shared pixel arithmetic (luma is
+    order-insensitive, so deinterlace correctness is pinned by the
+    cross-format pixel_md5 golden in tests/test_multimodal.py)."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_real, gif_encode_rgb
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        gif_encode_rgb(2, 4, bytes(px), interlace=True)
+                        for px in pdf["px"]
+                    ],
+                }
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shape conditional-aggregation ratio (promo revenue
@@ -4473,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
         "k_merge_tombstones": k_merge_tombstones,
+        "m_decode_gif": m_decode_gif,
     }
 
 
@@ -5508,6 +5549,24 @@ def oracle_sql() -> dict[str, str]:
                    'PNG' AS format,
                    CAST(4 AS INTEGER) AS width,
                    CAST(2 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(
+                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                     // 8 AS BIGINT) AS mean_luma_fx
+            FROM b
+        """,
+        # arithmetic replay of the REAL GIF decode: the SAME 24 pixel
+        # bytes as m_decode_real/png (palette + LZW + deinterlace
+        # round-trip them), laid out 2x4 — only format/dims differ.
+        # An LZW or color-table bug Spark-side breaks the equality.
+        "m_decode_gif": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'GIF' AS format,
+                   CAST(2 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
                    CAST(3 AS INTEGER) AS channels,
                    CAST(
                      (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)

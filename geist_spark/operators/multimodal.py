@@ -4,8 +4,9 @@ Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction run as Arrow-batched `mapInPandas` stages
 so the Python boundary is per-batch, not per-row. `decode_real`
 REALLY decodes the dependency-free formats (Netpbm P6/P5,
-uncompressed 24-bit BMP, and 8-bit PNG via stdlib zlib + numpy
-unfiltering) — actual pixels, exact luma, cross-format pixel hash;
+uncompressed 24-bit BMP, 8-bit PNG via stdlib zlib + numpy
+unfiltering, and GIF via a pure-python LZW with numpy palette
+mapping/deinterlace) — actual pixels, exact luma, cross-format hash;
 codec formats (JPEG/WebP/...) need libraries NOT in this container,
 so for those `decode_real` raises (or NULLs, by option) and
 `extract_media_features` computes deterministic
@@ -685,6 +686,267 @@ def png_encode_rgb(
     )
 
 
+# GIF interlace passes (GIF89a spec appendix E): row starts/steps in
+# the order interlaced data rows appear in the stream
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(data: bytes, mcs: int, max_px: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear
+    and end-of-information codes, 12-bit cap with frozen-table
+    deferred-clear handling). Inherently sequential — each code's
+    meaning depends on the one before — so this is a per-code Python
+    loop by nature, not an unvectorized oversight; the surrounding
+    palette mapping and deinterlace are numpy. Output is bounded at
+    `max_px` (a crafted stream cannot emit more pixels than the image
+    descriptor declares — same bomb contract as the PNG inflate
+    bound)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nacc = pos = 0
+    n = len(data)
+    while True:
+        while nacc < width:
+            if pos >= n:
+                raise ValueError(
+                    "malformed GIF: LZW stream ends without "
+                    "end-of-information code"
+                )
+            acc |= data[pos] << nacc
+            nacc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = list(roots)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code != eoi and code != clear:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"malformed GIF: LZW code {code} out of range")
+        out += entry
+        if len(out) > max_px:
+            raise ValueError(
+                f"malformed GIF: LZW stream yields more than {max_px} pixels"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_decode(b: bytes) -> tuple:
+    """GIF decode WITHOUT codec libraries: header + logical screen
+    descriptor walk, global/local color tables, variable-width LZW
+    (clear/EOI, 12-bit cap, KwKwK), and 4-pass interlace reorder (a
+    numpy row gather). Animated GIFs decode to their FIRST frame —
+    the same convention as frame-accurate video sampling's frame 0;
+    later image descriptors are ignored. CAPABILITY limit: a graphic
+    control extension that flags a transparent color raises
+    NotImplementedError (alpha would be silently flattened — the PNG
+    tRNS rule). MALFORMED data (truncation, LZW codes out of range,
+    palette index overflow, pixel-count mismatch) always raises
+    ValueError."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF: missing logical screen descriptor")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        if pos + 3 * n_colors > len(b):
+            raise ValueError("truncated GIF: global color table cut short")
+        gct = b[pos : pos + 3 * n_colors]
+        pos += 3 * n_colors
+
+    def sub_blocks(pos: int) -> tuple[bytes, int]:
+        parts = []
+        while True:
+            if pos >= len(b):
+                raise ValueError("truncated GIF: unterminated sub-blocks")
+            sz = b[pos]
+            pos += 1
+            if sz == 0:
+                return b"".join(parts), pos
+            if pos + sz > len(b):
+                raise ValueError("truncated GIF: sub-block cut short")
+            parts.append(b[pos : pos + sz])
+            pos += sz
+
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF: missing trailer")
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image descriptor
+            raise ValueError("malformed GIF: no image data before trailer")
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("truncated GIF: extension label missing")
+            label = b[pos]
+            pos += 1
+            body, pos = sub_blocks(pos)
+            if label == 0xF9 and len(body) >= 1 and body[0] & 0x01:
+                raise NotImplementedError(
+                    "GIF with a transparent color flag unsupported (alpha "
+                    "would be silently flattened; decode with PIL)"
+                )
+            continue
+        if block != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(b):
+            raise ValueError("truncated GIF: image descriptor cut short")
+        w = b[pos + 4] | (b[pos + 5] << 8)
+        h = b[pos + 6] | (b[pos + 7] << 8)
+        ipacked = b[pos + 8]
+        pos += 9
+        if w <= 0 or h <= 0:
+            raise ValueError(f"malformed GIF image descriptor: {w}x{h}")
+        palette = gct
+        if ipacked & 0x80:  # local color table wins
+            n_colors = 2 << (ipacked & 0x07)
+            if pos + 3 * n_colors > len(b):
+                raise ValueError("truncated GIF: local color table cut short")
+            palette = b[pos : pos + 3 * n_colors]
+            pos += 3 * n_colors
+        if palette is None:
+            raise ValueError("malformed GIF: image without any color table")
+        if pos >= len(b):
+            raise ValueError("truncated GIF: LZW minimum code size missing")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"malformed GIF: LZW minimum code size {mcs}")
+        data, pos = sub_blocks(pos)
+        idx_bytes = _lzw_decode(data, mcs, w * h)
+        if len(idx_bytes) != w * h:
+            raise ValueError(
+                f"malformed GIF: LZW stream yields {len(idx_bytes)} of "
+                f"{w * h} pixels"
+            )
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(idx_bytes, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"malformed GIF: palette index {int(idx.max())} out of "
+                f"range ({pal.shape[0]} entries)"
+            )
+        rgb = pal[idx].reshape(h, w, 3)
+        if ipacked & 0x40:  # interlaced: stream rows land in pass order
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in _GIF_PASSES]
+            )
+            out = np.empty_like(rgb)
+            out[order] = rgb
+            rgb = out
+        return "GIF", w, h, 3, rgb.tobytes()
+
+
+def gif_encode_rgb(w: int, h: int, rgb: bytes, interlace: bool = False) -> bytes:
+    """Synthetic-fixture GIF encoder (tests + the m_decode_gif gate
+    query synthesize payloads with it — NOT a public pipeline
+    operator): builds a per-image palette from the distinct colors
+    (≤256 or ValueError), REAL greedy LZW with dictionary growth,
+    width promotion and a 4096-entry clear/reset, optional 4-pass
+    interlacing — so the decoder's hard paths run against genuinely
+    compressed data."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length must be w*h*3")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(arr, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(
+            f"gif_encode_rgb: {colors.shape[0]} distinct colors (max 256)"
+        )
+    # color table size is 2^(k+1); LZW min code size must cover it
+    k = 0
+    while (2 << k) < colors.shape[0]:
+        k += 1
+    n_colors = 2 << k
+    mcs = max(2, k + 1)
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(s, h, st) for s, st in _GIF_PASSES])
+        idx = idx[order]
+    indices = idx.reshape(-1).tobytes()
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_codes = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out_codes.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    wseq = b""
+    for byte in indices:
+        wk = wseq + bytes([byte])
+        if wk in table:
+            wseq = wk
+            continue
+        emit(table[wseq], width)
+        if next_code == 4096:  # table full: clear and restart
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, mcs + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder's table lags one entry behind; it promotes
+            # width after its len hits 1<<width == our next_code - 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        wseq = bytes([byte])
+    if wseq:
+        emit(table[wseq], width)
+    emit(eoi, width)
+    if nacc:
+        out_codes.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out_codes), 255):
+        chunk = out_codes[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+
+    gct = colors.tobytes() + b"\x00" * (3 * n_colors - colors.size)
+    lsd = bytes(
+        [w & 0xFF, w >> 8, h & 0xFF, h >> 8, 0x80 | (k << 4) | k, 0, 0]
+    )
+    idesc = bytes(
+        [0x2C, 0, 0, 0, 0, w & 0xFF, w >> 8, h & 0xFF, h >> 8,
+         0x40 if interlace else 0x00]
+    )
+    return (
+        b"GIF89a" + lsd + gct + idesc + bytes([mcs]) + bytes(blocks)
+        + b"\x3B"
+    )
+
+
 def _luma_fx(rgb: bytes) -> int:
     """Exact integer BT.601 luma in milli-units, averaged per pixel.
     Channel sums are strided int64 numpy reductions (arr[c::3] beats
@@ -709,12 +971,14 @@ def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
     construction."""
     if b[:8] == _PNG_SIG:
         return _png_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(b)
     if b[:2] in (b"P6", b"P5"):
         return _ppm_decode(b)
     if b[:2] == b"BM":
         return _bmp_decode(b)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP/PNG; other codecs (JPEG/WebP/...) "
+        "payload is not PPM/PGM/BMP/PNG/GIF; other codecs (JPEG/WebP/...) "
         "need PIL/ffmpeg, not present in this environment — pass "
         f"on_unsupported='null' to skip, or use {alt_hint}"
     )

@@ -338,6 +338,111 @@ def test_decode_real_png_bomb_and_trns(spark):
     assert out[1]["format"] is None and out[2]["format"] == "PNG"
 
 
+def test_decode_real_gif_cross_format(spark):
+    """decode_real REALLY decodes GIF via pure-python LZW + palette
+    mapping: the same image as PPM, PNG and GIF (plain AND interlaced,
+    so the 4-pass row gather runs) yields ONE pixel_md5; a local color
+    table wins over the global one; extensions (GCE without
+    transparency, comment) are walked over."""
+    from geist_spark.operators.multimodal import (
+        decode_real,
+        gif_encode_rgb,
+        png_encode_rgb,
+    )
+
+    # 4 rows so interlace pass order [0, 2, 1, 3] actually reorders
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30),
+              (40, 50, 60), (70, 80, 90), (5, 5, 5), (200, 100, 0)]
+    rgb = bytes(v for p in pixels for v in p)
+    plain = gif_encode_rgb(2, 4, rgb)
+    inter = gif_encode_rgb(2, 4, rgb, interlace=True)
+    assert plain[47:] != inter[47:] or plain != inter  # streams differ
+    # splice a non-transparent GCE + comment extension before the
+    # image descriptor: the block walk must skip both
+    packed = plain[10]
+    p0 = 13 + 3 * (2 << (packed & 7))
+    with_ext = (
+        plain[:p0]
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # GCE, no transparency
+        + b"\x21\xfe\x03hi!\x00"                   # comment extension
+        + plain[p0:]
+    )
+    rows = [
+        (1, _ppm_bytes(2, 4, pixels)),
+        (2, png_encode_rgb(2, 4, rgb, [1, 4, 2, 0])),
+        (3, plain),
+        (4, inter),
+        (5, with_ext),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[3]["format"] == "GIF"
+    assert (out[3]["width"], out[3]["height"], out[3]["channels"]) == (2, 4, 3)
+    # one image, four encodings (+ extension variant), ONE hash
+    assert (out[1]["pixel_md5"] == out[2]["pixel_md5"] == out[3]["pixel_md5"]
+            == out[4]["pixel_md5"] == out[5]["pixel_md5"])
+    assert out[1]["mean_luma_fx"] == out[4]["mean_luma_fx"]
+
+
+def test_decode_real_gif_errors(spark):
+    """GIF error taxonomy: transparency flag is a CAPABILITY limit
+    (NULLs under 'null'); truncation, out-of-range LZW codes, palette
+    overflow and pixel-count mismatch are MALFORMED and always
+    raise."""
+    import pytest
+
+    from geist_spark.operators.multimodal import decode_real, gif_encode_rgb
+
+    good = gif_encode_rgb(3, 2, bytes(range(18)))
+    packed = good[10]
+    p0 = 13 + 3 * (2 << (packed & 7))
+    transparent = (
+        good[:p0] + b"\x21\xf9\x04\x01\x00\x00\x07\x00" + good[p0:]
+    )
+    caps = spark.createDataFrame(
+        [(1, good), (2, transparent)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           decode_real(caps, on_unsupported="null").collect()}
+    assert out[1]["format"] == "GIF" and out[2]["format"] is None
+
+    # image descriptor claims 3x3 but the LZW stream carries 6 pixels
+    short = bytearray(good)
+    short[p0 + 7] = 3  # height low byte (descriptor at p0, h at +7)
+    bad_mcs = bytearray(good)
+    bad_mcs[p0 + 10] = 12  # LZW minimum code size past the 8-bit roots
+    for payload, msg in [
+        (good[:20], "truncated GIF"),
+        (bytes(short), "yields 6 of 9|LZW"),
+        (bytes(bad_mcs), "minimum code size 12"),
+    ]:
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            decode_real(df, on_unsupported="null").collect()
+
+
+def test_gif_lzw_dictionary_growth():
+    """Pure-codec property: a 2-color noise image large enough to push
+    the LZW dictionary past 4096 entries round-trips exactly (code
+    width promotion 3->12 bits plus the clear/reset path), and a
+    256-color image exercises the 8-bit root alphabet."""
+    import numpy as np
+
+    from geist_spark.operators.multimodal import _gif_decode, gif_encode_rgb
+
+    rng = np.random.default_rng(42)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rgb = pal[rng.integers(0, 2, size=200 * 200)].tobytes()
+    fmt, w, h, ch, out = _gif_decode(gif_encode_rgb(200, 200, rgb))
+    assert (fmt, w, h, ch) == ("GIF", 200, 200, 3) and out == rgb
+
+    pal256 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    rgb256 = pal256[rng.integers(0, 256, size=64 * 64)].tobytes()
+    assert _gif_decode(gif_encode_rgb(64, 64, rgb256))[4] == rgb256
+
+
 def _wav_bytes(samples, rate=8000, bits=16, channels=1):
     import struct
 
