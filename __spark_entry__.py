@@ -2369,6 +2369,39 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_audio_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP under the oracle gate: the same synthesized
+    12-sample 16-bit PCM WAV as m_decode_audio, run through
+    multimodal.audio_dsp_features (pure-python RIFF walk + numpy
+    time-domain kernels). The gate selects the EXACT-INTEGER features
+    — zero-crossing count (sign-bucket transitions at x<0), sum of
+    absolute amplitude, peak — which the oracle reassembles
+    ARITHMETICALLY from the md5 hex digests (lo + 256·hi two's
+    complement, pairwise sign comparison) with no WAV parsing
+    oracle-side. The FFT-domain columns (centroid/bandwidth/rolloff/
+    flatness) are projected out here — DuckDB has no FFT — and are
+    pinned instead by analytic pure-tone goldens in
+    tests/test_multimodal.py."""
+    import struct
+
+    from geist_spark.operators.multimodal import audio_dsp_features
+
+    docs = _t(spark, sf_dir, "documents")
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + 24) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 24)
+    )
+    payload = F.concat(F.lit(header), _md5_payload_bytes())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return audio_dsp_features(media).select(
+        "media_id", "format", "n_frames", "zero_crossings", "sum_abs",
+        "peak_abs",
+    )
+
+
 def m_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode under the oracle gate: the same 24 md5-derived
     pixel bytes as m_decode_real/m_decode_png, laid out 2x4 and
@@ -4514,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_png": m_decode_png,
         "k_merge_tombstones": k_merge_tombstones,
         "m_decode_gif": m_decode_gif,
+        "m_audio_dsp": m_audio_dsp,
     }
 
 
@@ -5529,6 +5563,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max([abs(v) for v in smp]) AS BIGINT) AS peak_abs,
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
+            FROM s
+        """,
+        # arithmetic replay of the REAL audio DSP gate: the same 12
+        # signed 16-bit LE samples as m_decode_audio; zero crossings
+        # count pairwise sign-bucket (v < 0) transitions, sum_abs and
+        # peak are exact int64 — no WAV parsing and no FFT oracle-side
+        # (the FFT columns are pinned by pure-tone pytest goldens)
+        "m_audio_dsp": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
+                SELECT doc_id,
+                       [CASE WHEN bytes[2*i-1] + 256*bytes[2*i] >= 32768
+                             THEN bytes[2*i-1] + 256*bytes[2*i] - 65536
+                             ELSE bytes[2*i-1] + 256*bytes[2*i] END
+                        for i in generate_series(1, 12)] AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'WAV' AS format,
+                   CAST(12 AS BIGINT) AS n_frames,
+                   CAST(list_sum(
+                       [CASE WHEN (smp[i] < 0) <> (smp[i-1] < 0)
+                             THEN 1 ELSE 0 END
+                        for i in generate_series(2, 12)]
+                   ) AS BIGINT) AS zero_crossings,
+                   CAST(list_sum([abs(v) for v in smp]) AS BIGINT)
+                       AS sum_abs,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT)
+                       AS peak_abs
             FROM s
         """,
         "m_resize": """

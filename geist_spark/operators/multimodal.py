@@ -1126,9 +1126,13 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def _wav_decode(b: bytes) -> tuple:
-    """RIFF/WAVE PCM decode (pure python): fmt + data chunk walk,
-    8-bit unsigned (centered) and 16-bit signed LE samples."""
+def _wav_samples(b: bytes) -> tuple:
+    """RIFF/WAVE PCM sample extraction (pure python): fmt + data chunk
+    walk, 8-bit unsigned (centered) and 16-bit signed LE samples.
+    Returns (n_channels, sample_rate, bit_depth, samples) with samples
+    an int64 INTERLEAVED numpy array — int64 throughout so downstream
+    sums of squares stay exact for any payload a Spark row can hold
+    (2 GB row cap -> 1e9 samples -> max sum ~1.07e18 < 2^63)."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1168,9 +1172,6 @@ def _wav_decode(b: bytes) -> tuple:
             f"multiple of the {ch * bps}-byte frame size"
         )
     n_samples = len(data) // bps
-    # vectorized sample parse + reductions: int64 throughout, so the
-    # sum of squares is exact for any payload a Spark row can hold
-    # (2 GB row cap -> 1e9 samples -> max sum ~1.07e18 < 2^63)
     if bits == 8:  # unsigned, centered at 128
         samples = np.frombuffer(
             data, dtype=np.uint8, count=n_samples
@@ -1179,6 +1180,14 @@ def _wav_decode(b: bytes) -> tuple:
         samples = np.frombuffer(
             data, dtype="<i2", count=n_samples
         ).astype(np.int64)
+    return ch, rate, bits, samples
+
+
+def _wav_decode(b: bytes) -> tuple:
+    """RIFF/WAVE PCM decode: _wav_samples extraction + exact int64
+    reductions (peak, floor-mean-square)."""
+    ch, rate, bits, samples = _wav_samples(b)
+    n_samples = samples.shape[0]
     n_frames = n_samples // ch if ch else 0
     peak = int(np.abs(samples).max()) if n_samples else 0
     msq = int((samples * samples).sum()) // n_samples if n_samples else 0
@@ -1242,6 +1251,133 @@ def decode_audio_real(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+AUDIO_DSP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        # exact-integer time-domain features (DuckDB-replayable)
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+        # FFT-domain features (numpy.rfft; pinned by analytic pytest
+        # goldens — pure tones land on their exact bin frequency)
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType(), True),
+        T.StructField("spectral_rolloff_hz", T.DoubleType(), True),
+        T.StructField("spectral_flatness", T.DoubleType(), True),
+    ]
+)
+
+
+def _audio_dsp(b: bytes) -> tuple:
+    """Per-clip DSP features over decoded PCM. Multi-channel audio
+    mixes down by exact per-frame integer SUM (not mean — stays int64
+    so the time-domain features replay bit-for-bit in SQL). Exact
+    features on the mixdown x[0..n): zero_crossings = #{i : sign
+    bucket of x[i] differs from x[i-1]} with the bucket split at
+    x < 0; sum_abs; peak_abs. Spectral features use the full-clip
+    numpy real FFT, NO window function (deterministic, documented —
+    windowing choice belongs to the caller's framing policy), DC bin
+    excluded: centroid = Σf·m / Σm over magnitudes m[k] at
+    f[k] = k·rate/n; bandwidth = sqrt(Σm·(f−c)² / Σm); rolloff =
+    lowest f[k] where the cumulative POWER reaches 85% of total;
+    flatness = geometric/arithmetic mean of power (0.0 when any bin
+    power is 0 — the true geometric mean). Silent or empty clips
+    report 0.0 spectral features."""
+    ch, rate, _bits, samples = _wav_samples(b)
+    n_frames = samples.shape[0] // ch
+    x = samples[: n_frames * ch].reshape(n_frames, ch).sum(axis=1)
+    if n_frames == 0:
+        return "WAV", 0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0
+    neg = x < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    sum_abs = int(np.abs(x).sum())
+    peak = int(np.abs(x).max())
+    spec = np.abs(np.fft.rfft(x.astype(np.float64)))[1:]  # DC excluded
+    freqs = (np.arange(1, spec.shape[0] + 1) * rate) / n_frames
+    tot = float(spec.sum())
+    # numerical-silence guard: a constant (pure-DC) clip leaves only
+    # FFT rounding noise (~1e-16·n·A) in the non-DC bins — without
+    # the cutoff the centroid would be noise-weighted garbage
+    if tot <= 1e-9 * n_frames * max(1.0, float(peak)):
+        return ("WAV", n_frames, zc, sum_abs, peak, 0.0, 0.0, 0.0, 0.0)
+    centroid = float((freqs * spec).sum() / tot)
+    bandwidth = float(
+        np.sqrt(((freqs - centroid) ** 2 * spec).sum() / tot)
+    )
+    power = spec * spec
+    csum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(csum, 0.85 * csum[-1]))])
+    mean_p = float(power.mean())
+    flatness = (
+        0.0
+        if float(power.min()) <= 0.0
+        else float(np.exp(np.log(power).mean()) / mean_p)
+    )
+    return (
+        "WAV", n_frames, zc, sum_abs, peak,
+        centroid, bandwidth, rolloff, flatness,
+    )
+
+
+def audio_dsp_features(
+    media: DataFrame, on_unsupported: str = "error"
+) -> DataFrame:
+    """REAL audio feature extraction over RIFF/WAVE PCM: exact-integer
+    time-domain features (zero-crossing count, sum of absolute
+    amplitude, peak — all DuckDB-replayable, see _audio_dsp for the
+    precise definitions) plus FFT-domain spectral centroid /
+    bandwidth / 85%-rolloff / flatness via numpy's real FFT inside
+    the same Arrow-batched mapInPandas stage — zero shuffle,
+    partition-parallel, the per-clip FFT cost is O(n log n) in the
+    clip length. Same two-tier error contract as decode_audio_real:
+    non-WAV payloads are CAPABILITY limits (raise naming the media_id
+    or NULL under on_unsupported='null'); malformed WAV always raises
+    ValueError."""
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_DSP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vals = (None,) * 9
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                            vals = _audio_dsp(b)
+                        else:
+                            raise NotImplementedError(
+                                "payload is not RIFF/WAVE PCM; compressed "
+                                "audio (MP3/AAC/OGG) needs ffmpeg, not "
+                                "present in this environment — pass "
+                                "on_unsupported='null' to skip"
+                            )
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        vals = (None,) * 9
+                (fmt, n_frames, zc, sum_abs, peak,
+                 cen, bw, roll, flat) = vals
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["n_frames"].append(n_frames)
+                out["zero_crossings"].append(zc)
+                out["sum_abs"].append(sum_abs)
+                out["peak_abs"].append(peak)
+                out["spectral_centroid_hz"].append(cen)
+                out["spectral_bandwidth_hz"].append(bw)
+                out["spectral_rolloff_hz"].append(roll)
+                out["spectral_flatness"].append(flat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_DSP_SCHEMA)
 
 
 EMBED_SCHEMA = T.StructType(

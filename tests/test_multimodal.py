@@ -504,6 +504,90 @@ def test_decode_audio_real_unsupported_and_malformed(spark):
         decode_audio_real(bad).collect()
 
 
+def test_audio_dsp_features_analytic(spark):
+    """FFT features against signals with closed-form answers: a pure
+    sine at bin 8 of a 64-sample 8 kHz clip has centroid == rolloff ==
+    1000 Hz and ~zero bandwidth; an alternating ±A signal is the
+    Nyquist tone (4000 Hz) with n-1 zero crossings; a constant (DC)
+    clip reports silent spectra, not FFT rounding noise; stereo mixes
+    down by exact per-frame sum."""
+    import math
+
+    from geist_spark.operators.multimodal import audio_dsp_features
+
+    n, rate, amp = 64, 8000, 10000
+    sine = [round(amp * math.sin(2 * math.pi * 8 * i / n))
+            for i in range(n)]
+    alt = [amp if i % 2 == 0 else -amp for i in range(n)]
+    dc = [500] * n
+    # stereo: L == R == sine, interleaved -> mixdown doubles amplitudes
+    stereo = [v for v in sine for _ in (0, 1)]
+    rows = [
+        (1, _wav_bytes(sine, rate=rate)),
+        (2, _wav_bytes(alt, rate=rate)),
+        (3, _wav_bytes(dc, rate=rate)),
+        (4, _wav_bytes(stereo, rate=rate, channels=2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in audio_dsp_features(media).collect()}
+    s = out[1]
+    assert s["format"] == "WAV" and s["n_frames"] == n
+    assert abs(s["spectral_centroid_hz"] - 1000.0) < 1.0
+    assert s["spectral_rolloff_hz"] == 1000.0
+    assert s["spectral_bandwidth_hz"] < 5.0
+    assert s["spectral_flatness"] < 0.01
+    # exact zeros bucket as non-negative: 8 falling (+→−) transitions
+    # at i=8k+5, but only 7 rising ones (i=8k, k≥1) fit in 64 samples
+    assert s["zero_crossings"] == 15
+    a = out[2]
+    assert a["zero_crossings"] == n - 1
+    assert abs(a["spectral_centroid_hz"] - 4000.0) < 1e-6
+    assert a["spectral_rolloff_hz"] == 4000.0
+    assert a["peak_abs"] == amp and a["sum_abs"] == n * amp
+    d = out[3]
+    assert d["zero_crossings"] == 0 and d["peak_abs"] == 500
+    assert d["spectral_centroid_hz"] == 0.0
+    assert d["spectral_rolloff_hz"] == 0.0
+    st = out[4]
+    assert st["n_frames"] == n
+    assert st["sum_abs"] == 2 * out[1]["sum_abs"]
+    assert abs(st["spectral_centroid_hz"] - 1000.0) < 1.0
+
+
+def test_audio_dsp_error_contract(spark):
+    """audio_dsp_features mirrors decode_audio_real's two-tier error
+    contract: non-WAV payloads NULL under 'null', malformed WAV always
+    raises."""
+    import struct
+
+    import pytest
+
+    from geist_spark.operators.multimodal import audio_dsp_features
+
+    rows = spark.createDataFrame(
+        [(1, _wav_bytes([3, -3, 3])), (2, b"ID3\x04mp3-ish"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           audio_dsp_features(rows, on_unsupported="null").collect()}
+    assert out[1]["zero_crossings"] == 2
+    assert out[2]["format"] is None and out[3]["format"] is None
+    with pytest.raises(Exception, match="media_id=2"):
+        audio_dsp_features(rows).collect()
+    odd = (
+        b"RIFF" + struct.pack("<I", 36 + 5) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 5) + b"\x01\x02\x03\x04\x05"
+    )
+    with pytest.raises(Exception, match="not a multiple"):
+        audio_dsp_features(
+            spark.createDataFrame(
+                [(1, odd)], "media_id long, payload binary"
+            ),
+            on_unsupported="null",
+        ).collect()
+
+
 def test_decode_error_taxonomy(spark):
     """CAPABILITY limits (unknown format, unsupported variant) NULL
     out under on_unsupported='null'; MALFORMED payloads of a supported

@@ -151,6 +151,7 @@ MIP_ALLOWED = {
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
     "m_decode_gif": 2,       # GIF synth (LZW encode) + decode
+    "m_audio_dsp": 1,
 }
 
 
