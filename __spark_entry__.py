@@ -2369,6 +2369,54 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the oracle gate: the 24
+    md5-derived bytes become a 6x4 grid of constant 8x8 grayscale
+    blocks (48x32 px) encoded per document by jpeg_encode_baseline
+    with a flat quant=8 table — the DC-exact construction (FDCT of a
+    constant-L block is DC-only with S00 = 8(L-128); /8 quantization
+    keeps it integral; see jpeg.py module docstring), so the full
+    Huffman + dequant + IDCT pipeline reproduces the source levels
+    BIT-EXACTLY and the oracle replays the mean luma ARITHMETICALLY
+    from the hex digests with no JPEG parsing oracle-side: each level
+    v contributes 64 of the 1536 gray pixels, so mean_luma_fx =
+    (1000 * 64 * sum(v)) // 1536 = (125 * sum(v)) // 3. A Huffman-,
+    zigzag-DC-, dequant- or IDCT-scaling bug Spark-side breaks the
+    equality; AC paths, color, subsampling and restart markers are
+    pinned by round-trip tests in tests/test_jpeg.py."""
+    import pandas as _pd
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import decode_real
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for px in pdf["px"]:
+                levels = _np.frombuffer(bytes(px), dtype=_np.uint8)
+                gray = _np.repeat(
+                    _np.repeat(levels.reshape(4, 6), 8, axis=0), 8, axis=1
+                )
+                payloads.append(
+                    jpeg_encode_baseline(48, 32, gray=gray.tobytes(), quant=8)
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 def m_audio_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio DSP under the oracle gate: the same synthesized
     12-sample 16-bit PCM WAV as m_decode_audio, run through
@@ -4548,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_merge_tombstones": k_merge_tombstones,
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
+        "m_decode_jpeg": m_decode_jpeg,
     }
 
 
@@ -5564,6 +5613,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
             FROM s
+        """,
+        # arithmetic replay of the REAL baseline-JPEG decode: the
+        # DC-exact construction reproduces the 24 md5 bytes as block
+        # levels bit-exactly, each filling 64 gray pixels of a 48x32
+        # image -> mean_luma_fx = (1000*64*sum) // 1536 = (125*sum)//3
+        "m_decode_jpeg": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'JPEG' AS format,
+                   CAST(48 AS INTEGER) AS width,
+                   CAST(32 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(
+                     (125 * CAST(list_sum(bytes) AS BIGINT)) // 3
+                     AS BIGINT) AS mean_luma_fx
+            FROM b
         """,
         # arithmetic replay of the REAL audio DSP gate: the same 12
         # signed 16-bit LE samples as m_decode_audio; zero crossings

@@ -1,0 +1,615 @@
+"""Baseline JPEG (SOF0) codec with no codec libraries.
+
+Pure-python entropy decode (canonical Huffman, byte unstuffing,
+restart markers) + numpy everything else (batched 8x8 IDCT as one
+einsum over all blocks, vectorized dequant, nearest-neighbor chroma
+upsampling, JFIF YCbCr->RGB). Built from the public ITU T.81 spec:
+marker segment grammar (B.2), canonical Huffman code construction
+(C.2), DC prediction + EXTEND (F.2.2.1), AC run/size with EOB/ZRL
+(F.2.2.2), zigzag scan (A.3.6, derived algorithmically — diagonals
+r+c, alternating direction), and the orthonormal 2-D DCT (A.3.3).
+
+Scale shape: the entropy decode is a per-coefficient Python loop —
+inherent to Huffman's serial bit dependency, same caveat as the GIF
+LZW — but the IDCT/dequant/color stages, the dominant FLOP cost, are
+whole-image numpy. Runs inside the same Arrow-batched mapInPandas
+stage as the other decoders (multimodal._decode_rgb_bytes dispatch):
+zero shuffle, partition-parallel.
+
+Supported: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+one interleaved scan, any sampling factors (chroma upsampled
+nearest), restart intervals. CAPABILITY limits (NotImplementedError):
+progressive (SOF2) and the other SOFn variants, arithmetic coding,
+multi-scan baseline, 4-component (CMYK). MALFORMED data (truncation,
+bad Huffman codes, missing tables, coefficient overrun) raises
+ValueError — the repo-wide two-tier error contract.
+
+The exactness hook for the DuckDB oracle gate: a grayscale JPEG whose
+blocks are constant with quantizer q[0]=8 round-trips BIT-EXACTLY
+(FDCT of a constant-L block is DC-only with S00 = 8*(L-128); quantized
+by 8 -> L-128 exactly; IDCT gives S00*q/8 + 128 = L), so
+m_decode_jpeg replays pixel values arithmetically with no JPEG
+parsing oracle-side.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: entry k = the row-major position of the k-th
+# zigzag coefficient. Derived, not transcribed: walk diagonals
+# s = row+col; odd diagonals run row-ascending, even ones descending.
+ZIGZAG = [
+    r * 8 + (s - r)
+    for s in range(15)
+    for r in sorted(
+        range(max(0, s - 7), min(8, s + 1)), reverse=(s % 2 == 0)
+    )
+]
+
+# orthonormal DCT-II basis M[u, x] = C(u)/2 * cos((2x+1) u pi / 16);
+# IDCT: s = M.T @ S @ M, FDCT: S = M @ s @ M.T  (T.81 A.3.3)
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _build_huff(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman table (T.81 C.2): {(length, code): symbol}."""
+    table = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("malformed JPEG DHT: counts exceed symbols")
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    "truncated JPEG: entropy data ends mid-block"
+                )
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("malformed JPEG: invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map n read bits to the signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy-coded data starting at `pos` and split it
+    at restart markers. Returns (segments, position of the
+    terminating marker's 0xFF)."""
+    segments, cur = [], bytearray()
+    n = len(b)
+    while pos < n:
+        nxt = b.find(b"\xff", pos)
+        if nxt < 0:
+            raise ValueError("truncated JPEG: no terminating marker")
+        cur += b[pos:nxt]
+        if nxt + 1 >= n:
+            raise ValueError("truncated JPEG: dangling 0xFF")
+        m = b[nxt + 1]
+        if m == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            pos = nxt + 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos = nxt + 2
+        else:
+            segments.append(bytes(cur))
+            return segments, nxt
+    raise ValueError("truncated JPEG: no terminating marker")
+
+
+def jpeg_decode(b: bytes) -> tuple:
+    """Decode a baseline JPEG. Returns ("JPEG", w, h, channels, rgb)
+    with rgb row-major RGB triples (grayscale normalized to triples,
+    channels reported 1 — the decode_real convention)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while True:
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG: marker segment cut short")
+        if b[pos] != 0xFF:
+            raise ValueError(
+                f"malformed JPEG: expected marker, got 0x{b[pos]:02x}"
+            )
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI is a bare marker (no length word)
+            raise ValueError("malformed JPEG: EOI before any scan")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG: marker segment cut short")
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG: segment body cut short")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq not in (0, 1):
+                    raise ValueError(f"malformed JPEG DQT precision {pq}")
+                width = 2 if pq else 1
+                if p + 64 * width > len(seg):
+                    raise ValueError("truncated JPEG DQT")
+                if pq:
+                    vals = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    vals = np.frombuffer(
+                        seg[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                # store in NATURAL order: q_nat[ZIGZAG[k]] = vals[k]
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = vals
+                qt[tq] = nat
+                p += 64 * width
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = seg[p + 17 : p + 17 + total]
+                if len(symbols) < total:
+                    raise ValueError("truncated JPEG DHT")
+                table = _build_huff(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"only 8-bit baseline JPEG supported (precision={prec})"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG unsupported (CMYK needs an "
+                    "Adobe transform; decode with PIL)"
+                )
+            if w <= 0 or h <= 0:
+                raise ValueError(f"malformed JPEG SOF0: {w}x{h}")
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
+                )
+                if comps[-1]["h"] < 1 or comps[-1]["v"] < 1:
+                    raise ValueError("malformed JPEG: zero sampling factor")
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else "extended/lossless"
+            if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                kind = "arithmetic-coded"
+            raise NotImplementedError(
+                f"{kind} JPEG (SOF{marker - 0xC0}) unsupported — baseline "
+                "sequential only; decode with PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG unsupported (one interleaved "
+                    "scan covering all components only)"
+                )
+            scan_comps = []
+            by_id = {c["id"]: c for c in frame["comps"]}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"malformed JPEG SOS: unknown component id {cs}"
+                    )
+                c = dict(by_id[cs])
+                c["td"], c["ta"] = tt >> 4, tt & 0x0F
+                scan_comps.append(c)
+            scan = scan_comps
+            pos += seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += seglen
+
+    segments, _end = _split_entropy(b, pos)
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    if len(scan) == 1:
+        # single-component scan: MCU is one block (T.81 A.2.2)
+        c = scan[0]
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        mcu_cols, mcu_rows = -(-cw // 8), -(-chh // 8)
+        per_mcu = [(0, 1, 1)]
+    else:
+        mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        per_mcu = [(i, c["h"], c["v"]) for i, c in enumerate(scan)]
+    n_mcus = mcu_cols * mcu_rows
+
+    blocks = [
+        np.zeros(
+            (mcu_rows * (c["v"] if len(scan) > 1 else 1),
+             mcu_cols * (c["h"] if len(scan) > 1 else 1), 64),
+            dtype=np.int64,
+        )
+        for c in scan
+    ]
+    for c in scan:
+        if c["tq"] not in qt:
+            raise ValueError(f"malformed JPEG: missing DQT {c['tq']}")
+        if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+            raise ValueError("malformed JPEG: missing DHT for scan")
+
+    mcu = 0
+    for seg_i, seg_data in enumerate(segments):
+        reader = _BitReader(seg_data)
+        preds = [0] * len(scan)
+        end = (
+            min(mcu + restart_interval, n_mcus)
+            if restart_interval
+            else n_mcus
+        )
+        while mcu < end:
+            my, mx = divmod(mcu, mcu_cols)
+            for ci, ch, cv in per_mcu:
+                c = scan[ci]
+                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                q = qt[c["tq"]]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = reader.decode_huff(dc_t)
+                        if t > 11:
+                            raise ValueError(
+                                f"malformed JPEG: DC category {t}"
+                            )
+                        preds[ci] += _extend(reader.read(t), t)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "malformed JPEG: AC index overrun"
+                                )
+                            coef[ZIGZAG[k]] = _extend(reader.read(s), s)
+                            k += 1
+                        blocks[ci][my * cv + by, mx * ch + bx] = coef * q
+            mcu += 1
+        if restart_interval and seg_i < len(segments) - 1 and mcu >= n_mcus:
+            raise ValueError("malformed JPEG: extra restart segments")
+    if mcu < n_mcus:
+        raise ValueError(
+            f"truncated JPEG: {mcu} of {n_mcus} MCUs decoded"
+        )
+
+    planes = []
+    for ci, c in enumerate(scan):
+        arr = blocks[ci]
+        br, bc = arr.shape[0], arr.shape[1]
+        # dequantized coefficients are (br, bc, 64) in natural order;
+        # IDCT all blocks in one einsum: s = M.T @ S @ M
+        S = arr.reshape(br, bc, 8, 8)
+        spatial = np.einsum("xu,rcuv,vy->rcxy", _DCT_M.T, S, _DCT_M,
+                            optimize=True)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
+        plane = np.clip(np.round(plane) + 128, 0, 255)
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = plane[:chh, :cw]
+        if cw != w or chh != h:  # nearest-neighbor chroma upsample
+            ys = (np.arange(h, dtype=np.int64) * c["v"]) // vmax
+            xs = (np.arange(w, dtype=np.int64) * c["h"]) // hmax
+            plane = plane[ys][:, xs]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        gray = planes[0].astype(np.uint8)
+        return "JPEG", w, h, 1, np.repeat(gray.reshape(-1), 3).tobytes()
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, bl)],
+        axis=-1,
+    )
+    return "JPEG", w, h, 3, rgb.tobytes()
+
+
+def _category(v: int) -> tuple[int, int]:
+    """Signed value -> (size category, appended bits) per F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuff
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _canonical_from_used(used: set[int]) -> tuple[list[int], bytes, dict]:
+    """Fixture-grade Huffman spec: every used symbol gets the same
+    code length L = ceil(log2(n+1)) (the +1 keeps the all-ones code
+    free, as T.81 C.2 requires). Returns (counts, symbols, enc_map)."""
+    syms = sorted(used)
+    n = max(1, len(syms))
+    length = max(1, (n + 1 - 1).bit_length())
+    while (1 << length) < n + 1:
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    enc = {s: (length, i) for i, s in enumerate(syms)}
+    return counts, bytes(syms), enc
+
+
+def jpeg_encode_baseline(
+    w: int,
+    h: int,
+    rgb: bytes | None = None,
+    gray: bytes | None = None,
+    quant: int | list[int] = 8,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthetic-fixture baseline JPEG encoder (tests + the
+    m_decode_jpeg gate query — NOT a public pipeline operator): real
+    FDCT (numpy einsum), real quantization, real canonical-Huffman
+    entropy coding with byte stuffing and optional restart markers,
+    optional 4:2:0 subsampling (2x2 mean). `quant` is either a scalar
+    (flat table) or a 64-entry natural-order table used for all
+    components. With gray input, constant 8x8 blocks and quant=8 the
+    decode is BIT-EXACT (see module docstring) — the oracle hook."""
+    if (rgb is None) == (gray is None):
+        raise ValueError("pass exactly one of rgb / gray")
+    q_nat = (
+        np.full(64, quant, dtype=np.int64)
+        if isinstance(quant, int)
+        else np.asarray(quant, dtype=np.int64)
+    )
+    if q_nat.shape != (64,) or (q_nat <= 0).any() or (q_nat > 255).any():
+        raise ValueError("quant must be 64 values in 1..255")
+
+    if gray is not None:
+        if len(gray) != w * h:
+            raise ValueError("gray length must be w*h")
+        planes = [np.frombuffer(gray, dtype=np.uint8)
+                  .reshape(h, w).astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        if len(rgb) != w * h * 3:
+            raise ValueError("rgb length must be w*h*3")
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        bl = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def to_blocks(plane: np.ndarray, ch: int, cv: int) -> np.ndarray:
+        if (ch, cv) != (hmax, vmax):  # subsample by 2x2 mean
+            ph = -(-plane.shape[0] // 2) * 2
+            pw = -(-plane.shape[1] // 2) * 2
+            p = np.pad(plane, ((0, ph - plane.shape[0]),
+                               (0, pw - plane.shape[1])), mode="edge")
+            plane = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        bh = -(-plane.shape[0] // 8) * 8
+        bw = -(-plane.shape[1] // 8) * 8
+        p = np.pad(plane, ((0, bh - plane.shape[0]),
+                           (0, bw - plane.shape[1])), mode="edge")
+        S = p.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ux,rcxy,yv->rcuv", _DCT_M, S - 128.0,
+                          _DCT_M.T, optimize=True)
+        qd = np.round(coefs / q_nat.reshape(8, 8)).astype(np.int64)
+        return qd  # (brows, bcols, 8, 8)
+
+    qblocks = [to_blocks(p, *s) for p, s in zip(planes, samp)]
+
+    # MCU walk (interleaved when 3 components, single-block when gray)
+    if len(planes) == 1:
+        mcu_rows, mcu_cols = qblocks[0].shape[0], qblocks[0].shape[1]
+        order = [(0, 1, 1)]
+    else:
+        mcu_cols = -(-w // (8 * hmax))
+        mcu_rows = -(-h // (8 * vmax))
+        order = [(i, s[0], s[1]) for i, s in enumerate(samp)]
+        # pad block grids so every MCU indexes in range
+        padded = []
+        for qb, (ch, cv) in zip(qblocks, samp):
+            need_r, need_c = mcu_rows * cv, mcu_cols * ch
+            pr, pc = need_r - qb.shape[0], need_c - qb.shape[1]
+            padded.append(np.pad(qb, ((0, pr), (0, pc), (0, 0), (0, 0)),
+                                 mode="edge"))
+        qblocks = padded
+
+    def block_symbols(qb: np.ndarray) -> tuple[int, list]:
+        zz = qb.reshape(64)[ZIGZAG]
+        run, acs = 0, []
+        last = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))  # ZRL
+                run -= 16
+            s, bits = _category(v)
+            acs.append(((run << 4) | s, s, bits))
+            run = 0
+        if last < 63:
+            acs.append((0x00, 0, 0))  # EOB
+        return int(zz[0]), acs
+
+    # pass 1: gather symbols for the two shared tables
+    mcu_units = []
+    preds = [0] * len(planes)
+    dc_used, ac_used = set(), set()
+    n_mcus = mcu_rows * mcu_cols
+    for m in range(n_mcus):
+        if restart_interval and m % restart_interval == 0:
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcu_cols)
+        unit = []
+        for ci, ch, cv in order:
+            for by in range(cv):
+                for bx in range(ch):
+                    dc, acs = block_symbols(
+                        qblocks[ci][my * cv + by, mx * ch + bx]
+                    )
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s, bits = _category(diff)
+                    dc_used.add(s)
+                    ac_used.update(sym for sym, _, _ in acs)
+                    unit.append(((s, bits), acs))
+        mcu_units.append(unit)
+
+    dc_counts, dc_syms, dc_enc = _canonical_from_used(dc_used or {0})
+    ac_counts, ac_syms, ac_enc = _canonical_from_used(ac_used or {0})
+
+    wtr = _BitWriter()
+    body = bytearray()
+    for m, unit in enumerate(mcu_units):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.pad()
+            body += wtr.out
+            body += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            wtr = _BitWriter()
+        for (s, bits), acs in unit:
+            ln, code = dc_enc[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(bits, s)
+            for sym, sz, ab in acs:
+                ln, code = ac_enc[sym]
+                wtr.write(code, ln)
+                if sz:
+                    wtr.write(ab, sz)
+    wtr.pad()
+    body += wtr.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    zz_q = q_nat[ZIGZAG].astype(np.uint8).tobytes()
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        struct.pack(">BBB", i + 1, (s[0] << 4) | s[1], 0)
+        for i, s in enumerate(samp)
+    )
+    dht = (
+        bytes([0x00]) + bytes(dc_counts) + dc_syms
+        + bytes([0x10]) + bytes(ac_counts) + ac_syms
+    )
+    sos = bytes([nc]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(nc)
+    ) + bytes([0, 63, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)

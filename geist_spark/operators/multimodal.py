@@ -5,9 +5,11 @@ decode / feature-extraction run as Arrow-batched `mapInPandas` stages
 so the Python boundary is per-batch, not per-row. `decode_real`
 REALLY decodes the dependency-free formats (Netpbm P6/P5,
 uncompressed 24-bit BMP, 8-bit PNG via stdlib zlib + numpy
-unfiltering, and GIF via a pure-python LZW with numpy palette
-mapping/deinterlace) — actual pixels, exact luma, cross-format hash;
-codec formats (JPEG/WebP/...) need libraries NOT in this container,
+unfiltering, GIF via a pure-python LZW with numpy palette
+mapping/deinterlace, and baseline JPEG via pure-python Huffman +
+batched numpy IDCT, see jpeg.py) — actual pixels, exact luma,
+cross-format hash; remaining codec formats (WebP/AVIF/progressive
+JPEG/...) need libraries NOT in this container,
 so for those `decode_real` raises (or NULLs, by option) and
 `extract_media_features` computes deterministic
 pseudo-features (byte length, md5, an 8-bin byte histogram) — the
@@ -965,7 +967,8 @@ def _luma_fx(rgb: bytes) -> int:
 
 def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
     """The ONE image-format dispatch shared by decode_real and
-    resize_real: (fmt, w, h, channels, rgb) for PPM/PGM/BMP/PNG, or
+    resize_real: (fmt, w, h, channels, rgb) for
+    PPM/PGM/BMP/PNG/GIF/JPEG, or
     NotImplementedError (capability limit) for anything else —
     keeping the two operators' accepted-format sets identical by
     construction."""
@@ -973,14 +976,19 @@ def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
         return _png_decode(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(b)
     if b[:2] in (b"P6", b"P5"):
         return _ppm_decode(b)
     if b[:2] == b"BM":
         return _bmp_decode(b)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP/PNG/GIF; other codecs (JPEG/WebP/...) "
-        "need PIL/ffmpeg, not present in this environment — pass "
-        f"on_unsupported='null' to skip, or use {alt_hint}"
+        "payload is not PPM/PGM/BMP/PNG/GIF/JPEG; other codecs "
+        "(WebP/AVIF/...) need PIL/ffmpeg, not present in this "
+        f"environment — pass on_unsupported='null' to skip, or use "
+        f"{alt_hint}"
     )
 
 
@@ -1004,7 +1012,7 @@ def resize_real(
     on_unsupported: str = "error",
 ) -> DataFrame:
     """REAL image resize: decode the codec-free formats (the same
-    shared PPM/PGM/BMP dispatch as decode_real) and nearest-neighbor-
+    shared image dispatch as decode_real) and nearest-neighbor-
     resample the ACTUAL pixels to (width, height) — integer index
     mapping src = (dst * src_dim) // dst_dim, so the resampled
     luma/hash are exactly replayable. Returns DECODED_SCHEMA rows

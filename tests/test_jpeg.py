@@ -1,0 +1,167 @@
+"""Baseline JPEG codec tests: DC-exact construction, near-lossless
+AC round-trips, 4:2:0, restart markers, odd dims, error taxonomy, and
+the decode_real dispatch integration."""
+
+import numpy as np
+import pytest
+
+from geist_spark.operators.jpeg import (
+    _DCT_M,
+    ZIGZAG,
+    jpeg_decode,
+    jpeg_encode_baseline,
+)
+
+
+def test_zigzag_and_dct_basis():
+    """The derived zigzag table matches the T.81 scan's known entries
+    and is a permutation; the DCT basis is orthonormal (so the IDCT
+    in the decoder exactly inverts the FDCT in the encoder)."""
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_dc_exact_grayscale_roundtrip():
+    """The oracle construction: constant 8x8 blocks + flat quant=8
+    round-trip BIT-EXACTLY through Huffman + dequant + IDCT."""
+    rng = np.random.default_rng(3)
+    levels = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    gray = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)  # 32x48
+    enc = jpeg_encode_baseline(48, 32, gray=gray.tobytes(), quant=8)
+    fmt, w, h, ch, rgb = jpeg_decode(enc)
+    assert (fmt, w, h, ch) == ("JPEG", 48, 32, 1)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(32, 48, 3)
+    assert (got[:, :, 0] == gray).all()
+    assert (got[:, :, 0] == got[:, :, 1]).all()  # gray -> RGB triples
+
+
+def test_ac_roundtrip_near_lossless():
+    """Random noise (every AC path: run lengths, ZRL, EOB, all size
+    categories) at quant=1 reconstructs within DCT rounding error."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    out = jpeg_decode(
+        jpeg_encode_baseline(40, 24, gray=img.tobytes(), quant=1)
+    )[4]
+    got = np.frombuffer(out, dtype=np.uint8).reshape(24, 40, 3)[:, :, 0]
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_color_444_and_420():
+    """YCbCr color: 4:4:4 noise within rounding error; 4:2:0 (chroma
+    2x2-mean subsampled, nearest upsampled) on a smooth gradient."""
+    rng = np.random.default_rng(5)
+    imgc = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    fmt, w, h, ch, rgb = jpeg_decode(
+        jpeg_encode_baseline(16, 16, rgb=imgc.tobytes(), quant=1)
+    )
+    assert (fmt, w, h, ch) == ("JPEG", 16, 16, 3)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 16, 3)
+    assert np.abs(got.astype(int) - imgc.astype(int)).max() <= 6
+
+    base = np.linspace(0, 255, 32 * 32 * 3).reshape(32, 32, 3)
+    base = base.astype(np.uint8)
+    fmt, w, h, ch, rgb = jpeg_decode(
+        jpeg_encode_baseline(
+            32, 32, rgb=base.tobytes(), quant=2, subsample=True
+        )
+    )
+    assert (w, h, ch) == (32, 32, 3)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(32, 32, 3)
+    assert np.abs(got.astype(int) - base.astype(int)).max() <= 16
+
+
+def test_restart_markers_and_odd_dims():
+    """DRI/RSTn resets DC predictors and byte-aligns; non-multiple-
+    of-8 dimensions pad at encode and crop at decode."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    enc = jpeg_encode_baseline(
+        24, 24, gray=img.tobytes(), quant=1, restart_interval=2
+    )
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc  # real RST markers
+    got = np.frombuffer(jpeg_decode(enc)[4], dtype=np.uint8)
+    got = got.reshape(24, 24, 3)[:, :, 0]
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+    odd = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    fmt, w, h, ch, rgb = jpeg_decode(
+        jpeg_encode_baseline(21, 13, gray=odd.tobytes(), quant=1)
+    )
+    assert (w, h) == (21, 13)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(13, 21, 3)[:, :, 0]
+    assert np.abs(got.astype(int) - odd.astype(int)).max() <= 3
+
+
+def test_jpeg_roundtrip_property():
+    """Randomized sizes/contents at quant=1 stay within rounding
+    error, gray and color, with and without restarts."""
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        w = int(rng.integers(1, 50))
+        h = int(rng.integers(1, 50))
+        ri = int(rng.integers(0, 4))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        fmt, w2, h2, ch, rgb = jpeg_decode(
+            jpeg_encode_baseline(
+                w, h, gray=img.tobytes(), quant=1, restart_interval=ri
+            )
+        )
+        assert (w2, h2) == (w, h)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3, trial
+
+
+def test_jpeg_error_taxonomy():
+    """CAPABILITY limits: progressive/arithmetic/12-bit/CMYK raise
+    NotImplementedError; MALFORMED: truncation, bad Huffman streams,
+    EOI-before-scan raise ValueError."""
+    import struct
+
+    good = jpeg_encode_baseline(16, 16, gray=bytes(256), quant=8)
+
+    def sof_variant(marker):
+        # swap the SOF0 marker byte for another SOFn
+        i = good.index(b"\xff\xc0")
+        return good[:i] + bytes([0xFF, marker]) + good[i + 2 :]
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(sof_variant(0xC2))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_decode(sof_variant(0xC9))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_decode(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="EOI before any scan"):
+        jpeg_decode(b"\xff\xd8\xff\xd9")
+    # corrupt entropy data -> invalid Huffman code or truncation
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+
+
+def test_decode_real_jpeg_dispatch(spark):
+    """decode_real routes JPEG payloads through the shared dispatch:
+    the DC-exact image lands with exact luma next to its PPM twin,
+    and resize_real accepts JPEG too."""
+    from geist_spark.operators.multimodal import decode_real, resize_real
+
+    levels = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    gray = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    jpg = jpeg_encode_baseline(48, 32, gray=gray.tobytes(), quant=8)
+    ppm = b"P5\n48 32\n255\n" + gray.tobytes()
+    media = spark.createDataFrame(
+        [(1, jpg), (2, ppm)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[1]["format"] == "JPEG" and out[1]["channels"] == 1
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"]
+    assert out[1]["mean_luma_fx"] == out[2]["mean_luma_fx"]
+    rz = resize_real(media, 6, 4).collect()
+    assert {r["format"] for r in rz} == {"JPEG", "P5"}
+    lumas = {r["media_id"]: r["mean_luma_fx"] for r in rz}
+    assert lumas[1] == lumas[2]

@@ -152,6 +152,7 @@ MIP_ALLOWED = {
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
     "m_decode_gif": 2,       # GIF synth (LZW encode) + decode
     "m_audio_dsp": 1,
+    "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode
 }
 
 
