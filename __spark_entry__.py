@@ -2369,6 +2369,76 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video frame extraction under the oracle gate: a
+    2-frame MJPEG AVI per document, each frame a DC-exact baseline
+    JPEG (12 md5 bytes as a 4x3 grid of constant 8x8 blocks -> 32x24
+    px; frame 0 = digest bytes 1-12, frame 1 = bytes 13-24), run
+    through the real RIFF walk + per-sampled-frame JPEG decode
+    (multimodal.frame_sample_real). The oracle replays each frame's
+    luma ARITHMETICALLY — (1000*64*sum(levels))//768 = (250*sum)//3 —
+    with no container or JPEG parsing oracle-side; a chunk-walk,
+    Huffman, or IDCT-scaling bug hash-mismatches. pixel_md5 projected
+    out (DuckDB cannot md5 raw bytes)."""
+    import struct
+
+    import pandas as _pd
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import frame_sample_real
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        import numpy as _np
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        (mjpg,) = struct.unpack("<I", b"MJPG")
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", 40000, 0, 0, 0, 2, 0, 1, 0, 32, 24,
+            0, 0, 0, 0,
+        )
+        strh = chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+        strf = chunk(b"strf", struct.pack(
+            "<IiiHHIIiiII", 40, 32, 24, 1, 24, mjpg, 0, 0, 0, 0, 0,
+        ))
+        strl = chunk(b"LIST", b"strl" + strh + strf)
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+
+        for pdf in batches:
+            payloads = []
+            for px in pdf["px"]:
+                levels = _np.frombuffer(bytes(px), dtype=_np.uint8)
+                movi = b"movi"
+                for f in range(2):
+                    grid = levels[12 * f : 12 * f + 12].reshape(3, 4)
+                    gray = _np.repeat(
+                        _np.repeat(grid, 8, axis=0), 8, axis=1
+                    )  # 24 rows x 32 cols
+                    movi += chunk(b"00dc", jpeg_encode_baseline(
+                        32, 24, gray=gray.tobytes(), quant=8
+                    ))
+                body = b"AVI " + hdrl + chunk(b"LIST", movi)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return frame_sample_real(media, every_ms=40).select(
+        "media_id", "frame_idx", "ts_ms", "width", "height", "mean_luma_fx"
+    )
+
+
 def m_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode under the oracle gate: the 24
     md5-derived bytes become a 6x4 grid of constant 8x8 grayscale
@@ -4597,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
         "m_decode_jpeg": m_decode_jpeg,
+        "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
     }
 
 
@@ -5613,6 +5684,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
             FROM s
+        """,
+        # arithmetic replay of the REAL MJPEG frame extraction: two
+        # 32x24 frames per doc, frame f's levels are digest bytes
+        # 12f+1..12f+12, each filling 64 of the 768 frame pixels
+        "m_frame_sample_mjpeg": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   CAST(40 * f AS BIGINT) AS ts_ms,
+                   CAST(32 AS INTEGER) AS width,
+                   CAST(24 AS INTEGER) AS height,
+                   CAST(
+                     (250 * CAST(list_sum(
+                        [bytes[12*f + i] for i in generate_series(1, 12)]
+                     ) AS BIGINT)) // 3
+                     AS BIGINT) AS mean_luma_fx
+            FROM b, (SELECT unnest([0, 1]) AS f)
         """,
         # arithmetic replay of the REAL baseline-JPEG decode: the
         # DC-exact construction reproduces the 24 md5 bytes as block

@@ -133,15 +133,19 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _avi_decode(b: bytes) -> tuple:
-    """Uncompressed AVI parse (pure python): RIFF 'AVI ' container
-    (walk clamped to the DECLARED RIFF size — trailing padding after
-    it is spec-legal and ignored), avih main header (frame period,
-    dims), strf stream format (bit depth, compression, row order —
-    the REAL discriminators; the '..db'/'..dc' chunk tags are only
-    advisory), LIST movi walk collecting raw DIB frames. Returns
-    (usec_per_frame, width, height, top_down, [raw_frame_bytes...])
-    — frames stay RAW here; the caller normalizes only the frames it
-    actually samples (_dib_to_rgb), so skipped frames cost nothing."""
+    """AVI parse (pure python): RIFF 'AVI ' container (walk clamped
+    to the DECLARED RIFF size — trailing padding after it is
+    spec-legal and ignored), avih main header (frame period, dims),
+    strf stream format (bit depth, compression, row order — the REAL
+    discriminators; the '..db'/'..dc' chunk tags are only advisory),
+    LIST movi walk collecting frames. Two codecs: raw-DIB
+    (biCompression=0, 24-bit) and MJPEG (fourcc 'MJPG' — each frame
+    is a standalone baseline JPEG, decoded by jpeg.jpeg_decode).
+    Returns (usec_per_frame, width, height, top_down, codec,
+    [raw_frame_bytes...]) with codec in ("raw", "mjpg") — frames stay
+    RAW here; the caller decodes only the frames it actually samples
+    (_dib_to_rgb / jpeg_decode), so skipped frames cost nothing —
+    for MJPEG that skips the whole Huffman+IDCT, the dominant cost."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
@@ -196,12 +200,16 @@ def _avi_decode(b: bytes) -> tuple:
     if strf is None:
         raise ValueError("AVI missing strf stream format header")
     bi_h, bpp, comp = strf
-    if comp != 0 or bpp != 24:
+    if comp == 0x47504A4D:  # fourcc 'MJPG' (LE)
+        codec = "mjpg"
+    elif comp == 0 and bpp == 24:
+        codec = "raw"
+    else:
         # biCompression/biBitCount are the real codec discriminators
         # (encoders tag compressed frames '00db' too) — capability
         # limit, not malformed data
         raise NotImplementedError(
-            f"only uncompressed 24-bit raw-DIB AVI supported "
+            f"only uncompressed 24-bit raw-DIB and MJPEG AVI supported "
             f"(bpp={bpp}, compression={comp}); other codecs need ffmpeg"
         )
     if not usec or w is None or w <= 0 or h is None or h <= 0:
@@ -209,35 +217,45 @@ def _avi_decode(b: bytes) -> tuple:
             f"malformed AVI header: usec_per_frame={usec}, width={w}, "
             f"height={h}"
         )
-    stride = (w * 3 + 3) & ~3
-    for fi, data in enumerate(frames):
-        if len(data) < stride * h:
-            raise ValueError(
-                f"truncated AVI frame {fi}: need {stride * h} bytes, "
-                f"got {len(data)}"
-            )
-    return usec, w, h, bi_h < 0, frames
+    if codec == "raw":
+        stride = (w * 3 + 3) & ~3
+        for fi, data in enumerate(frames):
+            if len(data) < stride * h:
+                raise ValueError(
+                    f"truncated AVI frame {fi}: need {stride * h} bytes, "
+                    f"got {len(data)}"
+                )
+    else:
+        for fi, data in enumerate(frames):
+            if data[:2] != b"\xff\xd8":
+                raise ValueError(
+                    f"malformed MJPEG AVI: frame {fi} is not a JPEG"
+                )
+    return usec, w, h, bi_h < 0, codec, frames
 
 
 def frame_sample_real(
     media: DataFrame, every_ms: int = 1000, on_unsupported: str = "error"
 ) -> DataFrame:
-    """REAL video frame sampling for the codec-free container —
-    uncompressed raw-DIB AVI, parsed in pure Python (RIFF chunk walk,
-    avih header, movi frame list; frames normalized bottom-up/BGR/
-    padding to row-major RGB exactly like decode_real's BMP path).
-    One output row per SAMPLED frame: the stride is
-    max(1, every_ms*1000 // usec_per_frame) and frames at
-    idx % stride == 0 are kept, each with its exact timestamp
-    (idx * usec_per_frame // 1000), exact BT.601 milli-luma, and the
-    pixel hash. The fan-out runs inside the same Arrow-batched
-    mapInPandas stage — no shuffle, no per-row Python boundary.
+    """REAL video frame sampling — uncompressed raw-DIB AVI (frames
+    normalized bottom-up/BGR/padding to row-major RGB exactly like
+    decode_real's BMP path) and MJPEG AVI (each sampled frame is a
+    standalone baseline JPEG, decoded by jpeg.jpeg_decode — skipped
+    frames never pay the Huffman+IDCT). One output row per SAMPLED
+    frame: the stride is max(1, every_ms*1000 // usec_per_frame) and
+    frames at idx % stride == 0 are kept, each with its exact
+    timestamp (idx * usec_per_frame // 1000), exact BT.601 milli-luma,
+    and the pixel hash; for MJPEG the emitted dims are the DECODED
+    frame's own (authoritative over the container header). The fan-out
+    runs inside the same Arrow-batched mapInPandas stage — no shuffle,
+    no per-row Python boundary.
 
     Same two-tier error contract as the other decoders: capability
-    limits (not an AVI; compressed '..dc' frames) raise naming the
-    media_id or NULL out (one NULL row, frame_idx NULL) with
+    limits (not an AVI; codecs other than raw-DIB/MJPEG) raise naming
+    the media_id or NULL out (one NULL row, frame_idx NULL) with
     on_unsupported='null'; malformed payloads of a supported format
-    (truncated chunks/frames, zero frame period) always raise."""
+    (truncated chunks/frames, zero frame period, a non-JPEG MJPEG
+    frame) always raise."""
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
     if every_ms <= 0:
@@ -263,10 +281,10 @@ def frame_sample_real(
                 b = bytes(payload)
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                        usec, w, h, top_down, frames = _avi_decode(b)
+                        usec, w, h, top_down, codec, frames = _avi_decode(b)
                     else:
                         raise NotImplementedError(
-                            "payload is not an uncompressed AVI; other "
+                            "payload is not a raw-DIB or MJPEG AVI; other "
                             "video containers/codecs need ffmpeg, not "
                             "present in this environment — pass "
                             "on_unsupported='null' to skip"
@@ -287,10 +305,16 @@ def frame_sample_real(
                 stride = max(1, every_ms * 1000 // usec)
                 for idx, raw in enumerate(frames):
                     if idx % stride:
-                        continue  # skipped frames are never normalized
-                    rgb = _dib_to_rgb(raw, 0, w, h, top_down)
+                        continue  # skipped frames are never decoded
+                    if codec == "mjpg":
+                        from .jpeg import jpeg_decode
+
+                        _fmt, fw, fh, _ch, rgb = jpeg_decode(raw)
+                    else:
+                        fw, fh = w, h
+                        rgb = _dib_to_rgb(raw, 0, w, h, top_down)
                     emit(
-                        mid, idx, idx * usec // 1000, w, h,
+                        mid, idx, idx * usec // 1000, fw, fh,
                         _luma_fx(rgb), hashlib.md5(rgb).hexdigest(),
                     )
             yield pd.DataFrame(out)

@@ -693,6 +693,89 @@ def _avi_bytes(frames_px, w, h, usec_per_frame=40000, compressed=False,
     )
 
 
+def _mjpeg_avi_bytes(jpeg_frames, w, h, usec_per_frame=40000):
+    """Minimal MJPEG AVI: same container as _avi_bytes but strf
+    biCompression = fourcc 'MJPG' and each movi chunk is a standalone
+    JPEG payload ('00dc' tag — advisory, like '00db')."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(jpeg_frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, mjpg, 0, 0, 0, 0, 0,
+    ))
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    for jf in jpeg_frames:
+        movi_body += chunk(b"00dc", jf)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_frame_sample_real_mjpeg(spark):
+    """frame_sample_real decodes MJPEG AVI through the baseline JPEG
+    decoder: DC-exact frames reproduce their levels bit-exactly (luma
+    matches the same image as raw-DIB — the cross-codec contract),
+    dims come from the decoded frame, skipped frames are never
+    decoded, and a non-JPEG frame under the MJPG fourcc is malformed."""
+    import numpy as np
+    import pytest
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import frame_sample_real
+
+    lev0 = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    lev1 = lev0 + 7
+    frames = []
+    pixel_frames = []
+    for lev in (lev0, lev1):
+        gray = np.repeat(np.repeat(lev, 8, axis=0), 8, axis=1)  # 16x24
+        frames.append(
+            jpeg_encode_baseline(24, 16, gray=gray.tobytes(), quant=8)
+        )
+        pixel_frames.append(
+            [(int(v), int(v), int(v)) for v in gray.reshape(-1)]
+        )
+    mj = _mjpeg_avi_bytes(frames, 24, 16)
+    raw = _avi_bytes(pixel_frames, 24, 16)
+    media = spark.createDataFrame(
+        [(1, mj), (2, raw)], "media_id long, payload binary"
+    )
+    out = frame_sample_real(media, every_ms=40).collect()
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert len(rows) == 4
+    for idx in (0, 1):
+        m, r = rows[(1, idx)], rows[(2, idx)]
+        assert (m["width"], m["height"]) == (24, 16)
+        # cross-codec: MJPEG frame == raw-DIB frame, one hash/luma
+        assert m["pixel_md5"] == r["pixel_md5"]
+        assert m["mean_luma_fx"] == r["mean_luma_fx"]
+    # exact luma replay from the levels
+    exp0 = 1000 * int(lev0.astype(int).sum()) * 64 // (24 * 16)
+    assert rows[(1, 0)]["mean_luma_fx"] == exp0
+    # stride sampling: every_ms=80 at 25fps keeps frame 0 only
+    sampled = frame_sample_real(media, every_ms=80).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in sampled} == {
+        (1, 0), (2, 0)
+    }
+    # a non-JPEG frame under MJPG fourcc: malformed, always raises
+    bad = _mjpeg_avi_bytes([b"notjpeg!"], 24, 16)
+    df = spark.createDataFrame([(1, bad)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="not a JPEG"):
+        frame_sample_real(df, on_unsupported="null").collect()
+
+
 def test_frame_sample_real_avi(spark):
     """frame_sample_real REALLY extracts frames from uncompressed AVI:
     dims/timestamps from avih, frames normalized to RGB (a frame equal

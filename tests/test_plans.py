@@ -153,6 +153,7 @@ MIP_ALLOWED = {
     "m_decode_gif": 2,       # GIF synth (LZW encode) + decode
     "m_audio_dsp": 1,
     "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode
+    "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
 }
 
 
