@@ -168,6 +168,11 @@ def jpeg_decode(b: bytes) -> tuple:
             raise ValueError(
                 f"malformed JPEG: expected marker, got 0x{b[pos]:02x}"
             )
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG: marker segment cut short")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI is a bare marker (no length word)
@@ -204,6 +209,8 @@ def jpeg_decode(b: bytes) -> tuple:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT header")
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 counts = list(seg[p + 1 : p + 17])
                 total = sum(counts)
@@ -214,7 +221,11 @@ def jpeg_decode(b: bytes) -> tuple:
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + total
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF0 header")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF0 component specs")
             if prec != 8:
                 raise NotImplementedError(
                     f"only 8-bit baseline JPEG supported (precision={prec})"
@@ -245,10 +256,14 @@ def jpeg_decode(b: bytes) -> tuple:
                 "sequential only; decode with PIL"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated JPEG SOS header")
             ns = seg[0]
             if ns != len(frame["comps"]):
                 raise NotImplementedError(

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from geist_spark.operators.jpeg import jpeg_decode
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -303,20 +305,32 @@ def frame_sample_real(
                     emit(mid, None, None, w, h, None, None)
                     continue
                 stride = max(1, every_ms * 1000 // usec)
-                for idx, raw in enumerate(frames):
-                    if idx % stride:
-                        continue  # skipped frames are never decoded
-                    if codec == "mjpg":
-                        from .jpeg import jpeg_decode
-
-                        _fmt, fw, fh, _ch, rgb = jpeg_decode(raw)
-                    else:
-                        fw, fh = w, h
-                        rgb = _dib_to_rgb(raw, 0, w, h, top_down)
-                    emit(
-                        mid, idx, idx * usec // 1000, fw, fh,
-                        _luma_fx(rgb), hashlib.md5(rgb).hexdigest(),
-                    )
+                # buffer the media's rows: a mid-stream CAPABILITY
+                # limit (e.g. a progressive-JPEG MJPEG frame) must
+                # collapse to ONE NULL row under 'null', not leave a
+                # partial frame fan-out behind
+                rows: list[tuple] = []
+                try:
+                    for idx, raw in enumerate(frames):
+                        if idx % stride:
+                            continue  # skipped frames are never decoded
+                        if codec == "mjpg":
+                            _fmt, fw, fh, _ch, rgb = jpeg_decode(raw)
+                        else:
+                            fw, fh = w, h
+                            rgb = _dib_to_rgb(raw, 0, w, h, top_down)
+                        rows.append((
+                            mid, idx, idx * usec // 1000, fw, fh,
+                            _luma_fx(rgb), hashlib.md5(rgb).hexdigest(),
+                        ))
+                except NotImplementedError as exc:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"media_id={mid}: {exc}"
+                        ) from exc
+                    rows = [(mid, None, None, None, None, None, None)]
+                for row in rows:
+                    emit(*row)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
@@ -755,7 +769,7 @@ def _lzw_decode(data: bytes, mcs: int, max_px: int) -> bytes:
             continue
         if code == eoi:
             return bytes(out)
-        if code < len(table) and code != eoi and code != clear:
+        if code < len(table):  # clear/eoi already handled above
             entry = table[code]
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
@@ -789,6 +803,8 @@ def _gif_decode(b: bytes) -> tuple:
         raise ValueError("not a GIF payload")
     if len(b) < 13:
         raise ValueError("truncated GIF: missing logical screen descriptor")
+    ls_w = b[6] | (b[7] << 8)
+    ls_h = b[8] | (b[9] << 8)
     packed = b[10]
     pos = 13
     gct = None
@@ -837,12 +853,24 @@ def _gif_decode(b: bytes) -> tuple:
         # image descriptor
         if pos + 9 > len(b):
             raise ValueError("truncated GIF: image descriptor cut short")
+        left = b[pos] | (b[pos + 1] << 8)
+        top = b[pos + 2] | (b[pos + 3] << 8)
         w = b[pos + 4] | (b[pos + 5] << 8)
         h = b[pos + 6] | (b[pos + 7] << 8)
         ipacked = b[pos + 8]
         pos += 9
         if w <= 0 or h <= 0:
             raise ValueError(f"malformed GIF image descriptor: {w}x{h}")
+        if left or top or (w, h) != (ls_w, ls_h):
+            # frame-optimized GIFs place sub-rectangles over a
+            # background/previous frame; decoding one standalone would
+            # silently disagree with compositing decoders — the same
+            # rule that makes transparency a typed limit
+            raise NotImplementedError(
+                f"GIF first frame is a {w}x{h}@{left},{top} sub-rect of "
+                f"the {ls_w}x{ls_h} logical screen (compositing "
+                "unsupported; decode with PIL)"
+            )
         palette = gct
         if ipacked & 0x80:  # local color table wins
             n_colors = 2 << (ipacked & 0x07)
@@ -1001,8 +1029,6 @@ def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode(b)
     if b[:2] == b"\xff\xd8":
-        from .jpeg import jpeg_decode
-
         return jpeg_decode(b)
     if b[:2] in (b"P6", b"P5"):
         return _ppm_decode(b)

@@ -142,6 +142,14 @@ def test_jpeg_error_taxonomy():
     bad[-10] ^= 0xFF
     with pytest.raises(ValueError):
         jpeg_decode(bytes(bad))
+    # truncated segment BODIES are typed ValueError, not struct.error
+    i = good.index(b"\xff\xc0")
+    short_sof = good[: i + 2] + struct.pack(">H", 4) + good[i + 4 : i + 6]
+    with pytest.raises(ValueError, match="truncated JPEG SOF0"):
+        jpeg_decode(short_sof)
+    # T.81 B.1.1.2 fill bytes before a marker are spec-legal
+    filled = good[:2] + b"\xff" + good[2:]
+    assert jpeg_decode(filled)[1:4] == jpeg_decode(good)[1:4]
 
 
 def test_decode_real_jpeg_dispatch(spark):

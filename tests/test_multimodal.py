@@ -341,9 +341,9 @@ def test_decode_real_png_bomb_and_trns(spark):
 def test_decode_real_gif_cross_format(spark):
     """decode_real REALLY decodes GIF via pure-python LZW + palette
     mapping: the same image as PPM, PNG and GIF (plain AND interlaced,
-    so the 4-pass row gather runs) yields ONE pixel_md5; a local color
-    table wins over the global one; extensions (GCE without
-    transparency, comment) are walked over."""
+    so the 4-pass row gather runs) yields ONE pixel_md5; extensions
+    (GCE without transparency, comment) are walked over. Local color
+    table precedence: test_gif_local_color_table_and_subrect."""
     from geist_spark.operators.multimodal import (
         decode_real,
         gif_encode_rgb,
@@ -406,8 +406,10 @@ def test_decode_real_gif_errors(spark):
            decode_real(caps, on_unsupported="null").collect()}
     assert out[1]["format"] == "GIF" and out[2]["format"] is None
 
-    # image descriptor claims 3x3 but the LZW stream carries 6 pixels
+    # image claims 3x3 (descriptor AND logical screen, so the
+    # sub-rect guard passes) but the LZW stream carries 6 pixels
     short = bytearray(good)
+    short[8] = 3       # logical screen height low byte
     short[p0 + 7] = 3  # height low byte (descriptor at p0, h at +7)
     bad_mcs = bytearray(good)
     bad_mcs[p0 + 10] = 12  # LZW minimum code size past the 8-bit roots
@@ -421,6 +423,38 @@ def test_decode_real_gif_errors(spark):
         )
         with pytest.raises(Exception, match=msg):
             decode_real(df, on_unsupported="null").collect()
+
+
+def test_gif_local_color_table_and_subrect():
+    """A local color table WINS over a corrupted global one (pure
+    codec splice — gif_encode_rgb only emits GCTs); a first frame
+    that is a sub-rectangle of the logical screen is a typed
+    capability limit (compositing), not a silent partial decode."""
+    import pytest
+
+    from geist_spark.operators.multimodal import _gif_decode, gif_encode_rgb
+
+    rgb = bytes(range(24))
+    good = _gif_decode(gif_encode_rgb(2, 4, rgb))[4]
+    enc = bytearray(gif_encode_rgb(2, 4, rgb))
+    k = enc[10] & 7
+    n = 2 << k
+    p0 = 13 + 3 * n
+    lct = bytes(enc[13:p0])          # the true palette, moved to LCT
+    for i in range(13, p0):          # corrupt the GCT
+        enc[i] ^= 0xFF
+    enc[p0 + 9] |= 0x80 | k          # descriptor: LCT flag + size
+    spliced = bytes(enc[: p0 + 10]) + lct + bytes(enc[p0 + 10 :])
+    assert _gif_decode(spliced)[4] == good
+
+    sub = bytearray(gif_encode_rgb(2, 4, rgb))
+    sub[p0 + 1] = 1                  # image left offset = 1
+    with pytest.raises(NotImplementedError, match="sub-rect"):
+        _gif_decode(bytes(sub))
+    shrunk = bytearray(gif_encode_rgb(2, 4, rgb))
+    shrunk[8] = 9                    # logical screen taller than frame
+    with pytest.raises(NotImplementedError, match="logical screen"):
+        _gif_decode(bytes(shrunk))
 
 
 def test_gif_lzw_dictionary_growth():
@@ -774,6 +808,22 @@ def test_frame_sample_real_mjpeg(spark):
     df = spark.createDataFrame([(1, bad)], "media_id long, payload binary")
     with pytest.raises(Exception, match="not a JPEG"):
         frame_sample_real(df, on_unsupported="null").collect()
+    # a CAPABILITY-limited frame (progressive JPEG under MJPG) names
+    # the media_id in 'error' mode and collapses the media to ONE
+    # NULL row under 'null' — no partial frame fan-out left behind
+    prog = bytearray(frames[0])
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    capav = _mjpeg_avi_bytes([bytes(prog), frames[1]], 24, 16)
+    df = spark.createDataFrame(
+        [(9, capav)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="media_id=9"):
+        frame_sample_real(df, every_ms=40).collect()
+    nulled = frame_sample_real(df, every_ms=40,
+                               on_unsupported="null").collect()
+    assert len(nulled) == 1
+    assert nulled[0]["media_id"] == 9 and nulled[0]["frame_idx"] is None
 
 
 def test_frame_sample_real_avi(spark):
