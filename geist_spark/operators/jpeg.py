@@ -64,19 +64,27 @@ _DCT_M = np.array(
 )
 
 
-def _build_huff(counts: list[int], symbols: bytes) -> dict:
-    """Canonical Huffman table (T.81 C.2): {(length, code): symbol}."""
-    table = {}
+def _build_huff(counts: list[int], symbols: bytes) -> list:
+    """Canonical Huffman table (T.81 C.2) as a flat 16-bit-prefix
+    lookup list: entry[peeked_16_bits] = (length << 8) | symbol, 0 for
+    invalid prefixes. One list index decodes a symbol (vs up to 16
+    dict probes bit-by-bit) — the classic LUT decode; measured ~5x on
+    the entropy stage, which is THE serial cost of this codec."""
+    lut = [0] * 65536
     code = k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
             if k >= len(symbols):
                 raise ValueError("malformed JPEG DHT: counts exceed symbols")
-            table[(length, code)] = symbols[k]
+            if code >= (1 << length):
+                raise ValueError("malformed JPEG DHT: code overflow")
+            lo = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[lo : lo + span] = [(length << 8) | symbols[k]] * span
             k += 1
             code += 1
         code <<= 1
-    return table
+    return lut
 
 
 class _BitReader:
@@ -104,14 +112,28 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def decode_huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("malformed JPEG: invalid Huffman code")
+    def decode_huff(self, lut: list) -> int:
+        # peek 16 bits (1-padded past the end, per T.81 F.1.2.3 —
+        # consuming phantom bits raises truncated below)
+        acc, nbits, data, pos = self.acc, self.nbits, self.data, self.pos
+        while nbits < 16 and pos < len(data):
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
+        if nbits >= 16:
+            key = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            key = ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) & 0xFFFF
+        packed = lut[key]
+        if packed == 0:
+            raise ValueError("malformed JPEG: invalid Huffman code")
+        length = packed >> 8
+        if length > nbits:
+            raise ValueError("truncated JPEG: entropy data ends mid-block")
+        self.nbits = nbits - length
+        self.acc = acc & ((1 << self.nbits) - 1)
+        return packed & 0xFF
 
 
 def _extend(v: int, n: int) -> int:
@@ -303,14 +325,16 @@ def jpeg_decode(b: bytes) -> tuple:
         per_mcu = [(i, c["h"], c["v"]) for i, c in enumerate(scan)]
     n_mcus = mcu_cols * mcu_rows
 
-    blocks = [
-        np.zeros(
-            (mcu_rows * (c["v"] if len(scan) > 1 else 1),
-             mcu_cols * (c["h"] if len(scan) > 1 else 1), 64),
-            dtype=np.int64,
-        )
+    # per-component coefficient buffers as flat Python lists of
+    # 64-entry lists — ONE np.array conversion + dequant multiply per
+    # component afterwards (per-block numpy stores were ~10x slower)
+    bdims = [
+        (mcu_rows * (c["v"] if len(scan) > 1 else 1),
+         mcu_cols * (c["h"] if len(scan) > 1 else 1))
         for c in scan
     ]
+    _zero64 = [0] * 64  # shared placeholder, never mutated
+    blocks = [[_zero64] * (br * bc) for br, bc in bdims]
     for c in scan:
         if c["tq"] not in qt:
             raise ValueError(f"malformed JPEG: missing DQT {c['tq']}")
@@ -331,10 +355,11 @@ def jpeg_decode(b: bytes) -> tuple:
             for ci, ch, cv in per_mcu:
                 c = scan[ci]
                 dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
-                q = qt[c["tq"]]
                 for by in range(cv):
                     for bx in range(ch):
-                        coef = np.zeros(64, dtype=np.int64)
+                        # plain-list coefficient buffer: per-element
+                        # numpy scalar stores are ~10x a list store
+                        coef = [0] * 64
                         t = reader.decode_huff(dc_t)
                         if t > 11:
                             raise ValueError(
@@ -358,7 +383,9 @@ def jpeg_decode(b: bytes) -> tuple:
                                 )
                             coef[ZIGZAG[k]] = _extend(reader.read(s), s)
                             k += 1
-                        blocks[ci][my * cv + by, mx * ch + bx] = coef * q
+                        blocks[ci][
+                            (my * cv + by) * bdims[ci][1] + mx * ch + bx
+                        ] = coef
             mcu += 1
         if restart_interval and seg_i < len(segments) - 1 and mcu >= n_mcus:
             raise ValueError("malformed JPEG: extra restart segments")
@@ -369,10 +396,11 @@ def jpeg_decode(b: bytes) -> tuple:
 
     planes = []
     for ci, c in enumerate(scan):
-        arr = blocks[ci]
-        br, bc = arr.shape[0], arr.shape[1]
-        # dequantized coefficients are (br, bc, 64) in natural order;
-        # IDCT all blocks in one einsum: s = M.T @ S @ M
+        br, bc = bdims[ci]
+        # one conversion + vectorized dequant for the whole component;
+        # coefficients are (br, bc, 64) in natural order; IDCT all
+        # blocks in one einsum: s = M.T @ S @ M
+        arr = np.array(blocks[ci], dtype=np.int64) * qt[c["tq"]]
         S = arr.reshape(br, bc, 8, 8)
         spatial = np.einsum("xu,rcuv,vy->rcxy", _DCT_M.T, S, _DCT_M,
                             optimize=True)
