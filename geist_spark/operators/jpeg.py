@@ -64,13 +64,19 @@ _DCT_M = np.array(
 )
 
 
-def _build_huff(counts: list[int], symbols: bytes) -> list:
-    """Canonical Huffman table (T.81 C.2) as a flat 16-bit-prefix
-    lookup list: entry[peeked_16_bits] = (length << 8) | symbol, 0 for
+def _build_huff(counts: list[int], symbols: bytes) -> tuple:
+    """Canonical Huffman table (T.81 C.2) as a flat max-length-prefix
+    lookup list: entry[peeked_bits] = (length << 8) | symbol, 0 for
     invalid prefixes. One list index decodes a symbol (vs up to 16
-    dict probes bit-by-bit) — the classic LUT decode; measured ~5x on
-    the entropy stage, which is THE serial cost of this codec."""
-    lut = [0] * 65536
+    dict probes bit-by-bit) — the classic LUT decode. The LUT is
+    sized 2^(longest code), not a fixed 2^16, so the build cost
+    stays proportional to the table (a fixed 64 Ki-entry fill
+    dominated the decode of small per-document images). Returns
+    (lut, max_code_length)."""
+    max_len = max(
+        (ln for ln in range(1, 17) if counts[ln - 1]), default=1
+    )
+    lut = [0] * (1 << max_len)
     code = k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
@@ -78,13 +84,13 @@ def _build_huff(counts: list[int], symbols: bytes) -> list:
                 raise ValueError("malformed JPEG DHT: counts exceed symbols")
             if code >= (1 << length):
                 raise ValueError("malformed JPEG DHT: code overflow")
-            lo = code << (16 - length)
-            span = 1 << (16 - length)
+            lo = code << (max_len - length)
+            span = 1 << (max_len - length)
             lut[lo : lo + span] = [(length << 8) | symbols[k]] * span
             k += 1
             code += 1
         code <<= 1
-    return lut
+    return lut, max_len
 
 
 class _BitReader:
@@ -112,19 +118,21 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def decode_huff(self, lut: list) -> int:
-        # peek 16 bits (1-padded past the end, per T.81 F.1.2.3 —
-        # consuming phantom bits raises truncated below)
+    def decode_huff(self, table: tuple) -> int:
+        # peek max_len bits (1-padded past the end, per T.81 F.1.2.3
+        # — consuming phantom bits raises truncated below)
+        lut, peek = table
         acc, nbits, data, pos = self.acc, self.nbits, self.data, self.pos
-        while nbits < 16 and pos < len(data):
+        while nbits < peek and pos < len(data):
             acc = (acc << 8) | data[pos]
             pos += 1
             nbits += 8
         self.acc, self.nbits, self.pos = acc, nbits, pos
-        if nbits >= 16:
-            key = (acc >> (nbits - 16)) & 0xFFFF
+        if nbits >= peek:
+            key = (acc >> (nbits - peek)) & ((1 << peek) - 1)
         else:
-            key = ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) & 0xFFFF
+            pad = peek - nbits
+            key = ((acc << pad) | ((1 << pad) - 1)) & ((1 << peek) - 1)
         packed = lut[key]
         if packed == 0:
             raise ValueError("malformed JPEG: invalid Huffman code")
