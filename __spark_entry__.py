@@ -4494,9 +4494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_url_normalize": w_url_normalize,
         "t_lm_score": t_lm_score,
         "t_bpe_merges": t_bpe_merges,
-        "m_media_features": m_media_features,
+        # multimodal family representative: REAL decode (full
+        # Huffman+IDCT oracle) — the byte-stat stub m_media_features
+        # moved to the variants section below when real decode landed
+        "m_decode_jpeg": m_decode_jpeg,
         "p_training_prep": p_training_prep,
         "p_dataset_split": p_dataset_split,
+        "m_media_features": m_media_features,
         "m_frame_sample": m_frame_sample,
         "m_resize": m_resize,
         "d_simhash": d_simhash,
@@ -4666,7 +4670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_merge_tombstones": k_merge_tombstones,
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
-        "m_decode_jpeg": m_decode_jpeg,
         "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
     }
 

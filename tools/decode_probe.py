@@ -143,6 +143,42 @@ def main() -> int:
             f"{name:18s} {t_old / denom * 1e6:12.0f} "
             f"{t_new / denom * 1e6:12.0f} {t_old / t_new:7.1f}x"
         )
+
+    # -- entropy-coded decoders (no fast twin to diff against: the
+    # entropy stage is serial Python by nature; these numbers are the
+    # SCALE.md "Measured decode throughput" table) ---------------------
+    import numpy as np
+
+    from geist_spark.operators.jpeg import jpeg_decode, jpeg_encode_baseline
+    from geist_spark.operators.multimodal import _gif_decode, gif_encode_rgb
+
+    rng = np.random.default_rng(1)
+    side = 512
+    emp = side * side / 1e6
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    noise_rgb = pal[rng.integers(0, 256, size=side * side)].tobytes()
+    smooth = np.repeat(
+        np.repeat(
+            rng.integers(0, 256, size=(side // 16, side // 16),
+                         dtype=np.uint8), 16, 0), 16, 1)
+    smooth_rgb = np.repeat(smooth.reshape(-1), 3).tobytes()
+    gray_noise = rng.integers(0, 256, size=side * side, dtype=np.uint8)
+    grad = (np.add.outer(np.arange(side), np.arange(side)) % 256
+            ).astype(np.uint8)
+    print(f"\nentropy decoders ({side}x{side}, {emp:.2f} MP, best-of-3):")
+    for name, payload in [
+        ("gif noise (worst)", gif_encode_rgb(side, side, noise_rgb)),
+        ("gif smooth", gif_encode_rgb(side, side, smooth_rgb)),
+        ("jpeg gray noise q=8",
+         jpeg_encode_baseline(side, side, gray=gray_noise.tobytes(),
+                              quant=8)),
+        ("jpeg gray smooth q=16",
+         jpeg_encode_baseline(side, side, gray=grad.tobytes(), quant=16)),
+    ]:
+        fn = _gif_decode if payload[:3] == b"GIF" else jpeg_decode
+        t, _ = timeit(lambda: fn(payload))
+        print(f"{name:22s} {t / emp * 1e6:12,.0f} us/MP "
+              f"(payload {len(payload) / (side * side * 3):.3f}x raw)")
     return 0
 
 
