@@ -2369,6 +2369,92 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-strip under the oracle gate: each document's
+    text is entity-escaped and wrapped in a deterministic page
+    template (title, style, script-with-tag-noise, nav with 2
+    anchors, comment), then web.html_extract runs its all-JVM
+    regexp pipeline. The oracle does NO HTML processing — it
+    constructs the EXPECTED output analytically (title = 'Doc ' ||
+    id, text = 'home about Doc ' || id || ' ' || ws-collapsed
+    original text, 2 anchors), so a script-strip, tag-strip,
+    entity-decode or whitespace bug hash-mismatches. Escape+decode
+    round-trip exactness is what makes the analytic form valid (the
+    '&amp;-last' decode order)."""
+    from geist_spark.operators.web import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><style>p { color: red }</style>"
+              "<script>var x = \"<p>not text</p>\";</script></head>"
+              "<body><nav><a href=\"/\">home</a> "
+              "<a href=\"/about\">about</a></nav><h1>Doc "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit("</p><!-- hidden comment --></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return html_extract(pages)
+
+
+def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parsing under the oracle gate: each document
+    becomes a 2-record WARC file (request + response, the response
+    block an HTTP message whose payload is the doc text), synthesized
+    ENTIRELY JVM-side (concat + octet_length build the exact
+    Content-Length headers), then parsed by web.warc_parse. The
+    oracle does NO WARC parsing — every field is an analytic string
+    function of (doc_id, text): fixed template lengths + byte length
+    of the text, md5 of the reconstructed blocks. A header-walk,
+    Content-Length, or HTTP-split bug hash-mismatches."""
+    from geist_spark.operators.web import warc_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    crlf = "\r\n"
+    uri = F.concat(F.lit("http://example.com/doc/"), did)
+    req_block = F.concat(
+        F.lit("GET /doc/"), did,
+        F.lit(" HTTP/1.1" + crlf + "Host: example.com" + crlf + crlf),
+    )
+    resp_block = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain"
+              + crlf + crlf),
+        F.col("text"),
+    )
+
+    def rec(wtype: str, block):
+        return F.concat(
+            F.lit("WARC/1.0" + crlf + "WARC-Type: " + wtype + crlf
+                  + "WARC-Target-URI: "),
+            uri,
+            F.lit(crlf + "WARC-Date: 2026-01-01T00:00:00Z" + crlf
+                  + "Content-Length: "),
+            F.octet_length(block).cast("string"),
+            F.lit(crlf + crlf),
+            block,
+            F.lit(crlf + crlf),
+        )
+
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.encode(
+            F.concat(rec("request", req_block), rec("response", resp_block)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return warc_parse(files).select(
+        "file_id", "rec_idx", "warc_type", "target_uri", "content_length",
+        "http_status", F.md5("body").alias("body_md5"), "body_len",
+    )
+
+
 def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video frame extraction under the oracle gate: a
     2-frame MJPEG AVI per document, each frame a DC-exact baseline
@@ -4671,6 +4757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
         "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
+        "w_html_extract": w_html_extract,
+        "w_warc_parse": w_warc_parse,
     }
 
 
@@ -5687,6 +5775,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
             FROM s
+        """,
+        # ANALYTIC replay of the WARC parse: both records' fields are
+        # pure string functions of (doc_id, text) — template byte
+        # lengths + strlen(text), md5 of the reconstructed blocks
+        "w_warc_parse": """
+            WITH two AS (SELECT unnest([0, 1]) AS r)
+            SELECT doc_id AS file_id,
+                   CAST(r AS INTEGER) AS rec_idx,
+                   CASE r WHEN 0 THEN 'request' ELSE 'response' END
+                       AS warc_type,
+                   'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                   CAST(CASE r
+                        WHEN 0 THEN 41 + length(CAST(doc_id AS VARCHAR))
+                        ELSE 45 + strlen(text)
+                   END AS BIGINT) AS content_length,
+                   CAST(CASE r WHEN 0 THEN NULL ELSE 200 END AS INTEGER)
+                       AS http_status,
+                   CASE r
+                        WHEN 0 THEN md5('GET /doc/'
+                            || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
+                            || chr(13) || chr(10) || 'Host: example.com'
+                            || chr(13) || chr(10) || chr(13) || chr(10))
+                        ELSE md5(text)
+                   END AS body_md5,
+                   CAST(CASE r
+                        WHEN 0 THEN 41 + length(CAST(doc_id AS VARCHAR))
+                        ELSE strlen(text)
+                   END AS BIGINT) AS body_len
+            FROM documents, two
+        """,
+        # ANALYTIC replay of the HTML extraction: the oracle never
+        # parses HTML — the template makes the expected output a pure
+        # string function of (doc_id, ws-collapsed text), valid
+        # because escape -> entity-decode round-trips exactly
+        "w_html_extract": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN t = ''
+                        THEN 'home about Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'home about Doc ' || CAST(doc_id AS VARCHAR)
+                             || ' ' || t
+                   END AS text,
+                   CAST(2 AS INTEGER) AS n_anchors,
+                   CAST(length(CASE WHEN t = ''
+                        THEN 'home about Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'home about Doc ' || CAST(doc_id AS VARCHAR)
+                             || ' ' || t
+                   END) AS INTEGER) AS text_len
+            FROM c
         """,
         # arithmetic replay of the REAL MJPEG frame extraction: two
         # 32x24 frames per doc, frame f's levels are digest bytes

@@ -1,5 +1,5 @@
-"""Web-corpus operators: URL canonicalization, host-grain stats, and
-URL-level dedup.
+"""Web-corpus operators: URL canonicalization, host-grain stats,
+URL-level dedup, HTML text extraction, and WARC record parsing.
 
 A crawl-derived training corpus keys on URLs: the same page arrives
 under `HTTP://Host.com:80/a/?utm_source=feed#top` and
@@ -163,3 +163,235 @@ def url_dedup(
         id_col, "url_norm", F.lit(True).alias("keep")
     )
     return parsed.unionByName(unparsed)
+
+
+# entity decode order matters: '&amp;' LAST so '&amp;lt;' decodes to
+# the literal '&lt;' the author wrote, not '<' (the standard single-
+# pass rule). Literal replace(), not regex — JVM and DuckDB agree.
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# portable regexes: no backreferences (RE2/DuckDB has none), no
+# lookaround, ASCII \s both engines — every pattern below runs
+# IDENTICALLY under Java regex (Spark, codegen'd) and RE2 (DuckDB
+# oracle), which is what makes w_html_extract hash-replayable.
+_RE_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_RE_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_RE_COMMENT = r"(?s)<!--.*?-->"
+_RE_TAG = r"<[^>]+>"
+_RE_TITLE = r"(?is)<title[^>]*>(.*?)</title>"
+_RE_ANCHOR = r"(?i)<a[\s>]"
+# head section is metadata, not text (title is extracted separately).
+# '(\s[^>]*)?' keeps '<header>' (an HTML5 CONTENT tag) out of the
+# match; '</head>' needs its literal '>' so '</header>' can't close it
+_RE_HEAD = r"(?is)<head(\s[^>]*)?>.*?</head>"
+
+
+def html_extract(
+    documents: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML -> training text: drop script/style/comments, strip tags,
+    decode the common entities, collapse whitespace; plus the
+    boilerplate signals a crawl pipeline filters on (title, anchor
+    count, extracted-text length).
+
+    Spark-first by construction: the whole extraction is a chain of
+    JVM `regexp_replace`/`replace` column expressions — zero Python,
+    zero shuffle, whole-stage codegen'd, a free rider on the scan at
+    100 TB (contrast: trafilatura-style DOM parsing would be an
+    Arrow-Python stage ~100x the cost; this is the
+    90%-of-the-benefit/free-tier pass, and the per-doc signals let a
+    later pass route only low-confidence pages through a real DOM
+    parser). Returns (id, title, text, n_anchors, text_len).
+
+    Semantics pinned by the w_html_extract oracle: every pattern used
+    here is RE2-compatible (no backrefs/lookaround) so DuckDB replays
+    the byte-exact same pipeline.
+    """
+    raw = F.col(html_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, _RE_HEAD, " "), _RE_SCRIPT, " "
+            ),
+            _RE_STYLE,
+            " ",
+        ),
+        _RE_COMMENT,
+        " ",
+    )
+    text = F.regexp_replace(stripped, _RE_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    title = F.trim(
+        F.regexp_replace(F.regexp_extract(raw, _RE_TITLE, 1), r"\s+", " ")
+    )
+    return documents.select(
+        F.col(id_col),
+        title.alias("title"),
+        text.alias("text"),
+        # count on the STRIPPED doc: anchors inside scripts/comments
+        # are string/ghost noise, not links
+        F.regexp_count(stripped, F.lit(_RE_ANCHOR)).alias("n_anchors"),
+        F.length(text).alias("text_len"),
+    )
+
+
+WARC_SCHEMA_DDL = (
+    "file_id long, rec_idx int, warc_type string, target_uri string, "
+    "warc_date string, content_length long, http_status int, "
+    "body binary, body_len long"
+)
+
+
+def _warc_records(b: bytes):
+    """Iterate (idx, headers, block) over a WARC file's records.
+    Handles gzip transport (per-record gzip members concatenated —
+    the CommonCrawl layout — via stdlib zlib, all members inflated).
+    WARC grammar (ISO 28500): 'WARC/x.y' version line, 'Name: value'
+    headers, CRLF CRLF, Content-Length block bytes, CRLF CRLF."""
+    import zlib
+
+    if b[:2] == b"\x1f\x8b":
+        parts, data = [], bytes(b)
+        while data:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                parts.append(d.decompress(data))
+            except zlib.error as exc:
+                raise ValueError(f"malformed WARC gzip member: {exc}") from None
+            parts.append(d.flush())
+            if not d.eof:
+                raise ValueError("truncated WARC gzip member")
+            data = d.unused_data
+        b = b"".join(parts)
+    pos, idx = 0, 0
+    n = len(b)
+    while pos < n:
+        while b[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not b[pos : pos + 5] == b"WARC/":
+            raise ValueError(
+                f"malformed WARC: record {idx} does not start with a "
+                "WARC version line"
+            )
+        hdr_end = b.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"truncated WARC: record {idx} header block")
+        lines = b[pos:hdr_end].decode("utf-8", errors="replace").split("\r\n")
+        headers = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(f"malformed WARC: record {idx} has no "
+                             "Content-Length")
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"malformed WARC: record {idx} Content-Length "
+                f"{headers['content-length']!r}"
+            ) from None
+        if clen < 0:
+            raise ValueError(f"malformed WARC: record {idx} negative "
+                             "Content-Length")
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError(
+                f"truncated WARC: record {idx} block needs {clen} bytes, "
+                f"file has {n - body_start}"
+            )
+        yield idx, headers, b[body_start : body_start + clen]
+        pos = body_start + clen
+        idx += 1
+
+
+def warc_parse(files: "DataFrame", on_unsupported: str = "error") -> "DataFrame":
+    """WARC -> one row per record: (file_id, rec_idx, warc_type,
+    target_uri, warc_date, content_length, http_status, body,
+    body_len). For response/revisit records whose block is an HTTP
+    message, the status line and headers are split off — http_status
+    is the integer code and body the payload after the header CRLF
+    CRLF; for other records body is the whole block. Plain and
+    gzip-transport (concatenated members, stdlib zlib) WARCs.
+
+    The CommonCrawl ingestion stage: Arrow-batched mapInPandas over
+    (file_id, payload) — the record fan-out happens inside the stage,
+    zero shuffle, partitioning preserved; at 100 TB the WARC paths
+    list is the input table and this is the first pass after the
+    object-store read. Two-tier errors: a payload that is neither
+    WARC nor gzip is a CAPABILITY limit (raise naming the file_id /
+    NULL row under on_unsupported='null'); malformed or truncated
+    WARC structure always raises ValueError."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+    cols = [c.strip().split(" ")[0] for c in WARC_SCHEMA_DDL.split(",")]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {c: [] for c in cols}
+
+            def emit(fid, idx, wtype, uri, date, clen, status, body):
+                out["file_id"].append(fid)
+                out["rec_idx"].append(idx)
+                out["warc_type"].append(wtype)
+                out["target_uri"].append(uri)
+                out["warc_date"].append(date)
+                out["content_length"].append(clen)
+                out["http_status"].append(status)
+                out["body"].append(body)
+                out["body_len"].append(len(body) if body is not None else None)
+
+            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
+                if payload is None:
+                    emit(fid, None, None, None, None, None, None, None)
+                    continue
+                b = bytes(payload)
+                if b[:5] != b"WARC/" and b[:2] != b"\x1f\x8b":
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"file_id={fid}: payload is neither WARC nor "
+                            "gzip (ARC / other archive formats unsupported)"
+                        )
+                    emit(fid, None, None, None, None, None, None, None)
+                    continue
+                for idx, headers, block in _warc_records(b):
+                    status, body = None, block
+                    wtype = headers.get("warc-type")
+                    if (
+                        wtype in ("response", "revisit")
+                        and block[:5] == b"HTTP/"
+                    ):
+                        split = block.find(b"\r\n\r\n")
+                        head_end = split if split >= 0 else len(block)
+                        line = block[:head_end].split(b"\r\n", 1)[0]
+                        parts = line.split(b" ")
+                        if len(parts) >= 2 and parts[1].isdigit():
+                            status = int(parts[1])
+                        body = block[split + 4 :] if split >= 0 else b""
+                    emit(
+                        fid, idx, wtype,
+                        headers.get("warc-target-uri"),
+                        headers.get("warc-date"),
+                        int(headers["content-length"]),
+                        status, body,
+                    )
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, WARC_SCHEMA_DDL)

@@ -154,6 +154,7 @@ MIP_ALLOWED = {
     "m_audio_dsp": 1,
     "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode
     "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
+    "w_warc_parse": 1,       # record fan-out needs imperative parsing
 }
 
 
@@ -168,9 +169,13 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     for name in [
         "q1_pricing_summary", "d_verified_pairs", "s_semantic_dedup",
         "t_quality_features", "u_user_agent", "g_extract_typed",
-        "p_training_prep",
+        "p_training_prep", "w_html_extract",
     ]:
         p = simple_plan(q[name](spark, SF))
         assert _mip_count(p) == 0, name
-    # the allowed set is exactly the media family
-    assert all(n.startswith("m_") for n in MIP_ALLOWED)
+    # the allowed set is the media family plus the WARC record parser
+    # (variable-length record splitting is inherently imperative;
+    # w_html_extract stays all-JVM and is pinned at zero above)
+    assert all(
+        n.startswith("m_") or n == "w_warc_parse" for n in MIP_ALLOWED
+    )

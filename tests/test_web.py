@@ -388,3 +388,148 @@ def test_streaming_url_dedup_within_watermark(spark, tmp_path):
         "http://a.com/p",
         "http://a.com/q",
     ]
+
+
+def test_html_extract_semantics(spark):
+    """html_extract drops head/script/style/comments, strips tags,
+    decodes entities single-pass ('&amp;lt;' -> literal '&lt;'),
+    collapses whitespace, keeps <header> CONTENT (only <head> is
+    metadata), counts anchors, and handles a title-less fragment."""
+    from geist_spark.operators.web import html_extract
+
+    messy = (
+        "<html><head profile='x'><title> My\n Page </title>"
+        "<style>a{}</style></head><body>"
+        "<header>Site Header</header>"
+        "<script type='text/javascript'>if (a < b) { x = '<a href=!>'; }"
+        "</script>"
+        "<P>one&nbsp;two &amp;lt; three &#39;quoted&#39;</p>"
+        "<!-- <a href='ghost'>never</a> -->"
+        "<a href='/x'>x</a><a\nhref='/y'>y</a><A HREF='/z'>z</a>"
+        "</body></html>"
+    )
+    fragment = "no title <b>bold</b> text"
+    df = spark.createDataFrame(
+        [(1, messy), (2, fragment)], "doc_id long, html string"
+    )
+    out = {r["doc_id"]: r for r in html_extract(df).collect()}
+    m = out[1]
+    assert m["title"] == "My Page"
+    # script body (with its '<' and fake tag) gone; comment anchor not
+    # counted; &amp;lt; decodes to the literal text '&lt;'
+    assert m["text"] == (
+        "Site Header one two &lt; three 'quoted' x y z"
+    )
+    assert m["n_anchors"] == 3
+    assert m["text_len"] == len(m["text"])
+    f = out[2]
+    assert f["title"] == "" and f["text"] == "no title bold text"
+    assert f["n_anchors"] == 0
+
+
+def test_html_extract_plan_all_jvm(spark):
+    """The extraction plan carries NO Python stages and no exchange —
+    the 100 TB contract: a free rider on the scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from geist_spark.operators.web import html_extract
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        html_extract(df).explain("formatted")
+    plan = buf.getvalue()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Exchange"):
+        assert node not in plan, node
+
+
+def _warc_bytes(records):
+    """records = [(type, uri, block_bytes)] -> plain WARC file."""
+    out = bytearray()
+    for wtype, uri, block in records:
+        out += (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        out += block + b"\r\n\r\n"
+    return bytes(out)
+
+
+def test_warc_parse_records_and_gzip(spark):
+    """warc_parse fans out one row per record, splits HTTP responses
+    into status + body, passes non-HTTP blocks through whole, and
+    inflates per-record-gzip transport (the CommonCrawl layout) to
+    the identical rows."""
+    import gzip
+
+    from geist_spark.operators.web import warc_parse
+
+    http = b"HTTP/1.1 404 Not Found\r\nServer: x\r\n\r\n<html>gone</html>"
+    recs = [
+        ("warcinfo", "meta://x", b"software: test"),
+        ("response", "http://a.com/p", http),
+        ("request", "http://a.com/p", b"GET /p HTTP/1.1\r\n\r\n"),
+    ]
+    plain = _warc_bytes(recs)
+    # per-record gzip members, concatenated (CommonCrawl transport)
+    gz = b"".join(gzip.compress(_warc_bytes([r])) for r in recs)
+    df = spark.createDataFrame(
+        [(1, plain), (2, gz)], "file_id long, payload binary"
+    )
+    rows = warc_parse(df).collect()
+    by = {(r["file_id"], r["rec_idx"]): r for r in rows}
+    assert len(by) == 6
+    for fid in (1, 2):
+        assert by[(fid, 0)]["warc_type"] == "warcinfo"
+        assert by[(fid, 0)]["http_status"] is None
+        assert bytes(by[(fid, 0)]["body"]) == b"software: test"
+        r = by[(fid, 1)]
+        assert r["warc_type"] == "response"
+        assert r["http_status"] == 404
+        assert bytes(r["body"]) == b"<html>gone</html>"
+        assert r["content_length"] == len(http)
+        assert r["target_uri"] == "http://a.com/p"
+        # request blocks pass through whole (no HTTP split)
+        assert bytes(by[(fid, 2)]["body"]).startswith(b"GET /p")
+
+
+def test_warc_parse_errors(spark):
+    """Two-tier: non-WARC/non-gzip payloads are capability limits
+    (NULL row under 'null', named raise otherwise); truncated blocks,
+    missing Content-Length, and bad version lines always raise."""
+    import pytest
+
+    from geist_spark.operators.web import warc_parse
+
+    good = _warc_bytes([("resource", "u://x", b"abc")])
+    arc = b"filedesc://old-arc-format 0.0.0.0 20000101000000"
+    df = spark.createDataFrame(
+        [(1, good), (2, arc)], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="file_id=2"):
+        warc_parse(df).collect()
+    rows = {r["file_id"]: r for r in
+            warc_parse(df, on_unsupported="null").collect()}
+    assert rows[1]["warc_type"] == "resource"
+    assert rows[2]["rec_idx"] is None
+    no_len = good.replace(b"Content-Length: 3\r\n", b"")
+    short = good[:-7]  # cut into the declared block
+    # a corrupt version MID-file is malformed (the file-level check
+    # already proved this is a WARC); at file start it would be the
+    # capability limit tested above
+    two = bytearray(_warc_bytes([("resource", "u://x", b"abc")] * 2))
+    two[len(good) : len(good) + 5] = b"WARX/"
+    for payload, msg in [
+        (no_len, "no.*Content-Length|Content-Length"),
+        (short, "truncated WARC"),
+        (bytes(two), "version line"),
+    ]:
+        d = spark.createDataFrame(
+            [(1, payload)], "file_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            warc_parse(d, on_unsupported="null").collect()
