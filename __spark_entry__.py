@@ -2403,6 +2403,39 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent decompression under the oracle gate: each doc's
+    text is gzip-compressed (stdlib, in a first Arrow stage — Spark
+    has no gzip column expression) and fed through
+    prep.decompress_text. The oracle is the IDENTITY on documents
+    (text + byte length): a header-walk, multi-member, bounded-
+    inflate, or utf-8 bug breaks the round-trip hash."""
+    import gzip as _gzip
+
+    import pandas as _pd
+
+    from geist_spark.operators.prep import decompress_text
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _gzip.compress(t.encode("utf-8"), mtime=0)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    comp = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return decompress_text(comp)
+
+
 def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record parsing under the oracle gate: each document
     becomes a 2-record WARC file (request + response, the response
@@ -4759,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
+        "p_decompress_text": p_decompress_text,
     }
 
 
@@ -5775,6 +5809,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
             FROM s
+        """,
+        # round-trip identity: gzip(text) -> decompress_text == text
+        "p_decompress_text": """
+            SELECT doc_id, text,
+                   CAST(strlen(text) AS BIGINT) AS byte_len
+            FROM documents
         """,
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte

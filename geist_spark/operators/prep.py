@@ -686,3 +686,92 @@ def credit_card_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame
         F.size("__valid").alias("n_valid_cards"),
         redacted.alias("redacted_text"),
     )
+
+
+DECOMPRESS_SCHEMA_DDL = "doc_id long, text string, byte_len long"
+
+
+def decompress_text(
+    documents: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_bytes: int = 64 * 1024 * 1024,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Transparent text decompression for compressed crawl payloads:
+    gzip (magic 1f 8b, multi-member concatenation handled) and zlib
+    (0x78 family) via stdlib zlib inside one Arrow-batched
+    mapInPandas stage — zero shuffle, partitioning preserved.
+    Returns (id, text utf-8 with U+FFFD for invalid bytes, byte_len
+    of the DECOMPRESSED payload).
+
+    Two-tier errors, repo contract: unknown magic (zstd/brotli/lz4 —
+    codecs not in this container) is a CAPABILITY limit — raise
+    naming the id, or NULL the row under on_unsupported='null';
+    corrupt streams are MALFORMED and always raise ValueError. The
+    inflate is BOUNDED at max_bytes (a decompression bomb raises the
+    typed malformed error, never OOMs the executor — the PNG IDAT
+    rule)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+    if max_bytes <= 0:
+        raise ValueError("max_bytes must be positive")
+
+    def inflate(b: bytes) -> bytes:
+        parts, data, budget = [], b, max_bytes
+        wbits = 31 if b[:2] == b"\x1f\x8b" else 15
+        while data:
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                chunk = d.decompress(data, budget + 1)
+            except zlib.error as exc:
+                raise ValueError(f"malformed compressed payload: {exc}") from None
+            parts.append(chunk)
+            budget -= len(chunk)
+            if budget < 0:
+                raise ValueError(
+                    f"compressed payload inflates past max_bytes={max_bytes}"
+                )
+            if d.unconsumed_tail:
+                raise ValueError(
+                    f"compressed payload inflates past max_bytes={max_bytes}"
+                )
+            if not d.eof:
+                raise ValueError("truncated compressed payload")
+            data = d.unused_data  # gzip: next member; zlib: trailing
+            if wbits == 15 and data:
+                raise ValueError("trailing garbage after zlib stream")
+        return b"".join(parts)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, texts, lens = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                text = blen = None
+                if payload is not None:
+                    b = bytes(payload)
+                    if b[:2] == b"\x1f\x8b" or (
+                        b[:1] == b"\x78" and len(b) >= 2
+                    ):
+                        raw = inflate(b)
+                        text = raw.decode("utf-8", errors="replace")
+                        blen = len(raw)
+                    elif on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"{id_col}={did}: payload is neither gzip nor "
+                            "zlib (zstd/brotli/lz4 codecs not in this "
+                            "environment) — pass on_unsupported='null'"
+                        )
+                ids.append(did)
+                texts.append(text)
+                lens.append(blen)
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": texts, "byte_len": lens}
+            )
+
+    return documents.mapInPandas(run, DECOMPRESS_SCHEMA_DDL)

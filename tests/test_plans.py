@@ -155,6 +155,7 @@ MIP_ALLOWED = {
     "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode
     "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
     "w_warc_parse": 1,       # record fan-out needs imperative parsing
+    "p_decompress_text": 2,  # gzip synth + bounded inflate
 }
 
 
@@ -173,9 +174,11 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     ]:
         p = simple_plan(q[name](spark, SF))
         assert _mip_count(p) == 0, name
-    # the allowed set is the media family plus the WARC record parser
-    # (variable-length record splitting is inherently imperative;
-    # w_html_extract stays all-JVM and is pinned at zero above)
+    # the allowed set is the media family plus the two byte-stream
+    # parsers (variable-length record splitting / stdlib inflate are
+    # inherently imperative; w_html_extract stays all-JVM, pinned at
+    # zero above)
     assert all(
-        n.startswith("m_") or n == "w_warc_parse" for n in MIP_ALLOWED
+        n.startswith("m_") or n in ("w_warc_parse", "p_decompress_text")
+        for n in MIP_ALLOWED
     )

@@ -1112,3 +1112,54 @@ def test_mixture_plan_cap_binds_hard(spark):
     assert out["tiny"].planned_tokens == 20
     assert out["tiny"].epochs == 2.0
     assert out["big"].planned_tokens == 1000
+
+
+def test_decompress_text_roundtrip_and_errors(spark):
+    """decompress_text inflates gzip (multi-member) and zlib, bounds
+    decompression bombs at max_bytes, types unknown codecs as
+    capability limits, and replaces invalid utf-8."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from geist_spark.operators.prep import decompress_text
+
+    two_member = gzip.compress(b"hello ") + gzip.compress(b"world")
+    rows = [
+        (1, gzip.compress("héllo".encode())),
+        (2, zlib.compress(b"zlib text")),
+        (3, two_member),
+        (4, gzip.compress(b"\xff\xfe invalid utf8")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decompress_text(df).collect()}
+    assert out[1]["text"] == "héllo" and out[1]["byte_len"] == 6
+    assert out[2]["text"] == "zlib text"
+    assert out[3]["text"] == "hello world"  # members concatenate
+    assert "�" in out[4]["text"]
+    assert out[5]["text"] is None
+
+    zstd_ish = b"\x28\xb5\x2f\xfd fake-zstd"
+    mixed = spark.createDataFrame(
+        [(1, gzip.compress(b"ok")), (2, zstd_ish)],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="doc_id=2"):
+        decompress_text(mixed).collect()
+    nulled = {r["doc_id"]: r for r in
+              decompress_text(mixed, on_unsupported="null").collect()}
+    assert nulled[1]["text"] == "ok" and nulled[2]["text"] is None
+
+    # malformed always raises: truncation and a 10 MB bomb vs 1 KB cap
+    for payload, msg in [
+        (gzip.compress(b"abcdef")[:-4], "truncated compressed"),
+        (gzip.compress(b"\x00" * 10_000_000), "max_bytes=1024"),
+    ]:
+        d = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            decompress_text(d, max_bytes=1024,
+                            on_unsupported="null").collect()
