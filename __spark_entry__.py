@@ -2403,6 +2403,53 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt filtering under the oracle gate: 10 synthetic hosts
+    share a robots body with three agent groups (a 'bot' group, the
+    '*' group with Allow /private/ok + Disallow /private + Disallow
+    /tmp, and an 'other' group disallowing everything — the decoys
+    catch grouping bugs); each doc gets one of four paths by
+    doc_id % 4. The oracle is ANALYTIC — expected allowed/rule per
+    path class: /public (no match -> allowed, NULL rule),
+    /private/x (disallow), /private/ok/y (longest-prefix Allow beats
+    the shorter Disallow), /tmp (disallow)."""
+    from geist_spark.operators.web import robots_filter, robots_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    robots_body = (
+        "# synthetic corpus robots\n"
+        "User-agent: bot\nDisallow: /private\n\n"
+        "User-agent: *\n"
+        "Allow: /private/ok\n"
+        "Disallow: /private\n"
+        "Disallow: /tmp\n"
+        "Disallow: \n"          # empty: matches nothing
+        "Disallow: /wild*card\n"  # wildcard: dropped (dialect)\n
+        "\n"
+        "User-agent: other\nDisallow: /\n"
+    )
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+        .alias("host"),
+        F.lit(robots_body).alias("robots_txt"),
+    )
+    path = F.element_at(
+        F.array(
+            F.lit("/public/page"), F.lit("/private/x"),
+            F.lit("/private/ok/y"), F.lit("/tmp"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), F.col("doc_id") % 10,
+            F.lit(".example.com"), path,
+        ).alias("url"),
+    )
+    return robots_filter(urls, robots_rules(hosts))
+
+
 def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent decompression under the oracle gate: each doc's
     text is gzip-compressed (stdlib, in a first Arrow stage — Spark
@@ -4793,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
         "p_decompress_text": p_decompress_text,
+        "w_robots_filter": w_robots_filter,
     }
 
 
@@ -5809,6 +5857,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
                         AS BIGINT) AS mean_square_fx
             FROM s
+        """,
+        # ANALYTIC replay of robots filtering: allowed/rule are pure
+        # functions of the doc_id%4 path class under the synthesized
+        # '*' group (longest-prefix, Allow-beats-Disallow-on-tie)
+        "w_robots_filter": """
+            SELECT doc_id,
+                   'http://h' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.example.com'
+                       || CASE CAST(doc_id % 4 AS INTEGER)
+                          WHEN 0 THEN '/public/page'
+                          WHEN 1 THEN '/private/x'
+                          WHEN 2 THEN '/private/ok/y'
+                          ELSE '/tmp' END AS url,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN TRUE
+                        WHEN 1 THEN FALSE
+                        WHEN 2 THEN TRUE
+                        ELSE FALSE END AS allowed,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN NULL
+                        WHEN 1 THEN '/private'
+                        WHEN 2 THEN '/private/ok'
+                        ELSE '/tmp' END AS rule
+            FROM documents
         """,
         # round-trip identity: gzip(text) -> decompress_text == text
         "p_decompress_text": """

@@ -395,3 +395,107 @@ def warc_parse(files: "DataFrame", on_unsupported: str = "error") -> "DataFrame"
             yield pd.DataFrame(out)
 
     return files.mapInPandas(run, WARC_SCHEMA_DDL)
+
+
+def robots_rules(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into prefix rules for the '*' agent:
+    (host, rule_type 'allow'|'disallow', prefix, prefix_len).
+
+    Group semantics per RFC 9309: a group is a run of consecutive
+    User-agent lines followed by its rules; a group applies here iff
+    one of its agent lines is '*'. Expressed as windows over the
+    exploded line order (lag marks group starts, a running sum
+    assigns group ids, a group-partitioned max marks '*' groups) —
+    all JVM, one window shuffle at (host) grain, robots corpora are
+    hosts-sized metadata. DIALECT: rules containing the '*' or '$'
+    wildcards are dropped (prefix-only matching — the common
+    simplified implementation); empty Disallow (allow-all) matches
+    nothing by construction.
+    """
+    h = F.col(host_col)
+    lines = robots.select(
+        h.alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), r"#.*$", ""))
+    key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select(
+        "host", "idx", key.alias("key"), val.alias("value")
+    ).filter(F.col("key") != "")
+    w = Window.partitionBy("host").orderBy("idx")
+    is_ua = F.col("key") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    grouped = parsed.withColumn(
+        "gid", F.sum((is_ua & ~prev_ua).cast("int")).over(w)
+    )
+    wg = Window.partitionBy("host", "gid")
+    star = F.max(
+        (is_ua & (F.col("value") == "*")).cast("int")
+    ).over(wg)
+    return (
+        grouped.withColumn("star", star)
+        .filter(
+            (F.col("star") == 1)
+            & F.col("key").isin("allow", "disallow")
+            & (F.col("value") != "")
+            & ~F.col("value").rlike(r"[*$]")
+        )
+        .select(
+            "host",
+            F.col("key").alias("rule_type"),
+            F.col("value").alias("prefix"),
+            F.length("value").alias("prefix_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply parsed robots rules to a URL table: (id, url, allowed,
+    rule) where `rule` is the winning prefix (NULL when no rule
+    matched — allowed by default). Longest-prefix rule wins; at equal
+    length Allow beats Disallow (RFC 9309 precedence).
+
+    ONE host-grain equi-join (rules side is hosts-sized — broadcast
+    when it fits, AQE otherwise) + a top-1 window at URL grain over
+    the MATCHING rules only. Non-matching URLs never enter the
+    window (the url_dedup NULL-key rule: don't funnel the no-match
+    majority through one partition)."""
+    u = urls.select(
+        F.col(id_col),
+        F.col(url_col),
+        url_host(F.col(url_col)).alias("host"),
+        F.regexp_extract(F.col(url_col), _PATH_RE, 1).alias("path"),
+    ).withColumn(
+        "path", F.when(F.col("path") == "", "/").otherwise(F.col("path"))
+    )
+    joined = u.join(rules, "host", "left").filter(
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix"))
+    )
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("prefix_len").desc(),
+        (F.col("rule_type") == "allow").desc(),
+    )
+    best = (
+        joined.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("rule_type") == "allow").alias("_allowed"),
+            F.col("prefix").alias("rule"),
+        )
+    )
+    return urls.select(id_col, url_col).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.col(url_col),
+        F.coalesce(F.col("_allowed"), F.lit(True)).alias("allowed"),
+        F.col("rule"),
+    )

@@ -533,3 +533,46 @@ def test_warc_parse_errors(spark):
         )
         with pytest.raises(Exception, match=msg):
             warc_parse(d, on_unsupported="null").collect()
+
+
+def test_robots_rules_and_filter(spark):
+    """Grouping per RFC 9309: a run of User-agent lines shares one
+    rule block ('a' + '*' in one group applies); non-star groups are
+    ignored; longest prefix wins and Allow beats Disallow on ties;
+    CRLF and comments are tolerated; unmatched URLs and unknown
+    hosts default to allowed."""
+    from geist_spark.operators.web import robots_filter, robots_rules
+
+    body = (
+        "User-agent: a\r\n"
+        "User-agent: *\r\n"
+        "Allow: /dir/page\r\n"      # same length as the disallow below
+        "Disallow: /dir/page\r\n"   # tie -> Allow wins
+        "Disallow: /x # trailing comment\r\n"
+        "\r\n"
+        "UsEr-AgEnT: greedy\r\n"
+        "Disallow: /\r\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.com", body)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots)
+    got = {(r["rule_type"], r["prefix"]) for r in rules.collect()}
+    assert got == {
+        ("allow", "/dir/page"), ("disallow", "/dir/page"),
+        ("disallow", "/x"),
+    }
+    urls = spark.createDataFrame(
+        [
+            (1, "http://h.com/dir/page/sub"),   # tie -> allow
+            (2, "http://h.com/x/deep"),          # disallow /x
+            (3, "http://h.com/free"),            # no match
+            (4, "http://other.com/x"),           # unknown host
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert out[1]["allowed"] is True and out[1]["rule"] == "/dir/page"
+    assert out[2]["allowed"] is False and out[2]["rule"] == "/x"
+    assert out[3]["allowed"] is True and out[3]["rule"] is None
+    assert out[4]["allowed"] is True
