@@ -5925,7 +5925,10 @@ def oracle_sql() -> dict[str, str]:
         "w_html_extract": """
             WITH c AS (
                 SELECT doc_id,
-                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                       -- explicit ASCII class, NOT \\s: Java \\s
+                       -- includes \\x0B, RE2's does not
+                       trim(regexp_replace(
+                           text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
                 FROM documents
             )
             SELECT doc_id,

@@ -755,9 +755,16 @@ def decompress_text(
                 text = blen = None
                 if payload is not None:
                     b = bytes(payload)
-                    if b[:2] == b"\x1f\x8b" or (
-                        b[:1] == b"\x78" and len(b) >= 2
-                    ):
+                    # zlib sniff per RFC 1950: compression method 8 in
+                    # the CMF low nibble AND the FCHECK checksum —
+                    # first-byte-only matching would route plain text
+                    # starting with 'x' (0x78) into the malformed tier
+                    is_zlib = (
+                        len(b) >= 2
+                        and (b[0] & 0x0F) == 8
+                        and ((b[0] << 8) | b[1]) % 31 == 0
+                    )
+                    if b[:2] == b"\x1f\x8b" or is_zlib:
                         raw = inflate(b)
                         text = raw.decode("utf-8", errors="replace")
                         blen = len(raw)

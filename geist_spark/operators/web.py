@@ -178,9 +178,12 @@ _HTML_ENTITIES = (
 )
 
 # portable regexes: no backreferences (RE2/DuckDB has none), no
-# lookaround, ASCII \s both engines — every pattern below runs
-# IDENTICALLY under Java regex (Spark, codegen'd) and RE2 (DuckDB
-# oracle), which is what makes w_html_extract hash-replayable.
+# lookaround — every pattern below runs IDENTICALLY under Java regex
+# (Spark, codegen'd) and RE2 (DuckDB oracle), which is what makes
+# w_html_extract hash-replayable. \s is NOT portable (Java includes
+# \x0B, RE2 does not), so whitespace collapse uses the explicit
+# ASCII class _WS on both sides.
+_WS = r"[ \t\n\x0B\f\r]+"
 _RE_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
 _RE_STYLE = r"(?is)<style[^>]*>.*?</style>"
 _RE_COMMENT = r"(?s)<!--.*?-->"
@@ -231,9 +234,9 @@ def html_extract(
     text = F.regexp_replace(stripped, _RE_TAG, " ")
     for ent, ch in _HTML_ENTITIES:
         text = F.replace(text, F.lit(ent), F.lit(ch))
-    text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    text = F.trim(F.regexp_replace(text, _WS, " "))
     title = F.trim(
-        F.regexp_replace(F.regexp_extract(raw, _RE_TITLE, 1), r"\s+", " ")
+        F.regexp_replace(F.regexp_extract(raw, _RE_TITLE, 1), _WS, " ")
     )
     return documents.select(
         F.col(id_col),
@@ -253,23 +256,32 @@ WARC_SCHEMA_DDL = (
 )
 
 
-def _warc_records(b: bytes):
+def _warc_records(b: bytes, max_bytes: int):
     """Iterate (idx, headers, block) over a WARC file's records.
     Handles gzip transport (per-record gzip members concatenated —
-    the CommonCrawl layout — via stdlib zlib, all members inflated).
-    WARC grammar (ISO 28500): 'WARC/x.y' version line, 'Name: value'
-    headers, CRLF CRLF, Content-Length block bytes, CRLF CRLF."""
+    the CommonCrawl layout — via stdlib zlib, all members inflated,
+    BOUNDED at max_bytes total: a gzip bomb raises the typed
+    malformed error, never OOMs the executor — the same rule as
+    prep.decompress_text and the PNG IDAT bound). WARC grammar (ISO
+    28500): 'WARC/x.y' version line, 'Name: value' headers, CRLF
+    CRLF, Content-Length block bytes, CRLF CRLF."""
     import zlib
 
     if b[:2] == b"\x1f\x8b":
-        parts, data = [], bytes(b)
+        parts, data, budget = [], bytes(b), max_bytes
         while data:
             d = zlib.decompressobj(wbits=31)
             try:
-                parts.append(d.decompress(data))
+                chunk = d.decompress(data, budget + 1)
             except zlib.error as exc:
                 raise ValueError(f"malformed WARC gzip member: {exc}") from None
-            parts.append(d.flush())
+            parts.append(chunk)
+            budget -= len(chunk)
+            if budget < 0 or d.unconsumed_tail:
+                raise ValueError(
+                    f"WARC gzip transport inflates past "
+                    f"max_bytes={max_bytes}"
+                )
             if not d.eof:
                 raise ValueError("truncated WARC gzip member")
             data = d.unused_data
@@ -319,7 +331,11 @@ def _warc_records(b: bytes):
         idx += 1
 
 
-def warc_parse(files: "DataFrame", on_unsupported: str = "error") -> "DataFrame":
+def warc_parse(
+    files: "DataFrame",
+    on_unsupported: str = "error",
+    max_bytes: int = 1024 * 1024 * 1024,
+) -> "DataFrame":
     """WARC -> one row per record: (file_id, rec_idx, warc_type,
     target_uri, warc_date, content_length, http_status, body,
     body_len). For response/revisit records whose block is an HTTP
@@ -335,12 +351,16 @@ def warc_parse(files: "DataFrame", on_unsupported: str = "error") -> "DataFrame"
     object-store read. Two-tier errors: a payload that is neither
     WARC nor gzip is a CAPABILITY limit (raise naming the file_id /
     NULL row under on_unsupported='null'); malformed or truncated
-    WARC structure always raises ValueError."""
+    WARC structure always raises ValueError, and the gzip transport
+    inflate is BOUNDED at max_bytes per file (default 1 GiB — a gzip
+    bomb raises, never OOMs)."""
     import pandas as pd
     from collections.abc import Iterator
 
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
+    if max_bytes <= 0:
+        raise ValueError("max_bytes must be positive")
     cols = [c.strip().split(" ")[0] for c in WARC_SCHEMA_DDL.split(",")]
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -371,7 +391,7 @@ def warc_parse(files: "DataFrame", on_unsupported: str = "error") -> "DataFrame"
                         )
                     emit(fid, None, None, None, None, None, None, None)
                     continue
-                for idx, headers, block in _warc_records(b):
+                for idx, headers, block in _warc_records(b, max_bytes):
                     status, body = None, block
                     wtype = headers.get("warc-type")
                     if (
@@ -476,9 +496,8 @@ def robots_filter(
     ).withColumn(
         "path", F.when(F.col("path") == "", "/").otherwise(F.col("path"))
     )
-    joined = u.join(rules, "host", "left").filter(
-        F.col("prefix").isNotNull()
-        & F.col("path").startswith(F.col("prefix"))
+    joined = u.join(rules, "host").filter(
+        F.col("path").startswith(F.col("prefix"))
     )
     wr = Window.partitionBy(id_col).orderBy(
         F.col("prefix_len").desc(),

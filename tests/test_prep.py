@@ -1163,3 +1163,20 @@ def test_decompress_text_roundtrip_and_errors(spark):
         with pytest.raises(Exception, match=msg):
             decompress_text(d, max_bytes=1024,
                             on_unsupported="null").collect()
+
+
+def test_decompress_text_zlib_sniff_fcheck(spark):
+    """A plain-text payload starting with 'x' (0x78) must land in the
+    CAPABILITY tier (it is not zlib — the RFC 1950 FCHECK fails), not
+    crash the stage as malformed."""
+    import zlib
+
+    from geist_spark.operators.prep import decompress_text
+
+    df = spark.createDataFrame(
+        [(1, b"xml version etc"), (2, zlib.compress(b"real"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in
+           decompress_text(df, on_unsupported="null").collect()}
+    assert out[1]["text"] is None and out[2]["text"] == "real"

@@ -576,3 +576,30 @@ def test_robots_rules_and_filter(spark):
     assert out[2]["allowed"] is False and out[2]["rule"] == "/x"
     assert out[3]["allowed"] is True and out[3]["rule"] is None
     assert out[4]["allowed"] is True
+
+
+def test_html_extract_vertical_tab_ws(spark):
+    """Whitespace collapse uses the explicit ASCII class (Java \\s
+    includes \\x0B, RE2's does not — the class keeps engine and
+    oracle identical)."""
+    from geist_spark.operators.web import html_extract
+
+    df = spark.createDataFrame(
+        [(1, "<p>a\x0b\x0bb\tc</p>")], "doc_id long, html string"
+    )
+    assert html_extract(df).collect()[0]["text"] == "a b c"
+
+
+def test_warc_gzip_bomb_bounded(spark):
+    """A gzip-transport WARC that inflates past max_bytes raises the
+    typed malformed error instead of materializing the bomb."""
+    import gzip
+
+    import pytest
+
+    from geist_spark.operators.web import warc_parse
+
+    bomb = gzip.compress(b"WARC/1.0\r\n" + b"\x00" * 10_000_000)
+    df = spark.createDataFrame([(1, bomb)], "file_id long, payload binary")
+    with pytest.raises(Exception, match="max_bytes=1024"):
+        warc_parse(df, max_bytes=1024).collect()
