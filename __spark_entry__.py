@@ -2403,6 +2403,45 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def m_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode under the oracle gate: the same 24 md5-derived
+    pixel bytes as m_decode_real (4x2 RGB) encoded per document as a
+    BIG-ENDIAN (MM) uncompressed TIFF split into 2 row-strips — so
+    the byte-order handling AND the strip walk run for real — then
+    decoded by multimodal.decode_real (_tiff_decode: IFD tag walk,
+    strip concat). The oracle recomputes the luma ARITHMETICALLY from
+    the hex digests with no TIFF parsing oracle-side — an endianness,
+    tag-offset, or strip-order bug hash-mismatches against the shared
+    pixel arithmetic."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        tiff_encode_rgb(
+                            4, 2, bytes(px), big_endian=True, strips=2
+                        )
+                        for px in pdf["px"]
+                    ],
+                }
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -4841,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_warc_parse": w_warc_parse,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
+        "m_decode_tiff": m_decode_tiff,
     }
 
 
@@ -5977,6 +6017,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(
                      (125 * CAST(list_sum(bytes) AS BIGINT)) // 3
                      AS BIGINT) AS mean_luma_fx
+            FROM b
+        """,
+        # arithmetic replay of the REAL TIFF decode: the SAME 24 pixel
+        # bytes as m_decode_real (big-endian IFD + 2-strip layout
+        # round-trip them) — only the format tag differs
+        "m_decode_tiff": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'TIFF' AS format,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(
+                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                     // 8 AS BIGINT) AS mean_luma_fx
             FROM b
         """,
         # arithmetic replay of the REAL audio DSP gate: the same 12

@@ -6,8 +6,9 @@ so the Python boundary is per-batch, not per-row. `decode_real`
 REALLY decodes the dependency-free formats (Netpbm P6/P5,
 uncompressed 24-bit BMP, 8-bit PNG via stdlib zlib + numpy
 unfiltering, GIF via a pure-python LZW with numpy palette
-mapping/deinterlace, and baseline JPEG via pure-python Huffman +
-batched numpy IDCT, see jpeg.py) — actual pixels, exact luma,
+mapping/deinterlace, baseline JPEG via pure-python Huffman + batched
+numpy IDCT (see jpeg.py), and uncompressed TIFF via an IFD tag walk
+in either byte order) — actual pixels, exact luma,
 cross-format hash; remaining codec formats (WebP/AVIF/progressive
 JPEG/...) need libraries NOT in this container,
 so for those `decode_real` raises (or NULLs, by option) and
@@ -1030,12 +1031,14 @@ def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
         return _gif_decode(b)
     if b[:2] == b"\xff\xd8":
         return jpeg_decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_decode(b)
     if b[:2] in (b"P6", b"P5"):
         return _ppm_decode(b)
     if b[:2] == b"BM":
         return _bmp_decode(b)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP/PNG/GIF/JPEG; other codecs "
+        "payload is not PPM/PGM/BMP/PNG/GIF/JPEG/TIFF; other codecs "
         "(WebP/AVIF/...) need PIL/ffmpeg, not present in this "
         f"environment — pass on_unsupported='null' to skip, or use "
         f"{alt_hint}"
@@ -1484,3 +1487,197 @@ def embed_stub(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
 
     return media.mapInPandas(run, EMBED_SCHEMA)
+
+
+def _tiff_decode(b: bytes) -> tuple:
+    """Baseline TIFF decode (pure python + numpy): II/MM byte order,
+    first-IFD tag walk (TIFF 6.0 §2), uncompressed strips, 8-bit
+    grayscale (BlackIsZero/WhiteIsZero), RGB, and palette-color
+    (ColorMap 16-bit entries, high byte taken). CAPABILITY limits:
+    any Compression other than 1, non-8-bit samples, planar
+    configuration 2, tiled images. MALFORMED: truncated IFD/strips,
+    missing required tags, strip bytes short of width*height."""
+    import struct
+
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_tags > len(b):
+        raise ValueError("truncated TIFF IFD")
+    # type -> (struct code, size)
+    sizes = {1: 1, 3: 2, 4: 4}
+    codes = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, off)
+        if typ not in sizes:  # RATIONAL/others: not needed, skip
+            continue
+        total = sizes[typ] * cnt
+        if total <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack_from(e + "I", b, off + 8)
+            if src + total > len(b):
+                raise ValueError(f"truncated TIFF: tag {tag} values")
+        tags[tag] = list(
+            struct.unpack_from(e + codes[typ] * cnt, b, src)
+        )
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"malformed TIFF: missing tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    rows_per_strip = one(278, h)
+    if comp != 1:
+        raise NotImplementedError(
+            f"only uncompressed TIFF supported (Compression={comp}; "
+            "LZW/PackBits/JPEG-in-TIFF need codec libraries)"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2) "
+                                  "unsupported")
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(
+            f"only 8-bit TIFF samples supported (BitsPerSample={bits})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed TIFF: {w}x{h}")
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("malformed TIFF: StripOffsets/StripByteCounts")
+    del rows_per_strip  # strip layout is fully determined by 273/279
+    parts = []
+    for so, sc in zip(offs, counts):
+        if so + sc > len(b):
+            raise ValueError("truncated TIFF strip")
+        parts.append(b[so : so + sc])
+    data = b"".join(parts)
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError(
+            f"truncated TIFF: strips carry {len(data)} of {need} bytes"
+        )
+    arr = np.frombuffer(data, dtype=np.uint8, count=need)
+    if photo == 2:  # RGB
+        if spp < 3:
+            raise ValueError("malformed TIFF: RGB with SamplesPerPixel<3")
+        px = arr.reshape(-1, spp)[:, :3]  # drop extra samples (alpha…)
+        if spp > 3:
+            raise NotImplementedError(
+                "TIFF with extra samples (alpha) unsupported — alpha "
+                "would be silently dropped"
+            )
+        return "TIFF", w, h, 3, px.tobytes()
+    if photo in (0, 1):  # gray (0 = WhiteIsZero inverts)
+        g = (255 - arr) if photo == 0 else arr
+        return "TIFF", w, h, 1, np.repeat(g, 3).tobytes()
+    if photo == 3:  # palette via ColorMap (3 * 2^bits 16-bit entries)
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("malformed TIFF: palette without ColorMap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.uint16).reshape(3, n).T >> 8
+        ).astype(np.uint8)
+        if int(arr.max(initial=0)) >= n:
+            raise ValueError("malformed TIFF: palette index out of range")
+        return "TIFF", w, h, 3, pal[arr].tobytes()
+    raise NotImplementedError(
+        f"TIFF photometric interpretation {photo} unsupported"
+    )
+
+
+def tiff_encode_rgb(
+    w: int, h: int, rgb: bytes, big_endian: bool = False, strips: int = 1
+) -> bytes:
+    """Synthetic-fixture TIFF encoder (tests + the m_decode_tiff gate
+    query — NOT a public pipeline operator): 8-bit RGB, uncompressed,
+    II or MM byte order, split into `strips` row-strips so the strip
+    walk runs for real."""
+    import struct
+
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length must be w*h*3")
+    if not 1 <= strips <= h:
+        raise ValueError("strips must be in 1..h")
+    e = ">" if big_endian else "<"
+    rows_per = -(-h // strips)
+    chunks = [
+        rgb[r * rows_per * w * 3 : (r + 1) * rows_per * w * 3]
+        for r in range(strips)
+    ]
+    chunks = [c for c in chunks if c]
+    n_tags = 9
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_tags + 4
+    bits_off = after_ifd            # 3 SHORTs = 6 bytes
+    arrays_off = bits_off + 6
+    n_strips = len(chunks)
+    if n_strips > 1:
+        strip_off_pos = arrays_off
+        strip_cnt_pos = arrays_off + 4 * n_strips
+        data_off = strip_cnt_pos + 4 * n_strips
+    else:
+        data_off = arrays_off
+    offsets, pos = [], data_off
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short_val(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    if n_strips == 1:
+        so_val, sc_val = long_val(offsets[0]), long_val(len(chunks[0]))
+    else:
+        so_val, sc_val = long_val(strip_off_pos), long_val(strip_cnt_pos)
+    ifd = struct.pack(e + "H", n_tags)
+    ifd += entry(256, 3, 1, short_val(w))
+    ifd += entry(257, 3, 1, short_val(h))
+    ifd += entry(258, 3, 3, long_val(bits_off))
+    ifd += entry(259, 3, 1, short_val(1))
+    ifd += entry(262, 3, 1, short_val(2))
+    ifd += entry(273, 4, n_strips, so_val)
+    ifd += entry(277, 3, 1, short_val(3))
+    ifd += entry(278, 3, 1, short_val(rows_per))
+    ifd += entry(279, 4, n_strips, sc_val)
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    out = (
+        (b"MM\x00*" if big_endian else b"II*\x00")
+        + struct.pack(e + "I", ifd_off)
+        + ifd
+        + struct.pack(e + "HHH", 8, 8, 8)
+    )
+    if n_strips > 1:
+        out += b"".join(struct.pack(e + "I", o) for o in offsets)
+        out += b"".join(struct.pack(e + "I", len(c)) for c in chunks)
+    assert len(out) == data_off, (len(out), data_off)
+    return out + b"".join(chunks)

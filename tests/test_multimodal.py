@@ -957,3 +957,113 @@ def test_resize_real_grayscale_channels(spark):
     assert (r["channels"], r["width"], r["height"]) == (1, 4, 2)
     # NN upscale of [100, 200] to 4x2 doubles each column in each row
     assert r["mean_luma_fx"] == (100 + 200) * 1000 // 2
+
+
+def test_decode_real_tiff_cross_format(spark):
+    """decode_real REALLY decodes uncompressed TIFF: the same image as
+    PPM, little- AND big-endian, single- and multi-strip, yields ONE
+    pixel_md5; hand-built grayscale (BlackIsZero AND WhiteIsZero) and
+    palette variants decode through their photometric paths."""
+    import struct
+
+    from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    rgb = bytes(v for p in pixels for v in p)
+
+    def gray_tiff(vals, photo, colormap=None):
+        # minimal hand-built II single-strip 1-sample TIFF
+        e = "<"
+        tags = [
+            (256, 3, 1, len(vals)), (257, 3, 1, 1), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, photo), (277, 3, 1, 1),
+            (279, 4, 1, len(vals)),
+        ]
+        extra = b""
+        if colormap is not None:
+            n = len(colormap) // 3
+            cm_off_placeholder = True
+        n_tags = len(tags) + 1 + (1 if colormap is not None else 0)
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n_tags + 4
+        cm_off = data_off + len(vals)
+        tags.append((273, 4, 1, data_off))
+        if colormap is not None:
+            tags.append((320, 3, len(colormap), cm_off))
+            extra = b"".join(struct.pack(e + "H", v) for v in colormap)
+        tags.sort()
+        ifd = struct.pack(e + "H", n_tags)
+        for t, ty, c, v in tags:
+            ifd += struct.pack(e + "HHI", t, ty, c)
+            if ty == 3 and c == 1:
+                ifd += struct.pack(e + "H", v) + b"\x00\x00"
+            else:
+                ifd += struct.pack(e + "I", v)
+        ifd += struct.pack(e + "I", 0)
+        return (b"II*\x00" + struct.pack(e + "I", 8) + ifd
+                + bytes(vals) + extra)
+
+    rows = [
+        (1, _ppm_bytes(3, 2, pixels)),
+        (2, tiff_encode_rgb(3, 2, rgb)),
+        (3, tiff_encode_rgb(3, 2, rgb, big_endian=True, strips=2)),
+        (4, gray_tiff([100, 200], 1)),
+        (5, gray_tiff([155, 55], 0)),          # WhiteIsZero inverts
+        (6, _pgm_bytes(2, 1, [100, 200])),
+        (7, gray_tiff([1, 0], 3,
+                      colormap=[9 << 8, 1 << 8,    # reds
+                                8 << 8, 2 << 8,    # greens
+                                7 << 8, 3 << 8])),  # blues
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[2]["format"] == "TIFF"
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 3)
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"] == out[3]["pixel_md5"]
+    # gray: photometric 1 matches PGM; photometric 0 is the inverse
+    assert out[4]["channels"] == 1
+    assert out[4]["pixel_md5"] == out[6]["pixel_md5"] == out[5]["pixel_md5"]
+    # palette: index 1 -> (1,2,3), index 0 -> (9,8,7)
+    assert out[7]["mean_luma_fx"] == (
+        (299 * (1 + 9) + 587 * (2 + 8) + 114 * (3 + 7)) // 2
+    )
+
+
+def test_decode_real_tiff_errors(spark):
+    """TIFF taxonomy: compressed/tiled/16-bit are CAPABILITY limits;
+    truncated strips and missing tags are MALFORMED."""
+    import pytest
+
+    from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
+
+    good = tiff_encode_rgb(2, 2, bytes(range(12)))
+
+    def mutate(tag, new_short):
+        buf = bytearray(good)
+        # IFD entries start at 10 (after header + count); find tag
+        import struct
+        n = struct.unpack_from("<H", buf, 8)[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if struct.unpack_from("<H", buf, off)[0] == tag:
+                struct.pack_into("<H", buf, off + 8, new_short)
+                return bytes(buf)
+        raise AssertionError(tag)
+
+    lzw = mutate(259, 5)
+    caps = spark.createDataFrame(
+        [(1, good), (2, lzw)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           decode_real(caps, on_unsupported="null").collect()}
+    assert out[1]["format"] == "TIFF" and out[2]["format"] is None
+    for payload, msg in [
+        (good[:30], "truncated TIFF"),
+        (good[:-5], "truncated TIFF strip|strips carry"),
+    ]:
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            decode_real(df, on_unsupported="null").collect()

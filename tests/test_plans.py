@@ -156,6 +156,7 @@ MIP_ALLOWED = {
     "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
     "w_warc_parse": 1,       # record fan-out needs imperative parsing
     "p_decompress_text": 2,  # gzip synth + bounded inflate
+    "m_decode_tiff": 2,      # TIFF synth (IFD build) + decode
 }
 
 
