@@ -1535,7 +1535,7 @@ def _tiff_decode(b: bytes) -> tuple:
 
     def one(tag: int, default=None):
         v = tags.get(tag)
-        if v is None:
+        if not v:  # absent OR a crafted count=0 entry: same contract
             if default is None:
                 raise ValueError(f"malformed TIFF: missing tag {tag}")
             return default
@@ -1545,7 +1545,7 @@ def _tiff_decode(b: bytes) -> tuple:
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)
-    bits = tags.get(258, [8] * spp)
+    bits = tags.get(258) or [8] * spp  # count=0 entry == absent
     rows_per_strip = one(278, h)
     if comp != 1:
         raise NotImplementedError(
@@ -1583,13 +1583,19 @@ def _tiff_decode(b: bytes) -> tuple:
     if photo == 2:  # RGB
         if spp < 3:
             raise ValueError("malformed TIFF: RGB with SamplesPerPixel<3")
-        px = arr.reshape(-1, spp)[:, :3]  # drop extra samples (alpha…)
         if spp > 3:
             raise NotImplementedError(
                 "TIFF with extra samples (alpha) unsupported — alpha "
                 "would be silently dropped"
             )
-        return "TIFF", w, h, 3, px.tobytes()
+        return "TIFF", w, h, 3, arr.tobytes()
+    if photo in (0, 1, 3) and spp != 1:
+        # symmetric with the RGB alpha guard: interleaved extra
+        # samples would silently corrupt the gray/palette planes
+        raise NotImplementedError(
+            f"TIFF photometric {photo} with SamplesPerPixel={spp} "
+            "unsupported (extra samples would be read as pixels)"
+        )
     if photo in (0, 1):  # gray (0 = WhiteIsZero inverts)
         g = (255 - arr) if photo == 0 else arr
         return "TIFF", w, h, 1, np.repeat(g, 3).tobytes()

@@ -981,9 +981,6 @@ def test_decode_real_tiff_cross_format(spark):
             (279, 4, 1, len(vals)),
         ]
         extra = b""
-        if colormap is not None:
-            n = len(colormap) // 3
-            cm_off_placeholder = True
         n_tags = len(tags) + 1 + (1 if colormap is not None else 0)
         ifd_off = 8
         data_off = ifd_off + 2 + 12 * n_tags + 4
