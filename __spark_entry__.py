@@ -2403,6 +2403,77 @@ def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
+def m_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dhash under the oracle gate: the shared 4x2 P6
+    synthetic frame hashed at hash_w=3, hash_h=2 — the resize target
+    (4x2) equals the source so the gate pins the COMPARISON/PACKING
+    arithmetic exactly (resize index math is pinned by m_resize_real).
+    The oracle recomputes the 6 bits from the md5-derived per-pixel
+    integer lumas (299R+587G+114B, strict >, row-major MSB-first)
+    with no image processing oracle-side."""
+    from geist_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_synth_ppm_media(spark, sf_dir), 3, 2).select(
+        "media_id", "format", "dhash"
+    )
+
+
+def m_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded perceptual near-dup under the oracle gate: each doc
+    yields TWO 9x8 grayscale P5 images CONSTRUCTED so their dhashes
+    are exactly the first 64 md5 bits and that value with bit
+    (doc_id % 64) flipped — per-row right-to-left gray ramps encode
+    each comparison bit (g[c] = g[c+1] + bit). image_dhash (8x8,
+    identity resize) recovers the hashes; dhash_near_dup (4 bands,
+    max_hamming=2) must return EXACTLY the within-doc twin pairs at
+    hamming 1 — cross-doc hashes are independent 64-bit values, so a
+    radius-2 collision among 10k media has probability ~1e-8. The
+    oracle is analytic: (2*doc_id, 2*doc_id+1, 1)."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import dhash_near_dup, image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        header = b"P5 9 8 255\n"
+
+        def img(h64: int) -> bytes:
+            px = bytearray()
+            for r in range(8):
+                g = [128] * 9
+                for c in reversed(range(8)):
+                    g[c] = g[c + 1] + ((h64 >> (63 - (r * 8 + c))) & 1)
+                px += bytes(g)
+            return header + bytes(px)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                # hash from the UNIQUE doc_id, not the text: the
+                # documents corpus deliberately contains duplicate
+                # texts (it is a dedup fixture), which would plant
+                # unintended cross-doc hamming-0 pairs
+                h = int.from_bytes(
+                    _hl.md5(str(int(did)).encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                twin = h ^ (1 << (63 - (int(did) % 64)))
+                ids += [2 * int(did), 2 * int(did) + 1]
+                payloads += [img(h), img(twin)]
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    pairs = dhash_near_dup(image_dhash(media, 8, 8), max_hamming=2, bands=4)
+    return pairs.select(
+        "media_id_a", "media_id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def m_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode under the oracle gate: the same 24 md5-derived
     pixel bytes as m_decode_real (4x2 RGB) encoded per document as a
@@ -4881,6 +4952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
         "m_decode_tiff": m_decode_tiff,
+        "m_image_dhash": m_image_dhash,
+        "m_dhash_near_dup": m_dhash_near_dup,
     }
 
 
@@ -6018,6 +6091,37 @@ def oracle_sql() -> dict[str, str]:
                      (125 * CAST(list_sum(bytes) AS BIGINT)) // 3
                      AS BIGINT) AS mean_luma_fx
             FROM b
+        """,
+        # arithmetic replay of the perceptual dhash: 6 comparison bits
+        # over the md5-derived per-pixel integer lumas, MSB-first
+        "m_image_dhash": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, l AS (
+                SELECT doc_id,
+                       [299*bytes[3*m+1] + 587*bytes[3*m+2]
+                        + 114*bytes[3*m+3]
+                        for m in generate_series(0, 7)] AS lum
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'P6' AS format,
+                   CAST(
+                     (CASE WHEN lum[1] > lum[2] THEN 32 ELSE 0 END)
+                   + (CASE WHEN lum[2] > lum[3] THEN 16 ELSE 0 END)
+                   + (CASE WHEN lum[3] > lum[4] THEN 8 ELSE 0 END)
+                   + (CASE WHEN lum[5] > lum[6] THEN 4 ELSE 0 END)
+                   + (CASE WHEN lum[6] > lum[7] THEN 2 ELSE 0 END)
+                   + (CASE WHEN lum[7] > lum[8] THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dhash
+            FROM l
+        """,
+        # ANALYTIC replay of banded perceptual near-dup: the twins are
+        # CONSTRUCTED at hamming 1, and cross-doc 64-bit collisions
+        # within radius 2 are probabilistically impossible at this n
+        "m_dhash_near_dup": """
+            SELECT 2*doc_id AS media_id_a,
+                   2*doc_id + 1 AS media_id_b,
+                   CAST(1 AS INTEGER) AS hamming
+            FROM documents
         """,
         # arithmetic replay of the REAL TIFF decode: the SAME 24 pixel
         # bytes as m_decode_real (big-endian IFD + 2-strip layout

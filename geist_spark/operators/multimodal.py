@@ -1687,3 +1687,142 @@ def tiff_encode_rgb(
         out += b"".join(struct.pack(e + "I", len(c)) for c in chunks)
     assert len(out) == data_off, (len(out), data_off)
     return out + b"".join(chunks)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Perceptual difference-hash over DECODED pixels: decode (the
+    shared PPM/PGM/BMP/PNG/GIF/JPEG/TIFF dispatch), nearest-neighbor
+    resize to (hash_w+1) x hash_h, exact integer luma
+    (299R+587G+114B per pixel — comparisons only, so no division),
+    bit k (row-major, k = r*hash_w + c, MSB first) set iff
+    luma[r,c] > luma[r,c+1]. The standard 8x8 gives a 64-bit hash
+    packed into a SIGNED long (two's complement — replayable as
+    BIGINT both engines). Every step is exact integer arithmetic, so
+    the oracle gate replays hashes bit-for-bit.
+
+    This is the multimodal twin of MinHash document dedup: near-dup
+    detection joins on hash BANDS (dhash_near_dup), never all-pairs.
+    Same Arrow stage + two-tier error contract as decode_real."""
+    if hash_w < 1 or hash_h < 1 or hash_w * hash_h > 64:
+        raise ValueError("hash_w*hash_h must be in 1..64")
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            out = {f.name: [] for f in DHASH_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = hv = None
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        fmt, w, h, _ch, rgb = _decode_rgb_bytes(
+                            b, "extract_media_features"
+                        )
+                        r = _nn_resize_rgb(rgb, w, h, hash_w + 1, hash_h)
+                        luma = (
+                            np.frombuffer(r, dtype=np.uint8)
+                            .reshape(hash_h, hash_w + 1, 3)
+                            .astype(np.int64)
+                            @ weights
+                        )
+                        bits = (luma[:, :-1] > luma[:, 1:]).reshape(-1)
+                        v = 0
+                        n = hash_w * hash_h
+                        for k, bit in enumerate(bits):
+                            if bit:
+                                v |= 1 << (n - 1 - k)
+                        if n == 64 and v >= 1 << 63:
+                            v -= 1 << 64  # two's complement signed long
+                        hv = v
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        fmt = hv = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["dhash"].append(hv)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 2, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from 64-bit dhashes: split each hash
+    into `bands` equal bit-slices, equi-join on (band_id, band_value)
+    — the pigeonhole guarantee needs max_hamming < bands: a pair
+    within the Hamming radius must agree on at least one whole band —
+    then verify exact Hamming distance with bit_count(xor). Returns
+    (media_id_a, media_id_b, hamming), a < b.
+
+    The MinHash-LSH shape on the image axis: candidate generation is
+    a banded equi-join (shuffle at band-value grain, hot buckets =
+    identical-image clusters), NEVER an all-pairs product; the
+    verify is a map-side xor/popcount on the candidate set only."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            "need max_hamming < bands (the pigeonhole guarantee)"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col("dhash"), i * width
+                        ).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_id", "b.band_val")
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).alias("hamming")
+    return cand.select("media_id_a", "media_id_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1064,3 +1064,61 @@ def test_decode_real_tiff_errors(spark):
         )
         with pytest.raises(Exception, match=msg):
             decode_real(df, on_unsupported="null").collect()
+
+
+def test_image_dhash_and_near_dup(spark):
+    """dhash comparison/packing semantics on a hand-computed image;
+    identical images across FORMATS share a hash (decode-normalized);
+    banded near-dup finds the planted hamming-1 twin and nothing
+    else; parameter guards hold."""
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        dhash_near_dup,
+        gif_encode_rgb,
+        image_dhash,
+    )
+
+    # 3x2 gray P5: rows [5,3,3] and [1,1,9] -> bits (g[c] > g[c+1]):
+    # row0: 5>3=1, 3>3=0; row1: 1>1=0, 1>9=0 -> MSB-first 1000b = 8
+    p5 = b"P5 3 2 255\n" + bytes([5, 3, 3, 1, 1, 9])
+    rgb = bytes(v for g in [5, 3, 3, 1, 1, 9] for v in (g, g, g))
+    gif = gif_encode_rgb(3, 2, rgb)
+    media = spark.createDataFrame(
+        [(1, p5), (2, gif)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in image_dhash(media, 2, 2).collect()}
+    assert out[1]["dhash"] == 8
+    assert out[2]["dhash"] == 8  # same image, different container
+
+    # planted near-dups: base hash vs 1-bit and 5-bit perturbations
+    def img64(h64):
+        px = bytearray()
+        for r in range(8):
+            g = [128] * 9
+            for c in reversed(range(8)):
+                g[c] = g[c + 1] + ((h64 >> (63 - (r * 8 + c))) & 1)
+            px += bytes(g)
+        return b"P5 9 8 255\n" + bytes(px)
+
+    base = 0x0123456789ABCDEF
+    near = base ^ (1 << 40)
+    far = base ^ 0x1F                      # 5 bits away
+    hashes = image_dhash(
+        spark.createDataFrame(
+            [(1, img64(base)), (2, img64(near)), (3, img64(far))],
+            "media_id long, payload binary",
+        ),
+        8, 8,
+    )
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert got[1] == base and got[2] == near and got[3] == far
+    pairs = dhash_near_dup(hashes, max_hamming=2, bands=4).collect()
+    assert [(p["media_id_a"], p["media_id_b"], p["hamming"])
+            for p in pairs] == [(1, 2, 1)]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup(hashes, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        dhash_near_dup(hashes, max_hamming=2, bands=5)
+    with pytest.raises(ValueError, match="1..64"):
+        image_dhash(media, 9, 8)
