@@ -307,44 +307,85 @@ def simhash_near_dup_pairs(
     as minhash's max_bucket_size). Pairs found via multiple bands
     dedupe with one groupBy on (doc_a, doc_b).
     """
-    if not max_hamming < bands:
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"bits must be in [1, 32] (token hashes are 32-bit), got {bits}"
+        )
+    fp = simhash(documents, bits=bits)
+    return banded_hamming_pairs(
+        fp, "doc_id", "simhash", bits, bands, max_hamming, max_band_freq
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_band_freq: int | None = 1000,
+) -> DataFrame:
+    """The ONE banded Hamming-pairs kernel shared by simhash text
+    dedup and dhash image dedup (multimodal.dhash_near_dup): split
+    each `bits`-bit hash into `bands` contiguous slices, equi-join on
+    (band, value) under the pigeonhole guarantee (max_hamming <
+    bands), confirm with bit_count(xor). Returns (id_a, id_b,
+    hamming), a < b, multi-band hits deduped by a groupBy min.
+
+    Hashes may occupy the SIGNED 64-bit range (dhash packs two's
+    complement) — banding shifts with shiftrightunsigned, and the
+    width==64 single-band case skips the mask (a 64-bit all-ones
+    literal does not fit a signed long). Pass the TRUE hash width as
+    `bits`: declaring 64 for sub-64-bit hashes would make the upper
+    bands constant zero and degenerate the band join toward
+    all-pairs. `max_band_freq` caps degenerate buckets (flat images /
+    boilerplate docs hashing identically — the hot-bucket guard); the
+    merge hint on the band join is the measured static-misestimate
+    defense from the minhash path."""
+    if not 0 <= max_hamming < bands:
         raise ValueError(
             f"need max_hamming < bands for pigeonhole soundness, got "
             f"hamming={max_hamming} bands={bands}"
         )
     if bits % bands != 0:
         raise ValueError(f"bits {bits} not divisible by bands {bands}")
-    if not 1 <= bits <= 32:
-        raise ValueError(
-            f"bits must be in [1, 32] (token hashes are 32-bit), got {bits}"
-        )
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     width = bits // bands
-    fp = simhash(documents, bits=bits)
-    banded = fp.select(
-        "doc_id",
-        "simhash",
+
+    def band_val(b: int) -> F.Column:
+        v = F.shiftrightunsigned(F.col(hash_col), b * width)
+        if width < 64:
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        return v
+
+    banded = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
+                        F.lit(b).alias("band"), band_val(b).alias("val")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bv"),
     ).select(
-        "doc_id", "simhash", F.col("bv.band").alias("band"),
+        "__id", "__h", F.col("bv.band").alias("band"),
         F.col("bv.val").alias("val"),
     )
     if max_band_freq is not None:
         # window count rides the same hash partitioning as the pair
         # join (the minhash max_bucket_size pattern) — no extra join,
-        # and the uncached fingerprint pipeline is not recomputed for
-        # a separate counts branch
+        # and the uncached hash pipeline is not recomputed for a
+        # separate counts branch
         wb = Window.partitionBy("band", "val")
         banded = (
             banded.withColumn("__bf", F.count(F.lit(1)).over(wb))
@@ -353,23 +394,21 @@ def simhash_near_dup_pairs(
         )
     a = banded.select(
         F.col("band"), F.col("val"),
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"),
     )
     b = banded.select(
         F.col("band"), F.col("val"),
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"),
     )
-    dist = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    )
+    dist = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
     return (
-        # merge hint: corpus-sized fingerprint bands on both sides
-        # (same measured static-misestimate hazard as minhash bands)
+        # merge hint: corpus-sized hash bands on both sides (same
+        # measured static-misestimate hazard as minhash bands)
         a.join(b.hint("merge"), ["band", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .groupBy("doc_a", "doc_b")
+        .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
 

@@ -1742,11 +1742,10 @@ def image_dhash(
                             @ weights
                         )
                         bits = (luma[:, :-1] > luma[:, 1:]).reshape(-1)
-                        v = 0
                         n = hash_w * hash_h
-                        for k, bit in enumerate(bits):
-                            if bit:
-                                v |= 1 << (n - 1 - k)
+                        packed = np.packbits(bits)  # MSB-first per byte
+                        v = int.from_bytes(packed.tobytes(), "big")
+                        v >>= 8 * packed.size - n  # drop pad bits
                         if n == 64 and v >= 1 << 63:
                             v -= 1 << 64  # two's complement signed long
                         hv = v
@@ -1765,64 +1764,28 @@ def image_dhash(
 
 
 def dhash_near_dup(
-    hashes: DataFrame, max_hamming: int = 2, bands: int = 4
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    bits: int = 64,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
-    """Near-duplicate IMAGE pairs from 64-bit dhashes: split each hash
-    into `bands` equal bit-slices, equi-join on (band_id, band_value)
-    — the pigeonhole guarantee needs max_hamming < bands: a pair
-    within the Hamming radius must agree on at least one whole band —
-    then verify exact Hamming distance with bit_count(xor). Returns
-    (media_id_a, media_id_b, hamming), a < b.
+    """Near-duplicate IMAGE pairs from dhashes: delegates to the ONE
+    banded Hamming kernel shared with simhash text dedup
+    (dedup.banded_hamming_pairs) — band equi-join under the
+    pigeonhole guarantee, bit_count(xor) verify, hot-bucket cap
+    (flat/blank images all hash to 0 — without `max_band_freq` that
+    cluster self-joins quadratically). Pass the TRUE hash width via
+    `bits` when image_dhash ran with hash_w*hash_h < 64, or the
+    constant-zero upper bands would degenerate the join toward
+    all-pairs. Returns (media_id_a, media_id_b, hamming), a < b."""
+    from .dedup import banded_hamming_pairs
 
-    The MinHash-LSH shape on the image axis: candidate generation is
-    a banded equi-join (shuffle at band-value grain, hot buckets =
-    identical-image clusters), NEVER an all-pairs product; the
-    verify is a map-side xor/popcount on the candidate set only."""
-    if not 0 <= max_hamming < bands:
-        raise ValueError(
-            "need max_hamming < bands (the pigeonhole guarantee)"
-        )
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = hashes.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(
-                            F.col("dhash"), i * width
-                        ).bitwiseAND(F.lit(mask)).alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "dhash", "b.band_id", "b.band_val")
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id_a"),
-            F.col("b.media_id").alias("media_id_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-        )
-        .dropDuplicates(["media_id_a", "media_id_b"])
-    )
-    hamming = F.bit_count(
-        F.col("ha").bitwiseXOR(F.col("hb"))
-    ).alias("hamming")
-    return cand.select("media_id_a", "media_id_b", hamming).filter(
-        F.col("hamming") <= max_hamming
+    return banded_hamming_pairs(
+        hashes, "media_id", "dhash", bits, bands, max_hamming,
+        max_band_freq,
+    ).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
     )

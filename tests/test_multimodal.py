@@ -1118,7 +1118,7 @@ def test_image_dhash_and_near_dup(spark):
             for p in pairs] == [(1, 2, 1)]
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_dup(hashes, max_hamming=4, bands=4)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         dhash_near_dup(hashes, max_hamming=2, bands=5)
     with pytest.raises(ValueError, match="1..64"):
         image_dhash(media, 9, 8)
