@@ -2513,6 +2513,51 @@ def m_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-TIFF decode under the oracle gate: the same 24
+    md5-derived pixel bytes as m_decode_tiff, but even doc_ids are
+    encoded LZW (TIFF 6.0 §13, early-change variable-width codes)
+    with horizontal-differencing Predictor=2 and big-endian 2-strip
+    layout, odd doc_ids PackBits (§9) — so both real decompressors,
+    the per-strip codec reset, and the predictor cumsum inversion all
+    run under the gate. The oracle is the SAME pixel arithmetic as
+    the uncompressed gate (compression must be lossless); any
+    LZW width-bump, predictor, or run-length bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        tiff_encode_rgb(
+                            4, 2, bytes(px), big_endian=True, strips=2,
+                            compression="lzw", predictor=2,
+                        )
+                        if mid % 2 == 0
+                        else tiff_encode_rgb(
+                            4, 2, bytes(px), strips=2,
+                            compression="packbits",
+                        )
+                        for mid, px in zip(pdf["media_id"], pdf["px"])
+                    ],
+                }
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels", "mean_luma_fx"
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -4952,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
         "m_decode_tiff": m_decode_tiff,
+        "m_decode_tiff_lzw": m_decode_tiff_lzw,
         "m_image_dhash": m_image_dhash,
         "m_dhash_near_dup": m_dhash_near_dup,
     }
@@ -6127,6 +6173,23 @@ def oracle_sql() -> dict[str, str]:
         # bytes as m_decode_real (big-endian IFD + 2-strip layout
         # round-trip them) — only the format tag differs
         "m_decode_tiff": f"""
+            WITH {_MD5_BYTES_CTE_SQL}
+            SELECT doc_id AS media_id,
+                   'TIFF' AS format,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(
+                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                     // 8 AS BIGINT) AS mean_luma_fx
+            FROM b
+        """,
+        # same pixel arithmetic as m_decode_tiff: LZW+Predictor2 /
+        # PackBits are lossless, so the decoded pixels must be
+        # byte-identical to the uncompressed gate's
+        "m_decode_tiff_lzw": f"""
             WITH {_MD5_BYTES_CTE_SQL}
             SELECT doc_id AS media_id,
                    'TIFF' AS format,

@@ -1489,14 +1489,185 @@ def embed_stub(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, EMBED_SCHEMA)
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits RLE decode (TIFF 6.0 §9): header n in 0..127 copies
+    the next n+1 literal bytes; n in 129..255 repeats the next byte
+    257-n times; 128 is a no-op. Output bounded at `expect` (the
+    strip's declared pixel bytes — same bomb contract as the PNG
+    inflate bound); trailing pad bytes after a full strip are
+    tolerated (writers pad strips to word boundaries)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        hd = data[i]
+        i += 1
+        if hd < 128:
+            cnt = hd + 1
+            if i + cnt > n:
+                raise ValueError(
+                    "malformed TIFF: truncated PackBits literal"
+                )
+            out += data[i : i + cnt]
+            i += cnt
+        elif hd == 128:
+            continue
+        else:
+            if i >= n:
+                raise ValueError("malformed TIFF: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - hd)
+            i += 1
+    if len(out) > expect:
+        raise ValueError(
+            f"malformed TIFF: PackBits output overflows strip "
+            f"({len(out)} > {expect})"
+        )
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first variable-width
+    codes, Clear=256 / EOI=257, first table entry 258, 12-bit cap, and
+    the spec's "early change" — the code width grows one code EARLIER
+    than the GIF variant (when the table reaches 2**width - 1
+    entries, vs 2**width for _lzw_decode). Inherently sequential like
+    the GIF twin; output bounded at `expect`. A strip that simply ends
+    once exactly `expect` bytes are out is tolerated (some writers
+    omit EOI); ending short of that is malformed."""
+    clear, eoi = 256, 257
+    roots = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(roots)
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nacc = pos = 0
+    n = len(data)
+    while True:
+        while nacc < width:
+            if pos >= n:
+                if len(out) == expect:
+                    return bytes(out)
+                raise ValueError(
+                    "malformed TIFF: LZW strip ends without EOI"
+                )
+            acc = (acc << 8) | data[pos]
+            nacc += 8
+            pos += 1
+        code = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
+        if code == clear:
+            table = list(roots)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):  # clear/eoi already handled above
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(
+                f"malformed TIFF: LZW code {code} out of range"
+            )
+        out += entry
+        if len(out) > expect:
+            raise ValueError(
+                f"malformed TIFF: LZW strip yields more than "
+                f"{expect} bytes"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF LZW encoder (fixture/synthesis side, like
+    gif_encode's LZW): MSB-first codes, ClearCode opens the strip,
+    early-change width bumps in exact lockstep with _tiff_lzw_decode
+    (encoder bumps when next_code reaches 2**width — one append ahead
+    of the decoder's 2**width - 1 table check), table reset at 4094
+    entries (libtiff's margin), EOI terminated."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    omega = b""
+    for ch in data:
+        cand = omega + bytes([ch])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        omega = bytes([ch])
+        if next_code == 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+    if omega:
+        emit(table[omega], width)
+    emit(257, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Real PackBits encoder (fixture side): repeat packets for runs
+    of >=2 identical bytes, literal packets otherwise, both capped at
+    128 bytes — so the decoder's run AND literal paths are both
+    exercised by fixtures."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        start = i
+        i += 1
+        while (
+            i < n
+            and i - start < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
 def _tiff_decode(b: bytes) -> tuple:
     """Baseline TIFF decode (pure python + numpy): II/MM byte order,
-    first-IFD tag walk (TIFF 6.0 §2), uncompressed strips, 8-bit
-    grayscale (BlackIsZero/WhiteIsZero), RGB, and palette-color
-    (ColorMap 16-bit entries, high byte taken). CAPABILITY limits:
-    any Compression other than 1, non-8-bit samples, planar
-    configuration 2, tiled images. MALFORMED: truncated IFD/strips,
-    missing required tags, strip bytes short of width*height."""
+    first-IFD tag walk (TIFF 6.0 §2), uncompressed / LZW (§13) /
+    PackBits (§9) strips with per-strip codec reset, horizontal-
+    differencing Predictor=2 (§14, inverted with an exact per-lane
+    cumsum mod 256 — the PNG Sub rule), 8-bit grayscale
+    (BlackIsZero/WhiteIsZero), RGB, and palette-color (ColorMap
+    16-bit entries, high byte taken). CAPABILITY limits: other
+    Compression values (JPEG-in-TIFF, Deflate), non-8-bit samples,
+    planar configuration 2, tiled images. MALFORMED: truncated
+    IFD/strips, missing required tags, strip bytes short of
+    width*height, LZW/PackBits stream errors."""
     import struct
 
     if b[:4] == b"II*\x00":
@@ -1547,10 +1718,10 @@ def _tiff_decode(b: bytes) -> tuple:
     spp = one(277, 1)
     bits = tags.get(258) or [8] * spp  # count=0 entry == absent
     rows_per_strip = one(278, h)
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"only uncompressed TIFF supported (Compression={comp}; "
-            "LZW/PackBits/JPEG-in-TIFF need codec libraries)"
+            f"unsupported TIFF Compression={comp} (uncompressed, LZW "
+            "and PackBits are decoded; JPEG-in-TIFF/Deflate are not)"
         )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (strips only)")
@@ -1561,25 +1732,71 @@ def _tiff_decode(b: bytes) -> tuple:
         raise NotImplementedError(
             f"only 8-bit TIFF samples supported (BitsPerSample={bits})"
         )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF Predictor={predictor} unsupported (none / "
+            "horizontal differencing only)"
+        )
     if w <= 0 or h <= 0:
         raise ValueError(f"malformed TIFF: {w}x{h}")
     offs = tags.get(273)
     counts = tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
         raise ValueError("malformed TIFF: StripOffsets/StripByteCounts")
-    del rows_per_strip  # strip layout is fully determined by 273/279
-    parts = []
-    for so, sc in zip(offs, counts):
-        if so + sc > len(b):
-            raise ValueError("truncated TIFF strip")
-        parts.append(b[so : so + sc])
-    data = b"".join(parts)
-    need = w * h * spp
-    if len(data) < need:
-        raise ValueError(
-            f"truncated TIFF: strips carry {len(data)} of {need} bytes"
-        )
+    row_bytes = w * spp
+    need = h * row_bytes
+    if comp == 1:
+        del rows_per_strip  # layout fully determined by 273/279
+        parts = []
+        for so, sc in zip(offs, counts):
+            if so + sc > len(b):
+                raise ValueError("truncated TIFF strip")
+            parts.append(b[so : so + sc])
+        data = b"".join(parts)
+        if len(data) < need:
+            raise ValueError(
+                f"truncated TIFF: strips carry {len(data)} of "
+                f"{need} bytes"
+            )
+    else:
+        # LZW/PackBits reset per strip (TIFF 6.0 §13/§9): each strip
+        # decompresses independently to exactly its declared row span,
+        # which is also the decompression-bomb bound
+        if rows_per_strip <= 0:
+            raise ValueError(
+                f"malformed TIFF: RowsPerStrip={rows_per_strip}"
+            )
+        parts = []
+        for k, (so, sc) in enumerate(zip(offs, counts)):
+            if so + sc > len(b):
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per_strip, h - k * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("malformed TIFF: more strips than rows")
+            expect = n_rows * row_bytes
+            raw = bytes(b[so : so + sc])
+            out = (
+                _tiff_lzw_decode(raw, expect)
+                if comp == 5
+                else _packbits_decode(raw, expect)
+            )
+            if len(out) != expect:
+                raise ValueError(
+                    f"malformed TIFF: strip {k} decodes to "
+                    f"{len(out)} of {expect} bytes"
+                )
+            parts.append(out)
+        data = b"".join(parts)
     arr = np.frombuffer(data, dtype=np.uint8, count=need)
+    if predictor == 2:
+        # invert horizontal differencing: per-row, per-sample-lane
+        # cumulative sum mod 256
+        arr = (
+            (np.cumsum(arr.reshape(h, w, spp), axis=1) & 0xFF)
+            .astype(np.uint8)
+            .reshape(-1)
+        )
     if photo == 2:  # RGB
         if spp < 3:
             raise ValueError("malformed TIFF: RGB with SamplesPerPixel<3")
@@ -1616,26 +1833,52 @@ def _tiff_decode(b: bytes) -> tuple:
 
 
 def tiff_encode_rgb(
-    w: int, h: int, rgb: bytes, big_endian: bool = False, strips: int = 1
+    w: int,
+    h: int,
+    rgb: bytes,
+    big_endian: bool = False,
+    strips: int = 1,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
     """Synthetic-fixture TIFF encoder (tests + the m_decode_tiff gate
-    query — NOT a public pipeline operator): 8-bit RGB, uncompressed,
-    II or MM byte order, split into `strips` row-strips so the strip
-    walk runs for real."""
+    queries — NOT a public pipeline operator): 8-bit RGB, II or MM
+    byte order, split into `strips` row-strips so the strip walk runs
+    for real. `compression` in {"none", "lzw", "packbits"} (each
+    strip compressed independently, per spec); `predictor=2` applies
+    horizontal differencing before compression (LZW §14 pairing,
+    honored for any codec here)."""
     import struct
 
     if len(rgb) != w * h * 3:
         raise ValueError("rgb length must be w*h*3")
     if not 1 <= strips <= h:
         raise ValueError("strips must be in 1..h")
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
     e = ">" if big_endian else "<"
     rows_per = -(-h // strips)
+    if predictor == 2:
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        d = np.diff(
+            px.astype(np.int16),
+            axis=1,
+            prepend=np.zeros((h, 1, 3), dtype=np.int16),
+        )
+        rgb = (d & 0xFF).astype(np.uint8).tobytes()
     chunks = [
         rgb[r * rows_per * w * 3 : (r + 1) * rows_per * w * 3]
         for r in range(strips)
     ]
     chunks = [c for c in chunks if c]
-    n_tags = 9
+    if compression == "lzw":
+        chunks = [_tiff_lzw_encode(c) for c in chunks]
+    elif compression == "packbits":
+        chunks = [_packbits_encode(c) for c in chunks]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    n_tags = 9 + (predictor == 2)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n_tags + 4
     bits_off = after_ifd            # 3 SHORTs = 6 bytes
@@ -1669,12 +1912,14 @@ def tiff_encode_rgb(
     ifd += entry(256, 3, 1, short_val(w))
     ifd += entry(257, 3, 1, short_val(h))
     ifd += entry(258, 3, 3, long_val(bits_off))
-    ifd += entry(259, 3, 1, short_val(1))
+    ifd += entry(259, 3, 1, short_val(comp_tag))
     ifd += entry(262, 3, 1, short_val(2))
     ifd += entry(273, 4, n_strips, so_val)
     ifd += entry(277, 3, 1, short_val(3))
     ifd += entry(278, 3, 1, short_val(rows_per))
     ifd += entry(279, 4, n_strips, sc_val)
+    if predictor == 2:
+        ifd += entry(317, 3, 1, short_val(2))
     ifd += struct.pack(e + "I", 0)  # no next IFD
     out = (
         (b"MM\x00*" if big_endian else b"II*\x00")

@@ -1048,22 +1048,98 @@ def test_decode_real_tiff_errors(spark):
                 return bytes(buf)
         raise AssertionError(tag)
 
-    lzw = mutate(259, 5)
+    deflate = mutate(259, 8)  # Deflate-in-TIFF: still a capability limit
     caps = spark.createDataFrame(
-        [(1, good), (2, lzw)], "media_id long, payload binary"
+        [(1, good), (2, deflate)],
+        "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in
            decode_real(caps, on_unsupported="null").collect()}
-    assert out[1]["format"] == "TIFF" and out[2]["format"] is None
+    assert out[1]["format"] == "TIFF"
+    assert out[2]["format"] is None
+    # Compression=5 over NON-LZW strip bytes is now MALFORMED (the
+    # decoder really runs), so it raises even under on_unsupported=null
     for payload, msg in [
         (good[:30], "truncated TIFF"),
         (good[:-5], "truncated TIFF strip|strips carry"),
+        (mutate(259, 5), "LZW"),
     ]:
         df = spark.createDataFrame(
             [(1, payload)], "media_id long, payload binary"
         )
         with pytest.raises(Exception, match=msg):
             decode_real(df, on_unsupported="null").collect()
+
+
+def test_decode_real_tiff_compressed(spark):
+    """REAL LZW + PackBits TIFF decode: every (codec, predictor,
+    byte-order, strips) combination decodes to the same pixels as the
+    uncompressed file (cross-variant pixel_md5 golden), and malformed
+    compressed streams are typed errors."""
+    import numpy as np
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        _packbits_decode,
+        _tiff_lzw_decode,
+        decode_real,
+        tiff_encode_rgb,
+    )
+
+    rng = np.random.default_rng(42)
+    w, h = 11, 7
+    # half noise, half flat runs: exercises LZW dict growth AND
+    # PackBits repeat packets
+    noise = rng.integers(0, 256, w * 4 * 3, dtype=np.uint8).tobytes()
+    flat = bytes([77]) * (w * 3 * 3)
+    rgb = noise + flat
+    rows = [
+        (1, tiff_encode_rgb(w, h, rgb)),
+        (2, tiff_encode_rgb(w, h, rgb, compression="lzw")),
+        (3, tiff_encode_rgb(w, h, rgb, compression="lzw", predictor=2,
+                            big_endian=True, strips=3)),
+        (4, tiff_encode_rgb(w, h, rgb, compression="packbits",
+                            strips=2)),
+        (5, tiff_encode_rgb(w, h, rgb, compression="packbits",
+                            predictor=2)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_real(media).collect()
+    md5s = {r["pixel_md5"] for r in out}
+    assert len(md5s) == 1 and len(out) == 5
+    assert all(r["width"] == w and r["height"] == h for r in out)
+
+    # malformed compressed streams: typed ValueError, never silence
+    with pytest.raises(ValueError, match="LZW code .* out of range"):
+        # 9-bit code 258 right after the implicit fresh table
+        _tiff_lzw_decode(bytes([0b10000001, 0]), 100)
+    with pytest.raises(ValueError, match="ends without EOI"):
+        _tiff_lzw_decode(b"\x00", 100)
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _packbits_decode(b"\x05ab", 100)
+    with pytest.raises(ValueError, match="truncated PackBits run"):
+        _packbits_decode(b"\xfe", 100)
+    # bomb bound: a run longer than the strip's declared bytes
+    with pytest.raises(ValueError, match="overflows strip"):
+        _packbits_decode(b"\x81x", 1)
+    with pytest.raises(ValueError, match="more than"):
+        # 9-bit code 0 forty times: literal roots overflow the bound
+        _tiff_lzw_decode(bytes(45), 10)
+    # unknown predictor value: capability limit, not malformed
+    t = tiff_encode_rgb(2, 2, bytes(range(12)), compression="lzw",
+                        predictor=2)
+    buf = bytearray(t)
+    import struct
+    n = struct.unpack_from("<H", buf, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", buf, off)[0] == 317:
+            struct.pack_into("<H", buf, off + 8, 3)
+    df = spark.createDataFrame(
+        [(1, bytes(buf))], "media_id long, payload binary"
+    )
+    row = decode_real(df, on_unsupported="null").collect()[0]
+    assert row["format"] is None
 
 
 def test_image_dhash_and_near_dup(spark):

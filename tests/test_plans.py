@@ -157,6 +157,7 @@ MIP_ALLOWED = {
     "w_warc_parse": 1,       # record fan-out needs imperative parsing
     "p_decompress_text": 2,  # gzip synth + bounded inflate
     "m_decode_tiff": 2,      # TIFF synth (IFD build) + decode
+    "m_decode_tiff_lzw": 2,  # TIFF synth (LZW/PackBits encode) + decode
     "m_image_dhash": 1,
     "m_dhash_near_dup": 4,   # synth + hash, duplicated by the self-join
 }
