@@ -2330,6 +2330,44 @@ def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companded-audio decode under the oracle gate: the
+    same 24 md5-derived bytes as m_decode_audio, but written as 8-bit
+    COMPANDED codes — µ-law (WAV format 7) for even doc_ids, A-law
+    (format 6) for odd — and expanded to 16-bit linear by
+    multimodal._wav_samples' exact-integer LUTs (ITU-T G.711). The
+    oracle replays the expansion formulas ARITHMETICALLY in SQL
+    (complement/xor-0x55, segment shift, sign) with no WAV parsing —
+    any LUT, sign-convention, or segment-boundary bug
+    hash-mismatches on peak/mean-square."""
+    import struct
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def header(code: int) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + 24) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, code, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 24)
+        )
+
+    payload = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(header(7)))
+        .otherwise(F.lit(header(6))),
+        _md5_payload_bytes(),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "sample_rate", "bit_depth",
+        "n_frames", "duration_ms", "peak_abs", "mean_square_fx",
+    )
+
+
 def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
     as m_decode_real (24 md5-derived bytes) encoded per document as an
@@ -4985,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_incremental_embed": s_incremental_embed,
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
+        "m_decode_g711": m_decode_g711,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6014,6 +6053,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS duration_ms,
                    CAST(list_max([abs(v) for v in smp]) AS BIGINT) AS peak_abs,
                    CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 12
+                        AS BIGINT) AS mean_square_fx
+            FROM s
+        """,
+        # arithmetic replay of the G.711 expansion: the same 24 md5
+        # bytes as companded codes — µ-law (even doc_id: complement,
+        # segment shift, bias 0x84) / A-law (odd: xor 0x55, segment
+        # shift, bias 0x108) — expanded per ITU-T G.711 in pure SQL
+        "m_decode_g711": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN
+                         [CASE WHEN (255 - c) >= 128 THEN
+                              -((((255 - c) % 16) * 8 + 132)
+                                * (1 << (((255 - c) // 16) % 8)) - 132)
+                          ELSE
+                              ((((255 - c) % 16) * 8 + 132)
+                               * (1 << (((255 - c) // 16) % 8)) - 132)
+                          END
+                          for c in bytes]
+                       ELSE
+                         [CASE WHEN xor(c, 85) >= 128 THEN
+                              CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                                   THEN (xor(c, 85) % 16) * 16 + 8
+                                   ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                        * (1 << ((xor(c, 85) // 16) % 8 - 1))
+                              END
+                          ELSE
+                              -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                                     THEN (xor(c, 85) % 16) * 16 + 8
+                                     ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                          * (1 << ((xor(c, 85) // 16) % 8 - 1))
+                                END)
+                          END
+                          for c in bytes]
+                       END AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'WAV' AS format,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(8 AS INTEGER) AS bit_depth,
+                   CAST(24 AS BIGINT) AS n_frames,
+                   CAST(3 AS BIGINT) AS duration_ms,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT)
+                       AS peak_abs,
+                   CAST(CAST(list_sum([v*v for v in smp]) AS BIGINT) // 24
                         AS BIGINT) AS mean_square_fx
             FROM s
         """,

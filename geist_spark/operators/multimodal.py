@@ -1187,13 +1187,44 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _g711_tables() -> tuple:
+    """256-entry µ-law / A-law expansion LUTs (ITU-T G.711, the
+    classic CCITT ulaw2linear/alaw2linear formulas), built once as
+    int64 numpy arrays. Exact integer — the oracle gate replays the
+    same formulas in SQL."""
+    global _G711_LUTS
+    try:
+        return _G711_LUTS
+    except NameError:
+        pass
+    codes = np.arange(256, dtype=np.int64)
+    u = 255 - codes  # µ-law: stored complemented
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    ulaw = np.where(u >= 128, -mag, mag)
+    a = codes ^ 0x55  # A-law: even bits inverted
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0)
+    )
+    mag = np.where(seg == 1, t + 0x108, mag)
+    alaw = np.where(a >= 128, mag, -mag)
+    _G711_LUTS = (ulaw, alaw)
+    return _G711_LUTS
+
+
 def _wav_samples(b: bytes) -> tuple:
-    """RIFF/WAVE PCM sample extraction (pure python): fmt + data chunk
-    walk, 8-bit unsigned (centered) and 16-bit signed LE samples.
-    Returns (n_channels, sample_rate, bit_depth, samples) with samples
-    an int64 INTERLEAVED numpy array — int64 throughout so downstream
-    sums of squares stay exact for any payload a Spark row can hold
-    (2 GB row cap -> 1e9 samples -> max sum ~1.07e18 < 2^63)."""
+    """RIFF/WAVE sample extraction (pure python): fmt + data chunk
+    walk; 8-bit unsigned (centered) and 16-bit signed LE linear PCM,
+    plus G.711 µ-law (format 7) and A-law (format 6) expanded to
+    16-bit linear through exact-integer LUTs. Returns (n_channels,
+    sample_rate, bit_depth, samples) with bit_depth the CONTAINER
+    depth (8 for G.711) and samples an int64 INTERLEAVED numpy array
+    — int64 throughout so downstream sums of squares stay exact for
+    any payload a Spark row can hold (2 GB row cap -> 1e9 samples ->
+    max sum ~1.07e18 < 2^63)."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -1218,9 +1249,13 @@ def _wav_samples(b: bytes) -> tuple:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, ch, rate, _byterate, _align, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
+    if not (
+        (audio_fmt == 1 and bits in (8, 16))
+        or (audio_fmt in (6, 7) and bits == 8)
+    ):
         raise NotImplementedError(
-            f"only 8/16-bit PCM WAV supported (format={audio_fmt}, bits={bits})"
+            f"only 8/16-bit PCM and 8-bit G.711 A-law/µ-law WAV "
+            f"supported (format={audio_fmt}, bits={bits})"
         )
     if ch <= 0 or rate <= 0:
         raise ValueError(
@@ -1233,7 +1268,11 @@ def _wav_samples(b: bytes) -> tuple:
             f"multiple of the {ch * bps}-byte frame size"
         )
     n_samples = len(data) // bps
-    if bits == 8:  # unsigned, centered at 128
+    if audio_fmt in (6, 7):  # G.711: expand to 16-bit linear
+        ulaw, alaw = _g711_tables()
+        lut = ulaw if audio_fmt == 7 else alaw
+        samples = lut[np.frombuffer(data, dtype=np.uint8, count=n_samples)]
+    elif bits == 8:  # unsigned, centered at 128
         samples = np.frombuffer(
             data, dtype=np.uint8, count=n_samples
         ).astype(np.int64) - 128

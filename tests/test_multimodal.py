@@ -519,6 +519,57 @@ def test_decode_audio_real_wav(spark):
     assert out[3]["format"] is None
 
 
+def test_decode_audio_g711(spark):
+    """REAL G.711 µ-law/A-law expansion: the LUTs reproduce the
+    canonical ITU-T reference points (0xFF->0, ±32124 µ-law extremes;
+    ±8 / ±32256 A-law extremes), a companded WAV decodes through the
+    same surface as linear PCM, and ADPCM stays a typed capability
+    limit."""
+    import struct
+
+    import numpy as np
+
+    from geist_spark.operators.multimodal import (
+        _g711_tables,
+        decode_audio_real,
+    )
+
+    ulaw, alaw = _g711_tables()
+    # canonical reference points (CCITT ulaw2linear / alaw2linear)
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert ulaw[0x80] == 32124 and ulaw[0x00] == -32124
+    assert alaw[0xD5] == 8 and alaw[0x55] == -8
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256
+    # µ-law is symmetric: code and code^0x80 negate each other
+    assert (ulaw[np.arange(128)] == -ulaw[np.arange(128) + 128]).all()
+    assert (alaw[np.arange(128)] == -alaw[np.arange(128) + 128]).all()
+
+    def g711_wav(code: int, payload: bytes) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, code, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    codes = bytes([0x00, 0x80, 0xFF, 0xD5, 0x55, 0x2A])
+    adpcm = g711_wav(0x11, codes)  # IMA ADPCM: capability limit
+    media = spark.createDataFrame(
+        [(1, g711_wav(7, codes)), (2, g711_wav(6, codes)), (3, adpcm)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_audio_real(media, on_unsupported="null").collect()}
+    exp_u = ulaw[np.frombuffer(codes, np.uint8)]
+    exp_a = alaw[np.frombuffer(codes, np.uint8)]
+    assert out[1]["bit_depth"] == 8 and out[1]["format"] == "WAV"
+    assert out[1]["peak_abs"] == int(np.abs(exp_u).max())
+    assert out[1]["mean_square_fx"] == int((exp_u * exp_u).sum()) // 6
+    assert out[2]["peak_abs"] == int(np.abs(exp_a).max())
+    assert out[2]["mean_square_fx"] == int((exp_a * exp_a).sum()) // 6
+    assert out[3]["format"] is None
+
+
 def test_decode_audio_real_unsupported_and_malformed(spark):
     from geist_spark.operators.multimodal import decode_audio_real
 
