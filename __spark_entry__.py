@@ -2645,18 +2645,28 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent decompression under the oracle gate: each doc's
-    text is gzip-compressed (stdlib, in a first Arrow stage — Spark
-    has no gzip column expression) and fed through
-    prep.decompress_text. The oracle is the IDENTITY on documents
-    (text + byte length): a header-walk, multi-member, bounded-
-    inflate, or utf-8 bug breaks the round-trip hash."""
+    text is compressed with the codec picked by doc_id % 4 — gzip,
+    zlib, bzip2, xz (all four stdlib decode paths run under the
+    gate) — and fed through prep.decompress_text. The oracle is the
+    IDENTITY on documents (text + byte length): a header-walk,
+    multi-member, bounded-inflate, or utf-8 bug in ANY codec breaks
+    the round-trip hash."""
+    import bz2 as _bz2
     import gzip as _gzip
+    import lzma as _lzma
+    import zlib as _zlib
 
     import pandas as _pd
 
     from geist_spark.operators.prep import decompress_text
 
     docs = _t(spark, sf_dir, "documents")
+    codecs = [
+        lambda raw: _gzip.compress(raw, mtime=0),
+        _zlib.compress,
+        _bz2.compress,
+        _lzma.compress,  # FORMAT_XZ default
+    ]
 
     def synth(batches):
         for pdf in batches:
@@ -2664,8 +2674,8 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        _gzip.compress(t.encode("utf-8"), mtime=0)
-                        for t in pdf["text"]
+                        codecs[did % 4](t.encode("utf-8"))
+                        for did, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
             )

@@ -699,19 +699,22 @@ def decompress_text(
     on_unsupported: str = "error",
 ) -> DataFrame:
     """Transparent text decompression for compressed crawl payloads:
-    gzip (magic 1f 8b, multi-member concatenation handled) and zlib
-    (0x78 family) via stdlib zlib inside one Arrow-batched
-    mapInPandas stage — zero shuffle, partitioning preserved.
-    Returns (id, text utf-8 with U+FFFD for invalid bytes, byte_len
-    of the DECOMPRESSED payload).
+    gzip (magic 1f 8b, multi-member concatenation handled), zlib
+    (0x78 family), bzip2 ("BZh", multi-stream pbzip2 output handled),
+    and xz ("\\xfd7zXZ", multi-stream + stream padding) — all stdlib
+    codecs inside one Arrow-batched mapInPandas stage — zero shuffle,
+    partitioning preserved. Returns (id, text utf-8 with U+FFFD for
+    invalid bytes, byte_len of the DECOMPRESSED payload).
 
     Two-tier errors, repo contract: unknown magic (zstd/brotli/lz4 —
     codecs not in this container) is a CAPABILITY limit — raise
     naming the id, or NULL the row under on_unsupported='null';
-    corrupt streams are MALFORMED and always raise ValueError. The
-    inflate is BOUNDED at max_bytes (a decompression bomb raises the
-    typed malformed error, never OOMs the executor — the PNG IDAT
-    rule)."""
+    corrupt streams are MALFORMED and always raise ValueError. Every
+    codec's output is BOUNDED at max_bytes (a decompression bomb
+    raises the typed malformed error, never OOMs the executor — the
+    PNG IDAT rule)."""
+    import bz2
+    import lzma
     import zlib
     from collections.abc import Iterator
 
@@ -748,6 +751,37 @@ def decompress_text(
                 raise ValueError("trailing garbage after zlib stream")
         return b"".join(parts)
 
+    def inflate_bx(b: bytes, codec: str) -> bytes:
+        # bz2 / xz: one stdlib decompressor per concatenated stream
+        # (pbzip2 / multi-stream xz), each bounded at the remaining
+        # budget like the zlib path
+        parts, data, budget = [], b, max_bytes
+        while data:
+            d = (
+                bz2.BZ2Decompressor()
+                if codec == "bz2"
+                else lzma.LZMADecompressor(lzma.FORMAT_XZ)
+            )
+            try:
+                chunk = d.decompress(data, budget + 1)
+            except (OSError, lzma.LZMAError) as exc:
+                raise ValueError(
+                    f"malformed {codec} payload: {exc}"
+                ) from None
+            parts.append(chunk)
+            budget -= len(chunk)
+            if budget < 0:
+                raise ValueError(
+                    f"compressed payload inflates past max_bytes={max_bytes}"
+                )
+            if not d.eof:
+                raise ValueError("truncated compressed payload")
+            data = d.unused_data
+            if codec == "xz":
+                # xz stream padding: NUL runs between streams are legal
+                data = data.lstrip(b"\x00")
+        return b"".join(parts)
+
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             ids, texts, lens = [], [], []
@@ -764,16 +798,28 @@ def decompress_text(
                         and (b[0] & 0x0F) == 8
                         and ((b[0] << 8) | b[1]) % 31 == 0
                     )
+                    is_bz2 = (
+                        len(b) >= 4
+                        and b[:3] == b"BZh"
+                        and 0x31 <= b[3] <= 0x39
+                    )
                     if b[:2] == b"\x1f\x8b" or is_zlib:
                         raw = inflate(b)
-                        text = raw.decode("utf-8", errors="replace")
-                        blen = len(raw)
+                    elif is_bz2:
+                        raw = inflate_bx(b, "bz2")
+                    elif b[:6] == b"\xfd7zXZ\x00":
+                        raw = inflate_bx(b, "xz")
                     elif on_unsupported == "error":
                         raise NotImplementedError(
-                            f"{id_col}={did}: payload is neither gzip nor "
-                            "zlib (zstd/brotli/lz4 codecs not in this "
-                            "environment) — pass on_unsupported='null'"
+                            f"{id_col}={did}: payload is not gzip, zlib, "
+                            "bzip2 or xz (zstd/brotli/lz4 codecs not in "
+                            "this environment) — pass on_unsupported='null'"
                         )
+                    else:
+                        raw = None
+                    if raw is not None:
+                        text = raw.decode("utf-8", errors="replace")
+                        blen = len(raw)
                 ids.append(did)
                 texts.append(text)
                 lens.append(blen)

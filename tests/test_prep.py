@@ -1165,6 +1165,49 @@ def test_decompress_text_roundtrip_and_errors(spark):
                             on_unsupported="null").collect()
 
 
+def test_decompress_text_bz2_and_xz(spark):
+    """bzip2 and xz payloads decode through the same surface:
+    multi-stream concatenation (pbzip2 layout, xz stream padding),
+    the max_bytes bomb bound, and typed malformed errors."""
+    import bz2
+    import lzma
+
+    import pytest
+
+    from geist_spark.operators.prep import decompress_text
+
+    two_bz = bz2.compress(b"hello ") + bz2.compress(b"world")
+    # multi-stream xz with 4-byte NUL stream padding between streams
+    two_xz = lzma.compress(b"foo ") + b"\x00" * 4 + lzma.compress(b"bar")
+    rows = [
+        (1, bz2.compress("héllo bz2".encode())),
+        (2, lzma.compress(b"xz text")),
+        (3, two_bz),
+        (4, two_xz),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decompress_text(df).collect()}
+    assert out[1]["text"] == "héllo bz2" and out[1]["byte_len"] == 10
+    assert out[2]["text"] == "xz text"
+    assert out[3]["text"] == "hello world"
+    assert out[4]["text"] == "foo bar"
+
+    for payload, msg in [
+        (bz2.compress(b"abcdef")[:-4], "truncated compressed"),
+        (lzma.compress(b"abcdef")[:-4], "truncated compressed"),
+        (b"BZh9" + b"\xde\xad\xbe\xef" * 4, "malformed bz2"),
+        (b"\xfd7zXZ\x00" + b"\xde\xad\xbe\xef" * 4, "malformed xz"),
+        (bz2.compress(b"\x00" * 10_000_000), "max_bytes=1024"),
+        (lzma.compress(b"\x00" * 10_000_000), "max_bytes=1024"),
+    ]:
+        d = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=msg):
+            decompress_text(d, max_bytes=1024,
+                            on_unsupported="null").collect()
+
+
 def test_decompress_text_zlib_sniff_fcheck(spark):
     """A plain-text payload starting with 'x' (0x78) must land in the
     CAPABILITY tier (it is not zlib — the RFC 1950 FCHECK fails), not
