@@ -2371,15 +2371,16 @@ def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
     as m_decode_real (24 md5-derived bytes) encoded per document as an
-    8-bit PNG with row filters Sub (row 0) and Paeth (row 1) — so the
-    zlib inflate AND the hardest unfiltering paths run for real — then
+    8-bit PNG — even doc_ids plain-coded with row filters Sub (row 0)
+    and Paeth (row 1), odd doc_ids ADAM7-INTERLACED (per-pass
+    sub-image filtering + strided scatter both run for real) — then
     decoded by multimodal.decode_real (stdlib zlib + numpy scanline
     unfiltering, multimodal.py). PNG synthesis needs Python zlib, so
     it runs as a first Arrow-batched mapInPandas stage; the oracle
     recomputes the luma ARITHMETICALLY from the md5 hex digests with
-    no PNG parsing oracle-side — a chunk-walk, inflate-size, or
-    unfilter bug in the decoder hash-mismatches against the PPM-path
-    arithmetic."""
+    no PNG parsing oracle-side — a chunk-walk, inflate-size,
+    unfilter, or deinterlace bug in the decoder hash-mismatches
+    against the PPM-path arithmetic."""
     import pandas as _pd
 
     from geist_spark.operators.multimodal import decode_real, png_encode_rgb
@@ -2388,6 +2389,10 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select(
         F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
     )
+    # 4x2 Adam7 pass scanlines: p1 1, p2 0(empty w<5... p2 starts x=4
+    # -> empty for w=4), p4 1, p6 1, p7 1 -> filters indexed per pass
+    # scanline; Sub/Up/Paeth/None across them
+    i7_filters = [1, 4, 2, 0]
 
     def synth(batches):
         for pdf in batches:
@@ -2396,7 +2401,11 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": [
                         png_encode_rgb(4, 2, bytes(px), [1, 4])
-                        for px in pdf["px"]
+                        if mid % 2 == 0
+                        else png_encode_rgb(
+                            4, 2, bytes(px), i7_filters, interlace=True
+                        )
+                        for mid, px in zip(pdf["media_id"], pdf["px"])
                     ],
                 }
             )

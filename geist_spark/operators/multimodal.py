@@ -547,15 +547,26 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes (PNG spec §8.2): (x_start, y_start, x_step,
+# y_step) in stream order; each pass is an independently-filtered
+# sub-image, empty passes contribute no scanlines
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _png_decode(b: bytes) -> tuple:
     """PNG decode WITHOUT codec libraries: stdlib zlib inflate + numpy
     scanline unfiltering. Supported: 8-bit depth, color types 0
-    (grayscale), 2 (RGB), 3 (palette), non-interlaced — the common
-    lossless web-crawl shapes. Gray normalizes to RGB triples (like
+    (grayscale), 2 (RGB), 3 (palette), non-interlaced AND Adam7
+    interlaced (each pass unfiltered as its own sub-image, scattered
+    back with strided numpy assignment) — the common lossless
+    web-crawl shapes. Gray normalizes to RGB triples (like
     PGM) so the cross-format pixel_md5 contract holds; palette expands
     through PLTE (channels reported as 3 — the colors are RGB even
     though storage is indexed). CAPABILITY limits (16-bit, alpha
-    variants 4/6, Adam7 interlace) raise NotImplementedError; bad
+    variants 4/6) raise NotImplementedError; bad
     chunk CRCs, truncation, and inflate/size mismatches are MALFORMED
     (ValueError), per the two-tier error contract."""
     import struct
@@ -601,8 +612,6 @@ def _png_decode(b: bytes) -> tuple:
             f"malformed PNG IHDR: compression={comp}, filter={filt}, "
             f"interlace={interlace}"
         )
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
     if depth != 8:
         raise NotImplementedError(
             f"only 8-bit PNG supported (bit depth={depth})"
@@ -627,7 +636,17 @@ def _png_decode(b: bytes) -> tuple:
         raise ValueError("malformed PNG: no IDAT chunks")
     bpp = 3 if ctype_v == 2 else 1
     stride = w * bpp
-    expected = h * (1 + stride)
+    if interlace == 1:
+        spans = []
+        expected = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            nbytes = ph * (1 + pw * bpp) if pw > 0 and ph > 0 else 0
+            spans.append((pw, ph, nbytes))
+            expected += nbytes
+    else:
+        expected = h * (1 + stride)
     # bounded inflate: a decompression-bomb IDAT (deflate ~1030:1)
     # must raise the typed malformed error at expected+1 bytes, never
     # materialize gigabytes before the size check (OOM would escape
@@ -644,7 +663,22 @@ def _png_decode(b: bytes) -> tuple:
             f"{len(raw)} bytes, expected {expected} for {w}x{h} "
             f"color type {ctype_v}"
         )
-    recon = _png_unfilter(raw, h, stride, bpp)
+    if interlace == 1:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, xs, ys), (pw, ph, nbytes) in zip(
+            _ADAM7_PASSES, spans
+        ):
+            if nbytes == 0:
+                continue
+            rec = _png_unfilter(
+                raw[off : off + nbytes], ph, pw * bpp, bpp
+            )
+            off += nbytes
+            img[y0::ys, x0::xs] = rec.reshape(ph, pw, bpp)
+        recon = img.reshape(h, stride)
+    else:
+        recon = _png_unfilter(raw, h, stride, bpp)
     if ctype_v == 2:
         return "PNG", w, h, 3, recon.tobytes()
     if ctype_v == 0:  # gray -> RGB triples, like PGM
@@ -662,55 +696,101 @@ def _png_decode(b: bytes) -> tuple:
 
 
 def png_encode_rgb(
-    w: int, h: int, rgb: bytes, filters: list[int] | None = None
+    w: int,
+    h: int,
+    rgb: bytes,
+    filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Synthetic-fixture PNG encoder (tests + the m_decode_png gate
     query synthesize payloads with it — NOT a public pipeline
-    operator): 8-bit RGB, one zlib stream, per-row filter types taken
-    from `filters` (default all 0/None) so the decoder's unfiltering
-    paths are exercised against real filtered data."""
+    operator): 8-bit RGB, one zlib stream, per-scanline filter types
+    taken from `filters` (default all 0/None) so the decoder's
+    unfiltering paths are exercised against real filtered data. With
+    `interlace=True` the image is written Adam7: each pass filtered
+    as its own sub-image, `filters` indexed by pass-scanline order
+    (total = sum of non-empty pass heights)."""
     import struct
     import zlib
 
     if len(rgb) != w * h * 3:
         raise ValueError("rgb length must be w*h*3")
-    filters = filters or [0] * h
-    if len(filters) != h:
-        raise ValueError("need one filter type per row")
-    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w * 3).astype(np.int64)
-    lines = bytearray()
-    for r, ft in enumerate(filters):
-        cur = arr[r]
-        up = arr[r - 1] if r else np.zeros(w * 3, dtype=np.int64)
-        if ft == 0:
-            filt = cur
-        elif ft == 1:
-            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
-            filt = (cur - left) & 0xFF
-        elif ft == 2:
-            filt = (cur - up) & 0xFF
-        elif ft in (3, 4):
-            filt = np.zeros(w * 3, dtype=np.int64)
-            for x in range(w * 3):
-                left = int(cur[x - 3]) if x >= 3 else 0
-                u = int(up[x])
-                ul = int(arr[r - 1][x - 3]) if (r and x >= 3) else 0
-                if ft == 3:
-                    filt[x] = (cur[x] - (left + u) // 2) & 0xFF
-                else:
-                    p = left + u - ul
-                    pa, pb, pc = abs(p - left), abs(p - u), abs(p - ul)
-                    if pa <= pb and pa <= pc:
-                        pred = left
-                    elif pb <= pc:
-                        pred = u
+
+    def filter_rows(sub: np.ndarray, fts: list[int]) -> bytes:
+        stride = sub.shape[1]
+        lines = bytearray()
+        for r, ft in enumerate(fts):
+            cur = sub[r]
+            up = sub[r - 1] if r else np.zeros(stride, dtype=np.int64)
+            if ft == 0:
+                filt = cur
+            elif ft == 1:
+                left = np.concatenate(
+                    [np.zeros(3, dtype=np.int64), cur[:-3]]
+                )
+                filt = (cur - left) & 0xFF
+            elif ft == 2:
+                filt = (cur - up) & 0xFF
+            elif ft in (3, 4):
+                filt = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    left = int(cur[x - 3]) if x >= 3 else 0
+                    u = int(up[x])
+                    ul = int(sub[r - 1][x - 3]) if (r and x >= 3) else 0
+                    if ft == 3:
+                        filt[x] = (cur[x] - (left + u) // 2) & 0xFF
                     else:
-                        pred = ul
-                    filt[x] = (cur[x] - pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        lines.append(ft)
-        lines += filt.astype(np.uint8).tobytes()
+                        p = left + u - ul
+                        pa, pb, pc = (
+                            abs(p - left), abs(p - u), abs(p - ul)
+                        )
+                        if pa <= pb and pa <= pc:
+                            pred = left
+                        elif pb <= pc:
+                            pred = u
+                        else:
+                            pred = ul
+                        filt[x] = (cur[x] - pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            lines.append(ft)
+            lines += filt.astype(np.uint8).tobytes()
+        return bytes(lines)
+
+    if not interlace:
+        filters = filters or [0] * h
+        if len(filters) != h:
+            raise ValueError("need one filter type per row")
+        arr = (
+            np.frombuffer(rgb, dtype=np.uint8)
+            .reshape(h, w * 3)
+            .astype(np.int64)
+        )
+        lines = filter_rows(arr, filters)
+    else:
+        arr3 = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        subs = [
+            arr3[y0::ys, x0::xs]
+            for x0, y0, xs, ys in _ADAM7_PASSES
+            if arr3[y0::ys, x0::xs].size
+        ]
+        total = sum(s.shape[0] for s in subs)
+        filters = filters or [0] * total
+        if len(filters) != total:
+            raise ValueError(
+                f"need one filter type per pass scanline ({total})"
+            )
+        parts, fi = [], 0
+        for sub in subs:
+            ph = sub.shape[0]
+            parts.append(
+                filter_rows(
+                    sub.reshape(ph, -1).astype(np.int64),
+                    filters[fi : fi + ph],
+                )
+            )
+            fi += ph
+        lines = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -718,7 +798,7 @@ def png_encode_rgb(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

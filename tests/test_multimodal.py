@@ -221,6 +221,7 @@ def test_decode_real_png_cross_format(spark):
         (2, png_encode_rgb(3, 2, rgb, [0, 2])),       # None + Up
         (3, png_encode_rgb(3, 2, rgb, [1, 3])),       # Sub + Average
         (4, png_encode_rgb(3, 2, rgb, [4, 4])),       # Paeth
+        (8, png_encode_rgb(3, 2, rgb, interlace=True)),  # Adam7
         (5, _png_gray_bytes(2, 1, [100, 200])),
         (6, _pgm_bytes(2, 1, [100, 200])),
         (7, _png_palette_bytes(2, 1, [1, 0], [(9, 8, 7), (1, 2, 3)])),
@@ -230,7 +231,8 @@ def test_decode_real_png_cross_format(spark):
     assert out[2]["format"] == "PNG"
     assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 3)
     assert (out[1]["pixel_md5"] == out[2]["pixel_md5"]
-            == out[3]["pixel_md5"] == out[4]["pixel_md5"])
+            == out[3]["pixel_md5"] == out[4]["pixel_md5"]
+            == out[8]["pixel_md5"])
     assert out[1]["mean_luma_fx"] == out[2]["mean_luma_fx"]
     # grayscale: channels=1, same normalization as PGM
     assert out[5]["channels"] == 1
@@ -244,9 +246,11 @@ def test_decode_real_png_cross_format(spark):
 
 
 def test_decode_real_png_errors(spark):
-    """PNG error taxonomy: CAPABILITY limits (16-bit, alpha, Adam7)
+    """PNG error taxonomy: CAPABILITY limits (16-bit, alpha)
     NULL out under on_unsupported='null'; bad CRC / truncation /
-    corrupt deflate are MALFORMED and always raise."""
+    corrupt deflate are MALFORMED and always raise. Flipping the
+    interlace flag on a plain-coded file is now MALFORMED (the Adam7
+    decoder really runs and the pass sizes disagree)."""
     import struct
     import zlib
 
@@ -263,17 +267,16 @@ def test_decode_real_png_errors(spark):
         )
         return bytes(buf)
 
-    interlaced = with_ihdr(lambda b: b.__setitem__(28, 1))
     deep = with_ihdr(lambda b: b.__setitem__(24, 16))
     rgba = with_ihdr(lambda b: b.__setitem__(25, 6))
     caps = spark.createDataFrame(
-        [(1, good), (2, interlaced), (3, deep), (4, rgba)],
+        [(1, good), (3, deep), (4, rgba)],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in
            decode_real(caps, on_unsupported="null").collect()}
     assert out[1]["format"] == "PNG"
-    assert out[2]["format"] is None and out[3]["format"] is None
+    assert out[3]["format"] is None
     assert out[4]["format"] is None
     # malformed always raises, even under 'null'
     bad_crc = bytearray(good)
@@ -282,6 +285,7 @@ def test_decode_real_png_errors(spark):
         (bytes(bad_crc), "CRC mismatch"),
         (good[:-13], "truncated PNG"),
         (_png_palette_bytes(1, 1, [3], [(1, 2, 3)]), "out of range"),
+        (with_ihdr(lambda b: b.__setitem__(28, 1)), "expected 15"),
     ]:
         df = spark.createDataFrame(
             [(1, payload)], "media_id long, payload binary"

@@ -2488,15 +2488,26 @@ def test_decode_real_png_property(spark, w, h, seed):
     ]
     rgb = bytes(v for p in pixels for v in p)
     filters = [rng.randrange(5) for _ in range(h)]
+    # Adam7: one random filter per non-empty pass scanline
+    from geist_spark.operators.multimodal import _ADAM7_PASSES
+    total = sum(
+        (h - y0 + ys - 1) // ys
+        for x0, y0, xs, ys in _ADAM7_PASSES
+        if (w - x0 + xs - 1) // xs > 0 and (h - y0 + ys - 1) // ys > 0
+    )
+    i7_filters = [rng.randrange(5) for _ in range(total)]
     media = spark.createDataFrame(
         [(1, _ppm_bytes(w, h, pixels)),
-         (2, png_encode_rgb(w, h, rgb, filters))],
+         (2, png_encode_rgb(w, h, rgb, filters)),
+         (3, png_encode_rgb(w, h, rgb, i7_filters, interlace=True))],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in decode_real(media).collect()}
     assert out[1]["pixel_md5"] == out[2]["pixel_md5"], filters
+    assert out[1]["pixel_md5"] == out[3]["pixel_md5"], i7_filters
     assert out[2]["mean_luma_fx"] == _py_luma(pixels)
     assert (out[2]["width"], out[2]["height"]) == (w, h)
+    assert (out[3]["width"], out[3]["height"]) == (w, h)
 
 
 @given(
