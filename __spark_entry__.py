@@ -73,6 +73,36 @@ def _compile(transform: dict):
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = f"regexp_split_to_array({_NORM_SQL}, '\\s+')"
 
+# winnowing fingerprint replay (text.winnow_fingerprints, k=5 window=4):
+# md5-32bit char-5-gram hashes, list_min per 4-window with the
+# rightmost-tie position, row-level DISTINCT = array_distinct
+_WINNOW_FP_CTE = f"""
+    WITH nd AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    g AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(substr(norm, CAST(i AS INTEGER), 5)),
+                                1, 8))::BIGINT
+                for i in generate_series(1, greatest(strlen(norm) - 4, 1))]
+                   AS grams
+        FROM nd
+    ),
+    w AS (
+        SELECT doc_id, grams, CAST(j AS INTEGER) AS j,
+               list_min(grams[CAST(j AS INTEGER):
+                              least(CAST(j AS INTEGER) + 3, len(grams))])
+                   AS mh
+        FROM g, UNNEST(generate_series(1, greatest(len(grams) - 3, 1)))
+             AS t(j)
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               CAST(list_max([j + o for o in [0, 1, 2, 3]
+                              if grams[j + o] = mh]) AS INTEGER) AS pos,
+               mh AS fp_hash
+        FROM w
+    )
+"""
+
 
 # ---------------------------------------------------------------- geist parity
 
@@ -1927,6 +1957,37 @@ def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- corpus prep
+
+
+def t_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing (MOSS) fingerprints over documents: every
+    selected (pos, hash) pair — k=5 char grams, window=4, rightmost
+    min per window. The oracle replays the gram hashing, per-window
+    list_min, and rightmost-tie position arithmetic in pure SQL."""
+    from geist_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    )
+
+
+def t_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap candidates: docs sharing >= 3 fingerprint
+    hashes after the stop-fingerprint cap — the hash-grain join shape
+    (never all-pairs). The corpus plants duplicate texts by design,
+    so the pair set is non-trivial. max_hash_docs=16: the synthetic
+    corpus is heavily templated, and near-cap hot hashes dominate the
+    join cost quadratically (measured 34s -> ~8s at sf0.1 vs cap 64)
+    — boilerplate hashes carry no overlap signal anyway."""
+    from geist_spark.operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        window=4,
+        min_shared=3,
+        max_hash_docs=16,
+    )
 
 
 def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4868,6 +4929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": s_ann_ivf,
         "s_semantic_dedup": s_semantic_dedup,
         "t_quality_features": t_quality_features,
+        "t_winnow_fingerprint": t_winnow_fingerprint,
+        "t_winnow_overlap": t_winnow_overlap,
         "t_decontaminate": t_decontaminate,
         "w_url_normalize": w_url_normalize,
         "t_lm_score": t_lm_score,
@@ -6541,6 +6604,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e_eventsim_batch": _eventsim_oracle(seed=42, n=10_000),
         "u_user_agent": _user_agent_oracle(),
+        # winnowing replay: gram md5-32bit hashes, per-window list_min
+        # over the slice, rightmost tie via list_max of matching
+        # offsets, DISTINCT = the engine's array_distinct
+        "t_winnow_fingerprint": f"""
+            {_WINNOW_FP_CTE}
+            SELECT doc_id, pos, fp_hash FROM fp
+        """,
+        "t_winnow_overlap": f"""
+            {_WINNOW_FP_CTE},
+            ph AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+            ok AS (
+                SELECT fp_hash FROM ph
+                GROUP BY fp_hash HAVING count(*) <= 16
+            ),
+            keep AS (SELECT doc_id, fp_hash FROM ph JOIN ok USING (fp_hash))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_fps
+            FROM keep a JOIN keep b
+              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+        """,
         "t_decontaminate": f"""
             WITH toked AS (
                 SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents

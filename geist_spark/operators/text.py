@@ -284,6 +284,133 @@ def doc_fingerprint(documents: DataFrame, gram: int = 8, num_mins: int = 4) -> D
     return normed.select("doc_id", F.concat_ws("|", mins).alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """POSITIONAL winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the normalized text (md5-prefix 32-bit, the repo's engine-exact
+    hash), slide a window of `window` consecutive k-gram hashes, keep
+    the minimum hash per window (RIGHTMOST on ties, per the paper),
+    and deduplicate repeated selections. Guarantee: any substring
+    shared between two documents of length >= window + k - 1
+    contributes at least one shared fingerprint — with its position,
+    so overlaps can be localized. doc_fingerprint above is the
+    global-min "winnowing-lite" sketch (no guarantee, no positions);
+    this is the real windowed algorithm.
+
+    Output: (doc_id, pos, fp_hash), pos the 1-based char position of
+    the selected k-gram in the normalized text.
+
+    Scale shape: pure JVM array expressions (sequence / transform /
+    nested aggregate) — map-only, zero shuffle, O(n * window)
+    comparisons per doc inside codegen; docs shorter than k hash as
+    one partial gram (the doc_fingerprint rule). At 100 TB this is
+    scan -> explode; downstream overlap detection joins at HASH grain
+    (winnow_overlap_pairs), never all-pairs.
+
+    Reference: the reference engine ships no text analytics by design
+    (README.md:21) — LLM-pipeline extension surface."""
+    from geist_spark.operators.bucketing import fan_out
+    from geist_spark.operators.dedup import normalize_text
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    normed = fan_out(documents).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    norm = F.col("norm")
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.md5(norm.substr(i, F.lit(k))).substr(1, 8), 16, 10
+        ).cast("long"),
+    )
+    g = normed.select("doc_id", grams.alias("grams"))
+    gcol = F.col("grams")
+    # one struct (h, p) per window: rightmost min via <= in the fold;
+    # element_at past the array end is NULL, so short docs' lone
+    # window folds over only the real grams
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(gcol) - window + 1, F.lit(1))
+        ),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.struct(
+                F.lit(1 << 40).cast("long").alias("h"),
+                F.lit(0).alias("p"),
+            ),
+            lambda acc, off: F.when(
+                F.element_at(gcol, j + off) <= acc["h"],
+                F.struct(
+                    F.element_at(gcol, j + off).alias("h"),
+                    (j + off).alias("p"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return g.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    ).select(
+        "doc_id",
+        F.col("fp.p").alias("pos"),
+        F.col("fp.h").alias("fp_hash"),
+    )
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_hash_docs: int = 64,
+) -> DataFrame:
+    """Plagiarism-style overlap candidates from winnowing fingerprints:
+    docs sharing >= min_shared distinct fingerprint hashes. The join
+    is at HASH grain (the MinHash-LSH shape) — never all-pairs — and
+    hashes appearing in more than `max_hash_docs` docs are dropped
+    first (stop-fingerprints: corpus-wide boilerplate would otherwise
+    join quadratically — the hot-bucket cap every band join in
+    dedup.py applies). Output: (doc_a, doc_b, shared_fps),
+    doc_a < doc_b."""
+    fps = winnow_fingerprints(documents, k, window)
+    # group doc ids per hash and expand pairs IN-ROW (sorted array ->
+    # ordered combinations): one shuffle to hash grain, one to pair
+    # grain — no self-join, so the fingerprint map stage runs once
+    # and the hot-hash cap bounds the in-row expansion at
+    # max_hash_docs^2/2 structs
+    byhash = (
+        fps.groupBy("fp_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, max_hash_docs))
+    )
+    docs = F.col("docs")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                docs,
+                lambda x, i: F.transform(
+                    F.slice(docs, i + F.lit(2), F.size(docs)),
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        byhash.select(pairs.alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def top_terms_per_source(
     documents: DataFrame, top_n: int = 5, min_tf: int = 5
 ) -> DataFrame:

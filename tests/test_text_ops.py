@@ -489,3 +489,72 @@ def test_textrank_zh_char_grain(spark):
     # nodes are single characters; 的 (stopword) is absent
     assert words <= {"训", "练", "数", "据", "质", "量"}
     assert "的" not in words and len(words) >= 4
+
+
+def test_winnow_fingerprints_reference(spark):
+    """winnow_fingerprints matches a direct python implementation of
+    Schleimer et al. winnowing (rightmost min per window, distinct
+    selections, 1-based positions), including docs shorter than k."""
+    import hashlib
+
+    from geist_spark.operators.text import winnow_fingerprints
+
+    def ref(text, k=5, w=4):
+        norm = " ".join(text.lower().split())
+        n = max(len(norm) - k + 1, 1)
+        grams = [
+            int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(n)
+        ]
+        sels = set()
+        for j in range(max(len(grams) - w + 1, 1)):
+            win = grams[j:j + w]
+            h = min(win)
+            p = max(i for i, g in enumerate(win) if g == h) + j
+            sels.add((p + 1, h))
+        return sels
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a quick brown fox jumps over a lazy cat",
+        3: "ab",                       # shorter than k: one partial gram
+        4: "aaaaaaaaaaaaaaaa",         # all-equal hashes: tie handling
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=5, window=4).collect()
+    for did, text in texts.items():
+        got = {(r["pos"], r["fp_hash"]) for r in rows if r["doc_id"] == did}
+        assert got == ref(text), did
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a long substring pair up (the w+k-1 guarantee);
+    unrelated docs do not; the stop-fingerprint cap drops
+    corpus-wide hashes; parameter guards raise."""
+    import pytest
+
+    from geist_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox jumps over a lazy cat"),
+         (3, "completely unrelated text with nothing shared")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+             for r in winnow_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # a hash present in all three docs is dropped by max_hash_docs=2
+    df2 = spark.createDataFrame(
+        [(i, "common shared prefix text") for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    assert winnow_overlap_pairs(df2, max_hash_docs=2).count() == 0
+    with pytest.raises(ValueError, match="k and window"):
+        winnow_fingerprints(df, k=0).collect()
