@@ -2429,6 +2429,54 @@ def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM decode under the oracle gate: per document one
+    mono ADPCM block built from the 24 md5 bytes — predictor int16
+    from bytes 1-2, step index byte 3 % 89, 21 code bytes = 42
+    nibbles (low first) -> 43 samples — decoded by
+    multimodal._ima_adpcm_decode_mono (the sequential IMA state
+    machine, verified bit-exact against CPython's audioop). The
+    oracle replays the ENTIRE state machine in SQL with a struct
+    list_reduce over the nibbles (step-table lookup, bit-weighted
+    diff, +-32768 clamp, index clamp) — a single wrong table entry,
+    clamp, or nibble order hash-mismatches peak/mean-square."""
+    import struct
+
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for px in pdf["px"]:
+                bs = bytes(px)
+                (pred0,) = struct.unpack("<h", bs[:2])
+                block = struct.pack("<hBB", pred0, bs[2] % 89, 0) + bs[3:24]
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(block)) + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 0x11, 1, 8000, 4000, len(block), 4
+                    )
+                    + b"data" + struct.pack("<I", len(block)) + block
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "sample_rate", "bit_depth",
+        "n_frames", "duration_ms", "peak_abs", "mean_square_fx",
+    )
+
+
 def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
     as m_decode_real (24 md5-derived bytes) encoded per document as an
@@ -5106,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
         "m_decode_g711": m_decode_g711,
+        "m_decode_adpcm": m_decode_adpcm,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6185,6 +6234,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS mean_square_fx
             FROM s
         """,
+        # full IMA ADPCM state-machine replay via struct list_reduce
+        "m_decode_adpcm": _adpcm_oracle(),
         # ANALYTIC replay of robots filtering: allowed/rule are pure
         # functions of the doc_id%4 path class under the synthesized
         # '*' group (longest-prefix, Allow-beats-Disallow-on-tie)
@@ -9559,6 +9610,85 @@ def _verified_pairs_oracle(num_hashes: int, bands: int, threshold: float) -> str
             JOIN sizes sb ON sb.doc_id = i.doc_b
         )
         SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def _adpcm_oracle() -> str:
+    """SQL replay of the IMA ADPCM state machine (m_decode_adpcm):
+    nibbles from the md5 bytes low-first, a RECURSIVE CTE stepping
+    (pred, idx, running peak, running sum-of-squares) one nibble per
+    iteration, with the step/diff/clamp pipeline staged through
+    nested subqueries so each expression is written once.
+
+    Deliberately NOT list_reduce: DuckDB 1.0 evaluates a reduce
+    lambda's struct fields sequentially against an IN-PLACE-updated
+    accumulator, so a later field reading acc.pred sees the NEW pred
+    — state-machine replays silently diverge (verified with a
+    minimal repro; tests/test_entry_contract.py pins the repro so a
+    fixed DuckDB flips it visibly)."""
+    from geist_spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    steps = "[" + ", ".join(str(s) for s in _IMA_STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(i) for i in _IMA_INDEX_TABLE) + "]"
+    return f"""
+        WITH RECURSIVE {_MD5_BYTES_CTE_SQL}, st AS (
+            SELECT doc_id,
+                   CASE WHEN bytes[1] + 256*bytes[2] >= 32768
+                        THEN bytes[1] + 256*bytes[2] - 65536
+                        ELSE bytes[1] + 256*bytes[2] END AS pred0,
+                   bytes[3] % 89 AS idx0,
+                   flatten([[bytes[i] % 16, bytes[i] // 16]
+                            for i in generate_series(4, 24)]) AS nibs
+            FROM b
+        ), dec AS (
+            SELECT doc_id, 0 AS i, pred0 AS pred, idx0 AS idx,
+                   CAST(abs(pred0) AS BIGINT) AS peak,
+                   CAST(pred0 AS BIGINT) * pred0 AS ss, nibs
+            FROM st
+            UNION ALL
+            SELECT doc_id, i + 1,
+                   greatest(-32768, least(32767, predn)) AS pred,
+                   greatest(0, least(88, idx + {idxs}[nib + 1])) AS idx,
+                   greatest(peak,
+                            abs(greatest(-32768, least(32767, predn)))),
+                   ss + CAST(greatest(-32768, least(32767, predn))
+                             AS BIGINT)
+                      * greatest(-32768, least(32767, predn)),
+                   nibs
+            FROM (
+                SELECT *, CASE WHEN nib >= 8 THEN pred - d
+                               ELSE pred + d END AS predn
+                FROM (
+                    SELECT *,
+                           step // 8
+                           + CASE WHEN nib % 2 = 1
+                                  THEN step // 4 ELSE 0 END
+                           + CASE WHEN (nib // 2) % 2 = 1
+                                  THEN step // 2 ELSE 0 END
+                           + CASE WHEN (nib // 4) % 2 = 1
+                                  THEN step ELSE 0 END AS d
+                    FROM (
+                        SELECT doc_id, i, pred, idx, peak, ss, nibs,
+                               nibs[i + 1] AS nib,
+                               {steps}[idx + 1] AS step
+                        FROM dec WHERE i < 42
+                    )
+                )
+            )
+        )
+        SELECT doc_id AS media_id,
+               'WAV' AS format,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(4 AS INTEGER) AS bit_depth,
+               CAST(43 AS BIGINT) AS n_frames,
+               CAST(5 AS BIGINT) AS duration_ms,
+               peak AS peak_abs,
+               CAST(ss // 43 AS BIGINT) AS mean_square_fx
+        FROM dec WHERE i = 42
     """
 
 

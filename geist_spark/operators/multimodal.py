@@ -1267,6 +1267,66 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+# IMA/DVI ADPCM tables (IMA ADPCM reference algorithm, also
+# Microsoft WAV format 0x11): 89-entry step table + 16-entry index
+# adjustment — both engines replay the same integer state machine
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM mono decode: per-block 4-byte header (int16
+    predictor = the block's first output sample, uint8 step index,
+    reserved byte), then 4-bit codes low-nibble-first. The state
+    machine (diff from step-table bits, +-32768 clamp, index
+    adjustment clamped to 0..88) is INHERENTLY sequential — each
+    sample's state depends on the previous — so this is a per-nibble
+    python loop by nature (the LZW rule), not an unvectorized
+    oversight. Returns int64 samples."""
+    import struct
+
+    out: list[int] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        block = data[pos : pos + block_align]
+        pos += block_align
+        if len(block) < 4:
+            raise ValueError(
+                "malformed ADPCM: block shorter than its 4-byte header"
+            )
+        pred, idx = struct.unpack_from("<hB", block, 0)
+        if idx > 88:
+            raise ValueError(
+                f"malformed ADPCM: step index {idx} out of range (0..88)"
+            )
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+                out.append(pred)
+    return np.array(out, dtype=np.int64)
+
+
 def _g711_tables() -> tuple:
     """256-entry µ-law / A-law expansion LUTs (ITU-T G.711, the
     classic CCITT ulaw2linear/alaw2linear formulas), built once as
@@ -1332,15 +1392,28 @@ def _wav_samples(b: bytes) -> tuple:
     if not (
         (audio_fmt == 1 and bits in (8, 16))
         or (audio_fmt in (6, 7) and bits == 8)
+        or (audio_fmt == 0x11 and bits == 4)
     ):
         raise NotImplementedError(
-            f"only 8/16-bit PCM and 8-bit G.711 A-law/µ-law WAV "
-            f"supported (format={audio_fmt}, bits={bits})"
+            f"only 8/16-bit PCM, 8-bit G.711 A-law/µ-law and 4-bit "
+            f"IMA ADPCM WAV supported (format={audio_fmt}, bits={bits})"
         )
     if ch <= 0 or rate <= 0:
         raise ValueError(
             f"malformed WAV fmt chunk: channels={ch}, sample_rate={rate}"
         )
+    if audio_fmt == 0x11:  # IMA ADPCM: block-coded, not byte-per-frame
+        if ch != 1:
+            raise NotImplementedError(
+                "multi-channel IMA ADPCM WAV unsupported (per-group "
+                "channel interleave; mono only)"
+            )
+        if _align < 5:
+            raise ValueError(
+                f"malformed ADPCM WAV: block align {_align} < 5"
+            )
+        samples = _ima_adpcm_decode_mono(data, _align)
+        return ch, rate, bits, samples
     bps = bits // 8
     if len(data) % (ch * bps) != 0:
         raise ValueError(

@@ -111,3 +111,29 @@ def test_bench_line_degrades_to_envelope_under_tiny_budget(monkeypatch):
     assert payload["value"] == 60.0
     assert payload["n_queries"] == 40
     assert payload["queries_omitted"] == 40 - len(payload["queries"])
+
+
+def test_duckdb_list_reduce_inplace_acc_bug_still_present():
+    """The ADPCM oracle uses a recursive CTE instead of list_reduce
+    because DuckDB 1.0 evaluates a reduce lambda's struct fields
+    against an IN-PLACE-updated accumulator (a later field reading
+    acc.v sees the NEW v). This pins the minimal repro: if a DuckDB
+    upgrade fixes the semantics, this flips and the oracle can be
+    simplified back to list_reduce."""
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        """
+        SELECT list_reduce(
+          [{'v': 10, 'w': 10}, {'v': 3, 'w': 0}, {'v': 5, 'w': 0}],
+          (acc, x) -> {'v': acc.v + x.v, 'w': acc.v + x.v}
+        )
+        """
+    ).fetchone()[0]
+    assert row["v"] == 18
+    # correct semantics would give w == 18 too; 1.0 gives 23
+    assert row["w"] == 23, (
+        "DuckDB list_reduce struct-field semantics changed "
+        f"(w={row['w']}) — revisit _adpcm_oracle"
+    )

@@ -574,6 +574,78 @@ def test_decode_audio_g711(spark):
     assert out[3]["format"] is None
 
 
+def test_decode_audio_ima_adpcm(spark):
+    """IMA ADPCM mono decode matches CPython's audioop reference
+    bit-for-bit (audioop packs high-nibble-first, WAV low-first — the
+    test converts); multi-block streams decode; stereo is a typed
+    capability limit; malformed headers raise."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from geist_spark.operators.multimodal import (
+        _ima_adpcm_decode_mono,
+        decode_audio_real,
+    )
+
+    rng = np.random.default_rng(19)
+    nib = rng.integers(0, 16, 120, dtype=np.uint8)
+    pred0, idx0 = -1234, 30
+    wav_nib = bytes(
+        int(nib[i]) | (int(nib[i + 1]) << 4) for i in range(0, 120, 2)
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + wav_nib
+    mine = _ima_adpcm_decode_mono(block, len(block))
+    assert mine[0] == pred0 and len(mine) == 1 + 120
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+    aud = bytes(
+        (int(nib[i]) << 4) | int(nib[i + 1]) for i in range(0, 120, 2)
+    )
+    lin, _ = audioop.adpcm2lin(aud, 2, (pred0, idx0))
+    ref = np.frombuffer(lin, dtype="<i2").astype(np.int64)
+    assert (mine[1:] == ref).all()
+    # two blocks: state resets from each header
+    two = _ima_adpcm_decode_mono(block + block, len(block))
+    assert (two == np.concatenate([mine, mine])).all()
+
+    def adpcm_wav(ch: int, payload: bytes, align: int) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 0x11, ch, 8000, 4000, align, 4)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    media = spark.createDataFrame(
+        [(1, adpcm_wav(1, block, len(block))),
+         (2, adpcm_wav(2, block, len(block)))],  # stereo: capability
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_audio_real(media, on_unsupported="null").collect()}
+    assert out[1]["format"] == "WAV" and out[1]["bit_depth"] == 4
+    assert out[1]["n_frames"] == 121
+    assert out[1]["peak_abs"] == int(np.abs(mine).max())
+    assert out[1]["mean_square_fx"] == int((mine * mine).sum()) // 121
+    assert out[2]["format"] is None
+    # malformed: bad step index / short block / bad align
+    import pytest
+
+    bad_idx = struct.pack("<hBB", 0, 99, 0) + b"\x00"
+    with pytest.raises(ValueError, match="step index"):
+        _ima_adpcm_decode_mono(bad_idx, len(bad_idx))
+    with pytest.raises(ValueError, match="shorter than"):
+        _ima_adpcm_decode_mono(b"\x00\x00\x00\x00ab" + b"\x01", 6)
+    df = spark.createDataFrame(
+        [(1, adpcm_wav(1, block, 3))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="block align"):
+        decode_audio_real(df, on_unsupported="null").collect()
+
+
 def test_decode_audio_real_unsupported_and_malformed(spark):
     from geist_spark.operators.multimodal import decode_audio_real
 
