@@ -2719,11 +2719,13 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a robots body with three agent groups (a 'bot' group, the
     '*' group with Allow /private/ok + Disallow /private + Disallow
     /tmp, and an 'other' group disallowing everything — the decoys
-    catch grouping bugs); each doc gets one of four paths by
-    doc_id % 4. The oracle is ANALYTIC — expected allowed/rule per
+    catch grouping bugs); each doc gets one of six paths by
+    doc_id % 6. The oracle is ANALYTIC — expected allowed/rule per
     path class: /public (no match -> allowed, NULL rule),
-    /private/x (disallow), /private/ok/y (longest-prefix Allow beats
-    the shorter Disallow), /tmp (disallow)."""
+    /private/x (disallow), /private/ok/y (longest-rule Allow beats
+    the shorter Disallow), /tmp (disallow), /docs/file.pdf (the
+    '*.pdf$' wildcard+anchor rule), /wild-very-card (the
+    '/wild*card' mid-rule wildcard)."""
     from geist_spark.operators.web import robots_filter, robots_rules
 
     docs = _t(spark, sf_dir, "documents")
@@ -2735,7 +2737,8 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Disallow: /private\n"
         "Disallow: /tmp\n"
         "Disallow: \n"          # empty: matches nothing
-        "Disallow: /wild*card\n"  # wildcard: dropped (dialect)\n
+        "Disallow: /wild*card\n"  # mid-rule wildcard (RFC 9309)
+        "Disallow: *.pdf$\n"      # wildcard + end anchor
         "\n"
         "User-agent: other\nDisallow: /\n"
     )
@@ -2748,8 +2751,9 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             F.lit("/public/page"), F.lit("/private/x"),
             F.lit("/private/ok/y"), F.lit("/tmp"),
+            F.lit("/docs/file.pdf"), F.lit("/wild-very-card"),
         ),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        (F.col("doc_id") % 6 + 1).cast("int"),
     )
     urls = docs.select(
         "doc_id",
@@ -6237,27 +6241,31 @@ def oracle_sql() -> dict[str, str]:
         # full IMA ADPCM state-machine replay via struct list_reduce
         "m_decode_adpcm": _adpcm_oracle(),
         # ANALYTIC replay of robots filtering: allowed/rule are pure
-        # functions of the doc_id%4 path class under the synthesized
-        # '*' group (longest-prefix, Allow-beats-Disallow-on-tie)
+        # functions of the doc_id%6 path class under the synthesized
+        # '*' group (most-specific rule, Allow-beats-Disallow-on-tie,
+        # RFC 9309 wildcards: '/wild*card' and '*.pdf$')
         "w_robots_filter": """
             SELECT doc_id,
                    'http://h' || CAST(doc_id % 10 AS VARCHAR)
                        || '.example.com'
-                       || CASE CAST(doc_id % 4 AS INTEGER)
+                       || CASE CAST(doc_id % 6 AS INTEGER)
                           WHEN 0 THEN '/public/page'
                           WHEN 1 THEN '/private/x'
                           WHEN 2 THEN '/private/ok/y'
-                          ELSE '/tmp' END AS url,
-                   CASE CAST(doc_id % 4 AS INTEGER)
+                          WHEN 3 THEN '/tmp'
+                          WHEN 4 THEN '/docs/file.pdf'
+                          ELSE '/wild-very-card' END AS url,
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN TRUE
-                        WHEN 1 THEN FALSE
                         WHEN 2 THEN TRUE
                         ELSE FALSE END AS allowed,
-                   CASE CAST(doc_id % 4 AS INTEGER)
+                   CASE CAST(doc_id % 6 AS INTEGER)
                         WHEN 0 THEN NULL
                         WHEN 1 THEN '/private'
                         WHEN 2 THEN '/private/ok'
-                        ELSE '/tmp' END AS rule
+                        WHEN 3 THEN '/tmp'
+                        WHEN 4 THEN '*.pdf$'
+                        ELSE '/wild*card' END AS rule
             FROM documents
         """,
         # round-trip identity: gzip(text) -> decompress_text == text

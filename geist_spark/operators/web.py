@@ -420,8 +420,10 @@ def warc_parse(
 def robots_rules(
     robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
 ) -> DataFrame:
-    """Parse robots.txt bodies into prefix rules for the '*' agent:
-    (host, rule_type 'allow'|'disallow', prefix, prefix_len).
+    """Parse robots.txt bodies into match rules for the '*' agent:
+    (host, rule_type 'allow'|'disallow', prefix = the raw rule value,
+    prefix_len = its octet length — the RFC 9309 specificity metric —
+    has_wild, pattern = an anchored regex for wildcard rules).
 
     Group semantics per RFC 9309: a group is a run of consecutive
     User-agent lines followed by its rules; a group applies here iff
@@ -429,9 +431,14 @@ def robots_rules(
     exploded line order (lag marks group starts, a running sum
     assigns group ids, a group-partitioned max marks '*' groups) —
     all JVM, one window shuffle at (host) grain, robots corpora are
-    hosts-sized metadata. DIALECT: rules containing the '*' or '$'
-    wildcards are dropped (prefix-only matching — the common
-    simplified implementation); empty Disallow (allow-all) matches
+    hosts-sized metadata.
+
+    Wildcards per RFC 9309 §2.2.3: '*' matches any octet sequence,
+    a TRAILING '$' anchors end-of-path ('$' elsewhere is literal).
+    Wildcard rules carry a JVM-built regex (specials escaped, '*' ->
+    '.*', '^'-anchored); plain rules match by startswith (the fast
+    path — robots_filter only pays per-row regex for rules that
+    actually contain wildcards). Empty Disallow (allow-all) matches
     nothing by construction.
     """
     h = F.col(host_col)
@@ -455,19 +462,31 @@ def robots_rules(
     star = F.max(
         (is_ua & (F.col("value") == "*")).cast("int")
     ).over(wg)
+    val = F.col("value")
+    anchored = val.endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(val)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
     return (
         grouped.withColumn("star", star)
         .filter(
             (F.col("star") == 1)
             & F.col("key").isin("allow", "disallow")
             & (F.col("value") != "")
-            & ~F.col("value").rlike(r"[*$]")
         )
         .select(
             "host",
             F.col("key").alias("rule_type"),
-            F.col("value").alias("prefix"),
-            F.length("value").alias("prefix_len"),
+            val.alias("prefix"),
+            F.length(val).alias("prefix_len"),
+            val.rlike(r"[*]|\$$").alias("has_wild"),
+            pattern.alias("pattern"),
         )
     )
 
@@ -479,9 +498,11 @@ def robots_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply parsed robots rules to a URL table: (id, url, allowed,
-    rule) where `rule` is the winning prefix (NULL when no rule
-    matched — allowed by default). Longest-prefix rule wins; at equal
-    length Allow beats Disallow (RFC 9309 precedence).
+    rule) where `rule` is the winning rule's raw value (NULL when no
+    rule matched — allowed by default). Most-specific rule wins
+    (longest value in octets, wildcards counted); at equal length
+    Allow beats Disallow (RFC 9309 precedence). Wildcard rules match
+    via their compiled regex, plain rules via startswith.
 
     ONE host-grain equi-join (rules side is hosts-sized — broadcast
     when it fits, AQE otherwise) + a top-1 window at URL grain over
@@ -497,7 +518,9 @@ def robots_filter(
         "path", F.when(F.col("path") == "", "/").otherwise(F.col("path"))
     )
     joined = u.join(rules, "host").filter(
-        F.col("path").startswith(F.col("prefix"))
+        F.when(
+            F.col("has_wild"), F.expr("path rlike pattern")
+        ).otherwise(F.col("path").startswith(F.col("prefix")))
     )
     wr = Window.partitionBy(id_col).orderBy(
         F.col("prefix_len").desc(),

@@ -578,6 +578,54 @@ def test_robots_rules_and_filter(spark):
     assert out[4]["allowed"] is True
 
 
+def test_robots_wildcard_rules(spark):
+    """RFC 9309 wildcards: '*' matches any octet run, a trailing '$'
+    anchors end-of-path ('$' elsewhere and regex metachars in rules
+    are literal); specificity counts the rule's full octet length so
+    a long wildcard rule can beat a short plain prefix."""
+    from geist_spark.operators.web import robots_filter, robots_rules
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a*z\n"
+        "Disallow: *.pdf$\n"
+        "Allow: /download/*.pdf$\n"
+        "Disallow: /lit.$x\n"     # '$' not at end: literal
+        "Disallow: /dot.html\n"   # '.' literal in plain rules too
+    )
+    robots = spark.createDataFrame(
+        [("h.com", body)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots)
+    by_prefix = {r["prefix"]: r for r in rules.collect()}
+    assert by_prefix["/a*z"]["has_wild"]
+    assert by_prefix["/a*z"]["pattern"] == "^/a.*z"
+    assert by_prefix["*.pdf$"]["pattern"] == "^.*\\.pdf$"
+    assert not by_prefix["/dot.html"]["has_wild"]
+    assert by_prefix["/lit.$x"]["has_wild"] is False  # literal '$'
+    urls = spark.createDataFrame(
+        [
+            (1, "http://h.com/abcz"),              # /a*z
+            (2, "http://h.com/abcz-more"),         # unanchored: matches
+            (3, "http://h.com/doc/file.pdf"),      # *.pdf$
+            (4, "http://h.com/doc/file.pdf.html"), # anchor: no match
+            (5, "http://h.com/download/x.pdf"),    # longer Allow wins
+            (6, "http://h.com/dot.html"),
+            (7, "http://h.com/dotXhtml"),          # '.' literal: no match
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert out[1]["allowed"] is False and out[1]["rule"] == "/a*z"
+    assert out[2]["allowed"] is False
+    assert out[3]["allowed"] is False and out[3]["rule"] == "*.pdf$"
+    assert out[4]["allowed"] is True and out[4]["rule"] is None
+    assert out[5]["allowed"] is True
+    assert out[5]["rule"] == "/download/*.pdf$"
+    assert out[6]["allowed"] is False and out[6]["rule"] == "/dot.html"
+    assert out[7]["allowed"] is True
+
+
 def test_html_extract_vertical_tab_ws(spark):
     """Whitespace collapse uses the explicit ASCII class (Java \\s
     includes \\x0B, RE2's does not — the class keeps engine and
