@@ -73,6 +73,23 @@ def _compile(transform: dict):
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS_SQL = f"regexp_split_to_array({_NORM_SQL}, '\\s+')"
 
+# sign-bit packing replay (similarity.binary_quantize): 32-dim words,
+# MSB-first integer fold; scalar list_reduce acc (safe — see the
+# ADPCM oracle note on the struct-field in-place bug)
+_BINARY_BITS_CTE = """
+    bits AS (
+        SELECT vec_id,
+               [list_reduce([CASE WHEN e > 0 THEN CAST(1 AS BIGINT)
+                                  ELSE CAST(0 AS BIGINT) END
+                             for e in embedding[(w-1)*32+1 :
+                                                least(w*32, len(embedding))]],
+                            (acc, x) -> acc * 2 + x)
+                for w in generate_series(1, (len(embedding)-1)//32 + 1)]
+                   AS bits
+        FROM embeddings
+    )
+"""
+
 # winnowing fingerprint replay (text.winnow_fingerprints, k=5 window=4):
 # md5-32bit char-5-gram hashes, list_min per 4-window with the
 # rightmost-tie position, row-level DISTINCT = array_distinct
@@ -1007,6 +1024,31 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.similarity import cosine_topk
 
     return cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def s_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization under the oracle gate: bits packed
+    MSB-first into 32-dim words, one row per (vec_id, word) so the
+    integer fold is hash-compared value-by-value (no array-typed
+    output). The oracle replays the identical acc*2+bit fold."""
+    from geist_spark.operators.similarity import binary_quantize
+
+    bq = binary_quantize(_t(spark, sf_dir, "embeddings"))
+    return bq.select(
+        "vec_id", F.posexplode("bits").alias("word_idx", "word")
+    )
+
+
+def s_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming top-k over sign-quantized embeddings — the
+    binary twin of s_cosine_topk (same 10 query ids, k=5): per-word
+    bit_count(xor) summed, ties on neighbor_id. The oracle replays
+    quantization AND distance in SQL."""
+    from geist_spark.operators.similarity import hamming_topk
+
+    return hamming_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
     )
 
@@ -4978,6 +5020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_keep_canonical": d_keep_canonical,
         "d_incremental_dedup": d_incremental_dedup,
         "s_cosine_topk": s_cosine_topk,
+        "s_binary_quantize": s_binary_quantize,
+        "s_hamming_topk": s_hamming_topk,
         "s_ann_ivf": s_ann_ivf,
         "s_semantic_dedup": s_semantic_dedup,
         "t_quality_features": t_quality_features,
@@ -6505,6 +6549,39 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash": _simhash_oracle(bits=32),
         "d_minhash_pairs": _minhash_oracle(num_hashes=16, bands=4),
         "s_cosine_topk": _cosine_topk_oracle(),
+        # sign-bit packing replay: MSB-first acc*2+bit fold per
+        # 32-dim word (list_reduce with a SCALAR acc — the struct
+        # in-place bug pinned for the ADPCM oracle doesn't apply)
+        "s_binary_quantize": f"""
+            WITH {_BINARY_BITS_CTE}
+            SELECT vec_id, CAST(w - 1 AS INTEGER) AS word_idx,
+                   bits[CAST(w AS INTEGER)] AS word
+            FROM bits, UNNEST(generate_series(1, len(bits))) AS t(w)
+        """,
+        "s_hamming_topk": f"""
+            WITH {_BINARY_BITS_CTE},
+            q AS (
+                SELECT vec_id AS query_id, bits AS qb FROM bits
+                WHERE vec_id < 10
+            ),
+            c AS (SELECT vec_id AS neighbor_id, bits AS cb FROM bits),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       CAST(list_sum([bit_count(xor(qb[i], cb[i]))
+                                      for i in generate_series(1, len(qb))])
+                            AS BIGINT) AS hamming
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id
+                ) AS rank FROM s
+            )
+            SELECT query_id, neighbor_id, hamming,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5
+        """,
         "s_quantize_embeddings": """
             WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -596,6 +596,82 @@ def quantize_embeddings(
     )
 
 
+def binary_quantize(
+    embeddings: DataFrame, value_col: str = "embedding"
+) -> DataFrame:
+    """1-bit (sign) embedding quantization: bit d = 1 iff x_d > 0,
+    packed MSB-first into 32-dim words (array<long>) — a 32x storage
+    cut over float32 and the cheapest pre-filter in modern retrieval
+    stacks (binary rescore-then-refine). 32 bits per word, not 64,
+    so the MSB-first integer fold (acc*2 + bit) can never overflow a
+    signed long regardless of dimension; the last word packs the
+    remaining dims with fewer doublings.
+
+    Pure JVM array expressions (sequence/transform/aggregate) — zero
+    shuffle, map-only at 100 TB; the DuckDB oracle replays the same
+    fold."""
+    v = F.col(value_col)
+    nw = (F.floor((F.size(v) - 1) / 32) + 1).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda w: F.aggregate(
+            F.sequence((w - 1) * 32 + 1, F.least(w * 32, F.size(v))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + (F.element_at(v, i) > 0).cast("long"),
+        ),
+    )
+    return embeddings.select("vec_id", words.alias("bits"))
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    max_exact_vectors: int | None = 1_000_000,
+) -> DataFrame:
+    """Exact top-k by Hamming distance over sign-quantized bits: the
+    binary twin of cosine_topk — query side broadcast, one corpus
+    pass, distance = sum of bit_count(xor) per word (whole-stage
+    codegen, ~32x less data touched than float scoring, which is why
+    the exact-baseline bound is 10x cosine_topk's). Ties break on
+    neighbor_id for engine-exact output."""
+    _exact_corpus_guard(
+        embeddings,
+        max_exact_vectors,
+        "hamming_topk",
+        "pre-filter with lsh_bucketed_topk buckets",
+    )
+    bits = binary_quantize(embeddings)
+    q = bits.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("q_bits")
+    )
+    c = fan_out(bits).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("bits").alias("c_bits")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_bits"),
+            F.col("c_bits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", dist.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
 FX_SCALE = 1 << 20  # fixed-point grid: 2^-20 resolution
 
 

@@ -2522,3 +2522,57 @@ def test_parse_user_agents_collision_guard(spark):
                                "id long, ua string, ua_json string")
     with pytest.raises(ValueError, match="ua_json"):
         parse_user_agents(df, "ua")
+
+
+def test_binary_quantize_and_hamming_topk(spark):
+    """Sign-bit packing: MSB-first 32-dim words match hand-computed
+    values (incl. a >32-dim vector with a partial last word and the
+    zero-is-not-positive rule); hamming_topk agrees with a python
+    brute force and ties break on neighbor_id."""
+    from geist_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    # 4-dim: bits (1,0,1,0) MSB-first -> 0b1010 = 10 (0.0 -> bit 0)
+    # 34-dim: first 32 ones -> 2^32-1; partial word (1,0) -> 0b10 = 2
+    rows = [
+        (1, [0.5, -0.1, 2.0, 0.0]),
+        (2, [1.0] * 32 + [1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["bits"] for r in binary_quantize(df).collect()}
+    assert out[1] == [10]
+    assert out[2] == [(1 << 32) - 1, 2]
+
+    # hamming: 3 queries over a tiny corpus, python brute force
+    vecs = {
+        0: [1.0, 1.0, -1.0, 1.0],
+        1: [1.0, -1.0, -1.0, 1.0],
+        2: [-1.0, -1.0, -1.0, -1.0],
+        3: [1.0, 1.0, -1.0, 1.0],   # identical to 0 -> distance 0
+        4: [1.0, 1.0, 1.0, 1.0],
+    }
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+        for r in hamming_topk(df2, query_ids=[0, 2], k=2).collect()
+    }
+
+    def bits(v):
+        return [1 if x > 0 else 0 for x in v]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(bits(a), bits(b)))
+
+    for qid in (0, 2):
+        ds = sorted(
+            (ham(vecs[qid], v), n) for n, v in vecs.items() if n != qid
+        )
+        assert got[(qid, 1)] == (ds[0][1], ds[0][0])
+        assert got[(qid, 2)] == (ds[1][1], ds[1][0])
+    # q0 ties: ids 3 (dist 0) then 1/4 (dist 1) -> id 1 at rank 2
+    assert got[(0, 1)] == (3, 0) and got[(0, 2)] == (1, 1)
