@@ -1284,47 +1284,83 @@ _IMA_STEP_TABLE = (
 )
 
 
-def _ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
-    """IMA ADPCM mono decode: per-block 4-byte header (int16
-    predictor = the block's first output sample, uint8 step index,
-    reserved byte), then 4-bit codes low-nibble-first. The state
-    machine (diff from step-table bits, +-32768 clamp, index
-    adjustment clamped to 0..88) is INHERENTLY sequential — each
+def _ima_adpcm_decode(
+    data: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM decode, any channel count: per block, one 4-byte
+    header PER CHANNEL (int16 predictor = that channel's first
+    output sample, uint8 step index, reserved byte), then the body
+    in 4-byte-per-channel groups — each group carries 8 nibbles
+    (low-nibble-first) for ONE channel, channels rotating within the
+    group row (the Microsoft WAVE IMA layout). The state machine
+    (diff from step-table bits, +-32768 clamp, index adjustment
+    clamped to 0..88) is INHERENTLY sequential per channel — each
     sample's state depends on the previous — so this is a per-nibble
     python loop by nature (the LZW rule), not an unvectorized
-    oversight. Returns int64 samples."""
+    oversight. Returns int64 samples INTERLEAVED frame-major."""
     import struct
 
-    out: list[int] = []
+    frames: list[np.ndarray] = []
     pos, n = 0, len(data)
+    hdr = 4 * ch
     while pos < n:
         block = data[pos : pos + block_align]
         pos += block_align
-        if len(block) < 4:
+        if len(block) < hdr:
             raise ValueError(
-                "malformed ADPCM: block shorter than its 4-byte header"
+                f"malformed ADPCM: block shorter than its {hdr}-byte "
+                "header"
             )
-        pred, idx = struct.unpack_from("<hB", block, 0)
-        if idx > 88:
+        preds, idxs, chans = [], [], []
+        for c in range(ch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(
+                    f"malformed ADPCM: step index {idx} out of range "
+                    "(0..88)"
+                )
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        body = block[hdr:]
+        # mono tolerates a ragged tail (each byte is 2 standalone
+        # nibbles); multi-channel needs complete group rows or the
+        # channel rotation would misassign nibbles
+        if ch > 1 and len(body) % (4 * ch):
             raise ValueError(
-                f"malformed ADPCM: step index {idx} out of range (0..88)"
+                f"malformed ADPCM: block body {len(body)} bytes is not "
+                f"a multiple of the {4 * ch}-byte channel group row"
             )
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEP_TABLE[idx]
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = max(-32768, min(32767, pred))
-                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
-                out.append(pred)
-    return np.array(out, dtype=np.int64)
+        for g in range(0, len(body), 4 * ch):
+            for c in range(ch):
+                pred, idx = preds[c], idxs[c]
+                out = chans[c]
+                for byte in body[g + 4 * c : g + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEP_TABLE[idx]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+                        out.append(pred)
+                preds[c], idxs[c] = pred, idx
+        per_ch = np.array(chans, dtype=np.int64)  # (ch, frames)
+        frames.append(per_ch.T.reshape(-1))  # interleave frame-major
+    return (
+        np.concatenate(frames) if frames else np.empty(0, dtype=np.int64)
+    )
+
+
+def _ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
+    """Mono shorthand for _ima_adpcm_decode (kept for tests and the
+    oracle-gate docstring lineage)."""
+    return _ima_adpcm_decode(data, 1, block_align)
 
 
 def _g711_tables() -> tuple:
@@ -1403,16 +1439,12 @@ def _wav_samples(b: bytes) -> tuple:
             f"malformed WAV fmt chunk: channels={ch}, sample_rate={rate}"
         )
     if audio_fmt == 0x11:  # IMA ADPCM: block-coded, not byte-per-frame
-        if ch != 1:
-            raise NotImplementedError(
-                "multi-channel IMA ADPCM WAV unsupported (per-group "
-                "channel interleave; mono only)"
-            )
-        if _align < 5:
+        if _align < 4 * ch + 1:
             raise ValueError(
-                f"malformed ADPCM WAV: block align {_align} < 5"
+                f"malformed ADPCM WAV: block align {_align} too small "
+                f"for {ch} channel headers"
             )
-        samples = _ima_adpcm_decode_mono(data, _align)
+        samples = _ima_adpcm_decode(data, ch, _align)
         return ch, rate, bits, samples
     bps = bits // 8
     if len(data) % (ch * bps) != 0:

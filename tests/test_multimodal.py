@@ -619,9 +619,28 @@ def test_decode_audio_ima_adpcm(spark):
             + b"data" + struct.pack("<I", len(payload)) + payload
         )
 
+    # stereo: per-channel headers + 4-byte channel group rows must
+    # deinterleave to exactly the two mono decodes
+    from geist_spark.operators.multimodal import _ima_adpcm_decode
+
+    nib2 = rng.integers(0, 16, 64, dtype=np.uint8)
+    wav_nib2 = bytes(
+        int(nib2[i]) | (int(nib2[i + 1]) << 4) for i in range(0, 64, 2)
+    )
+    left = struct.pack("<hBB", 500, 10, 0) + wav_nib[:32]
+    right = struct.pack("<hBB", -500, 40, 0) + wav_nib2[:32]
+    groups = b"".join(
+        left[4:][g:g + 4] + right[4:][g:g + 4] for g in range(0, 32, 4)
+    )
+    st_block = left[:4] + right[:4] + groups
+    st = _ima_adpcm_decode(st_block, 2, len(st_block))
+    ml = _ima_adpcm_decode(left, 1, len(left))
+    mr = _ima_adpcm_decode(right, 1, len(right))
+    assert (st[0::2] == ml).all() and (st[1::2] == mr).all()
+
     media = spark.createDataFrame(
         [(1, adpcm_wav(1, block, len(block))),
-         (2, adpcm_wav(2, block, len(block)))],  # stereo: capability
+         (2, adpcm_wav(2, st_block, len(st_block)))],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in
@@ -630,7 +649,11 @@ def test_decode_audio_ima_adpcm(spark):
     assert out[1]["n_frames"] == 121
     assert out[1]["peak_abs"] == int(np.abs(mine).max())
     assert out[1]["mean_square_fx"] == int((mine * mine).sum()) // 121
-    assert out[2]["format"] is None
+    assert out[2]["format"] == "WAV" and out[2]["n_channels"] == 2
+    assert out[2]["n_frames"] == 65  # header frame + 64 coded
+    assert out[2]["peak_abs"] == int(
+        max(np.abs(ml).max(), np.abs(mr).max())
+    )
     # malformed: bad step index / short block / bad align
     import pytest
 
