@@ -621,6 +621,14 @@ def binary_quantize(
             + (F.element_at(v, i) > 0).cast("long"),
         ),
     )
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    # (DuckDB's generate_series(1, 0) IS empty) — an empty embedding
+    # must pack to an empty word array in both engines
+    words = (
+        F.when(v.isNull(), F.lit(None).cast("array<long>"))
+        .when(F.size(v) > 0, words)
+        .otherwise(F.array().cast("array<long>"))
+    )
     return embeddings.select("vec_id", words.alias("bits"))
 
 

@@ -2540,10 +2540,14 @@ def test_binary_quantize_and_hamming_topk(spark):
         (1, [0.5, -0.1, 2.0, 0.0]),
         (2, [1.0] * 32 + [1.0, -1.0]),
     ]
+    rows += [(3, []), (4, None)]  # empty packs empty; NULL stays NULL
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r["vec_id"]: r["bits"] for r in binary_quantize(df).collect()}
     assert out[1] == [10]
     assert out[2] == [(1 << 32) - 1, 2]
+    # Spark's sequence(1, 0) is descending [1, 0], not empty — the
+    # operator guards it so both engines agree on degenerate inputs
+    assert out[3] == [] and out[4] is None
 
     # hamming: 3 queries over a tiny corpus, python brute force
     vecs = {
