@@ -1778,6 +1778,7 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
             pos += 1
         code = (acc >> (nacc - width)) & ((1 << width) - 1)
         nacc -= width
+        acc &= (1 << nacc) - 1  # trim consumed high bits (bignum guard)
         if code == clear:
             table = list(roots)
             width = 9
@@ -1823,6 +1824,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nacc >= 8:
             out.append((acc >> (nacc - 8)) & 0xFF)
             nacc -= 8
+            acc &= (1 << nacc) - 1  # trim emitted high bits
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
