@@ -2756,6 +2756,104 @@ def m_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exif_fixture_parts(doc_id: int) -> tuple:
+    """Shared analytic EXIF fixture: per-doc tag values + byte order.
+    MUST stay in lockstep with the oracle CASE arithmetic (lengths:
+    no-GPS APP1 = 99 bytes, GPS APP1 = 129)."""
+    return (
+        f"Maker{doc_id % 5}",
+        f"M-{doc_id % 7}",
+        doc_id % 8 + 1,
+        f"2024:01:01 00:00:0{doc_id % 10}",
+        doc_id % 3 == 0,       # gps
+        doc_id % 2 == 1,       # big-endian TIFF
+    )
+
+
+def _exif_base_jpeg() -> bytes:
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+
+    return jpeg_encode_baseline(8, 8, gray=bytes([128]) * 64)
+
+
+def m_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction under the oracle gate: a constant 8x8 JPEG
+    gets a per-doc APP1 Exif segment (make/model/orientation/
+    datetime analytic in doc_id; GPS IFD present iff doc_id%3==0;
+    odd doc_ids use big-endian TIFF byte order — both orders run).
+    The oracle is ANALYTIC: every output field is a pure function of
+    doc_id; a marker-walk, IFD, byte-order, or string-termination
+    bug mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import exif_app1, exif_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _exif_base_jpeg()
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                mk, md, ori, dt, gps, be = _exif_fixture_parts(int(did))
+                payloads.append(
+                    base[:2]
+                    + exif_app1(mk, md, ori, dt, gps=gps, big_endian=be)
+                    + base[2:]
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return exif_extract(media).select(
+        "media_id", "format", "orientation", "make", "model",
+        "datetime", "has_gps",
+    )
+
+
+def m_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata stripping under the oracle gate: the same per-doc
+    EXIF-tagged JPEGs as m_exif_extract, scrubbed by
+    multimodal.strip_metadata. The stripped payload must be
+    BYTE-IDENTICAL to the constant base JPEG (md5 literal in the
+    oracle), and the length delta must equal the analytic APP1 size
+    (99 / 129 bytes) — a walk bug that drops a structural segment or
+    leaves metadata behind mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import exif_app1, strip_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _exif_base_jpeg()
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                mk, md, ori, dt, gps, be = _exif_fixture_parts(int(did))
+                payloads.append(
+                    base[:2]
+                    + exif_app1(mk, md, ori, dt, gps=gps, big_endian=be)
+                    + base[2:]
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return strip_metadata(media).select(
+        "media_id",
+        "orig_len",
+        "stripped_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5203,6 +5301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": m_decode_audio,
         "m_decode_g711": m_decode_g711,
         "m_decode_adpcm": m_decode_adpcm,
+        "m_exif_extract": m_exif_extract,
+        "m_strip_metadata": m_strip_metadata,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6284,6 +6384,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full IMA ADPCM state-machine replay via struct list_reduce
         "m_decode_adpcm": _adpcm_oracle(),
+        # ANALYTIC EXIF replay: every field is a pure function of
+        # doc_id (the fixture's _exif_fixture_parts contract)
+        "m_exif_extract": """
+            SELECT doc_id AS media_id,
+                   'JPEG' AS format,
+                   CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+                   'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+                   'M-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+                   '2024:01:01 00:00:0' || CAST(doc_id % 10 AS VARCHAR)
+                       AS datetime,
+                   doc_id % 3 = 0 AS has_gps
+            FROM documents
+        """,
+        # stripped payload must be byte-identical to the constant
+        # base JPEG (md5 literal computed from the same fixture
+        # encoder); APP1 sizes are the analytic 99/129 bytes
+        "m_strip_metadata": _strip_metadata_oracle(),
         # ANALYTIC replay of robots filtering: allowed/rule are pure
         # functions of the doc_id%6 path class under the synthesized
         # '*' group (most-specific rule, Allow-beats-Disallow-on-tie,
@@ -9695,6 +9812,27 @@ def _verified_pairs_oracle(num_hashes: int, bands: int, threshold: float) -> str
             JOIN sizes sb ON sb.doc_id = i.doc_b
         )
         SELECT * FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def _strip_metadata_oracle() -> str:
+    """Lengths + md5 of the expected stripped payload: the base JPEG
+    is a deterministic fixture constant, so its md5/length embed as
+    literals (the fixture-encoder side of the gate, not the operator
+    under test); APP1 sizes are the analytic 99 (no GPS) / 129
+    (GPS) bytes pinned in _exif_fixture_parts."""
+    import hashlib
+
+    base = _exif_base_jpeg()
+    md5 = hashlib.md5(base).hexdigest()
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({len(base)} + CASE WHEN doc_id % 3 = 0
+                                       THEN 129 ELSE 99 END AS BIGINT)
+                   AS orig_len,
+               CAST({len(base)} AS BIGINT) AS stripped_len,
+               '{md5}' AS payload_md5
+        FROM documents
     """
 
 

@@ -1267,6 +1267,304 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("has_gps", T.BooleanType(), True),
+    ]
+)
+
+STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("orig_len", T.LongType(), True),
+        T.StructField("stripped_len", T.LongType(), True),
+    ]
+)
+
+
+def _jpeg_walk_segments(b: bytes):
+    """Yield (marker, segment_bytes) for each pre-entropy JPEG
+    segment, then ('SOS', rest-of-stream) and stop — entropy-coded
+    data (with embedded RST markers) is never walked. MALFORMED
+    (truncated segment, byte where a marker should be) raises
+    ValueError."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (no SOI)")
+    pos, n = 2, len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(
+                f"malformed JPEG: expected marker at {pos}, "
+                f"got 0x{b[pos]:02x}"
+            )
+        m = b[pos + 1]
+        if m == 0xD9:  # EOI before SOS: metadata-only stream
+            yield (m, bytes(b[pos : pos + 2]))
+            return
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG: marker without length")
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDA:  # start of scan: rest is entropy data + EOI
+            yield (m, bytes(b[pos:]))
+            return
+        yield (m, bytes(b[pos : pos + 2 + seglen]))
+        pos += 2 + seglen
+    raise ValueError("truncated JPEG: no SOS/EOI")
+
+
+def _exif_parse(b: bytes) -> dict | None:
+    """Parse the first APP1 Exif segment of a JPEG: TIFF-structured
+    IFD0 (II or MM), tags Make/Model/Orientation/DateTime and the
+    GPS-IFD pointer (0x8825 — presence only; coordinates are exactly
+    what strip_metadata exists to remove). Returns None when the
+    JPEG carries no Exif APP1."""
+    import struct
+
+    for m, seg in _jpeg_walk_segments(b):
+        if m != 0xE1 or seg[4:10] != b"Exif\x00\x00":
+            continue
+        t = seg[10:]
+        if t[:4] == b"II*\x00":
+            e = "<"
+        elif t[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            raise ValueError("malformed Exif: bad TIFF header")
+        (ifd_off,) = struct.unpack_from(e + "I", t, 4)
+        if ifd_off + 2 > len(t):
+            raise ValueError("malformed Exif: IFD offset past end")
+        (n_tags,) = struct.unpack_from(e + "H", t, ifd_off)
+        if ifd_off + 2 + 12 * n_tags > len(t):
+            raise ValueError("truncated Exif IFD")
+        out = {
+            "orientation": None, "make": None, "model": None,
+            "datetime": None, "has_gps": False,
+        }
+        sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+        for i in range(n_tags):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", t, off)
+            if typ not in sizes:
+                continue
+            total = sizes[typ] * cnt
+            src = off + 8
+            if total > 4:
+                (src,) = struct.unpack_from(e + "I", t, off + 8)
+                if src + total > len(t):
+                    raise ValueError(f"truncated Exif tag {tag:#x}")
+            if tag == 0x8825:
+                out["has_gps"] = True
+            elif tag == 0x0112 and typ == 3:
+                (out["orientation"],) = struct.unpack_from(e + "H", t, src)
+            elif typ == 2 and tag in (0x010F, 0x0110, 0x0132):
+                raw = t[src : src + cnt].split(b"\x00")[0]
+                key = {0x010F: "make", 0x0110: "model",
+                       0x0132: "datetime"}[tag]
+                out[key] = raw.decode("ascii", errors="replace")
+        return out
+    return None
+
+
+# APPn markers always kept by strip_metadata: APP0 (JFIF — decoders
+# key colorspace off it) and APP14 (Adobe color transform)
+_STRIP_KEEP_APP = {0xE0, 0xEE}
+
+
+def _jpeg_strip_metadata(b: bytes) -> bytes:
+    """Lossless metadata strip: drop APP1-APP13/APP15 (Exif incl.
+    GPS, XMP, Photoshop IRB, ICC) and COM segments; keep APP0/APP14
+    and every structural segment (DQT/DHT/SOF/DRI/SOS); entropy data
+    passes through verbatim — the decoded pixels are untouched."""
+    out = bytearray(b[:2])
+    for m, seg in _jpeg_walk_segments(b):
+        if m == 0xFE or (0xE1 <= m <= 0xEF and m not in _STRIP_KEEP_APP):
+            continue
+        out += seg
+    return bytes(out)
+
+
+def exif_extract(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Per-image EXIF metadata for multimodal curation: orientation,
+    camera make/model, capture datetime, and whether a GPS IFD is
+    present (privacy flag — pair with strip_metadata). JPEG-only by
+    nature (the other supported formats carry no EXIF): non-JPEG
+    payloads are a CAPABILITY limit (NULL row under
+    on_unsupported='null'); a JPEG without an Exif APP1 is a normal
+    row (format='JPEG', NULL fields, has_gps=false); malformed
+    JPEG/Exif structure always raises ValueError.
+
+    Arrow-batched mapInPandas, zero shuffle — the marker walk stops
+    at SOS, so cost is per-image METADATA bytes, not payload size."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "orientation", "make", "model",
+                "datetime", "has_gps",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = ori = mk = md = dt = gps = None
+                if payload is not None:
+                    try:
+                        info = _exif_parse(bytes(payload))
+                        fmt = "JPEG"
+                        gps = False
+                        if info is not None:
+                            ori = info["orientation"]
+                            mk, md = info["make"], info["model"]
+                            dt = info["datetime"]
+                            gps = info["has_gps"]
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                rows["orientation"].append(ori)
+                rows["make"].append(mk)
+                rows["model"].append(md)
+                rows["datetime"].append(dt)
+                rows["has_gps"].append(gps)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, EXIF_SCHEMA)
+
+
+def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Privacy scrub for multimodal corpora: losslessly remove
+    JPEG metadata segments (Exif incl. GPS coordinates, XMP,
+    Photoshop IRB, ICC, comments) while keeping the image bitstream
+    byte-identical — APP0/APP14 and all structural segments stay, so
+    any decoder produces the same pixels. on_unsupported:
+    'error' (raise on non-JPEG), 'null' (NULL payload), or 'keep'
+    (pass non-JPEG payloads through unchanged — the right mode for
+    mixed-format corpora: PPM/PNG/WAV here carry no metadata
+    segments). Malformed JPEG structure always raises.
+
+    Map-only Arrow stage; output schema keeps orig/stripped lengths
+    so the scrub is auditable without re-reading payloads."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null", "keep"):
+        raise ValueError(
+            "on_unsupported must be 'error', 'null' or 'keep'"
+        )
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "payload", "orig_len", "stripped_len",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = olen = slen = None
+                if payload is not None:
+                    b = bytes(payload)
+                    olen = len(b)
+                    try:
+                        out = _jpeg_strip_metadata(b)
+                        slen = len(out)
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                        if on_unsupported == "keep":
+                            out, slen = b, olen
+                        else:
+                            olen = None
+                rows["media_id"].append(mid)
+                rows["payload"].append(out)
+                rows["orig_len"].append(olen)
+                rows["stripped_len"].append(slen)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, STRIP_SCHEMA)
+
+
+def exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime_s: str,
+    gps: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """Synthetic-fixture APP1 Exif segment builder (tests + the
+    m_exif_* gate queries — NOT a public operator): TIFF header, IFD0
+    with Make/Model/Orientation/DateTime (+ a minimal GPS IFD behind
+    the 0x8825 pointer when gps=True), II or MM byte order."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    mk = make.encode("ascii") + b"\x00"
+    md = model.encode("ascii") + b"\x00"
+    dt = datetime_s.encode("ascii") + b"\x00"
+    n = 4 + (1 if gps else 0)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    data = bytearray()
+
+    def val_or_off(raw: bytes) -> bytes:
+        if len(raw) <= 4:
+            return raw + b"\x00" * (4 - len(raw))
+        off = data_off + len(data)
+        data.extend(raw)
+        return struct.pack(e + "I", off)
+
+    entries = []
+    entries.append(
+        struct.pack(e + "HHI", 0x010F, 2, len(mk)) + val_or_off(mk)
+    )
+    entries.append(
+        struct.pack(e + "HHI", 0x0110, 2, len(md)) + val_or_off(md)
+    )
+    entries.append(
+        struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", orientation) + b"\x00\x00"
+    )
+    entries.append(
+        struct.pack(e + "HHI", 0x0132, 2, len(dt)) + val_or_off(dt)
+    )
+    if gps:
+        gps_off = data_off + len(data)
+        entries.append(
+            struct.pack(e + "HHI", 0x8825, 4, 1)
+            + struct.pack(e + "I", gps_off)
+        )
+        # minimal GPS IFD: GPSVersionID 2.3.0.0
+        data.extend(
+            struct.pack(e + "H", 1)
+            + struct.pack(e + "HHI", 0x0000, 1, 4) + bytes([2, 3, 0, 0])
+            + struct.pack(e + "I", 0)
+        )
+    tiff = (
+        (b"MM\x00*" if big_endian else b"II*\x00")
+        + struct.pack(e + "I", ifd_off)
+        + struct.pack(e + "H", n)
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)
+        + bytes(data)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
 # IMA/DVI ADPCM tables (IMA ADPCM reference algorithm, also
 # Microsoft WAV format 0x11): 89-entry step table + 16-entry index
 # adjustment — both engines replay the same integer state machine

@@ -1348,3 +1348,62 @@ def test_image_dhash_and_near_dup(spark):
         dhash_near_dup(hashes, max_hamming=2, bands=5)
     with pytest.raises(ValueError, match="1..64"):
         image_dhash(media, 9, 8)
+
+
+def test_exif_extract_and_strip_metadata(spark):
+    """EXIF APP1 parse (both TIFF byte orders, inline + offset tag
+    values, GPS-IFD presence flag); lossless metadata strip returns
+    the exact pre-tag bytes and drops COM too; JPEG without Exif is
+    a normal row; non-JPEG honors on_unsupported modes; malformed
+    structure always raises."""
+    import pytest
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import (
+        exif_app1,
+        exif_extract,
+        strip_metadata,
+    )
+
+    base = jpeg_encode_baseline(8, 8, gray=bytes([128]) * 64)
+    app1 = exif_app1("CamCo", "X100", 6, "2024:01:02 03:04:05", gps=True)
+    app1_mm = exif_app1("B", "Y", 1, "2020:01:01 00:00:00",
+                        big_endian=True)
+    com = b"\xff\xfe\x00\x07hello"
+    tagged = base[:2] + app1 + com + base[2:]
+    tagged_mm = base[:2] + app1_mm + base[2:]
+    ppm = b"P6 1 1 255\n\x00\x00\x00"
+    media = spark.createDataFrame(
+        [(1, tagged), (2, tagged_mm), (3, base), (4, ppm), (5, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           exif_extract(media, on_unsupported="null").collect()}
+    assert (out[1]["make"], out[1]["model"], out[1]["orientation"],
+            out[1]["datetime"], out[1]["has_gps"]) == (
+        "CamCo", "X100", 6, "2024:01:02 03:04:05", True)
+    assert (out[2]["make"], out[2]["orientation"],
+            out[2]["has_gps"]) == ("B", 1, False)
+    assert out[3]["format"] == "JPEG" and out[3]["make"] is None
+    assert out[3]["has_gps"] is False
+    assert out[4]["format"] is None and out[5]["format"] is None
+
+    st = {r["media_id"]: r for r in
+          strip_metadata(media, on_unsupported="keep").collect()}
+    assert bytes(st[1]["payload"]) == base  # APP1 AND COM dropped
+    assert bytes(st[2]["payload"]) == base
+    assert st[1]["orig_len"] == len(tagged)
+    assert st[1]["stripped_len"] == len(base)
+    assert bytes(st[4]["payload"]) == ppm  # keep: passthrough
+    nulled = {r["media_id"]: r for r in
+              strip_metadata(media, on_unsupported="null").collect()}
+    assert nulled[4]["payload"] is None
+    with pytest.raises(Exception, match="not a JPEG"):
+        strip_metadata(media).collect()
+    bad = spark.createDataFrame(
+        [(1, tagged[:20])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated JPEG"):
+        exif_extract(bad, on_unsupported="null").collect()
+    with pytest.raises(ValueError, match="on_unsupported"):
+        strip_metadata(media, on_unsupported="bogus")
