@@ -2854,6 +2854,110 @@ def m_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _riff_fixture(doc_id: int) -> tuple:
+    """Per-doc RIFF INFO fixture values — fixed string LENGTHS so the
+    strip oracle's chunk arithmetic stays analytic: LIST chunk = 56
+    bytes, id3 chunk = 12 (present iff doc_id % 4 == 0)."""
+    return (
+        f"Artist {doc_id % 5}",   # 8 chars -> 18-byte subchunk
+        f"T{doc_id % 7}",         # 2 chars -> 12
+        f"202{doc_id % 10}",      # 4 chars -> 14
+        doc_id % 4 == 0,
+    )
+
+
+def _riff_base_wav() -> bytes:
+    import struct
+
+    payload = b"\x00\x01" * 12
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+
+def _riff_tagged_wav(doc_id: int) -> bytes:
+    import struct
+
+    artist, title, date, id3 = _riff_fixture(doc_id)
+    body = b"INFO"
+    for sid, val in ((b"IART", artist), (b"INAM", title), (b"ICRD", date)):
+        v = val.encode() + b"\x00"
+        body += sid + struct.pack("<I", len(v)) + v
+        if len(v) & 1:
+            body += b"\x00"
+    out = _riff_base_wav() + b"LIST" + struct.pack("<I", len(body)) + body
+    if id3:
+        out += b"id3 " + struct.pack("<I", 4) + b"tag!"
+    return out
+
+
+def m_riff_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF LIST/INFO extraction under the oracle gate: a constant
+    PCM WAV gets per-doc INFO subchunks (artist/title/date analytic
+    in doc_id) and an id3 chunk for doc_id%4==0. The oracle is
+    ANALYTIC — a chunk-walk, padding, or NUL-termination bug
+    mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import riff_info_extract
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        _riff_tagged_wav(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return riff_info_extract(media).select(
+        "media_id", "format", "artist", "title", "date",
+        "software", "has_id3",
+    )
+
+
+def m_strip_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV metadata stripping under the oracle gate: the same tagged
+    WAVs as m_riff_info scrubbed by strip_metadata — output must be
+    byte-identical to the constant base WAV (md5 literal), with the
+    analytic LIST/id3 length delta."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import strip_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        _riff_tagged_wav(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return strip_metadata(media).select(
+        "media_id",
+        "orig_len",
+        "stripped_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5303,6 +5407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_adpcm": m_decode_adpcm,
         "m_exif_extract": m_exif_extract,
         "m_strip_metadata": m_strip_metadata,
+        "m_riff_info": m_riff_info,
+        "m_strip_wav": m_strip_wav,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6401,6 +6507,18 @@ def oracle_sql() -> dict[str, str]:
         # base JPEG (md5 literal computed from the same fixture
         # encoder); APP1 sizes are the analytic 99/129 bytes
         "m_strip_metadata": _strip_metadata_oracle(),
+        # ANALYTIC RIFF INFO replay (fixture contract: _riff_fixture)
+        "m_riff_info": """
+            SELECT doc_id AS media_id,
+                   'WAV' AS format,
+                   'Artist ' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+                   'T' || CAST(doc_id % 7 AS VARCHAR) AS title,
+                   '202' || CAST(doc_id % 10 AS VARCHAR) AS date,
+                   CAST(NULL AS VARCHAR) AS software,
+                   doc_id % 4 = 0 AS has_id3
+            FROM documents
+        """,
+        "m_strip_wav": _strip_wav_oracle(),
         # ANALYTIC replay of robots filtering: allowed/rule are pure
         # functions of the doc_id%6 path class under the synthesized
         # '*' group (most-specific rule, Allow-beats-Disallow-on-tie,
@@ -9829,6 +9947,24 @@ def _strip_metadata_oracle() -> str:
         SELECT doc_id AS media_id,
                CAST({len(base)} + CASE WHEN doc_id % 3 = 0
                                        THEN 129 ELSE 99 END AS BIGINT)
+                   AS orig_len,
+               CAST({len(base)} AS BIGINT) AS stripped_len,
+               '{md5}' AS payload_md5
+        FROM documents
+    """
+
+
+def _strip_wav_oracle() -> str:
+    """The WAV twin of _strip_metadata_oracle: constant-base md5 +
+    analytic LIST (56) / id3 (12) chunk sizes."""
+    import hashlib
+
+    base = _riff_base_wav()
+    md5 = hashlib.md5(base).hexdigest()
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({len(base)} + 56 + CASE WHEN doc_id % 4 = 0
+                                            THEN 12 ELSE 0 END AS BIGINT)
                    AS orig_len,
                CAST({len(base)} AS BIGINT) AS stripped_len,
                '{md5}' AS payload_md5

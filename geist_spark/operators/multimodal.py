@@ -1448,14 +1448,15 @@ def exif_extract(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
 
 def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     """Privacy scrub for multimodal corpora: losslessly remove
-    JPEG metadata segments (Exif incl. GPS coordinates, XMP,
-    Photoshop IRB, ICC, comments) while keeping the image bitstream
-    byte-identical — APP0/APP14 and all structural segments stay, so
-    any decoder produces the same pixels. on_unsupported:
-    'error' (raise on non-JPEG), 'null' (NULL payload), or 'keep'
-    (pass non-JPEG payloads through unchanged — the right mode for
-    mixed-format corpora: PPM/PNG/WAV here carry no metadata
-    segments). Malformed JPEG structure always raises.
+    metadata from JPEG (APP1-APP13/APP15 + COM: Exif incl. GPS
+    coordinates, XMP, Photoshop IRB, ICC, comments — APP0/APP14 and
+    all structural segments stay, so any decoder produces the same
+    pixels) and RIFF/WAVE (LIST/INFO, id3, cue/bext — only
+    fmt /data/fact survive, sample bytes verbatim). on_unsupported:
+    'error' (raise on other formats), 'null' (NULL payload), or
+    'keep' (pass other formats through unchanged — the right mode
+    for mixed corpora: PPM/PNG here carry no metadata segments).
+    Malformed JPEG/WAV structure always raises.
 
     Map-only Arrow stage; output schema keeps orig/stripped lengths
     so the scrub is auditable without re-reading payloads."""
@@ -1477,7 +1478,10 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
                     b = bytes(payload)
                     olen = len(b)
                     try:
-                        out = _jpeg_strip_metadata(b)
+                        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                            out = _wav_strip_metadata(b)
+                        else:
+                            out = _jpeg_strip_metadata(b)
                         slen = len(out)
                     except NotImplementedError as exc:
                         if on_unsupported == "error":
@@ -1563,6 +1567,141 @@ def exif_app1(
     )
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+RIFF_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("date", T.StringType(), True),
+        T.StructField("software", T.StringType(), True),
+        T.StructField("has_id3", T.BooleanType(), True),
+    ]
+)
+
+# LIST/INFO subchunk ids -> output fields (RIFF spec INFO tags)
+_RIFF_INFO_TAGS = {
+    b"IART": "artist",
+    b"INAM": "title",
+    b"ICRD": "date",
+    b"ISFT": "software",
+}
+
+# chunks a stripped WAV keeps: format, audio data, and the
+# compressed-format frame count (structural, not metadata)
+_WAV_KEEP_CHUNKS = {b"fmt ", b"data", b"fact"}
+
+
+def _riff_chunks(b: bytes):
+    """Yield (chunk_id, body_bytes) for each top-level RIFF/WAVE
+    chunk (word-aligned walk, same contract as _wav_samples)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = bytes(b[pos : pos + 4])
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = bytes(b[pos + 8 : pos + 8 + clen])
+        if len(body) < clen:
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: header says {clen} bytes"
+            )
+        yield cid, body
+        pos += 8 + clen + (clen & 1)
+
+
+def _riff_info_parse(b: bytes) -> dict:
+    """Extract LIST/INFO metadata (artist/title/date/software) and
+    flag embedded id3 chunks from a RIFF/WAVE payload."""
+    import struct
+
+    out = {v: None for v in _RIFF_INFO_TAGS.values()}
+    out["has_id3"] = False
+    for cid, body in _riff_chunks(b):
+        if cid in (b"id3 ", b"ID3 "):
+            out["has_id3"] = True
+        elif cid == b"LIST" and body[:4] == b"INFO":
+            pos = 4
+            while pos + 8 <= len(body):
+                sid = bytes(body[pos : pos + 4])
+                (slen,) = struct.unpack_from("<I", body, pos + 4)
+                sval = body[pos + 8 : pos + 8 + slen]
+                if len(sval) < slen:
+                    raise ValueError(
+                        f"truncated INFO subchunk {sid!r}"
+                    )
+                key = _RIFF_INFO_TAGS.get(sid)
+                if key:
+                    out[key] = (
+                        sval.split(b"\x00")[0]
+                        .decode("ascii", errors="replace")
+                    )
+                pos += 8 + slen + (slen & 1)
+    return out
+
+
+def _wav_strip_metadata(b: bytes) -> bytes:
+    """Rebuild a RIFF/WAVE payload keeping only structural chunks
+    (fmt /data/fact, original order) — LIST/INFO, id3, cue points,
+    bext and any other metadata chunks are dropped; sample bytes
+    pass through verbatim and the RIFF size field is recomputed."""
+    import struct
+
+    parts = []
+    for cid, body in _riff_chunks(b):
+        if cid not in _WAV_KEEP_CHUNKS:
+            continue
+        parts.append(
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+    payload = b"".join(parts)
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def riff_info_extract(
+    media: DataFrame, on_unsupported: str = "error"
+) -> DataFrame:
+    """Audio twin of exif_extract: RIFF LIST/INFO metadata
+    (artist/title/date/software) + an id3-chunk presence flag from
+    WAV payloads. Non-RIFF payloads are a CAPABILITY limit (NULL row
+    under on_unsupported='null'); a WAV without INFO is a normal row
+    (format='WAV', NULL fields); truncated chunks always raise.
+    Map-only Arrow stage, chunk-header walk only."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "artist", "title", "date",
+                "software", "has_id3",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = info = None
+                if payload is not None:
+                    try:
+                        info = _riff_info_parse(bytes(payload))
+                        fmt = "WAV"
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in ("artist", "title", "date", "software"):
+                    rows[k].append(info[k] if info else None)
+                rows["has_id3"].append(info["has_id3"] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, RIFF_INFO_SCHEMA)
 
 
 # IMA/DVI ADPCM tables (IMA ADPCM reference algorithm, also

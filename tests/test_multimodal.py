@@ -1407,3 +1407,76 @@ def test_exif_extract_and_strip_metadata(spark):
         exif_extract(bad, on_unsupported="null").collect()
     with pytest.raises(ValueError, match="on_unsupported"):
         strip_metadata(media, on_unsupported="bogus")
+
+
+def test_riff_info_extract_and_strip(spark):
+    """RIFF LIST/INFO parse (NUL-terminated values, word padding,
+    id3 flag); strip_metadata's WAV dispatch keeps only
+    fmt /data/fact and recomputes the RIFF size; WAV without INFO is
+    a normal row; truncated chunks raise."""
+    import struct
+
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        decode_audio_real,
+        riff_info_extract,
+        strip_metadata,
+    )
+
+    def wav_base():
+        payload = b"\x00\x01" * 12
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    def info_chunk(**kw):
+        body = b"INFO"
+        for sid, val in kw.items():
+            v = val.encode() + b"\x00"
+            body += sid.upper().encode() + struct.pack("<I", len(v)) + v
+            if len(v) & 1:
+                body += b"\x00"
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    base = wav_base()
+    tagged = (
+        base
+        + info_chunk(iart="Artist A", inam="Song", icrd="2024",
+                     isft="enc v1")
+        + b"id3 " + struct.pack("<I", 4) + b"tag!"
+    )
+    media = spark.createDataFrame(
+        [(1, tagged), (2, base), (3, b"OggS....")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           riff_info_extract(media, on_unsupported="null").collect()}
+    assert (out[1]["artist"], out[1]["title"], out[1]["date"],
+            out[1]["software"], out[1]["has_id3"]) == (
+        "Artist A", "Song", "2024", "enc v1", True)
+    assert out[2]["format"] == "WAV" and out[2]["artist"] is None
+    assert out[2]["has_id3"] is False
+    assert out[3]["format"] is None
+
+    st = {r["media_id"]: r for r in
+          strip_metadata(media, on_unsupported="keep").collect()}
+    assert bytes(st[1]["payload"]) == base
+    assert st[1]["orig_len"] == len(tagged)
+    assert st[1]["stripped_len"] == len(base)
+    assert bytes(st[2]["payload"]) == base
+    # the stripped WAV still decodes identically
+    dec = decode_audio_real(
+        spark.createDataFrame(
+            [(1, st[1]["payload"])], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    assert dec["n_frames"] == 12
+    bad = spark.createDataFrame(
+        [(1, tagged[:-3])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        riff_info_extract(bad, on_unsupported="null").collect()
