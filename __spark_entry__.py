@@ -2958,6 +2958,62 @@ def m_strip_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_strip_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG metadata stripping under the oracle gate: a constant 4x2
+    RGB PNG gets a per-doc tEXt chunk (21 bytes: 'Author\\0A<d%5>')
+    and a tIME chunk (19 bytes) spliced after IHDR; strip_metadata
+    must return the base PNG byte-identically (md5 literal) with the
+    analytic 40-byte delta."""
+    import hashlib as _hl
+    import struct as _st
+
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import (
+        png_encode_rgb,
+        strip_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = png_encode_rgb(4, 2, bytes(range(24)), [1, 4])
+    ihdr_end = 8 + 8 + 13 + 4  # sig + IHDR chunk
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        import zlib as _zl
+
+        return (
+            _st.pack(">I", len(body)) + ctype + body
+            + _st.pack(">I", _zl.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                text = chunk(
+                    b"tEXt", b"Author\x00A" + str(int(did) % 5).encode()
+                )
+                time_c = chunk(
+                    b"tIME", _st.pack(">HBBBBB", 2024, 1, 1, 0, 0, 0)
+                )
+                payloads.append(
+                    base[:ihdr_end] + text + time_c + base[ihdr_end:]
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return strip_metadata(media).select(
+        "media_id",
+        "orig_len",
+        "stripped_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5409,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_strip_metadata": m_strip_metadata,
         "m_riff_info": m_riff_info,
         "m_strip_wav": m_strip_wav,
+        "m_strip_png": m_strip_png,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6519,6 +6576,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "m_strip_wav": _strip_wav_oracle(),
+        "m_strip_png": _strip_png_oracle(),
         # ANALYTIC replay of robots filtering: allowed/rule are pure
         # functions of the doc_id%6 path class under the synthesized
         # '*' group (most-specific rule, Allow-beats-Disallow-on-tie,
@@ -9966,6 +10024,24 @@ def _strip_wav_oracle() -> str:
                CAST({len(base)} + 56 + CASE WHEN doc_id % 4 = 0
                                             THEN 12 ELSE 0 END AS BIGINT)
                    AS orig_len,
+               CAST({len(base)} AS BIGINT) AS stripped_len,
+               '{md5}' AS payload_md5
+        FROM documents
+    """
+
+
+def _strip_png_oracle() -> str:
+    """PNG twin of _strip_metadata_oracle: constant-base md5 +
+    analytic tEXt (21) + tIME (19) chunk sizes."""
+    import hashlib
+
+    from geist_spark.operators.multimodal import png_encode_rgb
+
+    base = png_encode_rgb(4, 2, bytes(range(24)), [1, 4])
+    md5 = hashlib.md5(base).hexdigest()
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({len(base)} + 40 AS BIGINT) AS orig_len,
                CAST({len(base)} AS BIGINT) AS stripped_len,
                '{md5}' AS payload_md5
         FROM documents

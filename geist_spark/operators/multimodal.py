@@ -1380,6 +1380,40 @@ def _exif_parse(b: bytes) -> dict | None:
 # key colorspace off it) and APP14 (Adobe color transform)
 _STRIP_KEEP_APP = {0xE0, 0xEE}
 
+# PNG ancillary chunks DROPPED by strip_metadata: textual metadata,
+# Exif, and timestamps (provenance/privacy); everything else —
+# critical chunks and rendering-relevant ancillaries (gAMA, cHRM,
+# sRGB, pHYs, bKGD, tRNS, sBIT) — is kept verbatim, CRCs untouched
+_PNG_STRIP_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+
+
+def _png_strip_metadata(b: bytes) -> bytes:
+    """Lossless PNG metadata strip: drop tEXt/zTXt/iTXt/eXIf/tIME
+    chunks, keep everything else byte-identical (kept chunks' CRCs
+    pass through, never recomputed). Chunk CRCs of DROPPED chunks
+    are not validated — stripping must not fail on a corrupt comment
+    — but the chunk framing itself must be well-formed."""
+    import struct
+
+    if b[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    out = bytearray(b[:8])
+    pos = 8
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = bytes(b[pos + 4 : pos + 8])
+        end = pos + 8 + clen + 4
+        if end > len(b):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: header says {clen} bytes"
+            )
+        if ctype not in _PNG_STRIP_CHUNKS:
+            out += b[pos:end]
+        pos = end
+        if ctype == b"IEND":
+            return bytes(out)
+    raise ValueError("truncated PNG: missing IEND chunk")
+
 
 def _jpeg_strip_metadata(b: bytes) -> bytes:
     """Lossless metadata strip: drop APP1-APP13/APP15 (Exif incl.
@@ -1451,12 +1485,14 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
     metadata from JPEG (APP1-APP13/APP15 + COM: Exif incl. GPS
     coordinates, XMP, Photoshop IRB, ICC, comments — APP0/APP14 and
     all structural segments stay, so any decoder produces the same
-    pixels) and RIFF/WAVE (LIST/INFO, id3, cue/bext — only
-    fmt /data/fact survive, sample bytes verbatim). on_unsupported:
+    pixels), RIFF/WAVE (LIST/INFO, id3, cue/bext — only
+    fmt /data/fact survive, sample bytes verbatim), and PNG
+    (tEXt/zTXt/iTXt/eXIf/tIME dropped; critical and rendering
+    chunks kept with their CRCs untouched). on_unsupported:
     'error' (raise on other formats), 'null' (NULL payload), or
     'keep' (pass other formats through unchanged — the right mode
-    for mixed corpora: PPM/PNG here carry no metadata segments).
-    Malformed JPEG/WAV structure always raises.
+    for mixed corpora: PPM here carries no metadata segments).
+    Malformed JPEG/WAV/PNG structure always raises.
 
     Map-only Arrow stage; output schema keeps orig/stripped lengths
     so the scrub is auditable without re-reading payloads."""
@@ -1480,6 +1516,8 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
                     try:
                         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                             out = _wav_strip_metadata(b)
+                        elif b[:8] == _PNG_SIG:
+                            out = _png_strip_metadata(b)
                         else:
                             out = _jpeg_strip_metadata(b)
                         slen = len(out)

@@ -1480,3 +1480,57 @@ def test_riff_info_extract_and_strip(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         riff_info_extract(bad, on_unsupported="null").collect()
+
+
+def test_strip_metadata_png(spark):
+    """PNG dispatch in strip_metadata: tEXt/zTXt/iTXt/eXIf/tIME drop,
+    critical + rendering chunks (incl. their CRCs) pass through
+    byte-identically; the stripped PNG still decodes to the same
+    pixels; truncated chunk framing raises."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        decode_real,
+        png_encode_rgb,
+        strip_metadata,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    base = png_encode_rgb(3, 2, bytes(range(18)), [1, 4])
+    cut = 8 + 8 + 13 + 4  # after IHDR
+    meta = (
+        chunk(b"tEXt", b"Comment\x00secret location")
+        + chunk(b"tIME", struct.pack(">HBBBBB", 2024, 5, 1, 2, 3, 4))
+        + chunk(b"iTXt", b"XML:com.adobe.xmp\x00\x00\x00\x00\x00gps")
+        + chunk(b"eXIf", b"II*\x00\x08\x00\x00\x00\x00\x00")
+    )
+    phys = chunk(b"pHYs", struct.pack(">IIB", 2835, 2835, 1))
+    tagged = base[:cut] + meta + phys + base[cut:]
+    media = spark.createDataFrame(
+        [(1, tagged)], "media_id long, payload binary"
+    )
+    st = strip_metadata(media).collect()[0]
+    assert bytes(st["payload"]) == base[:cut] + phys + base[cut:]
+    assert st["orig_len"] == len(tagged)
+    dec = decode_real(
+        spark.createDataFrame(
+            [(1, st["payload"])], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    base_dec = decode_real(
+        spark.createDataFrame([(1, base)], "media_id long, payload binary")
+    ).collect()[0]
+    assert dec["pixel_md5"] == base_dec["pixel_md5"]
+    bad = spark.createDataFrame(
+        [(1, tagged[:-7])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated PNG"):
+        strip_metadata(bad, on_unsupported="null").collect()
