@@ -3014,6 +3014,46 @@ def m_strip_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF metadata probe under the oracle gate: per-doc MP4 box
+    trees (timescale 1000, duration (d%50+1)*500 ms, a video track
+    with analytic 16.16 dimensions, an audio track iff d%2==0, and a
+    64-bit-largesize mdat for d%5==0 so that path runs). The oracle
+    is ANALYTIC — a box-walk, version, fixed-point, or
+    largesize bug mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import mp4_build, mp4_probe
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tracks = [(b"vide", 16 * (d % 10 + 1), 16 * (d % 6 + 1))]
+                if d % 2 == 0:
+                    tracks.append((b"soun", 0, 0))
+                payloads.append(
+                    mp4_build(
+                        b"isom", 1000, (d % 50 + 1) * 500, tracks,
+                        largesize_mdat=(d % 5 == 0),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return mp4_probe(media).select(
+        "media_id", "format", "major_brand", "duration_ms",
+        "n_tracks", "width", "height", "has_video", "has_audio",
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5466,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_riff_info": m_riff_info,
         "m_strip_wav": m_strip_wav,
         "m_strip_png": m_strip_png,
+        "m_mp4_probe": m_mp4_probe,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6577,6 +6618,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "m_strip_wav": _strip_wav_oracle(),
         "m_strip_png": _strip_png_oracle(),
+        # ANALYTIC MP4 probe replay (fixture contract in m_mp4_probe)
+        "m_mp4_probe": """
+            SELECT doc_id AS media_id,
+                   'MP4' AS format,
+                   'isom' AS major_brand,
+                   CAST((doc_id % 50 + 1) * 500 AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                        AS INTEGER) AS n_tracks,
+                   CAST(16 * (doc_id % 10 + 1) AS INTEGER) AS width,
+                   CAST(16 * (doc_id % 6 + 1) AS INTEGER) AS height,
+                   TRUE AS has_video,
+                   doc_id % 2 = 0 AS has_audio
+            FROM documents
+        """,
         # ANALYTIC replay of robots filtering: allowed/rule are pure
         # functions of the doc_id%6 path class under the synthesized
         # '*' group (most-specific rule, Allow-beats-Disallow-on-tie,

@@ -1607,6 +1607,186 @@ def exif_app1(
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
 
 
+MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("has_video", T.BooleanType(), True),
+        T.StructField("has_audio", T.BooleanType(), True),
+    ]
+)
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in
+    [start, end): 32-bit sizes, size==1 64-bit largesize, size==0
+    to-end-of-enclosing. Malformed sizes raise ValueError."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        btype = bytes(b[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4: largesize header")
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"malformed MP4: box {btype!r} size {size} at {pos}"
+            )
+        yield btype, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("truncated MP4: trailing partial box header")
+
+
+def _mp4_parse(b: bytes) -> dict:
+    """ISO-BMFF metadata probe WITHOUT codecs: ftyp major brand,
+    mvhd duration (v0 32-bit / v1 64-bit times), track count, video
+    dimensions from tkhd's 16.16 fixed-point fields, and
+    track-handler presence (vide/soun). Iterative container descent
+    (explicit stack — the AVI recursion lesson)."""
+    import struct
+
+    n = len(b)
+    if n < 12 or b[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "not an ISO-BMFF/MP4 payload (no ftyp box)"
+        )
+    out = {
+        "major_brand": b[8:12].decode("ascii", errors="replace"),
+        "duration_ms": None, "n_tracks": 0, "width": None,
+        "height": None, "has_video": False, "has_audio": False,
+    }
+    stack = [(0, n)]
+    while stack:
+        s, e = stack.pop()
+        for btype, bs, be in _mp4_boxes(b, s, e):
+            if btype in (b"moov", b"trak", b"mdia"):
+                if btype == b"trak":
+                    out["n_tracks"] += 1
+                stack.append((bs, be))
+            elif btype == b"mvhd":
+                body = b[bs:be]
+                if len(body) < 24:
+                    raise ValueError("malformed MP4: short mvhd")
+                if body[0] == 1:
+                    if len(body) < 32:
+                        raise ValueError("malformed MP4: short mvhd v1")
+                    (ts,) = struct.unpack_from(">I", body, 20)
+                    (dur,) = struct.unpack_from(">Q", body, 24)
+                else:
+                    ts, dur = struct.unpack_from(">II", body, 12)
+                out["duration_ms"] = dur * 1000 // ts if ts else None
+            elif btype == b"tkhd":
+                body = b[bs:be]
+                if len(body) < 16:
+                    raise ValueError("malformed MP4: short tkhd")
+                wfx, hfx = struct.unpack_from(">II", body, len(body) - 8)
+                if wfx and hfx:  # audio tracks carry 0x0
+                    out["width"] = wfx >> 16
+                    out["height"] = hfx >> 16
+            elif btype == b"hdlr":
+                if be - bs < 12:
+                    raise ValueError("malformed MP4: short hdlr")
+                handler = bytes(b[bs + 8 : bs + 12])
+                if handler == b"vide":
+                    out["has_video"] = True
+                elif handler == b"soun":
+                    out["has_audio"] = True
+    return out
+
+
+def mp4_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Video-container metadata for corpus curation WITHOUT codec
+    libraries: brand, duration, track count/kinds, and display
+    dimensions from the ISO-BMFF box tree (the moov side — entropy
+    data in mdat is never touched, so cost is per-file metadata
+    bytes). Sample decode remains the documented capability limit
+    (no ffmpeg in this environment); this is the real, testable
+    Spark-side surface a 100 TB video corpus needs for filtering,
+    budgeting and dedup BEFORE any decode. Non-BMFF payloads are a
+    capability limit; malformed box trees always raise."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "major_brand", "duration_ms",
+                "n_tracks", "width", "height", "has_video", "has_audio",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = fmt = None
+                if payload is not None:
+                    try:
+                        info = _mp4_parse(bytes(payload))
+                        fmt = "MP4"
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in ("major_brand", "duration_ms", "n_tracks",
+                          "width", "height", "has_video", "has_audio"):
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, MP4_SCHEMA)
+
+
+def mp4_build(
+    major: bytes,
+    timescale: int,
+    duration: int,
+    tracks: list,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Synthetic-fixture ISO-BMFF builder (tests + the m_mp4_probe
+    gate — NOT a public operator): ftyp + moov(mvhd + trak(tkhd +
+    mdia(hdlr))*) + mdat. `tracks` is a list of (handler, w, h);
+    audio tracks pass w=h=0. largesize_mdat exercises the 64-bit
+    size path."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    ftyp = box(b"ftyp", major + b"\x00\x00\x02\x00" + b"isom")
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8)
+        + struct.pack(">II", timescale, duration) + bytes(80),
+    )
+    traks = b""
+    for handler, w, h in tracks:
+        tkhd = box(
+            b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16)
+        )
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(13))
+        traks += box(b"trak", tkhd + box(b"mdia", hdlr))
+    moov = box(b"moov", mvhd + traks)
+    if largesize_mdat:
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    else:
+        mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
 RIFF_INFO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1534,3 +1534,58 @@ def test_strip_metadata_png(spark):
     )
     with pytest.raises(Exception, match="truncated PNG"):
         strip_metadata(bad, on_unsupported="null").collect()
+
+
+def test_mp4_probe(spark):
+    """ISO-BMFF probe: brand/duration/tracks/dims from the box walk
+    (v0 and v1 mvhd, 64-bit largesize, deep nesting is iterative);
+    non-BMFF is a capability limit; malformed boxes raise."""
+    import struct
+
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        _mp4_parse,
+        mp4_build,
+        mp4_probe,
+    )
+
+    m = mp4_build(b"isom", 1000, 2500,
+                  [(b"vide", 640, 360), (b"soun", 0, 0)],
+                  largesize_mdat=True)
+    media = spark.createDataFrame(
+        [(1, m), (2, b"RIFFxxxxAVI LIST")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           mp4_probe(media, on_unsupported="null").collect()}
+    assert (out[1]["major_brand"], out[1]["duration_ms"],
+            out[1]["n_tracks"], out[1]["width"], out[1]["height"],
+            out[1]["has_video"], out[1]["has_audio"]) == (
+        "isom", 2500, 2, 640, 360, True, True)
+    assert out[2]["format"] is None
+
+    # mvhd v1 (64-bit duration) parses too
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    ftyp = box(b"ftyp", b"mp42" + bytes(4) + b"isom")
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16)
+        + struct.pack(">IQ", 90000, 90000 * 7) + bytes(80),
+    )
+    v1 = ftyp + box(b"moov", mvhd1)
+    assert _mp4_parse(v1)["duration_ms"] == 7000
+
+    # a crafted deeply-nested trak chain must not RecursionError
+    deep = box(b"hdlr", bytes(8) + b"vide" + bytes(13))
+    for _ in range(3000):
+        deep = box(b"trak", deep)
+    _mp4_parse(ftyp + box(b"moov", mvhd1 + deep))
+
+    bad = spark.createDataFrame(
+        [(1, m[:-5])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="MP4"):
+        mp4_probe(bad, on_unsupported="null").collect()
