@@ -3054,6 +3054,92 @@ def m_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 extraction under the oracle gate: per-doc tags rotate
+    version (v2.4 even / v2.3 odd — syncsafe vs plain frame sizes)
+    AND text encoding (latin-1/utf-16/utf-16-be/utf-8 by doc_id%4);
+    the decoded strings are encoding-independent, so the oracle is
+    ANALYTIC in doc_id. APIC present iff doc_id%3==0."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import id3_extract, id3v2_build
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                enc = d % 4
+                payloads.append(
+                    id3v2_build(
+                        f"Song {d % 7}", f"Artist {d % 5}",
+                        f"Album {d % 3}", f"202{d % 10}",
+                        version=4 if d % 2 == 0 else 3,
+                        apic=(d % 3 == 0),
+                        encodings=(enc, enc, enc, enc),
+                    )
+                    + b"\xff\xfb\x90\x00audio"
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return id3_extract(media).select(
+        "media_id", "format", "version", "title", "artist", "album",
+        "date", "has_image",
+    )
+
+
+def m_strip_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 tag stripping under the oracle gate: fixed-length utf-8
+    tags (64-byte ID3v2) over a constant audio body, plus a trailing
+    128-byte ID3v1 block for even doc_ids — stripped output must be
+    the exact body (md5 literal) with analytic length deltas."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import id3v2_build, strip_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    body = _MP3_BODY
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p = (
+                    id3v2_build(
+                        f"T{d % 7}", f"A{d % 5}", f"L{d % 3}",
+                        f"202{d % 10}", version=4,
+                    )
+                    + body
+                )
+                if d % 2 == 0:
+                    p += b"TAG" + bytes(125)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return strip_metadata(media).select(
+        "media_id",
+        "orig_len",
+        "stripped_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+_MP3_BODY = b"\xff\xfb\x90\x00" + b"mpegframes" * 5
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5507,6 +5593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_strip_wav": m_strip_wav,
         "m_strip_png": m_strip_png,
         "m_mp4_probe": m_mp4_probe,
+        "m_id3_extract": m_id3_extract,
+        "m_strip_mp3": m_strip_mp3,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6618,6 +6706,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "m_strip_wav": _strip_wav_oracle(),
         "m_strip_png": _strip_png_oracle(),
+        # ANALYTIC ID3 replay: decoded strings are
+        # encoding-independent, so only doc_id matters
+        "m_id3_extract": """
+            SELECT doc_id AS media_id,
+                   'MP3' AS format,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+                        AS INTEGER) AS version,
+                   'Song ' || CAST(doc_id % 7 AS VARCHAR) AS title,
+                   'Artist ' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+                   'Album ' || CAST(doc_id % 3 AS VARCHAR) AS album,
+                   '202' || CAST(doc_id % 10 AS VARCHAR) AS date,
+                   doc_id % 3 = 0 AS has_image
+            FROM documents
+        """,
+        "m_strip_mp3": _strip_mp3_oracle(),
         # ANALYTIC MP4 probe replay (fixture contract in m_mp4_probe)
         "m_mp4_probe": """
             SELECT doc_id AS media_id,
@@ -10098,6 +10201,23 @@ def _strip_png_oracle() -> str:
         SELECT doc_id AS media_id,
                CAST({len(base)} + 40 AS BIGINT) AS orig_len,
                CAST({len(base)} AS BIGINT) AS stripped_len,
+               '{md5}' AS payload_md5
+        FROM documents
+    """
+
+
+def _strip_mp3_oracle() -> str:
+    """MP3 twin of _strip_metadata_oracle: constant-body md5 +
+    analytic 64-byte ID3v2 tag and 128-byte ID3v1 trailer."""
+    import hashlib
+
+    md5 = hashlib.md5(_MP3_BODY).hexdigest()
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(64 + {len(_MP3_BODY)}
+                    + CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END
+                    AS BIGINT) AS orig_len,
+               CAST({len(_MP3_BODY)} AS BIGINT) AS stripped_len,
                '{md5}' AS payload_md5
         FROM documents
     """

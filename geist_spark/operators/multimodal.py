@@ -1486,9 +1486,11 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
     coordinates, XMP, Photoshop IRB, ICC, comments — APP0/APP14 and
     all structural segments stay, so any decoder produces the same
     pixels), RIFF/WAVE (LIST/INFO, id3, cue/bext — only
-    fmt /data/fact survive, sample bytes verbatim), and PNG
+    fmt /data/fact survive, sample bytes verbatim), PNG
     (tEXt/zTXt/iTXt/eXIf/tIME dropped; critical and rendering
-    chunks kept with their CRCs untouched). on_unsupported:
+    chunks kept with their CRCs untouched), and ID3v2-tagged MP3
+    (leading ID3v2 tag + trailing ID3v1 block cut; MPEG frames
+    verbatim). on_unsupported:
     'error' (raise on other formats), 'null' (NULL payload), or
     'keep' (pass other formats through unchanged — the right mode
     for mixed corpora: PPM here carries no metadata segments).
@@ -1518,6 +1520,8 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
                             out = _wav_strip_metadata(b)
                         elif b[:8] == _PNG_SIG:
                             out = _png_strip_metadata(b)
+                        elif b[:3] == b"ID3":
+                            out = _mp3_strip_metadata(b)
                         else:
                             out = _jpeg_strip_metadata(b)
                         slen = len(out)
@@ -1785,6 +1789,205 @@ def mp4_build(
     else:
         mdat = box(b"mdat", b"")
     return ftyp + moov + mdat
+
+
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("version", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("date", T.StringType(), True),
+        T.StructField("has_image", T.BooleanType(), True),
+    ]
+)
+
+_ID3_TEXT_FRAMES = {
+    b"TIT2": "title",
+    b"TPE1": "artist",
+    b"TALB": "album",
+    b"TDRC": "date",   # v2.4
+    b"TYER": "date",   # v2.3
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("malformed ID3: non-syncsafe size byte")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_text(body: bytes) -> str:
+    """Decode an ID3v2 text frame body: leading encoding byte
+    (0 latin-1, 1 utf-16 BOM, 2 utf-16-be, 3 utf-8), NUL-terminated."""
+    if not body:
+        return ""
+    enc, rest = body[0], body[1:]
+    if enc == 0:
+        return rest.split(b"\x00")[0].decode("latin-1", errors="replace")
+    if enc == 1:
+        return rest.decode("utf-16", errors="replace").split("\x00")[0]
+    if enc == 2:
+        return rest.decode("utf-16-be", errors="replace").split("\x00")[0]
+    if enc == 3:
+        return rest.split(b"\x00")[0].decode("utf-8", errors="replace")
+    raise ValueError(f"malformed ID3: text encoding {enc}")
+
+
+def _id3_parse(b: bytes) -> dict:
+    """Parse an ID3v2.3/2.4 tag: TIT2/TPE1/TALB/TDRC|TYER text
+    frames + APIC (embedded image) presence. ID3v2.2 (3-byte frame
+    ids) is a typed capability limit; structural damage raises
+    ValueError. Returns tag_size so strip can cut the tag."""
+    import struct
+
+    if b[:3] != b"ID3":
+        raise NotImplementedError("not an ID3v2-tagged payload")
+    if len(b) < 10:
+        raise ValueError("truncated ID3 header")
+    ver, flags = b[3], b[5]
+    if ver == 2:
+        raise NotImplementedError(
+            "ID3v2.2 unsupported (3-byte frame ids; v2.3/v2.4 only)"
+        )
+    if ver not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{ver} unsupported")
+    size = _syncsafe(b[6:10])
+    if 10 + size > len(b):
+        raise ValueError(
+            f"truncated ID3 tag: header says {size} bytes"
+        )
+    out = {
+        "version": ver, "title": None, "artist": None, "album": None,
+        "date": None, "has_image": False, "tag_size": 10 + size,
+    }
+    pos = 10
+    if flags & 0x40:  # extended header: skip it
+        if ver == 4:
+            ehs = _syncsafe(b[10:14])
+        else:
+            (ehs,) = struct.unpack_from(">I", b, 10)
+            ehs += 4
+        pos += ehs
+    end = 10 + size
+    while pos + 10 <= end:
+        fid = bytes(b[pos : pos + 4])
+        if fid == b"\x00\x00\x00\x00":  # padding
+            break
+        raw = b[pos + 4 : pos + 8]
+        fsize = _syncsafe(raw) if ver == 4 else struct.unpack(">I", raw)[0]
+        body_end = pos + 10 + fsize
+        if body_end > end:
+            raise ValueError(f"truncated ID3 frame {fid!r}")
+        body = bytes(b[pos + 10 : body_end])
+        key = _ID3_TEXT_FRAMES.get(fid)
+        if key and out[key] is None:
+            out[key] = _id3_text(body)
+        elif fid == b"APIC":
+            out["has_image"] = True
+        pos = body_end
+    return out
+
+
+def _mp3_strip_metadata(b: bytes) -> bytes:
+    """Strip the leading ID3v2 tag and any trailing ID3v1 block
+    (128 bytes starting 'TAG') from an MP3 payload; the audio frames
+    pass through verbatim."""
+    info = _id3_parse(b)
+    out = b[info["tag_size"]:]
+    if len(out) >= 128 and out[-128:-125] == b"TAG":
+        out = out[:-128]
+    return out
+
+
+def id3_extract(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """MP3 metadata for audio-corpus curation: ID3v2.3/2.4 title/
+    artist/album/date text frames (all four text encodings) and
+    embedded-image (APIC) presence — the MPEG audio frames
+    themselves remain a codec capability limit; this is the real
+    Spark-side filtering surface. Untagged/non-ID3 payloads are a
+    capability limit; structural damage always raises."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "version", "title", "artist",
+                "album", "date", "has_image",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = fmt = None
+                if payload is not None:
+                    try:
+                        info = _id3_parse(bytes(payload))
+                        fmt = "MP3"
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in ("version", "title", "artist", "album",
+                          "date", "has_image"):
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, ID3_SCHEMA)
+
+
+def id3v2_build(
+    title: str,
+    artist: str,
+    album: str,
+    date: str,
+    version: int = 4,
+    apic: bool = False,
+    encodings: tuple = (3, 3, 3, 3),
+) -> bytes:
+    """Synthetic-fixture ID3v2 tag builder (tests + the m_id3_extract
+    gate — NOT a public operator)."""
+    import struct
+
+    def enc_text(s: str, enc: int) -> bytes:
+        if enc == 0:
+            return b"\x00" + s.encode("latin-1")
+        if enc == 1:
+            return b"\x01" + s.encode("utf-16")  # BOM included
+        if enc == 2:
+            return b"\x02" + s.encode("utf-16-be")
+        return b"\x03" + s.encode("utf-8")
+
+    def frame(fid: bytes, body: bytes) -> bytes:
+        if version == 4:
+            sz = bytes(
+                [(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)]
+            )
+        else:
+            sz = struct.pack(">I", len(body))
+        return fid + sz + b"\x00\x00" + body
+
+    date_fid = b"TDRC" if version == 4 else b"TYER"
+    frames = (
+        frame(b"TIT2", enc_text(title, encodings[0]))
+        + frame(b"TPE1", enc_text(artist, encodings[1]))
+        + frame(b"TALB", enc_text(album, encodings[2]))
+        + frame(date_fid, enc_text(date, encodings[3]))
+    )
+    if apic:
+        frames += frame(
+            b"APIC", b"\x00image/png\x00\x03\x00" + b"\x89PNGfake"
+        )
+    sz = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(sz >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    return hdr + frames
 
 
 RIFF_INFO_SCHEMA = T.StructType(

@@ -1589,3 +1589,57 @@ def test_mp4_probe(spark):
     )
     with pytest.raises(Exception, match="MP4"):
         mp4_probe(bad, on_unsupported="null").collect()
+
+
+def test_id3_extract_and_strip(spark):
+    """ID3v2.3/2.4 frame walk (all four text encodings decode to the
+    same strings, syncsafe vs plain frame sizes, APIC flag); MP3
+    strip cuts the leading tag and the trailing ID3v1 block; v2.2 is
+    a typed capability limit; truncation raises."""
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        id3_extract,
+        id3v2_build,
+        strip_metadata,
+    )
+
+    audio = b"\xff\xfb\x90\x00" + b"frames" * 10
+    rows = []
+    for i, (ver, enc) in enumerate(
+        [(4, 3), (3, 0), (4, 1), (3, 2)], start=1
+    ):
+        tag = id3v2_build(
+            "Tïtle", "Ärtist", "Albùm", "2024", version=ver,
+            apic=(i == 1), encodings=(enc, enc, enc, enc),
+        )
+        rows.append((i, tag + audio + (b"TAG" + bytes(125) if i == 2 else b"")))
+    rows.append((5, b"\xff\xfb no tag"))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           id3_extract(media, on_unsupported="null").collect()}
+    for i in range(1, 5):
+        assert (out[i]["title"], out[i]["artist"], out[i]["album"],
+                out[i]["date"]) == ("Tïtle", "Ärtist", "Albùm", "2024"), i
+    assert out[1]["has_image"] is True and out[2]["has_image"] is False
+    assert out[1]["version"] == 4 and out[2]["version"] == 3
+    assert out[5]["format"] is None
+
+    st = {r["media_id"]: r for r in
+          strip_metadata(media, on_unsupported="keep").collect()}
+    assert bytes(st[1]["payload"]) == audio
+    assert bytes(st[2]["payload"]) == audio  # ID3v1 trailer cut too
+    assert bytes(st[5]["payload"]) == b"\xff\xfb no tag"
+
+    v22 = spark.createDataFrame(
+        [(1, b"ID3\x02\x00\x00\x00\x00\x00\x00pad")],
+        "media_id long, payload binary",
+    )
+    assert id3_extract(v22, on_unsupported="null").collect()[0][
+        "format"] is None
+    tag = id3v2_build("A", "B", "C", "2020")
+    bad = spark.createDataFrame(
+        [(1, tag[:-3])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated ID3"):
+        id3_extract(bad, on_unsupported="null").collect()

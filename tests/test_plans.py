@@ -155,6 +155,8 @@ MIP_ALLOWED = {
     "m_strip_wav": 2,        # INFO-chunk synth + chunk strip
     "m_strip_png": 2,        # tEXt/tIME synth + chunk strip
     "m_mp4_probe": 2,        # box-tree synth + box walk
+    "m_id3_extract": 2,      # tag synth + frame walk
+    "m_strip_mp3": 2,        # tag synth + tag cut
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
