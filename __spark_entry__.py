@@ -3140,6 +3140,44 @@ def m_strip_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP3_BODY = b"\xff\xfb\x90\x00" + b"mpegframes" * 5
 
 
+def m_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle parsing under the oracle gate: per-doc synthetic
+    subtitle files — even doc_ids SRT (index lines, comma millis),
+    odd VTT (WEBVTT header + NOTE block to skip, dot millis, a
+    cue-id line on cue 2) — built ENTIRELY JVM-side (concat) and
+    parsed by text.srt_parse. The oracle is ANALYTIC: cue times and
+    texts are pure functions of doc_id; a block-split, timestamp-
+    arithmetic, line-indexing, or text-join bug mismatches."""
+    from geist_spark.operators.text import srt_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = (d % 6).cast("string")
+    b = (d % 9).cast("string")
+    c = (d % 10).cast("string")
+    ds = d.cast("string")
+    srt = F.concat(
+        F.lit("1\n00:00:0"), a, F.lit(",000 --> 00:00:0"), a,
+        F.lit(",900\nDoc "), ds, F.lit(" first\nmore\n\n"),
+        F.lit("2\n00:0"), b, F.lit(":10,5"), c,
+        F.lit("0 --> 01:0"), b, F.lit(":11,000\nSecond "), c,
+        F.lit("\n"),
+    )
+    vtt = F.concat(
+        F.lit("WEBVTT\n\nNOTE synthetic\n\n"),
+        F.lit("00:00:0"), a, F.lit(".000 --> 00:00:0"), a,
+        F.lit(".900\nDoc "), ds, F.lit(" first\nmore\n\n"),
+        F.lit("cue-two\n00:0"), b, F.lit(":10.5"), c,
+        F.lit("0 --> 01:0"), b, F.lit(":11.000\nSecond "), c,
+        F.lit("\n"),
+    )
+    subs = docs.select(
+        d.alias("media_id"),
+        F.when(d % 2 == 0, srt).otherwise(vtt).alias("srt"),
+    )
+    return srt_parse(subs)
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5595,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_mp4_probe": m_mp4_probe,
         "m_id3_extract": m_id3_extract,
         "m_strip_mp3": m_strip_mp3,
+        "m_srt_cues": m_srt_cues,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6721,6 +6760,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "m_strip_mp3": _strip_mp3_oracle(),
+        # ANALYTIC subtitle replay: cue times/texts are pure
+        # functions of doc_id (same for the SRT and VTT variants)
+        "m_srt_cues": """
+            WITH two AS (SELECT unnest([1, 2]) AS cue)
+            SELECT doc_id AS media_id,
+                   CAST(cue AS INTEGER) AS cue_idx,
+                   CAST(CASE cue
+                        WHEN 1 THEN (doc_id % 6) * 1000
+                        ELSE (doc_id % 9) * 60000 + 10500
+                             + (doc_id % 10) * 10
+                        END AS BIGINT) AS start_ms,
+                   CAST(CASE cue
+                        WHEN 1 THEN (doc_id % 6) * 1000 + 900
+                        ELSE 3600000 + (doc_id % 9) * 60000 + 11000
+                        END AS BIGINT) AS end_ms,
+                   CASE cue
+                        WHEN 1 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                                    || ' first' || chr(10) || 'more'
+                        ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
+                   END AS text
+            FROM documents, two
+        """,
         # ANALYTIC MP4 probe replay (fixture contract in m_mp4_probe)
         "m_mp4_probe": """
             SELECT doc_id AS media_id,

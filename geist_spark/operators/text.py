@@ -492,6 +492,82 @@ def boilerplate_ngrams(
     ).limit(top_n)
 
 
+_SRT_TS_RE = (
+    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
+    r"\s*-->\s*"
+    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
+)
+
+
+def srt_parse(
+    subs: DataFrame, id_col: str = "media_id", text_col: str = "srt"
+) -> DataFrame:
+    """SubRip/WebVTT cue extraction — the video-to-text bridge for
+    training-data pipelines (subtitles are a major text source for
+    video corpora). Blocks split on blank lines; a cue's timestamp
+    line ("HH:MM:SS,mmm --> HH:MM:SS,mmm", VTT uses '.') may sit on
+    line 1 (VTT/bare SRT) or line 2 (after an index/cue-id line —
+    the first-two-lines rule is the documented dialect); remaining
+    lines join with '\\n' as the cue text. Non-cue blocks (WEBVTT
+    header, NOTE/STYLE) drop. Output: (id, cue_idx 1-based in file
+    order, start_ms, end_ms, text).
+
+    ALL JVM (split/posexplode/regexp_extract/slice) + one window
+    shuffle at file grain for cue_idx — subtitle files are small, so
+    at 100 TB this is scan -> explode with per-file ordering, never
+    a global sort. The DuckDB oracle replays the same regexp
+    arithmetic (pattern is RE2-compatible)."""
+    blocks = subs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), r"\r?\n[ \t]*\r?\n+")
+        ).alias("pos", "block"),
+    )
+    lines = F.split(F.col("block"), r"\r?\n")
+    l1, l2 = F.element_at(lines, 1), F.element_at(lines, 2)
+    tsi = (
+        F.when(l1.rlike(_SRT_TS_RE), 1)
+        .when(l2.rlike(_SRT_TS_RE), 2)
+    )
+    with_ts = blocks.select(
+        id_col, "pos", lines.alias("lines"), tsi.alias("tsi")
+    ).filter(F.col("tsi").isNotNull())
+    ts_line = F.element_at(F.col("lines"), F.col("tsi"))
+
+    def ms(base: int) -> F.Column:
+        def g(i: int) -> F.Column:
+            return F.regexp_extract(ts_line, _SRT_TS_RE, base + i).cast(
+                "long"
+            )
+
+        return (
+            g(0) * 3600000 + g(1) * 60000 + g(2) * 1000 + g(3)
+        )
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        with_ts.withColumn("cue_idx", F.row_number().over(w))
+        .select(
+            id_col,
+            "cue_idx",
+            ms(1).alias("start_ms"),
+            ms(5).alias("end_ms"),
+            F.regexp_replace(
+                F.array_join(
+                    F.slice(
+                        F.col("lines"),
+                        F.col("tsi") + 1,
+                        F.size(F.col("lines")),
+                    ),
+                    "\n",
+                ),
+                r"\n+$",  # file-final newline lands as an empty line
+                "",
+            ).alias("text"),
+        )
+    )
+
+
 def line_dedup(
     documents: DataFrame,
     sep: str = "\n",

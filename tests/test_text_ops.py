@@ -558,3 +558,37 @@ def test_winnow_overlap_pairs(spark):
     assert winnow_overlap_pairs(df2, max_hash_docs=2).count() == 0
     with pytest.raises(ValueError, match="k and window"):
         winnow_fingerprints(df, k=0).collect()
+
+
+def test_srt_parse(spark):
+    """SRT and VTT cues: index/cue-id lines on line 1 are skipped
+    (timestamp may sit on line 1 or 2), comma and dot millis both
+    parse, multi-line text joins with newline, WEBVTT/NOTE blocks
+    drop, file-final newline is trimmed, and cue_idx follows file
+    order per media id."""
+    from geist_spark.operators.text import srt_parse
+
+    srt = (
+        "1\n00:00:01,000 --> 00:00:02,500\nHello there\nsecond line\n\n"
+        "2\n00:00:03,000 --> 00:00:04,000\nBye\n"
+    )
+    vtt = (
+        "WEBVTT\n\nNOTE a comment\n\n"
+        "intro-cue\n00:01:00.000 --> 00:01:02.000\nVTT cue\n\n"
+        "01:00:00.500 --> 01:00:01.000\nbare cue\n"
+    )
+    df = spark.createDataFrame(
+        [(1, srt), (2, vtt), (3, "no cues here\njust text")],
+        "media_id long, srt string",
+    )
+    rows = {(r["media_id"], r["cue_idx"]): r
+            for r in srt_parse(df).collect()}
+    assert len(rows) == 4  # media 3 contributes nothing
+    assert rows[(1, 1)]["start_ms"] == 1000
+    assert rows[(1, 1)]["end_ms"] == 2500
+    assert rows[(1, 1)]["text"] == "Hello there\nsecond line"
+    assert rows[(1, 2)]["text"] == "Bye"
+    assert rows[(2, 1)]["start_ms"] == 60000
+    assert rows[(2, 1)]["text"] == "VTT cue"
+    assert rows[(2, 2)]["start_ms"] == 3600500
+    assert rows[(2, 2)]["text"] == "bare cue"
