@@ -3178,6 +3178,90 @@ def m_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srt_parse(subs)
 
 
+def m_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP header probe under the oracle gate: variant rotates by
+    doc_id%3 (lossy VP8 keyframe tag / lossless VP8L bit header /
+    extended VP8X canvas), dimensions and flags analytic in
+    doc_id."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import webp_build, webp_probe
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (d % 10 + 1), 8 * (d % 6 + 1)
+                v = d % 3
+                if v == 0:
+                    payloads.append(webp_build("lossy", w, h))
+                elif v == 1:
+                    payloads.append(
+                        webp_build("lossless", w, h, alpha=(d % 2 == 0))
+                    )
+                else:
+                    payloads.append(
+                        webp_build(
+                            "extended", w, h,
+                            anim=(d % 2 == 0), exif=(d % 4 == 0),
+                        )
+                    )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return webp_probe(media).select(
+        "media_id", "format", "variant", "width", "height",
+        "has_alpha", "has_animation", "has_exif",
+    )
+
+
+def m_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata probe under the oracle gate: STREAMINFO bit
+    fields and Vorbis comments analytic in doc_id (sample rate
+    rotates 8000/22050/44100/48000; picture iff doc_id%4==0)."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import flac_build, flac_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = [8000, 22050, 44100, 48000]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = rates[d % 4]
+                payloads.append(
+                    flac_build(
+                        sr, d % 2 + 1, 16 if d % 2 == 0 else 24,
+                        sr * (d % 9 + 1),
+                        {"ARTIST": f"Band {d % 5}",
+                         "TITLE": f"Track {d % 7}"},
+                        picture=(d % 4 == 0),
+                    )
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return flac_probe(media).select(
+        "media_id", "format", "sample_rate", "n_channels",
+        "bits_per_sample", "total_samples", "duration_ms", "artist",
+        "title", "has_picture",
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5634,6 +5718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_id3_extract": m_id3_extract,
         "m_strip_mp3": m_strip_mp3,
         "m_srt_cues": m_srt_cues,
+        "m_webp_probe": m_webp_probe,
+        "m_flac_probe": m_flac_probe,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6781,6 +6867,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
                    END AS text
             FROM documents, two
+        """,
+        # ANALYTIC WebP replay (variant rotation by doc_id%3)
+        "m_webp_probe": """
+            SELECT doc_id AS media_id,
+                   'WEBP' AS format,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'lossy'
+                        WHEN 1 THEN 'lossless'
+                        ELSE 'extended' END AS variant,
+                   CAST(16 * (doc_id % 10 + 1) AS INTEGER) AS width,
+                   CAST(8 * (doc_id % 6 + 1) AS INTEGER) AS height,
+                   doc_id % 3 = 1 AND doc_id % 2 = 0 AS has_alpha,
+                   doc_id % 3 = 2 AND doc_id % 2 = 0 AS has_animation,
+                   doc_id % 3 = 2 AND doc_id % 4 = 0 AS has_exif
+            FROM documents
+        """,
+        # ANALYTIC FLAC replay (STREAMINFO + comments from doc_id)
+        "m_flac_probe": """
+            WITH r AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 4 AS INTEGER)
+                            WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                            WHEN 2 THEN 44100 ELSE 48000 END AS sr
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   'FLAC' AS format,
+                   CAST(sr AS INTEGER) AS sample_rate,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END
+                        AS INTEGER) AS bits_per_sample,
+                   CAST(sr * (doc_id % 9 + 1) AS BIGINT)
+                       AS total_samples,
+                   CAST((doc_id % 9 + 1) * 1000 AS BIGINT)
+                       AS duration_ms,
+                   'Band ' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+                   'Track ' || CAST(doc_id % 7 AS VARCHAR) AS title,
+                   doc_id % 4 = 0 AS has_picture
+            FROM r
         """,
         # ANALYTIC MP4 probe replay (fixture contract in m_mp4_probe)
         "m_mp4_probe": """

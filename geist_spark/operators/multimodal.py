@@ -1488,9 +1488,11 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
     pixels), RIFF/WAVE (LIST/INFO, id3, cue/bext — only
     fmt /data/fact survive, sample bytes verbatim), PNG
     (tEXt/zTXt/iTXt/eXIf/tIME dropped; critical and rendering
-    chunks kept with their CRCs untouched), and ID3v2-tagged MP3
+    chunks kept with their CRCs untouched), ID3v2-tagged MP3
     (leading ID3v2 tag + trailing ID3v1 block cut; MPEG frames
-    verbatim). on_unsupported:
+    verbatim), and FLAC (VORBIS_COMMENT/PICTURE/PADDING blocks
+    dropped, last-block flag re-pinned, frames verbatim).
+    on_unsupported:
     'error' (raise on other formats), 'null' (NULL payload), or
     'keep' (pass other formats through unchanged — the right mode
     for mixed corpora: PPM here carries no metadata segments).
@@ -1522,6 +1524,8 @@ def strip_metadata(media: DataFrame, on_unsupported: str = "error") -> DataFrame
                             out = _png_strip_metadata(b)
                         elif b[:3] == b"ID3":
                             out = _mp3_strip_metadata(b)
+                        elif b[:4] == b"fLaC":
+                            out = _flac_strip_metadata(b)
                         else:
                             out = _jpeg_strip_metadata(b)
                         slen = len(out)
@@ -1789,6 +1793,356 @@ def mp4_build(
     else:
         mdat = box(b"mdat", b"")
     return ftyp + moov + mdat
+
+
+WEBP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("variant", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("has_alpha", T.BooleanType(), True),
+        T.StructField("has_animation", T.BooleanType(), True),
+        T.StructField("has_exif", T.BooleanType(), True),
+    ]
+)
+
+
+def _webp_parse(b: bytes) -> dict:
+    """WebP header probe WITHOUT codecs: dimensions + feature flags
+    from the first VP8 (lossy keyframe tag), VP8L (lossless
+    bitstream header) or VP8X (extended canvas) chunk. Pixel decode
+    stays a capability limit; this is the curation surface."""
+    import struct
+
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise NotImplementedError("not a RIFF/WEBP payload")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = bytes(b[pos : pos + 4])
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = bytes(b[pos + 8 : pos + 8 + clen])
+        if len(body) < clen:
+            raise ValueError(f"truncated WEBP chunk {cid!r}")
+        if cid == b"VP8 ":
+            if clen < 10:
+                raise ValueError("malformed WEBP: short VP8 chunk")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError(
+                    "malformed WEBP: VP8 keyframe start code missing"
+                )
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return {
+                "variant": "lossy", "width": w, "height": h,
+                "has_alpha": False, "has_animation": False,
+                "has_exif": False,
+            }
+        if cid == b"VP8L":
+            if clen < 5 or body[0] != 0x2F:
+                raise ValueError("malformed WEBP: bad VP8L signature")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            return {
+                "variant": "lossless",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "has_alpha": bool((bits >> 28) & 1),
+                "has_animation": False,
+                "has_exif": False,
+            }
+        if cid == b"VP8X":
+            if clen < 10:
+                raise ValueError("malformed WEBP: short VP8X chunk")
+            flags = body[0]
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {
+                "variant": "extended", "width": w, "height": h,
+                "has_alpha": bool(flags & 0x10),
+                "has_animation": bool(flags & 0x02),
+                "has_exif": bool(flags & 0x08),
+            }
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("malformed WEBP: no VP8/VP8L/VP8X chunk")
+
+
+def webp_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """WebP metadata probe (webp is the dominant modern web image
+    format; its pixel decode needs libwebp — not in this
+    environment — but filtering/budgeting only needs this header
+    surface). Same contract as mp4_probe."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "variant", "width", "height",
+                "has_alpha", "has_animation", "has_exif",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = fmt = None
+                if payload is not None:
+                    try:
+                        info = _webp_parse(bytes(payload))
+                        fmt = "WEBP"
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in ("variant", "width", "height", "has_alpha",
+                          "has_animation", "has_exif"):
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, WEBP_SCHEMA)
+
+
+def webp_build(
+    variant: str,
+    w: int,
+    h: int,
+    alpha: bool = False,
+    anim: bool = False,
+    exif: bool = False,
+) -> bytes:
+    """Synthetic-fixture WebP builder (tests + gate — NOT a public
+    operator): real header bit layouts, dummy entropy bytes."""
+    import struct
+
+    if variant == "lossy":
+        body = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF) + b"\x00" * 4
+        )
+        chunk = b"VP8 "
+    elif variant == "lossless":
+        bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+        body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 3
+        chunk = b"VP8L"
+    else:
+        flags = (
+            (0x10 if alpha else 0) | (0x02 if anim else 0)
+            | (0x08 if exif else 0)
+        )
+        body = (
+            bytes([flags]) + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X"
+    inner = chunk + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        inner += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
+FLAC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("total_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("has_picture", T.BooleanType(), True),
+    ]
+)
+
+
+def _flac_blocks(b: bytes):
+    """Yield (block_type, body, is_last, start, end) for each FLAC
+    metadata block; returns the offset where frames begin via the
+    generator's final is_last block end."""
+    pos = 4
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = b[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        end = pos + 4 + blen
+        if end > len(b):
+            raise ValueError(
+                f"truncated FLAC metadata block type {btype}"
+            )
+        yield btype, bytes(b[pos + 4 : end]), last, pos, end
+        if last:
+            return
+        pos = end
+
+
+def _flac_parse(b: bytes) -> dict:
+    """FLAC metadata probe WITHOUT the codec: STREAMINFO bit fields
+    (sample rate / channels / bit depth / total samples -> duration)
+    and VORBIS_COMMENT artist/title, plus PICTURE presence. Audio
+    frame decode stays a capability limit."""
+    import struct
+
+    if b[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC payload")
+    out = {
+        "sample_rate": None, "n_channels": None,
+        "bits_per_sample": None, "total_samples": None,
+        "duration_ms": None, "artist": None, "title": None,
+        "has_picture": False,
+    }
+    for btype, body, _last, _s, _e in _flac_blocks(b):
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise ValueError("malformed FLAC: short STREAMINFO")
+            (packed,) = struct.unpack_from(">Q", body, 10)
+            out["sample_rate"] = packed >> 44
+            out["n_channels"] = ((packed >> 41) & 0x7) + 1
+            out["bits_per_sample"] = ((packed >> 36) & 0x1F) + 1
+            out["total_samples"] = packed & ((1 << 36) - 1)
+            if out["sample_rate"]:
+                out["duration_ms"] = (
+                    out["total_samples"] * 1000 // out["sample_rate"]
+                )
+        elif btype == 4:  # VORBIS_COMMENT (little-endian lengths)
+            pos = 0
+            if len(body) < 8:
+                raise ValueError("malformed FLAC: short VORBIS_COMMENT")
+            (vlen,) = struct.unpack_from("<I", body, 0)
+            pos = 4 + vlen
+            if pos + 4 > len(body):
+                raise ValueError("truncated FLAC vendor string")
+            (n,) = struct.unpack_from("<I", body, pos)
+            pos += 4
+            for _ in range(n):
+                if pos + 4 > len(body):
+                    raise ValueError("truncated FLAC comment count")
+                (clen,) = struct.unpack_from("<I", body, pos)
+                pos += 4
+                item = body[pos : pos + clen]
+                if len(item) < clen:
+                    raise ValueError("truncated FLAC comment")
+                pos += clen
+                key, _, val = item.partition(b"=")
+                k = key.decode("ascii", errors="replace").upper()
+                if k in ("ARTIST", "TITLE") and out[k.lower()] is None:
+                    out[k.lower()] = val.decode(
+                        "utf-8", errors="replace"
+                    )
+        elif btype == 6:
+            out["has_picture"] = True
+    return out
+
+
+def _flac_strip_metadata(b: bytes) -> bytes:
+    """Strip VORBIS_COMMENT, PICTURE and PADDING blocks from a FLAC
+    payload, re-flagging the final kept block as last; STREAMINFO,
+    seektables/cuesheets and the frame bytes pass through
+    verbatim."""
+    if b[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC payload")
+    kept = []
+    frames_at = None
+    for btype, body, last, s, e in _flac_blocks(b):
+        if btype not in (1, 4, 6):  # 1=PADDING
+            kept.append((btype, body))
+        if last:
+            frames_at = e
+    if not kept:
+        raise ValueError("malformed FLAC: no STREAMINFO block")
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(kept):
+        hdr = btype | (0x80 if i == len(kept) - 1 else 0)
+        out.append(hdr)
+        out += len(body).to_bytes(3, "big")
+        out += body
+    return bytes(out) + b[frames_at:]
+
+
+def flac_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """FLAC metadata for audio-corpus curation: STREAMINFO fields,
+    duration, Vorbis-comment artist/title, embedded-picture flag —
+    the filtering surface; frame decode stays a capability limit.
+    Same contract as mp4_probe/webp_probe."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "sample_rate", "n_channels",
+                "bits_per_sample", "total_samples", "duration_ms",
+                "artist", "title", "has_picture",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = fmt = None
+                if payload is not None:
+                    try:
+                        info = _flac_parse(bytes(payload))
+                        fmt = "FLAC"
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in ("sample_rate", "n_channels",
+                          "bits_per_sample", "total_samples",
+                          "duration_ms", "artist", "title",
+                          "has_picture"):
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FLAC_SCHEMA)
+
+
+def flac_build(
+    sample_rate: int,
+    channels: int,
+    bps: int,
+    total_samples: int,
+    comments: dict | None = None,
+    picture: bool = False,
+    padding: int = 0,
+    frames: bytes = b"\xff\xf8fake-frames",
+) -> bytes:
+    """Synthetic-fixture FLAC builder (tests + gates — NOT a public
+    operator): real STREAMINFO bit packing + Vorbis comments."""
+    import struct
+
+    packed = (
+        (sample_rate << 44) | ((channels - 1) << 41)
+        | ((bps - 1) << 36) | total_samples
+    )
+    si = bytes(10) + struct.pack(">Q", packed) + bytes(16)
+    blocks = [(0, si)]
+    if comments is not None:
+        vendor = b"geist-fixture"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(comments))
+        for k, v in comments.items():
+            item = f"{k}={v}".encode("utf-8")
+            body += struct.pack("<I", len(item)) + item
+        blocks.append((4, body))
+    if picture:
+        blocks.append((6, bytes(20)))
+    if padding:
+        blocks.append((1, bytes(padding)))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        out.append(btype | (0x80 if i == len(blocks) - 1 else 0))
+        out += len(body).to_bytes(3, "big")
+        out += body
+    return bytes(out) + frames
 
 
 ID3_SCHEMA = T.StructType(

@@ -1643,3 +1643,63 @@ def test_id3_extract_and_strip(spark):
     )
     with pytest.raises(Exception, match="truncated ID3"):
         id3_extract(bad, on_unsupported="null").collect()
+
+
+def test_webp_and_flac_probes(spark):
+    """WebP header probe (all three variants' bit layouts) and FLAC
+    probe (STREAMINFO bit fields, Vorbis comments, picture flag)
+    through the Spark surface; FLAC strip drops comment/picture/
+    padding blocks, re-pins the last-block flag, and the result
+    still probes identically; capability and malformed tiers hold."""
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        flac_build,
+        flac_probe,
+        strip_metadata,
+        webp_build,
+        webp_probe,
+    )
+
+    wmedia = spark.createDataFrame(
+        [(1, webp_build("lossy", 320, 240)),
+         (2, webp_build("lossless", 100, 50, alpha=True)),
+         (3, webp_build("extended", 1920, 1080, anim=True, exif=True)),
+         (4, b"RIFFxxxxWAVEdata")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           webp_probe(wmedia, on_unsupported="null").collect()}
+    assert (out[1]["variant"], out[1]["width"], out[1]["height"]) == (
+        "lossy", 320, 240)
+    assert out[2]["has_alpha"] is True and out[2]["width"] == 100
+    assert (out[3]["variant"], out[3]["has_animation"],
+            out[3]["has_exif"]) == ("extended", True, True)
+    assert out[4]["format"] is None
+
+    tagged = flac_build(
+        44100, 2, 16, 44100 * 3,
+        {"ARTIST": "Bänd", "TITLE": "Søng"}, picture=True, padding=64,
+    )
+    base = flac_build(44100, 2, 16, 44100 * 3)
+    fmedia = spark.createDataFrame(
+        [(1, tagged)], "media_id long, payload binary"
+    )
+    fo = flac_probe(fmedia).collect()[0]
+    assert (fo["sample_rate"], fo["n_channels"], fo["bits_per_sample"],
+            fo["duration_ms"], fo["artist"], fo["title"],
+            fo["has_picture"]) == (44100, 2, 16, 3000, "Bänd", "Søng",
+                                   True)
+    st = strip_metadata(fmedia).collect()[0]
+    assert bytes(st["payload"]) == base
+    fo2 = flac_probe(
+        spark.createDataFrame(
+            [(1, st["payload"])], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    assert fo2["artist"] is None and fo2["duration_ms"] == 3000
+    bad = spark.createDataFrame(
+        [(1, tagged[:10])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated FLAC"):
+        flac_probe(bad, on_unsupported="null").collect()

@@ -157,6 +157,8 @@ MIP_ALLOWED = {
     "m_mp4_probe": 2,        # box-tree synth + box walk
     "m_id3_extract": 2,      # tag synth + frame walk
     "m_strip_mp3": 2,        # tag synth + tag cut
+    "m_webp_probe": 2,       # header synth + header probe
+    "m_flac_probe": 2,       # block synth + block walk
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
