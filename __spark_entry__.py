@@ -5749,6 +5749,9 @@ def oracle_sql() -> dict[str, str]:
         "zh": "['的','了','是','在','我','有','和','就','不','人']",
         "ja": "['の','は','に','を','が','と','で','て','も','だ']",
         "ko": "['은','는','이','가','을','를','의','에','도','로']",
+        "ru": "['и','в','не','на','я','что','с','он','как','это']",
+        "ar": "['في','من','على','أن','إلى','هذا','كان','مع','عن','هو']",
+        "hi": "['है','और','का','की','के','में','से','को','पर','यह']",
     }
     # universal tokenizer (text.py UNIVERSAL_TOKEN_RE): single
     # Han/kana/Hangul chars + non-space runs; \x{...} is the
@@ -6462,7 +6465,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, {lang_scores} FROM base
             )
             SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
-                   score_zh, score_ja, score_ko,
+                   score_zh, score_ja, score_ko, score_ru, score_ar,
+                   score_hi,
                    {pred_chain} AS predicted_lang
             FROM scored
         """,

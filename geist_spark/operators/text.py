@@ -31,6 +31,14 @@ STOPWORDS = {
     "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
     "ja": ["の", "は", "に", "を", "が", "と", "で", "て", "も", "だ"],
     "ko": ["은", "는", "이", "가", "을", "를", "의", "에", "도", "로"],
+    # whitespace-delimited scripts: the universal tokenizer's
+    # non-space-run branch already yields whole words for Cyrillic,
+    # Arabic and Devanagari (no char-grain routing needed)
+    "ru": ["и", "в", "не", "на", "я", "что", "с", "он", "как", "это"],
+    "ar": ["في", "من", "على", "أن", "إلى", "هذا", "كان", "مع", "عن",
+           "هو"],
+    "hi": ["है", "और", "का", "की", "के", "में", "से", "को", "पर",
+           "यह"],
 }
 
 # CJK Unified Ideographs base block — the deterministic, engine-portable

@@ -592,3 +592,26 @@ def test_srt_parse(spark):
     assert rows[(2, 1)]["text"] == "VTT cue"
     assert rows[(2, 2)]["start_ms"] == 3600500
     assert rows[(2, 2)]["text"] == "bare cue"
+
+
+def test_language_id_ru_ar_hi(spark):
+    """Cyrillic, Arabic and Devanagari text route through the
+    universal tokenizer's word branch and score against the new
+    stopword sets; existing languages keep winning their own text."""
+    from geist_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "ru", "я не знаю что это как он в на"),
+            (2, "ar", "هذا من على كان في مع عن هو"),
+            (3, "hi", "यह है और का की के में से को पर"),
+            (4, "en", "the cat and the dog in the house"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in language_id(df).collect()}
+    assert out[1]["predicted_lang"] == "ru" and out[1]["score_ru"] > 0.5
+    assert out[2]["predicted_lang"] == "ar" and out[2]["score_ar"] > 0.5
+    assert out[3]["predicted_lang"] == "hi" and out[3]["score_hi"] > 0.5
+    assert out[4]["predicted_lang"] == "en"
+    assert out[4]["score_ru"] == 0.0
