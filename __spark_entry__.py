@@ -3262,6 +3262,129 @@ def m_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AENV_HEADER = None
+
+
+def _aenv_wav(px: bytes, reverse_frames: bool = False) -> bytes:
+    """Audio-envelope gate fixture: 16 frames x 250 samples of the
+    tiled 24 md5 bytes (centered), each frame amplitude-modulated by
+    bytes[f+1] % 8 + 1 — a wide, analytic envelope. The twin variant
+    reverses samples WITHIN each frame: different waveform, provably
+    identical envelope."""
+    import struct
+
+    import numpy as _np
+
+    bs = _np.frombuffer(px, _np.uint8).astype(_np.int32)
+    vals = bs - 128
+    tiled = _np.tile(vals, 4000 // 24 + 1)[:4000]
+    mods = bs[:16] % 8 + 1
+    frames = tiled.reshape(16, 250) * mods[:, None]
+    if reverse_frames:
+        frames = frames[:, ::-1]
+    data = frames.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+# SQL twin of the fixture's envelope arithmetic: per-frame abs-sum of
+# the modulated tiled signal in closed form (10 full 24-byte cycles +
+# a 10-sample wrap window per frame, times the frame modulator)
+_AENV_LVL_CTE = f"""
+    WITH {{md5cte}}, env AS (
+        SELECT doc_id, bytes,
+               [abs(bytes[j] - 128) for j in generate_series(1, 24)] AS a
+        FROM b
+    ), sums AS (
+        SELECT doc_id,
+               [(bytes[f + 1] % 8 + 1)
+                * (10 * list_sum(a)
+                   + list_sum([a[((f * 250 + k) % 24) + 1]
+                               for k in generate_series(0, 9)]))
+                for f in generate_series(0, 15)] AS s
+        FROM env
+    ), lv AS (
+        SELECT doc_id,
+               [x * 8 // (list_max(s) + 1) for x in s] AS lvls
+        FROM sums
+    )
+"""
+
+
+def m_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio envelope fingerprints under the oracle gate: per-doc
+    modulated WAVs (see _aenv_wav), fingerprinted by
+    multimodal.audio_envelope_fingerprint (decode -> per-frame
+    abs-sum -> relative 8-level quantization -> 4-frame shingle
+    md5-32bit). The oracle replays the envelope in CLOSED FORM (the
+    tiled signal's frame sums decompose into 10 full cycles + a
+    wrap window, times the modulator) — no audio parsing
+    oracle-side."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import (
+        audio_envelope_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _aenv_wav(bytes(px)) for px in pdf["px"]
+                    ],
+                }
+            )
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return audio_envelope_fingerprint(media)
+
+
+def m_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup under the oracle gate: every doc becomes TWO
+    clips — base (media_id=2*doc_id) and a per-frame-REVERSED twin
+    (2*doc_id+1; different waveform, identical envelope by
+    construction) — paired by audio_near_dup_pairs' hash-grain
+    grouping. With positional banding every twin pair shares exactly
+    the 13 window hashes, so the oracle emits (2d, 2d+1, 13);
+    cross-doc collisions at >= 8 SAME-POSITION shingles are
+    probabilistically impossible (the dhash-twin argument on the
+    audio axis)."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import audio_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("did"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, px in zip(pdf["did"], pdf["px"]):
+                b = bytes(px)
+                ids.append(2 * int(did))
+                payloads.append(_aenv_wav(b))
+                ids.append(2 * int(did) + 1)
+                payloads.append(_aenv_wav(b, reverse_frames=True))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = src.mapInPandas(synth, "media_id long, payload binary")
+    return audio_near_dup_pairs(
+        media, min_shared=8, max_hash_clips=64
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5720,6 +5843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_srt_cues": m_srt_cues,
         "m_webp_probe": m_webp_probe,
         "m_flac_probe": m_flac_probe,
+        "m_audio_envelope": m_audio_envelope,
+        "m_audio_near_dup": m_audio_near_dup,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6871,6 +6996,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
                    END AS text
             FROM documents, two
+        """,
+        # closed-form envelope replay (see _AENV_LVL_CTE)
+        "m_audio_envelope": _AENV_LVL_CTE.format(
+            md5cte=_MD5_BYTES_CTE_SQL
+        ) + """
+            SELECT doc_id AS media_id,
+                   CAST(pos AS INTEGER) AS pos,
+                   ('0x' || substr(md5(
+                        CAST(pos AS VARCHAR) || ':' || array_to_string(
+                        lvls[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)],
+                        '-')), 1, 8))::BIGINT AS sh_hash
+            FROM lv, UNNEST(generate_series(1, 13)) AS t(pos)
+        """,
+        # twin pairs with the doc's distinct-shingle count
+        "m_audio_near_dup": _AENV_LVL_CTE.format(
+            md5cte=_MD5_BYTES_CTE_SQL
+        ) + """
+            , dup AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id < b.doc_id
+            )
+            SELECT 2 * doc_id AS clip_a,
+                   2 * doc_id + 1 AS clip_b,
+                   CAST(13 AS BIGINT) AS shared_shingles
+            FROM lv
+            UNION ALL
+            -- exact-duplicate TEXTS yield identical audio: all four
+            -- cross pairs of the two docs' base+twin clips surface
+            SELECT 2 * u + g.da AS clip_a, 2 * v + g.db AS clip_b,
+                   CAST(13 AS BIGINT) AS shared_shingles
+            FROM dup, (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+                 AS g(da, db)
         """,
         # ANALYTIC WebP replay (variant rotation by doc_id%3)
         "m_webp_probe": """

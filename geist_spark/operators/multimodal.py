@@ -1795,6 +1795,163 @@ def mp4_build(
     return ftyp + moov + mdat
 
 
+def audio_envelope_fingerprint(
+    media: DataFrame,
+    frame: int = 250,
+    n_levels: int = 8,
+    shingle: int = 4,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Coarse acoustic fingerprint for AUDIO near-dup detection — the
+    audio twin of MinHash (text) and dHash (image): decode WAV (all
+    supported codecs), per-frame absolute-sum envelope, quantized to
+    `n_levels` RELATIVE to the clip max (sum * n_levels //
+    (max_sum + 1) — exact integer, so the oracle replays it), then
+    `shingle`-frame windows hashed md5-32bit WITH the window
+    position in the key (positional banding — the band_id-in-the-
+    join-key rule from MinHash-LSH: a hash is shared only by clips
+    agreeing at the SAME offset, which keeps hot-hash load flat as
+    the corpus grows; the tradeoff is that detection is
+    time-ALIGNED, not shift-invariant). Output one row per window:
+    (media_id, pos 1-based, sh_hash).
+
+    Envelope-preserving edits (within-frame permutations, frame-sum-
+    neutral noise) keep the fingerprint identical; clips shorter than
+    frame*shingle emit no rows. The decode runs in one Arrow stage;
+    shingling/hashing are JVM array expressions.
+
+    Scale shape: map-only fingerprinting (zero shuffle); near-dup
+    pairing joins at HASH grain (audio_near_dup_pairs), never
+    all-pairs — the d_minhash/dhash shape on the audio axis."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+    if frame < 1 or n_levels < 2 or shingle < 1:
+        raise ValueError("frame >= 1, n_levels >= 2, shingle >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            ids, levels = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                lv = None
+                if payload is not None:
+                    try:
+                        _ch, _r, _b, samples = _wav_samples(
+                            bytes(payload)
+                        )
+                        a = np.abs(samples)
+                        nf = a.shape[0] // frame
+                        if nf:
+                            sums = (
+                                a[: nf * frame]
+                                .reshape(nf, frame)
+                                .sum(axis=1)
+                            )
+                            mx = int(sums.max())
+                            lv = (
+                                (sums * n_levels // (mx + 1))
+                                .astype(np.int32)
+                                .tolist()
+                            )
+                        else:
+                            lv = []
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                ids.append(mid)
+                levels.append(lv)
+            yield pd.DataFrame({"media_id": ids, "levels": levels})
+
+    lv = media.mapInPandas(run, "media_id long, levels array<int>")
+    lcol = F.col("levels")
+    n_sh = F.size(lcol) - shingle + 1
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.md5(
+                    F.concat(
+                        i.cast("string"),
+                        F.lit(":"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(lcol, i, shingle),
+                                lambda x: x.cast("string"),
+                            ),
+                            "-",
+                        ),
+                    )
+                ).substr(1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("sh_hash"),
+        ),
+    )
+    return (
+        lv.filter(F.size(lcol) >= shingle)
+        .select("media_id", F.explode(shingles).alias("s"))
+        .select(
+            "media_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.sh_hash").alias("sh_hash"),
+        )
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    frame: int = 250,
+    n_levels: int = 8,
+    shingle: int = 4,
+    min_shared: int = 8,
+    max_hash_clips: int = 32,
+) -> DataFrame:
+    """Audio near-dup candidates: clips sharing >= min_shared
+    DISTINCT envelope-shingle hashes. Hash-grain grouping with
+    in-row sorted-combination pair expansion (the winnow_overlap
+    shape — no self-join, the fingerprint stage runs once) and a
+    hot-hash cap (silence/constant-tone shingles would otherwise
+    join quadratically). Output (clip_a, clip_b, shared_shingles),
+    clip_a < clip_b."""
+    fps = audio_envelope_fingerprint(
+        media, frame, n_levels, shingle, on_unsupported="null"
+    )
+    byhash = (
+        fps.groupBy("sh_hash")
+        .agg(F.array_sort(F.collect_set("media_id")).alias("clips"))
+        .filter(F.size("clips").between(2, max_hash_clips))
+    )
+    clips = F.col("clips")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                clips,
+                lambda x, i: F.transform(
+                    F.slice(clips, i + F.lit(2), F.size(clips)),
+                    lambda y: F.struct(
+                        x.alias("clip_a"), y.alias("clip_b")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        byhash.select(pairs.alias("p"))
+        .groupBy(
+            F.col("p.clip_a").alias("clip_a"),
+            F.col("p.clip_b").alias("clip_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
 WEBP_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

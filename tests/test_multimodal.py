@@ -1703,3 +1703,58 @@ def test_webp_and_flac_probes(spark):
     )
     with pytest.raises(Exception, match="truncated FLAC"):
         flac_probe(bad, on_unsupported="null").collect()
+
+
+def test_audio_envelope_near_dup(spark):
+    """Envelope fingerprints are invariant to envelope-preserving
+    edits (per-frame sample reversal) but distinguish different
+    envelopes; near-dup pairing finds exactly the planted twin;
+    positional banding means hashes only collide at the same offset;
+    short clips emit nothing; parameter guards raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        audio_envelope_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    def wav(samples16):
+        data = np.asarray(samples16, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.default_rng(4)
+    mod = rng.integers(1, 9, 16)
+    base = (
+        rng.integers(-300, 300, 4000).reshape(16, 250) * mod[:, None]
+    ).reshape(-1)
+    twin = base.reshape(16, 250)[:, ::-1].reshape(-1)
+    other = (
+        rng.integers(-300, 300, 4000).reshape(16, 250)
+        * rng.integers(1, 9, 16)[:, None]
+    ).reshape(-1)
+    media = spark.createDataFrame(
+        [(1, wav(base)), (2, wav(twin)), (3, wav(other)),
+         (4, wav(base[:100])), (5, None)],
+        "media_id long, payload binary",
+    )
+    fps = audio_envelope_fingerprint(media).collect()
+    byid = {}
+    for r in fps:
+        byid.setdefault(r["media_id"], set()).add(
+            (r["pos"], r["sh_hash"])
+        )
+    assert byid[1] == byid[2] and byid[1] != byid[3]
+    assert 4 not in byid and 5 not in byid  # short clip / NULL
+    pairs = [(r["clip_a"], r["clip_b"], r["shared_shingles"])
+             for r in audio_near_dup_pairs(media).collect()]
+    assert pairs == [(1, 2, 13)]
+    with pytest.raises(ValueError, match="n_levels"):
+        audio_envelope_fingerprint(media, n_levels=1)
