@@ -2578,3 +2578,66 @@ def test_resize_real_matches_python_nn(spark, w, h, ow, oh, seed):
     )
     r = resize_real(media, ow, oh).collect()[0]
     assert r["mean_luma_fx"] == _py_luma(resized)
+
+
+@given(data=st.binary(min_size=0, max_size=3000))
+@settings(max_examples=40, deadline=None)
+def test_tiff_lzw_roundtrip_property(data):
+    """Arbitrary bytes survive the TIFF LZW encoder/decoder pair —
+    early-change width bumps and the table-reset margin included
+    (hypothesis shrinks any width-misalignment to a tiny case)."""
+    from geist_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+@given(data=st.binary(min_size=0, max_size=3000))
+@settings(max_examples=40, deadline=None)
+def test_packbits_roundtrip_property(data):
+    from geist_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+@given(
+    nibbles=st.lists(st.integers(0, 15), min_size=2, max_size=400),
+    pred0=st.integers(-32768, 32767),
+    idx0=st.integers(0, 88),
+)
+@settings(max_examples=30, deadline=None)
+def test_ima_adpcm_matches_audioop_property(nibbles, pred0, idx0):
+    """The IMA ADPCM state machine matches CPython's audioop
+    bit-for-bit on arbitrary nibble streams and initial states
+    (audioop packs high-nibble-first; WAV packs low-first)."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from geist_spark.operators.multimodal import _ima_adpcm_decode
+
+    if len(nibbles) % 2:
+        nibbles = nibbles[:-1]
+    wav_bytes = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + wav_bytes
+    mine = _ima_adpcm_decode(block, 1, len(block))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import audioop
+    aud = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1]
+        for i in range(0, len(nibbles), 2)
+    )
+    lin, _ = audioop.adpcm2lin(aud, 2, (pred0, idx0))
+    ref = np.frombuffer(lin, dtype="<i2").astype(np.int64)
+    assert mine[0] == pred0
+    assert (mine[1:] == ref).all()
