@@ -3385,6 +3385,82 @@ def m_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified media sniffing under the oracle gate: doc_id%8
+    rotates through PNG/JPEG/WAV/MP4/WEBP/FLAC/GIF/TIFF payloads
+    built by the fixture encoders, probed by multimodal.media_probe
+    (header-only magic dispatch). Every output field is ANALYTIC in
+    doc_id — a magic, header-offset, or unit bug in any branch
+    mismatches."""
+    import struct
+
+    import pandas as _pd
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import (
+        flac_build,
+        gif_encode_rgb,
+        media_probe,
+        mp4_build,
+        png_encode_rgb,
+        tiff_encode_rgb,
+        webp_build,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 1, d % 3 + 1
+                rgb = bytes(w * h * 3)
+                k = d % 8
+                if k == 0:
+                    p = png_encode_rgb(w, h, rgb)
+                elif k == 1:
+                    jw, jh = 8 * (d % 3 + 1), 8
+                    p = jpeg_encode_baseline(
+                        jw, jh, gray=bytes(jw * jh)
+                    )
+                elif k == 2:
+                    n = 8 * (d % 9 + 1)
+                    p = (
+                        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+                        + b"fmt "
+                        + struct.pack(
+                            "<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8
+                        )
+                        + b"data" + struct.pack("<I", n) + bytes(n)
+                    )
+                elif k == 3:
+                    p = mp4_build(
+                        b"isom", 1000, (d % 50 + 1) * 500,
+                        [(b"vide", 16 * (d % 10 + 1), 32)],
+                    )
+                elif k == 4:
+                    p = webp_build("lossless", w, h)
+                elif k == 5:
+                    p = flac_build(8000, 1, 16, 8000 * (d % 9 + 1))
+                elif k == 6:
+                    p = gif_encode_rgb(w, h, rgb)
+                else:
+                    p = tiff_encode_rgb(w, h, rgb)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return media_probe(media).select(
+        "media_id", "format", "kind", "width", "height",
+        "duration_ms", "sample_rate", "n_channels",
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5845,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_flac_probe": m_flac_probe,
         "m_audio_envelope": m_audio_envelope,
         "m_audio_near_dup": m_audio_near_dup,
+        "m_media_probe": m_media_probe,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -6996,6 +7073,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
                    END AS text
             FROM documents, two
+        """,
+        # ANALYTIC media-sniff replay over the doc_id%8 rotation
+        "m_media_probe": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPEG'
+                        WHEN 2 THEN 'WAV' WHEN 3 THEN 'MP4'
+                        WHEN 4 THEN 'WEBP' WHEN 5 THEN 'FLAC'
+                        WHEN 6 THEN 'GIF' ELSE 'TIFF' END AS format,
+                   CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
+                        WHEN 3 THEN 'video' ELSE 'image' END AS kind,
+                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 1 THEN 8 * (doc_id % 3 + 1)
+                        WHEN 3 THEN 16 * (doc_id % 10 + 1)
+                        WHEN 2 THEN NULL WHEN 5 THEN NULL
+                        ELSE doc_id % 5 + 1 END AS INTEGER) AS width,
+                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 1 THEN 8
+                        WHEN 3 THEN 32
+                        WHEN 2 THEN NULL WHEN 5 THEN NULL
+                        ELSE doc_id % 3 + 1 END AS INTEGER) AS height,
+                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 2 THEN doc_id % 9 + 1
+                        WHEN 3 THEN (doc_id % 50 + 1) * 500
+                        WHEN 5 THEN (doc_id % 9 + 1) * 1000
+                        ELSE NULL END AS BIGINT) AS duration_ms,
+                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 2 THEN 8000 WHEN 5 THEN 8000
+                        ELSE NULL END AS INTEGER) AS sample_rate,
+                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 2 THEN 1 WHEN 5 THEN 1
+                        ELSE NULL END AS INTEGER) AS n_channels
+            FROM documents
         """,
         # closed-form envelope replay (see _AENV_LVL_CTE)
         "m_audio_envelope": _AENV_LVL_CTE.format(

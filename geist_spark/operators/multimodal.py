@@ -1795,6 +1795,222 @@ def mp4_build(
     return ftyp + moov + mdat
 
 
+MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+    ]
+)
+
+# JPEG frame-header markers (SOF0..SOF15 minus DHT/JPG/DAC)
+_JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _probe_dims_tiff(b: bytes) -> tuple:
+    """Header-only TIFF dims (tags 256/257) — no strip reads."""
+    import struct
+
+    e = "<" if b[:4] == b"II*\x00" else ">"
+    (ifd,) = struct.unpack_from(e + "I", b, 4)
+    if ifd + 2 > len(b):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n,) = struct.unpack_from(e + "H", b, ifd)
+    w = h = None
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(b):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ = struct.unpack_from(e + "HH", b, off)
+        if tag in (256, 257):
+            v = (
+                struct.unpack_from(e + "H", b, off + 8)[0]
+                if typ == 3
+                else struct.unpack_from(e + "I", b, off + 8)[0]
+            )
+            if tag == 256:
+                w = v
+            else:
+                h = v
+    if not w or not h:
+        raise ValueError("malformed TIFF: missing dimensions")
+    return w, h
+
+
+def _probe_one(b: bytes) -> dict:
+    """Magic-dispatch header probe: format + kind + dims/duration
+    from HEADER bytes only (never entropy/sample data). The unified
+    front door for a mixed crawl bucket — route by `kind`, budget by
+    dims/duration, then hand off to the per-format decoders."""
+    import struct
+
+    out = {
+        "format": None, "kind": None, "width": None, "height": None,
+        "duration_ms": None, "sample_rate": None, "n_channels": None,
+    }
+    if b[:8] == _PNG_SIG:
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: IHDR not first")
+        w, h = struct.unpack_from(">II", b, 16)
+        out.update(format="PNG", kind="image", width=w, height=h)
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack_from("<HH", b, 6)
+        out.update(format="GIF", kind="image", width=w, height=h)
+    elif b[:2] == b"BM":
+        if len(b) < 26:
+            raise ValueError("truncated BMP header")
+        w, h = struct.unpack_from("<ii", b, 18)
+        out.update(format="BMP", kind="image", width=w, height=abs(h))
+    elif b[:2] in (b"P6", b"P5") and len(b) > 2 and b[2:3].isspace():
+        toks = b[:200].split()
+        if len(toks) < 3:
+            raise ValueError("truncated PPM/PGM header")
+        try:
+            w, h = int(toks[1]), int(toks[2])
+        except ValueError:
+            raise ValueError("malformed PPM/PGM header token") from None
+        out.update(
+            format=b[:2].decode(), kind="image", width=w, height=h
+        )
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h = _probe_dims_tiff(b)
+        out.update(format="TIFF", kind="image", width=w, height=h)
+    elif b[:2] == b"\xff\xd8":
+        for m, seg in _jpeg_walk_segments(b):
+            if m in _JPEG_SOF:
+                if len(seg) < 9:
+                    raise ValueError("malformed JPEG: short SOF")
+                h, w = struct.unpack_from(">HH", seg, 5)
+                out.update(
+                    format="JPEG", kind="image", width=w, height=h
+                )
+                break
+        else:
+            raise ValueError("malformed JPEG: no SOF before scan")
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        info = _webp_parse(b)
+        out.update(
+            format="WEBP", kind="image",
+            width=info["width"], height=info["height"],
+        )
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(b):
+            cid = bytes(b[pos : pos + 4])
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            if cid == b"fmt " and pos + 8 + 16 <= len(b):
+                fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+            elif cid == b"data":
+                data_len = min(clen, len(b) - pos - 8)
+            pos += 8 + clen + (clen & 1)
+        if fmt is None:
+            raise ValueError("malformed WAV: missing fmt chunk")
+        _afmt, ch, rate, byterate, _al, _bits = fmt
+        out.update(
+            format="WAV", kind="audio", sample_rate=rate,
+            n_channels=ch,
+            duration_ms=(
+                data_len * 1000 // byterate
+                if byterate and data_len is not None
+                else None
+            ),
+        )
+    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # LIST hdrl -> avih: usPerFrame, totalFrames@+16, w@+32 h@+36
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = bytes(b[pos : pos + 4])
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            if cid == b"LIST" and b[pos + 8 : pos + 12] == b"hdrl":
+                inner = pos + 12
+                if b[inner : inner + 4] == b"avih":
+                    body = inner + 8
+                    if body + 40 > len(b):
+                        raise ValueError("truncated AVI avih")
+                    uspf, = struct.unpack_from("<I", b, body)
+                    total, = struct.unpack_from("<I", b, body + 16)
+                    w, h = struct.unpack_from("<II", b, body + 32)
+                    out.update(
+                        format="AVI", kind="video", width=w, height=h,
+                        duration_ms=(
+                            total * uspf // 1000 if uspf else None
+                        ),
+                    )
+                    return out
+            pos += 8 + clen + (clen & 1)
+        raise ValueError("malformed AVI: no avih header")
+    elif b[:4] == b"fLaC":
+        info = _flac_parse(b)
+        out.update(
+            format="FLAC", kind="audio",
+            sample_rate=info["sample_rate"],
+            n_channels=info["n_channels"],
+            duration_ms=info["duration_ms"],
+        )
+    elif b[:3] == b"ID3":
+        out.update(format="MP3", kind="audio")
+    elif len(b) >= 12 and b[4:8] == b"ftyp":
+        info = _mp4_parse(b)
+        out.update(
+            format="MP4",
+            kind="video" if info["has_video"] else "audio",
+            width=info["width"], height=info["height"],
+            duration_ms=info["duration_ms"],
+        )
+    else:
+        raise NotImplementedError(
+            "unrecognized media payload (no known magic)"
+        )
+    return out
+
+
+def media_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """THE front door for a mixed multimodal bucket: sniff every
+    payload's magic and emit one common schema — format, kind
+    (image/audio/video), dimensions, duration, audio params — from
+    HEADER bytes only. Downstream routing (decode the images,
+    fingerprint the audio, probe-then-skip oversized video) hangs
+    off this one map-only pass; at 100 TB it reads metadata bytes,
+    never payload bodies. Unknown magic is a CAPABILITY limit;
+    structurally damaged headers of recognized formats always raise
+    (two-tier contract)."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "format", "kind", "width", "height",
+                "duration_ms", "sample_rate", "n_channels",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = None
+                if payload is not None:
+                    try:
+                        info = _probe_one(bytes(payload))
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                for k in ("format", "kind", "width", "height",
+                          "duration_ms", "sample_rate", "n_channels"):
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, MEDIA_PROBE_SCHEMA)
+
+
 def audio_envelope_fingerprint(
     media: DataFrame,
     frame: int = 250,

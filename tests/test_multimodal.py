@@ -1758,3 +1758,70 @@ def test_audio_envelope_near_dup(spark):
     assert pairs == [(1, 2, 13)]
     with pytest.raises(ValueError, match="n_levels"):
         audio_envelope_fingerprint(media, n_levels=1)
+
+
+def test_media_probe(spark):
+    """Unified sniffing: every supported magic routes to the right
+    (format, kind, dims/duration) from header bytes only; unknown
+    magic is a capability limit; damaged headers of recognized
+    formats raise."""
+    import struct
+
+    import pytest
+
+    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.multimodal import (
+        flac_build,
+        gif_encode_rgb,
+        media_probe,
+        mp4_build,
+        png_encode_rgb,
+        tiff_encode_rgb,
+        webp_build,
+    )
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 16) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 16) + bytes(16)
+    )
+    rows = [
+        (1, png_encode_rgb(5, 3, bytes(45))),
+        (2, jpeg_encode_baseline(16, 8, gray=bytes(128))),
+        (3, wav),
+        (4, mp4_build(b"isom", 1000, 1500, [(b"vide", 320, 240)])),
+        (5, webp_build("extended", 12, 34)),
+        (6, flac_build(22050, 1, 16, 22050 * 2)),
+        (7, gif_encode_rgb(2, 2, bytes(12))),
+        (8, tiff_encode_rgb(3, 4, bytes(36))),
+        (9, b"P5 7 9 255\n" + bytes(63)),
+        (10, b"OggS\x00\x02unknown-codec"),
+        (11, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           media_probe(media, on_unsupported="null").collect()}
+    assert (out[1]["format"], out[1]["kind"], out[1]["width"],
+            out[1]["height"]) == ("PNG", "image", 5, 3)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == (
+        "JPEG", 16, 8)
+    assert (out[3]["format"], out[3]["kind"], out[3]["sample_rate"],
+            out[3]["n_channels"], out[3]["duration_ms"]) == (
+        "WAV", "audio", 8000, 2, 0)
+    assert (out[4]["format"], out[4]["kind"], out[4]["width"],
+            out[4]["duration_ms"]) == ("MP4", "video", 320, 1500)
+    assert (out[5]["format"], out[5]["width"], out[5]["height"]) == (
+        "WEBP", 12, 34)
+    assert (out[6]["format"], out[6]["duration_ms"]) == ("FLAC", 2000)
+    assert (out[7]["format"], out[7]["width"]) == ("GIF", 2)
+    assert (out[8]["format"], out[8]["width"], out[8]["height"]) == (
+        "TIFF", 3, 4)
+    assert (out[9]["format"], out[9]["width"], out[9]["height"]) == (
+        "P5", 7, 9)
+    assert out[10]["format"] is None and out[11]["format"] is None
+    bad = spark.createDataFrame(
+        [(1, png_encode_rgb(5, 3, bytes(45))[:20])],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="PNG"):
+        media_probe(bad, on_unsupported="null").collect()

@@ -161,6 +161,7 @@ MIP_ALLOWED = {
     "m_flac_probe": 2,       # block synth + block walk
     "m_audio_envelope": 2,   # modulated-WAV synth + envelope stage
     "m_audio_near_dup": 2,   # twin synth + envelope stage
+    "m_media_probe": 2,      # mixed-format synth + magic dispatch
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
