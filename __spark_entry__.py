@@ -2277,6 +2277,17 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "byte_len", "content_md5")
 
 
+def _fan(df: "DataFrame") -> "DataFrame":
+    """Widen a skinny (single-split parquet) input BEFORE a
+    CPU-heavy Arrow synth/decode stage — without this every real
+    decode gate serializes its 5000 per-doc decodes on ONE core
+    (measured: m_decode_jpeg 4.7s -> sub-second at 32 partitions).
+    No-op on healthy wide scans (bucketing.fan_out)."""
+    from geist_spark.operators.bucketing import fan_out
+
+    return fan_out(df)
+
+
 def _md5_payload_bytes() -> "F.Column":
     """The shared 24-byte deterministic payload for the real-decode
     gate queries: md5(text) + first 8 bytes of md5(text || 'x'). MUST
@@ -2396,8 +2407,10 @@ def m_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.substring(hx, 13, 12)),
         F.lit(b"\x00\x00"),
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    media = _fan(
+        docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
     )
     return frame_sample_real(media, every_ms=40).select(
         "media_id", "frame_idx", "ts_ms", "width", "height", "mean_luma_fx"
@@ -2424,8 +2437,10 @@ def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b"data" + struct.pack("<I", 24)
     )
     payload = F.concat(F.lit(header), _md5_payload_bytes())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    media = _fan(
+        docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
     )
     return decode_audio_real(media).select(
         "media_id", "format", "n_channels", "sample_rate", "bit_depth",
@@ -2462,8 +2477,10 @@ def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(header(6))),
         _md5_payload_bytes(),
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    media = _fan(
+        docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
     )
     return decode_audio_real(media).select(
         "media_id", "format", "n_channels", "sample_rate", "bit_depth",
@@ -2512,7 +2529,7 @@ def m_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_audio_real(media).select(
         "media_id", "format", "n_channels", "sample_rate", "bit_depth",
         "n_frames", "duration_ms", "peak_abs", "mean_square_fx",
@@ -2561,7 +2578,7 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_real(media).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
@@ -2663,7 +2680,7 @@ def m_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads += [img(h), img(twin)]
             yield _pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     pairs = dhash_near_dup(image_dhash(media, 8, 8), max_hamming=2, bands=4)
@@ -2705,7 +2722,7 @@ def m_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_real(media).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
@@ -2750,7 +2767,7 @@ def m_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_real(media).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
@@ -2805,7 +2822,7 @@ def m_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return exif_extract(media).select(
@@ -2843,7 +2860,7 @@ def m_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return strip_metadata(media).select(
@@ -2916,7 +2933,7 @@ def m_riff_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return riff_info_extract(media).select(
@@ -2947,7 +2964,7 @@ def m_strip_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return strip_metadata(media).select(
@@ -3003,7 +3020,7 @@ def m_strip_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return strip_metadata(media).select(
@@ -3045,7 +3062,7 @@ def m_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return mp4_probe(media).select(
@@ -3086,7 +3103,7 @@ def m_id3_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return id3_extract(media).select(
@@ -3126,7 +3143,7 @@ def m_strip_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return strip_metadata(media).select(
@@ -3213,7 +3230,7 @@ def m_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return webp_probe(media).select(
@@ -3252,7 +3269,7 @@ def m_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return flac_probe(media).select(
@@ -3345,7 +3362,7 @@ def m_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return audio_envelope_fingerprint(media)
 
 
@@ -3379,7 +3396,7 @@ def m_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(_aenv_wav(b, reverse_frames=True))
             yield _pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return audio_near_dup_pairs(
         media, min_shared=8, max_hash_clips=64
     )
@@ -3452,7 +3469,7 @@ def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _fan(docs.select("doc_id")).mapInPandas(
         synth, "media_id long, payload binary"
     )
     return media_probe(media).select(
@@ -3549,7 +3566,7 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    comp = docs.select("doc_id", "text").mapInPandas(
+    comp = _fan(docs.select("doc_id", "text")).mapInPandas(
         synth, "doc_id long, payload binary"
     )
     return decompress_text(comp)
@@ -3671,7 +3688,7 @@ def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return frame_sample_real(media, every_ms=40).select(
         "media_id", "frame_idx", "ts_ms", "width", "height", "mean_luma_fx"
     )
@@ -3719,7 +3736,7 @@ def m_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_real(media).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )
@@ -3749,8 +3766,10 @@ def m_audio_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b"data" + struct.pack("<I", 24)
     )
     payload = F.concat(F.lit(header), _md5_payload_bytes())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    media = _fan(
+        docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
     )
     return audio_dsp_features(media).select(
         "media_id", "format", "n_frames", "zero_crossings", "sum_abs",
@@ -3792,7 +3811,7 @@ def m_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = src.mapInPandas(synth, "media_id long, payload binary")
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
     return decode_real(media).select(
         "media_id", "format", "width", "height", "channels", "mean_luma_fx"
     )

@@ -61,7 +61,12 @@ FEATURE_SCHEMA = T.StructType(
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque media payload
     (the container has no image/audio fixtures; the binary-column
-    path is identical)."""
+    path is identical). fan_out first: media tables are exactly the
+    skinny-scan-into-heavy-Arrow-stage shape the widener exists
+    for."""
+    from geist_spark.operators.bucketing import fan_out
+
+    documents = fan_out(documents)
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
