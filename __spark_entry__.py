@@ -3611,12 +3611,16 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(crlf + crlf),
         )
 
-    files = docs.select(
-        F.col("doc_id").alias("file_id"),
-        F.encode(
-            F.concat(rec("request", req_block), rec("response", resp_block)),
-            "UTF-8",
-        ).alias("payload"),
+    files = _fan(
+        docs.select(
+            F.col("doc_id").alias("file_id"),
+            F.encode(
+                F.concat(
+                    rec("request", req_block), rec("response", resp_block)
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
     )
     return warc_parse(files).select(
         "file_id", "rec_idx", "warc_type", "target_uri", "content_length",

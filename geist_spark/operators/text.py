@@ -1031,9 +1031,11 @@ def rake_keywords(
     Returns (phrase, n_words, n_occ, score_fx, rank), rank 1..top_k by
     score_fx desc then phrase asc.
     """
+    from geist_spark.operators.bucketing import fan_out
+
     stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
-    tok = documents.select(
+    tok = fan_out(documents).select(
         "doc_id",
         F.posexplode(_keyword_tokens(F.col("text"), lang)).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
@@ -1133,9 +1135,11 @@ def textrank_keywords(
     """
     from geist_spark.operators.graph import pagerank
 
+    from geist_spark.operators.bucketing import fan_out
+
     stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
-    tok = documents.select(
+    tok = fan_out(documents).select(
         "doc_id",
         F.posexplode(_keyword_tokens(F.col("text"), lang)).alias("pos", "tok"),
     ).filter(
