@@ -1730,36 +1730,12 @@ def mp4_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     Spark-side surface a 100 TB video corpus needs for filtering,
     budgeting and dedup BEFORE any decode. Non-BMFF payloads are a
     capability limit; malformed box trees always raise."""
-    import pandas as pd
-
-    if on_unsupported not in ("error", "null"):
-        raise ValueError("on_unsupported must be 'error' or 'null'")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "format", "major_brand", "duration_ms",
-                "n_tracks", "width", "height", "has_video", "has_audio",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = fmt = None
-                if payload is not None:
-                    try:
-                        info = _mp4_parse(bytes(payload))
-                        fmt = "MP4"
-                    except NotImplementedError as exc:
-                        if on_unsupported == "error":
-                            raise NotImplementedError(
-                                f"media_id={mid}: {exc}"
-                            ) from exc
-                rows["media_id"].append(mid)
-                rows["format"].append(fmt)
-                for k in ("major_brand", "duration_ms", "n_tracks",
-                          "width", "height", "has_video", "has_audio"):
-                    rows[k].append(info[k] if info else None)
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, MP4_SCHEMA)
+    return _run_probe(
+        media, _mp4_parse, MP4_SCHEMA, "MP4",
+        ("major_brand", "duration_ms", "n_tracks", "width", "height",
+         "has_video", "has_audio"),
+        on_unsupported,
+    )
 
 
 def mp4_build(
@@ -1798,6 +1774,46 @@ def mp4_build(
     else:
         mdat = box(b"mdat", b"")
     return ftyp + moov + mdat
+
+
+def _run_probe(
+    media: DataFrame,
+    parse_fn,
+    schema: "T.StructType",
+    fmt_name: str,
+    fields: tuple,
+    on_unsupported: str,
+) -> DataFrame:
+    """Shared Arrow-stage runner for the header-probe family
+    (mp4/webp/flac/id3): parse_fn returns a complete field dict or
+    raises the two-tier errors; NULL payloads and (under 'null')
+    capability-limited ones emit all-NULL rows."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "format", *fields)}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = fmt = None
+                if payload is not None:
+                    try:
+                        info = parse_fn(bytes(payload))
+                        fmt = fmt_name
+                    except NotImplementedError as exc:
+                        if on_unsupported == "error":
+                            raise NotImplementedError(
+                                f"media_id={mid}: {exc}"
+                            ) from exc
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                for k in fields:
+                    rows[k].append(info[k] if info else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema)
 
 
 MEDIA_PROBE_SCHEMA = T.StructType(
@@ -2250,36 +2266,12 @@ def webp_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     format; its pixel decode needs libwebp — not in this
     environment — but filtering/budgeting only needs this header
     surface). Same contract as mp4_probe."""
-    import pandas as pd
-
-    if on_unsupported not in ("error", "null"):
-        raise ValueError("on_unsupported must be 'error' or 'null'")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "format", "variant", "width", "height",
-                "has_alpha", "has_animation", "has_exif",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = fmt = None
-                if payload is not None:
-                    try:
-                        info = _webp_parse(bytes(payload))
-                        fmt = "WEBP"
-                    except NotImplementedError as exc:
-                        if on_unsupported == "error":
-                            raise NotImplementedError(
-                                f"media_id={mid}: {exc}"
-                            ) from exc
-                rows["media_id"].append(mid)
-                rows["format"].append(fmt)
-                for k in ("variant", "width", "height", "has_alpha",
-                          "has_animation", "has_exif"):
-                    rows[k].append(info[k] if info else None)
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, WEBP_SCHEMA)
+    return _run_probe(
+        media, _webp_parse, WEBP_SCHEMA, "WEBP",
+        ("variant", "width", "height", "has_alpha", "has_animation",
+         "has_exif"),
+        on_unsupported,
+    )
 
 
 def webp_build(
@@ -2448,39 +2440,13 @@ def flac_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     duration, Vorbis-comment artist/title, embedded-picture flag —
     the filtering surface; frame decode stays a capability limit.
     Same contract as mp4_probe/webp_probe."""
-    import pandas as pd
-
-    if on_unsupported not in ("error", "null"):
-        raise ValueError("on_unsupported must be 'error' or 'null'")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "format", "sample_rate", "n_channels",
-                "bits_per_sample", "total_samples", "duration_ms",
-                "artist", "title", "has_picture",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = fmt = None
-                if payload is not None:
-                    try:
-                        info = _flac_parse(bytes(payload))
-                        fmt = "FLAC"
-                    except NotImplementedError as exc:
-                        if on_unsupported == "error":
-                            raise NotImplementedError(
-                                f"media_id={mid}: {exc}"
-                            ) from exc
-                rows["media_id"].append(mid)
-                rows["format"].append(fmt)
-                for k in ("sample_rate", "n_channels",
-                          "bits_per_sample", "total_samples",
-                          "duration_ms", "artist", "title",
-                          "has_picture"):
-                    rows[k].append(info[k] if info else None)
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, FLAC_SCHEMA)
+    return _run_probe(
+        media, _flac_parse, FLAC_SCHEMA, "FLAC",
+        ("sample_rate", "n_channels", "bits_per_sample",
+         "total_samples", "duration_ms", "artist", "title",
+         "has_picture"),
+        on_unsupported,
+    )
 
 
 def flac_build(
@@ -2641,36 +2607,11 @@ def id3_extract(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
     themselves remain a codec capability limit; this is the real
     Spark-side filtering surface. Untagged/non-ID3 payloads are a
     capability limit; structural damage always raises."""
-    import pandas as pd
-
-    if on_unsupported not in ("error", "null"):
-        raise ValueError("on_unsupported must be 'error' or 'null'")
-
-    def run(batches):
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "format", "version", "title", "artist",
-                "album", "date", "has_image",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                info = fmt = None
-                if payload is not None:
-                    try:
-                        info = _id3_parse(bytes(payload))
-                        fmt = "MP3"
-                    except NotImplementedError as exc:
-                        if on_unsupported == "error":
-                            raise NotImplementedError(
-                                f"media_id={mid}: {exc}"
-                            ) from exc
-                rows["media_id"].append(mid)
-                rows["format"].append(fmt)
-                for k in ("version", "title", "artist", "album",
-                          "date", "has_image"):
-                    rows[k].append(info[k] if info else None)
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, ID3_SCHEMA)
+    return _run_probe(
+        media, _id3_parse, ID3_SCHEMA, "MP3",
+        ("version", "title", "artist", "album", "date", "has_image"),
+        on_unsupported,
+    )
 
 
 def id3v2_build(
