@@ -3478,6 +3478,85 @@ def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _archive_fixture_synth(batches):
+    """Shared synth for the archive gates: even doc_ids a ZIP
+    (doc.txt deflated + meta.json stored, stdlib zipfile — a
+    REFERENCE implementation cross-validating the hand-written
+    walker), odd a USTAR tar (stdlib tarfile; gzip-wrapped when
+    doc_id % 4 == 3)."""
+    import gzip as _gzip
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as _pd
+
+    for pdf in batches:
+        payloads = []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            d = int(did)
+            members = [
+                ("doc.txt", text.encode("utf-8")),
+                ("meta.json", f'{{"id": {d}}}'.encode()),
+            ]
+            buf = io.BytesIO()
+            if d % 2 == 0:
+                with zipfile.ZipFile(buf, "w") as z:
+                    z.writestr(
+                        "doc.txt", members[0][1],
+                        compress_type=zipfile.ZIP_DEFLATED,
+                    )
+                    z.writestr(
+                        "meta.json", members[1][1],
+                        compress_type=zipfile.ZIP_STORED,
+                    )
+                p = buf.getvalue()
+            else:
+                with tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                ) as t:
+                    for name, data in members:
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        t.addfile(ti, io.BytesIO(data))
+                p = buf.getvalue()
+                if d % 4 == 3:
+                    p = _gzip.compress(p, mtime=0)
+            payloads.append(p)
+        yield _pd.DataFrame(
+            {"file_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def w_archive_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive member enumeration under the oracle gate: stdlib-built
+    zip/tar/tar.gz fixtures walked by prep.archive_list (hand-written
+    central-directory / USTAR parsers — the stdlib fixture side
+    cross-validates them). Names/sizes/methods are ANALYTIC in
+    (doc_id, strlen(text))."""
+    from geist_spark.operators.prep import archive_list
+
+    docs = _t(spark, sf_dir, "documents")
+    files = _fan(docs.select("doc_id", "text")).mapInPandas(
+        _archive_fixture_synth, "file_id long, payload binary"
+    )
+    return archive_list(files)
+
+
+def w_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive text extraction under the oracle gate: the same
+    fixtures' members inflated back out — doc.txt must round-trip
+    the document text exactly (deflate AND tar paths), meta.json is
+    analytic."""
+    from geist_spark.operators.prep import archive_extract_text
+
+    docs = _t(spark, sf_dir, "documents")
+    files = _fan(docs.select("doc_id", "text")).mapInPandas(
+        _archive_fixture_synth, "file_id long, payload binary"
+    )
+    return archive_extract_text(files)
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -5945,6 +6024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_envelope": m_audio_envelope,
         "m_audio_near_dup": m_audio_near_dup,
         "m_media_probe": m_media_probe,
+        "w_archive_list": w_archive_list,
+        "w_archive_extract": w_archive_extract,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -7096,6 +7177,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
                    END AS text
             FROM documents, two
+        """,
+        # ANALYTIC archive manifest: member order/names/sizes are
+        # pure functions of (doc_id, strlen(text))
+        "w_archive_list": """
+            SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS member_idx,
+                   'doc.txt' AS name,
+                   CAST(strlen(text) AS BIGINT) AS size,
+                   CASE WHEN doc_id % 2 = 0 THEN 'deflate'
+                        ELSE 'tar' END AS method
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER), 'meta.json',
+                   CAST(8 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT),
+                   CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'tar' END
+            FROM documents
+        """,
+        # round-trip identity on doc.txt + analytic meta.json
+        "w_archive_extract": """
+            SELECT doc_id AS file_id, 'doc.txt' AS name, text,
+                   CAST(strlen(text) AS BIGINT) AS byte_len
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'meta.json',
+                   '{"id": ' || CAST(doc_id AS VARCHAR) || '}',
+                   CAST(8 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT)
+            FROM documents
         """,
         # ANALYTIC media-sniff replay over the doc_id%8 rotation
         "m_media_probe": """

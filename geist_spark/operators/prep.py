@@ -828,3 +828,283 @@ def decompress_text(
             )
 
     return documents.mapInPandas(run, DECOMPRESS_SCHEMA_DDL)
+
+
+ARCHIVE_LIST_SCHEMA = (
+    "file_id long, member_idx int, name string, size long, method string"
+)
+ARCHIVE_TEXT_SCHEMA = "file_id long, name string, text string, byte_len long"
+
+_ZIP_METHODS = {0: "stored", 8: "deflate"}
+
+
+def _zip_entries(b: bytes):
+    """Walk a ZIP central directory (the authoritative member list,
+    per APPNOTE): EOCD scan from the tail, then PK\\x01\\x02 entries.
+    ZIP64 and encrypted members are typed capability limits;
+    structural damage raises ValueError."""
+    import struct
+
+    tail = b[-65558:] if len(b) > 65558 else b
+    i = tail.rfind(b"PK\x05\x06")
+    if i < 0:
+        raise ValueError("malformed ZIP: no end-of-central-directory")
+    eocd = (len(b) - len(tail)) + i
+    if eocd + 22 > len(b):
+        raise ValueError("truncated ZIP end-of-central-directory")
+    (n_total,) = struct.unpack_from("<H", b, eocd + 10)
+    (cd_off,) = struct.unpack_from("<I", b, eocd + 16)
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 archive unsupported")
+    pos = cd_off
+    for idx in range(n_total):
+        if b[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(
+                f"malformed ZIP: central entry {idx} signature"
+            )
+        if pos + 46 > len(b):
+            raise ValueError("truncated ZIP central directory")
+        (flags, method) = struct.unpack_from("<HH", b, pos + 8)
+        (csize, usize) = struct.unpack_from("<II", b, pos + 20)
+        (nlen, elen, clen) = struct.unpack_from("<HHH", b, pos + 28)
+        (lho,) = struct.unpack_from("<I", b, pos + 42)
+        name = b[pos + 46 : pos + 46 + nlen].decode(
+            "utf-8", errors="replace"
+        )
+        yield {
+            "idx": idx, "name": name, "flags": flags,
+            "method": method, "csize": csize, "usize": usize,
+            "lho": lho,
+        }
+        pos += 46 + nlen + elen + clen
+
+
+def _zip_member_bytes(b: bytes, ent: dict, max_bytes: int) -> bytes:
+    """Extract one ZIP member via its local header: stored copies,
+    deflate inflates RAW (wbits=-15) bounded at max_bytes."""
+    import struct
+    import zlib
+
+    if ent["flags"] & 0x1:
+        raise NotImplementedError(
+            f"encrypted ZIP member {ent['name']!r} unsupported"
+        )
+    if ent["method"] not in _ZIP_METHODS:
+        raise NotImplementedError(
+            f"ZIP compression method {ent['method']} unsupported "
+            "(stored/deflate only)"
+        )
+    lho = ent["lho"]
+    if b[lho : lho + 4] != b"PK\x03\x04":
+        raise ValueError(
+            f"malformed ZIP: local header of {ent['name']!r}"
+        )
+    nlen, elen = struct.unpack_from("<HH", b, lho + 26)
+    start = lho + 30 + nlen + elen
+    data = b[start : start + ent["csize"]]
+    if len(data) < ent["csize"]:
+        raise ValueError(f"truncated ZIP member {ent['name']!r}")
+    if ent["usize"] > max_bytes:
+        raise ValueError(
+            f"ZIP member {ent['name']!r} inflates past "
+            f"max_bytes={max_bytes}"
+        )
+    if ent["method"] == 0:
+        if len(data) != ent["usize"]:
+            raise ValueError(
+                f"malformed ZIP: stored member {ent['name']!r} size"
+            )
+        return bytes(data)
+    d = zlib.decompressobj(wbits=-15)
+    try:
+        out = d.decompress(data, ent["usize"] + 1)
+    except zlib.error as exc:
+        raise ValueError(
+            f"malformed ZIP member {ent['name']!r}: {exc}"
+        ) from None
+    if len(out) != ent["usize"]:
+        raise ValueError(
+            f"malformed ZIP: member {ent['name']!r} inflates to "
+            f"{len(out)} of {ent['usize']} bytes"
+        )
+    return out
+
+
+def _tar_entries(b: bytes):
+    """Walk USTAR 512-byte headers: yields (idx, name, size, typeflag,
+    data_start). GNU long-name entries are a typed capability limit;
+    a bad checksum or truncated data block raises ValueError."""
+    pos, idx = 0, 0
+    while pos + 512 <= len(b):
+        hdr = b[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            return
+        name = hdr[:100].split(b"\x00")[0].decode(
+            "utf-8", errors="replace"
+        )
+        try:
+            size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            raise ValueError(
+                f"malformed TAR: size field of {name!r}"
+            ) from None
+        typ = hdr[156:157]
+        if typ in (b"L", b"K"):
+            raise NotImplementedError(
+                "GNU long-name TAR entries unsupported"
+            )
+        chk_stored = hdr[148:156]
+        try:
+            chk = int(chk_stored.split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            raise ValueError("malformed TAR: checksum field") from None
+        calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if chk != calc:
+            raise ValueError(f"malformed TAR: checksum of {name!r}")
+        data_start = pos + 512
+        if data_start + size > len(b):
+            raise ValueError(f"truncated TAR member {name!r}")
+        yield idx, name, size, typ, data_start
+        idx += 1
+        pos = data_start + ((size + 511) // 512) * 512
+
+
+def _archive_members(b: bytes, max_bytes: int):
+    """Dispatch ZIP / TAR / gzipped-TAR; yields
+    (idx, name, size, method, get_bytes callable)."""
+    import zlib
+
+    if b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        for ent in _zip_entries(b):
+            if ent["name"].endswith("/"):
+                continue  # directory entries
+            yield (
+                ent["idx"], ent["name"], ent["usize"],
+                _ZIP_METHODS.get(ent["method"], str(ent["method"])),
+                (lambda e=ent: _zip_member_bytes(b, e, max_bytes)),
+            )
+        return
+    if b[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(b, max_bytes + 1)
+        except zlib.error as exc:
+            raise ValueError(f"malformed gzip wrapper: {exc}") from None
+        if len(raw) > max_bytes:
+            raise ValueError(
+                f"archive inflates past max_bytes={max_bytes}"
+            )
+        b = raw
+    if len(b) >= 512 and b[257:262] == b"ustar":
+        for idx, name, size, typ, start in _tar_entries(b):
+            if typ not in (b"0", b"\x00"):
+                continue  # dirs/links: listed implicitly skipped
+            data = b  # bind
+            yield (
+                idx, name, size, "tar",
+                (lambda s=start, n=size: bytes(data[s : s + n])),
+            )
+        return
+    raise NotImplementedError(
+        "not a ZIP, TAR or gzipped-TAR payload"
+    )
+
+
+def archive_list(
+    files: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "file_id",
+    max_bytes: int = 64 * 1024 * 1024,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Enumerate archive members WITHOUT extraction — crawl corpora
+    arrive as zip/tar(.gz) dumps, and member manifests (names,
+    sizes, methods) drive routing and budgeting before any bytes
+    decompress. ZIP walks the central directory only; TAR walks
+    512-byte headers (gzip wrapper inflated bounded). The usual
+    two-tier contract: foreign magic is a capability limit
+    (ZIP64/encrypted/GNU-longname are typed limits too), structural
+    damage raises. Map-only Arrow stage."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "file_id", "member_idx", "name", "size", "method",
+            )}
+            for fid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    members = list(
+                        _archive_members(bytes(payload), max_bytes)
+                    )
+                except NotImplementedError as exc:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"{id_col}={fid}: {exc}"
+                        ) from exc
+                    continue
+                for idx, name, size, method, _get in members:
+                    rows["file_id"].append(fid)
+                    rows["member_idx"].append(idx)
+                    rows["name"].append(name)
+                    rows["size"].append(size)
+                    rows["method"].append(method)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(run, ARCHIVE_LIST_SCHEMA)
+
+
+def archive_extract_text(
+    files: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "file_id",
+    max_bytes: int = 64 * 1024 * 1024,
+    suffixes: tuple = (".txt", ".json", ".jsonl", ".md", ".csv"),
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Extract text-like members (by suffix) from zip/tar(.gz)
+    archives: stored/deflate ZIP members and TAR file entries,
+    every inflate bounded at max_bytes, utf-8 with U+FFFD. One
+    Arrow stage; member fan-out happens inside the batch (the WARC
+    record-fan-out shape)."""
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "file_id", "name", "text", "byte_len",
+            )}
+            for fid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    members = list(
+                        _archive_members(bytes(payload), max_bytes)
+                    )
+                except NotImplementedError as exc:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"{id_col}={fid}: {exc}"
+                        ) from exc
+                    continue
+                for _idx, name, _size, _method, get in members:
+                    if not name.lower().endswith(suffixes):
+                        continue
+                    raw = get()
+                    rows["file_id"].append(fid)
+                    rows["name"].append(name)
+                    rows["text"].append(
+                        raw.decode("utf-8", errors="replace")
+                    )
+                    rows["byte_len"].append(len(raw))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(run, ARCHIVE_TEXT_SCHEMA)

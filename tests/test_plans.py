@@ -162,6 +162,8 @@ MIP_ALLOWED = {
     "m_audio_envelope": 2,   # modulated-WAV synth + envelope stage
     "m_audio_near_dup": 2,   # twin synth + envelope stage
     "m_media_probe": 2,      # mixed-format synth + magic dispatch
+    "w_archive_list": 2,     # stdlib-archive synth + member walk
+    "w_archive_extract": 2,  # stdlib-archive synth + bounded inflate
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
@@ -193,11 +195,13 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     ]:
         p = simple_plan(q[name](spark, SF))
         assert _mip_count(p) == 0, name
-    # the allowed set is the media family plus the two byte-stream
+    # the allowed set is the media family plus the byte-stream
     # parsers (variable-length record splitting / stdlib inflate are
     # inherently imperative; w_html_extract stays all-JVM, pinned at
     # zero above)
     assert all(
-        n.startswith("m_") or n in ("w_warc_parse", "p_decompress_text")
+        n.startswith("m_")
+        or n in ("w_warc_parse", "p_decompress_text",
+                 "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED
     )

@@ -1223,3 +1223,76 @@ def test_decompress_text_zlib_sniff_fcheck(spark):
     out = {r["doc_id"]: r for r in
            decompress_text(df, on_unsupported="null").collect()}
     assert out[1]["text"] is None and out[2]["text"] == "real"
+
+
+def test_archive_list_and_extract(spark):
+    """ZIP central-directory and USTAR walks against stdlib-built
+    archives (deflate + stored members, directories skipped, gzip
+    wrapper); bounded extraction round-trips member bytes; ZIP64/
+    encrypted/unknown magic are typed capability limits; truncation
+    and checksum damage raise."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    import pytest
+
+    from geist_spark.operators.prep import (
+        archive_extract_text,
+        archive_list,
+    )
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a.txt", "hello zip " * 20,
+                   compress_type=zipfile.ZIP_DEFLATED)
+        z.writestr("dir/", "")
+        z.writestr("b.bin", b"\x00\x01",
+                   compress_type=zipfile.ZIP_STORED)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for name, data in [("x.txt", b"tar text"), ("d/y.md", b"# md")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+    files = spark.createDataFrame(
+        [(1, zbuf.getvalue()), (2, tbuf.getvalue()),
+         (3, gzip.compress(tbuf.getvalue())), (4, b"not an archive"),
+         (5, None)],
+        "file_id long, payload binary",
+    )
+    rows = {(r["file_id"], r["name"]): r
+            for r in archive_list(files, on_unsupported="null").collect()}
+    assert rows[(1, "a.txt")]["method"] == "deflate"
+    assert rows[(1, "a.txt")]["size"] == 200
+    assert rows[(1, "b.bin")]["method"] == "stored"
+    assert (1, "dir/") not in rows
+    assert rows[(2, "x.txt")]["method"] == "tar"
+    assert rows[(3, "d/y.md")]["size"] == 4
+    assert not any(fid in (4, 5) for fid, _ in rows)
+
+    txt = {(r["file_id"], r["name"]): r["text"]
+           for r in archive_extract_text(
+               files, on_unsupported="null").collect()}
+    assert txt[(1, "a.txt")] == "hello zip " * 20
+    assert txt[(2, "x.txt")] == "tar text"
+    assert txt[(3, "d/y.md")] == "# md"
+    assert (1, "b.bin") not in txt  # suffix filter
+
+    with pytest.raises(Exception, match="not a ZIP"):
+        archive_list(files).collect()
+    trunc = spark.createDataFrame(
+        [(1, zbuf.getvalue()[:-10])], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="ZIP"):
+        archive_list(trunc, on_unsupported="null").collect()
+    # bomb bound: member larger than max_bytes
+    with pytest.raises(Exception, match="max_bytes"):
+        archive_extract_text(
+            spark.createDataFrame(
+                [(1, zbuf.getvalue())], "file_id long, payload binary"
+            ),
+            max_bytes=10,
+        ).collect()
