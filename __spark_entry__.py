@@ -3557,6 +3557,49 @@ def w_archive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive_extract_text(files)
 
 
+def m_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis/Opus probe under the oracle gate: codec rotates by
+    doc_id%2 (Vorbis ident header / OpusHead with a pre-skip that
+    the 48 kHz granule arithmetic must subtract), everything
+    analytic in doc_id."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import ogg_build, ogg_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = [8000, 22050, 44100, 48000]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                secs = d % 9 + 1
+                if d % 2 == 0:
+                    sr = rates[d % 4]
+                    payloads.append(
+                        ogg_build("vorbis", d % 2 + 1, sr, sr * secs)
+                    )
+                else:
+                    payloads.append(
+                        ogg_build(
+                            "opus", d % 2 + 1, 16000,
+                            48000 * secs + 312, preskip=312,
+                        )
+                    )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _fan(docs.select("doc_id")).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return ogg_probe(media).select(
+        "media_id", "format", "codec", "n_channels", "sample_rate",
+        "duration_ms",
+    )
+
+
 def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt filtering under the oracle gate: 10 synthetic hosts
     share a robots body with three agent groups (a 'bot' group, the
@@ -6026,6 +6069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_probe": m_media_probe,
         "w_archive_list": w_archive_list,
         "w_archive_extract": w_archive_extract,
+        "m_ogg_probe": m_ogg_probe,
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
@@ -7177,6 +7221,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Second ' || CAST(doc_id % 10 AS VARCHAR)
                    END AS text
             FROM documents, two
+        """,
+        # ANALYTIC Ogg replay (codec rotation, opus pre-skip folded
+        # into the granule so duration stays (d%9+1) seconds)
+        "m_ogg_probe": """
+            SELECT doc_id AS media_id,
+                   'OGG' AS format,
+                   CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                        ELSE 'opus' END AS codec,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN
+                        CASE CAST(doc_id % 4 AS INTEGER)
+                             WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                             WHEN 2 THEN 44100 ELSE 48000 END
+                        ELSE 16000 END AS INTEGER) AS sample_rate,
+                   CAST((doc_id % 9 + 1) * 1000 AS BIGINT)
+                       AS duration_ms
+            FROM documents
         """,
         # ANALYTIC archive manifest: member order/names/sizes are
         # pure functions of (doc_id, strlen(text))

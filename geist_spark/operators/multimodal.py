@@ -1816,6 +1816,152 @@ def _run_probe(
     return media.mapInPandas(run, schema)
 
 
+OGG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def _ogg_page(b: bytes, pos: int) -> tuple:
+    """Parse one Ogg page header at pos: returns (granule, htype,
+    payload_start, payload_len, page_end) or raises ValueError."""
+    import struct
+
+    if b[pos : pos + 4] != b"OggS" or pos + 27 > len(b):
+        raise ValueError("malformed Ogg: page capture pattern")
+    if b[pos + 4] != 0:
+        raise ValueError(f"malformed Ogg: stream version {b[pos + 4]}")
+    htype = b[pos + 5]
+    (granule,) = struct.unpack_from("<q", b, pos + 6)
+    nsegs = b[pos + 26]
+    seg_end = pos + 27 + nsegs
+    if seg_end > len(b):
+        raise ValueError("truncated Ogg segment table")
+    paylen = sum(b[pos + 27 : seg_end])
+    if seg_end + paylen > len(b):
+        raise ValueError("truncated Ogg page payload")
+    return granule, htype, seg_end, paylen, seg_end + paylen
+
+
+def _ogg_parse(b: bytes) -> dict:
+    """Ogg container probe WITHOUT codecs: codec identification from
+    the BOS packet (Vorbis ident header / OpusHead), channels and
+    rate from its fixed fields, duration from the LAST page's
+    granule position (PCM sample count; Opus granules run at 48 kHz
+    less pre-skip). Page CRCs are NOT validated — this is a probe,
+    not a demuxer. Vorbis and Opus only; other codecs-in-Ogg
+    (Theora, Speex, FLAC) are typed capability limits."""
+    import struct
+
+    if b[:4] != b"OggS":
+        raise NotImplementedError("not an Ogg payload")
+    _g, htype, ps, plen, _end = _ogg_page(b, 0)
+    if not htype & 0x02:
+        raise ValueError("malformed Ogg: first page is not BOS")
+    pkt = b[ps : ps + plen]
+    out = {
+        "codec": None, "n_channels": None, "sample_rate": None,
+        "duration_ms": None,
+    }
+    preskip = 0
+    if pkt[:7] == b"\x01vorbis":
+        if len(pkt) < 16:
+            raise ValueError("malformed Ogg: short Vorbis ident header")
+        out["codec"] = "vorbis"
+        out["n_channels"] = pkt[11]
+        (out["sample_rate"],) = struct.unpack_from("<I", pkt, 12)
+    elif pkt[:8] == b"OpusHead":
+        if len(pkt) < 16:
+            raise ValueError("malformed Ogg: short OpusHead")
+        out["codec"] = "opus"
+        out["n_channels"] = pkt[9]
+        (preskip,) = struct.unpack_from("<H", pkt, 10)
+        (out["sample_rate"],) = struct.unpack_from("<I", pkt, 12)
+    else:
+        raise NotImplementedError(
+            "Ogg codec unsupported (Vorbis/Opus ident packets only)"
+        )
+    # last-page granule: scan candidate "OggS" positions from the
+    # tail (the pattern can occur inside payload bytes — validate)
+    pos = len(b)
+    for _ in range(16):
+        pos = b.rfind(b"OggS", 0, pos)
+        if pos < 0:
+            break
+        try:
+            granule, _h, _p, _l, end = _ogg_page(b, pos)
+        except ValueError:
+            continue
+        if end == len(b) and granule >= 0:
+            clock = 48000 if out["codec"] == "opus" else out["sample_rate"]
+            n = max(granule - (preskip if out["codec"] == "opus" else 0), 0)
+            if clock:
+                out["duration_ms"] = n * 1000 // clock
+            break
+    return out
+
+
+def ogg_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Ogg Vorbis/Opus metadata probe — the last major audio
+    container in the family (WAV/FLAC/MP3 covered): codec, channels,
+    rate, duration from BOS ident fields + the final page's granule
+    position. Same contract as the other probes."""
+    return _run_probe(
+        media, _ogg_parse, OGG_SCHEMA, "OGG",
+        ("codec", "n_channels", "sample_rate", "duration_ms"),
+        on_unsupported,
+    )
+
+
+def ogg_build(
+    codec: str,
+    channels: int,
+    rate: int,
+    granule: int,
+    preskip: int = 0,
+) -> bytes:
+    """Synthetic-fixture Ogg builder (tests + gate — NOT a public
+    operator): BOS page with the ident packet + an EOS data page
+    carrying the final granule. CRCs are zeroed (the probe does not
+    validate them)."""
+    import struct
+
+    def page(htype: int, gran: int, payload: bytes, seq: int) -> bytes:
+        nsegs = len(payload) // 255 + 1
+        segs = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        return (
+            b"OggS\x00" + bytes([htype])
+            + struct.pack("<q", gran)
+            + struct.pack("<I", 7777)       # serial
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"           # crc (not validated)
+            + bytes([nsegs]) + segs + payload
+        )
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0)
+            + bytes([channels]) + struct.pack("<I", rate)
+            + struct.pack("<iii", -1, 128000, -1) + b"\xb8\x01"
+        )
+    else:
+        ident = (
+            b"OpusHead\x01" + bytes([channels])
+            + struct.pack("<H", preskip) + struct.pack("<I", rate)
+            + struct.pack("<hB", 0, 0)
+        )
+    return (
+        page(0x02, 0, ident, 0)
+        + page(0x04, granule, b"\xffdata" * 3, 1)
+    )
+
+
 MEDIA_PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1977,6 +2123,14 @@ def _probe_one(b: bytes) -> dict:
         )
     elif b[:3] == b"ID3":
         out.update(format="MP3", kind="audio")
+    elif b[:4] == b"OggS":
+        info = _ogg_parse(b)
+        out.update(
+            format="OGG", kind="audio",
+            sample_rate=info["sample_rate"],
+            n_channels=info["n_channels"],
+            duration_ms=info["duration_ms"],
+        )
     elif len(b) >= 12 and b[4:8] == b"ftyp":
         info = _mp4_parse(b)
         out.update(

@@ -1795,8 +1795,11 @@ def test_media_probe(spark):
         (7, gif_encode_rgb(2, 2, bytes(12))),
         (8, tiff_encode_rgb(3, 4, bytes(36))),
         (9, b"P5 7 9 255\n" + bytes(63)),
-        (10, b"OggS\x00\x02unknown-codec"),
+        (10, b"MThd\x00\x00\x00\x06 midi-ish"),  # unknown magic
         (11, None),
+        (12, __import__(
+            "geist_spark.operators.multimodal", fromlist=["ogg_build"]
+        ).ogg_build("vorbis", 2, 44100, 44100 * 7)),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r["media_id"]: r for r in
@@ -1819,9 +1822,42 @@ def test_media_probe(spark):
     assert (out[9]["format"], out[9]["width"], out[9]["height"]) == (
         "P5", 7, 9)
     assert out[10]["format"] is None and out[11]["format"] is None
+    assert (out[12]["format"], out[12]["kind"], out[12]["duration_ms"],
+            out[12]["n_channels"]) == ("OGG", "audio", 7000, 2)
     bad = spark.createDataFrame(
         [(1, png_encode_rgb(5, 3, bytes(45))[:20])],
         "media_id long, payload binary",
     )
     with pytest.raises(Exception, match="PNG"):
         media_probe(bad, on_unsupported="null").collect()
+
+
+def test_ogg_probe(spark):
+    """Vorbis and Opus ident parsing, duration from the final page's
+    granule (Opus at the 48 kHz clock minus pre-skip), payload-
+    embedded 'OggS' decoys skipped when locating the last page;
+    foreign codecs-in-Ogg are capability limits; truncation
+    raises."""
+    import pytest
+
+    from geist_spark.operators.multimodal import ogg_build, ogg_probe
+
+    v = ogg_build("vorbis", 2, 44100, 44100 * 7)
+    o = ogg_build("opus", 1, 16000, 48000 * 3 + 312, preskip=312)
+    media = spark.createDataFrame(
+        [(1, v), (2, o), (3, b"RIFFxxxxWAVE....")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           ogg_probe(media, on_unsupported="null").collect()}
+    assert (out[1]["codec"], out[1]["n_channels"],
+            out[1]["sample_rate"], out[1]["duration_ms"]) == (
+        "vorbis", 2, 44100, 7000)
+    assert (out[2]["codec"], out[2]["sample_rate"],
+            out[2]["duration_ms"]) == ("opus", 16000, 3000)
+    assert out[3]["format"] is None
+    bad = spark.createDataFrame(
+        [(1, v[:20])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Ogg"):
+        ogg_probe(bad, on_unsupported="null").collect()

@@ -164,6 +164,7 @@ MIP_ALLOWED = {
     "m_media_probe": 2,      # mixed-format synth + magic dispatch
     "w_archive_list": 2,     # stdlib-archive synth + member walk
     "w_archive_extract": 2,  # stdlib-archive synth + bounded inflate
+    "m_ogg_probe": 2,        # page synth + page walk
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
