@@ -1346,6 +1346,10 @@ def _exif_parse(b: bytes) -> dict | None:
             e = ">"
         else:
             raise ValueError("malformed Exif: bad TIFF header")
+        if len(t) < 8:
+            # valid II*/MM* magic but the 4-byte IFD-offset field is
+            # truncated — malformed (ValueError), not a capability limit
+            raise ValueError("malformed Exif: truncated TIFF header")
         (ifd_off,) = struct.unpack_from(e + "I", t, 4)
         if ifd_off + 2 > len(t):
             raise ValueError("malformed Exif: IFD offset past end")
@@ -2715,6 +2719,11 @@ def _id3_parse(b: bytes) -> dict:
         "version": ver, "title": None, "artist": None, "album": None,
         "date": None, "has_image": False, "tag_size": 10 + size,
     }
+    if ver == 4 and flags & 0x10:
+        # ID3v2.4 footer flag: tag occupies header + size + 10-byte
+        # footer ("3DI" block); without this, strip leaves the footer
+        # at the head of the audio stream.
+        out["tag_size"] += 10
     pos = 10
     if flags & 0x40:  # extended header: skip it
         if ver == 4:
@@ -2776,6 +2785,7 @@ def id3v2_build(
     version: int = 4,
     apic: bool = False,
     encodings: tuple = (3, 3, 3, 3),
+    footer: bool = False,
 ) -> bytes:
     """Synthetic-fixture ID3v2 tag builder (tests + the m_id3_extract
     gate — NOT a public operator)."""
@@ -2811,10 +2821,15 @@ def id3v2_build(
             b"APIC", b"\x00image/png\x00\x03\x00" + b"\x89PNGfake"
         )
     sz = len(frames)
-    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
-        [(sz >> s) & 0x7F for s in (21, 14, 7, 0)]
-    )
-    return hdr + frames
+    flags = 0x10 if (footer and version == 4) else 0
+    size_ss = bytes([(sz >> s) & 0x7F for s in (21, 14, 7, 0)])
+    hdr = b"ID3" + bytes([version, 0, flags]) + size_ss
+    out = hdr + frames
+    if footer and version == 4:
+        # v2.4 footer: header copy with reversed id, appended after
+        # the frames; tag then occupies 10 + size + 10 bytes
+        out += b"3DI" + bytes([version, 0, flags]) + size_ss
+    return out
 
 
 RIFF_INFO_SCHEMA = T.StructType(

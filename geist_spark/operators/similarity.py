@@ -657,8 +657,14 @@ def hamming_topk(
     c = fan_out(bits).select(
         F.col("vec_id").alias("neighbor_id"), F.col("bits").alias("c_bits")
     )
-    pairs = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("neighbor_id")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # heterogeneous dimensions: zip_with pads the shorter bits
+        # array with NULL -> NULL distance; an ascending sort would
+        # rank such garbage pairs FIRST, so drop them outright
+        .filter(F.size("q_bits") == F.size("c_bits"))
     )
     dist = F.aggregate(
         F.zip_with(
@@ -670,7 +676,7 @@ def hamming_topk(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc()
+        F.col("hamming").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         pairs.select("query_id", "neighbor_id", dist.alias("hamming"))

@@ -2580,3 +2580,17 @@ def test_binary_quantize_and_hamming_topk(spark):
         assert got[(qid, 2)] == (ds[1][1], ds[1][0])
     # q0 ties: ids 3 (dist 0) then 1/4 (dist 1) -> id 1 at rank 2
     assert got[(0, 1)] == (3, 0) and got[(0, 2)] == (1, 1)
+
+    # heterogeneous dimensions: a 64-dim vector's zip_with against
+    # 4-dim queries pads with NULL -> NULL distance; such pairs must
+    # never outrank real neighbors (they are dropped outright)
+    df3 = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()] + [(9, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    got3 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in hamming_topk(df3, query_ids=[0], k=5).collect()
+    }
+    assert 9 not in got3.values()
+    assert got3[(0, 1)] == 3  # real nearest still rank 1

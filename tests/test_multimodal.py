@@ -1408,6 +1408,20 @@ def test_exif_extract_and_strip_metadata(spark):
     with pytest.raises(ValueError, match="on_unsupported"):
         strip_metadata(media, on_unsupported="bogus")
 
+    # valid II*\0 magic but TIFF body < 8 bytes (IFD-offset field
+    # truncated): must raise the documented MALFORMED ValueError,
+    # not a bare struct.error
+    import struct as _struct
+
+    tiff_trunc = b"Exif\x00\x00" + b"II*\x00\x99\x99"
+    seg = b"\xff\xe1" + _struct.pack(">H", len(tiff_trunc) + 2) + tiff_trunc
+    trunc = base[:2] + seg + base[2:]
+    tm = spark.createDataFrame(
+        [(1, trunc)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="malformed Exif: truncated TIFF"):
+        exif_extract(tm, on_unsupported="null").collect()
+
 
 def test_riff_info_extract_and_strip(spark):
     """RIFF LIST/INFO parse (NUL-terminated values, word padding,
@@ -1643,6 +1657,18 @@ def test_id3_extract_and_strip(spark):
     )
     with pytest.raises(Exception, match="truncated ID3"):
         id3_extract(bad, on_unsupported="null").collect()
+
+    # v2.4 footer flag (0x10): tag occupies 10 + size + 10 bytes, so
+    # strip must cut the trailing "3DI" footer too
+    ftag = id3v2_build("F", "G", "H", "2021", version=4, footer=True)
+    assert ftag[5] & 0x10 and ftag.endswith(b"3DI" + ftag[3:10])
+    fmedia = spark.createDataFrame(
+        [(1, ftag + audio)], "media_id long, payload binary"
+    )
+    frow = id3_extract(fmedia, on_unsupported="null").collect()[0]
+    assert (frow["title"], frow["date"]) == ("F", "2021")
+    fst = strip_metadata(fmedia, on_unsupported="keep").collect()[0]
+    assert bytes(fst["payload"]) == audio  # no '3DI...' block left
 
 
 def test_webp_and_flac_probes(spark):
