@@ -3746,8 +3746,83 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return warc_parse(files).select(
         "file_id", "rec_idx", "warc_type", "target_uri", "content_length",
-        "http_status", F.md5("body").alias("body_md5"), "body_len",
+        "http_status", "http_content_type",
+        F.md5("body").alias("body_md5"), "body_len",
     )
+
+
+def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware crawl-text decode under the oracle gate: each doc
+    is encoded into one of 8 legacy-web shapes picked by doc_id % 8 —
+    utf-16-le BOM, utf-8 BOM, HTTP-header cp1251, header iso-8859-1
+    (the WHATWG remap to windows-1252 decodes 0x93/0x94 smart
+    quotes), meta shift_jis, meta http-equiv gb2312 (remap to gbk),
+    undeclared clean utf-8, and an undeclared cp1252 byte run with
+    one unmappable hole (0x81 -> U+FFFD, n_replacements=1) — then fed
+    through web.decode_text. The oracle does NO decoding: every
+    variant's expected text is doc text || a literal suffix (the docs
+    corpus is ASCII by construction, so the fixture encode is exact),
+    plus literal charset/source columns. A BOM-order, label-remap,
+    sniff-window, utf-8-probe, or replacement-count bug
+    hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.web import decode_text
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            bodies, ctypes = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                v = did % 8
+                if v == 0:
+                    bodies.append(
+                        b"\xff\xfe" + (t + " Ω bom").encode("utf-16-le")
+                    )
+                    ctypes.append(None)
+                elif v == 1:
+                    bodies.append(
+                        b"\xef\xbb\xbf" + (t + " ✓").encode("utf-8")
+                    )
+                    ctypes.append(None)
+                elif v == 2:
+                    bodies.append((t + " Привет").encode("cp1251"))
+                    ctypes.append("text/html; charset=windows-1251")
+                elif v == 3:
+                    bodies.append(t.encode("ascii") + b" \x93q\x94")
+                    ctypes.append("text/plain; charset=ISO-8859-1")
+                elif v == 4:
+                    bodies.append(
+                        ('<meta charset="shift_jis">' + t
+                         + " こんにちは").encode("shift_jis")
+                    )
+                    ctypes.append(None)
+                elif v == 5:
+                    bodies.append(
+                        ('<meta http-equiv="Content-Type" content='
+                         '"text/html; charset=gb2312">' + t
+                         + " 你好").encode("gbk")
+                    )
+                    ctypes.append(None)
+                elif v == 6:
+                    bodies.append((t + " café ☕").encode("utf-8"))
+                    ctypes.append(None)
+                else:
+                    bodies.append(t.encode("ascii") + b" caf\xe9\x81")
+                    ctypes.append(None)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "body": bodies,
+                    "content_type": ctypes,
+                }
+            )
+
+    recs = _fan(docs.select("doc_id", "text")).mapInPandas(
+        synth, "doc_id long, body binary, content_type string"
+    )
+    return decode_text(recs, content_type_col="content_type")
 
 
 def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6079,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
+        "w_decode_text": w_decode_text,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
         "m_decode_tiff": m_decode_tiff,
@@ -7436,6 +7512,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS BIGINT) AS content_length,
                    CAST(CASE r WHEN 0 THEN NULL ELSE 200 END AS INTEGER)
                        AS http_status,
+                   CASE r WHEN 0 THEN NULL ELSE 'text/plain' END
+                       AS http_content_type,
                    CASE r
                         WHEN 0 THEN md5('GET /doc/'
                             || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
@@ -7448,6 +7526,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE strlen(text)
                    END AS BIGINT) AS body_len
             FROM documents, two
+        """,
+        # ANALYTIC replay of the charset decode: the oracle never
+        # touches bytes — the docs corpus is ASCII by construction,
+        # so each variant's decoded text is doc text || a UTF-8
+        # literal suffix and charset/source/n_replacements are pure
+        # functions of doc_id % 8
+        "w_decode_text": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN text || ' Ω bom'
+                     WHEN 1 THEN text || ' ✓'
+                     WHEN 2 THEN text || ' Привет'
+                     WHEN 3 THEN text || ' ' || chr(8220) || 'q'
+                                      || chr(8221)
+                     WHEN 4 THEN '<meta charset="shift_jis">' || text
+                                      || ' こんにちは'
+                     WHEN 5 THEN '<meta http-equiv="Content-Type" '
+                                 || 'content="text/html; '
+                                 || 'charset=gb2312">' || text
+                                 || ' 你好'
+                     WHEN 6 THEN text || ' café ☕'
+                     ELSE text || ' café' || chr(65533)
+                   END AS text,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'utf-16-le'
+                     WHEN 1 THEN 'utf-8'
+                     WHEN 2 THEN 'windows-1251'
+                     WHEN 3 THEN 'windows-1252'
+                     WHEN 4 THEN 'shift_jis'
+                     WHEN 5 THEN 'gbk'
+                     WHEN 6 THEN 'utf-8'
+                     ELSE 'windows-1252'
+                   END AS charset,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'bom'
+                     WHEN 1 THEN 'bom'
+                     WHEN 2 THEN 'header'
+                     WHEN 3 THEN 'header'
+                     WHEN 4 THEN 'meta'
+                     WHEN 5 THEN 'meta'
+                     WHEN 6 THEN 'default'
+                     ELSE 'fallback'
+                   END AS charset_source,
+                   CAST(CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_replacements
+            FROM documents
         """,
         # ANALYTIC replay of the HTML extraction: the oracle never
         # parses HTML — the template makes the expected output a pure

@@ -252,7 +252,7 @@ def html_extract(
 WARC_SCHEMA_DDL = (
     "file_id long, rec_idx int, warc_type string, target_uri string, "
     "warc_date string, content_length long, http_status int, "
-    "body binary, body_len long"
+    "http_content_type string, body binary, body_len long"
 )
 
 
@@ -367,7 +367,7 @@ def warc_parse(
         for pdf in batches:
             out = {c: [] for c in cols}
 
-            def emit(fid, idx, wtype, uri, date, clen, status, body):
+            def emit(fid, idx, wtype, uri, date, clen, status, ctype, body):
                 out["file_id"].append(fid)
                 out["rec_idx"].append(idx)
                 out["warc_type"].append(wtype)
@@ -375,12 +375,13 @@ def warc_parse(
                 out["warc_date"].append(date)
                 out["content_length"].append(clen)
                 out["http_status"].append(status)
+                out["http_content_type"].append(ctype)
                 out["body"].append(body)
                 out["body_len"].append(len(body) if body is not None else None)
 
             for fid, payload in zip(pdf["file_id"], pdf["payload"]):
                 if payload is None:
-                    emit(fid, None, None, None, None, None, None, None)
+                    emit(fid, None, None, None, None, None, None, None, None)
                     continue
                 b = bytes(payload)
                 if b[:5] != b"WARC/" and b[:2] != b"\x1f\x8b":
@@ -389,10 +390,10 @@ def warc_parse(
                             f"file_id={fid}: payload is neither WARC nor "
                             "gzip (ARC / other archive formats unsupported)"
                         )
-                    emit(fid, None, None, None, None, None, None, None)
+                    emit(fid, None, None, None, None, None, None, None, None)
                     continue
                 for idx, headers, block in _warc_records(b, max_bytes):
-                    status, body = None, block
+                    status, ctype, body = None, None, block
                     wtype = headers.get("warc-type")
                     if (
                         wtype in ("response", "revisit")
@@ -400,21 +401,232 @@ def warc_parse(
                     ):
                         split = block.find(b"\r\n\r\n")
                         head_end = split if split >= 0 else len(block)
-                        line = block[:head_end].split(b"\r\n", 1)[0]
-                        parts = line.split(b" ")
+                        hlines = block[:head_end].split(b"\r\n")
+                        parts = hlines[0].split(b" ")
                         if len(parts) >= 2 and parts[1].isdigit():
                             status = int(parts[1])
+                        for hl in hlines[1:]:
+                            if hl[:13].lower() == b"content-type:":
+                                # charset param feeds decode_text's
+                                # header tier downstream
+                                ctype = hl[13:].strip().decode(
+                                    "utf-8", errors="replace"
+                                )
+                                break
                         body = block[split + 4 :] if split >= 0 else b""
                     emit(
                         fid, idx, wtype,
                         headers.get("warc-target-uri"),
                         headers.get("warc-date"),
                         int(headers["content-length"]),
-                        status, body,
+                        status, ctype, body,
                     )
             yield pd.DataFrame(out)
 
     return files.mapInPandas(run, WARC_SCHEMA_DDL)
+
+
+# WHATWG Encoding Standard label remaps (the subset real crawls hit):
+# browsers decode iso-8859-1/latin1/ascii-labelled pages as
+# windows-1252 and gb2312 as GBK; an engine that decodes them
+# literally mojibakes the 0x80-0x9F smart-quote range on a huge
+# fraction of legacy pages.
+_WHATWG_CHARSET_REMAP = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "l1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-9": "windows-1254",
+    "cp1251": "windows-1251",
+    "x-cp1251": "windows-1251",
+    "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "csgb2312": "gbk",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+}
+# labels the WHATWG standard forbids or that have no byte-preserving
+# text decode: typed capability limits, never silent garbage
+_CHARSET_DENY = frozenset({"utf-7", "x-user-defined", "hz-gb-2312",
+                           "replacement", "csiso2022kr"})
+
+# BOM sniff table — longest first (utf-32-le's FF FE 00 00 prefixes
+# utf-16-le's FF FE); a BOM outranks every declared charset (WHATWG)
+_BOMS = (
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xfe\xff", "utf-16-be"),
+    (b"\xff\xfe", "utf-16-le"),
+)
+
+_RE_CT_CHARSET = r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)"""
+
+
+def _charset_resolve(label: str) -> str:
+    """WHATWG-normalize a charset label to the Python codec used for
+    the decode. Unknown labels, forbidden labels, and non-text codecs
+    (base64/hex/zlib live in the same registry) are CAPABILITY
+    limits."""
+    import codecs
+
+    lab = label.strip().strip("\"'").lower()
+    lab = _WHATWG_CHARSET_REMAP.get(lab, lab)
+    if lab in _CHARSET_DENY:
+        raise NotImplementedError(
+            f"charset {label!r} unsupported (WHATWG-forbidden or "
+            "non-byte-preserving)"
+        )
+    try:
+        info = codecs.lookup(lab)
+    except LookupError:
+        raise NotImplementedError(
+            f"unknown charset label {label!r}"
+        ) from None
+    if not info._is_text_encoding:
+        raise NotImplementedError(
+            f"charset label {label!r} names a non-text codec"
+        )
+    return lab
+
+
+def decode_text(
+    records: DataFrame,
+    body_col: str = "body",
+    id_col: str = "doc_id",
+    content_type_col: str | None = None,
+    on_unsupported: str = "error",
+    sniff_bytes: int = 1024,
+) -> DataFrame:
+    """Charset-aware bytes -> text for crawl bodies: the bridge
+    between warc_parse (bytes + http_content_type) and html_extract
+    (string). Detection precedence is the WHATWG Encoding sniff:
+
+      1. BOM (utf-32/16/8, stripped from the output),
+      2. `charset=` parameter of the HTTP Content-Type header
+         (`content_type_col`, e.g. warc_parse's http_content_type),
+      3. `<meta charset=..>` / `<meta http-equiv .. charset=..>`
+         inside the first `sniff_bytes` bytes (browser prescan
+         window, default 1024),
+      4. strict UTF-8 probe -> charset='utf-8', source='default',
+      5. windows-1252 fallback (the WHATWG legacy default),
+         source='fallback'.
+
+    Labels are WHATWG-normalized (iso-8859-1/latin1/ascii ->
+    windows-1252, gb2312 -> gbk) then decoded via stdlib codecs with
+    errors='replace' — n_replacements counts U+FFFD in the output so
+    a quality filter can drop mojibake rows. Dialect notes: Python's
+    cp1252 leaves 5 holes (0x81 0x8D 0x8F 0x90 0x9D) that WHATWG maps
+    to C1 controls — they surface as U+FFFD here and count as
+    replacements. Unknown/forbidden charset labels are CAPABILITY
+    limits (raise naming the id / NULL row under
+    on_unsupported='null'); undecodable BYTES under a known charset
+    are data, not errors — they become U+FFFD and a nonzero
+    n_replacements, the browser behavior.
+
+    Scale: one Arrow-batched mapInPandas stage, zero shuffle,
+    partitioning preserved — chains onto warc_parse's output in the
+    same stage boundary at 100 TB. Returns (id, text, charset,
+    charset_source, n_replacements).
+    """
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if on_unsupported not in ("error", "null"):
+        raise ValueError("on_unsupported must be 'error' or 'null'")
+    if sniff_bytes <= 0:
+        raise ValueError("sniff_bytes must be positive")
+
+    ct_re = re.compile(_RE_CT_CHARSET)
+    # the prescan assumes an ASCII-compatible stream (WHATWG does
+    # too); bounded attr scan, no backtracking blowup
+    meta_re = re.compile(
+        rb"""(?is)<meta[^>]{0,512}?charset\s*=\s*["']?\s*"""
+        rb"""([A-Za-z0-9._:\-]+)"""
+    )
+    out_ddl = (
+        f"{id_col} long, text string, charset string, "
+        "charset_source string, n_replacements int"
+    )
+
+    def decode_one(b: bytes, ctype) -> tuple:
+        for bom, name in _BOMS:
+            if b.startswith(bom):
+                return (
+                    b[len(bom):].decode(name, errors="replace"),
+                    name, "bom",
+                )
+        if ctype:
+            m = ct_re.search(ctype)
+            if m:
+                cs = _charset_resolve(m.group(1))
+                return b.decode(cs, errors="replace"), cs, "header"
+        m = meta_re.search(b[:sniff_bytes])
+        if m:
+            cs = _charset_resolve(m.group(1).decode("ascii", "replace"))
+            return b.decode(cs, errors="replace"), cs, "meta"
+        try:
+            return b.decode("utf-8"), "utf-8", "default"
+        except UnicodeDecodeError:
+            return (
+                b.decode("windows-1252", errors="replace"),
+                "windows-1252", "fallback",
+            )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, texts, charsets, sources, repls = [], [], [], [], []
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for rid, body, ctype in zip(pdf[id_col], pdf[body_col], ctypes):
+                if body is None:
+                    ids.append(rid)
+                    texts.append(None)
+                    charsets.append(None)
+                    sources.append(None)
+                    repls.append(None)
+                    continue
+                try:
+                    text, cs, src = decode_one(bytes(body), ctype)
+                except NotImplementedError:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"{id_col}={rid}: unsupported charset "
+                            "declaration"
+                        ) from None
+                    ids.append(rid)
+                    texts.append(None)
+                    charsets.append(None)
+                    sources.append(None)
+                    repls.append(None)
+                    continue
+                ids.append(rid)
+                texts.append(text)
+                charsets.append(cs)
+                sources.append(src)
+                repls.append(text.count("\ufffd"))
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "text": texts, "charset": charsets,
+                    "charset_source": sources, "n_replacements": repls,
+                }
+            )
+
+    return records.mapInPandas(run, out_ddl)
 
 
 def robots_rules(

@@ -468,7 +468,9 @@ def test_warc_parse_records_and_gzip(spark):
 
     from geist_spark.operators.web import warc_parse
 
-    http = b"HTTP/1.1 404 Not Found\r\nServer: x\r\n\r\n<html>gone</html>"
+    http = (b"HTTP/1.1 404 Not Found\r\nServer: x\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n\r\n"
+            b"<html>gone</html>")
     recs = [
         ("warcinfo", "meta://x", b"software: test"),
         ("response", "http://a.com/p", http),
@@ -490,11 +492,13 @@ def test_warc_parse_records_and_gzip(spark):
         r = by[(fid, 1)]
         assert r["warc_type"] == "response"
         assert r["http_status"] == 404
+        assert r["http_content_type"] == "text/html; charset=UTF-8"
         assert bytes(r["body"]) == b"<html>gone</html>"
         assert r["content_length"] == len(http)
         assert r["target_uri"] == "http://a.com/p"
         # request blocks pass through whole (no HTTP split)
         assert bytes(by[(fid, 2)]["body"]).startswith(b"GET /p")
+        assert by[(fid, 2)]["http_content_type"] is None
 
 
 def test_warc_parse_errors(spark):
@@ -651,3 +655,113 @@ def test_warc_gzip_bomb_bounded(spark):
     df = spark.createDataFrame([(1, bomb)], "file_id long, payload binary")
     with pytest.raises(Exception, match="max_bytes=1024"):
         warc_parse(df, max_bytes=1024).collect()
+
+
+def test_decode_text_detection_tiers(spark):
+    """Charset sniff precedence (BOM > header > meta > utf-8 probe >
+    cp1252 fallback), WHATWG label remaps (iso-8859-1 -> cp1252,
+    gb2312 -> gbk), BOM stripping, and n_replacements counting the
+    cp1252 holes."""
+    from geist_spark.operators.web import decode_text
+
+    rows = [
+        # BOM beats a contradicting header (WHATWG)
+        (0, b"\xff\xfe" + "hi Ω".encode("utf-16-le"),
+         "text/html; charset=shift_jis"),
+        (1, b"\xef\xbb\xbf" + "ok ✓".encode(), None),
+        (2, "привет".encode("cp1251"), "text/html; charset=windows-1251"),
+        # iso-8859-1 label remaps to cp1252: 0x93/0x94 are smart quotes
+        (3, b"q \x93x\x94", "text/plain; charset=ISO-8859-1"),
+        # header beats meta
+        (4, '<meta charset="utf-8">привет'.encode("cp1251"),
+         "text/html; charset=cp1251"),
+        (5, ('<meta charset="shift_jis">' + "こん").encode("shift_jis"),
+         None),
+        (6, ("<meta http-equiv=\"Content-Type\" content=\"text/html; "
+             "charset=gb2312\">你好").encode("gbk"), None),
+        (7, "plain café".encode(), None),          # strict utf-8 OK
+        (8, b"caf\xe9", None),                     # fallback cp1252
+        (9, b"hole \x81 here", None),              # cp1252 hole -> U+FFFD
+        (10, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, content_type string"
+    )
+    out = {r["doc_id"]: r for r in
+           decode_text(df, content_type_col="content_type").collect()}
+    assert (out[0]["text"], out[0]["charset"], out[0]["charset_source"]) == (
+        "hi Ω", "utf-16-le", "bom")
+    assert (out[1]["text"], out[1]["charset_source"]) == ("ok ✓", "bom")
+    assert (out[2]["text"], out[2]["charset"], out[2]["charset_source"]) == (
+        "привет", "windows-1251", "header")
+    assert (out[3]["text"], out[3]["charset"]) == ("q “x”",
+                                                   "windows-1252")
+    assert (out[4]["text"], out[4]["charset_source"]) == (
+        '<meta charset="utf-8">привет', "header")
+    assert (out[5]["text"], out[5]["charset"], out[5]["charset_source"]) == (
+        '<meta charset="shift_jis">こん', "shift_jis", "meta")
+    assert (out[6]["charset"], out[6]["charset_source"]) == ("gbk", "meta")
+    assert out[6]["text"].endswith("你好")
+    assert (out[7]["text"], out[7]["charset"], out[7]["charset_source"]) == (
+        "plain café", "utf-8", "default")
+    assert (out[8]["text"], out[8]["charset"], out[8]["charset_source"]) == (
+        "café", "windows-1252", "fallback")
+    assert out[9]["n_replacements"] == 1 and "�" in out[9]["text"]
+    assert all(out[i]["n_replacements"] == 0 for i in range(9))
+    assert out[10]["text"] is None and out[10]["charset"] is None
+
+
+def test_decode_text_capability_and_sniff_window(spark):
+    """Unknown / WHATWG-forbidden / non-text charset labels are typed
+    capability limits (named raise or NULL row); a meta tag past the
+    sniff window is ignored (falls to the utf-8 probe)."""
+    import pytest
+
+    from geist_spark.operators.web import decode_text
+
+    for label in ("klingon-8", "utf-7", "base64"):
+        df = spark.createDataFrame(
+            [(1, b"x", f"text/html; charset={label}")],
+            "doc_id long, body binary, content_type string",
+        )
+        with pytest.raises(Exception, match="doc_id=1"):
+            decode_text(df, content_type_col="content_type").collect()
+        row = decode_text(
+            df, content_type_col="content_type", on_unsupported="null"
+        ).collect()[0]
+        assert row["text"] is None and row["charset"] is None
+
+    far = b" " * 2000 + b'<meta charset="cp1251">'
+    df = spark.createDataFrame([(1, far)], "doc_id long, body binary")
+    row = decode_text(df, sniff_bytes=1024).collect()[0]
+    assert (row["charset"], row["charset_source"]) == ("utf-8", "default")
+    row = decode_text(df, sniff_bytes=4096).collect()[0]
+    assert (row["charset"], row["charset_source"]) == ("windows-1251",
+                                                       "meta")
+    with pytest.raises(ValueError, match="on_unsupported"):
+        decode_text(df, on_unsupported="bogus")
+    with pytest.raises(ValueError, match="sniff_bytes"):
+        decode_text(df, sniff_bytes=0)
+
+
+def test_decode_text_chains_on_warc(spark):
+    """End-to-end crawl bridge: warc_parse surfaces the HTTP
+    Content-Type header and decode_text consumes it — a cp1251 page
+    round-trips through the WARC container to its true text."""
+    from geist_spark.operators.web import decode_text, warc_parse
+
+    page = "Русский текст".encode("cp1251")
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=windows-1251\r\n\r\n"
+            + page)
+    df = spark.createDataFrame(
+        [(1, _warc_bytes([("response", "http://a.ru/x", http)]))],
+        "file_id long, payload binary",
+    )
+    recs = warc_parse(df)
+    out = decode_text(
+        recs, id_col="file_id", content_type_col="http_content_type"
+    ).collect()[0]
+    assert out["text"] == "Русский текст"
+    assert out["charset"] == "windows-1251"
+    assert out["charset_source"] == "header"
