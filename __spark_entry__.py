@@ -3825,6 +3825,54 @@ def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_text(recs, content_type_col="content_type")
 
 
+def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction under the oracle gate: each doc becomes a
+    REAL 2-page classic-xref PDF (page 0: 'Doc {id}' + the doc text
+    as a second line; page 1: a WinAnsi 'café fin' line) built by the
+    paired minimal writer, with the writer variant picked by
+    doc_id % 4 — plain streams, FlateDecode, flate+indirect-/Length+
+    /Contents-array, and /Prev-chained two-section xref with TJ-array
+    shows — then parsed by pdf.pdf_extract_text (xref walk, object
+    grammar, bounded inflate, BT/ET assembly). The oracle does NO PDF
+    parsing: expected text is a pure string function of (doc_id,
+    text). An offset, Flate, /Length-resolution, page-tree,
+    string-escape, or TJ bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.pdf import (
+        content_ops,
+        pdf_build,
+        pdf_extract_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                v = did % 4
+                tj = v == 3
+                p0 = content_ops([f"Doc {did}", t], use_tj_array=tj)
+                p1 = content_ops(["café fin"], use_tj_array=tj)
+                kw = (
+                    {} if v == 0
+                    else {"flate": True} if v == 1
+                    else {"flate": True, "indirect_length": True,
+                          "contents_array": True} if v == 2
+                    else {"two_xref_sections": True}
+                )
+                payloads.append(pdf_build([p0, p1], **kw))
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(docs.select("doc_id", "text")).mapInPandas(
+        synth, "file_id long, payload binary"
+    )
+    return pdf_extract_text(files)
+
+
 def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video frame extraction under the oracle gate: a
     2-frame MJPEG AVI per document, each frame a DC-exact baseline
@@ -6155,6 +6203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
         "w_decode_text": w_decode_text,
+        "w_pdf_extract": w_pdf_extract,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
         "m_decode_tiff": m_decode_tiff,
@@ -7525,6 +7574,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 0 THEN 41 + length(CAST(doc_id AS VARCHAR))
                         ELSE strlen(text)
                    END AS BIGINT) AS body_len
+            FROM documents, two
+        """,
+        # ANALYTIC replay of the PDF extraction: the oracle never
+        # parses a byte of PDF — page texts are pure string functions
+        # of (doc_id, text); the writer-variant mix (doc_id % 4) only
+        # changes the CONTAINER, never the expected text
+        "w_pdf_extract": """
+            WITH two AS (SELECT unnest([0, 1]) AS p)
+            SELECT doc_id AS file_id,
+                   CAST(p AS INTEGER) AS page,
+                   CASE p
+                     WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                                 || chr(10) || text
+                     ELSE 'café fin'
+                   END AS text,
+                   CAST(length(CASE p
+                     WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                                 || chr(10) || text
+                     ELSE 'café fin'
+                   END) AS INTEGER) AS n_chars
             FROM documents, two
         """,
         # ANALYTIC replay of the charset decode: the oracle never

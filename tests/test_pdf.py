@@ -1,0 +1,138 @@
+"""PDF text extraction (operators/pdf.py): classic-xref walk,
+FlateDecode, BT/ET text assembly, two-tier error contract — fixtures
+from the paired minimal writer (offsets computed for real, so a
+reader bug can't cancel against a writer bug)."""
+
+import pytest
+
+from geist_spark.operators.pdf import (
+    _pdf_pages,
+    content_ops,
+    pdf_build,
+    pdf_extract_text,
+)
+
+
+def test_round_trip_all_writer_variants():
+    """Every writer branch point parses back to the same page texts:
+    plain vs Flate streams, direct vs indirect /Length, single vs
+    /Prev-chained xref sections, single stream vs /Contents array."""
+    s1 = content_ops(["Hello world", "line two"])
+    s2 = content_ops(["Page 2 café", "naïve"], use_tj_array=True)
+    want = [(0, "Hello world\nline two"), (1, "Page 2 café\nnaïve")]
+    for kw in (
+        dict(),
+        dict(flate=True),
+        dict(indirect_length=True),
+        dict(two_xref_sections=True),
+        dict(contents_array=True),
+        dict(flate=True, indirect_length=True, two_xref_sections=True,
+             contents_array=True),
+    ):
+        got = list(_pdf_pages(pdf_build([s1, s2], **kw), 1 << 20))
+        assert got == want, kw
+
+
+def test_content_stream_token_semantics():
+    """Literal-string escapes (nested parens, backslash, octal), hex
+    strings, the ' next-line show, TJ arrays with kerning numbers,
+    inline-image skip, and the no-leading-blank-line rule."""
+    raw = (rb"BT 10 20 Td (a\(b\)c\\d\101) Tj "
+           b"<48 69> Tj "
+           b"BI /W 2 /H 1 ID \x00\xff\x01 EI "
+           b"(next) ' "
+           b"[(A) 5 (B)] TJ ET")
+    got = list(_pdf_pages(pdf_build([raw]), 1 << 20))
+    assert got == [(0, "a(b)c\\dAHi\nnextAB")]
+
+    # line-continuation backslash + raw CR normalizing to \n
+    raw2 = b"BT (one\\\ntwo) Tj (a\rb) Tj ET"
+    got2 = list(_pdf_pages(pdf_build([raw2]), 1 << 20))
+    assert got2 == [(0, "onetwoa\nb")]
+
+    # empty page: no Contents -> empty text
+    pdf = pdf_build([b"BT ET"])
+    assert list(_pdf_pages(pdf, 1 << 20)) == [(0, "")]
+
+
+def test_capability_tiers():
+    """Encrypted, Type0/CMap font, compressed xref stream, non-Flate
+    filter, predictor, and non-PDF payloads are all TYPED capability
+    limits (NotImplementedError naming the construct)."""
+    s = content_ops(["x"])
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        list(_pdf_pages(pdf_build([s], encrypt=True), 1 << 20))
+    with pytest.raises(NotImplementedError, match="Type0/CMap"):
+        list(_pdf_pages(pdf_build([s], font_subtype="Type0"), 1 << 20))
+    with pytest.raises(NotImplementedError, match="not a PDF"):
+        list(_pdf_pages(b"%XDF-1.4 nope", 1 << 20))
+
+    # xref stream: point startxref at an object header
+    pdf = pdf_build([s])
+    k = pdf.rfind(b"startxref")
+    obj_off = pdf.find(b"1 0 obj")
+    patched = (pdf[:k] + b"startxref\n%d\n%%%%EOF\n" % obj_off)
+    with pytest.raises(NotImplementedError, match="cross-reference"):
+        list(_pdf_pages(patched, 1 << 20))
+
+    # non-Flate filter: rename FlateDecode in place (same byte length
+    # keeps every xref offset valid)
+    fl = pdf_build([s], flate=True)
+    lzw = fl.replace(b"FlateDecode", b"LZWDecodeXY")
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        list(_pdf_pages(lzw, 1 << 20))
+
+
+def test_malformed_tier():
+    """Structural damage always raises ValueError: truncated tail,
+    truncated stream, bad xref entries, dangling refs, oversized
+    inflate (the bomb rule)."""
+    s = content_ops(["hello world, a reasonably long line of text"])
+    pdf = pdf_build([s], flate=True)
+    with pytest.raises(ValueError, match="startxref"):
+        list(_pdf_pages(pdf[: len(pdf) // 2], 1 << 20))
+
+    # corrupt an xref entry's offset digits
+    k = pdf.find(b"xref")
+    bad = bytearray(pdf)
+    entry = pdf.find(b" n \n", k)
+    bad[entry - 16: entry - 6] = b"00000000zz"
+    with pytest.raises(ValueError, match="xref"):
+        list(_pdf_pages(bytes(bad), 1 << 20))
+
+    # bounded inflate: a content stream bigger than max_bytes
+    big = content_ops(["A" * 5000])
+    with pytest.raises(ValueError, match="max_bytes"):
+        list(_pdf_pages(pdf_build([big], flate=True), max_bytes=100))
+
+    # unterminated literal string inside content
+    with pytest.raises(ValueError, match="unterminated"):
+        list(_pdf_pages(pdf_build([b"BT (oops Tj ET"]), 1 << 20))
+
+
+def test_pdf_extract_text_spark_surface(spark):
+    """The operator fans pages out inside one Arrow stage, honors
+    on_unsupported tiers, and skips NULL payloads."""
+    s1 = content_ops(["Doc one"])
+    s2 = content_ops(["p1"])
+    s3 = content_ops(["p2 text", "more"])
+    rows = [
+        (1, pdf_build([s1])),
+        (2, pdf_build([s2, s3], flate=True)),
+        (3, b"not a pdf at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, payload binary")
+    with pytest.raises(Exception, match="file_id=3"):
+        pdf_extract_text(df).collect()
+    out = {(r["file_id"], r["page"]): r for r in
+           pdf_extract_text(df, on_unsupported="null").collect()}
+    assert out[(1, 0)]["text"] == "Doc one"
+    assert out[(2, 0)]["text"] == "p1"
+    assert out[(2, 1)]["text"] == "p2 text\nmore"
+    assert out[(2, 1)]["n_chars"] == len("p2 text\nmore")
+    assert len(out) == 3  # file 3 skipped, file 4 null-skipped
+    with pytest.raises(ValueError, match="on_unsupported"):
+        pdf_extract_text(df, on_unsupported="bogus")
+    with pytest.raises(ValueError, match="max_bytes"):
+        pdf_extract_text(df, max_bytes=0)

@@ -174,6 +174,7 @@ MIP_ALLOWED = {
     "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
     "w_warc_parse": 1,       # record fan-out needs imperative parsing
     "w_decode_text": 2,      # charset-variant synth + codec decode
+    "w_pdf_extract": 2,      # PDF-writer synth + xref walk/extract
     "p_decompress_text": 2,  # gzip synth + bounded inflate
     "m_decode_tiff": 2,      # TIFF synth (IFD build) + decode
     "m_decode_tiff_lzw": 2,  # TIFF synth (LZW/PackBits encode) + decode
@@ -203,7 +204,8 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     # zero above)
     assert all(
         n.startswith("m_")
-        or n in ("w_warc_parse", "w_decode_text", "p_decompress_text",
+        or n in ("w_warc_parse", "w_decode_text", "w_pdf_extract",
+                 "p_decompress_text",
                  "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED
     )
