@@ -3954,13 +3954,21 @@ def m_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT-EXACTLY and the oracle replays the mean luma ARITHMETICALLY
     from the hex digests with no JPEG parsing oracle-side: each level
     v contributes 64 of the 1536 gray pixels, so mean_luma_fx =
-    (1000 * 64 * sum(v)) // 1536 = (125 * sum(v)) // 3. A Huffman-,
-    zigzag-DC-, dequant- or IDCT-scaling bug Spark-side breaks the
-    equality; AC paths, color, subsampling and restart markers are
-    pinned by round-trip tests in tests/test_jpeg.py."""
+    (1000 * 64 * sum(v)) // 1536 = (125 * sum(v)) // 3. Since round 8
+    odd doc_ids encode PROGRESSIVE (SOF2: interleaved DC first +
+    refine, AC band scans with EOB runs, a full successive-
+    approximation ladder) — the DC-exact construction holds in both
+    modes, so the SAME oracle covers both codecs. A Huffman-,
+    zigzag-DC-, dequant-, IDCT-scaling, or progressive-scan bug
+    Spark-side breaks the equality; AC paths, color, subsampling and
+    restart markers are pinned by round-trip + cross-validation
+    tests in tests/test_jpeg.py."""
     import pandas as _pd
 
-    from geist_spark.operators.jpeg import jpeg_encode_baseline
+    from geist_spark.operators.jpeg import (
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
     from geist_spark.operators.multimodal import decode_real
 
     docs = _t(spark, sf_dir, "documents")
@@ -3973,13 +3981,18 @@ def m_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for px in pdf["px"]:
+            for mid, px in zip(pdf["media_id"], pdf["px"]):
                 levels = _np.frombuffer(bytes(px), dtype=_np.uint8)
                 gray = _np.repeat(
                     _np.repeat(levels.reshape(4, 6), 8, axis=0), 8, axis=1
                 )
+                enc = (
+                    jpeg_encode_progressive
+                    if mid % 2
+                    else jpeg_encode_baseline
+                )
                 payloads.append(
-                    jpeg_encode_baseline(48, 32, gray=gray.tobytes(), quant=8)
+                    enc(48, 32, gray=gray.tobytes(), quant=8)
                 )
             yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}

@@ -1,4 +1,5 @@
-"""Baseline JPEG (SOF0) codec with no codec libraries.
+"""Baseline (SOF0) + progressive (SOF2) JPEG codec with no codec
+libraries.
 
 Pure-python entropy decode (canonical Huffman, byte unstuffing,
 restart markers) + numpy everything else (batched 8x8 IDCT as one
@@ -7,7 +8,10 @@ upsampling, JFIF YCbCr->RGB). Built from the public ITU T.81 spec:
 marker segment grammar (B.2), canonical Huffman code construction
 (C.2), DC prediction + EXTEND (F.2.2.1), AC run/size with EOB/ZRL
 (F.2.2.2), zigzag scan (A.3.6, derived algorithmically — diagonals
-r+c, alternating direction), and the orthonormal 2-D DCT (A.3.3).
+r+c, alternating direction), the orthonormal 2-D DCT (A.3.3), and
+the progressive procedures of G.1/G.2 (spectral selection,
+successive approximation, EOB-run coding, AC refinement correction
+bits).
 
 Scale shape: the entropy decode is a per-coefficient Python loop —
 inherent to Huffman's serial bit dependency, same caveat as the GIF
@@ -16,13 +20,22 @@ whole-image numpy. Runs inside the same Arrow-batched mapInPandas
 stage as the other decoders (multimodal._decode_rgb_bytes dispatch):
 zero shuffle, partition-parallel.
 
-Supported: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-one interleaved scan, any sampling factors (chroma upsampled
-nearest), restart intervals. CAPABILITY limits (NotImplementedError):
-progressive (SOF2) and the other SOFn variants, arithmetic coding,
-multi-scan baseline, 4-component (CMYK). MALFORMED data (truncation,
-bad Huffman codes, missing tables, coefficient overrun) raises
-ValueError — the repo-wide two-tier error contract.
+Supported: baseline sequential DCT (SOF0) with one interleaved scan,
+progressive DCT (SOF2) with any standard scan script (interleaved DC
+first/refine, per-component AC bands, successive-approximation
+ladders, EOB runs), 8-bit, 1 or 3 components, any sampling factors
+(chroma upsampled nearest), restart intervals in both modes.
+CAPABILITY limits (NotImplementedError): the other SOFn variants
+(extended/lossless), arithmetic coding, multi-scan baseline,
+4-component (CMYK). MALFORMED data (truncation, bad Huffman codes,
+missing tables, coefficient overrun, bad spectral bands or
+successive-approximation parameters) raises ValueError — the
+repo-wide two-tier error contract. Progressive correctness is pinned
+by cross-validation: jpeg_encode_progressive (built independently
+from G.1) produces the same quantized coefficients as
+jpeg_encode_baseline, so both decodes must agree BIT-EXACTLY on
+every image (tests/test_jpeg.py sweeps gray/RGB/subsampled/Al
+ladders/restart intervals).
 
 The exactness hook for the DuckDB oracle gate: a grayscale JPEG whose
 blocks are constant with quantizer q[0]=8 round-trips BIT-EXACTLY
@@ -178,10 +191,239 @@ def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
     raise ValueError("truncated JPEG: no terminating marker")
 
 
+_PROG_ZERO64 = [0] * 64  # shared all-zero block, NEVER mutated
+
+
+def _frame_layout(frame: dict) -> tuple:
+    """Full-frame block geometry shared by every progressive scan:
+    (hmax, vmax, mcu_cols, mcu_rows, bdims) with bdims the MCU-padded
+    per-component block-grid shapes (T.81 A.2.3 — interleaved scans
+    may index dummy blocks past the component extent)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    if len(comps) == 1:
+        mcu_cols, mcu_rows = -(-w // 8), -(-h // 8)
+        bdims = [(mcu_rows, mcu_cols)]
+    else:
+        mcu_cols = -(-w // (8 * hmax))
+        mcu_rows = -(-h // (8 * vmax))
+        bdims = [(mcu_rows * c["v"], mcu_cols * c["h"]) for c in comps]
+    return hmax, vmax, mcu_cols, mcu_rows, bdims
+
+
+def _prog_decode_scan(
+    b: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    blocks: list,
+    layout: tuple,
+) -> int:
+    """Decode one progressive scan (T.81 G.2) into the persistent
+    per-component coefficient buffers. Four scan kinds: DC first
+    (Ss=0, Ah=0 — interleaved MCU walk, diffs shifted left Al), DC
+    refinement (one bit per block ORed at Al), AC first (single
+    component, band Ss..Se, EOB-run coding), AC refinement (the
+    correction-bit algorithm of G.1.2.3). Returns the offset of the
+    terminating marker's 0xFF. Blocks realize copy-on-write from the
+    shared zero placeholder so untouched regions stay O(1)."""
+    hmax, vmax, mcu_cols, mcu_rows, bdims = layout
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    zz = ZIGZAG
+
+    if not (0 <= ss <= 63 and ss <= se <= 63):
+        raise ValueError(f"malformed JPEG: spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "malformed JPEG: progressive DC scan with Se > 0"
+        )
+    if ss > 0 and len(scan) != 1:
+        raise ValueError(
+            "malformed JPEG: interleaved progressive AC scan"
+        )
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(
+            f"malformed JPEG: successive approximation Ah={ah} Al={al}"
+        )
+
+    # scan walk geometry: MCUs when interleaved, the component's TRUE
+    # block extent when single-component (T.81 A.2.2)
+    if len(scan) > 1:
+        cols, rows = mcu_cols, mcu_rows
+        per_mcu = [(idx[c["id"]], c["h"], c["v"]) for c in scan]
+    else:
+        c = scan[0]
+        ci = idx[c["id"]]
+        if len(comps) == 1:
+            cols, rows = mcu_cols, mcu_rows
+        else:
+            cw = -(-frame["w"] * c["h"] // hmax)
+            chh = -(-frame["h"] * c["v"] // vmax)
+            cols, rows = -(-cw // 8), -(-chh // 8)
+        per_mcu = [(ci, 1, 1)]
+    n_units = cols * rows
+
+    dc_tabs = {}
+    ac_tab = None
+    if ss == 0 and ah == 0:
+        for c in scan:
+            if c["td"] not in huff_dc:
+                raise ValueError("malformed JPEG: missing DC DHT for scan")
+            dc_tabs[idx[c["id"]]] = huff_dc[c["td"]]
+    if ss > 0:
+        if scan[0]["ta"] not in huff_ac:
+            raise ValueError("malformed JPEG: missing AC DHT for scan")
+        ac_tab = huff_ac[scan[0]["ta"]]
+
+    def realize(blist: list, bi: int) -> list:
+        blk = blist[bi]
+        if blk is _PROG_ZERO64:
+            blk = [0] * 64
+            blist[bi] = blk
+        return blk
+
+    segments, end = _split_entropy(b, pos)
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for seg_i, seg_data in enumerate(segments):
+        reader = _BitReader(seg_data)
+        preds = [0] * len(comps)
+        eobrun = 0
+        stop = (
+            min(unit + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while unit < stop:
+            uy, ux = divmod(unit, cols)
+            if ss == 0:
+                for ci, ch, cv in per_mcu:
+                    stride = bdims[ci][1]
+                    blist = blocks[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bi = (uy * cv + by) * stride + ux * ch + bx
+                            if ah == 0:
+                                t = reader.decode_huff(dc_tabs[ci])
+                                if t > 11:
+                                    raise ValueError(
+                                        f"malformed JPEG: DC category {t}"
+                                    )
+                                preds[ci] += _extend(reader.read(t), t)
+                                if preds[ci]:
+                                    realize(blist, bi)[0] = preds[ci] << al
+                                elif blist[bi] is not _PROG_ZERO64:
+                                    blist[bi][0] = 0
+                            else:  # DC refinement: one appended bit
+                                if reader.read(1):
+                                    realize(blist, bi)[0] |= p1
+            else:
+                ci = per_mcu[0][0]
+                blist = blocks[ci]
+                bi = uy * bdims[ci][1] + ux
+                if ah == 0:  # AC first pass (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        blk = None
+                        k = ss
+                        while k <= se:
+                            rs = reader.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r != 15:  # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.read(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "malformed JPEG: AC band overrun"
+                                )
+                            if blk is None:
+                                blk = realize(blist, bi)
+                            blk[zz[k]] = _extend(reader.read(s), s) << al
+                            k += 1
+                else:  # AC refinement (G.1.2.3)
+                    blk = blist[bi]
+
+                    def correct(blk_: list, k_: int) -> None:
+                        c_ = blk_[zz[k_]]
+                        if c_ and reader.read(1) and not (c_ & p1):
+                            blk_[zz[k_]] = c_ + (p1 if c_ >= 0 else m1)
+
+                    if eobrun > 0:
+                        if blk is not _PROG_ZERO64:
+                            for k in range(ss, se + 1):
+                                correct(blk, k)
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = reader.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0 and r != 15:  # EOBn
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
+                                if blk is not _PROG_ZERO64:
+                                    while k <= se:
+                                        correct(blk, k)
+                                        k += 1
+                                eobrun -= 1
+                                break
+                            if s == 0:  # ZRL: skip 16 zero-history
+                                val = 0
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "malformed JPEG: AC refinement "
+                                        f"size {s}"
+                                    )
+                                val = p1 if reader.read(1) else m1
+                            while k <= se:
+                                if blk is not _PROG_ZERO64 and blk[zz[k]]:
+                                    correct(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                if blk is _PROG_ZERO64:
+                                    blk = realize(blist, bi)
+                                blk[zz[k]] = val
+                            k += 1
+            unit += 1
+        if restart_interval and seg_i < len(segments) - 1 and (
+            unit >= n_units
+        ):
+            raise ValueError("malformed JPEG: extra restart segments")
+    if unit < n_units:
+        raise ValueError(
+            f"truncated JPEG: {unit} of {n_units} scan units decoded"
+        )
+    return end
+
+
 def jpeg_decode(b: bytes) -> tuple:
-    """Decode a baseline JPEG. Returns ("JPEG", w, h, channels, rgb)
-    with rgb row-major RGB triples (grayscale normalized to triples,
-    channels reported 1 — the decode_real convention)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG. Returns
+    ("JPEG", w, h, channels, rgb) with rgb row-major RGB triples
+    (grayscale normalized to triples, channels reported 1 — the
+    decode_real convention)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -191,6 +433,9 @@ def jpeg_decode(b: bytes) -> tuple:
     restart_interval = 0
     pos = 2
     scan = None
+    prog_blocks = None  # progressive: per-comp coefficient buffers
+    prog_scans = 0
+    layout = None
     while True:
         if pos + 2 > len(b):
             raise ValueError("truncated JPEG: marker segment cut short")
@@ -206,6 +451,8 @@ def jpeg_decode(b: bytes) -> tuple:
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI is a bare marker (no length word)
+            if prog_blocks is not None and prog_scans:
+                break  # progressive: all scans consumed
             raise ValueError("malformed JPEG: EOI before any scan")
         if pos + 2 > len(b):
             raise ValueError("truncated JPEG: marker segment cut short")
@@ -250,15 +497,15 @@ def jpeg_decode(b: bytes) -> tuple:
                 table = _build_huff(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(seg) < 6:
-                raise ValueError("truncated JPEG SOF0 header")
+                raise ValueError("truncated JPEG SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if len(seg) < 6 + 3 * nc:
-                raise ValueError("truncated JPEG SOF0 component specs")
+                raise ValueError("truncated JPEG SOF component specs")
             if prec != 8:
                 raise NotImplementedError(
-                    f"only 8-bit baseline JPEG supported (precision={prec})"
+                    f"only 8-bit JPEG supported (precision={prec})"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -266,7 +513,7 @@ def jpeg_decode(b: bytes) -> tuple:
                     "Adobe transform; decode with PIL)"
                 )
             if w <= 0 or h <= 0:
-                raise ValueError(f"malformed JPEG SOF0: {w}x{h}")
+                raise ValueError(f"malformed JPEG SOF: {w}x{h}")
             comps = []
             for i in range(nc):
                 cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -275,15 +522,16 @@ def jpeg_decode(b: bytes) -> tuple:
                 )
                 if comps[-1]["h"] < 1 or comps[-1]["v"] < 1:
                     raise ValueError("malformed JPEG: zero sampling factor")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else "extended/lossless"
+            kind = "extended/lossless"
             if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 kind = "arithmetic-coded"
             raise NotImplementedError(
                 f"{kind} JPEG (SOF{marker - 0xC0}) unsupported — baseline "
-                "sequential only; decode with PIL"
+                "sequential and progressive only; decode with PIL"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -295,11 +543,6 @@ def jpeg_decode(b: bytes) -> tuple:
             if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated JPEG SOS header")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "multi-scan baseline JPEG unsupported (one interleaved "
-                    "scan covering all components only)"
-                )
             scan_comps = []
             by_id = {c["id"]: c for c in frame["comps"]}
             for i in range(ns):
@@ -311,96 +554,135 @@ def jpeg_decode(b: bytes) -> tuple:
                 c = dict(by_id[cs])
                 c["td"], c["ta"] = tt >> 4, tt & 0x0F
                 scan_comps.append(c)
-            scan = scan_comps
+            if not frame["prog"]:
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG unsupported (one "
+                        "interleaved scan covering all components only)"
+                    )
+                scan = scan_comps
+                pos += seglen
+                break
+            # progressive: Ss/Se/AhAl drive this scan; decode it now
+            # and keep walking markers (T.81 G.1)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al_ = ahal >> 4, ahal & 0x0F
+            if prog_blocks is None:
+                layout = _frame_layout(frame)
+                prog_blocks = [
+                    [_PROG_ZERO64] * (br * bc) for br, bc in layout[4]
+                ]
             pos += seglen
-            break
+            pos = _prog_decode_scan(
+                b, pos, frame, scan_comps, ss, se, ah, al_,
+                huff_dc, huff_ac, restart_interval,
+                prog_blocks, layout,
+            )
+            prog_scans += 1
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
-    segments, _end = _split_entropy(b, pos)
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    if len(scan) == 1:
-        # single-component scan: MCU is one block (T.81 A.2.2)
-        c = scan[0]
-        cw = -(-w * c["h"] // hmax)
-        chh = -(-h * c["v"] // vmax)
-        mcu_cols, mcu_rows = -(-cw // 8), -(-chh // 8)
-        per_mcu = [(0, 1, 1)]
+    if frame["prog"]:
+        # multi-scan reconstruction: coefficients were accumulated
+        # across the SOS loop; validate quant tables and fall
+        # through to the shared dequant/IDCT tail
+        hmax, vmax, mcu_cols, mcu_rows, bdims = layout
+        scan = frame["comps"]
+        blocks = prog_blocks
+        w, h = frame["w"], frame["h"]
+        for c in scan:
+            if c["tq"] not in qt:
+                raise ValueError(
+                    f"malformed JPEG: missing DQT {c['tq']}"
+                )
     else:
-        mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-        per_mcu = [(i, c["h"], c["v"]) for i, c in enumerate(scan)]
-    n_mcus = mcu_cols * mcu_rows
+        segments, _end = _split_entropy(b, pos)
+        w, h = frame["w"], frame["h"]
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        if len(scan) == 1:
+            # single-component scan: MCU is one block (T.81 A.2.2)
+            c = scan[0]
+            cw = -(-w * c["h"] // hmax)
+            chh = -(-h * c["v"] // vmax)
+            mcu_cols, mcu_rows = -(-cw // 8), -(-chh // 8)
+            per_mcu = [(0, 1, 1)]
+        else:
+            mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            per_mcu = [(i, c["h"], c["v"]) for i, c in enumerate(scan)]
+        n_mcus = mcu_cols * mcu_rows
 
-    # per-component coefficient buffers as flat Python lists of
-    # 64-entry lists — ONE np.array conversion + dequant multiply per
-    # component afterwards (per-block numpy stores were ~10x slower)
-    bdims = [
-        (mcu_rows * (c["v"] if len(scan) > 1 else 1),
-         mcu_cols * (c["h"] if len(scan) > 1 else 1))
-        for c in scan
-    ]
-    _zero64 = [0] * 64  # shared placeholder, never mutated
-    blocks = [[_zero64] * (br * bc) for br, bc in bdims]
-    for c in scan:
-        if c["tq"] not in qt:
-            raise ValueError(f"malformed JPEG: missing DQT {c['tq']}")
-        if c["td"] not in huff_dc or c["ta"] not in huff_ac:
-            raise ValueError("malformed JPEG: missing DHT for scan")
+        # per-component coefficient buffers as flat Python lists of
+        # 64-entry lists — ONE np.array conversion + dequant multiply per
+        # component afterwards (per-block numpy stores were ~10x slower)
+        bdims = [
+            (mcu_rows * (c["v"] if len(scan) > 1 else 1),
+             mcu_cols * (c["h"] if len(scan) > 1 else 1))
+            for c in scan
+        ]
+        _zero64 = [0] * 64  # shared placeholder, never mutated
+        blocks = [[_zero64] * (br * bc) for br, bc in bdims]
+        for c in scan:
+            if c["tq"] not in qt:
+                raise ValueError(f"malformed JPEG: missing DQT {c['tq']}")
+            if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+                raise ValueError("malformed JPEG: missing DHT for scan")
 
-    mcu = 0
-    for seg_i, seg_data in enumerate(segments):
-        reader = _BitReader(seg_data)
-        preds = [0] * len(scan)
-        end = (
-            min(mcu + restart_interval, n_mcus)
-            if restart_interval
-            else n_mcus
-        )
-        while mcu < end:
-            my, mx = divmod(mcu, mcu_cols)
-            for ci, ch, cv in per_mcu:
-                c = scan[ci]
-                dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
-                for by in range(cv):
-                    for bx in range(ch):
-                        # plain-list coefficient buffer: per-element
-                        # numpy scalar stores are ~10x a list store
-                        coef = [0] * 64
-                        t = reader.decode_huff(dc_t)
-                        if t > 11:
-                            raise ValueError(
-                                f"malformed JPEG: DC category {t}"
-                            )
-                        preds[ci] += _extend(reader.read(t), t)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
+        mcu = 0
+        for seg_i, seg_data in enumerate(segments):
+            reader = _BitReader(seg_data)
+            preds = [0] * len(scan)
+            end = (
+                min(mcu + restart_interval, n_mcus)
+                if restart_interval
+                else n_mcus
+            )
+            while mcu < end:
+                my, mx = divmod(mcu, mcu_cols)
+                for ci, ch, cv in per_mcu:
+                    c = scan[ci]
+                    dc_t, ac_t = huff_dc[c["td"]], huff_ac[c["ta"]]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            # plain-list coefficient buffer: per-element
+                            # numpy scalar stores are ~10x a list store
+                            coef = [0] * 64
+                            t = reader.decode_huff(dc_t)
+                            if t > 11:
                                 raise ValueError(
-                                    "malformed JPEG: AC index overrun"
+                                    f"malformed JPEG: DC category {t}"
                                 )
-                            coef[ZIGZAG[k]] = _extend(reader.read(s), s)
-                            k += 1
-                        blocks[ci][
-                            (my * cv + by) * bdims[ci][1] + mx * ch + bx
-                        ] = coef
-            mcu += 1
-        if restart_interval and seg_i < len(segments) - 1 and mcu >= n_mcus:
-            raise ValueError("malformed JPEG: extra restart segments")
-    if mcu < n_mcus:
-        raise ValueError(
-            f"truncated JPEG: {mcu} of {n_mcus} MCUs decoded"
-        )
+                            preds[ci] += _extend(reader.read(t), t)
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_huff(ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "malformed JPEG: AC index overrun"
+                                    )
+                                coef[ZIGZAG[k]] = _extend(reader.read(s), s)
+                                k += 1
+                            blocks[ci][
+                                (my * cv + by) * bdims[ci][1] + mx * ch + bx
+                            ] = coef
+                mcu += 1
+            if restart_interval and seg_i < len(segments) - 1 and mcu >= n_mcus:
+                raise ValueError("malformed JPEG: extra restart segments")
+        if mcu < n_mcus:
+            raise ValueError(
+                f"truncated JPEG: {mcu} of {n_mcus} MCUs decoded"
+            )
 
     planes = []
     for ci, c in enumerate(scan):
@@ -484,23 +766,18 @@ def _canonical_from_used(used: set[int]) -> tuple[list[int], bytes, dict]:
     return counts, bytes(syms), enc
 
 
-def jpeg_encode_baseline(
+def _encode_prepare(
     w: int,
     h: int,
-    rgb: bytes | None = None,
-    gray: bytes | None = None,
-    quant: int | list[int] = 8,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Synthetic-fixture baseline JPEG encoder (tests + the
-    m_decode_jpeg gate query — NOT a public pipeline operator): real
-    FDCT (numpy einsum), real quantization, real canonical-Huffman
-    entropy coding with byte stuffing and optional restart markers,
-    optional 4:2:0 subsampling (2x2 mean). `quant` is either a scalar
-    (flat table) or a 64-entry natural-order table used for all
-    components. With gray input, constant 8x8 blocks and quant=8 the
-    decode is BIT-EXACT (see module docstring) — the oracle hook."""
+    rgb: bytes | None,
+    gray: bytes | None,
+    quant: int | list[int],
+    subsample: bool,
+) -> tuple:
+    """Shared encoder front end (baseline + progressive fixtures):
+    color transform, optional 4:2:0 subsampling, FDCT, quantization,
+    MCU-grid padding. Returns (q_nat, samp, qblocks, mcu_rows,
+    mcu_cols, order)."""
     if (rgb is None) == (gray is None):
         raise ValueError("pass exactly one of rgb / gray")
     q_nat = (
@@ -568,6 +845,30 @@ def jpeg_encode_baseline(
             padded.append(np.pad(qb, ((0, pr), (0, pc), (0, 0), (0, 0)),
                                  mode="edge"))
         qblocks = padded
+    return q_nat, samp, qblocks, mcu_rows, mcu_cols, order
+
+
+def jpeg_encode_baseline(
+    w: int,
+    h: int,
+    rgb: bytes | None = None,
+    gray: bytes | None = None,
+    quant: int | list[int] = 8,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthetic-fixture baseline JPEG encoder (tests + the
+    m_decode_jpeg gate query — NOT a public pipeline operator): real
+    FDCT (numpy einsum), real quantization, real canonical-Huffman
+    entropy coding with byte stuffing and optional restart markers,
+    optional 4:2:0 subsampling (2x2 mean). `quant` is either a scalar
+    (flat table) or a 64-entry natural-order table used for all
+    components. With gray input, constant 8x8 blocks and quant=8 the
+    decode is BIT-EXACT (see module docstring) — the oracle hook."""
+    q_nat, samp, qblocks, mcu_rows, mcu_cols, order = _encode_prepare(
+        w, h, rgb, gray, quant, subsample
+    )
+    planes = qblocks  # len == component count below
 
     def block_symbols(qb: np.ndarray) -> tuple[int, list]:
         zz = qb.reshape(64)[ZIGZAG]
@@ -662,5 +963,308 @@ def jpeg_encode_baseline(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos)
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    w: int,
+    h: int,
+    rgb: bytes | None = None,
+    gray: bytes | None = None,
+    quant: int | list[int] = 8,
+    subsample: bool = False,
+    al: int = 1,
+    band_split: int = 5,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthetic-fixture progressive JPEG encoder (tests + the
+    m_decode_jpeg gate — NOT a public operator), the paired-writer
+    counterpart of _prog_decode_scan built independently from T.81
+    G.1: spectral selection (DC scan, then AC bands 1..band_split and
+    band_split+1..63 per component) times successive approximation
+    (first passes at Al=`al`, then one refinement pass per level down
+    to 0). Covers every decoder branch: interleaved DC first+refine,
+    AC first with EOB-runs and ZRL, AC refinement with correction
+    bits, per-scan Huffman tables, optional restart markers. The
+    coefficients are identical to jpeg_encode_baseline's (shared
+    _encode_prepare), so progressive decode must reproduce the
+    baseline decode BIT-EXACTLY — the cross-validation hook."""
+    q_nat, samp, qblocks, mcu_rows, mcu_cols, order = _encode_prepare(
+        w, h, rgb, gray, quant, subsample
+    )
+    nc = len(qblocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def tz(v: int, a: int) -> int:
+        """AC point transform: magnitude shift, sign kept (G.1.2.2 —
+        division toward zero, NOT arithmetic shift)."""
+        return (abs(v) >> a) * (1 if v >= 0 else -1)
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        """True (rows, cols) block extent of component ci (AC scans
+        never cover the interleave padding)."""
+        if nc == 1:
+            return qblocks[0].shape[0], qblocks[0].shape[1]
+        cw = -(-w * samp[ci][0] // hmax)
+        chh = -(-h * samp[ci][1] // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def dht(tc: int, counts: list[int], syms: bytes) -> bytes:
+        return seg(0xC4, bytes([(tc << 4)]) + bytes(counts) + syms)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, a: int,
+            use_dc: bool) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if use_dc else 0
+            ta = 0 if not use_dc else 0
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a]))
+
+    class _Emit:
+        """Per-scan symbol collector: two passes — gather symbols for
+        the canonical table, then write bits — mirroring the baseline
+        encoder's shape."""
+
+        def __init__(self):
+            self.items: list = []  # (sym, nbits, bits) or ("raw", n, v)
+            self.used: set[int] = set()
+
+        def sym(self, s: int, nbits: int = 0, bits: int = 0) -> None:
+            self.used.add(s)
+            self.items.append(("sym", s, nbits, bits))
+
+        def raw(self, nbits: int, bits: int) -> None:
+            if nbits:
+                self.items.append(("raw", 0, nbits, bits))
+
+        def rst(self, n: int) -> None:
+            self.items.append(("rst", n, 0, 0))
+
+        def encode(self, need_table: bool) -> bytes:
+            if need_table and self.used:
+                counts, syms, enc = _canonical_from_used(self.used)
+                table = dht(
+                    0 if self.kind == "dc" else 1, counts, syms
+                )
+            else:
+                counts, syms, enc = _canonical_from_used({0})
+                table = b""
+            wtr = _BitWriter()
+            body = bytearray()
+            for kind, s, nbits, bits in self.items:
+                if kind == "rst":
+                    wtr.pad()
+                    body += wtr.out
+                    body += bytes([0xFF, 0xD0 + (s % 8)])
+                    wtr = _BitWriter()
+                elif kind == "sym":
+                    ln, code = enc[s]
+                    wtr.write(code, ln)
+                    if nbits:
+                        wtr.write(bits, nbits)
+                else:
+                    wtr.write(bits, nbits)
+            wtr.pad()
+            body += wtr.out
+            return table, bytes(body)
+
+    # ---- DC scans (interleaved over all components) -----------------
+    n_mcus = mcu_rows * mcu_cols
+
+    def dc_first_scan(a: int) -> tuple:
+        em = _Emit()
+        em.kind = "dc"
+        preds = [0] * nc
+        rst_i = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                em.rst(rst_i)
+                rst_i += 1
+                preds = [0] * nc
+            my, mx = divmod(m, mcu_cols)
+            for ci, ch, cv in order:
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(
+                            qblocks[ci][my * cv + by, mx * ch + bx, 0, 0]
+                        ) >> a  # DC point transform IS an arithmetic shift
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s, bits = _category(diff)
+                        em.sym(s, s, bits)
+        return em.encode(need_table=True)
+
+    def dc_refine_scan(a: int) -> tuple:
+        em = _Emit()
+        em.kind = "dc"
+        rst_i = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                em.rst(rst_i)
+                rst_i += 1
+            my, mx = divmod(m, mcu_cols)
+            for ci, ch, cv in order:
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(
+                            qblocks[ci][my * cv + by, mx * ch + bx, 0, 0]
+                        )
+                        em.raw(1, (dc >> a) & 1)
+        return em.encode(need_table=False)
+
+    # ---- AC scans (single component, band ss..se) -------------------
+    def ac_first_scan(ci: int, ss: int, se: int, a: int) -> tuple:
+        em = _Emit()
+        em.kind = "ac"
+        rows, cols = comp_grid(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                em.sym(r << 4, r, eobrun - (1 << r))
+                eobrun = 0
+
+        rst_i = 0
+        for u in range(rows * cols):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eob()
+                em.rst(rst_i)
+                rst_i += 1
+            uy, ux = divmod(u, cols)
+            zzv = qblocks[ci][uy, ux].reshape(64)[ZIGZAG]
+            run = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                t = tz(int(zzv[k]), a)
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    em.sym(0xF0)  # ZRL
+                    run -= 16
+                s, bits = _category(t)
+                em.sym((run << 4) | s, s, bits)
+                run = 0
+                emitted = True
+            if run or not emitted:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return em.encode(need_table=True)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, a: int) -> tuple:
+        em = _Emit()
+        em.kind = "ac"
+        rows, cols = comp_grid(ci)
+        eobrun = 0
+        eob_bits: list[int] = []  # corrections held across EOB'd blocks
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                em.sym(r << 4, r, eobrun - (1 << r))
+                for bit in eob_bits:
+                    em.raw(1, bit)
+                eob_bits.clear()
+                eobrun = 0
+
+        rst_i = 0
+        for u in range(rows * cols):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eob()
+                em.rst(rst_i)
+                rst_i += 1
+            uy, ux = divmod(u, cols)
+            zzv = qblocks[ci][uy, ux].reshape(64)[ZIGZAG]
+            tvals = {k: tz(int(zzv[k]), a) for k in range(ss, se + 1)}
+            # ZRLs are emitted only while a NEWLY-significant coef
+            # still lies ahead; trailing runs fold into the EOB
+            # (T.81 G.1.2.3 / the k <= EOB rule)
+            last_new = max(
+                (k for k, t in tvals.items() if abs(t) == 1),
+                default=ss - 1,
+            )
+            run = 0
+            pending: list[int] = []  # correction bits since last emit
+            for k in range(ss, se + 1):
+                t = tvals[k]
+                if t == 0:
+                    run += 1  # zero history, stays zero
+                    continue
+                while run > 15 and k <= last_new:
+                    flush_eob()
+                    em.sym(0xF0)
+                    for bit in pending:
+                        em.raw(1, bit)
+                    pending.clear()
+                    run -= 16
+                if abs(t) > 1:  # previously significant -> correction
+                    pending.append(abs(t) & 1)
+                    continue
+                # newly significant (|t| == 1)
+                flush_eob()
+                em.sym((run << 4) | 1, 1, 1 if t > 0 else 0)
+                for bit in pending:
+                    em.raw(1, bit)
+                pending.clear()
+                run = 0
+            if run or pending:
+                eobrun += 1
+                eob_bits.extend(pending)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return em.encode(need_table=True)
+
+    # ---- assemble ----------------------------------------------------
+    zz_q = q_nat[ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        struct.pack(">BBB", i + 1, (s[0] << 4) | s[1], 0)
+        for i, s in enumerate(samp)
+    )
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    all_ids = [i + 1 for i in range(nc)]
+
+    def emit_scan(table: bytes, body: bytes, comp_ids, ss, se, ah, a):
+        nonlocal out
+        out += table
+        out += sos(comp_ids, ss, se, ah, a, use_dc=(ss == 0))
+        out += body
+
+    # first passes at Al=al
+    table, body = dc_first_scan(al)
+    emit_scan(table, body, all_ids, 0, 0, 0, al)
+    for ci in range(nc):
+        table, body = ac_first_scan(ci, 1, band_split, al)
+        emit_scan(table, body, [ci + 1], 1, band_split, 0, al)
+        table, body = ac_first_scan(ci, band_split + 1, 63, al)
+        emit_scan(table, body, [ci + 1], band_split + 1, 63, 0, al)
+    # refinement ladders down to Al=0
+    for a in range(al - 1, -1, -1):
+        table, body = dc_refine_scan(a)
+        emit_scan(table, body, all_ids, 0, 0, a + 1, a)
+        for ci in range(nc):
+            table, body = ac_refine_scan(ci, 1, band_split, a)
+            emit_scan(table, body, [ci + 1], 1, band_split, a + 1, a)
+            table, body = ac_refine_scan(ci, band_split + 1, 63, a)
+            emit_scan(table, body, [ci + 1], band_split + 1, 63, a + 1, a)
     out += b"\xff\xd9"
     return bytes(out)

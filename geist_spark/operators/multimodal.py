@@ -9,8 +9,9 @@ unfiltering, GIF via a pure-python LZW with numpy palette
 mapping/deinterlace, baseline JPEG via pure-python Huffman + batched
 numpy IDCT (see jpeg.py), and uncompressed TIFF via an IFD tag walk
 in either byte order) — actual pixels, exact luma,
-cross-format hash; remaining codec formats (WebP/AVIF/progressive
-JPEG/...) need libraries NOT in this container,
+cross-format hash (JPEG covers baseline SOF0 AND progressive SOF2
+since round 8); remaining codec formats (WebP/AVIF/...)
+need libraries NOT in this container,
 so for those `decode_real` raises (or NULLs, by option) and
 `extract_media_features` computes deterministic
 pseudo-features (byte length, md5, an 8-bin byte histogram) — the

@@ -115,9 +115,10 @@ def test_jpeg_roundtrip_property():
 
 
 def test_jpeg_error_taxonomy():
-    """CAPABILITY limits: progressive/arithmetic/12-bit/CMYK raise
+    """CAPABILITY limits: lossless/arithmetic/12-bit/CMYK raise
     NotImplementedError; MALFORMED: truncation, bad Huffman streams,
-    EOI-before-scan raise ValueError."""
+    EOI-before-scan, and a baseline scan header under an SOF2 frame
+    raise ValueError."""
     import struct
 
     good = jpeg_encode_baseline(16, 16, gray=bytes(256), quant=8)
@@ -127,8 +128,13 @@ def test_jpeg_error_taxonomy():
         i = good.index(b"\xff\xc0")
         return good[:i] + bytes([0xFF, marker]) + good[i + 2 :]
 
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF2 is SUPPORTED since round 8 — relabeling a baseline stream
+    # as progressive now fails as MALFORMED (Ss=0 with Se=63), not as
+    # a capability limit
+    with pytest.raises(ValueError, match="DC scan with Se"):
         jpeg_decode(sof_variant(0xC2))
+    with pytest.raises(NotImplementedError, match="extended/lossless"):
+        jpeg_decode(sof_variant(0xC3))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_decode(sof_variant(0xC9))
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -145,7 +151,7 @@ def test_jpeg_error_taxonomy():
     # truncated segment BODIES are typed ValueError, not struct.error
     i = good.index(b"\xff\xc0")
     short_sof = good[: i + 2] + struct.pack(">H", 4) + good[i + 4 : i + 6]
-    with pytest.raises(ValueError, match="truncated JPEG SOF0"):
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
         jpeg_decode(short_sof)
     # T.81 B.1.1.2 fill bytes before a marker are spec-legal
     filled = good[:2] + b"\xff" + good[2:]
@@ -173,3 +179,123 @@ def test_decode_real_jpeg_dispatch(spark):
     assert {r["format"] for r in rz} == {"JPEG", "P5"}
     lumas = {r["media_id"]: r["mean_luma_fx"] for r in rz}
     assert lumas[1] == lumas[2]
+
+
+def test_progressive_bit_exact_vs_baseline():
+    """Cross-validation core: the progressive encoder shares the
+    baseline's quantized coefficients, so progressive decode must be
+    BIT-IDENTICAL to baseline decode on every image — gray and RGB,
+    4:4:4 and 4:2:0, Al ladders 1..3, band splits, restart
+    intervals."""
+    from geist_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        W, H = rng.randint(8, 56), rng.randint(8, 56)
+        gray = rng.randint(0, 256, W * H, dtype=np.uint8).tobytes()
+        bb = jpeg_encode_baseline(W, H, gray=gray, quant=8)
+        pp = jpeg_encode_progressive(W, H, gray=gray, quant=8)
+        assert jpeg_decode(bb) == jpeg_decode(pp), (trial, W, H)
+    for trial in range(4):
+        W, H = rng.randint(9, 48), rng.randint(9, 48)
+        rgb = rng.randint(0, 256, W * H * 3, dtype=np.uint8).tobytes()
+        for kw in (
+            dict(),
+            dict(subsample=True),
+            dict(al=3, band_split=10),
+            dict(subsample=True, restart_interval=2, al=2),
+        ):
+            bb = jpeg_encode_baseline(
+                W, H, rgb=rgb, quant=8,
+                subsample=kw.get("subsample", False),
+            )
+            pp = jpeg_encode_progressive(W, H, rgb=rgb, quant=8, **kw)
+            assert jpeg_decode(bb) == jpeg_decode(pp), (trial, W, H, kw)
+
+
+def test_progressive_dc_exact_and_smooth_content():
+    """The DC-exact oracle construction holds under SOF2 (constant
+    blocks, quant 8 -> bit-exact pixels), and smooth gradients (the
+    EOB-run-heavy regime real photos live in) stay bit-identical to
+    baseline."""
+    from geist_spark.operators.jpeg import jpeg_encode_progressive
+
+    g = bytes([201]) * 64
+    fmt, w, h, c, px = jpeg_decode(
+        jpeg_encode_progressive(8, 8, gray=g, quant=8)
+    )
+    assert (fmt, w, h, c) == ("JPEG", 8, 8, 1)
+    assert px == bytes([201]) * 192
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    gray = ((xx * 3 + yy * 2) % 256).astype(np.uint8).tobytes()
+    bb = jpeg_encode_baseline(40, 24, gray=gray, quant=16)
+    pp = jpeg_encode_progressive(40, 24, gray=gray, quant=16, al=2)
+    assert jpeg_decode(bb) == jpeg_decode(pp)
+
+
+def test_progressive_error_taxonomy():
+    """Progressive-specific malformed tier: bad spectral bands,
+    interleaved AC scans, Ah/Al ladder violations, truncation
+    mid-scan — all ValueError; SOF2 + zero scans before EOI is
+    malformed too."""
+    from geist_spark.operators.jpeg import jpeg_encode_progressive
+
+    good = jpeg_encode_progressive(16, 16, gray=bytes(256), quant=8)
+
+    # truncate inside the LAST scan's entropy data
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_decode(good[:-4])
+
+    # patch an SOS: find the FIRST AC scan header (ns=1) and break Se
+    i = good.index(b"\xff\xda")           # DC scan (ns=3? gray: ns=1)
+    j = good.index(b"\xff\xda", i + 2)    # first AC scan
+    (seglen,) = __import__("struct").unpack_from(">H", good, j + 2)
+    hdr = bytearray(good)
+    # SOS body: ns, (cs,tt)*ns, ss, se, ahal — se byte is at
+    # j+4+1+2*ns+1
+    ns = good[j + 4]
+    se_off = j + 4 + 1 + 2 * ns + 1
+    hdr[se_off] = 0  # AC scan with Se < Ss
+    with pytest.raises(ValueError, match="spectral band"):
+        jpeg_decode(bytes(hdr))
+
+    # Ah/Al ladder violation (Ah must be Al+1 on refinement scans)
+    ah_off = se_off + 1
+    # find a refinement scan (ahal high nibble nonzero)
+    k = j
+    while True:
+        k = good.index(b"\xff\xda", k + 2)
+        ns_k = good[k + 4]
+        ahal_off = k + 4 + 1 + 2 * ns_k + 2
+        if good[ahal_off] >> 4:
+            break
+    bad = bytearray(good)
+    bad[ahal_off] = (3 << 4) | (bad[ahal_off] & 0x0F)
+    with pytest.raises(ValueError, match="successive approximation"):
+        jpeg_decode(bytes(bad))
+
+    # SOF2 then EOI with no scans: malformed
+    sof2_end = good.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="EOI before any scan"):
+        jpeg_decode(good[:sof2_end] + b"\xff\xd9")
+
+
+def test_progressive_through_decode_real(spark):
+    """A progressive JPEG flows through the multimodal decode_real
+    dispatch and hashes identically to its baseline and PPM twins —
+    the cross-format contract now includes SOF2."""
+    from geist_spark.operators.jpeg import jpeg_encode_progressive
+    from geist_spark.operators.multimodal import decode_real
+
+    levels = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    gray = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    base = jpeg_encode_baseline(32, 24, gray=gray.tobytes(), quant=8)
+    prog = jpeg_encode_progressive(32, 24, gray=gray.tobytes(), quant=8)
+    ppm = b"P5\n32 24\n255\n" + gray.tobytes()
+    media = spark.createDataFrame(
+        [(1, base), (2, prog), (3, ppm)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"] == out[3]["pixel_md5"]
+    assert out[2]["format"] == "JPEG"

@@ -958,12 +958,13 @@ def test_frame_sample_real_mjpeg(spark):
     df = spark.createDataFrame([(1, bad)], "media_id long, payload binary")
     with pytest.raises(Exception, match="not a JPEG"):
         frame_sample_real(df, on_unsupported="null").collect()
-    # a CAPABILITY-limited frame (progressive JPEG under MJPG) names
-    # the media_id in 'error' mode and collapses the media to ONE
-    # NULL row under 'null' — no partial frame fan-out left behind
+    # a CAPABILITY-limited frame (lossless SOF3 under MJPG — SOF2
+    # progressive decodes for real since round 8) names the media_id
+    # in 'error' mode and collapses the media to ONE NULL row under
+    # 'null' — no partial frame fan-out left behind
     prog = bytearray(frames[0])
     i = prog.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    prog[i + 1] = 0xC3
     capav = _mjpeg_avi_bytes([bytes(prog), frames[1]], 24, 16)
     df = spark.createDataFrame(
         [(9, capav)], "media_id long, payload binary"
