@@ -2538,44 +2538,81 @@ def m_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
-    as m_decode_real (24 md5-derived bytes) encoded per document as an
-    8-bit PNG — even doc_ids plain-coded with row filters Sub (row 0)
-    and Paeth (row 1), odd doc_ids ADAM7-INTERLACED (per-pass
-    sub-image filtering + strided scatter both run for real) — then
+    as m_decode_real (24 md5-derived bytes) encoded per document into
+    one of EIGHT PNG shapes by doc_id % 8 — plain 8-bit RGB with
+    Sub/Paeth filters, Adam7-interlaced RGB, RGBA with a fixed alpha
+    ramp (composited onto white with exact integer rounding), 16-bit
+    RGB (high-byte reduction), gray+tRNS (pixel-0's level is the
+    transparent color), palette+tRNS (the SAME alpha ramp through the
+    palette home), gray+alpha (ctype 4), and 16-bit gray — then
     decoded by multimodal.decode_real (stdlib zlib + numpy scanline
-    unfiltering, multimodal.py). PNG synthesis needs Python zlib, so
-    it runs as a first Arrow-batched mapInPandas stage; the oracle
-    recomputes the luma ARITHMETICALLY from the md5 hex digests with
-    no PNG parsing oracle-side — a chunk-walk, inflate-size,
-    unfilter, or deinterlace bug in the decoder hash-mismatches
-    against the PPM-path arithmetic."""
+    unfiltering + the round-8 alpha/16-bit paths). PNG synthesis
+    needs Python zlib, so it runs as a first Arrow-batched
+    mapInPandas stage; the oracle recomputes every variant's luma
+    ARITHMETICALLY from the md5 hex digests (the composite formula
+    (c*a + 255*(255-a) + 127) // 255 is SQL-exact) with no PNG
+    parsing oracle-side — a chunk-walk, inflate-size, unfilter,
+    deinterlace, 16-bit-reduction, tRNS-match, or composite bug
+    hash-mismatches."""
+    import struct as _struct
+
     import pandas as _pd
 
-    from geist_spark.operators.multimodal import decode_real, png_encode_rgb
+    from geist_spark.operators.multimodal import decode_real, png_encode
 
     docs = _t(spark, sf_dir, "documents")
     src = docs.select(
         F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
     )
-    # 4x2 Adam7 pass scanlines: p1 1, p2 0(empty w<5... p2 starts x=4
-    # -> empty for w=4), p4 1, p6 1, p7 1 -> filters indexed per pass
-    # scanline; Sub/Up/Paeth/None across them
+    # 4x2 Adam7 pass scanlines: p1 1, p4 1, p6 1, p7 1 -> filters
+    # indexed per pass scanline; Sub/Up/Paeth/None across them
     i7_filters = [1, 4, 2, 0]
+    # fixed alpha ramp shared by the RGBA / palette-tRNS / gray+alpha
+    # variants — a literal on BOTH sides of the gate
+    alphas = [255, 0, 128, 255, 0, 128, 255, 64]
 
     def synth(batches):
         for pdf in batches:
+            payloads = []
+            for mid, pxv in zip(pdf["media_id"], pdf["px"]):
+                px = bytes(pxv)
+                grays = bytes(px[3 * i] for i in range(8))
+                v = mid % 8
+                if v == 0:
+                    p = png_encode(4, 2, px, ctype=2, filters=[1, 4])
+                elif v == 1:
+                    p = png_encode(4, 2, px, ctype=2,
+                                   filters=i7_filters, interlace=True)
+                elif v == 2:
+                    raw = b"".join(
+                        px[3 * i: 3 * i + 3] + bytes([alphas[i]])
+                        for i in range(8)
+                    )
+                    p = png_encode(4, 2, raw, ctype=6, filters=[2, 1])
+                elif v == 3:
+                    raw = b"".join(bytes([c, c ^ 0xFF]) for c in px)
+                    p = png_encode(4, 2, raw, ctype=2, depth=16,
+                                   filters=[1, 3])
+                elif v == 4:
+                    p = png_encode(
+                        4, 2, grays, ctype=0,
+                        trns=_struct.pack(">H", grays[0]),
+                        filters=[4, 2],
+                    )
+                elif v == 5:
+                    p = png_encode(4, 2, bytes(range(8)), ctype=3,
+                                   palette=px, trns=bytes(alphas))
+                elif v == 6:
+                    raw = b"".join(
+                        bytes([grays[i], alphas[i]]) for i in range(8)
+                    )
+                    p = png_encode(4, 2, raw, ctype=4, filters=[4, 2])
+                else:
+                    raw = b"".join(bytes([g, g ^ 0xAA]) for g in grays)
+                    p = png_encode(4, 2, raw, ctype=0, depth=16)
+                payloads.append(p)
             yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        png_encode_rgb(4, 2, bytes(px), [1, 4])
-                        if mid % 2 == 0
-                        else png_encode_rgb(
-                            4, 2, bytes(px), i7_filters, interlace=True
-                        )
-                        for mid, px in zip(pdf["media_id"], pdf["px"])
-                    ],
-                }
+                {"media_id": pdf["media_id"], "payload": payloads}
             )
 
     media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
@@ -7822,18 +7859,42 @@ def oracle_sql() -> dict[str, str]:
         # luma arithmetic is identical — only the format tag differs.
         # An unfilter/inflate bug Spark-side breaks the equality.
         "m_decode_png": f"""
-            WITH {_MD5_BYTES_CTE_SQL}
+            WITH {_MD5_BYTES_CTE_SQL},
+            a AS (SELECT [255,0,128,255,0,128,255,64] AS av)
             SELECT doc_id AS media_id,
                    'PNG' AS format,
                    CAST(4 AS INTEGER) AS width,
                    CAST(2 AS INTEGER) AS height,
-                   CAST(3 AS INTEGER) AS channels,
-                   CAST(
-                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
-                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
-                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
-                     // 8 AS BIGINT) AS mean_luma_fx
-            FROM b
+                   CAST(CASE doc_id % 8
+                        WHEN 2 THEN 4 WHEN 4 THEN 1
+                        WHEN 6 THEN 2 WHEN 7 THEN 1
+                        ELSE 3 END AS INTEGER) AS channels,
+                   CAST(CASE
+                     WHEN doc_id % 8 IN (2, 5) THEN
+                       list_sum([
+                         299*((bytes[3*i-2]*av[i] + 255*(255-av[i]) + 127)//255)
+                       + 587*((bytes[3*i-1]*av[i] + 255*(255-av[i]) + 127)//255)
+                       + 114*((bytes[3*i]  *av[i] + 255*(255-av[i]) + 127)//255)
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 8 = 4 THEN
+                       1000 * list_sum([
+                         CASE WHEN bytes[3*i-2] = bytes[1] THEN 255
+                              ELSE bytes[3*i-2] END
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 8 = 6 THEN
+                       1000 * list_sum([
+                         (bytes[3*i-2]*av[i] + 255*(255-av[i]) + 127)//255
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 8 = 7 THEN
+                       1000 * list_sum([bytes[3*i-2]
+                         for i in generate_series(1, 8)]) // 8
+                     ELSE
+                       (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                        + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                        + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                       // 8
+                   END AS BIGINT) AS mean_luma_fx
+            FROM b, a
         """,
         # arithmetic replay of the REAL GIF decode: the SAME 24 pixel
         # bytes as m_decode_real/png (palette + LZW + deinterlace

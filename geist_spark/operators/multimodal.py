@@ -562,26 +562,40 @@ _ADAM7_PASSES = (
 )
 
 
+def _png_alpha_over_white(px: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Integer alpha composite onto an opaque WHITE background —
+    the declared dialect for alpha PNGs (DIALECT.md): out =
+    (fg*a + 255*(255-a) + 127) // 255, exact and SQL-replayable.
+    px and alpha broadcast together; both uint8-range int64."""
+    return (px * alpha + 255 * (255 - alpha) + 127) // 255
+
+
 def _png_decode(b: bytes) -> tuple:
     """PNG decode WITHOUT codec libraries: stdlib zlib inflate + numpy
-    scanline unfiltering. Supported: 8-bit depth, color types 0
-    (grayscale), 2 (RGB), 3 (palette), non-interlaced AND Adam7
-    interlaced (each pass unfiltered as its own sub-image, scattered
-    back with strided numpy assignment) — the common lossless
-    web-crawl shapes. Gray normalizes to RGB triples (like
-    PGM) so the cross-format pixel_md5 contract holds; palette expands
-    through PLTE (channels reported as 3 — the colors are RGB even
-    though storage is indexed). CAPABILITY limits (16-bit, alpha
-    variants 4/6) raise NotImplementedError; bad
-    chunk CRCs, truncation, and inflate/size mismatches are MALFORMED
-    (ValueError), per the two-tier error contract."""
+    scanline unfiltering. Supported: 8- and 16-bit depth, ALL five
+    color types — 0 (grayscale), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA) — plus tRNS transparency in its three
+    legal homes, non-interlaced AND Adam7 interlaced (each pass
+    unfiltered as its own sub-image, scattered back with strided
+    numpy assignment). 16-bit samples reduce to 8 by taking the high
+    byte (the standard downsample; tRNS color matching happens at
+    full 16-bit precision FIRST). Alpha composites onto an opaque
+    white background with exact integer rounding (_png_alpha_over_
+    white — the dialect an oracle can replay); gray normalizes to RGB
+    triples (like PGM) so the cross-format pixel_md5 contract holds;
+    palette expands through PLTE. channels reports the SOURCE channel
+    count (1 gray, 2 gray+alpha, 3 RGB/palette, 4 RGBA). CAPABILITY
+    limits (bit depths 1/2/4) raise NotImplementedError; bad chunk
+    CRCs, truncation, inflate/size mismatches, and tRNS on alpha
+    color types are MALFORMED (ValueError), per the two-tier error
+    contract."""
     import struct
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat, saw_iend = 8, None, None, [], False
-    has_trns = False
+    trns = None
     while pos + 8 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
         ctype = bytes(b[pos + 4 : pos + 8])
@@ -601,7 +615,7 @@ def _png_decode(b: bytes) -> tuple:
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"tRNS":
-            has_trns = True
+            trns = body
         elif ctype == b"IEND":
             saw_iend = True
             break
@@ -618,29 +632,26 @@ def _png_decode(b: bytes) -> tuple:
             f"malformed PNG IHDR: compression={comp}, filter={filt}, "
             f"interlace={interlace}"
         )
-    if depth != 8:
+    if ctype_v not in (0, 2, 3, 4, 6):
+        raise ValueError(f"malformed PNG IHDR: color type {ctype_v}")
+    if depth not in (8, 16) or (ctype_v == 3 and depth != 8):
         raise NotImplementedError(
-            f"only 8-bit PNG supported (bit depth={depth})"
+            f"PNG bit depth {depth} unsupported for color type "
+            f"{ctype_v} (8/16-bit only; sub-byte depths need bit "
+            "unpacking)"
         )
-    if ctype_v not in (0, 2, 3):
-        raise NotImplementedError(
-            f"PNG color type {ctype_v} unsupported (alpha variants would "
-            "silently drop a channel; decode them with PIL on a cluster "
-            "that has it)"
-        )
-    if has_trns:
-        # a tRNS chunk adds transparency to gray/RGB/palette images —
-        # decoding it as opaque would silently drop a channel, the
-        # exact failure the color-type 4/6 guard exists to prevent
-        raise NotImplementedError(
-            "PNG with a tRNS transparency chunk unsupported (alpha "
-            "would be silently dropped; decode with PIL)"
+    if trns is not None and ctype_v in (4, 6):
+        # the spec forbids tRNS alongside a full alpha channel
+        raise ValueError(
+            f"malformed PNG: tRNS chunk with color type {ctype_v}"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"malformed PNG IHDR: width={w}, height={h}")
     if not idat:
         raise ValueError("malformed PNG: no IDAT chunks")
-    bpp = 3 if ctype_v == 2 else 1
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_v]
+    sampb = depth // 8
+    bpp = channels * sampb
     stride = w * bpp
     if interlace == 1:
         spans = []
@@ -685,96 +696,161 @@ def _png_decode(b: bytes) -> tuple:
         recon = img.reshape(h, stride)
     else:
         recon = _png_unfilter(raw, h, stride, bpp)
-    if ctype_v == 2:
-        return "PNG", w, h, 3, recon.tobytes()
-    if ctype_v == 0:  # gray -> RGB triples, like PGM
-        return "PNG", w, h, 1, np.repeat(recon.reshape(-1), 3).tobytes()
-    if plte is None or len(plte) % 3 or not plte:
-        raise ValueError("malformed PNG: palette image without valid PLTE")
-    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    idx = recon.reshape(-1)
-    if int(idx.max(initial=0)) >= pal.shape[0]:
-        raise ValueError(
-            f"malformed PNG: palette index {int(idx.max())} out of range "
-            f"({pal.shape[0]} entries)"
+
+    # (h, w, channels) samples at FULL precision (tRNS color matching
+    # is 16-bit exact), then high-byte reduction to 8
+    sp = recon.reshape(h, w, channels, sampb).astype(np.int64)
+    full = sp[..., 0] * 256 + sp[..., 1] if sampb == 2 else sp[..., 0]
+    px8 = (full >> 8) if sampb == 2 else full
+
+    if ctype_v == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError(
+                "malformed PNG: palette image without valid PLTE"
+            )
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px8[..., 0].reshape(-1)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"malformed PNG: palette index {int(idx.max())} out of "
+                f"range ({pal.shape[0]} entries)"
+            )
+        rgb = pal[idx].astype(np.int64)
+        if trns is not None:
+            if len(trns) > pal.shape[0]:
+                raise ValueError(
+                    "malformed PNG: tRNS longer than the palette"
+                )
+            alut = np.full(pal.shape[0], 255, dtype=np.int64)
+            alut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            rgb = _png_alpha_over_white(rgb, alut[idx][:, None])
+        return "PNG", w, h, 3, rgb.astype(np.uint8).tobytes()
+
+    if ctype_v == 0:
+        gray = px8[..., 0]
+        if trns is not None:
+            if len(trns) < 2:
+                raise ValueError("malformed PNG: short gray tRNS chunk")
+            (tv,) = struct.unpack_from(">H", trns, 0)
+            if depth == 8:
+                tv &= 0xFF
+            mask = full[..., 0] == tv
+            gray = np.where(mask, 255, gray)
+        return (
+            "PNG", w, h, 1,
+            np.repeat(gray.astype(np.uint8).reshape(-1), 3).tobytes(),
         )
-    return "PNG", w, h, 3, pal[idx].tobytes()
+
+    if ctype_v == 2:
+        rgb = px8
+        if trns is not None:
+            if len(trns) < 6:
+                raise ValueError("malformed PNG: short RGB tRNS chunk")
+            tvs = np.array(
+                struct.unpack_from(">HHH", trns, 0), dtype=np.int64
+            )
+            if depth == 8:
+                tvs &= 0xFF
+            mask = (full == tvs).all(axis=-1)
+            rgb = np.where(mask[..., None], 255, rgb)
+        return "PNG", w, h, 3, rgb.astype(np.uint8).tobytes()
+
+    if ctype_v == 4:  # gray + alpha
+        gray = _png_alpha_over_white(px8[..., 0], px8[..., 1])
+        return (
+            "PNG", w, h, 2,
+            np.repeat(gray.astype(np.uint8).reshape(-1), 3).tobytes(),
+        )
+
+    # ctype 6: RGBA
+    rgb = _png_alpha_over_white(px8[..., :3], px8[..., 3:4])
+    return "PNG", w, h, 4, rgb.astype(np.uint8).tobytes()
 
 
-def png_encode_rgb(
+def _png_filter_rows(sub: np.ndarray, fts: list[int], bpp: int) -> bytes:
+    """Apply per-scanline PNG filters to a (rows, stride) int64 array
+    with `bpp` filter bytes per pixel (fixture encoder side)."""
+    stride = sub.shape[1]
+    lines = bytearray()
+    for r, ft in enumerate(fts):
+        cur = sub[r]
+        up = sub[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            left = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), cur[:-bpp]]
+            )
+            filt = (cur - left) & 0xFF
+        elif ft == 2:
+            filt = (cur - up) & 0xFF
+        elif ft in (3, 4):
+            filt = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                u = int(up[x])
+                ul = int(sub[r - 1][x - bpp]) if (r and x >= bpp) else 0
+                if ft == 3:
+                    filt[x] = (cur[x] - (left + u) // 2) & 0xFF
+                else:
+                    p = left + u - ul
+                    pa, pb, pc = (
+                        abs(p - left), abs(p - u), abs(p - ul)
+                    )
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = u
+                    else:
+                        pred = ul
+                    filt[x] = (cur[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        lines.append(ft)
+        lines += filt.astype(np.uint8).tobytes()
+    return bytes(lines)
+
+
+def png_encode(
     w: int,
     h: int,
-    rgb: bytes,
+    raw: bytes,
+    ctype: int = 2,
+    depth: int = 8,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
     filters: list[int] | None = None,
     interlace: bool = False,
 ) -> bytes:
-    """Synthetic-fixture PNG encoder (tests + the m_decode_png gate
-    query synthesize payloads with it — NOT a public pipeline
-    operator): 8-bit RGB, one zlib stream, per-scanline filter types
-    taken from `filters` (default all 0/None) so the decoder's
-    unfiltering paths are exercised against real filtered data. With
-    `interlace=True` the image is written Adam7: each pass filtered
-    as its own sub-image, `filters` indexed by pass-scanline order
-    (total = sum of non-empty pass heights)."""
+    """Synthetic-fixture PNG encoder (tests + the m_decode_png gate —
+    NOT a public pipeline operator): any color type 0/2/3/4/6 at 8-
+    or 16-bit, one zlib stream, per-scanline filter types from
+    `filters` (default all 0/None) so the decoder's unfiltering paths
+    run against real filtered data at every bytes-per-pixel width,
+    optional PLTE/tRNS chunks, optional Adam7 interlace (each pass
+    filtered as its own sub-image, `filters` indexed in pass-scanline
+    order). `raw` is the packed sample bytes, big-endian for 16-bit,
+    length w*h*channels*(depth//8)."""
     import struct
     import zlib
 
-    if len(rgb) != w * h * 3:
-        raise ValueError("rgb length must be w*h*3")
-
-    def filter_rows(sub: np.ndarray, fts: list[int]) -> bytes:
-        stride = sub.shape[1]
-        lines = bytearray()
-        for r, ft in enumerate(fts):
-            cur = sub[r]
-            up = sub[r - 1] if r else np.zeros(stride, dtype=np.int64)
-            if ft == 0:
-                filt = cur
-            elif ft == 1:
-                left = np.concatenate(
-                    [np.zeros(3, dtype=np.int64), cur[:-3]]
-                )
-                filt = (cur - left) & 0xFF
-            elif ft == 2:
-                filt = (cur - up) & 0xFF
-            elif ft in (3, 4):
-                filt = np.zeros(stride, dtype=np.int64)
-                for x in range(stride):
-                    left = int(cur[x - 3]) if x >= 3 else 0
-                    u = int(up[x])
-                    ul = int(sub[r - 1][x - 3]) if (r and x >= 3) else 0
-                    if ft == 3:
-                        filt[x] = (cur[x] - (left + u) // 2) & 0xFF
-                    else:
-                        p = left + u - ul
-                        pa, pb, pc = (
-                            abs(p - left), abs(p - u), abs(p - ul)
-                        )
-                        if pa <= pb and pa <= pc:
-                            pred = left
-                        elif pb <= pc:
-                            pred = u
-                        else:
-                            pred = ul
-                        filt[x] = (cur[x] - pred) & 0xFF
-            else:
-                raise ValueError(f"unknown PNG filter type {ft}")
-            lines.append(ft)
-            lines += filt.astype(np.uint8).tobytes()
-        return bytes(lines)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = channels * (depth // 8)
+    if len(raw) != w * h * bpp:
+        raise ValueError(f"raw length must be w*h*{bpp}")
 
     if not interlace:
         filters = filters or [0] * h
         if len(filters) != h:
             raise ValueError("need one filter type per row")
         arr = (
-            np.frombuffer(rgb, dtype=np.uint8)
-            .reshape(h, w * 3)
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(h, w * bpp)
             .astype(np.int64)
         )
-        lines = filter_rows(arr, filters)
+        lines = _png_filter_rows(arr, filters, bpp)
     else:
-        arr3 = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        arr3 = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp)
         subs = [
             arr3[y0::ys, x0::xs]
             for x0, y0, xs, ys in _ADAM7_PASSES
@@ -790,27 +866,44 @@ def png_encode_rgb(
         for sub in subs:
             ph = sub.shape[0]
             parts.append(
-                filter_rows(
+                _png_filter_rows(
                     sub.reshape(ph, -1).astype(np.int64),
                     filters[fi : fi + ph],
+                    bpp,
                 )
             )
             fi += ph
         lines = b"".join(parts)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
+    def chunk(ct: bytes, body: bytes) -> bytes:
         return (
-            struct.pack(">I", len(body)) + ctype + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            struct.pack(">I", len(body)) + ct + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    out += chunk(b"IDAT", zlib.compress(bytes(lines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def png_encode_rgb(
+    w: int,
+    h: int,
+    rgb: bytes,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """8-bit RGB convenience wrapper over png_encode (the original
+    fixture surface — tests and gates that predate alpha support)."""
+    return png_encode(w, h, rgb, ctype=2, depth=8, filters=filters,
+                      interlace=interlace)
 
 
 # GIF interlace passes (GIF89a spec appendix E): row starts/steps in

@@ -246,10 +246,11 @@ def test_decode_real_png_cross_format(spark):
 
 
 def test_decode_real_png_errors(spark):
-    """PNG error taxonomy: CAPABILITY limits (16-bit, alpha)
-    NULL out under on_unsupported='null'; bad CRC / truncation /
-    corrupt deflate are MALFORMED and always raise. Flipping the
-    interlace flag on a plain-coded file is now MALFORMED (the Adam7
+    """PNG error taxonomy: CAPABILITY limits (sub-byte bit depths —
+    16-bit and alpha DECODE for real since round 8) NULL out under
+    on_unsupported='null'; bad CRC / truncation / corrupt deflate /
+    depth-vs-data mismatches are MALFORMED and always raise. Flipping
+    the interlace flag on a plain-coded file is MALFORMED (the Adam7
     decoder really runs and the pass sizes disagree)."""
     import struct
     import zlib
@@ -267,18 +268,18 @@ def test_decode_real_png_errors(spark):
         )
         return bytes(buf)
 
-    deep = with_ihdr(lambda b: b.__setitem__(24, 16))
-    rgba = with_ihdr(lambda b: b.__setitem__(25, 6))
+    subbyte = with_ihdr(lambda b: b.__setitem__(24, 4))
     caps = spark.createDataFrame(
-        [(1, good), (3, deep), (4, rgba)],
+        [(1, good), (3, subbyte)],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in
            decode_real(caps, on_unsupported="null").collect()}
     assert out[1]["format"] == "PNG"
     assert out[3]["format"] is None
-    assert out[4]["format"] is None
-    # malformed always raises, even under 'null'
+    # malformed always raises, even under 'null'. Relabeling an 8-bit
+    # stream as 16-bit or RGB-as-RGBA is a SIZE mismatch now that
+    # those shapes decode for real.
     bad_crc = bytearray(good)
     bad_crc[20] ^= 1  # IHDR body byte, CRC left stale
     for payload, msg in [
@@ -286,6 +287,8 @@ def test_decode_real_png_errors(spark):
         (good[:-13], "truncated PNG"),
         (_png_palette_bytes(1, 1, [3], [(1, 2, 3)]), "out of range"),
         (with_ihdr(lambda b: b.__setitem__(28, 1)), "expected 15"),
+        (with_ihdr(lambda b: b.__setitem__(24, 16)), "expected 26"),
+        (with_ihdr(lambda b: b.__setitem__(25, 6)), "expected 18"),
     ]:
         df = spark.createDataFrame(
             [(1, payload)], "media_id long, payload binary"
@@ -297,8 +300,10 @@ def test_decode_real_png_errors(spark):
 def test_decode_real_png_bomb_and_trns(spark):
     """A decompression-bomb IDAT raises the typed malformed error at
     the expected-size bound instead of materializing the payload
-    (OOM would escape the two-tier contract); a tRNS transparency
-    chunk is a capability limit (alpha would be silently dropped)."""
+    (OOM would escape the two-tier contract); a palette tRNS chunk
+    DECODES for real since round 8 — alpha composites onto white
+    with exact integer rounding; tRNS alongside a full alpha channel
+    (color type 6) stays malformed per the spec."""
     import struct
     import zlib
 
@@ -321,7 +326,8 @@ def test_decode_real_png_bomb_and_trns(spark):
     df = spark.createDataFrame([(1, bomb)], "media_id long, payload binary")
     with pytest.raises(Exception, match="expected 2"):
         decode_real(df, on_unsupported="null").collect()
-    # palette image with tRNS: capability limit -> NULL under 'null'
+    # palette image with tRNS: composites (1,2,3) at alpha 128 over
+    # white — out_c = (c*128 + 255*127 + 127) // 255
     raw = b"\x00\x00"  # one filter byte + one palette index
     trns = (
         b"\x89PNG\r\n\x1a\n"
@@ -335,11 +341,23 @@ def test_decode_real_png_bomb_and_trns(spark):
         [(1, trns), (2, _png_gray_bytes(1, 1, [7]))],
         "media_id long, payload binary",
     )
-    with pytest.raises(Exception, match="tRNS"):
-        decode_real(mixed).collect()
-    out = {r["media_id"]: r for r in
-           decode_real(mixed, on_unsupported="null").collect()}
-    assert out[1]["format"] is None and out[2]["format"] == "PNG"
+    out = {r["media_id"]: r for r in decode_real(mixed).collect()}
+    def comp(c):
+        return (c * 128 + 255 * 127 + 127) // 255
+    want = (299 * comp(1) + 587 * comp(2) + 114 * comp(3)) // 1
+    assert out[1]["format"] == "PNG" and out[1]["mean_luma_fx"] == want
+    assert out[2]["format"] == "PNG"
+    # tRNS with a full alpha channel is malformed (spec), not data
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"tRNS", bytes([0, 1]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\x80"))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, rgba)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="tRNS chunk with color type 6"):
+        decode_real(df, on_unsupported="null").collect()
 
 
 def test_decode_real_gif_cross_format(spark):
@@ -1888,3 +1906,68 @@ def test_ogg_probe(spark):
     )
     with pytest.raises(Exception, match="Ogg"):
         ogg_probe(bad, on_unsupported="null").collect()
+
+
+def test_decode_real_png_alpha_and_16bit(spark):
+    """Round 8 PNG surface: RGBA / gray+alpha composite onto white
+    with exact integer rounding, 16-bit reduces by high byte (tRNS
+    color matching at full 16-bit precision FIRST), tRNS works in all
+    three legal homes, and filters run at every bytes-per-pixel
+    width. Expected pixels computed independently in the test."""
+    import struct
+
+    import numpy as np
+
+    from geist_spark.operators.multimodal import decode_real, png_encode
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, 24, dtype=np.uint8).tobytes()
+    grays = bytes(rgb[3 * i] for i in range(8))
+    A = [255, 0, 128, 255, 0, 128, 255, 64]
+
+    def comp(c, a):
+        return (c * a + 255 * (255 - a) + 127) // 255
+
+    rgba_raw = b"".join(
+        bytes([rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], A[i]])
+        for i in range(8)
+    )
+    ga_raw = b"".join(bytes([grays[i], A[i]]) for i in range(8))
+    rgb16 = b"".join(bytes([v, v ^ 0xFF]) for v in rgb)
+    rows = [
+        (1, png_encode(4, 2, rgba_raw, ctype=6, filters=[2, 1])),
+        (2, png_encode(4, 2, ga_raw, ctype=4, filters=[4, 2])),
+        (3, png_encode(4, 2, rgb16, ctype=2, depth=16, filters=[1, 3])),
+        (4, png_encode(4, 2, grays, ctype=0,
+                       trns=struct.pack(">H", grays[0]))),
+        (5, png_encode(4, 2, bytes(range(8)), ctype=3, palette=rgb,
+                       trns=bytes(A))),
+        # interlaced RGBA: Adam7 passes at bpp=4
+        (6, png_encode(4, 2, rgba_raw, ctype=6, interlace=True)),
+    ]
+    out = {r["media_id"]: r for r in
+           decode_real(spark.createDataFrame(
+               rows, "media_id long, payload binary")).collect()}
+
+    def luma(trips):
+        s = sum(299 * trips[i] + 587 * trips[i + 1] + 114 * trips[i + 2]
+                for i in range(0, 24, 3))
+        return s // 8
+
+    comp_trips = [comp(rgb[3 * i + c], A[i])
+                  for i in range(8) for c in range(3)]
+    assert out[1]["channels"] == 4
+    assert out[1]["mean_luma_fx"] == luma(comp_trips)
+    assert out[6]["mean_luma_fx"] == out[1]["mean_luma_fx"]
+    assert out[5]["channels"] == 3
+    assert out[5]["mean_luma_fx"] == luma(comp_trips)  # same alpha math
+    ga_trips = [comp(grays[i], A[i]) for i in range(8) for _ in range(3)]
+    assert out[2]["channels"] == 2
+    assert out[2]["mean_luma_fx"] == luma(ga_trips)
+    assert out[3]["channels"] == 3
+    assert out[3]["mean_luma_fx"] == luma(list(rgb))  # high-byte exact
+    g4 = [255 if g == grays[0] else g for g in grays]
+    assert out[4]["channels"] == 1
+    assert out[4]["mean_luma_fx"] == luma(
+        [v for g in g4 for v in (g, g, g)]
+    )
