@@ -5754,6 +5754,29 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/tokenizer.py
+    train_unigram — the SentencePiece shape, Kudo 2018) with hard EM
+    in exact integer log space: piece cost = BL(total) - BL(cnt)
+    (binary digit counts, no float anywhere), Viterbi E-step
+    minimizing (cost, piece count, lexicographic pieces), count
+    M-step, char-preserving prune. The oracle replays BOTH EM rounds
+    exactly: seed substring counts via nested list comprehension,
+    costs via length(to_base(x, 2)), and the Viterbi argmin as an
+    exhaustive recursive-CTE enumeration of segmentations (exact
+    same ordering, tractable because words are short) — a seed-,
+    cost-, DP-, tie-break-, or prune-grain bug hash-mismatches."""
+    from geist_spark.operators.tokenizer import train_unigram
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    vocab = train_unigram(
+        docs, vocab_size=60, rounds=2, max_piece_len=4, seed_size=200
+    )
+    return spark.createDataFrame(
+        vocab, "piece string, cnt bigint, cost int"
+    )
+
+
 def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding at vocabulary grain (operators/tokenizer.py
     bpe_apply): merges learned on the lang='en' slice, applied ONCE to
@@ -6054,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_url_normalize": w_url_normalize,
         "t_lm_score": t_lm_score,
         "t_bpe_merges": t_bpe_merges,
+        "t_unigram_train": t_unigram_train,
         # multimodal family representative: REAL decode (full
         # Huffman+IDCT oracle) — the byte-stat stub m_media_features
         # moved to the variants section below when real decode landed
@@ -9488,6 +9512,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "t_bpe_merges": _bpe_merges_oracle(6),
+        "t_unigram_train": _unigram_train_oracle(),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
         "d_simhash_near_dup": _simhash_near_dup_oracle(
@@ -10553,6 +10578,108 @@ def _bpe_oracle_ctes(num_merges: int) -> str:
             f", syms{r + 1} AS (SELECT word, freq, {_BPE_UNPACK} AS sym"
             f"    FROM red{r})"
         )
+    return "".join(parts)
+
+
+def _unigram_train_oracle(
+    vocab_size: int = 60,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    max_word_len: int = 64,
+) -> str:
+    """Exact replay of train_unigram: integer BL costs via
+    length(to_base(x, 2)); the Viterbi argmin replayed as an
+    exhaustive recursive-CTE enumeration of all segmentations with
+    the identical (cost, n_pieces, seq) ordering — equal by
+    definition of argmin, and tractable because natural-language
+    words are short."""
+    parts = [f"""
+        WITH RECURSIVE wf AS (
+            SELECT word, count(*) AS freq FROM (
+                SELECT t AS word
+                FROM (SELECT unnest({_TOKENS_SQL}) AS t
+                      FROM documents WHERE lang = 'en')
+                WHERE t <> '' AND strpos(t, chr(1)) = 0
+            ) WHERE length(word) <= {max_word_len}
+            GROUP BY word
+        ), subs AS (
+            SELECT piece, sum(freq) AS cnt FROM (
+                SELECT freq,
+                       unnest(flatten([[word[i : i + l - 1]
+                           for l in generate_series(1,
+                               least({max_piece_len},
+                                     length(word) - i + 1))]
+                           for i in generate_series(1, length(word))]))
+                           AS piece
+                FROM wf)
+            GROUP BY piece
+        ), multi AS (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, piece ASC) AS rn
+                FROM subs WHERE length(piece) > 1)
+            WHERE rn <= {seed_size}
+        ), v0 AS (
+            SELECT piece, cnt FROM subs WHERE length(piece) = 1
+            UNION ALL SELECT piece, cnt FROM multi
+        ), cost0 AS (
+            SELECT piece, cnt,
+                   (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM v0)
+                 - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS cost
+            FROM v0
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", dp{r} AS (
+            SELECT word, freq, 0 AS pos, 0 AS cost, 0 AS np,
+                   '' AS seq
+            FROM wf
+            UNION ALL
+            SELECT d.word, d.freq, d.pos + length(p.piece),
+                   d.cost + p.cost, d.np + 1,
+                   CASE WHEN d.seq = '' THEN p.piece
+                        ELSE d.seq || ' ' || p.piece END
+            FROM dp{r} d JOIN cost{r - 1} p
+              ON d.word[d.pos + 1 : d.pos + length(p.piece)] = p.piece
+            WHERE d.pos < length(d.word)
+        ), seg{r} AS (
+            SELECT word, freq, seq FROM (
+                SELECT word, freq, seq, row_number() OVER (
+                    PARTITION BY word
+                    ORDER BY cost, np, seq) AS rn
+                FROM dp{r} WHERE pos = length(word))
+            WHERE rn = 1
+        ), v{r} AS (
+            SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+            FROM (SELECT piece FROM v0) v
+            LEFT JOIN (
+                SELECT piece, sum(freq) AS cnt FROM (
+                    SELECT freq, unnest(string_split(seq, ' ')) AS piece
+                    FROM seg{r})
+                GROUP BY piece) c USING (piece)
+        ), cost{r} AS (
+            SELECT piece, cnt,
+                   (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM v{r})
+                 - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS cost
+            FROM v{r}
+        )""")
+    parts.append(f""", keepm AS (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, piece ASC) AS rn
+                FROM v{rounds} WHERE length(piece) > 1)
+            WHERE rn <= greatest({vocab_size} - (
+                SELECT count(*) FROM v{rounds}
+                WHERE length(piece) = 1), 0)
+        ), fin AS (
+            SELECT piece, cnt FROM v{rounds} WHERE length(piece) = 1
+            UNION ALL SELECT piece, cnt FROM keepm
+        )
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+               CAST((SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM fin)
+                  - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS INTEGER)
+                   AS cost
+        FROM fin""")
     return "".join(parts)
 
 

@@ -207,3 +207,226 @@ def bpe_apply(
     return df.unionByName(dirty).withColumn(
         "n_subwords", F.size(F.split(F.col("sym"), " "))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer training (Kudo 2018 / SentencePiece's other half)
+# ---------------------------------------------------------------------------
+
+def _bl(x: int) -> int:
+    """Binary digit count (floor(log2(x))+1 for x>=1) — the exact
+    integer log the unigram dialect scores with. DuckDB replays it as
+    length(printf('%b', x))."""
+    return max(x, 1).bit_length()
+
+
+def substring_counts(
+    words: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """(piece, cnt) for every substring of every word up to
+    max_piece_len, weighted by word frequency and occurrence
+    multiplicity — the unigram seed-vocabulary pass. Pure JVM
+    (sequence + transform + flatten + explode) at VOCABULARY grain:
+    O(vocab * len * max_piece_len) rows, one partial-agg shuffle at
+    piece grain; the corpus itself is never rescanned."""
+    w = F.col("word")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length(w) - i + 1),
+                ),
+                lambda ln: F.substring(w, i, ln),
+            ),
+        )
+    )
+    return (
+        words.select(F.col("freq"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _viterbi_segment(word: str, costs: dict, max_piece_len: int,
+                     unk_cost: int) -> list[str]:
+    """Exact integer Viterbi: minimize (total cost, piece count,
+    space-joined piece string) lexicographically over all
+    segmentations whose pieces are in `costs` (single characters not
+    in the vocabulary fall back to unk_cost, so every word segments).
+    Deterministic and replayed verbatim by the DuckDB oracle's
+    exhaustive recursive-CTE argmin."""
+    n = len(word)
+    INF = (1 << 62, 1 << 62, "")
+    best: list[tuple] = [INF] * (n + 1)
+    best[0] = (0, 0, "")
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i][0] >= (1 << 62):
+                continue
+            piece = word[i:j]
+            c = costs.get(piece)
+            if c is None:
+                if j - i > 1:
+                    continue
+                c = unk_cost
+            seq = best[i][2] + (" " if best[i][2] else "") + piece
+            cand = (best[i][0] + c, best[i][1] + 1, seq)
+            if cand < best[j]:
+                best[j] = cand
+    return best[n][2].split(" ")
+
+
+def train_unigram(
+    documents: DataFrame,
+    vocab_size: int = 60,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_size: int = 200,
+    text_col: str = "text",
+    max_word_len: int = 64,
+) -> list[tuple[str, int, int]]:
+    """Unigram-LM tokenizer training (the SentencePiece algorithm's
+    shape, Kudo 2018) with HARD EM in exact integer log space so the
+    whole run is engine-exact and DuckDB-replayable:
+
+      * piece cost = BL(total) - BL(max(cnt,1)) where BL is the
+        binary digit count — an integer -log2 surrogate; lower cost
+        = more probable piece (the fixed-point discipline of
+        train_ivf_centroids applied to the tokenizer),
+      * E-step = Viterbi segmentation minimizing (cost, piece count,
+        lexicographic piece string) — deterministic argmin, no float
+        anywhere,
+      * M-step = piece counts from the Viterbi segmentations,
+        weighted by word frequency; new costs from new counts,
+      * final prune keeps every single character plus the top
+        (vocab_size - n_chars) multi-character pieces by
+        (count DESC, piece ASC).
+
+    Scale shape = train_bpe's: ONE corpus pass (word_freqs), then
+    every round runs at VOCABULARY grain — seed substring explode is
+    pure JVM, the Viterbi E-step is one Arrow mapInPandas stage over
+    the word table with the (<= seed_size)-entry cost dict broadcast
+    in the closure, the M-step a piece-grain partial agg whose
+    result (<= seed_size rows, control-plane bounded like the IVF
+    centroid fetch) is collected to re-derive costs.
+    localCheckpoint pins the word table once. Words longer than
+    max_word_len are excluded from training (the DP is O(len *
+    max_piece_len); URL-shaped 'words' would dominate it).
+
+    Returns [(piece, cnt, cost)] for the final vocabulary, sorted by
+    (cost ASC, piece ASC).
+    """
+    import pandas as pd
+
+    if vocab_size < 1 or rounds < 0 or max_piece_len < 1:
+        raise ValueError("vocab_size/rounds/max_piece_len must be positive")
+    wf = (
+        word_freqs(documents, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .localCheckpoint()
+    )
+
+    # seed: top multi-char substrings by count + ALL single chars
+    seed = substring_counts(wf, max_piece_len)
+    chars = {
+        (r["piece"], int(r["cnt"]))
+        for r in seed.filter(F.length("piece") == 1).collect()
+    }
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_size)
+        .collect()
+    )
+    counts = {p: c for p, c in chars}
+    counts.update({r["piece"]: int(r["cnt"]) for r in multi})
+
+    def costs_from(cnts: dict) -> tuple[dict, int]:
+        total = sum(cnts.values())
+        tb = _bl(total)
+        return {p: tb - _bl(c) for p, c in cnts.items()}, tb
+
+    costs, tbl = costs_from(counts)
+
+    for _ in range(rounds):
+        cost_map, unk = dict(costs), tbl  # captured by the closure
+
+        def segment(batches):
+            for pdf in batches:
+                out_w, out_p, out_f = [], [], []
+                for w, fq in zip(pdf["word"], pdf["freq"]):
+                    for piece in _viterbi_segment(
+                        w, cost_map, max_piece_len, unk
+                    ):
+                        out_w.append(w)
+                        out_p.append(piece)
+                        out_f.append(fq)
+                yield pd.DataFrame(
+                    {"word": out_w, "piece": out_p, "freq": out_f}
+                )
+
+        new = (
+            wf.mapInPandas(
+                segment, "word string, piece string, freq long"
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()  # <= seed_size + n_chars rows: control-plane
+        )
+        got = {r["piece"]: int(r["cnt"]) for r in new}
+        # vocabulary is CLOSED during EM: unused pieces drop to 0
+        # count (cost from max(cnt,1)), chars always survive
+        counts = {p: got.get(p, 0) for p in counts}
+        costs, tbl = costs_from(counts)
+
+    n_chars = sum(1 for p in counts if len(p) == 1)
+    keep_multi = max(vocab_size - n_chars, 0)
+    kept = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:keep_multi]
+    final = {p: c for p, c in counts.items() if len(p) == 1}
+    final.update(dict(kept))
+    costs, _ = costs_from(final)
+    return sorted(
+        ((p, final[p], costs[p]) for p in final),
+        key=lambda t: (t[2], t[0]),
+    )
+
+
+def unigram_apply(
+    words: DataFrame,
+    vocab: list[tuple[str, int, int]],
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Segment a word table with a trained unigram vocabulary: adds
+    `sym` (space-joined pieces, the bpe_apply convention) and
+    `n_pieces`. Same Viterbi argmin as training (single characters
+    outside the vocabulary fall back to the max cost + 1 so any word
+    segments). One Arrow stage at vocabulary grain — encode the
+    distinct vocabulary once and broadcast-join it onto the token
+    stream, never re-segment per occurrence."""
+    import pandas as pd
+
+    cost_map = {p: cost for p, _c, cost in vocab}
+    unk = max(cost_map.values(), default=1) + 1
+
+    def run(batches):
+        for pdf in batches:
+            syms, nps = [], []
+            for w in pdf[word_col]:
+                pieces = _viterbi_segment(w, cost_map, max_piece_len, unk)
+                syms.append(" ".join(pieces))
+                nps.append(len(pieces))
+            out = pdf.copy()
+            out["sym"] = syms
+            out["n_pieces"] = nps
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
+    )
+    return words.mapInPandas(run, f"{fields}, sym string, n_pieces int")

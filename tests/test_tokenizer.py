@@ -122,3 +122,85 @@ def test_train_bpe_exhausted_pairs_stops(spark):
     assert len(merges) < 10  # breaks when no pairs remain
     final = merges[-1]
     assert final[3] == "ab</w>"
+
+
+def test_train_unigram_golden(spark):
+    """Unigram hard-EM golden on a corpus built to have obvious
+    pieces: 'low'/'new'/'er'/'est' must land in the learned
+    vocabulary; costs are exact integer BLs; the vocabulary always
+    keeps every single character; output sorted (cost, piece)."""
+    from geist_spark.operators.tokenizer import train_unigram
+
+    docs = _docs(
+        spark,
+        "low lower lowest new newer newest",
+        "low low newer newest wide wider",
+        "the new low the new wide",
+    )
+    vocab = train_unigram(docs, vocab_size=25, rounds=2,
+                          max_piece_len=4, seed_size=40)
+    pieces = {p for p, _, _ in vocab}
+    assert {"low", "new", "er"} <= pieces
+    chars = {c for p, _, _ in vocab for c in p}
+    assert chars <= pieces  # every char of every piece is a piece
+    # exact integer cost law: cost = BL(total) - BL(max(cnt,1))
+    total = sum(c for _, c, _ in vocab)
+    for p, c, cost in vocab:
+        assert cost == max(total, 1).bit_length() - max(c, 1).bit_length()
+    assert vocab == sorted(vocab, key=lambda t: (t[2], t[0]))
+    # determinism: second run is identical
+    assert vocab == train_unigram(docs, vocab_size=25, rounds=2,
+                                  max_piece_len=4, seed_size=40)
+
+
+def test_unigram_apply_viterbi(spark):
+    """unigram_apply segments with the exact Viterbi argmin: known
+    words split into their learned pieces; characters outside the
+    vocabulary fall back to single-char pieces (never an error);
+    n_pieces matches the segmentation."""
+    from geist_spark.operators.tokenizer import train_unigram, unigram_apply
+
+    docs = _docs(
+        spark,
+        "low lower lowest new newer newest",
+        "low low newer newest wide wider",
+    )
+    vocab = train_unigram(docs, vocab_size=25, rounds=2,
+                          max_piece_len=4, seed_size=40)
+    wdf = spark.createDataFrame(
+        [("lowest",), ("newer",), ("zzz",), ("lownew",)], "word string"
+    )
+    out = {r["word"]: r for r in unigram_apply(wdf, vocab).collect()}
+    assert out["lowest"]["sym"] == "low est"
+    assert out["newer"]["sym"] == "new er"
+    assert out["zzz"]["sym"] == "z z z"  # unknown chars fall back
+    assert out["lownew"]["sym"] == "low new"
+    assert out["lownew"]["n_pieces"] == 2
+
+
+def test_viterbi_segment_exact_ordering():
+    """The DP tie-break is (cost, n_pieces, lexicographic seq) — the
+    exact ordering the DuckDB oracle's exhaustive argmin replays."""
+    from geist_spark.operators.tokenizer import _viterbi_segment
+
+    # 'abab': pieces ab(1) a(2) b(2) -> 'ab ab' cost 2 beats chars
+    costs = {"ab": 1, "a": 2, "b": 2}
+    assert _viterbi_segment("abab", costs, 4, 9) == ["ab", "ab"]
+    # equal cost, fewer pieces wins: 'abc' as abc(4) vs a+bc(2+2)
+    costs = {"abc": 4, "a": 2, "bc": 2, "b": 3, "c": 3}
+    assert _viterbi_segment("abc", costs, 4, 9) == ["abc"]
+    # equal cost AND count: lexicographically smaller seq wins
+    # 'ab': 'a b' vs 'ab'? different counts. use 'aa' with x/y pieces
+    costs = {"aa": 2, "a": 1}
+    # 'aaaa': aa+aa (4) vs a*4 (4) vs aa+a+a (4): counts 2 < 3 < 4
+    assert _viterbi_segment("aaaa", costs, 4, 9) == ["aa", "aa"]
+
+
+def test_train_unigram_validation(spark):
+    import pytest
+
+    from geist_spark.operators.tokenizer import train_unigram
+
+    docs = _docs(spark, "a b")
+    with pytest.raises(ValueError, match="positive"):
+        train_unigram(docs, vocab_size=0)
