@@ -3454,7 +3454,9 @@ def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.multimodal import (
         flac_build,
         gif_encode_rgb,
+        id3v2_build,
         media_probe,
+        mp3_build,
         mp4_build,
         png_encode_rgb,
         tiff_encode_rgb,
@@ -3470,7 +3472,7 @@ def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w, h = d % 5 + 1, d % 3 + 1
                 rgb = bytes(w * h * 3)
-                k = d % 8
+                k = d % 9
                 if k == 0:
                     p = png_encode_rgb(w, h, rgb)
                 elif k == 1:
@@ -3499,8 +3501,24 @@ def m_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = flac_build(8000, 1, 16, 8000 * (d % 9 + 1))
                 elif k == 6:
                     p = gif_encode_rgb(w, h, rgb)
-                else:
+                elif k == 7:
                     p = tiff_encode_rgb(w, h, rgb)
+                else:
+                    # MP3: even docs CBR stereo (ID3v2+ID3v1 wrapped
+                    # every other one), odd docs mono with a Xing
+                    # frame count the walk must trust over the
+                    # physical frames
+                    n = d % 6 + 2
+                    if d % 2 == 0:
+                        tag = (
+                            id3v2_build("T", "A", "B", "2024")
+                            if d % 4 == 0 else b""
+                        )
+                        p = mp3_build(n, id3_tag=tag,
+                                      id3v1=(d % 4 == 0))
+                    else:
+                        p = mp3_build(n, xing_frames=n + 37,
+                                      stereo=False)
                 payloads.append(p)
             yield _pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -7467,34 +7485,45 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC media-sniff replay over the doc_id%8 rotation
         "m_media_probe": """
             SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 8 AS INTEGER)
+                   CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPEG'
                         WHEN 2 THEN 'WAV' WHEN 3 THEN 'MP4'
                         WHEN 4 THEN 'WEBP' WHEN 5 THEN 'FLAC'
-                        WHEN 6 THEN 'GIF' ELSE 'TIFF' END AS format,
-                   CASE CAST(doc_id % 8 AS INTEGER)
+                        WHEN 6 THEN 'GIF' WHEN 7 THEN 'TIFF'
+                        ELSE 'MP3' END AS format,
+                   CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 2 THEN 'audio' WHEN 5 THEN 'audio'
+                        WHEN 8 THEN 'audio'
                         WHEN 3 THEN 'video' ELSE 'image' END AS kind,
-                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                   CAST(CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 1 THEN 8 * (doc_id % 3 + 1)
                         WHEN 3 THEN 16 * (doc_id % 10 + 1)
                         WHEN 2 THEN NULL WHEN 5 THEN NULL
+                        WHEN 8 THEN NULL
                         ELSE doc_id % 5 + 1 END AS INTEGER) AS width,
-                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                   CAST(CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 1 THEN 8
                         WHEN 3 THEN 32
                         WHEN 2 THEN NULL WHEN 5 THEN NULL
+                        WHEN 8 THEN NULL
                         ELSE doc_id % 3 + 1 END AS INTEGER) AS height,
-                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                   CAST(CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 2 THEN doc_id % 9 + 1
                         WHEN 3 THEN (doc_id % 50 + 1) * 500
                         WHEN 5 THEN (doc_id % 9 + 1) * 1000
+                        WHEN 8 THEN CASE WHEN doc_id % 2 = 0
+                            THEN (doc_id % 6 + 2) * 1152 * 1000 // 44100
+                            ELSE (doc_id % 6 + 2 + 37) * 1152 * 1000
+                                 // 44100 END
                         ELSE NULL END AS BIGINT) AS duration_ms,
-                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                   CAST(CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 2 THEN 8000 WHEN 5 THEN 8000
+                        WHEN 8 THEN 44100
                         ELSE NULL END AS INTEGER) AS sample_rate,
-                   CAST(CASE CAST(doc_id % 8 AS INTEGER)
+                   CAST(CASE CAST(doc_id % 9 AS INTEGER)
                         WHEN 2 THEN 1 WHEN 5 THEN 1
+                        WHEN 8 THEN CASE WHEN doc_id % 2 = 0
+                                         THEN 2 ELSE 1 END
                         ELSE NULL END AS INTEGER) AS n_channels
             FROM documents
         """,

@@ -2219,8 +2219,16 @@ def _probe_one(b: bytes) -> dict:
             n_channels=info["n_channels"],
             duration_ms=info["duration_ms"],
         )
-    elif b[:3] == b"ID3":
-        out.update(format="MP3", kind="audio")
+    elif b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0
+    ):
+        info = _mp3_parse(b)
+        out.update(
+            format="MP3", kind="audio",
+            sample_rate=info["sample_rate"],
+            n_channels=info["n_channels"],
+            duration_ms=info["duration_ms"],
+        )
     elif b[:4] == b"OggS":
         info = _ogg_parse(b)
         out.update(
@@ -2602,6 +2610,175 @@ def _flac_blocks(b: bytes):
         if last:
             return
         pos = end
+
+
+# MPEG audio frame tables (ISO 11172-3 / 13818-3, public spec):
+# bitrate kbps by [version-group][layer][index]; sample rates by
+# [version][index]; samples per frame by (version-group, layer)
+_MP3_BITRATES = {
+    # MPEG1: layer 1/2/3
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    # MPEG2 / 2.5
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],   # version bits 11 = MPEG1
+              2: [22050, 24000, 16000],   # 10 = MPEG2
+              0: [11025, 12000, 8000]}    # 00 = MPEG2.5
+
+
+def _mp3_parse(b: bytes) -> dict:
+    """MP3 duration/params via the frame-header walk: skip the ID3v2
+    tag (and a trailing ID3v1 block), then either trust a Xing/Info/
+    VBRI header's frame count (the VBR fast path) or walk every
+    frame header summing samples (CBR and headerless VBR — exact).
+    Free-format bitrate (index 0) is a CAPABILITY limit (the frame
+    length is not derivable from the header); bad sync, reserved
+    version/layer/bitrate/rate indices, and a payload with no
+    complete frame are MALFORMED."""
+    import struct
+
+    pos = 0
+    if b[:3] == b"ID3":
+        pos = _id3_parse(b)["tag_size"]
+    end = len(b)
+    if end - pos >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    frames = 0
+    samples = 0
+    sr = None
+    n_channels = None
+    while pos + 4 <= end:
+        h0, h1, h2, h3 = b[pos : pos + 4]
+        if not (h0 == 0xFF and h1 & 0xE0 == 0xE0):
+            if frames:
+                break  # trailing junk/padding after the audio stream
+            raise ValueError(
+                f"malformed MP3: no frame sync at offset {pos}"
+            )
+        vbits = (h1 >> 3) & 0x03
+        lbits = (h1 >> 1) & 0x03
+        if vbits == 1 or lbits == 0:
+            raise ValueError("malformed MP3: reserved version/layer")
+        layer = 4 - lbits  # bits 11=L1, 10=L2, 01=L3
+        vgroup = 1 if vbits == 3 else 2
+        br_idx = (h2 >> 4) & 0x0F
+        sr_idx = (h2 >> 2) & 0x03
+        padding = (h2 >> 1) & 0x01
+        mode = (h3 >> 6) & 0x03
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("malformed MP3: reserved bitrate/rate index")
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format MP3 bitrate unsupported (frame length "
+                "requires a sync scan)"
+            )
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[vbits][sr_idx]
+        if sr is None:
+            sr, n_channels = rate, (1 if mode == 3 else 2)
+        if layer == 1:
+            spf = 384
+            flen = (12 * bitrate // rate + padding) * 4
+        else:
+            spf = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = spf // 8 * bitrate // rate + padding
+        if flen <= 4:
+            raise ValueError("malformed MP3: degenerate frame length")
+        if pos + flen > end:
+            if frames:
+                break  # final frame truncated: count what played
+            raise ValueError("truncated MP3: first frame cut short")
+        if frames == 0:
+            # Xing/Info (after the side info) or VBRI (fixed +36):
+            # a frame-count field short-circuits the walk (VBR path)
+            side = (
+                (17 if mode == 3 else 32)
+                if vgroup == 1
+                else (9 if mode == 3 else 17)
+            )
+            for off, tag in ((pos + 4 + side, b"Xing"),
+                             (pos + 4 + side, b"Info"),
+                             (pos + 36, b"VBRI")):
+                if b[off : off + 4] != tag:
+                    continue
+                if tag == b"VBRI":
+                    if off + 18 > end:
+                        raise ValueError("truncated MP3 VBRI header")
+                    (nf,) = struct.unpack_from(">I", b, off + 14)
+                else:
+                    (flags,) = struct.unpack_from(">I", b, off + 4)
+                    if not flags & 0x01:
+                        continue  # no frame-count field
+                    (nf,) = struct.unpack_from(">I", b, off + 8)
+                return {
+                    "sample_rate": sr,
+                    "n_channels": n_channels,
+                    "duration_ms": nf * spf * 1000 // sr,
+                }
+        frames += 1
+        samples += spf
+        pos += flen
+    if frames == 0:
+        raise ValueError("malformed MP3: no complete audio frame")
+    return {
+        "sample_rate": sr,
+        "n_channels": n_channels,
+        "duration_ms": samples * 1000 // sr,
+    }
+
+
+def mp3_build(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    stereo: bool = True,
+    id3_tag: bytes = b"",
+    xing_frames: int | None = None,
+    vbri_frames: int | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Synthetic-fixture MP3 builder (tests + the m_media_probe gate
+    — NOT a public operator): MPEG1 Layer III frame headers with
+    real header-derived frame lengths and zero-filled payloads;
+    optional leading ID3v2 tag, optional Xing or VBRI header in the
+    first frame, optional trailing ID3v1 block."""
+    import struct
+
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    mode = 0 if stereo else 3
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG1, Layer III, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        mode << 6,
+    ])
+    flen = 1152 // 8 * (bitrate_kbps * 1000) // sample_rate
+    out = bytearray(id3_tag)
+    for i in range(n_frames):
+        body = bytearray(flen - 4)
+        if i == 0 and xing_frames is not None:
+            side = 17 if mode == 3 else 32
+            body[side : side + 4] = b"Xing"
+            body[side + 4 : side + 8] = struct.pack(">I", 0x01)
+            body[side + 8 : side + 12] = struct.pack(">I", xing_frames)
+        if i == 0 and vbri_frames is not None:
+            body[32 : 32 + 4] = b"VBRI"
+            body[32 + 14 : 32 + 18] = struct.pack(">I", vbri_frames)
+        out += hdr + body
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
 
 
 def _flac_parse(b: bytes) -> dict:

@@ -1877,6 +1877,64 @@ def test_media_probe(spark):
         media_probe(bad, on_unsupported="null").collect()
 
 
+def test_media_probe_mp3_duration(spark):
+    """MP3 duration via the frame-header walk (round 8): CBR sums
+    per-frame samples (ID3v2/ID3v1 wrapping skipped, bare-sync
+    payloads accepted), Xing/Info and VBRI frame counts short-circuit
+    the walk, free-format bitrate is a capability limit, and bad
+    sync / truncated first frames are malformed."""
+    import pytest
+
+    from geist_spark.operators.multimodal import (
+        id3v2_build,
+        media_probe,
+        mp3_build,
+    )
+
+    tag = id3v2_build("T", "A", "B", "2020")
+    rows = [
+        (1, mp3_build(10)),                              # bare CBR
+        (2, mp3_build(7, id3_tag=tag, id3v1=True,        # wrapped CBR
+                      stereo=False, bitrate_kbps=64,
+                      sample_rate=32000)),
+        (3, mp3_build(3, xing_frames=999)),              # Xing VBR
+        (4, mp3_build(3, vbri_frames=500, stereo=False)),  # VBRI
+    ]
+    out = {r["media_id"]: r for r in
+           media_probe(spark.createDataFrame(
+               rows, "media_id long, payload binary")).collect()}
+    assert (out[1]["format"], out[1]["kind"], out[1]["sample_rate"],
+            out[1]["n_channels"], out[1]["duration_ms"]) == (
+        "MP3", "audio", 44100, 2, 10 * 1152 * 1000 // 44100)
+    assert (out[2]["sample_rate"], out[2]["n_channels"],
+            out[2]["duration_ms"]) == (
+        32000, 1, 7 * 1152 * 1000 // 32000)
+    assert out[3]["duration_ms"] == 999 * 1152 * 1000 // 44100
+    assert out[4]["duration_ms"] == 500 * 1152 * 1000 // 44100
+    # free-format bitrate: capability tier
+    free = bytearray(mp3_build(2))
+    free[2] &= 0x0F
+    caps = spark.createDataFrame(
+        [(1, bytes(free))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="free-format"):
+        media_probe(caps).collect()
+    row = media_probe(caps, on_unsupported="null").collect()[0]
+    assert row["format"] is None
+    # malformed: ID3 tag followed by no audio frame
+    junk = spark.createDataFrame(
+        [(1, tag + b"not audio at all")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no frame sync"):
+        media_probe(junk, on_unsupported="null").collect()
+    # truncated first frame
+    trunc = spark.createDataFrame(
+        [(1, mp3_build(1)[:50])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated MP3"):
+        media_probe(trunc, on_unsupported="null").collect()
+
+
 def test_ogg_probe(spark):
     """Vorbis and Opus ident parsing, duration from the final page's
     granule (Opus at the 48 kHz clock minus pre-skip), payload-
