@@ -3882,16 +3882,21 @@ def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction under the oracle gate: each doc becomes a
-    REAL 2-page classic-xref PDF (page 0: 'Doc {id}' + the doc text
-    as a second line; page 1: a WinAnsi 'café fin' line) built by the
-    paired minimal writer, with the writer variant picked by
-    doc_id % 4 — plain streams, FlateDecode, flate+indirect-/Length+
-    /Contents-array, and /Prev-chained two-section xref with TJ-array
-    shows — then parsed by pdf.pdf_extract_text (xref walk, object
-    grammar, bounded inflate, BT/ET assembly). The oracle does NO PDF
-    parsing: expected text is a pure string function of (doc_id,
-    text). An offset, Flate, /Length-resolution, page-tree,
-    string-escape, or TJ bug hash-mismatches."""
+    REAL 2-page PDF (page 0: 'Doc {id}' + the doc text as a second
+    line; page 1: a WinAnsi 'café fin' line) built by the paired
+    minimal writer, with the container variant picked by doc_id % 6 —
+    plain classic streams, FlateDecode, flate+indirect-/Length+
+    /Contents-array, /Prev-chained two-section xref with TJ-array
+    shows, PDF 1.5 cross-reference STREAM with every non-stream
+    object packed into an object stream, and 1.5 with the PNG-Up
+    xref predictor + Flate content — then parsed by
+    pdf.pdf_extract_text (xref walk incl. xref/object streams,
+    object grammar, bounded inflate, BT/ET assembly). The oracle
+    does NO PDF parsing: expected text is a pure string function of
+    (doc_id, text) and the container variant NEVER changes it. An
+    offset, Flate, /Length-resolution, xref-stream-field, predictor,
+    object-stream, page-tree, string-escape, or TJ bug
+    hash-mismatches."""
     import pandas as _pd
 
     from geist_spark.operators.pdf import (
@@ -3906,7 +3911,7 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                v = did % 4
+                v = did % 6
                 tj = v == 3
                 p0 = content_ops([f"Doc {did}", t], use_tj_array=tj)
                 p1 = content_ops(["café fin"], use_tj_array=tj)
@@ -3915,7 +3920,10 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else {"flate": True} if v == 1
                     else {"flate": True, "indirect_length": True,
                           "contents_array": True} if v == 2
-                    else {"two_xref_sections": True}
+                    else {"two_xref_sections": True} if v == 3
+                    else {"xref_stream": True, "objstm": True} if v == 4
+                    else {"xref_stream": True, "objstm": True,
+                          "predictor": True, "flate": True}
                 )
                 payloads.append(pdf_build([p0, p1], **kw))
             yield _pd.DataFrame(

@@ -5,19 +5,21 @@ the archive/Office extractors don't cover. This is a from-scratch
 minimal reader built the same way as prep.archive_extract_text and
 the multimodal decoders: stdlib only (zlib), every inflate bounded,
 two-tier errors — foreign/unsupported constructs are TYPED capability
-limits (encrypted PDFs, compressed xref streams, composite/CMap
-fonts, non-Flate filters), structural damage always raises
-ValueError. No reference-engine parity to cite: zpiroux/geist is a
-JSON-event engine (README.md:566) with no document surface; the spec
-followed here is ISO 32000-1 (classic cross-reference tables, object
-grammar, content-stream text operators).
+limits (encrypted PDFs, composite/CMap fonts, non-Flate filters),
+structural damage always raises ValueError. No reference-engine
+parity to cite: zpiroux/geist is a JSON-event engine (README.md:566)
+with no document surface; the spec followed here is ISO 32000-1
+(cross-reference tables AND 1.5 cross-reference/object streams,
+object grammar, content-stream text operators).
 
-Scope (the 90%-of-corpus tier, like html_extract):
-- classic xref tables (multi-section /Prev chains); xref STREAMS
-  (PDF 1.5 compressed xref + object streams) are a capability limit,
+Scope:
+- classic xref tables (multi-section /Prev chains) AND PDF 1.5
+  cross-reference STREAMS (W-field rows, /Index subsections, PNG
+  row predictors) with object streams (/ObjStm) — the modern-PDF
+  majority layout,
 - FlateDecode and unfiltered content streams, bounded at max_bytes
-  (the PNG-IDAT / gzip-bomb rule); predictors and other filters are
-  capability limits,
+  (the PNG-IDAT / gzip-bomb rule); predictors on CONTENT streams and
+  other filters are capability limits,
 - simple fonts (Type1/TrueType) with standard single-byte encodings,
   decoded as WinAnsi (cp1252) — Type0/CMap composite fonts are a
   capability limit (their bytes are CID indexes, not characters;
@@ -268,11 +270,17 @@ def _resolve(v, objects: dict, max_bytes: int, depth: int = 0):
 
 
 def _load_object(objects: dict, num: int, max_bytes: int):
-    """Parse 'N G obj … endobj' at the xref offset: (value,
-    stream_bytes_or_None). Results memoized in objects[num]."""
+    """Parse 'N G obj … endobj' at the xref offset — or, for a
+    compressed entry, extract the object from its object stream
+    (PDF 1.5 /ObjStm) — returning (value, stream_bytes_or_None).
+    Results memoized in objects[num]."""
     ent = objects[num]
     if isinstance(ent, tuple) and ent[0] == "parsed":
         return ent[1], ent[2]
+    if isinstance(ent, tuple) and ent[0] == "instream":
+        val = _objstm_object(objects, ent[1], ent[2], num, max_bytes)
+        objects[num] = ("parsed", val, None)
+        return val, None
     b, off = ent
     lx = _Lexer(b, off)
     lx.skip_ws()
@@ -313,6 +321,219 @@ def _load_object(objects: dict, num: int, max_bytes: int):
         stream = lx.b[lx.i: lx.i + length]
     objects[num] = ("parsed", val, stream)
     return val, stream
+
+
+def _objstm_object(
+    objects: dict, stm_num: int, idx: int, want: int, max_bytes: int
+):
+    """Extract object #idx from object stream `stm_num` (PDF 1.5
+    §7.5.7): the decoded stream opens with /N pairs of
+    'objnum offset' integers, then the bare object bodies at
+    /First + offset. The header pair must name the object the xref
+    claims lives there."""
+    if stm_num not in objects:
+        raise ValueError(
+            f"malformed PDF: xref points into missing object stream "
+            f"{stm_num}"
+        )
+    sdict, raw = _load_object(objects, stm_num, max_bytes)
+    if not isinstance(sdict, dict) or raw is None:
+        raise ValueError(
+            f"malformed PDF: object stream {stm_num} has no stream"
+        )
+    if str(sdict.get("Type")) != "ObjStm":
+        raise ValueError(
+            f"malformed PDF: object {stm_num} is not /Type /ObjStm"
+        )
+    data = _decode_stream(sdict, raw, objects, max_bytes)
+    n = _resolve(sdict.get("N"), objects, max_bytes)
+    first = _resolve(sdict.get("First"), objects, max_bytes)
+    if not isinstance(n, int) or not isinstance(first, int):
+        raise ValueError(
+            f"malformed PDF: object stream {stm_num} /N or /First"
+        )
+    if not 0 <= idx < n:
+        raise ValueError(
+            f"malformed PDF: object-stream index {idx} out of range"
+        )
+    lx = _Lexer(data)
+    header = []
+    for _ in range(2 * n):
+        lx.skip_ws()
+        tok = lx.keyword()
+        if not tok.isdigit():
+            raise ValueError(
+                f"malformed PDF: object stream {stm_num} header"
+            )
+        header.append(int(tok))
+    onum, ooff = header[2 * idx], header[2 * idx + 1]
+    if onum != want:
+        raise ValueError(
+            f"malformed PDF: xref says object {want} at index {idx} of "
+            f"stream {stm_num}, header says {onum}"
+        )
+    return _parse_value(_Lexer(data, first + ooff), objects)
+
+
+def _png_predictor_undo(data: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors on an xref-stream payload (/Predictor
+    >= 10, colors=1, bpc=8 — the shape xref streams use): each row is
+    one filter-tag byte + `columns` bytes; Sub/Up/Average/Paeth per
+    RFC 2083 with bpp=1."""
+    rowlen = columns + 1
+    if columns <= 0 or len(data) % rowlen:
+        raise ValueError(
+            "malformed PDF: predicted xref stream is not whole rows"
+        )
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), rowlen):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for x in range(1, columns):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif tag == 2:  # Up
+            for x in range(columns):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif tag == 3:  # Average
+            for x in range(columns):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for x in range(columns):
+                a = row[x - 1] if x else 0
+                bb = prev[x]
+                c = prev[x - 1] if x else 0
+                pp = a + bb - c
+                pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else c
+                )
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(
+                f"malformed PDF: unknown xref predictor tag {tag}"
+            )
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _xref_stream_section(
+    b: bytes, off: int, offsets: dict, max_bytes: int
+) -> dict:
+    """Parse one PDF 1.5 cross-reference STREAM (§7.5.8) at `off`,
+    adding first-seen-wins entries to `offsets` (type 1 -> (b, off),
+    type 2 -> ('instream', stm, idx)). Returns the stream dict (it
+    doubles as the trailer)."""
+    import struct
+
+    lx = _Lexer(b, off)
+    lx.skip_ws()
+    w1 = lx.keyword()
+    lx.skip_ws()
+    w2 = lx.keyword()
+    lx.skip_ws()
+    w3 = lx.keyword()
+    if not (w1.isdigit() and w2.isdigit() and w3 == "obj"):
+        raise ValueError(
+            f"malformed PDF: no xref table or stream at offset {off}"
+        )
+    sdict = _parse_value(lx, offsets)
+    lx.skip_ws()
+    if not isinstance(sdict, dict) or str(sdict.get("Type")) != "XRef":
+        raise ValueError(
+            f"malformed PDF: object at startxref {off} is not "
+            "/Type /XRef"
+        )
+    if lx.b[lx.i : lx.i + 6] != b"stream":
+        raise ValueError("malformed PDF: xref stream has no stream")
+    lx.i += 6
+    if lx.b[lx.i : lx.i + 2] == b"\r\n":
+        lx.i += 2
+    elif lx.b[lx.i : lx.i + 1] == b"\n":
+        lx.i += 1
+    length = sdict.get("Length")
+    if not isinstance(length, int) or length < 0:
+        raise ValueError(
+            "malformed PDF: xref stream /Length must be a direct "
+            "integer"
+        )
+    if lx.i + length > len(b):
+        raise ValueError("truncated PDF: xref stream body")
+    raw = b[lx.i : lx.i + length]
+
+    # inline filter handling: FlateDecode (+ optional PNG predictor)
+    import zlib
+
+    filt = sdict.get("Filter")
+    parms = sdict.get("DecodeParms")
+    data = raw
+    if filt is not None:
+        if str(filt) != "FlateDecode":
+            raise NotImplementedError(
+                f"xref stream filter /{filt} unsupported"
+            )
+        d = zlib.decompressobj()
+        try:
+            data = d.decompress(raw, max_bytes + 1)
+        except zlib.error as exc:
+            raise ValueError(
+                f"malformed PDF: bad xref Flate stream: {exc}"
+            ) from None
+        if len(data) > max_bytes:
+            raise ValueError(
+                f"xref stream inflates past max_bytes={max_bytes}"
+            )
+    ws = sdict.get("W")
+    if not (isinstance(ws, list) and len(ws) == 3
+            and all(isinstance(x, int) and x >= 0 for x in ws)):
+        raise ValueError("malformed PDF: xref stream /W")
+    if isinstance(parms, dict):
+        pred = parms.get("Predictor", 1)
+        if pred >= 10:
+            data = _png_predictor_undo(data, sum(ws))
+        elif pred != 1:
+            raise NotImplementedError(
+                f"xref stream predictor {pred} unsupported"
+            )
+    size = sdict.get("Size")
+    index = sdict.get("Index", [0, size if isinstance(size, int) else 0])
+    if not (isinstance(index, list) and len(index) % 2 == 0
+            and all(isinstance(x, int) for x in index)):
+        raise ValueError("malformed PDF: xref stream /Index")
+    rowlen = sum(ws)
+    pos = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal pos
+        if width == 0:
+            return default
+        v = int.from_bytes(data[pos : pos + width], "big")
+        pos += width
+        return v
+
+    for k in range(0, len(index), 2):
+        start, count = index[k], index[k + 1]
+        for j in range(count):
+            if pos + rowlen > len(data):
+                raise ValueError("truncated PDF: xref stream entries")
+            typ = field(ws[0], 1)
+            f2 = field(ws[1], 0)
+            f3 = field(ws[2], 0)
+            num = start + j
+            if num in offsets:
+                continue  # first-seen wins across /Prev chain
+            if typ == 1:
+                offsets[num] = (b, f2)
+            elif typ == 2:
+                offsets[num] = ("instream", f2, f3)
+            # typ 0 (free) and unknown types: skip (per spec, readers
+            # ignore entry types they don't understand)
+    return sdict
 
 
 def _decode_stream(
@@ -384,22 +605,18 @@ def _xref_offsets(b: bytes, max_bytes: int) -> tuple[dict, dict]:
         lx = _Lexer(b, next_off)
         lx.skip_ws()
         if b[lx.i: lx.i + 4] != b"xref":
-            # PDF 1.5+: the startxref target is an 'N G obj' xref
-            # stream — a capability limit, not damage
-            probe = _Lexer(b, lx.i)
-            w1 = probe.keyword()
-            probe.skip_ws()
-            w2 = probe.keyword()
-            probe.skip_ws()
-            w3 = probe.keyword()
-            if w1.isdigit() and w2.isdigit() and w3 == "obj":
-                raise NotImplementedError(
-                    "PDF 1.5 compressed cross-reference stream "
-                    "unsupported (classic xref tables only)"
-                )
-            raise ValueError(
-                f"malformed PDF: no xref table at offset {next_off}"
-            )
+            # PDF 1.5+: the startxref target is an 'N 0 obj'
+            # cross-reference STREAM — parse it for real
+            t = _xref_stream_section(b, lx.i, offsets, max_bytes)
+            if not trailer:
+                trailer = t
+            prev = t.get("Prev")
+            if prev is None:
+                return offsets, trailer
+            if not isinstance(prev, int):
+                raise ValueError("malformed PDF: non-integer /Prev")
+            next_off = prev
+            continue
         lx.i += 4
         while True:
             lx.skip_ws()
@@ -709,6 +926,9 @@ def pdf_build(
     encrypt: bool = False,
     two_xref_sections: bool = False,
     contents_array: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Minimal classic-xref PDF writer — the zipfile/tarfile
     cross-validation pattern from the archive gates: fixtures are
@@ -734,8 +954,11 @@ def pdf_build(
     )
     next_extra = font_num + 1 + (n_pages if contents_array else 0)
 
+    stream_nums: set[int] = set()
+
     def stream_obj(num: int, stream: bytes) -> None:
         nonlocal next_extra
+        stream_nums.add(num)
         data = zlib.compress(stream) if flate else stream
         filt = b"/Filter /FlateDecode " if flate else b""
         if indirect_length:
@@ -791,6 +1014,15 @@ def pdf_build(
         + b" /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
     )
 
+    if xref_stream:
+        if two_xref_sections or encrypt:
+            raise ValueError(
+                "xref_stream is exclusive with two_xref_sections/"
+                "encrypt in this fixture writer"
+            )
+        return _emit_xref_stream_pdf(
+            objs, stream_nums, objstm=objstm, predictor=predictor
+        )
     out = bytearray(b"%PDF-1.4\n%\xc3\xa4\xc3\xbc\n")
     offsets = {}
     for num in sorted(objs):
@@ -830,5 +1062,90 @@ def pdf_build(
         out += subsection(sorted(objs))
         out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\n"
                 % (max_num + 1, trailer_extra))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def _emit_xref_stream_pdf(
+    objs: dict[int, bytes],
+    stream_nums: set[int],
+    objstm: bool,
+    predictor: bool,
+) -> bytes:
+    """Emit a PDF 1.5 body: optionally pack every non-stream object
+    into ONE object stream (/ObjStm), then a cross-reference STREAM
+    (W=[1,4,2], optionally PNG-Up predicted) instead of the classic
+    table (fixture writer's paired half of _xref_stream_section /
+    _objstm_object)."""
+    import struct
+    import zlib
+
+    out = bytearray(b"%PDF-1.5\n%\xc3\xa4\xc3\xbc\n")
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+    top_nums = sorted(objs)
+    stm_num = max(objs) + 1
+    if objstm:
+        packed = [n for n in sorted(objs) if n not in stream_nums]
+        top_nums = [n for n in sorted(objs) if n in stream_nums]
+        bodies = [objs[n] for n in packed]
+        offs, cur = [], 0
+        for body in bodies:
+            offs.append(cur)
+            cur += len(body) + 1
+        header = " ".join(
+            f"{n} {o}" for n, o in zip(packed, offs)
+        ).encode() + b"\n"
+        payload = header + b"\n".join(bodies) + b"\n"
+        first = len(header)
+        for i, n in enumerate(packed):
+            entries[n] = (2, stm_num, i)
+        objstm_body = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d >>\n"
+            b"stream\n" % (len(packed), first, len(payload))
+            + payload + b"\nendstream"
+        )
+        top = list(top_nums) + [stm_num]
+        bodies_by_num = {**{n: objs[n] for n in top_nums},
+                         stm_num: objstm_body}
+        xref_num = stm_num + 1
+    else:
+        top = top_nums
+        bodies_by_num = objs
+        xref_num = stm_num
+    for num in top:
+        entries[num] = (1, len(out), 0)
+        out += b"%d 0 obj\n" % num + bodies_by_num[num] + b"\nendobj\n"
+    xref_off = len(out)
+    entries[xref_num] = (1, xref_off, 0)
+    size = xref_num + 1
+    rows = b"".join(
+        bytes([entries.get(n, (0, 0, 0))[0]])
+        + struct.pack(">I", entries.get(n, (0, 0, 0))[1])
+        + struct.pack(">H", entries.get(n, (0, 0, 0))[2])
+        for n in range(size)
+    )
+    cols = 7
+    if predictor:
+        filtered, prev = bytearray(), bytes(cols)
+        for r in range(0, len(rows), cols):
+            row = rows[r : r + cols]
+            filtered.append(2)  # Up
+            filtered += bytes(
+                (row[x] - prev[x]) & 0xFF for x in range(cols)
+            )
+            prev = row
+        data = zlib.compress(bytes(filtered))
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+        filt = b" /Filter /FlateDecode"
+    else:
+        data = zlib.compress(rows)
+        parms = b""
+        filt = b" /Filter /FlateDecode"
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+        b"%s%s /Length %d >>\nstream\n" % (
+            xref_num, size, filt, parms, len(data))
+        + data + b"\nendstream\nendobj\n"
+    )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
