@@ -2539,12 +2539,14 @@ def m_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode under the oracle gate: the same 4x2 RGB pixels
     as m_decode_real (24 md5-derived bytes) encoded per document into
-    one of EIGHT PNG shapes by doc_id % 8 — plain 8-bit RGB with
+    one of TEN PNG shapes by doc_id % 10 — plain 8-bit RGB with
     Sub/Paeth filters, Adam7-interlaced RGB, RGBA with a fixed alpha
     ramp (composited onto white with exact integer rounding), 16-bit
     RGB (high-byte reduction), gray+tRNS (pixel-0's level is the
     transparent color), palette+tRNS (the SAME alpha ramp through the
-    palette home), gray+alpha (ctype 4), and 16-bit gray — then
+    palette home), gray+alpha (ctype 4), 16-bit gray, 4-bit gray
+    (MSB-first packed rows, exact 17x upscale), and 2-bit palette
+    (packed indexes) — then
     decoded by multimodal.decode_real (stdlib zlib + numpy scanline
     unfiltering + the round-8 alpha/16-bit paths). PNG synthesis
     needs Python zlib, so it runs as a first Arrow-batched
@@ -2577,7 +2579,7 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, pxv in zip(pdf["media_id"], pdf["px"]):
                 px = bytes(pxv)
                 grays = bytes(px[3 * i] for i in range(8))
-                v = mid % 8
+                v = mid % 10
                 if v == 0:
                     p = png_encode(4, 2, px, ctype=2, filters=[1, 4])
                 elif v == 1:
@@ -2607,9 +2609,17 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bytes([grays[i], alphas[i]]) for i in range(8)
                     )
                     p = png_encode(4, 2, raw, ctype=4, filters=[4, 2])
-                else:
+                elif v == 7:
                     raw = b"".join(bytes([g, g ^ 0xAA]) for g in grays)
                     p = png_encode(4, 2, raw, ctype=0, depth=16)
+                elif v == 8:
+                    raw = bytes(g >> 4 for g in grays)
+                    p = png_encode(4, 2, raw, ctype=0, depth=4,
+                                   filters=[2, 1])
+                else:
+                    raw = bytes(g % 4 for g in grays)
+                    p = png_encode(4, 2, raw, ctype=3, depth=2,
+                                   palette=px[:12])
                 payloads.append(p)
             yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
@@ -2768,13 +2778,15 @@ def m_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-TIFF decode under the oracle gate: the same 24
     md5-derived pixel bytes as m_decode_tiff, but even doc_ids are
-    encoded LZW (TIFF 6.0 §13, early-change variable-width codes)
-    with horizontal-differencing Predictor=2 and big-endian 2-strip
-    layout, odd doc_ids PackBits (§9) — so both real decompressors,
-    the per-strip codec reset, and the predictor cumsum inversion all
-    run under the gate. The oracle is the SAME pixel arithmetic as
-    the uncompressed gate (compression must be lossless); any
-    LZW width-bump, predictor, or run-length bug hash-mismatches."""
+    rotated by doc_id % 3 through LZW (TIFF 6.0 §13, early-change
+    variable-width codes) with horizontal-differencing Predictor=2
+    and big-endian 2-strip layout, PackBits (§9), and Deflate
+    (Compression 8, bounded stdlib zlib with Predictor=2; round 8) —
+    so all three real decompressors, the per-strip codec reset, and
+    the predictor cumsum inversion run under the gate. The oracle is
+    the SAME pixel arithmetic as the uncompressed gate (compression
+    must be lossless); any LZW width-bump, predictor, inflate, or
+    run-length bug hash-mismatches."""
     import pandas as _pd
 
     from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
@@ -2794,10 +2806,15 @@ def m_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
                             4, 2, bytes(px), big_endian=True, strips=2,
                             compression="lzw", predictor=2,
                         )
-                        if mid % 2 == 0
+                        if mid % 3 == 0
                         else tiff_encode_rgb(
                             4, 2, bytes(px), strips=2,
                             compression="packbits",
+                        )
+                        if mid % 3 == 1
+                        else tiff_encode_rgb(
+                            4, 2, bytes(px), strips=2,
+                            compression="deflate", predictor=2,
                         )
                         for mid, px in zip(pdf["media_id"], pdf["px"])
                     ],
@@ -7926,28 +7943,38 @@ def oracle_sql() -> dict[str, str]:
                    'PNG' AS format,
                    CAST(4 AS INTEGER) AS width,
                    CAST(2 AS INTEGER) AS height,
-                   CAST(CASE doc_id % 8
+                   CAST(CASE doc_id % 10
                         WHEN 2 THEN 4 WHEN 4 THEN 1
                         WHEN 6 THEN 2 WHEN 7 THEN 1
+                        WHEN 8 THEN 1
                         ELSE 3 END AS INTEGER) AS channels,
                    CAST(CASE
-                     WHEN doc_id % 8 IN (2, 5) THEN
+                     WHEN doc_id % 10 IN (2, 5) THEN
                        list_sum([
                          299*((bytes[3*i-2]*av[i] + 255*(255-av[i]) + 127)//255)
                        + 587*((bytes[3*i-1]*av[i] + 255*(255-av[i]) + 127)//255)
                        + 114*((bytes[3*i]  *av[i] + 255*(255-av[i]) + 127)//255)
                          for i in generate_series(1, 8)]) // 8
-                     WHEN doc_id % 8 = 4 THEN
+                     WHEN doc_id % 10 = 4 THEN
                        1000 * list_sum([
                          CASE WHEN bytes[3*i-2] = bytes[1] THEN 255
                               ELSE bytes[3*i-2] END
                          for i in generate_series(1, 8)]) // 8
-                     WHEN doc_id % 8 = 6 THEN
+                     WHEN doc_id % 10 = 6 THEN
                        1000 * list_sum([
                          (bytes[3*i-2]*av[i] + 255*(255-av[i]) + 127)//255
                          for i in generate_series(1, 8)]) // 8
-                     WHEN doc_id % 8 = 7 THEN
+                     WHEN doc_id % 10 = 7 THEN
                        1000 * list_sum([bytes[3*i-2]
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 10 = 8 THEN
+                       1000 * list_sum([17 * (bytes[3*i-2] // 16)
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 10 = 9 THEN
+                       list_sum([
+                         299*bytes[3*(bytes[3*i-2] % 4) + 1]
+                       + 587*bytes[3*(bytes[3*i-2] % 4) + 2]
+                       + 114*bytes[3*(bytes[3*i-2] % 4) + 3]
                          for i in generate_series(1, 8)]) // 8
                      ELSE
                        (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)

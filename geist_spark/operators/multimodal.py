@@ -634,11 +634,12 @@ def _png_decode(b: bytes) -> tuple:
         )
     if ctype_v not in (0, 2, 3, 4, 6):
         raise ValueError(f"malformed PNG IHDR: color type {ctype_v}")
-    if depth not in (8, 16) or (ctype_v == 3 and depth != 8):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} unsupported for color type "
-            f"{ctype_v} (8/16-bit only; sub-byte depths need bit "
-            "unpacking)"
+    if depth not in (1, 2, 4, 8, 16) or (
+        ctype_v == 3 and depth == 16
+    ) or (depth < 8 and ctype_v not in (0, 3)):
+        raise ValueError(
+            f"malformed PNG IHDR: bit depth {depth} with color type "
+            f"{ctype_v}"
         )
     if trns is not None and ctype_v in (4, 6):
         # the spec forbids tRNS alongside a full alpha channel
@@ -650,16 +651,36 @@ def _png_decode(b: bytes) -> tuple:
     if not idat:
         raise ValueError("malformed PNG: no IDAT chunks")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_v]
-    sampb = depth // 8
-    bpp = channels * sampb
-    stride = w * bpp
+    if depth < 8:  # packed gray/palette bits: filters act on BYTES
+        sampb, bpp = 0, 1
+        stride = (w * depth + 7) // 8
+    else:
+        sampb = depth // 8
+        bpp = channels * sampb
+        stride = w * bpp
+
+    def row_stride(pw: int) -> int:
+        return (pw * depth + 7) // 8 if depth < 8 else pw * bpp
+
+    def unpack_bits(rows: np.ndarray, pw: int) -> np.ndarray:
+        """(h, stride_bytes) packed rows -> (h, pw) samples
+        (MSB-first within each byte, per the PNG spec)."""
+        bits = np.unpackbits(rows, axis=1)
+        per = 8 // depth
+        vals = bits.reshape(rows.shape[0], -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (vals * weights).sum(axis=2)
+        del per
+        return samples[:, :pw].astype(np.int64)
     if interlace == 1:
         spans = []
         expected = 0
         for x0, y0, xs, ys in _ADAM7_PASSES:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
-            nbytes = ph * (1 + pw * bpp) if pw > 0 and ph > 0 else 0
+            nbytes = (
+                ph * (1 + row_stride(pw)) if pw > 0 and ph > 0 else 0
+            )
             spans.append((pw, ph, nbytes))
             expected += nbytes
     else:
@@ -680,7 +701,7 @@ def _png_decode(b: bytes) -> tuple:
             f"{len(raw)} bytes, expected {expected} for {w}x{h} "
             f"color type {ctype_v}"
         )
-    if interlace == 1:
+    if interlace == 1 and depth >= 8:
         img = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for (x0, y0, xs, ys), (pw, ph, nbytes) in zip(
@@ -694,14 +715,41 @@ def _png_decode(b: bytes) -> tuple:
             off += nbytes
             img[y0::ys, x0::xs] = rec.reshape(ph, pw, bpp)
         recon = img.reshape(h, stride)
+    elif interlace == 1:  # sub-byte: unpack per pass, scatter samples
+        samples = np.zeros((h, w), dtype=np.int64)
+        off = 0
+        for (x0, y0, xs, ys), (pw, ph, nbytes) in zip(
+            _ADAM7_PASSES, spans
+        ):
+            if nbytes == 0:
+                continue
+            rec = _png_unfilter(
+                raw[off : off + nbytes], ph, row_stride(pw), 1
+            )
+            off += nbytes
+            samples[y0::ys, x0::xs] = unpack_bits(rec, pw)
+        recon = None
     else:
         recon = _png_unfilter(raw, h, stride, bpp)
 
     # (h, w, channels) samples at FULL precision (tRNS color matching
-    # is 16-bit exact), then high-byte reduction to 8
-    sp = recon.reshape(h, w, channels, sampb).astype(np.int64)
-    full = sp[..., 0] * 256 + sp[..., 1] if sampb == 2 else sp[..., 0]
-    px8 = (full >> 8) if sampb == 2 else full
+    # is 16-bit exact), then reduction to 8-bit
+    if depth < 8:
+        if recon is not None:
+            samples = unpack_bits(recon, w)
+        full = samples[..., None]
+        if ctype_v == 0:
+            # exact gray upscale: 255 divides by every sub-byte
+            # maxval (1 -> 255, 3 -> 85, 15 -> 17)
+            px8 = full * (255 // ((1 << depth) - 1))
+        else:
+            px8 = full
+    else:
+        sp = recon.reshape(h, w, channels, sampb).astype(np.int64)
+        full = (
+            sp[..., 0] * 256 + sp[..., 1] if sampb == 2 else sp[..., 0]
+        )
+        px8 = (full >> 8) if sampb == 2 else full
 
     if ctype_v == 3:
         if plte is None or len(plte) % 3 or not plte:
@@ -732,8 +780,8 @@ def _png_decode(b: bytes) -> tuple:
             if len(trns) < 2:
                 raise ValueError("malformed PNG: short gray tRNS chunk")
             (tv,) = struct.unpack_from(">H", trns, 0)
-            if depth == 8:
-                tv &= 0xFF
+            if depth <= 8:
+                tv &= (1 << depth) - 1
             mask = full[..., 0] == tv
             gray = np.where(mask, 255, gray)
         return (
@@ -835,27 +883,61 @@ def png_encode(
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bpp = channels * (depth // 8)
-    if len(raw) != w * h * bpp:
-        raise ValueError(f"raw length must be w*h*{bpp}")
+    def pack_rows(samp: np.ndarray) -> np.ndarray:
+        """(rows, pw) sub-byte samples -> (rows, stride) packed bytes
+        (MSB-first, rows padded to whole bytes per the spec)."""
+        bits = (
+            (samp[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(samp.shape[0], -1).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        return np.packbits(bits, axis=1)
+
+    subsamp = None
+    if depth < 8:
+        # sub-byte: `raw` is ONE SAMPLE PER BYTE (values < 2^depth);
+        # rows pack MSB-first (per Adam7 pass when interlaced)
+        if ctype not in (0, 3):
+            raise ValueError("sub-byte depth needs color type 0 or 3")
+        if len(raw) != w * h:
+            raise ValueError("raw length must be w*h samples")
+        subsamp = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        if (subsamp >= (1 << depth)).any():
+            raise ValueError(f"sample out of range for depth {depth}")
+        bpp = 1
+    else:
+        bpp = channels * (depth // 8)
+        if len(raw) != w * h * bpp:
+            raise ValueError(f"raw length must be w*h*{bpp}")
 
     if not interlace:
         filters = filters or [0] * h
         if len(filters) != h:
             raise ValueError("need one filter type per row")
-        arr = (
-            np.frombuffer(raw, dtype=np.uint8)
-            .reshape(h, w * bpp)
-            .astype(np.int64)
-        )
+        if subsamp is not None:
+            arr = pack_rows(subsamp).astype(np.int64)
+        else:
+            arr = (
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(h, w * bpp)
+                .astype(np.int64)
+            )
         lines = _png_filter_rows(arr, filters, bpp)
     else:
-        arr3 = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp)
-        subs = [
-            arr3[y0::ys, x0::xs]
-            for x0, y0, xs, ys in _ADAM7_PASSES
-            if arr3[y0::ys, x0::xs].size
-        ]
+        if subsamp is not None:
+            subs = [
+                pack_rows(subsamp[y0::ys, x0::xs])[..., None]
+                for x0, y0, xs, ys in _ADAM7_PASSES
+                if subsamp[y0::ys, x0::xs].size
+            ]
+        else:
+            arr3 = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp)
+            subs = [
+                arr3[y0::ys, x0::xs]
+                for x0, y0, xs, ys in _ADAM7_PASSES
+                if arr3[y0::ys, x0::xs].size
+            ]
         total = sum(s.shape[0] for s in subs)
         filters = filters or [0] * total
         if len(filters) != total:
@@ -3858,10 +3940,11 @@ def _tiff_decode(b: bytes) -> tuple:
     first-IFD tag walk (TIFF 6.0 §2), uncompressed / LZW (§13) /
     PackBits (§9) strips with per-strip codec reset, horizontal-
     differencing Predictor=2 (§14, inverted with an exact per-lane
-    cumsum mod 256 — the PNG Sub rule), 8-bit grayscale
-    (BlackIsZero/WhiteIsZero), RGB, and palette-color (ColorMap
-    16-bit entries, high byte taken). CAPABILITY limits: other
-    Compression values (JPEG-in-TIFF, Deflate), non-8-bit samples,
+    cumsum mod 256 — the PNG Sub rule), Deflate strips (Compression
+    8 / old-style 32946, bounded stdlib zlib; round 8), 8-bit
+    grayscale (BlackIsZero/WhiteIsZero), RGB, and palette-color
+    (ColorMap 16-bit entries, high byte taken). CAPABILITY limits:
+    other Compression values (JPEG-in-TIFF), non-8-bit samples,
     planar configuration 2, tiled images. MALFORMED: truncated
     IFD/strips, missing required tags, strip bytes short of
     width*height, LZW/PackBits stream errors."""
@@ -3915,10 +3998,10 @@ def _tiff_decode(b: bytes) -> tuple:
     spp = one(277, 1)
     bits = tags.get(258) or [8] * spp  # count=0 entry == absent
     rows_per_strip = one(278, h)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"unsupported TIFF Compression={comp} (uncompressed, LZW "
-            "and PackBits are decoded; JPEG-in-TIFF/Deflate are not)"
+            f"unsupported TIFF Compression={comp} (uncompressed, LZW, "
+            "PackBits and Deflate are decoded; JPEG-in-TIFF is not)"
         )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (strips only)")
@@ -3973,11 +4056,22 @@ def _tiff_decode(b: bytes) -> tuple:
                 raise ValueError("malformed TIFF: more strips than rows")
             expect = n_rows * row_bytes
             raw = bytes(b[so : so + sc])
-            out = (
-                _tiff_lzw_decode(raw, expect)
-                if comp == 5
-                else _packbits_decode(raw, expect)
-            )
+            if comp == 5:
+                out = _tiff_lzw_decode(raw, expect)
+            elif comp in (8, 32946):  # Deflate (and the old-style
+                # Adobe code 32946) — bounded like every inflate
+                import zlib as _zlib
+
+                try:
+                    out = _zlib.decompressobj().decompress(
+                        raw, expect + 1
+                    )
+                except _zlib.error as exc:
+                    raise ValueError(
+                        f"malformed TIFF: bad Deflate strip {k}: {exc}"
+                    ) from None
+            else:
+                out = _packbits_decode(raw, expect)
             if len(out) != expect:
                 raise ValueError(
                     f"malformed TIFF: strip {k} decodes to "
@@ -4041,8 +4135,9 @@ def tiff_encode_rgb(
     """Synthetic-fixture TIFF encoder (tests + the m_decode_tiff gate
     queries — NOT a public pipeline operator): 8-bit RGB, II or MM
     byte order, split into `strips` row-strips so the strip walk runs
-    for real. `compression` in {"none", "lzw", "packbits"} (each
-    strip compressed independently, per spec); `predictor=2` applies
+    for real. `compression` in {"none", "lzw", "packbits",
+    "deflate"} (each strip compressed independently, per spec);
+    `predictor=2` applies
     horizontal differencing before compression (LZW §14 pairing,
     honored for any codec here)."""
     import struct
@@ -4051,7 +4146,7 @@ def tiff_encode_rgb(
         raise ValueError("rgb length must be w*h*3")
     if not 1 <= strips <= h:
         raise ValueError("strips must be in 1..h")
-    if compression not in ("none", "lzw", "packbits"):
+    if compression not in ("none", "lzw", "packbits", "deflate"):
         raise ValueError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
@@ -4074,7 +4169,12 @@ def tiff_encode_rgb(
         chunks = [_tiff_lzw_encode(c) for c in chunks]
     elif compression == "packbits":
         chunks = [_packbits_encode(c) for c in chunks]
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    elif compression == "deflate":
+        import zlib as _zlib
+
+        chunks = [_zlib.compress(c) for c in chunks]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773,
+                "deflate": 8}[compression]
     n_tags = 9 + (predictor == 2)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n_tags + 4

@@ -246,12 +246,13 @@ def test_decode_real_png_cross_format(spark):
 
 
 def test_decode_real_png_errors(spark):
-    """PNG error taxonomy: CAPABILITY limits (sub-byte bit depths —
-    16-bit and alpha DECODE for real since round 8) NULL out under
-    on_unsupported='null'; bad CRC / truncation / corrupt deflate /
-    depth-vs-data mismatches are MALFORMED and always raise. Flipping
-    the interlace flag on a plain-coded file is MALFORMED (the Adam7
-    decoder really runs and the pass sizes disagree)."""
+    """PNG error taxonomy: since round 8 EVERY spec-legal depth x
+    color-type combination decodes, so there is no capability tier
+    left — spec-ILLEGAL combinations (sub-byte RGB, 16-bit palette)
+    and bad CRC / truncation / corrupt deflate / depth-vs-data
+    mismatches are MALFORMED and always raise. Flipping the interlace
+    flag on a plain-coded file is MALFORMED (the Adam7 decoder really
+    runs and the pass sizes disagree)."""
     import struct
     import zlib
 
@@ -268,18 +269,10 @@ def test_decode_real_png_errors(spark):
         )
         return bytes(buf)
 
-    subbyte = with_ihdr(lambda b: b.__setitem__(24, 4))
-    caps = spark.createDataFrame(
-        [(1, good), (3, subbyte)],
-        "media_id long, payload binary",
-    )
-    out = {r["media_id"]: r for r in
-           decode_real(caps, on_unsupported="null").collect()}
-    assert out[1]["format"] == "PNG"
-    assert out[3]["format"] is None
     # malformed always raises, even under 'null'. Relabeling an 8-bit
     # stream as 16-bit or RGB-as-RGBA is a SIZE mismatch now that
-    # those shapes decode for real.
+    # those shapes decode for real; depth 4 on color type 2 is a
+    # spec-illegal combination.
     bad_crc = bytearray(good)
     bad_crc[20] ^= 1  # IHDR body byte, CRC left stale
     for payload, msg in [
@@ -289,6 +282,10 @@ def test_decode_real_png_errors(spark):
         (with_ihdr(lambda b: b.__setitem__(28, 1)), "expected 15"),
         (with_ihdr(lambda b: b.__setitem__(24, 16)), "expected 26"),
         (with_ihdr(lambda b: b.__setitem__(25, 6)), "expected 18"),
+        (with_ihdr(lambda b: b.__setitem__(24, 4)),
+         "bit depth 4 with color type 2"),
+        (with_ihdr(lambda b: b.__setitem__(24, 3)),
+         "bit depth 3"),
     ]:
         df = spark.createDataFrame(
             [(1, payload)], "media_id long, payload binary"
@@ -1197,8 +1194,9 @@ def test_decode_real_tiff_cross_format(spark):
 
 
 def test_decode_real_tiff_errors(spark):
-    """TIFF taxonomy: compressed/tiled/16-bit are CAPABILITY limits;
-    truncated strips and missing tags are MALFORMED."""
+    """TIFF taxonomy: JPEG-in-TIFF/tiled/16-bit are CAPABILITY
+    limits (LZW/PackBits/Deflate decode for real); truncated strips,
+    missing tags, and codec-vs-bytes mismatches are MALFORMED."""
     import pytest
 
     from geist_spark.operators.multimodal import decode_real, tiff_encode_rgb
@@ -1217,21 +1215,22 @@ def test_decode_real_tiff_errors(spark):
                 return bytes(buf)
         raise AssertionError(tag)
 
-    deflate = mutate(259, 8)  # Deflate-in-TIFF: still a capability limit
+    jpeg_in_tiff = mutate(259, 7)  # JPEG-in-TIFF: capability limit
     caps = spark.createDataFrame(
-        [(1, good), (2, deflate)],
+        [(1, good), (2, jpeg_in_tiff)],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in
            decode_real(caps, on_unsupported="null").collect()}
     assert out[1]["format"] == "TIFF"
     assert out[2]["format"] is None
-    # Compression=5 over NON-LZW strip bytes is now MALFORMED (the
-    # decoder really runs), so it raises even under on_unsupported=null
+    # Compression=5/8 over the wrong strip bytes is MALFORMED (the
+    # decoders really run), so it raises even under on_unsupported=null
     for payload, msg in [
         (good[:30], "truncated TIFF"),
         (good[:-5], "truncated TIFF strip|strips carry"),
         (mutate(259, 5), "LZW"),
+        (mutate(259, 8), "Deflate strip"),
     ]:
         df = spark.createDataFrame(
             [(1, payload)], "media_id long, payload binary"
@@ -1271,12 +1270,26 @@ def test_decode_real_tiff_compressed(spark):
                             strips=2)),
         (5, tiff_encode_rgb(w, h, rgb, compression="packbits",
                             predictor=2)),
+        (6, tiff_encode_rgb(w, h, rgb, compression="deflate")),
+        (7, tiff_encode_rgb(w, h, rgb, compression="deflate",
+                            predictor=2, big_endian=True, strips=3)),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     out = decode_real(media).collect()
     md5s = {r["pixel_md5"] for r in out}
-    assert len(md5s) == 1 and len(out) == 5
+    assert len(md5s) == 1 and len(out) == 7
     assert all(r["width"] == w and r["height"] == h for r in out)
+    # malformed Deflate strip: typed error
+    import zlib as _zlib
+
+    bad = bytearray(tiff_encode_rgb(w, h, rgb, compression="deflate"))
+    k = bytes(bad).rfind(_zlib.compress(rgb)[:4])
+    bad[k + 2] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, bytes(bad))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Deflate strip|decodes to"):
+        decode_real(df).collect()
 
     # malformed compressed streams: typed ValueError, never silence
     with pytest.raises(ValueError, match="LZW code .* out of range"):
@@ -2029,3 +2042,60 @@ def test_decode_real_png_alpha_and_16bit(spark):
     assert out[4]["mean_luma_fx"] == luma(
         [v for g in g4 for v in (g, g, g)]
     )
+
+
+def test_decode_real_png_sub_byte_depths(spark):
+    """Round 8: depths 1/2/4 decode for real — gray upscales exactly
+    (255 divides by every sub-byte maxval), palette indexes pass
+    through, rows unpack MSB-first with byte padding, filters and
+    Adam7 interlace run on the PACKED bytes, and tRNS matches at the
+    depth-significant bits."""
+    import struct
+
+    import numpy as np
+
+    from geist_spark.operators.multimodal import decode_real, png_encode
+
+    rng = np.random.RandomState(11)
+    rows = []
+    want = {}
+    mid = 0
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        scale = 255 // maxv
+        samp = rng.randint(0, maxv + 1, (3, 7), dtype=np.uint8)
+        for kw in (dict(), dict(filters=[2, 1, 4]), dict(interlace=True)):
+            mid += 1
+            rows.append((mid, png_encode(7, 3, samp.tobytes(), ctype=0,
+                                         depth=depth, **kw)))
+            lum = [int(v) * scale for v in samp.reshape(-1)]
+            want[mid] = 1000 * sum(lum) // len(lum)
+    # palette 4-bit + tRNS alpha
+    pal = bytes(rng.randint(0, 256, 16 * 3, dtype=np.uint8))
+    idx = rng.randint(0, 16, (2, 5), dtype=np.uint8)
+    A = [255] * 8 + [0, 128] + [255] * 6
+    mid += 1
+    rows.append((mid, png_encode(5, 2, idx.tobytes(), ctype=3, depth=4,
+                                 palette=pal, trns=bytes(A))))
+
+    def comp(c, a):
+        return (c * a + 255 * (255 - a) + 127) // 255
+
+    tr = [comp(pal[3 * int(v) + ch], A[int(v)])
+          for v in idx.reshape(-1) for ch in range(3)]
+    want[mid] = (sum(299 * tr[i] + 587 * tr[i + 1] + 114 * tr[i + 2]
+                     for i in range(0, len(tr), 3)) // 10)
+    # 1-bit gray + tRNS: sample value 1 transparent -> white
+    mid += 1
+    samp1 = np.array([[0, 1, 1, 0]], dtype=np.uint8)
+    rows.append((mid, png_encode(4, 1, samp1.tobytes(), ctype=0, depth=1,
+                                 trns=struct.pack(">H", 1))))
+    g = [255 if v else 0 for v in samp1[0]]
+    want[mid] = 1000 * sum(g) // 4
+
+    out = {r["media_id"]: r for r in
+           decode_real(spark.createDataFrame(
+               rows, "media_id long, payload binary")).collect()}
+    for k, v in want.items():
+        assert out[k]["mean_luma_fx"] == v, k
+    assert out[1]["channels"] == 1
