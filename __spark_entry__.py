@@ -5820,6 +5820,38 @@ def t_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram segmentation at vocabulary grain (tokenizer.
+    unigram_apply): the en-trained vocabulary applied ONCE to the
+    corpus's distinct words (exact integer Viterbi, unknown single
+    chars at max cost + 1), broadcast back onto the token stream for
+    per-doc token/piece counts — the t_bpe_encode shape on the
+    unigram axis. Oracle replays training AND the apply-side Viterbi
+    exhaustively."""
+    from geist_spark.operators.dedup import tokens
+    from geist_spark.operators.tokenizer import train_unigram, unigram_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(
+        docs.filter(F.col("lang") == "en"),
+        vocab_size=60, rounds=2, max_piece_len=4, seed_size=200,
+    )
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter((F.col("word") != "") & ~F.col("word").contains("\x01"))
+    enc = unigram_apply(ex.select("word").distinct(), vocab).select(
+        "word", "n_pieces"
+    )
+    return (
+        ex.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+
+
 def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding at vocabulary grain (operators/tokenizer.py
     bpe_apply): merges learned on the lang='en' slice, applied ONCE to
@@ -6121,6 +6153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lm_score": t_lm_score,
         "t_bpe_merges": t_bpe_merges,
         "t_unigram_train": t_unigram_train,
+        "t_unigram_encode": t_unigram_encode,
         # multimodal family representative: REAL decode (full
         # Huffman+IDCT oracle) — the byte-stat stub m_media_features
         # moved to the variants section below when real decode landed
@@ -9577,6 +9610,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_unigram_train": _unigram_train_oracle(),
+        "t_unigram_encode": _unigram_encode_oracle(),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
         "d_simhash_near_dup": _simhash_near_dup_oracle(
@@ -10645,19 +10679,19 @@ def _bpe_oracle_ctes(num_merges: int) -> str:
     return "".join(parts)
 
 
-def _unigram_train_oracle(
+def _unigram_ctes(
     vocab_size: int = 60,
     rounds: int = 2,
     max_piece_len: int = 4,
     seed_size: int = 200,
     max_word_len: int = 64,
 ) -> str:
-    """Exact replay of train_unigram: integer BL costs via
-    length(to_base(x, 2)); the Viterbi argmin replayed as an
-    exhaustive recursive-CTE enumeration of all segmentations with
-    the identical (cost, n_pieces, seq) ordering — equal by
-    definition of argmin, and tractable because natural-language
-    words are short."""
+    """Shared exact replay of train_unigram (integer BL costs via
+    length(to_base(x, 2)); the Viterbi argmin as an exhaustive
+    recursive-CTE enumeration with the identical (cost, n_pieces,
+    seq) ordering — equal by definition of argmin, tractable because
+    natural-language words are short), ending at CTE `fin`
+    (the pruned final vocabulary with counts)."""
     parts = [f"""
         WITH RECURSIVE wf AS (
             SELECT word, count(*) AS freq FROM (
@@ -10738,13 +10772,72 @@ def _unigram_train_oracle(
         ), fin AS (
             SELECT piece, cnt FROM v{rounds} WHERE length(piece) = 1
             UNION ALL SELECT piece, cnt FROM keepm
-        )
+        )""")
+    return "".join(parts)
+
+
+def _unigram_train_oracle(**kw) -> str:
+    return _unigram_ctes(**kw) + """
         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
                CAST((SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM fin)
                   - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS INTEGER)
                    AS cost
-        FROM fin""")
-    return "".join(parts)
+        FROM fin"""
+
+
+def _unigram_encode_oracle(**kw) -> str:
+    """Replays unigram_apply over the whole corpus: final costs from
+    `fin`, single characters outside the vocabulary at max cost + 1,
+    the same exhaustive Viterbi argmin, then per-doc token/piece
+    counts via a distinct-word encode joined back (never re-segment
+    per occurrence — same shape as the Spark side)."""
+    return _unigram_ctes(**kw) + f""", fincost AS (
+            SELECT piece,
+                   (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2))
+                    FROM fin)
+                 - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2))
+                   AS cost
+            FROM fin
+        ), ex AS (
+            SELECT doc_id, t AS word
+            FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
+                  FROM documents)
+            WHERE t <> '' AND strpos(t, chr(1)) = 0
+        ), allw AS (
+            SELECT DISTINCT word FROM ex
+        ), achars AS (
+            SELECT DISTINCT piece FROM (
+                SELECT unnest([word[i : i]
+                    for i in generate_series(1, length(word))]) AS piece
+                FROM allw)
+        ), pieces AS (
+            SELECT piece, cost FROM fincost
+            UNION ALL
+            SELECT piece, (SELECT max(cost) + 1 FROM fincost) AS cost
+            FROM achars
+            WHERE piece NOT IN (SELECT piece FROM fincost)
+        ), dpe AS (
+            SELECT word, 0 AS pos, 0 AS cost, 0 AS np, '' AS seq
+            FROM allw
+            UNION ALL
+            SELECT d.word, d.pos + length(p.piece), d.cost + p.cost,
+                   d.np + 1,
+                   CASE WHEN d.seq = '' THEN p.piece
+                        ELSE d.seq || ' ' || p.piece END
+            FROM dpe d JOIN pieces p
+              ON d.word[d.pos + 1 : d.pos + length(p.piece)] = p.piece
+            WHERE d.pos < length(d.word)
+        ), enc AS (
+            SELECT word, np AS n_pieces FROM (
+                SELECT word, np, row_number() OVER (
+                    PARTITION BY word
+                    ORDER BY cost, np, seq) AS rn
+                FROM dpe WHERE pos = length(word))
+            WHERE rn = 1
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+        FROM ex JOIN enc USING (word) GROUP BY doc_id"""
 
 
 def _bpe_merges_oracle(num_merges: int) -> str:
