@@ -3897,6 +3897,69 @@ def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_text(recs, content_type_col="content_type")
 
 
+def w_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-ingestion bridge composed end-to-end under ONE
+    oracle gate: each doc becomes a gzip-transport WARC file whose
+    response carries a WINDOWS-1251 HTML page (declared only via the
+    HTTP Content-Type header), then web.warc_parse (record walk +
+    header split) -> web.decode_text (header-charset tier, cp1251
+    codec) -> web.html_extract (all-JVM regex pipeline) runs as one
+    chain — record framing, charset sniff, byte decode, and
+    boilerplate strip all in the same lineage, the exact pipeline a
+    CommonCrawl user runs. The oracle is fully analytic: title /
+    text / anchor count are string functions of (doc_id, collapsed
+    text) plus the literal cp1251 suffix; a bug ANYWHERE in the
+    three-stage chain hash-mismatches."""
+    import gzip as _gzip
+
+    import pandas as _pd
+
+    from geist_spark.operators.web import (
+        decode_text,
+        html_extract,
+        warc_parse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        crlf = "\r\n"
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                html = (
+                    f"<html><head><title>Doc {did}</title></head>"
+                    f'<body><a href="/">home</a> <p>{t} Привет</p>'
+                    "</body></html>"
+                ).encode("cp1251")
+                http = (
+                    "HTTP/1.1 200 OK" + crlf
+                    + "Content-Type: text/html; charset=windows-1251"
+                    + crlf + crlf
+                ).encode("ascii") + html
+                rec = (
+                    f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+                    f"WARC-Target-URI: http://x.ru/{did}{crlf}"
+                    f"Content-Length: {len(http)}{crlf}{crlf}"
+                ).encode("ascii") + http + crlf.encode() * 2
+                payloads.append(_gzip.compress(rec, mtime=0))
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(docs.select("doc_id", "text")).mapInPandas(
+        synth, "file_id long, payload binary"
+    )
+    recs = warc_parse(files).filter(F.col("warc_type") == "response")
+    decoded = decode_text(
+        recs, id_col="file_id", content_type_col="http_content_type"
+    )
+    pages = decoded.select(
+        F.col("file_id").alias("doc_id"), F.col("text").alias("html")
+    )
+    return html_extract(pages)
+
+
 def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction under the oracle gate: each doc becomes a
     REAL 2-page PDF (page 0: 'Doc {id}' + the doc text as a second
@@ -6354,6 +6417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_warc_parse": w_warc_parse,
         "w_decode_text": w_decode_text,
         "w_pdf_extract": w_pdf_extract,
+        "w_crawl_pipeline": w_crawl_pipeline,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
         "m_decode_tiff": m_decode_tiff,
@@ -7736,6 +7800,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE strlen(text)
                    END AS BIGINT) AS body_len
             FROM documents, two
+        """,
+        # ANALYTIC replay of the 3-stage crawl chain (WARC ->
+        # charset decode -> HTML extract): pure string functions of
+        # (doc_id, ws-collapsed text) + the literal cp1251 suffix
+        "w_crawl_pipeline": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN t = ''
+                        THEN 'home Привет'
+                        ELSE 'home ' || t || ' Привет'
+                   END AS text,
+                   CAST(1 AS INTEGER) AS n_anchors,
+                   CAST(length(CASE WHEN t = ''
+                        THEN 'home Привет'
+                        ELSE 'home ' || t || ' Привет'
+                   END) AS INTEGER) AS text_len
+            FROM c
         """,
         # ANALYTIC replay of the PDF extraction: the oracle never
         # parses a byte of PDF — page texts are pure string functions
