@@ -4185,16 +4185,20 @@ def m_audio_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode under the oracle gate: the same 24 md5-derived
     pixel bytes as m_decode_real/m_decode_png, laid out 2x4 and
-    encoded per document as an INTERLACED GIF89a (per-image palette,
-    real greedy LZW with dictionary growth) by
-    multimodal.gif_encode_rgb, then decoded by multimodal.decode_real
+    encoded per document as a GIF89a (per-image palette, real greedy
+    LZW with dictionary growth) by multimodal.gif_encode_rgb —
+    doc_id % 3 rotates INTERLACED, a SUB-RECT frame composited onto
+    a white 4x6 logical screen, and a TRANSPARENT-color frame
+    (pixel 0's color flagged via a graphic control extension; round
+    8 compositing dialect) — then decoded by multimodal.decode_real
     (pure-python variable-width LZW + numpy palette mapping + 4-pass
-    deinterlace row gather). The oracle recomputes the luma
-    ARITHMETICALLY from the md5 hex digests with no GIF parsing
-    oracle-side — an LZW, color-table, or sub-block-walk bug
-    hash-mismatches against the shared pixel arithmetic (luma is
-    order-insensitive, so deinterlace correctness is pinned by the
-    cross-format pixel_md5 golden in tests/test_multimodal.py)."""
+    deinterlace row gather + white-screen compositing). The oracle
+    recomputes every variant's luma ARITHMETICALLY from the md5 hex
+    digests with no GIF parsing oracle-side — an LZW, color-table,
+    sub-block-walk, placement, or transparency bug hash-mismatches
+    (luma is order-insensitive, so deinterlace correctness is pinned
+    by the cross-format pixel_md5 golden in
+    tests/test_multimodal.py)."""
     import pandas as _pd
 
     from geist_spark.operators.multimodal import decode_real, gif_encode_rgb
@@ -4211,7 +4215,17 @@ def m_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": [
                         gif_encode_rgb(2, 4, bytes(px), interlace=True)
-                        for px in pdf["px"]
+                        if mid % 3 == 0
+                        else gif_encode_rgb(
+                            2, 4, bytes(px), screen=(4, 6),
+                            left=1, top=1,
+                        )
+                        if mid % 3 == 1
+                        else gif_encode_rgb(
+                            2, 4, bytes(px),
+                            transparent_color=tuple(bytes(px)[:3]),
+                        )
+                        for mid, px in zip(pdf["media_id"], pdf["px"])
                     ],
                 }
             )
@@ -8112,14 +8126,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MD5_BYTES_CTE_SQL}
             SELECT doc_id AS media_id,
                    'GIF' AS format,
-                   CAST(2 AS INTEGER) AS width,
-                   CAST(4 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 2 END
+                        AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 6 ELSE 4 END
+                        AS INTEGER) AS height,
                    CAST(3 AS INTEGER) AS channels,
-                   CAST(
-                     (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
-                      + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
-                      + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
-                     // 8 AS BIGINT) AS mean_luma_fx
+                   CAST(CASE doc_id % 3
+                     WHEN 1 THEN
+                       (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                        + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                        + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT)
+                        + 16 * 255000)
+                       // 24
+                     WHEN 2 THEN
+                       list_sum([
+                         CASE WHEN bytes[3*i-2] = bytes[1]
+                               AND bytes[3*i-1] = bytes[2]
+                               AND bytes[3*i]   = bytes[3]
+                              THEN 255000
+                              ELSE 299*bytes[3*i-2] + 587*bytes[3*i-1]
+                                   + 114*bytes[3*i] END
+                         for i in generate_series(1, 8)]) // 8
+                     ELSE
+                       (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                        + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                        + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                       // 8
+                   END AS BIGINT) AS mean_luma_fx
             FROM b
         """,
         "d_simhash": _simhash_oracle(bits=32),

@@ -1055,12 +1055,14 @@ def _gif_decode(b: bytes) -> tuple:
     (clear/EOI, 12-bit cap, KwKwK), and 4-pass interlace reorder (a
     numpy row gather). Animated GIFs decode to their FIRST frame —
     the same convention as frame-accurate video sampling's frame 0;
-    later image descriptors are ignored. CAPABILITY limit: a graphic
-    control extension that flags a transparent color raises
-    NotImplementedError (alpha would be silently flattened — the PNG
-    tRNS rule). MALFORMED data (truncation, LZW codes out of range,
-    palette index overflow, pixel-count mismatch) always raises
-    ValueError."""
+    later image descriptors are ignored. Since round 8 transparency
+    and sub-rect first frames COMPOSITE onto an opaque white logical
+    screen (the PNG alpha-over-white dialect: transparent pixels and
+    uncovered screen area are white; the background-color index is
+    ignored, matching modern renderers) and the output dims are the
+    LOGICAL SCREEN's. MALFORMED data (truncation, LZW codes out of
+    range, palette index overflow, pixel-count mismatch, frame
+    rectangle outside the screen) always raises ValueError."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(b) < 13:
@@ -1070,6 +1072,7 @@ def _gif_decode(b: bytes) -> tuple:
     packed = b[10]
     pos = 13
     gct = None
+    transparent_idx = None
     if packed & 0x80:
         n_colors = 2 << (packed & 0x07)
         if pos + 3 * n_colors > len(b):
@@ -1104,11 +1107,10 @@ def _gif_decode(b: bytes) -> tuple:
             label = b[pos]
             pos += 1
             body, pos = sub_blocks(pos)
-            if label == 0xF9 and len(body) >= 1 and body[0] & 0x01:
-                raise NotImplementedError(
-                    "GIF with a transparent color flag unsupported (alpha "
-                    "would be silently flattened; decode with PIL)"
-                )
+            if label == 0xF9 and len(body) >= 4 and body[0] & 0x01:
+                # graphic control: transparent index applies to the
+                # NEXT rendering block (GIF89a spec 23)
+                transparent_idx = body[3]
             continue
         if block != 0x2C:
             raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
@@ -1123,15 +1125,10 @@ def _gif_decode(b: bytes) -> tuple:
         pos += 9
         if w <= 0 or h <= 0:
             raise ValueError(f"malformed GIF image descriptor: {w}x{h}")
-        if left or top or (w, h) != (ls_w, ls_h):
-            # frame-optimized GIFs place sub-rectangles over a
-            # background/previous frame; decoding one standalone would
-            # silently disagree with compositing decoders — the same
-            # rule that makes transparency a typed limit
-            raise NotImplementedError(
-                f"GIF first frame is a {w}x{h}@{left},{top} sub-rect of "
-                f"the {ls_w}x{ls_h} logical screen (compositing "
-                "unsupported; decode with PIL)"
+        if left + w > ls_w or top + h > ls_h:
+            raise ValueError(
+                f"malformed GIF: frame {w}x{h}@{left},{top} outside "
+                f"the {ls_w}x{ls_h} logical screen"
             )
         palette = gct
         if ipacked & 0x80:  # local color table wins
@@ -1163,6 +1160,7 @@ def _gif_decode(b: bytes) -> tuple:
                 f"range ({pal.shape[0]} entries)"
             )
         rgb = pal[idx].reshape(h, w, 3)
+        idx2 = idx.reshape(h, w)
         if ipacked & 0x40:  # interlaced: stream rows land in pass order
             order = np.concatenate(
                 [np.arange(s, h, st) for s, st in _GIF_PASSES]
@@ -1170,17 +1168,47 @@ def _gif_decode(b: bytes) -> tuple:
             out = np.empty_like(rgb)
             out[order] = rgb
             rgb = out
-        return "GIF", w, h, 3, rgb.tobytes()
+            oidx = np.empty_like(idx2)
+            oidx[order] = idx2
+            idx2 = oidx
+        if (
+            transparent_idx is None
+            and (left, top, w, h) == (0, 0, ls_w, ls_h)
+        ):
+            return "GIF", w, h, 3, rgb.tobytes()
+        # composite onto the opaque white logical screen (the PNG
+        # alpha-over-white dialect): transparent pixels and uncovered
+        # screen area stay white
+        canvas = np.full((ls_h, ls_w, 3), 255, dtype=np.uint8)
+        region = canvas[top : top + h, left : left + w]
+        if transparent_idx is None:
+            region[:] = rgb
+        else:
+            mask = idx2 != transparent_idx
+            region[mask] = rgb[mask]
+        return "GIF", ls_w, ls_h, 3, canvas.tobytes()
 
 
-def gif_encode_rgb(w: int, h: int, rgb: bytes, interlace: bool = False) -> bytes:
+def gif_encode_rgb(
+    w: int,
+    h: int,
+    rgb: bytes,
+    interlace: bool = False,
+    left: int = 0,
+    top: int = 0,
+    screen: tuple | None = None,
+    transparent_color: tuple | None = None,
+) -> bytes:
     """Synthetic-fixture GIF encoder (tests + the m_decode_gif gate
     query synthesize payloads with it — NOT a public pipeline
     operator): builds a per-image palette from the distinct colors
     (≤256 or ValueError), REAL greedy LZW with dictionary growth,
     width promotion and a 4096-entry clear/reset, optional 4-pass
     interlacing — so the decoder's hard paths run against genuinely
-    compressed data."""
+    compressed data. `screen`/`left`/`top` place the frame as a
+    sub-rect of a larger logical screen; `transparent_color` (an RGB
+    triple present in the image) emits a graphic control extension
+    flagging that palette entry transparent."""
     if len(rgb) != w * h * 3:
         raise ValueError("rgb length must be w*h*3")
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
@@ -1250,15 +1278,27 @@ def gif_encode_rgb(w: int, h: int, rgb: bytes, interlace: bool = False) -> bytes
     blocks.append(0)
 
     gct = colors.tobytes() + b"\x00" * (3 * n_colors - colors.size)
+    ls_w, ls_h = screen if screen is not None else (w, h)
+    if left + w > ls_w or top + h > ls_h:
+        raise ValueError("frame rectangle outside the logical screen")
     lsd = bytes(
-        [w & 0xFF, w >> 8, h & 0xFF, h >> 8, 0x80 | (k << 4) | k, 0, 0]
+        [ls_w & 0xFF, ls_w >> 8, ls_h & 0xFF, ls_h >> 8,
+         0x80 | (k << 4) | k, 0, 0]
     )
+    gce = b""
+    if transparent_color is not None:
+        want = np.array(transparent_color, dtype=np.uint8)
+        hits = np.nonzero((colors == want).all(axis=1))[0]
+        if not hits.size:
+            raise ValueError("transparent_color not present in the image")
+        gce = bytes([0x21, 0xF9, 0x04, 0x01, 0, 0, int(hits[0]), 0x00])
     idesc = bytes(
-        [0x2C, 0, 0, 0, 0, w & 0xFF, w >> 8, h & 0xFF, h >> 8,
+        [0x2C, left & 0xFF, left >> 8, top & 0xFF, top >> 8,
+         w & 0xFF, w >> 8, h & 0xFF, h >> 8,
          0x40 if interlace else 0x00]
     )
     return (
-        b"GIF89a" + lsd + gct + idesc + bytes([mcs]) + bytes(blocks)
+        b"GIF89a" + lsd + gct + gce + idesc + bytes([mcs]) + bytes(blocks)
         + b"\x3B"
     )
 

@@ -404,10 +404,11 @@ def test_decode_real_gif_cross_format(spark):
 
 
 def test_decode_real_gif_errors(spark):
-    """GIF error taxonomy: transparency flag is a CAPABILITY limit
-    (NULLs under 'null'); truncation, out-of-range LZW codes, palette
-    overflow and pixel-count mismatch are MALFORMED and always
-    raise."""
+    """GIF error taxonomy: a transparency flag whose index never
+    appears in the frame decodes to the SAME pixels (round 8 —
+    transparency composites instead of raising); truncation,
+    out-of-range LZW codes, palette overflow and pixel-count
+    mismatch are MALFORMED and always raise."""
     import pytest
 
     from geist_spark.operators.multimodal import decode_real, gif_encode_rgb
@@ -423,7 +424,9 @@ def test_decode_real_gif_errors(spark):
     )
     out = {r["media_id"]: r for r in
            decode_real(caps, on_unsupported="null").collect()}
-    assert out[1]["format"] == "GIF" and out[2]["format"] is None
+    assert out[1]["format"] == "GIF" and out[2]["format"] == "GIF"
+    # index 7 is unused by the 6-color frame: identical pixels
+    assert out[1]["pixel_md5"] == out[2]["pixel_md5"]
 
     # image claims 3x3 (descriptor AND logical screen, so the
     # sub-rect guard passes) but the LZW stream carries 6 pixels
@@ -447,8 +450,10 @@ def test_decode_real_gif_errors(spark):
 def test_gif_local_color_table_and_subrect():
     """A local color table WINS over a corrupted global one (pure
     codec splice — gif_encode_rgb only emits GCTs); a first frame
-    that is a sub-rectangle of the logical screen is a typed
-    capability limit (compositing), not a silent partial decode."""
+    that is a sub-rectangle of the logical screen COMPOSITES onto a
+    white screen (round 8); a frame rectangle OUTSIDE the screen is
+    malformed."""
+    import numpy as np
     import pytest
 
     from geist_spark.operators.multimodal import _gif_decode, gif_encode_rgb
@@ -467,13 +472,28 @@ def test_gif_local_color_table_and_subrect():
     assert _gif_decode(spliced)[4] == good
 
     sub = bytearray(gif_encode_rgb(2, 4, rgb))
-    sub[p0 + 1] = 1                  # image left offset = 1
-    with pytest.raises(NotImplementedError, match="sub-rect"):
+    sub[p0 + 1] = 1                  # left offset 1: 1+2 > screen w 2
+    with pytest.raises(ValueError, match="outside"):
         _gif_decode(bytes(sub))
     shrunk = bytearray(gif_encode_rgb(2, 4, rgb))
     shrunk[8] = 9                    # logical screen taller than frame
-    with pytest.raises(NotImplementedError, match="logical screen"):
-        _gif_decode(bytes(shrunk))
+    fmt, w, h, ch, px = _gif_decode(bytes(shrunk))
+    assert (w, h) == (2, 9)
+    cv = np.full((9, 2, 3), 255, dtype=np.uint8)
+    cv[:4] = np.frombuffer(rgb, dtype=np.uint8).reshape(4, 2, 3)
+    assert px == cv.tobytes()
+    # writer-built sub-rect + transparency composite
+    tc = (0, 1, 2)
+    fmt, w, h, ch, px = _gif_decode(gif_encode_rgb(
+        2, 4, rgb, screen=(5, 6), left=2, top=1, transparent_color=tc
+    ))
+    assert (w, h) == (5, 6)
+    cv = np.full((6, 5, 3), 255, dtype=np.uint8)
+    fr = np.frombuffer(rgb, dtype=np.uint8).reshape(4, 2, 3)
+    m = ~(fr == np.array(tc, dtype=np.uint8)).all(axis=2)
+    reg = cv[1:5, 2:4]
+    reg[m] = fr[m]
+    assert px == cv.tobytes()
 
 
 def test_gif_lzw_dictionary_growth():
