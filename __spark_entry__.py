@@ -5909,9 +5909,13 @@ def t_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.tokenizer import train_unigram, unigram_apply
 
     docs = _t(spark, sf_dir, "documents")
+    # smaller seed than t_unigram_train: the encode ORACLE enumerates
+    # every segmentation of every distinct corpus word exhaustively,
+    # and path count grows with the piece table — 80 seeds keep the
+    # gate fast while still exercising multi-char Viterbi for real
     vocab = train_unigram(
         docs.filter(F.col("lang") == "en"),
-        vocab_size=60, rounds=2, max_piece_len=4, seed_size=200,
+        vocab_size=40, rounds=2, max_piece_len=4, seed_size=80,
     )
     ex = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
@@ -9730,7 +9734,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_bpe_merges": _bpe_merges_oracle(6),
         "t_unigram_train": _unigram_train_oracle(),
-        "t_unigram_encode": _unigram_encode_oracle(),
+        "t_unigram_encode": _unigram_encode_oracle(
+            vocab_size=40, seed_size=80),
         "t_bpe_encode": _bpe_encode_oracle(6),
         "t_bpe_fertility": _bpe_fertility_oracle(6),
         "d_simhash_near_dup": _simhash_near_dup_oracle(

@@ -3085,10 +3085,18 @@ def _id3_text(body: bytes) -> str:
     raise ValueError(f"malformed ID3: text encoding {enc}")
 
 
+# ID3v2.2 3-byte frame ids -> output fields (informal v2.2 spec)
+_ID3V22_TEXT_FRAMES = {
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album", b"TYE": "date",
+}
+
+
 def _id3_parse(b: bytes) -> dict:
-    """Parse an ID3v2.3/2.4 tag: TIT2/TPE1/TALB/TDRC|TYER text
-    frames + APIC (embedded image) presence. ID3v2.2 (3-byte frame
-    ids) is a typed capability limit; structural damage raises
+    """Parse an ID3v2.2/2.3/2.4 tag: title/artist/album/date text
+    frames (TIT2/TPE1/TALB/TDRC|TYER, or the v2.2 3-byte ids
+    TT2/TP1/TAL/TYE) + embedded-image (APIC/PIC) presence.
+    Unsynchronized tags are a typed capability limit (round 8 —
+    previously they would mis-parse); structural damage raises
     ValueError. Returns tag_size so strip can cut the tag."""
     import struct
 
@@ -3097,11 +3105,12 @@ def _id3_parse(b: bytes) -> dict:
     if len(b) < 10:
         raise ValueError("truncated ID3 header")
     ver, flags = b[3], b[5]
-    if ver == 2:
+    if flags & 0x80:
         raise NotImplementedError(
-            "ID3v2.2 unsupported (3-byte frame ids; v2.3/v2.4 only)"
+            "unsynchronized ID3v2 tag unsupported (frame sizes would "
+            "mis-parse)"
         )
-    if ver not in (3, 4):
+    if ver not in (2, 3, 4):
         raise NotImplementedError(f"ID3v2.{ver} unsupported")
     size = _syncsafe(b[6:10])
     if 10 + size > len(b):
@@ -3117,6 +3126,26 @@ def _id3_parse(b: bytes) -> dict:
         # footer ("3DI" block); without this, strip leaves the footer
         # at the head of the audio stream.
         out["tag_size"] += 10
+    if ver == 2:
+        # v2.2 layout: 3-byte frame ids + 3-byte big-endian sizes,
+        # no frame flags, no extended header/footer
+        pos, end = 10, 10 + size
+        while pos + 6 <= end:
+            fid = bytes(b[pos : pos + 3])
+            if fid == b"\x00\x00\x00":  # padding
+                break
+            fsize = int.from_bytes(b[pos + 3 : pos + 6], "big")
+            body_end = pos + 6 + fsize
+            if body_end > end:
+                raise ValueError(f"truncated ID3 frame {fid!r}")
+            body = bytes(b[pos + 6 : body_end])
+            key = _ID3V22_TEXT_FRAMES.get(fid)
+            if key and out[key] is None:
+                out[key] = _id3_text(body)
+            elif fid == b"PIC":
+                out["has_image"] = True
+            pos = body_end
+        return out
     pos = 10
     if flags & 0x40:  # extended header: skip it
         if ver == 4:

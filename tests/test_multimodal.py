@@ -1697,11 +1697,27 @@ def test_id3_extract_and_strip(spark):
     assert bytes(st[2]["payload"]) == audio  # ID3v1 trailer cut too
     assert bytes(st[5]["payload"]) == b"\xff\xfb no tag"
 
+    # ID3v2.2 parses for real since round 8 (3-byte ids, TT2/TP1/...)
+    def v22frame(fid, text):
+        body = b"\x00" + text.encode("latin-1")
+        return fid + len(body).to_bytes(3, "big") + body
+
+    frames22 = (v22frame(b"TT2", "Old") + v22frame(b"TYE", "1999")
+                + b"PIC" + (4).to_bytes(3, "big") + b"\x00PNGx")
+    ss = bytes([(len(frames22) >> s) & 0x7F for s in (21, 14, 7, 0)])
     v22 = spark.createDataFrame(
-        [(1, b"ID3\x02\x00\x00\x00\x00\x00\x00pad")],
+        [(1, b"ID3\x02\x00\x00" + ss + frames22)],
         "media_id long, payload binary",
     )
-    assert id3_extract(v22, on_unsupported="null").collect()[0][
+    r22 = id3_extract(v22, on_unsupported="null").collect()[0]
+    assert (r22["version"], r22["title"], r22["date"],
+            r22["has_image"]) == (2, "Old", "1999", True)
+    # unsynchronized tags stay a typed capability limit
+    unsync = spark.createDataFrame(
+        [(1, b"ID3\x03\x00\x80" + ss + frames22)],
+        "media_id long, payload binary",
+    )
+    assert id3_extract(unsync, on_unsupported="null").collect()[0][
         "format"] is None
     tag = id3v2_build("A", "B", "C", "2020")
     bad = spark.createDataFrame(
