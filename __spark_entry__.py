@@ -2448,6 +2448,75 @@ def m_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_wav_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-sample WAV decode under the oracle gate (round 8):
+    doc_id % 3 rotates 24-bit PCM (the 24 md5 bytes as 8 3-byte LE
+    samples), 32-bit PCM wrapped in WAVE_FORMAT_EXTENSIBLE (6
+    4-byte samples — the 0xFFFE SubFormat unwrap runs under the
+    gate), and IEEE float32 (24 samples (b-128)/256 — dyadic, so
+    trunc(x*2^15) = (b-128)*128 exactly). The oracle reassembles
+    samples arithmetically (two's complement at 2^23/2^31, the
+    float mapping as integer multiplication) and replays exact
+    peak / floor-mean-square — the hi/lo-decomposed wide-sample
+    sum-of-squares path hash-mismatches on any error."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def wav(fmt, bits, data, ext=False):
+        if ext:
+            body = _struct.pack(
+                "<HHIIHH", 0xFFFE, 1, 8000, 8000 * bits // 8,
+                bits // 8, bits,
+            )
+            body += _struct.pack("<HHI", 22, bits, 1)
+            body += _struct.pack("<H", fmt) + b"\x00\x00" + bytes(12)
+        else:
+            body = _struct.pack(
+                "<HHIIHH", fmt, 1, 8000, 8000 * bits // 8,
+                bits // 8, bits,
+            )
+        return (
+            b"RIFF" + _struct.pack("<I", 20 + len(body) + len(data))
+            + b"WAVE" + b"fmt " + _struct.pack("<I", len(body)) + body
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, pxv in zip(pdf["media_id"], pdf["px"]):
+                px = bytes(pxv)
+                v = mid % 3
+                if v == 0:
+                    p = wav(1, 24, px)
+                elif v == 1:
+                    p = wav(1, 32, px, ext=True)
+                else:
+                    data = b"".join(
+                        _struct.pack("<f", (b - 128) / 256.0)
+                        for b in px
+                    )
+                    p = wav(3, 32, data)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "bit_depth", "n_frames",
+        "peak_abs", "mean_square_fx",
+    )
+
+
 def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 companded-audio decode under the oracle gate: the
     same 24 md5-derived bytes as m_decode_audio, but written as 8-bit
@@ -6405,6 +6474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_incremental_embed": s_incremental_embed,
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
+        "m_decode_wav_wide": m_decode_wav_wide,
         "m_decode_g711": m_decode_g711,
         "m_decode_adpcm": m_decode_adpcm,
         "m_exif_extract": m_exif_extract,
@@ -7467,6 +7537,52 @@ def oracle_sql() -> dict[str, str]:
         # bytes as companded codes — µ-law (even doc_id: complement,
         # segment shift, bias 0x84) / A-law (odd: xor 0x55, segment
         # shift, bias 0x108) — expanded per ITU-T G.711 in pure SQL
+        # arithmetic replay of the wide-sample WAV decode: samples
+        # reassembled two's-complement (2^23 / 2^31), float samples
+        # as the exact integer (b-128)*128; HUGEINT sum for the
+        # 32-bit squares (6 * (2^31)^2 > int64)
+        "m_decode_wav_wide": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
+                SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN
+                       [CASE WHEN bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] >= 8388608
+                             THEN bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] - 16777216
+                             ELSE bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] END
+                        for i in generate_series(1, 8)]
+                     WHEN 1 THEN
+                       [CASE WHEN bytes[4*i-3] + 256*bytes[4*i-2]
+                                  + 65536*bytes[4*i-1]
+                                  + 16777216*bytes[4*i] >= 2147483648
+                             THEN bytes[4*i-3] + 256*bytes[4*i-2]
+                                  + 65536*bytes[4*i-1]
+                                  + 16777216*bytes[4*i] - 4294967296
+                             ELSE bytes[4*i-3] + 256*bytes[4*i-2]
+                                  + 65536*bytes[4*i-1]
+                                  + 16777216*bytes[4*i] END
+                        for i in generate_series(1, 6)]
+                     ELSE
+                       [(bytes[i] - 128) * 128
+                        for i in generate_series(1, 24)]
+                   END AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'WAV' AS format,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 24
+                        ELSE 32 END AS INTEGER) AS bit_depth,
+                   CAST(len(smp) AS BIGINT) AS n_frames,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT)
+                       AS peak_abs,
+                   CAST(CAST(list_sum([CAST(v AS HUGEINT) * v
+                                       for v in smp]) AS HUGEINT)
+                        // len(smp) AS BIGINT) AS mean_square_fx
+            FROM s
+        """,
         "m_decode_g711": f"""
             WITH {_MD5_BYTES_CTE_SQL}, s AS (
                 SELECT doc_id,

@@ -20,14 +20,15 @@ whole-image numpy. Runs inside the same Arrow-batched mapInPandas
 stage as the other decoders (multimodal._decode_rgb_bytes dispatch):
 zero shuffle, partition-parallel.
 
-Supported: baseline sequential DCT (SOF0) with one interleaved scan,
-progressive DCT (SOF2) with any standard scan script (interleaved DC
-first/refine, per-component AC bands, successive-approximation
-ladders, EOB runs), 8-bit, 1 or 3 components, any sampling factors
-(chroma upsampled nearest), restart intervals in both modes.
-CAPABILITY limits (NotImplementedError): the other SOFn variants
-(extended/lossless), arithmetic coding, multi-scan baseline,
-4-component (CMYK). MALFORMED data (truncation, bad Huffman codes,
+Supported: baseline sequential DCT (SOF0) and extended sequential
+(SOF1 — identical Huffman decode at 8-bit) with one interleaved
+scan, progressive DCT (SOF2) with any standard scan script
+(interleaved DC first/refine, per-component AC bands,
+successive-approximation ladders, EOB runs), 8-bit, 1 or 3
+components, any sampling factors (chroma upsampled nearest), restart
+intervals in both modes. CAPABILITY limits (NotImplementedError):
+lossless/differential SOFn variants, arithmetic coding, multi-scan
+baseline, 4-component (CMYK). MALFORMED data (truncation, bad Huffman codes,
 missing tables, coefficient overrun, bad spectral bands or
 successive-approximation parameters) raises ValueError — the
 repo-wide two-tier error contract. Progressive correctness is pinned
@@ -497,7 +498,9 @@ def jpeg_decode(b: bytes) -> tuple:
                 table = _build_huff(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + total
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # Huffman decode at 8-bit) / SOF2 progressive
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -524,7 +527,7 @@ def jpeg_decode(b: bytes) -> tuple:
                     raise ValueError("malformed JPEG: zero sampling factor")
             frame = {"w": w, "h": h, "comps": comps,
                      "prog": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = "extended/lossless"
             if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

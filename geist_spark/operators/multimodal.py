@@ -3515,14 +3515,17 @@ def _g711_tables() -> tuple:
 
 def _wav_samples(b: bytes) -> tuple:
     """RIFF/WAVE sample extraction (pure python): fmt + data chunk
-    walk; 8-bit unsigned (centered) and 16-bit signed LE linear PCM,
-    plus G.711 µ-law (format 7) and A-law (format 6) expanded to
-    16-bit linear through exact-integer LUTs. Returns (n_channels,
+    walk; 8/16/24/32-bit signed LE linear PCM (8-bit unsigned,
+    centered), IEEE float32/float64 (format 3 — samples map to
+    trunc(x * 2^15), exact because scaling by a power of two is
+    IEEE-exact; non-finite samples are malformed), G.711 µ-law
+    (format 7) and A-law (format 6) expanded to 16-bit linear
+    through exact-integer LUTs, and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    unwrapped via its SubFormat GUID. Returns (n_channels,
     sample_rate, bit_depth, samples) with bit_depth the CONTAINER
-    depth (8 for G.711) and samples an int64 INTERLEAVED numpy array
-    — int64 throughout so downstream sums of squares stay exact for
-    any payload a Spark row can hold (2 GB row cap -> 1e9 samples ->
-    max sum ~1.07e18 < 2^63)."""
+    depth (8 for G.711, 32/64 for float) and samples an int64
+    INTERLEAVED numpy array (wide-sample sums of squares decompose
+    hi/lo in _wav_decode so exactness holds past 16 bits)."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -3536,6 +3539,15 @@ def _wav_samples(b: bytes) -> tuple:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real format tag is the
+                # SubFormat GUID's first two bytes (fmt body >= 40)
+                if len(body) < 40:
+                    raise ValueError(
+                        "truncated WAVE_FORMAT_EXTENSIBLE fmt chunk"
+                    )
+                (sub,) = struct.unpack_from("<H", body, 24)
+                fmt = (sub,) + tuple(fmt[1:])
         elif cid == b"data":
             if len(body) < clen:
                 raise ValueError(
@@ -3548,13 +3560,15 @@ def _wav_samples(b: bytes) -> tuple:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, ch, rate, _byterate, _align, bits = fmt
     if not (
-        (audio_fmt == 1 and bits in (8, 16))
+        (audio_fmt == 1 and bits in (8, 16, 24, 32))
+        or (audio_fmt == 3 and bits in (32, 64))
         or (audio_fmt in (6, 7) and bits == 8)
         or (audio_fmt == 0x11 and bits == 4)
     ):
         raise NotImplementedError(
-            f"only 8/16-bit PCM, 8-bit G.711 A-law/µ-law and 4-bit "
-            f"IMA ADPCM WAV supported (format={audio_fmt}, bits={bits})"
+            f"only 8/16/24/32-bit PCM, 32/64-bit IEEE float, 8-bit "
+            f"G.711 A-law/µ-law and 4-bit IMA ADPCM WAV supported "
+            f"(format={audio_fmt}, bits={bits})"
         )
     if ch <= 0 or rate <= 0:
         raise ValueError(
@@ -3583,6 +3597,26 @@ def _wav_samples(b: bytes) -> tuple:
         samples = np.frombuffer(
             data, dtype=np.uint8, count=n_samples
         ).astype(np.int64) - 128
+    elif audio_fmt == 3:  # IEEE float -> trunc(x * 2^15), exact
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt, count=n_samples)
+        if not np.isfinite(x).all():
+            raise ValueError("malformed float WAV: non-finite sample")
+        samples = np.trunc(x.astype(np.float64) * 32768.0).astype(
+            np.int64
+        )
+    elif bits == 24:  # 3-byte LE signed
+        u = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            u[:, 0].astype(np.int64)
+            | (u[:, 1].astype(np.int64) << 8)
+            | (u[:, 2].astype(np.int64) << 16)
+        )
+        samples = v - ((v >= (1 << 23)).astype(np.int64) << 24)
+    elif bits == 32:
+        samples = np.frombuffer(
+            data, dtype="<i4", count=n_samples
+        ).astype(np.int64)
     else:
         samples = np.frombuffer(
             data, dtype="<i2", count=n_samples
@@ -3597,7 +3631,21 @@ def _wav_decode(b: bytes) -> tuple:
     n_samples = samples.shape[0]
     n_frames = n_samples // ch if ch else 0
     peak = int(np.abs(samples).max()) if n_samples else 0
-    msq = int((samples * samples).sum()) // n_samples if n_samples else 0
+    if not n_samples:
+        msq = 0
+    elif int(np.abs(samples).max()) >= (1 << 16):
+        # wide samples: x = a*2^16 + r decomposes the sum of squares
+        # into three int64-safe partials recombined in Python bigints
+        # (sum x^2 = 2^32 sum a^2 + 2^17 sum a*r + sum r^2)
+        a = samples >> 16
+        r = samples & 0xFFFF
+        msq = (
+            (int((a * a).sum()) << 32)
+            + (int((a * r).sum()) << 17)
+            + int((r * r).sum())
+        ) // n_samples
+    else:
+        msq = int((samples * samples).sum()) // n_samples
     return "WAV", ch, rate, bits, n_frames, peak, msq
 
 

@@ -2135,3 +2135,66 @@ def test_decode_real_png_sub_byte_depths(spark):
     for k, v in want.items():
         assert out[k]["mean_luma_fx"] == v, k
     assert out[1]["channels"] == 1
+
+
+def test_wav_wide_samples_and_float(spark):
+    """Round 8 WAV surface: 24/32-bit PCM (exact hi/lo-decomposed
+    mean-square past int64 territory), IEEE float32/float64 (samples
+    = trunc(x * 2^15), exact for dyadic values), and
+    WAVE_FORMAT_EXTENSIBLE unwrapping; non-finite float samples are
+    malformed. Expected values computed independently with Python
+    bigints."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    def wav(fmt, ch, rate, bits, data, ext=False):
+        if ext:
+            body = struct.pack("<HHIIHH", 0xFFFE, ch, rate,
+                               rate * ch * bits // 8, ch * bits // 8, bits)
+            body += struct.pack("<HHI", 22, bits, 1)
+            body += struct.pack("<H", fmt) + b"\x00\x00" + bytes(12)
+        else:
+            body = struct.pack("<HHIIHH", fmt, ch, rate,
+                               rate * ch * bits // 8, ch * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 20 + len(body) + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rng = np.random.RandomState(6)
+    v24 = rng.randint(-(1 << 23), 1 << 23, 10).astype(np.int64)
+    d24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+    v32 = rng.randint(-(1 << 31), 1 << 31, 9).astype(np.int64)
+    d32 = b"".join(struct.pack("<i", int(v)) for v in v32)
+    ks = rng.randint(-128, 128, 12)
+    df32 = b"".join(struct.pack("<f", k / 256.0) for k in ks)
+    fexp = [int(k) * 128 for k in ks]
+    rows = [
+        (1, wav(1, 1, 8000, 24, d24)),
+        (2, wav(1, 3, 8000, 32, d32, ext=True)),  # extensible, 3 ch
+        (3, wav(3, 1, 8000, 32, df32)),
+        (4, wav(3, 1, 8000, 64,
+                b"".join(struct.pack("<d", k / 256.0) for k in ks))),
+    ]
+    out = {r["media_id"]: r for r in
+           decode_audio_real(spark.createDataFrame(
+               rows, "media_id long, payload binary")).collect()}
+    assert out[1]["bit_depth"] == 24
+    assert out[1]["peak_abs"] == int(np.abs(v24).max())
+    assert out[1]["mean_square_fx"] == sum(int(v) ** 2 for v in v24) // 10
+    assert (out[2]["bit_depth"], out[2]["n_channels"],
+            out[2]["n_frames"]) == (32, 3, 3)
+    assert out[2]["mean_square_fx"] == sum(int(v) ** 2 for v in v32) // 9
+    for mid, bits in ((3, 32), (4, 64)):
+        assert out[mid]["bit_depth"] == bits
+        assert out[mid]["peak_abs"] == max(abs(v) for v in fexp)
+        assert out[mid]["mean_square_fx"] == (
+            sum(v * v for v in fexp) // 12
+        )
+    nanwav = wav(3, 1, 8000, 32, struct.pack("<f", float("nan")) * 4)
+    df = spark.createDataFrame([(1, nanwav)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="non-finite"):
+        decode_audio_real(df, on_unsupported="null").collect()

@@ -149,6 +149,7 @@ MIP_ALLOWED = {
     "m_decode_audio": 1,
     "m_decode_g711": 1,      # JVM header concat + one decode stage
     "m_decode_adpcm": 2,     # block synth (struct pack) + decode
+    "m_decode_wav_wide": 2,  # header synth + wide-sample decode
     "m_exif_extract": 2,     # APP1 synth + marker-walk extract
     "m_strip_metadata": 2,   # APP1 synth + segment strip
     "m_riff_info": 2,        # INFO-chunk synth + RIFF walk
