@@ -655,6 +655,14 @@ def _xref_offsets(b: bytes, max_bytes: int) -> tuple[dict, dict]:
             raise ValueError("malformed PDF: trailer is not a dict")
         if not trailer:
             trailer = t
+        xstm = t.get("XRefStm")
+        if isinstance(xstm, int):
+            # hybrid-reference file (§7.5.8.4): a classic section's
+            # companion xref STREAM carries the compressed-object
+            # entries; classic entries win on conflict (first-seen —
+            # well-formed hybrids never conflict, the stream only
+            # lists objects the table omits)
+            _xref_stream_section(b, xstm, offsets, max_bytes)
         prev = t.get("Prev")
         if prev is None:
             return offsets, trailer

@@ -188,3 +188,23 @@ def test_pdf_extract_text_xref_stream_spark(spark):
     df = spark.createDataFrame(rows, "file_id long, payload binary")
     out = {r["file_id"]: r["text"] for r in pdf_extract_text(df).collect()}
     assert out == {1: "modern layout", 2: "modern layout"}
+
+
+def test_hybrid_reference_xrefstm():
+    """Hybrid-reference files (§7.5.8.4): a classic xref section whose
+    trailer carries /XRefStm pointing at the companion xref stream —
+    the classic table lists nothing here, so every object resolves
+    through the stream's compressed entries."""
+    s1 = content_ops(["Hybrid page"])
+    base = pdf_build([s1], xref_stream=True, objstm=True)
+    k = base.rindex(b"startxref")
+    xref_off = int(base[k + 10 :].split()[0])
+    body = base[:k]
+    classic_off = len(body)
+    hybrid = (
+        body
+        + b"xref\n0 1\n0000000000 65535 f \n"
+        + b"trailer\n<< /Size 9 /Root 1 0 R /XRefStm %d >>\n" % xref_off
+        + b"startxref\n%d\n%%%%EOF\n" % classic_off
+    )
+    assert list(_pdf_pages(hybrid, 1 << 20)) == [(0, "Hybrid page")]
