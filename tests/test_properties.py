@@ -2641,3 +2641,133 @@ def test_ima_adpcm_matches_audioop_property(nibbles, pred0, idx0):
     ref = np.frombuffer(lin, dtype="<i2").astype(np.int64)
     assert mine[0] == pred0
     assert (mine[1:] == ref).all()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pages=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0xFF,
+                    blacklist_characters="".join(
+                        chr(c) for c in range(0x7F, 0xA1)
+                    ),
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    flate=st.booleans(),
+    xref_stream=st.booleans(),
+    objstm=st.booleans(),
+    tj=st.booleans(),
+)
+def test_pdf_text_roundtrip_property(pages, flate, xref_stream, objstm, tj):
+    """Random page texts (printable latin-1 incl. parens/backslashes
+    that exercise string escaping) round-trip through the paired PDF
+    writer and reader under every container combination — the
+    writer/reader pair must agree on escaping, offsets, Flate,
+    xref-stream fields, and object-stream packing for ARBITRARY
+    text, not just the fixture corpus."""
+    from geist_spark.operators.pdf import (
+        _pdf_pages,
+        content_ops,
+        pdf_build,
+    )
+
+    streams = [content_ops(lines, use_tj_array=tj) for lines in pages]
+    pdf = pdf_build(
+        streams, flate=flate, xref_stream=xref_stream,
+        objstm=xref_stream and objstm,
+    )
+    got = list(_pdf_pages(pdf, 1 << 22))
+    assert len(got) == len(pages)
+    for (idx, text), lines in zip(got, pages):
+        enc = [
+            ln.encode("cp1252", errors="replace").decode("cp1252")
+            for ln in lines
+        ]
+        # the reader's line rule: T* opens a new line only when the
+        # current one is non-empty; trailing blanks drop
+        out_lines = []
+        for ln in enc:
+            if out_lines and out_lines[-1] == "":
+                out_lines[-1] = ln
+            else:
+                out_lines.append(ln)
+        while out_lines and out_lines[-1] == "":
+            out_lines.pop()
+        assert text == "\n".join(out_lines), (lines, text)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    texts=st.lists(st.text(max_size=80), min_size=1, max_size=6),
+)
+def test_decode_text_roundtrip_property(spark, data, texts):
+    """Random texts round-trip byte-exactly through the REAL Spark
+    decode_text operator under randomly chosen charsets and
+    declaration tiers (BOM / HTTP header / html meta) — the sniff
+    precedence and codec plumbing must hold for arbitrary content,
+    not just the fixture corpus."""
+    import re
+
+    from geist_spark.operators.web import decode_text
+
+    rows, want = [], {}
+    for i, text in enumerate(texts):
+        if "\ufffd" in text or re.search(r"(?i)charset", text):
+            continue  # replacement chars / smuggled declarations
+        charset = data.draw(st.sampled_from(
+            ["utf-8", "utf-16-le", "utf-16-be", "cp1251", "cp1252",
+             "shift_jis", "gbk"]
+        ))
+        tier = data.draw(st.sampled_from(["bom", "header", "meta"]))
+        try:
+            body = text.encode(charset)
+        except UnicodeEncodeError:
+            continue
+        if tier == "bom":
+            if charset not in ("utf-8", "utf-16-le", "utf-16-be"):
+                continue
+            bom = {"utf-8": b"\xef\xbb\xbf", "utf-16-le": b"\xff\xfe",
+                   "utf-16-be": b"\xfe\xff"}[charset]
+            if charset == "utf-16-le" and body[:2] == b"\x00\x00":
+                continue  # ambiguous with the utf-32-le BOM
+            rows.append((i, bom + body, None))
+            want[i] = text
+        elif tier == "header":
+            rows.append((i, body, f"text/plain; charset={charset}"))
+            want[i] = text
+        else:
+            prefix = f'<meta charset="{charset}">'
+            try:
+                payload = prefix.encode(charset) + body
+            except UnicodeEncodeError:
+                continue
+            if not payload.startswith(prefix.encode("ascii")):
+                continue  # charset not ASCII-transparent for the tag
+            rows.append((i, payload, None))
+            want[i] = prefix + text
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, content_type string"
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           decode_text(df, content_type_col="content_type").collect()}
+    assert out == want
