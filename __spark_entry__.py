@@ -5943,6 +5943,23 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative pipeline's langFilter step under the oracle
+    gate (round 8): compile_pipeline({langFilter: [en, de]}) over
+    documents — the language argmax as ONE pure-codegen predicate
+    (text.predicted_lang_col), zero joins, zero shuffles. The oracle
+    replays the universal tokenizer + stopword-overlap argmax +
+    fixed-order tiebreak in SQL (the t_language_id machinery) as a
+    WHERE clause."""
+    from geist_spark.compiler.pipeline import compile_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = compile_pipeline(
+        {"steps": [{"op": "langFilter", "languages": ["en", "de"]}]}
+    )
+    return pipe(docs).select("doc_id", "lang", "source")
+
+
 def t_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/tokenizer.py
     train_unigram — the SentencePiece shape, Kudo 2018) with hard EM
@@ -6303,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lm_score": t_lm_score,
         "t_bpe_merges": t_bpe_merges,
         "t_unigram_train": t_unigram_train,
+        "p_lang_filter": p_lang_filter,
         "t_unigram_encode": t_unigram_encode,
         # multimodal family representative: REAL decode (full
         # Huffman+IDCT oracle) — the byte-stat stub m_media_features
@@ -7233,6 +7251,18 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(list_distinct(toks), sw))::DOUBLE
                          / greatest(len(list_distinct(toks)), 1), 6) AS stopword_ratio
             FROM base
+        """,
+        "p_lang_filter": f"""
+            WITH base AS (
+                SELECT doc_id, lang, source,
+                       list_distinct({utoks_sql}) AS dtoks
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, lang, source, {lang_scores} FROM base
+            )
+            SELECT doc_id, lang, source
+            FROM scored
+            WHERE {pred_chain} IN ('en', 'de')
         """,
         "t_language_id": f"""
             WITH base AS (

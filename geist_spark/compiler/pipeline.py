@@ -226,6 +226,36 @@ def _lm_quality_filter(params: dict[str, Any]) -> Step:
     return run
 
 
+def _lang_filter(params: dict[str, Any]) -> Step:
+    from geist_spark.operators.text import STOPWORDS
+
+    langs = params.get("languages")
+    known = sorted(STOPWORDS) + ["unknown"]
+    if (
+        not isinstance(langs, list)
+        or not langs
+        or not all(isinstance(x, str) for x in langs)
+    ):
+        raise SpecError(
+            "langFilter: 'languages' must be a non-empty string list"
+        )
+    bad = [x for x in langs if x not in known]
+    if bad:
+        raise SpecError(
+            f"langFilter: unknown language codes {bad} "
+            f"(supported: {known})"
+        )
+
+    def run(df: DataFrame) -> DataFrame:
+        from geist_spark.operators.text import predicted_lang_col
+
+        # pure-codegen predicate: the language argmax inlines into
+        # the scan stage — zero shuffle, zero joins
+        return df.filter(predicted_lang_col(F.col("text")).isin(*langs))
+
+    return run
+
+
 _STEP_BUILDERS: dict[str, Callable[[dict[str, Any]], Step]] = {
     "fixText": _fix_text,
     "exactDedup": _exact_dedup,
@@ -234,6 +264,7 @@ _STEP_BUILDERS: dict[str, Callable[[dict[str, Any]], Step]] = {
     "sourceQuota": _source_quota,
     "urlDedup": _url_dedup,
     "lmQualityFilter": _lm_quality_filter,
+    "langFilter": _lang_filter,
 }
 
 

@@ -129,6 +129,27 @@ def quality_features(
     )
 
 
+def predicted_lang_col(text: F.Column) -> F.Column:
+    """The language_id argmax as ONE pure-codegen column expression
+    (no score_ columns, no join): distinct universal tokens scored
+    against each stopword set, greatest-wins with the fixed language-
+    order tiebreak, 'unknown' when nothing scores. Zero shuffle —
+    a free rider on the scan (the compiler pipeline's langFilter
+    step builds on this)."""
+    toks = F.array_distinct(universal_tokens(text))
+    scores = {
+        lang: F.round(_ratio_in(toks, words), 6)
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language-ID: distinct-token overlap with per-language
     stopword sets; argmax with fixed language order tiebreak.

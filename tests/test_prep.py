@@ -1296,3 +1296,50 @@ def test_archive_list_and_extract(spark):
             ),
             max_bytes=10,
         ).collect()
+
+
+def test_pipeline_lang_filter(spark):
+    """langFilter keeps only docs whose pure-codegen language argmax
+    lands in the requested set — agrees with language_id's
+    predicted_lang column by construction; spec validation rejects
+    unknown codes and empty lists; the plan stays join-free."""
+    import pytest
+
+    from geist_spark.compiler.pipeline import compile_pipeline
+    from geist_spark.operators.text import language_id
+    from geist_spark.spec.model import SpecError
+
+    rows = [
+        (1, "the cat sat on the mat and it is here for the win", "x", "s"),
+        (2, "der hund ist von dem haus und mit den anderen da", "x", "s"),
+        (3, "le chat est pour la maison et les autres que nous", "x", "s"),
+        (4, "zzz qqq www", "x", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    pipe = compile_pipeline(
+        {"steps": [{"op": "langFilter", "languages": ["en", "de"]}]}
+    )
+    out = pipe(docs)
+    kept = sorted(r.doc_id for r in out.collect())
+    pred = {r["doc_id"]: r["predicted_lang"]
+            for r in language_id(docs).collect()}
+    want = sorted(d for d, p in pred.items() if p in ("en", "de"))
+    assert kept == want and 1 in kept and 2 in kept and 4 not in kept
+    assert set(out.columns) == {"doc_id", "text", "lang", "source"}
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and "Exchange" not in p
+
+    # 'unknown' is selectable (keep undetectable docs)
+    pipe_u = compile_pipeline(
+        {"steps": [{"op": "langFilter", "languages": ["unknown"]}]}
+    )
+    assert [r.doc_id for r in pipe_u(docs).collect()] == [4]
+
+    with pytest.raises(SpecError, match="unknown language codes"):
+        compile_pipeline(
+            {"steps": [{"op": "langFilter", "languages": ["klingon"]}]}
+        )
+    with pytest.raises(SpecError, match="non-empty string list"):
+        compile_pipeline({"steps": [{"op": "langFilter", "languages": []}]})
