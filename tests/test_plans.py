@@ -127,6 +127,21 @@ def test_cross_leakage_broadcasts_eval_only(spark, q):
     assert "SortMergeJoin" not in p  # train side must never shuffle-sort
 
 
+def test_lang_filter_tokenizes_once(spark, q):
+    """Round-8 defect pin: the langFilter predicate must reference the
+    universal tokenizer EXACTLY once in the plan. The naive
+    greatest+when formulation inlined regexp_extract_all ~20x, blew
+    janino's 64 KB method limit (stage fell back to interpreted) and
+    re-tokenized every document per arm. The fix binds the token
+    array via a single-element `transform` let-binding — one
+    regexp_extract_all in the Filter, period."""
+    p = simple_plan(q["p_lang_filter"](spark, SF))
+    filt = [ln for ln in p.split("\n") if "Filter " in ln]
+    assert filt, p
+    assert filt[0].count("regexp_extract_all") == 1
+    assert "Exchange" not in p  # still a free rider on the scan
+
+
 def _mip_count(p: str) -> int:
     return (
         p.count("MapInPandas")
