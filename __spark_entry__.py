@@ -7990,8 +7990,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ANALYTIC replay of the PDF extraction: the oracle never
         # parses a byte of PDF — page texts are pure string functions
-        # of (doc_id, text); the writer-variant mix (doc_id % 4) only
-        # changes the CONTAINER, never the expected text
+        # of (doc_id, text); the writer-variant mix (doc_id % 6, six
+        # container shapes incl. xref-stream/objstm and predictor
+        # variants) only changes the CONTAINER, never the expected text
         "w_pdf_extract": """
             WITH two AS (SELECT unnest([0, 1]) AS p)
             SELECT doc_id AS file_id,

@@ -3602,9 +3602,17 @@ def _wav_samples(b: bytes) -> tuple:
         x = np.frombuffer(data, dtype=dt, count=n_samples)
         if not np.isfinite(x).all():
             raise ValueError("malformed float WAV: non-finite sample")
-        samples = np.trunc(x.astype(np.float64) * 32768.0).astype(
-            np.int64
-        )
+        scaled = np.trunc(x.astype(np.float64) * 32768.0)
+        # finite-but-absurd samples (e.g. 1e30) would wrap in the
+        # int64 cast (undefined -> INT64_MIN) and then silently
+        # overflow the hi/lo sum-of-squares decomposition; 2^47 keeps
+        # every square partial int64-exact, and real audio is |x|<=1
+        if np.abs(scaled).max(initial=0.0) >= float(1 << 47):
+            raise ValueError(
+                "malformed float WAV: sample magnitude exceeds 2^32 "
+                "full-scale units"
+            )
+        samples = scaled.astype(np.int64)
     elif bits == 24:  # 3-byte LE signed
         u = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         v = (

@@ -277,8 +277,22 @@ def _load_object(objects: dict, num: int, max_bytes: int):
     ent = objects[num]
     if isinstance(ent, tuple) and ent[0] == "parsed":
         return ent[1], ent[2]
+    if isinstance(ent, tuple) and ent[0] == "loading":
+        # a crafted xref can mark an object stream as itself stored
+        # compressed (ObjStm N inside ObjStm N, or two ObjStms inside
+        # each other); without this sentinel the mutual recursion
+        # _load_object <-> _objstm_object escapes as an untyped
+        # RecursionError instead of the module's ValueError contract
+        raise ValueError(
+            f"malformed PDF: object-stream cycle at object {num}"
+        )
     if isinstance(ent, tuple) and ent[0] == "instream":
-        val = _objstm_object(objects, ent[1], ent[2], num, max_bytes)
+        objects[num] = ("loading",)
+        try:
+            val = _objstm_object(objects, ent[1], ent[2], num, max_bytes)
+        except BaseException:
+            objects[num] = ent
+            raise
         objects[num] = ("parsed", val, None)
         return val, None
     b, off = ent
@@ -579,10 +593,13 @@ def _decode_stream(
 
 
 def _xref_offsets(b: bytes, max_bytes: int) -> tuple[dict, dict]:
-    """Walk startxref -> classic xref table(s) (following /Prev):
-    returns ({obj_num: (b, offset)}, trailer_dict). A compressed
-    xref STREAM at the startxref offset ('N G obj') is a typed
-    capability limit; everything structurally wrong raises."""
+    """Walk startxref -> cross-reference section(s) following /Prev,
+    parsing BOTH kinds for real: classic 'xref' tables and PDF 1.5
+    compressed xref STREAMs ('N 0 obj' at the startxref target,
+    via _xref_stream_section), including hybrid-reference files whose
+    classic trailer carries an /XRefStm companion. Returns
+    ({obj_num: (b, offset) | ('instream', stm, idx)}, trailer_dict);
+    everything structurally wrong raises ValueError."""
     tail = b[-256:]
     k = tail.rfind(b"startxref")
     if k < 0:

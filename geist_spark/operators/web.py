@@ -538,6 +538,7 @@ def decode_text(
     same stage boundary at 100 TB. Returns (id, text, charset,
     charset_source, n_replacements).
     """
+    import codecs
     import re
     from collections.abc import Iterator
 
@@ -575,6 +576,15 @@ def decode_text(
         m = meta_re.search(b[:sniff_bytes])
         if m:
             cs = _charset_resolve(m.group(1).decode("ascii", "replace"))
+            # WHATWG "get an encoding": a META-declared UTF-16 family
+            # label is remapped to UTF-8 — the prescan only proves the
+            # bytes are ASCII-compatible (a real UTF-16 page would have
+            # hit the BOM tier), so decoding the whole body as UTF-16
+            # would be mojibake. Header-declared UTF-16 stays literal.
+            if codecs.lookup(cs).name in (
+                "utf-16", "utf-16-le", "utf-16-be"
+            ):
+                cs = "utf-8"
             return b.decode(cs, errors="replace"), cs, "meta"
         try:
             return b.decode("utf-8"), "utf-8", "default"

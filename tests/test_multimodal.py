@@ -2198,3 +2198,23 @@ def test_wav_wide_samples_and_float(spark):
     df = spark.createDataFrame([(1, nanwav)], "media_id long, payload binary")
     with pytest.raises(Exception, match="non-finite"):
         decode_audio_real(df, on_unsupported="null").collect()
+
+
+def test_float_wav_out_of_range_is_typed(spark):
+    """Finite-but-absurd float samples (e.g. 1e30) must raise a typed
+    ValueError, not wrap in the int64 cast and silently overflow the
+    hi/lo sum-of-squares decomposition."""
+    import struct
+
+    import pytest
+
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    body = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    data = struct.pack("<f", 1e30) * 4
+    wav = (b"RIFF" + struct.pack("<I", 20 + len(body) + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+           + b"data" + struct.pack("<I", len(data)) + data)
+    df = spark.createDataFrame([(1, wav)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="magnitude"):
+        decode_audio_real(df, on_unsupported="null").collect()

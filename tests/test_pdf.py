@@ -208,3 +208,19 @@ def test_hybrid_reference_xrefstm():
         + b"startxref\n%d\n%%%%EOF\n" % classic_off
     )
     assert list(_pdf_pages(hybrid, 1 << 20)) == [(0, "Hybrid page")]
+
+
+def test_objstm_cycle_is_typed():
+    """An xref that marks an object stream as stored compressed inside
+    itself (or two object streams inside each other) must raise the
+    module's typed ValueError, not escape as an untyped RecursionError
+    from the _load_object <-> _objstm_object mutual recursion."""
+    from geist_spark.operators.pdf import _load_object
+
+    objects = {2: ("instream", 2, 0)}
+    with pytest.raises(ValueError, match="cycle"):
+        _load_object(objects, 2, 1 << 20)
+
+    objects = {3: ("instream", 4, 0), 4: ("instream", 3, 0)}
+    with pytest.raises(ValueError, match="cycle"):
+        _load_object(objects, 3, 1 << 20)

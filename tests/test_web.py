@@ -765,3 +765,29 @@ def test_decode_text_chains_on_warc(spark):
     assert out["text"] == "Русский текст"
     assert out["charset"] == "windows-1251"
     assert out["charset_source"] == "header"
+
+
+def test_meta_utf16_label_remaps_to_utf8(spark):
+    """WHATWG 'get an encoding': a META-declared UTF-16 family label is
+    remapped to UTF-8 (the ASCII prescan only proves ASCII-compatible
+    bytes — a literal utf-16 decode of the whole body is mojibake).
+    Header-declared UTF-16 stays literal."""
+    from geist_spark.operators.web import decode_text
+
+    rows = [
+        (1, '<meta charset="utf-16">déjà vu ✓'.encode(), None),
+        (2, '<meta charset="UTF-16LE">ok €'.encode(), None),
+        # header-declared utf-16le decodes literally
+        (3, "hi Ω".encode("utf-16-le"), "text/html; charset=utf-16le"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, content_type string"
+    )
+    out = {r["doc_id"]: r for r in
+           decode_text(df, content_type_col="content_type").collect()}
+    assert (out[1]["charset"], out[1]["charset_source"]) == ("utf-8", "meta")
+    assert "déjà vu ✓" in out[1]["text"]
+    assert out[1]["n_replacements"] == 0
+    assert (out[2]["charset"], out[2]["charset_source"]) == ("utf-8", "meta")
+    assert out[2]["text"].endswith("ok €")
+    assert (out[3]["text"], out[3]["charset_source"]) == ("hi Ω", "header")
