@@ -21,9 +21,13 @@ Scope:
   (the PNG-IDAT / gzip-bomb rule); predictors on CONTENT streams and
   other filters are capability limits,
 - simple fonts (Type1/TrueType) with standard single-byte encodings,
-  decoded as WinAnsi (cp1252) — Type0/CMap composite fonts are a
-  capability limit (their bytes are CID indexes, not characters;
-  decoding them as text would be silent garbage),
+  decoded as WinAnsi (cp1252), AND composite Type0 fonts with
+  /Encoding Identity-H|V plus an embedded /ToUnicode CMap (2-byte
+  CIDs mapped through beginbfchar/beginbfrange — the layout every
+  modern word processor / browser emits for subset-embedded fonts);
+  Type0 with a named non-Identity CMap or without ToUnicode stays a
+  capability limit (those bytes are glyph indexes with no
+  recoverable text),
 - text assembly from BT/ET blocks: Tj / TJ / ' / " shows; Td / TD /
   T* / BT open a new output line (only when the current line is
   non-empty — so a leading position op never emits a blank line);
@@ -688,23 +692,28 @@ def _xref_offsets(b: bytes, max_bytes: int) -> tuple[dict, dict]:
         next_off = prev
 
 
-def _content_text(data: bytes) -> str:
+def _content_text(data: bytes, fonts: dict | None = None) -> str:
     """Assemble page text from a decoded content stream: Tj/TJ/'/"
     shows, Td/TD/T*/BT line breaks (only when the current line is
-    non-empty), shown bytes decoded as WinAnsi (cp1252, replace).
-    Inline images (BI…EI) are skipped; every other operator just
-    clears the operand stack."""
+    non-empty), shown bytes decoded through the CURRENT font's show
+    decoder (tracked via Tf): WinAnsi (cp1252, replace) for simple
+    fonts, 2-byte-CID ToUnicode lookup for Identity-H Type0 fonts
+    (_page_fonts). Before any Tf — or for a font name the resources
+    don't declare — the simple-font decode applies. Inline images
+    (BI…EI) are skipped; every other operator just clears the
+    operand stack."""
     lines = [""]
     operands: list = []
     lx = _Lexer(data)
     n = len(data)
+    cur_show = _simple_show
 
     def newline() -> None:
         if lines[-1] != "":
             lines.append("")
 
     def show(raw: bytes) -> None:
-        lines[-1] += raw.decode("cp1252", errors="replace")
+        lines[-1] += cur_show(raw)
 
     while True:
         lx.skip_ws()
@@ -752,6 +761,15 @@ def _content_text(data: bytes) -> str:
                 newline()
                 if operands and isinstance(operands[-1], bytes):
                     show(operands[-1])
+            elif op == "Tf":
+                if (
+                    fonts is not None
+                    and len(operands) >= 2
+                    and isinstance(operands[-2], _Name)
+                ):
+                    cur_show = fonts.get(
+                        str(operands[-2]), _simple_show
+                    )
             elif op in ("Td", "TD", "T*", "BT"):
                 newline()
             elif op == "BI":
@@ -767,23 +785,247 @@ def _content_text(data: bytes) -> str:
     return "\n".join(lines)
 
 
-def _check_fonts(res, objects: dict, max_bytes: int) -> None:
-    """Composite (Type0/CMap) fonts make shown bytes CID indexes, not
-    characters — extracting them as text would be silent garbage, so
-    they are a typed capability limit."""
+def _simple_show(raw: bytes) -> str:
+    """Simple-font show decode: WinAnsi (cp1252, replace) — the
+    module's single-byte dialect."""
+    return raw.decode("cp1252", errors="replace")
+
+
+def _tounicode_map(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3, Adobe
+    CMap grammar) into {CID: unicode_string}. Handles beginbfchar
+    pairs, beginbfrange with an incrementing destination (last
+    UTF-16 code unit steps, per the spec's 'last byte' rule) or an
+    explicit destination array, multi-code-unit destinations
+    (ligatures, non-BMP via surrogate pairs), and skips the
+    PostScript framing (findresource/dict/def) plus CIDSystemInfo
+    dicts. Oversized or self-inconsistent maps raise ValueError."""
+    lx = _Lexer(data)
+    n = len(data)
+    mapping: dict[int, str] = {}
+
+    def next_token():
+        lx.skip_ws()
+        if lx.i >= n:
+            return None
+        c = data[lx.i]
+        if c == 0x25:  # % comment — skip to EOL
+            j = lx.i
+            while j < n and data[j] not in b"\r\n":
+                j += 1
+            lx.i = j
+            return next_token()
+        if c == 0x28:
+            return ("str", lx.lit_string())
+        if c == 0x3C:
+            if data[lx.i: lx.i + 2] == b"<<":
+                _parse_value(lx, None)  # CIDSystemInfo etc — skipped
+                return ("dict", None)
+            return ("hex", lx.hex_string())
+        if c == 0x5B:
+            lx.i += 1
+            items = []
+            while True:
+                lx.skip_ws()
+                if lx.i >= n:
+                    raise ValueError(
+                        "malformed CMap: unterminated array"
+                    )
+                if data[lx.i] == 0x5D:
+                    lx.i += 1
+                    return ("arr", items)
+                t = next_token()
+                if t is None or t[0] != "hex":
+                    raise ValueError(
+                        "malformed CMap: bfrange array holds a "
+                        "non-hex-string element"
+                    )
+                items.append(t[1])
+        if c == 0x2F:
+            return ("name", str(lx.name()))
+        if c in b"+-.0123456789":
+            start = lx.i
+            lx.i += 1
+            while lx.i < n and data[lx.i] in b"+-.0123456789":
+                lx.i += 1
+            return ("num", data[start: lx.i])
+        kw = lx.keyword()
+        if not kw:
+            raise ValueError(
+                f"malformed CMap: bad byte {c:#x} at {lx.i}"
+            )
+        return ("kw", kw)
+
+    def dst_text(dst: bytes) -> str:
+        if len(dst) % 2:
+            raise ValueError(
+                "malformed CMap: odd-length UTF-16BE destination"
+            )
+        return dst.decode("utf-16-be", errors="replace")
+
+    def add(cid: int, text: str) -> None:
+        if len(mapping) >= (1 << 20):
+            raise ValueError("malformed CMap: mapping too large")
+        mapping.setdefault(cid, text)  # first definition wins
+
+    while True:
+        t = next_token()
+        if t is None:
+            break
+        if t[0] != "kw":
+            continue
+        kw = t[1]
+        if kw == "beginbfchar":
+            while True:
+                a = next_token()
+                if a is None:
+                    raise ValueError(
+                        "malformed CMap: unterminated bfchar block"
+                    )
+                if a == ("kw", "endbfchar"):
+                    break
+                b2 = next_token()
+                if a[0] != "hex" or b2 is None or b2[0] != "hex":
+                    raise ValueError(
+                        "malformed CMap: bfchar entry is not a "
+                        "hex-string pair"
+                    )
+                add(int.from_bytes(a[1], "big"), dst_text(b2[1]))
+        elif kw == "beginbfrange":
+            while True:
+                a = next_token()
+                if a is None:
+                    raise ValueError(
+                        "malformed CMap: unterminated bfrange block"
+                    )
+                if a == ("kw", "endbfrange"):
+                    break
+                b2 = next_token()
+                c3 = next_token()
+                if (
+                    a[0] != "hex"
+                    or b2 is None or b2[0] != "hex"
+                    or c3 is None or c3[0] not in ("hex", "arr")
+                ):
+                    raise ValueError(
+                        "malformed CMap: bfrange entry is not "
+                        "(hex, hex, hex|array)"
+                    )
+                lo = int.from_bytes(a[1], "big")
+                hi = int.from_bytes(b2[1], "big")
+                if hi < lo or hi - lo > 0xFFFF:
+                    raise ValueError(
+                        f"malformed CMap: bad bfrange {lo:#x}..{hi:#x}"
+                    )
+                if c3[0] == "arr":
+                    if len(c3[1]) != hi - lo + 1:
+                        raise ValueError(
+                            "malformed CMap: bfrange array length "
+                            "disagrees with the code range"
+                        )
+                    for k, dst in enumerate(c3[1]):
+                        add(lo + k, dst_text(dst))
+                else:
+                    dst = c3[1]
+                    if len(dst) < 2 or len(dst) % 2:
+                        raise ValueError(
+                            "malformed CMap: bfrange destination "
+                            "shorter than one UTF-16 code unit"
+                        )
+                    prefix, last = dst[:-2], int.from_bytes(
+                        dst[-2:], "big"
+                    )
+                    if last + (hi - lo) > 0xFFFF:
+                        raise ValueError(
+                            "malformed CMap: bfrange destination "
+                            "overflows its last code unit"
+                        )
+                    for k in range(hi - lo + 1):
+                        add(
+                            lo + k,
+                            dst_text(
+                                prefix
+                                + (last + k).to_bytes(2, "big")
+                            ),
+                        )
+    return mapping
+
+
+def _cid_shower(mapping: dict[int, str]):
+    """Decoder for Identity-H shows: 2-byte big-endian CIDs through
+    the ToUnicode map; unmapped CIDs become U+FFFD (same 'replace'
+    dialect as the cp1252 simple-font path); an odd trailing byte is
+    structural damage."""
+
+    def show(raw: bytes) -> str:
+        if len(raw) % 2:
+            raise ValueError(
+                "malformed PDF: CID show string has an odd length"
+            )
+        return "".join(
+            mapping.get(
+                int.from_bytes(raw[k: k + 2], "big"), "�"
+            )
+            for k in range(0, len(raw), 2)
+        )
+
+    return show
+
+
+def _page_fonts(res, objects: dict, max_bytes: int) -> dict:
+    """Map each page-resource font name to its show decoder. Simple
+    fonts (Type1/TrueType/Type3) decode as WinAnsi. Composite (Type0)
+    fonts are supported when /Encoding is Identity-H or Identity-V
+    (fixed 2-byte CIDs) AND a /ToUnicode CMap stream is present —
+    that covers the modern majority (every PDF produced by word
+    processors / browsers with embedded subset fonts); a Type0 font
+    with a named non-Identity CMap or without ToUnicode stays a typed
+    capability limit (its bytes are glyph indexes with no recoverable
+    text)."""
     res = _resolve(res, objects, max_bytes)
     if not isinstance(res, dict):
-        return
+        return {}
     fonts = _resolve(res.get("Font"), objects, max_bytes)
     if not isinstance(fonts, dict):
-        return
-    for fval in fonts.values():
+        return {}
+    out: dict = {}
+    for fname, fval in fonts.items():
         fd = _resolve(fval, objects, max_bytes)
-        if isinstance(fd, dict) and str(fd.get("Subtype")) == "Type0":
+        if not (
+            isinstance(fd, dict) and str(fd.get("Subtype")) == "Type0"
+        ):
+            out[str(fname)] = _simple_show
+            continue
+        enc = fd.get("Encoding")
+        if not (
+            isinstance(enc, _Name)
+            and str(enc) in ("Identity-H", "Identity-V")
+        ):
             raise NotImplementedError(
-                "composite (Type0/CMap) font unsupported — shown "
-                "bytes are CID indexes, not characters"
+                "composite (Type0/CMap) font with non-Identity "
+                f"encoding {enc!r} unsupported — code widths are "
+                "defined by an embedded CMap program"
             )
+        tu = fd.get("ToUnicode")
+        if not (isinstance(tu, tuple) and tu and tu[0] == "ref"):
+            raise NotImplementedError(
+                "composite (Type0/CMap) font without a /ToUnicode "
+                "CMap unsupported — shown bytes are CID indexes "
+                "with no Unicode mapping"
+            )
+        num = tu[1]
+        if num not in objects:
+            raise ValueError(
+                f"malformed PDF: dangling /ToUnicode reference {num}"
+            )
+        sdict, raw = _load_object(objects, num, max_bytes)
+        if raw is None or not isinstance(sdict, dict):
+            raise ValueError(
+                "malformed PDF: /ToUnicode is not a stream"
+            )
+        data = _decode_stream(sdict, raw, objects, max_bytes)
+        out[str(fname)] = _cid_shower(_tounicode_map(data))
+    return out
 
 
 def _pdf_pages(b: bytes, max_bytes: int):
@@ -821,7 +1063,7 @@ def _pdf_pages(b: bytes, max_bytes: int):
                 stack.append((kd, res, depth + 1))
             continue
         # a leaf page
-        _check_fonts(res, objects, max_bytes)
+        fonts = _page_fonts(res, objects, max_bytes)
         contents = node.get("Contents")
         parts: list[bytes] = []
         if contents is not None:
@@ -847,7 +1089,7 @@ def _pdf_pages(b: bytes, max_bytes: int):
                 parts.append(
                     _decode_stream(sdict, raw, objects, max_bytes)
                 )
-        yield idx, _content_text(b"\n".join(parts))
+        yield idx, _content_text(b"\n".join(parts), fonts)
         idx += 1
 
 
@@ -861,11 +1103,13 @@ def pdf_extract_text(
     """PDF -> one row per page: (file_id, page, text, n_chars).
 
     Classic-xref object walk + FlateDecode (bounded stdlib zlib) +
-    BT/ET text-operator assembly — see the module docstring for the
-    exact scope and dialect. Two-tier errors: non-PDF payloads,
-    encrypted PDFs, xref streams, non-Flate filters, predictors, and
-    Type0/CMap fonts are CAPABILITY limits (raise naming the id, or
-    skip the file under on_unsupported='null'); structural damage
+    BT/ET text-operator assembly, simple fonts as WinAnsi and
+    Identity-H Type0 fonts through their /ToUnicode CMap — see the
+    module docstring for the exact scope and dialect. Two-tier
+    errors: non-PDF payloads, encrypted PDFs, non-Flate filters,
+    content predictors, and Type0 fonts without Identity
+    encoding + ToUnicode are CAPABILITY limits (raise naming the id,
+    or skip the file under on_unsupported='null'); structural damage
     (bad xref, dangling refs, truncated streams, unbalanced tokens)
     always raises ValueError.
 
@@ -943,6 +1187,99 @@ def content_ops(lines: list[str], use_tj_array: bool = False) -> bytes:
     return b"".join(parts)
 
 
+def _type0_cidmap(pages: list[list[str]]) -> dict[str, int]:
+    """Assign CIDs 1..N to the document's characters in codepoint
+    order — deliberately NOT ord(ch), so a reader that assumes
+    Identity CID==Unicode silently fails the round-trip."""
+    chars = sorted({ch for lines in pages for ln in lines for ch in ln})
+    if len(chars) > 0xFFFE:
+        raise ValueError("type0 fixture: too many distinct characters")
+    return {ch: 1 + i for i, ch in enumerate(chars)}
+
+
+def type0_content_ops(lines: list[str], cidmap: dict[str, int]) -> bytes:
+    """Content stream for a Type0/Identity-H page: shows are HEX
+    strings of 2-byte CIDs (the composite-font dialect); first line
+    split across a kerned TJ array to exercise hex-in-array shows."""
+
+    def hexshow(s: str) -> bytes:
+        return (
+            b"<"
+            + "".join("%04X" % cidmap[ch] for ch in s).encode()
+            + b">"
+        )
+
+    parts = [b"BT /F1 12 Tf 72 720 Td "]
+    for k, ln in enumerate(lines):
+        if k > 0:
+            parts.append(b"T* ")
+        if k == 0 and len(ln) > 1:
+            mid = len(ln) // 2
+            parts.append(
+                b"[" + hexshow(ln[:mid]) + b" -250 "
+                + hexshow(ln[mid:]) + b"] TJ "
+            )
+        else:
+            parts.append(hexshow(ln) + b" Tj ")
+    parts.append(b"ET")
+    return b"".join(parts)
+
+
+def _tounicode_cmap(cidmap: dict[str, int]) -> bytes:
+    """Emit the /ToUnicode CMap for a fixture cidmap: maximal
+    contiguous (CID, codepoint) runs of >=3 as beginbfrange entries
+    (incrementing destination), the rest as beginbfchar pairs —
+    blocks capped at 100 entries per the CMap spec. Non-BMP
+    characters always go through bfchar (their UTF-16BE destination
+    is a surrogate pair, which the range increment rule can't
+    express)."""
+    items = sorted(cidmap.items(), key=lambda kv: kv[1])
+    runs: list[tuple[int, int, int]] = []
+    singles: list[tuple[str, int]] = []
+    i = 0
+    while i < len(items):
+        j = i
+        if ord(items[i][0]) <= 0xFFFF:
+            while (
+                j + 1 < len(items)
+                and ord(items[j + 1][0]) <= 0xFFFF
+                and ord(items[j + 1][0]) == ord(items[j][0]) + 1
+                and items[j + 1][1] == items[j][1] + 1
+            ):
+                j += 1
+        if j - i + 1 >= 3:
+            runs.append((items[i][1], items[j][1], ord(items[i][0])))
+        else:
+            singles.extend(items[i: j + 1])
+        i = j + 1
+
+    out = bytearray()
+    out += b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+    out += b"begincmap\n"
+    out += (
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def\n"
+    )
+    out += b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+    out += b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    for k in range(0, len(singles), 100):
+        blk = singles[k: k + 100]
+        out += b"%d beginbfchar\n" % len(blk)
+        for ch, cid in blk:
+            dst = ch.encode("utf-16-be").hex().upper().encode()
+            out += b"<%04X> <" % cid + dst + b">\n"
+        out += b"endbfchar\n"
+    for k in range(0, len(runs), 100):
+        blk = runs[k: k + 100]
+        out += b"%d beginbfrange\n" % len(blk)
+        for lo, hi, o in blk:
+            out += b"<%04X> <%04X> <%04X>\n" % (lo, hi, o)
+        out += b"endbfrange\n"
+    out += b"endcmap\n"
+    out += b"CMapName currentdict /CMap defineresource pop\nend\nend"
+    return bytes(out)
+
+
 def pdf_build(
     page_streams: list[bytes],
     flate: bool = False,
@@ -954,16 +1291,27 @@ def pdf_build(
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: bool = False,
+    type0_pages: list[list[str]] | None = None,
 ) -> bytes:
     """Minimal classic-xref PDF writer — the zipfile/tarfile
     cross-validation pattern from the archive gates: fixtures are
     built by independent code, byte offsets computed for real, so a
     reader bug can't cancel against a writer bug. Options cover the
     reader's branch points: Flate vs plain streams, indirect /Length,
-    Type0 font (capability fixture), /Encrypt stub, and a two-section
-    xref chained with /Prev."""
+    bare Type0 font (capability fixture via font_subtype), /Encrypt
+    stub, a two-section xref chained with /Prev, and — via
+    type0_pages (a list of line-lists, superseding page_streams) — a
+    REAL composite font: Type0/Identity-H with a CIDFontType2
+    descendant and a generated /ToUnicode CMap, content shown as
+    2-byte-CID hex strings (type0_content_ops)."""
     import zlib
 
+    cidmap: dict[str, int] = {}
+    if type0_pages is not None:
+        cidmap = _type0_cidmap(type0_pages)
+        page_streams = [
+            type0_content_ops(lines, cidmap) for lines in type0_pages
+        ]
     n_pages = len(page_streams)
     objs: dict[int, bytes] = {}
     font_num = 3 + 2 * n_pages
@@ -1034,10 +1382,26 @@ def pdf_build(
                 b"/Contents %d 0 R >>" % (font_num, cnum)
             )
             stream_obj(cnum, stream)
-    objs[font_num] = (
-        b"<< /Type /Font /Subtype /" + font_subtype.encode()
-        + b" /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
-    )
+    if type0_pages is not None:
+        desc_num = next_extra
+        tu_num = next_extra + 1
+        next_extra += 2
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tu_num)
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        stream_obj(tu_num, _tounicode_cmap(cidmap))
+    else:
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /" + font_subtype.encode()
+            + b" /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+        )
 
     if xref_stream:
         if two_xref_sections or encrypt:

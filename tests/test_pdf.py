@@ -224,3 +224,91 @@ def test_objstm_cycle_is_typed():
     objects = {3: ("instream", 4, 0), 4: ("instream", 3, 0)}
     with pytest.raises(ValueError, match="cycle"):
         _load_object(objects, 3, 1 << 20)
+
+
+def test_type0_identity_h_round_trip():
+    """Composite-font pages (Type0/Identity-H + generated /ToUnicode
+    CMap, 2-byte-CID hex shows) round-trip across every container
+    variant; the fixture cidmap is deliberately NOT Identity
+    (CID != codepoint), so an identity-assuming reader fails."""
+    from geist_spark.operators.pdf import type0_content_ops
+
+    pages = [["Doc 42", "café Привет ✓ 中文"],
+             ["second page", "ligatures ffi ffl"]]
+    want = [(0, "Doc 42\ncafé Привет ✓ 中文"),
+            (1, "second page\nligatures ffi ffl")]
+    for kw in (
+        dict(),
+        dict(flate=True),
+        dict(two_xref_sections=True),
+        dict(xref_stream=True, objstm=True),
+        dict(xref_stream=True, objstm=True, predictor=True, flate=True,
+             indirect_length=True),
+    ):
+        got = list(_pdf_pages(pdf_build([], type0_pages=pages, **kw),
+                              1 << 20))
+        assert got == want, kw
+
+    # non-BMP destination: bfchar carries a UTF-16 surrogate pair
+    pdf = pdf_build([], type0_pages=[["emoji 😀 end"]])
+    assert list(_pdf_pages(pdf, 1 << 20)) == [(0, "emoji 😀 end")]
+
+    # the content really is CID hex, not text
+    stream = type0_content_ops(["ab"], {"a": 7, "b": 8})
+    assert b"<0007>" in stream and b"<0008>" in stream
+
+
+def test_tounicode_cmap_parser_edges():
+    """_tounicode_map grammar: bfchar pairs, incrementing bfrange,
+    array bfrange, multi-code-unit destinations, comments; malformed
+    shapes (odd dst, reversed range, array length mismatch, range
+    destination overflow) raise ValueError."""
+    import pytest as _pytest
+
+    from geist_spark.operators.pdf import _tounicode_map
+
+    cmap = (b"%% comment <dead>\n"
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+            b"/Supplement 0 >> def\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0001> <0041> <0002> <00660066> endbfchar\n"
+            b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"
+            b"1 beginbfrange <0020> <0021> [<0058> <0059>] endbfrange\n")
+    m = _tounicode_map(cmap)
+    assert m[1] == "A" and m[2] == "ff"
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("X", "Y")
+
+    for bad in (
+        b"1 beginbfchar <0001> <41> endbfchar",  # 1-byte (odd) dst
+        b"1 beginbfrange <0012> <0010> <0061> endbfrange",  # reversed
+        b"1 beginbfrange <0010> <0012> [<0058>] endbfrange",  # arity
+        b"1 beginbfrange <0010> <0012> <FFFE> endbfrange",  # overflow
+        b"1 beginbfchar <0001> endbfchar",               # missing dst
+    ):
+        with _pytest.raises(ValueError, match="CMap"):
+            _tounicode_map(bad)
+
+
+def test_type0_capability_and_malformed_tiers():
+    """Type0 WITHOUT ToUnicode (or with a non-Identity encoding) stays
+    a typed capability limit; a dangling /ToUnicode ref is malformed;
+    an odd-length CID show string is malformed."""
+    # strip /ToUnicode from a valid type0 fixture -> capability
+    pdf = pdf_build([], type0_pages=[["hello"]])
+    stripped = pdf.replace(b"/ToUnicode", b"/ToUnicodeX")
+    with pytest.raises(NotImplementedError, match="Type0/CMap"):
+        list(_pdf_pages(stripped, 1 << 20))
+
+    # non-Identity named encoding -> capability
+    bad_enc = pdf.replace(b"/Identity-H", b"/UniJIS-UCS", 1)
+    # keep byte offsets: same length required
+    assert len(bad_enc) == len(pdf)
+    with pytest.raises(NotImplementedError, match="non-Identity"):
+        list(_pdf_pages(bad_enc, 1 << 20))
+
+    # odd-length CID show: replace a 2-byte hex show with a 1-byte one
+    from geist_spark.operators.pdf import _cid_shower
+    with pytest.raises(ValueError, match="odd length"):
+        _cid_shower({1: "a"})(b"\x00\x01\x02")
+    assert _cid_shower({1: "a"})(b"\x00\x01\x00\x99") == "a\N{REPLACEMENT CHARACTER}"

@@ -2771,3 +2771,56 @@ def test_decode_text_roundtrip_property(spark, data, texts):
     out = {r["doc_id"]: r["text"] for r in
            decode_text(df, content_type_col="content_type").collect()}
     assert out == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pages=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20,
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    flate=st.booleans(),
+    xref_stream=st.booleans(),
+    objstm=st.booleans(),
+)
+def test_pdf_type0_roundtrip_property(pages, flate, xref_stream, objstm):
+    """ARBITRARY Unicode page text (CJK, combining marks, astral
+    emoji — everything cp1252 can't express) round-trips EXACTLY
+    through the Type0/Identity-H + ToUnicode writer/reader pair under
+    every container combination: the fixture cidmap is non-Identity,
+    so this pins the whole CMap chain (codespace, bfchar incl.
+    surrogate-pair destinations, incrementing bfrange, 2-byte CID
+    shows in Tj and TJ arrays)."""
+    from geist_spark.operators.pdf import _pdf_pages, pdf_build
+
+    pdf = pdf_build(
+        [], type0_pages=pages, flate=flate,
+        xref_stream=xref_stream, objstm=xref_stream and objstm,
+    )
+    got = list(_pdf_pages(pdf, 1 << 22))
+    assert len(got) == len(pages)
+    for (idx, text), lines in zip(got, pages):
+        out_lines = []
+        for ln in lines:
+            if out_lines and out_lines[-1] == "":
+                out_lines[-1] = ln
+            else:
+                out_lines.append(ln)
+        while out_lines and out_lines[-1] == "":
+            out_lines.pop()
+        assert text == "\n".join(out_lines), (lines, text)
