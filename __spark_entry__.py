@@ -3894,17 +3894,23 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware crawl-text decode under the oracle gate: each doc
-    is encoded into one of 8 legacy-web shapes picked by doc_id % 8 —
-    utf-16-le BOM, utf-8 BOM, HTTP-header cp1251, header iso-8859-1
+    is encoded into one of 13 legacy-web shapes picked by doc_id % 13
+    — utf-16-le BOM, utf-8 BOM, HTTP-header cp1251, header iso-8859-1
     (the WHATWG remap to windows-1252 decodes 0x93/0x94 smart
     quotes), meta shift_jis, meta http-equiv gb2312 (remap to gbk),
-    undeclared clean utf-8, and an undeclared cp1252 byte run with
-    one unmappable hole (0x81 -> U+FFFD, n_replacements=1) — then fed
-    through web.decode_text. The oracle does NO decoding: every
-    variant's expected text is doc text || a literal suffix (the docs
-    corpus is ASCII by construction, so the fixture encode is exact),
-    plus literal charset/source columns. A BOM-order, label-remap,
-    sniff-window, utf-8-probe, or replacement-count bug
+    undeclared clean utf-8, an undeclared cp1252 byte run with
+    one unmappable hole (0x81 -> U+FFFD, n_replacements=1), and FIVE
+    MISLABELED pages exercising the content-based confidence sniff
+    (charset_source='sniff'): header-latin1 bytes that are really
+    multi-byte UTF-8, header-utf-8 bytes that are really GBK,
+    undeclared Shift-JIS (kana signal), undeclared ISO-2022-JP
+    (escape-sequence signal), and undeclared windows-1251 (Cyrillic
+    letter-run signal) — then fed through web.decode_text. The
+    oracle does NO decoding: every variant's expected text is doc
+    text || a literal suffix (the docs corpus is ASCII by
+    construction, so the fixture encode is exact), plus literal
+    charset/source columns. A BOM-order, label-remap, sniff-window,
+    utf-8-probe, replacement-count, or mislabel-sniff bug
     hash-mismatches."""
     import pandas as _pd
 
@@ -3916,7 +3922,39 @@ def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             bodies, ctypes = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                v = did % 8
+                v = did % 13
+                if v == 8:
+                    bodies.append(
+                        t.encode("ascii") + " naïve café".encode()
+                    )
+                    ctypes.append("text/html; charset=iso-8859-1")
+                    continue
+                if v == 9:
+                    bodies.append(
+                        (t + " 中文网页内容测试").encode("gbk")
+                    )
+                    ctypes.append("text/html; charset=utf-8")
+                    continue
+                if v == 10:
+                    bodies.append(
+                        (t + " これはテストです、ようこそ").encode(
+                            "shift_jis"
+                        )
+                    )
+                    ctypes.append(None)
+                    continue
+                if v == 11:
+                    bodies.append(
+                        (t + " 日本語テキスト").encode("iso-2022-jp")
+                    )
+                    ctypes.append(None)
+                    continue
+                if v == 12:
+                    bodies.append(
+                        (t + " привет как дела хорошо").encode("cp1251")
+                    )
+                    ctypes.append(None)
+                    continue
                 if v == 0:
                     bodies.append(
                         b"\xff\xfe" + (t + " Ω bom").encode("utf-16-le")
@@ -8031,7 +8069,7 @@ def oracle_sql() -> dict[str, str]:
         # functions of doc_id % 8
         "w_decode_text": """
             SELECT doc_id,
-                   CASE doc_id % 8
+                   CASE doc_id % 13
                      WHEN 0 THEN text || ' Ω bom'
                      WHEN 1 THEN text || ' ✓'
                      WHEN 2 THEN text || ' Привет'
@@ -8044,9 +8082,14 @@ def oracle_sql() -> dict[str, str]:
                                  || 'charset=gb2312">' || text
                                  || ' 你好'
                      WHEN 6 THEN text || ' café ☕'
-                     ELSE text || ' café' || chr(65533)
+                     WHEN 7 THEN text || ' café' || chr(65533)
+                     WHEN 8 THEN text || ' naïve café'
+                     WHEN 9 THEN text || ' 中文网页内容测试'
+                     WHEN 10 THEN text || ' これはテストです、ようこそ'
+                     WHEN 11 THEN text || ' 日本語テキスト'
+                     ELSE text || ' привет как дела хорошо'
                    END AS text,
-                   CASE doc_id % 8
+                   CASE doc_id % 13
                      WHEN 0 THEN 'utf-16-le'
                      WHEN 1 THEN 'utf-8'
                      WHEN 2 THEN 'windows-1251'
@@ -8054,9 +8097,14 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'shift_jis'
                      WHEN 5 THEN 'gbk'
                      WHEN 6 THEN 'utf-8'
-                     ELSE 'windows-1252'
+                     WHEN 7 THEN 'windows-1252'
+                     WHEN 8 THEN 'utf-8'
+                     WHEN 9 THEN 'gbk'
+                     WHEN 10 THEN 'shift_jis'
+                     WHEN 11 THEN 'iso-2022-jp'
+                     ELSE 'windows-1251'
                    END AS charset,
-                   CASE doc_id % 8
+                   CASE doc_id % 13
                      WHEN 0 THEN 'bom'
                      WHEN 1 THEN 'bom'
                      WHEN 2 THEN 'header'
@@ -8064,9 +8112,10 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 4 THEN 'meta'
                      WHEN 5 THEN 'meta'
                      WHEN 6 THEN 'default'
-                     ELSE 'fallback'
+                     WHEN 7 THEN 'fallback'
+                     ELSE 'sniff'
                    END AS charset_source,
-                   CAST(CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END
+                   CAST(CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_replacements
             FROM documents
         """,

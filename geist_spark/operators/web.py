@@ -499,6 +499,97 @@ def _charset_resolve(label: str) -> str:
     return lab
 
 
+def _mislabel_sniff(
+    b: bytes, text: str, cs: str, src: str
+) -> tuple[str, str, str]:
+    """Content-based confidence sniff applied AFTER the WHATWG
+    declared chain: real crawls contain pages whose declared charset
+    is simply wrong (declared utf-8, actually GBK; undeclared
+    Shift-JIS landing in the cp1252 fallback; UTF-8 bytes under a
+    legacy label). Each rule re-decodes only on a high-confidence,
+    deterministic signal and reports charset_source='sniff';
+    otherwise the declared result stands. Rules, in order:
+
+      1. ISO-2022-JP: the escape sequences ESC $ B / ESC $ @ are
+         definitive (they survive every ASCII-compatible decode) —
+         re-decode iso-2022-jp when the full body strict-decodes.
+      2. Actually-UTF-8: a header/meta label other than utf-8 over a
+         body that STRICT-decodes as utf-8 with at least one
+         multi-byte sequence. Valid multi-byte UTF-8 arising by
+         accident in legacy bytes is statistically negligible — this
+         is the classic 'cafÃ©' mojibake, reversed.
+      3. For UNDECLARED non-UTF-8 bodies (the cp1252 fallback tier)
+         and declared-utf-8 bodies that produced replacements:
+         a) Shift-JIS when the body strict-decodes and yields >=4
+            kana (Japanese running text always carries kana; Chinese
+            text under shift_jis yields kanji, not kana),
+         b) else GBK when the body strict-decodes and yields >=4
+            CJK-unified chars,
+         c) else windows-1251 when the high bytes are dense Cyrillic
+            LETTER RUNS: >=16 bytes >=0x80, >=90% of them in
+            0xC0-0xFF, and >=4 maximal runs of >=3 consecutive such
+            bytes — French/German cp1252 accents are isolated
+            between ASCII letters and never form letter runs, so
+            this cannot misfire on real western-European text.
+
+    Declared-but-wrong LEGACY labels (e.g. declared cp1252, actual
+    GBK) stay as declared — without a declaration mismatch signal or
+    a utf-8 validity proof there is no high-confidence correction."""
+    if ("\x1b$B" in text or "\x1b$@" in text) and not cs.startswith(
+        "iso-2022"
+    ):
+        try:
+            return b.decode("iso-2022-jp"), "iso-2022-jp", "sniff"
+        except (UnicodeDecodeError, ValueError):
+            pass
+    has_high = any(c >= 0x80 for c in b)
+    if src in ("header", "meta") and cs not in ("utf-8", "utf8"):
+        if has_high:
+            try:
+                return b.decode("utf-8"), "utf-8", "sniff"
+            except UnicodeDecodeError:
+                pass
+    in_fallback = src == "fallback"
+    utf8_repl = (
+        src in ("header", "meta")
+        and cs in ("utf-8", "utf8")
+        and "�" in text
+    )
+    if (in_fallback or utf8_repl) and has_high:
+        for cand, lo, hi, need in (
+            ("shift_jis", 0x3041, 0x30FF, 4),
+            ("gbk", 0x4E00, 0x9FFF, 4),
+        ):
+            try:
+                t2 = b.decode(cand)
+            except (UnicodeDecodeError, ValueError):
+                continue
+            if sum(lo <= ord(ch) <= hi for ch in t2) >= need:
+                return t2, cand, "sniff"
+        high = [c for c in b if c >= 0x80]
+        cyr = [c for c in high if c >= 0xC0]
+        if len(high) >= 16 and len(cyr) >= 0.9 * len(high):
+            runs = 0
+            run_len = 0
+            for c in b:
+                if c >= 0xC0:
+                    run_len += 1
+                    if run_len == 3:
+                        runs += 1
+                else:
+                    run_len = 0
+            if runs >= 4:
+                try:
+                    return (
+                        b.decode("windows-1251"),
+                        "windows-1251",
+                        "sniff",
+                    )
+                except UnicodeDecodeError:
+                    pass
+    return text, cs, src
+
+
 def decode_text(
     records: DataFrame,
     body_col: str = "body",
@@ -519,7 +610,14 @@ def decode_text(
          window, default 1024),
       4. strict UTF-8 probe -> charset='utf-8', source='default',
       5. windows-1252 fallback (the WHATWG legacy default),
-         source='fallback'.
+         source='fallback',
+      6. a content-based MISLABEL sniff on top of 2-5 (never over a
+         BOM): ISO-2022-JP escape sequences, legacy-labeled bodies
+         that strict-decode as multi-byte UTF-8, and
+         undeclared/replacement-bearing bodies that are really
+         Shift-JIS / GBK / windows-1251 — each re-decoded only on
+         the high-confidence signals documented at _mislabel_sniff,
+         reported as charset_source='sniff'.
 
     Labels are WHATWG-normalized (iso-8859-1/latin1/ascii ->
     windows-1252, gb2312 -> gbk) then decoded via stdlib codecs with
@@ -561,13 +659,7 @@ def decode_text(
         "charset_source string, n_replacements int"
     )
 
-    def decode_one(b: bytes, ctype) -> tuple:
-        for bom, name in _BOMS:
-            if b.startswith(bom):
-                return (
-                    b[len(bom):].decode(name, errors="replace"),
-                    name, "bom",
-                )
+    def declared(b: bytes, ctype) -> tuple:
         if ctype:
             m = ct_re.search(ctype)
             if m:
@@ -593,6 +685,17 @@ def decode_text(
                 b.decode("windows-1252", errors="replace"),
                 "windows-1252", "fallback",
             )
+
+    def decode_one(b: bytes, ctype) -> tuple:
+        for bom, name in _BOMS:
+            if b.startswith(bom):
+                # a BOM is definitive — no mislabel sniff
+                return (
+                    b[len(bom):].decode(name, errors="replace"),
+                    name, "bom",
+                )
+        text, cs, src = declared(b, ctype)
+        return _mislabel_sniff(b, text, cs, src)
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:

@@ -791,3 +791,58 @@ def test_meta_utf16_label_remaps_to_utf8(spark):
     assert (out[2]["charset"], out[2]["charset_source"]) == ("utf-8", "meta")
     assert out[2]["text"].endswith("ok €")
     assert (out[3]["text"], out[3]["charset_source"]) == ("hi Ω", "header")
+
+
+def test_mislabel_sniff_rules(spark):
+    """Content-based charset sniff (charset_source='sniff'): declared
+    labels that are provably wrong get re-decoded; low-confidence
+    cases keep the declared result. Negatives pin the false-positive
+    guards: French cp1252 accents never look like Cyrillic letter
+    runs, Japanese kana beats the GBK han check, a lone ESC without a
+    valid ISO-2022 decode stays put."""
+    from geist_spark.operators.web import decode_text
+
+    rows = [
+        # header latin1, actually multi-byte utf-8 -> sniff utf-8
+        (1, "déjà vu naïve".encode("utf-8"),
+         "text/html; charset=iso-8859-1"),
+        # header utf-8, actually GBK -> sniff gbk
+        (2, "前言 中文网页内容".encode("gbk"),
+         "text/html; charset=utf-8"),
+        # undeclared shift_jis (kana) -> sniff shift_jis, NOT gbk
+        (3, "これはテストです".encode("shift_jis"), None),
+        # undeclared iso-2022-jp (ESC $ B) -> sniff
+        (4, "日本語テキスト".encode("iso-2022-jp"), None),
+        # undeclared cp1251 Cyrillic letter runs -> sniff
+        (5, "привет как дела хорошо".encode("cp1251"), None),
+        # NEGATIVE: French under the cp1252 fallback stays fallback
+        # (isolated accents: no Cyrillic runs, <16 high bytes)
+        (6, "le caf\xe9 d\xe9j\xe0 pr\xe8s na\xefve".encode("cp1252"),
+         None),
+        # NEGATIVE: declared legacy label with non-utf-8 bytes keeps
+        # the declaration (no confidence signal)
+        (7, "привет".encode("cp1251"),
+         "text/html; charset=windows-1251"),
+        # NEGATIVE: a stray ESC that is not valid ISO-2022 -> no sniff
+        (8, b"x \x1b$B\xff\xff broken", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, content_type string"
+    )
+    out = {r["doc_id"]: r for r in
+           decode_text(df, content_type_col="content_type").collect()}
+    assert (out[1]["text"], out[1]["charset"], out[1]["charset_source"]) \
+        == ("déjà vu naïve", "utf-8", "sniff")
+    assert (out[2]["text"], out[2]["charset"], out[2]["charset_source"]) \
+        == ("前言 中文网页内容", "gbk", "sniff")
+    assert (out[3]["text"], out[3]["charset"], out[3]["charset_source"]) \
+        == ("これはテストです", "shift_jis", "sniff")
+    assert (out[4]["text"], out[4]["charset"], out[4]["charset_source"]) \
+        == ("日本語テキスト", "iso-2022-jp", "sniff")
+    assert (out[5]["text"], out[5]["charset"], out[5]["charset_source"]) \
+        == ("привет как дела хорошо", "windows-1251", "sniff")
+    assert out[6]["charset_source"] == "fallback"
+    assert out[6]["charset"] == "windows-1252"
+    assert out[7]["charset_source"] == "header"
+    assert out[8]["charset_source"] == "fallback"
+    assert all(out[i]["n_replacements"] == 0 for i in (1, 2, 3, 4, 5, 6, 7))
