@@ -11029,7 +11029,7 @@ def _unigram_ctes(
     natural-language words are short), ending at CTE `fin`
     (the pruned final vocabulary with counts)."""
     parts = [f"""
-        WITH RECURSIVE wf AS (
+        WITH RECURSIVE wf AS MATERIALIZED (
             SELECT word, count(*) AS freq FROM (
                 SELECT t AS word
                 FROM (SELECT unnest({_TOKENS_SQL}) AS t
@@ -11037,7 +11037,7 @@ def _unigram_ctes(
                 WHERE t <> '' AND strpos(t, chr(1)) = 0
             ) WHERE length(word) <= {max_word_len}
             GROUP BY word
-        ), subs AS (
+        ), subs AS MATERIALIZED (
             SELECT piece, sum(freq) AS cnt FROM (
                 SELECT freq,
                        unnest(flatten([[word[i : i + l - 1]
@@ -11048,16 +11048,16 @@ def _unigram_ctes(
                            AS piece
                 FROM wf)
             GROUP BY piece
-        ), multi AS (
+        ), multi AS MATERIALIZED (
             SELECT piece, cnt FROM (
                 SELECT piece, cnt, row_number() OVER (
                     ORDER BY cnt DESC, piece ASC) AS rn
                 FROM subs WHERE length(piece) > 1)
             WHERE rn <= {seed_size}
-        ), v0 AS (
+        ), v0 AS MATERIALIZED (
             SELECT piece, cnt FROM subs WHERE length(piece) = 1
             UNION ALL SELECT piece, cnt FROM multi
-        ), cost0 AS (
+        ), cost0 AS MATERIALIZED (
             SELECT piece, cnt,
                    (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM v0)
                  - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS cost
@@ -11073,17 +11073,20 @@ def _unigram_ctes(
                    d.cost + p.cost, d.np + 1,
                    CASE WHEN d.seq = '' THEN p.piece
                         ELSE d.seq || ' ' || p.piece END
-            FROM dp{r} d JOIN cost{r - 1} p
-              ON d.word[d.pos + 1 : d.pos + length(p.piece)] = p.piece
+            FROM dp{r} d
+            CROSS JOIN generate_series(1, {max_piece_len}) gs(l)
+            JOIN cost{r - 1} p
+              ON length(p.piece) = gs.l
+             AND p.piece = substr(d.word, d.pos + 1, gs.l)
             WHERE d.pos < length(d.word)
-        ), seg{r} AS (
+        ), seg{r} AS MATERIALIZED (
             SELECT word, freq, seq FROM (
                 SELECT word, freq, seq, row_number() OVER (
                     PARTITION BY word
                     ORDER BY cost, np, seq) AS rn
                 FROM dp{r} WHERE pos = length(word))
             WHERE rn = 1
-        ), v{r} AS (
+        ), v{r} AS MATERIALIZED (
             SELECT v.piece, coalesce(c.cnt, 0) AS cnt
             FROM (SELECT piece FROM v0) v
             LEFT JOIN (
@@ -11091,13 +11094,13 @@ def _unigram_ctes(
                     SELECT freq, unnest(string_split(seq, ' ')) AS piece
                     FROM seg{r})
                 GROUP BY piece) c USING (piece)
-        ), cost{r} AS (
+        ), cost{r} AS MATERIALIZED (
             SELECT piece, cnt,
                    (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2)) FROM v{r})
                  - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2)) AS cost
             FROM v{r}
         )""")
-    parts.append(f""", keepm AS (
+    parts.append(f""", keepm AS MATERIALIZED (
             SELECT piece, cnt FROM (
                 SELECT piece, cnt, row_number() OVER (
                     ORDER BY cnt DESC, piece ASC) AS rn
@@ -11105,7 +11108,7 @@ def _unigram_ctes(
             WHERE rn <= greatest({vocab_size} - (
                 SELECT count(*) FROM v{rounds}
                 WHERE length(piece) = 1), 0)
-        ), fin AS (
+        ), fin AS MATERIALIZED (
             SELECT piece, cnt FROM v{rounds} WHERE length(piece) = 1
             UNION ALL SELECT piece, cnt FROM keepm
         )""")
@@ -11126,27 +11129,34 @@ def _unigram_encode_oracle(**kw) -> str:
     `fin`, single characters outside the vocabulary at max cost + 1,
     the same exhaustive Viterbi argmin, then per-doc token/piece
     counts via a distinct-word encode joined back (never re-segment
-    per occurrence — same shape as the Spark side)."""
-    return _unigram_ctes(**kw) + f""", fincost AS (
+    per occurrence — same shape as the Spark side). Both this and the
+    training dp joins are written as EQUI-joins on
+    (length(piece), substr(word, pos+1, l)) over an enumerated piece
+    length — the natural `word[pos+1 : pos+length(piece)] = piece`
+    form cannot hash-join (the key depends on both sides), so DuckDB
+    nested-loops every partial path against the whole piece table,
+    which made this oracle ~84s of every sweep."""
+    max_piece_len = kw.get("max_piece_len", 4)
+    return _unigram_ctes(**kw) + f""", fincost AS MATERIALIZED (
             SELECT piece,
                    (SELECT length(to_base(CAST(sum(cnt) AS BIGINT), 2))
                     FROM fin)
                  - length(to_base(CAST(greatest(cnt, 1) AS BIGINT), 2))
                    AS cost
             FROM fin
-        ), ex AS (
+        ), ex AS MATERIALIZED (
             SELECT doc_id, t AS word
             FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
                   FROM documents)
             WHERE t <> '' AND strpos(t, chr(1)) = 0
-        ), allw AS (
+        ), allw AS MATERIALIZED (
             SELECT DISTINCT word FROM ex
-        ), achars AS (
+        ), achars AS MATERIALIZED (
             SELECT DISTINCT piece FROM (
                 SELECT unnest([word[i : i]
                     for i in generate_series(1, length(word))]) AS piece
                 FROM allw)
-        ), pieces AS (
+        ), pieces AS MATERIALIZED (
             SELECT piece, cost FROM fincost
             UNION ALL
             SELECT piece, (SELECT max(cost) + 1 FROM fincost) AS cost
@@ -11160,10 +11170,13 @@ def _unigram_encode_oracle(**kw) -> str:
                    d.np + 1,
                    CASE WHEN d.seq = '' THEN p.piece
                         ELSE d.seq || ' ' || p.piece END
-            FROM dpe d JOIN pieces p
-              ON d.word[d.pos + 1 : d.pos + length(p.piece)] = p.piece
+            FROM dpe d
+            CROSS JOIN generate_series(1, {max_piece_len}) gs(l)
+            JOIN pieces p
+              ON length(p.piece) = gs.l
+             AND p.piece = substr(d.word, d.pos + 1, gs.l)
             WHERE d.pos < length(d.word)
-        ), enc AS (
+        ), enc AS MATERIALIZED (
             SELECT word, np AS n_pieces FROM (
                 SELECT word, np, row_number() OVER (
                     PARTITION BY word
