@@ -2700,6 +2700,83 @@ def m_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def m_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP VP8L lossless decode under the oracle gate: the same
+    24 md5-derived pixel bytes as m_decode_real/png laid out 4x2,
+    encoded per document into one of EIGHT VP8L bitstream shapes by
+    doc_id % 8 — plain literals, subtract-green transform, RGBA with
+    the fixed alpha ramp (composited over white, channels=4), the
+    color-indexing transform (palette + pixel bundling), LZ77
+    backward references (row 1 duplicates row 0, vertical-run copy
+    through the distance-map head), a 4-bit color cache, a
+    doc-dependent predictor transform (mode doc_id % 14), and the
+    predictor+color+subtract-green combination — then decoded by
+    multimodal.decode_real through the vp8l.py reader (prefix codes
+    incl. code-length RLE, LZ77, cache, all four transforms). The
+    oracle recomputes every variant's luma ARITHMETICALLY from the
+    md5 hex digests with no WebP parsing oracle-side — an entropy,
+    transform-inverse, bundling, distance-map, or composite bug
+    hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import decode_real
+    from geist_spark.operators.vp8l import vp8l_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+    alphas = [255, 0, 128, 255, 0, 128, 255, 64]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, pxv in zip(pdf["media_id"], pdf["px"]):
+                px = bytes(pxv)
+                v = mid % 8
+                if v == 2:
+                    rgba = b"".join(
+                        px[3 * i: 3 * i + 3] + bytes([alphas[i]])
+                        for i in range(8)
+                    )
+                elif v == 4:
+                    row = b"".join(
+                        px[3 * i: 3 * i + 3] + b"\xff"
+                        for i in range(4)
+                    )
+                    rgba = row + row
+                else:
+                    rgba = b"".join(
+                        px[3 * i: 3 * i + 3] + b"\xff"
+                        for i in range(8)
+                    )
+                kw = (
+                    {} if v == 0
+                    else {"subtract_green": True} if v == 1
+                    else {} if v == 2
+                    else {"palette": True} if v == 3
+                    else {"use_lz77": True} if v == 4
+                    else {"cache_bits": 4} if v == 5
+                    else {"predictor": int(mid % 14)} if v == 6
+                    else {"predictor": 12,
+                          "color_transform": (-9, 30, -3),
+                          "subtract_green": True}
+                )
+                payloads.append(vp8l_encode(4, 2, rgba, **kw))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = _fan(src).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return decode_real(media).select(
+        "media_id", "format", "width", "height", "channels",
+        "mean_luma_fx"
+    )
+
+
 def w_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate-strip under the oracle gate: each document's
     text is entity-escaped and wrapped in a deterministic page
@@ -6574,6 +6651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample_real": m_frame_sample_real,
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
+        "m_decode_webp": m_decode_webp,
         "k_merge_tombstones": k_merge_tombstones,
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
@@ -8330,6 +8408,40 @@ def oracle_sql() -> dict[str, str]:
                        + 587*bytes[3*(bytes[3*i-2] % 4) + 2]
                        + 114*bytes[3*(bytes[3*i-2] % 4) + 3]
                          for i in generate_series(1, 8)]) // 8
+                     ELSE
+                       (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
+                        + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)
+                        + 114 * CAST(list_sum([bytes[i] for i in [3,6,9,12,15,18,21,24]]) AS BIGINT))
+                       // 8
+                   END AS BIGINT) AS mean_luma_fx
+            FROM b, a
+        """,
+        # arithmetic replay of the REAL VP8L decode: lossless means
+        # the decoded pixels ARE the md5 bytes for every bitstream
+        # shape — only the alpha variant (composite over white) and
+        # the LZ77 variant (row 1 duplicates row 0) change the luma;
+        # channels=4 exactly when the alpha ramp was encoded
+        "m_decode_webp": f"""
+            WITH {_MD5_BYTES_CTE_SQL},
+            a AS (SELECT [255,0,128,255,0,128,255,64] AS av)
+            SELECT doc_id AS media_id,
+                   'WEBP' AS format,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(2 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 8 = 2 THEN 4 ELSE 3 END
+                        AS INTEGER) AS channels,
+                   CAST(CASE
+                     WHEN doc_id % 8 = 2 THEN
+                       list_sum([
+                         299*((bytes[3*i-2]*av[i] + 255*(255-av[i]) + 127)//255)
+                       + 587*((bytes[3*i-1]*av[i] + 255*(255-av[i]) + 127)//255)
+                       + 114*((bytes[3*i]  *av[i] + 255*(255-av[i]) + 127)//255)
+                         for i in generate_series(1, 8)]) // 8
+                     WHEN doc_id % 8 = 4 THEN
+                       (2 * list_sum([
+                         299*bytes[3*i-2] + 587*bytes[3*i-1]
+                         + 114*bytes[3*i]
+                         for i in generate_series(1, 4)])) // 8
                      ELSE
                        (299 * CAST(list_sum([bytes[i] for i in [1,4,7,10,13,16,19,22]]) AS BIGINT)
                         + 587 * CAST(list_sum([bytes[i] for i in [2,5,8,11,14,17,20,23]]) AS BIGINT)

@@ -1322,7 +1322,7 @@ def _luma_fx(rgb: bytes) -> int:
 def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
     """The ONE image-format dispatch shared by decode_real and
     resize_real: (fmt, w, h, channels, rgb) for
-    PPM/PGM/BMP/PNG/GIF/JPEG, or
+    PPM/PGM/BMP/PNG/GIF/JPEG/TIFF/WEBP-lossless, or
     NotImplementedError (capability limit) for anything else —
     keeping the two operators' accepted-format sets identical by
     construction."""
@@ -1338,11 +1338,17 @@ def _decode_rgb_bytes(b: bytes, alt_hint: str) -> tuple:
         return _ppm_decode(b)
     if b[:2] == b"BM":
         return _bmp_decode(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from geist_spark.operators.vp8l import webp_decode_rgb
+
+        # VP8L lossless decodes for real (operators/vp8l.py); lossy
+        # VP8 raises NotImplementedError inside (a capability limit)
+        return webp_decode_rgb(b)
     raise NotImplementedError(
-        "payload is not PPM/PGM/BMP/PNG/GIF/JPEG/TIFF; other codecs "
-        "(WebP/AVIF/...) need PIL/ffmpeg, not present in this "
-        f"environment — pass on_unsupported='null' to skip, or use "
-        f"{alt_hint}"
+        "payload is not PPM/PGM/BMP/PNG/GIF/JPEG/TIFF/WEBP-lossless; "
+        "other codecs (lossy WebP/AVIF/...) need PIL/ffmpeg, not "
+        f"present in this environment — pass on_unsupported='null' "
+        f"to skip, or use {alt_hint}"
     )
 
 

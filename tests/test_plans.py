@@ -184,6 +184,7 @@ MIP_ALLOWED = {
     "m_frame_sample_real": 1,
     "m_resize_real": 1,
     "m_decode_png": 2,       # PNG synth (needs zlib) + decode
+    "m_decode_webp": 2,      # VP8L synth (bit-level encode) + decode
     "m_decode_gif": 2,       # GIF synth (LZW encode) + decode
     "m_audio_dsp": 1,
     "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode

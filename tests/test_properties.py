@@ -2824,3 +2824,69 @@ def test_pdf_type0_roundtrip_property(pages, flate, xref_stream, objstm):
         while out_lines and out_lines[-1] == "":
             out_lines.pop()
         assert text == "\n".join(out_lines), (lines, text)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    data=st.data(),
+    subtract_green=st.booleans(),
+    use_lz77=st.booleans(),
+    cache_bits=st.sampled_from([0, 0, 3, 7]),
+    mode=st.sampled_from(["rgb", "alpha", "palette", "predictor"]),
+)
+def test_vp8l_roundtrip_property(
+    w, h, data, subtract_green, use_lz77, cache_bits, mode
+):
+    """ARBITRARY RGBA pixels round-trip bit-exactly through the paired
+    VP8L encoder/decoder under random feature combinations — entropy
+    coding (simple + code-length-coded prefix codes with RLE), LZ77,
+    color cache, palette bundling, all predictor modes, and the
+    alpha-over-white composite all pinned at property strength."""
+    import random as _random
+
+    from geist_spark.operators.vp8l import vp8l_encode, webp_decode_rgb
+
+    rng = _random.Random(data.draw(st.integers(0, 2**31)))
+    kw = dict(subtract_green=subtract_green, use_lz77=use_lz77,
+              cache_bits=cache_bits)
+    alpha = False
+    ncolors = None
+    if mode == "alpha":
+        alpha = True
+    elif mode == "palette":
+        kw = dict(palette=True, use_lz77=use_lz77,
+                  cache_bits=cache_bits)
+        ncolors = data.draw(st.integers(1, 40))
+        alpha = data.draw(st.booleans())
+    elif mode == "predictor":
+        kw["predictor"] = data.draw(st.integers(0, 13))
+    if ncolors:
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256),
+             255 if not alpha else rng.randrange(256))
+            for _ in range(ncolors)
+        ]
+        px = [pal[rng.randrange(ncolors)] for _ in range(w * h)]
+    else:
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256),
+             255 if not alpha else rng.randrange(256))
+            for _ in range(w * h)
+        ]
+    rgba = b"".join(bytes(p) for p in px)
+    fmt, dw, dh, ch, rgb = webp_decode_rgb(vp8l_encode(w, h, rgba, **kw))
+    assert (dw, dh) == (w, h)
+    exp = bytearray()
+    for r, g, b, a in px:
+        if a != 255:
+            r = (r * a + 255 * (255 - a) + 127) // 255
+            g = (g * a + 255 * (255 - a) + 127) // 255
+            b = (b * a + 255 * (255 - a) + 127) // 255
+        exp += bytes((r, g, b))
+    assert rgb == bytes(exp)
