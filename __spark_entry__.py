@@ -4148,14 +4148,17 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction under the oracle gate: each doc becomes a
     REAL 2-page PDF (page 0: 'Doc {id}' + the doc text as a second
     line; page 1: a WinAnsi 'café fin' line) built by the paired
-    minimal writer, with the container variant picked by doc_id % 8 —
+    minimal writer, with the container variant picked by doc_id % 10 —
     plain classic streams, FlateDecode, flate+indirect-/Length+
     /Contents-array, /Prev-chained two-section xref with TJ-array
     shows, PDF 1.5 cross-reference STREAM with every non-stream
     object packed into an object stream, 1.5 with the PNG-Up
     xref predictor + Flate content, and TWO composite-font variants
     (Type0/Identity-H + generated /ToUnicode CMap, shows as
-    2-byte-CID hex strings; one classic, one 1.5+objstm+flate) —
+    2-byte-CID hex strings; one classic, one 1.5+objstm+flate) plus
+    TWO RC4-ENCRYPTED variants (Standard handler, empty user
+    password: R2 classic simple-font, R3 flate composite-font with
+    an encrypted ToUnicode stream) —
     then parsed by pdf.pdf_extract_text (xref walk incl. xref/object
     streams, object grammar, bounded inflate, BT/ET assembly, CMap
     decode). The oracle does NO PDF parsing: expected text is a pure
@@ -4177,18 +4180,29 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                v = did % 8
-                if v >= 6:
+                v = did % 10
+                if v in (6, 7, 9):
                     kw = (
                         {} if v == 6
                         else {"xref_stream": True, "objstm": True,
-                              "flate": True}
+                              "flate": True} if v == 7
+                        # RC4-encrypted (R3) composite-font file:
+                        # content AND ToUnicode streams decrypt
+                        else {"encrypt_rc4": 3, "flate": True}
                     )
                     payloads.append(pdf_build(
                         [],
                         type0_pages=[[f"Doc {did}", t], ["café fin"]],
                         **kw,
                     ))
+                    continue
+                if v == 8:
+                    # RC4-encrypted (R2) classic simple-font file
+                    p0 = content_ops([f"Doc {did}", t])
+                    p1 = content_ops(["café fin"])
+                    payloads.append(
+                        pdf_build([p0, p1], encrypt_rc4=2)
+                    )
                     continue
                 tj = v == 3
                 p0 = content_ops([f"Doc {did}", t], use_tj_array=tj)
@@ -8125,10 +8139,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ANALYTIC replay of the PDF extraction: the oracle never
         # parses a byte of PDF — page texts are pure string functions
-        # of (doc_id, text); the writer-variant mix (doc_id % 8, eight
-        # container shapes incl. xref-stream/objstm, predictor, and
-        # two Type0/Identity-H+ToUnicode composite-font variants)
-        # only changes the CONTAINER, never the expected text
+        # of (doc_id, text); the writer-variant mix (doc_id % 10, ten
+        # container shapes incl. xref-stream/objstm, predictor, two
+        # Type0/Identity-H+ToUnicode composite-font variants, and two
+        # RC4-encrypted empty-user-password variants) only changes
+        # the CONTAINER, never the expected text
         "w_pdf_extract": """
             WITH two AS (SELECT unnest([0, 1]) AS p)
             SELECT doc_id AS file_id,

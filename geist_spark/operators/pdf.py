@@ -5,8 +5,8 @@ the archive/Office extractors don't cover. This is a from-scratch
 minimal reader built the same way as prep.archive_extract_text and
 the multimodal decoders: stdlib only (zlib), every inflate bounded,
 two-tier errors — foreign/unsupported constructs are TYPED capability
-limits (encrypted PDFs, composite/CMap fonts, non-Flate filters),
-structural damage always raises ValueError. No reference-engine
+limits (AES-encrypted or passworded PDFs, non-Identity CMap fonts,
+non-Flate filters), structural damage always raises ValueError. No reference-engine
 parity to cite: zpiroux/geist is a JSON-event engine (README.md:566)
 with no document surface; the spec followed here is ISO 32000-1
 (cross-reference tables AND 1.5 cross-reference/object streams,
@@ -28,6 +28,11 @@ Scope:
   Type0 with a named non-Identity CMap or without ToUnicode stays a
   capability limit (those bytes are glyph indexes with no
   recoverable text),
+- RC4-encrypted files (Standard security handler, V 1/2 R 2/3) with
+  an EMPTY user password — the owner-locked-but-world-readable PDFs
+  that dominate real crawls — decrypt transparently (Algorithms
+  1-5, stdlib MD5 + from-scratch RC4); AES (V 4/5), non-Standard
+  handlers, and non-empty user passwords stay capability limits,
 - text assembly from BT/ET blocks: Tj / TJ / ' / " shows; Td / TD /
   T* / BT open a new output line (only when the current line is
   non-empty — so a leading position op never emits a blank line);
@@ -273,6 +278,179 @@ def _resolve(v, objects: dict, max_bytes: int, depth: int = 0):
     return v
 
 
+# ---------------------------------------------------------------------------
+# standard security handler (RC4, empty user password)
+# ---------------------------------------------------------------------------
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (ISO 32000-1 §7.6.2): pure-stdlib KSA + PRGA —
+    validated against the RFC 6229-style "Key"/"Plaintext" vector in
+    tests."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pw_pad(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def _std_file_key(
+    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, keylen: int
+) -> bytes:
+    """Algorithm 2 (§7.6.3.3): the file encryption key from the
+    (padded) user password, /O, /P and the first file identifier."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_pw_pad(user_pw))
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    d = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:keylen]).digest()
+    return d[:keylen]
+
+
+def _std_compute_o(
+    owner_pw: bytes, user_pw: bytes, r: int, keylen: int
+) -> bytes:
+    """Algorithm 3: the /O value (writer side)."""
+    import hashlib
+
+    d = hashlib.md5(_pw_pad(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+    key = d[:keylen]
+    o = _rc4(key, _pw_pad(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(k ^ i for k in key), o)
+    return o
+
+
+def _std_compute_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4/5: the /U value for the given file key."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(k ^ i for k in key), x)
+    return x + b"\x00" * 16
+
+
+def _obj_rc4_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    d = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _decrypt_value(v, key: bytes, num: int, gen: int):
+    """Recursively RC4-decrypt every STRING in a parsed object value
+    (names/numbers/refs untouched — only string objects are encrypted
+    per §7.6.2)."""
+    if isinstance(v, bytes):
+        return _rc4(_obj_rc4_key(key, num, gen), v)
+    if isinstance(v, list):
+        return [_decrypt_value(x, key, num, gen) for x in v]
+    if isinstance(v, dict):
+        return {
+            k: _decrypt_value(x, key, num, gen) for k, x in v.items()
+        }
+    return v
+
+
+def _setup_decryption(trailer: dict, objects: dict, max_bytes: int):
+    """Parse /Encrypt and install the decryption context in
+    objects["__crypt__"] when the file uses the Standard handler
+    with RC4 (V 1/2, R 2/3) and an EMPTY user password — the
+    world-readable owner-locked PDFs that dominate real crawls.
+    Non-empty user passwords, AES (V 4/5), and non-Standard handlers
+    stay typed capability limits; a structurally bad /Encrypt dict is
+    malformed."""
+    enc_ref = trailer["Encrypt"]
+    skip = None
+    if isinstance(enc_ref, tuple) and enc_ref and enc_ref[0] == "ref":
+        skip = enc_ref[1]
+    enc = _resolve(enc_ref, objects, max_bytes)
+    if not isinstance(enc, dict):
+        raise ValueError("malformed PDF: /Encrypt is not a dict")
+    if str(enc.get("Filter")) != "Standard":
+        handler = enc.get("Filter")
+        raise NotImplementedError(
+            "encrypted PDF: non-Standard security handler "
+            f"{handler!r} unsupported"
+        )
+    v = _resolve(enc.get("V", 0), objects, max_bytes)
+    r = _resolve(enc.get("R", 0), objects, max_bytes)
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"encrypted PDF: only RC4 (V 1/2, R 2/3) supported, "
+            f"got V={v} R={r} (AES stays a capability limit)"
+        )
+    length = _resolve(enc.get("Length", 40), objects, max_bytes)
+    if not isinstance(length, int) or length % 8 or not (
+        40 <= length <= 128
+    ):
+        raise ValueError("malformed PDF: bad /Encrypt /Length")
+    keylen = 5 if v == 1 else length // 8
+    o = enc.get("O")
+    u = enc.get("U")
+    p = _resolve(enc.get("P"), objects, max_bytes)
+    if not (
+        isinstance(o, bytes) and isinstance(u, bytes)
+        and isinstance(p, int)
+    ):
+        raise ValueError("malformed PDF: /Encrypt O/U/P missing")
+    ids = trailer.get("ID")
+    id0 = ids[0] if (
+        isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+    ) else b""
+    key = _std_file_key(b"", o, p, id0, r, keylen)
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        import hashlib
+
+        x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(k ^ i for k in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise NotImplementedError(
+            "encrypted PDF: non-empty user password required"
+        )
+    objects["__crypt__"] = (key, skip)
+
+
 def _load_object(objects: dict, num: int, max_bytes: int):
     """Parse 'N G obj … endobj' at the xref offset — or, for a
     compressed entry, extract the object from its object stream
@@ -337,6 +515,17 @@ def _load_object(objects: dict, num: int, max_bytes: int):
                 f"{len(lx.b) - lx.i} remain"
             )
         stream = lx.b[lx.i: lx.i + length]
+    crypt = objects.get("__crypt__")
+    if crypt is not None and num != crypt[1]:
+        # strings and streams of TOP-LEVEL objects are encrypted;
+        # object-stream members are covered by their container's
+        # decryption and xref streams are never encrypted (both
+        # bypass this path)
+        key = crypt[0]
+        gen = int(w2)
+        val = _decrypt_value(val, key, num, gen)
+        if stream is not None:
+            stream = _rc4(_obj_rc4_key(key, num, gen), stream)
     objects[num] = ("parsed", val, stream)
     return val, stream
 
@@ -1034,7 +1223,7 @@ def _pdf_pages(b: bytes, max_bytes: int):
         raise NotImplementedError("payload is not a PDF (no %PDF- magic)")
     objects, trailer = _xref_offsets(b, max_bytes)
     if "Encrypt" in trailer:
-        raise NotImplementedError("encrypted PDF unsupported")
+        _setup_decryption(trailer, objects, max_bytes)
     root = _resolve(trailer.get("Root"), objects, max_bytes)
     if not isinstance(root, dict):
         raise ValueError("malformed PDF: trailer /Root missing")
@@ -1106,8 +1295,9 @@ def pdf_extract_text(
     BT/ET text-operator assembly, simple fonts as WinAnsi and
     Identity-H Type0 fonts through their /ToUnicode CMap — see the
     module docstring for the exact scope and dialect. Two-tier
-    errors: non-PDF payloads, encrypted PDFs, non-Flate filters,
-    content predictors, and Type0 fonts without Identity
+    errors: non-PDF payloads, AES-encrypted or passworded PDFs
+    (RC4 + empty user password decrypts for real), non-Flate
+    filters, content predictors, and Type0 fonts without Identity
     encoding + ToUnicode are CAPABILITY limits (raise naming the id,
     or skip the file under on_unsupported='null'); structural damage
     (bad xref, dangling refs, truncated streams, unbalanced tokens)
@@ -1292,6 +1482,7 @@ def pdf_build(
     objstm: bool = False,
     predictor: bool = False,
     type0_pages: list[list[str]] | None = None,
+    encrypt_rc4: int | None = None,
 ) -> bytes:
     """Minimal classic-xref PDF writer — the zipfile/tarfile
     cross-validation pattern from the archive gates: fixtures are
@@ -1304,7 +1495,19 @@ def pdf_build(
     REAL composite font: Type0/Identity-H with a CIDFontType2
     descendant and a generated /ToUnicode CMap, content shown as
     2-byte-CID hex strings (type0_content_ops)."""
+    import hashlib
     import zlib
+
+    crypt_key = None
+    enc_extra = b""
+    if encrypt_rc4 is not None:
+        if encrypt_rc4 not in (2, 3):
+            raise ValueError("encrypt_rc4 must be revision 2 or 3")
+        if xref_stream or encrypt:
+            raise ValueError(
+                "encrypt_rc4 is exclusive with xref_stream/encrypt "
+                "in this fixture writer"
+            )
 
     cidmap: dict[str, int] = {}
     if type0_pages is not None:
@@ -1313,6 +1516,15 @@ def pdf_build(
             type0_content_ops(lines, cidmap) for lines in type0_pages
         ]
     n_pages = len(page_streams)
+    if encrypt_rc4 is not None:
+        r = encrypt_rc4
+        keylen = 5 if r == 2 else 16
+        id0 = hashlib.md5(
+            b"".join(page_streams) + bytes([r])
+        ).digest()
+        o_val = _std_compute_o(b"owner", b"", r, keylen)
+        crypt_key = _std_file_key(b"", o_val, -1, id0, r, keylen)
+        u_val = _std_compute_u(crypt_key, id0, r)
     objs: dict[int, bytes] = {}
     font_num = 3 + 2 * n_pages
     kid_nums = [3 + 2 * i for i in range(n_pages)]
@@ -1333,6 +1545,10 @@ def pdf_build(
         nonlocal next_extra
         stream_nums.add(num)
         data = zlib.compress(stream) if flate else stream
+        if crypt_key is not None:
+            # encryption is the OUTERMOST layer: applied after all
+            # stream filters (readers decrypt, then inflate)
+            data = _rc4(_obj_rc4_key(crypt_key, num, 0), data)
         filt = b"/Filter /FlateDecode " if flate else b""
         if indirect_length:
             objs[next_extra] = b"%d" % len(data)
@@ -1412,6 +1628,19 @@ def pdf_build(
         return _emit_xref_stream_pdf(
             objs, stream_nums, objstm=objstm, predictor=predictor
         )
+    if encrypt_rc4 is not None:
+        enc_num = max(objs) + 1
+        v = 1 if encrypt_rc4 == 2 else 2
+        objs[enc_num] = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d "
+            b"/P -1 /O <%s> /U <%s> >>"
+            % (v, encrypt_rc4, keylen * 8,
+               o_val.hex().encode(), u_val.hex().encode())
+        )
+        enc_extra = (
+            b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+            % (enc_num, id0.hex().encode(), id0.hex().encode())
+        )
     out = bytearray(b"%PDF-1.4\n%\xc3\xa4\xc3\xbc\n")
     offsets = {}
     for num in sorted(objs):
@@ -1431,7 +1660,9 @@ def pdf_build(
                 ent.append(b"0000000000 65535 f \n")
         return b"".join(ent)
 
-    trailer_extra = b" /Encrypt << /Filter /Standard >>" if encrypt else b""
+    trailer_extra = (
+        b" /Encrypt << /Filter /Standard >>" if encrypt else b""
+    ) + enc_extra
     if two_xref_sections:
         # older section: objects 0..2; newer: the rest + /Prev
         prev_off = len(out)

@@ -312,3 +312,54 @@ def test_type0_capability_and_malformed_tiers():
     with pytest.raises(ValueError, match="odd length"):
         _cid_shower({1: "a"})(b"\x00\x01\x02")
     assert _cid_shower({1: "a"})(b"\x00\x01\x00\x99") == "a\N{REPLACEMENT CHARACTER}"
+
+
+def test_rc4_known_vector():
+    """The from-scratch RC4 against the classic 'Key'/'Plaintext'
+    test vector — pins KSA/PRGA independently of the PDF layer."""
+    from geist_spark.operators.pdf import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", _rc4(b"Key", b"roundtrip")) == b"roundtrip"
+
+
+def test_encrypted_rc4_empty_user_password():
+    """Standard-security-handler PDFs (RC4 V1/R2 and V2/R3) with an
+    EMPTY user password decrypt transparently across container
+    variants, including encrypted Type0/ToUnicode streams; a
+    non-empty user password and a structurally bad /Encrypt stay on
+    their tiers."""
+    for r in (2, 3):
+        for kw in (dict(), dict(flate=True),
+                   dict(flate=True, indirect_length=True),
+                   dict(two_xref_sections=True),
+                   dict(contents_array=True)):
+            pdf = pdf_build(
+                [content_ops(["Secret line one", "second"]),
+                 content_ops(["p2"])],
+                encrypt_rc4=r, **kw,
+            )
+            got = list(_pdf_pages(pdf, 1 << 20))
+            assert got == [(0, "Secret line one\nsecond"),
+                           (1, "p2")], (r, kw)
+        pdf = pdf_build(
+            [], type0_pages=[["Locked Doc", "café Привет"]],
+            encrypt_rc4=r, flate=(r == 3),
+        )
+        assert list(_pdf_pages(pdf, 1 << 20)) == [
+            (0, "Locked Doc\ncafé Привет")
+        ]
+
+    # flip /U -> the empty-user-password check fails -> capability
+    pdf = pdf_build([content_ops(["x"])], encrypt_rc4=3)
+    k = pdf.index(b"/U <") + 4
+    real_u = pdf[k: k + 64]
+    fake_u = bytes(reversed(bytes.fromhex(real_u.decode()))).hex()
+    locked = pdf[:k] + fake_u.encode() + pdf[k + 64:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        list(_pdf_pages(locked, 1 << 20))
+
+    # structurally bad /Length is malformed
+    bad = pdf.replace(b"/Length 128", b"/Length 129")
+    with pytest.raises(ValueError, match="Length"):
+        list(_pdf_pages(bad, 1 << 20))
