@@ -4228,6 +4228,64 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract_text(files)
 
 
+
+def w_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document text extraction under the oracle gate: each doc
+    becomes one of FIVE real ZIP-of-XML containers by doc_id % 5 —
+    DOCX (split w:t runs + a w:tab paragraph), a 2-slide PPTX, XLSX
+    with shared strings, XLSX with inline strings, and ODT — built by
+    the stdlib-zipfile fixture writers, then parsed by
+    office.office_extract_text (the from-scratch ZIP central-directory
+    walk + ElementTree part readers). The oracle does NO ZIP or XML
+    parsing: every part's expected text is a pure string function of
+    (doc_id, text) and the container NEVER changes it — a zip-walk,
+    namespace, shared-string-index, run-concatenation, or
+    part-ordering bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.office import (
+        docx_build,
+        odt_build,
+        office_extract_text,
+        pptx_build,
+        xlsx_build,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                v = did % 5
+                if v == 0:
+                    p = docx_build(
+                        [f"Doc {did}", t, "col a\tcol b"]
+                    )
+                elif v == 1:
+                    p = pptx_build(
+                        [[f"Doc {did}", t], ["deck end"]]
+                    )
+                elif v == 2:
+                    p = xlsx_build(
+                        [[["id", str(did)], [t, "x"]]], shared=True
+                    )
+                elif v == 3:
+                    p = xlsx_build(
+                        [[["id", str(did)], [t, "x"]]], shared=False
+                    )
+                else:
+                    p = odt_build([f"Doc {did}", t])
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(docs.select("doc_id", "text")).mapInPandas(
+        synth, "file_id long, payload binary"
+    )
+    return office_extract_text(files)
+
 def m_frame_sample_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video frame extraction under the oracle gate: a
     2-frame MJPEG AVI per document, each frame a DC-exact baseline
@@ -6666,6 +6724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_resize_real": m_resize_real,
         "m_decode_png": m_decode_png,
         "m_decode_webp": m_decode_webp,
+        "w_office_extract": w_office_extract,
         "k_merge_tombstones": k_merge_tombstones,
         "m_decode_gif": m_decode_gif,
         "m_audio_dsp": m_audio_dsp,
@@ -8136,6 +8195,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'home ' || t || ' Привет'
                    END) AS INTEGER) AS text_len
             FROM c
+        """,
+        # ANALYTIC replay of the Office extraction: the oracle never
+        # opens a ZIP or parses XML — each variant's part texts are
+        # pure string functions of (doc_id, text)
+        "w_office_extract": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            rows AS (
+                SELECT doc_id, 'DOCX' AS format, 'document' AS part,
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || text || chr(10) || 'col a' || chr(9)
+                       || 'col b' AS text
+                FROM base WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 'PPTX', 'slide1',
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || text
+                FROM base WHERE doc_id % 5 = 1
+                UNION ALL
+                SELECT doc_id, 'PPTX', 'slide2', 'deck end'
+                FROM base WHERE doc_id % 5 = 1
+                UNION ALL
+                SELECT doc_id, 'XLSX', 'sheet1',
+                       'id' || chr(9) || CAST(doc_id AS VARCHAR)
+                       || chr(10) || text || chr(9) || 'x'
+                FROM base WHERE doc_id % 5 IN (2, 3)
+                UNION ALL
+                SELECT doc_id, 'ODT', 'content',
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || text
+                FROM base WHERE doc_id % 5 = 4
+            )
+            SELECT doc_id AS file_id, format, part, text,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM rows
         """,
         # ANALYTIC replay of the PDF extraction: the oracle never
         # parses a byte of PDF — page texts are pure string functions

@@ -193,6 +193,7 @@ MIP_ALLOWED = {
     "w_decode_text": 2,      # charset-variant synth + codec decode
     "w_crawl_pipeline": 3,   # WARC synth + record walk + decode
     "w_pdf_extract": 2,      # PDF-writer synth + xref walk/extract
+    "w_office_extract": 2,   # zipfile-writer synth + ZIP/XML extract
     "p_decompress_text": 2,  # gzip synth + bounded inflate
     "m_decode_tiff": 2,      # TIFF synth (IFD build) + decode
     "m_decode_tiff_lzw": 2,  # TIFF synth (LZW/PackBits encode) + decode
@@ -223,7 +224,7 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     assert all(
         n.startswith("m_")
         or n in ("w_warc_parse", "w_decode_text", "w_pdf_extract",
-                 "w_crawl_pipeline",
+                 "w_crawl_pipeline", "w_office_extract",
                  "p_decompress_text",
                  "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED

@@ -2890,3 +2890,51 @@ def test_vp8l_roundtrip_property(
             b = (b * a + 255 * (255 - a) + 127) // 255
         exp += bytes((r, g, b))
     assert rgb == bytes(exp)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    paragraphs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20, blacklist_categories=("Cs",),
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    fmt=st.sampled_from(["docx", "pptx", "odt"]),
+    stored=st.booleans(),
+)
+def test_office_text_roundtrip_property(paragraphs, fmt, stored):
+    """ARBITRARY Unicode paragraphs round-trip through the
+    stdlib-zipfile writers and the from-scratch ZIP-walk + XML
+    readers: escaping (&, <, >, quotes), run splitting, and both ZIP
+    methods pinned at property strength. TAB/NEWLINE handling is
+    format-specific (exercised by the unit tests); strip them here so
+    the expectation stays a pure join."""
+    from geist_spark.operators.office import (
+        _office_parts,
+        docx_build,
+        odt_build,
+        pptx_build,
+    )
+
+    clean = [p.replace("\t", " ").replace("\n", " ") for p in paragraphs]
+    # ODF collapses runs of 2+ spaces through text:s; keep the
+    # expectation exact by collapsing nothing — text:s restores them
+    if fmt == "docx":
+        payload = docx_build(clean, stored=stored)
+        want = [("DOCX", "document", "\n".join(clean))]
+    elif fmt == "pptx":
+        payload = pptx_build([clean], stored=stored)
+        want = [("PPTX", "slide1", "\n".join(clean))]
+    else:
+        payload = odt_build(clean, stored=stored)
+        want = [("ODT", "content", "\n".join(clean))]
+    assert list(_office_parts(payload, 1 << 22)) == want
