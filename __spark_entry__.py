@@ -4148,7 +4148,7 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction under the oracle gate: each doc becomes a
     REAL 2-page PDF (page 0: 'Doc {id}' + the doc text as a second
     line; page 1: a WinAnsi 'café fin' line) built by the paired
-    minimal writer, with the container variant picked by doc_id % 10 —
+    minimal writer, with the container variant picked by doc_id % 12 —
     plain classic streams, FlateDecode, flate+indirect-/Length+
     /Contents-array, /Prev-chained two-section xref with TJ-array
     shows, PDF 1.5 cross-reference STREAM with every non-stream
@@ -4156,9 +4156,11 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     xref predictor + Flate content, and TWO composite-font variants
     (Type0/Identity-H + generated /ToUnicode CMap, shows as
     2-byte-CID hex strings; one classic, one 1.5+objstm+flate) plus
-    TWO RC4-ENCRYPTED variants (Standard handler, empty user
-    password: R2 classic simple-font, R3 flate composite-font with
-    an encrypted ToUnicode stream) —
+    FOUR ENCRYPTED variants (Standard handler, empty user
+    password: RC4 R2 classic, RC4 R3 flate composite-font with an
+    encrypted ToUnicode stream, AES-128 AESV2 classic, and AES-256
+    AESV3 R6 flate composite-font — the SHA-2 KDF + /UE key unwrap
+    + CBC-decrypted streams) —
     then parsed by pdf.pdf_extract_text (xref walk incl. xref/object
     streams, object grammar, bounded inflate, BT/ET assembly, CMap
     decode). The oracle does NO PDF parsing: expected text is a pure
@@ -4180,8 +4182,8 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                v = did % 10
-                if v in (6, 7, 9):
+                v = did % 12
+                if v in (6, 7, 9, 11):
                     kw = (
                         {} if v == 6
                         else {"xref_stream": True, "objstm": True,
@@ -4189,6 +4191,10 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # RC4-encrypted (R3) composite-font file:
                         # content AND ToUnicode streams decrypt
                         else {"encrypt_rc4": 3, "flate": True}
+                        if v == 9
+                        # AES-256 (AESV3 R6) composite-font file:
+                        # SHA-2 KDF + UE unwrap + CBC streams
+                        else {"encrypt_aes": 5, "flate": True}
                     )
                     payloads.append(pdf_build(
                         [],
@@ -4196,13 +4202,15 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         **kw,
                     ))
                     continue
-                if v == 8:
-                    # RC4-encrypted (R2) classic simple-font file
+                if v in (8, 10):
+                    # RC4-R2 / AES-128-AESV2 classic simple-font files
                     p0 = content_ops([f"Doc {did}", t])
                     p1 = content_ops(["café fin"])
-                    payloads.append(
-                        pdf_build([p0, p1], encrypt_rc4=2)
-                    )
+                    payloads.append(pdf_build(
+                        [p0, p1],
+                        **({"encrypt_rc4": 2} if v == 8
+                           else {"encrypt_aes": 4}),
+                    ))
                     continue
                 tj = v == 3
                 p0 = content_ops([f"Doc {did}", t], use_tj_array=tj)
@@ -8232,10 +8240,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ANALYTIC replay of the PDF extraction: the oracle never
         # parses a byte of PDF — page texts are pure string functions
-        # of (doc_id, text); the writer-variant mix (doc_id % 10, ten
-        # container shapes incl. xref-stream/objstm, predictor, two
-        # Type0/Identity-H+ToUnicode composite-font variants, and two
-        # RC4-encrypted empty-user-password variants) only changes
+        # of (doc_id, text); the writer-variant mix (doc_id % 12 —
+        # twelve container shapes incl. xref-stream/objstm,
+        # predictor, two Type0/Identity-H+ToUnicode composite-font
+        # variants, and four encrypted empty-user-password variants:
+        # RC4 R2/R3, AES-128 AESV2, AES-256 AESV3-R6) only changes
         # the CONTAINER, never the expected text
         "w_pdf_extract": """
             WITH two AS (SELECT unnest([0, 1]) AS p)

@@ -5,8 +5,8 @@ the archive/Office extractors don't cover. This is a from-scratch
 minimal reader built the same way as prep.archive_extract_text and
 the multimodal decoders: stdlib only (zlib), every inflate bounded,
 two-tier errors — foreign/unsupported constructs are TYPED capability
-limits (AES-encrypted or passworded PDFs, non-Identity CMap fonts,
-non-Flate filters), structural damage always raises ValueError. No reference-engine
+limits (passworded PDFs, non-Identity CMap fonts, non-Flate
+filters), structural damage always raises ValueError. No reference-engine
 parity to cite: zpiroux/geist is a JSON-event engine (README.md:566)
 with no document surface; the spec followed here is ISO 32000-1
 (cross-reference tables AND 1.5 cross-reference/object streams,
@@ -28,11 +28,15 @@ Scope:
   Type0 with a named non-Identity CMap or without ToUnicode stays a
   capability limit (those bytes are glyph indexes with no
   recoverable text),
-- RC4-encrypted files (Standard security handler, V 1/2 R 2/3) with
-  an EMPTY user password — the owner-locked-but-world-readable PDFs
-  that dominate real crawls — decrypt transparently (Algorithms
-  1-5, stdlib MD5 + from-scratch RC4); AES (V 4/5), non-Standard
-  handlers, and non-empty user passwords stay capability limits,
+- encrypted files (Standard security handler) with an EMPTY user
+  password — the owner-locked-but-world-readable PDFs that dominate
+  real crawls — decrypt transparently across ALL mainstream
+  schemes: RC4 V 1/2 R 2/3 (Algorithms 1-5, stdlib MD5 +
+  from-scratch RC4), AES-128 via the V4 /StdCF AESV2 crypt filter,
+  and AES-256 AESV3 (V5 R5/6, the ISO 32000-2 Algorithm 2.B SHA-2
+  KDF + /UE key unwrap; from-scratch T-table AES pinned by FIPS-197
+  vectors); non-Standard handlers, split string/stream crypt
+  filters, and non-empty user passwords stay capability limits,
 - text assembly from BT/ET blocks: Tj / TJ / ' / " shows; Td / TD /
   T* / BT open a new output line (only when the current line is
   non-empty — so a leading position op never emits a blank line);
@@ -315,10 +319,12 @@ def _pw_pad(pw: bytes) -> bytes:
 
 
 def _std_file_key(
-    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, keylen: int
+    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int,
+    keylen: int, encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2 (§7.6.3.3): the file encryption key from the
-    (padded) user password, /O, /P and the first file identifier."""
+    (padded) user password, /O, /P and the first file identifier
+    (R4: /EncryptMetadata false appends 0xFFFFFFFF)."""
     import hashlib
 
     h = hashlib.md5()
@@ -326,6 +332,8 @@ def _std_file_key(
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     d = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -373,17 +381,83 @@ def _obj_rc4_key(key: bytes, num: int, gen: int) -> bytes:
     return d[: min(len(key) + 5, 16)]
 
 
-def _decrypt_value(v, key: bytes, num: int, gen: int):
-    """Recursively RC4-decrypt every STRING in a parsed object value
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_r6(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 iterated KDF; R5 is the
+    plain SHA-256). Deliberately memoized: the KDF runs 64+ AES-CBC
+    rounds over a multi-KB buffer (~50 ms in pure Python), and a
+    batch of same-source files re-derives identical (salt, pw)
+    inputs — notably the fixture gate, where every worker pays the
+    KDF once instead of per document."""
+    import hashlib
+
+    from geist_spark.operators._aes import aes_cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _aes_obj_key(key: bytes, num: int, gen: int) -> bytes:
+    """AESV2 per-object key: the RC4 derivation plus the 'sAlT'
+    suffix (§7.6.2 Algorithm 1 step b)."""
+    import hashlib
+
+    d = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _decrypt_bytes(
+    data: bytes, mode: str, key: bytes, num: int, gen: int
+) -> bytes:
+    if mode == "rc4":
+        return _rc4(_obj_rc4_key(key, num, gen), data)
+    from geist_spark.operators._aes import aes_cbc_decrypt
+
+    k = _aes_obj_key(key, num, gen) if mode == "aesv2" else key
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError(
+            "malformed PDF: AES payload is not IV + padded blocks"
+        )
+    plain = aes_cbc_decrypt(k, data[:16], data[16:])
+    pad = plain[-1]
+    if not 1 <= pad <= 16 or plain[-pad:] != bytes([pad]) * pad:
+        raise ValueError("malformed PDF: bad AES (PKCS#7) padding")
+    return plain[:-pad]
+
+
+def _decrypt_value(v, mode: str, key: bytes, num: int, gen: int):
+    """Recursively decrypt every STRING in a parsed object value
     (names/numbers/refs untouched — only string objects are encrypted
     per §7.6.2)."""
     if isinstance(v, bytes):
-        return _rc4(_obj_rc4_key(key, num, gen), v)
+        return _decrypt_bytes(v, mode, key, num, gen)
     if isinstance(v, list):
-        return [_decrypt_value(x, key, num, gen) for x in v]
+        return [_decrypt_value(x, mode, key, num, gen) for x in v]
     if isinstance(v, dict):
         return {
-            k: _decrypt_value(x, key, num, gen) for k, x in v.items()
+            k: _decrypt_value(x, mode, key, num, gen)
+            for k, x in v.items()
         }
     return v
 
@@ -391,11 +465,15 @@ def _decrypt_value(v, key: bytes, num: int, gen: int):
 def _setup_decryption(trailer: dict, objects: dict, max_bytes: int):
     """Parse /Encrypt and install the decryption context in
     objects["__crypt__"] when the file uses the Standard handler
-    with RC4 (V 1/2, R 2/3) and an EMPTY user password — the
-    world-readable owner-locked PDFs that dominate real crawls.
-    Non-empty user passwords, AES (V 4/5), and non-Standard handlers
-    stay typed capability limits; a structurally bad /Encrypt dict is
-    malformed."""
+    with an EMPTY user password — the world-readable owner-locked
+    PDFs that dominate real crawls. Supported: RC4 (V 1/2, R 2/3),
+    AES-128 via the V4 /StdCF AESV2 crypt filter (R 4; a V2 CFM maps
+    to the RC4 path), and AES-256 AESV3 (V 5, R 5/6 — the SHA-2
+    KDF of ISO 32000-2 Algorithm 2.B, file key unwrapped from /UE).
+    Non-empty user passwords, V4 files whose string/stream filters
+    diverge or name an embedded-file-only crypt, and non-Standard
+    handlers stay typed capability limits; a structurally bad
+    /Encrypt dict is malformed."""
     enc_ref = trailer["Encrypt"]
     skip = None
     if isinstance(enc_ref, tuple) and enc_ref and enc_ref[0] == "ref":
@@ -411,17 +489,70 @@ def _setup_decryption(trailer: dict, objects: dict, max_bytes: int):
         )
     v = _resolve(enc.get("V", 0), objects, max_bytes)
     r = _resolve(enc.get("R", 0), objects, max_bytes)
-    if v not in (1, 2) or r not in (2, 3):
+    mode = "rc4"
+    if v == 4 or v == 5:
+        cf = _resolve(enc.get("CF"), objects, max_bytes)
+        stmf = str(enc.get("StmF", _Name("Identity")))
+        strf = str(enc.get("StrF", _Name("Identity")))
+        if stmf != strf:
+            raise NotImplementedError(
+                "encrypted PDF: split string/stream crypt filters "
+                f"(StmF={stmf}, StrF={strf}) unsupported"
+            )
+        if stmf == "Identity":
+            cfm = "Identity"
+        else:
+            cfd = cf.get(stmf) if isinstance(cf, dict) else None
+            cfd = _resolve(cfd, objects, max_bytes)
+            if not isinstance(cfd, dict):
+                raise ValueError(
+                    f"malformed PDF: crypt filter {stmf} missing"
+                )
+            cfm = str(cfd.get("CFM"))
+        if v == 4 and r == 4 and cfm in ("AESV2", "V2"):
+            mode = "aesv2" if cfm == "AESV2" else "rc4"
+        elif v == 5 and r in (5, 6) and cfm == "AESV3":
+            mode = "aesv3"
+        else:
+            raise NotImplementedError(
+                f"encrypted PDF: V={v} R={r} CFM={cfm} unsupported"
+            )
+    elif v not in (1, 2) or r not in (2, 3):
         raise NotImplementedError(
-            f"encrypted PDF: only RC4 (V 1/2, R 2/3) supported, "
-            f"got V={v} R={r} (AES stays a capability limit)"
+            f"encrypted PDF: only RC4 (V 1/2, R 2/3), AESV2 (V4 R4) "
+            f"and AESV3 (V5 R5/6) supported, got V={v} R={r}"
         )
+    if mode == "aesv3":
+        o = enc.get("O")
+        u = enc.get("U")
+        ue = enc.get("UE")
+        if not (
+            isinstance(o, bytes) and isinstance(u, bytes)
+            and isinstance(ue, bytes) and len(u) >= 48
+            and len(ue) >= 32
+        ):
+            raise ValueError(
+                "malformed PDF: AESV3 /Encrypt O/U/UE missing"
+            )
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_r6(b"", vsalt, b"", r) != u[:32]:
+            raise NotImplementedError(
+                "encrypted PDF: non-empty user password required"
+            )
+        from geist_spark.operators._aes import aes_cbc_decrypt
+
+        ikey = _hash_r6(b"", ksalt, b"", r)
+        file_key = aes_cbc_decrypt(ikey, bytes(16), ue[:32])
+        objects["__crypt__"] = ("aesv3", file_key, skip)
+        return
     length = _resolve(enc.get("Length", 40), objects, max_bytes)
     if not isinstance(length, int) or length % 8 or not (
         40 <= length <= 128
     ):
         raise ValueError("malformed PDF: bad /Encrypt /Length")
     keylen = 5 if v == 1 else length // 8
+    if mode == "aesv2":
+        keylen = 16
     o = enc.get("O")
     u = enc.get("U")
     p = _resolve(enc.get("P"), objects, max_bytes)
@@ -434,7 +565,13 @@ def _setup_decryption(trailer: dict, objects: dict, max_bytes: int):
     id0 = ids[0] if (
         isinstance(ids, list) and ids and isinstance(ids[0], bytes)
     ) else b""
-    key = _std_file_key(b"", o, p, id0, r, keylen)
+    encrypt_metadata = _resolve(
+        enc.get("EncryptMetadata", True), objects, max_bytes
+    )
+    key = _std_file_key(
+        b"", o, p, id0, r, keylen,
+        encrypt_metadata=bool(encrypt_metadata),
+    )
     if r == 2:
         ok = _rc4(key, _PW_PAD) == u[:32]
     else:
@@ -448,7 +585,7 @@ def _setup_decryption(trailer: dict, objects: dict, max_bytes: int):
         raise NotImplementedError(
             "encrypted PDF: non-empty user password required"
         )
-    objects["__crypt__"] = (key, skip)
+    objects["__crypt__"] = (mode, key, skip)
 
 
 def _load_object(objects: dict, num: int, max_bytes: int):
@@ -516,16 +653,16 @@ def _load_object(objects: dict, num: int, max_bytes: int):
             )
         stream = lx.b[lx.i: lx.i + length]
     crypt = objects.get("__crypt__")
-    if crypt is not None and num != crypt[1]:
+    if crypt is not None and num != crypt[2]:
         # strings and streams of TOP-LEVEL objects are encrypted;
         # object-stream members are covered by their container's
         # decryption and xref streams are never encrypted (both
         # bypass this path)
-        key = crypt[0]
+        mode, key = crypt[0], crypt[1]
         gen = int(w2)
-        val = _decrypt_value(val, key, num, gen)
+        val = _decrypt_value(val, mode, key, num, gen)
         if stream is not None:
-            stream = _rc4(_obj_rc4_key(key, num, gen), stream)
+            stream = _decrypt_bytes(stream, mode, key, num, gen)
     objects[num] = ("parsed", val, stream)
     return val, stream
 
@@ -1295,8 +1432,8 @@ def pdf_extract_text(
     BT/ET text-operator assembly, simple fonts as WinAnsi and
     Identity-H Type0 fonts through their /ToUnicode CMap — see the
     module docstring for the exact scope and dialect. Two-tier
-    errors: non-PDF payloads, AES-encrypted or passworded PDFs
-    (RC4 + empty user password decrypts for real), non-Flate
+    errors: non-PDF payloads, PASSWORDED PDFs (RC4/AESV2/AESV3
+    with an empty user password decrypt for real), non-Flate
     filters, content predictors, and Type0 fonts without Identity
     encoding + ToUnicode are CAPABILITY limits (raise naming the id,
     or skip the file under on_unsupported='null'); structural damage
@@ -1483,6 +1620,7 @@ def pdf_build(
     predictor: bool = False,
     type0_pages: list[list[str]] | None = None,
     encrypt_rc4: int | None = None,
+    encrypt_aes: int | None = None,
 ) -> bytes:
     """Minimal classic-xref PDF writer — the zipfile/tarfile
     cross-validation pattern from the archive gates: fixtures are
@@ -1498,14 +1636,26 @@ def pdf_build(
     import hashlib
     import zlib
 
+    crypt_mode = None
     crypt_key = None
     enc_extra = b""
+    if encrypt_rc4 is not None and encrypt_aes is not None:
+        raise ValueError("encrypt_rc4 and encrypt_aes are exclusive")
     if encrypt_rc4 is not None:
         if encrypt_rc4 not in (2, 3):
             raise ValueError("encrypt_rc4 must be revision 2 or 3")
         if xref_stream or encrypt:
             raise ValueError(
                 "encrypt_rc4 is exclusive with xref_stream/encrypt "
+                "in this fixture writer"
+            )
+    if encrypt_aes is not None:
+        if encrypt_aes not in (4, 5):
+            raise ValueError("encrypt_aes must be V 4 (AESV2 R4) "
+                             "or 5 (AESV3 R6)")
+        if xref_stream or encrypt:
+            raise ValueError(
+                "encrypt_aes is exclusive with xref_stream/encrypt "
                 "in this fixture writer"
             )
 
@@ -1525,6 +1675,47 @@ def pdf_build(
         o_val = _std_compute_o(b"owner", b"", r, keylen)
         crypt_key = _std_file_key(b"", o_val, -1, id0, r, keylen)
         u_val = _std_compute_u(crypt_key, id0, r)
+        crypt_mode = "rc4"
+    elif encrypt_aes == 4:
+        keylen = 16
+        id0 = hashlib.md5(
+            b"".join(page_streams) + b"aes4"
+        ).digest()
+        o_val = _std_compute_o(b"owner", b"", 4, keylen)
+        crypt_key = _std_file_key(b"", o_val, -1, id0, 4, keylen)
+        u_val = _std_compute_u(crypt_key, id0, 4)
+        crypt_mode = "aesv2"
+    elif encrypt_aes == 5:
+        from geist_spark.operators._aes import aes_cbc_encrypt
+
+        # a CONSTANT seed across fixtures: the R6 KDF costs ~250 ms
+        # per distinct salt even table-driven, and _hash_r6's memo
+        # only pays off when the gate's documents share the
+        # credential block (content still varies per document)
+        seed = hashlib.md5(b"geist-aes5-fixture").digest()
+        crypt_key = hashlib.sha256(seed).digest()  # the FILE key
+        vsalt = seed[:8]
+        ksalt = seed[8:16]
+        u_val = _hash_r6(b"", vsalt, b"", 6) + vsalt + ksalt
+        ue_val = aes_cbc_encrypt(
+            _hash_r6(b"", ksalt, b"", 6), bytes(16), crypt_key
+        )
+        ovsalt = hashlib.md5(seed + b"ov").digest()[:8]
+        oksalt = hashlib.md5(seed + b"ok").digest()[:8]
+        o_val = (
+            _hash_r6(b"owner", ovsalt, u_val, 6) + ovsalt + oksalt
+        )
+        oe_val = aes_cbc_encrypt(
+            _hash_r6(b"owner", oksalt, u_val, 6), bytes(16), crypt_key
+        )
+        from geist_spark.operators._aes import aes_encrypt_block
+
+        perms = aes_encrypt_block(
+            crypt_key,
+            (0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+            + b"T" + b"adb" + b"geis",
+        )
+        crypt_mode = "aesv3"
     objs: dict[int, bytes] = {}
     font_num = 3 + 2 * n_pages
     kid_nums = [3 + 2 * i for i in range(n_pages)]
@@ -1548,7 +1739,20 @@ def pdf_build(
         if crypt_key is not None:
             # encryption is the OUTERMOST layer: applied after all
             # stream filters (readers decrypt, then inflate)
-            data = _rc4(_obj_rc4_key(crypt_key, num, 0), data)
+            if crypt_mode == "rc4":
+                data = _rc4(_obj_rc4_key(crypt_key, num, 0), data)
+            else:
+                from geist_spark.operators._aes import aes_cbc_encrypt
+
+                k = (
+                    _aes_obj_key(crypt_key, num, 0)
+                    if crypt_mode == "aesv2" else crypt_key
+                )
+                iv = hashlib.md5(b"iv%d" % num).digest()[:16]
+                pad = 16 - len(data) % 16
+                data = iv + aes_cbc_encrypt(
+                    k, iv, data + bytes([pad]) * pad
+                )
         filt = b"/Filter /FlateDecode " if flate else b""
         if indirect_length:
             objs[next_extra] = b"%d" % len(data)
@@ -1641,6 +1845,31 @@ def pdf_build(
             b" /Encrypt %d 0 R /ID [<%s> <%s>]"
             % (enc_num, id0.hex().encode(), id0.hex().encode())
         )
+    elif encrypt_aes == 4:
+        enc_num = max(objs) + 1
+        objs[enc_num] = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -1 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> >>"
+            % (o_val.hex().encode(), u_val.hex().encode())
+        )
+        enc_extra = (
+            b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+            % (enc_num, id0.hex().encode(), id0.hex().encode())
+        )
+    elif encrypt_aes == 5:
+        enc_num = max(objs) + 1
+        objs[enc_num] = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -1 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+            % (o_val.hex().encode(), u_val.hex().encode(),
+               oe_val.hex().encode(), ue_val.hex().encode(),
+               perms.hex().encode())
+        )
+        enc_extra = b" /Encrypt %d 0 R" % enc_num
     out = bytearray(b"%PDF-1.4\n%\xc3\xa4\xc3\xbc\n")
     offsets = {}
     for num in sorted(objs):

@@ -363,3 +363,70 @@ def test_encrypted_rc4_empty_user_password():
     bad = pdf.replace(b"/Length 128", b"/Length 129")
     with pytest.raises(ValueError, match="Length"):
         list(_pdf_pages(bad, 1 << 20))
+
+
+def test_aes_fips_vectors():
+    """The pure-Python AES against the FIPS-197 Appendix C known
+    answers, all three key sizes, both directions, plus CBC."""
+    from geist_spark.operators._aes import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_decrypt_block,
+        aes_encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for klen, want in (
+        (16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (32, "8ea2b7ca516745bfeafc49904b496089"),
+    ):
+        key = bytes(range(klen))
+        assert aes_encrypt_block(key, pt).hex() == want
+        assert aes_decrypt_block(key, bytes.fromhex(want)) == pt
+    key = bytes(range(32))
+    iv = b"\xaa" * 16
+    data = bytes(range(256)) * 2
+    assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, data)) \
+        == data
+
+
+def test_encrypted_aes_empty_user_password():
+    """AESV2 (V4 R4, AES-128) and AESV3 (V5 R6, AES-256 with the
+    SHA-2 KDF and /UE key unwrap) decrypt transparently with an empty
+    user password, incl. encrypted Type0/ToUnicode streams; a flipped
+    /U validation hash stays a typed capability limit and a corrupted
+    stream surfaces as malformed padding."""
+    for v in (4, 5):
+        for kw in (dict(), dict(flate=True),
+                   dict(two_xref_sections=True)):
+            pdf = pdf_build(
+                [content_ops(["AES line", "two"]), content_ops(["p2"])],
+                encrypt_aes=v, **kw,
+            )
+            got = list(_pdf_pages(pdf, 1 << 20))
+            assert got == [(0, "AES line\ntwo"), (1, "p2")], (v, kw)
+        pdf = pdf_build(
+            [], type0_pages=[["Locked", "café Привет"]],
+            encrypt_aes=v, flate=True,
+        )
+        assert list(_pdf_pages(pdf, 1 << 20)) == [
+            (0, "Locked\ncafé Привет")
+        ]
+
+    # AESV3: flip a byte of the /U validation hash -> capability
+    pdf = pdf_build([content_ops(["x"])], encrypt_aes=5)
+    k = pdf.index(b"/U <") + 4
+    flipped = (b"00" if pdf[k: k + 2] != b"00" else b"11")
+    locked = pdf[:k] + flipped + pdf[k + 2:]
+    with pytest.raises(NotImplementedError, match="user password"):
+        list(_pdf_pages(locked, 1 << 20))
+
+    # corrupt an encrypted stream's ciphertext -> padding error or
+    # downstream malformed-content error, never silent garbage text
+    pdf4 = pdf_build([content_ops(["hello secret"])], encrypt_aes=4)
+    k = pdf4.index(b"stream\n") + 7
+    bad = bytearray(pdf4)
+    bad[k + 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        list(_pdf_pages(bytes(bad), 1 << 20))
