@@ -3871,12 +3871,16 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent decompression under the oracle gate: each doc's
-    text is compressed with the codec picked by doc_id % 4 — gzip,
-    zlib, bzip2, xz (all four stdlib decode paths run under the
-    gate) — and fed through prep.decompress_text. The oracle is the
+    text is compressed with the codec picked by doc_id % 6 — gzip,
+    zlib, bzip2, xz (stdlib decode paths) plus TWO zstd shapes from
+    the paired RFC 8878 encoder (operators/zstd.py): default
+    Huffman-literals + predefined-sequence frames, and a
+    path-diverse frame (FSE-compressed sequence tables, 4-stream
+    literals, FSE-compressed Huffman weights, a leading skippable
+    frame) — and fed through prep.decompress_text. The oracle is the
     IDENTITY on documents (text + byte length): a header-walk,
-    multi-member, bounded-inflate, or utf-8 bug in ANY codec breaks
-    the round-trip hash."""
+    multi-member, bounded-inflate, entropy-decode, or utf-8 bug in
+    ANY codec breaks the round-trip hash."""
     import bz2 as _bz2
     import gzip as _gzip
     import lzma as _lzma
@@ -3885,6 +3889,8 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     from geist_spark.operators.prep import decompress_text
+    from geist_spark.operators.zstd import compress as _zc
+    from geist_spark.operators.zstd import skippable_frame as _zskip
 
     docs = _t(spark, sf_dir, "documents")
     codecs = [
@@ -3892,6 +3898,14 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zlib.compress,
         _bz2.compress,
         _lzma.compress,  # FORMAT_XZ default
+        _zc,
+        lambda raw: _zskip(b"seek-index") + _zc(
+            raw,
+            seq_mode="fse",
+            four_stream=True,
+            fse_weights=True,
+            block_bytes=4096,
+        ),
     ]
 
     def synth(batches):
@@ -3900,7 +3914,7 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        codecs[did % 4](t.encode("utf-8"))
+                        codecs[did % 6](t.encode("utf-8"))
                         for did, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
@@ -3917,11 +3931,14 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a 2-record WARC file (request + response, the response
     block an HTTP message whose payload is the doc text), synthesized
     ENTIRELY JVM-side (concat + octet_length build the exact
-    Content-Length headers), then parsed by web.warc_parse. The
-    oracle does NO WARC parsing — every field is an analytic string
-    function of (doc_id, text): fixed template lengths + byte length
-    of the text, md5 of the reconstructed blocks. A header-walk,
-    Content-Length, or HTTP-split bug hash-mismatches."""
+    Content-Length headers), wrapped in the transport picked by
+    doc_id % 3 — plain, gzip member, zstd frame (the CommonCrawl
+    .warc.zst layout, paired RFC 8878 encoder) — then parsed by
+    web.warc_parse. The oracle does NO WARC parsing — every field is
+    an analytic string function of (doc_id, text): fixed template
+    lengths + byte length of the text, md5 of the reconstructed
+    blocks; the transport wheel cannot change it, so a gzip- or
+    zstd-transport bug hash-mismatches."""
     from geist_spark.operators.web import warc_parse
 
     docs = _t(spark, sf_dir, "documents")
@@ -3951,6 +3968,30 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(crlf + crlf),
         )
 
+    import gzip as _gzip
+
+    import pandas as _pd
+
+    from geist_spark.operators.zstd import compress as _zc
+
+    def transport(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"],
+                    "payload": [
+                        bytes(p)
+                        if fid % 3 == 0
+                        else (
+                            _gzip.compress(bytes(p), mtime=0)
+                            if fid % 3 == 1
+                            else _zc(bytes(p))
+                        )
+                        for fid, p in zip(pdf["file_id"], pdf["payload"])
+                    ],
+                }
+            )
+
     files = _fan(
         docs.select(
             F.col("doc_id").alias("file_id"),
@@ -3961,7 +4002,7 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "UTF-8",
             ).alias("payload"),
         )
-    )
+    ).mapInPandas(transport, "file_id long, payload binary")
     return warc_parse(files).select(
         "file_id", "rec_idx", "warc_type", "target_uri", "content_length",
         "http_status", "http_content_type",

@@ -701,24 +701,28 @@ def decompress_text(
     """Transparent text decompression for compressed crawl payloads:
     gzip (magic 1f 8b, multi-member concatenation handled), zlib
     (0x78 family), bzip2 ("BZh", multi-stream pbzip2 output handled),
-    and xz ("\\xfd7zXZ", multi-stream + stream padding) — all stdlib
-    codecs inside one Arrow-batched mapInPandas stage — zero shuffle,
-    partitioning preserved. Returns (id, text utf-8 with U+FFFD for
-    invalid bytes, byte_len of the DECOMPRESSED payload).
+    xz ("\\xfd7zXZ", multi-stream + stream padding), and zstd
+    (magic 28 b5 2f fd, multi-frame + skippable frames, via the
+    from-scratch RFC 8878 decoder in operators/zstd.py) — all inside
+    one Arrow-batched mapInPandas stage — zero shuffle, partitioning
+    preserved. Returns (id, text utf-8 with U+FFFD for invalid bytes,
+    byte_len of the DECOMPRESSED payload).
 
-    Two-tier errors, repo contract: unknown magic (zstd/brotli/lz4 —
-    codecs not in this container) is a CAPABILITY limit — raise
-    naming the id, or NULL the row under on_unsupported='null';
-    corrupt streams are MALFORMED and always raise ValueError. Every
-    codec's output is BOUNDED at max_bytes (a decompression bomb
-    raises the typed malformed error, never OOMs the executor — the
-    PNG IDAT rule)."""
+    Two-tier errors, repo contract: unknown magic (brotli/lz4 —
+    codecs not in this container) and dictionary-keyed zstd frames
+    are CAPABILITY limits — raise naming the id, or NULL the row
+    under on_unsupported='null'; corrupt streams are MALFORMED and
+    always raise ValueError. Every codec's output is BOUNDED at
+    max_bytes (a decompression bomb raises the typed malformed
+    error, never OOMs the executor — the PNG IDAT rule)."""
     import bz2
     import lzma
     import zlib
     from collections.abc import Iterator
 
     import pandas as pd
+
+    from geist_spark.operators import zstd as zstd_codec
 
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
@@ -803,16 +807,33 @@ def decompress_text(
                         and b[:3] == b"BZh"
                         and 0x31 <= b[3] <= 0x39
                     )
+                    is_zstd = b[:4] == b"\x28\xb5\x2f\xfd" or (
+                        len(b) >= 4
+                        and b[1:4] == b"\x2a\x4d\x18"
+                        and 0x50 <= b[0] <= 0x5F
+                    )
                     if b[:2] == b"\x1f\x8b" or is_zlib:
                         raw = inflate(b)
                     elif is_bz2:
                         raw = inflate_bx(b, "bz2")
                     elif b[:6] == b"\xfd7zXZ\x00":
                         raw = inflate_bx(b, "xz")
+                    elif is_zstd:
+                        try:
+                            raw = zstd_codec.decompress(b, max_bytes=max_bytes)
+                        except NotImplementedError:
+                            # dictionary-keyed frame: capability limit
+                            if on_unsupported == "error":
+                                raise NotImplementedError(
+                                    f"{id_col}={did}: zstd frame requires "
+                                    "an external dictionary — pass "
+                                    "on_unsupported='null'"
+                                ) from None
+                            raw = None
                     elif on_unsupported == "error":
                         raise NotImplementedError(
                             f"{id_col}={did}: payload is not gzip, zlib, "
-                            "bzip2 or xz (zstd/brotli/lz4 codecs not in "
+                            "bzip2, xz or zstd (brotli/lz4 codecs not in "
                             "this environment) — pass on_unsupported='null'"
                         )
                     else:

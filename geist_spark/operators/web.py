@@ -267,7 +267,18 @@ def _warc_records(b: bytes, max_bytes: int):
     CRLF, Content-Length block bytes, CRLF CRLF."""
     import zlib
 
-    if b[:2] == b"\x1f\x8b":
+    if b[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(b) >= 4 and b[1:4] == b"\x2a\x4d\x18" and 0x50 <= b[0] <= 0x5F
+    ):
+        # zstd transport (the CommonCrawl .warc.zst layout: concatenated
+        # frames, optional seek-index/dictionary skippable frames) via
+        # the from-scratch RFC 8878 decoder; same max_bytes bound as
+        # the gzip path. Dictionary-keyed frames surface the decoder's
+        # typed NotImplementedError (capability limit).
+        from geist_spark.operators.zstd import decompress as _zstd_d
+
+        b = _zstd_d(bytes(b), max_bytes=max_bytes)
+    elif b[:2] == b"\x1f\x8b":
         parts, data, budget = [], bytes(b), max_bytes
         while data:
             d = zlib.decompressobj(wbits=31)
@@ -341,8 +352,9 @@ def warc_parse(
     body_len). For response/revisit records whose block is an HTTP
     message, the status line and headers are split off — http_status
     is the integer code and body the payload after the header CRLF
-    CRLF; for other records body is the whole block. Plain and
-    gzip-transport (concatenated members, stdlib zlib) WARCs.
+    CRLF; for other records body is the whole block. Plain,
+    gzip-transport (concatenated members, stdlib zlib) and
+    zstd-transport (.warc.zst, RFC 8878 decoder in zstd.py) WARCs.
 
     The CommonCrawl ingestion stage: Arrow-batched mapInPandas over
     (file_id, payload) — the record fan-out happens inside the stage,
@@ -384,11 +396,17 @@ def warc_parse(
                     emit(fid, None, None, None, None, None, None, None, None)
                     continue
                 b = bytes(payload)
-                if b[:5] != b"WARC/" and b[:2] != b"\x1f\x8b":
+                is_zstd = b[:4] == b"\x28\xb5\x2f\xfd" or (
+                    len(b) >= 4
+                    and b[1:4] == b"\x2a\x4d\x18"
+                    and 0x50 <= b[0] <= 0x5F
+                )
+                if b[:5] != b"WARC/" and b[:2] != b"\x1f\x8b" and not is_zstd:
                     if on_unsupported == "error":
                         raise NotImplementedError(
-                            f"file_id={fid}: payload is neither WARC nor "
-                            "gzip (ARC / other archive formats unsupported)"
+                            f"file_id={fid}: payload is neither WARC, "
+                            "gzip nor zstd (ARC / other archive formats "
+                            "unsupported)"
                         )
                     emit(fid, None, None, None, None, None, None, None, None)
                     continue

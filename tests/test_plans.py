@@ -189,7 +189,7 @@ MIP_ALLOWED = {
     "m_audio_dsp": 1,
     "m_decode_jpeg": 2,      # JPEG synth (FDCT+Huffman) + decode
     "m_frame_sample_mjpeg": 2,  # MJPEG-AVI synth + frame decode
-    "w_warc_parse": 1,       # record fan-out needs imperative parsing
+    "w_warc_parse": 2,       # transport-wheel synth + record fan-out
     "w_decode_text": 2,      # charset-variant synth + codec decode
     "w_crawl_pipeline": 3,   # WARC synth + record walk + decode
     "w_pdf_extract": 2,      # PDF-writer synth + xref walk/extract

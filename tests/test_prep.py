@@ -1125,6 +1125,8 @@ def test_decompress_text_roundtrip_and_errors(spark):
 
     from geist_spark.operators.prep import decompress_text
 
+    from geist_spark.operators.zstd import compress as zstd_compress
+
     two_member = gzip.compress(b"hello ") + gzip.compress(b"world")
     rows = [
         (1, gzip.compress("héllo".encode())),
@@ -1132,6 +1134,7 @@ def test_decompress_text_roundtrip_and_errors(spark):
         (3, two_member),
         (4, gzip.compress(b"\xff\xfe invalid utf8")),
         (5, None),
+        (6, zstd_compress("zstd tèxt".encode())),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in decompress_text(df).collect()}
@@ -1140,10 +1143,12 @@ def test_decompress_text_roundtrip_and_errors(spark):
     assert out[3]["text"] == "hello world"  # members concatenate
     assert "�" in out[4]["text"]
     assert out[5]["text"] is None
+    assert out[6]["text"] == "zstd tèxt" and out[6]["byte_len"] == 10
 
-    zstd_ish = b"\x28\xb5\x2f\xfd fake-zstd"
+    # lz4 frame magic: still a capability limit (no lz4 codec here)
+    lz4_ish = b"\x04\x22\x4d\x18 fake-lz4"
     mixed = spark.createDataFrame(
-        [(1, gzip.compress(b"ok")), (2, zstd_ish)],
+        [(1, gzip.compress(b"ok")), (2, lz4_ish)],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="doc_id=2"):
@@ -1152,10 +1157,12 @@ def test_decompress_text_roundtrip_and_errors(spark):
               decompress_text(mixed, on_unsupported="null").collect()}
     assert nulled[1]["text"] == "ok" and nulled[2]["text"] is None
 
-    # malformed always raises: truncation and a 10 MB bomb vs 1 KB cap
+    # malformed always raises: truncation, a 10 MB gzip bomb vs 1 KB
+    # cap, and garbage behind the zstd magic (now a real decode path)
     for payload, msg in [
         (gzip.compress(b"abcdef")[:-4], "truncated compressed"),
         (gzip.compress(b"\x00" * 10_000_000), "max_bytes=1024"),
+        (b"\x28\xb5\x2f\xfd fake-zstd", "malformed zstd"),
     ]:
         d = spark.createDataFrame(
             [(1, payload)], "doc_id long, payload binary"
