@@ -4279,24 +4279,28 @@ def w_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def w_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Office-document text extraction under the oracle gate: each doc
-    becomes one of FIVE real ZIP-of-XML containers by doc_id % 5 —
+    """Office/ebook-document text extraction under the oracle gate:
+    each doc becomes one of SEVEN real containers by doc_id % 7 —
     DOCX (split w:t runs + a w:tab paragraph), a 2-slide PPTX, XLSX
-    with shared strings, XLSX with inline strings, and ODT — built by
-    the stdlib-zipfile fixture writers, then parsed by
-    office.office_extract_text (the from-scratch ZIP central-directory
-    walk + ElementTree part readers). The oracle does NO ZIP or XML
-    parsing: every part's expected text is a pure string function of
-    (doc_id, text) and the container NEVER changes it — a zip-walk,
-    namespace, shared-string-index, run-concatenation, or
-    part-ordering bug hash-mismatches."""
+    with shared strings, XLSX with inline strings, ODT, a 2-chapter
+    EPUB (ZIP + container.xml + OPF spine + XHTML with a <br/> and an
+    inline <em>), and RTF (cp1252 \\'xx escapes, \\uN?, data
+    destinations + a \\pict group the reader must drop) — built by
+    the stdlib-zipfile / string fixture writers, then parsed by
+    office.office_extract_text. The oracle does NO container parsing:
+    every part's expected text is a pure string function of (doc_id,
+    text) and the container NEVER changes it — a zip-walk, namespace,
+    shared-string-index, spine-order, RTF-group-skip, or
+    run-concatenation bug hash-mismatches."""
     import pandas as _pd
 
     from geist_spark.operators.office import (
         docx_build,
+        epub_build,
         odt_build,
         office_extract_text,
         pptx_build,
+        rtf_build,
         xlsx_build,
     )
 
@@ -4306,7 +4310,7 @@ def w_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                v = did % 5
+                v = did % 7
                 if v == 0:
                     p = docx_build(
                         [f"Doc {did}", t, "col a\tcol b"]
@@ -4323,8 +4327,17 @@ def w_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = xlsx_build(
                         [[["id", str(did)], [t, "x"]]], shared=False
                     )
-                else:
+                elif v == 4:
                     p = odt_build([f"Doc {did}", t])
+                elif v == 5:
+                    p = epub_build(
+                        [[f"Doc {did}", t + "\nsecond line"],
+                         ["chapter two ✓"]]
+                    )
+                else:
+                    p = rtf_build(
+                        [f"Doc {did}", t, "fin — déjà ✓"]
+                    )
                 payloads.append(p)
             yield _pd.DataFrame(
                 {"file_id": pdf["doc_id"], "payload": payloads}
@@ -8255,25 +8268,38 @@ def oracle_sql() -> dict[str, str]:
                        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
                        || text || chr(10) || 'col a' || chr(9)
                        || 'col b' AS text
-                FROM base WHERE doc_id % 5 = 0
+                FROM base WHERE doc_id % 7 = 0
                 UNION ALL
                 SELECT doc_id, 'PPTX', 'slide1',
                        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
                        || text
-                FROM base WHERE doc_id % 5 = 1
+                FROM base WHERE doc_id % 7 = 1
                 UNION ALL
                 SELECT doc_id, 'PPTX', 'slide2', 'deck end'
-                FROM base WHERE doc_id % 5 = 1
+                FROM base WHERE doc_id % 7 = 1
                 UNION ALL
                 SELECT doc_id, 'XLSX', 'sheet1',
                        'id' || chr(9) || CAST(doc_id AS VARCHAR)
                        || chr(10) || text || chr(9) || 'x'
-                FROM base WHERE doc_id % 5 IN (2, 3)
+                FROM base WHERE doc_id % 7 IN (2, 3)
                 UNION ALL
                 SELECT doc_id, 'ODT', 'content',
                        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
                        || text
-                FROM base WHERE doc_id % 5 = 4
+                FROM base WHERE doc_id % 7 = 4
+                UNION ALL
+                SELECT doc_id, 'EPUB', 'spine1',
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || text || chr(10) || 'second line'
+                FROM base WHERE doc_id % 7 = 5
+                UNION ALL
+                SELECT doc_id, 'EPUB', 'spine2', 'chapter two ✓'
+                FROM base WHERE doc_id % 7 = 5
+                UNION ALL
+                SELECT doc_id, 'RTF', 'document',
+                       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                       || text || chr(10) || 'fin — déjà ✓'
+                FROM base WHERE doc_id % 7 = 6
             )
             SELECT doc_id AS file_id, format, part, text,
                    CAST(length(text) AS INTEGER) AS n_chars

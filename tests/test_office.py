@@ -133,3 +133,76 @@ def test_office_extract_text_spark_surface(spark):
     assert len(out) == 5  # 5 skipped, 6 null-skipped
     with pytest.raises(ValueError, match="on_unsupported"):
         office_extract_text(df, on_unsupported="bogus")
+
+
+def test_epub_spine_order_and_dialect():
+    from geist_spark.operators.office import epub_build
+
+    ep = epub_build([
+        ["Chapter one intro", "two\nlines here"],
+        ["Final — chapter ✓"],
+    ])
+    got = list(_office_parts(ep, 1 << 20))
+    assert got == [
+        ("EPUB", "spine1", "Chapter one intro\ntwo\nlines here"),
+        ("EPUB", "spine2", "Final — chapter ✓"),
+    ]
+    # stored container parses identically
+    assert got == list(_office_parts(
+        epub_build([["Chapter one intro", "two\nlines here"],
+                    ["Final — chapter ✓"]], stored=True), 1 << 20))
+
+
+def test_epub_malformed_tiers():
+    from geist_spark.operators.office import epub_build
+
+    # missing container.xml
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+    with pytest.raises(ValueError, match="container.xml"):
+        list(_office_parts(buf.getvalue(), 1 << 20))
+
+    # spine idref without a manifest item
+    ep = epub_build([["x"]])
+    bad = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(ep)) as zin, \
+            zipfile.ZipFile(bad, "w") as zout:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n.endswith("content.opf"):
+                data = data.replace(b'idref="ch1"', b'idref="ghost"')
+            zout.writestr(n, data)
+    with pytest.raises(ValueError, match="ghost"):
+        list(_office_parts(bad.getvalue(), 1 << 20))
+
+
+def test_rtf_dialect_and_escapes():
+    from geist_spark.operators.office import rtf_build
+
+    paras = ["Héllo — wörld ✓", "tab\there", "brace {x} back\\slash"]
+    got = list(_office_parts(rtf_build(paras), 1 << 20))
+    assert got == [("RTF", "document", "\n".join(paras))]
+    # the \pict and \*\generator data groups must leave no trace
+    raw = rtf_build(["clean"], include_pict=True)
+    assert b"wmetafile8" in raw
+    ((_, _, text),) = _office_parts(raw, 1 << 20)
+    assert text == "clean"
+
+
+def test_rtf_group_skipping_and_unicode():
+    # hand-written RTF: \uc2 with two fallback bytes, nested skipped
+    # group inside fonttbl, \~ nbsp, raw cp1252 high byte
+    src = (b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial{\\*\\panose 0}}}"
+           b"\\uc2\\u1055??\\u1088??\\uc1\\u1080?a\\~b \\'e9\xe8}")
+    ((_, _, text),) = _office_parts(src, 1 << 20)
+    assert text == "\u041f\u0440\u0438a\u00a0b \u00e9\u00e8"
+
+
+def test_rtf_malformed_tiers():
+    with pytest.raises(ValueError, match="unbalanced"):
+        list(_office_parts(b"{\\rtf1 {open", 1 << 20))
+    with pytest.raises(ValueError, match="truncated \\\\bin"):
+        list(_office_parts(b"{\\rtf1 \\bin999 xx}", 1 << 20))
+    with pytest.raises(ValueError, match="non-hex"):
+        list(_office_parts(b"{\\rtf1 \\'zz}", 1 << 20))
