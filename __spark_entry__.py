@@ -4010,6 +4010,51 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing under the oracle gate (web.sitemap_parse, pure
+    JVM): each doc becomes, by doc_id % 3 — a 2-entry urlset (entity
+    &amp; in loc, whitespace-padded loc, a non-numeric priority that
+    must cast to NULL), a 2-entry sitemapindex, or a NON-sitemap HTML
+    payload that must yield ZERO rows. The oracle does no XML work at
+    all: every field is a literal function of doc_id, so a block-split,
+    field-extract, trim, entity-decode, ordering, or kind-sniff bug
+    hash-mismatches."""
+    from geist_spark.operators.web import sitemap_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.'
+              'sitemaps.org/schemas/sitemap/0.9">\n<url><loc>'
+              "http://ex.example/p?a="),
+        did,
+        F.lit("&amp;b=2</loc><lastmod>2026-01-02</lastmod>"
+              "<changefreq>daily</changefreq><priority>0.8</priority>"
+              "</url>\n<url><loc> http://ex.example/q/"),
+        did,
+        F.lit(" </loc><priority>high</priority></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><sitemap><loc>http://ex.example/sm1-'),
+        did,
+        F.lit(".xml</loc><lastmod>2025-12-31</lastmod></sitemap>"
+              "<sitemap><loc>http://ex.example/sm2-"),
+        did,
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    html = F.concat(F.lit("<html><body>not a sitemap "), did,
+                    F.lit("</body></html>"))
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.when(F.col("doc_id") % 3 == 0, urlset)
+        .when(F.col("doc_id") % 3 == 1, index)
+        .otherwise(html)
+        .alias("xml"),
+    )
+    return sitemap_parse(files)
+
+
 def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware crawl-text decode under the oracle gate: each doc
     is encoded into one of 13 legacy-web shapes picked by doc_id % 13
@@ -5544,6 +5589,82 @@ def t_fix_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# markdown fixture template: three literal segments around the two
+# doc_id interpolations and the trailing doc text; the SAME constants
+# render the Spark concat and the oracle's || chain, and the strip
+# chain itself is generated from text.MARKDOWN_STRIP_RULES on both
+# sides ($1 vs \\1 group rendering) — a genuine dual implementation,
+# not an identity oracle.
+_MD_SEG_A = "# Doc "
+_MD_SEG_B = "\n\nIntro [anchor "
+_MD_SEG_C = (
+    "](http://ex.example/a) and ![alt text](img.png) and"
+    " [rtext][r1].\n\n[r1]: http://ref.example/\n\n**bold** *ital*"
+    " `span` snake_case __dd__\n\n- item one\n- item two\n"
+    "12. twelfth\n\n> quote\n\n```js\nvar x = 1;\n```\n\n---\n\n"
+    "Setext\n===\n\nauto <https://a.example/z> and <em>tag</em>\n\n"
+)
+
+_MD_COUNTS = [
+    ("n_links", r"\]\("),
+    ("n_headers", r"(?m)^ {0,3}#{1,6} "),
+    ("n_code_spans", r"`[^`\n]+`"),
+]
+
+
+def t_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text (operators/text.py markdown_strip, a
+    pure-JVM regexp_replace chain): each doc is wrapped in a markdown
+    template exercising every rule — ATX header, inline/image/
+    reference links + definition line, bold/italic/inline code,
+    snake_case and __dunder__ emphasis edges, unordered + ordered
+    lists, blockquote, a kept-content code fence, horizontal rule,
+    setext underline, autolink, inline HTML — then stripped. The
+    oracle rebuilds the SAME template and replays the SAME rule chain
+    in DuckDB (RE2) rendered from MARKDOWN_STRIP_RULES, so any
+    Java-vs-RE2 semantic drift in a rule, rule order, or count regex
+    hash-mismatches."""
+    from geist_spark.operators.text import markdown_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit(_MD_SEG_A), did, F.lit(_MD_SEG_B), did,
+        F.lit(_MD_SEG_C), F.col("text"),
+    )
+    return markdown_strip(docs.select("doc_id", md.alias("text")))
+
+
+def _markdown_oracle() -> str:
+    from geist_spark.operators.text import MARKDOWN_STRIP_RULES
+
+    expr = "t"
+    for pat, rep in MARKDOWN_STRIP_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("{1}", "\\1")
+        expr = (
+            "regexp_replace(" + expr + ", '" + p + "', '" + r + "', 'g')"
+        )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, '"
+        + pat.replace("'", "''")
+        + "')) AS INTEGER) AS " + name
+        for name, pat in _MD_COUNTS
+    )
+    tmpl = (
+        "'" + _MD_SEG_A.replace("'", "''")
+        + "' || CAST(doc_id AS VARCHAR) || '"
+        + _MD_SEG_B.replace("'", "''")
+        + "' || CAST(doc_id AS VARCHAR) || '"
+        + _MD_SEG_C.replace("'", "''") + "' || text"
+    )
+    return (
+        "WITH md AS (SELECT doc_id, " + tmpl + " AS t FROM documents) "
+        "SELECT doc_id, trim(" + expr + ") AS plain, " + counts
+        + " FROM md"
+    )
+
+
 def d_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join (operators/dedup.py
     fuzzy_match_pairs): md5-derived 'user <hex10>' names + a
@@ -6675,6 +6796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_pq_adc": s_pq_adc,
         "d_fuzzy_match": d_fuzzy_match,
         "t_fix_text": t_fix_text,
+        "t_markdown_strip": t_markdown_strip,
         "q_pagerank": q_pagerank,
         "p_negatives": p_negatives,
         "a_spec_analytic_window": a_spec_analytic_window,
@@ -6793,6 +6915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample_mjpeg": m_frame_sample_mjpeg,
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
+        "w_sitemap_parse": w_sitemap_parse,
         "w_crawl_pipeline": w_crawl_pipeline,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
@@ -8206,6 +8329,29 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # ANALYTIC sitemap replay: every field is a literal function
+        # of doc_id; the HTML third of the wheel contributes no rows
+        "w_sitemap_parse": """
+            WITH two AS (SELECT unnest([1, 2]) AS o)
+            SELECT doc_id AS file_id, 'urlset' AS kind,
+                   CAST(o AS INTEGER) AS ord,
+                   CASE o WHEN 1 THEN 'http://ex.example/p?a='
+                               || CAST(doc_id AS VARCHAR) || '&b=2'
+                          ELSE 'http://ex.example/q/'
+                               || CAST(doc_id AS VARCHAR) END AS loc,
+                   CASE o WHEN 1 THEN '2026-01-02' END AS lastmod,
+                   CASE o WHEN 1 THEN 'daily' END AS changefreq,
+                   CASE o WHEN 1 THEN CAST(0.8 AS DOUBLE) END
+                       AS priority
+            FROM documents, two WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'index', CAST(o AS INTEGER),
+                   'http://ex.example/sm' || CAST(o AS VARCHAR) || '-'
+                       || CAST(doc_id AS VARCHAR) || '.xml',
+                   CASE o WHEN 1 THEN '2025-12-31' END,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+            FROM documents, two WHERE doc_id % 3 = 1
+        """,
         "w_warc_parse": """
             WITH two AS (SELECT unnest([0, 1]) AS r)
             SELECT doc_id AS file_id,
@@ -9482,6 +9628,7 @@ def oracle_sql() -> dict[str, str]:
         # replays text.fix_text over the same injected mojibake (only
         # the injected sequences can occur, so the un-triggered table
         # entries are no-ops on both sides)
+        "t_markdown_strip": _markdown_oracle(),
         "t_fix_text": """
             WITH inj AS (
                 SELECT doc_id,

@@ -1344,3 +1344,67 @@ def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
         fdiv(gn).alias("grade_micro"),
         fdiv(en).alias("ease_micro"),
     )
+
+
+# Ordered markdown-strip rules: (pattern, replacement) applied as a
+# sequential global-replace chain. Patterns are the Java-regex /
+# RE2 COMMON SUBSET (no lookaround, no backreferences), replacements
+# use the neutral {1} group token rendered as $1 (Spark) or \1
+# (DuckDB) — so the ORACLE replays the identical chain and any
+# drift in one engine's rendering hash-mismatches. Dialect notes:
+# fence/marker LINES are removed but fenced code CONTENT is kept
+# (training-data extraction keeps code); underscore emphasis is NOT
+# stripped (snake_case false positives); autolink URLs are kept,
+# other inline HTML tags dropped; `1999. ` at line start reads as an
+# ordered-list marker (the classic md-strip tradeoff, accepted).
+MARKDOWN_STRIP_RULES = [
+    (r"(?m)^ {0,3}```[^\n]*$\n?", ""),            # fence lines
+    (r"(?m)^ {0,3}#{1,6} +", ""),                 # ATX header marks
+    (r"!\[([^\]\n]*)\]\([^()\n]*\)", "{1}"),      # images -> alt text
+    (r"\[([^\]\n]*)\]\([^()\n]*\)", "{1}"),       # inline links -> text
+    (r"\[([^\]\n]*)\]\[[^\]\n]*\]", "{1}"),       # reference links
+    (r"(?m)^ {0,3}\[[^\]\n]+\]: *[^\n]*$\n?", ""),  # link definitions
+    (r"\*\*([^*\n]+)\*\*", "{1}"),                # bold
+    (r"__([^_\n]+)__", "{1}"),                    # bold (underscore)
+    (r"\*([^*\n]+)\*", "{1}"),                    # italic
+    (r"`([^`\n]+)`", "{1}"),                      # inline code spans
+    (r"(?m)^ {0,3}(?:[-*_] *){3,}$", ""),         # horizontal rules
+    (r"(?m)^ {0,3}> ?", ""),                      # blockquote markers
+    (r"(?m)^ {0,3}[-*+] +", ""),                  # unordered list marks
+    (r"(?m)^ {0,3}\d{1,3}[.)] +", ""),            # ordered list marks
+    (r"(?m)^ {0,3}(?:=+|-{2,}) *$", ""),          # setext underlines
+    (r"<(https?://[^<>\s]+)>", "{1}"),            # autolinks keep URL
+    (r"</?[A-Za-z][^<>\n]*>", ""),                # inline HTML tags
+    (r"\n{3,}", "\n\n"),                          # blank-line collapse
+]
+
+
+def markdown_plain_col(c: "F.Column") -> "F.Column":
+    """The markdown-strip chain as one reusable column expression —
+    pure JVM regexp_replace chain, whole-stage codegen, no Python."""
+    for pat, rep in MARKDOWN_STRIP_RULES:
+        c = F.regexp_replace(c, pat, rep.replace("{1}", "$1"))
+    return F.trim(c)
+
+
+def markdown_strip(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Markdown -> plain text for README/docs/forum-dump corpora:
+    strips headers, emphasis, links (keeping anchor/alt text), code
+    fences (keeping code content), list/blockquote markers,
+    horizontal rules and inline HTML via the MARKDOWN_STRIP_RULES
+    chain, plus structure counts from the SAME scan (n_links incl.
+    images, n_headers ATX, n_code_spans inline) — one map-only
+    codegen stage, no shuffle, no Python; scan-rider cheap at 100 TB.
+    """
+    orig = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        markdown_plain_col(orig).alias("plain"),
+        F.regexp_count(orig, F.lit(r"\]\(")).alias("n_links"),
+        F.regexp_count(
+            orig, F.lit(r"(?m)^ {0,3}#{1,6} ")
+        ).alias("n_headers"),
+        F.regexp_count(orig, F.lit(r"`[^`\n]+`")).alias("n_code_spans"),
+    )

@@ -884,3 +884,79 @@ def robots_filter(
         F.coalesce(F.col("_allowed"), F.lit(True)).alias("allowed"),
         F.col("rule"),
     )
+
+
+SITEMAP_SCHEMA_DDL = (
+    "file_id long, kind string, ord int, loc string, lastmod string, "
+    "changefreq string, priority double"
+)
+
+# '&amp;' LAST — the module's single-pass decode rule (see
+# _HTML_ENTITIES above): '&amp;lt;' must yield the literal '&lt;'.
+_SM_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+def _sm_field(b, tag: str):
+    """<tag>...</tag> inner text of one entry block, edge-trimmed,
+    NULL when absent (nullif on the empty extract)."""
+    return F.nullif(
+        F.trim(
+            F.regexp_extract(
+                b, r"(?s)<" + tag + r">\s*(.*?)\s*</" + tag + ">", 1
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def sitemap_parse(
+    files: "DataFrame",
+    xml_col: str = "xml",
+    id_col: str = "file_id",
+) -> "DataFrame":
+    """Sitemap XML (sitemaps.org 0.9) -> one row per entry: urlset
+    <url> rows and sitemapindex <sitemap> rows share one schema
+    (file_id, kind 'urlset'|'index', ord 1-based document order, loc,
+    lastmod, changefreq, priority). The URL-discovery companion to
+    robots_txt: crawl frontiers at 100 TB start from exactly these
+    two files.
+
+    Pure JVM — regexp_extract_all block split + posexplode + per-field
+    regexp_extract + an XML-entity replace chain on loc (the five
+    predefined entities, which is all sitemap loc values may contain)
+    — whole-stage codegen, no Python, no shuffle beyond the explode's
+    row fan-out (none: posexplode is map-side). Dialect: payloads
+    without a <urlset>/<sitemapindex> root produce ZERO rows (crawl
+    listings point at many dead/HTML URLs; a typed per-row error tier
+    would need a Python stage — the declarative trade is documented
+    here); entries missing <loc> surface with loc NULL; priority
+    casts non-numeric to NULL (ANSI off)."""
+    x = F.col(xml_col)
+    kind = (
+        F.when(x.rlike("<sitemapindex[\\s>]"), F.lit("index"))
+        .when(x.rlike("<urlset[\\s>]"), F.lit("urlset"))
+    )
+    blocks = F.regexp_extract_all(
+        x, F.lit(r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), F.lit(1)
+    )
+    e = files.select(
+        F.col(id_col).alias("file_id"),
+        kind.alias("kind"),
+        F.posexplode(blocks).alias("pos", "block"),
+    )
+    b = F.col("block")
+    loc = _sm_field(b, "loc")
+    for ent, ch in _SM_ENTITIES:
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return e.select(
+        "file_id",
+        "kind",
+        (F.col("pos") + 1).cast("int").alias("ord"),
+        loc.alias("loc"),
+        _sm_field(b, "lastmod").alias("lastmod"),
+        _sm_field(b, "changefreq").alias("changefreq"),
+        _sm_field(b, "priority").cast("double").alias("priority"),
+    )

@@ -615,3 +615,23 @@ def test_language_id_ru_ar_hi(spark):
     assert out[3]["predicted_lang"] == "hi" and out[3]["score_hi"] > 0.5
     assert out[4]["predicted_lang"] == "en"
     assert out[4]["score_ru"] == 0.0
+
+
+def test_markdown_strip_rules(spark):
+    from geist_spark.operators.text import markdown_strip
+
+    md = (
+        "# Head\n\nA [link](http://x/a) and ![im](y.png), **b** *i* "
+        "`c` snake_case __dd__\n\n- li\n12. num\n\n> q\n\n"
+        "```js\ncode line\n```\n\n---\n\nS\n===\n\n"
+        "auto <https://a.example/z> <em>t</em> end"
+    )
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    row = markdown_strip(df).collect()[0]
+    assert row["plain"] == (
+        "Head\n\nA link and im, b i c snake_case dd\n\nli\nnum\n\nq"
+        "\n\ncode line\n\nS\n\nauto https://a.example/z t end"
+    )
+    assert row["n_links"] == 2      # inline + image
+    assert row["n_headers"] == 1    # ATX only
+    assert row["n_code_spans"] == 1

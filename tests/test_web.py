@@ -846,3 +846,38 @@ def test_mislabel_sniff_rules(spark):
     assert out[7]["charset_source"] == "header"
     assert out[8]["charset_source"] == "fallback"
     assert all(out[i]["n_replacements"] == 0 for i in (1, 2, 3, 4, 5, 6, 7))
+
+
+def test_sitemap_parse(spark):
+    from geist_spark.operators.web import sitemap_parse
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9">'
+        "<url><loc>http://a/?x=1&amp;y=2</loc><lastmod>2026-01-01"
+        "</lastmod><changefreq>weekly</changefreq>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>\n  http://a/b&amp;amp;c \n</loc>"
+        "<priority>top</priority></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://a/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    rows = sitemap_parse(
+        spark.createDataFrame(
+            [(1, urlset), (2, index), (3, "<html>nope</html>")],
+            "file_id long, xml string",
+        )
+    ).collect()
+    got = {(r["file_id"], r["ord"]): r for r in rows}
+    assert len(rows) == 3  # HTML file contributes nothing
+    r11 = got[(1, 1)]
+    assert (r11["kind"], r11["loc"], r11["lastmod"], r11["changefreq"],
+            r11["priority"]) == (
+        "urlset", "http://a/?x=1&y=2", "2026-01-01", "weekly", 0.5)
+    r12 = got[(1, 2)]
+    # trimmed loc, single-pass entity decode, non-numeric priority
+    assert r12["loc"] == "http://a/b&amp;c"
+    assert r12["priority"] is None and r12["lastmod"] is None
+    assert got[(2, 1)]["kind"] == "index"
