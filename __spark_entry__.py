@@ -4055,6 +4055,61 @@ def w_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_parse(files)
 
 
+def w_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl cc-index machinery under the oracle gate: each doc
+    gets a messy URL by doc_id % 4 (upper-case scheme/host, www and
+    www2 prefixes, default and explicit ports, out-of-order query,
+    trailing slash runs), a CDXJ line is synthesized JVM-side whose
+    urlkey field is the EXPECTED SURT, and the query returns
+    web.cdx_parse's typed fields plus web.surt_key recomputed from
+    the parsed url. The oracle derives every column analytically from
+    doc_id — including the SURT, independently re-derived as SQL
+    string functions — so a label-reversal, www-strip, port, query-
+    sort, JSON-field, or timestamp-cast bug hash-mismatches."""
+    from geist_spark.operators.web import cdx_parse, surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), k, F.lit(".COM/Path"), did,
+            F.lit("/?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("https://sub.site"), k, F.lit(".org:8443/x")))
+        .when(v == 2, F.concat(
+            F.lit("http://site"), k, F.lit(".net:80/")))
+        .otherwise(F.concat(
+            F.lit("https://www2.site"), k, F.lit(".io/a//")))
+    )
+    surt = (
+        F.when(v == 0, F.concat(
+            F.lit("com,site"), k, F.lit(")/path"), did,
+            F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(
+            F.lit("org,site"), k, F.lit(",sub:8443)/x")))
+        .when(v == 2, F.concat(F.lit("net,site"), k, F.lit(")/")))
+        .otherwise(F.concat(F.lit("io,site"), k, F.lit(")/a")))
+    )
+    line = F.concat(
+        surt, F.lit(" 20260102030405 {\"url\": \""), url,
+        F.lit("\", \"mime\": \"text/html\", \"status\": \"200\", "
+              "\"length\": \""),
+        (F.col("doc_id") % 9000 + 100).cast("string"),
+        F.lit("\", \"offset\": \"42\", \"filename\": \"crawl-"),
+        k,
+        F.lit(".warc.gz\"}"),
+    )
+    lines = docs.select("doc_id", line.alias("line"))
+    parsed = cdx_parse(lines, keep_cols=("doc_id",))
+    return parsed.select(
+        "doc_id", "urlkey", "ts", "url", "mime", "status", "length",
+        "offset", "filename",
+        surt_key(F.col("url")).alias("surt_recomputed"),
+    )
+
+
 def w_decode_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware crawl-text decode under the oracle gate: each doc
     is encoded into one of 13 legacy-web shapes picked by doc_id % 13
@@ -6916,6 +6971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
         "w_sitemap_parse": w_sitemap_parse,
+        "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
         "p_decompress_text": p_decompress_text,
         "w_robots_filter": w_robots_filter,
@@ -8329,6 +8385,44 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # ANALYTIC cc-index replay: the SURT is re-derived as SQL
+        # string functions of doc_id — both the line's urlkey and the
+        # recomputed transform must land on the same value
+        "w_cdx_index": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 10 AS VARCHAR) AS k,
+                       doc_id % 4 AS v
+                FROM documents
+            ), surt AS (
+                SELECT doc_id, k, v,
+                       CASE v
+                         WHEN 0 THEN 'com,site' || k || ')/path'
+                              || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+                         WHEN 1 THEN 'org,site' || k || ',sub:8443)/x'
+                         WHEN 2 THEN 'net,site' || k || ')/'
+                         ELSE 'io,site' || k || ')/a'
+                       END AS sk
+                FROM base
+            )
+            SELECT doc_id, sk AS urlkey,
+                   CAST('2026-01-02 03:04:05' AS TIMESTAMP) AS ts,
+                   CASE v
+                     WHEN 0 THEN 'HTTP://WWW.Site' || k || '.COM/Path'
+                          || CAST(doc_id AS VARCHAR) || '/?b=2&a=1'
+                     WHEN 1 THEN 'https://sub.site' || k
+                          || '.org:8443/x'
+                     WHEN 2 THEN 'http://site' || k || '.net:80/'
+                     ELSE 'https://www2.site' || k || '.io/a//'
+                   END AS url,
+                   'text/html' AS mime,
+                   CAST(200 AS INTEGER) AS status,
+                   CAST(doc_id % 9000 + 100 AS BIGINT) AS length,
+                   CAST(42 AS BIGINT) AS offset,
+                   'crawl-' || k || '.warc.gz' AS filename,
+                   sk AS surt_recomputed
+            FROM surt
+        """,
         # ANALYTIC sitemap replay: every field is a literal function
         # of doc_id; the HTML third of the wheel contributes no rows
         "w_sitemap_parse": """

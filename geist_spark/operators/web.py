@@ -960,3 +960,98 @@ def sitemap_parse(
         _sm_field(b, "changefreq").alias("changefreq"),
         _sm_field(b, "priority").cast("double").alias("priority"),
     )
+
+
+def surt_key(url: "F.Column") -> "F.Column":
+    """SURT urlkey (the CommonCrawl cc-index sort key): lower-cased
+    host with a leading www\\d* label stripped, labels REVERSED and
+    comma-joined, non-default port kept as ':NNNN', then ')' + path
+    (trailing slashes collapsed, '' -> '/') + '?' + alphabetically
+    sorted query — all lower-cased, fragment dropped. Example:
+    'HTTP://www.Example.com/A/b?z=1&a=2' ->
+    'com,example)/a/b?a=2&z=1'. Unparseable URLs -> NULL.
+
+    Pure codegen projection (the normalize_url shape): joining a
+    crawl table against the cc index at 100 TB keys on exactly this
+    transform, map-side."""
+    lower = F.lower(url)
+    scheme = F.regexp_extract(lower, _SCHEME_RE, 1)
+    auth = F.regexp_extract(lower, _AUTH_RE, 1)
+    host = F.regexp_extract(auth, _HOST_RE, 1)
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(lower, _PATH_RE, 1), r"/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(lower, _QUERY_RE, 1)
+    q = F.array_join(
+        F.array_sort(F.filter(F.split(rawq, "&"), lambda p: p != "")),
+        "&",
+    )
+    q_part = F.when(q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), q)
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, port_part, F.lit(")"), path, q_part)
+    )
+
+
+CDX_SCHEMA_JSON = (
+    "url string, mime string, `mime-detected` string, status string, "
+    "digest string, length string, offset string, filename string, "
+    "languages string, encoding string, redirect string"
+)
+
+
+def cdx_parse(
+    lines: "DataFrame",
+    line_col: str = "line",
+    keep_cols: tuple = (),
+) -> "DataFrame":
+    """CommonCrawl CDXJ index lines -> typed columns: each line is
+    '<urlkey> <14-digit timestamp> <JSON>' (the cc-index flat-file
+    format). Splits the two head fields with one regex each, parses
+    the JSON tail with from_json on a fixed all-string schema (the
+    cc convention stores numbers as strings), and casts
+    status/length/offset + the timestamp. Lines that are not CDXJ
+    (comments, blank) yield NULL fields but keep their row — the
+    caller filters on urlkey IS NOT NULL. Pure JVM, zero Python, one
+    codegen projection."""
+    line = F.col(line_col)
+    m = F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 1)
+    urlkey = F.nullif(m, F.lit(""))
+    ts = F.nullif(
+        F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 2),
+        F.lit(""),
+    )
+    j = F.from_json(
+        F.nullif(
+            F.regexp_extract(line, r"^(\S+) (\d{14}) (\{.*\})$", 3),
+            F.lit(""),
+        ),
+        CDX_SCHEMA_JSON,
+    )
+    return lines.select(
+        *keep_cols,
+        urlkey.alias("urlkey"),
+        F.to_timestamp(ts, "yyyyMMddHHmmss").alias("ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["mime-detected"].alias("mime_detected"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].cast("long").alias("length"),
+        j["offset"].cast("long").alias("offset"),
+        j["filename"].alias("filename"),
+        j["languages"].alias("languages"),
+        j["encoding"].alias("encoding"),
+    )

@@ -881,3 +881,36 @@ def test_sitemap_parse(spark):
     assert r12["loc"] == "http://a/b&amp;c"
     assert r12["priority"] is None and r12["lastmod"] is None
     assert got[(2, 1)]["kind"] == "index"
+
+
+def test_surt_key_and_cdx_parse(spark):
+    from pyspark.sql import functions as F
+
+    from geist_spark.operators.web import cdx_parse, surt_key
+
+    urls = [
+        ("HTTP://WWW.Example.COM:80/A/B/?z=1&a=2#frag",
+         "com,example)/a/b?a=2&z=1"),
+        ("https://www3.Sub.Host.org:8443/", "org,host,sub:8443)/"),
+        ("http://plain.net/x//", "net,plain)/x"),
+        ("no-scheme", None),
+    ]
+    got = spark.createDataFrame(
+        [(u,) for u, _ in urls], "url string"
+    ).select(surt_key(F.col("url")).alias("k")).collect()
+    assert [r["k"] for r in got] == [e for _, e in urls]
+
+    line = (
+        'com,example)/ 20260101120000 {"url": "http://example.com/", '
+        '"mime": "text/html", "status": "301", "length": "77", '
+        '"offset": "5", "filename": "f.warc.gz", '
+        '"redirect": "http://example.com/new"}'
+    )
+    rows = cdx_parse(spark.createDataFrame(
+        [(line,), ("# not cdx",)], "line string"
+    )).collect()
+    ok = [r for r in rows if r["urlkey"] is not None]
+    assert len(ok) == 1 and len(rows) == 2
+    r = ok[0]
+    assert (r["status"], r["length"], r["offset"]) == (301, 77, 5)
+    assert r["ts"].year == 2026 and r["mime"] == "text/html"
