@@ -2517,6 +2517,80 @@ def m_decode_wav_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC frame decode under the oracle gate (operators/
+    flac.py via decode_audio_real): the shared 24 md5 bytes become,
+    by doc_id % 4 — (0) stereo 16-bit L + reversed-L through
+    MID/SIDE with fixed-order-2 Rice residuals, (1) the same PCM
+    through LEFT/SIDE with fixed-order-1 and the 5-bit Rice method,
+    (2) a 96-sample mono CONSTANT subframe at (doc_id%251)-125, (3)
+    stereo 24-bit samples (3-byte groups, the wav-wide formula)
+    through RIGHT/SIDE with raw-escape residual partitions. R being
+    a permutation of L makes peak/mean-square pure functions of L,
+    so the oracle reassembles samples arithmetically from the hex
+    digests with NO FLAC parsing — any predictor, Rice, stereo-
+    reconstruction, CRC, or wasted-bit bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.flac import encode as _flac_encode
+    from geist_spark.operators.multimodal import decode_audio_real
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, pxv in zip(pdf["media_id"], pdf["px"]):
+                px = bytes(pxv)
+                v = mid % 4
+                if v in (0, 1):
+                    ls = [
+                        int.from_bytes(px[2 * i : 2 * i + 2], "little",
+                                       signed=True)
+                        for i in range(8)
+                    ]
+                    rs = ls[::-1]
+                    if v == 0:
+                        p = _flac_encode(
+                            [ls, rs], stereo="mid_side",
+                            subframe="fixed2",
+                        )
+                    else:
+                        p = _flac_encode(
+                            [ls, rs], stereo="left_side",
+                            subframe="fixed1", method=1,
+                        )
+                elif v == 2:
+                    val = (mid % 251) - 125
+                    p = _flac_encode(
+                        [[val] * 96], subframe="constant"
+                    )
+                else:
+                    ls = [
+                        int.from_bytes(px[3 * i : 3 * i + 3], "little",
+                                       signed=True)
+                        for i in range(8)
+                    ]
+                    rs = ls[::-1]
+                    p = _flac_encode(
+                        [ls, rs], bps=24, stereo="right_side",
+                        subframe="fixed0", escape_raw=True,
+                    )
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "bit_depth", "n_frames",
+        "peak_abs", "mean_square_fx",
+    )
+
+
 def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 companded-audio decode under the oracle gate: the
     same 24 md5-derived bytes as m_decode_audio, but written as 8-bit
@@ -6940,6 +7014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_real": m_decode_real,
         "m_decode_audio": m_decode_audio,
         "m_decode_wav_wide": m_decode_wav_wide,
+        "m_decode_flac": m_decode_flac,
         "m_decode_g711": m_decode_g711,
         "m_decode_adpcm": m_decode_adpcm,
         "m_exif_extract": m_exif_extract,
@@ -8020,6 +8095,43 @@ def oracle_sql() -> dict[str, str]:
         # reassembled two's-complement (2^23 / 2^31), float samples
         # as the exact integer (b-128)*128; HUGEINT sum for the
         # 32-bit squares (6 * (2^31)^2 > int64)
+        "m_decode_flac": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
+                SELECT doc_id,
+                   CASE WHEN doc_id % 4 IN (0, 1) THEN
+                       [CASE WHEN bytes[2*i-1] + 256*bytes[2*i]
+                                  >= 32768
+                             THEN bytes[2*i-1] + 256*bytes[2*i] - 65536
+                             ELSE bytes[2*i-1] + 256*bytes[2*i] END
+                        for i in generate_series(1, 8)]
+                     WHEN doc_id % 4 = 2 THEN
+                       [CAST(doc_id % 251 - 125 AS BIGINT)
+                        for i in generate_series(1, 96)]
+                     ELSE
+                       [CASE WHEN bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] >= 8388608
+                             THEN bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] - 16777216
+                             ELSE bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + 65536*bytes[3*i] END
+                        for i in generate_series(1, 8)]
+                   END AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'FLAC' AS format,
+                   CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 2 END
+                        AS INTEGER) AS n_channels,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 24 ELSE 16 END
+                        AS INTEGER) AS bit_depth,
+                   CAST(len(smp) AS BIGINT) AS n_frames,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT)
+                       AS peak_abs,
+                   CAST(CAST(list_sum([CAST(v AS HUGEINT) * v
+                                       for v in smp]) AS HUGEINT)
+                        // len(smp) AS BIGINT) AS mean_square_fx
+            FROM s
+        """,
         "m_decode_wav_wide": f"""
             WITH {_MD5_BYTES_CTE_SQL}, s AS (
                 SELECT doc_id,

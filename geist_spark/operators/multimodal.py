@@ -3692,11 +3692,21 @@ def decode_audio_real(
                         # containers too — require the WAVE form type
                         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                             vals = _wav_decode(b)
+                        elif b[:4] == b"fLaC":
+                            # real FLAC frame decode (operators/flac.py:
+                            # fixed/LPC predictors, Rice residuals, all
+                            # stereo assignments), same exact-int
+                            # reductions as the WAV path
+                            from geist_spark.operators.flac import (
+                                decode_features as _flac_feats,
+                            )
+
+                            vals = _flac_feats(b)
                         else:
                             raise NotImplementedError(
-                                "payload is not RIFF/WAVE PCM; compressed "
-                                "audio (MP3/AAC/OGG) needs ffmpeg, not "
-                                "present in this environment — pass "
+                                "payload is not RIFF/WAVE PCM or FLAC; "
+                                "lossy audio (MP3/AAC/OGG) needs ffmpeg, "
+                                "not present in this environment — pass "
                                 "on_unsupported='null' to skip"
                             )
                     except NotImplementedError as exc:
