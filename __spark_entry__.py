@@ -4084,6 +4084,24 @@ def w_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking under the oracle gate (text.chunk_text, pure JVM
+    sequence+posexplode+substring): 180-char windows with 40-char
+    overlap over the raw documents. The oracle replays the window
+    arithmetic with generate_series + substr in DuckDB — an
+    off-by-one in stride, ceil, the 1-based substring origin, or the
+    min-1-chunk rule hash-mismatches (md5 of each chunk pins exact
+    content)."""
+    from geist_spark.operators.text import chunk_text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_text(docs, chunk_chars=180, overlap=40)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"), "n_chars",
+    )
+
+
 def w_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing under the oracle gate (web.sitemap_parse, pure
     JVM): each doc becomes, by doc_id % 3 — a 2-entry urlset (entity
@@ -7046,6 +7064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
         "w_sitemap_parse": w_sitemap_parse,
+        "p_chunk_text": p_chunk_text,
         "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
         "p_decompress_text": p_decompress_text,
@@ -8497,6 +8516,28 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # chunk-window replay: generate_series over the chunk count,
+        # substr re-derives each window (stride 140 = 180 - 40)
+        "p_chunk_text": """
+            WITH n AS (
+                SELECT doc_id, text, length(text) AS len,
+                       greatest(1, CAST(ceil((length(text) - 40)
+                                             / 140.0) AS BIGINT))
+                           AS n_chunks
+                FROM documents
+            ), e AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, n_chunks - 1)) AS i
+                FROM n
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   doc_id * 100000 + i AS chunk_id,
+                   md5(substr(text, i * 140 + 1, 180)) AS chunk_md5,
+                   CAST(length(substr(text, i * 140 + 1, 180))
+                        AS INTEGER) AS n_chars
+            FROM e
+        """,
         # ANALYTIC cc-index replay: the SURT is re-derived as SQL
         # string functions of doc_id — both the line's urlkey and the
         # recomputed transform must land on the same value

@@ -1408,3 +1408,49 @@ def markdown_strip(
         ).alias("n_headers"),
         F.regexp_count(orig, F.lit(r"`[^`\n]+`")).alias("n_code_spans"),
     )
+
+
+def chunk_text(
+    documents: DataFrame,
+    chunk_chars: int = 1000,
+    overlap: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style document chunking: fixed character windows with
+    overlap. Chunk i covers [i*stride, i*stride + chunk_chars) where
+    stride = chunk_chars - overlap; a document of length n yields
+    ceil((n - overlap) / stride) chunks (min 1, so empty docs keep a
+    row), each tagged with a stable (doc_id, chunk_idx) key and
+    chunk_id = doc_id * 100000 + chunk_idx for downstream embedding
+    tables.
+
+    Pure JVM — sequence + posexplode + substring, whole-stage
+    codegen, no Python; the explode is map-side (no shuffle), so at
+    100 TB chunking rides the scan exactly like the markdown strip.
+    Every non-final chunk is exactly chunk_chars long and consecutive
+    chunks share `overlap` characters — the invariants embedding
+    pipelines assume."""
+    if overlap < 0 or chunk_chars <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    e = documents.select(
+        "doc_id",
+        F.col(text_col).alias("__t"),
+        F.posexplode(
+            F.sequence(F.lit(0), n_chunks - 1)
+        ).alias("chunk_idx", "__i"),
+    )
+    chunk = F.substring(
+        F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_chars
+    )
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_id"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("n_chars"),
+    )

@@ -635,3 +635,31 @@ def test_markdown_strip_rules(spark):
     assert row["n_links"] == 2      # inline + image
     assert row["n_headers"] == 1    # ATX only
     assert row["n_code_spans"] == 1
+
+
+def test_chunk_text_invariants(spark):
+    from geist_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 5), (2, "short"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_text(df, chunk_chars=20, overlap=5).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in d1] == [
+        "abcdefghijabcdefghij", "fghijabcdefghijabcde",
+        "abcdefghijabcdefghij",
+    ]
+    # consecutive chunks share exactly `overlap` characters
+    assert d1[0]["chunk_text"][-5:] == d1[1]["chunk_text"][:5]
+    assert d1[0]["chunk_id"] == 100000 and d1[2]["chunk_id"] == 100002
+    # min-1-chunk rule: short and empty docs keep one row
+    assert [r["chunk_text"] for r in rows if r["doc_id"] == 2] == ["short"]
+    assert [r["n_chars"] for r in rows if r["doc_id"] == 3] == [0]
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, chunk_chars=10, overlap=10)
