@@ -4102,6 +4102,54 @@ def p_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / canonical / JSON-LD page metadata under the oracle
+    gate (web.page_metadata, pure JVM): each doc gets an HTML head by
+    doc_id % 3 — (0) full metadata with og:title in
+    property-then-content order, og:description REVERSED
+    (content-first, the other real-world attribute order), an
+    entity-encoded title, canonical link and two JSON-LD blocks; (1)
+    partial metadata (description + one JSON-LD, no OG); (2) a bare
+    page with none. The oracle is purely analytic in doc_id — an
+    attribute-order, entity, first-match, or block-count bug
+    hash-mismatches."""
+    from geist_spark.operators.web import page_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    full = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Title '
+              '&amp; '),
+        did,
+        F.lit('"/><meta content="Desc '),
+        did,
+        F.lit('" property="og:description"/><link rel="canonical" '
+              'href="http://canon.example/'),
+        did,
+        F.lit('"/><meta name="description" content="meta desc"/>'
+              '<script type="application/ld+json">{"@context":'
+              '"https://schema.org","@type":"Article","headline":"H'),
+        did,
+        F.lit('"}</script><script type="application/ld+json">'
+              '{"@type":"Person"}</script></head><body>x</body></html>'),
+    )
+    partial = F.concat(
+        F.lit('<html><head><meta name="description" content="only '),
+        did,
+        F.lit('"/><script type="application/ld+json">{"@type":'
+              '"NewsArticle"}</script></head><body>y</body></html>'),
+    )
+    bare = F.lit("<html><head><title>t</title></head><body>z</body></html>")
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, full)
+        .when(F.col("doc_id") % 3 == 1, partial)
+        .otherwise(bare)
+        .alias("html"),
+    )
+    return page_metadata(pages)
+
+
 def w_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing under the oracle gate (web.sitemap_parse, pure
     JVM): each doc becomes, by doc_id % 3 — a 2-entry urlset (entity
@@ -7064,6 +7112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_html_extract": w_html_extract,
         "w_warc_parse": w_warc_parse,
         "w_sitemap_parse": w_sitemap_parse,
+        "w_page_metadata": w_page_metadata,
         "p_chunk_text": p_chunk_text,
         "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
@@ -8516,6 +8565,33 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # ANALYTIC page-metadata replay: every field is a literal
+        # function of doc_id % 3 (the decoded '&' included)
+        "w_page_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Title & ' || CAST(doc_id AS VARCHAR)
+                   END AS og_title,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Desc ' || CAST(doc_id AS VARCHAR)
+                   END AS og_description,
+                   CAST(NULL AS VARCHAR) AS og_image,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://canon.example/'
+                             || CAST(doc_id AS VARCHAR)
+                   END AS canonical,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'meta desc'
+                     WHEN 1 THEN 'only ' || CAST(doc_id AS VARCHAR)
+                   END AS meta_description,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'Article'
+                     WHEN 1 THEN 'NewsArticle'
+                   END AS jsonld_type,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1
+                        ELSE 0 END AS INTEGER) AS n_jsonld
+            FROM documents
+        """,
         # chunk-window replay: generate_series over the chunk count,
         # substr re-derives each window (stride 140 = 180 - 40)
         "p_chunk_text": """

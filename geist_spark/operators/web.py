@@ -1055,3 +1055,78 @@ def cdx_parse(
         j["languages"].alias("languages"),
         j["encoding"].alias("encoding"),
     )
+
+
+def _meta_content(html, attr: str, value: str) -> "F.Column":
+    """content="..." of a <meta> tag matched by attr="value", in
+    EITHER attribute order (both appear in real pages)."""
+    a = F.regexp_extract(
+        html,
+        '<meta[^<>]*' + attr + '="' + value
+        + '"[^<>]*content="([^"]*)"',
+        1,
+    )
+    b = F.regexp_extract(
+        html,
+        '<meta[^<>]*content="([^"]*)"[^<>]*' + attr + '="' + value + '"',
+        1,
+    )
+    return F.nullif(F.when(a != "", a).otherwise(b), F.lit(""))
+
+
+def page_metadata(
+    documents: "DataFrame", html_col: str = "html", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-page crawl-enrichment metadata: OpenGraph title /
+    description / image (either attribute order), <link
+    rel="canonical"> href, <meta name="description">, the first
+    JSON-LD @type and the JSON-LD block count (schema.org
+    `application/ld+json` scripts) — the fields a corpus-curation
+    pass filters and joins on before any heavy text extraction.
+
+    Pure JVM regexp projections (portable Java/RE2 subset — the
+    html_extract doctrine), entity-decoded through the module's
+    single-pass chain; one codegen stage, no Python, no shuffle.
+    Dialect: first match wins per field; JSON-LD @type is read with a
+    portable regex, not a JSON parser, so it is the FIRST "@type"
+    string in the first block (nested types need the document
+    pipeline's real JSON stage)."""
+    html = F.col(html_col)
+
+    def decode(c):
+        for ent, ch in _HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
+    jsonld_blocks = F.regexp_extract_all(
+        html,
+        F.lit(r'(?s)<script[^<>]*type="application/ld\+json"[^<>]*>'
+              r"(.*?)</script>"),
+        F.lit(1),
+    )
+    first_block = F.element_at(jsonld_blocks, 1)
+    jsonld_type = F.nullif(
+        F.regexp_extract(first_block, r'"@type"[ \t]*:[ \t]*"([^"]*)"', 1),
+        F.lit(""),
+    )
+    canonical = F.nullif(
+        F.regexp_extract(
+            html,
+            '<link[^<>]*rel="canonical"[^<>]*href="([^"]*)"',
+            1,
+        ),
+        F.lit(""),
+    )
+    return documents.select(
+        F.col(id_col),
+        decode(_meta_content(html, "property", "og:title"))
+        .alias("og_title"),
+        decode(_meta_content(html, "property", "og:description"))
+        .alias("og_description"),
+        _meta_content(html, "property", "og:image").alias("og_image"),
+        canonical.alias("canonical"),
+        decode(_meta_content(html, "name", "description"))
+        .alias("meta_description"),
+        jsonld_type.alias("jsonld_type"),
+        F.size(jsonld_blocks).alias("n_jsonld"),
+    )

@@ -914,3 +914,28 @@ def test_surt_key_and_cdx_parse(spark):
     r = ok[0]
     assert (r["status"], r["length"], r["offset"]) == (301, 77, 5)
     assert r["ts"].year == 2026 and r["mime"] == "text/html"
+
+
+def test_page_metadata(spark):
+    from geist_spark.operators.web import page_metadata
+
+    html = (
+        '<html><head><meta property="og:title" content="T &amp; co"/>'
+        '<meta content="D1" property="og:description"/>'
+        '<link rel="canonical" href="http://c/x"/>'
+        '<meta name="description" content="plain"/>'
+        '<script type="application/ld+json">{"@type":"Article"}'
+        "</script></head><body/></html>"
+    )
+    rows = page_metadata(
+        spark.createDataFrame(
+            [(1, html), (2, "<p>none</p>")], "doc_id long, html string"
+        )
+    ).collect()
+    got = {r["doc_id"]: r for r in rows}
+    r = got[1]
+    # both attribute orders parsed; entity decoded; first JSON-LD type
+    assert (r["og_title"], r["og_description"], r["canonical"],
+            r["meta_description"], r["jsonld_type"], r["n_jsonld"]) == (
+        "T & co", "D1", "http://c/x", "plain", "Article", 1)
+    assert got[2]["og_title"] is None and got[2]["n_jsonld"] == 0
