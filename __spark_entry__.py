@@ -3431,6 +3431,32 @@ def m_strip_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP3_BODY = b"\xff\xfb\x90\x00" + b"mpegframes" * 5
 
 
+def m_vtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-WebVTT parsing under the oracle gate (text.srt_parse
+    dialect='vtt'): per-doc VTT with the features plain SRT lacks —
+    an HOURS-OPTIONAL first cue (MM:SS.mmm), cue SETTINGS after the
+    arrow target, inline markup (<c.class>, <v Speaker>) that must
+    strip from cue text, a NOTE block to drop, and a full-hours
+    second cue behind a cue-id line. All JVM-synthesized; the oracle
+    is analytic in doc_id, so an optional-hours coalesce, settings-
+    tolerance, or tag-strip bug hash-mismatches."""
+    from geist_spark.operators.text import srt_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = (d % 6).cast("string")
+    ds = d.cast("string")
+    vtt = F.concat(
+        F.lit("WEBVTT\n\nNOTE synthetic\nsecond note line\n\n"),
+        F.lit("00:0"), a, F.lit(".000 --> 00:0"), a,
+        F.lit(".500 align:start position:10%\nHello <c.y>tag "), ds,
+        F.lit("</c>\n\nid-2\n01:02:0"), a, F.lit(".250 --> 01:02:0"),
+        a, F.lit(".900\n<v Ann>plain "), ds, F.lit("\n"),
+    )
+    subs = docs.select(d.alias("media_id"), vtt.alias("srt"))
+    return srt_parse(subs, dialect="vtt")
+
+
 def m_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtitle parsing under the oracle gate: per-doc synthetic
     subtitle files — even doc_ids SRT (index lines, comma millis),
@@ -7092,6 +7118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_id3_extract": m_id3_extract,
         "m_strip_mp3": m_strip_mp3,
         "m_srt_cues": m_srt_cues,
+        "m_vtt_cues": m_vtt_cues,
         "m_webp_probe": m_webp_probe,
         "m_flac_probe": m_flac_probe,
         "m_audio_envelope": m_audio_envelope,
@@ -8334,6 +8361,24 @@ def oracle_sql() -> dict[str, str]:
         "m_strip_mp3": _strip_mp3_oracle(),
         # ANALYTIC subtitle replay: cue times/texts are pure
         # functions of doc_id (same for the SRT and VTT variants)
+        # ANALYTIC VTT replay: optional-hours cue at a*1000 ms, the
+        # full-hours cue at 1h02m + a s; tags stripped from text
+        "m_vtt_cues": """
+            WITH two AS (SELECT unnest([1, 2]) AS i)
+            SELECT doc_id AS media_id,
+                   CAST(i AS INTEGER) AS cue_idx,
+                   CAST(CASE i WHEN 1 THEN (doc_id % 6) * 1000
+                        ELSE 3720000 + (doc_id % 6) * 1000 + 250
+                        END AS BIGINT) AS start_ms,
+                   CAST(CASE i WHEN 1 THEN (doc_id % 6) * 1000 + 500
+                        ELSE 3720000 + (doc_id % 6) * 1000 + 900
+                        END AS BIGINT) AS end_ms,
+                   CASE i WHEN 1
+                        THEN 'Hello tag ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'plain ' || CAST(doc_id AS VARCHAR)
+                   END AS text
+            FROM documents, two
+        """,
         "m_srt_cues": """
             WITH two AS (SELECT unnest([1, 2]) AS cue)
             SELECT doc_id AS media_id,

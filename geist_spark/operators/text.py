@@ -592,9 +592,21 @@ _SRT_TS_RE = (
     r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
 )
 
+# WebVTT: hours are OPTIONAL (MM:SS.mmm legal), '.' only, and cue
+# settings may trail the arrow target — the pattern anchors the
+# timestamp pair and ignores the rest of the line
+_VTT_TS_RE = (
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})"
+    r"[ \t]*-->[ \t]*"
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})"
+)
+
 
 def srt_parse(
-    subs: DataFrame, id_col: str = "media_id", text_col: str = "srt"
+    subs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "srt",
+    dialect: str = "srt",
 ) -> DataFrame:
     """SubRip/WebVTT cue extraction — the video-to-text bridge for
     training-data pipelines (subtitles are a major text source for
@@ -610,7 +622,15 @@ def srt_parse(
     shuffle at file grain for cue_idx — subtitle files are small, so
     at 100 TB this is scan -> explode with per-file ordering, never
     a global sort. The DuckDB oracle replays the same regexp
-    arithmetic (pattern is RE2-compatible)."""
+    arithmetic (pattern is RE2-compatible).
+
+    dialect='vtt' switches to the WebVTT grammar: hours OPTIONAL in
+    timestamps (MM:SS.mmm), cue settings after the arrow target
+    tolerated, and inline markup (<c>, <v Speaker>, <i>, ...)
+    stripped from cue text."""
+    if dialect not in ("srt", "vtt"):
+        raise ValueError("dialect must be 'srt' or 'vtt'")
+    ts_re = _SRT_TS_RE if dialect == "srt" else _VTT_TS_RE
     blocks = subs.select(
         F.col(id_col),
         F.posexplode(
@@ -620,8 +640,8 @@ def srt_parse(
     lines = F.split(F.col("block"), r"\r?\n")
     l1, l2 = F.element_at(lines, 1), F.element_at(lines, 2)
     tsi = (
-        F.when(l1.rlike(_SRT_TS_RE), 1)
-        .when(l2.rlike(_SRT_TS_RE), 2)
+        F.when(l1.rlike(ts_re), 1)
+        .when(l2.rlike(ts_re), 2)
     )
     with_ts = blocks.select(
         id_col, "pos", lines.alias("lines"), tsi.alias("tsi")
@@ -630,14 +650,32 @@ def srt_parse(
 
     def ms(base: int) -> F.Column:
         def g(i: int) -> F.Column:
-            return F.regexp_extract(ts_line, _SRT_TS_RE, base + i).cast(
-                "long"
-            )
+            c = F.regexp_extract(ts_line, ts_re, base + i)
+            if dialect == "vtt" and i == 0:
+                # optional-hours group extracts '' when absent
+                return F.coalesce(
+                    F.nullif(c, F.lit("")).cast("long"), F.lit(0)
+                )
+            return c.cast("long")
 
         return (
             g(0) * 3600000 + g(1) * 60000 + g(2) * 1000 + g(3)
         )
 
+    cue_text = F.regexp_replace(
+        F.array_join(
+            F.slice(
+                F.col("lines"),
+                F.col("tsi") + 1,
+                F.size(F.col("lines")),
+            ),
+            "\n",
+        ),
+        r"\n+$",  # file-final newline lands as an empty line
+        "",
+    )
+    if dialect == "vtt":
+        cue_text = F.regexp_replace(cue_text, r"</?[A-Za-z][^<>\n]*>", "")
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
         with_ts.withColumn("cue_idx", F.row_number().over(w))
@@ -646,18 +684,7 @@ def srt_parse(
             "cue_idx",
             ms(1).alias("start_ms"),
             ms(5).alias("end_ms"),
-            F.regexp_replace(
-                F.array_join(
-                    F.slice(
-                        F.col("lines"),
-                        F.col("tsi") + 1,
-                        F.size(F.col("lines")),
-                    ),
-                    "\n",
-                ),
-                r"\n+$",  # file-final newline lands as an empty line
-                "",
-            ).alias("text"),
+            cue_text.alias("text"),
         )
     )
 

@@ -663,3 +663,32 @@ def test_chunk_text_invariants(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, chunk_chars=10, overlap=10)
+
+
+def test_vtt_dialect(spark):
+    from geist_spark.operators.text import srt_parse
+
+    vtt = (
+        "WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+        "intro-cue\n00:03.500 --> 00:05.100 align:start position:10%\n"
+        "Hello <c.yellow>world</c>\n<v Ann>Second line\n\n"
+        "01:02:03.400 --> 01:02:04.000\nplain\n"
+    )
+    rows = sorted(
+        srt_parse(
+            spark.createDataFrame([(1, vtt)], "media_id long, srt string"),
+            dialect="vtt",
+        ).collect(),
+        key=lambda r: r["cue_idx"],
+    )
+    assert [(r["start_ms"], r["end_ms"], r["text"]) for r in rows] == [
+        (3500, 5100, "Hello world\nSecond line"),
+        (3723400, 3724000, "plain"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="dialect"):
+        srt_parse(
+            spark.createDataFrame([(1, vtt)], "media_id long, srt string"),
+            dialect="ass",
+        )
