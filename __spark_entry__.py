@@ -3971,16 +3971,17 @@ def w_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent decompression under the oracle gate: each doc's
-    text is compressed with the codec picked by doc_id % 6 — gzip,
-    zlib, bzip2, xz (stdlib decode paths) plus TWO zstd shapes from
-    the paired RFC 8878 encoder (operators/zstd.py): default
-    Huffman-literals + predefined-sequence frames, and a
-    path-diverse frame (FSE-compressed sequence tables, 4-stream
-    literals, FSE-compressed Huffman weights, a leading skippable
-    frame) — and fed through prep.decompress_text. The oracle is the
-    IDENTITY on documents (text + byte length): a header-walk,
-    multi-member, bounded-inflate, entropy-decode, or utf-8 bug in
-    ANY codec breaks the round-trip hash."""
+    text is compressed with the codec picked by doc_id % 8 — gzip,
+    zlib, bzip2, xz (stdlib decode paths), TWO zstd shapes from the
+    paired RFC 8878 encoder (default frames, and a path-diverse
+    frame: FSE-compressed sequence tables, 4-stream literals,
+    FSE-compressed Huffman weights, leading skippable frame), an LZ4
+    frame with block checksums, and a framed-Snappy stream
+    (operators/lzcodecs.py) — and fed through prep.decompress_text.
+    The oracle is the IDENTITY on documents (text + byte length): a
+    header-walk, multi-member, bounded-inflate, entropy-decode,
+    checksum, or utf-8 bug in ANY codec breaks the round-trip
+    hash."""
     import bz2 as _bz2
     import gzip as _gzip
     import lzma as _lzma
@@ -3988,6 +3989,10 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as _pd
 
+    from geist_spark.operators.lzcodecs import (
+        lz4_compress as _lz4c,
+        snappy_stream_compress as _snapc,
+    )
     from geist_spark.operators.prep import decompress_text
     from geist_spark.operators.zstd import compress as _zc
     from geist_spark.operators.zstd import skippable_frame as _zskip
@@ -4006,6 +4011,8 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             fse_weights=True,
             block_bytes=4096,
         ),
+        lambda raw: _lz4c(raw, block_checksum=True, block_bytes=4096),
+        _snapc,
     ]
 
     def synth(batches):
@@ -4014,7 +4021,7 @@ def p_decompress_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        codecs[did % 6](t.encode("utf-8"))
+                        codecs[did % 8](t.encode("utf-8"))
                         for did, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
@@ -4126,6 +4133,67 @@ def p_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "chunk_id",
         F.md5("chunk_text").alias("chunk_md5"), "n_chars",
     )
+
+
+def w_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container ingestion under the oracle gate (operators/
+    avro.py): each doc becomes a 2-record Object Container File with
+    the codec picked by doc_id % 4 — null, deflate, snappy (raw
+    block + big-endian CRC32 suffix, via the from-scratch lzcodecs
+    snappy), zstandard (via the RFC 8878 codec) — holding longs,
+    md5-hex strings, booleans, a string array, a null|string union,
+    an enum and base64 bytes. The reader's JSON rendering is the
+    documented dialect (compact, schema order, unions unwrapped);
+    the oracle rebuilds each record_json CHARACTER-EXACTLY with SQL
+    string functions — a varint, zigzag, union-index, enum, block-
+    framing, codec, or JSON-dialect bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.avro import avro_build, avro_records
+
+    schema = {
+        "type": "record", "name": "Doc", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "h", "type": "string"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "tags",
+             "type": {"type": "array", "items": "string"}},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "kind",
+             "type": {"type": "enum", "name": "K",
+                      "symbols": ["A", "B", "C"]}},
+            {"name": "pay", "type": "bytes"},
+        ],
+    }
+    codecs = ["null", "deflate", "snappy", "zstandard"]
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
+                recs = []
+                for r in (0, 1):
+                    recs.append({
+                        "id": did * 10 + r,
+                        "h": hx,
+                        "flag": (did + r) % 2 == 0,
+                        "tags": [f"t{did % 5}", "u"] if r == 0 else [],
+                        "note": None if (did + r) % 3 == 0
+                        else f"n{did % 7}",
+                        "kind": "ABC"[(did + r) % 3],
+                        "pay": bytes.fromhex(hx[:8]),
+                    })
+                payloads.append(
+                    avro_build(schema, recs, codec=codecs[did % 4])
+                )
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(src).mapInPandas(synth, "file_id long, payload binary")
+    return avro_records(files)
 
 
 def w_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7140,6 +7208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_warc_parse": w_warc_parse,
         "w_sitemap_parse": w_sitemap_parse,
         "w_page_metadata": w_page_metadata,
+        "w_avro_records": w_avro_records,
         "p_chunk_text": p_chunk_text,
         "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
@@ -8610,6 +8679,32 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT Avro record_json replay: the reader's JSON
+        # dialect (compact separators, schema field order, unions
+        # unwrapped, bytes base64) rebuilt with string functions
+        "w_avro_records": """
+            WITH two AS (SELECT unnest([0, 1]) AS r)
+            SELECT doc_id AS file_id,
+                   CAST(r AS INTEGER) AS row_idx,
+                   '{"id":' || CAST(doc_id * 10 + r AS VARCHAR)
+                   || ',"h":"' || md5(text)
+                   || '","flag":' || CASE WHEN (doc_id + r) % 2 = 0
+                                          THEN 'true' ELSE 'false' END
+                   || ',"tags":' || CASE WHEN r = 0
+                        THEN '["t' || CAST(doc_id % 5 AS VARCHAR)
+                             || '","u"]'
+                        ELSE '[]' END
+                   || ',"note":' || CASE WHEN (doc_id + r) % 3 = 0
+                        THEN 'null'
+                        ELSE '"n' || CAST(doc_id % 7 AS VARCHAR)
+                             || '"' END
+                   || ',"kind":"'
+                   || substr('ABC', ((doc_id + r) % 3) + 1, 1)
+                   || '","pay":"'
+                   || to_base64(unhex(substr(md5(text), 1, 8)))
+                   || '"}' AS record_json
+            FROM documents, two
+        """,
         # ANALYTIC page-metadata replay: every field is a literal
         # function of doc_id % 3 (the decoded '&' included)
         "w_page_metadata": """

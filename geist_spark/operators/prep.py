@@ -701,20 +701,23 @@ def decompress_text(
     """Transparent text decompression for compressed crawl payloads:
     gzip (magic 1f 8b, multi-member concatenation handled), zlib
     (0x78 family), bzip2 ("BZh", multi-stream pbzip2 output handled),
-    xz ("\\xfd7zXZ", multi-stream + stream padding), and zstd
-    (magic 28 b5 2f fd, multi-frame + skippable frames, via the
-    from-scratch RFC 8878 decoder in operators/zstd.py) — all inside
-    one Arrow-batched mapInPandas stage — zero shuffle, partitioning
-    preserved. Returns (id, text utf-8 with U+FFFD for invalid bytes,
-    byte_len of the DECOMPRESSED payload).
+    xz ("\\xfd7zXZ", multi-stream + stream padding), zstd (magic 28
+    b5 2f fd, multi-frame + skippable frames, RFC 8878 decoder in
+    operators/zstd.py), LZ4 frames (magic 04 22 4d 18,
+    operators/lzcodecs.py — block/content xxh32 checksums verified)
+    and framed Snappy (sNaPpY stream, masked CRC-32C verified) — all
+    inside one Arrow-batched mapInPandas stage — zero shuffle,
+    partitioning preserved. Returns (id, text utf-8 with U+FFFD for
+    invalid bytes, byte_len of the DECOMPRESSED payload).
 
-    Two-tier errors, repo contract: unknown magic (brotli/lz4 —
-    codecs not in this container) and dictionary-keyed zstd frames
-    are CAPABILITY limits — raise naming the id, or NULL the row
-    under on_unsupported='null'; corrupt streams are MALFORMED and
-    always raise ValueError. Every codec's output is BOUNDED at
-    max_bytes (a decompression bomb raises the typed malformed
-    error, never OOMs the executor — the PNG IDAT rule)."""
+    Two-tier errors, repo contract: unknown magic (brotli — its
+    mandatory 120 KB static dictionary is not reproducible from
+    spec) and dictionary-keyed zstd/LZ4 frames are CAPABILITY
+    limits — raise naming the id, or NULL the row under
+    on_unsupported='null'; corrupt streams are MALFORMED and always
+    raise ValueError. Every codec's output is BOUNDED at max_bytes
+    (a decompression bomb raises the typed malformed error, never
+    OOMs the executor — the PNG IDAT rule)."""
     import bz2
     import lzma
     import zlib
@@ -722,7 +725,7 @@ def decompress_text(
 
     import pandas as pd
 
-    from geist_spark.operators import zstd as zstd_codec
+    from geist_spark.operators import lzcodecs, zstd as zstd_codec
 
     if on_unsupported not in ("error", "null"):
         raise ValueError("on_unsupported must be 'error' or 'null'")
@@ -830,11 +833,28 @@ def decompress_text(
                                     "on_unsupported='null'"
                                 ) from None
                             raw = None
+                    elif b[:4] == b"\x04\x22\x4d\x18":
+                        try:
+                            raw = lzcodecs.lz4_decompress(
+                                b, max_bytes=max_bytes
+                            )
+                        except NotImplementedError:
+                            if on_unsupported == "error":
+                                raise NotImplementedError(
+                                    f"{id_col}={did}: LZ4 dictionary "
+                                    "frame — pass on_unsupported='null'"
+                                ) from None
+                            raw = None
+                    elif b[:10] == lzcodecs.SNAPPY_STREAM_MAGIC:
+                        raw = lzcodecs.snappy_stream_decompress(
+                            b, max_bytes=max_bytes
+                        )
                     elif on_unsupported == "error":
                         raise NotImplementedError(
                             f"{id_col}={did}: payload is not gzip, zlib, "
-                            "bzip2, xz or zstd (brotli/lz4 codecs not in "
-                            "this environment) — pass on_unsupported='null'"
+                            "bzip2, xz, zstd, lz4 or framed snappy "
+                            "(brotli not in this environment) — pass "
+                            "on_unsupported='null'"
                         )
                     else:
                         raw = None

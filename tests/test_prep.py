@@ -1135,6 +1135,12 @@ def test_decompress_text_roundtrip_and_errors(spark):
         (4, gzip.compress(b"\xff\xfe invalid utf8")),
         (5, None),
         (6, zstd_compress("zstd tèxt".encode())),
+        (7, __import__(
+            "geist_spark.operators.lzcodecs", fromlist=["x"]
+        ).lz4_compress(b"lz4 payload")),
+        (8, __import__(
+            "geist_spark.operators.lzcodecs", fromlist=["x"]
+        ).snappy_stream_compress(b"snappy payload")),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in decompress_text(df).collect()}
@@ -1144,11 +1150,13 @@ def test_decompress_text_roundtrip_and_errors(spark):
     assert "�" in out[4]["text"]
     assert out[5]["text"] is None
     assert out[6]["text"] == "zstd tèxt" and out[6]["byte_len"] == 10
+    assert out[7]["text"] == "lz4 payload"
+    assert out[8]["text"] == "snappy payload"
 
-    # lz4 frame magic: still a capability limit (no lz4 codec here)
-    lz4_ish = b"\x04\x22\x4d\x18 fake-lz4"
+    # unknown magic (brotli et al.): the capability limit tier
+    unknown = b"\x81\x01\x80brotli-ish"
     mixed = spark.createDataFrame(
-        [(1, gzip.compress(b"ok")), (2, lz4_ish)],
+        [(1, gzip.compress(b"ok")), (2, unknown)],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="doc_id=2"):
