@@ -2591,6 +2591,61 @@ def m_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM metadata probe under the oracle gate
+    (multimodal.mkv_probe — the EBML walk): doc_id % 3 rotates a
+    WebM with video+audio tracks (dims from doc_id, a non-default
+    2ms TimecodeScale so the ns conversion runs), a matroska
+    audio-only file, and a WebM video-only file with a 1-byte-varint
+    duration scale. The oracle reassembles every field
+    arithmetically from doc_id — a varint-length, marker-bit,
+    timecode-scale, or container-descent bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import mkv_build, mkv_probe
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v = did % 3
+                if v == 0:
+                    p = mkv_build(
+                        "webm",
+                        duration_units=float(did % 1000 + 10),
+                        timecode_scale=2_000_000,
+                        tracks=(
+                            ("video", 320 + did % 64, 240),
+                            ("audio", 48000, 2),
+                        ),
+                    )
+                elif v == 1:
+                    p = mkv_build(
+                        "matroska",
+                        duration_units=float(did % 500) * 1000.0,
+                        timecode_scale=1_000_000,
+                        tracks=(("audio", 44100, 1),),
+                    )
+                else:
+                    p = mkv_build(
+                        "webm",
+                        duration_units=float(did % 100 + 1),
+                        timecode_scale=1_000_000_000,
+                        tracks=(("video", 1280, 720),),
+                    )
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _fan(
+        docs.select(F.col("doc_id"))
+    ).mapInPandas(synth, "media_id long, payload binary")
+    return mkv_probe(media)
+
+
 def m_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 companded-audio decode under the oracle gate: the
     same 24 md5-derived bytes as m_decode_audio, but written as 8-bit
@@ -7175,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": m_decode_audio,
         "m_decode_wav_wide": m_decode_wav_wide,
         "m_decode_flac": m_decode_flac,
+        "m_mkv_probe": m_mkv_probe,
         "m_decode_g711": m_decode_g711,
         "m_decode_adpcm": m_decode_adpcm,
         "m_exif_extract": m_exif_extract,
@@ -8259,6 +8315,30 @@ def oracle_sql() -> dict[str, str]:
         # reassembled two's-complement (2^23 / 2^31), float samples
         # as the exact integer (b-128)*128; HUGEINT sum for the
         # 32-bit squares (6 * (2^31)^2 > int64)
+        # ANALYTIC EBML replay: duration = units x scale / 1e6 ms,
+        # every other field a literal function of doc_id % 3
+        "m_mkv_probe": """
+            SELECT doc_id AS media_id,
+                   'MKV' AS format,
+                   CASE doc_id % 3 WHEN 1 THEN 'matroska'
+                        ELSE 'webm' END AS doc_type,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN (doc_id % 1000 + 10) * 2
+                     WHEN 1 THEN (doc_id % 500) * 1000
+                     ELSE (doc_id % 100 + 1) * 1000
+                   END AS BIGINT) AS duration_ms,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END
+                        AS INTEGER) AS n_tracks,
+                   CAST(CASE doc_id % 3
+                     WHEN 0 THEN 320 + doc_id % 64
+                     WHEN 2 THEN 1280
+                   END AS INTEGER) AS width,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 240 WHEN 2
+                        THEN 720 END AS INTEGER) AS height,
+                   doc_id % 3 <> 1 AS has_video,
+                   doc_id % 3 <> 2 AS has_audio
+            FROM documents
+        """,
         "m_decode_flac": f"""
             WITH {_MD5_BYTES_CTE_SQL}, s AS (
                 SELECT doc_id,

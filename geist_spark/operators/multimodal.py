@@ -2373,6 +2373,14 @@ def _probe_one(b: bytes) -> dict:
             width=info["width"], height=info["height"],
             duration_ms=info["duration_ms"],
         )
+    elif b[:4] == b"\x1a\x45\xdf\xa3":
+        info = _mkv_parse(b)
+        out.update(
+            format="WEBM" if info["doc_type"] == "webm" else "MKV",
+            kind="video" if info["has_video"] else "audio",
+            width=info["width"], height=info["height"],
+            duration_ms=info["duration_ms"],
+        )
     else:
         raise NotImplementedError(
             "unrecognized media payload (no known magic)"
@@ -4472,3 +4480,218 @@ def dhash_near_dup(
         F.col("id_b").alias("media_id_b"),
         "hamming",
     )
+
+
+MKV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("doc_type", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("has_video", T.BooleanType(), True),
+        T.StructField("has_audio", T.BooleanType(), True),
+    ]
+)
+
+# EBML element IDs (stored with the length-marker bit KEPT, unlike
+# size varints whose marker is cleared)
+_EBML_CONTAINERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Segment > Info
+    0x1654AE6B,  # Segment > Tracks
+    0xAE,        # Tracks > TrackEntry
+    0xE0,        # TrackEntry > Video
+    0xE1,        # TrackEntry > Audio
+}
+
+
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """One EBML varint at pos: returns (value, next_pos, unknown).
+    Element IDs keep the marker bit; sizes clear it, and an all-ones
+    size means 'unknown' (parse to end of the enclosing scope)."""
+    if pos >= len(b):
+        raise ValueError("truncated EBML: varint at payload end")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("malformed EBML: varint with >8-byte length")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(b):
+        raise ValueError("truncated EBML: varint body")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    unknown_mask = (1 << (8 - length)) - 1 if not keep_marker else 0
+    all_ones = (first & unknown_mask) == unknown_mask if not keep_marker else False
+    for i in range(1, length):
+        byte = b[pos + i]
+        val = (val << 8) | byte
+        if not keep_marker:
+            all_ones = all_ones and byte == 0xFF
+    return val, pos + length, (not keep_marker) and all_ones
+
+
+def _ebml_uint(body: bytes) -> int:
+    if not 0 < len(body) <= 8:
+        raise ValueError("malformed EBML: uint element size")
+    return int.from_bytes(body, "big")
+
+
+def _ebml_float(body: bytes) -> float:
+    import struct as _s
+
+    if len(body) == 4:
+        return _s.unpack(">f", body)[0]
+    if len(body) == 8:
+        return _s.unpack(">d", body)[0]
+    raise ValueError("malformed EBML: float element must be 4 or 8 bytes")
+
+
+def _mkv_parse(b: bytes) -> dict:
+    """Matroska/WebM metadata probe WITHOUT codecs (the EBML walk):
+    DocType, Info duration (float x TimecodeScale ns), track count /
+    kinds, first video track's pixel dimensions. Iterative descent
+    with an explicit stack (the MP4/AVI recursion rule); entropy data
+    (Cluster elements) is skipped by size, never read."""
+    if b[:4] != b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "not an EBML/Matroska payload (no 0x1A45DFA3 header)"
+        )
+    out = {
+        "doc_type": None, "duration_ms": None, "n_tracks": 0,
+        "width": None, "height": None, "has_video": False,
+        "has_audio": False,
+    }
+    tscale = 1_000_000  # ns per timecode unit (Matroska default)
+    duration_units = None
+    stack = [(0, len(b))]
+    while stack:
+        pos, end = stack.pop()
+        while pos < end:
+            eid, pos, _ = _ebml_vint(b, pos, keep_marker=True)
+            size, pos, unknown = _ebml_vint(b, pos, keep_marker=False)
+            e_end = end if unknown else pos + size
+            if e_end > end:
+                raise ValueError(
+                    f"malformed EBML: element 0x{eid:X} overruns scope"
+                )
+            body = b[pos:e_end]
+            if eid in _EBML_CONTAINERS:
+                if eid == 0xAE:
+                    out["n_tracks"] += 1
+                # descend now; the parent scope resumes after e_end
+                stack.append((e_end, end))
+                end = e_end
+                continue
+            if eid == 0x4282:  # DocType
+                out["doc_type"] = body.decode("ascii", "replace")
+            elif eid == 0x2AD7B1:  # TimecodeScale
+                tscale = _ebml_uint(body)
+            elif eid == 0x4489:  # Duration (float, timecode units)
+                duration_units = _ebml_float(body)
+            elif eid == 0x83:  # TrackType
+                t = _ebml_uint(body)
+                if t == 1:
+                    out["has_video"] = True
+                elif t == 2:
+                    out["has_audio"] = True
+            elif eid == 0xB0 and out["width"] is None:  # PixelWidth
+                out["width"] = _ebml_uint(body)
+            elif eid == 0xBA and out["height"] is None:  # PixelHeight
+                out["height"] = _ebml_uint(body)
+            pos = e_end
+    if duration_units is not None:
+        out["duration_ms"] = int(duration_units * tscale) // 1_000_000
+    return out
+
+
+def mkv_probe(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """Matroska/WebM metadata for video-corpus curation — the EBML
+    twin of mp4_probe: doc type (webm vs matroska), duration from
+    Info, track kinds and first-video dimensions; Cluster payloads
+    skipped by size so cost is metadata bytes only. Sample decode
+    stays the documented capability limit (no ffmpeg here); this is
+    the filter/budget/dedup surface a 100 TB video corpus needs
+    before any decode. Non-EBML payloads are a capability limit;
+    malformed EBML trees always raise."""
+    return _run_probe(
+        media, _mkv_parse, MKV_SCHEMA, "MKV",
+        ("doc_type", "duration_ms", "n_tracks", "width", "height",
+         "has_video", "has_audio"),
+        on_unsupported,
+    )
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """Encoder side: element ID bytes as stored + minimal-length size
+    varint + body."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    # size varint: marker bit at position 8*length - length; the
+    # all-ones value is reserved for 'unknown', hence the -1 bound
+    length = 1
+    while n >= (1 << (7 * length)) - 1:
+        length += 1
+    sz = n | (1 << (8 * length - length))
+    return idb + sz.to_bytes(length, "big") + body
+
+
+def mkv_build(
+    doc_type: str = "webm",
+    duration_units: float = 0.0,
+    timecode_scale: int = 1_000_000,
+    tracks: tuple = (),
+) -> bytes:
+    """Paired Matroska/WebM writer: EBML header + Segment(Info,
+    Tracks) with float duration, uint timecode scale, and
+    ('video', w, h) / ('audio', rate, ch) track entries."""
+    import struct as _s
+
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, b"\x01")  # EBMLVersion
+        + _ebml_el(0x42F7, b"\x01")  # EBMLReadVersion
+        + _ebml_el(0x4282, doc_type.encode("ascii"))
+        + _ebml_el(0x4287, b"\x04"),  # DocTypeVersion
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(
+            0x2AD7B1,
+            timecode_scale.to_bytes(
+                max((timecode_scale.bit_length() + 7) // 8, 1), "big"
+            ),
+        )
+        + _ebml_el(0x4489, _s.pack(">d", duration_units)),
+    )
+    entries = b""
+    for i, t in enumerate(tracks):
+        kind = t[0]
+        common = _ebml_el(
+            0x83, b"\x01" if kind == "video" else b"\x02"
+        ) + _ebml_el(
+            0x86,
+            b"V_VP9" if kind == "video" else b"A_OPUS",
+        )
+        if kind == "video":
+            sub = _ebml_el(
+                0xE0,
+                _ebml_el(0xB0, t[1].to_bytes(2, "big"))
+                + _ebml_el(0xBA, t[2].to_bytes(2, "big")),
+            )
+        else:
+            sub = _ebml_el(
+                0xE1,
+                _ebml_el(0xB5, _s.pack(">f", float(t[1])))
+                + _ebml_el(0x9F, bytes([t[2]])),
+            )
+        entries += _ebml_el(0xAE, common + sub)
+    segment = _ebml_el(
+        0x18538067, info + _ebml_el(0x1654AE6B, entries)
+    )
+    blob = header + segment
+    got = _mkv_parse(blob)
+    if got["doc_type"] != doc_type or got["n_tracks"] != len(tracks):
+        raise AssertionError("paired MKV writer self-check failed")
+    return blob

@@ -2218,3 +2218,44 @@ def test_float_wav_out_of_range_is_typed(spark):
     df = spark.createDataFrame([(1, wav)], "media_id long, payload binary")
     with pytest.raises(Exception, match="magnitude"):
         decode_audio_real(df, on_unsupported="null").collect()
+
+
+def test_mkv_probe_and_media_dispatch(spark):
+    from geist_spark.operators.multimodal import (
+        media_probe,
+        mkv_build,
+        mkv_probe,
+    )
+
+    webm = mkv_build(
+        "webm", duration_units=2500.0, timecode_scale=2_000_000,
+        tracks=(("video", 1920, 1080), ("audio", 48000, 2)),
+    )
+    mka = mkv_build(
+        "matroska", duration_units=7.0, timecode_scale=1_000_000_000,
+        tracks=(("audio", 44100, 1),),
+    )
+    df = spark.createDataFrame(
+        [(1, webm), (2, mka)], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in mkv_probe(df).collect()}
+    r = got[1]
+    assert (r["doc_type"], r["duration_ms"], r["n_tracks"], r["width"],
+            r["height"], r["has_video"]) == ("webm", 5000, 2, 1920,
+                                             1080, True)
+    assert got[2]["doc_type"] == "matroska"
+    assert got[2]["duration_ms"] == 7000 and not got[2]["has_video"]
+
+    # the media_probe front door routes EBML and names webm/mkv
+    probed = {r["media_id"]: r for r in media_probe(df).collect()}
+    assert probed[1]["format"] == "WEBM" and probed[1]["kind"] == "video"
+    assert probed[2]["format"] == "MKV" and probed[2]["kind"] == "audio"
+
+    # malformed EBML is typed; non-EBML stays a capability limit
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(9, webm[:15])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="EBML"):
+        mkv_probe(bad).collect()
