@@ -199,6 +199,9 @@ MIP_ALLOWED = {
     "m_decode_tiff_lzw": 2,  # TIFF synth (LZW/PackBits encode) + decode
     "m_image_dhash": 1,
     "m_dhash_near_dup": 4,   # synth + hash, duplicated by the self-join
+    "m_decode_flac": 2,      # FLAC-writer synth + frame decode
+    "m_mkv_probe": 2,        # EBML-writer synth + EBML walk
+    "w_avro_records": 2,     # Avro-writer synth + container decode
 }
 
 
@@ -213,7 +216,9 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
     for name in [
         "q1_pricing_summary", "d_verified_pairs", "s_semantic_dedup",
         "t_quality_features", "u_user_agent", "g_extract_typed",
-        "p_training_prep", "w_html_extract",
+        "p_training_prep", "w_html_extract", "t_markdown_strip",
+        "w_sitemap_parse", "w_cdx_index", "p_chunk_text",
+        "w_page_metadata", "m_vtt_cues",
     ]:
         p = simple_plan(q[name](spark, SF))
         assert _mip_count(p) == 0, name
@@ -225,7 +230,7 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
         n.startswith("m_")
         or n in ("w_warc_parse", "w_decode_text", "w_pdf_extract",
                  "w_crawl_pipeline", "w_office_extract",
-                 "p_decompress_text",
+                 "p_decompress_text", "w_avro_records",
                  "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED
     )
