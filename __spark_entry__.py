@@ -4251,6 +4251,50 @@ def w_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_records(files)
 
 
+def w_pb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less protobuf wire decode under the oracle gate
+    (operators/pbwire.py, the protoc --decode_raw dialect): each doc
+    becomes one wire message with a multi-byte varint, a UTF-8
+    string, a nested message, a REPEATED field (list folding), a
+    fixed64, and a non-UTF-8 bytes field that must fall through the
+    nested-parse/string heuristics to base64. Fixture strings start
+    with '~' (0x7E decodes as wire type 6, so the nested-parse
+    heuristic fails instantly and deterministically — without the
+    guard, hex-ish ASCII can legally parse as a message: the
+    documented decode_raw ambiguity). The oracle rebuilds
+    record_json character-exactly from doc_id — a varint, wire-type,
+    nesting, repeat-fold, or heuristic-order bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.pbwire import pb_build, pb_decode_records
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.substring(F.md5("text"), 1, 8).alias("h8"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, h8 in zip(pdf["doc_id"], pdf["h8"]):
+                a = did % 5
+                payloads.append(pb_build([
+                    (1, "varint", did),
+                    (2, "str", f"~h{h8}"),
+                    (3, "msg", [
+                        (1, "varint", did % 100),
+                        (2, "str", f"~x{did % 9}"),
+                    ]),
+                    (4, "varint", a), (4, "varint", a + 1),
+                    (5, "i64", did * 1000000 + 7),
+                    (6, "bytes", b"\xff\xfe"),
+                ]))
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(src).mapInPandas(synth, "file_id long, payload binary")
+    return pb_decode_records(files)
+
+
 def w_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenGraph / canonical / JSON-LD page metadata under the oracle
     gate (web.page_metadata, pure JVM): each doc gets an HTML head by
@@ -7265,6 +7309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_sitemap_parse": w_sitemap_parse,
         "w_page_metadata": w_page_metadata,
         "w_avro_records": w_avro_records,
+        "w_pb_decode": w_pb_decode,
         "p_chunk_text": p_chunk_text,
         "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
@@ -8759,6 +8804,19 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT decode_raw replay
+        "w_pb_decode": """
+            SELECT doc_id AS file_id,
+                   '{"1":' || CAST(doc_id AS VARCHAR)
+                   || ',"2":"~h' || substr(md5(text), 1, 8)
+                   || '","3":{"1":' || CAST(doc_id % 100 AS VARCHAR)
+                   || ',"2":"~x' || CAST(doc_id % 9 AS VARCHAR)
+                   || '"},"4":[' || CAST(doc_id % 5 AS VARCHAR)
+                   || ',' || CAST(doc_id % 5 + 1 AS VARCHAR)
+                   || '],"5":' || CAST(doc_id * 1000000 + 7 AS VARCHAR)
+                   || ',"6":"//4="}' AS record_json
+            FROM documents
+        """,
         # CHARACTER-EXACT Avro record_json replay: the reader's JSON
         # dialect (compact separators, schema field order, unions
         # unwrapped, bytes base64) rebuilt with string functions
