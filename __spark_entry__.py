@@ -4295,6 +4295,46 @@ def w_pb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pb_decode_records(files)
 
 
+def w_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack decode under the oracle gate (operators/
+    msgpack.py): one canonical-encoded message per doc holding a
+    positive varint-family int, an md5-hex string, a negative fixint,
+    a mixed array with nil, a map under a NON-STRING key (the
+    stringify dialect), a bin (base64 dialect), and a uint64-range
+    int. The oracle rebuilds record_json character-exactly from
+    doc_id — a type-byte, length-header, key-stringify, or base64
+    bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.msgpack import mp_encode, mp_decode_records
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.substring(F.md5("text"), 1, 8).alias("h8"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, h8 in zip(pdf["doc_id"], pdf["h8"]):
+                inner = b"\x81" + mp_encode(7) + mp_encode(f"v{did % 4}")
+                body = (
+                    b"\x86"
+                    + mp_encode("id") + mp_encode(did)
+                    + mp_encode("h") + mp_encode(f"~{h8}")
+                    + mp_encode("neg") + mp_encode(-(did % 50) - 1)
+                    + mp_encode("arr")
+                    + mp_encode([did % 3, "s", None])
+                    + mp_encode("m") + inner
+                    + mp_encode("bin") + mp_encode(b"\xff\xfe")
+                )
+                payloads.append(body)
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(src).mapInPandas(synth, "file_id long, payload binary")
+    return mp_decode_records(files)
+
+
 def w_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenGraph / canonical / JSON-LD page metadata under the oracle
     gate (web.page_metadata, pure JVM): each doc gets an HTML head by
@@ -7310,6 +7350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_page_metadata": w_page_metadata,
         "w_avro_records": w_avro_records,
         "w_pb_decode": w_pb_decode,
+        "w_msgpack_decode": w_msgpack_decode,
         "p_chunk_text": p_chunk_text,
         "w_cdx_index": w_cdx_index,
         "w_crawl_pipeline": w_crawl_pipeline,
@@ -8804,6 +8845,18 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT msgpack replay (map insertion order)
+        "w_msgpack_decode": """
+            SELECT doc_id AS file_id,
+                   '{"id":' || CAST(doc_id AS VARCHAR)
+                   || ',"h":"~' || substr(md5(text), 1, 8)
+                   || '","neg":-' || CAST(doc_id % 50 + 1 AS VARCHAR)
+                   || ',"arr":[' || CAST(doc_id % 3 AS VARCHAR)
+                   || ',"s",null],"m":{"7":"v'
+                   || CAST(doc_id % 4 AS VARCHAR)
+                   || '"},"bin":"//4="}' AS record_json
+            FROM documents
+        """,
         # CHARACTER-EXACT decode_raw replay
         "w_pb_decode": """
             SELECT doc_id AS file_id,
