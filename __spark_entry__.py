@@ -2591,6 +2591,67 @@ def m_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF/AIFC decode under the oracle gate (multimodal
+    _aiff_decode_samples via decode_audio_real): the shared 24 md5
+    bytes become, by doc_id % 3 — (0) 6 stereo frames of BIG-endian
+    16-bit AIFF (the byte-order trap vs WAV), (1) the same bytes as
+    AIFC 'sowt' (little-endian 16-bit — the compression-code unwrap
+    runs), (2) 8 mono 24-bit big-endian samples. The 80-bit extended
+    -float sample rate field is parsed exactly on every variant. The
+    oracle reassembles samples arithmetically per endianness — a
+    byte-order, COMM-layout, ext80, or sowt bug hash-mismatches."""
+    import pandas as _pd
+
+    from geist_spark.operators.multimodal import (
+        aiff_build,
+        decode_audio_real,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").alias("media_id"), _md5_payload_bytes().alias("px")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, pxv in zip(pdf["media_id"], pdf["px"]):
+                px = bytes(pxv)
+                v = mid % 3
+                if v == 0:
+                    smp = [
+                        int.from_bytes(px[2 * i : 2 * i + 2], "big",
+                                       signed=True)
+                        for i in range(12)
+                    ]
+                    p = aiff_build(smp, 2, 44100, 16)
+                elif v == 1:
+                    smp = [
+                        int.from_bytes(px[2 * i : 2 * i + 2], "little",
+                                       signed=True)
+                        for i in range(12)
+                    ]
+                    p = aiff_build(smp, 2, 22050, 16, sowt=True)
+                else:
+                    smp = [
+                        int.from_bytes(px[3 * i : 3 * i + 3], "big",
+                                       signed=True)
+                        for i in range(8)
+                    ]
+                    p = aiff_build(smp, 1, 8000, 24)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = _fan(src).mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_real(media).select(
+        "media_id", "format", "n_channels", "bit_depth", "n_frames",
+        "peak_abs", "mean_square_fx",
+    )
+
+
 def m_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matroska/WebM metadata probe under the oracle gate
     (multimodal.mkv_probe — the EBML walk): doc_id % 3 rotates a
@@ -7314,6 +7375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": m_decode_audio,
         "m_decode_wav_wide": m_decode_wav_wide,
         "m_decode_flac": m_decode_flac,
+        "m_decode_aiff": m_decode_aiff,
         "m_mkv_probe": m_mkv_probe,
         "m_decode_g711": m_decode_g711,
         "m_decode_adpcm": m_decode_adpcm,
@@ -8401,6 +8463,49 @@ def oracle_sql() -> dict[str, str]:
         # reassembled two's-complement (2^23 / 2^31), float samples
         # as the exact integer (b-128)*128; HUGEINT sum for the
         # 32-bit squares (6 * (2^31)^2 > int64)
+        # ANALYTIC AIFF replay: per-variant endianness reassembly
+        "m_decode_aiff": f"""
+            WITH {_MD5_BYTES_CTE_SQL}, s AS (
+                SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN
+                       [CASE WHEN 256*bytes[2*i-1] + bytes[2*i]
+                                  >= 32768
+                             THEN 256*bytes[2*i-1] + bytes[2*i] - 65536
+                             ELSE 256*bytes[2*i-1] + bytes[2*i] END
+                        for i in generate_series(1, 12)]
+                     WHEN 1 THEN
+                       [CASE WHEN bytes[2*i-1] + 256*bytes[2*i]
+                                  >= 32768
+                             THEN bytes[2*i-1] + 256*bytes[2*i] - 65536
+                             ELSE bytes[2*i-1] + 256*bytes[2*i] END
+                        for i in generate_series(1, 12)]
+                     ELSE
+                       [CASE WHEN 65536*bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + bytes[3*i] >= 8388608
+                             THEN 65536*bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + bytes[3*i] - 16777216
+                             ELSE 65536*bytes[3*i-2] + 256*bytes[3*i-1]
+                                  + bytes[3*i] END
+                        for i in generate_series(1, 8)]
+                   END AS smp
+                FROM b
+            )
+            SELECT doc_id AS media_id,
+                   'AIFF' AS format,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 2 END
+                        AS INTEGER) AS n_channels,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 24 ELSE 16 END
+                        AS INTEGER) AS bit_depth,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 6 END
+                        AS BIGINT) AS n_frames,
+                   CAST(list_max([abs(v) for v in smp]) AS BIGINT)
+                       AS peak_abs,
+                   CAST(CAST(list_sum([CAST(v AS HUGEINT) * v
+                                       for v in smp]) AS HUGEINT)
+                        // len(smp) AS BIGINT) AS mean_square_fx
+            FROM s
+        """,
         # ANALYTIC EBML replay: duration = units x scale / 1e6 ms,
         # every other field a literal function of doc_id % 3
         "m_mkv_probe": """

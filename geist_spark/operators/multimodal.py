@@ -3710,12 +3710,28 @@ def decode_audio_real(
                             )
 
                             vals = _flac_feats(b)
+                        elif b[:4] == b"FORM" and b[8:12] in (
+                            b"AIFF", b"AIFC"
+                        ):
+                            fmt, ch2, rate2, bits2, fr2, smp = (
+                                _aiff_decode_samples(b)
+                            )
+                            peak2 = max(
+                                (abs(s) for s in smp), default=0
+                            )
+                            msq2 = (
+                                sum(s * s for s in smp) // len(smp)
+                                if smp else 0
+                            )
+                            vals = (
+                                fmt, ch2, rate2, bits2, fr2, peak2, msq2
+                            )
                         else:
                             raise NotImplementedError(
-                                "payload is not RIFF/WAVE PCM or FLAC; "
-                                "lossy audio (MP3/AAC/OGG) needs ffmpeg, "
-                                "not present in this environment — pass "
-                                "on_unsupported='null' to skip"
+                                "payload is not RIFF/WAVE PCM, FLAC or "
+                                "AIFF; lossy audio (MP3/AAC/OGG) needs "
+                                "ffmpeg, not present in this environment "
+                                "— pass on_unsupported='null' to skip"
                             )
                     except NotImplementedError as exc:
                         if on_unsupported == "error":
@@ -4695,3 +4711,127 @@ def mkv_build(
     if got["doc_type"] != doc_type or got["n_tracks"] != len(tracks):
         raise AssertionError("paired MKV writer self-check failed")
     return blob
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFC (big-endian PCM; the legacy-audio cousin of WAV)
+
+
+
+import struct as _st
+
+
+def _ext80_to_rate(b: bytes) -> int:
+    """80-bit IEEE 754 extended float -> integer sample rate (AIFF
+    COMM stores rates like 44100.0 exactly; non-integral or absurd
+    rates are malformed for this dialect)."""
+    if len(b) != 10:
+        raise ValueError("malformed AIFF: sampleRate must be 10 bytes")
+    sign = b[0] >> 7
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    if sign or exp == 0x7FFF:
+        raise ValueError("malformed AIFF: negative or non-finite rate")
+    # value = mant * 2^(exp - 16383 - 63); integral rates only
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        val = mant << shift
+    else:
+        if mant & ((1 << -shift) - 1):
+            raise ValueError("malformed AIFF: non-integral sample rate")
+        val = mant >> -shift
+    if not 1 <= val <= 10_000_000:
+        raise ValueError("malformed AIFF: sample rate out of range")
+    return val
+
+
+def _rate_to_ext80(rate: int) -> bytes:
+    if rate <= 0:
+        raise AssertionError("positive rates only")
+    nbits = rate.bit_length()
+    exp = 16383 + nbits - 1
+    mant = rate << (64 - nbits)
+    return bytes([exp >> 8, exp & 0xFF]) + mant.to_bytes(8, "big")
+
+
+def _aiff_decode_samples(b: bytes) -> tuple:
+    """FORM/AIFF -> (fmt, ch, rate, bits, n_frames, samples list).
+    Big-endian PCM, 8/16/24/32-bit; AIFC with 'NONE'/'sowt'
+    compression handled ('sowt' = little-endian 16-bit)."""
+    if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise NotImplementedError("not an AIFF/AIFC payload")
+    aifc = b[8:12] == b"AIFC"
+    pos, n = 12, len(b)
+    comm = ssnd = None
+    little = False
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        (clen,) = _st.unpack_from(">I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"malformed AIFF: chunk {cid!r} truncated")
+        if cid == b"COMM":
+            if clen < 18:
+                raise ValueError("malformed AIFF: short COMM")
+            ch, frames, bits = _st.unpack_from(">hIh", body, 0)
+            rate = _ext80_to_rate(body[8:18])
+            if aifc:
+                if clen < 22:
+                    raise ValueError("malformed AIFC: COMM missing codec")
+                codec = body[18:22]
+                if codec == b"sowt":
+                    little = True
+                elif codec != b"NONE":
+                    raise NotImplementedError(
+                        f"AIFC compression {codec!r} unsupported "
+                        "(NONE/sowt only)"
+                    )
+            comm = (ch, frames, bits, rate)
+        elif cid == b"SSND":
+            if clen < 8:
+                raise ValueError("malformed AIFF: short SSND")
+            off, _block = _st.unpack_from(">II", body, 0)
+            ssnd = body[8 + off :]
+        pos += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("malformed AIFF: missing COMM or SSND chunk")
+    ch, frames, bits, rate = comm
+    if ch <= 0 or bits not in (8, 16, 24, 32):
+        raise ValueError("malformed AIFF: channels/sample size")
+    bps = bits // 8
+    need = frames * ch * bps
+    if len(ssnd) < need:
+        raise ValueError("malformed AIFF: SSND shorter than COMM frames")
+    endian = "little" if little else "big"
+    samples = [
+        int.from_bytes(ssnd[i * bps : (i + 1) * bps], endian, signed=True)
+        for i in range(frames * ch)
+    ]
+    return "AIFF", ch, rate, bits, frames, samples
+
+
+def aiff_build(
+    samples: list, ch: int, rate: int, bits: int,
+    aifc: bool = False, sowt: bool = False,
+) -> bytes:
+    bps = bits // 8
+    frames = len(samples) // ch
+    endian = "little" if sowt else "big"
+    ssnd_body = _st.pack(">II", 0, 0) + b"".join(
+        int(s).to_bytes(bps, endian, signed=True) for s in samples
+    )
+    comm_body = _st.pack(">hIh", ch, frames, bits) + _rate_to_ext80(rate)
+    if aifc or sowt:
+        comm_body += b"sowt" if sowt else b"NONE"
+        comm_body += b"\x04none"  # pascal string codec name (even len)
+    chunks = b""
+    for cid, body in ((b"COMM", comm_body), (b"SSND", ssnd_body)):
+        chunks += cid + _st.pack(">I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    form = (b"AIFC" if (aifc or sowt) else b"AIFF") + chunks
+    return b"FORM" + _st.pack(">I", len(form)) + form
+
+

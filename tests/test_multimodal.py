@@ -2259,3 +2259,44 @@ def test_mkv_probe_and_media_dispatch(spark):
     )
     with pytest.raises(Exception, match="EBML"):
         mkv_probe(bad).collect()
+
+
+def test_aiff_decode(spark):
+    from geist_spark.operators.multimodal import (
+        aiff_build,
+        decode_audio_real,
+    )
+
+    pcm = [100, -200, 32767, -32768, 0, 7]
+    rows = decode_audio_real(
+        spark.createDataFrame(
+            [
+                (1, aiff_build(pcm, 2, 44100, 16)),
+                (2, aiff_build(pcm, 2, 48000, 16, sowt=True)),
+                (3, aiff_build([1 << 20, -(1 << 20)], 1, 11025, 24)),
+            ],
+            "media_id long, payload binary",
+        )
+    ).collect()
+    got = {r["media_id"]: r for r in rows}
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r["format"], r["n_channels"], r["bit_depth"],
+                r["n_frames"], r["peak_abs"]) == ("AIFF", 2, 16, 3,
+                                                  32768)
+    assert got[3]["peak_abs"] == 1 << 20 and got[3]["bit_depth"] == 24
+
+    # malformed: COMM frame count beyond SSND; odd ext80 rates exact
+    import pytest
+
+    from geist_spark.operators.multimodal import _aiff_decode_samples
+
+    blob = bytearray(aiff_build(pcm, 2, 44100, 16))
+    at = bytes(blob).index(b"COMM") + 10
+    blob[at:at + 2] = (999).to_bytes(2, "big")  # frames field hi bytes
+    with pytest.raises(Exception):
+        _aiff_decode_samples(bytes(blob))
+    for rate in (8000, 11025, 22050, 96000):
+        assert _aiff_decode_samples(
+            aiff_build([0, 1], 1, rate, 16)
+        )[2] == rate

@@ -200,6 +200,7 @@ MIP_ALLOWED = {
     "m_image_dhash": 1,
     "m_dhash_near_dup": 4,   # synth + hash, duplicated by the self-join
     "m_decode_flac": 2,      # FLAC-writer synth + frame decode
+    "m_decode_aiff": 2,      # AIFF-writer synth + chunk decode
     "m_mkv_probe": 2,        # EBML-writer synth + EBML walk
     "w_avro_records": 2,     # Avro-writer synth + container decode
 }
