@@ -6124,6 +6124,21 @@ def t_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markdown_strip(docs.select("doc_id", md.alias("text")))
 
 
+def _geohash_cells_oracle() -> str:
+    from geist_spark.operators.geo import geohash_oracle_sql
+
+    lat = ("('0x' || substr(md5('lat|' || CAST(event_id AS VARCHAR)),"
+           " 1, 8))::BIGINT % 120000001 - 60000000")
+    lon = ("('0x' || substr(md5('lon|' || CAST(event_id AS VARCHAR)),"
+           " 1, 8))::BIGINT % 360000001 - 180000000")
+    g7 = geohash_oracle_sql(lat, lon, 7)
+    g4 = geohash_oracle_sql(lat, lon, 4)
+    return (
+        "SELECT event_id, " + g7 + " AS g7, " + g4 + " AS g4 "
+        "FROM events"
+    )
+
+
 def _markdown_oracle() -> str:
     from geist_spark.operators.text import MARKDOWN_STRIP_RULES
 
@@ -6638,6 +6653,34 @@ def d_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.dedup import novelty_score
 
     return novelty_score(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer geohash encoding under the oracle gate
+    (geo.geohash_col — fixed-point micro-degrees, scale/floor-divide/
+    bit-interleave/base32, no IEEE subdivision loop): events get the
+    md5-derived coordinates the geo family shares, hashed at
+    precisions 7 and 4. The oracle renders the SAME bit plan via
+    geo.geohash_oracle_sql, so a scaling, clamp, interleave-order, or
+    alphabet bug hash-mismatches; both renderings are pinned to the
+    published u4pruydq/ezs42 vectors in tests."""
+    from geist_spark.operators.geo import (
+        LAT_MOD,
+        LAT_SHIFT,
+        LON_MOD,
+        LON_SHIFT,
+        geohash_col,
+        md5_micro_coord,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lat = md5_micro_coord("lat|", F.col("event_id"), LAT_MOD, LAT_SHIFT)
+    lon = md5_micro_coord("lon|", F.col("event_id"), LON_MOD, LON_SHIFT)
+    return ev.select(
+        "event_id",
+        geohash_col(lat, lon, 7).alias("g7"),
+        geohash_col(lat, lon, 4).alias("g4"),
+    )
 
 
 def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7358,6 +7401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_rp_recall": s_rp_recall,
         "q_holt_forecast": q_holt_forecast,
         "q_geo_nearest": q_geo_nearest,
+        "q_geohash_cells": q_geohash_cells,
         "s_coreset": s_coreset,
         "q_late_arrival": q_late_arrival,
         "d_novelty": d_novelty,
@@ -11927,6 +11971,7 @@ def oracle_sql() -> dict[str, str]:
         "s_rp_recall": _rp_recall_oracle(),
         "q_holt_forecast": _holt_oracle(),
         "s_coreset": _coreset_oracle(),
+        "q_geohash_cells": _geohash_cells_oracle(),
         "q_geo_nearest": """
             WITH pts AS (
                 SELECT event_id,

@@ -154,3 +154,95 @@ def nearest_site(
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bit_spec(precision: int):
+    """The shared bit plan: (nlon, nlat, [(src, shift)]) MSB-first,
+    src 'lon'/'lat' — one spec renders BOTH the Spark expression and
+    the DuckDB oracle so they cannot drift."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    plan = []
+    for i in range(nbits):
+        if i % 2 == 0:
+            plan.append(("lon", nlon - 1 - i // 2))
+        else:
+            plan.append(("lat", nlat - 1 - i // 2))
+    return nlon, nlat, plan
+
+
+def geohash_col(
+    lat_micro: F.Column, lon_micro: F.Column, precision: int = 8
+) -> F.Column:
+    """Geohash from FIXED-POINT micro-degree longs — exact integer
+    arithmetic end to end (scale by 2^n, floor-divide by the degree
+    span, interleave bits, base32 via substring on the alphabet
+    literal), so the oracle replays it bit-for-bit and no IEEE
+    subdivision loop exists. Clamps the +90/+180 edges into the top
+    cell like reference implementations. Precision 1..12 (12 chars =
+    60 bits < 2^63). Pure codegen scan-rider: geohash prefix joins
+    are the textbook spatial bucketing key at 100 TB."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be 1..12")
+    nlon, nlat, plan = _geohash_bit_spec(precision)
+    def fdiv(c: F.Column, d: int) -> F.Column:
+        # exact floor division on longs: subtract-pmod then a double
+        # division of an exact multiple (< 2^53, so IEEE-exact)
+        dd = F.lit(d)
+        return ((c - F.pmod(c, dd)) / dd).cast("long")
+
+    u_lon = F.least(
+        fdiv((lon_micro + F.lit(180_000_000)) * F.lit(1 << nlon),
+             360_000_000),
+        F.lit((1 << nlon) - 1),
+    )
+    u_lat = F.least(
+        fdiv((lat_micro + F.lit(90_000_000)) * F.lit(1 << nlat),
+             180_000_000),
+        F.lit((1 << nlat) - 1),
+    )
+    val = F.lit(0).cast("long")
+    for src, shift in plan:
+        u = u_lon if src == "lon" else u_lat
+        val = val * 2 + F.shiftright(u, shift) % 2
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_B32),
+            (
+                F.shiftright(val, 5 * (precision - 1 - c)) % 32 + 1
+            ).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_oracle_sql(lat_expr: str, lon_expr: str, precision: int = 8) -> str:
+    """The DuckDB rendering of the SAME bit plan (for gate oracles)."""
+    nlon, nlat, plan = _geohash_bit_spec(precision)
+    u_lon = (
+        f"least((CAST({lon_expr} AS BIGINT) + 180000000) * {1 << nlon}"
+        f" // 360000000, {(1 << nlon) - 1})"
+    )
+    u_lat = (
+        f"least((CAST({lat_expr} AS BIGINT) + 90000000) * {1 << nlat}"
+        f" // 180000000, {(1 << nlat) - 1})"
+    )
+    val = "0"
+    for src, shift in plan:
+        u = "ul" if src == "lon" else "ua"
+        val = f"({val}) * 2 + (({u} // {1 << shift}) % 2)"
+    chars = " || ".join(
+        f"substr('{GEOHASH_B32}', CAST((v // {1 << (5 * (precision - 1 - c))})"
+        f" % 32 + 1 AS INTEGER), 1)"
+        for c in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT CAST({val} AS BIGINT) AS v FROM "
+        f"(SELECT CAST({u_lon} AS BIGINT) AS ul, CAST({u_lat} AS BIGINT)"
+        f" AS ua)))"
+    )

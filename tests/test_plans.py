@@ -219,7 +219,7 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
         "t_quality_features", "u_user_agent", "g_extract_typed",
         "p_training_prep", "w_html_extract", "t_markdown_strip",
         "w_sitemap_parse", "w_cdx_index", "p_chunk_text",
-        "w_page_metadata", "m_vtt_cues",
+        "w_page_metadata", "m_vtt_cues", "q_geohash_cells",
     ]:
         p = simple_plan(q[name](spark, SF))
         assert _mip_count(p) == 0, name
