@@ -4356,6 +4356,42 @@ def w_pb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pb_decode_records(files)
 
 
+def w_yaml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML safe-subset parsing under the oracle gate (operators/
+    yamlsub.py): a per-doc config document exercising block mappings,
+    nested maps, flow sequences with quoted members, sequence items
+    that are inline mappings, a plain scalar item, a literal block
+    scalar, comments, and core-schema typing (int/bool/null). The
+    whole fixture is JVM-concat text; the oracle rebuilds record_json
+    character-exactly from doc_id — an indentation, scalar-typing,
+    block-chomping, or flow-split bug hash-mismatches."""
+    from geist_spark.operators.yamlsub import yaml_records
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    y = F.concat(
+        F.lit("# synthetic config\nname: doc-"), did,
+        F.lit("\ncount: "), (F.col("doc_id") % 100).cast("string"),
+        F.lit("\nok: "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false")),
+        F.lit("\ntags: [t"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(', "x y"]\nnested:\n  a: '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n  b: plain text  # trailing comment\nitems:\n"
+              "  - run: step"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\n    n: "), (F.col("doc_id") % 4).cast("string"),
+        F.lit("\n  - lone\nscript: |\n  line "),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit("\n  tail\nmissing:\n"),
+    )
+    files = docs.select(
+        F.col("doc_id").alias("file_id"), y.alias("text")
+    )
+    return yaml_records(files)
+
+
 def w_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MessagePack decode under the oracle gate (operators/
     msgpack.py): one canonical-encoded message per doc holding a
@@ -7454,6 +7490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_page_metadata": w_page_metadata,
         "w_pb_decode": w_pb_decode,
         "w_msgpack_decode": w_msgpack_decode,
+        "w_yaml_records": w_yaml_records,
         # window/groupBy shapes rotated out of the recorded 50
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_hourly_rollup": q_hourly_rollup,
@@ -8995,6 +9032,24 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT YAML-subset replay (key insertion order)
+        "w_yaml_records": """
+            SELECT doc_id AS file_id,
+                   '{"name":"doc-' || CAST(doc_id AS VARCHAR)
+                   || '","count":' || CAST(doc_id % 100 AS VARCHAR)
+                   || ',"ok":' || CASE WHEN doc_id % 2 = 0
+                                       THEN 'true' ELSE 'false' END
+                   || ',"tags":["t' || CAST(doc_id % 5 AS VARCHAR)
+                   || '","x y"],"nested":{"a":'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || ',"b":"plain text"},"items":[{"run":"step'
+                   || CAST(doc_id % 3 AS VARCHAR)
+                   || '","n":' || CAST(doc_id % 4 AS VARCHAR)
+                   || '},"lone"],"script":"line '
+                   || CAST(doc_id % 6 AS VARCHAR)
+                   || '\\ntail\\n","missing":null}' AS record_json
+            FROM documents
+        """,
         # CHARACTER-EXACT msgpack replay (map insertion order)
         "w_msgpack_decode": """
             SELECT doc_id AS file_id,
