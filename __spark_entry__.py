@@ -4392,6 +4392,34 @@ def w_yaml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yaml_records(files)
 
 
+def w_toml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOML parsing under the oracle gate (operators/tomlsub.py,
+    stdlib tomllib + the shared JSON dialect): a per-doc
+    pyproject-shaped document with a table, an array of tables,
+    dotted keys, an underscore int, a hex int, an array, an inline
+    table and an offset datetime (ISO-8601 string dialect). The
+    oracle rebuilds record_json character-exactly from doc_id."""
+    from geist_spark.operators.tomlsub import toml_records
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("# synthetic project\n[package]\nname = \"pkg-"), did,
+        F.lit("\"\nbuild = 1_0"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("\nmask = 0x0"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("\ntags = [\"a\", \"b\"]\npoint = { x = "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(", y = true }\nwhen = 2026-01-02T03:04:05Z\n\n[[bin]]\n"
+              "path = \"p"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\"\n\n[[bin]]\npath = \"q\"\n\n[deps.sub]\nok = false\n"),
+    )
+    files = docs.select(
+        F.col("doc_id").alias("file_id"), t.alias("text")
+    )
+    return toml_records(files)
+
+
 def w_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MessagePack decode under the oracle gate (operators/
     msgpack.py): one canonical-encoded message per doc holding a
@@ -7491,6 +7519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_pb_decode": w_pb_decode,
         "w_msgpack_decode": w_msgpack_decode,
         "w_yaml_records": w_yaml_records,
+        "w_toml_records": w_toml_records,
         # window/groupBy shapes rotated out of the recorded 50
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_hourly_rollup": q_hourly_rollup,
@@ -9032,6 +9061,23 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT TOML replay (underscore/hex ints evaluate,
+        # the offset datetime renders ISO-8601 with +00:00)
+        "w_toml_records": """
+            SELECT doc_id AS file_id,
+                   '{"package":{"name":"pkg-'
+                   || CAST(doc_id AS VARCHAR)
+                   || '","build":' || CAST(100 + doc_id % 10 AS VARCHAR)
+                   || ',"mask":' || CAST(doc_id % 10 AS VARCHAR)
+                   || ',"tags":["a","b"],"point":{"x":'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || ',"y":true},"when":"2026-01-02T03:04:05+00:00"}'
+                   || ',"bin":[{"path":"p'
+                   || CAST(doc_id % 3 AS VARCHAR)
+                   || '"},{"path":"q"}],"deps":{"sub":{"ok":false}}}'
+                       AS record_json
+            FROM documents
+        """,
         # CHARACTER-EXACT YAML-subset replay (key insertion order)
         "w_yaml_records": """
             SELECT doc_id AS file_id,
