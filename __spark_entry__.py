@@ -4392,6 +4392,56 @@ def w_yaml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yaml_records(files)
 
 
+def w_email_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5322 email / mbox parsing under the oracle gate
+    (operators/emailmsg.py, stdlib email under policy.default): even
+    doc_ids get a MULTIPART message — RFC 2047 base64 encoded-word
+    subject (built JVM-side with F.base64), text/plain + text/html
+    alternatives, a PDF attachment with a filename — odd doc_ids a
+    2-message MBOX of non-MIME plain messages (the splitter +
+    trailing-newline body dialect). Every output field is analytic
+    in doc_id — an encoded-word, MIME-walk, attachment-detection,
+    date-parse, or mbox-split bug hash-mismatches."""
+    from geist_spark.operators.emailmsg import email_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    subj_b64 = F.base64(F.encode(F.concat(F.lit("Héllo "), did), "UTF-8"))
+    single = F.encode(F.concat(
+        F.lit("From: a"), did, F.lit("@ex.com\r\nTo: b@ex.com\r\n"
+              "Subject: =?utf-8?B?"),
+        subj_b64,
+        F.lit("?=\r\nDate: Fri, 02 Jan 2026 03:04:05 +0000\r\n"
+              "MIME-Version: 1.0\r\n"
+              "Content-Type: multipart/mixed; boundary=XYZ\r\n\r\n"
+              "--XYZ\r\nContent-Type: text/plain; charset=utf-8\r\n"
+              "\r\nBody "),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".\r\n--XYZ\r\nContent-Type: text/html\r\n\r\n"
+              "<p>h</p>\r\n--XYZ\r\n"
+              "Content-Type: application/pdf\r\n"
+              'Content-Disposition: attachment; filename="r'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.pdf"\r\n\r\nPDF\r\n--XYZ--\r\n'),
+    ), "UTF-8")
+    mbox = F.encode(F.concat(
+        F.lit("From x@y Mon Jan  1 00:00:00 2026\n"
+              "From: c"), did, F.lit("@ex.com\nSubject: first\n\n"
+              "first body "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n\nFrom x@y Mon Jan  1 00:00:01 2026\n"
+              "From: d@ex.com\nSubject: second\n\nplain "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\n"),
+    ), "UTF-8")
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.when(F.col("doc_id") % 2 == 0, single).otherwise(mbox)
+        .alias("payload"),
+    )
+    return email_parse(files)
+
+
 def w_toml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOML parsing under the oracle gate (operators/tomlsub.py,
     stdlib tomllib + the shared JSON dialect): a per-doc
@@ -7520,6 +7570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_msgpack_decode": w_msgpack_decode,
         "w_yaml_records": w_yaml_records,
         "w_toml_records": w_toml_records,
+        "w_email_parse": w_email_parse,
         # window/groupBy shapes rotated out of the recorded 50
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_hourly_rollup": q_hourly_rollup,
@@ -9061,6 +9112,41 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # ANALYTIC email replay: every header/body/count is a literal
+        # function of doc_id; the mbox bodies carry the documented
+        # trailing newline
+        "w_email_parse": """
+            SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS msg_idx,
+                   'a' || CAST(doc_id AS VARCHAR) || '@ex.com'
+                       AS from_addr,
+                   'b@ex.com' AS to_addrs,
+                   'Héllo ' || CAST(doc_id AS VARCHAR) AS subject,
+                   '2026-01-02T03:04:05+00:00' AS date_iso,
+                   CAST(3 AS INTEGER) AS n_parts,
+                   CAST(1 AS INTEGER) AS n_attachments,
+                   'r' || CAST(doc_id % 4 AS VARCHAR) || '.pdf'
+                       AS attachment_names,
+                   TRUE AS has_html,
+                   'Body ' || CAST(doc_id % 9 AS VARCHAR) || '.'
+                       AS body_text
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, CAST(i AS INTEGER),
+                   CASE i WHEN 0 THEN 'c' || CAST(doc_id AS VARCHAR)
+                               || '@ex.com'
+                          ELSE 'd@ex.com' END,
+                   CAST(NULL AS VARCHAR),
+                   CASE i WHEN 0 THEN 'first' ELSE 'second' END,
+                   CAST(NULL AS VARCHAR),
+                   CAST(1 AS INTEGER), CAST(0 AS INTEGER),
+                   CAST(NULL AS VARCHAR), FALSE,
+                   CASE i WHEN 0 THEN 'first body '
+                               || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                          ELSE 'plain ' || CAST(doc_id % 5 AS VARCHAR)
+                               || chr(10) END
+            FROM documents, (SELECT unnest([0, 1]) AS i)
+            WHERE doc_id % 2 = 1
+        """,
         # CHARACTER-EXACT TOML replay (underscore/hex ints evaluate,
         # the offset datetime renders ISO-8601 with +00:00)
         "w_toml_records": """

@@ -205,6 +205,7 @@ MIP_ALLOWED = {
     "w_avro_records": 2,     # Avro-writer synth + container decode
     "w_yaml_records": 1,     # JVM-concat fixture + subset parse
     "w_toml_records": 1,     # JVM-concat fixture + tomllib parse
+    "w_email_parse": 1,      # JVM-concat fixture + stdlib email walk
 }
 
 
@@ -234,7 +235,7 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
         or n in ("w_warc_parse", "w_decode_text", "w_pdf_extract",
                  "w_crawl_pipeline", "w_office_extract",
                  "p_decompress_text", "w_avro_records",
-                 "w_yaml_records", "w_toml_records",
+                 "w_yaml_records", "w_toml_records", "w_email_parse",
                  "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED
     )
