@@ -4392,6 +4392,85 @@ def w_yaml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yaml_records(files)
 
 
+def w_plist_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apple plist parsing under the oracle gate (operators/
+    plistfile.py, stdlib plistlib): the SAME per-doc dict — string,
+    int, bool, bytes (base64 dialect), nested array — written as an
+    XML plist for even doc_ids and a bplist00 BINARY plist for odd
+    ones; both forms must render the identical record_json, which
+    the oracle rebuilds character-exactly from doc_id."""
+    import plistlib as _pl
+
+    import pandas as _pd
+
+    from geist_spark.operators.plistfile import plist_records
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.substring(F.md5("text"), 1, 6).alias("h6"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, h6 in zip(pdf["doc_id"], pdf["h6"]):
+                d = {
+                    "name": f"app-{did}",
+                    "n": did % 1000,
+                    "ok": did % 2 == 0,
+                    "data": bytes.fromhex(h6),
+                    "arr": [did % 7, "two"],
+                }
+                fmt = _pl.FMT_XML if did % 2 == 0 else _pl.FMT_BINARY
+                # plistlib sorts keys by default; keep insertion order
+                # so both forms land on the same JSON as the oracle
+                payloads.append(_pl.dumps(d, fmt=fmt, sort_keys=False))
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(src).mapInPandas(synth, "file_id long, payload binary")
+    return plist_records(files)
+
+
+def w_sqlite_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file reading under the oracle gate (operators/
+    sqlitefile.py, stdlib deserialize): each doc becomes a 2-table
+    database — 'logs' with INTEGER/TEXT/REAL/BLOB/NULL cells derived
+    from doc_id (the blob exercises the base64 dialect, the NULL the
+    null rendering, the dyadic REAL exact float text) and a 1-row
+    'meta' table — streamed back out by sqlite_rows in name-then-
+    rowid order. The oracle rebuilds every row_json character-exactly
+    from doc_id."""
+    import pandas as _pd
+
+    from geist_spark.operators.sqlitefile import sqlite_build, sqlite_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.substring(F.md5("text"), 1, 6).alias("h6"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, h6 in zip(pdf["doc_id"], pdf["h6"]):
+                payloads.append(sqlite_build({
+                    "logs": (
+                        "id INTEGER, tag TEXT, score REAL, raw BLOB",
+                        [
+                            (did * 10, f"t{did % 5}", 0.5,
+                             bytes.fromhex(h6)),
+                            (did * 10 + 1, None, -1.25, b""),
+                        ],
+                    ),
+                    "meta": ("k TEXT, v INTEGER",
+                             [("docs", did % 100)]),
+                }))
+            yield _pd.DataFrame(
+                {"file_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = _fan(src).mapInPandas(synth, "file_id long, payload binary")
+    return sqlite_rows(files)
+
+
 def w_email_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 5322 email / mbox parsing under the oracle gate
     (operators/emailmsg.py, stdlib email under policy.default): even
@@ -7571,6 +7650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_yaml_records": w_yaml_records,
         "w_toml_records": w_toml_records,
         "w_email_parse": w_email_parse,
+        "w_sqlite_rows": w_sqlite_rows,
+        "w_plist_records": w_plist_records,
         # window/groupBy shapes rotated out of the recorded 50
         "q_top3_events_per_user": q_top3_events_per_user,
         "q_hourly_rollup": q_hourly_rollup,
@@ -9112,6 +9193,42 @@ def oracle_sql() -> dict[str, str]:
         # ANALYTIC replay of the WARC parse: both records' fields are
         # pure string functions of (doc_id, text) — template byte
         # lengths + strlen(text), md5 of the reconstructed blocks
+        # CHARACTER-EXACT plist replay: XML and binary forms land on
+        # the same JSON
+        "w_plist_records": """
+            SELECT doc_id AS file_id,
+                   '{"name":"app-' || CAST(doc_id AS VARCHAR)
+                   || '","n":' || CAST(doc_id % 1000 AS VARCHAR)
+                   || ',"ok":' || CASE WHEN doc_id % 2 = 0
+                                       THEN 'true' ELSE 'false' END
+                   || ',"data":"'
+                   || to_base64(unhex(substr(md5(text), 1, 6)))
+                   || '","arr":[' || CAST(doc_id % 7 AS VARCHAR)
+                   || ',"two"]}' AS record_json
+            FROM documents
+        """,
+        # CHARACTER-EXACT SQLite row replay: tables in name order,
+        # rows in rowid order, dyadic REAL text, blob base64
+        "w_sqlite_rows": """
+            SELECT doc_id AS file_id, 'logs' AS table_name,
+                   CAST(0 AS BIGINT) AS row_idx,
+                   '{"id":' || CAST(doc_id * 10 AS VARCHAR)
+                   || ',"tag":"t' || CAST(doc_id % 5 AS VARCHAR)
+                   || '","score":0.5,"raw":"'
+                   || to_base64(unhex(substr(md5(text), 1, 6)))
+                   || '"}' AS row_json
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'logs', CAST(1 AS BIGINT),
+                   '{"id":' || CAST(doc_id * 10 + 1 AS VARCHAR)
+                   || ',"tag":null,"score":-1.25,"raw":""}'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'meta', CAST(0 AS BIGINT),
+                   '{"k":"docs","v":' || CAST(doc_id % 100 AS VARCHAR)
+                   || '}'
+            FROM documents
+        """,
         # ANALYTIC email replay: every header/body/count is a literal
         # function of doc_id; the mbox bodies carry the documented
         # trailing newline

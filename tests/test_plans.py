@@ -206,6 +206,8 @@ MIP_ALLOWED = {
     "w_yaml_records": 1,     # JVM-concat fixture + subset parse
     "w_toml_records": 1,     # JVM-concat fixture + tomllib parse
     "w_email_parse": 1,      # JVM-concat fixture + stdlib email walk
+    "w_sqlite_rows": 2,      # sqlite-serialize synth + deserialize read
+    "w_plist_records": 2,    # plistlib synth + parse
 }
 
 
@@ -236,6 +238,7 @@ def test_arrow_python_stages_only_in_media_family(spark, q):
                  "w_crawl_pipeline", "w_office_extract",
                  "p_decompress_text", "w_avro_records",
                  "w_yaml_records", "w_toml_records", "w_email_parse",
+                 "w_sqlite_rows", "w_plist_records",
                  "w_archive_list", "w_archive_extract")
         for n in MIP_ALLOWED
     )
