@@ -20,6 +20,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from geist_spark.functions.localdf import local_df
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------- helpers
@@ -401,7 +403,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.operators.relational import range_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
-    bands = spark.createDataFrame(RANGE_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, RANGE_BANDS, "band string, lo double, hi double")
     joined = range_join(
         ev, bands, "value", "lo", "hi", bucket_width=20.0, broadcast_ranges=True
     )
@@ -7045,7 +7047,8 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     merges = train_bpe(docs, num_merges=6)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_freq bigint",
@@ -7087,9 +7090,7 @@ def t_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train_unigram(
         docs, vocab_size=60, rounds=2, max_piece_len=4, seed_size=200
     )
-    return spark.createDataFrame(
-        vocab, "piece string, cnt bigint, cost int"
-    )
+    return local_df(spark, vocab, "piece string, cnt bigint, cost int")
 
 
 def t_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -700,9 +700,9 @@ def _union_find_clusters(
             T.StructField("cluster_id", id_type),
         ]
     )
-    labels = spark.createDataFrame(
-        [(x, find(x)) for x in touched], schema
-    )
+    from geist_spark.functions.localdf import local_df
+
+    labels = local_df(spark, [(x, find(x)) for x in touched], schema)
     if vertices is None:
         return labels
     verts = vertices.select("doc_id").distinct()

@@ -163,4 +163,9 @@ def email_parse(
                         rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(run, EMAIL_SCHEMA)
+    # policy.default parsing costs ~2.5 ms per message: widen a
+    # single-split input before the Arrow stage or every message in a
+    # small file parses on one core (no-op on healthy wide scans)
+    from geist_spark.operators.bucketing import fan_out
+
+    return fan_out(files).mapInPandas(run, EMAIL_SCHEMA)

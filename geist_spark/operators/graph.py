@@ -54,7 +54,13 @@ def pagerank(
     Returns (node, pr) with pr on the PR_SCALE grid.
     """
     s, d = F.col(src_col), F.col(dst_col)
-    e = edges.select(s.alias("src"), d.alias("dst"))
+    # the edge list is consumed 2 + iters times (nodes, outdeg, one
+    # join per iteration): without a persist every consumer replays the
+    # caller's full edge-build lineage (for textrank_keywords that is
+    # the corpus tokenize + adjacency window, measured ~1 s per replay
+    # at sf0.1). Edge lists are vocabulary/link grain — exactly what a
+    # cluster job would pin in memory for an iterative solve.
+    e = edges.select(s.alias("src"), d.alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -102,6 +108,7 @@ def pagerank(
     # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
     out = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
+    e.unpersist()
     return out
 
 

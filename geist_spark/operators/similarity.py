@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from geist_spark.operators.bucketing import fan_out
 from geist_spark.functions.litx import double_array, long_array, long_matrix
+from geist_spark.functions.localdf import local_df
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -815,7 +816,8 @@ def train_ivf_centroids(
         # expr call (per-element F.lit cost 10+ s of py4j round trips
         # per iteration on high-latency hosts — functions/litx.py)
         if assignment == "broadcast":
-            cents_df = fxd.sparkSession.createDataFrame(
+            cents_df = local_df(
+                fxd.sparkSession,
                 [(ci, c) for ci, c in enumerate(cents)],
                 "cid int, c array<bigint>",
             )
@@ -1152,8 +1154,8 @@ def _adc_distance_tables(
             for j in range(m)
         ]
         rows.append((r["vec_id"], dt))
-    return embeddings.sparkSession.createDataFrame(
-        rows, "query_id long, dt array<array<long>>"
+    return local_df(
+        embeddings.sparkSession, rows, "query_id long, dt array<array<long>>"
     )
 
 
@@ -1856,8 +1858,10 @@ def ivf_pq_residual_topk(
                 for j in range(m)
             ]
             dt_rows.append((qid, cell, dt))
-    qdt = embeddings.sparkSession.createDataFrame(
-        dt_rows, "query_id long, cell int, dt array<array<long>>"
+    qdt = local_df(
+        embeddings.sparkSession,
+        dt_rows,
+        "query_id long, cell int, dt array<array<long>>",
     )
     cand = (
         codes.join(res.select("vec_id", "cell").hint("merge"), "vec_id")
@@ -2211,7 +2215,8 @@ def mmr_select(
              int(top["score_fx"]))
         )
         selected.append((vid, [float(x) for x in top["embedding"]]))
-    return embeddings.sparkSession.createDataFrame(
+    return local_df(
+        embeddings.sparkSession,
         out_rows,
         "rank int, vec_id long, rel6 long, red6 long, score_fx long",
     )

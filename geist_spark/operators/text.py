@@ -988,7 +988,10 @@ def bm25_topk(
         # workload, not a corpus)
         qterms = queries.select("query_id", "term")
     else:
-        qterms = spark.createDataFrame(
+        from geist_spark.functions.localdf import local_df
+
+        qterms = local_df(
+            spark,
             [(qid, t) for qid, ts in queries for t in ts],
             "query_id int, term string",
         )

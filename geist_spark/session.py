@@ -18,6 +18,16 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing is parallelism-first (totalBytes / parallelism),
+    # but its 1 MB minPartitionSize floor overrides that for CPU-dense,
+    # byte-light shuffles — candidate-pair stages (LSH buckets, n-gram
+    # blocks, within-cell cosines) shuffle ~1 MB of ids yet expand to
+    # 10^5-10^6 pair computations, and the floor coalesces them onto
+    # ONE task (measured: m_embed_near_dup cosine stage 3.9 s on one
+    # core, 8-query pair-family A/B 28.7 s -> 18.5 s with the floor at
+    # 64k). On healthy large shuffles totalBytes/parallelism is far
+    # above 1 MB and the floor never engages, so this is scale-neutral.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
     # gjson/Go semantics are permissive (bad cast -> zero value, not an
@@ -30,6 +40,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas_udf / toPandas — the only sane Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Generated-class cache (Janino compile results). The default 100
+    # entries thrashes on a session that runs hundreds of distinct
+    # queries (this registry alone produces ~1000 codegen units), so
+    # every re-run recompiles every stage. Compilation cache only —
+    # no data or results are cached; sized for a driver that hosts a
+    # large query workload.
+    "spark.sql.codegen.cache.maxEntries": "10000",
     # local mode: one JVM; shuffle partitions ~ cores (AQE coalesces down).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
