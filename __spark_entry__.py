@@ -37,8 +37,13 @@ def _events_as_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table -> geist-shaped JSON event stream (value: string).
 
     props arrives as a JSON string; its `k` field is lifted so JSON
-    paths hit real nesting."""
-    ev = _t(spark, sf_dir, "events")
+    paths hit real nesting.
+
+    _fan first: the downstream compiled transforms do per-row JSON
+    parsing + regex work, and the driver events table is a single
+    parquet split — without widening, every g_* gate runs its whole
+    extraction on one core (g_timeconv measured 3.7 s -> 0.6 s)."""
+    ev = _fan(_t(spark, sf_dir, "events"))
     return ev.select(
         F.to_json(
             F.struct(
@@ -279,7 +284,10 @@ def g_regexp_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g_timeconv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geist_spark.functions.timeconv import convert_time
 
-    ev = _t(spark, sf_dir, "events")
+    # _fan: DateTimeFormatter parse + regex offset splice cost ~35 µs
+    # per row — single-split input serialized the stage on one core
+    # (3.7 s -> 0.6 s at sf0.1; no-op on healthy wide scans)
+    ev = _fan(_t(spark, sf_dir, "events"))
     log_style = F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss +0000")
     return ev.select(
         "event_id",
@@ -6864,17 +6872,28 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         LAT_SHIFT,
         LON_MOD,
         LON_SHIFT,
-        geohash_col,
+        geohash_from_interleaved,
+        geohash_interleave,
         md5_micro_coord,
     )
 
     ev = _t(spark, sf_dir, "events")
     lat = md5_micro_coord("lat|", F.col("event_id"), LAT_MOD, LAT_SHIFT)
     lon = md5_micro_coord("lon|", F.col("event_id"), LON_MOD, LON_SHIFT)
-    return ev.select(
+    # staged projections (coords, then interleaved bits, then base32):
+    # inlining duplicates the md5 coordinate tree precision*5 times per
+    # hash — a 147 KB plan Catalyst re-analyzes every run (see
+    # geo.geohash_interleave). Same expressions, same values.
+    coords = ev.select("event_id", lat.alias("__lat"), lon.alias("__lon"))
+    vals = coords.select(
         "event_id",
-        geohash_col(lat, lon, 7).alias("g7"),
-        geohash_col(lat, lon, 4).alias("g4"),
+        geohash_interleave(F.col("__lat"), F.col("__lon"), 7).alias("__v7"),
+        geohash_interleave(F.col("__lat"), F.col("__lon"), 4).alias("__v4"),
+    )
+    return vals.select(
+        "event_id",
+        geohash_from_interleaved(F.col("__v7"), 7).alias("g7"),
+        geohash_from_interleaved(F.col("__v4"), 4).alias("g4"),
     )
 
 
@@ -7236,7 +7255,9 @@ def g_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec-declared field canonicalizes URLs in the compiled transform —
     pure codegen inside the same single projection as every other
     typed extraction. Events carry the md5-derived messy URL."""
-    ev = _t(spark, sf_dir, "events")
+    # _fan: md5-derived URL synthesis + the urlNormalize regex chain
+    # run per row; widen the single-split scan (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events"))
     events = ev.select(
         F.to_json(
             F.struct(

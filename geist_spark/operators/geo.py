@@ -185,6 +185,22 @@ def geohash_col(
     cell like reference implementations. Precision 1..12 (12 chars =
     60 bits < 2^63). Pure codegen scan-rider: geohash prefix joins
     are the textbook spatial bucketing key at 100 TB."""
+    return geohash_from_interleaved(
+        geohash_interleave(lat_micro, lon_micro, precision), precision
+    )
+
+
+def geohash_interleave(
+    lat_micro: F.Column, lon_micro: F.Column, precision: int = 8
+) -> F.Column:
+    """The interleaved-bits long of geohash_col, exposed so callers
+    can STAGE it as a projected column: each base32 character of the
+    hash references the full interleave tree, so an inlined
+    geohash_col duplicates it `precision` times (and the coordinate
+    expressions `precision * 5` times more) — q_geohash_cells' plan
+    was 147 KB of repeated md5 subtrees until the coords and this
+    value were materialized per row (147 KB -> ~3 KB, 1.6 s ->
+    0.9 s at sf0.1). Same bits, same oracle."""
     if not 1 <= precision <= 12:
         raise ValueError("precision must be 1..12")
     nlon, nlat, plan = _geohash_bit_spec(precision)
@@ -208,6 +224,13 @@ def geohash_col(
     for src, shift in plan:
         u = u_lon if src == "lon" else u_lat
         val = val * 2 + F.shiftright(u, shift) % 2
+    return val
+
+
+def geohash_from_interleaved(val: F.Column, precision: int = 8) -> F.Column:
+    """Base32 rendering of a geohash_interleave value (see there)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be 1..12")
     chars = [
         F.substring(
             F.lit(GEOHASH_B32),

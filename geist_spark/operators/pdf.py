@@ -294,10 +294,27 @@ _PW_PAD = bytes([
 ])
 
 
+try:  # native fast path (same bytes; RC4 output is standardized)
+    from cryptography.hazmat.decrepit.ciphers.algorithms import (
+        ARC4 as _ARC4,
+    )
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+except ImportError:  # pragma: no cover - environment without the lib
+    _ARC4 = None
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 (ISO 32000-1 §7.6.2): pure-stdlib KSA + PRGA —
-    validated against the RFC 6229-style "Key"/"Plaintext" vector in
-    tests."""
+    """RC4 (ISO 32000-1 §7.6.2): OpenSSL-backed when `cryptography`
+    is importable and the key size is one it accepts (PDF keys are
+    5/10/16 bytes — all accepted), else pure-stdlib KSA + PRGA —
+    both validated against the RFC 6229-style "Key"/"Plaintext"
+    vector in tests."""
+    if _ARC4 is not None:
+        try:
+            enc = _Cipher(_ARC4(key), mode=None).encryptor()
+            return enc.update(data) + enc.finalize()
+        except ValueError:  # key size outside OpenSSL's RC4 set
+            pass
     S = list(range(256))
     j = 0
     klen = len(key)

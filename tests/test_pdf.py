@@ -391,6 +391,42 @@ def test_aes_fips_vectors():
         == data
 
 
+def test_aes_native_path_matches_pure_python():
+    """The OpenSSL fast path (cryptography, when importable) must be
+    byte-identical to the pure-Python T-table fallback — both tiers
+    stay live (the fallback covers environments without the lib), so
+    pin their equality on block + CBC, all key sizes."""
+    from geist_spark.operators import _aes
+
+    if _aes._Cipher is None:
+        pytest.skip("cryptography not installed; only one tier live")
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    iv = bytes(range(16))
+    data = bytes((i * 7 + 3) % 256 for i in range(16 * 13))
+    for klen in (16, 24, 32):
+        key = bytes((i * 11 + 1) % 256 for i in range(klen))
+        rounds = klen // 4 + 6
+        assert _aes.aes_encrypt_block(key, pt) == _aes._encrypt_block_w(
+            pt, _aes._expand_key(key), rounds
+        )
+        ct = _aes.aes_encrypt_block(key, pt)
+        assert _aes.aes_decrypt_block(key, ct) == _aes._decrypt_block_w(
+            ct, _aes._expand_key_dec(key), rounds
+        )
+        # pure CBC reimplementation over the pure block fn
+        words = _aes._expand_key(key)
+        out, prev = bytearray(), iv
+        for i in range(0, len(data), 16):
+            blk = bytes(
+                a ^ b for a, b in zip(data[i: i + 16], prev)
+            )
+            prev = _aes._encrypt_block_w(blk, words, rounds)
+            out += prev
+        assert _aes.aes_cbc_encrypt(key, iv, data) == bytes(out)
+        assert _aes.aes_cbc_decrypt(key, iv, bytes(out)) == data
+
+
 def test_encrypted_aes_empty_user_password():
     """AESV2 (V4 R4, AES-128) and AESV3 (V5 R6, AES-256 with the
     SHA-2 KDF and /UE key unwrap) decrypt transparently with an empty

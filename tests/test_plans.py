@@ -45,7 +45,14 @@ def test_disjunctive_revenue_pushes_quantity_and_broadcasts_part(spark, q):
 
 def test_transform_family_is_zero_shuffle(spark, q):
     p = simple_plan(q["g_timeconv"](spark, SF))
-    assert "Exchange" not in p  # map-only: parse -> convert -> project
+    # map-only: parse -> convert -> project. The ONE allowed exchange
+    # is the deliberate round-robin fan-out that widens the
+    # single-split scan before the per-row DateTimeFormatter work
+    # (bucketing.fan_out — a no-op on healthy wide scans); any
+    # hash/range partitioning would mean a real shuffle crept in.
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_minhash_never_plans_cartesian_or_bnlj(spark, q):
