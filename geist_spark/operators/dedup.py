@@ -1195,6 +1195,16 @@ def fuzzy_match_pairs(
     Both Spark's levenshtein() and DuckDB's are the classic
     unit-cost edit distance, so the confirm step has an exact oracle.
 
+    Shuffle discipline (the 100 TB shape): the gram index and the
+    candidate-pair dedup shuffle carry ONLY (rid, g, len) / (id_a,
+    id_b) — never the strings. A pair sharing c grams lands in c
+    different join partitions, so the pair-dedup exchange moves every
+    incidence; with strings attached that was ~262 MB at sf0.1 vs
+    ~90 MB ids-only. The strings move exactly once, re-attached to
+    the DEDUPED pairs by two record-grain joins for the levenshtein
+    confirm (broadcast when small, shuffle-hash at scale — pairs are
+    the smaller side after dedup).
+
     Output: (id_a, id_b, dist), id_a < id_b.
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
@@ -1204,7 +1214,7 @@ def fuzzy_match_pairs(
     idx = F.sequence(F.lit(1), F.length("s") - gram + 1)
     grams = base.select(
         "rid",
-        "s",
+        F.length("s").alias("ln"),
         F.explode(
             F.array_distinct(
                 F.transform(idx, lambda i: F.col("s").substr(i, F.lit(gram)))
@@ -1234,22 +1244,21 @@ def fuzzy_match_pairs(
             & (F.col("a.rid") < F.col("b.rid"))
             # length-gap guard inside the join: prunes before the
             # pair-dedup shuffle, not just before levenshtein
-            & (
-                F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
-                <= max_dist
-            ),
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist),
         )
         .groupBy(
             F.col("a.rid").alias("id_a"),
             F.col("b.rid").alias("id_b"),
         )
-        .agg(
-            F.first(F.col("a.s")).alias("s_a"),
-            F.first(F.col("b.s")).alias("s_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .drop("__shared")
     )
+    sa = base.select(F.col("rid").alias("id_a"), F.col("s").alias("s_a"))
+    sb = base.select(F.col("rid").alias("id_b"), F.col("s").alias("s_b"))
     return (
-        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )

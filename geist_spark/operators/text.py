@@ -1255,31 +1255,56 @@ def textrank_keywords(
 
     stop = _resolve_stopwords(stopwords, lang)
     stop_arr = F.array(*[F.lit(w) for w in stop])
-    tok = fan_out(documents).select(
-        "doc_id",
-        F.posexplode(_keyword_tokens(F.col("text"), lang)).alias("pos", "tok"),
+    # adjacency array-side (the lm.quality pattern): zip the token
+    # array with its shifted self, so an edge is (toks[i], toks[i+1])
+    # with both endpoints non-empty non-stopwords. This is exactly the
+    # old posexplode + per-doc lag-window formulation (pos diff == 1
+    # on the ORIGINAL positions with both survivors) minus the
+    # window's exchange + sort over every token row — adjacency never
+    # leaves the document row.
+    toks = _keyword_tokens(F.col("text"), lang)
+    n = F.size(toks)
+    adj = fan_out(documents).select(
+        F.explode(
+            F.arrays_zip(
+                toks.alias("w1"),
+                F.concat(
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                    F.array(F.lit(None).cast("string")),
+                ).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     ).filter(
-        (F.col("tok") != "") & ~F.array_contains(stop_arr, F.col("tok"))
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    adj = tok.select(
-        "pos",
-        F.lag("pos").over(wd).alias("prev_pos"),
-        F.col("tok").alias("w2"),
-        F.lag("tok").over(wd).alias("w1"),
-    ).filter(
-        (F.col("pos") - F.col("prev_pos") == 1)
+        F.col("w2").isNotNull()
+        & (F.col("w1") != "")
+        & (F.col("w2") != "")
         & (F.col("w1") != F.col("w2"))
+        & ~F.array_contains(stop_arr, F.col("w1"))
+        & ~F.array_contains(stop_arr, F.col("w2"))
     )
     # undirected: both directions, DISTINCT — vocabulary-grain from
     # here on (multiplicity deliberately dropped: classic TextRank is
     # unweighted; a weighted variant would carry the pair count into
     # pagerank's share term)
+    # both directions from ONE pass over the edges (a union of two
+    # selects over `adj` would re-run the tokenize+explode subtree
+    # per branch — measured as a doubled 64-task stage at sf0.1)
     und = (
-        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .unionByName(
-            adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        adj.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("w1").alias("src"), F.col("w2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("w2").alias("src"), F.col("w1").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     pr = pagerank(und, iters=iters)
