@@ -890,51 +890,85 @@ def semantic_dedup(
     quadratic pair term to sum_cells(|cell|^2) instead of N^2. The
     cluster assignment is the exact fixed-point k-means
     (train_ivf_centroids), so results are reproducible at any
-    parallelism; the within-cell self-join shuffles on `cell` (one
-    key per cluster — at 100 TB raise k so cells stay ~10^4-10^5 docs
-    and let AQE split hot cells). Cosines are rounded to 6dp before
-    thresholding, mirrored in the oracle. Clustering of the pair graph
-    reuses dedup_clusters' min-label propagation (O(diameter) rounds).
+    parallelism. Cosines are rounded to 6dp before thresholding,
+    mirrored in the oracle. Clustering of the pair graph reuses
+    dedup_clusters' min-label propagation (O(diameter) rounds).
+
+    The within-cell self-join is SALTED: k cells = k join keys, far
+    fewer than the cores, so the CPU-heavy cosine stage (interpreted
+    HOF lambdas) would serialize on however many cells have data. The
+    a-side replicates over B = defaultParallelism salt values and the
+    b-side buckets by vec_id % B, so joining on (cell, salt) spreads
+    each cell's |cell|^2 pair work over B tasks — every pair (a < b)
+    is produced exactly once, at salt = b.vec_id % B, for ANY B. This
+    replaced a repartition + localCheckpoint of the candidate pairs
+    WITH their embedding payloads (~122 MB shuffled at sf0.1 and
+    growing with the pair count) by a B-fold replication of the
+    corpus itself (~17 MB — grows with the corpus, not the pairs);
+    the cosine is projected inside the join stage so pair payloads
+    never move. The explicit repartition carries the salt
+    distribution into the join (REPARTITION_BY_NUM, which AQE never
+    coalesces — unhinted, AQE folds the ~17 MB shuffle to one task
+    and serializes the cosines again). It also doubles as the hot-key
+    splitter: a skewed cell is exactly what the salt dimension
+    spreads.
     """
     from geist_spark.operators.dedup import dedup_clusters
 
     _, asg = train_ivf_centroids(embeddings, k=k, iters=iters)
-    cellmates = embeddings.select("vec_id", "embedding").join(
-        asg.select("vec_id", "cell"), "vec_id"
+    # per-ROW norms here: N norm evaluations instead of 2 per PAIR —
+    # same doubles (a deterministic scalar of the row's array), so the
+    # rounded cosine is bit-identical, but the interpreted-HOF work
+    # left per pair is one dot product.
+    cellmates = (
+        embeddings.select("vec_id", "embedding")
+        .join(asg.select("vec_id", "cell"), "vec_id")
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
-    a, b = cellmates.alias("a"), cellmates.alias("b")
-    # candidate generation first (cheap equi-join on cell), cosines
-    # second: the join output is skinny and AQE coalesces it to ~1
-    # partition, which would serialize the CPU-heavy cosine stage
-    # (higher-order-function lambdas run interpreted, not codegen) —
-    # so explicitly widen between the two
-    cand = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("doc_a"),
-        F.col("b.vec_id").alias("doc_b"),
-        F.col("a.embedding").alias("ea"),
-        F.col("b.embedding").alias("eb"),
+    width = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = cellmates.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
+    ).alias("a")
+    # the explicit repartition rides the STREAM side into the join
+    # (REPARTITION_BY_NUM — AQE never coalesces it: the post-filter
+    # pair stream is a few hundred KB, so unhinted AQE folds the
+    # stream to ~8 tasks and serializes the per-pair cosines, which
+    # cost CPU by PAIR count, not by byte count). The shuffle_hash
+    # hint keeps AQE from rewriting the join as a broadcast for the
+    # same reason — build the small unreplicated side per partition
+    # instead.
+    b = (
+        cellmates.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(width)).cast("int")
+        )
+        .repartition(width, "cell", "salt")
+        .alias("b")
     )
-    # the localCheckpoint is a required optimizer barrier, not a cache
-    # nicety: Catalyst pushes the cosine projection back down through a
-    # bare repartition into the single coalesced post-join partition,
-    # re-serializing the stage (measured 8.7s -> 0.3s at sf0.1).
-    # EAGER because downstream (dedup_clusters' bounded edge probe)
-    # opens with a limit() action, and partially materializing a LAZY
-    # local checkpoint then finishing it later miscompiles
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at sf0.1); every partition
-    # is needed regardless.
-    cand = cand.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
-    ea, eb = F.col("ea"), F.col("eb")
-    cos = F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 6)
-    pairs = cand.select(
-        "doc_a", "doc_b", cos.alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    cos = F.round(_dot(ea, eb) / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        # materialize the SKINNY thresholded pairs before
+        # dedup_clusters: its bounded edge probe is an incremental
+        # limit() (1, 4, 16, ... partitions per round), which over a
+        # live plan runs the quadratic cosine stage a few partitions
+        # at a time — serially. One eager checkpoint computes it once
+        # at full width; the probe then re-reads materialized KBs.
+        # (The OLD checkpoint here carried the pair embeddings —
+        # ~122 MB; post-filter pairs are 3 scalars/row.)
+        .localCheckpoint(eager=True)
+    )
     labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     rep = F.coalesce("cluster_id", F.col("vec_id"))
     return (
