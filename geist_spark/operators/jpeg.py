@@ -63,6 +63,23 @@ ZIGZAG = [
     )
 ]
 
+_EINSUM_PATHS: dict = {}
+
+
+def _einsum(subscripts: str, *ops):
+    """np.einsum with the greedy contraction path cached per
+    (subscripts, shapes): optimize=True recomputes the greedy path on
+    EVERY call (~0.2 ms — ~10% of a whole fixture encode+decode), and
+    the path is a pure function of the shapes. Same path, same
+    floating-point contraction order, bit-identical output."""
+    key = (subscripts, tuple(op.shape for op in ops))
+    path = _EINSUM_PATHS.get(key)
+    if path is None:
+        path = np.einsum_path(subscripts, *ops, optimize="greedy")[0]
+        _EINSUM_PATHS[key] = path
+    return np.einsum(subscripts, *ops, optimize=path)
+
+
 # orthonormal DCT-II basis M[u, x] = C(u)/2 * cos((2x+1) u pi / 16);
 # IDCT: s = M.T @ S @ M, FDCT: S = M @ s @ M.T  (T.81 A.3.3)
 _DCT_M = np.array(
@@ -695,8 +712,7 @@ def jpeg_decode(b: bytes) -> tuple:
         # blocks in one einsum: s = M.T @ S @ M
         arr = np.array(blocks[ci], dtype=np.int64) * qt[c["tq"]]
         S = arr.reshape(br, bc, 8, 8)
-        spatial = np.einsum("xu,rcuv,vy->rcxy", _DCT_M.T, S, _DCT_M,
-                            optimize=True)
+        spatial = _einsum("xu,rcuv,vy->rcxy", _DCT_M.T, S, _DCT_M)
         plane = spatial.transpose(0, 2, 1, 3).reshape(br * 8, bc * 8)
         plane = np.clip(np.round(plane) + 128, 0, 255)
         cw = -(-w * c["h"] // hmax)
@@ -825,8 +841,7 @@ def _encode_prepare(
         p = np.pad(plane, ((0, bh - plane.shape[0]),
                            (0, bw - plane.shape[1])), mode="edge")
         S = p.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
-        coefs = np.einsum("ux,rcxy,yv->rcuv", _DCT_M, S - 128.0,
-                          _DCT_M.T, optimize=True)
+        coefs = _einsum("ux,rcxy,yv->rcuv", _DCT_M, S - 128.0, _DCT_M.T)
         qd = np.round(coefs / q_nat.reshape(8, 8)).astype(np.int64)
         return qd  # (brows, bcols, 8, 8)
 
@@ -1000,11 +1015,6 @@ def jpeg_encode_progressive(
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
-    def tz(v: int, a: int) -> int:
-        """AC point transform: magnitude shift, sign kept (G.1.2.2 —
-        division toward zero, NOT arithmetic shift)."""
-        return (abs(v) >> a) * (1 if v >= 0 else -1)
-
     def comp_grid(ci: int) -> tuple[int, int]:
         """True (rows, cols) block extent of component ci (AC scans
         never cover the interleave padding)."""
@@ -1124,10 +1134,25 @@ def jpeg_encode_progressive(
         return em.encode(need_table=False)
 
     # ---- AC scans (single component, band ss..se) -------------------
+    def band_tz(ci: int, rows: int, cols: int, ss: int, se: int,
+                a: int) -> list[list[int]]:
+        """Zigzag gather + AC point transform for the whole component
+        in one numpy pass (per-block indexing and a per-coefficient
+        tz() lambda dominated the scan's profile), returned as plain
+        int lists for the serial run-length walk. tz(v, a) =
+        (|v| >> a) * sign(v) exactly as the scalar form."""
+        zz = (
+            qblocks[ci][:rows, :cols]
+            .reshape(rows * cols, 64)[:, ZIGZAG][:, ss : se + 1]
+        )
+        mag = np.abs(zz) >> a
+        return np.where(zz >= 0, mag, -mag).tolist()
+
     def ac_first_scan(ci: int, ss: int, se: int, a: int) -> tuple:
         em = _Emit()
         em.kind = "ac"
         rows, cols = comp_grid(ci)
+        tvals_all = band_tz(ci, rows, cols, ss, se, a)
         eobrun = 0
 
         def flush_eob():
@@ -1143,12 +1168,10 @@ def jpeg_encode_progressive(
                 flush_eob()
                 em.rst(rst_i)
                 rst_i += 1
-            uy, ux = divmod(u, cols)
-            zzv = qblocks[ci][uy, ux].reshape(64)[ZIGZAG]
+            trow = tvals_all[u]
             run = 0
             emitted = False
-            for k in range(ss, se + 1):
-                t = tz(int(zzv[k]), a)
+            for t in trow:
                 if t == 0:
                     run += 1
                     continue
@@ -1171,6 +1194,7 @@ def jpeg_encode_progressive(
         em = _Emit()
         em.kind = "ac"
         rows, cols = comp_grid(ci)
+        tvals_all = band_tz(ci, rows, cols, ss, se, a)
         eobrun = 0
         eob_bits: list[int] = []  # corrections held across EOB'd blocks
 
@@ -1190,20 +1214,18 @@ def jpeg_encode_progressive(
                 flush_eob()
                 em.rst(rst_i)
                 rst_i += 1
-            uy, ux = divmod(u, cols)
-            zzv = qblocks[ci][uy, ux].reshape(64)[ZIGZAG]
-            tvals = {k: tz(int(zzv[k]), a) for k in range(ss, se + 1)}
+            trow = tvals_all[u]
             # ZRLs are emitted only while a NEWLY-significant coef
             # still lies ahead; trailing runs fold into the EOB
             # (T.81 G.1.2.3 / the k <= EOB rule)
             last_new = max(
-                (k for k, t in tvals.items() if abs(t) == 1),
+                (ss + i for i, t in enumerate(trow) if t in (1, -1)),
                 default=ss - 1,
             )
             run = 0
             pending: list[int] = []  # correction bits since last emit
             for k in range(ss, se + 1):
-                t = tvals[k]
+                t = trow[k - ss]
                 if t == 0:
                     run += 1  # zero history, stays zero
                     continue
