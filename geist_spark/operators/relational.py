@@ -1566,39 +1566,56 @@ def association_rules(
     2^53, correctly rounded above) and lift_num/lift_den carry the
     documented bound.
 
-    Shape at 100 TB: baskets reduce to the DISTINCT (basket, item)
-    table first — the fan-in guard (an item bought 50 times in one
-    order contributes one row) — then a self-join keyed on the basket
-    with item_a < item_b. Fan-out per basket is (distinct items)^2,
-    bounded by the item vocabulary, not basket length. min_support
-    prunes at pair grain BEFORE the (vocabulary-grain) item-count
-    joins; item counts and the basket total are broadcast (item grain
-    and 1 row). The self-join carries the merge hint per the SCALE.md
-    policy: both sides are corpus-sized and Catalyst's static size
-    estimate of the distinct-derived frame is unreliable.
+    Shape at 100 TB: ONE exchange at basket grain builds the sorted
+    distinct item set per basket (collect_set dedups map-side — the
+    fan-in guard: an item bought 50 times in one order contributes
+    one element), and the ordered pairs are generated ARRAY-SIDE
+    (posexplode + slice, all codegen) — the former formulation
+    sort-merge self-joined the distinct (basket, item) table with
+    itself, which computed that corpus-grain distinct five times
+    across the plan (two sorted join legs, two item-count broadcasts,
+    the basket total) and shuffled it four. Fan-out per basket is
+    (distinct items)^2, bounded by the item vocabulary, not basket
+    length. The basket-grain frame is eagerly checkpointed so the
+    pair, item-count and basket-total branches all read the one
+    materialized exchange. min_support prunes at pair grain BEFORE
+    the (vocabulary-grain) item-count joins; item counts and the
+    basket total are broadcast (item grain and 1 row).
 
     Returns (antecedent, consequent, n_both, n_ant, n_cons,
     n_baskets, confidence, lift_num, lift_den, lift); each unordered
     co-occurring pair yields both directed rules.
     """
-    di = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    n_baskets = di.agg(
-        F.countDistinct("bk").alias("n_baskets")
+    base = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+        )
+        .groupBy("bk")
+        .agg(F.sort_array(F.collect_set("item")).alias("xs"))
+        .localCheckpoint(eager=True)
     )
-    item_cnt = di.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = di.alias("a"), di.hint("merge").alias("b")
+    # count("bk") skips the one possible NULL-basket group row —
+    # exactly the old countDistinct("bk") semantics
+    n_baskets = base.agg(F.count("bk").alias("n_baskets"))
+    # per-item distinct-basket counts: one row per (basket, item) as
+    # before (a NULL basket still contributes to its items' counts)
+    item_cnt = (
+        base.select(F.explode("xs").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    # a NULL basket key never matched itself in the old self-join, so
+    # it must not emit pairs here either
     pair_cnt = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.item") < F.col("b.item")),
+        base.where(F.col("bk").isNotNull())
+        .select(F.posexplode("xs").alias("i", "item_a"), "xs")
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("xs", F.col("i") + F.lit(2), F.size("xs"))
+            ).alias("item_b"),
         )
-        .groupBy(
-            F.col("a.item").alias("item_a"),
-            F.col("b.item").alias("item_b"),
-        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= min_support)
     )
