@@ -2147,6 +2147,11 @@ def p_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .drop("__rn")
+        # consumed THREE times downstream (decontaminate reads it for
+        # the shingle side and the doc_id join-back, then the clean
+        # join reads it again) — materialize once or the window dedup
+        # and the repetition-stats tokenize of the whole corpus run 3x
+        .localCheckpoint(eager=True)
     )
 
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)

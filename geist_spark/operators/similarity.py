@@ -2159,10 +2159,10 @@ def mmr_select(
     DuckDB oracle replays the whole greedy chain bit-for-bit.
 
     Plan shape: k bounded iterations, each ONE map-only corpus pass
-    (relevance is precomputed once; redundancy-to-selected is a
-    max over <=k literal vectors inside codegen) + a 1-row argmax
-    aggregate. No shuffle of the candidate set, ever; selected vectors
-    ride as literals (functions/litx). At 100 TB you pre-pool
+    (relevance and row norms are precomputed once; redundancy is a
+    materialized column folded with each round's single new pick) +
+    a 1-row argmax aggregate. No shuffle of the candidate set, ever;
+    the newest selected vector rides as a literal (functions/litx). At 100 TB you pre-pool
     candidates with cosine_topk/ivf_topk (pass `candidates=`) so the
     k passes scan the pool, not the corpus — same code path. The
     default (candidates=None) is k full corpus passes, so it carries
@@ -2191,53 +2191,64 @@ def mmr_select(
     qv = [float(x) for x in qrow[0]["embedding"]]
     qarr = double_array(qv)
 
-    def cos6_to(arr: F.Column) -> F.Column:
+    def cos6(dot: F.Column, nrm_a: F.Column, nrm_b: F.Column) -> F.Column:
         # micro-scaled rounded cosine as LONG (6dp round then *1e6 is
         # exact in double for |cos| <= 1)
-        c = F.round(_dot(emb, arr) / (_norm(emb) * _norm(arr)), 6)
+        c = F.round(dot / (nrm_a * nrm_b), 6)
         return F.round(c * F.lit(1_000_000.0), 0).cast("long")
 
+    # red6 is carried as a MATERIALIZED column updated incrementally:
+    # red6_r = max(red6_{r-1}, cos6(row, newest pick)), which equals
+    # the max over all picks (long max is exact) — EXCEPT the first
+    # update, which REPLACES the 0 seed: cos6 can be negative and the
+    # legacy semantics are max over picks with no zero floor (the 0
+    # seed exists only so round 1's score term is exactly 0, matching
+    # the old lit(0) arm). The former
+    # formulation rebuilt greatest(cos6(row, s) for every s) inside
+    # each round's argmax — r interpreted-HOF dot products per row per
+    # round, each evaluated TWICE (once for the red6 column, once
+    # inside score_fx; HOFs run interpreted, so no common-subexpr
+    # elimination) — and re-derived _norm(row) and _norm(literal) per
+    # row per pick on top. Now: the row norm is computed once at base
+    # build, each pick's norm is COLLECTED with its embedding (the
+    # same JVM double, never recomputed), and each round does exactly
+    # ONE new dot per row. The per-round update rides a LAZY
+    # checkpoint that materializes inside the next argmax (an
+    # all-partition agg — safe from the partial-materialization
+    # miscompile train_bpe documents).
     base = (
         fan_out(pool)
         .filter(F.col("vec_id") != query_id)
-        .select("vec_id", "embedding", cos6_to(qarr).alias("rel6"))
-        # k argmax passes re-read this frame: materialize once, off
+        .withColumn("nrm", _norm(emb))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            cos6(_dot(emb, qarr), F.col("nrm"), _norm(qarr)).alias(
+                "rel6"
+            ),
+            F.lit(0).cast("long").alias("red6"),
+        )
+        # the argmax passes re-read this frame: materialize once, off
         # lineage (repo cache policy: eager checkpoint, no persist
         # fragments)
         .localCheckpoint(eager=True)
     )
     mu = lam_den - lam_num
-    selected: list[tuple[int, list[float]]] = []
     out_rows = []
     for rank in range(1, k + 1):
-        if len(selected) > 1:
-            red6 = F.greatest(
-                *[cos6_to(double_array(sv)) for _, sv in selected]
-            )
-        elif selected:
-            red6 = cos6_to(double_array(selected[0][1]))
-        else:
-            red6 = F.lit(0).cast("long")
-        scored = base.filter(
-            ~F.col("vec_id").isin([sid for sid, _ in selected])
-        ).select(
-            "vec_id",
-            "embedding",
-            "rel6",
-            red6.alias("red6"),
-            (F.lit(lam_num) * F.col("rel6")
-             - F.lit(mu) * red6).alias("score_fx"),
-        )
         # 1-row argmax: max score, ties -> LOWEST vec_id (negated id in
         # the lexicographic struct max)
-        top = scored.agg(
+        top = base.agg(
             F.max(
                 F.struct(
-                    F.col("score_fx"),
+                    (F.lit(lam_num) * F.col("rel6")
+                     - F.lit(mu) * F.col("red6")).alias("score_fx"),
                     (-F.col("vec_id")).alias("nid"),
                     F.col("rel6"),
                     F.col("red6"),
                     F.col("embedding"),
+                    F.col("nrm"),
                 )
             ).alias("m")
         ).collect()[0]["m"]
@@ -2248,7 +2259,23 @@ def mmr_select(
             (rank, vid, int(top["rel6"]), int(top["red6"]),
              int(top["score_fx"]))
         )
-        selected.append((vid, [float(x) for x in top["embedding"]]))
+        if rank < k:
+            sv = double_array([float(x) for x in top["embedding"]])
+            new_cos = cos6(
+                _dot(emb, sv), F.col("nrm"), F.lit(float(top["nrm"]))
+            )
+            upd = (
+                new_cos
+                if rank == 1
+                else F.greatest(F.col("red6"), new_cos)
+            )
+            base = base.filter(F.col("vec_id") != vid).select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel6",
+                upd.alias("red6"),
+            ).localCheckpoint(eager=False)
     return local_df(
         embeddings.sparkSession,
         out_rows,
