@@ -33,7 +33,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _events_as_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pd_barrier(col: "F.Column") -> "F.Column":
+    """Predicate-pushdown barrier: shuffle() of a 1-element array is
+    the identity map, but the expression is formally non-deterministic
+    so the optimizer cannot rewrite a downstream filter through the
+    projection and push it below a widening exchange. Use ONLY where a
+    compiled filter would otherwise drag the per-row JSON parse below
+    the fan-out exchange onto the single parquet split (measured:
+    g_exclude_multi_cond 2.4 s -> 1.4 s); on filter-free consumers it
+    blocks the from_json(to_json(..)) round-trip elimination and
+    costs ~0.2 s, so it is opt-in."""
+    return F.shuffle(F.array(col))[0]
+
+
+def _events_as_json(
+    spark: SparkSession, sf_dir: str, barrier: bool = False
+) -> DataFrame:
     """events table -> geist-shaped JSON event stream (value: string).
 
     props arrives as a JSON string; its `k` field is lifted so JSON
@@ -42,19 +57,27 @@ def _events_as_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fan first: the downstream compiled transforms do per-row JSON
     parsing + regex work, and the driver events table is a single
     parquet split — without widening, every g_* gate runs its whole
-    extraction on one core (g_timeconv measured 3.7 s -> 0.6 s)."""
+    extraction on one core (g_timeconv measured 3.7 s -> 0.6 s).
+
+    barrier=True (_pd_barrier) for consumers whose compiled transform
+    FILTERS: excludeEventsWith predicates otherwise get rewritten in
+    terms of the scan columns (inlining the whole to_json+from_json
+    chain) and pushed BELOW the round-robin exchange, where the full
+    per-row parse runs single-task in a Filter above the 1-split scan
+    (plans/r09/g_exclude_multi_cond: Filter(2) under Exchange(3))."""
     ev = _fan(_t(spark, sf_dir, "events"))
-    return ev.select(
-        F.to_json(
-            F.struct(
-                F.col("event_id"),
-                F.col("user_id"),
-                F.col("event_type"),
-                F.col("value"),
-                F.get_json_object("props", "$.k").cast("long").alias("k"),
-            )
-        ).alias("value")
+    value = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
     )
+    if barrier:
+        value = _pd_barrier(value)
+    return ev.select(value.alias("value"))
 
 
 def _compile(transform: dict):
@@ -163,7 +186,7 @@ def g_exclude_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    return ct.apply(_events_as_json(spark, sf_dir))
+    return ct.apply(_events_as_json(spark, sf_dir, barrier=True))
 
 
 def g_exclude_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +205,7 @@ def g_exclude_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    return ct.apply(_events_as_json(spark, sf_dir))
+    return ct.apply(_events_as_json(spark, sf_dir, barrier=True))
 
 
 def g_exclude_multi_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +237,7 @@ def g_exclude_multi_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    return ct.apply(_events_as_json(spark, sf_dir))
+    return ct.apply(_events_as_json(spark, sf_dir, barrier=True))
 
 
 def g_dispatch_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,14 +1352,20 @@ def a_spec_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from geist_spark.compiler.transform import compile_transform
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_json(
-            F.struct(
-                "event_id",
-                "user_id",
-                "event_type",
-                "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+    # _fan: the compiled transform does per-row JSON parsing and the
+    # events table is a single parquet split (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events")).select(
+        _pd_barrier(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                    ).alias("ts"),
+                )
             )
         ).alias("value")
     )
@@ -1394,12 +1423,18 @@ def a_spec_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sink": {"type": "void"},
         }
     )
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_json(
-            F.struct(
-                "event_type",
-                "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+    # _fan: the compiled transform does per-row JSON parsing and the
+    # events table is a single parquet split (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events")).select(
+        _pd_barrier(
+            F.to_json(
+                F.struct(
+                    "event_type",
+                    "value",
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                    ).alias("ts"),
+                )
             )
         ).alias("value")
     )
@@ -1448,12 +1483,18 @@ def a_spec_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sink": {"type": "void"},
         }
     )
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_json(
-            F.struct(
-                "user_id",
-                "value",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+    # _fan: the compiled transform does per-row JSON parsing and the
+    # events table is a single parquet split (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events")).select(
+        _pd_barrier(
+            F.to_json(
+                F.struct(
+                    "user_id",
+                    "value",
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+                    ).alias("ts"),
+                )
             )
         ).alias("value")
     )
@@ -1599,7 +1640,7 @@ def a_spec_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sink": {"type": "void"},
         }
     )
-    ev = _events_as_json(spark, sf_dir)
+    ev = _events_as_json(spark, sf_dir, barrier=True)
     return apply_analytics(
         compile_transform(spec).apply(ev, value_col="value"), spec.transform
     )
@@ -1672,12 +1713,18 @@ def a_spec_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sink": {"type": "void"},
         }
     )
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_json(
-            F.struct(
-                "user_id",
-                "event_type",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+    # _fan: the compiled transform does per-row JSON parsing and the
+    # events table is a single parquet split (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events")).select(
+        _pd_barrier(
+            F.to_json(
+                F.struct(
+                    "user_id",
+                    "event_type",
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+                    ).alias("ts"),
+                )
             )
         ).alias("value")
     )
@@ -6162,7 +6209,9 @@ def a_spec_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sink": {"type": "void"},
         }
     )
-    ev = _t(spark, sf_dir, "events").select(
+    # _fan: the compiled transform does per-row JSON parsing and the
+    # events table is a single parquet split (g_timeconv rationale)
+    ev = _fan(_t(spark, sf_dir, "events")).select(
         F.to_json(
             F.struct(
                 "event_id",

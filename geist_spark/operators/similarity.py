@@ -1109,12 +1109,15 @@ def _pq_train_encode_fx(fxd: DataFrame, m: int, k: int, iters: int):
             ),
         )
         mn = F.array_min(scores)  # lexicographic: min dist, then min cid
+        # only the winning cid is consumed downstream (stats needs
+        # cell+sfx, codes needs cell) — extracting the distance too
+        # would evaluate the interpreted array_min-over-HOF a second
+        # time per row (no CSE for interpreted HOFs)
         assigned = sub.select(
             "vec_id",
             "sub_id",
             "sfx",
             mn["cid"].alias("cell"),
-            mn["d"].alias("sq_dist"),
         )
         if it == iters - 1:
             break
