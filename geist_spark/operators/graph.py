@@ -55,17 +55,27 @@ def pagerank(
     """
     s, d = F.col(src_col), F.col(dst_col)
     # the edge list is consumed 2 + iters times (nodes, outdeg, one
-    # join per iteration): without a persist every consumer replays the
-    # caller's full edge-build lineage (for textrank_keywords that is
-    # the corpus tokenize + adjacency window, measured ~1 s per replay
-    # at sf0.1). Edge lists are vocabulary/link grain — exactly what a
-    # cluster job would pin in memory for an iterative solve.
-    e = edges.select(s.alias("src"), d.alias("dst")).persist()
+    # join per iteration). A lazy persist() here was NOT enough: the
+    # first action used to be nodes.count(), whose two union legs each
+    # replayed the caller's full edge-build lineage before the cache
+    # existed (for textrank_keywords that is the corpus tokenize +
+    # adjacency explode — a doubled 64-task stage, ~9.5 s execRun at
+    # sf0.1) and the iteration joins kept re-deriving it. An EAGER
+    # localCheckpoint materializes the edge list once, up front, and
+    # every consumer reads the checkpointed blocks — measured cache-hit
+    # scans of ~0.4 s vs 4-6 s recompute stages per iteration. Edge
+    # lists are vocabulary/link grain — exactly what a cluster job
+    # would materialize before an iterative solve — and a checkpoint
+    # cannot leave a CacheManager fragment behind (the miscompile
+    # class train_ivf_centroids documents).
+    e = edges.select(s.alias("src"), d.alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -101,14 +111,9 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    # same cache hygiene as similarity.train_ivf_centroids: materialize
-    # the result off the cached lineage, then drop the cache entry — a
-    # persisted fragment left in the CacheManager gets substituted into
-    # later session plans sharing its lineage and can miscompile
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    # e and nodes are checkpoints (no CacheManager entries to drop);
+    # materialize the final ranks off the lazy-checkpoint chain
     out = ranks.localCheckpoint(eager=True)
-    nodes.unpersist()
-    e.unpersist()
     return out
 
 

@@ -838,12 +838,18 @@ def train_ivf_centroids(
                 ),
             )
             m = F.array_min(scores)  # lexicographic: min dist, then min cid
-            assigned = fxd.select(
-                "vec_id",
-                "fx",
-                m["cid"].alias("cell"),
-                m["d"].alias("sq_dist"),
-            )
+            # intermediate passes feed ONLY the stats agg (cell + fx
+            # sums); the final pass carries the whole struct so cid
+            # and d can be split AFTER the checkpoint — extracting
+            # both fields here would duplicate the interpreted
+            # array_min-over-HOF tree in the projection (2x the
+            # first-evaluation cost; see _pq_train_encode_fx)
+            if it == iters - 1:
+                assigned = fxd.select("vec_id", m.alias("__m"))
+            else:
+                assigned = fxd.select(
+                    "vec_id", "fx", m["cid"].alias("cell")
+                )
         if it == iters - 1:
             break
         stats = (
@@ -864,10 +870,19 @@ def train_ivf_centroids(
     # materialize the final assignment OFF the cached lineage, then drop
     # the cache entry: callers get a checkpoint with fixed output
     # attributes (safe under any downstream self-join), and the fragment
-    # can't be cache-substituted into later plans
-    out = assigned.select("vec_id", "cell", "sq_dist").localCheckpoint(
-        eager=True
-    )
+    # can't be cache-substituted into later plans. The literal path
+    # checkpoints the (vec_id, struct) form and splits cid/d above the
+    # materialized scan — one HOF evaluation per row instead of two.
+    if assignment == "literal":
+        out = assigned.localCheckpoint(eager=True).select(
+            "vec_id",
+            F.col("__m")["cid"].alias("cell"),
+            F.col("__m")["d"].alias("sq_dist"),
+        )
+    else:
+        out = assigned.select("vec_id", "cell", "sq_dist").localCheckpoint(
+            eager=True
+        )
     fxd.unpersist()
     return cents, out
 
