@@ -27,7 +27,9 @@ _DEFAULTS: dict[str, str] = {
     # core, 8-query pair-family A/B 28.7 s -> 18.5 s with the floor at
     # 64k). On healthy large shuffles totalBytes/parallelism is far
     # above 1 MB and the floor never engages, so this is scale-neutral.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"
+    ),
     # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
     # gjson/Go semantics are permissive (bad cast -> zero value, not an
@@ -46,7 +48,9 @@ _DEFAULTS: dict[str, str] = {
     # every re-run recompiles every stage. Compilation cache only —
     # no data or results are cached; sized for a driver that hosts a
     # large query workload.
-    "spark.sql.codegen.cache.maxEntries": "10000",
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "10000"
+    ),
     # local mode: one JVM; shuffle partitions ~ cores (AQE coalesces down).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
