@@ -387,20 +387,47 @@ def embedding_near_dup_pairs(
         num_planes = adaptive_num_planes(
             corpus_size if corpus_size is not None else embeddings.count()
         )
-    base = embedding_buckets(embeddings, num_planes=num_planes, dim=dim)
-    a = base.alias("a")
-    # merge hint: both sides are the full bucketed corpus — static
-    # size estimates under-count derived frames, and a misestimated
-    # broadcast of the vector table is a driver OOM at scale (the
-    # measured 16x failure mode of the dedup index joins)
-    b = base.hint("merge").alias("b")
+    # materialize the bucketed corpus ONCE (eager checkpoint, repo
+    # cache policy): both salted sides below read it, and the upstream
+    # may be a full-corpus Python embed stage (m_embed_near_dup's
+    # embed_stub — 12.8 s at sf0.1) that must not run per side. This
+    # makes composition run an action, like semantic_dedup /
+    # dedup_clusters already do; at scale it is the standard
+    # materialize-before-pair-join step of an ANN dedup run.
+    base = embedding_buckets(
+        embeddings, num_planes=num_planes, dim=dim
+    ).localCheckpoint(eager=True)
+    # SALTED within-bucket self-join (the semantic_dedup shape): the
+    # pair stage costs CPU by PAIR count — quadratic in bucket size —
+    # while its shuffle is byte-light, so an unsalted (bucket) join
+    # gets AQE-coalesced onto a handful of tasks and serializes the
+    # cosines (measured: 93.5 s of pair CPU on 9 tasks in
+    # m_embed_near_dup). The a-side replicates over
+    # B = defaultParallelism salt values, the b-side buckets by
+    # vec_id % B; each pair is produced exactly once, at
+    # salt = b.vec_id % B, for ANY B. The explicit repartition
+    # (REPARTITION_BY_NUM — AQE never coalesces it) carries the salt
+    # distribution into the join; shuffle_hash keeps AQE from
+    # rewriting it as a broadcast of the corpus.
+    width = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = base.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
+    ).alias("a")
+    b = (
+        base.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(width)).cast("int")
+        )
+        .repartition(width, "bucket", "salt")
+        .alias("b")
+    )
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
