@@ -31,6 +31,7 @@ LLM-pipeline extension surface (SURVEY.md §2 extensions).
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 ZSTD_MAGIC = 0xFD2FB528
@@ -222,7 +223,19 @@ def read_fse_distribution(data: bytes, pos: int, max_log: int):
 
 def build_fse_table(al: int, probs) -> list:
     """Build the FSE decode table: list of (symbol, nb_bits, base) per
-    cell, size 2**al (RFC 8878 §4.1.1 spread + state assignment)."""
+    cell, size 2**al (RFC 8878 §4.1.1 spread + state assignment).
+
+    Memoized on (al, probs): the PREDEFINED distributions rebuild on
+    every sequence section in predefined mode, and fixture corpora
+    repeat identical normalized distributions across blocks. The
+    table is a read-only list of (symbol, nb_bits, base) tuples —
+    every consumer only indexes it — so sharing one instance is safe.
+    """
+    return _build_fse_table_cached(al, tuple(probs))
+
+
+@_functools.lru_cache(maxsize=512)
+def _build_fse_table_cached(al: int, probs: tuple) -> list:
     size = 1 << al
     table_sym = [0] * size
     high = size - 1
