@@ -166,7 +166,12 @@ MIP_ALLOWED = {
     "m_media_features": 1,   # feature-extract stage
     "m_frame_sample": 0,     # stub is a pure explode, no Python
     "m_resize": 1,           # resize stage
-    "m_embed_near_dup": 2,   # embed stage duplicated across the self-join
+    # the embed stage no longer appears in the FINAL plan: the salted
+    # near-dup join eagerly checkpoints the bucketed corpus at
+    # composition, so the embed runs once (upstream of the checkpoint)
+    # and the query plan scans the materialized RDD — previously the
+    # embed stage was duplicated across the self-join (count 2)
+    "m_embed_near_dup": 0,
     "m_decode_real": 1,
     "m_decode_audio": 1,
     "m_decode_g711": 1,      # JVM header concat + one decode stage
