@@ -94,6 +94,9 @@ SMJ_WAIVED = {
     "d_remove_spans",        # same runs + corpus rebuild join
     "d_fuzzy_match",         # q-gram blocking index
     "d_simhash_near_dup",    # simhash band index
+    # (s_embedding_near_dup / m_embed_near_dup moved to the salted
+    # shuffle_hash shape in round 9 — kept here only so the waiver
+    # list stays a superset of historical audit runs)
     "s_embedding_near_dup",  # hyperplane-bucket self-join
     "m_embed_near_dup",      # same over media embeddings
     "q_cooccurrence",        # distinct (user, session, type) self-join
