@@ -1292,7 +1292,7 @@ def s_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents, _ = train_ivf_centroids(emb, k=8, iters=2)
+    cents, _ = train_ivf_centroids(emb, k=8, iters=2, with_assignments=False)
     cd = [(i, [v / float(FX_SCALE) for v in c]) for i, c in enumerate(cents)]
     return ivf_topk(
         emb, query_ids=list(range(10)), k=5, n_cells=8, nprobe=2, centroids=cd

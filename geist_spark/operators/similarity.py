@@ -784,6 +784,7 @@ def train_ivf_centroids(
     iters: int = 2,
     value_col: str = "embedding",
     assignment: str = "literal",
+    with_assignments: bool = True,
 ):
     """Distributed Lloyd k-means for IVF cell training, on FIXED-POINT
     embeddings: every distance and centroid update is exact long
@@ -809,6 +810,13 @@ def train_ivf_centroids(
     Janino compile time grows with k — same exact arithmetic, same
     map-only no-corpus-shuffle plan, bit-identical output (property
     test pins literal == broadcast).
+
+    with_assignments=False skips the final assignment pass entirely
+    and returns (cents, None): the last Lloyd iteration exists ONLY to
+    produce assignments (its stats never feed a centroid update), so
+    centroid-only callers (ivf_pq_topk, ivf_pq_residual_topk,
+    s_ann_ivf_trained) were paying a full corpus HOF pass plus an
+    eager checkpoint for a frame they immediately discarded.
     """
     if assignment not in ("literal", "broadcast"):
         raise ValueError("assignment must be 'literal' or 'broadcast'")
@@ -835,6 +843,8 @@ def train_ivf_centroids(
 
     assigned = None
     for it in range(iters):
+        if it == iters - 1 and not with_assignments:
+            break
         # centroids as ONE array-of-arrays literal + a generic transform
         # loop: the generated code is a small nested loop over literal
         # DATA, not k unrolled copies of the distance expression —
@@ -900,7 +910,9 @@ def train_ivf_centroids(
     # can't be cache-substituted into later plans. The literal path
     # checkpoints the (vec_id, struct) form and splits cid/d above the
     # materialized scan — one HOF evaluation per row instead of two.
-    if assignment == "literal":
+    if not with_assignments:
+        out = None
+    elif assignment == "literal":
         out = assigned.localCheckpoint(eager=True).select(
             "vec_id",
             F.col("__m")["cid"].alias("cell"),
@@ -1828,9 +1840,29 @@ def ivf_pq_topk(
     Output: (query_id, neighbor_id, approx_sq_dist, rank) — exact
     long ADC distances, ties by neighbor_id.
     """
-    cents_fx, _ = train_ivf_centroids(
-        embeddings, k=n_cells, iters=ivf_iters
-    )
+    # The coarse (IVF) and fine (PQ) trainers are INDEPENDENT — both
+    # read only `embeddings` — yet ran back to back, and on this class
+    # of host each driver action costs ~0.3 s of py4j/planning latency
+    # regardless of data size. Overlap them from two driver threads
+    # (guide §2.6: actions are only sequential because the driver calls
+    # them sequentially); each training's own jobs back-fill the other's
+    # driver gaps. Results are unchanged: both trainers are
+    # deterministic and share no state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_ivf = pool.submit(
+            train_ivf_centroids,
+            embeddings,
+            k=n_cells,
+            iters=ivf_iters,
+            with_assignments=False,
+        )
+        fut_pq = pool.submit(
+            pq_train_encode, embeddings, m=m, k=k_codes, iters=pq_iters
+        )
+        cents_fx, _ = fut_ivf.result()
+        books, codes = fut_pq.result()
     cd = [
         (i, [v / float(FX_SCALE) for v in c])
         for i, c in enumerate(cents_fx)
@@ -1848,9 +1880,6 @@ def ivf_pq_topk(
                 F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
             ).alias("cell"),
         )
-    )
-    books, codes = pq_train_encode(
-        embeddings, m=m, k=k_codes, iters=pq_iters
     )
     qdf = _adc_distance_tables(embeddings, query_ids, books)
     # candidates = codes of vectors whose IVF cell is probed by the
@@ -1901,7 +1930,7 @@ def ivf_pq_residual_topk(
     the merge hint; no shuffle before the per-query top-k window.
     """
     cents_fx, _ = train_ivf_centroids(
-        embeddings, k=n_cells, iters=ivf_iters
+        embeddings, k=n_cells, iters=ivf_iters, with_assignments=False
     )
     cd = [
         (i, [v / float(FX_SCALE) for v in c])
@@ -1932,24 +1961,41 @@ def ivf_pq_residual_topk(
         # build, the candidate join): materialize once, eagerly, per
         # the repo checkpoint policy (no persist fragments)
     ).localCheckpoint(eager=True)
-    books, codes = _pq_train_encode_fx(
-        res.select("vec_id", "fx"), m=m, k=k_codes, iters=pq_iters
-    )
     # per-(query, probed cell) ADC tables: the query residual depends
     # on WHICH cell is probed, so dt is keyed by (query_id, cell) —
     # |Q| x nprobe tables of m*k longs, built from two bounded collects
     # ONE bounded collect serves both the query fx vectors and their
-    # probed cells (was two scans of the same |Q|-row filter)
-    qrows = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            _fx(emb).alias("qfx"),
-            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
-            .alias("cells"),
+    # probed cells (was two scans of the same |Q|-row filter).
+    # The PQ training (reads the checkpointed `res`) and the query-side
+    # collect (reads `embeddings` + centroid literals) are independent
+    # once `res` is materialized: overlap them from two driver threads
+    # (guide §2.6) so the bounded collect hides inside the training's
+    # driver gaps instead of adding its own ~0.3 s action latency.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _qrows():
+        return (
+            embeddings.filter(F.col("vec_id").isin(query_ids))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                _fx(emb).alias("qfx"),
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
+                .alias("cells"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_pq = pool.submit(
+            _pq_train_encode_fx,
+            res.select("vec_id", "fx"),
+            m=m,
+            k=k_codes,
+            iters=pq_iters,
+        )
+        fut_q = pool.submit(_qrows)
+        books, codes = fut_pq.result()
+        qrows = fut_q.result()
     dsub = len(cents_fx[0]) // m
     dt_rows = []
     for r in qrows:

@@ -1001,6 +1001,15 @@ def test_ivf_train_fixed_point_determinism_and_convergence(spark):
     with pytest.raises(ValueError):
         train_ivf_centroids(emb.filter(F.col("vec_id") >= 2), k=4, iters=1)
 
+    # centroid-only fast path: with_assignments=False must return the
+    # SAME centroids (the skipped final pass never feeds an update)
+    # and None for the assignment frame
+    cents_no_asg, none_asg = train_ivf_centroids(
+        emb, k=4, iters=2, with_assignments=False
+    )
+    assert cents_no_asg == cents
+    assert none_asg is None
+
 
 def test_semantic_dedup_groups_and_canonicals(spark):
     from geist_spark.operators.similarity import semantic_dedup
