@@ -389,6 +389,26 @@ def ua_udf(s: pd.Series) -> pd.Series:
     return s.map(_cached_parse)
 
 
+# one entry per live Spark application: the ~1000-node ua_json_expr
+# Column costs ~0.7 s of py4j round trips to BUILD (measured: 1.5 s of
+# every parse_user_agents call was pure Python-side Column
+# construction — the tree is built twice per call). The expression is
+# deterministic and always binds the same "__ua_key" input, so one
+# instance per JVM serves every query; keying on applicationId drops
+# references into a stopped JVM when a new session starts.
+_UA_EXPR_CACHE: dict = {}
+
+
+def _ua_key_expr(spark) -> F.Column:
+    app = spark.sparkContext.applicationId
+    col = _UA_EXPR_CACHE.get(app)
+    if col is None:
+        _UA_EXPR_CACHE.clear()  # at most one live application
+        col = ua_json_expr(F.col("__ua_key"))
+        _UA_EXPR_CACHE[app] = col
+    return col
+
+
 def parse_user_agents(
     df, ua_col: str, out_col: str = "ua_json", broadcast: bool = True
 ):
@@ -420,7 +440,7 @@ def parse_user_agents(
     dic = (
         df.select(key)
         .distinct()
-        .select("__ua_key", ua_json_expr(F.col("__ua_key")).alias(out_col))
+        .select("__ua_key", _ua_key_expr(df.sparkSession).alias(out_col))
     )
     if broadcast:
         dic = F.broadcast(dic)
@@ -429,7 +449,7 @@ def parse_user_agents(
         .join(dic, "__ua_key", "left")
         .withColumn(
             out_col,
-            F.coalesce(F.col(out_col), ua_json_expr(F.col("__ua_key"))),
+            F.coalesce(F.col(out_col), _ua_key_expr(df.sparkSession)),
         )
         .drop("__ua_key")
     )

@@ -42,6 +42,18 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas_udf / toPandas — the only sane Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging hook wraps EVERY Column/function
+    # call with call-site capture: a conf.get + a PySparkCurrentOrigin
+    # py4j round trip + a Python stack walk PER EXPRESSION NODE. That
+    # is 24 py4j round trips (6.8 ms) per Column op vs 4 (2.5 ms) with
+    # it off — measured 24.6 s of pure query-CONSTRUCTION time across
+    # this registry (queries are rebuilt every bench run). It only
+    # enriches error messages with user call sites; error classes and
+    # semantics are unchanged. Scale-neutral: this is driver-side
+    # Python API overhead, identical on a cluster.
+    "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+        "SPARK_GRAFT_DF_DEBUGGING", "false"
+    ),
     # Generated-class cache (Janino compile results). The default 100
     # entries thrashes on a session that runs hundreds of distinct
     # queries (this registry alone produces ~1000 codegen units), so
