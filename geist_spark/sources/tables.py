@@ -11,12 +11,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# (sf_dir, name) -> inferred StructType. Schema inference on a parquet
+# path runs a footer-reading Spark JOB per read (measured ~50x the
+# cost of an explicit schema), and every query rebuild re-reads its
+# tables — across a 279-query bench that is hundreds of redundant
+# inference jobs. This caches METADATA only (a pure-Python StructType,
+# no JVM references, safe across session restarts): every read still
+# scans the parquet data itself. Test tables are immutable per sf_dir.
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_CACHE.get((sf_dir, name))
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
