@@ -71,11 +71,17 @@ def pagerank(
     e = edges.select(s.alias("src"), d.alias("dst")).localCheckpoint(
         eager=True
     )
+    # LAZY checkpoint: the count() below is a full materialization (no
+    # short-circuit CollectLimit), so the node set lands in stored
+    # blocks inside the count's own job instead of paying a separate
+    # eager action first (~0.1-0.3 s of per-action driver latency on
+    # this host class). `e` above stays EAGER: its two union legs here
+    # would otherwise race to compute the unmaterialized edge RDD.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -221,10 +227,13 @@ def kcore(
         .filter(F.col("src") != F.col("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
+    # lazy checkpoint + count: the count is a full materialization, so
+    # one action both stores the mirrored edge set and measures it
+    # (pagerank's nodes fusion; saves one driver action per call)
     und = (
         und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_n = und.count()
     converged = prev_n == 0
@@ -242,7 +251,11 @@ def kcore(
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             # USING-join moved dst first: restore (src, dst)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            # lazy: materialized in full by the convergence count below
+            # (one action per round instead of two); the returned frame
+            # always sits on stored blocks because the count runs every
+            # round, so no lazy chain ever escapes to a caller
+            .localCheckpoint(eager=False)
         )
         n_after = pruned.count()
         und = pruned

@@ -320,9 +320,16 @@ class KeyedTableLoader(Loader, SinkExtractor):
                     F.expr(self.delete_when).cast("boolean"), F.lit(False)
                 ),
             )
+        # LAZY checkpoint: the touched-bucket probe below is a full
+        # materialization (distinct over every partition, no limit), so
+        # the batch lands in stored blocks inside the probe's own job —
+        # one driver action per batch instead of two. On the first
+        # batch (no table yet, no probe) the merged frame's EAGER
+        # checkpoint below materializes the chain in full instead; no
+        # consumer between here and there can partially materialize it.
         out = out.withColumn(
             KEY_BUCKET_COL, self._bucket_of(F.col(ROW_KEY_COL))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         keep = self.max_versions or 1
         merged = out.withColumn("__incoming", F.lit(1))
         # Explicit existence probe (Hadoop FS, any scheme): ONLY a
