@@ -7469,8 +7469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_avro_records": w_avro_records,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_sessionize": q_sessionize,
-        "m_decode_flac": m_decode_flac,
-        "t_markdown_strip": t_markdown_strip,
+        # round-10 rotation (r9 VERDICT item 2): the two queries whose
+        # self-join was rewritten to the salted shape in r9 (a656f51)
+        # move INTO the driver-recorded first 50 so the durable oracle
+        # record covers them; the FLAC and markdown document reps they
+        # displace move to these queries' old variant slots below —
+        # still registered, still benched, just outside the first 50
+        "s_embedding_near_dup": s_embedding_near_dup,
+        "m_embed_near_dup": m_embed_near_dup,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_percentiles": q_percentiles,
@@ -7529,7 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_verified_pairs": d_verified_pairs,
         "d_source_overlap": d_source_overlap,
         "d_dup_rate_by_source": d_dup_rate_by_source,
-        "s_embedding_near_dup": s_embedding_near_dup,
+        "m_decode_flac": m_decode_flac,
         "s_ann_lsh": s_ann_lsh,
         "s_ann_recall": s_ann_recall,
         "s_quantize_embeddings": s_quantize_embeddings,
@@ -7603,7 +7609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_compact_plan": p_compact_plan,
         "q_k_anonymity": q_k_anonymity,
         "q_incremental_rollup": q_incremental_rollup,
-        "m_embed_near_dup": m_embed_near_dup,
+        "t_markdown_strip": t_markdown_strip,
         "q_backfill_plan": q_backfill_plan,
         "p_spec_pipeline": p_spec_pipeline,
         "p_kfold": p_kfold,
