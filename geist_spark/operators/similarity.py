@@ -835,7 +835,38 @@ def train_ivf_centroids(
     # ("Could not find fx#N") whenever any earlier plan ran in the
     # session.
     fxd = fxd.persist()
-    init = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    try:
+        return _train_ivf_fx(
+            fxd,
+            k=k,
+            iters=iters,
+            assignment=assignment,
+            with_assignments=with_assignments,
+        )
+    finally:
+        fxd.unpersist()
+
+
+def _train_ivf_fx(
+    fxd: DataFrame,
+    k: int,
+    iters: int,
+    assignment: str = "literal",
+    with_assignments: bool = True,
+    init_rows: list | None = None,
+):
+    """Lloyd core over a PRE-MATERIALIZED (vec_id, fx array<long>)
+    frame (persisted by train_ivf_centroids, or an eager
+    localCheckpoint shared with a PQ trainer — ivf_pq_topk). Takes an
+    optional pre-collected init row list so two trainers sharing one
+    frame can also share ONE bounded init collect; rows must cover
+    vec_id 0..k-1 (extra rows are ignored). Arithmetic and outputs are
+    bit-identical to the historical inline body."""
+    if init_rows is None:
+        init_rows = (
+            fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        )
+    init = [r for r in init_rows if r["vec_id"] < k]
     if len(init) < k:
         raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
     cents = [list(r["fx"]) for r in init]
@@ -922,7 +953,6 @@ def train_ivf_centroids(
         out = assigned.select("vec_id", "cell", "sq_dist").localCheckpoint(
             eager=True
         )
-    fxd.unpersist()
     return cents, out
 
 
@@ -1109,16 +1139,28 @@ def pq_train_encode(
     return _pq_train_encode_fx(fxd, m=m, k=k, iters=iters)
 
 
-def _pq_train_encode_fx(fxd: DataFrame, m: int, k: int, iters: int):
+def _pq_train_encode_fx(
+    fxd: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    init_rows: list | None = None,
+):
     """PQ Lloyd core over a PRE-FIXED (vec_id, fx array<long>) frame —
     shared by pq_train_encode (raw vectors) and ivf_pq_residual_topk
     (IVF residuals, which are already exact longs). Same deterministic
     init (subvectors of the k lowest vec_ids) and exact long
-    arithmetic."""
+    arithmetic. `init_rows` lets a caller that already collected the
+    low-vec_id rows (ivf_pq_topk's shared init) skip the collect; rows
+    beyond vec_id k-1 are ignored."""
     # ONE bounded collect serves both the dim probe and the
     # deterministic init (subvectors of the k lowest vec_ids), instead
     # of a separate first() job
-    init_rows = fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if init_rows is None:
+        init_rows = (
+            fxd.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        )
+    init_rows = [r for r in init_rows if r["vec_id"] < k]
     if len(init_rows) < k:
         raise ValueError(f"need vec_id 0..{k-1} present for deterministic init")
     dim = len(init_rows[0]["fx"])
@@ -1219,19 +1261,28 @@ def _pq_train_encode_fx(fxd: DataFrame, m: int, k: int, iters: int):
 
 
 def _adc_distance_tables(
-    embeddings: DataFrame, query_ids: list[int], books: list
+    embeddings: DataFrame,
+    query_ids: list[int],
+    books: list,
+    fx_col: str | None = None,
 ) -> DataFrame:
     """Per-query ADC distance tables: exact squared distance from each
     query SUBvector to every codebook entry — an m x k long table per
     query, built driver-side from one bounded |Q|-row collect (m*k is
     tiny). Shared by pq_adc_topk and ivf_pq_topk so the ADC arithmetic
-    has exactly one spelling. Output: (query_id, dt array<array<long>>).
+    has exactly one spelling. `fx_col` names a column that ALREADY
+    carries _fx(embedding) (ivf_pq_topk's shared checkpoint) — same
+    values, one fewer HOF evaluation. Output:
+    (query_id, dt array<array<long>>).
     """
     m = len(books)
     dsub = len(books[0][0])
+    qfx_expr = (
+        F.col(fx_col) if fx_col is not None else _fx(F.col("embedding"))
+    )
     q = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select("vec_id", _fx(F.col("embedding")).alias("qfx"))
+        .select("vec_id", qfx_expr.alias("qfx"))
         .collect()
     )
     rows = []
@@ -1841,25 +1892,60 @@ def ivf_pq_topk(
     long ADC distances, ties by neighbor_id.
     """
     # The coarse (IVF) and fine (PQ) trainers are INDEPENDENT — both
-    # read only `embeddings` — yet ran back to back, and on this class
-    # of host each driver action costs ~0.3 s of py4j/planning latency
-    # regardless of data size. Overlap them from two driver threads
+    # read only `embeddings` — and overlap from two driver threads
     # (guide §2.6: actions are only sequential because the driver calls
     # them sequentially); each training's own jobs back-fill the other's
     # driver gaps. Results are unchanged: both trainers are
     # deterministic and share no state.
+    #
+    # Both trainers, the corpus cell assignment, the query probes, and
+    # the ADC tables all derive from the SAME (vec_id, embedding, fx)
+    # rows — previously each re-derived fan_out(embeddings) + _fx from
+    # parquet behind its own persist (two scans, two round-robin
+    # shuffles, and two persist/unpersist windows racing on one
+    # lineage — the cache-substitution hazard documented at
+    # train_ivf_centroids). ONE eager localCheckpoint materializes the
+    # frame with truncated lineage and fixed output attributes; every
+    # consumer reads stored blocks, and the trainers share ONE bounded
+    # init collect (vec_id < max(n_cells, k_codes)) instead of two.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    emb = F.col("embedding")
+    fxe = (
+        fan_out(embeddings)
+        .select("vec_id", "embedding", _fx(emb).alias("fx"))
+        .localCheckpoint(eager=True)
+    )
+    fxd = fxe.select("vec_id", "fx")
+    init_rows = (
+        fxd.filter(F.col("vec_id") < max(n_cells, k_codes))
+        .orderBy("vec_id")
+        .collect()
+    )
+    # inheritable_thread_target: propagate the driver thread's job
+    # group/description into the pool threads under pinned-thread mode
+    # (ADVICE r9) — no semantics change, the trainers stay independent
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_ivf = pool.submit(
-            train_ivf_centroids,
-            embeddings,
-            k=n_cells,
-            iters=ivf_iters,
-            with_assignments=False,
+            inheritable_thread_target(
+                lambda: _train_ivf_fx(
+                    fxd,
+                    k=n_cells,
+                    iters=ivf_iters,
+                    with_assignments=False,
+                    init_rows=init_rows,
+                )
+            )
         )
         fut_pq = pool.submit(
-            pq_train_encode, embeddings, m=m, k=k_codes, iters=pq_iters
+            inheritable_thread_target(
+                lambda: _pq_train_encode_fx(
+                    fxd, m=m, k=k_codes, iters=pq_iters,
+                    init_rows=init_rows,
+                )
+            )
         )
         cents_fx, _ = fut_ivf.result()
         books, codes = fut_pq.result()
@@ -1867,13 +1953,12 @@ def ivf_pq_topk(
         (i, [v / float(FX_SCALE) for v in c])
         for i, c in enumerate(cents_fx)
     ]
-    emb = F.col("embedding")
     scores = _centroid_scores(emb, cd)
-    assigned = fan_out(embeddings).select(
+    assigned = fxe.select(
         "vec_id", F.array_max(scores)["cid"].alias("cell")
     )
     probes = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
+        fxe.filter(F.col("vec_id").isin(query_ids))
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
@@ -1881,7 +1966,7 @@ def ivf_pq_topk(
             ).alias("cell"),
         )
     )
-    qdf = _adc_distance_tables(embeddings, query_ids, books)
+    qdf = _adc_distance_tables(fxe, query_ids, books, fx_col="fx")
     # candidates = codes of vectors whose IVF cell is probed by the
     # query: the probe side is |Q|*nprobe rows -> broadcast; the codes
     # scan reads m ints per vector and only probed cells shuffle on
@@ -1929,14 +2014,27 @@ def ivf_pq_residual_topk(
     (m*k longs each — tiny); the corpus-grain code/cell join carries
     the merge hint; no shuffle before the per-query top-k window.
     """
-    cents_fx, _ = train_ivf_centroids(
-        embeddings, k=n_cells, iters=ivf_iters, with_assignments=False
+    # ONE materialized (vec_id, embedding, fx) frame feeds the IVF
+    # trainer, the coarse assignment, AND the query-side collect —
+    # previously the trainer re-derived fan_out+_fx behind its own
+    # persist and the assignment ran a second fan_out shuffle over
+    # parquet (same dedup as ivf_pq_topk; arithmetic unchanged).
+    emb = F.col("embedding")
+    fxe = (
+        fan_out(embeddings)
+        .select("vec_id", "embedding", _fx(emb).alias("fx"))
+        .localCheckpoint(eager=True)
+    )
+    cents_fx, _ = _train_ivf_fx(
+        fxe.select("vec_id", "fx"),
+        k=n_cells,
+        iters=ivf_iters,
+        with_assignments=False,
     )
     cd = [
         (i, [v / float(FX_SCALE) for v in c])
         for i, c in enumerate(cents_fx)
     ]
-    emb = F.col("embedding")
     scores = _centroid_scores(emb, cd)
     cent_lit = long_matrix(cents_fx)
     # two-stage select: the n_cells x dim score array is HOF-built
@@ -1944,9 +2042,9 @@ def ivf_pq_residual_topk(
     # argmax must be computed ONCE as a named column, not inlined
     # twice (the ua_json_expr duplicated-subtree lesson); the residual
     # then derives from the cell column
-    assigned_fx = fan_out(embeddings).select(
+    assigned_fx = fxe.select(
         "vec_id",
-        _fx(emb).alias("vfx"),
+        F.col("fx").alias("vfx"),
         F.array_max(scores)["cid"].alias("cell"),
     )
     res = assigned_fx.select(
@@ -1973,12 +2071,14 @@ def ivf_pq_residual_topk(
     # driver gaps instead of adding its own ~0.3 s action latency.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     def _qrows():
         return (
-            embeddings.filter(F.col("vec_id").isin(query_ids))
+            fxe.filter(F.col("vec_id").isin(query_ids))
             .select(
                 F.col("vec_id").alias("query_id"),
-                _fx(emb).alias("qfx"),
+                F.col("fx").alias("qfx"),
                 F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)["cid"]
                 .alias("cells"),
             )
@@ -1987,13 +2087,16 @@ def ivf_pq_residual_topk(
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_pq = pool.submit(
-            _pq_train_encode_fx,
-            res.select("vec_id", "fx"),
-            m=m,
-            k=k_codes,
-            iters=pq_iters,
+            inheritable_thread_target(
+                lambda: _pq_train_encode_fx(
+                    res.select("vec_id", "fx"),
+                    m=m,
+                    k=k_codes,
+                    iters=pq_iters,
+                )
+            )
         )
-        fut_q = pool.submit(_qrows)
+        fut_q = pool.submit(inheritable_thread_target(_qrows))
         books, codes = fut_pq.result()
         qrows = fut_q.result()
     dsub = len(cents_fx[0]) // m
