@@ -51,12 +51,25 @@ the first pass after the object-store read.
 
 from __future__ import annotations
 
+import re
+import struct
+
 from pyspark.sql import DataFrame
 
 PDF_TEXT_SCHEMA = "file_id long, page int, text string, n_chars int"
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+# C-level token runs for the hot lexer paths. cProfile over the
+# w_pdf_extract corpus showed skip_ws + name + keyword + hex_string +
+# _is_regular at ~45% of parse CPU as per-byte Python loops; each is a
+# single character-class run the regex engine consumes in one call
+# (guide §4.2 — do the bulk work in native code). The classes mirror
+# _WS/_DELIM exactly; token boundaries are unchanged.
+_RE_WS_RUN = re.compile(rb"[\x00\t\n\x0c\r ]*")
+_RE_REGULAR_RUN = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_RE_NUM_RUN = re.compile(rb"[+\-.0-9]*")
 
 
 class _Name(str):
@@ -78,15 +91,12 @@ class _Lexer:
 
     def skip_ws(self) -> None:
         b, n = self.b, len(self.b)
-        while self.i < n:
-            c = b[self.i]
-            if c in _WS:
-                self.i += 1
-            elif c == 0x25:  # '%' comment to EOL
-                j = b.find(b"\n", self.i)
-                self.i = n if j < 0 else j + 1
-            else:
-                return
+        i = _RE_WS_RUN.match(b, self.i).end()
+        while i < n and b[i] == 0x25:  # '%' comment to EOL
+            j = b.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            i = _RE_WS_RUN.match(b, i).end()
+        self.i = i
 
     def lit_string(self) -> bytes:
         """Literal (…) string with nesting, escapes, octal, and EOL
@@ -147,15 +157,21 @@ class _Lexer:
         j = b.find(b">", self.i)
         if j < 0:
             raise ValueError("malformed PDF: unterminated hex string")
-        digits = [c for c in b[self.i + 1: j]
-                  if c not in _WS]
+        digits = b[self.i + 1: j].translate(None, _WS)
         self.i = j + 1
+        if len(digits) % 2:
+            digits += b"0"  # odd final digit pads with 0 (§7.3.4.3)
+        try:  # C fast path — identical bytes for well-formed hex
+            return bytes.fromhex(digits.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            pass
+        # exact-compat slow path: reproduces the historical per-pair
+        # int(chr+chr, 16) acceptance (e.g. a stray sign character
+        # inside a pair parses where fromhex refuses)
         out = bytearray()
         for k in range(0, len(digits), 2):
-            hi = digits[k]
-            lo = digits[k + 1] if k + 1 < len(digits) else 0x30
             try:
-                out.append(int(chr(hi) + chr(lo), 16))
+                out.append(int(chr(digits[k]) + chr(digits[k + 1]), 16))
             except ValueError:
                 raise ValueError(
                     "malformed PDF: non-hex digit in hex string"
@@ -165,6 +181,11 @@ class _Lexer:
     def name(self) -> _Name:
         """/Name token with #xx hex escapes (§7.3.5). Cursor on '/'."""
         b, n = self.b, len(self.b)
+        m = _RE_REGULAR_RUN.match(b, self.i + 1)
+        run = m.group()
+        if b"#" not in run:  # fast path: identical run boundary
+            self.i = m.end()
+            return _Name(run.decode("latin-1"))
         i = self.i + 1
         out = bytearray()
         while i < n and _is_regular(b[i]):
@@ -181,13 +202,9 @@ class _Lexer:
         return _Name(out.decode("latin-1"))
 
     def keyword(self) -> str:
-        b, n = self.b, len(self.b)
-        i = self.i
-        while i < n and _is_regular(b[i]):
-            i += 1
-        word = b[self.i: i].decode("latin-1")
-        self.i = i
-        return word
+        m = _RE_REGULAR_RUN.match(self.b, self.i)
+        self.i = m.end()
+        return m.group().decode("latin-1")
 
 
 def _parse_value(lx: _Lexer, objects: dict | None, depth: int = 0):
@@ -232,11 +249,9 @@ def _parse_value(lx: _Lexer, objects: dict | None, depth: int = 0):
     if c == 0x2F:  # /
         return lx.name()
     if c in b"+-.0123456789":
-        start = lx.i
-        lx.i += 1
-        while lx.i < n and b[lx.i] in b"+-.0123456789":
-            lx.i += 1
-        tok = b[start: lx.i]
+        m = _RE_NUM_RUN.match(b, lx.i)
+        tok = m.group()
+        lx.i = m.end()
         # 'N G R' indirect-reference lookahead
         if tok.isdigit():
             save = lx.i
@@ -1075,11 +1090,9 @@ def _content_text(data: bytes, fonts: dict | None = None) -> str:
         elif c == 0x2F:
             operands.append(lx.name())
         elif c in b"+-.0123456789":
-            start = lx.i
-            lx.i += 1
-            while lx.i < n and data[lx.i] in b"+-.0123456789":
-                lx.i += 1
-            operands.append(data[start: lx.i])
+            m = _RE_NUM_RUN.match(data, lx.i)
+            operands.append(m.group())
+            lx.i = m.end()
         elif c == 0x5D or c == 0x3E:  # stray ] or > — damage
             raise ValueError("malformed PDF: unbalanced content token")
         else:
@@ -1187,11 +1200,9 @@ def _tounicode_map(data: bytes) -> dict[int, str]:
         if c == 0x2F:
             return ("name", str(lx.name()))
         if c in b"+-.0123456789":
-            start = lx.i
-            lx.i += 1
-            while lx.i < n and data[lx.i] in b"+-.0123456789":
-                lx.i += 1
-            return ("num", data[start: lx.i])
+            m = _RE_NUM_RUN.match(data, lx.i)
+            lx.i = m.end()
+            return ("num", m.group())
         kw = lx.keyword()
         if not kw:
             raise ValueError(
@@ -1305,11 +1316,10 @@ def _cid_shower(mapping: dict[int, str]):
             raise ValueError(
                 "malformed PDF: CID show string has an odd length"
             )
+        get = mapping.get
         return "".join(
-            mapping.get(
-                int.from_bytes(raw[k: k + 2], "big"), "�"
-            )
-            for k in range(0, len(raw), 2)
+            [get(c, "�")
+             for c in struct.unpack(f">{len(raw) >> 1}H", raw)]
         )
 
     return show
@@ -1498,17 +1508,18 @@ def pdf_extract_text(
 
 def _pdf_escape(s: str) -> bytes:
     """Encode text for a literal string: WinAnsi bytes with ( ) \\
-    escaped; a '\\n' in the input becomes an explicit \\n escape."""
-    out = bytearray()
-    for ch in s:
-        b = ch.encode("cp1252", errors="replace")
-        if b in (b"(", b")", b"\\"):
-            out += b"\\" + b
-        elif b == b"\n":
-            out += b"\\n"
-        else:
-            out += b
-    return bytes(out)
+    escaped; a '\\n' in the input becomes an explicit \\n escape.
+    One whole-string encode + chained replaces (backslash first so
+    inserted escapes are never re-escaped) — byte-identical to the
+    historical per-character loop, without 200+ str.encode calls per
+    line (the build profile's top entry)."""
+    b = s.encode("cp1252", errors="replace")
+    return (
+        b.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\n", b"\\n")
+    )
 
 
 def content_ops(lines: list[str], use_tj_array: bool = False) -> bytes:
