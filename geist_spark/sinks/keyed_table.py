@@ -387,11 +387,21 @@ class KeyedTableLoader(Loader, SinkExtractor):
                 F.col("__del_ts").isNull()
                 | (F.col(INGESTION_TS_COL) >= F.col("__del_ts"))
             ).drop("__del_ts")
+        # LAZY checkpoint, materialized by the write job itself: the
+        # checkpoint exists because Spark refuses to overwrite a path
+        # its plan still reads from, and truncating to a LogicalRDD
+        # satisfies that check whether or not the RDD is computed yet.
+        # The parquet write is a FULL-scan action (every partition
+        # computed exactly once, no CollectLimit short-circuit — the
+        # repo's lazy-checkpoint fusion precondition), and dynamic
+        # partition overwrite only deletes replaced files at job
+        # COMMIT, after every task has finished reading the old
+        # buckets. One driver action per batch instead of two.
         merged = (
             merged.withColumn("__v", F.row_number().over(w))
             .filter(F.col("__v") <= keep)
             .drop("__c", "__v", "__incoming")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         (
             merged.write.mode("overwrite")
