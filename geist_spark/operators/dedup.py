@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     max_bucket_size: int | None = None,
+    dedup_key: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -219,7 +220,17 @@ def minhash_lsh_pairs(
     dropped BEFORE the pair join (their members are near-certain exact
     dups — route them through exact_dedup_groups instead, which is
     linear). The cap count rides the same hash partitioning as the join
-    key, so it adds no extra shuffle."""
+    key, so it adds no extra shuffle.
+
+    `dedup_key` ("doc_a" or "doc_b") fuses the pair-dedup shuffle with
+    the consumer's next re-key: hash-partitioning on ONE pair column
+    still satisfies the (doc_a, doc_b) dedup clustering (same doc_a =>
+    co-located), so a consumer that immediately joins on that column
+    (verified_near_dup_pairs' confirm join) gets its partitioning from
+    the dedup exchange instead of paying a second full shuffle of the
+    pair set. Output rows are identical; the trade is losing the
+    map-side partial dedup (pairs shuffle with band-collision
+    multiplicity <= bands), paid in tiny 16-byte rows."""
     banded = minhash_bands(documents, num_hashes=num_hashes, bands=bands, k=k)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash")
@@ -235,18 +246,17 @@ def minhash_lsh_pairs(
     # aborted on driver maxResultSize), so the hint pins the safe
     # shuffle plan; AQE still re-splits skewed partitions at runtime.
     b = banded.hint("merge").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    if dedup_key is None:
+        return pairs.distinct()
+    return pairs.repartition(F.col(dedup_key)).dropDuplicates()
 
 
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
@@ -1080,6 +1090,9 @@ def verified_near_dup_pairs(
         bands=bands,
         k=k,
         max_bucket_size=max_bucket_size,
+        # fuse the pair-dedup shuffle with the doc_a confirm join's
+        # re-key: one Exchange(doc_a) serves both (xchg 15 -> 14)
+        dedup_key="doc_a",
     )
     sh = shingles(documents, k=k)
     sized = sh.withColumn(
