@@ -403,9 +403,14 @@ def _ua_key_expr(spark) -> F.Column:
     app = spark.sparkContext.applicationId
     col = _UA_EXPR_CACHE.get(app)
     if col is None:
-        _UA_EXPR_CACHE.clear()  # at most one live application
-        col = ua_json_expr(F.col("__ua_key"))
-        _UA_EXPR_CACHE[app] = col
+        # setdefault (atomic under the GIL) instead of clear+set: the
+        # codebase now forks driver threads, and an unconditional
+        # clear() could evict a concurrent caller's live entry
+        # (ADVICE r9). Stale stopped-app entries are tiny; prune only
+        # if they ever pile up.
+        if len(_UA_EXPR_CACHE) > 8:
+            _UA_EXPR_CACHE.clear()
+        col = _UA_EXPR_CACHE.setdefault(app, ua_json_expr(F.col("__ua_key")))
     return col
 
 

@@ -9,6 +9,8 @@ loss on 1.7e18 nanos."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # (sf_dir, name) -> inferred StructType. Schema inference on a parquet
@@ -25,10 +27,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    sch = _SCHEMA_CACHE.get((sf_dir, name))
+    # freshness token (ADVICE r9): a fixture that rewrites a table at
+    # the same path changes the directory mtime, invalidating the
+    # cached schema instead of silently applying a stale one. One
+    # local stat() vs a footer-reading Spark job per read.
+    try:
+        token = os.path.getmtime(path)
+    except OSError:
+        token = None
+    sch = _SCHEMA_CACHE.get((sf_dir, name, token))
     if sch is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+        _SCHEMA_CACHE[(sf_dir, name, token)] = df.schema
     else:
         df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
